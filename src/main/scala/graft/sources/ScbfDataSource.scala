@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.scbf._
+
+/**
+ * Spark DataSource V2 provider for the SCBF columnar format, registered
+ * under the short name `"scbf"`:
+ * {{{
+ *   df.write.format("scbf").save(dir)
+ *   spark.read.format("scbf").load(dir).select("id")   // prunes to id's blocks
+ * }}}
+ *
+ * Design (SURVEY.md §1.6/§7): the reference's selective column read
+ * (reference: reader.py:111-133) surfaces as Catalyst column pruning via
+ * `SupportsPushDownRequiredColumns`; only the pruned columns' compressed
+ * blocks are ever fetched or inflated. Files are NOT splittable (block
+ * offsets are absolute and zlib streams contiguous), so parallelism is
+ * one input partition per file — at scale a dataset is many moderate
+ * files, the standard layout Spark writes anyway (one per task).
+ */
+class ScbfDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "scbf"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (files, conf) = ScbfDataSource.resolveFiles(options)
+    if (files.isEmpty)
+      throw new ScbfFormatException(
+        s"No .scbf files found at ${ScbfDataSource.paths(options).mkString(", ")}")
+    ScbfDataSource.scbfToSpark(ScbfUtil.readHeader(files.head, conf).schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (files, conf) = ScbfDataSource.resolveFiles(options)
+    new ScbfTable(ScbfDataSource.paths(options), files, schema, conf)
+  }
+}
+
+object ScbfDataSource {
+
+  /** Path options as DataFrameReader/Writer set them: single `path`, or
+   * `paths` as a JSON string array. */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      (0 until node.size()).map(node.get(_).asText())
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    (single ++ multi).distinct
+  }
+
+  /** Expand each path: glob patterns honored, directories list their
+   * `*.scbf` children (non-hidden), plain files taken as-is. */
+  def resolveFiles(options: CaseInsensitiveStringMap): (Seq[FileStatus], Configuration) = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val statuses = paths(options).flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      globbed.flatMap {
+        case d if d.isDirectory =>
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(Scbf.FileExtension))
+            .filterNot(f => isHidden(f.getPath))
+        case f if isHidden(f.getPath) => Seq.empty
+        case f => Seq(f)
+      }
+    }
+    (statuses.sortBy(_.getPath.toString), conf)
+  }
+
+  private def isHidden(p: Path): Boolean =
+    p.getName.startsWith("_") || p.getName.startsWith(".")
+
+  def scbfToSpark(schema: ScbfSchema): StructType =
+    StructType(schema.columns.map { c =>
+      // nullable=false: the format has no null representation (SURVEY §1.2)
+      StructField(c.name, c.tpe match {
+        case ScbfType.Int32   => IntegerType
+        case ScbfType.Float64 => DoubleType
+        case ScbfType.Utf8    => StringType
+      }, nullable = false)
+    })
+
+  def sparkToScbf(schema: StructType): ScbfSchema =
+    ScbfSchema(schema.fields.toSeq.map { f =>
+      ScbfColumn(f.name, f.dataType match {
+        case IntegerType => ScbfType.Int32
+        case DoubleType  => ScbfType.Float64
+        case StringType  => ScbfType.Utf8
+        case other => throw new ScbfFormatException(
+          s"SCBF cannot store column '${f.name}' of type ${other.simpleString}: " +
+            "only int (int32), double (float64) and string (utf8) are representable. " +
+            "Cast or drop the column before writing.")
+      })
+    })
+}
+
+class ScbfTable(
+    tablePaths: Seq[String],
+    files: Seq[FileStatus],
+    schema: StructType,
+    conf: Configuration)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"scbf:${tablePaths.mkString(",")}"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScbfScanBuilder(schema, files, conf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = tablePaths match {
+      case Seq(one) => one
+      case other => throw new ScbfFormatException(
+        s"SCBF write requires exactly one output path, got: $other")
+    }
+    ScbfDataSource.sparkToScbf(info.schema()) // fail fast on unsupported types
+    new ScbfWriteBuilder(dir, info.schema(), conf)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.scbf._
+
+/**
+ * Read side of the SCBF connector.
+ *
+ * Column pruning: Catalyst pushes the required columns via
+ * `SupportsPushDownRequiredColumns`; the partition reader then seeks to
+ * and inflates ONLY those columns' blocks — the Spark-native rendering of
+ * the reference's `read_columns` selective scan (reference:
+ * reader.py:111-133, SPEC.md:101-108).
+ *
+ * Execution is vectorized: blocks decode straight into
+ * `OnHeapColumnVector`s (SCBF's utf8 layout is already Arrow-style
+ * offsets+blob, so decode is a bulk copy), emitted as `ColumnarBatch`es
+ * that feed whole-stage codegen through Spark's ColumnarToRow.
+ */
+class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new ScbfScan(schema, required, files, conf)
+}
+
+class ScbfScan(
+    tableSchema: StructType,
+    required: StructType,
+    files: Seq[FileStatus],
+    conf: Configuration)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ScbfPartitionReaderFactory(required, new ScbfUtil.SerializableConf(conf))
+
+  /** Size from file listing (free); row counts from headers, but only
+   * when the file count is small — at 100 TB scale reading thousands of
+   * headers on the driver would stall planning. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override val sizeInBytes: OptionalLong = OptionalLong.of(files.map(_.getLen).sum)
+    override val numRows: OptionalLong =
+      if (files.length <= 64)
+        OptionalLong.of(files.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
+      else OptionalLong.empty()
+  }
+}
+
+case class ScbfFilePartition(path: String, length: Long) extends InputPartition
+
+class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.SerializableConf)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new ScbfColumnarReader(p.asInstanceOf[ScbfFilePartition], required, conf.value)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ScbfRowReader(p.asInstanceOf[ScbfFilePartition], required, conf.value)
+}
+
+/** Decoded required columns of one file, shared by both reader shapes. */
+private[sources] class ScbfFileColumns(
+    partition: ScbfFilePartition, required: StructType, conf: Configuration) {
+
+  private val input = ScbfUtil.open(new Path(partition.path), conf)
+  val header: ScbfHeader = ScbfReader.readHeader(input)
+  val totalRows: Int = {
+    require(header.totalRows <= Int.MaxValue, s"file ${partition.path} too many rows")
+    header.totalRows.toInt
+  }
+
+  /** Decoded payload per required field, in required-schema order. */
+  val columns: Array[AnyRef] = {
+    val metaByName = ScbfReader.readMeta(input, header, partition.length)
+      .map(m => m.name -> m).toMap
+    required.fields.map { field =>
+      val meta = metaByName.getOrElse(field.name, throw new ScbfFormatException(
+        s"Column not found: ${field.name} in ${partition.path} " +
+          s"(has: ${metaByName.keys.mkString(", ")})"))
+      val expected = ScbfDataSource.scbfToSpark(ScbfSchema(Seq(ScbfColumn(field.name, meta.tpe))))
+        .fields.head.dataType
+      if (expected != field.dataType)
+        throw new ScbfFormatException(
+          s"Column ${field.name} in ${partition.path} is ${meta.tpe.typeName}, " +
+            s"query expects ${field.dataType.simpleString}")
+      (meta.tpe match {
+        case ScbfType.Int32   => ScbfReader.readIntColumn(input, meta)
+        case ScbfType.Float64 => ScbfReader.readDoubleColumn(input, meta)
+        case ScbfType.Utf8    => ScbfReader.readUtf8Column(input, meta)
+      }): AnyRef
+    }
+  }
+
+  def close(): Unit = input.close()
+}
+
+/**
+ * Emits the file as ColumnarBatches of at most `batchSize` rows. Decoding
+ * happens once (whole columns, as the format dictates — blocks are
+ * monolithic zlib streams); batching only slices the decoded arrays.
+ */
+class ScbfColumnarReader(
+    partition: ScbfFilePartition,
+    required: StructType,
+    conf: Configuration,
+    batchSize: Int = 1 << 16)
+  extends PartitionReader[ColumnarBatch] {
+
+  private lazy val decoded = new ScbfFileColumns(partition, required, conf)
+  private var cursor = 0
+  private var batch: ColumnarBatch = _
+  private var first = true
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    // Emit at least one (possibly empty) batch so zero-column counts and
+    // empty files still report their row count downstream.
+    if (!first && cursor >= decoded.totalRows) return false
+    first = false
+    val n = math.min(batchSize, decoded.totalRows - cursor)
+    val vectors: Array[ColumnVector] = required.fields.indices.map { i =>
+      val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(i).dataType)
+      decoded.columns(i) match {
+        case ints: Array[Int] => vec.putInts(0, n, ints, cursor)
+        case doubles: Array[Double] => vec.putDoubles(0, n, doubles, cursor)
+        case utf8: Utf8Raw =>
+          var r = 0
+          while (r < n) {
+            val a = utf8.offsets(cursor + r)
+            vec.putByteArray(r, utf8.blob, a, utf8.offsets(cursor + r + 1) - a)
+            r += 1
+          }
+      }
+      vec: ColumnVector
+    }.toArray
+    batch = new ColumnarBatch(vectors, n)
+    cursor += n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    decoded.close()
+  }
+}
+
+/** Row-shaped fallback (Spark may request it when columnar is disabled). */
+class ScbfRowReader(partition: ScbfFilePartition, required: StructType, conf: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private lazy val decoded = new ScbfFileColumns(partition, required, conf)
+  private var row = -1
+
+  override def next(): Boolean = { row += 1; row < decoded.totalRows }
+
+  override def get(): InternalRow = {
+    val out = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      decoded.columns(i) match {
+        case ints: Array[Int]       => out.setInt(i, ints(row))
+        case doubles: Array[Double] => out.setDouble(i, doubles(row))
+        case utf8: Utf8Raw =>
+          val a = utf8.offsets(row)
+          out.update(i, UTF8String.fromBytes(utf8.blob, a, utf8.offsets(row + 1) - a))
+      }
+      i += 1
+    }
+    out
+  }
+
+  override def close(): Unit = decoded.close()
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def sampleDf = Seq(
+    (1, 1.5, "alpha"), (2, 2.5, "beta"), (3, 3.5, "日本語"), (4, -0.25, "")
+  ).toDF("id", "score", "name")
+
+  test("write + read roundtrip through format(\"scbf\")") {
+    val dir = tmpDir("scbf-rt")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    val back = spark.read.format("scbf").load(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", IntegerType), ("score", DoubleType), ("name", StringType)))
+    assert(back.collect().toSet == sampleDf.collect().toSet)
+  }
+
+  test("column pruning reaches the scan (readSchema contains only selected columns)") {
+    val dir = tmpDir("scbf-prune")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    val pruned = spark.read.format("scbf").load(dir).select("name")
+    assert(pruned.collect().map(_.getString(0)).toSet == Set("alpha", "beta", "日本語", ""))
+    val scanDesc = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("columns [name]"), s"scan not pruned: $scanDesc")
+    assert(!scanDesc.contains("score"))
+  }
+
+  test("count(*) works with zero required columns") {
+    val dir = tmpDir("scbf-count")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    assert(spark.read.format("scbf").load(dir).count() == 4)
+  }
+
+  test("reads a reference-written file directly by path") {
+    val df = spark.read.format("scbf").load("/root/reference/examples/sample.scbf")
+    assert(df.columns.toSeq == Seq("id", "name", "score "))
+    assert(df.select("score ").as[Double].collect().sorted.toSeq == Seq(79.25, 88.0, 91.5))
+  }
+
+  test("unknown column is an AnalysisException") {
+    val dir = tmpDir("scbf-unknown")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("scbf").load(dir).select("nope").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("overwrite replaces previous contents") {
+    val dir = tmpDir("scbf-ow")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    Seq((9, 9.0, "only")).toDF("id", "score", "name")
+      .write.format("scbf").mode("overwrite").save(dir)
+    val back = spark.read.format("scbf").load(dir)
+    assert(back.collect().toSeq == Seq(Row(9, 9.0, "only")))
+  }
+
+  test("append adds files") {
+    val dir = tmpDir("scbf-app")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    sampleDf.write.format("scbf").mode("append").save(dir)
+    assert(spark.read.format("scbf").load(dir).count() == 8)
+  }
+
+  test("multi-partition write produces one file per non-empty partition") {
+    val dir = tmpDir("scbf-multi")
+    spark.range(0, 1000).select($"id".cast("int").as("id"))
+      .repartition(3).write.format("scbf").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".scbf"))
+    assert(files.length == 3)
+    val back = spark.read.format("scbf").load(dir)
+    assert(back.agg(sum("id")).as[Long].head() == 499500L)
+    assert(back.rdd.getNumPartitions == 3) // one partition per file
+  }
+
+  test("unsupported column type fails fast with a helpful message") {
+    val dir = tmpDir("scbf-badtype")
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("big", "s").write.format("scbf").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("big") && e.getMessage.contains("int32"))
+  }
+
+  test("null in numeric column aborts the write; null string becomes empty string") {
+    val dir = tmpDir("scbf-null")
+    val nullInt = spark.sql("SELECT cast(null as int) AS id, 'x' AS name")
+    val e = intercept[Exception] { nullInt.write.format("scbf").mode("overwrite").save(dir) }
+    assert(e.getMessage.contains("NULL in int32") ||
+      e.getCause != null && e.getCause.getMessage.contains("NULL in int32"))
+    val nullStr = spark.sql("SELECT 1 AS id, cast(null as string) AS name")
+    nullStr.write.format("scbf").mode("overwrite").save(dir)
+    assert(spark.read.format("scbf").load(dir).collect().toSeq == Seq(Row(1, "")))
+  }
+
+  test("filter evaluates correctly above the scan") {
+    val dir = tmpDir("scbf-filter")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    val got = spark.read.format("scbf").load(dir)
+      .filter($"score" > 2.0).select($"id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(2, 3))
+  }
+}
