@@ -1,0 +1,376 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational operator surface (SURVEY §2.2): the reference stores and
+ * scans; the north star requires DataFrame-level query capability on top,
+ * expressed through Spark's built-in declarative operators so Catalyst
+ * keeps pruning/pushdown/join-selection/AQE for free.
+ *
+ * Every query has a DuckDB oracle (same column names, matching rounding)
+ * checked by the driver at sf0.01 — and at scale each is shaped for a
+ * real cluster: aggregations are partial-aggregated map-side, the one
+ * dimension-table join is broadcast, sorts carry total orders with
+ * unique tiebreaks, and nothing collects to the driver.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent double aggregation: per-row cast to a
+   * decimal whose scale matches the data's true decimal precision, exact
+   * integer-arithmetic SUM, then one cast back to double. Both engines
+   * produce bit-identical results — no round-half boundary flips, which
+   * plain ROUND(SUM(double)) suffers (observed: penny-off groups in the
+   * per-order revenue sums). */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  /** Double aggregates use dsum (see above) on BOTH sides so
+   * summation-order differences between engines cannot change results. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q2_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_returnflag") === "R" && col("l_discount") > 0.08)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    "q3_join_agg" -> { (s, dir) =>
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"))
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .filter(col("revenue") > 100000)
+    },
+
+    "q4_broadcast_join" -> { (s, dir) =>
+      // part is a dimension table: broadcast it explicitly — no shuffle
+      // of the fact side at any scale.
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
+          (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
+    },
+
+    "q5_multi_join" -> { (s, dir) =>
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    },
+
+    "q6_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    },
+
+    "q7_topk" -> { (s, dir) =>
+      // TakeOrderedAndProject: top-k without a global sort of the table
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    },
+
+    "q8_setops" -> { (s, dir) =>
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val bigSpenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+      building.intersect(bigSpenders).withColumn("op", lit("both"))
+        .unionAll(building.except(bigSpenders).withColumn("op", lit("building_only")))
+        .select("op", "k")
+    },
+
+    "q9_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+          countDistinct(col("l_partkey")).as("part_cnt"),
+          countDistinct(col("l_orderkey")).as("order_cnt"))
+    },
+
+    "q10_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("cnt"))
+    },
+
+    "q11_string_fns" -> { (s, dir) =>
+      t(s, dir, "part")
+        .groupBy(upper(col("p_brand")).as("brand_u"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(length(col("p_name")).cast("long")).cast("double") / count(lit(1))).as("avg_name_len"),
+          min(substring(col("p_name"), 1, 5)).as("min_prefix"),
+          max(concat_ws("|", col("p_type"), col("p_brand"))).as("max_typebrand"))
+    },
+
+    "q12_date_fns" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("sum_price"))
+    },
+
+    "q13_case_having" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0), 2).as("f_total"),
+          count(lit(1)).as("order_cnt"))
+        .filter(col("order_cnt") >= 12)
+    },
+
+    "q14_semi_join" -> { (s, dir) =>
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    "q15_anti_join" -> { (s, dir) =>
+      // customers with no URGENT order (plain no-orders is empty in the
+      // testdata — every customer has orders)
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    "q16_scbf_roundtrip" -> { (s, dir) =>
+      // The format story end-to-end: SCBF-representable projection of
+      // lineitem, written to SCBF and read back, then aggregated. The
+      // oracle runs the same aggregate on the source parquet — values
+      // must survive the roundtrip bit-exactly for this to match.
+      val scbfDir = sys.props("java.io.tmpdir") + "/graft_scbf_rt_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "lineitem")
+        .select(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"))
+    },
+
+    "q17_events_tumbling" -> { (s, dir) =>
+      // Tumbling 1h windows, batch shape (streaming variant lives in
+      // graft.streaming). Spark 4 rejects parquet TIMESTAMP(NANOS), so
+      // events.ts reads as nanos-since-epoch long and converts here.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts_us", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(date_format(date_trunc("hour", col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    "q18_sort_order" -> { (s, dir) =>
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+        .withColumn("rn", row_number().over(w))
+    },
+
+    "q19_stats" -> { (s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (dsum(col("o_totalprice"), 2) / count(lit(1))).as("avg_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+    },
+
+    "q20_scalar_subquery" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val threshold = orders.agg((dsum(col("o_totalprice"), 2) / count(lit(1)) * 1.8).as("thr"))
+      orders.join(broadcast(threshold))
+        .filter(col("o_totalprice") > col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity >= 48 AND l_returnflag = 'R' AND l_discount > 0.08""",
+
+    "q3_join_agg" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS line_cnt
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) > 100000""",
+
+    "q4_broadcast_join" ->
+      """SELECT p_brand, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "q6_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 5""",
+
+    "q7_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q8_setops" ->
+      """WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+            big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+         SELECT 'both' AS op, k FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
+         UNION ALL
+         SELECT 'building_only' AS op, k FROM (SELECT k FROM building EXCEPT SELECT k FROM big)""",
+
+    "q9_distinct_agg" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_suppkey) AS supp_cnt,
+         COUNT(DISTINCT l_partkey) AS part_cnt,
+         COUNT(DISTINCT l_orderkey) AS order_cnt
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+         COALESCE(l_linestatus, '(all)') AS ls,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q11_string_fns" ->
+      """SELECT UPPER(p_brand) AS brand_u, COUNT(*) AS cnt,
+         CAST(SUM(CAST(LENGTH(p_name) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_name_len,
+         MIN(SUBSTR(p_name, 1, 5)) AS min_prefix,
+         MAX(CONCAT_WS('|', p_type, p_brand)) AS max_typebrand
+         FROM part GROUP BY UPPER(p_brand)""",
+
+    "q12_date_fns" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+         COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+
+    "q13_case_having" ->
+      """SELECT o_custkey,
+         CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
+         COUNT(*) AS order_cnt
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""",
+
+    "q14_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q16_scbf_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q17_events_tumbling" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q18_sort_order" ->
+      """SELECT p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+         FROM part""",
+
+    "q19_stats" ->
+      """SELECT COUNT(*) AS cnt,
+         MIN(o_totalprice) AS min_price,
+         MAX(o_totalprice) AS max_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price
+         FROM orders""",
+
+    "q20_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)"""
+  )
+}
