@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Deduplication + similarity-search operators for large-scale
+ * training-data pipelines, over the `documents` and `embeddings` tables.
+ *
+ * Scale design: everything is expressed as joins/aggregations over
+ * exploded shingles or LSH buckets — the exhaustive O(n²) pairwise
+ * comparison appears ONLY in the DuckDB oracles. The Spark side always
+ * goes through candidate generation (minhash band buckets, hyperplane
+ * sign buckets) followed by exact verification of candidates, which is
+ * the shape that survives 100 TB: candidates are a tiny fraction of all
+ * pairs, and every step is a shuffle on a key, never a cross join
+ * (except against a broadcast-size query set).
+ */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Word trigram shingles of the single-space-tokenized text, distinct. */
+  private val ShingleExpr =
+    """array_distinct(filter(transform(w, (x, i) ->
+      |  IF(i <= size(w) - 3,
+      |     concat(x, '_', element_at(w, i + 2), '_', element_at(w, i + 3)),
+      |     NULL)), y -> y IS NOT NULL))""".stripMargin
+
+  /** documents ∪ mutated copies (every 'value ' token removed,
+   * doc_id + 100000) — a deterministic planted near-duplicate set so the
+   * dedup operators have real work on the synthetic corpus. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "value ", "").as("text")))
+  }
+
+  private def corpusShingles(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("s", expr(ShingleExpr))
+      .select("doc_id", "s")
+
+  private val CorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         regexp_replace(text, 'value ', '', 'g') AS text
+      |  FROM documents)""".stripMargin
+
+  private val ShinglesSql =
+    s"""$CorpusSql,
+       |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, greatest(len(w) - 2, 0)),
+       |         i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) s
+       |       FROM tok)""".stripMargin
+
+  private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
+
+  /** Exact decimal-accumulated mean (see RelationalQueries.dsum). */
+  private def dmean(c: Column, scale: Int): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact deduplication: hash-groupBy on full text ----
+    "d1_dedup_exact" -> { (s, dir) =>
+      corpus(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
+    },
+
+    // ---- MinHash + LSH near-duplicate pairs ----
+    // shingle → 48 minhashes → 24 bands of 2 → band-bucket join for
+    // candidates → exact shingle-set verification (integer jaccard test:
+    // 10·|A∩B| ≥ 6·|A∪B| ⟺ J ≥ 0.6). The oracle checks ALL pairs, so
+    // this doubles as a (deterministic) recall test of the band config.
+    "d2_minhash_lsh" -> { (s, dir) =>
+      val sh = corpusShingles(s, dir).filter(size(col("s")) > 0).cache()
+      val mh = sh.select(
+        col("doc_id") +: (0 until NumHashes).map(i =>
+          expr(s"array_min(transform(s, x -> xxhash64($i, x)))").as(s"mh$i")): _*)
+      val bands = mh.select(col("doc_id"), posexplode(array(
+        (0 until NumHashes / 2).map(j =>
+          concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))): _*
+      )).as(Seq("band_idx", "band_key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id"), col("s").as("sa")), col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(sh.select(col("doc_id"), col("s").as("sb")), col("doc_b") === col("doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).as("inter_cnt"),
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb")))).as("union_cnt"))
+        .filter(col("inter_cnt") * 10 >= col("union_cnt") * 6)
+    },
+
+    // ---- SimHash document signatures (32-bit, md5-derived) ----
+    "d3_simhash" -> { (s, dir) =>
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+      val bitAggs = (0 until 32).map(j =>
+        sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+      val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      bitSums.select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    },
+
+    // ---- n-gram (word bigram) Jaccard within source buckets ----
+    // Exact pairwise similarity, but bucketed by `source` so the join
+    // never goes quadratic in the corpus size — the 100 TB shape is
+    // "pairs within a partition key", not "all pairs".
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("g", expr(
+          """array_distinct(filter(transform(w, (x, i) ->
+            |  IF(i <= size(w) - 2, concat(x, '_', element_at(w, i + 2)), NULL)),
+            |  y -> y IS NOT NULL))""".stripMargin))
+        .select(col("source"), col("doc_id"), col("g"))
+      docs.as("a").join(docs.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.g"), col("b.g"))).as("inter_cnt"),
+          (size(col("a.g")) + size(col("b.g")) -
+            size(array_intersect(col("a.g"), col("b.g")))).as("union_cnt"))
+        .filter(col("inter_cnt") * 25 >= col("union_cnt") * 2) // J >= 0.08
+    },
+
+    // ---- brute-force cosine top-k (the ANN correctness baseline) ----
+    // Query set is broadcast-size; corpus side streams — at scale this
+    // is a broadcast-nested-loop over the fact table, the standard
+    // exact-scoring shape. Ranks only: similarity values stay engine-
+    // internal so float formatting can't leak into the comparison.
+    "d5_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", expr(
+          """aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)
+            | / (sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))
+            |    * sqrt(aggregate(e, 0D, (a, x) -> a + x * x)))""".stripMargin))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id")
+    },
+
+    // ---- LSH-bucketed ANN (the scale path; rows-only check) ----
+    // 10 random-hyperplane sign bits → bucket; candidates share a
+    // bucket with the query under at least one of 4 independent
+    // bucketings. Approximate by construction, so no SQL oracle —
+    // d5 above is its exact baseline.
+    "d6_ann_lsh" -> { (s, dir) =>
+      val dim = 64
+      val numTables = 4
+      val bitsPerTable = 10
+      val rnd = new scala.util.Random(12345)
+      val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+      val planesB = s.sparkContext.broadcast(planes)
+      val bucketUdf = udf { (e: Seq[Float]) =>
+        val ps = planesB.value
+        (0 until numTables).map { t =>
+          var key = 0
+          var b = 0
+          while (b < bitsPerTable) {
+            var dot = 0.0
+            var i = 0
+            while (i < dim) { dot += ps(t)(b)(i) * e(i); i += 1 }
+            if (dot > 0) key |= (1 << b)
+            b += 1
+          }
+          t.toLong << 32 | key.toLong
+        }
+      }
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+        .withColumn("buckets", bucketUdf(col("embedding")))
+        .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+      val cand = emb.join(broadcast(queries), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "qe", "vec_id", "e").distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cand.withColumn("sim", expr(
+          """aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)
+            | / (sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))
+            |    * sqrt(aggregate(e, 0D, (a, x) -> a + x * x)))""".stripMargin))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id")
+    },
+
+    // ---- per-label embedding centroids (vector aggregation) ----
+    "d7_embed_centroid" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(dmean(col("x").cast("double"), 8).as("mean_val"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      s"""WITH $CorpusSql
+         |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
+         |FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH $ShinglesSql,
+         |cards AS (SELECT doc_id, len(s) c FROM sh WHERE len(s) > 0),
+         |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+         |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, i AS inter_cnt,
+         |       ca.c + cb.c - i AS union_cnt
+         |FROM inter
+         |JOIN cards ca ON ca.doc_id = da
+         |JOIN cards cb ON cb.doc_id = db
+         |WHERE i * 10 >= (ca.c + cb.c - i) * 6""".stripMargin,
+
+    "d3_simhash" -> {
+      val bitSums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
+      val recombine = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $CorpusSql,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM corpus),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT hv FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, $recombine AS simhash FROM bits""".stripMargin
+    },
+
+    "d4_ngram_jaccard" ->
+      """WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT source, doc_id, list_distinct(list_transform(
+        |        generate_series(1, greatest(len(w) - 1, 0)),
+        |        i -> w[i] || '_' || w[i+1])) g FROM tok),
+        |cards AS (SELECT doc_id, len(g) c FROM g),
+        |ex AS (SELECT source, doc_id, unnest(g) gram FROM g),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+        |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.source = b.source
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, i AS inter_cnt,
+        |       ca.c + cb.c - i AS union_cnt
+        |FROM inter
+        |JOIN cards ca ON ca.doc_id = da
+        |JOIN cards cb ON cb.doc_id = db
+        |WHERE i * 25 >= (ca.c + cb.c - i) * 2""".stripMargin,
+
+    "d5_ann_bruteforce" ->
+      """SELECT q.vec_id AS query_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |             e.vec_id ASC) AS rank,
+        |  e.vec_id
+        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "d7_embed_centroid" ->
+      """SELECT label, i - 1 AS pos,
+        |  CAST(SUM(CAST(x::DOUBLE AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mean_val
+        |FROM (SELECT label, unnest(embedding) x,
+        |        unnest(generate_series(1, len(embedding))) i
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin
+    // d6_ann_lsh: approximate by construction — rows-only check.
+  )
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis, multimodal-column, and event-sessionization operators
+ * for training-data pipelines, over `documents` and `events`.
+ *
+ * All scalar work stays in Spark SQL built-in/higher-order functions
+ * (whole-stage-codegen'd); the one mapPartitions (m1) exists to exercise
+ * the typed binary-column pipeline shape where a real decoder would sit.
+ */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses; read
+   * as nanos-since-epoch long (timezone-free, exact). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  private val Stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "du"),
+    "zh" -> Seq("的", "是", "了"))
+  private val LangOrder = Seq("en", "de", "es", "fr", "zh")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- language ID: stopword-hit scoring, deterministic tiebreak ----
+    "t1_lang_id" -> { (s, dir) =>
+      val withScores = LangOrder.foldLeft(
+        t(s, dir, "documents").withColumn("w", split(col("text"), " "))) { (df, lang) =>
+        val lits = Stopwords(lang).map(x => s"'$x'").mkString(", ")
+        df.withColumn(s"s_$lang", expr(s"size(filter(w, x -> x IN ($lits)))"))
+      }
+      val mx = greatest(LangOrder.map(l => col(s"s_$l")): _*)
+      val pred = LangOrder.foldLeft(when(mx === 0, "und")) { (acc, lang) =>
+        acc.when(col(s"s_$lang") === mx, lang)
+      }
+      withScores.select(col("doc_id"), col("lang").as("labeled_lang"),
+        pred.as("pred_lang"))
+    },
+
+    // ---- quality scoring: length/diversity/stopword signals ----
+    "t2_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("tok_cnt", size(col("w")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("w"))).cast("double") / col("tok_cnt"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is')))")
+            .cast("double") / col("tok_cnt"))
+        .withColumn("quality",
+          lit(0.5) * col("distinct_ratio") +
+            lit(0.3) * (least(col("tok_cnt"), lit(100)).cast("double") / 100.0) +
+            lit(0.2) * (lit(1.0) - col("stop_ratio")))
+        .select("doc_id", "n_chars", "tok_cnt", "distinct_ratio", "stop_ratio", "quality")
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation ----
+    "t3_token_count" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+    },
+
+    // ---- document fingerprinting: normalized-set md5 + rolling hash ----
+    "t4_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("nt", expr(
+          "filter(split(lower(regexp_replace(text, '[^a-z0-9 ]', ' ')), ' '), x -> x != '')"))
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(col("nt"))), " ")).as("fingerprint"),
+          expr(
+            """aggregate(
+              |  transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+              |  CAST(0 AS BIGINT),
+              |  (a, x) -> (a * 1000003 + x) % 2147483647)""".stripMargin).as("rolling_hash"))
+    },
+
+    // ---- event sessionization: 30-min-gap sessions per user ----
+    "t5_sessionize" -> { (s, dir) =>
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_sess")).over(w))
+      flagged.groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("ev")).as("max_sess_events"),
+          sum(col("ev")).as("total_events"))
+    },
+
+    // ---- multimodal: opaque binary payload + typed decode pipeline ----
+    // The payload stands in for image/audio bytes (no media libs in this
+    // environment); the decode step is a DETERMINISTIC STUB (byte-sum
+    // "brightness", size-derived "frame count") — the Spark plumbing
+    // (binary column, typed Dataset, mapPartitions batch shape) is the
+    // real thing a decoder would drop into.
+    "m1_multimodal_meta" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { iter =>
+          iter.map { case (id, bytes) =>
+            // STUB decode: a real implementation would parse/resize/
+            // frame-sample here, per-partition, reusing a decoder.
+            var brightness = 0
+            var i = 0
+            while (i < math.min(64, bytes.length)) { brightness += bytes(i) & 0xff; i += 1 }
+            (id, bytes.length, brightness % 256, bytes.length / 1024 + 1)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "brightness", "n_frames")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> {
+      val scores = LangOrder.map { lang =>
+        val lits = Stopwords(lang).map(x => s"'$x'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($lits))) AS s_$lang"
+      }.mkString(",\n  ")
+      val mx = "greatest(" + LangOrder.map(l => s"s_$l").mkString(", ") + ")"
+      val pred = "CASE WHEN " + mx + " = 0 THEN 'und' " +
+        LangOrder.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ") + " END"
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+         |scored AS (SELECT doc_id, lang, $scores FROM tok)
+         |SELECT doc_id, lang AS labeled_lang, $pred AS pred_lang FROM scored""".stripMargin
+    },
+
+    "t2_quality" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+        |base AS (SELECT doc_id, length(text) AS n_chars, len(w) AS tok_cnt,
+        |  len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio,
+        |  len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) * 1.0 / len(w) AS stop_ratio
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(tok_cnt AS INT) AS tok_cnt,
+        |  distinct_ratio, stop_ratio,
+        |  0.5 * distinct_ratio + 0.3 * (least(tok_cnt, 100) * 1.0 / 100.0)
+        |    + 0.2 * (1.0 - stop_ratio) AS quality
+        |FROM base""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') w,
+        |  list_filter(string_split(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' '),
+        |    x -> x != '') nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(nt)), ' ')) AS fingerprint,
+        |  list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+        |    (a, x) -> (a * 1000003 + x) % 2147483647) AS rolling_hash
+        |FROM tok""".stripMargin,
+
+    "t5_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) tsn FROM events),
+        |f AS (SELECT user_id, event_id, tsn,
+        |  CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |g AS (SELECT user_id, SUM(new_sess)
+        |        OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS sess
+        |      FROM f),
+        |per_sess AS (SELECT user_id, sess, COUNT(*) AS ev FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(ev) AS max_sess_events,
+        |  CAST(SUM(ev) AS BIGINT) AS total_events
+        |FROM per_sess GROUP BY user_id""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(generate_series(1, least(64, length(text))),
+        |    i -> ord(substr(text, i, 1)))) % 256 AS INT) AS brightness,
+        |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

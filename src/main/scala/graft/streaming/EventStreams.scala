@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming renderings of the event-pipeline operators: the
+ * batch queries in TextQueries/RelationalQueries (tumbling windows,
+ * sessionization) re-expressed as incremental streams. `readStream` on
+ * any source with (ts: timestamp, user_id, event_type, value) columns
+ * plugs in unchanged — the transformations are source-agnostic.
+ */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark: the
+   * streaming twin of q17_events_tumbling. Late events beyond the
+   * watermark are dropped; state for closed windows is evicted, so state
+   * size is bounded by (windows in flight × event types) at any scale. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, events: Int)
+  case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)
+
+  /** Event-time sessionization with a 30-minute inactivity gap — the
+   * streaming twin of t5_sessionize, via flatMapGroupsWithState with an
+   * event-time timeout. Emits a session once the watermark passes its
+   * gap deadline; per-user state is one small struct, so state scales
+   * with active users only. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastTs, s.events))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), events = s.events + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.lastTs, s.events)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

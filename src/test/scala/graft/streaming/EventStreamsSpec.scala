@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumblingCounts aggregates per hour/type and drops late events past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.tumblingCounts(
+        input.toDF().toDF("ts", "event_type", "value"), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(65), "view", 5.0))
+      q.processAllAvailable()
+      input.addData((ts(200), "click", 1.0)) // advances watermark far past hour 0
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(date_format(col("hour"), "HH:mm").as("h"), col("event_type"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("00:00", "click", 2L)))
+      assert(rows.contains(("01:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the inactivity gap via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence;
+      // user 2 keeps the clock advancing so the watermark closes it.
+      input.addData(
+        EventStreams.Event(ts(0), 1L, "click", 1.0),
+        EventStreams.Event(ts(10), 1L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(ts(300), 2L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(ts(600), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventStreams.Session].collect()
+      val u1 = sessions.filter(_.userId == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.events == 2)
+      assert(u1.head.endMs - u1.head.startMs == 10 * 60 * 1000L)
+    } finally q.stop()
+  }
+}
