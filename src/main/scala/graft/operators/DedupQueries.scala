@@ -23,6 +23,10 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Target partition count for spreading CPU-bound per-row work. */
+  private def spread(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Word trigram shingles of the single-space-tokenized text, distinct. */
   private val ShingleExpr =
     """array_distinct(filter(transform(w, (x, i) ->
@@ -42,6 +46,13 @@ object DedupQueries {
 
   private def corpusShingles(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
+      // documents is a single small parquet file -> 1-2 input partitions;
+      // without a repartition every per-row shingle/hash below runs on
+      // two cores. The tiny shuffle buys full parallelism (the exact
+      // move a 100 TB layout gets for free from many input files).
+      // Explicit partition count: AQE coalesces a bare repartition(col)
+      // of a few-MB table straight back to one partition.
+      .repartition(spread(s), col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .withColumn("s", expr(ShingleExpr))
       .select("doc_id", "s")
@@ -84,9 +95,13 @@ object DedupQueries {
     // this doubles as a (deterministic) recall test of the band config.
     "d2_minhash_lsh" -> { (s, dir) =>
       val sh = corpusShingles(s, dir).filter(size(col("s")) > 0).cache()
-      val mh = sh.select(
-        col("doc_id") +: (0 until NumHashes).map(i =>
-          expr(s"array_min(transform(s, x -> xxhash64($i, x)))").as(s"mh$i")): _*)
+      // Minhash via exploded shingles + 48 min(xxhash64(i, x)) aggregates:
+      // plain expressions stay inside whole-stage codegen with map-side
+      // partial aggregation, where array-lambda formulations (transform/
+      // aggregate) run interpreted and were the measured bottleneck.
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("x"))
+      val mhAggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("x"))).as(s"mh$i"))
+      val mh = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
       val bands = mh.select(col("doc_id"), posexplode(array(
         (0 until NumHashes / 2).map(j =>
           concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))): _*
@@ -111,6 +126,7 @@ object DedupQueries {
     // ---- SimHash document signatures (32-bit, md5-derived) ----
     "d3_simhash" -> { (s, dir) =>
       val tok = corpus(s, dir)
+        .repartition(spread(s), col("doc_id")) // single-file input: spread the hash work
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
       val bitAggs = (0 until 32).map(j =>
@@ -126,6 +142,11 @@ object DedupQueries {
     // never goes quadratic in the corpus size — the 100 TB shape is
     // "pairs within a partition key", not "all pairs".
     "d4_ngram_jaccard" -> { (s, dir) =>
+      // Count-based: explode grams, equi-join on (source, gram), count
+      // shared grams per pair, derive union from broadcast cardinalities.
+      // Only (id, id) int pairs ever shuffle — never the gram arrays
+      // (an earlier array_intersect pair-join shape was 6× slower, all
+      // serialization).
       val docs = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .withColumn("g", expr(
@@ -133,12 +154,19 @@ object DedupQueries {
             |  IF(i <= size(w) - 2, concat(x, '_', element_at(w, i + 2)), NULL)),
             |  y -> y IS NOT NULL))""".stripMargin))
         .select(col("source"), col("doc_id"), col("g"))
-      docs.as("a").join(docs.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.g"), col("b.g"))).as("inter_cnt"),
-          (size(col("a.g")) + size(col("b.g")) -
-            size(array_intersect(col("a.g"), col("b.g")))).as("union_cnt"))
+        .repartition(spread(s), col("doc_id")) // single-file input: spread the gram work
+      val cards = docs.select(col("doc_id"), size(col("g")).as("c"))
+      val ex = docs.select(col("source"), col("doc_id"), explode(col("g")).as("gram"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter_cnt"))
+      inter
+        .join(broadcast(cards.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca")), "doc_a")
+        .join(broadcast(cards.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+          (col("ca") + col("cb") - col("inter_cnt")).as("union_cnt"))
         .filter(col("inter_cnt") * 25 >= col("union_cnt") * 2) // J >= 0.08
     },
 

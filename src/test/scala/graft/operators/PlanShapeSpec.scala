@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.SparkEntry
+
+/**
+ * Guards the physical-plan shapes that matter at scale: filters reaching
+ * the parquet scan, dimension joins broadcasting, top-k avoiding global
+ * sorts, and SCBF column pruning reaching storage. A correctness-equal
+ * plan regression (e.g. a broadcast silently becoming a shuffle join)
+ * fails here, not in production.
+ */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: filters are pushed down to the parquet scan") {
+    val p = plan("q2_filter_project")
+    // plan strings truncate long filter lists; the IsNotNull prefix in
+    // PushedFilters proves pushdown reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // column pruning: tax is unused and must not be read
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q4: dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q7: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q7_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q14/q15: semi and anti joins keep their join type") {
+    assert(plan("q14_semi_join").contains("LeftSemi"))
+    assert(plan("q15_anti_join").contains("LeftAnti"))
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("d5: ANN brute force broadcasts the query side") {
+    val p = plan("d5_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    // under AQE the final plan only exists after execution
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators fused into WholeStageCodegen stages
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("*(2)"), p) // final agg after the shuffle is fused too
+  }
+}
