@@ -176,16 +176,16 @@ object DedupQueries {
     // exact-scoring shape. Ranks only: similarity values stay engine-
     // internal so float formatting can't leak into the comparison.
     "d5_ann_bruteforce" -> { (s, dir) =>
+      // cast (codegen) + native cosine_sim expression (codegen): the
+      // interpreted aggregate/zip_with lambda formulation this replaces
+      // boxed every element three times per pair.
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
       val scored = emb.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", expr(
-          """aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)
-            | / (sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))
-            |    * sqrt(aggregate(e, 0D, (a, x) -> a + x * x)))""".stripMargin))
+        .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -222,7 +222,7 @@ object DedupQueries {
       }
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+          col("embedding").cast("array<double>").as("e"))
         .withColumn("buckets", bucketUdf(col("embedding")))
         .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
       val queries = emb.filter(col("vec_id") < 5)
@@ -232,10 +232,7 @@ object DedupQueries {
         .select("query_id", "qe", "vec_id", "e").distinct()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      cand.withColumn("sim", expr(
-          """aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)
-            | / (sqrt(aggregate(qe, 0D, (a, x) -> a + x * x))
-            |    * sqrt(aggregate(e, 0D, (a, x) -> a + x * x)))""".stripMargin))
+      cand.withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("query_id", "rank", "vec_id")
