@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, RelationalQueries, TextQueries}
+import graft.operators.{AdvancedQueries, DedupQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++ AdvancedQueries.oracles
 }

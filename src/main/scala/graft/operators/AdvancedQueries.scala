@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Advanced operator coverage: the operators Spark has no single built-in
+ * for (as-of join, range/band join, second-max UDAF) composed from
+ * primitives per the design preference order — compose existing ops
+ * first, custom expression/UDAF only when composition can't express it.
+ */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Strictly-less-than-max second maximum, as a typed Aggregator — the
+   * UDAF surface. Buffer is the (top1, top2) pair; merge is associative
+   * and commutative, so partial aggregation applies as usual. */
+  class SecondMax extends Aggregator[Double, (Double, Double), Double] {
+    def zero: (Double, Double) = (Double.NegativeInfinity, Double.NegativeInfinity)
+    def reduce(b: (Double, Double), v: Double): (Double, Double) =
+      if (v > b._1) (v, b._1)
+      else if (v < b._1 && v > b._2) (b._1, v)
+      else b
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val r = reduce(a, b._1)
+      if (b._2 > Double.NegativeInfinity) reduce(r, b._2) else r
+    }
+    def finish(r: (Double, Double)): Double = r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- as-of join: latest click at-or-before each purchase ----
+    // The scalable composition: union both sides into one stream, one
+    // window pass with last(_, ignoreNulls) — no range join, no skewed
+    // per-key explosion; shuffle is a single hash on user_id.
+    "q21_asof_join" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        // DuckDB reads TIMESTAMP(NANOS) parquet at microsecond precision,
+        // so report both timestamps in µs
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("purchase_ts"), // integer div: ts/1000 in
+          // double arithmetic is off by 1 at 1.7e18
+          coalesce(expr("asof_click_ts div 1000"), lit(-1L)).as("asof_click_ts"))
+    },
+
+    // ---- range (band) join: orders into price bands ----
+    // Broadcast the tiny band table; the fact side streams through a
+    // nested-loop probe with no shuffle — the standard banding shape.
+    "q22_range_join" -> { (s, dir) =>
+      val bands = s.range(0, 5).select(
+        col("id").cast("int").as("band"),
+        (col("id") * 100000).cast("double").as("lo"),
+        ((col("id") + 1) * 100000).cast("double").as("hi"))
+      t(s, dir, "orders")
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("sum_price"))
+    },
+
+    // ---- full cube with explicit grouping bits ----
+    "q23_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+          (grouping(col("l_returnflag")).cast("int") * 2 +
+            grouping(col("l_linestatus")).cast("int")).as("grp"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("grp"), col("sum_qty"), col("cnt"))
+    },
+
+    // ---- window-function breadth: lag, dense_rank, frames, ntile ----
+    "q24_window_frames" -> { (s, dir) =>
+      val w1 = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRank = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        coalesce(lag(col("o_totalprice"), 1).over(w1), lit(-1.0)).as("lag_price"),
+        dense_rank().over(wRank).as("drank"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w1.rowsBetween(-2, 0)).cast("double").as("mov3"),
+        ntile(4).over(w1).as("nt"))
+    },
+
+    // ---- JSON scalar functions over the events props column ----
+    "q25_json_extract" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // ---- array scalar functions over part names ----
+    "q26_array_fns" -> { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("words", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          size(col("words")).as("n_words"),
+          element_at(col("words"), 1).as("first_word"),
+          array_join(array_sort(col("words")), "_").as("sorted_name"),
+          array_contains(col("words"), "green").as("has_green"))
+    },
+
+    // ---- custom UDAF: strictly-less second max per priority ----
+    "q27_second_max" -> { (s, dir) =>
+      val secondMax = udaf(new SecondMax())
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(secondMax(col("o_totalprice")).as("second_max"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) tsn FROM events),
+        |marked AS (SELECT event_id, user_id, event_type, tsn,
+        |  last_value(CASE WHEN event_type = 'click' THEN tsn END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS asof_ts
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, tsn AS purchase_ts,
+        |  COALESCE(asof_ts, -1) AS asof_click_ts
+        |FROM marked WHERE event_type = 'purchase'""".stripMargin,
+
+    "q22_range_join" ->
+      """SELECT CAST(i AS INT) AS band, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN (SELECT unnest(generate_series(0, 4)) AS i) b
+        |  ON o_totalprice >= i * 100000.0 AND o_totalprice < (i + 1) * 100000.0
+        |GROUP BY 1""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |  COALESCE(l_linestatus, '(all)') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) * 2
+        |    + CAST(GROUPING(l_linestatus) AS INT) AS grp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_window_frames" ->
+      """SELECT o_orderkey,
+        |  COALESCE(lag(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey), -1) AS lag_price,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC) AS drank,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
+        |  NTILE(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey) AS nt
+        |FROM orders""".stripMargin,
+
+    "q25_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q26_array_fns" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '_') AS sorted_name,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green
+        |FROM part""".stripMargin,
+
+    "q27_second_max" ->
+      """WITH mx AS (SELECT o_orderpriority, MAX(o_totalprice) m
+        |            FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, MAX(o_totalprice) AS second_max
+        |FROM orders o JOIN mx ON o.o_orderpriority = mx.o_orderpriority
+        |WHERE o_totalprice < m
+        |GROUP BY o.o_orderpriority""".stripMargin
+  )
+}
