@@ -102,15 +102,34 @@ object ScbfReader {
     ScbfHeader(schema, numColumns, totalRows, metaOffset)
   }
 
-  /** Parse the column metadata table (reference: reader.py:37-73). Reads
-   * from metaTableOffset to EOF-bounded length lazily: entries are
-   * variable-size, so read a generous chunk and slice. */
+  /** Parse the column metadata table (reference: reader.py:37-73).
+   * Entries are variable-size, so reads proceed in bounded chunks grown
+   * on demand — NEVER metadata-offset-to-EOF, which would drag every
+   * data block through the input and defeat selective reads (caught by
+   * SelectiveReadSpec's bytes-read counter). */
   def readMeta(in: RandomInput, header: ScbfHeader, fileLen: Long): Seq[ColumnMeta] = {
-    val maxLen = math.min(fileLen - header.metaTableOffset, Int.MaxValue.toLong).toInt
-    val buf = ByteBuffer.wrap(in.readFully(header.metaTableOffset, maxLen))
+    val available = fileLen - header.metaTableOffset
+    var chunk = math.min(available, 16384L).toInt
+    var buf = ByteBuffer.wrap(in.readFully(header.metaTableOffset, chunk))
       .order(ByteOrder.LITTLE_ENDIAN)
+    def ensure(n: Int): Unit = {
+      if (buf.remaining() < n) {
+        val pos = buf.position()
+        val needed = pos.toLong + n
+        var newChunk = math.max(chunk.toLong * 2, needed)
+        newChunk = math.min(newChunk, available)
+        if (newChunk < needed)
+          throw new ScbfFormatException("Truncated metadata table")
+        chunk = newChunk.toInt
+        buf = ByteBuffer.wrap(in.readFully(header.metaTableOffset, chunk))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        buf.position(pos)
+      }
+    }
     (0 until header.numColumns).map { _ =>
+      ensure(2)
       val nameLen = buf.getShort & 0xffff
+      ensure(nameLen + 1 + 8)
       val nameBytes = new Array[Byte](nameLen)
       buf.get(nameBytes)
       val name = new String(nameBytes, StandardCharsets.UTF_8)
@@ -118,9 +137,11 @@ object ScbfReader {
       val count = buf.getLong
       tpe match {
         case ScbfType.Int32 | ScbfType.Float64 =>
+          ensure(24)
           ColumnMeta(name, tpe, count,
             BlockMeta(buf.getLong, buf.getLong, buf.getLong), None)
         case ScbfType.Utf8 =>
+          ensure(48)
           ColumnMeta(name, tpe, count,
             BlockMeta(buf.getLong, buf.getLong, buf.getLong),
             Some(BlockMeta(buf.getLong, buf.getLong, buf.getLong)))
