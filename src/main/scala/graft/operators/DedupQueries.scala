@@ -244,6 +244,26 @@ object DedupQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
         .agg(dmean(col("x").cast("double"), 8).as("mean_val"))
+    },
+
+    // ---- embedding-cosine near-dup dedup (IVF shape) ----
+    // Coarse cells (here the label column; k-means centroids in a real
+    // pipeline) bound the pairwise work to within-cell pairs — the IVF
+    // pattern. A deterministic perturbed copy of each vector is planted
+    // (vec_id + 100000) so the operator has real near-dups to find; the
+    // 0.8 threshold sits in a ~0.3-wide gap of the similarity
+    // distribution, far from any engine-rounding ambiguity.
+    "d8_embed_neardup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("transform(e, (x, i) -> x * (1.0D + 0.01D * ((i % 7) - 3)))").as("e"))
+      val corpus = emb.unionByName(perturbed)
+      corpus.as("a").join(corpus.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.functions.GraftFunctions.cosineSim(col("a.e"), col("b.e")) >= 0.8)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"))
     }
   )
 
@@ -306,6 +326,18 @@ object DedupQueries {
         |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 3""".stripMargin,
+
+    "d8_embed_neardup" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id, label,
+        |  list_transform(generate_series(1, len(e)),
+        |    j -> e[j] * (1.0 + 0.01 * (((j - 1) % 7) - 3))) e
+        |  FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+        |FROM corpus a JOIN corpus b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
 
     "d7_embed_centroid" ->
       """SELECT label, i - 1 AS pos,
