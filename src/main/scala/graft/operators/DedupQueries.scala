@@ -27,12 +27,14 @@ object DedupQueries {
   private def spread(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** Word trigram shingles of the single-space-tokenized text, distinct. */
+  /** Word trigram shingles of the single-space-tokenized text (with
+   * duplicates — set semantics come from a row-level distinct after the
+   * explode, which runs in codegen, unlike array_distinct). */
   private val ShingleExpr =
-    """array_distinct(filter(transform(w, (x, i) ->
+    """filter(transform(w, (x, i) ->
       |  IF(i <= size(w) - 3,
       |     concat(x, '_', element_at(w, i + 2), '_', element_at(w, i + 3)),
-      |     NULL)), y -> y IS NOT NULL))""".stripMargin
+      |     NULL)), y -> y IS NOT NULL)""".stripMargin
 
   /** documents ∪ mutated copies (every 'value ' token removed,
    * doc_id + 100000) — a deterministic planted near-duplicate set so the
@@ -43,19 +45,6 @@ object DedupQueries {
       (col("doc_id") + 100000).as("doc_id"),
       regexp_replace(col("text"), "value ", "").as("text")))
   }
-
-  private def corpusShingles(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
-      // documents is a single small parquet file -> 1-2 input partitions;
-      // without a repartition every per-row shingle/hash below runs on
-      // two cores. The tiny shuffle buys full parallelism (the exact
-      // move a 100 TB layout gets for free from many input files).
-      // Explicit partition count: AQE coalesces a bare repartition(col)
-      // of a few-MB table straight back to one partition.
-      .repartition(spread(s), col("doc_id"))
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("s", expr(ShingleExpr))
-      .select("doc_id", "s")
 
   private val CorpusSql =
     """corpus AS (
@@ -94,12 +83,20 @@ object DedupQueries {
     // 10·|A∩B| ≥ 6·|A∪B| ⟺ J ≥ 0.6). The oracle checks ALL pairs, so
     // this doubles as a (deterministic) recall test of the band config.
     "d2_minhash_lsh" -> { (s, dir) =>
-      val sh = corpusShingles(s, dir).filter(size(col("s")) > 0).cache()
-      // Minhash via exploded shingles + 48 min(xxhash64(i, x)) aggregates:
-      // plain expressions stay inside whole-stage codegen with map-side
-      // partial aggregation, where array-lambda formulations (transform/
-      // aggregate) run interpreted and were the measured bottleneck.
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("x"))
+      // Fully count-based: one exploded (doc_id, shingle) relation drives
+      // everything — minhash aggregation, band buckets, and candidate
+      // verification. No array columns are built, shuffled, or
+      // intersected (array_distinct/array_intersect run interpreted and
+      // were the measured bottleneck); every stage is codegen'd
+      // aggregation/join on small rows.
+      val ex = corpus(s, dir)
+        .repartition(spread(s), col("doc_id")) // single-file input: spread the work
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(ShingleExpr)).as("x"))
+        .distinct() // shingle SET semantics via codegen hash aggregate
+        .cache()
+      val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      // 48 minhashes as plain min aggregates (codegen, map-side partial)
       val mhAggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("x"))).as(s"mh$i"))
       val mh = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
       val bands = mh.select(col("doc_id"), posexplode(array(
@@ -112,14 +109,17 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id"), col("s").as("sa")), col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(sh.select(col("doc_id"), col("s").as("sb")), col("doc_b") === col("doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).as("inter_cnt"),
-          (size(col("sa")) + size(col("sb")) -
-            size(array_intersect(col("sa"), col("sb")))).as("union_cnt"))
+      // exact verification: shared-shingle counts for candidate pairs only
+      val inter = cand
+        .join(ex.select(col("doc_id").as("doc_a"), col("x")), "doc_a")
+        .join(ex.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter_cnt"))
+      inter
+        .join(broadcast(cards.select(col("doc_id").as("doc_a"), col("c").as("ca"))), "doc_a")
+        .join(broadcast(cards.select(col("doc_id").as("doc_b"), col("c").as("cb"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+          (col("ca") + col("cb") - col("inter_cnt")).as("union_cnt"))
         .filter(col("inter_cnt") * 10 >= col("union_cnt") * 6)
     },
 
