@@ -40,6 +40,9 @@ object ScbfReader {
 
   final class ByteArrayInput(bytes: Array[Byte]) extends RandomInput {
     def readFully(offset: Long, length: Int): Array[Byte] = {
+      if (offset < 0 || offset + length > bytes.length)
+        throw new ScbfFormatException(
+          s"Truncated file: need bytes [$offset, ${offset + length}) of ${bytes.length}")
       val out = new Array[Byte](length)
       System.arraycopy(bytes, offset.toInt, out, 0, length)
       out
@@ -49,6 +52,9 @@ object ScbfReader {
 
   final class ChannelInput(ch: java.nio.channels.SeekableByteChannel) extends RandomInput {
     def readFully(offset: Long, length: Int): Array[Byte] = {
+      if (offset + length > ch.size())
+        throw new ScbfFormatException(
+          s"Truncated file: need bytes [$offset, ${offset + length}) of ${ch.size()}")
       val buf = ByteBuffer.allocate(length)
       ch.position(offset)
       while (buf.hasRemaining) {

@@ -139,6 +139,29 @@ class ScbfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated file reports a clear error") {
+    val full = Files.readAllBytes(Paths.get(examplesFixture))
+    val tmp = Files.createTempFile("trunc", ".scbf")
+    Files.write(tmp, full.take(full.length / 2))
+    val e = intercept[ScbfFormatException] { ScbfReader.readAll(tmp.toString) }
+    assert(e.getMessage.contains("Truncated"))
+  }
+
+  test("unicode column names round-trip (u16 name length is bytes, not chars)") {
+    val schema = ScbfSchema(Seq(
+      ScbfColumn("列名", ScbfType.Int32),
+      ScbfColumn("prix €", ScbfType.Float64)))
+    val out = new java.io.ByteArrayOutputStream()
+    ScbfWriter.write(out, schema, Seq(
+      IntColumnData(Array(1, 2)), DoubleColumnData(Array(0.5, 1.5))))
+    val in = new ScbfReader.ByteArrayInput(out.toByteArray)
+    val header = ScbfReader.readHeader(in)
+    assert(header.schema == schema)
+    val metas = ScbfReader.readMeta(in, header, out.toByteArray.length.toLong)
+    assert(metas.map(_.name) == Seq("列名", "prix €"))
+    assert(ScbfReader.readIntColumn(in, metas.head).toSeq == Seq(1, 2))
+  }
+
   test("empty table round-trips") {
     val schema = ScbfSchema(Seq(ScbfColumn("s", ScbfType.Utf8)))
     val out = new java.io.ByteArrayOutputStream()

@@ -102,6 +102,19 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("scbf").load(dir).collect().toSeq == Seq(Row(1, "")))
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING scbf") {
+    val dir = tmpDir("scbf-ddl")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    spark.sql("DROP TABLE IF EXISTS scbf_ddl")
+    spark.sql(s"CREATE TABLE scbf_ddl USING scbf LOCATION '$dir'")
+    try {
+      val got = spark.sql(
+        "SELECT name, score FROM scbf_ddl WHERE id >= 2 ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("beta", 2.5), ("日本語", 3.5), ("", -0.25)))
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_ddl")
+  }
+
   test("filter evaluates correctly above the scan") {
     val dir = tmpDir("scbf-filter")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)
