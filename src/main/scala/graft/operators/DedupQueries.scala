@@ -115,9 +115,11 @@ object DedupQueries {
         .join(ex.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter_cnt"))
+      // cards scales with the corpus — no broadcast hint; AQE broadcasts
+      // when it is actually small.
       inter
-        .join(broadcast(cards.select(col("doc_id").as("doc_a"), col("c").as("ca"))), "doc_a")
-        .join(broadcast(cards.select(col("doc_id").as("doc_b"), col("c").as("cb"))), "doc_b")
+        .join(cards.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+        .join(cards.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
           (col("ca") + col("cb") - col("inter_cnt")).as("union_cnt"))
         .filter(col("inter_cnt") * 10 >= col("union_cnt") * 6)
@@ -162,9 +164,10 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter_cnt"))
+      // cards scales with the corpus — no broadcast hint (see d2)
       inter
-        .join(broadcast(cards.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca")), "doc_a")
-        .join(broadcast(cards.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb")), "doc_b")
+        .join(cards.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(cards.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
           (col("ca") + col("cb") - col("inter_cnt")).as("union_cnt"))
         .filter(col("inter_cnt") * 25 >= col("union_cnt") * 2) // J >= 0.08
