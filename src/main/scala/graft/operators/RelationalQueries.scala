@@ -96,10 +96,22 @@ object RelationalQueries {
     },
 
     "q6_window_rank" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
+      // Hierarchical top-k per group: only 5 priority groups exist, so a
+      // plain partitionBy(priority) window would sort ~1/5 of the table
+      // in each of 5 tasks at scale. Salt first (local top-5 per
+      // (priority, salt)), then rank the tiny candidate set — identical
+      // output, bounded task size at any scale.
+      val salted = t(s, dir, "orders")
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(32)))
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("salt"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+      val candidates = salted
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= 5)
+      val wFinal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      candidates
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= 5)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     },

@@ -26,6 +26,15 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of d1_dedup_exact: drop
+   * repeated event_ids within the watermark horizon. State holds only
+   * ids inside the horizon, so memory is bounded by arrival rate ×
+   * watermark, not stream length. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, events: Int)
   case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)

@@ -34,6 +34,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEvents drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupEvents(
+        input.toDF().toDF("ts", "event_id", "event_type"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "click"), (ts(1), 2L, "view"), (ts(2), 1L, "click"))
+      q.processAllAvailable()
+      input.addData((ts(3), 2L, "view"), (ts(4), 3L, "buy"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
