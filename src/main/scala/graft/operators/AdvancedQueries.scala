@@ -131,6 +131,21 @@ object AdvancedQueries {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(secondMax(col("o_totalprice")).as("second_max"))
+    },
+
+    // ---- sketch aggregates (HLL++, approximate quantiles) ----
+    // The approximate-but-mergeable aggregates that actually run at
+    // 100 TB where exact distinct/percentile cannot. Approximate by
+    // construction, so no SQL oracle — the driver records the
+    // rows-only check; q9/q19 are their exact small-scale baselines.
+    "q28_sketches" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
     }
   )
 

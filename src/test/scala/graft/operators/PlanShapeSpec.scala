@@ -55,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("hive-style partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part-prune").toString
+    spark.read.parquet(s"$sf/part.parquet")
+      .write.partitionBy("p_brand").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#11")
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(p_brand"), p)
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // under AQE the final plan only exists after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
