@@ -200,6 +200,11 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .select(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+        // lineitem is 1-2 input partitions; spreading the write
+        // parallelizes per-task deflate AND produces the many-moderate-
+        // files layout the non-splittable format needs for read
+        // parallelism (one partition per file).
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .write.format("scbf").mode("overwrite").save(scbfDir)
       s.read.format("scbf").load(scbfDir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))

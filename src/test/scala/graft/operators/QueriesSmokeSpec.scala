@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Every SparkEntry query must run end-to-end at sf0.001 — catches
+ * wiring/analysis regressions without waiting for the driver's
+ * sf0.01 verify. Correctness belongs to the DuckDB oracle gate
+ * (scripts/check.py); this is execution-only. */
+class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query and vice versa (minus rows-only ops)") {
+    val rowsOnly = Set("d6_ann_lsh", "q28_sketches")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      df.collect() // must not throw
+    }
+  }
+}
