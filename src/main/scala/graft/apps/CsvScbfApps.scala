@@ -72,7 +72,11 @@ object CsvScbfApps {
       .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
     val out = new Path(outPath)
     fs.delete(out, false)
-    fs.rename(part.getPath, out)
+    // rename signals failure via its return value; proceeding would
+    // delete the tmp dir holding the only copy of the output
+    if (!fs.rename(part.getPath, out))
+      throw new java.io.IOException(
+        s"rename ${part.getPath} -> $out failed; output left in $tmp")
     fs.delete(tmpPath, true)
   }
 

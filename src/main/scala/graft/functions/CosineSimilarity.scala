@@ -56,13 +56,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = CosineSimilarity.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // freshName: with non-nullable children nullSafeCodeGen emits no
+    // enclosing block, so a fixed local name would collide when the
+    // expression appears twice in one codegen scope
+    val result = ctx.freshName("cosineResult")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |Object result = $cls.compute($a, $b);
-         |if (result == null) {
+         |Object $result = $cls.compute($a, $b);
+         |if ($result == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((Double) result).doubleValue();
+         |  ${ev.value} = ((Double) $result).doubleValue();
          |}
        """.stripMargin
     })

@@ -131,6 +131,9 @@ object AdvancedQueries {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(secondMax(col("o_totalprice")).as("second_max"))
+        // a group with no strictly-smaller second value yields the
+        // -Infinity sentinel; the oracle's WHERE drops such groups
+        .filter(col("second_max") =!= Double.NegativeInfinity)
     },
 
     // ---- sketch aggregates (HLL++, approximate quantiles) ----

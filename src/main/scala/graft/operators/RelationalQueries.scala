@@ -219,7 +219,7 @@ object RelationalQueries {
       // events.ts reads as nanos-since-epoch long and converts here.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, dir, "events")
-        .withColumn("ts_us", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
         .groupBy(date_format(date_trunc("hour", col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))

@@ -126,9 +126,11 @@ object TextQueries {
           iter.map { case (id, bytes) =>
             // STUB decode: a real implementation would parse/resize/
             // frame-sample here, per-partition, reusing a decoder.
-            var brightness = 0
-            var i = 0
-            while (i < math.min(64, bytes.length)) { brightness += bytes(i) & 0xff; i += 1 }
+            // "Brightness" sums code points of the first 64 decoded
+            // characters (not bytes — the oracle's ord() is per char,
+            // and the two diverge on multi-byte text).
+            val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            val brightness = text.codePoints().limit(64).toArray.sum
             (id, bytes.length, brightness % 256, bytes.length / 1024 + 1)
           }
         }

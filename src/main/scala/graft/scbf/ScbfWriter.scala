@@ -41,15 +41,21 @@ object ScbfWriter {
 
   def write(path: String, schema: ScbfSchema, columns: Seq[ColumnData]): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
-    try write(out, schema, columns) finally out.close()
+    try write(out, schema, columns, None) finally out.close()
   }
 
-  def write(out: OutputStream, schema: ScbfSchema, columns: Seq[ColumnData]): Unit = {
+  def write(out: OutputStream, schema: ScbfSchema, columns: Seq[ColumnData],
+      explicitRows: Option[Long] = None): Unit = {
     require(schema.columns.length == columns.length,
       s"schema has ${schema.columns.length} columns, data has ${columns.length}")
     val rowCounts = columns.map(_.length).distinct
     require(rowCounts.length <= 1, s"ragged columns: row counts $rowCounts")
-    val totalRows = rowCounts.headOption.getOrElse(0)
+    // explicitRows keeps the header's total_rows correct for a
+    // zero-column table (N rows, no columns to count them from)
+    val totalRows = rowCounts.headOption.map(_.toLong)
+      .orElse(explicitRows).getOrElse(0L)
+    explicitRows.foreach(n => require(rowCounts.forall(_ == n),
+      s"explicit row count $n != column row count ${rowCounts.headOption}"))
 
     // Encode + compress every column (column-major, like writer.py:79-136).
     val encoded: Seq[EncodedColumn] = schema.columns.zip(columns).map {
@@ -102,7 +108,7 @@ object ScbfWriter {
     writeU32(o, schemaJson.length)
     o.write(schemaJson)
     writeU32(o, encoded.length)
-    writeU64(o, totalRows.toLong)
+    writeU64(o, totalRows)
     writeU64(o, metaTableOffset.toLong)
     // Metadata table (reference: SPEC.md:53-80)
     placed.foreach { case (ec, dataOff, strOff) =>

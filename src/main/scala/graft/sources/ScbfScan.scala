@@ -84,38 +84,42 @@ class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.Serializab
     new ScbfRowReader(p.asInstanceOf[ScbfFilePartition], required, conf.value)
 }
 
-/** Decoded required columns of one file, shared by both reader shapes. */
+/** Decoded required columns of one file, shared by both reader shapes.
+ * The constructor closes the input on ANY decode failure — otherwise a
+ * corrupt file would leak an open stream per task attempt. */
 private[sources] class ScbfFileColumns(
     partition: ScbfFilePartition, required: StructType, conf: Configuration) {
 
   private val input = ScbfUtil.open(new Path(partition.path), conf)
-  val header: ScbfHeader = ScbfReader.readHeader(input)
-  val totalRows: Int = {
-    require(header.totalRows <= Int.MaxValue, s"file ${partition.path} too many rows")
-    header.totalRows.toInt
-  }
 
-  /** Decoded payload per required field, in required-schema order. */
-  val columns: Array[AnyRef] = {
-    val metaByName = ScbfReader.readMeta(input, header, partition.length)
-      .map(m => m.name -> m).toMap
-    required.fields.map { field =>
-      val meta = metaByName.getOrElse(field.name, throw new ScbfFormatException(
-        s"Column not found: ${field.name} in ${partition.path} " +
-          s"(has: ${metaByName.keys.mkString(", ")})"))
-      val expected = ScbfDataSource.scbfToSpark(ScbfSchema(Seq(ScbfColumn(field.name, meta.tpe))))
-        .fields.head.dataType
-      if (expected != field.dataType)
-        throw new ScbfFormatException(
-          s"Column ${field.name} in ${partition.path} is ${meta.tpe.typeName}, " +
-            s"query expects ${field.dataType.simpleString}")
-      (meta.tpe match {
-        case ScbfType.Int32   => ScbfReader.readIntColumn(input, meta)
-        case ScbfType.Float64 => ScbfReader.readDoubleColumn(input, meta)
-        case ScbfType.Utf8    => ScbfReader.readUtf8Column(input, meta)
-      }): AnyRef
+  val (header: ScbfHeader, totalRows: Int, columns: Array[AnyRef]) =
+    try {
+      val hdr = ScbfReader.readHeader(input)
+      require(hdr.totalRows <= Int.MaxValue, s"file ${partition.path} too many rows")
+      val metaByName = ScbfReader.readMeta(input, hdr, partition.length)
+        .map(m => m.name -> m).toMap
+      val cols: Array[AnyRef] = required.fields.map { field =>
+        val meta = metaByName.getOrElse(field.name, throw new ScbfFormatException(
+          s"Column not found: ${field.name} in ${partition.path} " +
+            s"(has: ${metaByName.keys.mkString(", ")})"))
+        val expected = ScbfDataSource.scbfToSpark(ScbfSchema(Seq(ScbfColumn(field.name, meta.tpe))))
+          .fields.head.dataType
+        if (expected != field.dataType)
+          throw new ScbfFormatException(
+            s"Column ${field.name} in ${partition.path} is ${meta.tpe.typeName}, " +
+              s"query expects ${field.dataType.simpleString}")
+        (meta.tpe match {
+          case ScbfType.Int32   => ScbfReader.readIntColumn(input, meta)
+          case ScbfType.Float64 => ScbfReader.readDoubleColumn(input, meta)
+          case ScbfType.Utf8    => ScbfReader.readUtf8Column(input, meta)
+        }): AnyRef
+      }
+      (hdr, hdr.totalRows.toInt, cols)
+    } catch {
+      case t: Throwable =>
+        try input.close() catch { case suppressed: Throwable => t.addSuppressed(suppressed) }
+        throw t
     }
-  }
 
   def close(): Unit = input.close()
 }
@@ -132,7 +136,12 @@ class ScbfColumnarReader(
     batchSize: Int = 1 << 16)
   extends PartitionReader[ColumnarBatch] {
 
-  private lazy val decoded = new ScbfFileColumns(partition, required, conf)
+  // not a lazy val: close() must not re-run a failed initializer
+  private var decodedOpt: Option[ScbfFileColumns] = None
+  private def decoded: ScbfFileColumns = {
+    if (decodedOpt.isEmpty) decodedOpt = Some(new ScbfFileColumns(partition, required, conf))
+    decodedOpt.get
+  }
   private var cursor = 0
   private var batch: ColumnarBatch = _
   private var first = true
@@ -168,7 +177,7 @@ class ScbfColumnarReader(
 
   override def close(): Unit = {
     if (batch != null) { batch.close(); batch = null }
-    decoded.close()
+    decodedOpt.foreach(_.close())
   }
 }
 
@@ -176,7 +185,12 @@ class ScbfColumnarReader(
 class ScbfRowReader(partition: ScbfFilePartition, required: StructType, conf: Configuration)
   extends PartitionReader[InternalRow] {
 
-  private lazy val decoded = new ScbfFileColumns(partition, required, conf)
+  // not a lazy val: close() must not re-run a failed initializer
+  private var decodedOpt: Option[ScbfFileColumns] = None
+  private def decoded: ScbfFileColumns = {
+    if (decodedOpt.isEmpty) decodedOpt = Some(new ScbfFileColumns(partition, required, conf))
+    decodedOpt.get
+  }
   private var row = -1
 
   override def next(): Boolean = { row += 1; row < decoded.totalRows }
@@ -197,5 +211,5 @@ class ScbfRowReader(partition: ScbfFilePartition, required: StructType, conf: Co
     out
   }
 
-  override def close(): Unit = decoded.close()
+  override def close(): Unit = decodedOpt.foreach(_.close())
 }

@@ -45,19 +45,30 @@ class ScbfBatchWrite(
     dir: String, schema: StructType, truncate: Boolean, conf: ScbfUtil.SerializableConf)
   extends BatchWrite {
 
+  // Old files are captured at job start but deleted only in commit() —
+  // deleting them up-front would destroy the previous table contents if
+  // any task then failed (abort() removes only the new part files, so a
+  // failed overwrite leaves the old data intact).
+  private var toReplace: Seq[Path] = Seq.empty
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side setup: clear old files on overwrite, ensure dir exists.
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)
     if (truncate && fs.exists(path)) {
-      fs.listStatus(path).filter(f => f.getPath.getName.endsWith(Scbf.FileExtension))
-        .foreach(f => fs.delete(f.getPath, false))
+      toReplace = fs.listStatus(path).toSeq
+        .filter(f => f.getPath.getName.endsWith(Scbf.FileExtension))
+        .map(_.getPath)
     }
     fs.mkdirs(path)
     new ScbfDataWriterFactory(dir, schema, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val newFiles = messages.collect { case ScbfCommitMessage(f) => f }.toSet
+    toReplace.filterNot(p => newFiles.contains(p.toString))
+      .foreach(p => fs.delete(p, false))
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
@@ -111,9 +122,12 @@ class ScbfDataWriter(
   private val file = new Path(dir,
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}${Scbf.FileExtension}")
 
+  private var rowCount = 0L
+
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < builders.length) { builders(i).append(row, i); i += 1 }
+    rowCount += 1
   }
 
   override def commit(): WriterCommitMessage = {
@@ -123,7 +137,9 @@ class ScbfDataWriter(
       case b: Utf8Builder   => Utf8ColumnData(b.values.toArray)
     }
     val out = file.getFileSystem(conf).create(file, true)
-    try ScbfWriter.write(out, scbfSchema, data) finally out.close()
+    // explicit row count: a zero-column projection (count(*) write) has
+    // no columns to derive it from
+    try ScbfWriter.write(out, scbfSchema, data, Some(rowCount)) finally out.close()
     ScbfCommitMessage(file.toString)
   }
 

@@ -64,8 +64,16 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // cross-batch straggler older than the session can reach:
+                // emit it as its own session rather than folding it in (a
+                // bare `t - lastTs <= gapMs` is vacuously true for any
+                // out-of-order event, arbitrarily far in the past) or
+                // closing the newer session it cannot belong to
+                case Some(s) if t < s.start - gapMs =>
+                  closed ::= Session(userId, t, t, 1)
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), events = s.events + 1))
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.events + 1))
                 case Some(s) =>
                   closed ::= Session(userId, s.start, s.lastTs, s.events)
                   cur = Some(SessionState(t, t, 1))

@@ -38,6 +38,14 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(native == hof) // same accumulation order -> identical bits
   }
 
+  test("two cosine_sim calls in one projection do not collide in codegen") {
+    val r = df.select(
+      GraftFunctions.cosineSim($"a", $"b").as("s1"),
+      GraftFunctions.cosineSim($"b", $"a").as("s2"))
+      .as[(Double, Double)].collect()
+    assert(r.forall { case (x, y) => x == y })
+  }
+
   test("nulls: mismatched lengths and zero vectors yield null") {
     val weird = Seq(
       (Array(1.0, 2.0), Array(1.0)),      // length mismatch

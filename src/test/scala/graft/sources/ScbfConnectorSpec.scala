@@ -115,6 +115,24 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_ddl")
   }
 
+  test("zero-column write preserves the row count") {
+    val dir = tmpDir("scbf-zerocol")
+    spark.range(0, 7).select().write.format("scbf").mode("overwrite").save(dir)
+    assert(spark.read.format("scbf").load(dir).count() == 7)
+  }
+
+  test("a failed overwrite leaves the previous table contents intact") {
+    val dir = tmpDir("scbf-failow")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    intercept[Exception] {
+      // NULL in an int column aborts mid-job
+      spark.sql("SELECT cast(null as int) AS id, 1.0D AS score, 'x' AS name")
+        .write.format("scbf").mode("overwrite").save(dir)
+    }
+    assert(spark.read.format("scbf").load(dir).count() == 4,
+      "old data must survive a failed overwrite")
+  }
+
   test("filter evaluates correctly above the scan") {
     val dir = tmpDir("scbf-filter")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)

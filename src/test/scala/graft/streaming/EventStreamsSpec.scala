@@ -34,6 +34,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize does not fold a too-old straggler into a newer session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("straggler").outputMode("append").start()
+    try {
+      input.addData(EventStreams.Event(ts(120), 1L, "click", 1.0)) // session at 02:00
+      q.processAllAvailable()
+      // straggler from 01:10 — newer than the watermark (01:00, so Spark
+      // does NOT drop it) but older than 02:00 minus the 30-min gap; it
+      // must become its own 1-event session, not join or close the 02:00
+      // one (events older than the watermark never reach the operator)
+      input.addData(EventStreams.Event(ts(70), 1L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(ts(600), 2L, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("straggler").as[EventStreams.Session]
+        .collect().filter(_.userId == 1L).sortBy(_.startMs)
+      assert(sessions.length == 2)
+      assert(sessions(0).events == 1 && sessions(0).startMs == ts(70).getTime)
+      assert(sessions(1).events == 1 && sessions(1).startMs == ts(120).getTime)
+    } finally q.stop()
+  }
+
   test("dedupEvents drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
