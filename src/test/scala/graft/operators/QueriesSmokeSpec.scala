@@ -20,6 +20,10 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     val rowsOnly = Set("d6_ann_lsh", "q28_sketches")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    // the ++ of the four query maps must not silently drop a duplicate key
+    val total = RelationalQueries.queries.size + AdvancedQueries.queries.size +
+      DedupQueries.queries.size + TextQueries.queries.size
+    assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
