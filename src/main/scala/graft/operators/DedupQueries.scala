@@ -94,12 +94,6 @@ object DedupQueries {
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(ShingleExpr)).as("x"))
         .distinct() // shingle SET semantics via codegen hash aggregate
-        // cache: ex feeds four downstream branches (cards, minhash, two
-        // verify probes). Spark's cache manager keys on the analyzed
-        // plan, so repeated invocations share one entry per sfDir rather
-        // than accumulating; there is no post-execution unpersist hook
-        // for a returned-plan API.
-        .cache()
       val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       // 48 minhashes as plain min aggregates (codegen, map-side partial)
       val mhAggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("x"))).as(s"mh$i"))
