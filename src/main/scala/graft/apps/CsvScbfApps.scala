@@ -116,3 +116,18 @@ object ScbfToCsv {
       System.err.println("usage: ScbfToCsv <in.scbf> <out.csv> [--cols a,b]"); sys.exit(2)
   }
 }
+
+/** Preview an SCBF file/directory — parity with the reference reader's
+ * __main__ demo (reference: reader.py:176-192): schema + first 10 rows. */
+object ScbfShow {
+  def main(args: Array[String]): Unit = args match {
+    case Array(path) =>
+      val spark = CsvScbfApps.session()
+      try {
+        val df = spark.read.format("scbf").load(path)
+        df.printSchema()
+        df.show(10, truncate = false)
+      } finally spark.stop()
+    case _ => System.err.println("usage: ScbfShow <path.scbf|dir>"); sys.exit(2)
+  }
+}
