@@ -31,9 +31,12 @@ object CsvScbfApps {
     val cols = raw.columns
 
     // One-pass inference: first non-empty value per column in file order.
-    val withId = raw.withColumn("_rid", monotonically_increasing_id())
+    // Helper column name is randomized so a real CSV column named "_rid"
+    // can't collide with it.
+    val rid = "_rid_" + java.util.UUID.randomUUID().toString.take(8)
+    val withId = raw.withColumn(rid, monotonically_increasing_id())
     val firstRow = withId.select(cols.map(c =>
-      min_by(col(c), when(col(c) =!= "", col("_rid"))).as(c)).toIndexedSeq: _*).head()
+      min_by(col(c), when(col(c) =!= "", col(rid))).as(c)).toIndexedSeq: _*).head()
     val types: Seq[ScbfType] = cols.indices.map { i =>
       Option(firstRow.getString(i)).filter(_.nonEmpty)
         .map(ScbfInference.inferType).getOrElse(ScbfType.Utf8)

@@ -13,16 +13,7 @@ import org.apache.spark.sql.types.DecimalType
  */
 object AdvancedQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
-
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  import Ops.{t, events, dsum}
 
   /** Strictly-less-than-max second maximum, as a typed Aggregator — the
    * UDAF surface. Buffer is the (top1, top2) pair; merge is associative

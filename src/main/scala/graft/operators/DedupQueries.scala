@@ -20,12 +20,7 @@ import org.apache.spark.sql.types.DecimalType
  */
 object DedupQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Target partition count for spreading CPU-bound per-row work. */
-  private def spread(s: SparkSession): Int =
-    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  import Ops.{t, dmean, spread}
 
   /** Word trigram shingles of the single-space-tokenized text (with
    * duplicates — set semantics come from a row-level distinct after the
@@ -64,9 +59,6 @@ object DedupQueries {
 
   private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
 
-  /** Exact decimal-accumulated mean (see RelationalQueries.dsum). */
-  private def dmean(c: Column, scale: Int): Column =
-    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -201,13 +193,17 @@ object DedupQueries {
     // bucketings. Approximate by construction, so no SQL oracle —
     // d5 above is its exact baseline.
     "d6_ann_lsh" -> { (s, dir) =>
-      val dim = 64
+      // embedding dimensionality from the data, not hardcoded — planes
+      // are seeded, so the bucketing stays deterministic per dim
+      val dim = t(s, dir, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0)
       val numTables = 4
       val bitsPerTable = 10
       val rnd = new scala.util.Random(12345)
       val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
       val planesB = s.sparkContext.broadcast(planes)
       val bucketUdf = udf { (e: Seq[Float]) =>
+        require(e.length == dim, s"embedding dim ${e.length} != expected $dim")
         val ps = planesB.value
         (0 until numTables).map { t =>
           var key = 0

@@ -18,17 +18,7 @@ import org.apache.spark.sql.functions._
  */
 object RelationalQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Exact, order-independent double aggregation: per-row cast to a
-   * decimal whose scale matches the data's true decimal precision, exact
-   * integer-arithmetic SUM, then one cast back to double. Both engines
-   * produce bit-identical results — no round-half boundary flips, which
-   * plain ROUND(SUM(double)) suffers (observed: penny-off groups in the
-   * per-order revenue sums). */
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+  import Ops.{t, dsum, scratchDir}
 
   /** Double aggregates use dsum (see above) on BOTH sides so
    * summation-order differences between engines cannot change results. */
@@ -195,7 +185,7 @@ object RelationalQueries {
       // lineitem, written to SCBF and read back, then aggregated. The
       // oracle runs the same aggregate on the source parquet — values
       // must survive the roundtrip bit-exactly for this to match.
-      val scbfDir = sys.props("java.io.tmpdir") + "/graft_scbf_rt_" +
+      val scbfDir = scratchDir(s) + "/graft_scbf_rt_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       t(s, dir, "lineitem")
         .select(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
@@ -215,10 +205,8 @@ object RelationalQueries {
 
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
-      // graft.streaming). Spark 4 rejects parquet TIMESTAMP(NANOS), so
-      // events.ts reads as nanos-since-epoch long and converts here.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
+      Ops.events(s, dir)
         .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
         .groupBy(date_format(date_trunc("hour", col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))

@@ -14,15 +14,7 @@ import org.apache.spark.sql.functions._
  */
 object TextQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses; read
-   * as nanos-since-epoch long (timezone-free, exact). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  import Ops.{t, events}
 
   private val Stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -199,8 +191,8 @@ object TextQueries {
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CAST(list_sum(list_transform(generate_series(1, least(64, length(text))),
-        |    i -> ord(substr(text, i, 1)))) % 256 AS INT) AS brightness,
+        |  CAST(COALESCE(list_sum(list_transform(generate_series(1, least(64, length(text))),
+        |    i -> ord(substr(text, i, 1)))), 0) % 256 AS INT) AS brightness,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
         |FROM documents""".stripMargin
   )

@@ -76,7 +76,11 @@ object ScbfSchema {
       throw new ScbfFormatException("Schema JSON missing 'columns' array")
     val buf = Seq.newBuilder[ScbfColumn]
     cols.forEach { c =>
-      buf += ScbfColumn(c.get("name").asText(), ScbfType.fromName(c.get("type").asText()))
+      val name = c.get("name")
+      val tpe = c.get("type")
+      if (name == null || tpe == null)
+        throw new ScbfFormatException(s"Schema column entry missing name/type: $c")
+      buf += ScbfColumn(name.asText(), ScbfType.fromName(tpe.asText()))
     }
     ScbfSchema(buf.result())
   }

@@ -241,8 +241,12 @@ object ScbfReader {
       var done = 0
       while (done < expectedSize && !inf.finished()) {
         val n = inf.inflate(out, done, expectedSize - done)
-        if (n == 0 && inf.needsInput())
-          throw new ScbfFormatException("Truncated zlib block")
+        // any zero-progress state that isn't completion (truncated input,
+        // FDICT preset-dictionary stream, ...) must fail, not spin
+        if (n == 0 && !inf.finished())
+          throw new ScbfFormatException(
+            if (inf.needsDictionary()) "zlib block requires a preset dictionary (unsupported)"
+            else "Truncated zlib block")
         done += n
       }
       if (done != expectedSize)

@@ -113,6 +113,8 @@ object ScbfWriter {
     // Metadata table (reference: SPEC.md:53-80)
     placed.foreach { case (ec, dataOff, strOff) =>
       val nameBytes = ec.name.getBytes(StandardCharsets.UTF_8)
+      if (nameBytes.length > 0xffff) throw new ScbfFormatException(
+        s"column name exceeds the u16 length field: ${nameBytes.length} bytes")
       writeU16(o, nameBytes.length)
       o.write(nameBytes)
       o.writeByte(ec.tpe.code)

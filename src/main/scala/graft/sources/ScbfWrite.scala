@@ -65,8 +65,11 @@ class ScbfBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
-    val newFiles = messages.collect { case ScbfCommitMessage(f) => f }.toSet
-    toReplace.filterNot(p => newFiles.contains(p.toString))
+    // compare by file NAME: listStatus paths are fully qualified
+    // (file:/...), task-side message paths are not — path-string
+    // comparison would never match. Names are unique (uuid suffix).
+    val newNames = messages.collect { case ScbfCommitMessage(f) => new Path(f).getName }.toSet
+    toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach(p => fs.delete(p, false))
   }
 

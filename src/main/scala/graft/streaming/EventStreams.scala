@@ -61,16 +61,27 @@ object EventStreams {
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[Session]
             var cur = state.getOption
+            // Cross-batch stragglers (older than the live session can
+            // reach) accumulate into their own session so consecutive
+            // late events from one delayed producer group together; a
+            // bare `t - lastTs <= gapMs` check would fold them into the
+            // newer session (vacuously true for any past timestamp).
+            var late: Option[SessionState] = None
+            def flushLate(): Unit = late.foreach { l =>
+              closed ::= Session(userId, l.start, l.lastTs, l.events)
+              late = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // cross-batch straggler older than the session can reach:
-                // emit it as its own session rather than folding it in (a
-                // bare `t - lastTs <= gapMs` is vacuously true for any
-                // out-of-order event, arbitrarily far in the past) or
-                // closing the newer session it cannot belong to
                 case Some(s) if t < s.start - gapMs =>
-                  closed ::= Session(userId, t, t, 1)
+                  late match {
+                    case Some(l) if t - l.lastTs <= gapMs =>
+                      late = Some(SessionState(l.start, t, l.events + 1))
+                    case _ =>
+                      flushLate()
+                      late = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) if t - s.lastTs <= gapMs =>
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.lastTs, t), s.events + 1))
@@ -81,6 +92,7 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            flushLate()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastTs + gapMs)
