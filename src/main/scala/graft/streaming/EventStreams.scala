@@ -35,6 +35,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream → SCBF ingest. SCBF cannot be a native streaming sink (a
+   * file's metadata is finalized at close, so no incremental appends
+   * within a file); the correct composition is per-micro-batch append —
+   * each batch writes its own immutable .scbf part files, giving
+   * exactly-once-per-batch file semantics and the many-moderate-files
+   * layout the non-splittable format wants anyway. */
+  def scbfSink(df: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.format("scbf").mode("append").save(outDir)
+      }
+      .start()
+
   case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, events: Int)
   case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)

@@ -34,6 +34,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("scbfSink appends each micro-batch as immutable scbf files") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("scbf-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scbf-ckpt").toString
+    val input = MemoryStream[(Int, String, Double)]
+    val q = EventStreams.scbfSink(
+      input.toDF().toDF("id", "name", "score"), out, ckpt)
+    try {
+      input.addData((1, "a", 1.5), (2, "b", 2.5))
+      q.processAllAvailable()
+      input.addData((3, "c", 3.5))
+      q.processAllAvailable()
+      val back = spark.read.format("scbf").load(out)
+      assert(back.count() == 3)
+      assert(back.select("name").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("sessionize does not fold a too-old straggler into a newer session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
