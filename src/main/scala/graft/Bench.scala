@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata parquet files are ~10-40MB; the 128MB default would scan
+      // each table in one task on a 32-core machine
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
