@@ -9,6 +9,8 @@ Dev tooling only — the shipped library is pure Scala/Spark.
 import json
 import math
 import sys
+
+import numpy as np
 from pathlib import Path
 
 import duckdb
@@ -24,9 +26,15 @@ def canon(df):
     for tup in df.itertuples(index=False):
         row = []
         for v in tup:
-            if isinstance(v, float):
+            if isinstance(v, (float, np.floating)):
                 # exact: the driver hash-compares, so we must too
+                v = float(v)
                 row.append("NaN" if math.isnan(v) else v.hex())
+            elif isinstance(v, np.ndarray):
+                # str(ndarray) truncates ('...') and rounds — encode fully
+                row.append(tuple(
+                    float(x).hex() if isinstance(x, (float, np.floating)) else str(x)
+                    for x in v.tolist()))
             else:
                 row.append(str(v))
         rows.append(tuple(row))
@@ -48,8 +56,14 @@ def main(out_dir, sf_dir):
             print(f"MISSING  {name} (no spark output)")
             failed.append(name)
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        except Exception as e:
+            # dir exists but holds no parquet (query failed after mkdir)
+            print(f"SPARK-ERR {name}: {e}")
+            failed.append(name)
+            continue
         try:
             duck_df = con.execute(oracle[name]).df()
         except Exception as e:
@@ -64,12 +78,15 @@ def main(out_dir, sf_dir):
         elif sr != dr:
             print(f"VALUES   {name}: {len(sr)} vs {len(dr)} rows", end="")
             diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            if not diff:  # same prefix, differing lengths
+                only_s = [r for r in sr if r not in set(dr)][:3]
+                only_d = [r for r in dr if r not in set(sr)][:3]
+                diff = [("spark-only", only_s), ("duck-only", only_d)]
             print(f"; first diffs: {diff}")
             failed.append(name)
         else:
             print(f"OK       {name} ({len(sr)} rows)")
-    rowcheck = [n for n in (set(p.name for p in Path(out_dir).iterdir()
-                if p.is_dir()) - set(oracle)) ]
+    rowcheck = set(p.name for p in Path(out_dir).iterdir() if p.is_dir()) - set(oracle)
     for name in sorted(rowcheck):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{Path(out_dir)/name}/*.parquet')").fetchone()[0]

@@ -1,14 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.{BeforeAndAfterAll, Suite}
+import org.scalatest.Suite
 
 /** Shared local SparkSession for specs. */
-trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+trait SparkTestBase { self: Suite =>
 
+  // the session is intentionally shared across suites (never stopped)
   lazy val spark: SparkSession = SparkTestBase.session
-
-  override def afterAll(): Unit = super.afterAll()
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString

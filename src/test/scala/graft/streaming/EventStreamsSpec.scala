@@ -18,19 +18,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
   test("tumblingCounts aggregates per hour/type and drops late events past watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
+    // update mode: watermark-based late-row dropping actually applies
+    // (complete mode retains all state and would pass even with the
+    // watermark removed — the regression this test exists to catch)
     val q = EventStreams.tumblingCounts(
         input.toDF().toDF("ts", "event_type", "value"), watermark = "30 minutes")
-      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+      .writeStream.format("memory").queryName("tumbling").outputMode("update").start()
     try {
       input.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(65), "view", 5.0))
       q.processAllAvailable()
-      input.addData((ts(200), "click", 1.0)) // advances watermark far past hour 0
+      input.addData((ts(200), "click", 1.0)) // watermark -> 02:50, far past hour 0
       q.processAllAvailable()
-      val rows = spark.table("tumbling")
+      input.addData((ts(15), "click", 9.0)) // LATE: hour-0 event behind the watermark
+      q.processAllAvailable()
+      val updates = spark.table("tumbling")
         .select(date_format(col("hour"), "HH:mm").as("h"), col("event_type"), col("cnt"))
-        .as[(String, String, Long)].collect().toSet
-      assert(rows.contains(("00:00", "click", 2L)))
-      assert(rows.contains(("01:00", "view", 1L)))
+        .as[(String, String, Long)].collect().toSeq
+      // the late event must NOT have produced an updated count of 3
+      val hour0Clicks = updates.filter(u => u._1 == "00:00" && u._2 == "click").map(_._3)
+      assert(hour0Clicks.max == 2L, s"late event was counted: $updates")
+      assert(updates.contains(("01:00", "view", 1L)))
     } finally q.stop()
   }
 

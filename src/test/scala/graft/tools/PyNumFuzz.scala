@@ -16,7 +16,7 @@ object PyNumFuzz {
       val gotInt = PyNum.parseInt(s).map(_.toString)
       if (expInt != gotInt) {
         intDiff += 1
-        if (samples.size < 10) samples += s"INT ${escape(s)}: py=$expInt scala=$gotInt"
+        if (intDiff <= 10) samples += s"INT ${escape(s)}: py=$expInt scala=$gotInt"
       }
       val expFloat = if (row.get(2).isNull) None else Some(row.get(2).asText())
       val gotFloat = PyNum.parseFloat(s)
@@ -34,7 +34,7 @@ object PyNumFuzz {
       }
       if (!matches) {
         floatDiff += 1
-        if (samples.size < 20) samples += s"FLT ${escape(s)}: py=$expFloat scala=$gotFloat"
+        if (floatDiff <= 10) samples += s"FLT ${escape(s)}: py=$expFloat scala=$gotFloat"
       }
     }
     println(s"total=$total intDiffs=$intDiff floatDiffs=$floatDiff")

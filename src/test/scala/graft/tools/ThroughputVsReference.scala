@@ -19,13 +19,21 @@ object ThroughputVsReference {
     time("ours: csv -> scbf (single file, CLI semantics)") {
       graft.apps.CsvScbfApps.csvToScbf(s, "/tmp/huge.csv", "/tmp/huge_ours.scbf")
     }
-    time("ours: full scan (count all columns via noop)") {
-      s.read.format("scbf").load("/tmp/huge_ref.scbf")
+    // scan OUR writer's output (also proves the write above is readable);
+    // /tmp/huge_ref.scbf (reference-written) is the cross-interop variant
+    val scanPath = if (new java.io.File("/tmp/huge_ref.scbf").exists())
+      "/tmp/huge_ref.scbf" else "/tmp/huge_ours.scbf"
+    time(s"ours: full scan of $scanPath") {
+      s.read.format("scbf").load(scanPath)
         .write.format("noop").mode("overwrite").save()
     }
-    time("ours: pruned 1-column aggregate") {
-      s.read.format("scbf").load("/tmp/huge_ref.scbf")
+    time(s"ours: pruned 1-column aggregate over $scanPath") {
+      s.read.format("scbf").load(scanPath)
         .agg(sum(col("score").cast("decimal(18,4)"))).collect()
+    }
+    time("ours: full scan of our own single-file output") {
+      s.read.format("scbf").load("/tmp/huge_ours.scbf")
+        .write.format("noop").mode("overwrite").save()
     }
     s.stop()
   }
