@@ -244,6 +244,21 @@ object DedupQueries {
         .agg(dmean(col("x").cast("double"), 8).as("mean_val"))
     },
 
+    // ---- L2 normalization (the vector 'resize' of the pipeline) ----
+    // Norms accumulate as decimals (squares of unit-scale floats at
+    // scale 12: exact, order-independent) so both engines compute the
+    // same sqrt input and the same normalized components bit-for-bit.
+    "d9_embed_normalize" -> { (s, dir) =>
+      val parts = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xd", col("x").cast("double"))
+      val norms = parts.groupBy(col("vec_id"))
+        .agg(sqrt(sum((col("xd") * col("xd")).cast(DecimalType(28, 12))).cast("double")).as("norm"))
+      parts.join(norms, "vec_id")
+        .filter(col("pos") < 4) // first 4 components keep output compact
+        .select(col("vec_id"), col("pos"), (col("xd") / col("norm")).as("nval"))
+    },
+
     // ---- embedding-cosine near-dup dedup (IVF shape) ----
     // Coarse cells (here the label column; k-means centroids in a real
     // pipeline) bound the pairwise work to within-cell pairs — the IVF
@@ -324,6 +339,20 @@ object DedupQueries {
         |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |WHERE q.vec_id < 5
         |QUALIFY rank <= 3""".stripMargin,
+
+    "d9_embed_normalize" ->
+      """WITH parts AS (
+        |  SELECT vec_id, i - 1 AS pos, x::DOUBLE AS xd
+        |  FROM (SELECT vec_id, unnest(embedding) x,
+        |          unnest(generate_series(1, len(embedding))) i
+        |        FROM embeddings)),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM parts GROUP BY vec_id)
+        |SELECT p.vec_id, p.pos, p.xd / n.norm AS nval
+        |FROM parts p JOIN norms n ON p.vec_id = n.vec_id
+        |WHERE p.pos < 4""".stripMargin,
 
     "d8_embed_neardup" ->
       """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings),
