@@ -105,15 +105,23 @@ object AdvancedQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },
 
-    // ---- array scalar functions over part names ----
+    // ---- array/map/math scalar functions over part ----
     "q26_array_fns" -> { (s, dir) =>
       t(s, dir, "part")
         .withColumn("words", split(col("p_name"), " "))
+        .withColumn("uw", array_distinct(col("words")))
         .select(col("p_partkey"),
           size(col("words")).as("n_words"),
           element_at(col("words"), 1).as("first_word"),
           array_join(array_sort(col("words")), "_").as("sorted_name"),
-          array_contains(col("words"), "green").as("has_green"))
+          array_contains(col("words"), "green").as("has_green"),
+          // map functions: word -> length lookup of the first word
+          element_at(map_from_arrays(col("uw"),
+            expr("transform(uw, x -> length(x))")), element_at(col("words"), 1))
+            .as("first_word_len"),
+          // math functions with IEEE-exact cross-engine results
+          sqrt(col("p_size").cast("double")).as("sqrt_size"),
+          abs(col("p_retailprice") - 1000.0).as("abs_ctr"))
     },
 
     // ---- custom UDAF: strictly-less second max per priority ----
@@ -191,12 +199,20 @@ object AdvancedQueries {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q26_array_fns" ->
-      """SELECT p_partkey,
-        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
-        |  string_split(p_name, ' ')[1] AS first_word,
-        |  array_to_string(list_sort(string_split(p_name, ' ')), '_') AS sorted_name,
-        |  list_contains(string_split(p_name, ' '), 'green') AS has_green
-        |FROM part""".stripMargin,
+      """WITH w AS (SELECT p_partkey, p_size, p_retailprice,
+        |    string_split(p_name, ' ') AS words,
+        |    list_distinct(string_split(p_name, ' ')) AS uw
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(words) AS INT) AS n_words,
+        |  words[1] AS first_word,
+        |  array_to_string(list_sort(words), '_') AS sorted_name,
+        |  list_contains(words, 'green') AS has_green,
+        |  CAST(map(uw, list_transform(uw, x -> length(x)))[words[1]][1] AS INT)
+        |    AS first_word_len,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+        |  abs(p_retailprice - 1000.0) AS abs_ctr
+        |FROM w""".stripMargin,
 
     "q27_second_max" ->
       """WITH mx AS (SELECT o_orderpriority, MAX(o_totalprice) m
