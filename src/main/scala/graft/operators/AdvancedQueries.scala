@@ -135,6 +135,18 @@ object AdvancedQueries {
         .filter(col("second_max") =!= Double.NegativeInfinity)
     },
 
+    // ---- explicit GROUPING SETS (SQL surface; distinct from rollup/cube) ----
+    "q29_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+          |  COALESCE(l_linestatus, '(all)') AS ls,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS cnt
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
     // ---- sketch aggregates (HLL++, approximate quantiles) ----
     // The approximate-but-mergeable aggregates that actually run at
     // 100 TB where exact distinct/percentile cannot. Approximate by
@@ -213,6 +225,14 @@ object AdvancedQueries {
         |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
         |  abs(p_retailprice - 1000.0) AS abs_ctr
         |FROM w""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |  COALESCE(l_linestatus, '(all)') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q27_second_max" ->
       """WITH mx AS (SELECT o_orderpriority, MAX(o_totalprice) m
