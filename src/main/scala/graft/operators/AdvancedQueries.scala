@@ -82,6 +82,10 @@ object AdvancedQueries {
     },
 
     // ---- window-function breadth: lag, dense_rank, frames, ntile ----
+    // Partitioned by priority (5 groups): per-row window output cannot
+    // be candidate-pruned like q6's top-k, so at extreme scale the
+    // partition key would need a finer time-bucketed composite; kept
+    // simple here to exercise the frame/rank/ntile surface.
     "q24_window_frames" -> { (s, dir) =>
       val w1 = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))

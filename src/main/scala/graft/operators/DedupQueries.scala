@@ -131,9 +131,10 @@ object DedupQueries {
     },
 
     // ---- n-gram (word bigram) Jaccard within source buckets ----
-    // Exact pairwise similarity, but bucketed by `source` so the join
-    // never goes quadratic in the corpus size — the 100 TB shape is
-    // "pairs within a partition key", not "all pairs".
+    // Exact pairwise similarity, bucketed by `source`. Valid when cells
+    // stay bounded (per-crawl-batch, per-day); for cells that grow with
+    // the corpus, d2's LSH candidate generation is the unbounded-scale
+    // path — this operator is the exact within-cell complement.
     "d4_ngram_jaccard" -> { (s, dir) =>
       // Count-based: explode grams, equi-join on (source, gram), count
       // shared grams per pair, derive union from broadcast cardinalities.
@@ -262,7 +263,8 @@ object DedupQueries {
     // ---- embedding-cosine near-dup dedup (IVF shape) ----
     // Coarse cells (here the label column; k-means centroids in a real
     // pipeline) bound the pairwise work to within-cell pairs — the IVF
-    // pattern. A deterministic perturbed copy of each vector is planted
+    // pattern. At scale the cell count grows ~sqrt(N) so per-cell work
+    // stays bounded; with fixed cells use d6's hyperplane buckets. A deterministic perturbed copy of each vector is planted
     // (vec_id + 100000) so the operator has real near-dups to find; the
     // 0.8 threshold sits in a ~0.3-wide gap of the similarity
     // distribution, far from any engine-rounding ambiguity.

@@ -139,6 +139,22 @@ class ScbfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown column type code rejected (reference reader.py:71-72)") {
+    // corrupt the type byte of the first metadata entry of a valid file
+    val bytes = Files.readAllBytes(Paths.get(examplesFixture))
+    val in0 = new ScbfReader.ByteArrayInput(bytes)
+    val header = ScbfReader.readHeader(in0)
+    // first entry: u16 name_len ('id' = 2) + name bytes, then the type byte
+    val typePos = header.metaTableOffset.toInt + 2 + 2
+    assert(bytes(typePos) == 1) // int32
+    bytes(typePos) = 99
+    val e = intercept[ScbfFormatException] {
+      val in = new ScbfReader.ByteArrayInput(bytes)
+      ScbfReader.readMeta(in, ScbfReader.readHeader(in), bytes.length.toLong)
+    }
+    assert(e.getMessage.contains("Unknown column type code: 99"))
+  }
+
   test("truncated file reports a clear error") {
     val full = Files.readAllBytes(Paths.get(examplesFixture))
     val tmp = Files.createTempFile("trunc", ".scbf")
