@@ -41,6 +41,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming tumbling counts equal the batch query on the real events table") {
+    // file-source stream over the same parquet the batch query reads:
+    // readStream -> transform -> sink must reproduce q17's hourly counts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    // the file stream source requires a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("parity").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("parity")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("h"),
+          col("event_type"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      val batch = batchDf
+        .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_format(date_trunc("hour", col("tsu")), "yyyy-MM-dd HH:mm").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streaming == batch, s"stream/batch divergence: " +
+        s"${(streaming -- batch).take(3)} vs ${(batch -- streaming).take(3)}")
+    } finally q.stop()
+  }
+
   test("scbfSink appends each micro-batch as immutable scbf files") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("scbf-sink").toString
