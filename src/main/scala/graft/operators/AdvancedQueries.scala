@@ -41,7 +41,10 @@ object AdvancedQueries {
     // window pass with last(_, ignoreNulls) — no range join, no skewed
     // per-key explosion; shuffle is a single hash on user_id.
     "q21_asof_join" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // order by MICROsecond ts like the oracle (epoch_us): nanosecond
+      // ordering could flip two same-user events within one microsecond
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         .withColumn("click_ts", when(col("event_type") === "click", col("ts")))

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
  */
 object RelationalQueries {
 
-  import Ops.{t, dsum, scratchDir}
+  import Ops.{t, dsum, scratchDir, spread}
 
   /** Double aggregates use dsum (see above) on BOTH sides so
    * summation-order differences between engines cannot change results. */
@@ -194,7 +194,7 @@ object RelationalQueries {
         // parallelizes per-task deflate AND produces the many-moderate-
         // files layout the non-splittable format needs for read
         // parallelism (one partition per file).
-        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .repartition(spread(s))
         .write.format("scbf").mode("overwrite").save(scbfDir)
       s.read.format("scbf").load(scbfDir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -23,7 +23,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      // decimal accumulation like the batch twin (q17/Ops.dsum): state
+      // merges across micro-batches must not be order-dependent
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
 
   /** Streaming exact dedup — the streaming twin of d1_dedup_exact: drop
@@ -37,16 +41,16 @@ object EventStreams {
 
   /** Stream → SCBF ingest. SCBF cannot be a native streaming sink (a
    * file's metadata is finalized at close, so no incremental appends
-   * within a file); the correct composition is per-micro-batch append —
-   * each batch writes its own immutable .scbf part files, giving
-   * exactly-once-per-batch file semantics and the many-moderate-files
-   * layout the non-splittable format wants anyway. */
+   * within a file); the composition is one subdirectory per micro-batch,
+   * OVERWRITTEN on replay — foreachBatch is at-least-once, so a plain
+   * append would duplicate a batch that re-runs after a pre-checkpoint
+   * crash. Consumers read the tree with a glob: load(outDir + "/" + "*"). */
   def scbfSink(df: DataFrame, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.format("scbf").mode("append").save(outDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.format("scbf").mode("overwrite").save(s"$outDir/batch-$batchId")
       }
       .start()
 
@@ -81,6 +85,9 @@ object EventStreams {
             // late events from one delayed producer group together; a
             // bare `t - lastTs <= gapMs` check would fold them into the
             // newer session (vacuously true for any past timestamp).
+            // Known limit: the accumulator is per-micro-batch (state
+            // holds only the live session), so stragglers split across
+            // triggers emit as separate sessions.
             var late: Option[SessionState] = None
             def flushLate(): Unit = late.foreach { l =>
               closed ::= Session(userId, l.start, l.lastTs, l.events)

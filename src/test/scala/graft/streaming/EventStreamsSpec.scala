@@ -63,14 +63,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       val streaming = spark.table("parity")
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("h"),
-          col("event_type"), col("cnt"))
-        .as[(String, String, Long)].collect().toSet
+          col("event_type"), col("cnt"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
       val batch = batchDf
         .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
         .groupBy(date_format(date_trunc("hour", col("tsu")), "yyyy-MM-dd HH:mm").as("h"),
           col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .as[(String, String, Long)].collect().toSet
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
       assert(streaming == batch, s"stream/batch divergence: " +
         s"${(streaming -- batch).take(3)} vs ${(batch -- streaming).take(3)}")
     } finally q.stop()
@@ -88,7 +89,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       input.addData((3, "c", 3.5))
       q.processAllAvailable()
-      val back = spark.read.format("scbf").load(out)
+      val back = spark.read.format("scbf").load(s"$out/*")
       assert(back.count() == 3)
       assert(back.select("name").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
     } finally q.stop()
