@@ -142,6 +142,18 @@ object AdvancedQueries {
         .filter(col("second_max") =!= Double.NegativeInfinity)
     },
 
+    // ---- pivot: long-to-wide reshaping ----
+    // Explicit value list: at scale the implicit variant would scan once
+    // just to discover pivot values.
+    "q30_pivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Ops.dsum(col("l_quantity"), 2))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .na.fill(0.0, Seq("qty_f", "qty_o"))
+    },
+
     // ---- explicit GROUPING SETS (SQL surface; distinct from rollup/cube) ----
     "q29_grouping_sets" -> { (s, dir) =>
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
@@ -232,6 +244,14 @@ object AdvancedQueries {
         |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
         |  abs(p_retailprice - 1000.0) AS abs_ctr
         |FROM w""".stripMargin,
+
+    "q30_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_f,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q29_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS rf,
