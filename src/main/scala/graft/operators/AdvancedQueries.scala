@@ -154,6 +154,16 @@ object AdvancedQueries {
         .na.fill(0.0, Seq("qty_f", "qty_o"))
     },
 
+    // ---- unpivot: wide-to-long reshaping (inverse of q30) ----
+    "q31_unpivot" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "value")
+    },
+
     // ---- explicit GROUPING SETS (SQL surface; distinct from rollup/cube) ----
     "q29_grouping_sets" -> { (s, dir) =>
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
@@ -244,6 +254,11 @@ object AdvancedQueries {
         |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
         |  abs(p_retailprice - 1000.0) AS abs_ctr
         |FROM w""".stripMargin,
+
+    "q31_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin,
 
     "q30_pivot" ->
       """SELECT l_returnflag,
