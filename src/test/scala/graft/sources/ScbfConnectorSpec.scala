@@ -133,6 +133,25 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
       "old data must survive a failed overwrite")
   }
 
+  test("a directory mixing Spark-written and reference-written files reads as one table") {
+    val dir = tmpDir("scbf-mixed")
+    // our writer's file
+    Seq((10, "ours", 1.0)).toDF("id", "name", "score")
+      .write.format("scbf").mode("overwrite").save(dir)
+    // reference-written fixture with the same column names (score has a
+    // trailing space there, so build a matching-schema file via codec)
+    import graft.scbf._
+    ScbfWriter.write(s"$dir/ref-style.scbf",
+      ScbfSchema(Seq(ScbfColumn("id", ScbfType.Int32),
+        ScbfColumn("name", ScbfType.Utf8), ScbfColumn("score", ScbfType.Float64))),
+      Seq(IntColumnData(Array(20)),
+        Utf8ColumnData(Array("codec".getBytes("UTF-8"))),
+        DoubleColumnData(Array(2.0))))
+    val back = spark.read.format("scbf").load(dir).orderBy("id")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((10, "ours"), (20, "codec")))
+  }
+
   test("filter evaluates correctly above the scan") {
     val dir = tmpDir("scbf-filter")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)
