@@ -59,6 +59,15 @@ object DedupQueries {
 
   private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
 
+  /** d4's document-frequency cap: a gram appearing in more than this many
+   * documents of one source carries no Jaccard discrimination but
+   * generates DF² rows in the gram self-join — the one quadratic in that
+   * pipeline. Capping DF bounds per-gram join fan-out at any corpus size;
+   * the cap applies identically to intersections and cardinalities (and
+   * in the oracle SQL), so similarity is consistently defined over
+   * discriminative grams. */
+  private val MaxGramDf = 64
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -81,8 +90,28 @@ object DedupQueries {
       // intersected (array_distinct/array_intersect run interpreted and
       // were the measured bottleneck); every stage is codegen'd
       // aggregation/join on small rows.
-      val ex = corpus(s, dir)
+      //
+      // Exact-duplicate pre-collapse: k identical copies of a text share
+      // all 24 band keys, so banding the raw corpus generates k²
+      // candidate pairs per duplicate cluster — quadratic exactly on the
+      // duplicate-heavy corpora dedup targets. Collapse to one
+      // representative per distinct text first (d1's hash-groupBy
+      // shape), run LSH over unique texts only, then re-expand pairs
+      // through the duplicate groups at the end: cross-group member
+      // pairs inherit the rep pair's counts (Jaccard depends only on the
+      // text), and within-group member pairs are exact duplicates
+      // (inter = union = |shingle set|). Expansion is pure output
+      // materialization — the quadratic no longer touches the shingle
+      // joins.
+      val hashed = corpus(s, dir)
         .repartition(spread(s), col("doc_id")) // single-file input: spread the work
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+      val members = hashed.select(col("h"), col("doc_id")).join(reps, "h")
+        .select(col("rep"), col("doc_id"))
+      val uniq = hashed.join(reps, hashed("doc_id") === reps("rep"))
+        .select(col("rep").as("doc_id"), col("text"))
+      val ex = uniq
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(ShingleExpr)).as("x"))
         .distinct() // shingle SET semantics via codegen hash aggregate
@@ -108,12 +137,30 @@ object DedupQueries {
         .agg(count(lit(1)).as("inter_cnt"))
       // cards scales with the corpus — no broadcast hint; AQE broadcasts
       // when it is actually small.
-      inter
+      val repPairs = inter
         .join(cards.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
         .join(cards.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
           (col("ca") + col("cb") - col("inter_cnt")).as("union_cnt"))
         .filter(col("inter_cnt") * 10 >= col("union_cnt") * 6)
+      // re-expand: cross-group pairs carry the rep pair's counts; member
+      // ids may interleave across groups, so re-order with least/greatest
+      val crossExp = repPairs
+        .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+        .join(members.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"),
+          col("inter_cnt"), col("union_cnt"))
+      // within-group pairs are J=1; the inner join on cards drops
+      // zero-shingle texts, exactly as the all-pairs oracle does
+      val withinExp = members.as("p").join(members.as("q"),
+          col("p.rep") === col("q.rep") && col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.rep").as("grp"),
+          col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+        .join(cards.select(col("doc_id").as("grp"), col("c")), "grp")
+        .select(col("doc_a"), col("doc_b"),
+          col("c").as("inter_cnt"), col("c").as("union_cnt"))
+      crossExp.unionByName(withinExp)
     },
 
     // ---- SimHash document signatures (32-bit, md5-derived) ----
@@ -149,9 +196,17 @@ object DedupQueries {
             |  y -> y IS NOT NULL))""".stripMargin))
         .select(col("source"), col("doc_id"), col("g"))
         .repartition(spread(s), col("doc_id")) // single-file input: spread the gram work
-      val cards = docs.select(col("doc_id"), size(col("g")).as("c"))
       val ex = docs.select(col("source"), col("doc_id"), explode(col("g")).as("gram"))
-      val inter = ex.as("a").join(ex.as("b"),
+      // DF cap (see MaxGramDf): one window pass partitioned by
+      // (source, gram) computes document frequency without a join, and
+      // leaves the relation hash-partitioned on exactly the self-join
+      // key. Cardinalities count the retained grams only, so both sides
+      // of the Jaccard test use the same capped gram universe.
+      val wDf = Window.partitionBy(col("source"), col("gram"))
+      val kept = ex.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= MaxGramDf).drop("df")
+      val cards = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      val inter = kept.as("a").join(kept.as("b"),
           col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -181,10 +236,15 @@ object DedupQueries {
       val scored = emb.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // Hierarchical top-k (q6's salted pattern): a plain per-query_id
+      // window funnels every scored corpus row through ≤|queries| tasks —
+      // straggler sorts at scale. Salt on the corpus vec_id, take the
+      // local top-3 per (query_id, salt) — any global top-3 row has ≤2
+      // rows ahead of it in its own bucket, so it always survives — then
+      // rank the ≤ 3×32 candidates per query. Identical output, bounded
+      // task size at any corpus scale.
+      Ops.saltedTopK(scored, Seq(col("query_id")),
+          Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), 3, "rank")
         .select("query_id", "rank", "vec_id")
     },
 
@@ -229,11 +289,13 @@ object DedupQueries {
       val cand = emb.join(broadcast(queries), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "qe", "vec_id", "e").distinct()
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      cand.withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // salted hierarchical top-k over bucket candidates (see d5): the
+      // candidate set is already sub-linear, but a hot bucket would still
+      // funnel one query's candidates into one task without the salt.
+      val scored = cand
+        .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
+      Ops.saltedTopK(scored, Seq(col("query_id")),
+          Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), 3, "rank")
         .select("query_id", "rank", "vec_id")
     },
 
@@ -315,14 +377,18 @@ object DedupQueries {
     },
 
     "d4_ngram_jaccard" ->
-      """WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
+      s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT source, doc_id, list_distinct(list_transform(
         |        generate_series(1, greatest(len(w) - 1, 0)),
         |        i -> w[i] || '_' || w[i+1])) g FROM tok),
-        |cards AS (SELECT doc_id, len(g) c FROM g),
         |ex AS (SELECT source, doc_id, unnest(g) gram FROM g),
+        |kept AS (SELECT source, doc_id, gram FROM (
+        |           SELECT source, doc_id, gram,
+        |                  COUNT(*) OVER (PARTITION BY source, gram) df FROM ex)
+        |         WHERE df <= $MaxGramDf),
+        |cards AS (SELECT doc_id, COUNT(*) c FROM kept GROUP BY doc_id),
         |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
-        |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.source = b.source
+        |          FROM kept a JOIN kept b ON a.gram = b.gram AND a.source = b.source
         |            AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b, i AS inter_cnt,

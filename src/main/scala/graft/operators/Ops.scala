@@ -39,6 +39,28 @@ private[operators] object Ops {
   def spread(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Hierarchical (salted) per-group top-k — the scale-safe replacement
+   * for a bare `row_number().over(partitionBy(group))`, which funnels
+   * every row of a group through one task. Pass 1 ranks within
+   * (group, salt) and keeps k per bucket; any row in the true global
+   * top-k has at most k-1 rows ahead of it in its own bucket, so it
+   * always survives. Pass 2 ranks the ≤ k·salts survivors per group.
+   * `orderCols` must define a total order (tie-break to a unique key)
+   * for the two passes to agree; `saltSrc` just needs to spread rows
+   * (any per-row column works — assignment, not semantics). */
+  def saltedTopK(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+      saltSrc: Column, k: Int, rankName: String, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(groupCols :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val wFinal = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__salt", pmod(hash(saltSrc), lit(salts)))
+      .withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= k)
+      .withColumn(rankName, row_number().over(wFinal))
+      .filter(col(rankName) <= k)
+      .drop("__salt", "__lrn")
+  }
+
   /** Scratch directory for operators that materialize intermediate
    * files (e.g. the SCBF roundtrip). Driver-local java.io.tmpdir only
    * works in local mode; on a real cluster set `graft.scratch.dir` to a
