@@ -28,18 +28,24 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          true
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s")
-      name -> sec
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s${if (failed) "  FAILED" else ""}")
+      // a failed query records a negative duration — unmistakable
+      // downstream, and it can't silently lower the total
+      (name, if (failed) -sec else sec, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, false) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

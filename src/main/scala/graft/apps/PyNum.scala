@@ -16,10 +16,18 @@ import java.math.BigInteger
  */
 object PyNum {
 
-  /** Python str.strip(): strips chars where str.isspace() — includes
-   * unicode space separators like NBSP, which Java's isWhitespace misses. */
+  /** The whitespace CPython's int()/float() strip. NOT str.isspace():
+   * the numeric path maps non-ASCII Py_UNICODE_ISSPACE chars to ' '
+   * (so NBSP, NEL \x85, Zs/Zl/Zp all strip) but parses ASCII with
+   * Py_ISSPACE, which accepts only \t \n \v \f \r ' ' — int('\x1c1')
+   * raises even though '\x1c'.isspace() is True. Java's isWhitespace
+   * would wrongly accept \x1c-\x1f and wrongly reject NEL/NBSP, so the
+   * set is spelled out (verified char-by-char against live CPython via
+   * PyNumFuzz). */
   private def pyStrip(s: String): String = {
-    def isSpace(c: Char) = Character.isWhitespace(c) || Character.isSpaceChar(c)
+    def isSpace(c: Char) =
+      if (c < 0x80) c == ' ' || (c >= '\t' && c <= '\r')
+      else Character.isSpaceChar(c) || c == '\u0085'
     var a = 0
     var b = s.length
     while (a < b && isSpace(s.charAt(a))) a += 1

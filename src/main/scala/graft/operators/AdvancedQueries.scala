@@ -166,14 +166,18 @@ object AdvancedQueries {
 
     // ---- explicit GROUPING SETS (SQL surface; distinct from rollup/cube) ----
     "q29_grouping_sets" -> { (s, dir) =>
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-      s.sql(
-        """SELECT COALESCE(l_returnflag, '(all)') AS rf,
-          |  COALESCE(l_linestatus, '(all)') AS ls,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-          |  COUNT(*) AS cnt
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      // Dataset.groupingSets (Spark 4): same Expand-based plan as the SQL
+      // GROUPING SETS surface, with zero catalog mutation — the previous
+      // fixed-name temp view raced concurrent callers over different dirs.
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(Ops.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("cnt"))
     },
 
     // ---- sketch aggregates (HLL++, approximate quantiles) ----

@@ -177,6 +177,18 @@ object ScbfReader {
       checkedInt((meta.count + 1) * 4))
     val offsets = new Array[Int](meta.count.toInt + 1)
     ByteBuffer.wrap(offRaw).order(ByteOrder.LITTLE_ENDIAN).asIntBuffer().get(offsets)
+    // Offsets are u32 in the spec but live in a signed Int array here: a
+    // blob ≥ 2 GiB (legal per SPEC.md, writable by the reference) would
+    // wrap negative and slice garbage. Validate instead of misreading.
+    var i = 0
+    while (i < offsets.length) {
+      if (offsets(i) < 0 || (i > 0 && offsets(i) < offsets(i - 1)))
+        throw new ScbfFormatException(
+          s"utf8 column '${meta.name}': offset ${offsets(i).toLong & 0xffffffffL} at " +
+            s"index $i is ${if (offsets(i) < 0) "≥ 2 GiB (unsupported by this reader)"
+            else "non-monotonic"}")
+      i += 1
+    }
     val strMeta = meta.strings.getOrElse(
       throw new ScbfFormatException(s"utf8 column '${meta.name}' missing strings block"))
     // True blob size = last offset; str_uncomp_size is untrustworthy (§ scaladoc).

@@ -142,6 +142,9 @@ class ScbfTable(
         s"SCBF write requires exactly one output path, got: $other")
     }
     ScbfDataSource.sparkToScbf(info.schema()) // fail fast on unsupported types
-    new ScbfWriteBuilder(dir, info.schema(), conf)
+    val maxBuf = Option(info.options.get("maxBufferedBytes")).map(_.toLong)
+      .getOrElse(ScbfWrite.DefaultMaxBufferedBytes)
+    require(maxBuf > 0, s"maxBufferedBytes must be positive, got $maxBuf")
+    new ScbfWriteBuilder(dir, info.schema(), conf, maxBuf)
   }
 }

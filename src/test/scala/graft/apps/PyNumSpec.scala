@@ -12,6 +12,7 @@ class PyNumSpec extends AnyFunSuite {
     "1" -> Some(1), " 1 " -> Some(1), "007" -> Some(7), "1_000" -> Some(1000),
     "+5" -> Some(5), "-3" -> Some(-3), "1_0_0" -> Some(100), " +2_5 " -> Some(25),
     " 1 " -> Some(1), "\t2\n" -> Some(2), "１２３" -> Some(123),
+    "\u0085123\u0085" -> Some(123), "\u00a07" -> Some(7), // NEL + NBSP: python strips both
     "2.5" -> None, "1e3" -> None, ".5" -> None, "True" -> None, "" -> None,
     "0x10" -> None, "_1" -> None, "1_" -> None, "1__0" -> None, "inf" -> None)
 
@@ -32,6 +33,7 @@ class PyNumSpec extends AnyFunSuite {
     "inf" -> Some(Double.PositiveInfinity), "Infinity" -> Some(Double.PositiveInfinity),
     "-inf" -> Some(Double.NegativeInfinity), "1_000.5" -> Some(1000.5),
     " 91.5 " -> Some(91.5), "１２３" -> Some(123.0), "1E+2" -> Some(100.0),
+    "\u00851.5\u0085" -> Some(1.5), "\u00a07.5" -> Some(7.5),
     "True" -> None, "" -> None, "0x10" -> None, "1f" -> None, "1d" -> None,
     "0x1p3" -> None, "1e" -> None, "e3" -> None, "." -> None, "1._5" -> None)
 

@@ -155,6 +155,27 @@ class ScbfCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Unknown column type code: 99"))
   }
 
+  test("utf8 offsets ≥ 2 GiB or non-monotonic rejected, never sliced as garbage") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def utf8Meta(offsets: Array[Int]): (ScbfReader.ByteArrayInput, ColumnMeta) = {
+      val raw = ByteBuffer.allocate(offsets.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      offsets.foreach(raw.putInt)
+      val offComp = ScbfWriter.deflate(raw.array())
+      val blobComp = ScbfWriter.deflate(Array[Byte]('A'))
+      val meta = ColumnMeta("s", ScbfType.Utf8, offsets.length - 1L,
+        BlockMeta(offsets.length * 4L, offComp.length.toLong, 0L),
+        Some(BlockMeta(1L, blobComp.length.toLong, offComp.length.toLong)))
+      (new ScbfReader.ByteArrayInput(offComp ++ blobComp), meta)
+    }
+    // u32 0x80000000 (2 GiB) wraps negative in a signed Int array
+    val (in1, m1) = utf8Meta(Array(0, Int.MinValue))
+    val e1 = intercept[ScbfFormatException] { ScbfReader.readUtf8Column(in1, m1) }
+    assert(e1.getMessage.contains("2 GiB"))
+    val (in2, m2) = utf8Meta(Array(0, 5, 2))
+    val e2 = intercept[ScbfFormatException] { ScbfReader.readUtf8Column(in2, m2) }
+    assert(e2.getMessage.contains("non-monotonic"))
+  }
+
   test("truncated file reports a clear error") {
     val full = Files.readAllBytes(Paths.get(examplesFixture))
     val tmp = Files.createTempFile("trunc", ".scbf")

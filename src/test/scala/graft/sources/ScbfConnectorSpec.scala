@@ -152,6 +152,39 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
       Seq((10, "ours"), (20, "codec")))
   }
 
+  test("one task rolls to multiple files under maxBufferedBytes and reads back whole") {
+    val dir = tmpDir("scbf-roll")
+    // ~16 KiB of int+string data in ONE partition with a 2 KiB cap —
+    // the task must roll to many part files instead of buffering it all
+    spark.range(0, 1000)
+      .select($"id".cast("int").as("id"), concat(lit("row-"), $"id").as("name"))
+      .coalesce(1)
+      .write.format("scbf").option("maxBufferedBytes", 2048)
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+    val parts = files.filter(_.getName.endsWith(".scbf"))
+    assert(parts.length > 3, s"expected rolled files, got ${parts.length}")
+    assert(!files.exists(f => ScbfWrite.isTemp(f.getName)), "no temps may survive commit")
+    val back = spark.read.format("scbf").load(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).as[Long].head() == 499500L)
+    assert(back.select("name").as[String].collect().toSet ==
+      (0 until 1000).map(i => s"row-$i").toSet)
+  }
+
+  test("a crashed task's staged temps are invisible to readers and swept by the next write") {
+    val dir = tmpDir("scbf-tempsweep")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    // simulate a hard-crashed attempt: a staged temp nobody renamed
+    val orphan = new java.io.File(dir, ".part-99999-0-deadbeef-000.scbf.tmp")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(spark.read.format("scbf").load(dir).count() == 4,
+      "truncated temp must not break reads")
+    sampleDf.write.format("scbf").mode("append").save(dir)
+    assert(!orphan.exists(), "job commit must sweep orphaned temps")
+    assert(spark.read.format("scbf").load(dir).count() == 8)
+  }
+
   test("filter evaluates correctly above the scan") {
     val dir = tmpDir("scbf-filter")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)
