@@ -120,6 +120,9 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
+  def hyperplaneBuckets(e: Column, planes: Array[Array[Array[Double]]]): Column =
+    column(HyperplaneBuckets(expression(e), planes))
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a
    * session someone else built, where setting spark.sql.extensions is no
    * longer possible — e.g. a notebook or a driver-owned session).

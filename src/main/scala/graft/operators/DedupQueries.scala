@@ -262,27 +262,15 @@ object DedupQueries {
       val bitsPerTable = 10
       val rnd = new scala.util.Random(12345)
       val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
-      val planesB = s.sparkContext.broadcast(planes)
-      val bucketUdf = udf { (e: Seq[Float]) =>
-        require(e.length == dim, s"embedding dim ${e.length} != expected $dim")
-        val ps = planesB.value
-        (0 until numTables).map { t =>
-          var key = 0
-          var b = 0
-          while (b < bitsPerTable) {
-            var dot = 0.0
-            var i = 0
-            while (i < dim) { dot += ps(t)(b)(i) * e(i); i += 1 }
-            if (dot > 0) key |= (1 << b)
-            b += 1
-          }
-          t.toLong << 32 | key.toLong
-        }
-      }
+      // bucketing as a codegen Expression (HyperplaneBuckets): the
+      // per-row Scala UDF it replaces boxed the embedding into a Seq on
+      // the hot path; the planes ride along as one plan-level reference
+      // object, not per-row state.
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           col("embedding").cast("array<double>").as("e"))
-        .withColumn("buckets", bucketUdf(col("embedding")))
+        .withColumn("buckets",
+          graft.functions.GraftFunctions.hyperplaneBuckets(col("embedding"), planes))
         .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+/**
+ * A real pure-JVM binary image codec for the multimodal pipeline (m1):
+ * binary PPM (Netpbm "P6"), the simplest honest image container —
+ * ASCII header (magic, optional comments, width, height, maxval) then a
+ * raw RGB raster.
+ *
+ * `synthesize` plays the role of the upstream system that produced the
+ * stored binary column (a camera/scraper): payload bytes are a
+ * deterministic function of the document id, so the DuckDB oracle can
+ * recompute the decoder's outputs arithmetically without being able to
+ * parse PPM itself. `decode` is the part that would survive contact
+ * with real data: a grammar-correct header scanner (arbitrary
+ * whitespace, '#' comments anywhere between tokens) with bounds checks
+ * and clear errors on malformed input. The decoder knows nothing about
+ * the generator.
+ */
+object PpmCodec {
+
+  final case class PpmImage(width: Int, height: Int, maxVal: Int, raster: Array[Byte]) {
+    def pixelSum: Long = {
+      var s = 0L
+      var i = 0
+      while (i < raster.length) { s += raster(i) & 0xff; i += 1 }
+      s
+    }
+  }
+
+  final class PpmFormatException(msg: String) extends RuntimeException(msg)
+
+  /** Deterministic synthetic image for doc `id`: width 4-8 and height
+   * 3-6 derived from the id, raster byte i = (id*31 + i*7) mod 256.
+   * Even ids get a header comment line, so decoders must handle them. */
+  def synthesize(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val comment = if (id % 2 == 0) "# c\n" else ""
+    val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < raster.length) {
+      raster(i) = ((id * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    header ++ raster
+  }
+
+  /** Parse a binary PPM. Throws PpmFormatException on bad magic, header
+   * syntax errors, out-of-range dimensions, or a truncated raster. */
+  def decode(bytes: Array[Byte]): PpmImage = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      throw new PpmFormatException(
+        s"not a binary PPM: expected magic 'P6', got " +
+          new String(bytes.take(2), "US-ASCII"))
+    var pos = 2
+
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+    // whitespace and '#'-to-end-of-line comments may separate any tokens
+    def skipSeparators(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (pos < bytes.length && isWs(bytes(pos))) { pos += 1; moved = true }
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          moved = true
+        }
+      }
+    }
+
+    def readInt(what: String): Int = {
+      skipSeparators()
+      val start = pos
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > Int.MaxValue) throw new PpmFormatException(s"$what out of range")
+        pos += 1
+      }
+      if (pos == start) throw new PpmFormatException(
+        s"expected $what digits at byte $pos")
+      v.toInt
+    }
+
+    val width = readInt("width")
+    val height = readInt("height")
+    val maxVal = readInt("maxval")
+    if (width <= 0 || height <= 0) throw new PpmFormatException(
+      s"non-positive dimensions ${width}x$height")
+    if (maxVal <= 0 || maxVal > 255) throw new PpmFormatException(
+      s"unsupported maxval $maxVal (8-bit only)")
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (pos >= bytes.length || !isWs(bytes(pos)))
+      throw new PpmFormatException("missing raster separator after maxval")
+    pos += 1
+    val expect = width.toLong * height * 3
+    if (bytes.length - pos < expect) throw new PpmFormatException(
+      s"truncated raster: need $expect bytes, have ${bytes.length - pos}")
+    PpmImage(width, height, maxVal,
+      java.util.Arrays.copyOfRange(bytes, pos, pos + expect.toInt))
+  }
+}

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  */
 object TextQueries {
 
-  import Ops.{t, events}
+  import Ops.{t, events, spread}
 
   private val Stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -102,31 +102,32 @@ object TextQueries {
           sum(col("ev")).as("total_events"))
     },
 
-    // ---- multimodal: opaque binary payload + typed decode pipeline ----
-    // The payload stands in for image/audio bytes (no media libs in this
-    // environment); the decode step is a DETERMINISTIC STUB (byte-sum
-    // "brightness", size-derived "frame count") — the Spark plumbing
-    // (binary column, typed Dataset, mapPartitions batch shape) is the
-    // real thing a decoder would drop into.
+    // ---- multimodal: opaque binary column + real typed decode ----
+    // The binary payload is a REAL image container (binary PPM, "P6"),
+    // synthesized deterministically per doc_id by PpmCodec.synthesize —
+    // standing in for the upstream system that stored the bytes — and
+    // then decoded by an actual grammar-correct PPM parser (comments,
+    // whitespace, bounds checks) inside mapPartitions. Decoded pixel
+    // stats stay in exact integer arithmetic, so the DuckDB oracle can
+    // recompute them from the id-derived generator without parsing PPM.
     "m1_multimodal_meta" -> { (s, dir) =>
       val sq = s
       import sq.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
+      val stored = t(s, dir, "documents")
+        .repartition(spread(s), col("doc_id")) // single-file input: spread decode work
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PpmCodec.synthesize(id))))
+        .toDF("doc_id", "payload") // the opaque binary column a reader sees
+      stored.as[(Long, Array[Byte])]
         .mapPartitions { iter =>
           iter.map { case (id, bytes) =>
-            // STUB decode: a real implementation would parse/resize/
-            // frame-sample here, per-partition, reusing a decoder.
-            // "Brightness" sums code points of the first 64 decoded
-            // characters (not bytes — the oracle's ord() is per char,
-            // and the two diverge on multi-byte text).
-            val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-            val brightness = text.codePoints().limit(64).toArray.sum
-            (id, bytes.length, brightness % 256, bytes.length / 1024 + 1)
+            val img = PpmCodec.decode(bytes)
+            val npx = img.width * img.height * 3
+            (id, img.width, img.height, bytes.length,
+              img.pixelSum, img.pixelSum / npx)
           }
         }
-        .toDF("doc_id", "n_bytes", "brightness", "n_frames")
+        .toDF("doc_id", "width", "height", "n_bytes", "px_sum", "mean_px")
     }
   )
 
@@ -188,12 +189,28 @@ object TextQueries {
         |  CAST(SUM(ev) AS BIGINT) AS total_events
         |FROM per_sess GROUP BY user_id""".stripMargin,
 
+    // Recomputes the decoder's outputs from the synthetic generator's
+    // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
+    // header = "P6\n" (3) + "# c\n" on even ids (4) + "w h\n" (4,
+    // single-digit dims) + "255\n" (4).
     "m1_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CAST(COALESCE(list_sum(list_transform(generate_series(1, least(64, length(text))),
-        |    i -> ord(substr(text, i, 1)))), 0) % 256 AS INT) AS brightness,
-        |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
-        |FROM documents""".stripMargin
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) AS width,
+        |    CAST(3 + doc_id % 4 AS INT) AS height,
+        |    CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS clen
+        |  FROM documents),
+        |calc AS (
+        |  SELECT doc_id, width, height,
+        |    width * height * 3 AS npx,
+        |    11 + clen AS hlen,
+        |    CAST(list_sum(list_transform(generate_series(0, width * height * 3 - 1),
+        |      i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum
+        |  FROM base)
+        |SELECT doc_id, width, height,
+        |  CAST(hlen + npx AS INT) AS n_bytes,
+        |  px_sum,
+        |  px_sum // npx AS mean_px
+        |FROM calc""".stripMargin
   )
 }
