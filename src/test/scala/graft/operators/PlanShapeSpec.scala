@@ -55,6 +55,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d5/d6: per-query ranking is salted — local top-k windows precede the final rank") {
+    // two Window operators per query: (group, __salt) local pass, then
+    // the per-group final rank over surviving candidates only
+    Seq("d5_ann_bruteforce", "d6_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("__salt"), s"$q lost its salted local top-k pass:\n$p")
+      assert("row_number".r.findAllIn(p).length >= 2, s"$q:\n$p")
+    }
+  }
+
+  test("d4: gram DF cap runs as one window pass partitioned on the self-join key") {
+    val p = plan("d4_ngram_jaccard")
+    // the cap must be a window COUNT over (source, gram) — not a join
+    // against a separately-aggregated DF relation (extra shuffle)
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("d2: LSH banding runs over collapsed unique texts (md5 group precedes banding)") {
+    val p = plan("d2_minhash_lsh")
+    assert(p.contains("md5"), p)
+    // re-expansion joins members back in: least/greatest ordering proves
+    // the cross-group expansion stage exists
+    assert(p.contains("least") && p.contains("greatest"), p)
+  }
+
   test("hive-style partitioned writes prune partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("part-prune").toString
     spark.read.parquet(s"$sf/part.parquet")
