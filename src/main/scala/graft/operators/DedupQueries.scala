@@ -103,18 +103,28 @@ object DedupQueries {
       // (inter = union = |shingle set|). Expansion is pure output
       // materialization — the quadratic no longer touches the shingle
       // joins.
-      val hashed = corpus(s, dir)
+      // one shuffle on the text hash assigns every row its group
+      // representative; no join needed for either the member list or the
+      // unique-text corpus
+      val withRep = corpus(s, dir)
         .repartition(spread(s), col("doc_id")) // single-file input: spread the work
         .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-      val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
-      val members = hashed.select(col("h"), col("doc_id")).join(reps, "h")
-        .select(col("rep"), col("doc_id"))
-      val uniq = hashed.join(reps, hashed("doc_id") === reps("rep"))
+        .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      // members is consumed by both expansion stages and is two ints per
+      // row — localCheckpoint so each consumer doesn't re-run the
+      // hash-window over the full corpus (lineage truncation is the
+      // point; on a cluster the blocks are executor-local and
+      // recomputed-from-source only on executor loss)
+      val members = withRep.select(col("rep"), col("doc_id")).localCheckpoint()
+      val uniq = withRep.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("doc_id"), col("text"))
+      // the exploded distinct shingle relation drives minhashing, cards,
+      // and both verification joins (4 consumers): materialize once
       val ex = uniq
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(ShingleExpr)).as("x"))
         .distinct() // shingle SET semantics via codegen hash aggregate
+        .localCheckpoint()
       val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       // 48 minhashes as plain min aggregates (codegen, map-side partial)
       val mhAggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("x"))).as(s"mh$i"))

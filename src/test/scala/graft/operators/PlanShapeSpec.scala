@@ -72,9 +72,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("windowspecdefinition(source"), p)
   }
 
-  test("d2: LSH banding runs over collapsed unique texts (md5 group precedes banding)") {
+  test("d2: LSH banding runs over collapsed, checkpointed unique texts") {
     val p = plan("d2_minhash_lsh")
-    assert(p.contains("md5"), p)
+    // the md5 pre-collapse is materialized via localCheckpoint: the
+    // shingle/member inputs surface as ExistingRDD scans, computed once
+    // for their four consumers instead of re-derived per consumer
+    assert(p.contains("Scan ExistingRDD"), p)
     // re-expansion joins members back in: least/greatest ordering proves
     // the cross-group expansion stage exists
     assert(p.contains("least") && p.contains("greatest"), p)
