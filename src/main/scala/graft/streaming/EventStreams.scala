@@ -39,6 +39,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+   * user's clicks from the preceding hour — the streaming rendering of
+   * the q21 as-of shape (the exact latest-click-only semantics needs
+   * per-key state; the watermark-bounded interval join is the standard
+   * streaming composition, emitting every candidate click in range).
+   * Both inputs carry watermarks and the join condition bounds click_ts
+   * to [purchase_ts - 1h, purchase_ts], so each side's buffered rows are
+   * evicted as the other side's watermark passes the interval — state is
+   * arrival-rate × (watermark + interval), never stream length. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Stream → SCBF ingest. SCBF cannot be a native streaming sink (a
    * file's metadata is finalized at close, so no incremental appends
    * within a file); the composition is one subdirectory per micro-batch,

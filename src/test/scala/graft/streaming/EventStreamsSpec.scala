@@ -119,6 +119,63 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickPurchaseJoin matches purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.clickPurchaseJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("cpjoin").outputMode("append").start()
+    try {
+      clicks.addData((100L, 1L, ts(5)), (101L, 1L, ts(25)), (102L, 2L, ts(10)))
+      purchases.addData((200L, 1L, ts(30)))   // joins clicks 100 + 101
+      q.processAllAvailable()
+      purchases.addData((201L, 1L, ts(300)))  // > 1h after any click: no match
+      purchases.addData((202L, 3L, ts(31)))   // user with no clicks: no match
+      q.processAllAvailable()
+      val got = spark.table("cpjoin")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((200L, 100L), (200L, 101L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming interval join equals the batch join on the real events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamDir = java.nio.file.Files.createTempDirectory("events-join-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def side(tpe: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === tpe)
+    val q = EventStreams.clickPurchaseJoin(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("cpparity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("cpparity")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      val c = batchDf.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val p = batchDf.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"))
+      val batch = c.join(p,
+          col("user_id") === col("p_user_id") &&
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "parity test is vacuous: no joinable pairs in testdata")
+      assert(streaming == batch, s"stream/batch divergence: " +
+        s"${(streaming -- batch).take(3)} vs ${(batch -- streaming).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupEvents drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
