@@ -119,10 +119,17 @@ object DedupQueries {
       val uniq = withRep.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("doc_id"), col("text"))
       // the exploded distinct shingle relation drives minhashing, cards,
-      // and both verification joins (4 consumers): materialize once
+      // and both verification joins (4 consumers): materialize once.
+      // Shingles are collapsed to their xxhash64 up front — every
+      // downstream shuffle/join carries an 8-byte long instead of a
+      // ~30-byte trigram string, and the minhash family xxhash64(i, h)
+      // over hashed shingles is as valid as one over the strings. A
+      // 64-bit collision (≈2⁻⁶⁴ per shingle pair) could in principle
+      // perturb a count; the oracle gate would catch it.
       val ex = uniq
         .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(ShingleExpr)).as("x"))
+        .select(col("doc_id"), explode(expr(ShingleExpr)).as("xs"))
+        .select(col("doc_id"), xxhash64(col("xs")).as("x"))
         .distinct() // shingle SET semantics via codegen hash aggregate
         .localCheckpoint()
       val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
