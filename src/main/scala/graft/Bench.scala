@@ -36,12 +36,14 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.3f s${if (failed) "  FAILED" else ""}")
-      // a failed query records a negative duration — unmistakable
-      // downstream, and it can't silently lower the total
-      (name, if (failed) -sec else sec, failed)
+      (name, sec, failed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // failed queries emit null, not a number: a numeric value (even a
+    // negative sentinel) would silently poison per-query min/sum tooling
+    // downstream — the "failed" list carries the signal
+    val qs = results.map { case (k, v, fl) =>
+      "\"" + k + "\":" + (if (fl) "null" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum

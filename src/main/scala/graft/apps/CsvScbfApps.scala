@@ -66,13 +66,25 @@ object CsvScbfApps {
   private def writeSingleFile(spark: SparkSession, df: DataFrame, outPath: String,
       format: String, options: Map[String, String]): Unit = {
     val tmp = outPath + "_tmp_" + java.util.UUID.randomUUID().toString.take(8)
-    df.coalesce(1).write.format(format).options(options).mode("overwrite").save(tmp)
+    // maxBufferedBytes=Long.MaxValue: the single-FILE output contract of
+    // the reference CLI needs the one task to buffer everything (exactly
+    // what the reference writer does); the connector's default would
+    // roll to multiple part files and only one could be renamed below
+    df.coalesce(1).write.format(format).options(options)
+      .option("maxBufferedBytes", Long.MaxValue)
+      .mode("overwrite").save(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpPath = new Path(tmp)
     val fs = tmpPath.getFileSystem(conf)
-    val part = fs.listStatus(tmpPath)
-      .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+    val parts = fs.listStatus(tmpPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val part = parts.toSeq match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalStateException(s"no part file written under $tmp")
+      case many => throw new IllegalStateException(
+        s"expected exactly one part file under $tmp, found ${many.size} — " +
+          "refusing to publish a partial single-file output")
+    }
     val out = new Path(outPath)
     fs.delete(out, false)
     // rename signals failure via its return value; proceeding would

@@ -70,6 +70,15 @@ object HyperplaneBuckets {
     val dim = planes(0)(0).length
     require(e.numElements() == dim,
       s"embedding dim ${e.numElements()} != expected $dim")
+    // null elements are a data error, not a zero: ArrayData.getFloat on
+    // a null slot would silently read 0.0 and assign plausible-but-wrong
+    // buckets (the Scala UDF this replaced failed loudly — keep that)
+    var j = 0
+    while (j < dim) {
+      if (e.isNullAt(j))
+        throw new IllegalArgumentException(s"null element at index $j in embedding")
+      j += 1
+    }
     val out = new Array[Long](planes.length)
     var t = 0
     while (t < planes.length) {

@@ -57,6 +57,11 @@ object PpmCodec {
 
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
+    // the grammar requires a separator between the magic and the width:
+    // "P6123" is a corrupt header, not width 123
+    if (bytes.length <= pos || !(isWs(bytes(pos)) || bytes(pos) == '#'))
+      throw new PpmFormatException("missing separator after magic")
+
     // whitespace and '#'-to-end-of-line comments may separate any tokens
     def skipSeparators(): Unit = {
       var moved = true

@@ -123,8 +123,8 @@ object TextQueries {
           iter.map { case (id, bytes) =>
             val img = PpmCodec.decode(bytes)
             val npx = img.width * img.height * 3
-            (id, img.width, img.height, bytes.length,
-              img.pixelSum, img.pixelSum / npx)
+            val pxSum = img.pixelSum // def rescans the raster: bind once
+            (id, img.width, img.height, bytes.length, pxSum, pxSum / npx)
           }
         }
         .toDF("doc_id", "width", "height", "n_bytes", "px_sum", "mean_px")

@@ -94,7 +94,7 @@ class ScbfBatchWrite(
         .flatten.toSet
     toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach(p => fs.delete(p, false))
-    sweepTemps()
+    if (truncate) sweepTemps()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -102,11 +102,16 @@ class ScbfBatchWrite(
     messages.collect { case ScbfCommitMessage(files) =>
       files.foreach(f => fs.delete(new Path(f), false))
     }
-    sweepTemps()
+    if (truncate) sweepTemps()
   }
 
-  /** Remove temps left by dead task attempts. Safe at job end: live
-   * attempts are done, and readers never see temps either way. */
+  /** Remove temps left by dead task attempts — but only on overwrite
+   * jobs: an overwrite already replaces the directory's contents, so no
+   * concurrent writer can be harmed, while sweeping on APPEND could
+   * delete a concurrently-running append job's staged temps out from
+   * under it (its rename would then fail the job). Append-mode orphans
+   * from hard crashes are invisible to readers (dot-prefix) and get
+   * cleared by the next overwrite. */
   private def sweepTemps(): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)

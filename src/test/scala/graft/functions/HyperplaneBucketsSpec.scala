@@ -69,4 +69,16 @@ class HyperplaneBucketsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("dim") ||
       e.getCause != null && e.getCause.getMessage.contains("dim"))
   }
+
+  test("a null ELEMENT is a loud data error, not a silent 0.0") {
+    val lits = (0 until dim).map(i => if (i == 3) "NULL" else s"CAST($i AS FLOAT)")
+    val withNullElem = spark.sql(
+      s"SELECT ARRAY(${lits.mkString(", ")}) AS e")
+    val e = intercept[Exception] {
+      withNullElem.select(GraftFunctions.hyperplaneBuckets($"e", planes)).collect()
+    }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: all(t.getCause)
+    assert(all(e).exists(m => m != null && m.contains("null element")), e.toString)
+  }
 }

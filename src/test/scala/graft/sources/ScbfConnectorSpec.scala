@@ -172,7 +172,7 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
       (0 until 1000).map(i => s"row-$i").toSet)
   }
 
-  test("a crashed task's staged temps are invisible to readers and swept by the next write") {
+  test("a crashed task's staged temps are invisible to readers and swept by the next overwrite") {
     val dir = tmpDir("scbf-tempsweep")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)
     // simulate a hard-crashed attempt: a staged temp nobody renamed
@@ -180,9 +180,15 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     assert(spark.read.format("scbf").load(dir).count() == 4,
       "truncated temp must not break reads")
+    // APPEND must NOT sweep: a concurrent append job's staged temps
+    // would be deleted out from under it
     sampleDf.write.format("scbf").mode("append").save(dir)
-    assert(!orphan.exists(), "job commit must sweep orphaned temps")
+    assert(orphan.exists(), "append must leave foreign temps alone")
     assert(spark.read.format("scbf").load(dir).count() == 8)
+    // overwrite replaces the directory contents — it sweeps
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    assert(!orphan.exists(), "overwrite commit must sweep orphaned temps")
+    assert(spark.read.format("scbf").load(dir).count() == 4)
   }
 
   test("filter evaluates correctly above the scan") {
