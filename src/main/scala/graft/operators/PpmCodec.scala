@@ -46,6 +46,36 @@ object PpmCodec {
     header ++ raster
   }
 
+  /** 2× box-filter downsample (the pipeline "resize" op): each output
+   * pixel is the floor-average of its 2×2 source block, per channel; an
+   * odd trailing row/column is dropped. Exact integer arithmetic, so
+   * results are engine-reproducible. */
+  def downsample2x(img: PpmImage): PpmImage = {
+    val rw = img.width / 2
+    val rh = img.height / 2
+    val out = new Array[Byte](rw * rh * 3)
+    val src = img.raster
+    val w = img.width
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        var c = 0
+        while (c < 3) {
+          val i00 = 3 * (2 * y * w + 2 * x) + c
+          val i10 = 3 * ((2 * y + 1) * w + 2 * x) + c
+          val avg = ((src(i00) & 0xff) + (src(i00 + 3) & 0xff) +
+            (src(i10) & 0xff) + (src(i10 + 3) & 0xff)) / 4
+          out(3 * (y * rw + x) + c) = avg.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(rw, rh, img.maxVal, out)
+  }
+
   /** Parse a binary PPM. Throws PpmFormatException on bad magic, header
    * syntax errors, out-of-range dimensions, or a truncated raster. */
   def decode(bytes: Array[Byte]): PpmImage = {

@@ -128,6 +128,29 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "width", "height", "n_bytes", "px_sum", "mean_px")
+    },
+
+    // ---- multimodal resize: decode → 2× box downsample → stats ----
+    // The "resize/frame-sample" leg of the pipeline: same synthesized
+    // PPM payloads as m1, but the decoder output flows through a real
+    // integer box-filter (PpmCodec.downsample2x) before aggregation.
+    // The oracle recomputes the floor-averaged raster arithmetically.
+    "m2_multimodal_resize" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      t(s, dir, "documents")
+        .repartition(spread(s), col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PpmCodec.synthesize(id))))
+        .toDF("doc_id", "payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { iter =>
+          iter.map { case (id, bytes) =>
+            val small = PpmCodec.downsample2x(PpmCodec.decode(bytes))
+            (id, small.width, small.height, small.pixelSum)
+          }
+        }
+        .toDF("doc_id", "rw", "rh", "r_px_sum")
     }
   )
 
@@ -211,6 +234,34 @@ object TextQueries {
         |  CAST(hlen + npx AS INT) AS n_bytes,
         |  px_sum,
         |  px_sum // npx AS mean_px
-        |FROM calc""".stripMargin
+        |FROM calc""".stripMargin,
+
+    // Mirrors PpmCodec.downsample2x arithmetically: output pixel (x2,y2,c)
+    // is the floor-average of the 2×2 source block; source pixel
+    // P(x,y,c) = (id*31 + (3*(y*w+x)+c)*7) % 256. j enumerates the
+    // downsampled raster: y2 = j // (rw*3), x2 = (j % (rw*3)) // 3, c = j % 3.
+    "m2_multimodal_resize" -> {
+      val X = "(((j % (rw * 3)) // 3) * 2)"
+      val Y = "((j // (rw * 3)) * 2)"
+      def px(xe: String, ye: String) =
+        s"(doc_id * 31 + (3 * ($ye * w + $xe) + j % 3) * 7) % 256"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(4 + doc_id % 5 AS INT) AS w,
+         |    CAST(3 + doc_id % 4 AS INT) AS h
+         |  FROM documents),
+         |dims AS (SELECT doc_id, w, h,
+         |    CAST(w // 2 AS INT) AS rw, CAST(h // 2 AS INT) AS rh FROM base),
+         |calc AS (
+         |  SELECT doc_id, rw, rh,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |      generate_series(0, rw * rh * 3 - 1), j ->
+         |        (${px(X, Y)}
+         |         + ${px(s"($X + 1)", Y)}
+         |         + ${px(X, s"($Y + 1)")}
+         |         + ${px(s"($X + 1)", s"($Y + 1)")}) // 4)), 0) AS BIGINT) AS r_px_sum
+         |  FROM dims)
+         |SELECT doc_id, rw, rh, r_px_sum FROM calc""".stripMargin
+    }
   )
 }

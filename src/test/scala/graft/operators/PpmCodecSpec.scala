@@ -29,6 +29,31 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(PpmCodec.decode(tricky).pixelSum == '#' + ' ' + '\n')
   }
 
+  test("downsample2x floor-averages each 2x2 block and drops odd edges") {
+    // 3x3 image whose red channel is the pixel index; green/blue zero
+    val raster = new Array[Byte](3 * 3 * 3)
+    (0 until 9).foreach(i => raster(3 * i) = (i * 10).toByte)
+    val small = PpmCodec.downsample2x(PpmCodec.PpmImage(3, 3, 255, raster))
+    assert(small.width == 1 && small.height == 1)
+    // red = floor((0 + 10 + 30 + 40)/4) = 20; green = blue = 0
+    assert((small.raster(0) & 0xff) == 20)
+    assert(small.raster(1) == 0 && small.raster(2) == 0)
+    assert(small.pixelSum == 20)
+    // parity with the synthetic generator for a few ids
+    Seq(1L, 8L, 4321L).foreach { id =>
+      val img = PpmCodec.decode(PpmCodec.synthesize(id))
+      val s2 = PpmCodec.downsample2x(img)
+      val expect = (for {
+        y2 <- 0 until img.height / 2; x2 <- 0 until img.width / 2; c <- 0 until 3
+      } yield {
+        def p(x: Int, y: Int) = (id * 31 + (3 * (y * img.width + x) + c) * 7) % 256
+        (p(2 * x2, 2 * y2) + p(2 * x2 + 1, 2 * y2) +
+          p(2 * x2, 2 * y2 + 1) + p(2 * x2 + 1, 2 * y2 + 1)) / 4
+      }).sum
+      assert(s2.pixelSum == expect, s"id=$id")
+    }
+  }
+
   test("malformed inputs raise clear format errors") {
     val ok = PpmCodec.synthesize(3L)
     def msg(bytes: Array[Byte]): String =
