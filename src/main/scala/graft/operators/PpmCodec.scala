@@ -32,7 +32,11 @@ object PpmCodec {
   /** Deterministic synthetic image for doc `id`: width 4-8 and height
    * 3-6 derived from the id, raster byte i = (id*31 + i*7) mod 256.
    * Even ids get a header comment line, so decoders must handle them. */
-  def synthesize(id: Long): Array[Byte] = {
+  def synthesize(id: Long): Array[Byte] = synthesizeFrame(id, 0)
+
+  /** Frame `f` of doc `id`'s clip: same dims, raster byte i =
+   * (id*31 + f*97 + i*7) mod 256 — frame 0 is exactly `synthesize`. */
+  def synthesizeFrame(id: Long, f: Int): Array[Byte] = {
     val w = (4 + id % 5).toInt
     val h = (3 + id % 4).toInt
     val comment = if (id % 2 == 0) "# c\n" else ""
@@ -40,10 +44,18 @@ object PpmCodec {
     val raster = new Array[Byte](w * h * 3)
     var i = 0
     while (i < raster.length) {
-      raster(i) = ((id * 31 + i * 7) % 256).toByte
+      raster(i) = ((id * 31 + f * 97 + i * 7) % 256).toByte
       i += 1
     }
     header ++ raster
+  }
+
+  /** A "video clip" for doc `id`: 1 + id%3 PPM frames back-to-back in
+   * one payload — the multi-object container the frame-sampling path
+   * parses as a stream. */
+  def synthesizeFrames(id: Long): Array[Byte] = {
+    val n = 1 + (id % 3).toInt
+    (0 until n).toArray.flatMap(f => synthesizeFrame(id, f))
   }
 
   /** 2× box-filter downsample (the pipeline "resize" op): each output
@@ -77,13 +89,32 @@ object PpmCodec {
   }
 
   /** Parse a binary PPM. Throws PpmFormatException on bad magic, header
-   * syntax errors, out-of-range dimensions, or a truncated raster. */
-  def decode(bytes: Array[Byte]): PpmImage = {
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+   * syntax errors, out-of-range dimensions, or a truncated raster.
+   * Trailing bytes after the raster are ignored (see decodeFrames). */
+  def decode(bytes: Array[Byte]): PpmImage = decodeAt(bytes, 0)._1
+
+  /** Parse every PPM in a multi-frame payload (frames stored
+   * back-to-back) — the container walk of the frame-sampling path.
+   * Throws if any frame is malformed or trailing garbage remains. */
+  def decodeFrames(bytes: Array[Byte]): Seq[PpmImage] = {
+    val out = Seq.newBuilder[PpmImage]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (img, next) = decodeAt(bytes, pos)
+      out += img
+      pos = next
+    }
+    out.result()
+  }
+
+  /** Parse one PPM starting at `start`; returns the image and the
+   * offset of the first byte after its raster. */
+  private def decodeAt(bytes: Array[Byte], start: Int): (PpmImage, Int) = {
+    if (bytes.length < start + 2 || bytes(start) != 'P' || bytes(start + 1) != '6')
       throw new PpmFormatException(
-        s"not a binary PPM: expected magic 'P6', got " +
-          new String(bytes.take(2), "US-ASCII"))
-    var pos = 2
+        s"not a binary PPM at byte $start: expected magic 'P6', got " +
+          new String(bytes.slice(start, start + 2), "US-ASCII"))
+    var pos = start + 2
 
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
@@ -133,7 +164,8 @@ object PpmCodec {
     val expect = width.toLong * height * 3
     if (bytes.length - pos < expect) throw new PpmFormatException(
       s"truncated raster: need $expect bytes, have ${bytes.length - pos}")
-    PpmImage(width, height, maxVal,
-      java.util.Arrays.copyOfRange(bytes, pos, pos + expect.toInt))
+    (PpmImage(width, height, maxVal,
+      java.util.Arrays.copyOfRange(bytes, pos, pos + expect.toInt)),
+      pos + expect.toInt)
   }
 }

@@ -151,6 +151,30 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "rw", "rh", "r_px_sum")
+    },
+
+    // ---- multimodal frame-sampling over multi-frame payloads ----
+    // Each doc's payload is a real multi-object container (1 + id%3 PPM
+    // frames back-to-back); the decoder walks the stream frame by frame
+    // and the sampler keeps every 2nd frame — the video-pipeline shape
+    // where decode cost is paid only for kept frames in a real codec.
+    "m3_multimodal_frames" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      t(s, dir, "documents")
+        .repartition(spread(s), col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PpmCodec.synthesizeFrames(id))))
+        .toDF("doc_id", "payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { iter =>
+          iter.map { case (id, bytes) =>
+            val frames = PpmCodec.decodeFrames(bytes)
+            val sampled = frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f }
+            (id, frames.length, sampled.length, sampled.map(_.pixelSum).sum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "sampled_px_sum")
     }
   )
 
@@ -262,6 +286,32 @@ object TextQueries {
          |         + ${px(s"($X + 1)", s"($Y + 1)")}) // 4)), 0) AS BIGINT) AS r_px_sum
          |  FROM dims)
          |SELECT doc_id, rw, rh, r_px_sum FROM calc""".stripMargin
-    }
+    },
+
+    // Frames are sampled at stride 2: frame 0 always, frame 2 iff the
+    // clip has 3 frames (n = 1 + id%3 ∈ {1,2,3}); frame f's raster byte
+    // i = (id*31 + f*97 + i*7) % 256.
+    "m3_multimodal_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) AS w,
+        |    CAST(3 + doc_id % 4 AS INT) AS h,
+        |    CAST(1 + doc_id % 3 AS INT) AS n
+        |  FROM documents),
+        |calc AS (
+        |  SELECT doc_id, n, w * h * 3 AS npx,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      generate_series(0, w * h * 3 - 1),
+        |      i -> (doc_id * 31 + i * 7) % 256)), 0) AS BIGINT) AS s0,
+        |    CASE WHEN n = 3 THEN
+        |      CAST(COALESCE(list_sum(list_transform(
+        |        generate_series(0, w * h * 3 - 1),
+        |        i -> (doc_id * 31 + 194 + i * 7) % 256)), 0) AS BIGINT)
+        |    ELSE 0 END AS s2
+        |  FROM base)
+        |SELECT doc_id, n AS n_frames,
+        |  CAST((n + 1) // 2 AS INT) AS n_sampled,
+        |  s0 + s2 AS sampled_px_sum
+        |FROM calc""".stripMargin
   )
 }

@@ -54,6 +54,21 @@ class PpmCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeFrames walks a multi-frame payload and rejects trailing garbage") {
+    Seq(0L, 1L, 2L, 77L).foreach { id =>
+      val frames = PpmCodec.decodeFrames(PpmCodec.synthesizeFrames(id))
+      assert(frames.length == 1 + (id % 3).toInt, s"id=$id")
+      // frame f differs from frame 0 by the f*97 offset in every byte
+      frames.zipWithIndex.foreach { case (f, idx) =>
+        val expect = (0 until f.raster.length)
+          .map(i => (id * 31 + idx * 97 + i * 7) % 256).sum
+        assert(f.pixelSum == expect, s"id=$id frame=$idx")
+      }
+    }
+    val garbage = PpmCodec.synthesizeFrames(5L) ++ "junk".getBytes("US-ASCII")
+    intercept[PpmCodec.PpmFormatException](PpmCodec.decodeFrames(garbage))
+  }
+
   test("malformed inputs raise clear format errors") {
     val ok = PpmCodec.synthesize(3L)
     def msg(bytes: Array[Byte]): String =
