@@ -50,34 +50,44 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
     case _ => false
   }
 
+  private def mayHaveNullElements: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   /** Shared by eval and the generated code (one implementation, so the
    * interpreted and codegen paths cannot drift). */
   override def nullSafeEval(a: Any): Any =
-    HyperplaneBuckets.compute(planes, a.asInstanceOf[ArrayData], isFloat)
+    HyperplaneBuckets.compute(planes, a.asInstanceOf[ArrayData], isFloat,
+      mayHaveNullElements)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = HyperplaneBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = $cls.compute($planesRef, $a, $isFloat);")
+      s"${ev.value} = $cls.compute($planesRef, $a, $isFloat, $mayHaveNullElements);")
   }
 }
 
 object HyperplaneBuckets {
 
-  def compute(
-      planes: Array[Array[Array[Double]]], e: ArrayData, isFloat: Boolean): ArrayData = {
+  def compute(planes: Array[Array[Array[Double]]], e: ArrayData,
+      isFloat: Boolean, mayHaveNulls: Boolean): ArrayData = {
     val dim = planes(0)(0).length
     require(e.numElements() == dim,
       s"embedding dim ${e.numElements()} != expected $dim")
     // null elements are a data error, not a zero: ArrayData.getFloat on
     // a null slot would silently read 0.0 and assign plausible-but-wrong
-    // buckets (the Scala UDF this replaced failed loudly — keep that)
-    var j = 0
-    while (j < dim) {
-      if (e.isNullAt(j))
-        throw new IllegalArgumentException(s"null element at index $j in embedding")
-      j += 1
+    // buckets (the Scala UDF this replaced failed loudly — keep that).
+    // Skipped entirely when the schema says containsNull=false: this is
+    // the per-corpus-row hot path.
+    if (mayHaveNulls) {
+      var j = 0
+      while (j < dim) {
+        if (e.isNullAt(j))
+          throw new IllegalArgumentException(s"null element at index $j in embedding")
+        j += 1
+      }
     }
     val out = new Array[Long](planes.length)
     var t = 0

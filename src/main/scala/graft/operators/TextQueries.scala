@@ -16,6 +16,23 @@ object TextQueries {
 
   import Ops.{t, events, spread}
 
+  /** The stored-binary-column stage shared by the multimodal queries:
+   * doc ids → synthesized opaque payloads, spread over partitions before
+   * the CPU-heavy synth/decode work (single-file input starts at 1-2
+   * partitions). One definition so a change to the payload shape cannot
+   * drift between m1/m2/m3. */
+  private def storedPayloads(s: SparkSession, dir: String,
+      synth: Long => Array[Byte]): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val sq = s
+    import sq.implicits._
+    t(s, dir, "documents")
+      .repartition(spread(s), col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synth(id))))
+      .toDF("doc_id", "payload") // the opaque binary column a reader sees
+      .as[(Long, Array[Byte])]
+  }
+
   private val Stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -113,12 +130,7 @@ object TextQueries {
     "m1_multimodal_meta" -> { (s, dir) =>
       val sq = s
       import sq.implicits._
-      val stored = t(s, dir, "documents")
-        .repartition(spread(s), col("doc_id")) // single-file input: spread decode work
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, PpmCodec.synthesize(id))))
-        .toDF("doc_id", "payload") // the opaque binary column a reader sees
-      stored.as[(Long, Array[Byte])]
+      storedPayloads(s, dir, PpmCodec.synthesize)
         .mapPartitions { iter =>
           iter.map { case (id, bytes) =>
             val img = PpmCodec.decode(bytes)
@@ -138,12 +150,7 @@ object TextQueries {
     "m2_multimodal_resize" -> { (s, dir) =>
       val sq = s
       import sq.implicits._
-      t(s, dir, "documents")
-        .repartition(spread(s), col("doc_id"))
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, PpmCodec.synthesize(id))))
-        .toDF("doc_id", "payload")
-        .as[(Long, Array[Byte])]
+      storedPayloads(s, dir, PpmCodec.synthesize)
         .mapPartitions { iter =>
           iter.map { case (id, bytes) =>
             val small = PpmCodec.downsample2x(PpmCodec.decode(bytes))
@@ -161,12 +168,7 @@ object TextQueries {
     "m3_multimodal_frames" -> { (s, dir) =>
       val sq = s
       import sq.implicits._
-      t(s, dir, "documents")
-        .repartition(spread(s), col("doc_id"))
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, PpmCodec.synthesizeFrames(id))))
-        .toDF("doc_id", "payload")
-        .as[(Long, Array[Byte])]
+      storedPayloads(s, dir, PpmCodec.synthesizeFrames)
         .mapPartitions { iter =>
           iter.map { case (id, bytes) =>
             val frames = PpmCodec.decodeFrames(bytes)
@@ -299,7 +301,7 @@ object TextQueries {
         |    CAST(1 + doc_id % 3 AS INT) AS n
         |  FROM documents),
         |calc AS (
-        |  SELECT doc_id, n, w * h * 3 AS npx,
+        |  SELECT doc_id, n,
         |    CAST(COALESCE(list_sum(list_transform(
         |      generate_series(0, w * h * 3 - 1),
         |      i -> (doc_id * 31 + i * 7) % 256)), 0) AS BIGINT) AS s0,

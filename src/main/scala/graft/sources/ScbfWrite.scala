@@ -102,16 +102,18 @@ class ScbfBatchWrite(
     messages.collect { case ScbfCommitMessage(files) =>
       files.foreach(f => fs.delete(new Path(f), false))
     }
-    if (truncate) sweepTemps()
+    // no sweep here: an ABORTED overwrite leaves the old table contents
+    // in place, so the "contents are being replaced anyway" argument
+    // below does not hold and a concurrent append's temps must survive
   }
 
-  /** Remove temps left by dead task attempts — but only on overwrite
-   * jobs: an overwrite already replaces the directory's contents, so no
-   * concurrent writer can be harmed, while sweeping on APPEND could
-   * delete a concurrently-running append job's staged temps out from
-   * under it (its rename would then fail the job). Append-mode orphans
-   * from hard crashes are invisible to readers (dot-prefix) and get
-   * cleared by the next overwrite. */
+  /** Remove temps left by dead task attempts — but only on COMMITTED
+   * overwrite jobs: a successful overwrite replaces the directory's
+   * contents, so no concurrent writer can be harmed, while sweeping on
+   * APPEND (or on abort) could delete a concurrently-running append
+   * job's staged temps out from under it (its rename would then fail
+   * the job). Orphans from hard crashes are invisible to readers
+   * (dot-prefix) and get cleared by the next successful overwrite. */
   private def sweepTemps(): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)
