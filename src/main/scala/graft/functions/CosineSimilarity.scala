@@ -123,6 +123,9 @@ object GraftFunctions {
   def hyperplaneBuckets(e: Column, planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneBuckets(expression(e), planes))
 
+  def minhashSketch(x: Column, numHashes: Int): Column =
+    column(MinHashSketch(expression(x), numHashes).toAggregateExpression())
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a
    * session someone else built, where setting spark.sql.extensions is no
    * longer possible — e.g. a notebook or a driver-owned session).

@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/**
+ * All-in-one minhash sketch aggregate: min over xxhash64(i, x) for
+ * i ∈ [0, numHashes), returned as one array<bigint>.
+ *
+ * Why custom: the equivalent spelling as numHashes separate
+ * `min(xxhash64(lit(i), col))` aggregates works, but each expression
+ * re-hashes the input column and the generated HashAggregate carries
+ * numHashes buffer slots — at 48 hashes the janino compile of that
+ * operator dominates cold-start and every row pays 48 expression-tree
+ * evaluations. As a TypedImperativeAggregate the buffer is one
+ * long[numHashes], updated in a tight loop with the same XXH64
+ * primitives Spark's xxhash64 uses — bit-identical results
+ * (seed 42, hashInt(i) folded into hashLong(x), exactly the
+ * HashExpression child-fold order for (lit(i): int, x: long)) — and
+ * the merge is elementwise min, so map-side partial aggregation
+ * applies as usual.
+ *
+ * Input must be LongType (hash the data to a long first — that is the
+ * shape d2 uses anyway). Null inputs are ignored, like min().
+ */
+case class MinHashSketch(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(x, XXH64.hashInt(i, 42L))
+        if (h < buffer(i)) buffer(i) = h
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b2(i) < b1(i)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8).order(ByteOrder.LITTLE_ENDIAN)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sketch expects a bigint input (hash the value first), " +
+        s"got ${child.dataType.simpleString}")
+  override def prettyName: String = "minhash_sketch"
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinHashSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinHashSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSketch =
+    copy(child = newChild)
+}

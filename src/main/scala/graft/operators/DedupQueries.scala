@@ -133,12 +133,17 @@ object DedupQueries {
         .distinct() // shingle SET semantics via codegen hash aggregate
         .localCheckpoint()
       val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      // 48 minhashes as plain min aggregates (codegen, map-side partial)
-      val mhAggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("x"))).as(s"mh$i"))
-      val mh = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      // all 48 minhashes in ONE TypedImperativeAggregate (bit-identical
+      // to 48 separate min(xxhash64(i, x)) aggs, same partial-merge):
+      // one long[48] buffer and one tight hash loop per row, instead of
+      // a 48-slot HashAggregate whose janino compile dominated cold-start
+      val mh = ex.groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions.minhashSketch(col("x"), NumHashes).as("mhs"))
       val bands = mh.select(col("doc_id"), posexplode(array(
         (0 until NumHashes / 2).map(j =>
-          concat_ws(":", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))): _*
+          concat_ws(":",
+            element_at(col("mhs"), 2 * j + 1),
+            element_at(col("mhs"), 2 * j + 2))): _*
       )).as(Seq("band_idx", "band_key")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
