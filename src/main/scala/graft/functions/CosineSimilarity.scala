@@ -126,6 +126,26 @@ object GraftFunctions {
   def minhashSketch(x: Column, numHashes: Int): Column =
     column(MinHashSketch(expression(x), numHashes).toAggregateExpression())
 
+  /** Shared SQL builders — one definition used by both GraftExtensions
+   * (config-time injection) and register() (runtime registration), so
+   * the two SQL surfaces cannot drift. */
+  private[functions] val sqlBuilders: Seq[
+      (String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", CosineSimilarity.info, { args: Seq[Expression] =>
+      require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
+      CosineSimilarity(args.head, args(1))
+    }),
+    ("minhash_sketch", MinHashSketch.info, { args: Seq[Expression] =>
+      require(args.length == 2,
+        s"minhash_sketch expects 2 arguments (value, numHashes), got ${args.length}")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sketch numHashes must be an integer literal, got $other")
+      }
+      MinHashSketch(args.head, n).toAggregateExpression()
+    }))
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a
    * session someone else built, where setting spark.sql.extensions is no
    * longer possible — e.g. a notebook or a driver-owned session).
@@ -133,18 +153,15 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val sessionState = spark.getClass.getMethod("sessionState").invoke(spark)
     val registry = sessionState.getClass.getMethod("functionRegistry").invoke(sessionState)
-    val builder: Seq[Expression] => Expression = { args =>
-      require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
-      CosineSimilarity(args.head, args(1))
-    }
     val m = registry.getClass.getMethods.find { m =>
       m.getName == "registerFunction" && m.getParameterCount == 3 &&
         m.getParameterTypes()(0) == classOf[org.apache.spark.sql.catalyst.FunctionIdentifier] &&
         m.getParameterTypes()(1) == classOf[ExpressionInfo] &&
         m.getParameterTypes()(2).isAssignableFrom(classOf[Seq[Expression] => Expression])
     }.getOrElse(throw new IllegalStateException("FunctionRegistry.registerFunction not found"))
-    m.invoke(registry,
-      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
-      CosineSimilarity.info, builder)
+    sqlBuilders.foreach { case (name, info, builder) =>
+      m.invoke(registry,
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+    }
   }
 }

@@ -15,12 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      CosineSimilarity.info,
-      (args: Seq[Expression]) => {
-        require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
-        CosineSimilarity(args.head, args(1))
-      }))
+    GraftFunctions.sqlBuilders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
   }
 }

@@ -94,3 +94,9 @@ case class MinHashSketch(
   override protected def withNewChildInternal(newChild: Expression): MinHashSketch =
     copy(child = newChild)
 }
+
+object MinHashSketch {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MinHashSketch].getName, "minhash_sketch")
+}

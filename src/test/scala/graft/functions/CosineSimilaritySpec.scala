@@ -69,5 +69,16 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val r = spark.sql(
       "SELECT cosine_sim(array(1D, 0D), array(0.5D, 0D)) AS s").collect().head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    // the aggregate surface registers too, and matches the Column API
+    val viaSql = spark.sql(
+      "SELECT minhash_sketch(xxhash64(v), 4) AS s FROM VALUES ('a'), ('b') AS t(v)")
+      .collect().head.getSeq[Long](0)
+    val viaCol = {
+      import spark.implicits._
+      Seq("a", "b").toDF("v")
+        .agg(GraftFunctions.minhashSketch(org.apache.spark.sql.functions.xxhash64($"v"), 4))
+        .collect().head.getSeq[Long](0)
+    }
+    assert(viaSql == viaCol && viaSql.length == 4)
   }
 }
