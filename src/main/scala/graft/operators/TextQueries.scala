@@ -119,6 +119,21 @@ object TextQueries {
           sum(col("ev")).as("total_events"))
     },
 
+    // ---- vocabulary extraction: top terms per language ----
+    // The corpus-statistics op of a training pipeline (tokenizer vocab,
+    // stopword discovery). Token counts partial-aggregate map-side;
+    // the per-language ranking goes through the salted hierarchical
+    // top-k, so no task ever sorts a language's whole vocabulary.
+    "t6_top_terms" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .repartition(spread(s), col("doc_id")) // single-file input: spread tokenization
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      Ops.saltedTopK(counts, Seq(col("lang")),
+          Seq(col("cnt").desc, col("tok").asc), col("tok"), 20, "rnk")
+        .select("lang", "rnk", "tok", "cnt")
+    },
+
     // ---- multimodal: opaque binary column + real typed decode ----
     // The binary payload is a REAL image container (binary PPM, "P6"),
     // synthesized deterministically per doc_id by PpmCodec.synthesize —
@@ -237,6 +252,15 @@ object TextQueries {
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(ev) AS max_sess_events,
         |  CAST(SUM(ev) AS BIGINT) AS total_events
         |FROM per_sess GROUP BY user_id""".stripMargin,
+
+    "t6_top_terms" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents),
+        |counts AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS INT) AS rnk,
+        |  tok, CAST(cnt AS BIGINT) AS cnt
+        |FROM counts
+        |QUALIFY rnk <= 20""".stripMargin,
 
     // Recomputes the decoder's outputs from the synthetic generator's
     // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
