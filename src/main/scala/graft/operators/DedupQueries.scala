@@ -218,7 +218,12 @@ object DedupQueries {
             |  y -> y IS NOT NULL))""".stripMargin))
         .select(col("source"), col("doc_id"), col("g"))
         .repartition(spread(s), col("doc_id")) // single-file input: spread the gram work
-      val ex = docs.select(col("source"), col("doc_id"), explode(col("g")).as("gram"))
+      // grams collapse to their xxhash64 up front (see d2): the window
+      // pass and the self-join below shuffle an 8-byte long instead of
+      // a word-bigram string; counts are identical modulo 2⁻⁶⁴
+      // collisions, which the oracle gate would catch.
+      val ex = docs.select(col("source"), col("doc_id"), explode(col("g")).as("gs"))
+        .select(col("source"), col("doc_id"), xxhash64(col("gs")).as("gram"))
       // DF cap (see MaxGramDf): one window pass partitioned by
       // (source, gram) computes document frequency without a join, and
       // leaves the relation hash-partitioned on exactly the self-join
