@@ -58,7 +58,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("d5/d6: per-query ranking is salted — local top-k windows precede the final rank") {
     // two Window operators per query: (group, __salt) local pass, then
     // the per-group final rank over surviving candidates only
-    Seq("d5_ann_bruteforce", "d6_ann_lsh").foreach { q =>
+    Seq("d5_ann_bruteforce", "d6_ann_lsh", "t6_top_terms").foreach { q =>
       val p = plan(q)
       assert(p.contains("__salt"), s"$q lost its salted local top-k pass:\n$p")
       assert("row_number".r.findAllIn(p).length >= 2, s"$q:\n$p")

@@ -102,6 +102,19 @@ class ScbfConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("scbf").load(dir).collect().toSeq == Seq(Row(1, "")))
   }
 
+  test("SQL INSERT INTO appends through the DSv2 write path") {
+    val dir = tmpDir("scbf-insert")
+    sampleDf.write.format("scbf").mode("overwrite").save(dir)
+    spark.sql("DROP TABLE IF EXISTS scbf_ins")
+    spark.sql(s"CREATE TABLE scbf_ins USING scbf LOCATION '$dir'")
+    try {
+      spark.sql("INSERT INTO scbf_ins VALUES (9, 9.5, 'ins')")
+      val got = spark.sql("SELECT name FROM scbf_ins ORDER BY id")
+        .as[String].collect().toSeq
+      assert(got == Seq("alpha", "beta", "日本語", "", "ins"))
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_ins")
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING scbf") {
     val dir = tmpDir("scbf-ddl")
     sampleDf.write.format("scbf").mode("overwrite").save(dir)
