@@ -143,7 +143,10 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"minhash_sketch numHashes must be an integer literal, got $other")
       }
-      MinHashSketch(args.head, n).toAggregateExpression()
+      // raw AggregateFunction, NOT pre-wrapped in toAggregateExpression:
+      // the analyzer only attaches FILTER (WHERE ...) / DISTINCT when it
+      // does the wrapping itself
+      MinHashSketch(args.head, n)
     }))
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a

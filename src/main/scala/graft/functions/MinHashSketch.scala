@@ -39,19 +39,33 @@ case class MinHashSketch(
 
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
+  /** The per-slot seed hashInt(i, 42) depends only on i — computed once
+   * per operator instance, not per row (update is the hottest loop in
+   * the engine). */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  // slot numHashes counts non-null inputs, so an all-null (or empty)
+  // group evals to NULL like min() would — not a sentinel array that
+  // two empty groups would share as a fake all-bands match
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = Array.fill(numHashes + 1)(Long.MaxValue)
+    buf(numHashes) = 0L
+    buf
+  }
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      val s = seeds
       var i = 0
       while (i < numHashes) {
-        val h = XXH64.hashLong(x, XXH64.hashInt(i, 42L))
+        val h = XXH64.hashLong(x, s(i))
         if (h < buffer(i)) buffer(i) = h
         i += 1
       }
+      buffer(numHashes) += 1
     }
     buffer
   }
@@ -62,24 +76,27 @@ case class MinHashSketch(
       if (b2(i) < b1(i)) b1(i) = b2(i)
       i += 1
     }
+    b1(numHashes) += b2(numHashes)
     b1
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer(numHashes) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOfRange(buffer, 0, numHashes))
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(numHashes * 8).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate((numHashes + 1) * 8).order(ByteOrder.LITTLE_ENDIAN)
     buffer.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    Array.fill(numHashes)(bb.getLong)
+    Array.fill(numHashes + 1)(bb.getLong)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

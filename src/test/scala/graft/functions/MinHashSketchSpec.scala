@@ -37,4 +37,24 @@ class MinHashSketchSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("bigint"))
   }
+
+  test("an all-null group evals to NULL like min(), not a shared sentinel sketch") {
+    val df = Seq((0, Some(7L)), (1, None), (1, None)).toDF("g", "x")
+    val rows = df.groupBy($"g").agg(GraftFunctions.minhashSketch($"x", 4).as("s"))
+      .orderBy($"g").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1), "all-null group must be NULL")
+  }
+
+  test("SQL surface supports FILTER (WHERE ...) on the aggregate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sketch(x, 4) FILTER (WHERE x > 0) AS s
+        |FROM VALUES (CAST(-1 AS BIGINT)), (CAST(5 AS BIGINT)) AS t(x)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    val expect = spark.sql(
+      "SELECT minhash_sketch(x, 4) AS s FROM VALUES (CAST(5 AS BIGINT)) AS t(x)")
+      .collect().head.getSeq[Long](0)
+    assert(r == expect)
+  }
 }

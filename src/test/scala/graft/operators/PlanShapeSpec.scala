@@ -55,7 +55,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("d5/d6: per-query ranking is salted — local top-k windows precede the final rank") {
+  test("d5/d6/t6: per-group ranking is salted — local top-k windows precede the final rank") {
     // two Window operators per query: (group, __salt) local pass, then
     // the per-group final rank over surviving candidates only
     Seq("d5_ann_bruteforce", "d6_ann_lsh", "t6_top_terms").foreach { q =>
