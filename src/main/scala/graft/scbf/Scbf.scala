@@ -70,7 +70,14 @@ object ScbfSchema {
   /** Parse the header schema JSON. Tolerant of any valid JSON formatting,
    * not just the canonical python layout. */
   def fromJson(json: String): ScbfSchema = {
-    val root = new ObjectMapper().readTree(json)
+    // unparseable JSON in the header is a format error, not a raw
+    // jackson exception escaping to the caller
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new ScbfFormatException(s"Corrupt schema JSON: ${e.getOriginalMessage}")
+      }
     val cols = root.get("columns")
     if (cols == null || !cols.isArray)
       throw new ScbfFormatException("Schema JSON missing 'columns' array")

@@ -40,6 +40,8 @@ object ScbfReader {
 
   final class ByteArrayInput(bytes: Array[Byte]) extends RandomInput {
     def readFully(offset: Long, length: Int): Array[Byte] = {
+      if (length < 0)
+        throw new ScbfFormatException(s"negative read length $length")
       if (offset < 0 || offset + length > bytes.length)
         throw new ScbfFormatException(
           s"Truncated file: need bytes [$offset, ${offset + length}) of ${bytes.length}")
@@ -52,6 +54,8 @@ object ScbfReader {
 
   final class ChannelInput(ch: java.nio.channels.SeekableByteChannel) extends RandomInput {
     def readFully(offset: Long, length: Int): Array[Byte] = {
+      if (length < 0 || offset < 0)
+        throw new ScbfFormatException(s"invalid read [$offset, +$length)")
       if (offset + length > ch.size())
         throw new ScbfFormatException(
           s"Truncated file: need bytes [$offset, ${offset + length}) of ${ch.size()}")
@@ -70,6 +74,8 @@ object ScbfReader {
    * FSDataInputStream implements PositionedReadable via this shape). */
   final class SeekableStreamInput(in: InputStream, seek: Long => Unit) extends RandomInput {
     def readFully(offset: Long, length: Int): Array[Byte] = {
+      if (length < 0 || offset < 0)
+        throw new ScbfFormatException(s"invalid read [$offset, +$length)")
       seek(offset)
       val out = new Array[Byte](length)
       var read = 0
@@ -114,6 +120,11 @@ object ScbfReader {
    * data block through the input and defeat selective reads (caught by
    * SelectiveReadSpec's bytes-read counter). */
   def readMeta(in: RandomInput, header: ScbfHeader, fileLen: Long): Seq[ColumnMeta] = {
+    if (header.metaTableOffset < 0 || header.metaTableOffset > fileLen)
+      throw new ScbfFormatException(
+        s"metadata offset ${header.metaTableOffset} outside file of $fileLen bytes")
+    if (header.numColumns < 0)
+      throw new ScbfFormatException(s"negative column count ${header.numColumns}")
     val available = fileLen - header.metaTableOffset
     var chunk = math.min(available, 16384L).toInt
     var buf = ByteBuffer.wrap(in.readFully(header.metaTableOffset, chunk))
@@ -252,7 +263,15 @@ object ScbfReader {
       val out = new Array[Byte](expectedSize)
       var done = 0
       while (done < expectedSize && !inf.finished()) {
-        val n = inf.inflate(out, done, expectedSize - done)
+        // a corrupted stream raises DataFormatException from the native
+        // inflater — surface it as the format error it is, so a
+        // bit-rotted file can't escape the ScbfFormatException contract
+        val n =
+          try inf.inflate(out, done, expectedSize - done)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new ScbfFormatException(s"Corrupt zlib block: ${e.getMessage}")
+          }
         // any zero-progress state that isn't completion (truncated input,
         // FDICT preset-dictionary stream, ...) must fail, not spin
         if (n == 0 && !inf.finished())

@@ -69,6 +69,30 @@ class PpmCodecSpec extends AnyFunSuite {
     intercept[PpmCodec.PpmFormatException](PpmCodec.decodeFrames(garbage))
   }
 
+  test("corruption fuzz: mutations of valid payloads never escape as non-format errors") {
+    val rnd = new scala.util.Random(7)
+    val base = PpmCodec.synthesizeFrames(12L)
+    (1 to 2000).foreach { i =>
+      val bytes = base.clone()
+      val pos = rnd.nextInt(bytes.length)
+      bytes(pos) = (bytes(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try PpmCodec.decodeFrames(bytes)
+      catch {
+        case _: PpmCodec.PpmFormatException => ()
+        case e: Throwable =>
+          fail(s"iteration $i (byte $pos): escaped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    (0 until base.length).foreach { n =>
+      try PpmCodec.decodeFrames(base.take(n))
+      catch {
+        case _: PpmCodec.PpmFormatException => ()
+        case e: Throwable =>
+          fail(s"truncation to $n escaped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("malformed inputs raise clear format errors") {
     val ok = PpmCodec.synthesize(3L)
     def msg(bytes: Array[Byte]): String =
