@@ -134,6 +134,24 @@ object TextQueries {
         .select("lang", "rnk", "tok", "cnt")
     },
 
+    // ---- stratified sampling: deterministic per-source data mixing ----
+    // The keep decision hashes the stable doc_id (md5 — identical in
+    // both engines), so the sample is bit-reproducible across runs,
+    // partitionings, and cluster sizes, unlike df.sample's RNG. Rates
+    // derive from the source index as a stand-in for a mixing-weights
+    // table. Pure filter + partial agg: no shuffle beyond the final
+    // per-source count.
+    "t7_stratified_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("rate",
+          lit(20) + (expr("CAST(substr(source, 4) AS INT)") % 8) * 10)
+        .withColumn("sel", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .filter(col("sel") < col("rate"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"), max(col("rate")).as("rate"))
+    },
+
     // ---- multimodal: opaque binary column + real typed decode ----
     // The binary payload is a REAL image container (binary PPM, "P6"),
     // synthesized deterministically per doc_id by PpmCodec.synthesize —
@@ -261,6 +279,14 @@ object TextQueries {
         |  tok, CAST(cnt AS BIGINT) AS cnt
         |FROM counts
         |QUALIFY rnk <= 20""".stripMargin,
+
+    "t7_stratified_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    20 + (CAST(substr(source, 4) AS INT) % 8) * 10 AS rate,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sel
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS kept, CAST(MAX(rate) AS INT) AS rate
+        |FROM d WHERE sel < rate GROUP BY source""".stripMargin,
 
     // Recomputes the decoder's outputs from the synthetic generator's
     // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
