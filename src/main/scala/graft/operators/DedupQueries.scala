@@ -59,6 +59,34 @@ object DedupQueries {
 
   private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
 
+  /** SQL twin of simhashSignatures, shared by the d3/d10 oracles. */
+  private lazy val SimhashSigsSql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
+    val recombine = (0 until 32).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""$CorpusSql,
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM corpus),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT hv FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $recombine AS simhash FROM bits)""".stripMargin
+  }
+
+  /** 32-bit md5-derived SimHash per corpus doc — shared by d3 (the
+   * signature surface) and d10 (near-dup pairs over the signatures). */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val tok = corpus(s, dir)
+      .repartition(spread(s), col("doc_id")) // single-file input: spread the hash work
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
+
   /** d4's document-frequency cap: a gram appearing in more than this many
    * documents of one source carries no Jaccard discrimination but
    * generates DF² rows in the gram self-join — the one quadratic in that
@@ -186,17 +214,33 @@ object DedupQueries {
     },
 
     // ---- SimHash document signatures (32-bit, md5-derived) ----
-    "d3_simhash" -> { (s, dir) =>
-      val tok = corpus(s, dir)
-        .repartition(spread(s), col("doc_id")) // single-file input: spread the hash work
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
-      val bitAggs = (0 until 32).map(j =>
-        sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-      val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      bitSums.select(col("doc_id"),
-        (0 until 32).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    "d3_simhash" -> { (s, dir) => simhashSignatures(s, dir) },
+
+    // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
+    // hamming(a, b) ≤ 3 over a 32-bit signature means at most 3 of the
+    // 4 disjoint 8-bit chunks differ — so every qualifying pair shares
+    // at least one chunk verbatim. Candidates come from a chunk-value
+    // equi-join (a shuffle on small ints, no all-pairs work), then the
+    // exact bit_count(xor) verification keeps only true pairs: unlike
+    // MinHash banding this is EXACT by construction, at any scale.
+    // Chunk width trades the recall-guaranteed radius (k chunks ⟹
+    // hamming ≤ k-1) against bucket fan-out; 4×8 bits is the canonical
+    // split for radius 3 on 32-bit signatures.
+    "d10_simhash_neardup" -> { (s, dir) =>
+      val sig = simhashSignatures(s, dir)
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          expr(s"(simhash >> ${8 * c}) & 255")): _*)).as(Seq("chunk_idx", "chunk_val")))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct() // a pair can share several chunks
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
     },
 
     // ---- n-gram (word bigram) Jaccard within source buckets ----
@@ -379,17 +423,16 @@ object DedupQueries {
          |JOIN cards cb ON cb.doc_id = db
          |WHERE i * 10 >= (ca.c + cb.c - i) * 6""".stripMargin,
 
-    "d3_simhash" -> {
-      val bitSums = (0 until 32).map(j =>
-        s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
-      val recombine = (0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH $CorpusSql,
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM corpus),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT hv FROM tok),
-         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, $recombine AS simhash FROM bits""".stripMargin
-    },
+    "d3_simhash" ->
+      s"""WITH $SimhashSigsSql
+         |SELECT doc_id, simhash FROM sigs""".stripMargin,
+
+    "d10_simhash_neardup" ->
+      s"""WITH $SimhashSigsSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
