@@ -65,6 +65,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d10: simhash pair generation is an equi-join on chunk values, never a cartesian") {
+    val p = plan("d10_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact-verification filter must sit above candidates, with the
+    // chunk equality as the join key
+    assert(p.contains("chunk_val"), p)
+  }
+
   test("d4: gram DF cap runs as one window pass partitioned on the self-join key") {
     val p = plan("d4_ngram_jaccard")
     // the cap must be a window COUNT over (source, gram) — not a join
