@@ -152,6 +152,37 @@ object TextQueries {
         .agg(count(lit(1)).as("kept"), max(col("rate")).as("rate"))
     },
 
+    // ---- repetition scoring: duplicate-trigram ratio per document ----
+    // The Gopher/C4-style repetition signal: heavily repeated n-grams
+    // mark boilerplate/spam for filtering. Trigram multiset per doc →
+    // per-(doc, gram) counts (partial-aggregate map-side, grams never
+    // leave their doc's shuffle key) → per-doc totals. Short docs
+    // (< 3 tokens) survive via the left join back with zero counts.
+    "t8_repetition" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val grams = docs
+        .repartition(spread(s), col("doc_id")) // single-file input: spread tokenization
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(w, (x, i) ->
+            |  IF(i <= size(w) - 3,
+            |     concat(x, '_', element_at(w, i + 2), '_', element_at(w, i + 3)),
+            |     NULL)), y -> y IS NOT NULL)""".stripMargin)).as("g"))
+      val stats = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("uniq"),
+          max(col("c")).as("top_cnt"))
+      docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("total"), lit(0L)).as("total"),
+          coalesce(col("uniq"), lit(0L)).as("uniq"),
+          coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+          when(coalesce(col("total"), lit(0L)) === 0, lit(0.0))
+            .otherwise(((col("total") - col("uniq")) * lit(1.0)) / col("total"))
+            .as("dup_ratio"))
+    },
+
     // ---- multimodal: opaque binary column + real typed decode ----
     // The binary payload is a REAL image container (binary PPM, "P6"),
     // synthesized deterministically per doc_id by PpmCodec.synthesize —
@@ -287,6 +318,23 @@ object TextQueries {
         |  FROM documents)
         |SELECT source, COUNT(*) AS kept, CAST(MAX(rate) AS INT) AS rate
         |FROM d WHERE sel < rate GROUP BY source""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(w) - 2, 0)),
+        |        i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) g
+        |      FROM tok),
+        |pg AS (SELECT doc_id, g, COUNT(*) c FROM g GROUP BY 1, 2),
+        |st AS (SELECT doc_id, SUM(c) total, COUNT(*) uniq, MAX(c) top_cnt
+        |       FROM pg GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(total, 0) AS BIGINT) AS total,
+        |  CAST(COALESCE(uniq, 0) AS BIGINT) AS uniq,
+        |  CAST(COALESCE(top_cnt, 0) AS BIGINT) AS top_cnt,
+        |  CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
+        |       ELSE ((total - uniq) * 1.0) / total END AS dup_ratio
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
     // Recomputes the decoder's outputs from the synthetic generator's
     // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
