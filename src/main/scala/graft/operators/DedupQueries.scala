@@ -97,6 +97,96 @@ object DedupQueries {
   private val MaxGramDf = 64
 
 
+  /** Hyperplane-LSH ANN core (d6): bucket-join candidate generation +
+   * exact verification + salted top-k, over any (vec_id, e:
+   * array<double>) corpus. `queryPred` selects the query rows from the
+   * corpus. Parameterized so AnnRecallSpec can run it over a corpus
+   * with planted near-duplicates — the quantitative anchor for an
+   * operator that is approximate by construction. */
+  private[operators] def annLshTopK(corpus: DataFrame, queryPred: Column,
+      k: Int = 3): DataFrame = {
+    // embedding dimensionality from the data, not hardcoded — planes
+    // are seeded, so the bucketing stays deterministic per dim
+    val dim = corpus.select(size(col("e"))).head().getInt(0)
+    val numTables = 4
+    val bitsPerTable = 10
+    val rnd = new scala.util.Random(12345)
+    val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+    // bucketing as a codegen Expression (HyperplaneBuckets): the
+    // per-row Scala UDF it replaces boxed the embedding into a Seq on
+    // the hot path; the planes ride along as one plan-level reference
+    // object, not per-row state.
+    val emb = corpus
+      .withColumn("buckets",
+        graft.functions.GraftFunctions.hyperplaneBuckets(col("e"), planes))
+      .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+    val cand = emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qe", "vec_id", "e").distinct()
+    // salted hierarchical top-k over bucket candidates (see d5): the
+    // candidate set is already sub-linear, but a hot bucket would still
+    // funnel one query's candidates into one task without the salt.
+    val scored = cand
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
+    Ops.saltedTopK(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), k, "rank")
+      .select("query_id", "rank", "vec_id")
+  }
+
+  /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
+   * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
+   * Training is DataFrame aggregations; assignment is kCells codegen'd
+   * cosine_sim calls against centroid literals (no UDF); new centroids
+   * are decimal-exact means, so the trained index is bit-reproducible
+   * at any parallelism. Only kCells×dim doubles ever reach the driver
+   * (the model, between iterations); the corpus never does. */
+  private[operators] def annIvfTopK(corpusDf: DataFrame, queryPred: Column,
+      k: Int = 3, kCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = corpusDf
+    // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id)
+    var cents: Array[Seq[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
+      .collect().map(_.getSeq[Double](1))
+    def sims(c: Array[Seq[Double]]): Array[Column] =
+      c.map(ct => graft.functions.GraftFunctions.cosineSim(col("e"), typedLit(ct)))
+    def cellCol(c: Array[Seq[Double]]): Column = {
+      val ss = sims(c)
+      val mx = greatest(ss: _*)
+      // first-wins argmax: deterministic under similarity ties
+      ss.zipWithIndex.foldLeft(when(lit(false), 0)) {
+        case (acc, (sc, i)) => acc.when(sc === mx, i)
+      }.otherwise(0).as("cell")
+    }
+    for (_ <- 1 to iters) {
+      val means = emb.withColumn("cell", cellCol(cents))
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(dmean(col("x"), 12).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = Array.tabulate(kCells)(i => means.getOrElse(i, cents(i))) // empty cell keeps seed
+    }
+    val assigned = emb.withColumn("cell", cellCol(cents))
+    // probe list: top-nprobe cells per query — bounded at queries×kCells
+    // rows, so a plain window is safe here (not a scale funnel)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cell").asc)
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        posexplode(array(sims(cents): _*)).as(Seq("cell", "qsim")))
+      .withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("vec_id"), col("e"))
+    val scored = cand
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
+    Ops.saltedTopK(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), k, "rank")
+      .select("query_id", "rank", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact deduplication: hash-groupBy on full text ----
@@ -325,37 +415,23 @@ object DedupQueries {
     // bucketings. Approximate by construction, so no SQL oracle —
     // d5 above is its exact baseline.
     "d6_ann_lsh" -> { (s, dir) =>
-      // embedding dimensionality from the data, not hardcoded — planes
-      // are seeded, so the bucketing stays deterministic per dim
-      val dim = t(s, dir, "embeddings")
-        .select(size(col("embedding"))).head().getInt(0)
-      val numTables = 4
-      val bitsPerTable = 10
-      val rnd = new scala.util.Random(12345)
-      val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
-      // bucketing as a codegen Expression (HyperplaneBuckets): the
-      // per-row Scala UDF it replaces boxed the embedding into a Seq on
-      // the hot path; the planes ride along as one plan-level reference
-      // object, not per-row state.
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          col("embedding").cast("array<double>").as("e"))
-        .withColumn("buckets",
-          graft.functions.GraftFunctions.hyperplaneBuckets(col("embedding"), planes))
-        .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
-      val cand = emb.join(broadcast(queries), Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "qe", "vec_id", "e").distinct()
-      // salted hierarchical top-k over bucket candidates (see d5): the
-      // candidate set is already sub-linear, but a hot bucket would still
-      // funnel one query's candidates into one task without the salt.
-      val scored = cand
-        .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
-      Ops.saltedTopK(scored, Seq(col("query_id")),
-          Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), 3, "rank")
-        .select("query_id", "rank", "vec_id")
+      annLshTopK(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        col("vec_id") < 5)
+    },
+
+    // ---- IVF ANN: trained coarse quantizer + probed cells ----
+    // The inverted-file index that pairs with d6's hyperplane LSH as
+    // the second classic scale path: k-means cells bound the exact
+    // search to nprobe/kCells of the corpus (see annIvfTopK).
+    // Approximate by construction → rows-only check; d5 is the exact
+    // baseline; AnnRecallSpec pins planted-near-dup recall.
+    "d11_ann_ivf" -> { (s, dir) =>
+      annIvfTopK(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        col("vec_id") < 5)
     },
 
     // ---- per-label embedding centroids (vector aggregation) ----
@@ -400,6 +476,26 @@ object DedupQueries {
         .filter(graft.functions.GraftFunctions.cosineSim(col("a.e"), col("b.e")) >= 0.8)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"))
+    },
+
+    // ---- int8 scalar quantization (embedding storage compression) ----
+    // Per-vector min/max scalar quantization — the 4×/8× storage cut a
+    // 100 TB embedding store takes before anything else. Pure per-row
+    // codegen'd higher-order functions: no shuffle at all, so it scales
+    // as a map-only stage. Both engines run the identical double
+    // expression tree ((x-mn)*255/(mx-mn), then floor), so the integer
+    // codes and their checksums hash-match exactly.
+    "d12_embed_quantize" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mn", array_min(col("e")))
+        .withColumn("mx", array_max(col("e")))
+        .withColumn("q", expr(
+          """transform(e, x -> CAST(floor(
+            |  IF(mx = mn, 0.0D, ((x - mn) * 255.0D) / (mx - mn))) AS INT))""".stripMargin))
+        .select(col("vec_id"), col("mn"), col("mx"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("size(filter(q, x -> x >= 255))").as("q_hi_cnt"))
     }
   )
 
@@ -498,7 +594,20 @@ object DedupQueries {
         |FROM (SELECT label, unnest(embedding) x,
         |        unnest(generate_series(1, len(embedding))) i
         |      FROM embeddings)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "d12_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_min(e) mn, list_max(e) mx FROM e),
+        |q AS (SELECT vec_id, mn, mx,
+        |    list_transform(e, x -> CAST(floor(
+        |      CASE WHEN mx = mn THEN 0.0
+        |           ELSE ((x - mn) * 255.0) / (mx - mn) END) AS INT)) q
+        |  FROM m)
+        |SELECT vec_id, mn, mx,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(q, x -> x >= 255)) AS INT) AS q_hi_cnt
+        |FROM q""".stripMargin
     // d6_ann_lsh: approximate by construction — rows-only check.
   )
 }
