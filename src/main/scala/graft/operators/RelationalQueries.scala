@@ -253,6 +253,47 @@ object RelationalQueries {
       orders.join(broadcast(threshold))
         .filter(col("o_totalprice") > col("thr"))
         .select("o_orderkey", "o_totalprice")
+    },
+
+    // Globally-ordered RUNNING aggregates (cumulative sum, lag, row
+    // number over the whole table) via distributed prefix scan — the
+    // frame analogue of q18's two-pass rank. A bare Window.orderBy
+    // funnels the entire table through one task; here: range-partition
+    // on the order key, run the window locally per chunk (pid indexes
+    // the range shuffle's output, so chunk i sorts entirely before
+    // chunk i+1), then fix chunk boundaries with a per-chunk summary
+    // table (≤ one row per partition — driver-bounded, not
+    // data-bounded) carrying prefix sums/counts and the previous
+    // chunk's last value for the lag. Sums accumulate as decimals so
+    // chunked and single-window execution are bit-identical.
+    "q32_running_total" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .repartitionByRange(spread(s), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val loc = ord
+        .withColumn("lsum", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wLoc))
+        .withColumn("lrn", row_number().over(wLoc))
+        .withColumn("llag", lag(col("o_totalprice"), 1).over(wLoc))
+      // per-chunk summaries: the ONLY globally-windowed relation, and it
+      // has at most `spread` rows regardless of table size
+      val wPre = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = ord.groupBy(col("pid")).agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("psum"),
+          count(lit(1)).as("pcnt"),
+          max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("plast"))
+        .select(col("pid"),
+          coalesce(sum(col("psum")).over(wPre), lit(0).cast(DecimalType(28, 2))).as("presum"),
+          coalesce(sum(col("pcnt")).over(wPre), lit(0L)).as("precnt"),
+          lag(col("plast.o_totalprice"), 1).over(Window.orderBy(col("pid"))).as("prelast"))
+      loc.join(broadcast(prefix), "pid").select(
+        col("o_orderkey"),
+        coalesce(col("llag"), col("prelast"), lit(-1.0)).as("lag_price"),
+        (col("presum") + col("lsum")).cast("double").as("run_sum"),
+        (col("precnt") + col("lrn")).as("rn"))
     }
   )
 
@@ -393,6 +434,16 @@ object RelationalQueries {
 
     "q20_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)"""
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)""",
+
+    "q32_running_total" ->
+      """SELECT o_orderkey,
+        |  COALESCE(lag(o_totalprice) OVER w, -1) AS lag_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  ROW_NUMBER() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
 }

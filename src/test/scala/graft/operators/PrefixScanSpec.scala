@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** q32's distributed prefix scan must be bit-identical to the naive
+ * single-partition global window it replaces — including the chunk
+ * boundaries, where the lag crosses partitions and the running sum
+ * switches from local to prefix+local. */
+class PrefixScanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q32 chunked running window == naive global window, bit for bit") {
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    val naive = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)).as("lag_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("run_sum"),
+        row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    val chunked = RelationalQueries.queries("q32_running_total")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(chunked.length == naive.length)
+    chunked.zip(naive).foreach { case (c, n) => assert(c == n) }
+  }
+
+  test("q32 spreads the window over range chunks (no full-table global window)") {
+    val plan = RelationalQueries.queries("q32_running_total")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "expected a range-partition exchange feeding per-chunk windows")
+  }
+}
