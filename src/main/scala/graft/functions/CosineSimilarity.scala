@@ -123,6 +123,9 @@ object GraftFunctions {
   def hyperplaneBuckets(e: Column, planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneBuckets(expression(e), planes))
 
+  def centroidSims(e: Column, cents: Array[Array[Double]]): Column =
+    column(CentroidSims(expression(e), cents))
+
   def minhashSketch(x: Column, numHashes: Int): Column =
     column(MinHashSketch(expression(x), numHashes).toAggregateExpression())
 

@@ -137,44 +137,46 @@ object DedupQueries {
 
   /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
    * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
-   * Training is DataFrame aggregations; assignment is kCells codegen'd
-   * cosine_sim calls against centroid literals (no UDF); new centroids
-   * are decimal-exact means, so the trained index is bit-reproducible
-   * at any parallelism. Only kCells×dim doubles ever reach the driver
-   * (the model, between iterations); the corpus never does. */
+   * Training is DataFrame aggregations; assignment is one codegen'd
+   * CentroidSims call (the matrix rides as a plan reference object, no
+   * UDF); new centroids are decimal-exact means, so the trained index
+   * is bit-reproducible at any parallelism. Only kCells×dim doubles
+   * ever reach the driver (the model, between iterations); the corpus
+   * never does. */
   private[operators] def annIvfTopK(corpusDf: DataFrame, queryPred: Column,
       k: Int = 3, kCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val emb = corpusDf
     // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id)
-    var cents: Array[Seq[Double]] = emb
+    var cents: Array[Array[Double]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
-      .collect().map(_.getSeq[Double](1))
-    def sims(c: Array[Seq[Double]]): Array[Column] =
-      c.map(ct => graft.functions.GraftFunctions.cosineSim(col("e"), typedLit(ct)))
-    def cellCol(c: Array[Seq[Double]]): Column = {
-      val ss = sims(c)
-      val mx = greatest(ss: _*)
-      // first-wins argmax: deterministic under similarity ties
-      ss.zipWithIndex.foldLeft(when(lit(false), 0)) {
-        case (acc, (sc, i)) => acc.when(sc === mx, i)
-      }.otherwise(0).as("cell")
-    }
+      .collect().map(_.getSeq[Double](1).toArray)
+    // all-centroid similarities in ONE codegen expression (the centroid
+    // matrix is a plan reference object — see CentroidSims for why the
+    // kCells-literal cosine_sim + CASE argmax spelling was replaced);
+    // argmax via array_position (first occurrence) keeps the first-wins
+    // tiebreak deterministic
+    def withCell(df: DataFrame, c: Array[Array[Double]]): DataFrame = df
+      .withColumn("__sims", graft.functions.GraftFunctions.centroidSims(col("e"), c))
+      .withColumn("cell",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
     for (_ <- 1 to iters) {
-      val means = emb.withColumn("cell", cellCol(cents))
+      val means = withCell(emb, cents)
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(dmean(col("x"), 12).as("m"))
         .collect().groupBy(_.getInt(0))
         .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
       cents = Array.tabulate(kCells)(i => means.getOrElse(i, cents(i))) // empty cell keeps seed
     }
-    val assigned = emb.withColumn("cell", cellCol(cents))
+    val assigned = withCell(emb, cents)
     // probe list: top-nprobe cells per query — bounded at queries×kCells
     // rows, so a plain window is safe here (not a scale funnel)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cell").asc)
     val probes = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        posexplode(array(sims(cents): _*)).as(Seq("cell", "qsim")))
+        posexplode(graft.functions.GraftFunctions.centroidSims(col("e"), cents))
+          .as(Seq("cell", "qsim")))
       .withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell"))
     val cand = assigned.join(broadcast(probes), Seq("cell"))
