@@ -183,6 +183,35 @@ object TextQueries {
             .as("dup_ratio"))
     },
 
+    // ---- PII scanning: regex detection + redaction accounting ----
+    // The pre-training scrub op: count emails / IPv4s / phone-shaped
+    // numbers per document and measure the redacted length. The
+    // synthetic corpus contains no PII, so deterministic instances are
+    // planted by doc_id residue (the d8 pattern) — the regexes then
+    // have real positives AND real negatives to discriminate. Patterns
+    // stay in the Java/RE2 common subset so both engines match the
+    // same spans; all scalar work is codegen'd built-ins, map-only.
+    "t9_pii_scan" -> { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" from 192.168."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" call 555-123-4567 soon"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(ip), lit(0))).as("n_ip"),
+          size(regexp_extract_all(col("txt"), lit(phone), lit(0))).as("n_phone"),
+          length(regexp_replace(col("txt"),
+            s"$email|$ip|$phone", "<PII>")).as("redacted_len"))
+    },
+
     // ---- multimodal: opaque binary column + real typed decode ----
     // The binary payload is a REAL image container (binary PPM, "P6"),
     // synthesized deterministically per doc_id by PpmCodec.synthesize —
@@ -241,6 +270,25 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "n_frames", "n_sampled", "sampled_px_sum")
+    },
+
+    // ---- multimodal audio: RIFF/WAVE PCM decode → sample stats ----
+    // The audio leg of the image (m1/m2) / video (m3) / audio triple:
+    // same stored-binary-column shape, decoded by a real RIFF chunk
+    // walker (WavCodec — unknown chunks skipped, sizes bounds-checked).
+    // Stats stay in exact integer arithmetic so the oracle recomputes
+    // them from the id-derived generator without parsing RIFF.
+    "m4_multimodal_audio" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      storedPayloads(s, dir, WavCodec.synthesize)
+        .mapPartitions { iter =>
+          iter.map { case (id, bytes) =>
+            val clip = WavCodec.decode(bytes)
+            (id, clip.sampleRate, clip.samples.length, clip.absSum, clip.peak)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "abs_sum", "peak")
     }
   )
 
@@ -336,6 +384,25 @@ object TextQueries {
         |       ELSE ((total - uniq) * 1.0) / total END AS dup_ratio
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
+    "t9_pii_scan" ->
+      """WITH w AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || ' logged'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' call 555-123-4567 soon' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(length(regexp_replace(txt,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
+        |    '<PII>', 'g')) AS BIGINT) AS redacted_len
+        |FROM w""".stripMargin,
+
     // Recomputes the decoder's outputs from the synthetic generator's
     // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
     // header = "P6\n" (3) + "# c\n" on even ids (4) + "w h\n" (4,
@@ -412,6 +479,22 @@ object TextQueries {
         |SELECT doc_id, n AS n_frames,
         |  CAST((n + 1) // 2 AS INT) AS n_sampled,
         |  s0 + s2 AS sampled_px_sum
-        |FROM calc""".stripMargin
+        |FROM calc""".stripMargin,
+
+    // Mirrors WavCodec.synthesize arithmetically: sample i =
+    // ((id*131 + i*17) % 65536) - 32768; n = 64 + id%37 samples at
+    // rate 8000 + (id%4)*4000.
+    "m4_multimodal_audio" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    CAST(64 + doc_id % 37 AS INT) AS n_samples
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, n_samples,
+        |  CAST(list_sum(list_transform(generate_series(0, n_samples - 1),
+        |    i -> abs(((doc_id * 131 + i * 17) % 65536) - 32768))) AS BIGINT) AS abs_sum,
+        |  CAST(list_max(list_transform(generate_series(0, n_samples - 1),
+        |    i -> abs(((doc_id * 131 + i * 17) % 65536) - 32768))) AS INT) AS peak
+        |FROM base""".stripMargin
   )
 }
