@@ -61,23 +61,37 @@ case class CentroidSims(child: Expression, cents: Array[Array[Double]])
     case _ => true
   }
 
+  /** Per-centroid squared norms, hoisted out of the per-row loop (the
+   * matrix is constant per expression instance; recomputing them per
+   * row cost ~1/3 of the inner-loop FLOPs). Accumulated in the same
+   * element order as the loop they replace, so results stay
+   * bit-identical to cosine_sim. */
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map { ct =>
+      var nc = 0.0
+      var k = 0
+      while (k < ct.length) { nc += ct(k) * ct(k); k += 1 }
+      nc
+    }
+
   /** Shared by eval and the generated code (one implementation, so the
    * interpreted and codegen paths cannot drift). */
   override def nullSafeEval(a: Any): Any =
-    CentroidSims.compute(cents, a.asInstanceOf[ArrayData], isFloat,
+    CentroidSims.compute(cents, centNorms, a.asInstanceOf[ArrayData], isFloat,
       mayHaveNullElements)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = CentroidSims.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = $cls.compute($centsRef, $a, $isFloat, $mayHaveNullElements);")
+      s"${ev.value} = $cls.compute($centsRef, $normsRef, $a, $isFloat, $mayHaveNullElements);")
   }
 }
 
 object CentroidSims {
 
-  def compute(cents: Array[Array[Double]], e: ArrayData,
+  def compute(cents: Array[Array[Double]], centNorms: Array[Double], e: ArrayData,
       isFloat: Boolean, mayHaveNulls: Boolean): ArrayData = {
     val dim = cents(0).length
     require(e.numElements() == dim,
@@ -102,19 +116,13 @@ object CentroidSims {
     var c = 0
     while (c < cents.length) {
       val ct = cents(c)
+      val nc = centNorms(c)
       var dot = 0.0
-      var nc = 0.0
       var k = 0
       if (isFloat) {
-        while (k < dim) {
-          val v = e.getFloat(k).toDouble
-          dot += v * ct(k); nc += ct(k) * ct(k); k += 1
-        }
+        while (k < dim) { dot += e.getFloat(k).toDouble * ct(k); k += 1 }
       } else {
-        while (k < dim) {
-          val v = e.getDouble(k)
-          dot += v * ct(k); nc += ct(k) * ct(k); k += 1
-        }
+        while (k < dim) { dot += e.getDouble(k) * ct(k); k += 1 }
       }
       out(c) = if (ne == 0.0 || nc == 0.0) 0.0
         else dot / (math.sqrt(ne) * math.sqrt(nc))

@@ -128,12 +128,26 @@ object DedupQueries {
     // salted hierarchical top-k over bucket candidates (see d5): the
     // candidate set is already sub-linear, but a hot bucket would still
     // funnel one query's candidates into one task without the salt.
+    scoreTopK(cand, k)
+  }
+
+  /** Shared ranking tail of both ANN cores: exact cosine over the
+   * candidate set, then the salted hierarchical top-k. One definition
+   * so the ranking contract (tie-break, output columns) cannot drift
+   * between the LSH and IVF paths. */
+  private def scoreTopK(cand: DataFrame, k: Int): DataFrame = {
     val scored = cand
       .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
     Ops.saltedTopK(scored, Seq(col("query_id")),
         Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), k, "rank")
       .select("query_id", "rank", "vec_id")
   }
+
+  /** d8's deterministic near-duplicate perturbation (sim ≈ 0.999 to the
+   * original) — shared with AnnRecallSpec's planted-corpus anchor so
+   * the spec always plants exactly what d8 detects. */
+  private[operators] val PerturbExpr =
+    "transform(e, (x, i) -> x * (1.0D + 0.01D * ((i % 7) - 3)))"
 
   /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
    * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
@@ -146,10 +160,13 @@ object DedupQueries {
   private[operators] def annIvfTopK(corpusDf: DataFrame, queryPred: Column,
       k: Int = 3, kCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val emb = corpusDf
-    // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id)
+    // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id);
+    // a corpus smaller than kCells trains with what it has
     var cents: Array[Array[Double]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
       .collect().map(_.getSeq[Double](1).toArray)
+    val nCells = cents.length
+    require(nCells > 0, "annIvfTopK: empty corpus")
     // all-centroid similarities in ONE codegen expression (the centroid
     // matrix is a plan reference object — see CentroidSims for why the
     // kCells-literal cosine_sim + CASE argmax spelling was replaced);
@@ -167,10 +184,10 @@ object DedupQueries {
         .collect().groupBy(_.getInt(0))
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
-      cents = Array.tabulate(kCells)(i => means.getOrElse(i, cents(i))) // empty cell keeps seed
+      cents = Array.tabulate(nCells)(i => means.getOrElse(i, cents(i))) // empty cell keeps seed
     }
     val assigned = withCell(emb, cents)
-    // probe list: top-nprobe cells per query — bounded at queries×kCells
+    // probe list: top-nprobe cells per query — bounded at queries×nCells
     // rows, so a plain window is safe here (not a scale funnel)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cell").asc)
     val probes = emb.filter(queryPred)
@@ -182,11 +199,7 @@ object DedupQueries {
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("e"))
-    val scored = cand
-      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
-    Ops.saltedTopK(scored, Seq(col("query_id")),
-        Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), k, "rank")
-      .select("query_id", "rank", "vec_id")
+    scoreTopK(cand, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -471,7 +484,7 @@ object DedupQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
       val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"), col("label"),
-        expr("transform(e, (x, i) -> x * (1.0D + 0.01D * ((i % 7) - 3)))").as("e"))
+        expr(PerturbExpr).as("e"))
       val corpus = emb.unionByName(perturbed)
       corpus.as("a").join(corpus.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -274,14 +274,21 @@ object RelationalQueries {
         .withColumn("pid", spark_partition_id())
       val wLoc = Window.partitionBy(col("pid"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // localCheckpoint (d2's multi-consumer pattern): the per-row side
+      // and the summary side below MUST see the same pid↔row mapping,
+      // but range-shuffle boundaries come from sampling — two
+      // independently-executed instances of this exchange could pick
+      // different boundaries. Materializing pins the mapping instead of
+      // depending on ReuseExchange deduplicating the two subtrees.
       val loc = ord
         .withColumn("lsum", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wLoc))
         .withColumn("lrn", row_number().over(wLoc))
         .withColumn("llag", lag(col("o_totalprice"), 1).over(wLoc))
+        .localCheckpoint()
       // per-chunk summaries: the ONLY globally-windowed relation, and it
       // has at most `spread` rows regardless of table size
       val wPre = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-      val prefix = ord.groupBy(col("pid")).agg(
+      val prefix = loc.groupBy(col("pid")).agg(
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("psum"),
           count(lit(1)).as("pcnt"),
           max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("plast"))

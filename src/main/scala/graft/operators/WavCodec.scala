@@ -97,6 +97,9 @@ object WavCodec {
         throw new WavFormatException(s"chunk '$tag' size $size escapes RIFF body")
       tag match {
         case "fmt " =>
+          // last-wins on duplicates would silently re-describe already-
+          // decoded samples; a second fmt/data chunk is malformed, full stop
+          if (rate >= 0) throw new WavFormatException("duplicate fmt chunk")
           if (size < 16) throw new WavFormatException(s"fmt chunk too short: $size")
           val audioFormat = readLe16(bytes, body)
           if (audioFormat != 1)
@@ -111,6 +114,8 @@ object WavCodec {
         case "data" =>
           if (rate < 0)
             throw new WavFormatException("data chunk before fmt chunk")
+          if (samples != null)
+            throw new WavFormatException("duplicate data chunk")
           if (size % 2 != 0)
             throw new WavFormatException(s"odd PCM16 data length $size")
           val out = new Array[Short](size / 2)

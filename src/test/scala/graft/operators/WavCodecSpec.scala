@@ -76,4 +76,25 @@ class WavCodecSpec extends AnyFunSuite {
     val badFmt = ok.clone(); badFmt(20) = 2
     assert(msg(badFmt).contains("audio format"))
   }
+
+  test("duplicate fmt or data chunks are malformed, not last-wins") {
+    // append a second copy of a chunk inside an enlarged RIFF body
+    def withExtra(chunkTag: String): Array[Byte] = {
+      val ok = WavCodec.synthesize(3L) // odd id: no LIST chunk
+      // locate the chunk to duplicate by walking: fmt at 12, data after
+      val fmtLen = 8 + 16
+      val (start, len) =
+        if (chunkTag == "fmt ") (12, fmtLen)
+        else (12 + fmtLen, ok.length - 12 - fmtLen)
+      val extra = ok.slice(start, start + len)
+      val body = ok.drop(8) ++ extra
+      val out = "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+        (body.length & 0xff).toByte, ((body.length >> 8) & 0xff).toByte, 0, 0) ++ body
+      out
+    }
+    def msg(bytes: Array[Byte]): String =
+      intercept[WavCodec.WavFormatException](WavCodec.decode(bytes)).getMessage
+    assert(msg(withExtra("fmt ")).contains("duplicate fmt"))
+    assert(msg(withExtra("data")).contains("duplicate data"))
+  }
 }
