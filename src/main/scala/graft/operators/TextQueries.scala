@@ -183,6 +183,43 @@ object TextQueries {
             .as("dup_ratio"))
     },
 
+    // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
+    // The contamination check every training pipeline runs before a
+    // model sees the data: flag corpus documents sharing any word
+    // 8-gram with a benchmark/eval set. The benchmark here is the
+    // doc_id % 97 slice of the original documents (a stand-in for the
+    // fixed eval suite); the corpus is DedupQueries.corpus (originals +
+    // mutated near-dups), so hits include exact benchmark members AND
+    // their mutated copies that still share long runs. Scale shape: the
+    // eval set is small and fixed by definition → its distinct grams
+    // broadcast; the corpus side is map-only until the tiny matched-
+    // pair aggregation, so nothing quadratic and no corpus shuffle of
+    // gram strings.
+    "t10_decontam" -> { (s, dir) =>
+      val gram8 =
+        """filter(transform(w, (x, i) ->
+          |  IF(i <= size(w) - 8,
+          |     concat_ws('_', x, element_at(w, i + 2), element_at(w, i + 3),
+          |       element_at(w, i + 4), element_at(w, i + 5), element_at(w, i + 6),
+          |       element_at(w, i + 7), element_at(w, i + 8)),
+          |     NULL)), y -> y IS NOT NULL)""".stripMargin
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(gram8)).as("g")).distinct()
+      val corp = DedupQueries.corpus(s, dir)
+      val cg = grams(corp.repartition(spread(s), col("doc_id")))
+      val bench = grams(t(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")))
+        .select(col("g")).distinct()
+      val matched = cg.join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      corp.select(col("doc_id")).join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+            .as("contaminated"))
+    },
+
     // ---- PII scanning: regex detection + redaction accounting ----
     // The pre-training scrub op: count emails / IPv4s / phone-shaped
     // numbers per document and measure the redacted length. The
@@ -383,6 +420,26 @@ object TextQueries {
         |  CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
         |       ELSE ((total - uniq) * 1.0) / total END AS dup_ratio
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    "t10_decontam" -> {
+      val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")
+      s"""WITH ${DedupQueries.CorpusSql},
+         |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+         |cg AS (SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(w) - 7, 0)), i -> $g8)) g
+         |    FROM tok)),
+         |bt AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |bench AS (SELECT DISTINCT g FROM (
+         |    SELECT unnest(list_transform(
+         |      generate_series(1, greatest(len(w) - 7, 0)), i -> $g8)) g
+         |    FROM bt)),
+         |m AS (SELECT cg.doc_id, COUNT(*) n FROM cg JOIN bench USING (g) GROUP BY 1)
+         |SELECT c.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_shared,
+         |  CASE WHEN COALESCE(m.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin
+    },
 
     "t9_pii_scan" ->
       """WITH w AS (SELECT doc_id, text ||

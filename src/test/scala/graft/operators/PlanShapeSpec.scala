@@ -102,6 +102,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("PartitionFilters: [isnotnull(p_brand"), p)
   }
 
+  test("t9/d12: per-row scrub and quantization stay map-only (no Exchange)") {
+    assert(!plan("t9_pii_scan").contains("Exchange"), plan("t9_pii_scan"))
+    assert(!plan("d12_embed_quantize").contains("Exchange"), plan("d12_embed_quantize"))
+  }
+
+  test("t10: the benchmark gram side broadcasts; the corpus side never shuffles gram strings") {
+    val p = plan("t10_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t8: per-(doc, gram) counts partial-aggregate before the shuffle") {
+    val p = plan("t8_repetition")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // partial+final × two levels
+  }
+
+  test("d11: IVF assignment runs as the single centroid_sims expression, no UDF") {
+    val p = plan("d11_ann_ivf")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("centroid_sims"), p)
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // under AQE the final plan only exists after execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
