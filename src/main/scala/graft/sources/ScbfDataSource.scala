@@ -74,7 +74,14 @@ object ScbfDataSource {
    * `*.scbf` children (non-hidden), plain files taken as-is. */
   def resolveFiles(options: CaseInsensitiveStringMap): (Seq[FileStatus], Configuration) = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val statuses = paths(options).flatMap { p =>
+    (resolveFiles(paths(options), conf), conf)
+  }
+
+  /** Path-based core of the listing — re-invoked per micro-batch by the
+   * streaming source, which discovers files that appear after the
+   * table was constructed. */
+  def resolveFiles(tablePaths: Seq[String], conf: Configuration): Seq[FileStatus] = {
+    val statuses = tablePaths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
@@ -87,7 +94,7 @@ object ScbfDataSource {
         case f => Seq(f)
       }
     }
-    (statuses.sortBy(_.getPath.toString), conf)
+    statuses.sortBy(_.getPath.toString)
   }
 
   private def isHidden(p: Path): Boolean =
@@ -130,10 +137,11 @@ class ScbfTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScbfScanBuilder(schema, files, conf)
+    new ScbfScanBuilder(schema, files, conf, tablePaths)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = tablePaths match {

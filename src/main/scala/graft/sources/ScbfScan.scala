@@ -28,26 +28,35 @@ import graft.scbf._
  * offsets+blob, so decode is a bulk copy), emitted as `ColumnarBatch`es
  * that feed whole-stage codegen through Spark's ColumnarToRow.
  */
-class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration)
+class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
+    tablePaths: Seq[String] = Seq.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = schema
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new ScbfScan(schema, required, files, conf)
+  override def build(): Scan = new ScbfScan(schema, required, files, conf, tablePaths)
 }
 
 class ScbfScan(
     tableSchema: StructType,
     required: StructType,
     files: Seq[FileStatus],
-    conf: Configuration)
+    conf: Configuration,
+    tablePaths: Seq[String] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** Streaming read: each micro-batch is the set of newly-appeared
+   * `.scbf` files (see [[ScbfMicroBatchStream]]); column pruning from
+   * this scan carries over. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation)
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.scbf.ScbfFormatException
+
+/** Stream offset: the number of file batches committed so far. */
+case class ScbfOffset(batch: Long) extends Offset {
+  override def json(): String = batch.toString
+}
+
+/**
+ * Micro-batch streaming source over a growing SCBF directory — the read
+ * half of the connector's streaming story (the write half is
+ * `EventStreams.scbfSink`). `spark.readStream.format("scbf").schema(s)
+ * .load(dir)` then behaves like Spark's file sources: each trigger
+ * picks up files that appeared since the last one.
+ *
+ * Correctness at the file level rides on two properties: (1) the SCBF
+ * writer stages under dot-prefixed temp names and renames at task
+ * commit, and the listing skips hidden files — so a file is either
+ * invisible or complete, never half-written; (2) each discovered batch
+ * is persisted as a JSON-lines log under the query's checkpoint
+ * location BEFORE its offset is returned, so a restarted query replays
+ * exactly the same file→batch assignment instead of depending on
+ * driver memory (the same recovery contract as Spark's own
+ * FileStreamSource metadata log).
+ *
+ * Scale: per trigger the driver lists the directory once and reads no
+ * data; files go one-per-partition to executors exactly like the batch
+ * scan, with the same column pruning.
+ */
+class ScbfMicroBatchStream(
+    required: StructType,
+    tablePaths: Seq[String],
+    conf: Configuration,
+    checkpointLocation: String)
+  extends MicroBatchStream {
+
+  require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
+
+  private val logDir = new Path(checkpointLocation, "scbf-file-batches")
+  private def fs = logDir.getFileSystem(conf)
+
+  /** Paths already assigned to some batch ≤ `upTo` (exclusive upper
+   * bound when upTo < 0 means "all logged batches"). */
+  private def loggedFiles(upTo: Long = -1L): (Long, Set[String]) = {
+    if (!fs.exists(logDir)) return (0L, Set.empty)
+    val batches = fs.listStatus(logDir).toSeq
+      .flatMap(f => f.getPath.getName.toLongOption)
+      .sorted
+    val max = batches.lastOption.getOrElse(0L)
+    val wanted = if (upTo < 0) batches else batches.filter(_ <= upTo)
+    (max, wanted.flatMap(readLog).toSet)
+  }
+
+  private def readLog(batch: Long): Seq[String] = {
+    val p = new Path(logDir, batch.toString)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def writeLog(batch: Long, paths: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".${batch.toString}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(paths.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, batch.toString)))
+      throw new ScbfFormatException(s"could not commit stream log for batch $batch")
+  }
+
+  override def initialOffset(): Offset = ScbfOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val (maxBatch, seen) = loggedFiles()
+    val current = ScbfDataSource.resolveFiles(tablePaths, conf)
+      .map(_.getPath.toString)
+    val fresh = current.filterNot(seen)
+    if (fresh.isEmpty) ScbfOffset(maxBatch)
+    else {
+      writeLog(maxBatch + 1, fresh) // log BEFORE exposing the offset
+      ScbfOffset(maxBatch + 1)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ScbfOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ScbfOffset].batch
+    val e = end.asInstanceOf[ScbfOffset].batch
+    val paths = ((s + 1) to e).flatMap(readLog)
+    paths.map { p =>
+      val hp = new Path(p)
+      val st = hp.getFileSystem(conf).getFileStatus(hp)
+      ScbfFilePartition(p, st.getLen): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ScbfPartitionReaderFactory(required, new ScbfUtil.SerializableConf(conf))
+
+  override def commit(end: Offset): Unit = () // logs are the source of truth
+
+  override def stop(): Unit = ()
+}
