@@ -193,6 +193,25 @@ object AdvancedQueries {
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
+    },
+
+    // ---- built-in session windows (declarative twin of t5) ----
+    // t5 builds sessions by hand (gaps-and-islands window); this is the
+    // Spark-first spelling — `session_window` plans as one aggregation
+    // with session merge, partial-aggregates map-side, and is the same
+    // construct the streaming path uses with watermarks. Session merge
+    // rule: next < previous end (= prev_ts + gap); the oracle's island
+    // break mirrors it as diff >= gap. Timestamps stay in exact integer
+    // micros end-to-end (nanos/1000 both engines).
+    "q33_session_window" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")) // integer div: SQL `/` on longs is a lossy double at 1.7e18 ns
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("ev_cnt"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start_us"),
+          unix_micros(col("sw.end")).as("sess_end_us"),
+          col("ev_cnt"))
     }
   )
 
@@ -286,6 +305,21 @@ object AdvancedQueries {
         |SELECT o.o_orderpriority, MAX(o_totalprice) AS second_max
         |FROM orders o JOIN mx ON o.o_orderpriority = mx.o_orderpriority
         |WHERE o_totalprice < m
-        |GROUP BY o.o_orderpriority""".stripMargin
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q33_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+        |f AS (SELECT user_id, tsu,
+        |  CASE WHEN lag(tsu) OVER w IS NULL
+        |         OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |g AS (SELECT user_id, tsu, SUM(brk) OVER (
+        |        PARTITION BY user_id ORDER BY tsu
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM f)
+        |SELECT user_id, MIN(tsu) AS sess_start_us,
+        |  MAX(tsu) + 1800000000 AS sess_end_us,
+        |  COUNT(*) AS ev_cnt
+        |FROM g GROUP BY user_id, sess""".stripMargin
   )
 }
