@@ -140,8 +140,10 @@ class ScbfTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScbfScanBuilder(schema, files, conf, tablePaths)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = tablePaths match {

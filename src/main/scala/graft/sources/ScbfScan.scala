@@ -29,14 +29,15 @@ import graft.scbf._
  * that feed whole-stage codegen through Spark's ColumnarToRow.
  */
 class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
-    tablePaths: Seq[String] = Seq.empty)
+    tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = schema
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new ScbfScan(schema, required, files, conf, tablePaths)
+  override def build(): Scan =
+    new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger)
 }
 
 class ScbfScan(
@@ -44,7 +45,8 @@ class ScbfScan(
     required: StructType,
     files: Seq[FileStatus],
     conf: Configuration,
-    tablePaths: Seq[String] = Seq.empty)
+    tablePaths: Seq[String] = Seq.empty,
+    maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -56,7 +58,8 @@ class ScbfScan(
    * this scan carries over. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation)
+    new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
+      maxFilesPerTrigger)
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"

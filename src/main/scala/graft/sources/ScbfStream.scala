@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.scbf.ScbfFormatException
@@ -40,10 +40,13 @@ class ScbfMicroBatchStream(
     required: StructType,
     tablePaths: Seq[String],
     conf: Configuration,
-    checkpointLocation: String)
-  extends MicroBatchStream {
+    checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
+  maxFilesPerTrigger.foreach(n =>
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
 
   private val logDir = new Path(checkpointLocation, "scbf-file-batches")
   private def fs = logDir.getFileSystem(conf)
@@ -82,11 +85,24 @@ class ScbfMicroBatchStream(
 
   override def initialOffset(): Offset = ScbfOffset(0L)
 
-  override def latestOffset(): Offset = {
+  /** Backfill throttling: with `maxFilesPerTrigger` set, a directory
+   * with a deep backlog drains over several right-sized micro-batches
+   * instead of one giant one — Spark keeps triggering until caught up. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val (maxBatch, seen) = loggedFiles()
     val current = ScbfDataSource.resolveFiles(tablePaths, conf)
       .map(_.getPath.toString)
-    val fresh = current.filterNot(seen)
+    val fresh = limit match {
+      case mf: ReadMaxFiles => current.filterNot(seen).take(mf.maxFiles())
+      case _ => current.filterNot(seen)
+    }
     if (fresh.isEmpty) ScbfOffset(maxBatch)
     else {
       writeLog(maxBatch + 1, fresh) // log BEFORE exposing the offset

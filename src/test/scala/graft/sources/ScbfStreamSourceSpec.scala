@@ -72,6 +72,24 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.flatten.size == 12, s"duplicated rows across restart: $seen")
   }
 
+  test("maxFilesPerTrigger drains a backlog over several bounded batches") {
+    val dir = Files.createTempDirectory("scbf-stream-t").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-t-ckpt").toString
+    (0 until 5).foreach(i => writeBatch(dir, i * 2 until i * 2 + 2)) // 5 files, 2 rows each
+    val batches = mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("maxFilesPerTrigger", 2).load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.sum == 10, s"got $batches")
+    assert(batches.forall(_ <= 4), s"a batch exceeded 2 files x 2 rows: $batches")
+    assert(batches.count(_ > 0) >= 3, s"backlog not split across triggers: $batches")
+  }
+
   test("streaming scan prunes columns like the batch scan") {
     val dir = Files.createTempDirectory("scbf-stream-p").toString
     val ckpt = Files.createTempDirectory("scbf-stream-p-ckpt").toString
