@@ -200,9 +200,11 @@ object AdvancedQueries {
     // Spark-first spelling — `session_window` plans as one aggregation
     // with session merge, partial-aggregates map-side, and is the same
     // construct the streaming path uses with watermarks. Session merge
-    // rule: next < previous end (= prev_ts + gap); the oracle's island
-    // break mirrors it as diff >= gap. Timestamps stay in exact integer
-    // micros end-to-end (nanos/1000 both engines).
+    // rule (probed empirically on this Spark build): next <= previous
+    // end (= prev_ts + gap) — events EXACTLY one gap apart merge — so
+    // the oracle's island break is strictly diff > gap, pinned by
+    // SessionBoundarySpec. Timestamps stay in exact integer micros
+    // end-to-end (nanos div 1000 both engines).
     "q33_session_window" -> { (s, dir) =>
       events(s, dir)
         .withColumn("tsm", expr("timestamp_micros(ts div 1000)")) // integer div: SQL `/` on longs is a lossy double at 1.7e18 ns
@@ -311,7 +313,7 @@ object AdvancedQueries {
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
         |f AS (SELECT user_id, tsu,
         |  CASE WHEN lag(tsu) OVER w IS NULL
-        |         OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |         OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
         |g AS (SELECT user_id, tsu, SUM(brk) OVER (
         |        PARTITION BY user_id ORDER BY tsu

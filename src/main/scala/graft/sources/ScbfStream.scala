@@ -51,19 +51,31 @@ class ScbfMicroBatchStream(
   private val logDir = new Path(checkpointLocation, "scbf-file-batches")
   private def fs = logDir.getFileSystem(conf)
 
-  /** Paths already assigned to some batch ≤ `upTo` (exclusive upper
-   * bound when upTo < 0 means "all logged batches"). */
-  private def loggedFiles(upTo: Long = -1L): (Long, Set[String]) = {
-    if (!fs.exists(logDir)) return (0L, Set.empty)
-    val batches = fs.listStatus(logDir).toSeq
-      .flatMap(f => f.getPath.getName.toLongOption)
-      .sorted
-    val max = batches.lastOption.getOrElse(0L)
-    val wanted = if (upTo < 0) batches else batches.filter(_ <= upTo)
-    (max, wanted.flatMap(readLog).toSet)
+  /** Driver-side (maxBatch, seen paths) state: replayed from the
+   * checkpoint logs ONCE (recovery), then maintained in memory — per
+   * trigger the driver does one source-directory listing and O(new
+   * files) work, not O(all batches ever) log re-reads (the same split
+   * Spark's FileStreamSource makes between its in-memory map and its
+   * metadata log). */
+  private var cachedState: Option[(Long, Set[String])] = None
+
+  private def state(): (Long, Set[String]) = cachedState.getOrElse {
+    val loaded = if (!fs.exists(logDir)) (0L, Set.empty[String])
+    else {
+      val batches = fs.listStatus(logDir).toSeq
+        .flatMap(f => f.getPath.getName.toLongOption)
+        .sorted
+      (batches.lastOption.getOrElse(0L),
+        batches.flatMap(readLog(_).map(_._1)).toSet)
+    }
+    cachedState = Some(loaded)
+    loaded
   }
 
-  private def readLog(batch: Long): Seq[String] = {
+  /** One log entry per admitted batch: `path\tlength` lines. Lengths
+   * are captured at admission so planning never re-stats source files —
+   * and a file deleted by retention after admission still replays. */
+  private def readLog(batch: Long): Seq[(String, Long)] = {
     val p = new Path(logDir, batch.toString)
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
@@ -71,13 +83,21 @@ class ScbfMicroBatchStream(
     try in.readFully(0, buf)
     finally in.close()
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(path, l) => (path, l.toLong)
+          case _ => throw new ScbfFormatException(
+            s"corrupt stream log entry in batch $batch: '$line'")
+        }
+      }
   }
 
-  private def writeLog(batch: Long, paths: Seq[String]): Unit = {
+  private def writeLog(batch: Long, files: Seq[(String, Long)]): Unit = {
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".${batch.toString}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(paths.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(files.map { case (p, l) => s"$p\t$l" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(logDir, batch.toString)))
       throw new ScbfFormatException(s"could not commit stream log for batch $batch")
@@ -93,19 +113,27 @@ class ScbfMicroBatchStream(
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(): Offset =
-    latestOffset(initialOffset(), ReadLimit.allAvailable())
+    // Spark routes SupportsAdmissionControl sources through the
+    // (start, limit) overload; reaching this one is a harness bug
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used for admission-control sources")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val (maxBatch, seen) = loggedFiles()
+    val (maxBatch, seen) = state()
+    // a batch logged before a crash but never planned (offset WAL not
+    // yet written) replays FIRST — admitting more files here would fold
+    // two batches into one plan and break the admission bound
+    if (maxBatch > start.asInstanceOf[ScbfOffset].batch) return ScbfOffset(maxBatch)
     val current = ScbfDataSource.resolveFiles(tablePaths, conf)
-      .map(_.getPath.toString)
+      .map(f => (f.getPath.toString, f.getLen))
     val fresh = limit match {
-      case mf: ReadMaxFiles => current.filterNot(seen).take(mf.maxFiles())
-      case _ => current.filterNot(seen)
+      case mf: ReadMaxFiles => current.filterNot(f => seen(f._1)).take(mf.maxFiles())
+      case _ => current.filterNot(f => seen(f._1))
     }
     if (fresh.isEmpty) ScbfOffset(maxBatch)
     else {
       writeLog(maxBatch + 1, fresh) // log BEFORE exposing the offset
+      cachedState = Some((maxBatch + 1, seen ++ fresh.map(_._1)))
       ScbfOffset(maxBatch + 1)
     }
   }
@@ -116,12 +144,9 @@ class ScbfMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
-    val paths = ((s + 1) to e).flatMap(readLog)
-    paths.map { p =>
-      val hp = new Path(p)
-      val st = hp.getFileSystem(conf).getFileStatus(hp)
-      ScbfFilePartition(p, st.getLen): InputPartition
-    }.toArray
+    ((s + 1) to e).flatMap(readLog)
+      .map { case (p, len) => ScbfFilePartition(p, len): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

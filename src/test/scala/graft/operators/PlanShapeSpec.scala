@@ -110,6 +110,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("t10: the benchmark gram side broadcasts; the corpus side never shuffles gram strings") {
     val p = plan("t10_decontam")
     assert(p.contains("BroadcastHashJoin"), p)
+    // exactly two hash shuffles: the explicit corpus doc_id spread and
+    // the (tiny, pre-broadcast) benchmark side's gram distinct. The
+    // corpus-side (doc_id, g) distinct and the matched-pair groupBy
+    // must REUSE the doc_id partitioning — a third exchange here means
+    // corpus gram strings started shuffling, the exact regression this
+    // test guards
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1, p)
   }
 
   test("t8: per-(doc, gram) counts partial-aggregate before the shuffle") {
