@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
  */
 object AdvancedQueries {
 
-  import Ops.{t, events, dsum}
+  import Ops.{t, events, dsum, spread}
 
   /** Strictly-less-than-max second maximum, as a typed Aggregator — the
    * UDAF surface. Buffer is the (top1, top2) pair; merge is associative
@@ -195,6 +195,106 @@ object AdvancedQueries {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
     },
 
+    // ---- q24's frame surface at scale: chunked windows throughout ----
+    // q24 exercises lag / dense_rank / moving frames / ntile with the
+    // semantic partition key (o_orderpriority, 5 values) — correct, but
+    // each of 5 tasks sorts N/5 rows at scale (the acknowledged weak
+    // spot of round 1). q34 computes the IDENTICAL output with bounded
+    // tasks: (a) lag + mov3 via per-chunk windows on a (priority, date,
+    // key) range partitioning, with the previous chunk's last two rows
+    // joined in from a ≤ chunks×priorities summary table; (b)
+    // dense_rank via a second range partitioning in rank order, local
+    // dense ranks + prefix distinct-counts minus boundary-value
+    // overlaps; (c) ntile arithmetically from the prefix-scan row
+    // number and per-priority totals (Spark's first-buckets-get-the-
+    // remainder rule). Every global window here runs over the summary
+    // table (rows = chunks × priorities), never the data. Oracle:
+    // q24's own SQL — the two must hash-match; ScalableFramesSpec also
+    // pins q34 == q24 row for row.
+    "q34_scalable_frames" -> { (s, dir) =>
+      val n = 4 // ntile buckets, as q24
+      val dec = DecimalType(18, 2)
+      val pri = col("o_orderpriority")
+      // ---- pipeline A: date-ordered frames (lag, mov3, rn, ntile) ----
+      val ordA = t(s, dir, "orders")
+        .select(col("o_orderkey"), pri, col("o_orderdate"), col("o_totalprice"))
+        .repartitionByRange(spread(s), pri, col("o_orderdate"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // pin pid↔row for the two consumers (see q32)
+      val wA = Window.partitionBy(col("pid"), pri)
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val locA = ordA
+        .withColumn("lrn", row_number().over(wA))
+        .withColumn("lcnt", count(lit(1)).over(
+          wA.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("llag", lag(col("o_totalprice"), 1).over(wA))
+        .withColumn("lmov3", sum(col("o_totalprice").cast(dec))
+          .over(wA.rowsBetween(-2, 0)))
+      // last two rows of each (chunk, priority) group, for boundary fix
+      val summA = locA
+        .filter(col("lrn") >= col("lcnt") - 1)
+        .groupBy(col("pid"), pri).agg(
+          max(col("lcnt")).as("cnt"),
+          max(when(col("lrn") === col("lcnt"), col("o_totalprice"))).as("last1"),
+          max(when(col("lrn") === col("lcnt") - 1, col("o_totalprice"))).as("last2"))
+      val wPri = Window.partitionBy(pri).orderBy(col("pid"))
+      val prefixA = summA.select(col("pid"), pri,
+          coalesce(sum(col("cnt")).over(wPri.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("precnt"),
+          sum(col("cnt")).over(
+            wPri.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("totcnt"),
+          lag(col("last1"), 1).over(wPri).as("prev1"),
+          // second-to-last row before this chunk: the previous group's
+          // last2 if it had >= 2 rows, else the group before that's last1
+          when(lag(col("cnt"), 1).over(wPri) >= 2, lag(col("last2"), 1).over(wPri))
+            .otherwise(lag(col("last1"), 2).over(wPri)).as("prev2"))
+      val a = locA.join(broadcast(prefixA), Seq("pid", "o_orderpriority"))
+        .withColumn("rn", col("precnt") + col("lrn"))
+        .withColumn("lag_price",
+          coalesce(when(col("lrn") === 1, col("prev1")).otherwise(col("llag")), lit(-1.0)))
+        .withColumn("mov3",
+          (col("lmov3")
+            + coalesce(when(col("lrn") <= 2, col("prev1").cast(dec)), lit(0).cast(dec))
+            + coalesce(when(col("lrn") === 1, col("prev2").cast(dec)), lit(0).cast(dec)))
+            .cast("double"))
+        // Spark ntile: base rows per bucket, first (cnt % n) buckets
+        // take one extra — pure arithmetic on (rn, totcnt). `div`, not
+        // `/`: SQL division on longs is a double. The base=0 case
+        // (fewer rows than buckets) is fully covered by the first
+        // branch, so the otherwise-branch div-by-zero is unreachable.
+        .withColumn("base", expr(s"totcnt div $n"))
+        .withColumn("rem", col("totcnt") % n)
+        .withColumn("nt",
+          when(col("rn") <= col("rem") * (col("base") + 1),
+            expr("(rn - 1) div (base + 1) + 1"))
+            .otherwise(expr("rem + (rn - rem * (base + 1) - 1) div base + 1"))
+            .cast("int"))
+        .select(col("o_orderkey"), col("lag_price"), col("mov3"), col("nt"))
+      // ---- pipeline B: rank-ordered dense_rank ----
+      val ordB = t(s, dir, "orders")
+        .select(col("o_orderkey"), pri, col("o_totalprice"))
+        .repartitionByRange(spread(s), pri, col("o_totalprice").desc, col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val wB = Window.partitionBy(col("pid"), pri).orderBy(col("o_totalprice").desc)
+      val locB = ordB.withColumn("ldr", dense_rank().over(wB))
+      val summB = ordB.groupBy(col("pid"), pri).agg(
+        countDistinct(col("o_totalprice")).as("cntd"),
+        max(col("o_totalprice")).as("firstPrice"), // chunk sorts desc
+        min(col("o_totalprice")).as("lastPrice"))
+      val dupe = when(lag(col("lastPrice"), 1).over(wPri) === col("firstPrice"), 1L)
+        .otherwise(0L)
+      val prefixB = summB.select(col("pid"), pri,
+        (coalesce(sum(col("cntd")).over(wPri.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+          - sum(dupe).over(wPri.rowsBetween(Window.unboundedPreceding, 0))).as("droff"))
+      val b = locB.join(broadcast(prefixB), Seq("pid", "o_orderpriority"))
+        .select(col("o_orderkey"), (col("ldr") + col("droff")).cast("int").as("drank"))
+      a.join(b, "o_orderkey")
+        .select(col("o_orderkey"), col("lag_price"), col("drank"), col("mov3"), col("nt"))
+    },
+
     // ---- built-in session windows (declarative twin of t5) ----
     // t5 builds sessions by hand (gaps-and-islands window); this is the
     // Spark-first spelling — `session_window` plans as one aggregation
@@ -216,6 +316,21 @@ object AdvancedQueries {
           col("ev_cnt"))
     }
   )
+
+  /** q24's frame-surface oracle, shared verbatim by q34 (identical
+    * output contract, scalable plan). */
+  private val FrameOracleSql =
+    """SELECT o_orderkey,
+      |  COALESCE(lag(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate, o_orderkey), -1) AS lag_price,
+      |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC) AS drank,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
+      |  NTILE(4) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate, o_orderkey) AS nt
+      |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" ->
@@ -244,18 +359,11 @@ object AdvancedQueries {
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
-    "q24_window_frames" ->
-      """SELECT o_orderkey,
-        |  COALESCE(lag(o_totalprice) OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_orderdate, o_orderkey), -1) AS lag_price,
-        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_totalprice DESC) AS drank,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
-        |  NTILE(4) OVER (PARTITION BY o_orderpriority
-        |    ORDER BY o_orderdate, o_orderkey) AS nt
-        |FROM orders""".stripMargin,
+    "q24_window_frames" -> FrameOracleSql,
+
+    // q34 computes the same surface with chunked execution — one
+    // oracle, two plans, both must hash-match it
+    "q34_scalable_frames" -> FrameOracleSql,
 
     "q25_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
