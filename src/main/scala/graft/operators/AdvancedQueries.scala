@@ -220,9 +220,12 @@ object AdvancedQueries {
         .select(col("o_orderkey"), pri, col("o_orderdate"), col("o_totalprice"))
         .repartitionByRange(spread(s), pri, col("o_orderdate"), col("o_orderkey"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint() // pin pid↔row for the two consumers (see q32)
       val wA = Window.partitionBy(col("pid"), pri)
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // checkpoint AFTER the window pass (q32's pattern): pins pid↔row
+      // for the two consumers AND materializes the heavy per-chunk
+      // sort+window exactly once — checkpointing ordA instead would run
+      // it twice (once per consumer subtree)
       val locA = ordA
         .withColumn("lrn", row_number().over(wA))
         .withColumn("lcnt", count(lit(1)).over(
@@ -230,6 +233,7 @@ object AdvancedQueries {
         .withColumn("llag", lag(col("o_totalprice"), 1).over(wA))
         .withColumn("lmov3", sum(col("o_totalprice").cast(dec))
           .over(wA.rowsBetween(-2, 0)))
+        .localCheckpoint()
       // last two rows of each (chunk, priority) group, for boundary fix
       val summA = locA
         .filter(col("lrn") >= col("lcnt") - 1)

@@ -26,9 +26,25 @@ class ScalableFramesSpec extends AnyFunSuite with SparkTestBase {
     chunked.zip(naive).foreach { case (c, n) => assert(c == n, s"chunked=$c naive=$n") }
   }
 
-  test("q34's heavy windows are per-chunk; global windows touch only summary rows") {
+  test("q34's heavy stage range-partitions and windows per chunk, not per priority") {
+    // q34 localCheckpoints its window stages (pid pinning + single
+    // materialization), which hides them behind LogicalRDDs in the
+    // final plan — so assert the shape on the stage-A pipeline built
+    // exactly as the query builds it (PrefixScanSpec's approach)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val staged = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .repartitionByRange(32, col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("pid", expr("spark_partition_id()"))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid"), col("o_orderpriority"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"window must partition on the chunk id, not bare priority:\n$plan")
     val df = AdvancedQueries.queries("q34_scalable_frames")(spark, "/root/testdata/sf0.001")
-    assert(df.columns.toSeq ==
-      Seq("o_orderkey", "lag_price", "drank", "mov3", "nt"))
+    assert(df.columns.toSeq == Seq("o_orderkey", "lag_price", "drank", "mov3", "nt"))
   }
 }
