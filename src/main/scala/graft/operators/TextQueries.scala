@@ -183,6 +183,36 @@ object TextQueries {
             .as("dup_ratio"))
     },
 
+    // ---- sequence packing: token-budget pack assignment ----
+    // The sample-packing step before training: concatenate documents
+    // in a stable order and cut fixed token-budget windows; each doc
+    // gets its pack id and offset from the EXCLUSIVE running token
+    // count. The running count is q32's distributed prefix scan (local
+    // sums per range chunk + a ≤#chunks-row boundary table), so no
+    // single task ever scans the corpus — and it's pure integer
+    // arithmetic, identical in both engines.
+    "t11_sequence_pack" -> { (s, dir) =>
+      val budget = 2048
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .repartitionByRange(spread(s), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      // checkpoint after the window pass: pins pid↔row for both
+      // consumers and materializes the local scan once (q32/q34)
+      val loc = toks
+        .withColumn("lsum", sum(col("n_tokens")).over(w)) // inclusive local cumsum
+        .localCheckpoint()
+      val wPre = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = loc.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
+        .select(col("pid"), coalesce(sum(col("psum")).over(wPre), lit(0L)).as("presum"))
+      loc.join(broadcast(prefix), "pid")
+        .withColumn("cb", col("presum") + col("lsum") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          expr(s"cb div $budget").as("pack_id"),
+          (col("cb") % budget).as("offset_in_pack"))
+    },
+
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
     // The contamination check every training pipeline runs before a
     // model sees the data: flag corpus documents sharing any word
@@ -420,6 +450,17 @@ object TextQueries {
         |  CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
         |       ELSE ((total - uniq) * 1.0) / total END AS dup_ratio
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    "t11_sequence_pack" ->
+      """WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM tk)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(cb // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cb % 2048 AS BIGINT) AS offset_in_pack
+        |FROM c""".stripMargin,
 
     "t10_decontam" -> {
       val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")
