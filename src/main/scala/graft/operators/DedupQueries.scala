@@ -59,32 +59,49 @@ object DedupQueries {
 
   private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
 
-  /** SQL twin of simhashSignatures, shared by the d3/d10 oracles. */
+  /** SQL twin of simhashSignatures, shared by the d3/d10 oracles. Bit 63
+   * is recombined as Long.MinValue (the signed spelling of 1<<63) so the
+   * signature stays a plain BIGINT in both engines with no intermediate
+   * sum ever leaving [-2^63, 2^63): the positive terms total < 2^63 and
+   * the single negative term is the lower bound itself. */
   private lazy val SimhashSigsSql: String = {
-    val bitSums = (0 until 32).map(j =>
-      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n  ")
-    val recombine = (0 until 32).map(j =>
-      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bitSums = ((0 until 32).map(j =>
+      s"SUM(CASE WHEN (hv_lo >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j") ++
+      (32 until 64).map(j =>
+        s"SUM(CASE WHEN (hv_hi >> ${j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"))
+      .mkString(",\n  ")
+    val recombine = ((0 until 63).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)") :+
+      s"(CASE WHEN b63 > 0 THEN ${Long.MinValue} ELSE 0 END)").mkString(" + ")
     s"""$CorpusSql,
        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM corpus),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT hv FROM tok),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT hv_hi,
+       |             ('0x' || substr(md5(t), 9, 8))::BIGINT hv_lo FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
        |sigs AS (SELECT doc_id, $recombine AS simhash FROM bits)""".stripMargin
   }
 
-  /** 32-bit md5-derived SimHash per corpus doc — shared by d3 (the
-   * signature surface) and d10 (near-dup pairs over the signatures). */
+  /** 64-bit md5-derived SimHash per corpus doc — shared by d3 (the
+   * signature surface) and d10 (near-dup pairs over the signatures).
+   * The token hash is taken as two 32-bit md5 halves (bits 32-63 from
+   * hex chars 1-8, bits 0-31 from chars 9-16) so no per-token value
+   * ever exceeds the signed-BIGINT range in either engine; see
+   * SimhashSigsSql for the bit-63 recombination. */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val tok = corpus(s, dir)
       .repartition(spread(s), col("doc_id")) // single-file input: spread the hash work
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("hv", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("hv_hi", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("hv_lo", expr("CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)"))
     val bitAggs = (0 until 32).map(j =>
-      sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+      sum(when(expr(s"(hv_lo >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")) ++
+      (32 until 64).map(j =>
+        sum(when(expr(s"(hv_hi >> ${j - 32}) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
     val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
     bitSums.select(col("doc_id"),
-      (0 until 32).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+      ((0 until 63).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)) :+
+        when(col("b63") > 0, lit(Long.MinValue)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
   /** d4's document-frequency cap: a gram appearing in more than this many
@@ -318,24 +335,29 @@ object DedupQueries {
       crossExp.unionByName(withinExp)
     },
 
-    // ---- SimHash document signatures (32-bit, md5-derived) ----
+    // ---- SimHash document signatures (64-bit, md5-derived) ----
     "d3_simhash" -> { (s, dir) => simhashSignatures(s, dir) },
 
     // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
-    // hamming(a, b) ≤ 3 over a 32-bit signature means at most 3 of the
-    // 4 disjoint 8-bit chunks differ — so every qualifying pair shares
+    // hamming(a, b) ≤ 3 over a 64-bit signature means at most 3 of the
+    // 4 disjoint 16-bit chunks differ — so every qualifying pair shares
     // at least one chunk verbatim. Candidates come from a chunk-value
     // equi-join (a shuffle on small ints, no all-pairs work), then the
     // exact bit_count(xor) verification keeps only true pairs: unlike
     // MinHash banding this is EXACT by construction, at any scale.
     // Chunk width trades the recall-guaranteed radius (k chunks ⟹
-    // hamming ≤ k-1) against bucket fan-out; 4×8 bits is the canonical
-    // split for radius 3 on 32-bit signatures.
+    // hamming ≤ k-1) against bucket fan-out; 4×16 bits is the
+    // Manku-style web-dedup layout — 65,536 bucket values per chunk
+    // position, so random signatures collide at 1/65536 per chunk and
+    // expected false candidates stay ~4·N²/2¹⁸ instead of the ~N²/128
+    // the previous 32-bit/4×8 split produced. The arithmetic >> on the
+    // signed signature sign-extends, but & 65535 keeps exactly the
+    // original 16 bits in both engines.
     "d10_simhash_neardup" -> { (s, dir) =>
       val sig = simhashSignatures(s, dir)
       val chunks = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
-          expr(s"(simhash >> ${8 * c}) & 255")): _*)).as(Seq("chunk_idx", "chunk_val")))
+          expr(s"(simhash >> ${16 * c}) & 65535")): _*)).as(Seq("chunk_idx", "chunk_val")))
       chunks.as("a").join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
