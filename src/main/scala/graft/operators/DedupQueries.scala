@@ -323,9 +323,13 @@ object DedupQueries {
       // a 48-slot HashAggregate whose janino compile dominated cold-start
       val mh = ex.groupBy(col("doc_id"))
         .agg(graft.functions.GraftFunctions.minhashSketch(col("x"), NumHashes).as("mhs"))
+      // band key = xxhash64 of the band's two minhashes: the hottest
+      // remaining shuffle carries an 8-byte long instead of a ~40-byte
+      // "m1:m2" string. A 2⁻⁶⁴ band-key collision can only ADD a
+      // candidate pair, and exact verification below discards it.
       val bands = mh.select(col("doc_id"), posexplode(array(
         (0 until NumHashes / 2).map(j =>
-          concat_ws(":",
+          xxhash64(
             element_at(col("mhs"), 2 * j + 1),
             element_at(col("mhs"), 2 * j + 2))): _*
       )).as(Seq("band_idx", "band_key")))
