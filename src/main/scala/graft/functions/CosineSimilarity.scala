@@ -129,6 +129,9 @@ object GraftFunctions {
   def minhashSketch(x: Column, numHashes: Int): Column =
     column(MinHashSketch(expression(x), numHashes).toAggregateExpression())
 
+  def rollingHash(tokens: Column): Column =
+    column(RollingHash(expression(tokens)))
+
   /** Shared SQL builders — one definition used by both GraftExtensions
    * (config-time injection) and register() (runtime registration), so
    * the two SQL surfaces cannot drift. */

@@ -210,12 +210,15 @@ object DedupQueries {
    * never does. */
   private[operators] def annIvfTopK(corpusDf: DataFrame, queryPred: Column,
       k: Int = 3, kCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val emb = corpusDf
+    // defensive projection: callers may pass a corpus with extra or
+    // reordered columns; everything below (incl. the positional seed
+    // collect) assumes exactly (vec_id, e)
+    val emb = corpusDf.select(col("vec_id"), col("e"))
     // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id);
     // a corpus smaller than kCells trains with what it has
     var cents: Array[Array[Double]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getAs[Seq[Double]]("e").toArray)
     val nCells = cents.length
     require(nCells > 0, "annIvfTopK: empty corpus")
     // all-centroid similarities in ONE codegen expression (the centroid

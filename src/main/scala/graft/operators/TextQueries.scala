@@ -94,11 +94,9 @@ object TextQueries {
           "filter(split(lower(regexp_replace(text, '[^a-z0-9 ]', ' ')), ' '), x -> x != '')"))
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(col("nt"))), " ")).as("fingerprint"),
-          expr(
-            """aggregate(
-              |  transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
-              |  CAST(0 AS BIGINT),
-              |  (a, x) -> (a * 1000003 + x) % 2147483647)""".stripMargin).as("rolling_hash"))
+          // codegen RollingHash expression — bit-identical to the
+          // interpreted aggregate/transform HOF chain it replaces
+          graft.functions.GraftFunctions.rollingHash(col("w")).as("rolling_hash"))
     },
 
     // ---- event sessionization: 30-min-gap sessions per user ----

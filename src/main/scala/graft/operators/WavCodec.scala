@@ -16,6 +16,12 @@ package graft.operators
  */
 object WavCodec {
 
+  /** Decoded clip. `samples` holds the data chunk's PCM16 values in
+   * stored order — for multi-channel audio that is frame-interleaved
+   * (L R L R …), so `samples.length` is frames × channels and
+   * absSum/peak aggregate over every channel's samples, matching how
+   * the stream is laid out on disk. The m4 generator is mono, where
+   * frames = samples. */
   final case class WavClip(sampleRate: Int, channels: Int, samples: Array[Short]) {
     def absSum: Long = {
       var s = 0L
