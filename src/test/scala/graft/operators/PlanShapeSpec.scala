@@ -141,4 +141,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("*(1)"), p)
     assert(p.contains("*(2)"), p) // final agg after the shuffle is fused too
   }
+
+  test("scbf reads execute the vectorized (ColumnarBatch) scan path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scbf_colscan").toString
+    Seq((1, 1.5, "a"), (2, 2.5, "b")).toDF("i", "d", "s")
+      .write.format("scbf").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir).filter($"i" > 0).select($"s")
+    assert(q.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    val p = q.queryExecution.executedPlan.toString
+    // the batch scan feeds ColumnarToRow inside a codegen stage — i.e.
+    // supportColumnarReads actually engaged, no row-reader fallback
+    assert(p.contains("ColumnarToRow"), p)
+    assert(p.contains("BatchScan scbf"), p)
+  }
 }

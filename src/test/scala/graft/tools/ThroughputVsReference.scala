@@ -1,12 +1,18 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-/** Dev-time: same 1M-row workload as the reference CPython run —
- * CSV -> SCBF conversion, full scan, pruned 1-column scan. In-session
- * timings (session startup excluded on both sides: CPython interpreter
- * startup was excluded too). */
+/** Dev-time: same workload as the reference CPython run — CSV -> SCBF
+ * conversion, full scan, pruned 1-column scan. In-session timings
+ * (session startup excluded on both sides: CPython interpreter startup
+ * was excluded too). args(0) = input csv (default /tmp/huge.csv, the
+ * 1M-row fixture; pass /tmp/huge10m.csv for the 10M re-measure); our
+ * single-file output lands next to it as <input>.ours.scbf, and a
+ * reference-written <input stem>_ref.scbf is scanned when present. */
 object ThroughputVsReference {
   def main(args: Array[String]): Unit = {
+    val csv = args.headOption.getOrElse("/tmp/huge.csv")
+    val ours = csv + ".ours.scbf"
+    val ref = csv.stripSuffix(".csv") + "_ref.scbf"
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -17,22 +23,24 @@ object ThroughputVsReference {
       println(f"$label: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     time("ours: csv -> scbf (single file, CLI semantics)") {
-      graft.apps.CsvScbfApps.csvToScbf(s, "/tmp/huge.csv", "/tmp/huge_ours.scbf")
+      graft.apps.CsvScbfApps.csvToScbf(s, csv, ours)
     }
-    // scan OUR writer's output (also proves the write above is readable);
-    // /tmp/huge_ref.scbf (reference-written) is the cross-interop variant
-    val scanPath = if (new java.io.File("/tmp/huge_ref.scbf").exists())
-      "/tmp/huge_ref.scbf" else "/tmp/huge_ours.scbf"
+    // scan the reference writer's output when present (cross-interop
+    // variant, and keeps the scan comparable file-for-file)
+    val scanPath = if (new java.io.File(ref).exists()) ref else ours
     time(s"ours: full scan of $scanPath") {
       s.read.format("scbf").load(scanPath)
         .write.format("noop").mode("overwrite").save()
     }
-    time(s"ours: pruned 1-column aggregate over $scanPath") {
+    // read_columns parity: decode and materialize every value of one
+    // column (noop sink), with no aggregate bolted on — the reference
+    // side builds a Python list, nothing more
+    time(s"ours: pruned 1-column read over $scanPath") {
       s.read.format("scbf").load(scanPath)
-        .agg(sum(col("score").cast("decimal(18,4)"))).collect()
+        .select(col("score")).write.format("noop").mode("overwrite").save()
     }
     time("ours: full scan of our own single-file output") {
-      s.read.format("scbf").load("/tmp/huge_ours.scbf")
+      s.read.format("scbf").load(ours)
         .write.format("noop").mode("overwrite").save()
     }
     s.stop()
