@@ -142,7 +142,9 @@ class ScbfTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles)
+    val compactInterval = Option(options.get("compactInterval")).map(_.toInt)
+      .getOrElse(ScbfMicroBatchStream.DefaultCompactInterval)
+    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

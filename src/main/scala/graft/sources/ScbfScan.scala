@@ -29,7 +29,8 @@ import graft.scbf._
  * that feed whole-stage codegen through Spark's ColumnarToRow.
  */
 class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
-    tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None)
+    tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = schema
@@ -37,7 +38,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger)
+    new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
+      compactInterval)
 }
 
 class ScbfScan(
@@ -46,7 +48,8 @@ class ScbfScan(
     files: Seq[FileStatus],
     conf: Configuration,
     tablePaths: Seq[String] = Seq.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -59,7 +62,7 @@ class ScbfScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, compactInterval)
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"

@@ -32,6 +32,25 @@ case class ScbfOffset(batch: Long) extends Offset {
  * driver memory (the same recovery contract as Spark's own
  * FileStreamSource metadata log).
  *
+ * Files are assumed IMMUTABLE once visible (Spark's file-source
+ * contract): admission keys on path, with length captured at admission,
+ * so a file overwritten or appended in place after admission is never
+ * re-read and replays at its admitted length. External SCBF producers
+ * must write through the staged-rename protocol (or equivalent
+ * write-then-rename), never append to a published file.
+ *
+ * Log growth is bounded by compaction, mirroring FileStreamSource's
+ * compact interval: every `compactInterval` batches (option, default
+ * 10) the full seen-path set is snapshotted to `<batch>.compact`, and
+ * once a compacted batch is committed the per-batch delta logs at or
+ * below it (and older snapshots) are deleted. Recovery therefore reads
+ * one snapshot plus at most `compactInterval` deltas — not every log
+ * ever written — and a month-long stream's checkpoint directory stays
+ * O(interval) files. The in-memory seen set still holds every live
+ * source path (as FileStreamSource's map does with maxFileAge unset);
+ * paths no longer in the source listing could be aged out at snapshot
+ * time if a retention policy deletes source files.
+ *
  * Scale: per trigger the driver lists the directory once and reads no
  * data; files go one-per-partition to executors exactly like the batch
  * scan, with the same column pruning.
@@ -41,12 +60,15 @@ class ScbfMicroBatchStream(
     tablePaths: Seq[String],
     conf: Configuration,
     checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
   maxFilesPerTrigger.foreach(n =>
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+  require(compactInterval > 0,
+    s"compactInterval must be positive, got $compactInterval")
 
   private val logDir = new Path(checkpointLocation, "scbf-file-batches")
   private def fs = logDir.getFileSystem(conf)
@@ -56,17 +78,29 @@ class ScbfMicroBatchStream(
    * trigger the driver does one source-directory listing and O(new
    * files) work, not O(all batches ever) log re-reads (the same split
    * Spark's FileStreamSource makes between its in-memory map and its
-   * metadata log). */
+   * metadata log). Recovery reads the latest `.compact` snapshot plus
+   * only the deltas after it. */
   private var cachedState: Option[(Long, Set[String])] = None
+  // latest snapshot written/seen, and the one retention last purged up
+  // to — session-local cursors; both re-derived from the listing on
+  // recovery
+  private var lastCompactBatch = 0L
+  private var lastPurgedCompact = 0L
 
   private def state(): (Long, Set[String]) = cachedState.getOrElse {
     val loaded = if (!fs.exists(logDir)) (0L, Set.empty[String])
     else {
-      val batches = fs.listStatus(logDir).toSeq
-        .flatMap(f => f.getPath.getName.toLongOption)
-        .sorted
-      (batches.lastOption.getOrElse(0L),
-        batches.flatMap(readLog(_).map(_._1)).toSet)
+      val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val deltas = names.flatMap(_.toLongOption)
+      val compacts = names.filter(_.endsWith(ScbfMicroBatchStream.CompactSuffix))
+        .flatMap(_.stripSuffix(ScbfMicroBatchStream.CompactSuffix).toLongOption)
+      val c = compacts.maxOption.getOrElse(0L)
+      lastCompactBatch = c
+      lastPurgedCompact = 0L // retention re-runs from scratch; deletes are idempotent
+      val fromCompact: Set[String] =
+        if (c > 0) readCompact(c) else Set.empty
+      val fromDeltas = deltas.filter(_ > c).sorted.flatMap(readLog(_).map(_._1))
+      ((deltas ++ compacts).maxOption.getOrElse(0L), fromCompact ++ fromDeltas)
     }
     cachedState = Some(loaded)
     loaded
@@ -92,15 +126,35 @@ class ScbfMicroBatchStream(
       }
   }
 
-  private def writeLog(batch: Long, files: Seq[(String, Long)]): Unit = {
+  private def writeLog(batch: Long, files: Seq[(String, Long)]): Unit =
+    writeAtomic(batch.toString, files.map { case (p, l) => s"$p\t$l" })
+
+  /** Full seen-path snapshot (paths only: snapshots rebuild the seen
+   * set; planInputPartitions replays lengths from delta logs, which
+   * retention keeps for every batch after the committed snapshot). */
+  private def readCompact(batch: Long): Set[String] = {
+    val p = new Path(logDir, batch.toString + ScbfMicroBatchStream.CompactSuffix)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    new String(buf, StandardCharsets.UTF_8).split("\n").toSet.filter(_.nonEmpty)
+  }
+
+  private def writeCompact(batch: Long, seen: Set[String]): Unit = {
+    writeAtomic(batch.toString + ScbfMicroBatchStream.CompactSuffix, seen.toSeq.sorted)
+    lastCompactBatch = batch
+  }
+
+  private def writeAtomic(name: String, lines: Seq[String]): Unit = {
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, s".${batch.toString}.tmp")
+    val tmp = new Path(logDir, s".$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.map { case (p, l) => s"$p\t$l" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, new Path(logDir, batch.toString)))
-      throw new ScbfFormatException(s"could not commit stream log for batch $batch")
+    if (!fs.rename(tmp, new Path(logDir, name)))
+      throw new ScbfFormatException(s"could not commit stream log file $name")
   }
 
   override def initialOffset(): Offset = ScbfOffset(0L)
@@ -132,9 +186,15 @@ class ScbfMicroBatchStream(
     }
     if (fresh.isEmpty) ScbfOffset(maxBatch)
     else {
-      writeLog(maxBatch + 1, fresh) // log BEFORE exposing the offset
-      cachedState = Some((maxBatch + 1, seen ++ fresh.map(_._1)))
-      ScbfOffset(maxBatch + 1)
+      val next = maxBatch + 1
+      val nextSeen = seen ++ fresh.map(_._1)
+      writeLog(next, fresh) // log BEFORE exposing the offset
+      // snapshot after the delta: if the snapshot write crashes midway,
+      // recovery falls back to the previous snapshot + deltas (which
+      // include this one) — never a torn view
+      if (next % compactInterval == 0) writeCompact(next, nextSeen)
+      cachedState = Some((next, nextSeen))
+      ScbfOffset(next)
     }
   }
 
@@ -152,7 +212,32 @@ class ScbfMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new ScbfPartitionReaderFactory(required, new ScbfUtil.SerializableConf(conf))
 
-  override def commit(end: Offset): Unit = () // logs are the source of truth
+  /** Logs are the source of truth; commit only runs retention. Once a
+   * snapshot's batch is committed, Spark will never re-plan batches at
+   * or below it (its own offset WAL is ahead), and the snapshot covers
+   * seen-set recovery — so deltas ≤ that snapshot and older snapshots
+   * are garbage. Deletes are idempotent; a crash mid-purge just leaves
+   * files the next purge removes. */
+  override def commit(end: Offset): Unit = {
+    val committed = end.asInstanceOf[ScbfOffset].batch
+    if (lastCompactBatch > lastPurgedCompact && committed >= lastCompactBatch) {
+      val c = lastCompactBatch
+      if (fs.exists(logDir)) fs.listStatus(logDir).foreach { f =>
+        val name = f.getPath.getName
+        val deletable =
+          name.toLongOption.exists(_ <= c) ||
+            name.stripSuffix(ScbfMicroBatchStream.CompactSuffix).toLongOption
+              .exists(b => name.endsWith(ScbfMicroBatchStream.CompactSuffix) && b < c)
+        if (deletable) fs.delete(f.getPath, false)
+      }
+      lastPurgedCompact = c
+    }
+  }
 
   override def stop(): Unit = ()
+}
+
+object ScbfMicroBatchStream {
+  val DefaultCompactInterval = 10
+  val CompactSuffix = ".compact"
 }
