@@ -137,7 +137,7 @@ class ScbfTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -50,6 +50,15 @@ class ScbfWriteBuilder(
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // Complete/update modes would need per-epoch truncation semantics;
+      // the sink is append-only (the natural mode for a file sink)
+      require(!doTruncate,
+        "SCBF streaming sink supports append output mode only")
+      new ScbfStreamingWrite(dir, schema,
+        new ScbfUtil.SerializableConf(conf), maxBufferedBytes)
+    }
   }
 }
 
@@ -57,8 +66,12 @@ object ScbfWrite {
   /** Default per-task buffer cap before rolling to a new file. */
   val DefaultMaxBufferedBytes: Long = 128L << 20
 
+  /** Matches both temp spellings: batch `.<final>.tmp` and streaming
+   * `.<final>.<attempt>.tmp` (the final name always carries the
+   * extension, so `.scbf` appears inside the temp name). */
   private[sources] def isTemp(name: String): Boolean =
-    name.startsWith(".") && name.endsWith(Scbf.FileExtension + ".tmp")
+    name.startsWith(".") && name.endsWith(".tmp") &&
+      name.contains(Scbf.FileExtension)
 }
 
 class ScbfBatchWrite(
@@ -127,16 +140,120 @@ class ScbfBatchWrite(
 
 case class ScbfCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
+/** Streaming task result: files staged but not yet published. */
+case class ScbfStagedCommitMessage(pairs: Seq[(String, String)])
+  extends WriterCommitMessage
+
+/**
+ * Epoch-level streaming write: `df.writeStream.format("scbf")` —
+ * the native sink half of the connector's streaming story (the read
+ * half is [[ScbfMicroBatchStream]]).
+ *
+ * Exactly-once across failures WITHOUT a sink-side metadata log (the
+ * scan lists the directory, so a log would be invisible to readers):
+ *
+ *  - Final names are a deterministic function of (epoch, partition,
+ *    file sequence). The source replays a failed epoch from its own
+ *    checkpoint logs with identical partitions and row order, so a
+ *    replay STAGES byte-identical files under the SAME final names.
+ *  - Tasks only stage (attempt-unique dot-temps, invisible to the
+ *    scan); publication happens here in `commit(epoch)`, rename-over
+ *    per file. A crash mid-commit exposes a prefix of the epoch's
+ *    files; the engine re-runs the epoch, and the re-publication
+ *    overwrites those same names with identical bytes — convergent,
+ *    never duplicated.
+ *  - `abort(epoch)` removes this run's temps only. Published files
+ *    from a half-committed earlier run stay: the replay owns them.
+ *
+ * One streaming query per output directory (epoch ids restart at 0 for
+ * a NEW query writing into the same directory — same single-writer
+ * contract as Spark's own FileStreamSink, which enforces it via its
+ * metadata log; here it is a documented contract).
+ */
+class ScbfStreamingWrite(
+    dir: String, schema: StructType,
+    conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val path = new Path(dir)
+    path.getFileSystem(conf.value).mkdirs(path)
+    new ScbfStreamingDataWriterFactory(dir, schema, conf, maxBufferedBytes)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    messages.collect { case ScbfStagedCommitMessage(pairs) => pairs }.flatten
+      .foreach { case (tmp, dst) =>
+        val (t, d) = (new Path(tmp), new Path(dst))
+        if (fs.exists(d)) fs.delete(d, false) // replay: converge on this run's bytes
+        if (!fs.rename(t, d)) throw new ScbfFormatException(
+          s"failed to publish $tmp as $dst for epoch $epochId")
+      }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    messages.collect { case ScbfStagedCommitMessage(pairs) => pairs }.flatten
+      .foreach { case (tmp, _) =>
+        val t = new Path(tmp)
+        if (fs.exists(t)) fs.delete(t, false)
+      }
+  }
+}
+
+class ScbfStreamingDataWriterFactory(
+    dir: String, schema: StructType, conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ScbfDataWriter(dir, schema, conf.value, maxBufferedBytes,
+      // deterministic: replayed epochs regenerate the same names
+      seq => f"part-$epochId%05d-$partitionId%05d-$seq%03d${Scbf.FileExtension}",
+      publishOnTaskCommit = false, emitEmptyFile = false)
+}
+
 class ScbfDataWriterFactory(
     dir: String, schema: StructType, conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long)
   extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ScbfDataWriter(dir, schema, partitionId, taskId, conf.value, maxBufferedBytes)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // attempt-unique FINAL names: concurrent attempts can never publish
+    // over each other, and the plain `.<final>.tmp` temp is already
+    // attempt-unique too
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    new ScbfDataWriter(dir, schema, conf.value, maxBufferedBytes,
+      seq => f"part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
+      publishOnTaskCommit = true, emitEmptyFile = true)
+  }
 }
 
+/**
+ * Buffers rows column-major, rolling staged files at `maxBufferedBytes`.
+ *
+ * `finalName` maps the rolling file sequence number to the published
+ * name; batch writes bake an attempt-unique id into it, streaming
+ * writes use a deterministic (epoch, partition, seq) name so an epoch
+ * replay regenerates byte-identical files under the same names.
+ *
+ * `publishOnTaskCommit`: batch tasks rename temp → final in their own
+ * commit (Spark's batch commit coordinator has already arbitrated task
+ * attempts); streaming tasks leave files staged and report (temp,
+ * final) pairs — the epoch-level [[ScbfStreamingWrite]] publishes at
+ * driver commit so replayed epochs converge instead of duplicating.
+ *
+ * `emitEmptyFile`: batch writes emit one 0-row file for an empty
+ * partition (an empty table stays readable — schema lives in the
+ * header); streaming appends skip them so idle triggers don't litter
+ * the directory.
+ */
 class ScbfDataWriter(
-    dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    conf: Configuration, maxBufferedBytes: Long)
+    dir: String, schema: StructType,
+    conf: Configuration, maxBufferedBytes: Long,
+    finalName: Int => String,
+    publishOnTaskCommit: Boolean, emitEmptyFile: Boolean)
   extends DataWriter[InternalRow] {
 
   private val scbfSchema = ScbfDataSource.sparkToScbf(schema)
@@ -182,7 +299,9 @@ class ScbfDataWriter(
     case ScbfColumn(_, ScbfType.Utf8)    => new Utf8Builder
   }.toArray
 
-  private val taskUuid = java.util.UUID.randomUUID().toString.take(8)
+  // attempt-unique temp suffix: two attempts staging the same
+  // deterministic streaming name must not write through one temp file
+  private val attemptUuid = java.util.UUID.randomUUID().toString.take(8)
   // (temp, final) pairs for every file this attempt has rolled so far
   private val staged = new ArrayBuffer[(Path, Path)]()
   private var fileSeq = 0
@@ -200,10 +319,10 @@ class ScbfDataWriter(
 
   /** Write the buffered columns to the next dot-temp file and reset. */
   private def flush(): Unit = {
-    val finalName =
-      f"part-$partitionId%05d-$taskId-$taskUuid-$fileSeq%03d${Scbf.FileExtension}"
-    val tmp = new Path(dir, s".$finalName.tmp")
-    val dst = new Path(dir, finalName)
+    val fn = finalName(fileSeq)
+    val tmp = new Path(dir,
+      if (publishOnTaskCommit) s".$fn.tmp" else s".$fn.$attemptUuid.tmp")
+    val dst = new Path(dir, fn)
     val data: Seq[ColumnData] = builders.toSeq.map {
       case b: IntBuilder    => IntColumnData(b.values.toArray)
       case b: DoubleBuilder => DoubleColumnData(b.values.toArray)
@@ -223,20 +342,27 @@ class ScbfDataWriter(
   override def commit(): WriterCommitMessage = {
     // flush the tail; an empty partition still emits one (0-row) file so
     // an empty table stays readable (schema lives in the file header)
-    if (bufferedRows > 0 || staged.isEmpty) flush()
-    val fs = new Path(dir).getFileSystem(conf)
-    staged.foreach { case (tmp, dst) =>
-      if (!fs.rename(tmp, dst)) throw new ScbfFormatException(
-        s"failed to publish $tmp as $dst")
-    }
-    ScbfCommitMessage(staged.toSeq.map(_._2.toString))
+    if (bufferedRows > 0 || (staged.isEmpty && emitEmptyFile)) flush()
+    if (publishOnTaskCommit) {
+      val fs = new Path(dir).getFileSystem(conf)
+      staged.foreach { case (tmp, dst) =>
+        if (!fs.rename(tmp, dst)) throw new ScbfFormatException(
+          s"failed to publish $tmp as $dst")
+      }
+      ScbfCommitMessage(staged.toSeq.map(_._2.toString))
+    } else
+      ScbfStagedCommitMessage(staged.toSeq.map { case (t, d) => (t.toString, d.toString) })
   }
 
   override def abort(): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
     staged.foreach { case (tmp, dst) =>
       if (fs.exists(tmp)) fs.delete(tmp, false)
-      if (fs.exists(dst)) fs.delete(dst, false)
+      // batch final names are attempt-unique, so a half-published file is
+      // ours to remove; a streaming final name may be a PREVIOUS run of
+      // this epoch's published file — not this attempt's to delete (the
+      // epoch replay will converge on it)
+      if (publishOnTaskCommit && fs.exists(dst)) fs.delete(dst, false)
     }
   }
 

@@ -63,20 +63,19 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"))
   }
 
-  /** Stream → SCBF ingest. SCBF cannot be a native streaming sink (a
-   * file's metadata is finalized at close, so no incremental appends
-   * within a file); the composition is one subdirectory per micro-batch,
-   * OVERWRITTEN on replay — foreachBatch is at-least-once, so a plain
-   * append would duplicate a batch that re-runs after a pre-checkpoint
-   * crash. Consumers read the tree with a glob: load(outDir + "/" + "*"). */
+  /** Stream → SCBF ingest through the connector's native DSv2 streaming
+   * sink (graft.sources.ScbfStreamingWrite): per-epoch staged commit
+   * with deterministic (epoch, partition) file names, so a replayed
+   * epoch republishes the same files instead of duplicating — flat
+   * output directory, plain `spark.read.format("scbf").load(outDir)`
+   * for consumers. (Earlier rounds composed this with foreachBatch and
+   * one overwritten subdirectory per batch; that shape remains valid
+   * for sinks without native streaming support.) */
   def scbfSink(df: DataFrame, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+    df.writeStream.format("scbf")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.format("scbf").mode("overwrite").save(s"$outDir/batch-$batchId")
-      }
-      .start()
+      .start(outDir)
 
   case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, events: Int)

@@ -89,7 +89,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       input.addData((3, "c", 3.5))
       q.processAllAvailable()
-      val back = spark.read.format("scbf").load(s"$out/*")
+      // native sink: flat directory, no per-batch glob needed
+      val back = spark.read.format("scbf").load(out)
       assert(back.count() == 3)
       assert(back.select("name").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
     } finally q.stop()
