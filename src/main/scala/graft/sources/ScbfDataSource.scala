@@ -144,7 +144,11 @@ class ScbfTable(
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val compactInterval = Option(options.get("compactInterval")).map(_.toInt)
       .getOrElse(ScbfMicroBatchStream.DefaultCompactInterval)
-    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval)
+    // duration strings ("7d", "12h", bare ms) via Spark's own parser
+    val maxFileAge = Option(options.get("maxFileAge"))
+      .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
+      maxFileAge)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

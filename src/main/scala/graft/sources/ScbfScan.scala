@@ -30,7 +30,8 @@ import graft.scbf._
  */
 class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
     tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
-    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
+    maxFileAgeMs: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = schema
@@ -39,7 +40,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
 
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval)
+      compactInterval, maxFileAgeMs)
 }
 
 class ScbfScan(
@@ -49,7 +50,8 @@ class ScbfScan(
     conf: Configuration,
     tablePaths: Seq[String] = Seq.empty,
     maxFilesPerTrigger: Option[Int] = None,
-    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
+    maxFileAgeMs: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -62,7 +64,7 @@ class ScbfScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
-      maxFilesPerTrigger, compactInterval)
+      maxFilesPerTrigger, compactInterval, maxFileAgeMs)
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"

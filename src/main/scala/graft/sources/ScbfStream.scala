@@ -46,10 +46,18 @@ case class ScbfOffset(batch: Long) extends Offset {
  * below it (and older snapshots) are deleted. Recovery therefore reads
  * one snapshot plus at most `compactInterval` deltas — not every log
  * ever written — and a month-long stream's checkpoint directory stays
- * O(interval) files. The in-memory seen set still holds every live
- * source path (as FileStreamSource's map does with maxFileAge unset);
- * paths no longer in the source listing could be aged out at snapshot
- * time if a retention policy deletes source files.
+ * O(interval) files.
+ *
+ * Seen-set growth is bounded by `maxFileAge` (option, e.g. "7d" —
+ * unset means keep forever, FileStreamSource's default is the same
+ * mechanism): files whose modification time lags the newest listed
+ * file by more than the age are not admitted, which makes it safe to
+ * EVICT seen entries older than that horizon at snapshot time — a
+ * re-listed evicted path is re-rejected by the age filter, never
+ * re-read. With it set, driver memory holds only the paths inside the
+ * age window at any stream length. (Corollary of the immutability
+ * contract: REPLACING an evicted path with a fresh-mtime file would
+ * re-admit it — that was already a contract violation.)
  *
  * Scale: per trigger the driver lists the directory once and reads no
  * data; files go one-per-partition to executors exactly like the batch
@@ -61,7 +69,8 @@ class ScbfMicroBatchStream(
     conf: Configuration,
     checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
-    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval)
+    compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
+    maxFileAgeMs: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
@@ -69,6 +78,8 @@ class ScbfMicroBatchStream(
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
   require(compactInterval > 0,
     s"compactInterval must be positive, got $compactInterval")
+  maxFileAgeMs.foreach(a =>
+    require(a > 0, s"maxFileAge must be positive, got $a ms"))
 
   private val logDir = new Path(checkpointLocation, "scbf-file-batches")
   private def fs = logDir.getFileSystem(conf)
@@ -80,15 +91,18 @@ class ScbfMicroBatchStream(
    * Spark's FileStreamSource makes between its in-memory map and its
    * metadata log). Recovery reads the latest `.compact` snapshot plus
    * only the deltas after it. */
-  private var cachedState: Option[(Long, Set[String])] = None
+  /** path → modification time at admission (Long.MaxValue for entries
+   * recovered from logs written before ages were recorded: "unknown,
+   * keep forever" — never mis-evicted). */
+  private var cachedState: Option[(Long, Map[String, Long])] = None
   // latest snapshot written/seen, and the one retention last purged up
   // to — session-local cursors; both re-derived from the listing on
   // recovery
   private var lastCompactBatch = 0L
   private var lastPurgedCompact = 0L
 
-  private def state(): (Long, Set[String]) = cachedState.getOrElse {
-    val loaded = if (!fs.exists(logDir)) (0L, Set.empty[String])
+  private def state(): (Long, Map[String, Long]) = cachedState.getOrElse {
+    val loaded = if (!fs.exists(logDir)) (0L, Map.empty[String, Long])
     else {
       val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
       val deltas = names.flatMap(_.toLongOption)
@@ -97,19 +111,22 @@ class ScbfMicroBatchStream(
       val c = compacts.maxOption.getOrElse(0L)
       lastCompactBatch = c
       lastPurgedCompact = 0L // retention re-runs from scratch; deletes are idempotent
-      val fromCompact: Set[String] =
-        if (c > 0) readCompact(c) else Set.empty
-      val fromDeltas = deltas.filter(_ > c).sorted.flatMap(readLog(_).map(_._1))
+      val fromCompact: Map[String, Long] =
+        if (c > 0) readCompact(c) else Map.empty
+      val fromDeltas = deltas.filter(_ > c).sorted
+        .flatMap(readLog(_).map { case (p, _, ts) => p -> ts })
       ((deltas ++ compacts).maxOption.getOrElse(0L), fromCompact ++ fromDeltas)
     }
     cachedState = Some(loaded)
     loaded
   }
 
-  /** One log entry per admitted batch: `path\tlength` lines. Lengths
-   * are captured at admission so planning never re-stats source files —
-   * and a file deleted by retention after admission still replays. */
-  private def readLog(batch: Long): Seq[(String, Long)] = {
+  /** One log entry per admitted batch: `path\tlength\tmodTime` lines
+   * (modTime optional — logs from before ages were recorded load as
+   * Long.MaxValue, "keep forever"). Lengths are captured at admission
+   * so planning never re-stats source files — and a file deleted by
+   * retention after admission still replays. */
+  private def readLog(batch: Long): Seq[(String, Long, Long)] = {
     val p = new Path(logDir, batch.toString)
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
@@ -119,31 +136,43 @@ class ScbfMicroBatchStream(
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
         line.split('\t') match {
-          case Array(path, l) => (path, l.toLong)
+          case Array(path, l, ts) => (path, l.toLong, ts.toLong)
+          case Array(path, l) => (path, l.toLong, Long.MaxValue)
           case _ => throw new ScbfFormatException(
             s"corrupt stream log entry in batch $batch: '$line'")
         }
       }
   }
 
-  private def writeLog(batch: Long, files: Seq[(String, Long)]): Unit =
-    writeAtomic(batch.toString, files.map { case (p, l) => s"$p\t$l" })
+  private def writeLog(batch: Long, files: Seq[(String, Long, Long)]): Unit =
+    writeAtomic(batch.toString, files.map { case (p, l, ts) => s"$p\t$l\t$ts" })
 
-  /** Full seen-path snapshot (paths only: snapshots rebuild the seen
-   * set; planInputPartitions replays lengths from delta logs, which
-   * retention keeps for every batch after the committed snapshot). */
-  private def readCompact(batch: Long): Set[String] = {
+  /** Full seen-path snapshot as `path\tmodTime` lines (bare-path lines
+   * from older snapshots load as Long.MaxValue). Snapshots rebuild the
+   * seen map; planInputPartitions replays lengths from delta logs,
+   * which retention keeps for every batch after the committed
+   * snapshot. */
+  private def readCompact(batch: Long): Map[String, Long] = {
     val p = new Path(logDir, batch.toString + ScbfMicroBatchStream.CompactSuffix)
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf)
     finally in.close()
-    new String(buf, StandardCharsets.UTF_8).split("\n").toSet.filter(_.nonEmpty)
+    new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(path, ts) => path -> ts.toLong
+          case Array(path) => path -> Long.MaxValue
+          case _ => throw new ScbfFormatException(
+            s"corrupt snapshot entry in compact $batch: '$line'")
+        }
+      }.toMap
   }
 
-  private def writeCompact(batch: Long, seen: Set[String]): Unit = {
-    writeAtomic(batch.toString + ScbfMicroBatchStream.CompactSuffix, seen.toSeq.sorted)
+  private def writeCompact(batch: Long, seen: Map[String, Long]): Unit = {
+    writeAtomic(batch.toString + ScbfMicroBatchStream.CompactSuffix,
+      seen.toSeq.sortBy(_._1).map { case (p, ts) => s"$p\t$ts" })
     lastCompactBatch = batch
   }
 
@@ -178,22 +207,34 @@ class ScbfMicroBatchStream(
     // yet written) replays FIRST — admitting more files here would fold
     // two batches into one plan and break the admission bound
     if (maxBatch > start.asInstanceOf[ScbfOffset].batch) return ScbfOffset(maxBatch)
-    val current = ScbfDataSource.resolveFiles(tablePaths, conf)
-      .map(f => (f.getPath.toString, f.getLen))
+    val listed = ScbfDataSource.resolveFiles(tablePaths, conf)
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+    // age horizon rides the newest LISTED file (event-ish time, not the
+    // driver clock): a paused-then-resumed stream doesn't mass-expire
+    val horizon = maxFileAgeMs
+      .map(age => listed.map(_._3).maxOption.getOrElse(Long.MinValue) - age)
+      .getOrElse(Long.MinValue)
+    val current = listed.filter(_._3 >= horizon)
     val fresh = limit match {
-      case mf: ReadMaxFiles => current.filterNot(f => seen(f._1)).take(mf.maxFiles())
-      case _ => current.filterNot(f => seen(f._1))
+      case mf: ReadMaxFiles =>
+        current.filterNot(f => seen.contains(f._1)).take(mf.maxFiles())
+      case _ => current.filterNot(f => seen.contains(f._1))
     }
     if (fresh.isEmpty) ScbfOffset(maxBatch)
     else {
       val next = maxBatch + 1
-      val nextSeen = seen ++ fresh.map(_._1)
+      val nextSeen = seen ++ fresh.map(f => f._1 -> f._3)
       writeLog(next, fresh) // log BEFORE exposing the offset
       // snapshot after the delta: if the snapshot write crashes midway,
       // recovery falls back to the previous snapshot + deltas (which
-      // include this one) — never a torn view
-      if (next % compactInterval == 0) writeCompact(next, nextSeen)
-      cachedState = Some((next, nextSeen))
+      // include this one) — never a torn view. Eviction happens here
+      // (see class doc): entries past the age horizon leave both the
+      // snapshot and driver memory.
+      val retained =
+        if (horizon == Long.MinValue) nextSeen
+        else nextSeen.filter { case (_, ts) => ts >= horizon }
+      if (next % compactInterval == 0) writeCompact(next, retained)
+      cachedState = Some((next, retained))
       ScbfOffset(next)
     }
   }
@@ -205,7 +246,7 @@ class ScbfMicroBatchStream(
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
     ((s + 1) to e).flatMap(readLog)
-      .map { case (p, len) => ScbfFilePartition(p, len): InputPartition }
+      .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray
   }
 

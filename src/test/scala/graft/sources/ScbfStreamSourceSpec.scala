@@ -129,6 +129,64 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(deltas.forall(_ > 4), s"stale deltas survived purge: $names")
   }
 
+  test("maxFileAge skips stale files and evicts them from the seen snapshot") {
+    val dir = Files.createTempDirectory("scbf-stream-age").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-age-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    def run(): Unit = {
+      val q = spark.readStream.format("scbf").schema(schema)
+        .option("maxFileAge", "1h").option("compactInterval", 1).load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // age is relative to the NEWEST listed file, so "aging out" batch 1
+    // means moving later batches' mtimes forward, not rewinding batch
+    // 1's (admission stores the mtime it observed; rewinding a published
+    // file would violate the immutability contract anyway)
+    def writeBatchAt(ids: Range, mtime: Long): Unit = {
+      val before = new java.io.File(dir).list().toSet
+      writeBatch(dir, ids)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".scbf") && !before(f.getName))
+        .foreach(f => assert(f.setLastModified(mtime)))
+    }
+    val t0 = System.currentTimeMillis()
+    // batch 1 at t0
+    writeBatchAt(0 until 3, t0)
+    run()
+    // batch 2 stamped t0+2h: horizon moves to t0+1h, so batch 1's
+    // entries age out of the snapshot and its files out of admission —
+    // but its rows must not be re-read OR lost
+    writeBatchAt(3 until 5, t0 + 2 * 3600 * 1000L)
+    run()
+    writeBatchAt(5 until 7, t0 + 2 * 3600 * 1000L + 60000L)
+    run()
+    assert(seen.flatten.sorted == (0 until 7), s"got $seen")
+    assert(seen.flatten.size == 7, s"duplicated or re-admitted rows: $seen")
+    // the latest snapshot must no longer carry the aged-out batch-1 paths
+    val logDir = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString == "scbf-file-batches")
+      .findFirst().orElseThrow(() =>
+        new AssertionError(s"no scbf-file-batches dir under $ckpt")).toFile
+    val compacts = logDir.list().toSeq.filterNot(_.startsWith("."))
+      .filter(_.endsWith(".compact")).flatMap(n =>
+        n.stripSuffix(".compact").toLongOption.map(_ -> n))
+    val latest = compacts.maxBy(_._1)._2
+    val snapshot = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(logDir.toString, latest)))
+    val batch1Files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".scbf") && f.lastModified() <= t0)
+    assert(batch1Files.nonEmpty, "test setup: no aged files on disk")
+    batch1Files.foreach { f =>
+      assert(!snapshot.contains(f.getName),
+        s"aged-out path ${f.getName} still in snapshot $latest")
+    }
+  }
+
   test("streaming scan prunes columns like the batch scan") {
     val dir = Files.createTempDirectory("scbf-stream-p").toString
     val ckpt = Files.createTempDirectory("scbf-stream-p-ckpt").toString
