@@ -444,10 +444,12 @@ object DedupQueries {
           .groupBy(col("v")).agg(min(col("n")).as("mn"))
           .select(col("v"), least(col("v"), col("mn")).as("m"))
           .localCheckpoint()
-        // compose the full map through this round's mins
+        // compose the full map through this round's mins — kept LAZY:
+        // the chain is only rounds deep (≤ ~log diameter joins against
+        // checkpointed nbmin tables), evaluated once at the end, so a
+        // per-round materialization here would be a pure extra job
         lab = lab.join(nbmin.select(col("v").as("label"), col("m")), Seq("label"), "left")
           .select(col("doc_id"), coalesce(col("m"), col("label")).as("label"))
-          .localCheckpoint()
         // contract: rewrite edges onto the new labels
         e = e.join(nbmin.select(col("v").as("a"), col("m").as("ma")), "a")
           .join(nbmin.select(col("v").as("b"), col("m").as("mb")), "b")

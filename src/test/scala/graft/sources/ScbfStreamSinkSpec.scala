@@ -88,4 +88,30 @@ class ScbfStreamSinkSpec extends AnyFunSuite with SparkTestBase {
     runEpoch(dir, 1L, Seq.empty)
     assert(new java.io.File(dir).list().toSeq.isEmpty)
   }
+
+  test("scbf -> transform -> scbf pipeline is exact across a restart") {
+    val in = Files.createTempDirectory("scbf-pipe-in").toString
+    val out = Files.createTempDirectory("scbf-pipe-out").toString
+    val ckpt = Files.createTempDirectory("scbf-pipe-ckpt").toString
+    def writeIn(ids: Range): Unit =
+      ids.toDF("id").withColumn("name",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("n"),
+            $"id".cast("string")))
+        .coalesce(1).write.format("scbf").mode("append").save(in)
+    def run(): Unit = {
+      val q = spark.readStream.format("scbf").schema(schema).load(in)
+        .filter($"id" % 2 === 0) // the transform: keep evens
+        .writeStream.format("scbf")
+        .option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeIn(0 until 6)
+    run()
+    writeIn(6 until 12)
+    run() // restart: source resumes from its logs, sink appends new epochs
+    val got = spark.read.format("scbf").load(out)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(got == (0 until 12 by 2), s"got $got")
+  }
 }
