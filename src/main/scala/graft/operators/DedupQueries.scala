@@ -114,28 +114,40 @@ object DedupQueries {
   private val MaxGramDf = 64
 
 
+  /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded
+   * per dim — the same cross-engine trick as [[d8Planes]]: over
+   * integer-quantized components every plane·vector dot is exact in
+   * both engines, so the bucket assignment has no float-sign ambiguity
+   * and d6 keeps an exact DuckDB oracle despite being an approximate-
+   * candidate operator. (Gaussian-vs-uniform entries don't matter for
+   * LSH quality — only the plane's direction does.) */
+  private[operators] def lshPlanes(dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(12345)
+    Array.fill(4, 10, dim)((rnd.nextInt(2001) - 1000).toDouble)
+  }
+
   /** Hyperplane-LSH ANN core (d6): bucket-join candidate generation +
    * exact verification + salted top-k, over any (vec_id, e:
    * array<double>) corpus. `queryPred` selects the query rows from the
    * corpus. Parameterized so AnnRecallSpec can run it over a corpus
-   * with planted near-duplicates — the quantitative anchor for an
-   * operator that is approximate by construction. */
+   * with planted near-duplicates — the quantitative recall anchor
+   * (candidate GENERATION is approximate even though, with the integer
+   * planes, the generated set is bit-reproducible cross-engine). */
   private[operators] def annLshTopK(corpus: DataFrame, queryPred: Column,
       k: Int = 3): DataFrame = {
     // embedding dimensionality from the data, not hardcoded — planes
     // are seeded, so the bucketing stays deterministic per dim
     val dim = corpus.select(size(col("e"))).head().getInt(0)
-    val numTables = 4
-    val bitsPerTable = 10
-    val rnd = new scala.util.Random(12345)
-    val planes = Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+    val planes = lshPlanes(dim)
     // bucketing as a codegen Expression (HyperplaneBuckets): the
     // per-row Scala UDF it replaces boxed the embedding into a Seq on
     // the hot path; the planes ride along as one plan-level reference
-    // object, not per-row state.
+    // object, not per-row state. Buckets come from the integer-
+    // quantized vector; scoring uses the original doubles.
     val emb = corpus
+      .withColumn("q", expr("transform(e, x -> CAST(floor(x * 1000.0D) AS DOUBLE))"))
       .withColumn("buckets",
-        graft.functions.GraftFunctions.hyperplaneBuckets(col("e"), planes))
+        graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), planes))
       .select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
@@ -186,12 +198,13 @@ object DedupQueries {
     Array.fill(D8NumTables, D8Bits, D8Dim)((rnd.nextInt(2001) - 1000).toDouble)
   }
 
-  /** Oracle-side spelling of [[HyperplaneBuckets]] over d8Planes: one
-   * SQL expression per table computing `t<<32 + Σ 2^b·[dot_b > 0]`
-   * (key < 2³², so + is |). Mirrors the expression's strict `> 0`
-   * sign convention — exact because the dots are integer-valued. */
-  private lazy val D8BucketExprsSql: Seq[String] =
-    d8Planes.toIndexedSeq.zipWithIndex.map { case (table, ti) =>
+  /** Oracle-side spelling of [[HyperplaneBuckets]]: one SQL expression
+   * per table computing `t<<32 + Σ 2^b·[dot_b > 0]` (key < 2³², so +
+   * is |). Mirrors the expression's strict `> 0` sign convention —
+   * exact because the dots are integer-valued. Shared by the d8 and
+   * d6 oracles. */
+  private def bucketExprsSql(planes: Array[Array[Array[Double]]]): Seq[String] =
+    planes.toIndexedSeq.zipWithIndex.map { case (table, ti) =>
       val bits = table.toIndexedSeq.zipWithIndex.map { case (plane, b) =>
         val dot = plane.toIndexedSeq.zipWithIndex
           .map { case (h, j) => s"q[${j + 1}]*(${h.toLong})" }.mkString("+")
@@ -199,6 +212,8 @@ object DedupQueries {
       }.mkString(" + ")
       s"(${ti.toLong << 32} + ($bits))"
     }
+
+  private lazy val D8BucketExprsSql: Seq[String] = bucketExprsSql(d8Planes)
 
   /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
    * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
@@ -788,7 +803,34 @@ object DedupQueries {
         |SELECT vec_id, mn, mx,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(q, x -> x >= 255)) AS INT) AS q_hi_cnt
-        |FROM q""".stripMargin
-    // d6_ann_lsh: approximate by construction — rows-only check.
+        |FROM q""".stripMargin,
+    // d6's candidate generation is reproducible bit-for-bit in SQL
+    // (integer-plane buckets, see lshPlanes), and its scoring/ranking
+    // is d5's — which already hash-matches — so the whole approximate
+    // operator gets an exact oracle twin. The embeddings table is
+    // dim-64 at every SF (the planes here are lshPlanes(64)).
+    "d6_ann_lsh" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
+         |       FROM base),
+         |bk AS (SELECT vec_id,
+         |         unnest([${bucketExprsSql(lshPlanes(64)).mkString(",\n           ")}]) bucket
+         |       FROM qz),
+         |qb AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
+         |         FROM bk JOIN qb ON bk.bucket = qb.bucket
+         |           AND bk.vec_id <> qb.query_id)
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT c.query_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(qe.e, ce.e) DESC,
+         |               c.vec_id ASC) AS rank,
+         |    c.vec_id
+         |  FROM cand c
+         |  JOIN base qe ON qe.vec_id = c.query_id
+         |  JOIN base ce ON ce.vec_id = c.vec_id)
+         |WHERE rank <= 3""".stripMargin
+    // d11_ann_ivf: trained quantizer (Lloyd's) — rows-only check,
+    // anchored by AnnRecallSpec.
   )
 }
