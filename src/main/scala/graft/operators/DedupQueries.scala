@@ -229,10 +229,14 @@ object DedupQueries {
     // reordered columns; everything below (incl. the positional seed
     // collect) assumes exactly (vec_id, e)
     val emb = corpusDf.select(col("vec_id"), col("e"))
-    // deterministic seeds: the kCells vectors with smallest xxhash64(vec_id);
+    // deterministic seeds: the kCells vectors with the smallest
+    // md5-derived id hash (md5, unlike xxhash64, exists in DuckDB too,
+    // which is what lets the d11 oracle reproduce the seed order);
     // a corpus smaller than kCells trains with what it has
+    val seedHash =
+      expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
     var cents: Array[Array[Double]] = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
+      .orderBy(seedHash, col("vec_id")).limit(kCells)
       .collect().map(_.getAs[Seq[Double]]("e").toArray)
     val nCells = cents.length
     require(nCells > 0, "annIvfTopK: empty corpus")
@@ -668,7 +672,70 @@ object DedupQueries {
     }
   )
 
+  /** d11's oracle: Lloyd's unrolled as CTE chains. Every step mirrors
+   * annIvfTopK exactly — md5-hash seed order, first-wins argmax
+   * (ORDER BY sim DESC, cell ASC), decimal-exact DECIMAL(18,12) means
+   * (Ops.dmean's twin), empty cells inheriting the previous centroid —
+   * and the cosine itself is the d5-proven list_cosine_similarity
+   * bit-parity. iters/kCells/nprobe/k match the query's defaults. */
+  private def ivfOracleSql(kCells: Int = 16, nprobe: Int = 4, k: Int = 3,
+      iters: Int = 2): String = {
+    def assign(name: String, cents: String): String =
+      s"""${name}_r AS (
+         |  SELECT b.vec_id, b.e, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY list_cosine_similarity(b.e, c.e) DESC, c.cell ASC) rn
+         |  FROM base b CROSS JOIN $cents c),
+         |$name AS (SELECT vec_id, e, cell FROM ${name}_r WHERE rn = 1)""".stripMargin
+    def newCents(name: String, fromAssign: String, prevCents: String): String =
+      s"""${name}_m AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT cell, unnest(e) x,
+         |          unnest(generate_series(1, len(e))) i FROM $fromAssign)
+         |  GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT cell, list(m ORDER BY pos) e FROM ${name}_m GROUP BY cell
+         |  UNION ALL
+         |  SELECT p.cell, p.e FROM $prevCents p
+         |  WHERE p.cell NOT IN (SELECT cell FROM ${name}_m))""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         |${newCents(s"c$i", s"a$i", s"c${i - 1}")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+       |c0 AS (
+       |  SELECT cell, e FROM (
+       |    SELECT e, ROW_NUMBER() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |      vec_id) - 1 AS cell
+       |    FROM base) WHERE cell < $kCells),
+       |$iterCtes,
+       |${assign("fin", s"c$iters")},
+       |pr AS (
+       |  SELECT b.vec_id AS query_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY list_cosine_similarity(b.e, c.e) DESC, c.cell ASC) rn
+       |  FROM base b CROSS JOIN c$iters c WHERE b.vec_id < 5),
+       |probes AS (SELECT query_id, cell FROM pr WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN fin a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id FROM (
+       |  SELECT c.query_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(qe.e, ce.e) DESC,
+       |               c.vec_id ASC) AS rank,
+       |    c.vec_id
+       |  FROM cand c
+       |  JOIN base qe ON qe.vec_id = c.query_id
+       |  JOIN base ce ON ce.vec_id = c.vec_id)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "d11_ann_ivf" -> ivfOracleSql(),
     "d1_dedup_exact" ->
       s"""WITH $CorpusSql
          |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt

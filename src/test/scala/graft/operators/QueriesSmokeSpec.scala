@@ -17,8 +17,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every oracle key has a query and vice versa (minus rows-only ops)") {
-    // d6 graduated to an exact oracle (integer-plane buckets) in round 3
-    val rowsOnly = Set("d11_ann_ivf", "q28_sketches")
+    // d6 (integer-plane buckets) and d11 (mirrored Lloyd's) graduated
+    // to exact oracles in round 3; only the sketches stay rows-only
+    val rowsOnly = Set("q28_sketches")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     // the ++ of the four query maps must not silently drop a duplicate key
