@@ -450,33 +450,12 @@ object DedupQueries {
     // and are unioned back as singleton clusters at the end.
     "d13_dedup_clusters" -> { (s, dir) =>
       val pairs = queries("d10_simhash_neardup")(s, dir)
-      var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .distinct().localCheckpoint()
-      var lab = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
-        .distinct()
-        .select(col("v").as("doc_id"), col("v").as("label"))
-        .localCheckpoint()
-      while (!e.isEmpty) {
-        // min over self and neighbors, per contracted vertex
-        val nbmin = e.select(col("a").as("v"), col("b").as("n"))
-          .unionByName(e.select(col("b").as("v"), col("a").as("n")))
-          .groupBy(col("v")).agg(min(col("n")).as("mn"))
-          .select(col("v"), least(col("v"), col("mn")).as("m"))
-          .localCheckpoint()
-        // compose the full map through this round's mins — kept LAZY:
-        // the chain is only rounds deep (≤ ~log diameter joins against
-        // checkpointed nbmin tables), evaluated once at the end, so a
-        // per-round materialization here would be a pure extra job
-        lab = lab.join(nbmin.select(col("v").as("label"), col("m")), Seq("label"), "left")
-          .select(col("doc_id"), coalesce(col("m"), col("label")).as("label"))
-        // contract: rewrite edges onto the new labels
-        e = e.join(nbmin.select(col("v").as("a"), col("m").as("ma")), "a")
-          .join(nbmin.select(col("v").as("b"), col("m").as("mb")), "b")
-          .select(least(col("ma"), col("mb")).as("a"),
-            greatest(col("ma"), col("mb")).as("b"))
-          .filter(col("a") =!= col("b")).distinct()
-          .localCheckpoint()
-      }
+      val lab = Ops.connectedComponents(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("vertex").as("doc_id"), col("component").as("label"))
+      // docs with no near-dup pair never enter the iteration (the
+      // dedup-graph asymmetry: near-dup docs ≪ corpus) — singleton
+      // clusters by construction
       val singletons = corpus(s, dir).select(col("doc_id"))
         .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("label"))

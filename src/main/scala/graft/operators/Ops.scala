@@ -67,4 +67,67 @@ private[operators] object Ops {
    * shared filesystem path. */
   def scratchDir(s: SparkSession): String =
     s.conf.get("graft.scratch.dir", sys.props("java.io.tmpdir"))
+
+  /** Connected components over an undirected edge list (columns `a`,
+   * `b`), returning (`vertex`, `component`) where component = min
+   * vertex id in the component — exact, via alternating pointer-jump +
+   * contract rounds. Each round: (1) every contracted vertex takes the
+   * min over itself and its neighbors, (2) that min map is pointer-
+   * doubled ⌈log₂|V|⌉ times (m ← m∘m, composed LAZILY and materialized
+   * in one job), which flattens min-pointer chains end-to-end — the
+   * step plain relabel-and-contract lacks, and without which a
+   * diameter-L path needs L rounds instead of O(log L), (3) the full
+   * vertex→component map composes through the round's map, and (4)
+   * the edge set is rewritten onto the new labels with self-loops
+   * dropped and duplicates collapsed, so unresolved structure shrinks
+   * every round. Every step is a join/aggregate on (long, long) rows;
+   * localCheckpoint truncates per-round lineage; loop termination is
+   * edge exhaustion (exact, not a round budget). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    var e = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var lab = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .select(col("v").as("vertex"), col("v").as("component"))
+      .localCheckpoint()
+    while (!e.isEmpty) {
+      // (1) min over self and neighbors, per contracted vertex
+      var m = e.select(col("a").as("v"), col("b").as("n"))
+        .unionByName(e.select(col("b").as("v"), col("a").as("n")))
+        .groupBy(col("v")).agg(min(col("n")).as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("m"))
+        .localCheckpoint()
+      // (2) pointer doubling to fixpoint: composing m with itself lets
+      // every vertex follow its min-pointer chain 2^k hops after k
+      // steps, so chains of any length flatten in O(log chain) steps —
+      // shallow graphs exit after 2-3. Each step MATERIALIZES (m∘m is
+      // a self-join: left lazy, the plan tree would double per step —
+      // 2^k copies of the base plan kills the analyzer long before the
+      // data matters).
+      var flat = false
+      while (!flat) {
+        val next = m.as("l")
+          .join(m.as("r"), col("l.m") === col("r.v"), "left")
+          .select(col("l.v").as("v"), col("l.m").as("m0"),
+            coalesce(col("r.m"), col("l.m")).as("m"))
+          .localCheckpoint()
+        flat = next.filter(col("m") =!= col("m0")).isEmpty
+        m = next.select(col("v"), col("m"))
+      }
+      // (3) compose the full map through this round's map — kept LAZY:
+      // the chain is only rounds deep, evaluated once at the end
+      lab = lab
+        .join(m.select(col("v").as("component"), col("m")), Seq("component"), "left")
+        .select(col("vertex"), coalesce(col("m"), col("component")).as("component"))
+      // (4) contract: rewrite edges onto the new labels
+      e = e.join(m.select(col("v").as("a"), col("m").as("ma")), "a")
+        .join(m.select(col("v").as("b"), col("m").as("mb")), "b")
+        .select(least(col("ma"), col("mb")).as("a"),
+          greatest(col("ma"), col("mb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+    }
+    lab
+  }
 }
