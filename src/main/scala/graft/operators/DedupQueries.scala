@@ -121,10 +121,18 @@ object DedupQueries {
    * and d6 keeps an exact DuckDB oracle despite being an approximate-
    * candidate operator. (Gaussian-vs-uniform entries don't matter for
    * LSH quality — only the plane's direction does.) */
-  private[operators] def lshPlanes(dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(12345)
-    Array.fill(4, 10, dim)((rnd.nextInt(2001) - 1000).toDouble)
+  /** Seeded integer-entry hyperplane tables shared by d6 and d8 — ONE
+   * generator so the quantization contract (entry range, and with it
+   * the < 2⁵³ exactness bound on the dots) cannot drift between the
+   * two operators' oracle twins. */
+  private def intPlanes(seed: Long, tables: Int, bits: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)((rnd.nextInt(2001) - 1000).toDouble)
   }
+
+  private[operators] def lshPlanes(dim: Int): Array[Array[Array[Double]]] =
+    intPlanes(12345L, tables = 4, bits = 10, dim)
 
   /** Hyperplane-LSH ANN core (d6): bucket-join candidate generation +
    * exact verification + salted top-k, over any (vec_id, e:
@@ -190,13 +198,8 @@ object DedupQueries {
    * (the same literals are embedded into the generated SQL below).
    * Gaussian-vs-uniform entries don't matter for LSH quality — only
    * the direction of the plane does. */
-  private val D8NumTables = 4
-  private val D8Bits = 12
-  private val D8Dim = 64
-  private[operators] lazy val d8Planes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(987654321)
-    Array.fill(D8NumTables, D8Bits, D8Dim)((rnd.nextInt(2001) - 1000).toDouble)
-  }
+  private[operators] lazy val d8Planes: Array[Array[Array[Double]]] =
+    intPlanes(987654321L, tables = 4, bits = 12, dim = 64)
 
   /** Oracle-side spelling of [[HyperplaneBuckets]]: one SQL expression
    * per table computing `t<<32 + Σ 2^b·[dot_b > 0]` (key < 2³², so +
@@ -541,11 +544,13 @@ object DedupQueries {
         .select("query_id", "rank", "vec_id")
     },
 
-    // ---- LSH-bucketed ANN (the scale path; rows-only check) ----
-    // 10 random-hyperplane sign bits → bucket; candidates share a
-    // bucket with the query under at least one of 4 independent
-    // bucketings. Approximate by construction, so no SQL oracle —
-    // d5 above is its exact baseline.
+    // ---- LSH-bucketed ANN (the scale path) ----
+    // 10 hyperplane sign bits → bucket; candidates share a bucket with
+    // the query under at least one of 4 independent bucketings. The
+    // candidate RECALL is approximate (AnnRecallSpec anchors it), but
+    // the computation is bit-reproducible cross-engine (integer
+    // planes, see lshPlanes) — so it IS hash-gated against an exact
+    // DuckDB oracle; d5 is its exact-search baseline.
     "d6_ann_lsh" -> { (s, dir) =>
       annLshTopK(
         t(s, dir, "embeddings")
@@ -556,9 +561,11 @@ object DedupQueries {
     // ---- IVF ANN: trained coarse quantizer + probed cells ----
     // The inverted-file index that pairs with d6's hyperplane LSH as
     // the second classic scale path: k-means cells bound the exact
-    // search to nprobe/kCells of the corpus (see annIvfTopK).
-    // Approximate by construction → rows-only check; d5 is the exact
-    // baseline; AnnRecallSpec pins planted-near-dup recall.
+    // search to nprobe/kCells of the corpus (see annIvfTopK). The
+    // candidate RECALL is approximate (AnnRecallSpec anchors it), but
+    // training and search are deterministic and mirrored step-for-step
+    // in SQL (see ivfOracleSql) — hash-gated, not rows-only; d5 is
+    // the exact-search baseline.
     "d11_ann_ivf" -> { (s, dir) =>
       annIvfTopK(
         t(s, dir, "embeddings")
@@ -876,7 +883,8 @@ object DedupQueries {
          |  JOIN base qe ON qe.vec_id = c.query_id
          |  JOIN base ce ON ce.vec_id = c.vec_id)
          |WHERE rank <= 3""".stripMargin
-    // d11_ann_ivf: trained quantizer (Lloyd's) — rows-only check,
-    // anchored by AnnRecallSpec.
+    // every DedupQueries entry is oracle-gated (d11's oracle is the
+    // ivfOracleSql entry at the TOP of this map); the repo's only
+    // rows-only query is q28's sketches, pinned by QueriesSmokeSpec
   )
 }

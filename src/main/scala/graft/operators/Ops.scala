@@ -84,20 +84,31 @@ private[operators] object Ops {
    * localCheckpoint truncates per-round lineage; loop termination is
    * edge exhaustion (exact, not a round budget). */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // Checkpoint-block accounting: each localCheckpoint pins executor
+    // storage, so superseded blocks are unpersisted EAGERLY as soon as
+    // their successor is materialized — the previous edge set and the
+    // intermediate pointer-doubling steps go immediately; only each
+    // round's FINAL map must outlive its round (the lazy vertex→
+    // component chain references it) and is released after the result
+    // materializes. Peak storage is therefore ~one round's tables plus
+    // one small map per round, not the sum of every intermediate.
+    val roundMaps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var e = edges.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    var lab = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+    val lab0 = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .distinct()
       .select(col("v").as("vertex"), col("v").as("component"))
       .localCheckpoint()
+    var lab = lab0
     while (!e.isEmpty) {
       // (1) min over self and neighbors, per contracted vertex
-      var m = e.select(col("a").as("v"), col("b").as("n"))
+      var mCkpt = e.select(col("a").as("v"), col("b").as("n"))
         .unionByName(e.select(col("b").as("v"), col("a").as("n")))
         .groupBy(col("v")).agg(min(col("n")).as("mn"))
         .select(col("v"), least(col("v"), col("mn")).as("m"))
         .localCheckpoint()
+      var m = mCkpt
       // (2) pointer doubling to fixpoint: composing m with itself lets
       // every vertex follow its min-pointer chain 2^k hops after k
       // steps, so chains of any length flatten in O(log chain) steps —
@@ -113,21 +124,32 @@ private[operators] object Ops {
             coalesce(col("r.m"), col("l.m")).as("m"))
           .localCheckpoint()
         flat = next.filter(col("m") =!= col("m0")).isEmpty
+        mCkpt.unpersist(false) // superseded by next
+        mCkpt = next
         m = next.select(col("v"), col("m"))
       }
+      roundMaps += mCkpt // referenced by the lazy lab chain: keep
       // (3) compose the full map through this round's map — kept LAZY:
       // the chain is only rounds deep, evaluated once at the end
       lab = lab
         .join(m.select(col("v").as("component"), col("m")), Seq("component"), "left")
         .select(col("vertex"), coalesce(col("m"), col("component")).as("component"))
       // (4) contract: rewrite edges onto the new labels
-      e = e.join(m.select(col("v").as("a"), col("m").as("ma")), "a")
+      val nextE = e.join(m.select(col("v").as("a"), col("m").as("ma")), "a")
         .join(m.select(col("v").as("b"), col("m").as("mb")), "b")
         .select(least(col("ma"), col("mb")).as("a"),
           greatest(col("ma"), col("mb")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
+      e.unpersist(false)
+      e = nextE
     }
-    lab
+    // materialize the final map (its lazy chain references lab0 and
+    // every round's final m), then release those blocks
+    val out = lab.localCheckpoint()
+    e.unpersist(false)
+    lab0.unpersist(false)
+    roundMaps.foreach(_.unpersist(false))
+    out
   }
 }

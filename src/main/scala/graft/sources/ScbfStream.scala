@@ -209,11 +209,19 @@ class ScbfMicroBatchStream(
     if (maxBatch > start.asInstanceOf[ScbfOffset].batch) return ScbfOffset(maxBatch)
     val listed = ScbfDataSource.resolveFiles(tablePaths, conf)
       .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
-    // age horizon rides the newest LISTED file (event-ish time, not the
-    // driver clock): a paused-then-resumed stream doesn't mass-expire
-    val horizon = maxFileAgeMs
-      .map(age => listed.map(_._3).maxOption.getOrElse(Long.MinValue) - age)
-      .getOrElse(Long.MinValue)
+    // Age horizon rides the newest file timestamp OBSERVED SO FAR (the
+    // max over the listing AND the admitted seen entries), not the
+    // current listing alone: the eviction-safety invariant ("a
+    // re-listed evicted path is re-rejected") needs the horizon to be
+    // MONOTONIC, and a listing can shrink — the newest file can be
+    // deleted by external cleanup, or one of several table paths can
+    // be transiently unlistable. Seen entries survive recovery, so the
+    // floor survives restarts too. (Event-ish time, not the driver
+    // clock: a paused-then-resumed stream doesn't mass-expire.)
+    val horizon = maxFileAgeMs.map { age =>
+      (listed.map(_._3) ++ seen.valuesIterator.filter(_ != Long.MaxValue))
+        .maxOption.getOrElse(Long.MinValue) - age
+    }.getOrElse(Long.MinValue)
     val current = listed.filter(_._3 >= horizon)
     val fresh = limit match {
       case mf: ReadMaxFiles =>
@@ -268,7 +276,12 @@ class ScbfMicroBatchStream(
         val deletable =
           name.toLongOption.exists(_ <= c) ||
             name.stripSuffix(ScbfMicroBatchStream.CompactSuffix).toLongOption
-              .exists(b => name.endsWith(ScbfMicroBatchStream.CompactSuffix) && b < c)
+              .exists(b => name.endsWith(ScbfMicroBatchStream.CompactSuffix) && b < c) ||
+            // orphaned atomic-write temps (crash between create and
+            // rename): safe to sweep here — the engine serializes
+            // latestOffset/commit on one thread, so no writeAtomic is
+            // in flight during a commit, and any .tmp present is dead
+            name.endsWith(".tmp")
         if (deletable) fs.delete(f.getPath, false)
       }
       lastPurgedCompact = c

@@ -189,8 +189,14 @@ class ScbfStreamingWrite(
     messages.collect { case ScbfStagedCommitMessage(pairs) => pairs }.flatten
       .foreach { case (tmp, dst) =>
         val (t, d) = (new Path(tmp), new Path(dst))
-        if (fs.exists(d)) fs.delete(d, false) // replay: converge on this run's bytes
-        if (!fs.rename(t, d)) throw new ScbfFormatException(
+        // replay: a final name that already exists was published by an
+        // earlier run of THIS epoch with identical bytes (deterministic
+        // names + deterministic source replay) — keep it and drop our
+        // temp. Delete-then-rename would open a window where a
+        // previously-visible file is briefly absent for concurrent
+        // readers, for zero benefit.
+        if (fs.exists(d)) fs.delete(t, false)
+        else if (!fs.rename(t, d)) throw new ScbfFormatException(
           s"failed to publish $tmp as $dst for epoch $epochId")
       }
   }
