@@ -135,9 +135,14 @@ class ScbfMicroBatchStream(
     finally in.close()
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
+        // corrupt numerics raise the format error, same as the binary
+        // readers' corruption contract — never a bare NumberFormatException
+        def num(s: String): Long = s.toLongOption.getOrElse(
+          throw new ScbfFormatException(
+            s"corrupt stream log entry in batch $batch: '$line'"))
         line.split('\t') match {
-          case Array(path, l, ts) => (path, l.toLong, ts.toLong)
-          case Array(path, l) => (path, l.toLong, Long.MaxValue)
+          case Array(path, l, ts) => (path, num(l), num(ts))
+          case Array(path, l) => (path, num(l), Long.MaxValue)
           case _ => throw new ScbfFormatException(
             s"corrupt stream log entry in batch $batch: '$line'")
         }
@@ -162,7 +167,9 @@ class ScbfMicroBatchStream(
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
         line.split('\t') match {
-          case Array(path, ts) => path -> ts.toLong
+          case Array(path, ts) => path -> ts.toLongOption.getOrElse(
+            throw new ScbfFormatException(
+              s"corrupt snapshot entry in compact $batch: '$line'"))
           case Array(path) => path -> Long.MaxValue
           case _ => throw new ScbfFormatException(
             s"corrupt snapshot entry in compact $batch: '$line'")

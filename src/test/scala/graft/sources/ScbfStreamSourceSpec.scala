@@ -187,6 +187,35 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corrupt checkpoint logs fail loudly with the format error") {
+    val dir = Files.createTempDirectory("scbf-stream-x").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-x-ckpt").toString
+    writeBatch(dir, 0 until 3)
+    val q = spark.readStream.format("scbf").schema(schema).load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    try q.processAllAvailable() finally q.stop()
+    val logDir = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString == "scbf-file-batches")
+      .findFirst().get()
+    // clobber the batch-1 delta with a non-numeric length field (and
+    // drop the local-FS checksum sidecar so OUR parser sees the bytes,
+    // not Hadoop's ChecksumException)
+    java.nio.file.Files.writeString(logDir.resolve("1"), "some/path\tnot-a-number")
+    java.nio.file.Files.deleteIfExists(logDir.resolve(".1.crc"))
+    writeBatch(dir, 3 until 5)
+    val q2 = spark.readStream.format("scbf").schema(schema).load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.isInstanceOf[graft.scbf.ScbfFormatException]),
+      s"expected ScbfFormatException in cause chain, got: ${causes(e).map(_.getClass.getSimpleName)}")
+  }
+
   test("streaming scan prunes columns like the batch scan") {
     val dir = Files.createTempDirectory("scbf-stream-p").toString
     val ckpt = Files.createTempDirectory("scbf-stream-p-ckpt").toString
