@@ -85,13 +85,20 @@ private[operators] object Ops {
    * edge exhaustion (exact, not a round budget). */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // Checkpoint-block accounting: each localCheckpoint pins executor
-    // storage, so superseded blocks are unpersisted EAGERLY as soon as
+    // storage, so superseded blocks are released EAGERLY as soon as
     // their successor is materialized — the previous edge set and the
     // intermediate pointer-doubling steps go immediately; only each
     // round's FINAL map must outlive its round (the lazy vertex→
     // component chain references it) and is released after the result
     // materializes. Peak storage is therefore ~one round's tables plus
     // one small map per round, not the sum of every intermediate.
+    // Release goes through the UNDERLYING checkpointed RDD:
+    // Dataset.unpersist only consults the CacheManager, which never
+    // registers localCheckpoint's LogicalRDD, so it would free nothing.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
     val roundMaps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var e = edges.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -124,7 +131,7 @@ private[operators] object Ops {
             coalesce(col("r.m"), col("l.m")).as("m"))
           .localCheckpoint()
         flat = next.filter(col("m") =!= col("m0")).isEmpty
-        mCkpt.unpersist(false) // superseded by next
+        release(mCkpt) // superseded by next
         mCkpt = next
         m = next.select(col("v"), col("m"))
       }
@@ -141,15 +148,15 @@ private[operators] object Ops {
           greatest(col("ma"), col("mb")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
-      e.unpersist(false)
+      release(e)
       e = nextE
     }
     // materialize the final map (its lazy chain references lab0 and
     // every round's final m), then release those blocks
     val out = lab.localCheckpoint()
-    e.unpersist(false)
-    lab0.unpersist(false)
-    roundMaps.foreach(_.unpersist(false))
+    release(e)
+    release(lab0)
+    roundMaps.foreach(release)
     out
   }
 }

@@ -135,19 +135,23 @@ class ScbfMicroBatchStream(
     finally in.close()
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
-        // corrupt numerics raise the format error, same as the binary
-        // readers' corruption contract — never a bare NumberFormatException
-        def num(s: String): Long = s.toLongOption.getOrElse(
-          throw new ScbfFormatException(
-            s"corrupt stream log entry in batch $batch: '$line'"))
+        def bad = corruptEntry(s"stream log entry in batch $batch", line)
         line.split('\t') match {
-          case Array(path, l, ts) => (path, num(l), num(ts))
-          case Array(path, l) => (path, num(l), Long.MaxValue)
-          case _ => throw new ScbfFormatException(
-            s"corrupt stream log entry in batch $batch: '$line'")
+          case Array(path, l, ts) =>
+            (path, l.toLongOption.getOrElse(throw bad),
+              ts.toLongOption.getOrElse(throw bad))
+          case Array(path, l) =>
+            (path, l.toLongOption.getOrElse(throw bad), Long.MaxValue)
+          case _ => throw bad
         }
       }
   }
+
+  /** One spelling of the log-corruption contract for both the delta
+   * and snapshot parsers: corrupt structure OR corrupt numerics raise
+   * the format error, never a bare NumberFormatException. */
+  private def corruptEntry(where: String, line: String): ScbfFormatException =
+    new ScbfFormatException(s"corrupt $where: '$line'")
 
   private def writeLog(batch: Long, files: Seq[(String, Long, Long)]): Unit =
     writeAtomic(batch.toString, files.map { case (p, l, ts) => s"$p\t$l\t$ts" })
@@ -166,13 +170,12 @@ class ScbfMicroBatchStream(
     finally in.close()
     new String(buf, StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
+        def bad = corruptEntry(s"snapshot entry in compact $batch", line)
         line.split('\t') match {
-          case Array(path, ts) => path -> ts.toLongOption.getOrElse(
-            throw new ScbfFormatException(
-              s"corrupt snapshot entry in compact $batch: '$line'"))
+          case Array(path, ts) =>
+            path -> ts.toLongOption.getOrElse(throw bad)
           case Array(path) => path -> Long.MaxValue
-          case _ => throw new ScbfFormatException(
-            s"corrupt snapshot entry in compact $batch: '$line'")
+          case _ => throw bad
         }
       }.toMap
   }
@@ -214,8 +217,20 @@ class ScbfMicroBatchStream(
     // yet written) replays FIRST — admitting more files here would fold
     // two batches into one plan and break the admission bound
     if (maxBatch > start.asInstanceOf[ScbfOffset].batch) return ScbfOffset(maxBatch)
+    // Timestamps are CLAMPED to driver-now + slack everywhere they are
+    // observed (admission filter, stored seen entries, horizon inputs):
+    // without the clamp, ONE file with a far-future mtime (skewed
+    // producer clock, stray touch) would ratchet the horizon past every
+    // normally-timestamped file and permanently stall admission — and
+    // the poison would survive restarts via the snapshots. Clamped, the
+    // horizon can never exceed now + slack - age, so ingestion recovers
+    // as the wall clock advances. Consistent clamping preserves the
+    // eviction-safety invariant: filter and stored values are compared
+    // in the same clamped domain.
+    val tsCap = System.currentTimeMillis() + ScbfMicroBatchStream.FutureSlackMs
     val listed = ScbfDataSource.resolveFiles(tablePaths, conf)
-      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+      .map(f => (f.getPath.toString, f.getLen,
+        math.min(f.getModificationTime, tsCap)))
     // Age horizon rides the newest file timestamp OBSERVED SO FAR (the
     // max over the listing AND the admitted seen entries), not the
     // current listing alone: the eviction-safety invariant ("a
@@ -285,10 +300,14 @@ class ScbfMicroBatchStream(
             name.stripSuffix(ScbfMicroBatchStream.CompactSuffix).toLongOption
               .exists(b => name.endsWith(ScbfMicroBatchStream.CompactSuffix) && b < c) ||
             // orphaned atomic-write temps (crash between create and
-            // rename): safe to sweep here — the engine serializes
-            // latestOffset/commit on one thread, so no writeAtomic is
-            // in flight during a commit, and any .tmp present is dead
-            name.endsWith(".tmp")
+            // rename) — but only STALE ones: this instance's engine
+            // serializes latestOffset/commit, yet during driver
+            // failover a zombie instance may still have an in-flight
+            // writeAtomic against the same directory, and sweeping its
+            // fresh temp (or it sweeping ours) would fail a healthy
+            // query. A temp older than TempSweepAgeMs is dead for sure.
+            (name.endsWith(".tmp") && f.getModificationTime <
+              System.currentTimeMillis() - ScbfMicroBatchStream.TempSweepAgeMs)
         if (deletable) fs.delete(f.getPath, false)
       }
       lastPurgedCompact = c
@@ -301,4 +320,13 @@ class ScbfMicroBatchStream(
 object ScbfMicroBatchStream {
   val DefaultCompactInterval = 10
   val CompactSuffix = ".compact"
+  /** Max tolerated clock skew for file mtimes: timestamps beyond
+   * driver-now + this are clamped so one future-dated file cannot
+   * ratchet the maxFileAge horizon past all real files forever. */
+  val FutureSlackMs: Long = 60L * 60 * 1000
+  /** Orphaned .tmp files in the log dir are swept only once they are
+   * at least this old: a fresh .tmp may be a concurrent zombie-driver
+   * instance's in-flight atomic write (the failover window Spark's
+   * checkpoint managers are hardened for); a stale one is dead. */
+  val TempSweepAgeMs: Long = 10L * 60 * 1000
 }

@@ -194,8 +194,20 @@ class ScbfStreamingWrite(
         // names + deterministic source replay) — keep it and drop our
         // temp. Delete-then-rename would open a window where a
         // previously-visible file is briefly absent for concurrent
-        // readers, for zero benefit.
-        if (fs.exists(d)) fs.delete(t, false)
+        // readers. The byte-identity assumption is CHECKED via length:
+        // if it broke (write options changed across the restart, or a
+        // new query's epoch ids collide with files from a previous
+        // query in the same directory), silently keeping either side
+        // would lose or corrupt rows — fail the query instead.
+        if (fs.exists(d)) {
+          val (have, staged) = (fs.getFileStatus(d).getLen, fs.getFileStatus(t).getLen)
+          if (have != staged) throw new ScbfFormatException(
+            s"epoch $epochId replay staged ${staged}B for $dst but ${have}B are " +
+              "already published — the deterministic-replay contract is broken " +
+              "(changed write options across a restart, or two queries sharing " +
+              "one output directory)")
+          fs.delete(t, false)
+        }
         else if (!fs.rename(t, d)) throw new ScbfFormatException(
           s"failed to publish $tmp as $dst for epoch $epochId")
       }

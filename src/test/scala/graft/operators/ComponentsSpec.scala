@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -48,6 +47,18 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     // 5's only edge is a self-loop — it never enters the vertex set
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 23L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("releases every intermediate checkpoint block (only the result stays)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Ops.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+    result.collect() // materialized result is legitimately retained
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly one new persistent RDD may remain: the returned map's own
+    // checkpoint — everything the rounds pinned must have been freed
+    assert(leaked.size <= 1,
+      s"connectedComponents leaked ${leaked.size} persistent RDDs: $leaked")
   }
 
   test("matches union-find on seeded random graphs") {
