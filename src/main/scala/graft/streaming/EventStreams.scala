@@ -81,6 +81,123 @@ object EventStreams {
   case class SessionState(start: Long, lastTs: Long, events: Int)
   case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)
 
+  case class Doc(ts: Timestamp, docId: Long, text: String)
+  case class BandRow(ts: Timestamp, bandIdx: Int, bandKey: Long,
+      docId: Long, sig: Array[Long])
+  case class BucketState(docs: List[(Long, Long, Array[Long])]) // (tsMs, docId, sig)
+  case class NearDupHit(docA: Long, docB: Long, bandIdx: Int, estSim: Double)
+
+  private val NdNumHashes = 48
+  private val NdBands = 24 // 2 rows per band — d2's banding geometry
+
+  /** MinHash signature of a document's word-trigram shingle set,
+   * computed per row (no aggregation — keeps the stateful pipeline to
+   * ONE stateful operator). Deterministic pure function of the text. */
+  private[streaming] def minhashSig(text: String): Array[Long] = {
+    import scala.util.hashing.MurmurHash3
+    val words = text.split(" ")
+    val sig = Array.fill(NdNumHashes)(Long.MaxValue)
+    if (words.length >= 3) {
+      var w = 0
+      while (w <= words.length - 3) {
+        val shingle = words(w) + "_" + words(w + 1) + "_" + words(w + 2)
+        val base = MurmurHash3.stringHash(shingle)
+        var i = 0
+        while (i < NdNumHashes) {
+          // mix the family index into the shingle hash: a cheap
+          // deterministic per-index permutation of the same base hash
+          val h = (MurmurHash3.mix(i * 0x9E3779B9, base).toLong << 32) |
+            (MurmurHash3.mixLast(base, i) & 0xFFFFFFFFL)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        w += 1
+      }
+    }
+    sig
+  }
+
+  /** Streaming near-duplicate detection — the streaming twin of d2's
+   * MinHash-LSH dedup, for ingest-time filtering of a training-data
+   * stream. Per doc: a 48-hash MinHash signature (computed per-row, no
+   * aggregation), banded 24×2; docs landing in the same (bandIdx,
+   * bandKey) bucket within the watermark horizon emit a candidate pair
+   * with the estimated Jaccard (= fraction of matching minhashes, the
+   * standard unbiased estimator) when it clears `threshold`.
+   *
+   * One stateful operator: `flatMapGroupsWithState` keyed on the band
+   * bucket. State per bucket holds (ts, docId, signature) entries
+   * inside the horizon; entries behind the watermark are pruned on
+   * every invocation (arrivals older than the watermark never reach
+   * the operator, so they can never pair) and an event-time timeout
+   * removes idle buckets outright — state is bounded by arrival rate ×
+   * horizon, never stream length. A pair sharing several buckets emits
+   * once per shared band (bandIdx is in the output for provenance);
+   * exact-dedup downstream (d1 / dropDuplicates on the pair) collapses
+   * them, the same division of labor as batch d2's
+   * candidates-then-verify. */
+  def nearDupPairs(docs: Dataset[Doc], threshold: Double = 0.6,
+      watermark: String = "1 hour"): Dataset[NearDupHit] = {
+    implicit val hitEnc = Encoders.product[NearDupHit]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val bandEnc = Encoders.product[BandRow]
+    // watermark AFTER the typed flatMap: the event-time annotation does
+    // not survive an object transform, and the stateful operator below
+    // needs it on its input
+    val banded = docs
+      .flatMap { d =>
+        val sig = minhashSig(d.text)
+        (0 until NdBands).map { b =>
+          // band key folds the band's two minhashes into one long —
+          // an 8-byte shuffle key, as in batch d2
+          val key = sig(2 * b) * 0x9E3779B97F4A7C15L + sig(2 * b + 1)
+          BandRow(d.ts, b, key, d.docId, sig)
+        }
+      }
+      .withWatermark("ts", watermark)
+    banded
+      .groupByKey(r => (r.bandIdx, r.bandKey))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val live = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._1 >= wm)
+            var kept = live
+            val hits = List.newBuilder[NearDupHit]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+              kept.foreach { case (_, otherId, otherSig) =>
+                if (otherId != r.docId) {
+                  var eq = 0
+                  var i = 0
+                  while (i < NdNumHashes) {
+                    if (otherSig(i) == r.sig(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / NdNumHashes
+                  if (est >= threshold)
+                    hits += NearDupHit(math.min(otherId, r.docId),
+                      math.max(otherId, r.docId), r.bandIdx, est)
+                }
+              }
+              kept = (r.ts.getTime, r.docId, r.sig) :: kept
+            }
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BucketState(kept))
+              // bucket dies once the watermark passes its newest entry
+              // (+1: the timeout must be strictly beyond the current
+              // watermark, and entries AT the watermark are still live)
+              state.setTimeoutTimestamp(kept.map(_._1).max + 1)
+            }
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Event-time sessionization with a 30-minute inactivity gap — the
    * streaming twin of t5_sessionize, via flatMapGroupsWithState with an
    * event-time timeout. Emits a session once the watermark passes its

@@ -216,4 +216,51 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(u1.head.endMs - u1.head.startMs == 10 * 60 * 1000L)
     } finally q.stop()
   }
+
+  test("nearDupPairs surfaces cross-batch near-duplicates, ignores distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("pi ", "") // one token dropped: high Jaccard
+    val distinctDoc = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupPairs(input.toDS())
+      .writeStream.format("memory").queryName("neardups").outputMode("append").start()
+    try {
+      input.addData(EventStreams.Doc(ts(0), 1L, base),
+        EventStreams.Doc(ts(1), 3L, distinctDoc))
+      q.processAllAvailable()
+      // the near-dup arrives in a LATER micro-batch: detection must go
+      // through bucket state, not within-batch comparison
+      input.addData(EventStreams.Doc(ts(5), 2L, nearDup))
+      q.processAllAvailable()
+      val hits = spark.table("neardups").as[EventStreams.NearDupHit].collect()
+      val pairs = hits.map(h => (h.docA, h.docB)).distinct.toSeq
+      assert(pairs == Seq((1L, 2L)), s"got $hits")
+      assert(hits.forall(_.estSim >= 0.6), s"got $hits")
+    } finally q.stop()
+  }
+
+  test("nearDupPairs state is horizon-bounded: ancient docs stop matching") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupPairs(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("neardups_h").outputMode("append").start()
+    try {
+      input.addData(EventStreams.Doc(ts(0), 1L, text))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's horizon
+      input.addData(EventStreams.Doc(ts(300), 9L, "unrelated filler words here"))
+      q.processAllAvailable()
+      // an identical doc arriving now must NOT pair with the evicted doc 1
+      input.addData(EventStreams.Doc(ts(305), 2L, text))
+      q.processAllAvailable()
+      val hits = spark.table("neardups_h").as[EventStreams.NearDupHit].collect()
+      assert(!hits.exists(h => h.docA == 1L && h.docB == 2L),
+        s"evicted doc still paired: ${hits.toSeq}")
+    } finally q.stop()
+  }
 }
