@@ -132,6 +132,9 @@ object GraftFunctions {
   def rollingHash(tokens: Column): Column =
     column(RollingHash(expression(tokens)))
 
+  def simhashSketch(hi: Column, lo: Column): Column =
+    column(SimHashSketch(expression(hi), expression(lo)).toAggregateExpression())
+
   /** Shared SQL builders — one definition used by both GraftExtensions
    * (config-time injection) and register() (runtime registration), so
    * the two SQL surfaces cannot drift. */

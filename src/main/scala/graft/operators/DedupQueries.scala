@@ -93,15 +93,13 @@ object DedupQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("hv_hi", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("hv_lo", expr("CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)"))
-    val bitAggs = (0 until 32).map(j =>
-      sum(when(expr(s"(hv_lo >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")) ++
-      (32 until 64).map(j =>
-        sum(when(expr(s"(hv_hi >> ${j - 32}) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-    val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    bitSums.select(col("doc_id"),
-      ((0 until 63).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)) :+
-        when(col("b63") > 0, lit(Long.MinValue)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    // all 64 bit-sums + the sign recombination in ONE
+    // TypedImperativeAggregate (bit-identical to 64 separate
+    // sum(when(...)) aggs — whose 64-slot HashAggregate janino compile
+    // dominated cold time, the d2/MinHashSketch lesson)
+    tok.groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions
+        .simhashSketch(col("hv_hi"), col("hv_lo")).as("simhash"))
   }
 
   /** d4's document-frequency cap: a gram appearing in more than this many
