@@ -156,6 +156,11 @@ object GraftFunctions {
       // the analyzer only attaches FILTER (WHERE ...) / DISTINCT when it
       // does the wrapping itself
       MinHashSketch(args.head, n)
+    }),
+    ("simhash_sketch", SimHashSketch.info, { args: Seq[Expression] =>
+      require(args.length == 2,
+        s"simhash_sketch expects 2 arguments (hi, lo), got ${args.length}")
+      SimHashSketch(args.head, args(1)) // raw aggregate, as minhash_sketch
     }))
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a

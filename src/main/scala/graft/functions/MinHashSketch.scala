@@ -42,8 +42,7 @@ case class MinHashSketch(
   /** The per-slot seed hashInt(i, 42) depends only on i — computed once
    * per operator instance, not per row (update is the hottest loop in
    * the engine). */
-  @transient private lazy val seeds: Array[Long] =
-    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+  @transient private lazy val seeds: Array[Long] = MinHashSketch.familySeeds(numHashes)
 
   // slot numHashes counts non-null inputs, so an all-null (or empty)
   // group evals to NULL like min() would — not a sentinel array that
@@ -116,4 +115,10 @@ object MinHashSketch {
   val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[MinHashSketch].getName, "minhash_sketch")
+
+  /** The minhash family's per-index seeds — ONE definition so batch
+   * sketches and the streaming near-dup signatures (EventStreams)
+   * stay signature-compatible. */
+  def familySeeds(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 }

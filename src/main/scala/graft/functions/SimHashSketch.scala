@@ -26,10 +26,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * TypedImperativeAggregate the buffer is one long[64] updated in a
  * tight bit-twiddling loop; the merge is elementwise addition, so
  * map-side partial aggregation applies as usual. Bit-identical to the
- * 64-aggregate spelling (integer sums, same recombination).
+ * 64-aggregate spelling on non-null input (integer sums, same
+ * recombination).
  *
- * Null token hashes are ignored, like sum(); an all-null group evals
- * to null.
+ * Null handling DIFFERS from the spelled-out sums, deliberately: a row
+ * with a null half is skipped entirely (the sum(when-otherwise(-1))
+ * spelling counted it as -1 on every bit — an artifact, not a
+ * semantic), and an all-null group evals to null. d3's md5-derived
+ * hashes are never null, so the two spellings agree everywhere the
+ * engine uses them.
  */
 case class SimHashSketch(
     left: Expression,
@@ -107,4 +112,10 @@ case class SimHashSketch(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SimHashSketch =
     copy(left = newLeft, right = newRight)
+}
+
+object SimHashSketch {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimHashSketch].getName, "simhash_sketch")
 }

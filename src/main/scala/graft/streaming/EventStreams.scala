@@ -90,31 +90,39 @@ object EventStreams {
   private val NdNumHashes = 48
   private val NdBands = 24 // 2 rows per band — d2's banding geometry
 
+  @transient private lazy val NdSeeds =
+    graft.functions.MinHashSketch.familySeeds(NdNumHashes)
+
   /** MinHash signature of a document's word-trigram shingle set,
    * computed per row (no aggregation — keeps the stateful pipeline to
-   * ONE stateful operator). Deterministic pure function of the text. */
-  private[streaming] def minhashSig(text: String): Array[Long] = {
-    import scala.util.hashing.MurmurHash3
+   * ONE stateful operator), or None for a zero-shingle doc (< 3
+   * words): banding the untouched sentinel buffer would make every
+   * short doc collide with every other in all bands — the exact "fake
+   * all-bands match" the batch side avoids by exploding no shingle
+   * rows. Uses the SAME xxhash64(shingle) + seed-42 XXH64 family as
+   * batch d2 / [[graft.functions.MinHashSketch]], so streaming and
+   * batch signatures are comparable, not look-alike duplicates. */
+  private[streaming] def minhashSig(text: String): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
     val words = text.split(" ")
+    if (words.length < 3) return None
     val sig = Array.fill(NdNumHashes)(Long.MaxValue)
-    if (words.length >= 3) {
-      var w = 0
-      while (w <= words.length - 3) {
-        val shingle = words(w) + "_" + words(w + 1) + "_" + words(w + 2)
-        val base = MurmurHash3.stringHash(shingle)
-        var i = 0
-        while (i < NdNumHashes) {
-          // mix the family index into the shingle hash: a cheap
-          // deterministic per-index permutation of the same base hash
-          val h = (MurmurHash3.mix(i * 0x9E3779B9, base).toLong << 32) |
-            (MurmurHash3.mixLast(base, i) & 0xFFFFFFFFL)
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-        w += 1
+    var w = 0
+    while (w <= words.length - 3) {
+      val bytes = (words(w) + "_" + words(w + 1) + "_" + words(w + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // = Spark's xxhash64(string) over the shingle, as d2 hashes them
+      val base = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var i = 0
+      while (i < NdNumHashes) {
+        val h = XXH64.hashLong(base, NdSeeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
       }
+      w += 1
     }
-    sig
+    Some(sig)
   }
 
   /** Streaming near-duplicate detection — the streaming twin of d2's
@@ -146,12 +154,13 @@ object EventStreams {
     // needs it on its input
     val banded = docs
       .flatMap { d =>
-        val sig = minhashSig(d.text)
-        (0 until NdBands).map { b =>
-          // band key folds the band's two minhashes into one long —
-          // an 8-byte shuffle key, as in batch d2
-          val key = sig(2 * b) * 0x9E3779B97F4A7C15L + sig(2 * b + 1)
-          BandRow(d.ts, b, key, d.docId, sig)
+        minhashSig(d.text).toSeq.flatMap { sig =>
+          (0 until NdBands).map { b =>
+            // band key folds the band's two minhashes into one long —
+            // an 8-byte shuffle key, as in batch d2
+            val key = sig(2 * b) * 0x9E3779B97F4A7C15L + sig(2 * b + 1)
+            BandRow(d.ts, b, key, d.docId, sig)
+          }
         }
       }
       .withWatermark("ts", watermark)
@@ -185,14 +194,14 @@ object EventStreams {
               }
               kept = (r.ts.getTime, r.docId, r.sig) :: kept
             }
-            if (kept.isEmpty) state.remove()
-            else {
-              state.update(BucketState(kept))
-              // bucket dies once the watermark passes its newest entry
-              // (+1: the timeout must be strictly beyond the current
-              // watermark, and entries AT the watermark are still live)
-              state.setTimeoutTimestamp(kept.map(_._1).max + 1)
-            }
+            // kept always holds at least this batch's rows here (the
+            // timed-out branch above handles expiry), so update
+            // unconditionally; the bucket dies once the watermark
+            // passes its newest entry (+1: the timeout must be
+            // strictly beyond the current watermark, and entries AT
+            // the watermark are still live)
+            state.update(BucketState(kept))
+            state.setTimeoutTimestamp(kept.map(_._1).max + 1)
             hits.result().iterator
           }
       }

@@ -31,6 +31,19 @@ class SimHashSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(sketch == spelled)
   }
 
+  test("simhash_sketch is registered on the SQL surface like its sibling") {
+    GraftFunctions.register(spark)
+    Seq((1L, 3L, 5L), (1L, 2L, 9L)).toDF("g", "hi", "lo")
+      .createOrReplaceTempView("shs_t")
+    val viaSql = spark.sql(
+      "SELECT g, simhash_sketch(hi, lo) AS s FROM shs_t GROUP BY g")
+      .as[(Long, Long)].collect().toMap
+    val viaDsl = spark.table("shs_t").groupBy($"g")
+      .agg(GraftFunctions.simhashSketch($"hi", $"lo").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaDsl)
+  }
+
   test("all-null and empty groups eval to null, like sum()") {
     val r = Seq((1L, Some(5L), Some(7L)), (2L, None, None))
       .toDF("g", "hi", "lo")

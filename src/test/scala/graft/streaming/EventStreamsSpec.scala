@@ -242,6 +242,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupPairs never pairs zero-shingle (short) docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupPairs(input.toDS())
+      .writeStream.format("memory").queryName("neardups_s").outputMode("append").start()
+    try {
+      // under 3 words each: no shingles, so no signature — a sentinel
+      // signature here would fake-match all of them at estSim 1.0
+      input.addData(EventStreams.Doc(ts(0), 1L, "hello world"),
+        EventStreams.Doc(ts(0), 2L, "foo bar"), EventStreams.Doc(ts(0), 3L, ""))
+      q.processAllAvailable()
+      input.addData(EventStreams.Doc(ts(5), 4L, "tiny doc"))
+      q.processAllAvailable()
+      assert(spark.table("neardups_s").isEmpty,
+        s"short docs paired: ${spark.table("neardups_s").collect().toSeq}")
+    } finally q.stop()
+  }
+
   test("nearDupPairs state is horizon-bounded: ancient docs stop matching") {
     implicit val sqlCtx = spark.sqlContext
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
