@@ -142,6 +142,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("*(2)"), p) // final agg after the shuffle is fused too
   }
 
+  test("d8: near-dup candidates come from a bucket equi-join, never all-pairs") {
+    val p = plan("d8_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // bucketing runs as the codegen hyperplane_buckets expression, no UDF
+    assert(p.contains("hyperplane_buckets"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
+  test("d3/d10: the SimHash signature is ONE sketch aggregate, not 64 slots") {
+    val p = plan("d3_simhash")
+    assert(p.contains("simhash_sketch"), p)
+    // the spelled-out form carried 64 named bit-sum buffer slots
+    assert(!p.contains("b63"), p)
+  }
+
   test("scbf reads execute the vectorized (ColumnarBatch) scan path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scbf_colscan").toString
