@@ -187,6 +187,29 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("restart at EVERY batch position stays exactly-once through compaction") {
+    // property-style sweep: 6 batches at compactInterval 2 with a query
+    // restart between every pair of batches — every possible recovery
+    // point (before/at/after a snapshot, purge boundaries) must replay
+    // to exactly-once
+    val dir = Files.createTempDirectory("scbf-stream-rs").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-rs-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    (0 until 6).foreach { b =>
+      writeBatch(dir, b * 4 until (b + 1) * 4)
+      val q = spark.readStream.format("scbf").schema(schema)
+        .option("compactInterval", 2).load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop() // restart every batch
+    }
+    assert(seen.flatten.sorted == (0 until 24), s"got $seen")
+    assert(seen.flatten.size == 24, s"lost or duplicated rows: $seen")
+  }
+
   test("corrupt checkpoint logs fail loudly with the format error") {
     val dir = Files.createTempDirectory("scbf-stream-x").toString
     val ckpt = Files.createTempDirectory("scbf-stream-x-ckpt").toString

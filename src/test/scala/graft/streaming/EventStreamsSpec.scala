@@ -260,6 +260,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupPairs finds planted near-duplicates across the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // d2's planted-mutation scheme on the real documents table: every
+    // doc and its 'value '-stripped twin, originals in batch 1 and
+    // mutants in batch 2 so every hit must cross bucket STATE
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupPairs(input.toDS())
+      .writeStream.format("memory").queryName("neardups_c").outputMode("append").start()
+    try {
+      input.addData(docs.map { case (id, t) => EventStreams.Doc(ts(0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(docs.map { case (id, t) =>
+        EventStreams.Doc(ts(5), id + 100000, t.replace("value ", "")) }.toSeq: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("neardups_c").as[EventStreams.NearDupHit].collect()
+        .map(h => (h.docA, h.docB)).distinct.toSet
+      // docs whose mutation changed nothing (no 'value ' token) are
+      // exact dups (J=1, always detected); the rest are true near-dups —
+      // LSH banding at 24x2 should surface the overwhelming majority
+      val planted = docs.map { case (id, _) => (id, id + 100000) }.toSet
+      val recall = (pairs & planted).size.toDouble / planted.size
+      assert(recall >= 0.9, f"planted-pair recall $recall%.2f below 0.9 " +
+        s"(${(pairs & planted).size}/${planted.size})")
+    } finally q.stop()
+  }
+
   test("nearDupPairs state is horizon-bounded: ancient docs stop matching") {
     implicit val sqlCtx = spark.sqlContext
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
