@@ -111,6 +111,13 @@ object DedupQueries {
    * discriminative grams. */
   private val MaxGramDf = 64
 
+  /** d14's paragraph stand-in: non-overlapping windows of this many
+   * tokens. Small enough that the synthetic ~60-token docs produce
+   * several chunks each (so the planted near-duplicates share chunks
+   * and the operator has real work); a real corpus would split on
+   * '\n\n' instead and nothing downstream changes. */
+  private[operators] val ParagraphTokens = 16
+
 
   /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded
    * per dim — the same cross-engine trick as [[d8Planes]]: over
@@ -466,6 +473,43 @@ object DedupQueries {
         .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
     },
 
+    // ---- paragraph-level (sub-document) exact dedup ----
+    // The Lee-et-al-style pass a training pipeline runs AFTER doc-level
+    // dedup: repeated passages (boilerplate, quoted text) are removed
+    // from every occurrence but the globally first. Paragraph boundary
+    // here = non-overlapping windows of ParagraphTokens tokens (the
+    // synthetic corpus has no newline structure; real corpora would
+    // split on '\n\n' and the rest of the pipeline is unchanged).
+    // First-wins is a total order (doc_id, idx), so the output is
+    // deterministic at any parallelism. Scale shape: one shuffle keyed
+    // on the chunk hash (group size = duplicate multiplicity, never
+    // corpus size), one shuffle back on doc_id to reassemble; rows
+    // carry at most ParagraphTokens tokens. No self-join, no pairs.
+    "d14_paragraph_dedup" -> { (s, dir) =>
+      val c = ParagraphTokens
+      val chunks = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(w) / $c.0) AS INT) - 1),
+             |  i -> concat_ws(' ', slice(w, i * $c + 1, $c)))""".stripMargin)))
+        .toDF("doc_id", "idx", "chunk")
+      // first-wins on the 16-byte hash, not the chunk text: the shuffle
+      // key stays fixed-width however long the paragraph is
+      val firstWins = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("idx"))
+      chunks.withColumn("h", md5(col("chunk")))
+        .withColumn("rn", row_number().over(firstWins))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          // per-doc chunk count is bounded (doc length / ParagraphTokens),
+          // so the collect_list is a small in-memory sort, not a funnel
+          expr("""concat_ws(' ', transform(
+            |  array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, chunk) END)),
+            |  x -> x.chunk))""".stripMargin).as("dedup_text"))
+    },
+
     // ---- n-gram (word bigram) Jaccard within source buckets ----
     // Exact pairwise similarity, bucketed by `source`. Valid when cells
     // stay bounded (per-crawl-batch, per-day); for cells that grow with
@@ -767,6 +811,25 @@ object DedupQueries {
          |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
          |SELECT lab.doc_id, lab.label AS cluster_rep, sizes.cluster_size
          |FROM lab JOIN sizes ON lab.label = sizes.label""".stripMargin,
+
+    "d14_paragraph_dedup" ->
+      s"""WITH $CorpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+         |ch0 AS (SELECT doc_id, list_transform(
+         |          generate_series(0, CAST(ceil(len(w) / $ParagraphTokens.0) AS INT) - 1),
+         |          i -> {'idx': i, 'chunk': array_to_string(
+         |                 list_slice(w, i * $ParagraphTokens + 1,
+         |                            i * $ParagraphTokens + $ParagraphTokens), ' ')}) cs
+         |        FROM tok),
+         |ch AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch0),
+         |rn AS (SELECT doc_id, idx, chunk,
+         |         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) rn
+         |       FROM ch)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')
+         |         AS dedup_text
+         |FROM rn GROUP BY doc_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
