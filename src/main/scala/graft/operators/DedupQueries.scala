@@ -223,6 +223,31 @@ object DedupQueries {
 
   private lazy val D8BucketExprsSql: Seq[String] = bucketExprsSql(d8Planes)
 
+  /** Shared CTE prefix of the d8/d15 oracles: the planted vector
+   * corpus, integer-quantized hyperplane buckets, bucket-join
+   * candidates, and the exact-cosine-verified pair set (`vpairs` over
+   * `vcorpus`). Mirrors the Spark d8 pipeline stage for stage. */
+  private lazy val D8PairsSql: String =
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(generate_series(1, len(e)),
+       |    j -> e[j] * (1.0 + 0.01 * (((j - 1) % 7) - 3))) e
+       |  FROM base),
+       |vcorpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
+       |       FROM vcorpus),
+       |bk AS (SELECT vec_id,
+       |         unnest([${D8BucketExprsSql.mkString(",\n           ")}]) bucket
+       |       FROM qz),
+       |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+       |         FROM bk a JOIN bk b
+       |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |vpairs AS (SELECT va, vb
+       |           FROM cand
+       |           JOIN vcorpus ca ON ca.vec_id = va
+       |           JOIN vcorpus cb ON cb.vec_id = vb
+       |           WHERE list_cosine_similarity(ca.e, cb.e) >= 0.8)""".stripMargin
+
   /** IVF ANN core (d11): Lloyd's-trained coarse quantizer + probed
    * cells + salted top-k, over any (vec_id, e: array<double>) corpus.
    * Training is DataFrame aggregations; assignment is one codegen'd
@@ -508,6 +533,31 @@ object DedupQueries {
           expr("""concat_ws(' ', transform(
             |  array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, chunk) END)),
             |  x -> x.chunk))""".stripMargin).as("dedup_text"))
+    },
+
+    // ---- semantic dedup: keeper selection over the embedding graph ----
+    // The SemDeDup pass (Abbas et al. 2023): treat cosine-near-duplicate
+    // embeddings as redundant and keep ONE representative per connected
+    // group. Composes the repo's existing scale machinery — d8's
+    // LSH-bucketed + exact-verified pair generation and d13's
+    // contracting connected components — so the whole operator inherits
+    // their no-quadratic-stage guarantees. Representative = min vec_id
+    // (deterministic); vectors with no near-dup are their own keeper
+    // and never enter the component iteration.
+    "d15_semantic_dedup" -> { (s, dir) =>
+      val pairs = queries("d8_embed_neardup")(s, dir)
+      val lab = Ops.connectedComponents(
+          pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .select(col("vertex").as("vec_id"), col("component").as("rep"))
+      val ids = t(s, dir, "embeddings").select(col("vec_id"))
+      val allIds = ids.unionByName(
+        ids.select((col("vec_id") + 100000).as("vec_id")))
+      val singles = allIds
+        .join(lab.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("rep"))
+      lab.unionByName(singles)
+        .select(col("vec_id"), col("rep").as("cluster_rep"),
+          when(col("vec_id") === col("rep"), 1).otherwise(0).as("keep"))
     },
 
     // ---- n-gram (word bigram) Jaccard within source buckets ----
@@ -878,25 +928,24 @@ object DedupQueries {
         |WHERE p.pos < 4""".stripMargin,
 
     "d8_embed_neardup" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
-         |pert AS (SELECT vec_id + 100000 AS vec_id,
-         |  list_transform(generate_series(1, len(e)),
-         |    j -> e[j] * (1.0 + 0.01 * (((j - 1) % 7) - 3))) e
-         |  FROM base),
-         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-         |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
-         |       FROM corpus),
-         |bk AS (SELECT vec_id,
-         |         unnest([${D8BucketExprsSql.mkString(",\n           ")}]) bucket
-         |       FROM qz),
-         |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
-         |         FROM bk a JOIN bk b
-         |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT va AS vec_a, vb AS vec_b
-         |FROM cand
-         |JOIN corpus ca ON ca.vec_id = va
-         |JOIN corpus cb ON cb.vec_id = vb
-         |WHERE list_cosine_similarity(ca.e, cb.e) >= 0.8""".stripMargin,
+      s"""WITH $D8PairsSql
+         |SELECT va AS vec_a, vb AS vec_b FROM vpairs""".stripMargin,
+
+    // keeper selection = transitive closure over the d8 pair graph
+    // (the all-pairs spelling of d15's contracting components), min id
+    // per component as the representative
+    "d15_semantic_dedup" ->
+      s"""WITH RECURSIVE $D8PairsSql,
+         |edges AS (SELECT va s, vb d FROM vpairs
+         |          UNION ALL SELECT vb, va FROM vpairs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM vcorpus
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+         |lab AS (SELECT v AS vec_id, MIN(l) AS cluster_rep FROM reach GROUP BY v)
+         |SELECT vec_id, cluster_rep,
+         |       CASE WHEN vec_id = cluster_rep THEN 1 ELSE 0 END AS keep
+         |FROM lab""".stripMargin,
 
     "d7_embed_centroid" ->
       """SELECT label, i - 1 AS pos,
