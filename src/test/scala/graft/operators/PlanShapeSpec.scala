@@ -171,4 +171,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ColumnarToRow"), p)
     assert(p.contains("BatchScan scbf"), p)
   }
+
+  test("d14: paragraph dedup is join-free — hash shuffle + doc regroup only") {
+    val p = plan("d14_paragraph_dedup")
+    // first-wins + reassembly need no join at all: any Join operator
+    // appearing here means the plan regressed to a pair-generating shape
+    assert(!p.contains("Join"), p)
+    // and the dedup decision is a Window pass partitioned on the chunk
+    // hash (h), not a global (unpartitioned) window
+    assert(p.contains("windowspecdefinition(h#"), p)
+  }
+
+  test("d15: keeper selection adds no pair stage of its own") {
+    // the pair graph's shape is d8's lock (bucket equi-join, no
+    // all-pairs) and the component iteration is ComponentsSpec's; what
+    // d15 itself adds must stay join-light: one anti join for the
+    // singleton union, nothing cartesian
+    val p = plan("d15_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
