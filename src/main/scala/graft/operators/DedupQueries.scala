@@ -506,10 +506,16 @@ object DedupQueries {
     // synthetic corpus has no newline structure; real corpora would
     // split on '\n\n' and the rest of the pipeline is unchanged).
     // First-wins is a total order (doc_id, idx), so the output is
-    // deterministic at any parallelism. Scale shape: one shuffle keyed
-    // on the chunk hash (group size = duplicate multiplicity, never
-    // corpus size), one shuffle back on doc_id to reassemble; rows
-    // carry at most ParagraphTokens tokens. No self-join, no pairs.
+    // deterministic at any parallelism. Scale shape: the winner per
+    // chunk hash is a min(struct) AGGREGATE — map-side partial combine
+    // collapses each hash to one row per input partition before the
+    // shuffle, and the flagging join on `h` is AQE-skew-splittable.
+    // (A row_number window partitioned on `h` would be hash-equivalent
+    // but funnels every copy of a hot boilerplate chunk — the very
+    // thing this operator exists to remove — through one task's sort;
+    // a window partition can't be split, a skewed join partition can.)
+    // Then one shuffle back on doc_id to reassemble; rows carry at
+    // most ParagraphTokens tokens. No self-join, no pairs.
     "d14_paragraph_dedup" -> { (s, dir) =>
       val c = ParagraphTokens
       val chunks = corpus(s, dir)
@@ -518,20 +524,24 @@ object DedupQueries {
           s"""transform(sequence(0, CAST(ceil(size(w) / $c.0) AS INT) - 1),
              |  i -> concat_ws(' ', slice(w, i * $c + 1, $c)))""".stripMargin)))
         .toDF("doc_id", "idx", "chunk")
-      // first-wins on the 16-byte hash, not the chunk text: the shuffle
-      // key stays fixed-width however long the paragraph is
-      val firstWins = Window.partitionBy(col("h"))
-        .orderBy(col("doc_id"), col("idx"))
-      chunks.withColumn("h", md5(col("chunk")))
-        .withColumn("rn", row_number().over(firstWins))
+        // first-wins on the 16-byte hash, not the chunk text: the
+        // shuffle key stays fixed-width however long the paragraph is
+        .withColumn("h", md5(col("chunk")))
+      val winners = chunks
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("w1"))
+        .select(col("h"), col("w1.doc_id").as("wdoc"), col("w1.idx").as("widx"))
+      chunks.join(winners, "h")
+        .withColumn("kept",
+          col("doc_id") === col("wdoc") && col("idx") === col("widx"))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           // per-doc chunk count is bounded (doc length / ParagraphTokens),
           // so the collect_list is a small in-memory sort, not a funnel
           expr("""concat_ws(' ', transform(
-            |  array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, chunk) END)),
+            |  array_sort(collect_list(CASE WHEN kept THEN struct(idx, chunk) END)),
             |  x -> x.chunk))""".stripMargin).as("dedup_text"))
     },
 

@@ -172,14 +172,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BatchScan scbf"), p)
   }
 
-  test("d14: paragraph dedup is join-free — hash shuffle + doc regroup only") {
+  test("d14: first-wins is a partial-combined aggregate, not a hash-keyed window") {
     val p = plan("d14_paragraph_dedup")
-    // first-wins + reassembly need no join at all: any Join operator
-    // appearing here means the plan regressed to a pair-generating shape
-    assert(!p.contains("Join"), p)
-    // and the dedup decision is a Window pass partitioned on the chunk
-    // hash (h), not a global (unpartitioned) window
-    assert(p.contains("windowspecdefinition(h#"), p)
+    // the winner per chunk hash must come from min(struct) aggregation
+    // (map-side combine collapses hot boilerplate chunks BEFORE the
+    // shuffle; the flagging equi-join is AQE-skew-splittable) — a
+    // Window partitioned on the hash funnels every copy of a hot chunk
+    // through one unsplittable task and must not come back
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("d15: keeper selection adds no pair stage of its own") {
