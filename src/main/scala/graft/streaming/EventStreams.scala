@@ -87,6 +87,10 @@ object EventStreams {
   case class BucketState(docs: List[(Long, Long, Array[Long])]) // (tsMs, docId, sig)
   case class NearDupHit(docA: Long, docB: Long, bandIdx: Int, estSim: Double)
 
+  case class ChunkRow(ts: Timestamp, docId: Long, idx: Int, chunk: String)
+  case class ChunkState(seen: List[String], newestTsMs: Long)
+  case class ChunkDecision(docId: Long, idx: Int, chunk: String, kept: Boolean)
+
   private val NdNumHashes = 48
   private val NdBands = 24 // 2 rows per band — d2's banding geometry
 
@@ -203,6 +207,69 @@ object EventStreams {
             state.update(BucketState(kept))
             state.setTimeoutTimestamp(kept.map(_._1).max + 1)
             hits.result().iterator
+          }
+      }
+  }
+
+  /** Streaming sub-document dedup — the streaming twin of
+   * d14_paragraph_dedup, for ingest-time removal of repeated passages.
+   * Docs are split into non-overlapping `chunkTokens`-token chunks and
+   * each chunk is kept on its FIRST ARRIVAL within the watermark
+   * horizon (the streaming rendering of batch d14's global first-wins:
+   * an unbounded stream can't hold an all-time seen set, the same
+   * horizon trade `dropDuplicates`+watermark makes; within a
+   * micro-batch, (ts, docId, idx) order makes decisions
+   * deterministic). One stateful operator keyed on the chunk's
+   * xxhash64: state per key holds the distinct chunk strings seen (so
+   * a 64-bit collision can't drop a novel chunk — decisions are exact)
+   * and refreshes its event-time timeout on every sighting, so hot
+   * boilerplate chunks stay deduped as long as they keep arriving
+   * while idle keys expire — state is arrival-rate × horizon, never
+   * stream length. Emits per-chunk keep/drop decisions; per-doc
+   * reassembly composes downstream (foreachBatch or batch d14 over the
+   * sink), the same division of labor as [[nearDupPairs]]'
+   * candidates-then-verify. */
+  def chunkDedup(docs: Dataset[Doc], chunkTokens: Int = 16,
+      watermark: String = "1 hour"): Dataset[ChunkDecision] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    implicit val rowEnc = Encoders.product[ChunkRow]
+    implicit val stateEnc = Encoders.product[ChunkState]
+    implicit val decEnc = Encoders.product[ChunkDecision]
+    // watermark AFTER the typed flatMap (see nearDupPairs)
+    val rows = docs.flatMap { d =>
+      val w = d.text.split(" ")
+      val n = math.max(1, math.ceil(w.length / chunkTokens.toDouble).toInt)
+      (0 until n).map { i =>
+        ChunkRow(d.ts, d.docId, i,
+          w.slice(i * chunkTokens, math.min(w.length, (i + 1) * chunkTokens))
+            .mkString(" "))
+      }
+    }.withWatermark("ts", watermark)
+    rows
+      .groupByKey { r =>
+        val b = r.chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChunkState, ChunkDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it: Iterator[ChunkRow], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            var newest = state.getOption.map(_.newestTsMs).getOrElse(Long.MinValue)
+            val out = List.newBuilder[ChunkDecision]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.docId, r.idx)).foreach { r =>
+              val kept = !seen.contains(r.chunk)
+              if (kept) seen ::= r.chunk
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+              out += ChunkDecision(r.docId, r.idx, r.chunk, kept)
+            }
+            state.update(ChunkState(seen, newest))
+            // strictly beyond the newest sighting, refreshed every
+            // batch this key appears in (see nearDupPairs)
+            state.setTimeoutTimestamp(newest + 1)
+            out.result().iterator
           }
       }
   }
