@@ -34,7 +34,7 @@ object DedupQueries {
   /** documents ∪ mutated copies (every 'value ' token removed,
    * doc_id + 100000) — a deterministic planted near-duplicate set so the
    * dedup operators have real work on the synthetic corpus. */
-  private[operators] def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(docs.select(
       (col("doc_id") + 100000).as("doc_id"),

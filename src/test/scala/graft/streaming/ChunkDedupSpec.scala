@@ -68,6 +68,34 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("single-batch decisions match batch d14's global first-wins") {
+    // with uniform ts, chunkDedup's (ts, docId, idx) order IS d14's
+    // (doc_id, idx) total order, so per-doc kept counts must agree
+    // exactly with the batch operator over the real corpus
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.DedupQueries.corpus(spark, sf)
+      .as[(Long, String)].collect()
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.chunkDedup(input.toDS(), chunkTokens = 16)
+      .writeStream.format("memory").queryName("cd_parity").outputMode("append").start()
+    try {
+      input.addData(docs.map { case (id, t) => EventStreams.Doc(ts(0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cd_parity").as[EventStreams.ChunkDecision]
+        .groupByKey(_.docId)
+        .mapValues(d => if (d.kept) 1L else 0L)
+        .reduceGroups(_ + _)
+        .toDF("doc_id", "s_kept")
+      val batch = graft.SparkEntry.queries("d14_paragraph_dedup")(spark, sf)
+        .select($"doc_id", $"n_kept")
+      val diff = streamed.join(batch, "doc_id")
+        .filter($"s_kept" =!= $"n_kept").count()
+      assert(diff == 0)
+      assert(streamed.count() == batch.count())
+    } finally q.stop()
+  }
+
   test("idle chunk state expires with the watermark and re-admits") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Doc]
