@@ -211,6 +211,33 @@ object TextQueries {
           (col("cb") % budget).as("offset_in_pack"))
     },
 
+    // ---- deterministic training-order shuffle ----
+    // The reproducible global permutation a training pipeline applies
+    // before batching: position = rank under a hash of the stable key,
+    // so any run (and any engine) derives the identical order with no
+    // stored permutation table. Same scalable two-pass shape as q18:
+    // range-partition on the hash key, rank locally, add per-partition
+    // offsets from a tiny count aggregate — no single-task global sort
+    // at any corpus size.
+    "t12_train_shuffle" -> { (s, dir) =>
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      val sorted = keyed
+        .repartitionByRange(spread(s), col("k").asc, col("doc_id").asc)
+        .sortWithinPartitions(col("k").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("k").asc, col("doc_id").asc)
+      val local = sorted.withColumn("local_rn", row_number().over(wLocal))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      local.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), (col("offset") + col("local_rn")).as("pos"))
+    },
+
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
     // The contamination check every training pipeline runs before a
     // model sees the data: flag corpus documents sharing any word
@@ -459,6 +486,11 @@ object TextQueries {
         |  CAST(cb // 2048 AS BIGINT) AS pack_id,
         |  CAST(cb % 2048 AS BIGINT) AS offset_in_pack
         |FROM c""".stripMargin,
+
+    "t12_train_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents""".stripMargin,
 
     "t10_decontam" -> {
       val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")
