@@ -61,6 +61,33 @@ private[operators] object Ops {
       .drop("__salt", "__lrn")
   }
 
+  /** Global 1-based row_number over a total order WITHOUT the
+   * single-partition window anti-pattern (shared by q18 and t12):
+   * range-partition on the sort keys, rank locally per partition, then
+   * add each partition's cumulative row offset — computed from a
+   * per-partition count aggregate whose row count equals the partition
+   * count, so its unpartitioned window is trivially small. `sortCols`
+   * must define a total order (tie-break to a unique key). Appends
+   * `rnName` as a long. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      rnName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .repartitionByRange(spread(df.sparkSession), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val local = sorted.withColumn("__lrn", row_number().over(wLocal))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rnName, (col("__off") + col("__lrn")).cast("long"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** Scratch directory for operators that materialize intermediate
    * files (e.g. the SCBF roundtrip). Driver-local java.io.tmpdir only
    * works in local mode; on a real cluster set `graft.scratch.dir` to a

@@ -214,27 +214,15 @@ object RelationalQueries {
     },
 
     "q18_sort_order" -> { (s, dir) =>
-      // Global dense ranking WITHOUT the single-partition window
-      // anti-pattern: range-partition on the sort key, rank locally per
-      // partition, then add each partition's cumulative row offset
-      // (computed from per-partition counts — a tiny aggregate). Scales
-      // to any table size; a bare Window.orderBy would funnel the whole
-      // table through one task.
-      val sorted = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_retailprice"))
-        .repartitionByRange(col("p_retailprice").desc, col("p_partkey").asc)
-        .sortWithinPartitions(col("p_retailprice").desc, col("p_partkey").asc)
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid"))
-        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-      val local = sorted.withColumn("local_rn", row_number().over(wLocal))
-      val wOffsets = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(sum(col("n")).over(wOffsets), lit(0L)))
-        .select(col("pid"), col("offset"))
-      local.join(broadcast(offsets), "pid")
+      // Global ranking WITHOUT the single-partition window
+      // anti-pattern — see Ops.globalRowNumber (range-partition, local
+      // rank, cumulative offsets). A bare Window.orderBy would funnel
+      // the whole table through one task.
+      Ops.globalRowNumber(
+          t(s, dir, "part").select(col("p_partkey"), col("p_retailprice")),
+          Seq(col("p_retailprice").desc, col("p_partkey").asc), "rn")
         .select(col("p_partkey"), col("p_retailprice"),
-          (col("offset") + col("local_rn")).cast("int").as("rn"))
+          col("rn").cast("int").as("rn"))
     },
 
     "q19_stats" -> { (s, dir) =>

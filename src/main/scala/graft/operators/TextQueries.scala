@@ -220,22 +220,11 @@ object TextQueries {
     // offsets from a tiny count aggregate — no single-task global sort
     // at any corpus size.
     "t12_train_shuffle" -> { (s, dir) =>
-      val keyed = t(s, dir, "documents")
-        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
-      val sorted = keyed
-        .repartitionByRange(spread(s), col("k").asc, col("doc_id").asc)
-        .sortWithinPartitions(col("k").asc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid"))
-        .orderBy(col("k").asc, col("doc_id").asc)
-      val local = sorted.withColumn("local_rn", row_number().over(wLocal))
-      val wOff = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
-        .select(col("pid"), col("offset"))
-      local.join(broadcast(offsets), "pid")
-        .select(col("doc_id"), (col("offset") + col("local_rn")).as("pos"))
+      Ops.globalRowNumber(
+          t(s, dir, "documents")
+            .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k")),
+          Seq(col("k").asc, col("doc_id").asc), "pos")
+        .select(col("doc_id"), col("pos"))
     },
 
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
