@@ -118,6 +118,11 @@ object DedupQueries {
    * '\n\n' instead and nothing downstream changes. */
   private[operators] val ParagraphTokens = 16
 
+  /** d16's duplicated-span window length (tokens, stride 1) — the
+   * minimum repeated-passage length worth flagging; 8 matches t10's
+   * contamination-gram convention. */
+  private[operators] val DupSpanTokens = 8
+
 
   /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded
    * per dim — the same cross-engine trick as [[d8Planes]]: over
@@ -545,6 +550,42 @@ object DedupQueries {
             |  x -> x.chunk))""".stripMargin).as("dedup_text"))
     },
 
+    // ---- exact duplicated-span detection (sub-document, overlapping) ----
+    // The rolling-window rendering of Lee et al.'s suffix-array
+    // substring dedup: every stride-1 window of DupSpanTokens tokens is
+    // hashed; a window whose hash occurs ≥2 times corpus-wide (any doc,
+    // including self-repetition) is duplicated, and runs of consecutive
+    // duplicated window starts merge into MAXIMAL spans per doc
+    // (gaps-and-islands on idx − row_number). Complements d14: d14
+    // removes disjoint-chunk repeats cheaply; d16 finds every repeated
+    // passage at token granularity regardless of alignment. Scale
+    // shape: the stride-1 explode is a bounded L× blowup of the token
+    // count (map-side); duplicate detection is a count aggregate +
+    // equi-join on the 16-byte hash (the d14 skew lesson — a hot
+    // boilerplate hash meets a ONE-ROW dup marker, linear, never
+    // pairwise); the islands window partitions on doc_id, bounded by
+    // doc length.
+    "d16_dup_spans" -> { (s, dir) =>
+      val L = DupSpanTokens
+      val wins = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))")))
+        .toDF("doc_id", "idx", "h")
+      val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val dw = wins.join(dup, "h").select(col("doc_id"), col("idx"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val isl = dw.withColumn("grp", col("idx") - row_number().over(wDoc))
+      isl.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("idx")).cast("long").as("span_start"),
+          (max(col("idx")) + L - 1).cast("long").as("span_end"),
+          (max(col("idx")) - min(col("idx")) + L).cast("long").as("span_tokens"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+    },
+
     // ---- semantic dedup: keeper selection over the embedding graph ----
     // The SemDeDup pass (Abbas et al. 2023): treat cosine-near-duplicate
     // embeddings as redundant and keep ONE representative per connected
@@ -890,6 +931,25 @@ object DedupQueries {
          |       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')
          |         AS dedup_text
          |FROM rn GROUP BY doc_id""".stripMargin,
+
+    "d16_dup_spans" ->
+      s"""WITH $CorpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+         |wins0 AS (SELECT doc_id, list_transform(
+         |            generate_series(0, len(w) - $DupSpanTokens),
+         |            i -> {'idx': i, 'h': md5(array_to_string(
+         |                   list_slice(w, i + 1, i + $DupSpanTokens), ' '))}) cs
+         |          FROM tok WHERE len(w) >= $DupSpanTokens),
+         |wins AS (SELECT doc_id, unnest(cs, recursive := true) FROM wins0),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+         |dw AS (SELECT doc_id, idx FROM wins JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, idx,
+         |          idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+         |        FROM dw)
+         |SELECT doc_id, MIN(idx) AS span_start,
+         |       MAX(idx) + $DupSpanTokens - 1 AS span_end,
+         |       CAST(MAX(idx) - MIN(idx) + $DupSpanTokens AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
