@@ -313,21 +313,22 @@ object DedupQueries {
     scoreTopK(cand, k)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ---------------------------------------------------------------------
+  // Staged pair graphs. Each of the three pair pipelines (d2 MinHash,
+  // d10 SimHash, d8 embedding-LSH) feeds SEVERAL operators: its own
+  // pair-report query plus downstream clustering (d13, d15) and the
+  // cross-method agreement report (d18). A real pipeline materializes
+  // the pair graph once and fans it out; re-deriving it per consumer is
+  // a second full corpus pass at 100 TB. The `*PairsPlan` builders are
+  // the unstaged, plan-lockable pipelines; the `*Pairs` wrappers stage
+  // them behind ONE localCheckpoint per (session, sfDir) via Ops.staged,
+  // so whichever consumer runs first pays materialization and the rest
+  // read executor-local blocks. Plan-shape locks target the builders
+  // (the checkpoint truncates lineage — consumers see an ExistingRDD).
+  // ---------------------------------------------------------------------
 
-    // ---- exact deduplication: hash-groupBy on full text ----
-    "d1_dedup_exact" -> { (s, dir) =>
-      corpus(s, dir)
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
-    },
-
-    // ---- MinHash + LSH near-duplicate pairs ----
-    // shingle → 48 minhashes → 24 bands of 2 → band-bucket join for
-    // candidates → exact shingle-set verification (integer jaccard test:
-    // 10·|A∩B| ≥ 6·|A∪B| ⟺ J ≥ 0.6). The oracle checks ALL pairs, so
-    // this doubles as a (deterministic) recall test of the band config.
-    "d2_minhash_lsh" -> { (s, dir) =>
+  /** d2's MinHash-LSH pair pipeline, unstaged (see [[d2Pairs]]). */
+  private[operators] def d2PairsPlan(s: SparkSession, dir: String): DataFrame = {
       // Fully count-based: one exploded (doc_id, shingle) relation drives
       // everything — minhash aggregation, band buckets, and candidate
       // verification. No array columns are built, shuffled, or
@@ -431,12 +432,15 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"),
           col("c").as("inter_cnt"), col("c").as("union_cnt"))
       crossExp.unionByName(withinExp)
-    },
+  }
 
-    // ---- SimHash document signatures (64-bit, md5-derived) ----
-    "d3_simhash" -> { (s, dir) => simhashSignatures(s, dir) },
+  /** The d2 pair graph (doc_a, doc_b, inter_cnt, union_cnt), staged
+   * once per (session, sfDir): consumed by the d2 pair report and the
+   * d18 agreement report. */
+  private[operators] def d2Pairs(s: SparkSession, dir: String): DataFrame =
+    Ops.staged(s, dir, "d2_pairs")(d2PairsPlan(s, dir))
 
-    // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
+  // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
     // hamming(a, b) ≤ 3 over a 64-bit signature means at most 3 of the
     // 4 disjoint 16-bit chunks differ — so every qualifying pair shares
     // at least one chunk verbatim. Candidates come from a chunk-value
@@ -451,7 +455,7 @@ object DedupQueries {
     // the previous 32-bit/4×8 split produced. The arithmetic >> on the
     // signed signature sign-extends, but & 65535 keeps exactly the
     // original 16 bits in both engines.
-    "d10_simhash_neardup" -> { (s, dir) =>
+  private[operators] def d10PairsPlan(s: SparkSession, dir: String): DataFrame = {
       val sig = simhashSignatures(s, dir)
       val chunks = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
@@ -466,7 +470,84 @@ object DedupQueries {
         .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The d10 pair graph (doc_a, doc_b, hamming), staged once per
+   * (session, sfDir): consumed by the d10 pair report, d13's
+   * clustering, and the d18 agreement report. */
+  private[operators] def d10Pairs(s: SparkSession, dir: String): DataFrame =
+    Ops.staged(s, dir, "d10_pairs")(d10PairsPlan(s, dir))
+
+  /** d8's hyperplane-LSH pair pipeline, unstaged (see [[d8Pairs]]).
+   * Candidate generation via d6's hyperplane sign buckets (4 tables ×
+   * 12 bits over integer-quantized components — see d8Planes for why
+   * the integer dots make the bucketing bit-exact in both engines),
+   * then exact cosine ≥ 0.8 verification of candidates only. Unlike
+   * the label-cell version this replaces, bucket occupancy shrinks as
+   * the corpus diversifies and the bit width is the scale knob (bits ~
+   * log N keeps expected per-bucket pairs bounded), so no join grows
+   * quadratically with corpus size. A deterministic perturbed copy of
+   * each vector is planted (vec_id + 100000) so the operator has real
+   * near-dups to find (measured recall 1.0 on the planted pairs: the
+   * perturbation flips a sign bit only when |dot| is within 1% of 0);
+   * the 0.8 threshold sits in a ~0.3-wide gap of the similarity
+   * distribution, far from any engine-rounding ambiguity. */
+  private[operators] def d8PairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
+      expr(PerturbExpr).as("e"))
+    val corpus = emb.unionByName(perturbed)
+    // Spark floor(double) yields BIGINT — cast back so the quantized
+    // vector stays array<double> for the codegen bucket expression
+    val bucketed = corpus
+      .withColumn("q", expr("transform(e, x -> CAST(floor(x * 1000.0D) AS DOUBLE))"))
+      .select(col("vec_id"),
+        explode(graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), d8Planes))
+          .as("bucket"))
+    // candidates are (long, long) id pairs only — the 64-double vectors
+    // never ride through the bucket join; verification re-joins them
+    // by vec_id (the scalable shape: small rows in the hot shuffle)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair can share buckets in several tables
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .filter(graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.8)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** The d8 pair graph (vec_a, vec_b), staged once per (session,
+   * sfDir): consumed by the d8 pair report and d15's keeper
+   * selection. */
+  private[operators] def d8Pairs(s: SparkSession, dir: String): DataFrame =
+    Ops.staged(s, dir, "d8_pairs")(d8PairsPlan(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact deduplication: hash-groupBy on full text ----
+    "d1_dedup_exact" -> { (s, dir) =>
+      corpus(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
     },
+
+    // ---- MinHash + LSH near-duplicate pairs ----
+    // shingle → 48 minhashes → 24 bands of 2 → band-bucket join for
+    // candidates → exact shingle-set verification (integer jaccard test:
+    // 10·|A∩B| ≥ 6·|A∪B| ⟺ J ≥ 0.6). The oracle checks ALL pairs, so
+    // this doubles as a (deterministic) recall test of the band config.
+    // Pipeline: d2PairsPlan; the query serves the STAGED pair graph.
+    "d2_minhash_lsh" -> { (s, dir) => d2Pairs(s, dir) },
+
+    // ---- SimHash document signatures (64-bit, md5-derived) ----
+    "d3_simhash" -> { (s, dir) => simhashSignatures(s, dir) },
+
+    // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
+    // Pipeline: d10PairsPlan; the query serves the STAGED pair graph.
+    "d10_simhash_neardup" -> { (s, dir) => d10Pairs(s, dir) },
 
     // ---- duplicate-cluster assignment: connected components ----
     // The step a dedup pipeline runs AFTER pair generation: fold the
@@ -487,7 +568,8 @@ object DedupQueries {
     // iteration (the dedup-graph asymmetry: near-dup docs ≪ corpus)
     // and are unioned back as singleton clusters at the end.
     "d13_dedup_clusters" -> { (s, dir) =>
-      val pairs = queries("d10_simhash_neardup")(s, dir)
+      val pairs = d10Pairs(s, dir) // the STAGED graph — shared with d10's report
+
       val lab = Ops.connectedComponents(
           pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("vertex").as("doc_id"), col("component").as("label"))
@@ -529,9 +611,13 @@ object DedupQueries {
           s"""transform(sequence(0, CAST(ceil(size(w) / $c.0) AS INT) - 1),
              |  i -> concat_ws(' ', slice(w, i * $c + 1, $c)))""".stripMargin)))
         .toDF("doc_id", "idx", "chunk")
-        // first-wins on the 16-byte hash, not the chunk text: the
-        // shuffle key stays fixed-width however long the paragraph is
-        .withColumn("h", md5(col("chunk")))
+        // first-wins on the 8-byte xxhash64, not the chunk text: the
+        // shuffle key stays fixed-width however long the paragraph is,
+        // and the hot aggregate/join carries a long instead of a 32-char
+        // md5 hex (the d2/d4 key convention). The oracle groups on the
+        // chunk string itself, so results agree modulo a 2⁻⁶⁴ collision
+        // — which the oracle gate would catch.
+        .withColumn("h", xxhash64(col("chunk")))
       val winners = chunks
         .groupBy(col("h"))
         .agg(min(struct(col("doc_id"), col("idx"))).as("w1"))
@@ -561,7 +647,7 @@ object DedupQueries {
     // passage at token granularity regardless of alignment. Scale
     // shape: the stride-1 explode is a bounded L× blowup of the token
     // count (map-side); duplicate detection is a count aggregate +
-    // equi-join on the 16-byte hash (the d14 skew lesson — a hot
+    // equi-join on the 8-byte hash (the d14 skew lesson — a hot
     // boilerplate hash meets a ONE-ROW dup marker, linear, never
     // pairwise); the islands window partitions on doc_id, bounded by
     // doc length.
@@ -570,8 +656,13 @@ object DedupQueries {
       val wins = corpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
+        // window key = 8-byte xxhash64 (the d2/d4 convention), not a
+        // 32-char md5 hex: the count aggregate and the dup equi-join
+        // below carry this key, so 4× narrower rows ride the two hot
+        // shuffles. The oracle hashes the window STRING with md5, so
+        // dup sets agree modulo a 2⁻⁶⁴ collision — caught by the gate.
         .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(w) - $L), i -> md5(concat_ws(' ', slice(w, i + 1, $L))))")))
+          s"transform(sequence(0, size(w) - $L), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $L))))")))
         .toDF("doc_id", "idx", "h")
       val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"))
@@ -596,7 +687,8 @@ object DedupQueries {
     // (deterministic); vectors with no near-dup are their own keeper
     // and never enter the component iteration.
     "d15_semantic_dedup" -> { (s, dir) =>
-      val pairs = queries("d8_embed_neardup")(s, dir)
+      val pairs = d8Pairs(s, dir) // the STAGED graph — shared with d8's report
+
       val lab = Ops.connectedComponents(
           pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
         .select(col("vertex").as("vec_id"), col("component").as("rep"))
@@ -740,45 +832,8 @@ object DedupQueries {
     },
 
     // ---- embedding-cosine near-dup dedup (LSH-bucketed, exact-verified) ----
-    // Candidate generation via d6's hyperplane sign buckets (4 tables ×
-    // 12 bits over integer-quantized components — see d8Planes for why
-    // the integer dots make the bucketing bit-exact in both engines),
-    // then exact cosine ≥ 0.8 verification of candidates only. Unlike
-    // the label-cell version this replaces, bucket occupancy shrinks as
-    // the corpus diversifies and the bit width is the scale knob (bits ~
-    // log N keeps expected per-bucket pairs bounded), so no join grows
-    // quadratically with corpus size. A deterministic perturbed copy of
-    // each vector is planted (vec_id + 100000) so the operator has real
-    // near-dups to find (measured recall 1.0 on the planted pairs: the
-    // perturbation flips a sign bit only when |dot| is within 1% of 0);
-    // the 0.8 threshold sits in a ~0.3-wide gap of the similarity
-    // distribution, far from any engine-rounding ambiguity.
-    "d8_embed_neardup" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
-        expr(PerturbExpr).as("e"))
-      val corpus = emb.unionByName(perturbed)
-      // Spark floor(double) yields BIGINT — cast back so the quantized
-      // vector stays array<double> for the codegen bucket expression
-      val bucketed = corpus
-        .withColumn("q", expr("transform(e, x -> CAST(floor(x * 1000.0D) AS DOUBLE))"))
-        .select(col("vec_id"),
-          explode(graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), d8Planes))
-            .as("bucket"))
-      // candidates are (long, long) id pairs only — the 64-double vectors
-      // never ride through the bucket join; verification re-joins them
-      // by vec_id (the scalable shape: small rows in the hot shuffle)
-      val cand = bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct() // a pair can share buckets in several tables
-      cand
-        .join(corpus.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
-        .join(corpus.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
-        .filter(graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.8)
-        .select(col("vec_a"), col("vec_b"))
-    },
+    // Pipeline: d8PairsPlan; the query serves the STAGED pair graph.
+    "d8_embed_neardup" -> { (s, dir) => d8Pairs(s, dir) },
 
     // ---- int8 scalar quantization (embedding storage compression) ----
     // Per-vector min/max scalar quantization — the 4×/8× storage cut a

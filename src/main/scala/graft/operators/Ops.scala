@@ -88,6 +88,48 @@ private[operators] object Ops {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Release the executor blocks behind a localCheckpoint. Goes through
+   * the UNDERLYING checkpointed RDD: Dataset.unpersist only consults the
+   * CacheManager, which never registers localCheckpoint's LogicalRDD, so
+   * it would free nothing. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val stagedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Cross-query staging point for a relation consumed by several
+   * operators of one pipeline run (the d2/d10/d8 pair graphs, each fed
+   * to a pair-report query AND a downstream clustering/report query).
+   * The first consumer materializes the relation behind a
+   * localCheckpoint; every later consumer in the same (session, sfDir)
+   * reuses the executor-local blocks instead of re-running the full
+   * upstream pipeline — at 100 TB that second run is a second full pass
+   * over the corpus. Keyed by session so a stopped session's entries
+   * can never be served to a new one. NOTE: the checkpoint truncates
+   * lineage, so plan-shape locks on a staged query must target its
+   * unstaged builder (the `*PairsPlan` methods). */
+  def staged(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
+    stagedCache.compute((s, dir, name), (_, cur) =>
+      if (cur != null) cur
+      else { stagedBuilds.incrementAndGet(); build.localCheckpoint() })
+
+  /** How many staged relations have been materialized (test hook: lets
+   * a spec assert a downstream consumer REUSED a staged relation rather
+   * than silently re-building it). */
+  def stagedBuildCount: Long = stagedBuilds.get()
+
+  /** Release every staged block and forget the cache — between bench
+   * iterations, so each iteration re-pays each materialization exactly
+   * once (keeps per-query timings honest across repeats). */
+  def stagedClear(): Unit = {
+    stagedCache.values.forEach(release(_))
+    stagedCache.clear()
+  }
+
   /** Scratch directory for operators that materialize intermediate
    * files (e.g. the SCBF roundtrip). Driver-local java.io.tmpdir only
    * works in local mode; on a real cluster set `graft.scratch.dir` to a
@@ -119,13 +161,8 @@ private[operators] object Ops {
     // component chain references it) and is released after the result
     // materializes. Peak storage is therefore ~one round's tables plus
     // one small map per round, not the sum of every intermediate.
-    // Release goes through the UNDERLYING checkpointed RDD:
-    // Dataset.unpersist only consults the CacheManager, which never
-    // registers localCheckpoint's LogicalRDD, so it would free nothing.
-    def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false))
+    // Release goes through the UNDERLYING checkpointed RDD (see
+    // Ops.release for why Dataset.unpersist would free nothing).
     val roundMaps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var e = edges.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))

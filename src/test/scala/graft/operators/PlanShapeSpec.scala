@@ -19,6 +19,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  // the d2/d10/d8 pair queries serve a STAGED (localCheckpoint'd) graph,
+  // whose lineage truncation hides the pipeline from the plan — their
+  // shape locks target the unstaged builders instead
+  private def builderPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("q2: filters are pushed down to the parquet scan") {
     val p = plan("q2_filter_project")
     // plan strings truncate long filter lists; the IsNotNull prefix in
@@ -66,7 +72,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d10: simhash pair generation is an equi-join on chunk values, never a cartesian") {
-    val p = plan("d10_simhash_neardup")
+    val p = builderPlan(DedupQueries.d10PairsPlan(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the exact-verification filter must sit above candidates, with the
     // chunk equality as the join key
@@ -81,7 +87,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d2: LSH banding runs over collapsed, checkpointed unique texts") {
-    val p = plan("d2_minhash_lsh")
+    val p = builderPlan(DedupQueries.d2PairsPlan(spark, sf))
     // the md5 pre-collapse is materialized via localCheckpoint: the
     // shingle/member inputs surface as ExistingRDD scans, computed once
     // for their four consumers instead of re-derived per consumer
@@ -143,7 +149,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d8: near-dup candidates come from a bucket equi-join, never all-pairs") {
-    val p = plan("d8_embed_neardup")
+    val p = builderPlan(DedupQueries.d8PairsPlan(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // bucketing runs as the codegen hyperplane_buckets expression, no UDF
@@ -182,6 +188,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_min"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pair graphs stage ONCE: d13/d15 reuse the d10/d8 materializations") {
+    Ops.stagedClear()
+    val base = Ops.stagedBuildCount
+    val p10 = SparkEntry.queries("d10_simhash_neardup")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 1)
+    // the same query again serves the SAME checkpointed RDD, not a rebuild
+    val p10b = SparkEntry.queries("d10_simhash_neardup")(spark, sf)
+    def rddIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id.toLong
+      }
+    assert(rddIds(p10) == rddIds(p10b) && rddIds(p10).size == 1)
+    // d13 consumes the staged graph — no second pair materialization
+    SparkEntry.queries("d13_dedup_clusters")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 1)
+    // same contract on the d8 → d15 edge
+    SparkEntry.queries("d8_embed_neardup")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 2)
+    SparkEntry.queries("d15_semantic_dedup")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 2)
   }
 
   test("d15: keeper selection adds no pair stage of its own") {
