@@ -525,6 +525,28 @@ object DedupQueries {
   private[operators] def d8Pairs(s: SparkSession, dir: String): DataFrame =
     Ops.staged(s, dir, "d8_pairs")(d8PairsPlan(s, dir))
 
+  /** Stride-1 window hashes (doc_id, idx, h) over the corpus — the
+   * shared upstream of d16 (span detection) and d17 (span removal).
+   * Window key = 8-byte xxhash64 of the L-token window (the d2/d4
+   * convention): every downstream aggregate/join carries a long, not a
+   * 32-char md5 hex; the oracles hash the window STRING with md5, so
+   * dup sets agree modulo a 2⁻⁶⁴ collision — caught by the gate.
+   * Deliberately NOT staged, unlike the pair graphs: this explode is a
+   * map-side ~L× blowup of the token count generated straight off the
+   * corpus scan (no shuffle), so re-deriving it per consumer costs one
+   * cheap narrow pass, while materializing it would pin an L×-corpus
+   * staging table — the opposite cost profile to the pair graphs
+   * (small outputs of expensive shuffling pipelines). */
+  private def spanWindows(s: SparkSession, dir: String): DataFrame = {
+    val L = DupSpanTokens
+    corpus(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $L), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $L))))")))
+      .toDF("doc_id", "idx", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact deduplication: hash-groupBy on full text ----
@@ -653,17 +675,7 @@ object DedupQueries {
     // doc length.
     "d16_dup_spans" -> { (s, dir) =>
       val L = DupSpanTokens
-      val wins = corpus(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= L)
-        // window key = 8-byte xxhash64 (the d2/d4 convention), not a
-        // 32-char md5 hex: the count aggregate and the dup equi-join
-        // below carry this key, so 4× narrower rows ride the two hot
-        // shuffles. The oracle hashes the window STRING with md5, so
-        // dup sets agree modulo a 2⁻⁶⁴ collision — caught by the gate.
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(w) - $L), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $L))))")))
-        .toDF("doc_id", "idx", "h")
+      val wins = spanWindows(s, dir)
       val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"))
       val dw = wins.join(dup, "h").select(col("doc_id"), col("idx"))
@@ -675,6 +687,53 @@ object DedupQueries {
           (max(col("idx")) - min(col("idx")) + L).cast("long").as("span_tokens"))
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"))
+    },
+
+    // ---- exact duplicated-span REMOVAL (detect-then-rewrite) ----
+    // The rewrite half of Lee et al.'s substring dedup — d16 detects
+    // repeated passages, this operator deletes them from every
+    // occurrence but the globally first, composing d16's windows with
+    // d14's first-wins + ordered-reassembly machinery. A window whose
+    // hash occurs ≥2 times corpus-wide keeps its FIRST occurrence
+    // under the total order (doc_id, idx); every token covered by a
+    // NON-first duplicated window is dropped; survivors reassemble in
+    // order. Scale shape: winner selection is min(struct) — a
+    // partial-combined aggregate on the 8-byte window hash (the d14
+    // skew lesson: a hot boilerplate window collapses map-side, never
+    // through one task's window sort); non-first flagging is the hash
+    // equi-join against a ONE-row-per-hash winner marker (linear,
+    // never pairwise); the drop set explodes ≤L positions per
+    // non-first window (map-side, bounded); the flag join keys on
+    // (doc_id, pos) — unique per row, unskewable — and reassembly is
+    // d14's bounded per-doc sort.
+    "d17_span_dedup" -> { (s, dir) =>
+      val L = DupSpanTokens
+      val wins = spanWindows(s, dir)
+      val winners = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id"), col("idx"))).as("w1"))
+        .filter(col("c") >= 2)
+        .select(col("h"), col("w1.doc_id").as("wdoc"), col("w1.idx").as("widx"))
+      val nonFirst = wins.join(winners, "h")
+        .filter(!(col("doc_id") === col("wdoc") && col("idx") === col("widx")))
+        .select(col("doc_id"), col("idx"))
+      val dropped = nonFirst
+        .select(col("doc_id"), explode(expr(s"sequence(idx, idx + ${L - 1})")).as("pos"))
+        .distinct() // overlapping non-first windows cover a token twice
+        .withColumn("is_dropped", lit(true))
+      val toks = corpus(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tokn")))
+      toks.join(dropped, Seq("doc_id", "pos"), "left")
+        .withColumn("dropped", coalesce(col("is_dropped"), lit(false)))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          // per-doc token count bounds the collect_list — a small
+          // in-memory sort, not a funnel (the d14 reassembly shape)
+          expr("""concat_ws(' ', transform(
+            |  array_sort(collect_list(CASE WHEN NOT dropped THEN struct(pos, tokn) END)),
+            |  x -> x.tokn))""".stripMargin).as("dedup_text"))
     },
 
     // ---- semantic dedup: keeper selection over the embedding graph ----
@@ -1005,6 +1064,36 @@ object DedupQueries {
          |       MAX(idx) + $DupSpanTokens - 1 AS span_end,
          |       CAST(MAX(idx) - MIN(idx) + $DupSpanTokens AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // first-wins via ROW_NUMBER over the total order (doc_id, idx) ≡
+    // the engine's min(struct) winner (the d14 oracle equivalence)
+    "d17_span_dedup" ->
+      s"""WITH $CorpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+         |wins0 AS (SELECT doc_id, list_transform(
+         |            generate_series(0, len(w) - $DupSpanTokens),
+         |            i -> {'idx': i, 'h': md5(array_to_string(
+         |                   list_slice(w, i + 1, i + $DupSpanTokens), ' '))}) cs
+         |          FROM tok WHERE len(w) >= $DupSpanTokens),
+         |wins AS (SELECT doc_id, unnest(cs, recursive := true) FROM wins0),
+         |wn AS (SELECT doc_id, idx,
+         |         COUNT(*) OVER (PARTITION BY h) c,
+         |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) rn
+         |       FROM wins),
+         |nonfirst AS (SELECT doc_id, idx FROM wn WHERE c >= 2 AND rn > 1),
+         |dropped AS (SELECT DISTINCT doc_id, idx + j AS pos
+         |            FROM nonfirst CROSS JOIN generate_series(0, ${DupSpanTokens - 1}) g(j)),
+         |toks AS (SELECT doc_id, i - 1 AS pos, tokn FROM (
+         |           SELECT doc_id, unnest(w) tokn,
+         |                  unnest(generate_series(1, len(w))) i FROM tok)),
+         |flag AS (SELECT t.doc_id, t.pos, t.tokn, d.doc_id IS NOT NULL AS dropped
+         |         FROM toks t LEFT JOIN dropped d
+         |           ON d.doc_id = t.doc_id AND d.pos = t.pos)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN NOT dropped THEN tokn END, ' ' ORDER BY pos), '')
+         |         AS dedup_text
+         |FROM flag GROUP BY doc_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
