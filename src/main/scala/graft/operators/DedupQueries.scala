@@ -736,6 +736,28 @@ object DedupQueries {
             |  x -> x.tokn))""".stripMargin).as("dedup_text"))
     },
 
+    // ---- pair-graph agreement report (MinHash-Jaccard × SimHash) ----
+    // Intrinsic precision cross-check of the two lexical pair
+    // generators over the same corpus: d2's verified Jaccard pairs and
+    // d10's exact hamming pairs, full-outer-joined on the pair key and
+    // bucketed into a (jaccard-decile × hamming) agreement grid —
+    // where the methods disagree (-1 rows) is where a pipeline audits
+    // thresholds, at any scale, without ground-truth labels. Consumes
+    // BOTH staged pair graphs; adds NO pair generation of its own —
+    // just one join/aggregate over two small pair sets. jband is
+    // integer arithmetic (10·inter div union ∈ [6,10]) so the decile
+    // edges are engine-exact.
+    "d18_pair_agreement" -> { (s, dir) =>
+      val mh = d2Pairs(s, dir).select(col("doc_a"), col("doc_b"),
+        expr("inter_cnt * 10 div union_cnt").as("jband"))
+      val sh = d10Pairs(s, dir).select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("hamming"))
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .groupBy(coalesce(col("jband"), lit(-1L)).as("jband"),
+          coalesce(col("hamming"), lit(-1L)).as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- semantic dedup: keeper selection over the embedding graph ----
     // The SemDeDup pass (Abbas et al. 2023): treat cosine-near-duplicate
     // embeddings as redundant and keep ONE representative per connected
@@ -976,6 +998,32 @@ object DedupQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** The complete d2 all-pairs oracle — factored so the d18 agreement
+   * oracle can nest it verbatim as a CTE (single-source with the d2
+   * gate, the D8PairsSql pattern). */
+  private lazy val D2PairsOracle: String =
+    s"""WITH $ShinglesSql,
+       |cards AS (SELECT doc_id, len(s) c FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+       |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+       |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b, i AS inter_cnt,
+       |       ca.c + cb.c - i AS union_cnt
+       |FROM inter
+       |JOIN cards ca ON ca.doc_id = da
+       |JOIN cards cb ON cb.doc_id = db
+       |WHERE i * 10 >= (ca.c + cb.c - i) * 6""".stripMargin
+
+  /** The complete d10 all-pairs oracle — factored for d18 (see
+   * [[D2PairsOracle]]). */
+  private lazy val D10PairsOracle: String =
+    s"""WITH $SimhashSigsSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "d11_ann_ivf" -> ivfOracleSql(),
@@ -984,30 +1032,26 @@ object DedupQueries {
          |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
          |FROM corpus GROUP BY md5(text)""".stripMargin,
 
-    "d2_minhash_lsh" ->
-      s"""WITH $ShinglesSql,
-         |cards AS (SELECT doc_id, len(s) c FROM sh WHERE len(s) > 0),
-         |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
-         |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
-         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT da AS doc_a, db AS doc_b, i AS inter_cnt,
-         |       ca.c + cb.c - i AS union_cnt
-         |FROM inter
-         |JOIN cards ca ON ca.doc_id = da
-         |JOIN cards cb ON cb.doc_id = db
-         |WHERE i * 10 >= (ca.c + cb.c - i) * 6""".stripMargin,
+    "d2_minhash_lsh" -> D2PairsOracle,
 
     "d3_simhash" ->
       s"""WITH $SimhashSigsSql
          |SELECT doc_id, simhash FROM sigs""".stripMargin,
 
-    "d10_simhash_neardup" ->
-      s"""WITH $SimhashSigsSql
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "d10_simhash_neardup" -> D10PairsOracle,
+
+    // cross-method precision report: the same full-outer join the
+    // engine runs, over the two factored all-pairs oracles (each a
+    // complete SELECT, nested as a CTE — their internal CTE names
+    // collide, so they can't share one WITH list)
+    "d18_pair_agreement" ->
+      s"""WITH mh AS ($D2PairsOracle),
+         |sh AS ($D10PairsOracle)
+         |SELECT COALESCE((mh.inter_cnt * 10) // mh.union_cnt, -1) AS jband,
+         |       COALESCE(CAST(sh.hamming AS BIGINT), -1) AS hamming,
+         |       COUNT(*) AS n_pairs
+         |FROM mh FULL OUTER JOIN sh USING (doc_a, doc_b)
+         |GROUP BY 1, 2""".stripMargin,
 
     // transitive closure (UNION dedups, so cycles terminate) + min id
     // per component — the all-pairs spelling of d13's propagation

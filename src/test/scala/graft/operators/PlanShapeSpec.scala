@@ -210,6 +210,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(Ops.stagedBuildCount == base + 2)
     SparkEntry.queries("d15_semantic_dedup")(spark, sf)
     assert(Ops.stagedBuildCount == base + 2)
+    // d18 consumes BOTH the d2 and d10 graphs: one build for d2 (not
+    // yet staged in this test), zero for the already-staged d10
+    SparkEntry.queries("d18_pair_agreement")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 3)
   }
 
   test("d15: keeper selection adds no pair stage of its own") {
