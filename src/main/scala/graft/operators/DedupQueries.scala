@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.GraftConf
+
 /**
  * Deduplication + similarity-search operators for large-scale
  * training-data pipelines, over the `documents` and `embeddings` tables.
@@ -141,8 +143,10 @@ object DedupQueries {
     Array.fill(tables, bits, dim)((rnd.nextInt(2001) - 1000).toDouble)
   }
 
-  private[operators] def lshPlanes(dim: Int): Array[Array[Array[Double]]] =
-    intPlanes(12345L, tables = 4, bits = 10, dim)
+  /** bits is the d6 scale knob (GraftConf.LshBits): ~log N keeps
+   * expected per-bucket candidates bounded as the corpus grows. */
+  private[operators] def lshPlanes(dim: Int, bits: Int = 10): Array[Array[Array[Double]]] =
+    intPlanes(12345L, tables = 4, bits = bits, dim)
 
   /** Hyperplane-LSH ANN core (d6): bucket-join candidate generation +
    * exact verification + salted top-k, over any (vec_id, e:
@@ -152,11 +156,11 @@ object DedupQueries {
    * (candidate GENERATION is approximate even though, with the integer
    * planes, the generated set is bit-reproducible cross-engine). */
   private[operators] def annLshTopK(corpus: DataFrame, queryPred: Column,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, bits: Int = 10): DataFrame = {
     // embedding dimensionality from the data, not hardcoded — planes
     // are seeded, so the bucketing stays deterministic per dim
     val dim = corpus.select(size(col("e"))).head().getInt(0)
-    val planes = lshPlanes(dim)
+    val planes = lshPlanes(dim, bits)
     // bucketing as a codegen Expression (HyperplaneBuckets): the
     // per-row Scala UDF it replaces boxed the embedding into a Seq on
     // the hot path; the planes ride along as one plan-level reference
@@ -208,8 +212,12 @@ object DedupQueries {
    * (the same literals are embedded into the generated SQL below).
    * Gaussian-vs-uniform entries don't matter for LSH quality — only
    * the direction of the plane does. */
-  private[operators] lazy val d8Planes: Array[Array[Array[Double]]] =
-    intPlanes(987654321L, tables = 4, bits = 12, dim = 64)
+  /** bits is the d8 scale knob (GraftConf.LshD8Bits): ~log N keeps
+   * expected per-bucket pair counts bounded as the corpus grows. The
+   * generated oracle derives from the SAME plane array (single-source:
+   * set the JVM property to move both sides together). */
+  private[operators] def d8Planes(bits: Int = 12): Array[Array[Array[Double]]] =
+    intPlanes(987654321L, tables = 4, bits = bits, dim = 64)
 
   /** Oracle-side spelling of [[HyperplaneBuckets]]: one SQL expression
    * per table computing `t<<32 + Σ 2^b·[dot_b > 0]` (key < 2³², so +
@@ -226,13 +234,13 @@ object DedupQueries {
       s"(${ti.toLong << 32} + ($bits))"
     }
 
-  private lazy val D8BucketExprsSql: Seq[String] = bucketExprsSql(d8Planes)
-
   /** Shared CTE prefix of the d8/d15 oracles: the planted vector
    * corpus, integer-quantized hyperplane buckets, bucket-join
    * candidates, and the exact-cosine-verified pair set (`vpairs` over
-   * `vcorpus`). Mirrors the Spark d8 pipeline stage for stage. */
-  private lazy val D8PairsSql: String =
+   * `vcorpus`). Mirrors the Spark d8 pipeline stage for stage —
+   * including the bit-width knob, resolved from the same plane
+   * generator. */
+  private def d8PairsSql(bits: Int): String =
     s"""base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
        |pert AS (SELECT vec_id + 100000 AS vec_id,
        |  list_transform(generate_series(1, len(e)),
@@ -242,7 +250,7 @@ object DedupQueries {
        |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
        |       FROM vcorpus),
        |bk AS (SELECT vec_id,
-       |         unnest([${D8BucketExprsSql.mkString(",\n           ")}]) bucket
+       |         unnest([${bucketExprsSql(d8Planes(bits)).mkString(",\n           ")}]) bucket
        |       FROM qz),
        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
        |         FROM bk a JOIN bk b
@@ -493,8 +501,14 @@ object DedupQueries {
    * the 0.8 threshold sits in a ~0.3-wide gap of the similarity
    * distribution, far from any engine-rounding ambiguity. */
   private[operators] def d8PairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val bits = GraftConf.int(s, GraftConf.LshD8Bits, 12)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // the plane tables (and the generated oracle) are dim-64: a corpus
+    // with any other dim must fail HERE, loudly, not as a downstream
+    // hash mismatch that looks like an engine bug
+    val dim = emb.select(size(col("e"))).head().getInt(0)
+    require(dim == 64, s"d8 planes/oracle are generated for dim=64 embeddings; data has dim=$dim")
     val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
       expr(PerturbExpr).as("e"))
     val corpus = emb.unionByName(perturbed)
@@ -503,7 +517,7 @@ object DedupQueries {
     val bucketed = corpus
       .withColumn("q", expr("transform(e, x -> CAST(floor(x * 1000.0D) AS DOUBLE))"))
       .select(col("vec_id"),
-        explode(graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), d8Planes))
+        explode(graft.functions.GraftFunctions.hyperplaneBuckets(col("q"), d8Planes(bits)))
           .as("bucket"))
     // candidates are (long, long) id pairs only — the 64-double vectors
     // never ride through the bucket join; verification re-joins them
@@ -522,8 +536,12 @@ object DedupQueries {
   /** The d8 pair graph (vec_a, vec_b), staged once per (session,
    * sfDir): consumed by the d8 pair report and d15's keeper
    * selection. */
-  private[operators] def d8Pairs(s: SparkSession, dir: String): DataFrame =
-    Ops.staged(s, dir, "d8_pairs")(d8PairsPlan(s, dir))
+  private[operators] def d8Pairs(s: SparkSession, dir: String): DataFrame = {
+    // the staging key carries the resolved knob: a bit-width change
+    // must never be served a stale graph staged under another width
+    val bits = GraftConf.int(s, GraftConf.LshD8Bits, 12)
+    Ops.staged(s, dir, s"d8_pairs_b$bits")(d8PairsPlan(s, dir))
+  }
 
   /** Stride-1 window hashes (doc_id, idx, h) over the corpus — the
    * shared upstream of d16 (span detection) and d17 (span removal).
@@ -868,10 +886,14 @@ object DedupQueries {
     // planes, see lshPlanes) — so it IS hash-gated against an exact
     // DuckDB oracle; d5 is its exact-search baseline.
     "d6_ann_lsh" -> { (s, dir) =>
-      annLshTopK(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
-        col("vec_id") < 5)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      // the generated oracle embeds dim-64 plane literals: any other
+      // dim must fail loudly here, not as a silent oracle divergence
+      val dim = emb.select(size(col("e"))).head().getInt(0)
+      require(dim == 64, s"d6 oracle is generated for dim=64 embeddings; data has dim=$dim")
+      annLshTopK(emb, col("vec_id") < 5,
+        bits = GraftConf.int(s, GraftConf.LshBits, 10))
     },
 
     // ---- IVF ANN: trained coarse quantizer + probed cells ----
@@ -886,7 +908,8 @@ object DedupQueries {
       annIvfTopK(
         t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
-        col("vec_id") < 5)
+        col("vec_id") < 5,
+        kCells = GraftConf.int(s, GraftConf.AnnKCells, 16))
     },
 
     // ---- per-label embedding centroids (vector aggregation) ----
@@ -1024,9 +1047,12 @@ object DedupQueries {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: the knob-bearing oracles (d6/d8/d15/d11) must
+   * re-resolve GraftConf system properties at generation time so a
+   * non-default run regenerates matching SQL. */
+  def oracles: Map[String, String] = Map(
 
-    "d11_ann_ivf" -> ivfOracleSql(),
+    "d11_ann_ivf" -> ivfOracleSql(kCells = GraftConf.int(GraftConf.AnnKCells, 16)),
     "d1_dedup_exact" ->
       s"""WITH $CorpusSql
          |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
@@ -1186,14 +1212,14 @@ object DedupQueries {
         |WHERE p.pos < 4""".stripMargin,
 
     "d8_embed_neardup" ->
-      s"""WITH $D8PairsSql
+      s"""WITH ${d8PairsSql(GraftConf.int(GraftConf.LshD8Bits, 12))}
          |SELECT va AS vec_a, vb AS vec_b FROM vpairs""".stripMargin,
 
     // keeper selection = transitive closure over the d8 pair graph
     // (the all-pairs spelling of d15's contracting components), min id
     // per component as the representative
     "d15_semantic_dedup" ->
-      s"""WITH RECURSIVE $D8PairsSql,
+      s"""WITH RECURSIVE ${d8PairsSql(GraftConf.int(GraftConf.LshD8Bits, 12))},
          |edges AS (SELECT va s, vb d FROM vpairs
          |          UNION ALL SELECT vb, va FROM vpairs),
          |reach(v, l) AS (
@@ -1235,7 +1261,7 @@ object DedupQueries {
          |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
          |       FROM base),
          |bk AS (SELECT vec_id,
-         |         unnest([${bucketExprsSql(lshPlanes(64)).mkString(",\n           ")}]) bucket
+         |         unnest([${bucketExprsSql(lshPlanes(64, GraftConf.int(GraftConf.LshBits, 10))).mkString(",\n           ")}]) bucket
          |       FROM qz),
          |qb AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5),
          |cand AS (SELECT DISTINCT qb.query_id, bk.vec_id

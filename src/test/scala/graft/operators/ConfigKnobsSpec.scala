@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftConf, SparkEntry, SparkTestBase}
+
+/** The ANN/LSH scale knobs (GraftConf): defaults must reproduce the
+ * shipped behavior bit-for-bit, and a non-default setting must move
+ * the ENGINE and its GENERATED ORACLE together (single-source planes),
+ * while the staged pair graph re-keys so no stale graph is served. */
+class ConfigKnobsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withProp[A](key: String, value: String)(body: => A): A = {
+    sys.props(key) = value
+    try body finally sys.props -= key
+  }
+
+  test("explicit defaults regenerate the shipped oracles verbatim") {
+    val shipped = DedupQueries.oracles
+    val explicit = withProp(GraftConf.LshD8Bits, "12") {
+      withProp(GraftConf.LshBits, "10") {
+        withProp(GraftConf.AnnKCells, "16")(DedupQueries.oracles)
+      }
+    }
+    Seq("d8_embed_neardup", "d15_semantic_dedup", "d6_ann_lsh", "d11_ann_ivf")
+      .foreach(q => assert(shipped(q) == explicit(q), q))
+  }
+
+  test("d8 at a non-default bit width: engine and regenerated oracle move together") {
+    val dflt = DedupQueries.oracles("d8_embed_neardup")
+    withProp(GraftConf.LshD8Bits, "6") {
+      // oracle side: 4 tables × 6 sign-bit tests instead of 4 × 12
+      val o = DedupQueries.oracles("d8_embed_neardup")
+      assert(o != dflt)
+      assert("CASE WHEN".r.findAllIn(o).length == 24, "expected 4x6 plane tests")
+      assert("CASE WHEN".r.findAllIn(dflt).length == 48, "expected 4x12 plane tests")
+
+      // engine side: the same property must reach the plane generator —
+      // the operator still finds every planted near-duplicate and every
+      // reported pair still passes exact verification (recomputed here
+      // from the raw embeddings, independently of the engine)
+      val out = SparkEntry.queries("d8_embed_neardup")(spark, sf).collect()
+        .map(r => (r.getAs[Number]("vec_a").longValue,
+          r.getAs[Number]("vec_b").longValue)).toSet
+      val base = Ops.t(spark, sf, "embeddings").collect()
+        .map(r => r.getAs[Number]("vec_id").longValue ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .toMap
+      val all = base ++ base.map { case (id, e) =>
+        (id + 100000L) -> e.zipWithIndex.map { case (x, i) =>
+          x * (1.0 + 0.01 * ((i % 7) - 3)) }
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // exact verification survived the knob change
+      out.foreach { case (a, b) =>
+        assert(cos(all(a), all(b)) >= 0.8, s"pair ($a,$b) below threshold") }
+      // planted recall stays 1.0 at the wider buckets 6 bits produce
+      base.keys.foreach { id =>
+        assert(out.contains((id, id + 100000L)), s"planted pair for $id missed") }
+    }
+  }
+
+  test("d11 kCells knob reaches the trained index and its oracle") {
+    withProp(GraftConf.AnnKCells, "8") {
+      assert(DedupQueries.oracles("d11_ann_ivf").contains("cell < 8"))
+      val out = SparkEntry.queries("d11_ann_ivf")(spark, sf).collect()
+      assert(out.nonEmpty)
+      assert(out.map(_.getAs[Number]("query_id").longValue).toSet.size == 5)
+    }
+  }
+}
