@@ -123,7 +123,7 @@ object DedupQueries {
   /** d16's duplicated-span window length (tokens, stride 1) — the
    * minimum repeated-passage length worth flagging; 8 matches t10's
    * contamination-gram convention. */
-  private[operators] val DupSpanTokens = 8
+  private[graft] val DupSpanTokens = 8
 
 
   /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded

@@ -91,6 +91,11 @@ object EventStreams {
   case class ChunkState(seen: List[String], newestTsMs: Long)
   case class ChunkDecision(docId: Long, idx: Int, chunk: String, kept: Boolean)
 
+  case class WindowRow(ts: Timestamp, docId: Long, idx: Int, win: String)
+  case class SpanEntry(win: String, firstDocId: Long, firstIdx: Int, cnt: Long)
+  case class SpanState(entries: List[SpanEntry], newestTsMs: Long)
+  case class SpanDup(docId: Long, idx: Int)
+
   private val NdNumHashes = 48
   private val NdBands = 24 // 2 rows per band — d2's banding geometry
 
@@ -266,6 +271,77 @@ object EventStreams {
               out += ChunkDecision(r.docId, r.idx, r.chunk, kept)
             }
             state.update(ChunkState(seen, newest))
+            // strictly beyond the newest sighting, refreshed every
+            // batch this key appears in (see nearDupPairs)
+            state.setTimeoutTimestamp(newest + 1)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming duplicated-span detection — the streaming twin of
+   * d16_dup_spans, completing the batch↔stream pairing of every dedup
+   * operator (d1→dedupEvents, d2→nearDupPairs, d14→chunkDedup,
+   * d16→this). Docs explode into stride-1 `spanTokens`-token windows; a
+   * window whose string has been seen ≥2 times within the watermark
+   * horizon emits a duplicated-window decision for EVERY occurrence —
+   * including the FIRST, retroactively, when its duplicate arrives
+   * (batch d16 flags all occurrences of a duplicated window; storing
+   * the first-arrival identity makes the stream agree — a cross-batch
+   * duplicate emits the first occurrence's decision in the later
+   * batch, the inherent streaming rendering of retroactivity). One
+   * stateful operator keyed on the window's xxhash64 (batch d16's hash
+   * family); state per key holds the distinct window STRINGS seen (the
+   * chunkDedup collision guard: a 64-bit collision cannot conflate
+   * different passages — decisions are exact), each with first-arrival
+   * location and count, with per-sighting timeout refresh, so hot
+   * boilerplate passages stay flagged while idle keys expire — state
+   * is arrival-rate × horizon, never stream length. Emits duplicated
+   * window STARTS; consecutive starts merge into maximal spans
+   * downstream exactly as batch d16's gaps-and-islands (the spec pins
+   * the single-batch composition to batch d16's spans). */
+  def spanDedup(docs: Dataset[Doc], spanTokens: Int = 8,
+      watermark: String = "1 hour"): Dataset[SpanDup] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    implicit val rowEnc = Encoders.product[WindowRow]
+    implicit val stateEnc = Encoders.product[SpanState]
+    implicit val dupEnc = Encoders.product[SpanDup]
+    // watermark AFTER the typed flatMap (see nearDupPairs)
+    val rows = docs.flatMap { d =>
+      val w = d.text.split(" ")
+      (0 to w.length - spanTokens).map { i =>
+        WindowRow(d.ts, d.docId, i, w.slice(i, i + spanTokens).mkString(" "))
+      }
+    }.withWatermark("ts", watermark)
+    rows
+      .groupByKey { r =>
+        val b = r.win.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }(Encoders.scalaLong)
+      .flatMapGroupsWithState[SpanState, SpanDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it: Iterator[WindowRow], state: GroupState[SpanState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            var newest = state.getOption.map(_.newestTsMs).getOrElse(Long.MinValue)
+            val out = List.newBuilder[SpanDup]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.docId, r.idx)).foreach { r =>
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+              entries.find(_.win == r.win) match {
+                case None =>
+                  entries = SpanEntry(r.win, r.docId, r.idx, 1L) :: entries
+                case Some(e) =>
+                  // the count crossing 2 flags the stored FIRST
+                  // occurrence too — batch d16's retroactivity
+                  if (e.cnt == 1L) out += SpanDup(e.firstDocId, e.firstIdx)
+                  out += SpanDup(r.docId, r.idx)
+                  entries = entries.map(x =>
+                    if (x.win == r.win) x.copy(cnt = x.cnt + 1) else x)
+              }
+            }
+            state.update(SpanState(entries, newest))
             // strictly beyond the newest sighting, refreshed every
             // batch this key appears in (see nearDupPairs)
             state.setTimeoutTimestamp(newest + 1)
