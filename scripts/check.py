@@ -3,7 +3,7 @@
 DuckDB against the testdata parquet and compare exactly (columns sorted
 by name, rows sorted) with the parquet Verify dumped.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query ...]
 Dev tooling only — the shipped library is pure Scala/Spark.
 """
 import json
@@ -42,13 +42,18 @@ def canon(df):
     return list(df.columns), rows
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # optional trailing query names: scope a local subset check to the
+    # queries a partial Verify run actually dumped (Verify always writes
+    # the FULL oracle map, so unscoped MISSING entries are loud)
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     failed = []
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
@@ -96,4 +101,4 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3:])

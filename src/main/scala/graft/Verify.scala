@@ -41,8 +41,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even on a subset run: a partial map
+    // in a directory the DuckDB-compare driver later reads would make
+    // most queries silently vanish from the gate. With the full map, a
+    // subset run's missing parquet dirs fail LOUDLY as MISSING instead
+    // (scripts/check.py takes the same trailing query names to scope a
+    // local subset check).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -250,8 +250,25 @@ class ScbfMicroBatchStream(
         current.filterNot(f => seen.contains(f._1)).take(mf.maxFiles())
       case _ => current.filterNot(f => seen.contains(f._1))
     }
-    if (fresh.isEmpty) ScbfOffset(maxBatch)
-    else {
+    if (fresh.isEmpty) {
+      // Empty-trigger eviction: normally a no-op (the event-time
+      // horizon only advances with newly observed timestamps, and the
+      // admit path already evicted everything behind it) — but a
+      // re-listed KNOWN path with a touched (newer) mtime advances the
+      // horizon without producing fresh files, so evict in memory here
+      // too and driver footprint tracks the horizon even while no new
+      // files arrive. Snapshots stay admit-path-only: log names are
+      // batch-numbered and the batch counter doesn't advance on an
+      // empty trigger; recovery simply re-evicts. Safe by the same
+      // invariant as the admit path: evicted entries sit below the
+      // monotonic horizon, so a re-listing of them is re-rejected by
+      // the admission filter above.
+      if (horizon != Long.MinValue) {
+        val retained = seen.filter { case (_, ts) => ts >= horizon }
+        if (retained.size != seen.size) cachedState = Some((maxBatch, retained))
+      }
+      ScbfOffset(maxBatch)
+    } else {
       val next = maxBatch + 1
       val nextSeen = seen ++ fresh.map(f => f._1 -> f._3)
       writeLog(next, fresh) // log BEFORE exposing the offset

@@ -169,6 +169,18 @@ case class ScbfStagedCommitMessage(pairs: Seq[(String, String)])
  * a NEW query writing into the same directory — same single-writer
  * contract as Spark's own FileStreamSink, which enforces it via its
  * metadata log; here it is a documented contract).
+ *
+ * The exactly-once story above requires a DETERMINISTIC plan between
+ * the replayable source and the sink: a shuffle whose reduce-side
+ * row order depends on block-fetch arrival (or a round-robin
+ * repartition, whose partition assignment can change on a mid-epoch
+ * task retry) can make a replayed epoch stage different bytes under
+ * the same deterministic name. The commit path byte-compares any
+ * staged file against an already-published namesake — identical
+ * content converges silently, divergent content fails the query
+ * loudly (never silently keeps either side) — but a deterministic,
+ * ideally shuffle-free, epoch plan is what makes replays actually
+ * converge rather than die on restart.
  */
 class ScbfStreamingWrite(
     dir: String, schema: StructType,
@@ -194,18 +206,23 @@ class ScbfStreamingWrite(
         // names + deterministic source replay) — keep it and drop our
         // temp. Delete-then-rename would open a window where a
         // previously-visible file is briefly absent for concurrent
-        // readers. The byte-identity assumption is CHECKED via length:
-        // if it broke (write options changed across the restart, or a
-        // new query's epoch ids collide with files from a previous
-        // query in the same directory), silently keeping either side
-        // would lose or corrupt rows — fail the query instead.
+        // readers. The byte-identity assumption is CHECKED by comparing
+        // FULL CONTENT, not just length: a nondeterministic epoch plan
+        // (shuffle row order, round-robin repartition on a retry) can
+        // reorder fixed-width rows into a same-length, different-bytes
+        // file, which a length check would silently keep. If the
+        // contents differ (nondeterministic plan, changed write options
+        // across the restart, or two queries sharing one output
+        // directory), silently keeping either side would lose or
+        // corrupt rows — fail the query instead. Replay collisions are
+        // rare (failure recovery only), so the extra read is off the
+        // steady-state path.
         if (fs.exists(d)) {
-          val (have, staged) = (fs.getFileStatus(d).getLen, fs.getFileStatus(t).getLen)
-          if (have != staged) throw new ScbfFormatException(
-            s"epoch $epochId replay staged ${staged}B for $dst but ${have}B are " +
+          if (!sameContent(fs, t, d)) throw new ScbfFormatException(
+            s"epoch $epochId replay staged different content for $dst than is " +
               "already published — the deterministic-replay contract is broken " +
-              "(changed write options across a restart, or two queries sharing " +
-              "one output directory)")
+              "(nondeterministic epoch plan, changed write options across a " +
+              "restart, or two queries sharing one output directory)")
           fs.delete(t, false)
         }
         else if (!fs.rename(t, d)) throw new ScbfFormatException(
@@ -220,6 +237,30 @@ class ScbfStreamingWrite(
         val t = new Path(tmp)
         if (fs.exists(t)) fs.delete(t, false)
       }
+  }
+
+  /** Exact byte equality of two files (length fast-path, then chunked
+   * positioned reads). Preferred over a stored checksum: the SCBF
+   * layout is frozen by reference interop (no trailer to put a CRC
+   * in), and an exact compare has no collision caveat. */
+  private def sameContent(fs: org.apache.hadoop.fs.FileSystem,
+      a: Path, b: Path): Boolean = {
+    val len = fs.getFileStatus(a).getLen
+    if (len != fs.getFileStatus(b).getLen) return false
+    val (ia, ib) = (fs.open(a), fs.open(b))
+    try {
+      val bufA = new Array[Byte](1 << 16)
+      val bufB = new Array[Byte](1 << 16)
+      var off = 0L
+      while (off < len) {
+        val n = math.min(bufA.length.toLong, len - off).toInt
+        ia.readFully(off, bufA, 0, n)
+        ib.readFully(off, bufB, 0, n)
+        if (!java.util.Arrays.equals(bufA, 0, n, bufB, 0, n)) return false
+        off += n
+      }
+      true
+    } finally { ia.close(); ib.close() }
   }
 }
 

@@ -71,6 +71,21 @@ class ScbfStreamSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(back.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("a replay staging divergent content fails loudly (not length-fooled)") {
+    val dir = Files.createTempDirectory("scbf-sink-divergent").toString
+    runEpoch(dir, 3L, Seq((1, "a"), (2, "b")))
+    // same LENGTH, different bytes: reordered rows — exactly the shape
+    // a nondeterministic shuffle produces on an epoch replay; a
+    // length-only check would silently keep the stale file
+    val e = intercept[graft.scbf.ScbfFormatException] {
+      runEpoch(dir, 3L, Seq((2, "b"), (1, "a")))
+    }
+    assert(e.getMessage.contains("different content"), e.getMessage)
+    // the previously published file survives untouched
+    val back = spark.read.format("scbf").load(dir)
+    assert(back.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("abort removes staged temps and leaves published epochs intact") {
     val dir = Files.createTempDirectory("scbf-sink-abort").toString
     runEpoch(dir, 1L, Seq((1, "a")))
