@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 /** Helpers shared by every operator module — one definition each, so a
  * change to (say) the decimal-accumulation strategy cannot silently
  * apply to some queries and not others. */
-private[operators] object Ops {
+private[graft] object Ops { // graft-wide: Bench clears staged relations between reps
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
