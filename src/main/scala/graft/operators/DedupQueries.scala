@@ -565,6 +565,23 @@ object DedupQueries {
       .toDF("doc_id", "idx", "h")
   }
 
+  /** One row per DUPLICATED window hash — its corpus count crossed 2 —
+   * with the first occurrence under the (doc_id, idx) total order.
+   * This IS staged (unlike spanWindows): the aggregate shuffles the
+   * full ~L×-token window relation — the expensive stage of both d16
+   * (detection: needs the duplicated-hash set) and d17 (removal:
+   * needs the winners) — while its OUTPUT is one fixed-width row per
+   * duplicated hash. Same cost profile as the pair graphs: expensive
+   * pipeline, small result, several consumers. */
+  private def spanWinners(s: SparkSession, dir: String): DataFrame =
+    Ops.staged(s, dir, "span_winners") {
+      spanWindows(s, dir).groupBy(col("h"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id"), col("idx"))).as("w1"))
+        .filter(col("c") >= 2)
+        .select(col("h"), col("w1.doc_id").as("wdoc"), col("w1.idx").as("widx"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact deduplication: hash-groupBy on full text ----
@@ -694,8 +711,8 @@ object DedupQueries {
     "d16_dup_spans" -> { (s, dir) =>
       val L = DupSpanTokens
       val wins = spanWindows(s, dir)
-      val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select(col("h"))
+      // the STAGED winners aggregate, shared with d17 (spanWinners)
+      val dup = spanWinners(s, dir).select(col("h"))
       val dw = wins.join(dup, "h").select(col("doc_id"), col("idx"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       val isl = dw.withColumn("grp", col("idx") - row_number().over(wDoc))
@@ -727,11 +744,8 @@ object DedupQueries {
     "d17_span_dedup" -> { (s, dir) =>
       val L = DupSpanTokens
       val wins = spanWindows(s, dir)
-      val winners = wins.groupBy(col("h"))
-        .agg(count(lit(1)).as("c"),
-          min(struct(col("doc_id"), col("idx"))).as("w1"))
-        .filter(col("c") >= 2)
-        .select(col("h"), col("w1.doc_id").as("wdoc"), col("w1.idx").as("widx"))
+      // the STAGED winners aggregate, shared with d16 (spanWinners)
+      val winners = spanWinners(s, dir)
       val nonFirst = wins.join(winners, "h")
         .filter(!(col("doc_id") === col("wdoc") && col("idx") === col("widx")))
         .select(col("doc_id"), col("idx"))

@@ -214,6 +214,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // yet staged in this test), zero for the already-staged d10
     SparkEntry.queries("d18_pair_agreement")(spark, sf)
     assert(Ops.stagedBuildCount == base + 3)
+    // d16 stages the span-winners aggregate; d17 must reuse it
+    SparkEntry.queries("d16_dup_spans")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 4)
+    SparkEntry.queries("d17_span_dedup")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 4)
   }
 
   test("d15: keeper selection adds no pair stage of its own") {
