@@ -41,6 +41,36 @@ object TextQueries {
     "zh" -> Seq("的", "是", "了"))
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
+  // PII regexes shared by t9 (scan/redact) and t13 (curation gate) —
+  // the Java/RE2 common subset, so both engines match identical spans
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** t9's deterministic PII plants (the synthetic corpus has none), by
+   * doc_id residue — one definition shared by t9 and t13 so the
+   * planted instances cannot drift between the scan and the gate. */
+  private def withPiiPlants(df: DataFrame): DataFrame =
+    df.withColumn("txt", concat(col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" from 192.168."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" call 555-123-4567 soon"))
+        .otherwise(lit(""))))
+
+  /** SQL twin of [[withPiiPlants]] (`text` → `txt`). */
+  private val PiiPlantsSql =
+    """text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || ' logged'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN ' call 555-123-4567 soon' ELSE '' END AS txt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- language ID: stopword-hit scoring, deterministic tiebreak ----
@@ -273,24 +303,68 @@ object TextQueries {
     // stay in the Java/RE2 common subset so both engines match the
     // same spans; all scalar work is codegen'd built-ins, map-only.
     "t9_pii_scan" -> { (s, dir) =>
-      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-      t(s, dir, "documents")
-        .withColumn("txt", concat(col("text"),
-          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
-            col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, concat(lit(" from 192.168."),
-            (col("doc_id") % 256).cast("string"), lit("."),
-            (col("doc_id") % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, lit(" call 555-123-4567 soon"))
-            .otherwise(lit(""))))
+      withPiiPlants(t(s, dir, "documents"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("txt"), lit(email), lit(0))).as("n_email"),
-          size(regexp_extract_all(col("txt"), lit(ip), lit(0))).as("n_ip"),
-          size(regexp_extract_all(col("txt"), lit(phone), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(IpRe), lit(0))).as("n_ip"),
+          size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).as("n_phone"),
           length(regexp_replace(col("txt"),
-            s"$email|$ip|$phone", "<PII>")).as("redacted_len"))
+            s"$EmailRe|$IpRe|$PhoneRe", "<PII>")).as("redacted_len"))
+    },
+
+    // ---- end-to-end corpus curation: the pipeline verdict per doc ----
+    // What a training-data pipeline actually RUNS over the raw crawl:
+    // one pass composing the individual signals this module already
+    // ships — t1's language ID, t2's quality score, t9's PII gate
+    // (plants shared via withPiiPlants, so scan and gate cannot
+    // drift), d1's exact-dup first-wins — into a keep/drop verdict
+    // with a deterministic first-failing-rule reason. Runs over the
+    // planted CORPUS (documents + mutated copies), which actually
+    // contains duplicate losers. Scale shape: every signal is map-only
+    // codegen over the row's own text; the only shuffles are d1's
+    // hash-groupBy (partial-combined) and the keeper equi-join on the
+    // 16-byte text hash — a hot duplicate text meets a ONE-ROW keeper
+    // marker, linear. Rule order (dup → lang → quality → pii) is the
+    // cheap-signal-first order a real pipeline uses.
+    "t13_curation" -> { (s, dir) =>
+      val cps = DedupQueries.corpus(s, dir)
+      val scored = LangOrder.foldLeft(
+        cps.withColumn("w", split(col("text"), " "))) { (df, lang) =>
+        val lits = Stopwords(lang).map(x => s"'$x'").mkString(", ")
+        df.withColumn(s"s_$lang", expr(s"size(filter(w, x -> x IN ($lits)))"))
+      }
+      val mx = greatest(LangOrder.map(l => col(s"s_$l")): _*)
+      val pred = LangOrder.foldLeft(when(mx === 0, "und")) { (acc, lang) =>
+        acc.when(col(s"s_$lang") === mx, lang)
+      }
+      val feat = withPiiPlants(scored)
+        .withColumn("pred_lang", pred)
+        .withColumn("tok_cnt", size(col("w")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("w"))).cast("double") / col("tok_cnt"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is')))")
+            .cast("double") / col("tok_cnt"))
+        .withColumn("quality",
+          lit(0.5) * col("distinct_ratio") +
+            lit(0.3) * (least(col("tok_cnt"), lit(100)).cast("double") / 100.0) +
+            lit(0.2) * (lit(1.0) - col("stop_ratio")))
+        .withColumn("n_pii",
+          size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))) +
+            size(regexp_extract_all(col("txt"), lit(IpRe), lit(0))) +
+            size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))))
+        .withColumn("h", md5(col("text")))
+      val keepers = cps.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("kid"))
+      feat.join(keepers, "h")
+        .withColumn("keeper", when(col("doc_id") === col("kid"), 1).otherwise(0))
+        .withColumn("reason", when(col("keeper") === 0, "dup")
+          .when(col("pred_lang") === "und", "lang")
+          .when(col("quality") < 0.6, "quality")
+          .when(col("n_pii") > 0, "pii")
+          .otherwise("keep"))
+        .withColumn("keep", when(col("reason") === "keep", 1).otherwise(0))
+        .select("doc_id", "pred_lang", "quality", "n_pii", "keeper", "keep", "reason")
     },
 
     // ---- multimodal: opaque binary column + real typed decode ----
@@ -501,15 +575,10 @@ object TextQueries {
          |FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin
     },
 
+    // raw interpolator: the regex '\.' must stay literal (s""" would
+    // treat it as an invalid escape at class-init time)
     "t9_pii_scan" ->
-      """WITH w AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 7 = 0
-        |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0
-        |         THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || ' logged'
-        |         ELSE '' END ||
-        |    CASE WHEN doc_id % 13 = 0
-        |         THEN ' call 555-123-4567 soon' ELSE '' END AS txt
+      raw"""WITH w AS (SELECT doc_id, $PiiPlantsSql
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
@@ -519,6 +588,49 @@ object TextQueries {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
         |    '<PII>', 'g')) AS BIGINT) AS redacted_len
         |FROM w""".stripMargin,
+
+    // composes the t1/t2/t9/d1 oracle logic over the planted corpus;
+    // raw interpolator for the same '\.'-literal reason as t9
+    "t13_curation" -> {
+      val scores = LangOrder.map { lang =>
+        val lits = Stopwords(lang).map(x => s"'$x'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($lits))) AS s_$lang"
+      }.mkString(",\n  ")
+      val mx = "greatest(" + LangOrder.map(l => s"s_$l").mkString(", ") + ")"
+      val pred = "CASE WHEN " + mx + " = 0 THEN 'und' " +
+        LangOrder.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ") + " END"
+      raw"""WITH ${DedupQueries.CorpusSql},
+         |tok AS (SELECT doc_id, text, string_split(text, ' ') w FROM corpus),
+         |scored AS (SELECT doc_id, text, w, $scores FROM tok),
+         |feat AS (SELECT doc_id, text, $pred AS pred_lang,
+         |  len(w) AS tok_cnt,
+         |  len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio,
+         |  len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) * 1.0 / len(w) AS stop_ratio
+         |  FROM scored),
+         |q AS (SELECT doc_id, text, pred_lang,
+         |  0.5 * distinct_ratio + 0.3 * (least(tok_cnt, 100) * 1.0 / 100.0)
+         |    + 0.2 * (1.0 - stop_ratio) AS quality FROM feat),
+         |pw AS (SELECT doc_id, $PiiPlantsSql FROM corpus),
+         |pii AS (SELECT doc_id, CAST(
+         |    len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+         |    + len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+         |    + len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_pii
+         |  FROM pw),
+         |k AS (SELECT md5(text) h, MIN(doc_id) kid FROM corpus GROUP BY 1)
+         |SELECT q.doc_id, q.pred_lang, q.quality, pii.n_pii,
+         |  CASE WHEN q.doc_id = k.kid THEN 1 ELSE 0 END AS keeper,
+         |  CASE WHEN q.doc_id = k.kid AND q.pred_lang <> 'und'
+         |            AND q.quality >= CAST(0.6 AS DOUBLE) AND pii.n_pii = 0
+         |       THEN 1 ELSE 0 END AS keep,
+         |  CASE WHEN q.doc_id <> k.kid THEN 'dup'
+         |       WHEN q.pred_lang = 'und' THEN 'lang'
+         |       WHEN q.quality < CAST(0.6 AS DOUBLE) THEN 'quality'
+         |       WHEN pii.n_pii > 0 THEN 'pii'
+         |       ELSE 'keep' END AS reason
+         |FROM q
+         |JOIN pii ON pii.doc_id = q.doc_id
+         |JOIN k ON md5(q.text) = k.h""".stripMargin
+    },
 
     // Recomputes the decoder's outputs from the synthetic generator's
     // arithmetic (PpmCodec.synthesize): raster byte i = (id*31+i*7)%256,
