@@ -353,8 +353,12 @@ object TextQueries {
           size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))) +
             size(regexp_extract_all(col("txt"), lit(IpRe), lit(0))) +
             size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))))
-        .withColumn("h", md5(col("text")))
-      val keepers = cps.groupBy(md5(col("text")).as("h"))
+        // internal-only join key: 8-byte xxhash64 (the d14/d16 key
+        // convention), never md5 hex — the oracle keys on md5(text)
+        // independently, so verdicts agree modulo a 2⁻⁶⁴ collision,
+        // which the gate would catch
+        .withColumn("h", xxhash64(col("text")))
+      val keepers = cps.groupBy(xxhash64(col("text")).as("h"))
         .agg(min(col("doc_id")).as("kid"))
       feat.join(keepers, "h")
         .withColumn("keeper", when(col("doc_id") === col("kid"), 1).otherwise(0))
