@@ -33,19 +33,19 @@ object TextQueries {
       .as[(Long, Array[Byte])]
   }
 
-  private val Stopwords = Map(
+  private[graft] val Stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "la", "los", "y", "es"),
     "fr" -> Seq("le", "les", "et", "est", "du"),
     "zh" -> Seq("的", "是", "了"))
-  private val LangOrder = Seq("en", "de", "es", "fr", "zh")
+  private[graft] val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   // PII regexes shared by t9 (scan/redact) and t13 (curation gate) —
   // the Java/RE2 common subset, so both engines match identical spans
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** t9's deterministic PII plants (the synthetic corpus has none), by
    * doc_id residue — one definition shared by t9 and t13 so the

@@ -96,6 +96,11 @@ object EventStreams {
   case class SpanState(entries: List[SpanEntry], newestTsMs: Long)
   case class SpanDup(docId: Long, idx: Int)
 
+  case class DocSignals(ts: Timestamp, docId: Long, text: String,
+      predLang: String, quality: Double, nPii: Int)
+  case class DocVerdict(docId: Long, predLang: String, quality: Double,
+      nPii: Int, keeper: Int, keep: Int, reason: String)
+
   private val NdNumHashes = 48
   private val NdBands = 24 // 2 rows per band — d2's banding geometry
 
@@ -344,6 +349,87 @@ object EventStreams {
             state.update(SpanState(entries, newest))
             // strictly beyond the newest sighting, refreshed every
             // batch this key appears in (see nearDupPairs)
+            state.setTimeoutTimestamp(newest + 1)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per-row Scala spelling of batch t13's signal stage (t1 language
+   * scores, t2 quality formula, t9 planted-PII counts) — the constants
+   * come from TextQueries so the two spellings cannot drift, and the
+   * parity spec pins the outputs value-for-value. */
+  private[streaming] def docSignals(d: Doc): DocSignals = {
+    import graft.operators.TextQueries.{EmailRe, IpRe, LangOrder, PhoneRe, Stopwords}
+    val w = d.text.split(" ")
+    val scores = LangOrder.map(l => l -> w.count(Stopwords(l).toSet)).toMap
+    val mx = LangOrder.map(scores).max
+    val predLang =
+      if (mx == 0) "und" else LangOrder.find(l => scores(l) == mx).get
+    val stopSet = Stopwords("en").toSet
+    val quality = 0.5 * (w.distinct.length.toDouble / w.length) +
+      0.3 * (math.min(w.length, 100).toDouble / 100.0) +
+      0.2 * (1.0 - w.count(stopSet).toDouble / w.length)
+    // t9's deterministic plants, by doc_id residue (withPiiPlants' twin)
+    val txt = d.text +
+      (if (d.docId % 7 == 0) s" contact user${d.docId}@example.com now" else "") +
+      (if (d.docId % 11 == 0) s" from 192.168.${d.docId % 256}.${d.docId % 100} logged" else "") +
+      (if (d.docId % 13 == 0) " call 555-123-4567 soon" else "")
+    def count(re: String): Int = {
+      val m = java.util.regex.Pattern.compile(re).matcher(txt)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    DocSignals(d.ts, d.docId, d.text, predLang, quality,
+      count(EmailRe) + count(IpRe) + count(PhoneRe))
+  }
+
+  /** Streaming corpus curation — the streaming twin of t13_curation,
+   * for keep/drop verdicts at ingest. The language/quality/PII signals
+   * are pure per-row work ([[docSignals]]); the one stateful piece is
+   * the exact-dup gate: first arrival of a text within the watermark
+   * horizon is the keeper (the d1→dedupEvents horizon trade), through
+   * ONE flatMapGroupsWithState keyed on the text's xxhash64 with state
+   * holding the distinct text STRINGS seen (the chunkDedup collision
+   * guard) and per-sighting timeout refresh. Verdict rule order is
+   * batch t13's: dup → lang → quality → pii → keep. */
+  def curateDocs(docs: Dataset[Doc],
+      watermark: String = "1 hour"): Dataset[DocVerdict] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    implicit val sigEnc = Encoders.product[DocSignals]
+    implicit val stateEnc = Encoders.product[ChunkState]
+    implicit val outEnc = Encoders.product[DocVerdict]
+    // watermark AFTER the typed map (see nearDupPairs)
+    val sig = docs.map(docSignals).withWatermark("ts", watermark)
+    sig
+      .groupByKey { r =>
+        val b = r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChunkState, DocVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it: Iterator[DocSignals], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            var newest = state.getOption.map(_.newestTsMs).getOrElse(Long.MinValue)
+            val out = List.newBuilder[DocVerdict]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+              val keeper = !seen.contains(r.text)
+              if (keeper) seen ::= r.text
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+              val reason =
+                if (!keeper) "dup"
+                else if (r.predLang == "und") "lang"
+                else if (r.quality < 0.6) "quality"
+                else if (r.nPii > 0) "pii"
+                else "keep"
+              out += DocVerdict(r.docId, r.predLang, r.quality, r.nPii,
+                if (keeper) 1 else 0, if (reason == "keep") 1 else 0, reason)
+            }
+            state.update(ChunkState(seen, newest))
             state.setTimeoutTimestamp(newest + 1)
             out.result().iterator
           }
