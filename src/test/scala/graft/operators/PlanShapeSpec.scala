@@ -221,6 +221,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(Ops.stagedBuildCount == base + 4)
   }
 
+  test("d17/t13: the composed pipeline ops stay window-free and equi-join-only") {
+    // d17: winner selection is the staged min(struct) aggregate and
+    // flagging/reassembly are equi-joins + aggregates — a Window here
+    // would mean a hot duplicated window hash funnels one task (the
+    // d14 regression this family of operators is designed against)
+    val p17 = plan("d17_span_dedup")
+    assert(!p17.contains("Window"), p17)
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"), p17)
+    // t13: all signals are map-side; the only shuffles are the keeper
+    // aggregate (partial-combined) and its equi-join
+    val p13 = plan("t13_curation")
+    assert(!p13.contains("Window"), p13)
+    assert(!p13.contains("CartesianProduct") && !p13.contains("BroadcastNestedLoopJoin"), p13)
+    assert(p13.contains("partial_min"), p13)
+  }
+
   test("d15: keeper selection adds no pair stage of its own") {
     // the pair graph's shape is d8's lock (bucket equi-join, no
     // all-pairs) and the component iteration is ComponentsSpec's; what
