@@ -841,14 +841,23 @@ object DedupQueries {
       // collisions, which the oracle gate would catch.
       val ex = docs.select(col("source"), col("doc_id"), explode(col("g")).as("gs"))
         .select(col("source"), col("doc_id"), xxhash64(col("gs")).as("gram"))
-      // DF cap (see MaxGramDf): one window pass partitioned by
-      // (source, gram) computes document frequency without a join, and
+      // DF cap (see MaxGramDf): document frequency as an AGGREGATE, not
+      // a window. A window partitioned by (source, gram) funnels every
+      // copy of a hot gram — the stopword-pair grams the cap exists to
+      // discard — through one unsplittable task's sort (the d14 skew
+      // lesson). The aggregate gets map-side partial combine (a hot gram
+      // collapses to one row per input partition before the shuffle),
+      // the capped-gram relation carries only survivors, and the
+      // flagging join back onto `ex` is AQE-skew-splittable. The join
       // leaves the relation hash-partitioned on exactly the self-join
-      // key. Cardinalities count the retained grams only, so both sides
-      // of the Jaccard test use the same capped gram universe.
-      val wDf = Window.partitionBy(col("source"), col("gram"))
-      val kept = ex.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= MaxGramDf).drop("df")
+      // key, same as the window did. Cardinalities count the retained
+      // grams only, so both sides of the Jaccard test use the same
+      // capped gram universe.
+      val capped = ex.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxGramDf)
+        .select(col("source"), col("gram"))
+      val kept = ex.join(capped, Seq("source", "gram"))
       val cards = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       val inter = kept.as("a").join(kept.as("b"),
           col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&

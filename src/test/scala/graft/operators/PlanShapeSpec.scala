@@ -79,11 +79,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("chunk_val"), p)
   }
 
-  test("d4: gram DF cap runs as one window pass partitioned on the self-join key") {
+  test("d4: gram DF cap is a partial-combine aggregate + equi-join, never a window") {
     val p = plan("d4_ngram_jaccard")
-    // the cap must be a window COUNT over (source, gram) — not a join
-    // against a separately-aggregated DF relation (extra shuffle)
-    assert(p.contains("windowspecdefinition(source"), p)
+    // the cap must be an AGGREGATE over (source, gram) joined back onto
+    // the exploded relation: a window partitioned on the gram would
+    // funnel every copy of a hot stopword-pair gram — the very rows the
+    // cap discards — through one unsplittable task (the d14 skew
+    // lesson); the aggregate partial-combines map-side and the flagging
+    // join is AQE-skew-splittable
+    assert(!p.contains("windowspecdefinition(source"), p)
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
   }
 
   test("d2: LSH banding runs over collapsed, checkpointed unique texts") {
