@@ -790,6 +790,40 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // ---- incremental exact dedup: a new batch vs the ingested corpus ----
+    // The production shape: a pipeline does NOT re-dedup 100 TB per
+    // crawl — it dedups the day's increment against a persistent hash
+    // index of everything already ingested, plus first-wins within the
+    // increment itself. Here the mutated half of the planted corpus
+    // (doc_id ≥ 100000) plays the increment and the originals the
+    // history; mutated copies of docs that contained no removable token
+    // land as exact history hits — the planted cross-batch signal.
+    // Scale shape: the history side is just its DISTINCT text hashes (at
+    // 100 TB a bucketed index table maintained across ingests — the
+    // groupBy here stands in for reading it), the membership probe is a
+    // left join on an 8-byte xxhash64 (AQE-skew-splittable; a hot
+    // boilerplate text in the increment cannot funnel), and the
+    // within-batch winner is a partial-combine min aggregate (the d14
+    // shape), never a window on the hash. The oracle keys on md5(text)
+    // independently, so verdicts agree modulo a 2⁻⁶⁴ collision, which
+    // the gate would catch.
+    "d19_incremental_dedup" -> { (s, dir) =>
+      val cps = corpus(s, dir)
+      val batch = cps.filter(col("doc_id") >= 100000)
+        .withColumn("h", xxhash64(col("text")))
+      val histIdx = cps.filter(col("doc_id") < 100000)
+        .groupBy(xxhash64(col("text")).as("h")).agg(lit(1).as("in_hist"))
+      val firsts = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      batch
+        .join(histIdx, Seq("h"), "left")
+        .join(firsts, Seq("h"))
+        .withColumn("status",
+          when(col("in_hist") === 1, "dup_vs_history")
+            .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("new"))
+        .select(col("doc_id"), col("status"))
+    },
+
     // ---- semantic dedup: keeper selection over the embedding graph ----
     // The SemDeDup pass (Abbas et al. 2023): treat cosine-near-duplicate
     // embeddings as redundant and keep ONE representative per connected
@@ -1101,6 +1135,18 @@ object DedupQueries {
          |       COUNT(*) AS n_pairs
          |FROM mh FULL OUTER JOIN sh USING (doc_a, doc_b)
          |GROUP BY 1, 2""".stripMargin,
+
+    "d19_incremental_dedup" ->
+      s"""WITH $CorpusSql,
+         |bh AS (SELECT doc_id, md5(text) h FROM corpus WHERE doc_id >= 100000),
+         |hist AS (SELECT DISTINCT md5(text) h FROM corpus WHERE doc_id < 100000),
+         |f AS (SELECT h, MIN(doc_id) first_id FROM bh GROUP BY 1)
+         |SELECT bh.doc_id,
+         |  CASE WHEN hist.h IS NOT NULL THEN 'dup_vs_history'
+         |       WHEN bh.doc_id <> f.first_id THEN 'dup_in_batch'
+         |       ELSE 'new' END AS status
+         |FROM bh LEFT JOIN hist ON bh.h = hist.h
+         |JOIN f ON bh.h = f.h""".stripMargin,
 
     // transitive closure (UNION dedups, so cycles terminate) + min id
     // per component — the all-pairs spelling of d13's propagation

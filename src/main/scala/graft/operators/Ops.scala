@@ -88,6 +88,40 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Per-group running sum over a total order WITHOUT partitioning a
+   * window on the group key (which would funnel every row of a hot
+   * group — at 100 TB one source/domain can be most of the corpus —
+   * through one unsplittable task). Same two-pass shape as
+   * globalRowNumber, grouped: range-partition on (group, sortCols) so a
+   * big group SPANS partitions, accumulate locally per (partition,
+   * group), then add per-(partition, group) offsets — an aggregate
+   * whose row count is at most partitions + groups, so its per-group
+   * offset window is trivially small and the join back broadcasts.
+   * `sortCols` must define a total order within the group. Appends
+   * `cumName` (long, includes the current row). */
+  def groupedPrefixSum(df: DataFrame, groupName: String, sortCols: Seq[Column],
+      valueCol: Column, cumName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = col(groupName) +: sortCols
+    val sorted = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(spread(df.sparkSession), keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(groupName))
+      .orderBy(sortCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val local = sorted.withColumn("__lcs", sum(col("__v")).over(wLocal))
+    val wOff = Window.partitionBy(col(groupName)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"), col(groupName))
+      .agg(sum(col("__v")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(groupName), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", groupName))
+      .withColumn(cumName, (col("__off") + col("__lcs")).cast("long"))
+      .drop("__pid", "__lcs", "__off", "__v")
+  }
+
   /** Release the executor blocks behind a localCheckpoint. Goes through
    * the UNDERLYING checkpointed RDD: Dataset.unpersist only consults the
    * CacheManager, which never registers localCheckpoint's LogicalRDD, so

@@ -257,6 +257,32 @@ object TextQueries {
         .select(col("doc_id"), col("pos"))
     },
 
+    // ---- domain-mixture sampling to a per-source token budget ----
+    // The mixture-assembly step of a training run: each source (domain)
+    // gets a token budget from its mixture weight, and docs fill it
+    // greedily in a deterministic hash order (same keying as t12, so
+    // the sample is reproducible from the data alone — no stored state).
+    // Weights here are a fixed 1/2/3× ladder derived from the source
+    // name; a real pipeline would read them from a mixture table — the
+    // shape is identical. Scale shape: the per-source running token sum
+    // is Ops.groupedPrefixSum — range-partitioned two-pass scan, so one
+    // giant domain (at 100 TB a single crawl source can dominate the
+    // corpus) spans tasks instead of funneling a per-source window.
+    "t14_mixture_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("tokens"),
+          md5(col("doc_id").cast("string")).as("k"))
+      Ops.groupedPrefixSum(docs, "source",
+          Seq(col("k").asc, col("doc_id").asc), col("tokens"), "cum_tokens")
+        .withColumn("budget",
+          (lit(400) * (lit(1) + expr("CAST(substr(source, 4) AS INT)") % 3))
+            .cast("long"))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("source"), col("doc_id"), col("tokens"),
+          col("cum_tokens"), col("budget"))
+    },
+
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
     // The contamination check every training pipeline runs before a
     // model sees the data: flag corpus documents sharing any word
@@ -558,6 +584,18 @@ object TextQueries {
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents""".stripMargin,
+
+    "t14_mixture_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |c AS (SELECT source, doc_id, tokens,
+        |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
+        |SELECT source, doc_id, tokens, cum_tokens,
+        |  CAST(400 * (1 + CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS budget
+        |FROM c
+        |WHERE cum_tokens <= 400 * (1 + CAST(substr(source, 4) AS INT) % 3)""".stripMargin,
 
     "t10_decontam" -> {
       val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")
