@@ -824,6 +824,35 @@ object DedupQueries {
         .select(col("doc_id"), col("status"))
     },
 
+    // ---- incremental NEAR-dup verdict: the increment vs the pair graph ----
+    // d19's fuzzy counterpart: for every increment doc, is it a
+    // near-duplicate (d2 semantics, Jaccard ≥ 0.6) of anything already
+    // ingested (`near_hist`), or of an EARLIER doc in its own batch
+    // (`near_batch`, first-wins greedy so the verdict is deterministic)?
+    // Consumes the STAGED d2 pair graph — no new pair stage, the
+    // d15/d18 composition contract (lock-asserted). In production the
+    // graph is maintained incrementally (the persistent band index is
+    // probed by increment bands only); the verdict layer here is
+    // identical either way: increment ids sort after all history ids,
+    // so every partner of an increment doc sits on the doc_b side of
+    // the (doc_a < doc_b) graph, and one aggregate over the filtered
+    // graph + one left join against the increment produces the flags.
+    "d20_incremental_neardup" -> { (s, dir) =>
+      val pairs = d2Pairs(s, dir) // the STAGED graph — shared with d2/d18
+      val batchIds = corpus(s, dir).filter(col("doc_id") >= 100000)
+        .select(col("doc_id"))
+      val flags = pairs.filter(col("doc_b") >= 100000)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(max(when(col("doc_a") < 100000, 1).otherwise(0)).as("nh"),
+          max(when(col("doc_a") >= 100000, 1).otherwise(0)).as("nb"))
+      batchIds.join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nh"), lit(0)).as("near_hist"),
+          coalesce(col("nb"), lit(0)).as("near_batch"))
+        .withColumn("keep",
+          when(col("near_hist") === 0 && col("near_batch") === 0, 1).otherwise(0))
+    },
+
     // ---- semantic dedup: keeper selection over the embedding graph ----
     // The SemDeDup pass (Abbas et al. 2023): treat cosine-near-duplicate
     // embeddings as redundant and keep ONE representative per connected
@@ -1147,6 +1176,20 @@ object DedupQueries {
          |       ELSE 'new' END AS status
          |FROM bh LEFT JOIN hist ON bh.h = hist.h
          |JOIN f ON bh.h = f.h""".stripMargin,
+
+    // the d2 all-pairs oracle nested as a CTE (the d18 pattern), then
+    // the same flags-per-increment-doc aggregation the engine runs
+    "d20_incremental_neardup" ->
+      s"""WITH b AS (SELECT doc_id + 100000 AS doc_id FROM documents),
+         |p AS ($D2PairsOracle),
+         |f AS (SELECT b.doc_id,
+         |    CAST(COALESCE(MAX(CASE WHEN p.doc_a < 100000 THEN 1 ELSE 0 END), 0) AS INT) AS near_hist,
+         |    CAST(COALESCE(MAX(CASE WHEN p.doc_a >= 100000 THEN 1 ELSE 0 END), 0) AS INT) AS near_batch
+         |  FROM b LEFT JOIN p ON p.doc_b = b.doc_id
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, near_hist, near_batch,
+         |  CAST(CASE WHEN near_hist = 0 AND near_batch = 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM f""".stripMargin,
 
     // transitive closure (UNION dedups, so cycles terminate) + min id
     // per component — the all-pairs spelling of d13's propagation

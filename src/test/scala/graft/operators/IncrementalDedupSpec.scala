@@ -38,6 +38,28 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       "no planted history duplicates — the fixture lost its signal")
   }
 
+  test("d20 flags == naive replay over the d2 pair graph") {
+    val pairs = DedupQueries.queries("d2_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // doc_a < doc_b
+    val batch = DedupQueries.corpus(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = batch.map { d =>
+      val partners = pairs.collect { case (a, b) if b == d => a }
+      d -> ((if (partners.exists(_ < 100000)) 1 else 0,
+             if (partners.exists(_ >= 100000)) 1 else 0))
+    }.toMap
+    val got = DedupQueries.queries("d20_incremental_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nh, nb, keep)) =>
+      assert((nh, nb) == expected(id), s"doc $id")
+      assert(keep == (if (nh == 0 && nb == 0) 1 else 0), s"doc $id keep")
+    }
+    // the planted near-dups must exercise the history edge
+    assert(got.values.count(_._1 == 1) > 0, "no increment doc is near a history doc")
+  }
+
   test("d19 plan: equi-joins + partial-combine aggregates, no window, no cartesian") {
     val p = DedupQueries.queries("d19_incremental_dedup")(spark, sf)
       .queryExecution.executedPlan.toString

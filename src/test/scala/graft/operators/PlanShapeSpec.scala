@@ -224,6 +224,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(Ops.stagedBuildCount == base + 4)
     SparkEntry.queries("d17_span_dedup")(spark, sf)
     assert(Ops.stagedBuildCount == base + 4)
+    // d20's increment verdict is a view over the already-staged d2
+    // graph — adding it must not introduce a pair stage
+    SparkEntry.queries("d20_incremental_neardup")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 4)
   }
 
   test("d17/t13: the composed pipeline ops stay window-free and equi-join-only") {
