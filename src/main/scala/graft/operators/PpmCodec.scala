@@ -58,6 +58,33 @@ object PpmCodec {
     (0 until n).toArray.flatMap(f => synthesizeFrame(id, f))
   }
 
+  /** Clip generator with PLANTED cross-clip frame reuse (for the
+   * frame-dedup operator): frame content is fully determined by
+   * (w, h, phase) with w = 4 + id%2, h = 3, phase = (id + f) mod 8,
+   * raster byte i = (phase*29 + i*7) mod 256 — so e.g. frame 2 of doc
+   * id and frame 0 of doc id+2 are byte-identical at ANY corpus size
+   * (sequential ids make the m3 generator's frames collision-free, and
+   * a dedup operator with no duplicates to find proves nothing).
+   * Within a clip the ≤3 phases are distinct, so reuse is strictly
+   * cross-clip. Even ids keep the header-comment parser exercise. */
+  def synthesizeClip(id: Long): Array[Byte] = {
+    val n = 1 + (id % 3).toInt
+    (0 until n).toArray.flatMap { f =>
+      val w = (4 + id % 2).toInt
+      val h = 3
+      val phase = ((id + f) % 8).toInt
+      val comment = if (id % 2 == 0) "# c\n" else ""
+      val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < raster.length) {
+        raster(i) = ((phase * 29 + i * 7) % 256).toByte
+        i += 1
+      }
+      header ++ raster
+    }
+  }
+
   /** 2× box-filter downsample (the pipeline "resize" op): each output
    * pixel is the floor-average of its 2×2 source block, per channel; an
    * odd trailing row/column is dropped. Exact integer arithmetic, so

@@ -474,6 +474,51 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "sample_rate", "n_samples", "abs_sum", "peak")
+    },
+
+    // ---- multimodal frame-level dedup: reused footage across clips ----
+    // The binary-modality member of the dedup family (d1 for frames):
+    // every decoded video frame is content-hashed and identical frames
+    // are collapsed first-wins across the whole corpus — the
+    // reused-footage / shared-intro detection a multimodal pipeline
+    // runs before training. The engine does the REAL work (parse the
+    // multi-frame container, hash decoded dims+raster bytes); the
+    // oracle recomputes frame identity arithmetically from the
+    // id-derived generator (PpmCodec.synthesizeClip: a frame IS its
+    // (w, h, phase) triple, with reuse planted cross-clip at any
+    // corpus size) without parsing PPM. Scale
+    // shape: decode is map-side; the winner per content hash is a
+    // min(struct) partial-combine aggregate joined back on the 8-byte
+    // xxhash64 (the d14 shape) — a hot reused frame cannot funnel one
+    // task, and only fixed-width rows ride the shuffle.
+    "m5_frame_dedup" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      val frames = storedPayloads(s, dir, PpmCodec.synthesizeClip)
+        .mapPartitions { iter =>
+          iter.flatMap { case (id, bytes) =>
+            PpmCodec.decodeFrames(bytes).zipWithIndex.map { case (img, f) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(s"${img.width}x${img.height}:".getBytes("US-ASCII"))
+              md.update(img.raster)
+              // 56-bit content key (7 md5 bytes): sign-safe in a long;
+              // a 2^-56 collision would perturb a group and the oracle
+              // gate would catch it (the d2/d14 accepted trade-off)
+              (id, f, img.width, img.height,
+                java.lang.Long.parseLong(
+                  md.digest().take(7).map("%02x".format(_)).mkString, 16))
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "w", "h", "k")
+      val winners = frames.groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("frame_idx"))).as("w1"),
+          count(lit(1)).as("group_size"))
+      frames.join(winners, "k")
+        .select(col("doc_id"), col("frame_idx"), col("w"), col("h"),
+          when(col("doc_id") === col("w1.doc_id") &&
+            col("frame_idx") === col("w1.frame_idx"), 1).otherwise(0).as("keeper"),
+          col("group_size"))
     }
   )
 
@@ -766,6 +811,25 @@ object TextQueries {
         |    i -> abs(((doc_id * 131 + i * 17) % 65536) - 32768))) AS BIGINT) AS abs_sum,
         |  CAST(list_max(list_transform(generate_series(0, n_samples - 1),
         |    i -> abs(((doc_id * 131 + i * 17) % 65536) - 32768))) AS INT) AS peak
-        |FROM base""".stripMargin
+        |FROM base""".stripMargin,
+
+    // Frame identity recomputed arithmetically (PpmCodec.synthesizeClip:
+    // raster byte i = (phase*29 + i*7) mod 256 with phase =
+    // (id + frame_idx) mod 8, dims (4 + id%2, 3)) — a frame IS its
+    // (w, h, phase) triple, so first-wins grouping on that triple
+    // mirrors the engine's grouping on the decoded content hash.
+    "m5_frame_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS frame_idx
+        |  FROM documents),
+        |k AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |    CAST(4 + doc_id % 2 AS INT) AS w,
+        |    CAST(3 AS INT) AS h,
+        |    (doc_id + frame_idx) % 8 AS phase FROM f)
+        |SELECT doc_id, frame_idx, w, h,
+        |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY w, h, phase
+        |         ORDER BY doc_id, frame_idx) = 1 THEN 1 ELSE 0 END AS INT) AS keeper,
+        |  COUNT(*) OVER (PARTITION BY w, h, phase) AS group_size
+        |FROM k""".stripMargin
   )
 }
