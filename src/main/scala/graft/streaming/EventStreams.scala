@@ -101,6 +101,12 @@ object EventStreams {
   case class DocVerdict(docId: Long, predLang: String, quality: Double,
       nPii: Int, keeper: Int, keep: Int, reason: String)
 
+  case class Clip(ts: Timestamp, docId: Long, payload: Array[Byte])
+  case class FrameRow(ts: Timestamp, docId: Long, frameIdx: Int,
+      w: Int, h: Int, contentId: String)
+  case class FrameDecision(docId: Long, frameIdx: Int, w: Int, h: Int,
+      keeper: Boolean)
+
   private val NdNumHashes = 48
   private val NdBands = 24 // 2 rows per band — d2's banding geometry
 
@@ -428,6 +434,64 @@ object EventStreams {
                 else "keep"
               out += DocVerdict(r.docId, r.predLang, r.quality, r.nPii,
                 if (keeper) 1 else 0, if (reason == "keep") 1 else 0, reason)
+            }
+            state.update(ChunkState(seen, newest))
+            state.setTimeoutTimestamp(newest + 1)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming frame-level dedup — the streaming twin of
+   * m5_frame_dedup, for ingest-time reused-footage detection: decoded
+   * frames keep on FIRST ARRIVAL within the watermark horizon, exactly
+   * as [[chunkDedup]] keeps text chunks (same state discipline:
+   * event-time timeout refreshed per sighting, so state is
+   * arrival-rate × horizon). Decode runs map-side in the flatMap;
+   * identity is a 128-bit md5 over dims + raster — state CANNOT hold
+   * rasters at production frame sizes, so unlike chunkDedup's
+   * keep-the-strings collision guard this twin accepts the standard
+   * content-address trade (2⁻¹²⁸ conflation; batch m5 makes the same
+   * trade at 56 bits and its oracle gate bounds it). Uniform-ts
+   * single-batch input reproduces batch m5's keeper flags exactly
+   * ((ts, docId, frameIdx) arrival order ≡ batch's min(struct)
+   * first-wins — spec-anchored). */
+  def frameDedup(clips: Dataset[Clip],
+      watermark: String = "1 hour"): Dataset[FrameDecision] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    implicit val rowEnc = Encoders.product[FrameRow]
+    implicit val stateEnc = Encoders.product[ChunkState]
+    implicit val decEnc = Encoders.product[FrameDecision]
+    // watermark AFTER the typed flatMap (see nearDupPairs)
+    val rows = clips.flatMap { c =>
+      graft.operators.PpmCodec.decodeFrames(c.payload).zipWithIndex.map {
+        case (img, f) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(s"${img.width}x${img.height}:".getBytes("US-ASCII"))
+          md.update(img.raster)
+          FrameRow(c.ts, c.docId, f, img.width, img.height,
+            md.digest().map("%02x".format(_)).mkString)
+      }
+    }.withWatermark("ts", watermark)
+    rows
+      .groupByKey { r =>
+        val b = r.contentId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChunkState, FrameDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it: Iterator[FrameRow], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            var newest = state.getOption.map(_.newestTsMs).getOrElse(Long.MinValue)
+            val out = List.newBuilder[FrameDecision]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.docId, r.frameIdx)).foreach { r =>
+              val keeper = !seen.contains(r.contentId)
+              if (keeper) seen ::= r.contentId
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+              out += FrameDecision(r.docId, r.frameIdx, r.w, r.h, keeper)
             }
             state.update(ChunkState(seen, newest))
             state.setTimeoutTimestamp(newest + 1)
