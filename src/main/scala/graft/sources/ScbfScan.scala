@@ -32,15 +32,28 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** Filters prune whole FILES via the stats sidecars (ScbfStats); row-
+   * level evaluation stays with Spark — we return every filter as
+   * residual, so correctness never depends on a sidecar's presence. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ScbfStats.usable)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval, maxFileAgeMs)
+      compactInterval, maxFileAgeMs, pushed.toSeq)
 }
 
 class ScbfScan(
@@ -51,7 +64,8 @@ class ScbfScan(
     tablePaths: Seq[String] = Seq.empty,
     maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
-    maxFileAgeMs: Option[Long] = None)
+    maxFileAgeMs: Option[Long] = None,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -67,10 +81,25 @@ class ScbfScan(
       maxFilesPerTrigger, compactInterval, maxFileAgeMs)
 
   override def description(): String =
-    s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]"
+    s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]" +
+      (if (pushedFilters.nonEmpty)
+        s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition).toArray
+  /** File skipping: a file whose stats sidecar PROVES no row can pass
+   * the pushed filters is never planned (never opened, never shuffled
+   * past — the SCBF rendering of partition pruning). Sidecars are read
+   * only when a usable filter exists; a file without one always plans.
+   * At 100 TB the per-file sidecar read moves into a per-directory
+   * manifest (ScbfStats scaladoc) — the pruning predicate is the same. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept =
+      if (pushedFilters.isEmpty) files
+      else files.filter { f =>
+        ScbfStats.read(f.getPath, conf)
+          .forall(st => ScbfStats.mayMatch(pushedFilters, st))
+      }
+    kept.map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ScbfPartitionReaderFactory(required, new ScbfUtil.SerializableConf(conf))

@@ -106,14 +106,24 @@ class ScbfBatchWrite(
       messages.collect { case ScbfCommitMessage(fl) => fl.map(new Path(_).getName) }
         .flatten.toSet
     toReplace.filterNot(p => newNames.contains(p.getName))
-      .foreach(p => fs.delete(p, false))
+      .foreach { p =>
+        fs.delete(p, false)
+        // the replaced file's stats sidecar goes with it (an orphan
+        // sidecar is invisible to readers, but don't accumulate them)
+        val sc = ScbfStats.sidecarPath(p)
+        if (fs.exists(sc)) fs.delete(sc, false)
+      }
     if (truncate) sweepTemps()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
     messages.collect { case ScbfCommitMessage(files) =>
-      files.foreach(f => fs.delete(new Path(f), false))
+      files.foreach { f =>
+        fs.delete(new Path(f), false)
+        val sc = ScbfStats.sidecarPath(new Path(f))
+        if (fs.exists(sc)) fs.delete(sc, false)
+      }
     }
     // no sweep here: an ABORTED overwrite leaves the old table contents
     // in place, so the "contents are being replaced anyway" argument
@@ -363,6 +373,10 @@ class ScbfDataWriter(
   private val attemptUuid = java.util.UUID.randomUUID().toString.take(8)
   // (temp, final) pairs for every file this attempt has rolled so far
   private val staged = new ArrayBuffer[(Path, Path)]()
+  // per-file column stats, published as sidecars AFTER the data files
+  // at task commit (batch only): a crash between the two leaves data
+  // without a sidecar — readable, just not skippable
+  private val stagedStats = new ArrayBuffer[(Path, ScbfStats.FileStats)]()
   private var fileSeq = 0
   private var bufferedRows = 0L
   private var bufferedBytes = 0L
@@ -392,6 +406,21 @@ class ScbfDataWriter(
     // no columns to derive it from
     try ScbfWriter.write(out, scbfSchema, data, Some(bufferedRows)) finally out.close()
     staged += ((tmp, dst))
+    // file-skipping stats for the scan (ScbfStats scaladoc): numeric
+    // columns' min/max; a double column containing NaN is omitted (NaN
+    // breaks interval reasoning). Batch-publish only — streaming final
+    // names belong to the epoch-level committer.
+    if (publishOnTaskCommit) {
+      val cols = schema.fields.map(_.name).zip(builders).flatMap {
+        case (n, b: IntBuilder) if b.values.nonEmpty =>
+          Some(n -> ScbfStats.ColRange(b.values.min.toDouble, b.values.max.toDouble))
+        case (n, b: DoubleBuilder)
+            if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
+          Some(n -> ScbfStats.ColRange(b.values.min, b.values.max))
+        case _ => None
+      }.toMap
+      stagedStats += ((dst, ScbfStats.FileStats(bufferedRows, cols)))
+    }
     builders.foreach(_.clear())
     fileSeq += 1
     bufferedRows = 0L
@@ -408,6 +437,9 @@ class ScbfDataWriter(
         if (!fs.rename(tmp, dst)) throw new ScbfFormatException(
           s"failed to publish $tmp as $dst")
       }
+      // sidecars after the data: a half-committed task can leave data
+      // without stats (fine) but never stats without data
+      stagedStats.foreach { case (dst, st) => ScbfStats.write(dst, conf, st) }
       ScbfCommitMessage(staged.toSeq.map(_._2.toString))
     } else
       ScbfStagedCommitMessage(staged.toSeq.map { case (t, d) => (t.toString, d.toString) })
@@ -422,6 +454,12 @@ class ScbfDataWriter(
       // this epoch's published file — not this attempt's to delete (the
       // epoch replay will converge on it)
       if (publishOnTaskCommit && fs.exists(dst)) fs.delete(dst, false)
+      // a commit that threw between data and sidecar publication may
+      // have left a sidecar for a now-deleted data file
+      if (publishOnTaskCommit) {
+        val sc = ScbfStats.sidecarPath(dst)
+        if (fs.exists(sc)) fs.delete(sc, false)
+      }
     }
   }
 
