@@ -203,6 +203,30 @@ object RelationalQueries {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"))
     },
 
+    "q35_scbf_stats_skip" -> { (s, dir) =>
+      // The file-skipping statistics end-to-end: orders written to SCBF
+      // range-partitioned ON THE FILTER COLUMN (the layout an ordered
+      // ingest produces), so the price predicate's pushed filter prunes
+      // whole files via their stats sidecars at planning — most of the
+      // table is never opened. Row-level filtering still runs in Spark
+      // (filters are residual), so the result is exact regardless of
+      // how many files were skipped; the oracle runs the same
+      // filter+aggregate on the source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_skip_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        .repartitionByRange(spread(s), col("price"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .filter(col("price") < lit(50000.0))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("price"), 2).as("sum_price"),
+          min(col("okey")).as("min_key"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -406,6 +430,12 @@ object RelationalQueries {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q35_scbf_stats_skip" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(MIN(o_orderkey) AS INT) AS min_key
+         FROM orders WHERE o_totalprice < 50000.0 GROUP BY o_orderstatus""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -91,6 +91,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("partial_count".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q35: the SCBF read carries pushed filters for stats-based file skipping") {
+    val p = plan("q35_scbf_stats_skip")
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("d2: LSH banding runs over collapsed, checkpointed unique texts") {
     val p = builderPlan(DedupQueries.d2PairsPlan(spark, sf))
     // the md5 pre-collapse is materialized via localCheckpoint: the
