@@ -33,6 +33,32 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestBase {
     chunked.zip(naive).foreach { case (c, n) => assert(c == n) }
   }
 
+  test("groupedPrefixSum: a single dominant group SPANS partitions and still sums exactly") {
+    // the scale claim t14 rides on: one group holding (almost) every row
+    // must spread over the range partitions, with the cross-partition
+    // offset join stitching the running sum — not collapse into one task
+    val df = spark.range(0, 20000)
+      .select(
+        org.apache.spark.sql.functions.when(col("id") < 19900, "big")
+          .otherwise("small").as("grp"),
+        col("id"), (col("id") % 7 + 1).as("v"))
+    val got = Ops.groupedPrefixSum(df, "grp", Seq(col("id").asc), col("v"), "cum")
+    // the dominant group really does span >1 task
+    val spanned = got.filter(col("grp") === "big")
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(spanned > 1, s"'big' sat in $spanned partition(s) — the scan didn't spread")
+    // exact per-group running sums vs an in-memory scan
+    val rows = got.select("grp", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, id, c) =>
+        cum += id % 7 + 1
+        assert(c == cum, s"row $id")
+      }
+    }
+  }
+
   test("q32's heavy stage range-partitions and windows per chunk (no full-table global window)") {
     // q32 localCheckpoints its per-row stage (the summary side must see
     // the same pid↔row mapping), which hides that stage behind a
