@@ -73,12 +73,16 @@ class ScbfScan(
   override def toBatch: Batch = this
 
   /** Streaming read: each micro-batch is the set of newly-appeared
-   * `.scbf` files (see [[ScbfMicroBatchStream]]); column pruning from
-   * this scan carries over. */
+   * `.scbf` files (see [[ScbfMicroBatchStream]]); column pruning AND
+   * the pushed stats-skip filters carry over (a backfill readStream
+   * over a batch-written directory prunes files exactly like the batch
+   * scan — and since every filter stays residual, a skip decision that
+   * differs on epoch replay can only drop rows the query's own filter
+   * discards, so replay results are unchanged). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
-      maxFilesPerTrigger, compactInterval, maxFileAgeMs)
+      maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters)
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]" +

@@ -70,7 +70,8 @@ class ScbfMicroBatchStream(
     checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
-    maxFileAgeMs: Option[Long] = None)
+    maxFileAgeMs: Option[Long] = None,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
@@ -293,6 +294,17 @@ class ScbfMicroBatchStream(
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
     ((s + 1) to e).flatMap(readLog)
+      // stats-based file skipping, same predicate as the batch scan
+      // (ScbfScan.planInputPartitions). Offsets/logs are untouched — a
+      // skipped file is still admitted and logged; and because every
+      // pushed filter remains residual in the query plan, a skip
+      // decision that differs on replay (sidecar appeared/vanished)
+      // only removes rows the filter would drop — results identical.
+      .filter { case (p, _, _) =>
+        pushedFilters.isEmpty ||
+          ScbfStats.read(new Path(p), conf)
+            .forall(st => ScbfStats.mayMatch(pushedFilters, st))
+      }
       .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray
   }

@@ -103,6 +103,40 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getInt(0)).toSeq == Seq(500))
   }
 
+  test("a streaming backfill read prunes files through the same pushed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-skip-stream").toString
+    writeRanged(dir)
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val schema = spark.read.format("scbf").load(dir).schema
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val ckpt = java.nio.file.Files.createTempDirectory("scbf-skip-ck").toString
+      val b = new ScbfScanBuilder(schema, files, conf, tablePaths = Seq(dir))
+      b.pushFilters(filters.toArray)
+      val ms = b.build().asInstanceOf[ScbfScan].toMicroBatchStream(ckpt)
+        .asInstanceOf[ScbfMicroBatchStream]
+      val st = ms.initialOffset()
+      val en = ms.latestOffset(st,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      ms.planInputPartitions(st, en).length
+    }
+    assert(planned() == 4)
+    assert(planned(LessThan("id", 250)) == 1,
+      "streaming backfill must prune like the batch scan")
+    // e2e: the filtered streaming read returns exactly the batch answer
+    val ckpt = java.nio.file.Files.createTempDirectory("scbf-skip-ck2").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("scbf").schema(schema).load(dir)
+      .filter(col("id") < 250)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").collect().map(_.getInt(0)) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sorted.toSeq == (0 until 250).toSeq)
+  }
+
   test("overwrite replaces stale sidecars with the new files' stats") {
     val dir = java.nio.file.Files.createTempDirectory("scbf-skip-ow").toString
     writeRanged(dir)
