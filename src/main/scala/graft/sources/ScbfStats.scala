@@ -95,9 +95,10 @@ object ScbfStats {
 
   /** Conjunction semantics: the file may hold matching rows unless some
    * filter PROVABLY excludes its whole [min, max] interval. Unknown
-   * filters and non-stats columns never exclude. */
+   * filters and non-stats columns never exclude. A 0-row file (an
+   * empty partition's placeholder) can never match anything. */
   def mayMatch(filters: Seq[Filter], stats: FileStats): Boolean =
-    filters.forall(f => mayMatchOne(f, stats))
+    stats.rows > 0 && filters.forall(f => mayMatchOne(f, stats))
 
   private def mayMatchOne(f: Filter, s: FileStats): Boolean = f match {
     case EqualTo(c, v)            => range(s, c, v).forall { case (r, d) => d >= r.min && d <= r.max }

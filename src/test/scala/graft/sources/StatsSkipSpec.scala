@@ -52,6 +52,12 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a 0-row placeholder file is skippable under any filter") {
+    assert(!ScbfStats.mayMatch(Seq(EqualTo("id", 5)), ScbfStats.FileStats(0, Map.empty)))
+    assert(ScbfStats.mayMatch(Seq(EqualTo("id", 5)),
+      ScbfStats.FileStats(1, Map.empty)), "no stats for the column → must keep")
+  }
+
   test("a filtered scan plans only the files whose stats admit matches") {
     val dir = java.nio.file.Files.createTempDirectory("scbf-skip").toString
     writeRanged(dir)
