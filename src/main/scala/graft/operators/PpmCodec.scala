@@ -58,6 +58,17 @@ object PpmCodec {
     (0 until n).toArray.flatMap(f => synthesizeFrame(id, f))
   }
 
+  /** Frame content identity: md5 over dims + raster — ONE definition
+   * shared by batch m5 (truncates to a 56-bit long key) and streaming
+   * frameDedup (hex-encodes the full 128 bits), so the batch↔stream
+   * parity contract cannot drift from a one-sided hash edit. */
+  def frameDigest(img: PpmImage): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"${img.width}x${img.height}:".getBytes("US-ASCII"))
+    md.update(img.raster)
+    md.digest()
+  }
+
   /** Clip generator with PLANTED cross-clip frame reuse (for the
    * frame-dedup operator): frame content is fully determined by
    * (w, h, phase) with w = 4 + id%2, h = 3, phase = (id + f) mod 8,

@@ -498,15 +498,13 @@ object TextQueries {
         .mapPartitions { iter =>
           iter.flatMap { case (id, bytes) =>
             PpmCodec.decodeFrames(bytes).zipWithIndex.map { case (img, f) =>
-              val md = java.security.MessageDigest.getInstance("MD5")
-              md.update(s"${img.width}x${img.height}:".getBytes("US-ASCII"))
-              md.update(img.raster)
-              // 56-bit content key (7 md5 bytes): sign-safe in a long;
-              // a 2^-56 collision would perturb a group and the oracle
-              // gate would catch it (the d2/d14 accepted trade-off)
+              // 56-bit content key (7 bytes of the shared frameDigest):
+              // sign-safe in a long; a 2^-56 collision would perturb a
+              // group and the oracle gate would catch it (the d2/d14
+              // accepted trade-off)
               (id, f, img.width, img.height,
                 java.lang.Long.parseLong(
-                  md.digest().take(7).map("%02x".format(_)).mkString, 16))
+                  PpmCodec.frameDigest(img).take(7).map("%02x".format(_)).mkString, 16))
             }
           }
         }

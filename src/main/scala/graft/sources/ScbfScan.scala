@@ -96,13 +96,9 @@ class ScbfScan(
    * At 100 TB the per-file sidecar read moves into a per-directory
    * manifest (ScbfStats scaladoc) — the pruning predicate is the same. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept =
-      if (pushedFilters.isEmpty) files
-      else files.filter { f =>
-        ScbfStats.read(f.getPath, conf)
-          .forall(st => ScbfStats.mayMatch(pushedFilters, st))
-      }
-    kept.map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition).toArray
+    files.filter(f => ScbfStats.keepFile(f.getPath, conf, pushedFilters))
+      .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

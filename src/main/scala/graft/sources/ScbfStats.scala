@@ -40,9 +40,17 @@ object ScbfStats {
   def sidecarPath(data: Path): Path =
     new Path(data.getParent, s".${data.getName}.stats")
 
+  /** Atomic publish (temp + rename, the data-file discipline): a torn
+   * in-place write could parse as a WELL-FORMED prefix with narrower
+   * bounds and wrongly skip live rows — "corrupt disables skipping"
+   * only holds when partial states are unreadable, and rename gives
+   * exactly that (the sidecar either exists whole or not at all). */
   def write(data: Path, conf: Configuration, stats: FileStats): Unit = {
     val p = sidecarPath(data)
-    val out = p.getFileSystem(conf).create(p, true)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent,
+      s"${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder(s"rows\t${stats.rows}\n")
       stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
@@ -50,7 +58,21 @@ object ScbfStats {
       }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
+    // replace-by-rename: a reader between the delete and the rename
+    // sees NO sidecar (skipping disabled — safe), never a partial one
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new graft.scbf.ScbfFormatException(s"failed to publish stats sidecar $p")
+    }
   }
+
+  /** The one file-skipping predicate, shared by the batch scan and the
+   * micro-batch stream (they are contractually required to prune
+   * identically): keep unless a present-and-whole sidecar proves no
+   * row can match. */
+  def keepFile(data: Path, conf: Configuration, filters: Seq[Filter]): Boolean =
+    filters.isEmpty || read(data, conf).forall(st => mayMatch(filters, st))
 
   /** None on a missing or unparsable sidecar — skipping is best-effort. */
   def read(data: Path, conf: Configuration): Option[FileStats] =

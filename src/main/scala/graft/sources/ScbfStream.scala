@@ -294,17 +294,14 @@ class ScbfMicroBatchStream(
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
     ((s + 1) to e).flatMap(readLog)
-      // stats-based file skipping, same predicate as the batch scan
-      // (ScbfScan.planInputPartitions). Offsets/logs are untouched — a
-      // skipped file is still admitted and logged; and because every
-      // pushed filter remains residual in the query plan, a skip
-      // decision that differs on replay (sidecar appeared/vanished)
-      // only removes rows the filter would drop — results identical.
-      .filter { case (p, _, _) =>
-        pushedFilters.isEmpty ||
-          ScbfStats.read(new Path(p), conf)
-            .forall(st => ScbfStats.mayMatch(pushedFilters, st))
-      }
+      // stats-based file skipping — ScbfStats.keepFile, the SAME
+      // predicate object the batch scan uses. Offsets/logs are
+      // untouched — a skipped file is still admitted and logged; and
+      // because every pushed filter remains residual in the query plan,
+      // a skip decision that differs on replay (sidecar
+      // appeared/vanished) only removes rows the filter would drop —
+      // results identical.
+      .filter { case (p, _, _) => ScbfStats.keepFile(new Path(p), conf, pushedFilters) }
       .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray
   }

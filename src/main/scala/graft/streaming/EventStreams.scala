@@ -467,11 +467,9 @@ object EventStreams {
     val rows = clips.flatMap { c =>
       graft.operators.PpmCodec.decodeFrames(c.payload).zipWithIndex.map {
         case (img, f) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          md.update(s"${img.width}x${img.height}:".getBytes("US-ASCII"))
-          md.update(img.raster)
           FrameRow(c.ts, c.docId, f, img.width, img.height,
-            md.digest().map("%02x".format(_)).mkString)
+            graft.operators.PpmCodec.frameDigest(img)
+              .map("%02x".format(_)).mkString)
       }
     }.withWatermark("ts", watermark)
     rows
