@@ -22,6 +22,9 @@ object GraftConf {
   val LshBits = "graft.lsh.bits"
   /** d8's hyperplane sign bits per near-dup LSH table (default 12). */
   val LshD8Bits = "graft.lsh.d8.bits"
+  /** t14's base per-source token budget (default 400; each source gets
+   * base × its 1/2/3× mixture-weight ladder). */
+  val MixtureBudget = "graft.mixture.budget"
 
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)

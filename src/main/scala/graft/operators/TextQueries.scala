@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftConf
+
 /**
  * Text-analysis, multimodal-column, and event-sessionization operators
  * for training-data pipelines, over `documents` and `events`.
@@ -276,7 +278,8 @@ object TextQueries {
       Ops.groupedPrefixSum(docs, "source",
           Seq(col("k").asc, col("doc_id").asc), col("tokens"), "cum_tokens")
         .withColumn("budget",
-          (lit(400) * (lit(1) + expr("CAST(substr(source, 4) AS INT)") % 3))
+          (lit(GraftConf.int(s, GraftConf.MixtureBudget, 400)) *
+            (lit(1) + expr("CAST(substr(source, 4) AS INT)") % 3))
             .cast("long"))
         .filter(col("cum_tokens") <= col("budget"))
         .select(col("source"), col("doc_id"), col("tokens"),
@@ -520,7 +523,8 @@ object TextQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: the t14 oracle re-resolves the budget knob
+  def oracles: Map[String, String] = Map(
     "t1_lang_id" -> {
       val scores = LangOrder.map { lang =>
         val lits = Stopwords(lang).map(x => s"'$x'").mkString(", ")
@@ -628,17 +632,19 @@ object TextQueries {
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents""".stripMargin,
 
-    "t14_mixture_sample" ->
-      """WITH d AS (SELECT source, doc_id,
+    "t14_mixture_sample" -> {
+      val b = GraftConf.int(GraftConf.MixtureBudget, 400)
+      s"""WITH d AS (SELECT source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS INT) AS tokens,
         |    md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
         |c AS (SELECT source, doc_id, tokens,
         |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY k, doc_id
         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM d)
         |SELECT source, doc_id, tokens, cum_tokens,
-        |  CAST(400 * (1 + CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS budget
+        |  CAST($b * (1 + CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS budget
         |FROM c
-        |WHERE cum_tokens <= 400 * (1 + CAST(substr(source, 4) AS INT) % 3)""".stripMargin,
+        |WHERE cum_tokens <= $b * (1 + CAST(substr(source, 4) AS INT) % 3)""".stripMargin
+    },
 
     "t10_decontam" -> {
       val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")

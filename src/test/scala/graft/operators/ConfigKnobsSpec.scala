@@ -28,6 +28,27 @@ class ConfigKnobsSpec extends AnyFunSuite with SparkTestBase {
       .foreach(q => assert(shipped(q) == explicit(q), q))
   }
 
+  test("t14 at a non-default budget: engine and regenerated oracle move together") {
+    val dflt = TextQueries.oracles("t14_mixture_sample")
+    assert(dflt.contains("400 *"))
+    withProp(GraftConf.MixtureBudget, "150") {
+      val o = TextQueries.oracles("t14_mixture_sample")
+      assert(o.contains("150 *") && !o.contains("400 *"))
+      // engine side: every kept row respects the 150-base ladder and
+      // greedy maximality (the next doc in hash order would overflow)
+      val rows = TextQueries.queries("t14_mixture_sample")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (src, _, _, cum, budget) =>
+        assert(budget == 150L * (1 + src.drop(3).toInt % 3), src)
+        assert(cum <= budget)
+      }
+    }
+    assert(TextQueries.oracles("t14_mixture_sample") == dflt,
+      "property cleanup must restore the shipped oracle")
+  }
+
   test("d8 at a non-default bit width: engine and regenerated oracle move together") {
     val dflt = DedupQueries.oracles("d8_embed_neardup")
     withProp(GraftConf.LshD8Bits, "6") {
