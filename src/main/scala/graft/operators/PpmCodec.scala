@@ -96,6 +96,74 @@ object PpmCodec {
     }
   }
 
+  /** Bit j of pattern p's bit-plan (the m6 near-dup generator's shared
+   * shape): pixels 0 and 1 are pinned to 1 and 0 so every plan is
+   * mixed — the margin proof in `synthesizeNoisy` needs at least one
+   * bright and one dark pixel. Pure arithmetic, so the DuckDB oracle
+   * can recompute it without parsing PPM. */
+  def patternBit(p: Int, j: Int): Boolean =
+    if (j == 0) true
+    else if (j == 1) false
+    else (p * (j + 3) + j * j) % 7 < 3
+
+  /** Image generator with PLANTED perceptual near-duplicates (for the
+   * m6 aHash operator): docs sharing `p = id mod 257` render the same
+   * bit-plan (`patternBit`) on a (5 + p%2)×4 grid — bright pixels are
+   * 240 + noise, dark pixels 0 + noise, noise per CHANNEL byte
+   * `(id*7 + i*3) mod 9` — so same-pattern docs are noisy variants
+   * (never byte-identical; exact-hash dedup finds nothing) that an
+   * average-hash must still collide.
+   *
+   * Why noise can never flip an aHash bit: gray ∈ [base, base+8], and
+   * with 1 ≤ bright-count ≤ n−1 pixels (pinned by `patternBit`) the
+   * integer mean over n ∈ {20, 24} pixels is bounded by
+   * floor(((n−1)·248 + 8)/n) ≤ 238 < 240 above and
+   * floor(240/n) ≥ 10 > 8 below — strictly between the dark band
+   * [0, 8] and the bright band [240, 248] at the worst extremes. Even
+   * ids keep the header-comment parser exercise. */
+  def synthesizeNoisy(id: Long): Array[Byte] = {
+    val p = (id % 257).toInt
+    val w = 5 + p % 2
+    val h = 4
+    val comment = if (id % 2 == 0) "# c\n" else ""
+    val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < raster.length) {
+      val base = if (patternBit(p, i / 3)) 240 else 0
+      raster(i) = (base + (id * 7 + i * 3) % 9).toByte
+      i += 1
+    }
+    header ++ raster
+  }
+
+  /** Average-hash perceptual fingerprint: integer grayscale
+   * (floor((r+g+b)/3)) per pixel, mean-threshold (>= floor-mean of ALL
+   * pixels) over the first min(n, 64) pixels row-major, bit j = pixel
+   * j. Generic — knows nothing about any generator; tiny inputs here
+   * make the usual 8×8 downsample prelude unnecessary. */
+  def aHash(img: PpmImage): Long = {
+    val n = img.width * img.height
+    val gray = new Array[Int](n)
+    var sum = 0L
+    var j = 0
+    while (j < n) {
+      gray(j) = ((img.raster(3 * j) & 0xff) + (img.raster(3 * j + 1) & 0xff) +
+        (img.raster(3 * j + 2) & 0xff)) / 3
+      sum += gray(j)
+      j += 1
+    }
+    val mean = sum / n
+    var hash = 0L
+    var b = 0
+    val bits = math.min(n, 64)
+    while (b < bits) {
+      if (gray(b) >= mean) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
   /** 2× box-filter downsample (the pipeline "resize" op): each output
    * pixel is the floor-average of its 2×2 source block, per channel; an
    * odd trailing row/column is dropped. Exact integer arithmetic, so

@@ -520,6 +520,38 @@ object TextQueries {
           when(col("doc_id") === col("w1.doc_id") &&
             col("frame_idx") === col("w1.frame_idx"), 1).otherwise(0).as("keeper"),
           col("group_size"))
+    },
+
+    // ---- multimodal perceptual near-dup: average-hash image dedup ----
+    // The binary-modality NEAR-dup (m5 is exact frame identity; this is
+    // the LAION-style pass that catches re-encoded / lightly-perturbed
+    // images): decode each stored image, compute an average-hash over
+    // the grayscale raster (mean-threshold bits), and collapse
+    // hash-colliding images first-wins. The planted fixture
+    // (PpmCodec.synthesizeNoisy) guarantees same-pattern docs are NOT
+    // byte-identical — only the perceptual hash, not d1's exact md5,
+    // can group them — while the noise-margin proof on the generator
+    // makes the collapse bit-reproducible, so the DuckDB oracle can
+    // recompute the hash arithmetically from the id-derived bit-plan
+    // without parsing PPM. Scale shape: decode+hash is map-side; the
+    // group winner is a partial-combine min/count aggregate joined back
+    // on the fixed-width (w, h, phash) key — no window on the hot key,
+    // only small rows in the shuffle.
+    "m6_image_phash" -> { (s, dir) =>
+      val sq = s
+      import sq.implicits._
+      val hashed = storedPayloads(s, dir, PpmCodec.synthesizeNoisy)
+        .mapPartitions(_.map { case (id, bytes) =>
+          val img = PpmCodec.decode(bytes)
+          (id, img.width, img.height, PpmCodec.aHash(img))
+        })
+        .toDF("doc_id", "w", "h", "phash")
+      val winners = hashed.groupBy(col("w"), col("h"), col("phash"))
+        .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("group_size"))
+      hashed.join(winners, Seq("w", "h", "phash"))
+        .select(col("doc_id"), col("w"), col("h"), col("phash"),
+          when(col("doc_id") === col("keeper_doc"), 1).otherwise(0).as("keeper"),
+          col("group_size"))
     }
   )
 
@@ -834,6 +866,28 @@ object TextQueries {
         |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY w, h, phase
         |         ORDER BY doc_id, frame_idx) = 1 THEN 1 ELSE 0 END AS INT) AS keeper,
         |  COUNT(*) OVER (PARTITION BY w, h, phase) AS group_size
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // The aHash recomputed arithmetically (PpmCodec.synthesizeNoisy +
+    // patternBit): per-channel noise is provably below the mean-threshold
+    // margin, so the engine's decoded-raster hash equals the clean
+    // bit-plan sum Σ 2^j over set bits of pattern p = doc_id mod 257 on
+    // the (5 + p%2)×4 grid — the oracle never sees the noise at all.
+    "m6_image_phash" ->
+      """WITH dims AS (SELECT doc_id, doc_id % 257 AS p,
+        |    CAST(5 + (doc_id % 257) % 2 AS INT) AS w, CAST(4 AS INT) AS h
+        |  FROM documents),
+        |hashed AS (SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+        |      j -> CASE WHEN j = 0 THEN (1::BIGINT << 0)
+        |                WHEN j = 1 THEN 0
+        |                WHEN (p * (j + 3) + j * j) % 7 < 3 THEN (1::BIGINT << j)
+        |                ELSE 0 END)) AS BIGINT) AS phash
+        |  FROM dims)
+        |SELECT doc_id, w, h, phash,
+        |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY w, h, phash)
+        |       THEN 1 ELSE 0 END AS INT) AS keeper,
+        |  COUNT(*) OVER (PARTITION BY w, h, phash) AS group_size
+        |FROM hashed""".stripMargin
   )
 }
