@@ -46,7 +46,10 @@ object Bench {
     // consumers (d13/d15/d18) show only their incremental cost — under
     // plain alphabetical order d15/d18 precede d2/d8 and would absorb
     // the upstream pair generation into their numbers
+    // intersect with the live query surface: a renamed/removed owner
+    // must not kill the whole bench with NoSuchElementException
     val owners = Seq("d2_minhash_lsh", "d10_simhash_neardup", "d8_embed_neardup")
+      .filter(SparkEntry.queries.contains)
     val names = owners ++
       SparkEntry.queries.keySet.toSeq.sorted.filterNot(owners.contains)
     val best = scala.collection.mutable.Map.empty[String, Double]

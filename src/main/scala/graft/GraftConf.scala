@@ -25,6 +25,13 @@ object GraftConf {
   /** t14's base per-source token budget (default 400; each source gets
    * base × its 1/2/3× mixture-weight ladder). */
   val MixtureBudget = "graft.mixture.budget"
+  /** d2's MinHash sketch size (default 48 hash functions). */
+  val MinHashHashes = "graft.minhash.hashes"
+  /** d2's LSH band count (default 24 — 2 rows/band; must divide the
+   * sketch size). The band/row trade IS the recall/cost knob a 100 TB
+   * deployment tunes: more bands → higher recall, more candidate
+   * pairs. */
+  val MinHashBands = "graft.minhash.bands"
 
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)
@@ -32,4 +39,26 @@ object GraftConf {
   /** Session-less resolution (oracle generation). */
   def int(key: String, dflt: Int): Int =
     sys.props.get(key).fold(dflt)(_.trim.toInt)
+
+  /** All knob keys, for divergence auditing. */
+  val Keys: Seq[(String, Int)] = Seq(
+    AnnKCells -> 16, LshBits -> 10, LshD8Bits -> 12, MixtureBudget -> 400,
+    MinHashHashes -> 48, MinHashBands -> 24)
+
+  /** Fail fast when a session-conf override diverges from what oracle
+   * generation will see (the system property / default): the engine
+   * would silently compute under one knob value while the generated
+   * oracle computes under another, and the gate run fails confusingly
+   * far from the cause. Called by Verify before running any query;
+   * harmless for engine-only use (no oracle in play → don't call). */
+  def requireOracleConsistency(s: SparkSession): Unit =
+    Keys.foreach { case (key, dflt) =>
+      s.conf.getOption(key).foreach { sess =>
+        val oracleSide = int(key, dflt)
+        require(sess.trim.toInt == oracleSide,
+          s"knob $key: session conf says ${sess.trim} but oracle generation " +
+            s"resolves $oracleSide (system property/default) — set the SYSTEM " +
+            "PROPERTY to move engine and oracle together")
+      }
+    }
 }

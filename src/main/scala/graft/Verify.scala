@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast if a session-conf knob override diverges from what the
+    // oracle generator (system-property resolution) will use — a silent
+    // divergence fails the gate far from its cause
+    GraftConf.requireOracleConsistency(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {

@@ -59,7 +59,21 @@ object DedupQueries {
        |         i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) s
        |       FROM tok)""".stripMargin
 
-  private val NumHashes = 48 // 24 bands × 2 rows: recall ≥ 1 - (1-s²)^24
+  // d2's MinHash sketch size / band count are GraftConf knobs
+  // (graft.minhash.{hashes,bands}, defaults 48 / 24 → 2 rows per band:
+  // recall ≥ 1 - (1-s²)^24). The band/row trade is the recall-vs-
+  // candidate-volume dial a 100 TB deployment tunes; the oracle is the
+  // EXACT all-pairs Jaccard, so any banding that reaches full recall on
+  // the corpus hash-matches it (the gate doubles as a recall test of
+  // the configured banding). The staged pair graph re-keys on both
+  // knobs (see d2Pairs) so a knob change can never serve a stale graph.
+  private def minHashConfig(s: SparkSession): (Int, Int) = {
+    val hashes = GraftConf.int(s, GraftConf.MinHashHashes, 48)
+    val bands = GraftConf.int(s, GraftConf.MinHashBands, 24)
+    require(bands > 0 && hashes % bands == 0,
+      s"graft.minhash.bands ($bands) must divide graft.minhash.hashes ($hashes)")
+    (hashes, bands)
+  }
 
   /** SQL twin of simhashSignatures, shared by the d3/d10 oracles. Bit 63
    * is recombined as Long.MinValue (the signed spelling of 1<<63) so the
@@ -345,7 +359,7 @@ object DedupQueries {
       // aggregation/join on small rows.
       //
       // Exact-duplicate pre-collapse: k identical copies of a text share
-      // all 24 band keys, so banding the raw corpus generates k²
+      // ALL band keys, so banding the raw corpus generates k²
       // candidate pairs per duplicate cluster — quadratic exactly on the
       // duplicate-heavy corpora dedup targets. Collapse to one
       // representative per distinct text first (d1's hash-groupBy
@@ -386,21 +400,23 @@ object DedupQueries {
         .distinct() // shingle SET semantics via codegen hash aggregate
         .localCheckpoint()
       val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      // all 48 minhashes in ONE TypedImperativeAggregate (bit-identical
-      // to 48 separate min(xxhash64(i, x)) aggs, same partial-merge):
-      // one long[48] buffer and one tight hash loop per row, instead of
-      // a 48-slot HashAggregate whose janino compile dominated cold-start
+      // all numHashes minhashes in ONE TypedImperativeAggregate (bit-
+      // identical to that many separate min(xxhash64(i, x)) aggs, same
+      // partial-merge): one long[] buffer and one tight hash loop per
+      // row, instead of an n-slot HashAggregate whose janino compile
+      // dominated cold-start
+      val (numHashes, numBands) = minHashConfig(s)
+      val rowsPerBand = numHashes / numBands
       val mh = ex.groupBy(col("doc_id"))
-        .agg(graft.functions.GraftFunctions.minhashSketch(col("x"), NumHashes).as("mhs"))
-      // band key = xxhash64 of the band's two minhashes: the hottest
-      // remaining shuffle carries an 8-byte long instead of a ~40-byte
-      // "m1:m2" string. A 2⁻⁶⁴ band-key collision can only ADD a
-      // candidate pair, and exact verification below discards it.
+        .agg(graft.functions.GraftFunctions.minhashSketch(col("x"), numHashes).as("mhs"))
+      // band key = xxhash64 of the band's rowsPerBand minhashes: the
+      // hottest remaining shuffle carries an 8-byte long instead of a
+      // ~40-byte "m1:m2:…" string. A 2⁻⁶⁴ band-key collision can only
+      // ADD a candidate pair, and exact verification below discards it.
       val bands = mh.select(col("doc_id"), posexplode(array(
-        (0 until NumHashes / 2).map(j =>
-          xxhash64(
-            element_at(col("mhs"), 2 * j + 1),
-            element_at(col("mhs"), 2 * j + 2))): _*
+        (0 until numBands).map(j =>
+          xxhash64((0 until rowsPerBand).map(k =>
+            element_at(col("mhs"), j * rowsPerBand + k + 1)): _*)): _*
       )).as(Seq("band_idx", "band_key")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -444,9 +460,13 @@ object DedupQueries {
 
   /** The d2 pair graph (doc_a, doc_b, inter_cnt, union_cnt), staged
    * once per (session, sfDir): consumed by the d2 pair report and the
-   * d18 agreement report. */
-  private[operators] def d2Pairs(s: SparkSession, dir: String): DataFrame =
-    Ops.staged(s, dir, "d2_pairs")(d2PairsPlan(s, dir))
+   * d18 agreement report. The staging key carries BOTH banding knobs —
+   * a knob change must re-materialize, never serve the previous
+   * config's graph (the d8_pairs_b$bits discipline). */
+  private[operators] def d2Pairs(s: SparkSession, dir: String): DataFrame = {
+    val (h, b) = minHashConfig(s)
+    Ops.staged(s, dir, s"d2_pairs_h${h}_b$b")(d2PairsPlan(s, dir))
+  }
 
   // ---- SimHash near-duplicate pairs (exact, via pigeonhole bands) ----
     // hamming(a, b) ≤ 3 over a 64-bit signature means at most 3 of the
@@ -592,7 +612,8 @@ object DedupQueries {
     },
 
     // ---- MinHash + LSH near-duplicate pairs ----
-    // shingle → 48 minhashes → 24 bands of 2 → band-bucket join for
+    // shingle → minhash sketch → LSH bands (knobs, default 24×2) →
+    // band-bucket join for
     // candidates → exact shingle-set verification (integer jaccard test:
     // 10·|A∩B| ≥ 6·|A∪B| ⟺ J ≥ 0.6). The oracle checks ALL pairs, so
     // this doubles as a (deterministic) recall test of the band config.

@@ -132,7 +132,7 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     }.foreach(_.unpersist(false))
 
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), () => DataFrame]()
   private val stagedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Cross-query staging point for a relation consumed by several
@@ -146,10 +146,24 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
    * can never be served to a new one. NOTE: the checkpoint truncates
    * lineage, so plan-shape locks on a staged query must target its
    * unstaged builder (the `*PairsPlan` methods). */
-  def staged(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    stagedCache.compute((s, dir, name), (_, cur) =>
-      if (cur != null) cur
-      else { stagedBuilds.incrementAndGet(); build.localCheckpoint() })
+  def staged(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
+    // a stopped session's checkpoint blocks died with its executors —
+    // drop its entries so a long-lived process creating session after
+    // session doesn't retain dead RDD references indefinitely
+    stagedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    // computeIfAbsent only installs a memoizing thunk (cheap, safe under
+    // the map's bin lock); the checkpoint JOB runs in holder() outside
+    // it. Running the job inside compute() would serialize unrelated
+    // keys hashing to one bin and make a staged builder that
+    // transitively stages another colliding key throw (recursive
+    // update). The lazy val serializes concurrent first-consumers of
+    // THIS key only — exactly the build-once contract.
+    val holder = stagedCache.computeIfAbsent((s, dir, name), _ => {
+      lazy val built = { stagedBuilds.incrementAndGet(); build.localCheckpoint() }
+      () => built
+    })
+    holder()
+  }
 
   /** How many staged relations have been materialized (test hook: lets
    * a spec assert a downstream consumer REUSED a staged relation rather
@@ -160,7 +174,10 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
    * iterations, so each iteration re-pays each materialization exactly
    * once (keeps per-query timings honest across repeats). */
   def stagedClear(): Unit = {
-    stagedCache.values.forEach(release(_))
+    // every cached holder was materialized by the staged() call that
+    // installed it, so h() here never triggers a fresh build; stopped
+    // sessions' blocks are already gone — just drop those entries
+    stagedCache.forEach((k, h) => if (!k._1.sparkContext.isStopped) release(h()))
     stagedCache.clear()
   }
 

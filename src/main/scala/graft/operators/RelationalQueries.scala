@@ -227,6 +227,28 @@ object RelationalQueries {
           min(col("okey")).as("min_key"))
     },
 
+    "q36_scbf_string_skip" -> { (s, dir) =>
+      // File skipping on UTF8 bounds: documents written to SCBF
+      // range-partitioned ON `source` — the curation layout where
+      // `source = '...'` / prefix predicates are the most common
+      // filters (t13/t14 key on source). The truncated string stats
+      // prune whole files for an equality, a prefix, and their OR;
+      // filters stay residual so the result is exact regardless.
+      val scbfDir = scratchDir(s) + "/graft_scbf_strskip_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("lang"), col("n_chars").cast("int").as("n_chars"))
+        .repartitionByRange(spread(s), col("source"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .filter(col("source") === "src7" || col("source").startsWith("src1"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -436,6 +458,13 @@ object RelationalQueries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          CAST(MIN(o_orderkey) AS INT) AS min_key
          FROM orders WHERE o_totalprice < 50000.0 GROUP BY o_orderstatus""",
+
+    "q36_scbf_string_skip" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc
+         FROM documents WHERE source = 'src7' OR source LIKE 'src1%'
+         GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -512,6 +512,13 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "frame_idx", "w", "h", "k")
+        // decode ONCE: the winner aggregate and the flag join both
+        // consume this relation, and without a materialization each
+        // consumer re-runs the container parse + raster hash over every
+        // clip (AQE's broadcast choice defeats ReusedExchange here).
+        // The decoded rows are fixed-width and tiny next to the
+        // payloads — materializing them is the production trade.
+        .localCheckpoint()
       val winners = frames.groupBy(col("k"))
         .agg(min(struct(col("doc_id"), col("frame_idx"))).as("w1"),
           count(lit(1)).as("group_size"))
@@ -546,6 +553,9 @@ object TextQueries {
           (id, img.width, img.height, PpmCodec.aHash(img))
         })
         .toDF("doc_id", "w", "h", "phash")
+        // decode + hash ONCE (see m5): both consumers read the
+        // materialized fixed-width rows, never the payloads twice
+        .localCheckpoint()
       val winners = hashed.groupBy(col("w"), col("h"), col("phash"))
         .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("group_size"))
       hashed.join(winners, Seq("w", "h", "phash"))

@@ -89,14 +89,18 @@ class ScbfScan(
       (if (pushedFilters.nonEmpty)
         s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
-  /** File skipping: a file whose stats sidecar PROVES no row can pass
-   * the pushed filters is never planned (never opened, never shuffled
-   * past — the SCBF rendering of partition pruning). Sidecars are read
-   * only when a usable filter exists; a file without one always plans.
-   * At 100 TB the per-file sidecar read moves into a per-directory
-   * manifest (ScbfStats scaladoc) — the pruning predicate is the same. */
+  /** File skipping: a file whose stats PROVE no row can pass the
+   * pushed filters is never planned (never opened, never shuffled
+   * past — the SCBF rendering of partition pruning). Stats come from
+   * the per-directory manifest — ONE driver read per directory, not
+   * one per file, which is what survives ~10⁵-file directories at
+   * 100 TB — with per-file sidecars as the fallback for files the
+   * manifest misses or got stale on (ScbfStats.Pruner). Stats are
+   * read only when a usable filter exists; a file without stats
+   * always plans. */
   override def planInputPartitions(): Array[InputPartition] = {
-    files.filter(f => ScbfStats.keepFile(f.getPath, conf, pushedFilters))
+    val pruner = new ScbfStats.Pruner(conf, pushedFilters)
+    files.filter(f => pruner.keep(f.getPath, f.getLen))
       .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
       .toArray
   }

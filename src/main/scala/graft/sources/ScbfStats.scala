@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
 import scala.util.control.NonFatal
 
 import org.apache.hadoop.conf.Configuration
@@ -12,67 +16,139 @@ import org.apache.spark.sql.sources._
  * future work: reference README.md:157 "column statistics (min/max)").
  *
  * The SCBF format itself is FROZEN by reference interop (its readers
- * must keep parsing our files byte-for-byte), so stats live in a
- * SIDECAR: `.{file}.scbf.stats` next to each data file — dot-prefixed,
- * so the data-file listing ignores it and reference tooling never sees
- * it. Batch writes publish a sidecar after each data file at task
- * commit; a missing, corrupt, or stale-schema sidecar simply disables
- * skipping for that file (stats are a pure pruning hint — row-level
- * filtering always remains with Spark, so correctness can never depend
- * on a sidecar).
+ * must keep parsing our files byte-for-byte), so stats live OUTSIDE the
+ * data files, dot-prefixed so the data-file listing ignores them and
+ * reference tooling never sees them:
  *
- * Format: one line `rows <n>`, then one line per numeric column
- * `col\t<name>\t<min>\t<max>` (tab-separated; doubles via
- * toString/toDouble round-trip exactly). Utf8 columns carry no stats
- * (their blocks are zlib'd wholesale); a double column containing NaN
- * is omitted (NaN breaks interval reasoning).
+ *  - `.{file}.scbf.stats` — one sidecar per data file, published by the
+ *    writer right after the data file. The unit of truth.
+ *  - `.scbf.stats.manifest` — one per directory, a compaction of the
+ *    sidecars written at JOB/EPOCH commit on the driver. Planning reads
+ *    the manifest ONCE per directory instead of one sidecar per file:
+ *    at 100 TB (~10⁵ files/dir) per-file sidecar reads are 10⁵ serial
+ *    driver round-trips before the first task launches, the manifest is
+ *    one. Each manifest entry carries the data file's LENGTH; an entry
+ *    whose length disagrees with the live listing is stale (the file
+ *    was replaced out-of-band) and planning falls back to that file's
+ *    own sidecar. A missing/corrupt/lost manifest degrades to per-file
+ *    sidecars; a missing sidecar degrades to no skipping. Concurrent
+ *    append jobs race on the manifest last-writer-wins — the loser's
+ *    files simply fall back to their sidecars.
  *
- * At 100 TB the one-small-read-per-file planning cost is real; the
- * production path compacts sidecars into a manifest per directory —
- * the skipping predicate below is unchanged by where the stats are
- * stored.
+ * A missing, corrupt, or stale sidecar/manifest only ever DISABLES
+ * skipping (stats are a pure pruning hint — row-level filtering always
+ * remains with Spark, so correctness can never depend on a stats file).
+ *
+ * Sidecar format: one line `rows <n>`, then per numeric column
+ * `col\t<name>\t<min>\t<max>` (doubles via toString/toDouble round-trip
+ * exactly), then per utf8 column `scol\t<name>\t<b64min>\t<b64max|->`.
+ * A double column containing NaN is omitted (NaN breaks interval
+ * reasoning). String bounds are TRUNCATED byte prefixes (Parquet's
+ * strategy, cap [[MaxStrBound]] bytes): the min prefix is always a
+ * valid lower bound (a prefix sorts ≤ the full string under unsigned
+ * byte order, which is UTF8String's binary ordering); a truncated max
+ * is made a valid UPPER bound by incrementing its last non-0xFF byte —
+ * if every byte is 0xFF the column has no storable upper bound and max
+ * is recorded as `-` (unbounded above). Bounds are raw UTF-8 bytes
+ * (truncation may split a code point), hence base64 in the file.
+ *
+ * The manifest is the sidecar format prefixed per file with
+ * `file\t<name>\t<dataLen>`; `manifest\t1` heads the file.
+ *
+ * Publish discipline (write/writeManifest): temp + POSIX atomic rename,
+ * the same discipline the data files use. On an object store without
+ * atomic rename the worst case is an absent or ignored stats file —
+ * skipping disabled, results unchanged — because partial states are
+ * unreadable by construction (a torn in-place write, by contrast, could
+ * parse as a well-formed prefix with narrower bounds and wrongly skip
+ * live rows). The DATA-file publish shares the atomic-rename
+ * assumption with sharper consequences (visibility of a whole file),
+ * so a deployment that satisfies it for data satisfies it for stats.
  */
 object ScbfStats {
 
+  /** Cap on stored string-bound length, à la Parquet's truncation. */
+  val MaxStrBound = 48
+
   final case class ColRange(min: Double, max: Double)
-  final case class FileStats(rows: Long, cols: Map[String, ColRange])
+
+  /** Truncated utf8 bounds: `min` is a valid lower bound by prefix
+   * order; `max` is a valid upper bound by construction (incremented on
+   * truncation) or None when unbounded above (untruncatable 0xFF run). */
+  final case class StrRange(min: Array[Byte], max: Option[Array[Byte]]) {
+    // Array equality is reference equality; specs compare StrRanges.
+    override def equals(o: Any): Boolean = o match {
+      case StrRange(m, x) =>
+        java.util.Arrays.equals(min, m) && (((max, x)) match {
+          case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+          case (None, None)       => true
+          case _                  => false
+        })
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Arrays.hashCode(min) * 31 + max.map(java.util.Arrays.hashCode).getOrElse(0)
+  }
+
+  final case class FileStats(
+      rows: Long,
+      cols: Map[String, ColRange],
+      strCols: Map[String, StrRange] = Map.empty)
+
+  /** One manifest entry: `dataLen` is the staleness guard — the live
+   * listing's length must match for the entry to be trusted. */
+  final case class FileEntry(name: String, dataLen: Long, stats: FileStats)
+
+  // test hooks: how many stats files did planning actually open?
+  val sidecarReads = new AtomicLong(0)
+  val manifestReads = new AtomicLong(0)
 
   def sidecarPath(data: Path): Path =
     new Path(data.getParent, s".${data.getName}.stats")
 
-  /** Atomic publish (temp + rename, the data-file discipline): a torn
-   * in-place write could parse as a WELL-FORMED prefix with narrower
-   * bounds and wrongly skip live rows — "corrupt disables skipping"
-   * only holds when partial states are unreadable, and rename gives
-   * exactly that (the sidecar either exists whole or not at all). */
-  def write(data: Path, conf: Configuration, stats: FileStats): Unit = {
-    val p = sidecarPath(data)
-    val fs = p.getFileSystem(conf)
-    val tmp = new Path(p.getParent,
-      s"${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val sb = new StringBuilder(s"rows\t${stats.rows}\n")
-      stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
-        sb.append(s"col\t$n\t${r.min}\t${r.max}\n")
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
-    // replace-by-rename: a reader between the delete and the rename
-    // sees NO sidecar (skipping disabled — safe), never a partial one
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new graft.scbf.ScbfFormatException(s"failed to publish stats sidecar $p")
+  def manifestPath(dir: Path): Path = new Path(dir, ".scbf.stats.manifest")
+
+  /** Atomic publish (temp + rename — see the discipline note in the
+   * object scaladoc). */
+  def write(data: Path, conf: Configuration, stats: FileStats): Unit =
+    publish(sidecarPath(data), conf, render(stats))
+
+  /** Compact `entries` into the directory manifest (driver-side, at job
+   * or epoch commit). Deterministic order so streaming-epoch replays
+   * rewrite identical bytes. */
+  def writeManifest(dir: Path, conf: Configuration, entries: Seq[FileEntry]): Unit = {
+    val sb = new StringBuilder("manifest\t1\n")
+    entries.sortBy(_.name).foreach { e =>
+      sb.append(s"file\t${e.name}\t${e.dataLen}\n").append(render(e.stats))
     }
+    publish(manifestPath(dir), conf, sb.toString)
   }
 
-  /** The one file-skipping predicate, shared by the batch scan and the
-   * micro-batch stream (they are contractually required to prune
-   * identically): keep unless a present-and-whole sidecar proves no
-   * row can match. */
-  def keepFile(data: Path, conf: Configuration, filters: Seq[Filter]): Boolean =
-    filters.isEmpty || read(data, conf).forall(st => mayMatch(filters, st))
+  /** The directory manifest as name → entry; empty on missing/corrupt. */
+  def readManifest(dir: Path, conf: Configuration): Map[String, FileEntry] =
+    try {
+      val p = manifestPath(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Map.empty
+      else {
+        manifestReads.incrementAndGet()
+        val lines = slurp(fs, p).split("\n").filter(_.nonEmpty)
+        if (!lines.headOption.contains("manifest\t1")) Map.empty
+        else {
+          val out = Map.newBuilder[String, FileEntry]
+          var i = 1
+          while (i < lines.length) {
+            val Array(_, name, len) = lines(i).split("\t", 3)
+            var j = i + 1
+            while (j < lines.length && !lines(j).startsWith("file\t")) j += 1
+            parse(lines.slice(i + 1, j)).foreach(st =>
+              out += name -> FileEntry(name, len.toLong, st))
+            i = j
+          }
+          out.result()
+        }
+      }
+    } catch { case NonFatal(_) => Map.empty }
 
   /** None on a missing or unparsable sidecar — skipping is best-effort. */
   def read(data: Path, conf: Configuration): Option[FileStats] =
@@ -81,35 +157,45 @@ object ScbfStats {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
-        val in = fs.open(p)
-        val text =
-          try {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            new String(buf, "UTF-8")
-          } finally in.close()
-        val lines = text.split("\n").filter(_.nonEmpty)
-        val rows = lines.collectFirst {
-          case l if l.startsWith("rows\t") => l.stripPrefix("rows\t").toLong
-        }
-        val cols = lines.collect { case l if l.startsWith("col\t") =>
-          val Array(_, n, mn, mx) = l.split("\t", 4)
-          n -> ColRange(mn.toDouble, mx.toDouble)
-        }.toMap
-        rows.map(FileStats(_, cols))
+        sidecarReads.incrementAndGet()
+        parse(slurp(fs, p).split("\n").filter(_.nonEmpty))
       }
     } catch { case NonFatal(_) => None }
 
+  /**
+   * Per-plan file pruner, shared by the batch scan and the micro-batch
+   * stream (contractually required to prune identically). Reads each
+   * directory's manifest at most once and falls back to per-file
+   * sidecars only for files the manifest misses or got stale on — O(1)
+   * stats opens per directory on the happy path, not O(files).
+   * Not thread-safe; planning is single-threaded on the driver.
+   */
+  final class Pruner(conf: Configuration, filters: Seq[Filter]) {
+    private val manifests = mutable.Map.empty[Path, Map[String, FileEntry]]
+    private val active = filters.nonEmpty
+
+    /** Keep unless present-and-whole stats prove no row can match. */
+    def keep(data: Path, dataLen: Long): Boolean =
+      !active || {
+        val man = manifests.getOrElseUpdate(data.getParent,
+          readManifest(data.getParent, conf))
+        (man.get(data.getName) match {
+          case Some(e) if e.dataLen == dataLen => Some(e.stats)
+          case _                               => read(data, conf)
+        }).forall(st => mayMatch(filters, st))
+      }
+  }
+
   /** Can this filter ever contribute to file skipping? (Used to avoid
-   * reading sidecars when no pushed filter could prune anything.) */
+   * reading stats when no pushed filter could prune anything.) */
   def usable(f: Filter): Boolean = f match {
-    case EqualTo(_, v)            => numeric(v)
-    case GreaterThan(_, v)        => numeric(v)
-    case GreaterThanOrEqual(_, v) => numeric(v)
-    case LessThan(_, v)           => numeric(v)
-    case LessThanOrEqual(_, v)    => numeric(v)
-    case In(_, vs)                => vs.nonEmpty && vs.forall(numeric)
+    case EqualTo(_, v)            => comparable(v)
+    case GreaterThan(_, v)        => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v)           => comparable(v)
+    case LessThanOrEqual(_, v)    => comparable(v)
+    case In(_, vs)                => vs.nonEmpty && vs.forall(comparable)
+    case StringStartsWith(_, p)   => p != null
     case And(l, r)                => usable(l) || usable(r)
     case Or(l, r)                 => usable(l) && usable(r)
     case _                        => false
@@ -123,26 +209,142 @@ object ScbfStats {
     stats.rows > 0 && filters.forall(f => mayMatchOne(f, stats))
 
   private def mayMatchOne(f: Filter, s: FileStats): Boolean = f match {
-    case EqualTo(c, v)            => range(s, c, v).forall { case (r, d) => d >= r.min && d <= r.max }
-    case GreaterThan(c, v)        => range(s, c, v).forall { case (r, d) => r.max > d }
-    case GreaterThanOrEqual(c, v) => range(s, c, v).forall { case (r, d) => r.max >= d }
-    case LessThan(c, v)           => range(s, c, v).forall { case (r, d) => r.min < d }
-    case LessThanOrEqual(c, v)    => range(s, c, v).forall { case (r, d) => r.min <= d }
-    case In(c, vs)                => vs.exists(v => mayMatchOne(EqualTo(c, v), s))
-    case And(l, r)                => mayMatchOne(l, s) && mayMatchOne(r, s)
-    case Or(l, r)                 => mayMatchOne(l, s) || mayMatchOne(r, s)
-    case _                        => true
+    case EqualTo(c, v) =>
+      range(s, c, v).forall { case (r, d) => d >= r.min && d <= r.max } &&
+        srange(s, c, v).forall { case (r, b) =>
+          cmp(b, r.min) >= 0 && r.max.forall(mx => cmp(b, mx) <= 0) }
+    case GreaterThan(c, v) =>
+      range(s, c, v).forall { case (r, d) => r.max > d } &&
+        srange(s, c, v).forall { case (r, b) => r.max.forall(mx => cmp(mx, b) > 0) }
+    case GreaterThanOrEqual(c, v) =>
+      range(s, c, v).forall { case (r, d) => r.max >= d } &&
+        srange(s, c, v).forall { case (r, b) => r.max.forall(mx => cmp(mx, b) >= 0) }
+    case LessThan(c, v) =>
+      range(s, c, v).forall { case (r, d) => r.min < d } &&
+        srange(s, c, v).forall { case (r, b) => cmp(r.min, b) < 0 }
+    case LessThanOrEqual(c, v) =>
+      range(s, c, v).forall { case (r, d) => r.min <= d } &&
+        srange(s, c, v).forall { case (r, b) => cmp(r.min, b) <= 0 }
+    case StringStartsWith(c, p) =>
+      // strings with prefix p live in [p, succ(p)): the file may hold
+      // one iff that interval intersects [min, max]
+      s.strCols.get(c).forall { r =>
+        val pb = utf8(p)
+        r.max.forall(mx => cmp(pb, mx) <= 0) &&
+          succ(pb).forall(ub => cmp(r.min, ub) < 0)
+      }
+    case In(c, vs)  => vs.exists(v => mayMatchOne(EqualTo(c, v), s))
+    case And(l, r)  => mayMatchOne(l, s) && mayMatchOne(r, s)
+    case Or(l, r)   => mayMatchOne(l, s) || mayMatchOne(r, s)
+    case _          => true
   }
+
+  /** Build the truncated bounds for a utf8 column from its exact
+   * byte-wise min and max values (writer side). */
+  def strRange(exactMin: Array[Byte], exactMax: Array[Byte]): StrRange =
+    StrRange(
+      exactMin.take(MaxStrBound),
+      if (exactMax.length <= MaxStrBound) Some(exactMax)
+      else succ(exactMax.take(MaxStrBound)))
+
+  /** Unsigned byte-wise lexicographic order — UTF8String's binary
+   * comparison, which is Spark's (non-collated) string ordering. */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** Smallest byte string strictly greater than every string with
+   * prefix `p`: increment the last non-0xFF byte and drop the rest.
+   * None when `p` is all 0xFF (no such bound exists). */
+  private def succ(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = p.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  // ---- rendering / parsing ------------------------------------------------
+
+  private val b64e = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+
+  private def render(stats: FileStats): String = {
+    val sb = new StringBuilder(s"rows\t${stats.rows}\n")
+    stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      sb.append(s"col\t$n\t${r.min}\t${r.max}\n")
+    }
+    stats.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      val mx = r.max.map(b64e.encodeToString).getOrElse("-")
+      sb.append(s"scol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
+    }
+    sb.toString
+  }
+
+  private def parse(lines: Seq[String]): Option[FileStats] = {
+    val rows = lines.collectFirst {
+      case l if l.startsWith("rows\t") => l.stripPrefix("rows\t").toLong
+    }
+    val cols = lines.collect { case l if l.startsWith("col\t") =>
+      val Array(_, n, mn, mx) = l.split("\t", 4)
+      n -> ColRange(mn.toDouble, mx.toDouble)
+    }.toMap
+    val strCols = lines.collect { case l if l.startsWith("scol\t") =>
+      val Array(_, n, mn, mx) = l.split("\t", 4)
+      n -> StrRange(b64d.decode(mn), if (mx == "-") None else Some(b64d.decode(mx)))
+    }.toMap
+    rows.map(FileStats(_, cols, strCols))
+  }
+
+  private def publish(p: Path, conf: Configuration, content: String): Unit = {
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent,
+      s"${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    // replace-by-rename: a reader between the delete and the rename
+    // sees NO stats file (skipping disabled — safe), never a partial one
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new graft.scbf.ScbfFormatException(s"failed to publish stats file $p")
+    }
+  }
+
+  private def slurp(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, UTF_8)
+    } finally in.close()
+  }
+
+  // ---- value plumbing -----------------------------------------------------
 
   /** The (range, filter value) pair when both sides are numeric; None
    * disables exclusion for this predicate. */
   private def range(s: FileStats, col: String, v: Any): Option[(ColRange, Double)] =
     s.cols.get(col).flatMap(r => toDouble(v).map(d => (r, d)))
 
-  private def numeric(v: Any): Boolean = toDouble(v).isDefined
+  private def srange(s: FileStats, col: String, v: Any): Option[(StrRange, Array[Byte])] =
+    s.strCols.get(col).flatMap(r => toBytes(v).map(b => (r, b)))
+
+  private def comparable(v: Any): Boolean = toDouble(v).isDefined || toBytes(v).isDefined
 
   private def toDouble(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue())
     case _                   => None
   }
+
+  private def toBytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String                                   => Some(utf8(s))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _                                           => None
+  }
+
+  private def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
 }

@@ -251,6 +251,22 @@ class ScbfMicroBatchStream(
         current.filterNot(f => seen.contains(f._1)).take(mf.maxFiles())
       case _ => current.filterNot(f => seen.contains(f._1))
     }
+    // Eviction retention rule (both branches): drop an entry only when
+    // it is BELOW the horizon AND its path is absent from the current
+    // listing. Age alone is not safe to evict on: a known file whose
+    // mtime is touched past the horizon would lose its (old-ts) entry
+    // and then re-list with a fresh mtime ≥ horizon — re-admitted as
+    // new, duplicating its rows (the hazard Spark's own
+    // FileStreamSource carries). A still-listed path keeps its entry,
+    // so the admission filter keeps rejecting it no matter what its
+    // mtime does; memory stays bounded by the live listing plus the
+    // in-horizon tail, both already materialized per trigger. Residual
+    // caveat (inherent to mtime-based admission): a path that is
+    // touched while ALSO absent from the listing at eviction time
+    // (external cleanup races, transiently unlistable table path) can
+    // still be re-admitted when it reappears.
+    def keepEntry(path: String, ts: Long, listedPaths: Set[String]): Boolean =
+      ts >= horizon || listedPaths.contains(path)
     if (fresh.isEmpty) {
       // Empty-trigger eviction: normally a no-op (the event-time
       // horizon only advances with newly observed timestamps, and the
@@ -260,12 +276,10 @@ class ScbfMicroBatchStream(
       // too and driver footprint tracks the horizon even while no new
       // files arrive. Snapshots stay admit-path-only: log names are
       // batch-numbered and the batch counter doesn't advance on an
-      // empty trigger; recovery simply re-evicts. Safe by the same
-      // invariant as the admit path: evicted entries sit below the
-      // monotonic horizon, so a re-listing of them is re-rejected by
-      // the admission filter above.
+      // empty trigger; recovery simply re-evicts.
       if (horizon != Long.MinValue) {
-        val retained = seen.filter { case (_, ts) => ts >= horizon }
+        val listedPaths = listed.map(_._1).toSet
+        val retained = seen.filter { case (p, ts) => keepEntry(p, ts, listedPaths) }
         if (retained.size != seen.size) cachedState = Some((maxBatch, retained))
       }
       ScbfOffset(maxBatch)
@@ -276,11 +290,14 @@ class ScbfMicroBatchStream(
       // snapshot after the delta: if the snapshot write crashes midway,
       // recovery falls back to the previous snapshot + deltas (which
       // include this one) — never a torn view. Eviction happens here
-      // (see class doc): entries past the age horizon leave both the
-      // snapshot and driver memory.
+      // (see class doc): entries past the age horizon AND out of the
+      // listing leave both the snapshot and driver memory.
       val retained =
         if (horizon == Long.MinValue) nextSeen
-        else nextSeen.filter { case (_, ts) => ts >= horizon }
+        else {
+          val listedPaths = listed.map(_._1).toSet
+          nextSeen.filter { case (p, ts) => keepEntry(p, ts, listedPaths) }
+        }
       if (next % compactInterval == 0) writeCompact(next, retained)
       cachedState = Some((next, retained))
       ScbfOffset(next)
@@ -293,15 +310,17 @@ class ScbfMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
+    val pruner = new ScbfStats.Pruner(conf, pushedFilters)
     ((s + 1) to e).flatMap(readLog)
-      // stats-based file skipping — ScbfStats.keepFile, the SAME
-      // predicate object the batch scan uses. Offsets/logs are
-      // untouched — a skipped file is still admitted and logged; and
-      // because every pushed filter remains residual in the query plan,
-      // a skip decision that differs on replay (sidecar
-      // appeared/vanished) only removes rows the filter would drop —
-      // results identical.
-      .filter { case (p, _, _) => ScbfStats.keepFile(new Path(p), conf, pushedFilters) }
+      // stats-based file skipping — ScbfStats.Pruner, the SAME
+      // predicate object the batch scan uses (manifest-first, per-file
+      // sidecar fallback; the logged admission length doubles as the
+      // manifest staleness guard). Offsets/logs are untouched — a
+      // skipped file is still admitted and logged; and because every
+      // pushed filter remains residual in the query plan, a skip
+      // decision that differs on replay (stats appeared/vanished) only
+      // removes rows the filter would drop — results identical.
+      .filter { case (p, len, _) => pruner.keep(new Path(p), len) }
       .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray
   }

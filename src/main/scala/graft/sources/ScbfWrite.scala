@@ -100,11 +100,10 @@ class ScbfBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
     // compare by file NAME: listStatus paths are fully qualified
-    // (file:/...), task-side message paths are not — path-string
+    // (file:/...), task-side staged names are not — path-string
     // comparison would never match. Names are unique (uuid suffix).
-    val newNames =
-      messages.collect { case ScbfCommitMessage(fl) => fl.map(new Path(_).getName) }
-        .flatten.toSet
+    val entries = messages.collect { case ScbfCommitMessage(es) => es }.flatten
+    val newNames = entries.map(_.name).toSet
     toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach { p =>
         fs.delete(p, false)
@@ -114,14 +113,25 @@ class ScbfBatchWrite(
         if (fs.exists(sc)) fs.delete(sc, false)
       }
     if (truncate) sweepTemps()
+    // compact per-file stats into the directory manifest so planning
+    // reads one stats file, not one per data file. Overwrite starts
+    // fresh (stale entries for replaced files must not survive); append
+    // merges into whatever manifest is already there. A concurrent
+    // append racing on this rename loses nothing but skipping speed:
+    // its files fall back to their per-file sidecars.
+    val base = if (truncate) Map.empty[String, ScbfStats.FileEntry]
+               else ScbfStats.readManifest(new Path(dir), conf.value)
+    ScbfStats.writeManifest(new Path(dir), conf.value,
+      (base ++ entries.map(e => e.name -> e)).values.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
-    messages.collect { case ScbfCommitMessage(files) =>
-      files.foreach { f =>
-        fs.delete(new Path(f), false)
-        val sc = ScbfStats.sidecarPath(new Path(f))
+    messages.collect { case ScbfCommitMessage(entries) =>
+      entries.foreach { e =>
+        val f = new Path(dir, e.name)
+        fs.delete(f, false)
+        val sc = ScbfStats.sidecarPath(f)
         if (fs.exists(sc)) fs.delete(sc, false)
       }
     }
@@ -148,10 +158,16 @@ class ScbfBatchWrite(
   }
 }
 
-case class ScbfCommitMessage(files: Seq[String]) extends WriterCommitMessage
+/** Batch task result: published files with their stats (the driver
+ * compacts the stats into the directory manifest at job commit). */
+case class ScbfCommitMessage(entries: Seq[ScbfStats.FileEntry])
+  extends WriterCommitMessage
 
-/** Streaming task result: files staged but not yet published. */
-case class ScbfStagedCommitMessage(pairs: Seq[(String, String)])
+/** Streaming task result: files staged but not yet published, plus
+ * their stats — the epoch-level committer publishes BOTH (tasks never
+ * touch final names on the streaming path). */
+case class ScbfStagedCommitMessage(
+    pairs: Seq[(String, String)], entries: Seq[ScbfStats.FileEntry])
   extends WriterCommitMessage
 
 /**
@@ -208,7 +224,7 @@ class ScbfStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
-    messages.collect { case ScbfStagedCommitMessage(pairs) => pairs }.flatten
+    messages.collect { case ScbfStagedCommitMessage(pairs, _) => pairs }.flatten
       .foreach { case (tmp, dst) =>
         val (t, d) = (new Path(tmp), new Path(dst))
         // replay: a final name that already exists was published by an
@@ -238,11 +254,29 @@ class ScbfStreamingWrite(
         else if (!fs.rename(t, d)) throw new ScbfFormatException(
           s"failed to publish $tmp as $dst for epoch $epochId")
       }
+    // Stats publication, AFTER the epoch's data files: tasks never
+    // touch final names on this path, so sidecars are driver-published
+    // here too — without this, a streaming-ingest directory would never
+    // file-skip under the batch scan or a backfill readStream. Replay-
+    // idempotent like the data files: a replayed epoch stages identical
+    // content (checked above), so it recomputes identical stats, and
+    // both sidecar and manifest publish by whole-file rename. A crash
+    // between data and stats publication leaves data without stats —
+    // readable, just not skippable until the epoch replays.
+    val entries = messages.collect { case ScbfStagedCommitMessage(_, es) => es }.flatten
+    if (entries.nonEmpty) {
+      entries.foreach { e =>
+        ScbfStats.write(new Path(dir, e.name), conf.value, e.stats)
+      }
+      val base = ScbfStats.readManifest(new Path(dir), conf.value)
+      ScbfStats.writeManifest(new Path(dir), conf.value,
+        (base ++ entries.map(e => e.name -> e)).values.toSeq)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
-    messages.collect { case ScbfStagedCommitMessage(pairs) => pairs }.flatten
+    messages.collect { case ScbfStagedCommitMessage(pairs, _) => pairs }.flatten
       .foreach { case (tmp, _) =>
         val t = new Path(tmp)
         if (fs.exists(t)) fs.delete(t, false)
@@ -373,10 +407,12 @@ class ScbfDataWriter(
   private val attemptUuid = java.util.UUID.randomUUID().toString.take(8)
   // (temp, final) pairs for every file this attempt has rolled so far
   private val staged = new ArrayBuffer[(Path, Path)]()
-  // per-file column stats, published as sidecars AFTER the data files
-  // at task commit (batch only): a crash between the two leaves data
-  // without a sidecar — readable, just not skippable
-  private val stagedStats = new ArrayBuffer[(Path, ScbfStats.FileStats)]()
+  // per-file column stats + written length (the manifest's staleness
+  // guard). Batch: published as sidecars AFTER the data files at task
+  // commit — a crash between the two leaves data without a sidecar,
+  // readable just not skippable. Streaming: these ride the commit
+  // message; the epoch-level committer publishes them driver-side.
+  private val stagedStats = new ArrayBuffer[ScbfStats.FileEntry]()
   private var fileSeq = 0
   private var bufferedRows = 0L
   private var bufferedBytes = 0L
@@ -404,23 +440,36 @@ class ScbfDataWriter(
     val out = tmp.getFileSystem(conf).create(tmp, true)
     // explicit row count: a zero-column projection (count(*) write) has
     // no columns to derive it from
-    try ScbfWriter.write(out, scbfSchema, data, Some(bufferedRows)) finally out.close()
+    val written =
+      try { ScbfWriter.write(out, scbfSchema, data, Some(bufferedRows)); out.getPos }
+      finally out.close()
     staged += ((tmp, dst))
     // file-skipping stats for the scan (ScbfStats scaladoc): numeric
-    // columns' min/max; a double column containing NaN is omitted (NaN
-    // breaks interval reasoning). Batch-publish only — streaming final
-    // names belong to the epoch-level committer.
-    if (publishOnTaskCommit) {
-      val cols = schema.fields.map(_.name).zip(builders).flatMap {
-        case (n, b: IntBuilder) if b.values.nonEmpty =>
-          Some(n -> ScbfStats.ColRange(b.values.min.toDouble, b.values.max.toDouble))
-        case (n, b: DoubleBuilder)
-            if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
-          Some(n -> ScbfStats.ColRange(b.values.min, b.values.max))
-        case _ => None
-      }.toMap
-      stagedStats += ((dst, ScbfStats.FileStats(bufferedRows, cols)))
-    }
+    // min/max exact; utf8 bounds truncated Parquet-style (strRange). A
+    // double column containing NaN is omitted (NaN breaks interval
+    // reasoning). Computed on BOTH paths — batch publishes at task
+    // commit, streaming ships them to the epoch-level committer.
+    val cols = schema.fields.map(_.name).zip(builders).flatMap {
+      case (n, b: IntBuilder) if b.values.nonEmpty =>
+        Some(n -> ScbfStats.ColRange(b.values.min.toDouble, b.values.max.toDouble))
+      case (n, b: DoubleBuilder)
+          if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
+        Some(n -> ScbfStats.ColRange(b.values.min, b.values.max))
+      case _ => None
+    }.toMap
+    val strCols = schema.fields.map(_.name).zip(builders).flatMap {
+      case (n, b: Utf8Builder) if b.values.nonEmpty =>
+        var mn = b.values.head
+        var mx = b.values.head
+        b.values.foreach { v =>
+          if (ScbfStats.cmp(v, mn) < 0) mn = v
+          if (ScbfStats.cmp(v, mx) > 0) mx = v
+        }
+        Some(n -> ScbfStats.strRange(mn, mx))
+      case _ => None
+    }.toMap
+    stagedStats += ScbfStats.FileEntry(fn, written,
+      ScbfStats.FileStats(bufferedRows, cols, strCols))
     builders.foreach(_.clear())
     fileSeq += 1
     bufferedRows = 0L
@@ -439,10 +488,12 @@ class ScbfDataWriter(
       }
       // sidecars after the data: a half-committed task can leave data
       // without stats (fine) but never stats without data
-      stagedStats.foreach { case (dst, st) => ScbfStats.write(dst, conf, st) }
-      ScbfCommitMessage(staged.toSeq.map(_._2.toString))
+      stagedStats.foreach(e => ScbfStats.write(new Path(dir, e.name), conf, e.stats))
+      ScbfCommitMessage(stagedStats.toSeq)
     } else
-      ScbfStagedCommitMessage(staged.toSeq.map { case (t, d) => (t.toString, d.toString) })
+      ScbfStagedCommitMessage(
+        staged.toSeq.map { case (t, d) => (t.toString, d.toString) },
+        stagedStats.toSeq)
   }
 
   override def abort(): Unit = {

@@ -102,6 +102,8 @@ object EventStreams {
       nPii: Int, keeper: Int, keep: Int, reason: String)
 
   case class Clip(ts: Timestamp, docId: Long, payload: Array[Byte])
+  case class ImageRow(ts: Timestamp, docId: Long, w: Int, h: Int, phash: Long)
+  case class ImageDecision(docId: Long, w: Int, h: Int, phash: Long, keeper: Boolean)
   case class FrameRow(ts: Timestamp, docId: Long, frameIdx: Int,
       w: Int, h: Int, contentId: String)
   case class FrameDecision(docId: Long, frameIdx: Int, w: Int, h: Int,
@@ -490,6 +492,60 @@ object EventStreams {
               if (keeper) seen ::= r.contentId
               if (r.ts.getTime > newest) newest = r.ts.getTime
               out += FrameDecision(r.docId, r.frameIdx, r.w, r.h, keeper)
+            }
+            state.update(ChunkState(seen, newest))
+            state.setTimeoutTimestamp(newest + 1)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming perceptual image dedup — the streaming twin of
+   * m6_image_phash, completing the dedup-family rule that every batch
+   * dedup op has an ingest-time twin: images keep on FIRST ARRIVAL of
+   * their PERCEPTUAL address within the watermark horizon. Decode +
+   * average-hash run map-side; identity is (w, h, aHash) — NOT byte
+   * identity, so a re-encoded / lightly-perturbed copy of an already-
+   * seen image is dropped at ingest exactly as batch m6 collapses it.
+   * Same state discipline as [[frameDedup]] (event-time timeout
+   * refreshed per sighting; state holds the compact address strings, a
+   * few dozen bytes per distinct image, never rasters). Uniform-ts
+   * single-batch input reproduces batch m6's keeper flags exactly
+   * ((ts, docId) arrival order ≡ batch's min(doc_id) first-wins —
+   * spec-anchored). */
+  def imageDedup(images: Dataset[Clip],
+      watermark: String = "1 hour"): Dataset[ImageDecision] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    implicit val rowEnc = Encoders.product[ImageRow]
+    implicit val stateEnc = Encoders.product[ChunkState]
+    implicit val decEnc = Encoders.product[ImageDecision]
+    // watermark AFTER the typed map (see nearDupPairs)
+    val rows = images.map { c =>
+      val img = graft.operators.PpmCodec.decode(c.payload)
+      ImageRow(c.ts, c.docId, img.width, img.height,
+        graft.operators.PpmCodec.aHash(img))
+    }.withWatermark("ts", watermark)
+    def address(r: ImageRow): String = s"${r.w}:${r.h}:${r.phash}"
+    rows
+      .groupByKey { r =>
+        val b = address(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChunkState, ImageDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it: Iterator[ImageRow], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            var newest = state.getOption.map(_.newestTsMs).getOrElse(Long.MinValue)
+            val out = List.newBuilder[ImageDecision]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+              val a = address(r)
+              val keeper = !seen.contains(a)
+              if (keeper) seen ::= a
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+              out += ImageDecision(r.docId, r.w, r.h, r.phash, keeper)
             }
             state.update(ChunkState(seen, newest))
             state.setTimeoutTimestamp(newest + 1)

@@ -87,6 +87,42 @@ class ConfigKnobsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d2 minhash banding knobs re-key the staged graph and preserve exactness") {
+    // the d2 oracle is the EXACT all-pairs Jaccard, so the gate doubles
+    // as a recall test: the shipped 48/24 banding passes it (CORRECTNESS
+    // r4), meaning the default output IS the exact pair set. A banding
+    // with at least as many 2-row bands can only add candidates, and
+    // exact verification filters them — so its output must EQUAL the
+    // default's. That gives a knob-change equivalence check with no
+    // DuckDB in the loop.
+    def pairs(): Set[(Long, Long, Long, Long)] =
+      SparkEntry.queries("d2_minhash_lsh")(spark, sf).collect()
+        .map(r => (r.getAs[Number]("doc_a").longValue, r.getAs[Number]("doc_b").longValue,
+          r.getAs[Number]("inter_cnt").longValue, r.getAs[Number]("union_cnt").longValue))
+        .toSet
+    val dflt = pairs()
+    assert(dflt.nonEmpty)
+    val buildsBefore = Ops.stagedBuildCount
+    withProp(GraftConf.MinHashHashes, "64") {
+      withProp(GraftConf.MinHashBands, "32") {
+        assert(pairs() == dflt, "64/32 banding must reproduce the exact pair set")
+        assert(Ops.stagedBuildCount > buildsBefore,
+          "a knob change must re-key the staged graph, not serve the 48/24 one")
+        // and the re-keyed graph is then REUSED, not rebuilt per consumer
+        val after = Ops.stagedBuildCount
+        pairs()
+        assert(Ops.stagedBuildCount == after)
+      }
+    }
+    // a banding that doesn't divide the sketch fails loudly at the source
+    withProp(GraftConf.MinHashHashes, "48") {
+      withProp(GraftConf.MinHashBands, "7") {
+        val e = intercept[IllegalArgumentException](pairs())
+        assert(e.getMessage.contains("must divide"))
+      }
+    }
+  }
+
   test("d11 kCells knob reaches the trained index and its oracle") {
     withProp(GraftConf.AnnKCells, "8") {
       assert(DedupQueries.oracles("d11_ann_ivf").contains("cell < 8"))

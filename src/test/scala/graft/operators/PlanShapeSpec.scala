@@ -251,6 +251,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p13.contains("partial_min"), p13)
   }
 
+  test("m5/m6: frame and image dedup winners are aggregates, and m6 decodes once") {
+    // the binary-modality dedups follow the d14 shape: the group winner
+    // is a partial-combine min/count AGGREGATE joined back on the
+    // fixed-width content key — a window partitioned on the key would
+    // funnel every copy of a hot reused frame / popular image through
+    // one unsplittable task
+    Seq("m5_frame_dedup", "m6_image_phash").foreach { qn =>
+      val p = plan(qn)
+      assert(!p.contains("Window"), s"$qn: $p")
+      assert("partial_min".r.findAllIn(p).nonEmpty, s"$qn: $p")
+      // decode happens ONCE, at the localCheckpoint materialization:
+      // both the winner aggregate and the flag join read the decoded
+      // fixed-width rows as ExistingRDD scans — the executed plan must
+      // contain NO decode pipeline (a MapPartitions would mean some
+      // consumer re-parses payloads; AQE's broadcast choice defeats
+      // ReusedExchange here, so materialization is the guarantee)
+      assert(p.contains("Scan ExistingRDD"), s"$qn: $p")
+      assert(!p.contains("MapPartitions"), s"$qn: $p")
+    }
+  }
+
   test("d15: keeper selection adds no pair stage of its own") {
     // the pair graph's shape is d8's lock (bucket equi-join, no
     // all-pairs) and the component iteration is ComponentsSpec's; what

@@ -167,7 +167,26 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     run()
     assert(seen.flatten.sorted == (0 until 7), s"got $seen")
     assert(seen.flatten.size == 7, s"duplicated or re-admitted rows: $seen")
-    // the latest snapshot must no longer carry the aged-out batch-1 paths
+    // retention rule half 1: an aged-out path STILL IN THE LISTING keeps
+    // its seen entry — so touching its mtime past the horizon (the
+    // FileStreamSource duplicate hazard) cannot get it re-admitted
+    val batch1Files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".scbf") && f.lastModified() <= t0)
+    assert(batch1Files.nonEmpty, "test setup: no aged files on disk")
+    val batch1Names = batch1Files.map(_.getName).toSeq
+    batch1Files.foreach(f =>
+      assert(f.setLastModified(t0 + 2 * 3600 * 1000L + 90000L)))
+    run()
+    assert(seen.flatten.size == 7,
+      s"touched-mtime known file was re-admitted as fresh: $seen")
+    // retention rule half 2: once the aged path is DELISTED too, it
+    // leaves the snapshot (its entry keeps the ADMISSION-time mtime t0,
+    // far below the horizon — only listing membership was retaining it;
+    // delete the files and trigger a fresh compact)
+    batch1Files.foreach(f => assert(f.delete()))
+    writeBatchAt(7 until 8, t0 + 2 * 3600 * 1000L + 120000L)
+    run()
+    assert(seen.flatten.sorted == (0 until 8), s"got $seen")
     val logDir = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
       .filter(p => p.getFileName.toString == "scbf-file-batches")
       .findFirst().orElseThrow(() =>
@@ -178,12 +197,9 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     val latest = compacts.maxBy(_._1)._2
     val snapshot = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(logDir.toString, latest)))
-    val batch1Files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".scbf") && f.lastModified() <= t0)
-    assert(batch1Files.nonEmpty, "test setup: no aged files on disk")
-    batch1Files.foreach { f =>
-      assert(!snapshot.contains(f.getName),
-        s"aged-out path ${f.getName} still in snapshot $latest")
+    batch1Names.foreach { n =>
+      assert(!snapshot.contains(n),
+        s"aged-and-delisted path $n still in snapshot $latest")
     }
   }
 

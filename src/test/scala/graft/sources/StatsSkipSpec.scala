@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan, StringStartsWith}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -48,8 +48,37 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       assert(st.cols("id") == ScbfStats.ColRange(rows.getInt(0), rows.getInt(1)))
       assert(st.cols("score") == ScbfStats.ColRange(rows.getDouble(2), rows.getDouble(3)))
       assert(st.rows == rows.getLong(4))
-      assert(!st.cols.contains("tag"), "utf8 columns carry no stats")
+      assert(!st.cols.contains("tag"), "utf8 stats live in strCols, not cols")
+      val srows = spark.read.format("scbf").load(f.toString)
+        .select(min("tag"), max("tag")).head()
+      assert(st.strCols("tag") == ScbfStats.strRange(
+        srows.getString(0).getBytes("UTF-8"), srows.getString(1).getBytes("UTF-8")))
     }
+  }
+
+  test("utf8 bounds truncate like Parquet: min by prefix, max by increment") {
+    def b(s: String, n: Int) = Array.fill(n)(s.head.toByte)
+    // short values survive exactly
+    val exact = ScbfStats.strRange("abc".getBytes, "xyz".getBytes)
+    assert(exact == ScbfStats.StrRange("abc".getBytes, Some("xyz".getBytes)))
+    // long min truncates to a prefix (still a valid lower bound); long
+    // max truncates AND increments its last byte (a valid upper bound)
+    val long = ScbfStats.strRange(b("a", 60), b("b", 60))
+    assert(long.min.length == ScbfStats.MaxStrBound)
+    assert(long.max.get.length == ScbfStats.MaxStrBound)
+    assert(long.max.get.last == 'c'.toByte, "last byte incremented on truncation")
+    val st = ScbfStats.FileStats(10, Map.empty, Map("s" -> long))
+    // the true max ("b"*60) sorts BELOW the widened bound → still kept
+    assert(ScbfStats.mayMatch(Seq(EqualTo("s", "b" * 60)), st))
+    assert(!ScbfStats.mayMatch(Seq(EqualTo("s", "z")), st))
+    assert(!ScbfStats.mayMatch(Seq(LessThan("s", "a")), st))
+    // an all-0xFF prefix cannot be widened: max must vanish, not lie
+    val ff = Array.fill(60)(0xFF.toByte)
+    assert(ScbfStats.strRange("a".getBytes, ff).max.isEmpty)
+    val stFF = ScbfStats.FileStats(10, Map.empty,
+      Map("s" -> ScbfStats.strRange("a".getBytes, ff)))
+    assert(ScbfStats.mayMatch(Seq(EqualTo("s", "zzzz")), stFF),
+      "unbounded-above column can never exclude by max")
   }
 
   test("a 0-row placeholder file is skippable under any filter") {
@@ -74,7 +103,9 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(planned(LessThan("id", 250)) == 1)
     assert(planned(GreaterThan("score", 1250.0)) == 2)
     assert(planned(EqualTo("id", 100000)) == 0, "out of range → nothing planned")
-    assert(planned(EqualTo("tag", "row5")) == 4, "no stats column → no skipping")
+    // "row5" sorts inside only file 0's byte range ("row0".."row99");
+    // files 1-3 hold row250+ whose byte ranges exclude it
+    assert(planned(EqualTo("tag", "row5")) == 1, "utf8 bounds prune too")
   }
 
   test("query results are identical with sidecars present or deleted; explain shows pushed filters") {
@@ -141,6 +172,126 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       }.start()
     try q.processAllAvailable() finally q.stop()
     assert(got.sorted.toSeq == (0 until 250).toSeq)
+  }
+
+  private def plannedIn(dir: String, filters: org.apache.spark.sql.sources.Filter*): Int = {
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(
+      spark.read.format("scbf").load(dir).schema, files, conf)
+    b.pushFilters(filters.toArray)
+    b.build().asInstanceOf[ScbfScan].planInputPartitions().length
+  }
+
+  test("string filters prune files through the truncated utf8 bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-skip-str").toString
+    // range-partition on a STRING key — the curation layout (t13/t14
+    // key on `source`) where `source = '...'` should open one file
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") / 250).cast("int")).as("source"))
+      .repartitionByRange(4, col("source"))
+      .write.format("scbf").mode("overwrite").save(dir)
+    assert(plannedIn(dir) == 4)
+    assert(plannedIn(dir, EqualTo("source", "src_2")) == 1,
+      "string point lookup → one range file")
+    assert(plannedIn(dir, StringStartsWith("source", "src_0")) == 1)
+    assert(plannedIn(dir, LessThan("source", "src_1")) == 1)
+    assert(plannedIn(dir, EqualTo("source", "zzz")) == 0)
+    assert(plannedIn(dir, StringStartsWith("source", "other_")) == 0)
+    // e2e rows unchanged by the pruning
+    val got = spark.read.format("scbf").load(dir)
+      .filter(col("source") === "src_2").count()
+    assert(got == 250)
+  }
+
+  test("planning reads one manifest per directory, not one sidecar per file") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-skip-man").toString
+    writeRanged(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    assert(fs.exists(ScbfStats.manifestPath(p)), "batch commit writes the manifest")
+    ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
+    assert(plannedIn(dir, LessThan("id", 250)) == 1)
+    assert(ScbfStats.manifestReads.get == 1,
+      "one stats read per DIRECTORY — the 100 TB planning contract")
+    assert(ScbfStats.sidecarReads.get == 0,
+      "no per-file sidecar reads when the manifest covers every file")
+    // manifest lost → per-file sidecars carry the same decisions
+    fs.delete(ScbfStats.manifestPath(p), false)
+    ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
+    assert(plannedIn(dir, LessThan("id", 250)) == 1)
+    assert(ScbfStats.sidecarReads.get == 4, "fallback reads each file's sidecar")
+  }
+
+  test("a stale manifest entry (file replaced out-of-band) falls back to the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-skip-stale").toString
+    writeRanged(dir)
+    val conf = new Configuration()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    // replace ONE data file out-of-band (no job commit → manifest keeps
+    // the old entry) with content from a disjoint id range + a fresh
+    // sidecar — the manifest's len guard must reject its stale entry
+    val victim = scbfFiles(dir).head
+    val tmp = java.nio.file.Files.createTempDirectory("scbf-skip-stale-src").toString
+    spark.range(9000, 9011)
+      .select(col("id").cast("int").as("id"),
+        (col("id") * 2.5).as("score"),
+        concat(lit("row"), col("id")).as("tag"))
+      .coalesce(1)
+      .write.format("scbf").mode("overwrite").save(tmp)
+    val src = scbfFiles(tmp).head
+    fs.delete(victim, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, victim, false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, ScbfStats.sidecarPath(src),
+      fs, ScbfStats.sidecarPath(victim), false, conf)
+    assert(fs.getFileStatus(victim).getLen !=
+      ScbfStats.readManifest(p, conf)(victim.getName).dataLen,
+      "test setup: the replacement must change the length")
+    // the stale manifest entry says this file's ids are far below 9005;
+    // trusting it would wrongly skip — the len mismatch forces the
+    // sidecar, which admits the file
+    assert(plannedIn(dir, EqualTo("id", 9005)) == 1)
+    val got = spark.read.format("scbf").load(dir)
+      .filter(col("id") === 9005).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(9005))
+  }
+
+  test("a streaming-sink-written directory file-skips like a batch-written one") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("scbf-skip-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scbf-skip-sink-ck").toString
+    val input = MemoryStream[Int]
+    // three restarts → three epochs → three files with disjoint ranges
+    def run(lo: Int, hi: Int): Unit = {
+      val q = input.toDF()
+        .select(col("value").cast("int").as("id"),
+          concat(lit("e"), (col("value") / 1000).cast("int")).as("tag"))
+        .coalesce(1)
+        .writeStream.format("scbf").option("checkpointLocation", ckpt).start(out)
+      try { input.addData(lo until hi: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(0, 100); run(1000, 1100); run(2000, 2100)
+    val p = new Path(out)
+    val fs = p.getFileSystem(new Configuration())
+    assert(scbfFiles(out).size == 3)
+    scbfFiles(out).foreach { f =>
+      assert(fs.exists(ScbfStats.sidecarPath(f)),
+        s"streaming commit must publish a sidecar for $f")
+    }
+    assert(fs.exists(ScbfStats.manifestPath(p)),
+      "streaming epoch commit must maintain the directory manifest")
+    ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
+    assert(plannedIn(out, EqualTo("id", 1050)) == 1,
+      "a backfill batch read over streaming output plans 1-of-3 files")
+    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get == 0)
+    assert(plannedIn(out, EqualTo("tag", "e2")) == 1, "utf8 stats too")
+    val got = spark.read.format("scbf").load(out)
+      .filter(col("id") >= 2000).count()
+    assert(got == 100)
   }
 
   test("overwrite replaces stale sidecars with the new files' stats") {
