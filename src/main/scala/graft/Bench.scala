@@ -48,7 +48,8 @@ object Bench {
     // the upstream pair generation into their numbers
     // intersect with the live query surface: a renamed/removed owner
     // must not kill the whole bench with NoSuchElementException
-    val owners = Seq("d2_minhash_lsh", "d10_simhash_neardup", "d8_embed_neardup")
+    val owners = Seq("d2_minhash_lsh", "d10_simhash_neardup", "d8_embed_neardup",
+      "d5_ann_bruteforce", "d6_ann_lsh", "d11_ann_ivf")
       .filter(SparkEntry.queries.contains)
     val names = owners ++
       SparkEntry.queries.keySet.toSeq.sorted.filterNot(owners.contains)

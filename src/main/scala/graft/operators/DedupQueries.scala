@@ -458,6 +458,77 @@ object DedupQueries {
       crossExp.unionByName(withinExp)
   }
 
+  /** d5's exact brute-force top-k, unstaged (see [[d5TopK]]).
+   * Query set is broadcast-size; corpus side streams — at scale this
+   * is a broadcast-nested-loop over the fact table, the standard
+   * exact-scoring shape. Ranks only: similarity values stay engine-
+   * internal so float formatting can't leak into the comparison. */
+  private[operators] def d5TopKPlan(s: SparkSession, dir: String): DataFrame = {
+    // cast (codegen) + native cosine_sim expression (codegen): the
+    // interpreted aggregate/zip_with lambda formulation this replaces
+    // boxed every element three times per pair.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
+    // Hierarchical top-k (q6's salted pattern): a plain per-query_id
+    // window funnels every scored corpus row through ≤|queries| tasks —
+    // straggler sorts at scale. Salt on the corpus vec_id, take the
+    // local top-3 per (query_id, salt) — any global top-3 row has ≤2
+    // rows ahead of it in its own bucket, so it always survives — then
+    // rank the ≤ 3×32 candidates per query. Identical output, bounded
+    // task size at any corpus scale.
+    Ops.saltedTopK(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), 3, "rank")
+      .select("query_id", "rank", "vec_id")
+  }
+
+  /** d5's exact ranked list (query_id, rank, vec_id), staged once per
+   * (session, sfDir): consumed by the d5 query and the d21 quality
+   * report. */
+  private[operators] def d5TopK(s: SparkSession, dir: String): DataFrame =
+    Ops.staged(s, dir, "d5_topk")(d5TopKPlan(s, dir))
+
+  /** d6's LSH-bucketed top-k, unstaged (see [[d6TopK]]): 10 hyperplane
+   * sign bits → bucket; candidates share a bucket with the query under
+   * at least one of 4 independent bucketings (see annLshTopK). */
+  private[operators] def d6TopKPlan(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // the generated oracle embeds dim-64 plane literals: any other
+    // dim must fail loudly here, not as a silent oracle divergence
+    val dim = emb.select(size(col("e"))).head().getInt(0)
+    require(dim == 64, s"d6 oracle is generated for dim=64 embeddings; data has dim=$dim")
+    annLshTopK(emb, col("vec_id") < 5,
+      bits = GraftConf.int(s, GraftConf.LshBits, 10))
+  }
+
+  /** d6's ranked list, staged; the key carries the bit-width knob. */
+  private[operators] def d6TopK(s: SparkSession, dir: String): DataFrame = {
+    val bits = GraftConf.int(s, GraftConf.LshBits, 10)
+    Ops.staged(s, dir, s"d6_topk_b$bits")(d6TopKPlan(s, dir))
+  }
+
+  /** d11's IVF top-k, unstaged (see [[d11TopK]]): k-means cells bound
+   * the exact search to nprobe/kCells of the corpus (see annIvfTopK).
+   * Training and search are deterministic and mirrored step-for-step
+   * in SQL (ivfOracleSql) — hash-gated, not rows-only. */
+  private[operators] def d11TopKPlan(s: SparkSession, dir: String): DataFrame =
+    annIvfTopK(
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      col("vec_id") < 5,
+      kCells = GraftConf.int(s, GraftConf.AnnKCells, 16))
+
+  /** d11's ranked list, staged; the key carries the kCells knob. */
+  private[operators] def d11TopK(s: SparkSession, dir: String): DataFrame = {
+    val cells = GraftConf.int(s, GraftConf.AnnKCells, 16)
+    Ops.staged(s, dir, s"d11_topk_c$cells")(d11TopKPlan(s, dir))
+  }
+
   /** The d2 pair graph (doc_a, doc_b, inter_cnt, union_cnt), staged
    * once per (session, sfDir): consumed by the d2 pair report and the
    * d18 agreement report. The staging key carries BOTH banding knobs —
@@ -963,65 +1034,42 @@ object DedupQueries {
     },
 
     // ---- brute-force cosine top-k (the ANN correctness baseline) ----
-    // Query set is broadcast-size; corpus side streams — at scale this
-    // is a broadcast-nested-loop over the fact table, the standard
-    // exact-scoring shape. Ranks only: similarity values stay engine-
-    // internal so float formatting can't leak into the comparison.
-    "d5_ann_bruteforce" -> { (s, dir) =>
-      // cast (codegen) + native cosine_sim expression (codegen): the
-      // interpreted aggregate/zip_with lambda formulation this replaces
-      // boxed every element three times per pair.
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"))
-      val scored = emb.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("qe"), col("e")))
-      // Hierarchical top-k (q6's salted pattern): a plain per-query_id
-      // window funnels every scored corpus row through ≤|queries| tasks —
-      // straggler sorts at scale. Salt on the corpus vec_id, take the
-      // local top-3 per (query_id, salt) — any global top-3 row has ≤2
-      // rows ahead of it in its own bucket, so it always survives — then
-      // rank the ≤ 3×32 candidates per query. Identical output, bounded
-      // task size at any corpus scale.
-      Ops.saltedTopK(scored, Seq(col("query_id")),
-          Seq(col("sim").desc, col("vec_id").asc), col("vec_id"), 3, "rank")
-        .select("query_id", "rank", "vec_id")
-    },
+    // Pipeline: d5TopKPlan; the query serves the STAGED ranked list
+    // (consumed again by the d21 quality report).
+    "d5_ann_bruteforce" -> { (s, dir) => d5TopK(s, dir) },
 
     // ---- LSH-bucketed ANN (the scale path) ----
-    // 10 hyperplane sign bits → bucket; candidates share a bucket with
-    // the query under at least one of 4 independent bucketings. The
-    // candidate RECALL is approximate (AnnRecallSpec anchors it), but
-    // the computation is bit-reproducible cross-engine (integer
-    // planes, see lshPlanes) — so it IS hash-gated against an exact
-    // DuckDB oracle; d5 is its exact-search baseline.
-    "d6_ann_lsh" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      // the generated oracle embeds dim-64 plane literals: any other
-      // dim must fail loudly here, not as a silent oracle divergence
-      val dim = emb.select(size(col("e"))).head().getInt(0)
-      require(dim == 64, s"d6 oracle is generated for dim=64 embeddings; data has dim=$dim")
-      annLshTopK(emb, col("vec_id") < 5,
-        bits = GraftConf.int(s, GraftConf.LshBits, 10))
-    },
+    // Pipeline: d6TopKPlan; staged (see d5), knob-keyed on the bit
+    // width. The candidate RECALL is approximate (AnnRecallSpec
+    // anchors it), but the computation is bit-reproducible
+    // cross-engine — so it IS hash-gated against an exact DuckDB
+    // oracle; d5 is its exact-search baseline.
+    "d6_ann_lsh" -> { (s, dir) => d6TopK(s, dir) },
 
     // ---- IVF ANN: trained coarse quantizer + probed cells ----
-    // The inverted-file index that pairs with d6's hyperplane LSH as
-    // the second classic scale path: k-means cells bound the exact
-    // search to nprobe/kCells of the corpus (see annIvfTopK). The
-    // candidate RECALL is approximate (AnnRecallSpec anchors it), but
-    // training and search are deterministic and mirrored step-for-step
-    // in SQL (see ivfOracleSql) — hash-gated, not rows-only; d5 is
-    // the exact-search baseline.
-    "d11_ann_ivf" -> { (s, dir) =>
-      annIvfTopK(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
-        col("vec_id") < 5,
-        kCells = GraftConf.int(s, GraftConf.AnnKCells, 16))
+    // Pipeline: d11TopKPlan; staged (see d5), knob-keyed on kCells.
+    "d11_ann_ivf" -> { (s, dir) => d11TopK(s, dir) },
+
+    // ---- ANN index-quality report (the d18 pattern applied to ANN) ----
+    // Recall is usually a spec-only number (AnnRecallSpec); this makes
+    // index quality AUDITABLE IN-PIPELINE at any scale: for each query,
+    // how many of the EXACT top-k (d5) does each approximate index (d6
+    // LSH, d11 IVF) recover? Consumes the three STAGED ranked lists —
+    // adds no candidate generation of its own (lock-asserted), and the
+    // join/aggregate runs over ≤ |queries|×k rows regardless of corpus
+    // size. All three inputs are oracle-exact, so the report is too.
+    "d21_ann_quality" -> { (s, dir) =>
+      val ex = d5TopK(s, dir).select(col("query_id"), col("vec_id"))
+      val l = d6TopK(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1).as("in_lsh"))
+      val iv = d11TopK(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1).as("in_ivf"))
+      ex.join(l, Seq("query_id", "vec_id"), "left")
+        .join(iv, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("in_lsh"), lit(0))).as("lsh_hits"),
+          sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
     },
 
     // ---- per-label embedding centroids (vector aggregation) ----
@@ -1325,15 +1373,22 @@ object DedupQueries {
         |JOIN cards cb ON cb.doc_id = db
         |WHERE i * 25 >= (ca.c + cb.c - i) * 2""".stripMargin,
 
-    "d5_ann_bruteforce" ->
-      """SELECT q.vec_id AS query_id,
-        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-        |             e.vec_id ASC) AS rank,
-        |  e.vec_id
-        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        |WHERE q.vec_id < 5
-        |QUALIFY rank <= 3""".stripMargin,
+    "d5_ann_bruteforce" -> D5OracleSql,
+
+    // recall made auditable: per query, the exact top-k left-joined
+    // against each approximate index's list — the three factored full
+    // oracles nested as CTEs (the d18 pattern)
+    "d21_ann_quality" ->
+      s"""WITH ex AS ($D5OracleSql),
+         |l AS (${d6OracleSql(GraftConf.int(GraftConf.LshBits, 10))}),
+         |iv AS (${ivfOracleSql(kCells = GraftConf.int(GraftConf.AnnKCells, 16))})
+         |SELECT ex.query_id, COUNT(*) AS k,
+         |  CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |  CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+         |FROM ex
+         |LEFT JOIN l ON l.query_id = ex.query_id AND l.vec_id = ex.vec_id
+         |LEFT JOIN iv ON iv.query_id = ex.query_id AND iv.vec_id = ex.vec_id
+         |GROUP BY ex.query_id""".stripMargin,
 
     "d9_embed_normalize" ->
       """WITH parts AS (
@@ -1389,34 +1444,49 @@ object DedupQueries {
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(q, x -> x >= 255)) AS INT) AS q_hi_cnt
         |FROM q""".stripMargin,
-    // d6's candidate generation is reproducible bit-for-bit in SQL
-    // (integer-plane buckets, see lshPlanes), and its scoring/ranking
-    // is d5's — which already hash-matches — so the whole approximate
-    // operator gets an exact oracle twin. The embeddings table is
-    // dim-64 at every SF (the planes here are lshPlanes(64)).
-    "d6_ann_lsh" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
-         |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
-         |       FROM base),
-         |bk AS (SELECT vec_id,
-         |         unnest([${bucketExprsSql(lshPlanes(64, GraftConf.int(GraftConf.LshBits, 10))).mkString(",\n           ")}]) bucket
-         |       FROM qz),
-         |qb AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5),
-         |cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
-         |         FROM bk JOIN qb ON bk.bucket = qb.bucket
-         |           AND bk.vec_id <> qb.query_id)
-         |SELECT query_id, rank, vec_id FROM (
-         |  SELECT c.query_id,
-         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
-         |      ORDER BY list_cosine_similarity(qe.e, ce.e) DESC,
-         |               c.vec_id ASC) AS rank,
-         |    c.vec_id
-         |  FROM cand c
-         |  JOIN base qe ON qe.vec_id = c.query_id
-         |  JOIN base ce ON ce.vec_id = c.vec_id)
-         |WHERE rank <= 3""".stripMargin
+    "d6_ann_lsh" -> d6OracleSql(GraftConf.int(GraftConf.LshBits, 10))
     // every DedupQueries entry is oracle-gated (d11's oracle is the
     // ivfOracleSql entry at the TOP of this map); the repo's only
     // rows-only query is q28's sketches, pinned by QueriesSmokeSpec
   )
+
+  /** The complete d5 all-pairs exact top-k oracle — factored so d21
+   * can nest it as a CTE (the d18 pattern). */
+  private lazy val D5OracleSql: String =
+    """SELECT q.vec_id AS query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |             e.vec_id ASC) AS rank,
+      |  e.vec_id
+      |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |WHERE q.vec_id < 5
+      |QUALIFY rank <= 3""".stripMargin
+
+  /** The complete d6 oracle, factored for d21. d6's candidate
+   * generation is reproducible bit-for-bit in SQL (integer-plane
+   * buckets, see lshPlanes), and its scoring/ranking is d5's — which
+   * already hash-matches — so the whole approximate operator gets an
+   * exact oracle twin. The embeddings table is dim-64 at every SF
+   * (the planes here are lshPlanes(64)). */
+  private def d6OracleSql(bits: Int): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+       |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000.0)) q
+       |       FROM base),
+       |bk AS (SELECT vec_id,
+       |         unnest([${bucketExprsSql(lshPlanes(64, bits)).mkString(",\n           ")}]) bucket
+       |       FROM qz),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
+       |         FROM bk JOIN qb ON bk.bucket = qb.bucket
+       |           AND bk.vec_id <> qb.query_id)
+       |SELECT query_id, rank, vec_id FROM (
+       |  SELECT c.query_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(qe.e, ce.e) DESC,
+       |               c.vec_id ASC) AS rank,
+       |    c.vec_id
+       |  FROM cand c
+       |  JOIN base qe ON qe.vec_id = c.query_id
+       |  JOIN base ce ON ce.vec_id = c.vec_id)
+       |WHERE rank <= 3""".stripMargin
 }

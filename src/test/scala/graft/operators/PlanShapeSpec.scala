@@ -57,15 +57,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d5: ANN brute force broadcasts the query side") {
-    val p = plan("d5_ann_bruteforce")
+    // the ranked lists are staged (d21 consumes them), so lock the
+    // unstaged builder — the checkpoint hides lineage from the query
+    val p = builderPlan(DedupQueries.d5TopKPlan(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
   test("d5/d6/t6: per-group ranking is salted — local top-k windows precede the final rank") {
     // two Window operators per query: (group, __salt) local pass, then
     // the per-group final rank over surviving candidates only
-    Seq("d5_ann_bruteforce", "d6_ann_lsh", "t6_top_terms").foreach { q =>
-      val p = plan(q)
+    val plans = Seq(
+      "d5" -> builderPlan(DedupQueries.d5TopKPlan(spark, sf)),
+      "d6" -> builderPlan(DedupQueries.d6TopKPlan(spark, sf)),
+      "t6" -> plan("t6_top_terms"))
+    plans.foreach { case (q, p) =>
       assert(p.contains("__salt"), s"$q lost its salted local top-k pass:\n$p")
       assert("row_number".r.findAllIn(p).length >= 2, s"$q:\n$p")
     }
@@ -143,9 +148,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d11: IVF assignment runs as the single centroid_sims expression, no UDF") {
-    val p = plan("d11_ann_ivf")
+    val p = builderPlan(DedupQueries.d11TopKPlan(spark, sf))
     assert(!p.contains("ScalaUDF"), p)
     assert(p.contains("centroid_sims"), p)
+  }
+
+  test("d21: the quality report adds no candidate generation of its own") {
+    Ops.stagedClear()
+    val base = Ops.stagedBuildCount
+    // first consumers stage the three ranked lists…
+    SparkEntry.queries("d5_ann_bruteforce")(spark, sf)
+    SparkEntry.queries("d6_ann_lsh")(spark, sf)
+    SparkEntry.queries("d11_ann_ivf")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 3)
+    // …and d21 is a pure join/aggregate over them: zero new stages
+    val out = SparkEntry.queries("d21_ann_quality")(spark, sf)
+    assert(Ops.stagedBuildCount == base + 3)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("cosine_sim") && !p.contains("centroid_sims"),
+      s"d21 re-scored embeddings instead of consuming the staged lists:\n$p")
   }
 
   test("whole-stage codegen covers the q1 aggregation pipeline") {
