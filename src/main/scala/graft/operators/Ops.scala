@@ -132,8 +132,29 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     }.foreach(_.unpersist(false))
 
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), () => DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), StagedHolder]()
   private val stagedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Memoizing holder for one staged relation. The lazy val serializes
+   * concurrent first-consumers of this key only; a FAILED build removes
+   * the holder from the cache before rethrowing, so a poisoned entry
+   * can never linger for stagedClear (which would otherwise re-run the
+   * failing build — or launch a fresh materialization job just to
+   * release it) or shadow a later retry. `materialized` lets
+   * stagedClear release exactly the relations that actually built,
+   * without ever invoking the thunk itself. */
+  private final class StagedHolder(
+      key: (SparkSession, String, String), build: () => DataFrame) {
+    @volatile var materialized: Option[DataFrame] = None
+    private lazy val built: DataFrame = {
+      val df =
+        try { stagedBuilds.incrementAndGet(); build().localCheckpoint() }
+        catch { case t: Throwable => stagedCache.remove(key, this); throw t }
+      materialized = Some(df)
+      df
+    }
+    def apply(): DataFrame = built
+  }
 
   /** Cross-query staging point for a relation consumed by several
    * operators of one pipeline run (the d2/d10/d8 pair graphs, each fed
@@ -151,18 +172,14 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     // drop its entries so a long-lived process creating session after
     // session doesn't retain dead RDD references indefinitely
     stagedCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    // computeIfAbsent only installs a memoizing thunk (cheap, safe under
-    // the map's bin lock); the checkpoint JOB runs in holder() outside
-    // it. Running the job inside compute() would serialize unrelated
-    // keys hashing to one bin and make a staged builder that
+    // computeIfAbsent only installs a memoizing holder (cheap, safe
+    // under the map's bin lock); the checkpoint JOB runs in holder()
+    // outside it. Running the job inside compute() would serialize
+    // unrelated keys hashing to one bin and make a staged builder that
     // transitively stages another colliding key throw (recursive
-    // update). The lazy val serializes concurrent first-consumers of
-    // THIS key only — exactly the build-once contract.
-    val holder = stagedCache.computeIfAbsent((s, dir, name), _ => {
-      lazy val built = { stagedBuilds.incrementAndGet(); build.localCheckpoint() }
-      () => built
-    })
-    holder()
+    // update).
+    val key = (s, dir, name)
+    stagedCache.computeIfAbsent(key, k => new StagedHolder(k, () => build))()
   }
 
   /** How many staged relations have been materialized (test hook: lets
@@ -174,10 +191,12 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
    * iterations, so each iteration re-pays each materialization exactly
    * once (keeps per-query timings honest across repeats). */
   def stagedClear(): Unit = {
-    // every cached holder was materialized by the staged() call that
-    // installed it, so h() here never triggers a fresh build; stopped
-    // sessions' blocks are already gone — just drop those entries
-    stagedCache.forEach((k, h) => if (!k._1.sparkContext.isStopped) release(h()))
+    // release only what actually MATERIALIZED (never invoke the thunk:
+    // a mid-build or failed holder must not trigger a build here);
+    // stopped sessions' blocks are already gone — just drop those
+    stagedCache.forEach { (k, h) =>
+      if (!k._1.sparkContext.isStopped) h.materialized.foreach(release)
+    }
     stagedCache.clear()
   }
 

@@ -238,7 +238,7 @@ object RelationalQueries {
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       t(s, dir, "documents")
         .select(col("doc_id").cast("int").as("doc_id"), col("source"),
-          col("lang"), col("n_chars").cast("int").as("n_chars"))
+          col("n_chars").cast("int").as("n_chars"))
         .repartitionByRange(spread(s), col("source"))
         .write.format("scbf").mode("overwrite").save(scbfDir)
       s.read.format("scbf").load(scbfDir)

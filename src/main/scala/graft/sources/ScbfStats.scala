@@ -39,7 +39,9 @@ import org.apache.spark.sql.sources._
  * skipping (stats are a pure pruning hint — row-level filtering always
  * remains with Spark, so correctness can never depend on a stats file).
  *
- * Sidecar format: one line `rows <n>`, then per numeric column
+ * Sidecar format: one line `len <dataFileBytes>` (the sidecar's own
+ * staleness guard — pruning trusts a sidecar only when it matches the
+ * live listing), one line `rows <n>`, then per numeric column
  * `col\t<name>\t<min>\t<max>` (doubles via toString/toDouble round-trip
  * exactly), then per utf8 column `scol\t<name>\t<b64min>\t<b64max|->`.
  * A double column containing NaN is omitted (NaN breaks interval
@@ -109,9 +111,13 @@ object ScbfStats {
   def manifestPath(dir: Path): Path = new Path(dir, ".scbf.stats.manifest")
 
   /** Atomic publish (temp + rename — see the discipline note in the
-   * object scaladoc). */
-  def write(data: Path, conf: Configuration, stats: FileStats): Unit =
-    publish(sidecarPath(data), conf, render(stats))
+   * object scaladoc). The sidecar records the data file's LENGTH as
+   * its own staleness guard (`len` line): pruning trusts a sidecar
+   * only when that length matches the live listing, so a file
+   * replaced out-of-band without a sidecar refresh can never be
+   * skipped on its predecessor's bounds. */
+  def write(data: Path, conf: Configuration, stats: FileStats, dataLen: Long): Unit =
+    publish(sidecarPath(data), conf, s"len\t$dataLen\n" + render(stats))
 
   /** Compact `entries` into the directory manifest (driver-side, at job
    * or epoch commit). Deterministic order so streaming-epoch replays
@@ -122,6 +128,19 @@ object ScbfStats {
       sb.append(s"file\t${e.name}\t${e.dataLen}\n").append(render(e.stats))
     }
     publish(manifestPath(dir), conf, sb.toString)
+  }
+
+  /** Read-merge-publish of the directory manifest — the ONE place the
+   * merge discipline lives (both commit paths call it). `fresh` starts
+   * from empty (overwrite replaces the directory's contents, so stale
+   * entries must not survive); otherwise new entries overlay the
+   * existing map name-keyed. Concurrent writers race last-writer-wins:
+   * the loser's files simply fall back to their (length-guarded)
+   * sidecars until the next merge picks them up. */
+  def mergeManifest(dir: Path, conf: Configuration,
+      entries: Seq[FileEntry], fresh: Boolean): Unit = {
+    val base = if (fresh) Map.empty[String, FileEntry] else readManifest(dir, conf)
+    writeManifest(dir, conf, (base ++ entries.map(e => e.name -> e)).values.toSeq)
   }
 
   /** The directory manifest as name → entry; empty on missing/corrupt. */
@@ -150,15 +169,27 @@ object ScbfStats {
       }
     } catch { case NonFatal(_) => Map.empty }
 
-  /** None on a missing or unparsable sidecar — skipping is best-effort. */
+  /** None on a missing or unparsable sidecar — skipping is best-effort.
+   * (Stats only; see [[readGuarded]] for the pruning path.) */
   def read(data: Path, conf: Configuration): Option[FileStats] =
+    readGuarded(data, conf).map(_._2)
+
+  /** The sidecar's (recorded data length, stats). None on a missing or
+   * unparsable sidecar OR one without a `len` guard — pruning must
+   * never trust unguarded bounds (the file they describe may have been
+   * replaced out-of-band). */
+  def readGuarded(data: Path, conf: Configuration): Option[(Long, FileStats)] =
     try {
       val p = sidecarPath(data)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
         sidecarReads.incrementAndGet()
-        parse(slurp(fs, p).split("\n").filter(_.nonEmpty))
+        val lines = slurp(fs, p).split("\n").filter(_.nonEmpty)
+        val len = lines.collectFirst {
+          case l if l.startsWith("len\t") => l.stripPrefix("len\t").toLong
+        }
+        for (l <- len; st <- parse(lines)) yield (l, st)
       }
     } catch { case NonFatal(_) => None }
 
@@ -174,14 +205,19 @@ object ScbfStats {
     private val manifests = mutable.Map.empty[Path, Map[String, FileEntry]]
     private val active = filters.nonEmpty
 
-    /** Keep unless present-and-whole stats prove no row can match. */
+    /** Keep unless present-and-whole stats prove no row can match.
+     * BOTH stats sources are length-guarded against the live listing:
+     * a manifest entry (or sidecar) whose recorded length disagrees
+     * describes a replaced file — trusting it could skip live rows, so
+     * a guard miss always degrades to keep. */
     def keep(data: Path, dataLen: Long): Boolean =
       !active || {
         val man = manifests.getOrElseUpdate(data.getParent,
           readManifest(data.getParent, conf))
         (man.get(data.getName) match {
           case Some(e) if e.dataLen == dataLen => Some(e.stats)
-          case _                               => read(data, conf)
+          case _ =>
+            readGuarded(data, conf).collect { case (l, st) if l == dataLen => st }
         }).forall(st => mayMatch(filters, st))
       }
   }

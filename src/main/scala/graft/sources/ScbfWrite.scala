@@ -66,6 +66,11 @@ object ScbfWrite {
   /** Default per-task buffer cap before rolling to a new file. */
   val DefaultMaxBufferedBytes: Long = 128L << 20
 
+  /** Streaming manifest-merge cadence (every Nth epoch, including
+   * epoch 0 so a new query's directory gets a manifest immediately);
+   * files committed between merges are covered by their sidecars. */
+  val ManifestEpochInterval: Long = 10L
+
   /** Matches both temp spellings: batch `.<final>.tmp` and streaming
    * `.<final>.<attempt>.tmp` (the final name always carries the
    * extension, so `.scbf` appears inside the temp name). */
@@ -116,13 +121,8 @@ class ScbfBatchWrite(
     // compact per-file stats into the directory manifest so planning
     // reads one stats file, not one per data file. Overwrite starts
     // fresh (stale entries for replaced files must not survive); append
-    // merges into whatever manifest is already there. A concurrent
-    // append racing on this rename loses nothing but skipping speed:
-    // its files fall back to their per-file sidecars.
-    val base = if (truncate) Map.empty[String, ScbfStats.FileEntry]
-               else ScbfStats.readManifest(new Path(dir), conf.value)
-    ScbfStats.writeManifest(new Path(dir), conf.value,
-      (base ++ entries.map(e => e.name -> e)).values.toSeq)
+    // merges. The race/merge discipline lives in ScbfStats.mergeManifest.
+    ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = truncate)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -266,13 +266,31 @@ class ScbfStreamingWrite(
     val entries = messages.collect { case ScbfStagedCommitMessage(_, es) => es }.flatten
     if (entries.nonEmpty) {
       entries.foreach { e =>
-        ScbfStats.write(new Path(dir, e.name), conf.value, e.stats)
+        ScbfStats.write(new Path(dir, e.name), conf.value, e.stats, e.dataLen)
       }
-      val base = ScbfStats.readManifest(new Path(dir), conf.value)
-      ScbfStats.writeManifest(new Path(dir), conf.value,
-        (base ++ entries.map(e => e.name -> e)).values.toSeq)
+      // Manifest merges are THROTTLED (every ManifestEpochInterval-th
+      // epoch, epoch-id-keyed so replays stay deterministic): merging
+      // per epoch re-reads and rewrites the whole manifest on the
+      // driver every trigger — O(total files) per epoch, quadratic
+      // over a long-running ingest, exactly at the file counts the
+      // manifest exists to serve. Between merges the accumulated tail
+      // (≤ interval epochs of files) is covered by the per-file
+      // sidecars published above — planning's fallback path, bounded.
+      // A restart drops the in-memory tail: those files simply stay
+      // sidecar-covered (skipping intact, one extra read each).
+      pendingManifest ++= entries
+      if (epochId % ScbfWrite.ManifestEpochInterval == 0) {
+        ScbfStats.mergeManifest(new Path(dir), conf.value,
+          pendingManifest.toSeq, fresh = false)
+        pendingManifest.clear()
+      }
     }
   }
+
+  // entries awaiting the next throttled manifest merge (driver-side,
+  // one streaming query = one instance, epochs commit sequentially)
+  private val pendingManifest =
+    new scala.collection.mutable.ArrayBuffer[ScbfStats.FileEntry]()
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
@@ -488,7 +506,8 @@ class ScbfDataWriter(
       }
       // sidecars after the data: a half-committed task can leave data
       // without stats (fine) but never stats without data
-      stagedStats.foreach(e => ScbfStats.write(new Path(dir, e.name), conf, e.stats))
+      stagedStats.foreach(e =>
+        ScbfStats.write(new Path(dir, e.name), conf, e.stats, e.dataLen))
       ScbfCommitMessage(stagedStats.toSeq)
     } else
       ScbfStagedCommitMessage(

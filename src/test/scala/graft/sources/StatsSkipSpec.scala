@@ -251,11 +251,33 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       "test setup: the replacement must change the length")
     // the stale manifest entry says this file's ids are far below 9005;
     // trusting it would wrongly skip — the len mismatch forces the
-    // sidecar, which admits the file
+    // (fresh, length-matching) sidecar, which admits the file
     assert(plannedIn(dir, EqualTo("id", 9005)) == 1)
     val got = spark.read.format("scbf").load(dir)
       .filter(col("id") === 9005).collect().map(_.getInt(0)).toSeq
     assert(got == Seq(9005))
+    // second victim: data replaced but its OLD sidecar left in place.
+    // Both guards now fire (manifest len mismatch AND sidecar len
+    // mismatch) — the stale bounds, which would exclude id 9505, must
+    // not be trusted from either source; the file plans and the row
+    // survives
+    val victim2 = scbfFiles(dir).find(f =>
+      f.getName != victim.getName &&
+        ScbfStats.readManifest(p, conf).get(f.getName)
+          .exists(_.stats.cols("id").max < 9000)).get
+    val tmp2 = java.nio.file.Files.createTempDirectory("scbf-skip-stale-src2").toString
+    spark.range(9500, 9511)
+      .select(col("id").cast("int").as("id"),
+        (col("id") * 2.5).as("score"),
+        concat(lit("row"), col("id")).as("tag"))
+      .coalesce(1)
+      .write.format("scbf").mode("overwrite").save(tmp2)
+    fs.delete(victim2, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, scbfFiles(tmp2).head, fs, victim2, false, conf)
+    val got2 = spark.read.format("scbf").load(dir)
+      .filter(col("id") === 9505).collect().map(_.getInt(0)).toSeq
+    assert(got2 == Seq(9505),
+      "a stale sidecar (len mismatch) must not be trusted after a stale manifest entry")
   }
 
   test("a streaming-sink-written directory file-skips like a batch-written one") {
@@ -287,7 +309,11 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
     assert(plannedIn(out, EqualTo("id", 1050)) == 1,
       "a backfill batch read over streaming output plans 1-of-3 files")
-    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get == 0)
+    // manifest merges are throttled (ManifestEpochInterval): epoch 0's
+    // file is in the manifest, epochs 1-2 ride their sidecars until
+    // the next merge epoch — one manifest read + at most two sidecars
+    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get <= 2,
+      s"${ScbfStats.manifestReads.get} manifest / ${ScbfStats.sidecarReads.get} sidecar reads")
     assert(plannedIn(out, EqualTo("tag", "e2")) == 1, "utf8 stats too")
     val got = spark.read.format("scbf").load(out)
       .filter(col("id") >= 2000).count()
