@@ -72,12 +72,14 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rnName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sorted = df
-      .repartitionByRange(spread(df.sparkSession), sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val local = sorted.withColumn("__lrn", row_number().over(wLocal))
+    // localCheckpoint PINS pid↔row (q32's pattern): the stage feeds both
+    // the offsets aggregate and the final join, and without
+    // materialization each consumer re-executes the range partitioning
+    // — whose sampled bounds can differ across executions on a
+    // multi-partition input, assigning different __pids to the two
+    // sides and corrupting every offset. Invisible on a single-split
+    // input (sf0.01), real at sf0.1+.
+    val local = globalRowNumberStage(df, sortCols).localCheckpoint()
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
@@ -86,6 +88,22 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     local.join(broadcast(offsets), "__pid")
       .withColumn(rnName, (col("__off") + col("__lrn")).cast("long"))
       .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Pre-checkpoint stage of [[globalRowNumber]] (range partition +
+   * per-chunk local rank, `__pid`/`__lrn` appended), exposed as a test
+   * seam: the checkpoint's LogicalRDD hides the plan shape and the
+   * chunk spread from anything downstream, so specs assert here —
+   * the same discipline as the `*PairsPlan` builders. */
+  private[graft] def globalRowNumberStage(df: DataFrame,
+      sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df
+      .repartitionByRange(spread(df.sparkSession), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    sorted.withColumn("__lrn", row_number().over(wLocal))
   }
 
   /** Per-group running sum over a total order WITHOUT partitioning a
@@ -102,15 +120,11 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
   def groupedPrefixSum(df: DataFrame, groupName: String, sortCols: Seq[Column],
       valueCol: Column, cumName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keys = col(groupName) +: sortCols
-    val sorted = df
-      .withColumn("__v", valueCol.cast("long"))
-      .repartitionByRange(spread(df.sparkSession), keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"), col(groupName))
-      .orderBy(sortCols: _*).rowsBetween(Window.unboundedPreceding, 0)
-    val local = sorted.withColumn("__lcs", sum(col("__v")).over(wLocal))
+    // localCheckpoint pins pid↔row for the two consumers — see
+    // globalRowNumber for why re-executed range partitioning would
+    // otherwise corrupt the offsets (caught by the sf0.1 oracle gate)
+    val local =
+      groupedPrefixSumStage(df, groupName, sortCols, valueCol).localCheckpoint()
     val wOff = Window.partitionBy(col(groupName)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"), col(groupName))
@@ -120,6 +134,23 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     local.join(broadcast(offsets), Seq("__pid", groupName))
       .withColumn(cumName, (col("__off") + col("__lcs")).cast("long"))
       .drop("__pid", "__lcs", "__off", "__v")
+  }
+
+  /** Pre-checkpoint stage of [[groupedPrefixSum]] (range partition on
+   * (group, sort), per-(chunk, group) local running sum, `__pid`/`__v`/
+   * `__lcs` appended) — test seam, see [[globalRowNumberStage]]. */
+  private[graft] def groupedPrefixSumStage(df: DataFrame, groupName: String,
+      sortCols: Seq[Column], valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = col(groupName) +: sortCols
+    val sorted = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(spread(df.sparkSession), keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(groupName))
+      .orderBy(sortCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+    sorted.withColumn("__lcs", sum(col("__v")).over(wLocal))
   }
 
   /** Release the executor blocks behind a localCheckpoint. Goes through

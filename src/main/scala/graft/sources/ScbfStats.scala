@@ -232,6 +232,7 @@ object ScbfStats {
     case LessThanOrEqual(_, v)    => comparable(v)
     case In(_, vs)                => vs.nonEmpty && vs.forall(comparable)
     case StringStartsWith(_, p)   => p != null
+    case IsNull(_)                => true
     case And(l, r)                => usable(l) || usable(r)
     case Or(l, r)                 => usable(l) && usable(r)
     case _                        => false
@@ -270,6 +271,12 @@ object ScbfStats {
           succ(pb).forall(ub => cmp(r.min, ub) < 0)
       }
     case In(c, vs)  => vs.exists(v => mayMatchOne(EqualTo(c, v), s))
+    // SCBF cannot store nulls (numeric nulls abort the write, null
+    // strings become ""), so a column PROVEN present by its stats
+    // entry satisfies IsNull on zero rows — the whole file skips. A
+    // column without a stats entry (e.g. a NaN-bearing double) might
+    // not exist in this file at all: keep, conservatively.
+    case IsNull(c)  => !(s.cols.contains(c) || s.strCols.contains(c))
     case And(l, r)  => mayMatchOne(l, s) && mayMatchOne(r, s)
     case Or(l, r)   => mayMatchOne(l, s) || mayMatchOne(r, s)
     case _          => true

@@ -48,14 +48,23 @@ class MixtureSampleSpec extends AnyFunSuite with SparkTestBase {
       s"cum_tokens over budget: $r"))
   }
 
-  test("t14's prefix scan range-partitions; the corpus never rides a window keyed only on source") {
+  test("t14 pins its range-partitioned prefix stage; only the tiny offsets window remains in-plan") {
     val p = TextQueries.queries("t14_mixture_sample")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the heavy local pass is windowed per (chunk, group) after a range
-    // exchange; the per-group offsets window exists only over the tiny
-    // (partitions+groups)-row aggregate, which joins back as a broadcast
-    assert(p.contains("rangepartitioning"), p)
-    assert(p.contains("windowspecdefinition(__pid"), p)
+    // the corpus-heavy stage (range partition + per-(chunk, group)
+    // local running sum) is pinned behind a localCheckpoint — visible
+    // here only as an ExistingRDD scan; its range-partition +
+    // per-chunk-window shape is locked on the groupedPrefixSumStage
+    // seam in PrefixScanSpec
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the per-group offsets join back is a broadcast
     assert(p.contains("BroadcastHashJoin"), p)
+    // every window left in the final plan is the per-group offsets
+    // window over the ≤(chunks×groups)-row aggregate — recognizable by
+    // its chunk-id ordering; the corpus never rides a window keyed
+    // only on source
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val offs = "windowspecdefinition\\([^)]*__pid".r.findAllIn(p).size
+    assert(specs > 0 && specs == offs, p)
   }
 }

@@ -43,10 +43,22 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestBase {
           .otherwise("small").as("grp"),
         col("id"), (col("id") % 7 + 1).as("v"))
     val got = Ops.groupedPrefixSum(df, "grp", Seq(col("id").asc), col("v"), "cum")
-    // the dominant group really does span >1 task
-    val spanned = got.filter(col("grp") === "big")
-      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
-    assert(spanned > 1, s"'big' sat in $spanned partition(s) — the scan didn't spread")
+    // the dominant group really does span >1 chunk. Asserted on the
+    // pre-checkpoint stage's __pid — the value the offset join actually
+    // stitches on — because the checkpoint's LogicalRDD hides the
+    // pipeline (and AQE may coalesce the tiny post-window shuffle, so
+    // spark_partition_id() over the OUTPUT says nothing about spread)
+    val stage = Ops.groupedPrefixSumStage(df, "grp", Seq(col("id").asc), col("v"))
+    val spanned = stage.filter(col("grp") === "big")
+      .select(col("__pid")).distinct().count()
+    assert(spanned > 1, s"'big' sat in $spanned chunk(s) — the scan didn't spread")
+    // and the stage is the claimed shape: range partition + per-chunk
+    // window, never a window partitioned on the group alone
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "expected a range-partition exchange feeding per-chunk windows")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"expected the window keyed by (chunk, group), got:\n$plan")
     // exact per-group running sums vs an in-memory scan
     val rows = got.select("grp", "id", "cum").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

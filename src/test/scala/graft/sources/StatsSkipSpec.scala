@@ -280,6 +280,22 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       "a stale sidecar (len mismatch) must not be trusted after a stale manifest entry")
   }
 
+  test("IsNull skips every file whose stats prove the column exists (SCBF has no nulls)") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-skip-isnull").toString
+    writeRanged(dir)
+    import org.apache.spark.sql.sources.{IsNull, IsNotNull}
+    // columns proven present (numeric AND utf8 stats) → zero files plan
+    assert(plannedIn(dir, IsNull("id")) == 0)
+    assert(plannedIn(dir, IsNull("tag")) == 0)
+    // an unknown column might simply not carry stats — keep everything
+    assert(plannedIn(dir, IsNull("no_such_col")) == 4)
+    // IsNotNull can never exclude (and must not trip stats reads alone)
+    assert(!ScbfStats.usable(IsNotNull("id")))
+    // e2e: the filter still row-evaluates to the same (empty) answer
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("id").isNull).count() == 0)
+  }
+
   test("a streaming-sink-written directory file-skips like a batch-written one") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
