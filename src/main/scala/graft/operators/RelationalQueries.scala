@@ -249,6 +249,29 @@ object RelationalQueries {
           min(col("doc_id")).as("min_doc"))
     },
 
+    "q37_scbf_agg_pushdown" -> { (s, dir) =>
+      // Stats-answered aggregate pushdown end-to-end: orders written to
+      // SCBF, then a global COUNT/MIN/MAX/SUM(int) — answered entirely
+      // from the directory's stats manifest (ScbfAgg; the Parquet
+      // footer-aggregate idea), zero data files opened, one result row.
+      // At 100 TB this is the difference between a metadata read and a
+      // full-table scan. The oracle runs the same aggregate on the
+      // source parquet; values survive the roundtrip bit-exactly.
+      val scbfDir = scratchDir(s) + "/graft_scbf_aggpush_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_custkey").cast("int").as("ckey"),
+          col("o_totalprice").as("price"))
+        .repartition(spread(s))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+          min(col("price")).as("min_price"), max(col("price")).as("max_price"),
+          sum(col("ckey")).as("sum_cust"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -465,6 +488,15 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc
          FROM documents WHERE source = 'src7' OR source LIKE 'src1%'
          GROUP BY source""",
+
+    "q37_scbf_agg_pushdown" ->
+      """SELECT COUNT(*) AS cnt,
+         CAST(MIN(o_orderkey) AS INT) AS min_key,
+         CAST(MAX(o_orderkey) AS INT) AS max_key,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+         FROM orders""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

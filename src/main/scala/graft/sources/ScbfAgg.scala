@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/**
+ * Stats-answered aggregate pushdown for SCBF scans (DSv2
+ * `SupportsPushDownAggregates`, complete pushdown only) — the Parquet
+ * footer-aggregate idea applied to the stats manifest. A global
+ * `COUNT(*) / COUNT(col) / MIN / MAX / SUM(int)` over a 100 TB directory
+ * is answered from ONE manifest read on the driver: zero data files
+ * opened, zero tasks beyond the single result row.
+ *
+ * Correctness rules (each falls back to a normal scan by returning None,
+ * never to a wrong answer):
+ *  - Every file must have length-guarded trusted stats (manifest entry
+ *    or sidecar matching the live listing) — one unknown file disables
+ *    the whole pushdown.
+ *  - COUNT(*) and COUNT(col) are the summed `rows` (SCBF stores no
+ *    nulls, so COUNT(col) = COUNT(*); a NaN is not null). DISTINCT is
+ *    never answerable from per-file stats.
+ *  - MIN/MAX need a numeric stats entry in every file with rows > 0.
+ *    Utf8 bounds are TRUNCATED (not the exact extrema) and a NaN-bearing
+ *    double column has its entry suppressed (NaN sorts above every
+ *    double in Spark, so stats ignoring it would be wrong) — both
+ *    therefore fall back.
+ *  - SUM pushes only for int32 columns, whose recorded per-file sums are
+ *    exact and order-independent; a float sum depends on accumulation
+ *    order and is never recorded. Merging uses addExact — on overflow we
+ *    fall back to the scan, which raises Spark's own overflow behavior.
+ *  - Only a global aggregate (no GROUP BY) and only when no filter is
+ *    pushed (Catalyst only pushes aggregates below fully-handled
+ *    filters, and SCBF filters are always residual; the guard here is
+ *    defense in depth).
+ */
+object ScbfAgg {
+
+  /** A fully-evaluated pushed aggregation: the scan's result schema and
+   * its single row of values, plus a human string for `.explain`. */
+  final case class Result(schema: StructType, values: Seq[Any], description: String)
+
+  def compute(
+      agg: Aggregation,
+      tableSchema: StructType,
+      files: Seq[FileStatus],
+      conf: Configuration): Option[Result] = {
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+    val lookup = new ScbfStats.Lookup(conf)
+    val perFile = files.map(f => lookup.stats(f.getPath, f.getLen))
+    if (perFile.exists(_.isEmpty)) return None // an unknown file → full scan
+    val stats = perFile.flatten
+    val totalRows = stats.map(_.rows).sum
+    val live = stats.filter(_.rows > 0)
+
+    val fields = agg.aggregateExpressions.toSeq.map(f => evalOne(f, tableSchema, live, totalRows))
+    if (fields.exists(_.isEmpty)) return None
+    val (fs, vs) = fields.flatten.unzip
+    Some(Result(StructType(fs), vs,
+      agg.aggregateExpressions.map(_.toString).mkString(", ")))
+  }
+
+  private def evalOne(
+      func: AggregateFunc,
+      schema: StructType,
+      live: Seq[ScbfStats.FileStats],
+      totalRows: Long): Option[(StructField, Any)] = func match {
+
+    case _: CountStar =>
+      Some((StructField("count(*)", LongType, nullable = false), totalRows))
+
+    case c: Count if !c.isDistinct =>
+      c.column() match {
+        // COUNT(col): no nulls in SCBF → rows. COUNT(<non-null literal>)
+        // (Spark's spelling of count(lit(1))) counts every row too.
+        case ref: NamedReference if ref.fieldNames.length == 1 &&
+            schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some((StructField(s"count(${ref.fieldNames()(0)})", LongType, nullable = false),
+            totalRows))
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.value != null =>
+          Some((StructField("count(lit)", LongType, nullable = false), totalRows))
+        case _ => None
+      }
+
+    case m: Min => minMax(m.column(), schema, live, isMin = true)
+    case m: Max => minMax(m.column(), schema, live, isMin = false)
+
+    case s: Sum if !s.isDistinct =>
+      column(s.column(), schema).collect {
+        case f if f.dataType == IntegerType =>
+          // every live file must carry an exact recorded sum
+          val sums = live.map(_.cols.get(f.name).flatMap(_.sum))
+          if (sums.exists(_.isEmpty)) return None
+          try {
+            val total = sums.flatten.foldLeft(0L)(Math.addExact)
+            (StructField(s"sum(${f.name})", LongType, nullable = true),
+              if (live.isEmpty) null else total)
+          } catch { case _: ArithmeticException => return None }
+      }
+
+    case _ => None // Avg, distinct, UDAFs, GeneralAggregateFunc: not answerable
+  }
+
+  private def minMax(
+      col: Expression,
+      schema: StructType,
+      live: Seq[ScbfStats.FileStats],
+      isMin: Boolean): Option[(StructField, Any)] =
+    column(col, schema).flatMap { f =>
+      f.dataType match {
+        case IntegerType | DoubleType =>
+          // a live file missing the entry (NaN suppression) → fall back
+          val ranges = live.map(_.cols.get(f.name))
+          if (ranges.exists(_.isEmpty)) None
+          else {
+            val bounds = ranges.flatten.map(r => if (isMin) r.min else r.max)
+            val d: Any =
+              if (bounds.isEmpty) null
+              else {
+                val b = if (isMin) bounds.min else bounds.max
+                if (f.dataType == IntegerType) b.toInt else b
+              }
+            val name = s"${if (isMin) "min" else "max"}(${f.name})"
+            Some((StructField(name, f.dataType, nullable = true), d))
+          }
+        case _ => None // utf8 bounds are truncated, not exact extrema
+      }
+    }
+
+  /** The schema field a pushed column expression names, when it is a
+   * plain single-part reference. */
+  private def column(e: Expression, schema: StructType): Option[StructField] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      schema.fields.find(_.name == ref.fieldNames()(0))
+    case _ => None
+  }
+}

@@ -147,8 +147,11 @@ class ScbfTable(
     // duration strings ("7d", "12h", bare ms) via Spark's own parser
     val maxFileAge = Option(options.get("maxFileAge"))
       .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+    // escape hatch + fallback-parity testing: stats-answered aggregate
+    // pushdown (ScbfAgg) can be disabled per read
+    val aggPushdown = Option(options.get("aggPushdown")).forall(_.toBoolean)
     new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
-      maxFileAge)
+      maxFileAge, aggPushdown)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
@@ -31,12 +32,19 @@ import graft.scbf._
 class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
     tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
-    maxFileAgeMs: Option[Long] = None)
+    maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var anyFilter = false
+  private var aggregated: Option[ScbfAgg.Result] = None
+  // (aggregation, answer) of the last attempt: Spark probes
+  // supportCompletePushDown then pushes the same Aggregation — one
+  // manifest read serves both calls
+  private var lastAgg: Option[(Aggregation, Option[ScbfAgg.Result])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -46,14 +54,43 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters.filter(ScbfStats.usable)
+    anyFilter = filters.nonEmpty
     filters
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  /** Complete-only aggregate pushdown answered from the stats manifest
+   * (see [[ScbfAgg]]): a global COUNT/MIN/MAX/SUM(int) never opens a
+   * data file. Anything not provably answerable — a filter present, a
+   * group-by, a file without trusted stats, a truncated/suppressed
+   * bound — declines, and Spark runs the normal scan + aggregate. */
+  private def computeAgg(agg: Aggregation): Option[ScbfAgg.Result] = {
+    if (!aggPushdown || anyFilter) return None
+    lastAgg match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = ScbfAgg.compute(agg, schema, files, conf)
+        lastAgg = Some((agg, r))
+        r
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete-or-nothing: a `true` on Spark's PARTIAL path would make
+    // it merge our single total row as if it were per-partition partials
+    // (idempotent for min/max/sum/count, but complete is the contract
+    // we verify), so only accept what computeAgg fully answered
+    aggregated = computeAgg(agg)
+    aggregated.isDefined
+  }
+
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval, maxFileAgeMs, pushed.toSeq)
+      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated)
 }
 
 class ScbfScan(
@@ -65,10 +102,12 @@ class ScbfScan(
     maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None,
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    aggregated: Option[ScbfAgg.Result] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggregated.map(_.schema).getOrElse(required)
 
   override def toBatch: Batch = this
 
@@ -80,14 +119,19 @@ class ScbfScan(
    * differs on epoch replay can only drop rows the query's own filter
    * discards, so replay results are unchanged). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Catalyst pushes aggregates on the batch path only; a streaming
+    // scan carrying one would silently replay a frozen answer
+    require(aggregated.isEmpty, "aggregate pushdown is batch-only")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters)
+  }
 
   override def description(): String =
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]" +
       (if (pushedFilters.nonEmpty)
-        s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
+        s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
+      aggregated.map(a => s", PushedAggregation: [${a.description}]").getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled
@@ -99,10 +143,16 @@ class ScbfScan(
    * read only when a usable filter exists; a file without stats
    * always plans. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-    files.filter(f => pruner.keep(f.getPath, f.getLen))
-      .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
-      .toArray
+    // a pushed aggregation IS the result: one partition, one row,
+    // zero data files opened
+    aggregated match {
+      case Some(a) => Array(ScbfAggPartition(a.schema, a.values.toArray))
+      case None =>
+        val pruner = new ScbfStats.Pruner(conf, pushedFilters)
+        files.filter(f => pruner.keep(f.getPath, f.getLen))
+          .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
+          .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -112,9 +162,12 @@ class ScbfScan(
    * when the file count is small — at 100 TB scale reading thousands of
    * headers on the driver would stall planning. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override val sizeInBytes: OptionalLong = OptionalLong.of(files.map(_.getLen).sum)
+    override val sizeInBytes: OptionalLong =
+      if (aggregated.isDefined) OptionalLong.of(1024L)
+      else OptionalLong.of(files.map(_.getLen).sum)
     override val numRows: OptionalLong =
-      if (files.length <= 64)
+      if (aggregated.isDefined) OptionalLong.of(1L)
+      else if (files.length <= 64)
         OptionalLong.of(files.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
       else OptionalLong.empty()
   }
@@ -122,16 +175,35 @@ class ScbfScan(
 
 case class ScbfFilePartition(path: String, length: Long) extends InputPartition
 
+/** A fully stats-answered aggregation: the partition carries the single
+ * result row's values; no file IO happens on the executor at all. */
+case class ScbfAggPartition(schema: StructType, values: Array[Any]) extends InputPartition
+
 class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.SerializableConf)
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.isInstanceOf[ScbfFilePartition]
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new ScbfColumnarReader(p.asInstanceOf[ScbfFilePartition], required, conf.value)
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ScbfRowReader(p.asInstanceOf[ScbfFilePartition], required, conf.value)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case f: ScbfFilePartition => new ScbfRowReader(f, required, conf.value)
+    case a: ScbfAggPartition  => new ScbfAggReader(a)
+  }
+}
+
+/** Emits a pushed aggregation's single pre-computed result row. */
+class ScbfAggReader(partition: ScbfAggPartition) extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = { val n = !emitted; emitted = true; n }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(partition.values.length)
+    partition.values.indices.foreach(i => row.update(i, partition.values(i)))
+    row
+  }
+  override def close(): Unit = ()
 }
 
 /** Decoded required columns of one file, shared by both reader shapes.
@@ -140,6 +212,7 @@ class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.Serializab
 private[sources] class ScbfFileColumns(
     partition: ScbfFilePartition, required: StructType, conf: Configuration) {
 
+  ScbfUtil.dataFileOpens.incrementAndGet()
   private val input = ScbfUtil.open(new Path(partition.path), conf)
 
   val (header: ScbfHeader, totalRows: Int, columns: Array[AnyRef]) =

@@ -43,7 +43,9 @@ import org.apache.spark.sql.sources._
  * staleness guard — pruning trusts a sidecar only when it matches the
  * live listing), one line `rows <n>`, then per numeric column
  * `col\t<name>\t<min>\t<max>` (doubles via toString/toDouble round-trip
- * exactly), then per utf8 column `scol\t<name>\t<b64min>\t<b64max|->`.
+ * exactly; int32 columns append a 5th field, the exact Long sum, for
+ * aggregate pushdown), then per utf8 column
+ * `scol\t<name>\t<b64min>\t<b64max|->`.
  * A double column containing NaN is omitted (NaN breaks interval
  * reasoning). String bounds are TRUNCATED byte prefixes (Parquet's
  * strategy, cap [[MaxStrBound]] bytes): the min prefix is always a
@@ -72,7 +74,11 @@ object ScbfStats {
   /** Cap on stored string-bound length, à la Parquet's truncation. */
   val MaxStrBound = 48
 
-  final case class ColRange(min: Double, max: Double)
+  /** Numeric column bounds; `sum` is the EXACT Long sum, recorded for
+   * int32 columns only (integer arithmetic is order-independent, so a
+   * stats-derived sum is bit-identical to a scan's — a float sum is
+   * not, and is never recorded). Carried for aggregate pushdown. */
+  final case class ColRange(min: Double, max: Double, sum: Option[Long] = None)
 
   /** Truncated utf8 bounds: `min` is a valid lower bound by prefix
    * order; `max` is a valid upper bound by construction (incremented on
@@ -194,32 +200,43 @@ object ScbfStats {
     } catch { case NonFatal(_) => None }
 
   /**
+   * Length-guarded stats lookup, manifest-first: reads each directory's
+   * manifest at most once and falls back to per-file sidecars only for
+   * files the manifest misses or got stale on — O(1) stats opens per
+   * directory on the happy path, not O(files). BOTH stats sources are
+   * length-guarded against the live listing: a manifest entry (or
+   * sidecar) whose recorded length disagrees describes a replaced file —
+   * trusting it could skip live rows or mis-answer an aggregate, so a
+   * guard miss always returns None. Not thread-safe; planning is
+   * single-threaded on the driver.
+   */
+  final class Lookup(conf: Configuration) {
+    private val manifests = mutable.Map.empty[Path, Map[String, FileEntry]]
+
+    def stats(data: Path, dataLen: Long): Option[FileStats] = {
+      val man = manifests.getOrElseUpdate(data.getParent,
+        readManifest(data.getParent, conf))
+      man.get(data.getName) match {
+        case Some(e) if e.dataLen == dataLen => Some(e.stats)
+        case _ =>
+          readGuarded(data, conf).collect { case (l, st) if l == dataLen => st }
+      }
+    }
+  }
+
+  /**
    * Per-plan file pruner, shared by the batch scan and the micro-batch
-   * stream (contractually required to prune identically). Reads each
-   * directory's manifest at most once and falls back to per-file
-   * sidecars only for files the manifest misses or got stale on — O(1)
-   * stats opens per directory on the happy path, not O(files).
-   * Not thread-safe; planning is single-threaded on the driver.
+   * stream (contractually required to prune identically). Stats reads go
+   * through a [[Lookup]]; stats are read only when a usable filter
+   * exists, and a file without trusted stats always plans.
    */
   final class Pruner(conf: Configuration, filters: Seq[Filter]) {
-    private val manifests = mutable.Map.empty[Path, Map[String, FileEntry]]
+    private val lookup = new Lookup(conf)
     private val active = filters.nonEmpty
 
-    /** Keep unless present-and-whole stats prove no row can match.
-     * BOTH stats sources are length-guarded against the live listing:
-     * a manifest entry (or sidecar) whose recorded length disagrees
-     * describes a replaced file — trusting it could skip live rows, so
-     * a guard miss always degrades to keep. */
+    /** Keep unless present-and-whole stats prove no row can match. */
     def keep(data: Path, dataLen: Long): Boolean =
-      !active || {
-        val man = manifests.getOrElseUpdate(data.getParent,
-          readManifest(data.getParent, conf))
-        (man.get(data.getName) match {
-          case Some(e) if e.dataLen == dataLen => Some(e.stats)
-          case _ =>
-            readGuarded(data, conf).collect { case (l, st) if l == dataLen => st }
-        }).forall(st => mayMatch(filters, st))
-      }
+      !active || lookup.stats(data, dataLen).forall(st => mayMatch(filters, st))
   }
 
   /** Can this filter ever contribute to file skipping? (Used to avoid
@@ -317,7 +334,8 @@ object ScbfStats {
   private def render(stats: FileStats): String = {
     val sb = new StringBuilder(s"rows\t${stats.rows}\n")
     stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
-      sb.append(s"col\t$n\t${r.min}\t${r.max}\n")
+      // optional 5th field: the exact Long sum (int32 columns only)
+      sb.append(s"col\t$n\t${r.min}\t${r.max}${r.sum.map(s => s"\t$s").getOrElse("")}\n")
     }
     stats.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       val mx = r.max.map(b64e.encodeToString).getOrElse("-")
@@ -331,8 +349,10 @@ object ScbfStats {
       case l if l.startsWith("rows\t") => l.stripPrefix("rows\t").toLong
     }
     val cols = lines.collect { case l if l.startsWith("col\t") =>
-      val Array(_, n, mn, mx) = l.split("\t", 4)
-      n -> ColRange(mn.toDouble, mx.toDouble)
+      l.split("\t", 5) match {
+        case Array(_, n, mn, mx)     => n -> ColRange(mn.toDouble, mx.toDouble)
+        case Array(_, n, mn, mx, sm) => n -> ColRange(mn.toDouble, mx.toDouble, Some(sm.toLong))
+      }
     }.toMap
     val strCols = lines.collect { case l if l.startsWith("scol\t") =>
       val Array(_, n, mn, mx) = l.split("\t", 4)

@@ -12,6 +12,10 @@ import graft.scbf._
  * object stores), not just `java.io`. */
 object ScbfUtil {
 
+  /** Test hook: data files opened for decode (local-mode specs assert a
+   * stats-answered aggregate opens ZERO data files). */
+  val dataFileOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** RandomInput over FSDataInputStream's positioned reads. */
   final class HadoopInput(
       stream: org.apache.hadoop.fs.FSDataInputStream) extends ScbfReader.RandomInput {

@@ -469,7 +469,12 @@ class ScbfDataWriter(
     // commit, streaming ships them to the epoch-level committer.
     val cols = schema.fields.map(_.name).zip(builders).flatMap {
       case (n, b: IntBuilder) if b.values.nonEmpty =>
-        Some(n -> ScbfStats.ColRange(b.values.min.toDouble, b.values.max.toDouble))
+        // exact Long sum (order-independent for integers) — feeds
+        // aggregate pushdown; max |sum| ≤ 2^31 rows × 2^31 < 2^63
+        var sum = 0L
+        b.values.foreach(sum += _)
+        Some(n -> ScbfStats.ColRange(
+          b.values.min.toDouble, b.values.max.toDouble, Some(sum)))
       case (n, b: DoubleBuilder)
           if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
         Some(n -> ScbfStats.ColRange(b.values.min, b.values.max))

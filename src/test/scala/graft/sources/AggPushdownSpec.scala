@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Stats-answered aggregate pushdown (ScbfAgg): a global
+ * COUNT/MIN/MAX/SUM(int) over an SCBF directory is served from the
+ * stats manifest without opening ONE data file — the 100 TB shape of
+ * `SELECT count(*) FROM table`. Anything not provably answerable
+ * (filters, group-by, NaN-suppressed or truncated bounds, a file
+ * without trusted stats) falls back to the normal scan, and fallback
+ * results are always identical to pushed ones. */
+class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeRanged(dir: String): Unit = {
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        (col("id") * 2.5).as("score"),
+        concat(lit("row"), col("id")).as("tag"))
+      .repartitionByRange(4, col("id"))
+      .write.format("scbf").mode("overwrite").save(dir)
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global count/min/max/sum(int) answers from stats: zero data files opened") {
+    val dir = tmpDir("scbf-aggpush")
+    writeRanged(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)).as("cnt"), count(col("tag")).as("cnt_tag"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        min(col("score")).as("min_s"), max(col("score")).as("max_s"),
+        sum(col("id")).as("sum_id"))
+    ScbfUtil.dataFileOpens.set(0)
+    val row = q.head()
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      "a pushed aggregate must never open a data file")
+    assert(plan(q).contains("PushedAggregation"),
+      "explain must surface the pushed aggregation")
+    assert(row == Row(1000L, 1000L, 0, 999, 0.0, 2497.5, 499500L))
+  }
+
+  test("fallback (aggPushdown=false) computes the identical answer by scanning") {
+    val dir = tmpDir("scbf-aggpush-off")
+    writeRanged(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), min(col("id")), max(col("score")), sum(col("id")))
+    val pushed = agg(spark.read.format("scbf").load(dir))
+    val scanned = agg(spark.read.format("scbf").option("aggPushdown", "false").load(dir))
+    ScbfUtil.dataFileOpens.set(0)
+    assert(pushed.head() == scanned.head())
+    assert(!plan(scanned).contains("PushedAggregation"))
+    assert(ScbfUtil.dataFileOpens.get > 0, "the fallback really scanned")
+  }
+
+  test("a filter or a group-by disables pushdown and still answers exactly") {
+    val dir = tmpDir("scbf-aggpush-filter")
+    writeRanged(dir)
+    val filtered = spark.read.format("scbf").load(dir)
+      .filter(col("id") < 100)
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("s"))
+    assert(!plan(filtered).contains("PushedAggregation"),
+      "an aggregate above a residual filter must NOT be answered from whole-file stats")
+    assert(filtered.head() == Row(100L, 4950L))
+    val grouped = spark.read.format("scbf").load(dir)
+      .groupBy((col("id") / 250).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!plan(grouped).contains("PushedAggregation"))
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      .toSeq == (0 until 4).map((_, 250L)))
+  }
+
+  test("min/max on a NaN-bearing double column falls back (stats are suppressed)") {
+    val dir = tmpDir("scbf-aggpush-nan")
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("id"),
+        when(col("id") === 5, lit(Double.NaN)).otherwise(col("id") * 1.0).as("v"))
+      .coalesce(1)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir).agg(max(col("v")).as("mx"))
+    assert(!plan(q).contains("PushedAggregation"),
+      "suppressed NaN stats must disable the pushdown, not mis-answer it")
+    // Spark's ordering puts NaN above every double — the scan says so
+    assert(q.head().getDouble(0).isNaN)
+    // count(*) alone remains answerable: NaN is not null
+    val c = spark.read.format("scbf").load(dir).agg(count(lit(1)))
+    assert(plan(c).contains("PushedAggregation") && c.head().getLong(0) == 10L)
+  }
+
+  test("min/max on utf8 falls back: stored bounds are truncated, not exact") {
+    val dir = tmpDir("scbf-aggpush-str")
+    writeRanged(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .agg(min(col("tag")).as("mn"), max(col("tag")).as("mx"))
+    assert(!plan(q).contains("PushedAggregation"))
+    assert(q.head() == Row("row0", "row999"))
+  }
+
+  test("a file without trusted stats disables the whole pushdown") {
+    val dir = tmpDir("scbf-aggpush-nostats")
+    writeRanged(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    // lose the manifest and ONE sidecar: three trusted files out of four
+    // cannot answer a whole-directory aggregate
+    fs.delete(ScbfStats.manifestPath(p), false)
+    val victim = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".scbf") && !f.getName.startsWith(".")).head
+    fs.delete(ScbfStats.sidecarPath(victim), false)
+    val q = spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"))
+    assert(!plan(q).contains("PushedAggregation"))
+    assert(q.head() == Row(1000L, 0))
+  }
+
+  test("empty table: count 0, null min/max — matching the scanned answer") {
+    val dir = tmpDir("scbf-aggpush-empty")
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("id"))
+      .filter(col("id") < 0) // empty, but batch write still emits a 0-row file
+      .coalesce(1)
+      .write.format("scbf").mode("overwrite").save(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id")))
+    val pushed = agg(spark.read.format("scbf").load(dir))
+    assert(plan(pushed).contains("PushedAggregation"))
+    val scanned = agg(spark.read.format("scbf").option("aggPushdown", "false").load(dir))
+    assert(pushed.head() == scanned.head())
+    assert(pushed.head() == Row(0L, null, null, null))
+  }
+
+  test("the streaming path never carries a pushed aggregation") {
+    val dir = tmpDir("scbf-aggpush-stream")
+    writeRanged(dir)
+    // a streaming read plans through toMicroBatchStream — the guard is
+    // unreachable from SQL (aggregates push on the batch path only),
+    // asserted here directly
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val schema = spark.read.format("scbf").load(dir).schema
+    val scan = new ScbfScan(schema, schema, files, conf, tablePaths = Seq(dir),
+      aggregated = Some(ScbfAgg.Result(schema, Seq(1L), "count(*)")))
+    intercept[IllegalArgumentException] {
+      scan.toMicroBatchStream(tmpDir("scbf-aggpush-ck"))
+    }
+  }
+}

@@ -42,10 +42,14 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     all.foreach { f =>
       val st = ScbfStats.read(f, conf)
         .getOrElse(fail(s"missing sidecar for $f"))
-      val rows = spark.read.format("scbf").load(f.toString)
-        .select(min("id"), max("id"), min("score"), max("score"), count(lit(1)))
+      val rows = spark.read.format("scbf").option("aggPushdown", "false")
+        .load(f.toString)
+        .select(min("id"), max("id"), min("score"), max("score"), count(lit(1)),
+          sum("id"))
         .head()
-      assert(st.cols("id") == ScbfStats.ColRange(rows.getInt(0), rows.getInt(1)))
+      // int columns also record their exact Long sum (aggregate pushdown)
+      assert(st.cols("id") == ScbfStats.ColRange(rows.getInt(0), rows.getInt(1),
+        Some(rows.getLong(5))))
       assert(st.cols("score") == ScbfStats.ColRange(rows.getDouble(2), rows.getDouble(3)))
       assert(st.rows == rows.getLong(4))
       assert(!st.cols.contains("tag"), "utf8 stats live in strCols, not cols")
