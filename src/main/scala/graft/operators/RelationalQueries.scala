@@ -272,6 +272,37 @@ object RelationalQueries {
           sum(col("ckey")).as("sum_cust"))
     },
 
+    "q38_scbf_runtime_prune" -> { (s, dir) =>
+      // Runtime (join-driven) file pruning end-to-end: orders written to
+      // SCBF range-partitioned on the JOIN KEY, joined to a dim filtered
+      // on a NON-key attribute — the shape where no static fact-side
+      // predicate exists, and only the broadcast build side's surviving
+      // keys (arriving at execution as a dynamic-pruning In filter,
+      // SupportsRuntimeFiltering) can skip fact files. How much skips
+      // depends on how the surviving keys cluster against the file
+      // ranges (RuntimeFilterSpec pins the mechanics with a clustered
+      // dim); the RESULT never depends on it — the join re-verifies
+      // every row, and the oracle runs the same join on the parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_dpp_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_custkey").cast("int").as("ckey"),
+          col("o_totalprice").as("price"))
+        .repartitionByRange(spread(s), col("ckey"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      val fact = s.read.format("scbf").load(scbfDir)
+      val dim = t(s, dir, "customer")
+        .filter(col("c_acctbal") < lit(-900.0))
+        .select(col("c_custkey").cast("int").as("dim_ckey"),
+          col("c_mktsegment").as("segment"))
+      fact.join(broadcast(dim), fact("ckey") === dim("dim_ckey"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("price"), 2).as("sum_price"),
+          min(col("okey")).as("min_key"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -497,6 +528,14 @@ object RelationalQueries {
          CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
          FROM orders""",
+
+    "q38_scbf_runtime_prune" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(MIN(o_orderkey) AS INT) AS min_key
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal < -900.0
+         GROUP BY c_mktsegment""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

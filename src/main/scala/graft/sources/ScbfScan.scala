@@ -35,7 +35,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -76,6 +76,19 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     }
   }
 
+  /** LIMIT n plans only a prefix of the file list whose stats already
+   * guarantee ≥ n rows (ScbfScan.planInputPartitions) — `df.limit(20)`
+   * over a 10⁵-file directory plans ~1 file instead of all of them.
+   * PARTIALLY pushed: Spark keeps its own limit operator, so planning
+   * extra files (unknown stats) or extra rows is always safe. Catalyst
+   * only pushes a limit when no post-scan filter exists; SCBF filters
+   * are all residual, so a filtered scan never carries one. */
+  private var limitRows: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = { limitRows = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     computeAgg(agg).isDefined
 
@@ -90,7 +103,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
 
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated)
+      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows)
 }
 
 class ScbfScan(
@@ -103,8 +116,33 @@ class ScbfScan(
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    aggregated: Option[ScbfAgg.Result] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+    aggregated: Option[ScbfAgg.Result] = None,
+    limitRows: Option[Int] = None)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) filters — Spark's dynamic partition pruning
+   * applied to SCBF files: a broadcast join's build-side keys arrive at
+   * execution as an `In` filter, and `planInputPartitions` re-plans
+   * against the same stats machinery the static filters use. At 100 TB
+   * a `fact JOIN dim ON key` with a selective dim predicate reads only
+   * the fact files whose key range intersects the surviving dim keys —
+   * without the user spelling the fact-side predicate at all. Purely
+   * best-effort (the join re-verifies every row), so an absent stats
+   * file or an unusable filter just disables the pruning. */
+  private var runtimeFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
+
+  /** Every column this scan OUTPUTS (Catalyst resolves these against
+   * the pruned relation output, so table-schema columns projected away
+   * must not appear): stats may exist for any of them, and an unusable
+   * runtime filter is simply ignored at planning. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters.toSeq.filter(ScbfStats.usable)
 
   override def readSchema(): StructType =
     aggregated.map(_.schema).getOrElse(required)
@@ -131,7 +169,8 @@ class ScbfScan(
     s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]" +
       (if (pushedFilters.nonEmpty)
         s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
-      aggregated.map(a => s", PushedAggregation: [${a.description}]").getOrElse("")
+      aggregated.map(a => s", PushedAggregation: [${a.description}]").getOrElse("") +
+      limitRows.map(n => s", PushedLimit: $n").getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled
@@ -148,8 +187,30 @@ class ScbfScan(
     aggregated match {
       case Some(a) => Array(ScbfAggPartition(a.schema, a.values.toArray))
       case None =>
-        val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-        files.filter(f => pruner.keep(f.getPath, f.getLen))
+        // static pushed filters AND any runtime (DPP) filters prune
+        // through the same conjunctive stats check
+        val pruner = new ScbfStats.Pruner(conf, pushedFilters ++ runtimeFilters)
+        val kept = files.filter(f => pruner.keep(f.getPath, f.getLen))
+        // A pushed LIMIT keeps only a prefix of files whose stats
+        // GUARANTEE ≥ n rows: a file without trusted stats still plans
+        // (counts 0 toward the guarantee), so the planned set can only
+        // over-deliver — Spark's retained limit operator trims it.
+        // Restricted to the filterless case: a filter would make stats
+        // row counts an over-estimate of surviving rows (Catalyst
+        // doesn't push limits past residual filters anyway — defense
+        // in depth).
+        val limited = limitRows match {
+          case Some(n) if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
+            val lookup = new ScbfStats.Lookup(conf)
+            var known = 0L
+            kept.takeWhile { f =>
+              val need = known < n
+              if (need) lookup.stats(f.getPath, f.getLen).foreach(known += _.rows)
+              need
+            }
+          case _ => kept
+        }
+        limited
           .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
           .toArray
     }
