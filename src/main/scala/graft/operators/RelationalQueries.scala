@@ -303,6 +303,24 @@ object RelationalQueries {
           min(col("okey")).as("min_key"))
     },
 
+    "q39_scbf_topk_prune" -> { (s, dir) =>
+      // Top-k file pruning end-to-end: ORDER BY key LIMIT k over SCBF
+      // range-partitioned on that key plans only the files that can
+      // hold one of the k extreme rows (SupportsPushDownTopN +
+      // ScbfTopN's bound argument) — a top-100 over a 100 TB directory
+      // reads one file. Deterministic because the sort key is unique;
+      // the oracle runs the same top-k on the source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_topk_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_totalprice").as("price"))
+        .repartitionByRange(spread(s), col("okey"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .orderBy(col("okey").desc).limit(100)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -536,6 +554,11 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal < -900.0
          GROUP BY c_mktsegment""",
+
+    "q39_scbf_topk_prune" ->
+      """SELECT CAST(o_orderkey AS INT) AS okey,
+         CAST(o_totalprice AS DOUBLE) AS price
+         FROM orders ORDER BY o_orderkey DESC LIMIT 100""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -35,7 +35,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -87,6 +88,30 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
 
   override def pushLimit(n: Int): Boolean = { limitRows = Some(n); true }
 
+  /** ORDER BY col LIMIT k plans only files that can hold one of the k
+   * extreme rows (the sound bound B — see [[ScbfTopN]]). PARTIALLY
+   * pushed: Spark keeps its Sort + Limit, so extra planned files are
+   * safe. Accepted only for a plain single-column first sort key
+   * (later keys are tie-breakers the bound argument never needs). */
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (anyFilter || orders.isEmpty) return false
+    orders.head.expression() match {
+      case ref: org.apache.spark.sql.connector.expressions.NamedReference
+          if ref.fieldNames.length == 1 &&
+            schema.fieldNames.contains(ref.fieldNames()(0)) =>
+        topN = Some((ref.fieldNames()(0),
+          orders.head.direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+          limit))
+        true
+      case _ => false
+    }
+  }
+
   override def isPartiallyPushed(): Boolean = true
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -103,7 +128,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
 
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows)
+      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN)
 }
 
 class ScbfScan(
@@ -117,7 +142,8 @@ class ScbfScan(
     maxFileAgeMs: Option[Long] = None,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     aggregated: Option[ScbfAgg.Result] = None,
-    limitRows: Option[Int] = None)
+    limitRows: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -170,7 +196,9 @@ class ScbfScan(
       (if (pushedFilters.nonEmpty)
         s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
       aggregated.map(a => s", PushedAggregation: [${a.description}]").getOrElse("") +
-      limitRows.map(n => s", PushedLimit: $n").getOrElse("")
+      limitRows.map(n => s", PushedLimit: $n").getOrElse("") +
+      topN.map { case (c, d, k) =>
+        s", PushedTopN: [$c ${if (d) "DESC" else "ASC"}, $k]" }.getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled
@@ -199,8 +227,19 @@ class ScbfScan(
         // row counts an over-estimate of surviving rows (Catalyst
         // doesn't push limits past residual filters anyway — defense
         // in depth).
-        val limited = limitRows match {
-          case Some(n) if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
+        val limited = (limitRows, topN) match {
+          // ORDER BY col LIMIT k: only files that can hold one of the
+          // k extreme rows (ScbfTopN's bound argument)
+          case (_, Some((colName, desc, k)))
+              if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
+            tableSchema.fields.find(_.name == colName) match {
+              case Some(field) =>
+                ScbfTopN.prune(kept, new ScbfStats.Lookup(conf), field, desc, k)
+              case None => kept
+            }
+          // plain LIMIT n: any prefix of files guaranteeing ≥ n rows
+          case (Some(n), None)
+              if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
             val lookup = new ScbfStats.Lookup(conf)
             var known = 0L
             kept.takeWhile { f =>
