@@ -321,6 +321,34 @@ object RelationalQueries {
         .orderBy(col("okey").desc).limit(100)
     },
 
+    "q40_scbf_cluster" -> { (s, dir) =>
+      // Directory maintenance end-to-end: documents land UNCLUSTERED
+      // (round-robin — the streaming-ingest / naive-batch layout where
+      // every file spans the whole value range and nothing can prune),
+      // then ScbfMaintenance.cluster rewrites them range-partitioned on
+      // doc_id — the OPTIMIZE step a 100 TB deployment runs between
+      // ingest and query. The post-rewrite read carries a doc_id range
+      // predicate that now file-skips via the rewritten manifest; the
+      // result is exact either way (filters stay residual), which is
+      // precisely the property that makes the rewrite safe to gate: the
+      // oracle runs the same filter+aggregate on the source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_cluster_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .repartition(spread(s)) // round-robin: deliberately unclustered
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      graft.sources.ScbfMaintenance.cluster(s, scbfDir, Seq("doc_id"), spread(s))
+      s.read.format("scbf").load(scbfDir)
+        .filter(col("doc_id") < lit(100))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -559,6 +587,14 @@ object RelationalQueries {
       """SELECT CAST(o_orderkey AS INT) AS okey,
          CAST(o_totalprice AS DOUBLE) AS price
          FROM orders ORDER BY o_orderkey DESC LIMIT 100""",
+
+    "q40_scbf_cluster" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE doc_id < 100
+         GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -258,18 +258,37 @@ class ScbfScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ScbfPartitionReaderFactory(required, new ScbfUtil.SerializableConf(conf))
 
-  /** Size from file listing (free); row counts from headers, but only
-   * when the file count is small — at 100 TB scale reading thousands of
-   * headers on the driver would stall planning. */
+  /** Planner statistics (broadcast decisions, AQE, join reorder hinge
+   * on these). Sizes come from the file listing (free) but over the
+   * files the pushed filters actually KEEP — a scan whose stats prune
+   * 999 of 1000 files reports the one surviving file's size, so a
+   * pruned fact side can become broadcast-able. Row counts come from
+   * the stats manifest — ONE driver read per directory at any file
+   * count; only files the manifest misses fall back to header reads,
+   * and only while the missing set is small (at 100 TB reading
+   * thousands of headers serially on the driver would stall planning —
+   * rows go unreported instead, never guessed). */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val kept =
+      if (aggregated.isDefined || pushedFilters.isEmpty) files
+      else {
+        val pruner = new ScbfStats.Pruner(conf, pushedFilters)
+        files.filter(f => pruner.keep(f.getPath, f.getLen))
+      }
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
-      else OptionalLong.of(files.map(_.getLen).sum)
+      else OptionalLong.of(kept.map(_.getLen).sum)
     override val numRows: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1L)
-      else if (files.length <= 64)
-        OptionalLong.of(files.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
-      else OptionalLong.empty()
+      else {
+        val lookup = new ScbfStats.Lookup(conf)
+        val perFile = kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
+        val missing = perFile.collect { case (f, None) => f }
+        if (missing.length > 64) OptionalLong.empty()
+        else OptionalLong.of(
+          perFile.collect { case (_, Some(r)) => r }.sum +
+            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
+      }
   }
 }
 

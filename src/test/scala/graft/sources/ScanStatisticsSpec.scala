@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** estimateStatistics: the numbers Catalyst's broadcast decisions, AQE
+ * and join reorder read. Rows come from the stats manifest (ONE driver
+ * read per directory at any file count); sizes reflect the files the
+ * pushed filters actually keep, so a stats-pruned scan can become
+ * broadcast-able. */
+class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeRanged(dir: String, nFiles: Int = 4): Unit =
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        (col("id") * 2.5).as("score"))
+      .repartitionByRange(nFiles, col("id"))
+      .write.format("scbf").mode("overwrite").save(dir)
+
+  private def scbfFiles(dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(x => x.getName.endsWith(".scbf") && !x.getName.startsWith("."))
+  }
+
+  private def scanFor(dir: String, filters: Filter*): ScbfScan = {
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(
+      spark.read.format("scbf").load(dir).schema, files, conf)
+    b.pushFilters(filters.toArray)
+    b.build().asInstanceOf[ScbfScan]
+  }
+
+  test("numRows comes from ONE manifest read; size is the full listing") {
+    val dir = tmpDir("scbf-stat")
+    writeRanged(dir)
+    val scan = scanFor(dir)
+    ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
+    ScbfUtil.dataFileOpens.set(0)
+    val st = scan.estimateStatistics()
+    assert(st.numRows.getAsLong == 1000L)
+    assert(st.sizeInBytes.getAsLong ==
+      scbfFiles(dir).map(f => f.getFileSystem(new Configuration()).getFileStatus(f).getLen).sum)
+    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get == 0,
+      "rows must come from the manifest, not per-file reads")
+    assert(ScbfUtil.dataFileOpens.get == 0, "statistics never open data files")
+  }
+
+  test("pushed filters shrink reported size and rows to the kept files") {
+    val dir = tmpDir("scbf-stat-pruned")
+    writeRanged(dir)
+    val st = scanFor(dir, EqualTo("id", 500)).estimateStatistics()
+    // one of four disjoint-range files survives: a quarter of the rows
+    assert(st.numRows.getAsLong == 250L)
+    val oneFile = scbfFiles(dir).map(
+      f => f.getFileSystem(new Configuration()).getFileStatus(f).getLen)
+    assert(st.sizeInBytes.getAsLong < oneFile.sum)
+    assert(oneFile.contains(st.sizeInBytes.getAsLong))
+  }
+
+  test("missing stats fall back to headers while the missing set is small") {
+    val dir = tmpDir("scbf-stat-nostats")
+    writeRanged(dir)
+    // wipe every stats artifact: manifest + sidecars
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("."))
+      .foreach(f => fs.delete(f, false))
+    val st = scanFor(dir).estimateStatistics()
+    assert(st.numRows.getAsLong == 1000L, "header fallback still reports rows")
+    assert(st.sizeInBytes.isPresent)
+  }
+
+  test("a stats-pruned dimension becomes broadcast-able") {
+    val dir = tmpDir("scbf-stat-bcast")
+    writeRanged(dir)
+    val total = scbfFiles(dir).map(
+      f => f.getFileSystem(new Configuration()).getFileStatus(f).getLen).sum
+    val fact = spark.range(0, 10000)
+      .select(col("id").cast("int").as("fid"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // threshold below the full table but above one file: only the
+      // PRUNED scan's reported size admits a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (total - 1).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dim = spark.read.format("scbf").load(dir)
+      def joinPlan(d: org.apache.spark.sql.DataFrame): String =
+        fact.join(d, fact("fid") === d("id")).queryExecution.sparkPlan.toString
+      assert(!joinPlan(dim).contains("BroadcastHashJoin"),
+        "unfiltered dim reports full size: no broadcast")
+      assert(joinPlan(dim.filter(col("id") < 250)).contains("BroadcastHashJoin"),
+        "stats-pruned dim reports one file's size: broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}

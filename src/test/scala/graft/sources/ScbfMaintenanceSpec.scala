@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** ScbfMaintenance.cluster: the OPTIMIZE step — rewrite a directory
+ * range-partitioned on given columns so stats-based pruning bites. */
+class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def scbfFiles(dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(x => x.getName.endsWith(".scbf") && !x.getName.startsWith("."))
+  }
+
+  private def plannedIn(dir: String, filters: org.apache.spark.sql.sources.Filter*): Int = {
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(
+      spark.read.format("scbf").load(dir).schema, files, conf)
+    b.pushFilters(filters.toArray)
+    b.build().asInstanceOf[ScbfScan].planInputPartitions().length
+  }
+
+  test("clustering an unclustered directory compacts files and enables pruning") {
+    val dir = tmpDir("scbf-maint")
+    // 16 files, each spanning the WHOLE id range: nothing can prune
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      .repartition(16) // round-robin: every file spans everything
+      .write.format("scbf").mode("overwrite").save(dir)
+    assert(scbfFiles(dir).size == 16)
+    assert(plannedIn(dir, EqualTo("id", 500)) == 16, "unclustered: no pruning")
+
+    ScbfMaintenance.cluster(spark, dir, Seq("id"), 4)
+    assert(scbfFiles(dir).size == 4, "compacted 16 → 4")
+    assert(plannedIn(dir, EqualTo("id", 500)) == 1, "clustered: point lookup → 1 file")
+    // contents byte-identical as a multiset
+    val got = spark.read.format("scbf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(got.toSeq == (0 until 1000).map(i => (i, s"src_${i % 4}")))
+    // the rewrite's manifest is fresh: one stats read plans the scan
+    ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
+    assert(plannedIn(dir, EqualTo("id", 999)) == 1)
+    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get == 0)
+  }
+
+  test("clustering on a string column serves the curation-filter layout") {
+    val dir = tmpDir("scbf-maint-str")
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      .repartition(8)
+      .write.format("scbf").mode("overwrite").save(dir)
+    assert(plannedIn(dir, EqualTo("source", "src_2")) == 8)
+    ScbfMaintenance.cluster(spark, dir, Seq("source"), 4)
+    assert(plannedIn(dir, EqualTo("source", "src_2")) == 1)
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("source") === "src_2").count() == 250)
+  }
+
+  test("clustering a streaming-ingest directory compacts epoch litter") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = tmpDir("scbf-maint-sink")
+    val ckpt = tmpDir("scbf-maint-ck")
+    val input = MemoryStream[Int]
+    def run(lo: Int, hi: Int): Unit = {
+      val q = input.toDF()
+        .select(col("value").cast("int").as("id"))
+        .coalesce(1)
+        .writeStream.format("scbf").option("checkpointLocation", ckpt).start(out)
+      try { input.addData(lo until hi: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(0, 100); run(100, 200); run(200, 300)
+    assert(scbfFiles(out).size == 3, "three epochs → three files")
+    ScbfMaintenance.cluster(spark, out, Seq("id"), 2)
+    assert(scbfFiles(out).size == 2)
+    assert(spark.read.format("scbf").load(out)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 300))
+    assert(plannedIn(out, EqualTo("id", 10)) == 1)
+  }
+
+  test("top-k and aggregate pushdown bite after clustering") {
+    val dir = tmpDir("scbf-maint-topk")
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"))
+      .repartition(8)
+      .write.format("scbf").mode("overwrite").save(dir)
+    ScbfMaintenance.cluster(spark, dir, Seq("id"), 4)
+    val q = spark.read.format("scbf").load(dir).orderBy(col("id")).limit(3)
+    ScbfUtil.dataFileOpens.set(0)
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(ScbfUtil.dataFileOpens.get == 1)
+    val agg = spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id")))
+    ScbfUtil.dataFileOpens.set(0)
+    assert(agg.head() == org.apache.spark.sql.Row(1000L, 0, 999, 499500L))
+    assert(ScbfUtil.dataFileOpens.get == 0, "rewritten stats answer the aggregate")
+  }
+}
