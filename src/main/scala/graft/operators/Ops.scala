@@ -12,11 +12,33 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses; read
-   * as nanos-since-epoch long (timezone-free, exact). */
+  /** The events table with `ts` normalized to nanos-since-epoch LONG —
+   * the contract every consumer (q17/q21/q33/t5, the streaming twins'
+   * batch sides) is written against. The fixture has shipped `ts` two
+   * ways across rounds: parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+   * unless read as a long via `nanosAsLong` — already naive nanos) and
+   * timestamp[us] (Spark reads TIMESTAMP_NTZ). Both normalize here, and
+   * ONLY here, so a fixture regeneration cannot silently fork query
+   * semantics. The NTZ arm uses naive wall-clock arithmetic
+   * (`timestampdiff` is timezone-free on NTZ) — bit-identical to
+   * DuckDB's `epoch_ns(ts)` on the same naive values, independent of
+   * the host timezone. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    tsAsNanos(t(s, dir, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to naive nanos-since-epoch
+   * long (see [[events]]); identity when already long. */
+  def tsAsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // epoch-2024 micros ~1.7e15; *1000L stays well inside Long range
+      df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; expected LONG (nanos) or TIMESTAMP_NTZ")
   }
 
   /** Exact, order-independent double aggregation: per-row cast to a

@@ -7,10 +7,17 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+import graft.operators.Ops
 
 class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
+
+  /** Raw fixture frame -> `ts` as an absolute TimestampType instant, via
+   * the one shared nanos normalization (fixture has shipped ts as both
+   * nanos-long and TIMESTAMP_NTZ across rounds — see Ops.events). */
+  private def withTsInstant(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Ops.tsAsNanos(df).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
@@ -56,8 +63,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       .schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = EventStreams.tumblingCounts(stream)
+    val q = EventStreams.tumblingCounts(withTsInstant(stream))
       .writeStream.format("memory").queryName("parity").outputMode("complete").start()
     try {
       q.processAllAvailable()
@@ -65,8 +71,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("h"),
           col("event_type"), col("cnt"), col("sum_value"))
         .as[(String, String, Long, Double)].collect().toSet
-      val batch = batchDf
-        .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
+      val batch = withTsInstant(batchDf)
+        .withColumnRenamed("ts", "tsu")
         .groupBy(date_format(date_trunc("hour", col("tsu")), "yyyy-MM-dd HH:mm").as("h"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
@@ -144,16 +150,14 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
   test("streaming interval join equals the batch join on the real events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val batchDf = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchDf = withTsInstant(spark.read.parquet(s"$dir/events.parquet"))
     val streamDir = java.nio.file.Files.createTempDirectory("events-join-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    def side(tpe: String) = spark.readStream
+    def side(tpe: String) = withTsInstant(spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
       .filter(col("event_type") === tpe)
     val q = EventStreams.clickPurchaseJoin(side("click"), side("purchase"))
       .writeStream.format("memory").queryName("cpparity").outputMode("append").start()
