@@ -349,6 +349,31 @@ object RelationalQueries {
           max(col("doc_id")).as("max_doc"))
     },
 
+    "q41_scbf_bloom_skip" -> { (s, dir) =>
+      // Bloom-sidecar file skipping end-to-end (ScbfBloom): documents
+      // land UNCLUSTERED (round-robin), so every file spans the whole
+      // doc_id range and min/max can prune NOTHING for a point lookup —
+      // the per-file Bloom filters are the only thing standing between
+      // an `IN (...)` id probe and opening every file in the directory
+      // (at 100 TB: a metadata-cost point query vs a full-listing
+      // scan). Membership has no false negatives and filters stay
+      // residual, so the result is exact whether or not any file
+      // skipped; the oracle runs the same probe on the source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_bloom_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .repartition(spread(s)) // round-robin: deliberately unclustered
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      s.read.format("scbf").load(scbfDir)
+        .filter(col("doc_id").isin(7, 203, 411))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -594,6 +619,13 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE doc_id < 100
+         GROUP BY source""",
+
+    "q41_scbf_bloom_skip" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc
+         FROM documents WHERE doc_id IN (7, 203, 411)
          GROUP BY source""",
 
     "q17_events_tumbling" ->

@@ -164,6 +164,16 @@ class ScbfTable(
     val maxBuf = Option(info.options.get("maxBufferedBytes")).map(_.toLong)
       .getOrElse(ScbfWrite.DefaultMaxBufferedBytes)
     require(maxBuf > 0, s"maxBufferedBytes must be positive, got $maxBuf")
-    new ScbfWriteBuilder(dir, info.schema(), conf, maxBuf)
+    // per-column bloom sidecar cap (0 disables — see ScbfBloom); rides
+    // the task-bound Hadoop conf so no writer signature changes. The
+    // conf is copied: a write option must not leak into other writes
+    // sharing this session's conf.
+    val wconf = Option(info.options.get("bloomMaxBytes")).map(_.toInt) match {
+      case Some(cap) =>
+        require(cap >= 0, s"bloomMaxBytes must be >= 0, got $cap")
+        val c = new Configuration(conf); c.setInt(ScbfBloom.MaxBytesKey, cap); c
+      case None => conf
+    }
+    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf)
   }
 }

@@ -233,10 +233,19 @@ object ScbfStats {
   final class Pruner(conf: Configuration, filters: Seq[Filter]) {
     private val lookup = new Lookup(conf)
     private val active = filters.nonEmpty
+    // bloom files are read LAZILY: only when an equality-shaped filter
+    // could use one, and only for files range pruning failed to exclude
+    // (the && below short-circuits) — see ScbfBloom's design note
+    private val bloomActive = filters.exists(ScbfBloom.usable)
 
-    /** Keep unless present-and-whole stats prove no row can match. */
+    /** Keep unless present-and-whole stats prove no row can match —
+     * first by min/max interval reasoning, then (for survivors, under
+     * equality-shaped filters) by per-file Bloom membership. */
     def keep(data: Path, dataLen: Long): Boolean =
-      !active || lookup.stats(data, dataLen).forall(st => mayMatch(filters, st))
+      !active ||
+        (lookup.stats(data, dataLen).forall(st => mayMatch(filters, st)) &&
+          (!bloomActive || ScbfBloom.read(data, dataLen, conf).forall(b =>
+            ScbfBloom.mayMatch(filters, b))))
   }
 
   /** Can this filter ever contribute to file skipping? (Used to avoid

@@ -112,10 +112,12 @@ class ScbfBatchWrite(
     toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach { p =>
         fs.delete(p, false)
-        // the replaced file's stats sidecar goes with it (an orphan
-        // sidecar is invisible to readers, but don't accumulate them)
+        // the replaced file's stats/bloom sidecars go with it (orphan
+        // sidecars are invisible to readers, but don't accumulate them)
         val sc = ScbfStats.sidecarPath(p)
         if (fs.exists(sc)) fs.delete(sc, false)
+        val bl = ScbfBloom.bloomPath(p)
+        if (fs.exists(bl)) fs.delete(bl, false)
       }
     if (truncate) sweepTemps()
     // compact per-file stats into the directory manifest so planning
@@ -133,6 +135,8 @@ class ScbfBatchWrite(
         fs.delete(f, false)
         val sc = ScbfStats.sidecarPath(f)
         if (fs.exists(sc)) fs.delete(sc, false)
+        val bl = ScbfBloom.bloomPath(f)
+        if (fs.exists(bl)) fs.delete(bl, false)
       }
     }
     // no sweep here: an ABORTED overwrite leaves the old table contents
@@ -493,6 +497,38 @@ class ScbfDataWriter(
     }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
       ScbfStats.FileStats(bufferedRows, cols, strCols))
+    // Bloom sidecar (equality/IN skipping on unclustered keys — see
+    // ScbfBloom): staged as a (temp, final) pair like the data file, so
+    // both publish paths (task commit / epoch-level driver commit) and
+    // both abort paths handle it with zero extra machinery. Replay-safe
+    // on the streaming path: a replayed epoch stages byte-identical
+    // data, hence byte-identical blooms, and the committer's content
+    // check accepts identical re-stages. Length-guarded against
+    // `written` so a bloom can never vouch for a replaced file.
+    val bloomCap = conf.getInt(ScbfBloom.MaxBytesKey, ScbfBloom.DefaultMaxBytes)
+    if (bloomCap > 0 && bufferedRows > 0) {
+      val blooms = schema.fields.map(_.name).zip(builders).flatMap {
+        case (n, b: IntBuilder) =>
+          val bb = new ScbfBloom.Builder(bufferedRows, bloomCap)
+          b.values.foreach(v => bb.add(ScbfBloom.encodeInt(v)))
+          Some(n -> bb.result)
+        case (n, b: Utf8Builder) =>
+          val bb = new ScbfBloom.Builder(bufferedRows, bloomCap)
+          b.values.foreach(bb.add)
+          Some(n -> bb.result)
+        case _ => None // doubles: equality point-lookups don't happen on measures
+      }.toMap
+      if (blooms.nonEmpty) {
+        val bDst = ScbfBloom.bloomPath(dst)
+        val bTmp = new Path(dir, s"${bDst.getName}.$attemptUuid.tmp")
+        val bOut = bTmp.getFileSystem(conf).create(bTmp, true)
+        try bOut.write(
+          ScbfBloom.render(written, ScbfBloom.FileBloom(blooms)).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        finally bOut.close()
+        staged += ((bTmp, bDst))
+      }
+    }
     builders.foreach(_.clear())
     fileSeq += 1
     bufferedRows = 0L

@@ -37,7 +37,15 @@ class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       .repartition(16) // round-robin: every file spans everything
       .write.format("scbf").mode("overwrite").save(dir)
     assert(scbfFiles(dir).size == 16)
-    assert(plannedIn(dir, EqualTo("id", 500)) == 16, "unclustered: no pruning")
+    // drop the bloom sidecars for this assertion: blooms DO prune point
+    // lookups on unclustered layouts now (BloomSkipSpec covers that);
+    // here we pin that INTERVAL stats alone are powerless pre-cluster
+    val p0 = new Path(dir)
+    val fs0 = p0.getFileSystem(new Configuration())
+    fs0.listStatus(p0).filter(_.getPath.getName.endsWith(".bloom"))
+      .foreach(f => fs0.delete(f.getPath, false))
+    assert(plannedIn(dir, EqualTo("id", 500)) == 16,
+      "unclustered: no interval pruning")
 
     ScbfMaintenance.cluster(spark, dir, Seq("id"), 4)
     assert(scbfFiles(dir).size == 4, "compacted 16 → 4")
