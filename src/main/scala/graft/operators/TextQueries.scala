@@ -286,6 +286,29 @@ object TextQueries {
           col("cum_tokens"), col("budget"))
     },
 
+    // ---- RAG-style document chunking: fixed token windows + overlap ----
+    // The retrieval-prep complement of t11's packing: t11 CONCATENATES
+    // short docs up to a budget, this SPLITS each doc into fixed-size
+    // overlapping token windows (64 tokens, stride 48 → 16-token
+    // overlap), the unit an embedding/retrieval index actually stores.
+    // Scale shape: pure map-side explode off the scan — no shuffle, no
+    // window; fan-out is ~n_tokens/stride per doc (bounded, linear in
+    // corpus size), and each chunk row carries only its own slice.
+    // Every doc emits >= 1 chunk (split(' ') is never empty), and every
+    // start strictly inside the token list emits one, so the final
+    // partial window is kept — standard RAG chunker semantics.
+    "t15_chunking" -> { (s, dir) =>
+      val (csize, stride) = (64, 48)
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(stride))))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_id"),
+          array_join(slice(col("w"), col("start") + 1, lit(csize)), " ").as("chunk_text"),
+          least(size(col("w")) - col("start"), lit(csize)).as("n_tokens"))
+    },
+
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
     // The contamination check every training pipeline runs before a
     // model sees the data: flag corpus documents sharing any word
@@ -687,6 +710,15 @@ object TextQueries {
         |FROM c
         |WHERE cum_tokens <= $b * (1 + CAST(substr(source, 4) AS INT) % 3)""".stripMargin
     },
+
+    "t15_chunking" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |st AS (SELECT doc_id, w,
+        |    unnest(range(0, greatest(len(w) - 1, 0) + 1, 48)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        |  array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text,
+        |  CAST(least(len(w) - start, 64) AS INT) AS n_tokens
+        |FROM st""".stripMargin,
 
     "t10_decontam" -> {
       val g8 = (1 to 7).foldLeft("w[i]")((acc, j) => s"$acc || '_' || w[i+$j]")
