@@ -47,14 +47,79 @@ object ScbfMaintenance {
     writer.save(dir)
   }
 
-  /** CLI: `cluster <dir> <numFiles> <col> [col ...]` — the maintenance
-   * entry point alongside the reference-shaped CSV CLI (CsvScbfApps). */
+  /**
+   * Janitorial sweep of a table directory — the VACUUM step for a
+   * long-running ingest: crashed task attempts leave invisible
+   * dot-temps (a hard executor kill never runs abort()), and
+   * out-of-band data-file deletion leaves orphan stats/bloom sidecars.
+   * Neither affects correctness (temps are invisible to scans, orphan
+   * sidecars are keyed by missing data names and length-guarded), but
+   * at ingest rates they accumulate listing weight forever.
+   *
+   * Only files older than `olderThanMs` are touched — the horizon
+   * protects in-flight work: a LIVE task's staged temps are younger
+   * than any sane horizon, and a streaming epoch that crashed between
+   * staging and commit RE-STAGES byte-identical temps on replay
+   * (deterministic names + deterministic source replay), so deleting
+   * its aged litter is always safe. Same single-writer contract and
+   * retention trade as Delta's VACUUM; default horizon 24 h.
+   *
+   * Returns (temps deleted, orphan sidecars deleted).
+   */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return (0, 0)
+    val all = fs.listStatus(p).filter(_.isFile)
+    val live = all.map(_.getPath.getName)
+      .filter(n => n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith("."))
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var temps = 0
+    var orphans = 0
+    all.foreach { st =>
+      val n = st.getPath.getName
+      if (st.getModificationTime < cutoff) {
+        // a bloom/stats TEMP (.f.scbf.bloom.<uuid>.tmp) matches isTemp
+        // too and sweeps as a temp
+        if (ScbfWrite.isTemp(n)) { fs.delete(st.getPath, false); temps += 1 }
+        else {
+          val dataName =
+            if (n.startsWith(".") && n.endsWith(".stats")) Some(n.drop(1).dropRight(6))
+            else if (n.startsWith(".") && n.endsWith(".bloom")) Some(n.drop(1).dropRight(6))
+            else None
+          dataName.filterNot(live.contains).foreach { _ =>
+            fs.delete(st.getPath, false); orphans += 1
+          }
+        }
+      }
+    }
+    (temps, orphans)
+  }
+
+  /** CLI: `cluster <dir> <numFiles> <col> [col ...]` or
+   * `vacuum <dir> [horizonHours]` — the maintenance entry points
+   * alongside the reference-shaped CSV CLI (CsvScbfApps). */
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("cluster", dir, n, cols @ _*) if cols.nonEmpty =>
       val spark = SparkSession.builder().getOrCreate()
       cluster(spark, dir, cols, n.toInt)
+    case Seq("vacuum", dir) =>
+      val spark = SparkSession.builder().getOrCreate()
+      val (t, o) = vacuum(spark, dir)
+      println(s"vacuum: removed $t temps, $o orphan sidecars")
+    case Seq("vacuum", dir, hours) =>
+      val spark = SparkSession.builder().getOrCreate()
+      val (t, o) = vacuum(spark, dir, hours.toLong * 3600 * 1000)
+      println(s"vacuum: removed $t temps, $o orphan sidecars")
     case _ =>
-      System.err.println("usage: ScbfMaintenance cluster <dir> <numFiles> <col> [col ...]")
+      System.err.println(
+        "usage: ScbfMaintenance cluster <dir> <numFiles> <col> [col ...] | " +
+          "vacuum <dir> [horizonHours]")
       sys.exit(2)
   }
 }

@@ -72,6 +72,38 @@ class RuntimeFilterSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(key, "true")
   }
 
+  test("runtime join keys prune an UNCLUSTERED fact via bloom sidecars") {
+    // round-robin fact: every file spans the whole id range, so the
+    // interval stats the other cases rely on can prune NOTHING here —
+    // the runtime In filter must flow into the per-file blooms
+    // (ScbfStats.Pruner's second stage) to skip anything at all. This
+    // is the 100 TB point-lookup-join story for ingest-ordered data
+    // that no OPTIMIZE pass has clustered yet.
+    val dir = tmpDir("scbf-dpp-bloom")
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"), (col("id") * 2.5).as("amount"))
+      .repartition(4)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val fact = spark.read.format("scbf").load(dir)
+    // non-key dim predicate (tag) keeping exactly k = 500, so Catalyst
+    // cannot infer a static fact predicate
+    val dim = spark.range(0, 1000)
+      .select(col("id").cast("int").as("k"),
+        concat(lit("t"), col("id")).as("tag"))
+      .filter(col("tag") === "t500").select("k")
+    val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+    ScbfUtil.dataFileOpens.set(0)
+    val rows = joined.select("id", "amount").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(500))
+    assert(rows.head.getDouble(1) == 1250.0)
+    // exactly the one file holding id=500 (a ~1%-probability bloom
+    // false positive would open a second file — deterministic for this
+    // fixed dataset, and this run has none)
+    assert(ScbfUtil.dataFileOpens.get == 1,
+      s"bloom should prune the unclustered fact to 1 of 4 files, " +
+        s"opened ${ScbfUtil.dataFileOpens.get}")
+  }
+
   test("runtime filters combine with static pushed filters conjunctively") {
     val dir = tmpDir("scbf-dpp-static")
     writeFact(dir)

@@ -114,4 +114,42 @@ class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.head() == org.apache.spark.sql.Row(1000L, 0, 999, 499500L))
     assert(ScbfUtil.dataFileOpens.get == 0, "rewritten stats answer the aggregate")
   }
+
+  test("vacuum sweeps aged temps and orphan sidecars; live files untouched") {
+    val dir = tmpDir("scbf-maint-vac")
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("id"))
+      .repartition(2)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    // plant the litter a crashed attempt / out-of-band delete leaves:
+    // a staged temp, an orphan stats sidecar, an orphan bloom
+    def plant(name: String): Path = {
+      val f = new Path(dir, name)
+      val out = fs.create(f, true); out.write(1); out.close(); f
+    }
+    val temp = plant(".part-99999-0-dead-000.scbf.deadbeef.tmp")
+    val orphanStats = plant(".gone-file.scbf.stats")
+    val orphanBloom = plant(".gone-file.scbf.bloom")
+    val before = scbfFiles(dir)
+    assert(before.size == 2)
+    // horizon in the future → everything aged; live data+sidecars stay
+    val (temps, orphans) = ScbfMaintenance.vacuum(spark, dir, olderThanMs = -60000)
+    assert(temps == 1, s"swept $temps temps")
+    assert(orphans == 2, s"swept $orphans orphans")
+    assert(!fs.exists(temp) && !fs.exists(orphanStats) && !fs.exists(orphanBloom))
+    assert(scbfFiles(dir).toSet == before.toSet, "live data untouched")
+    before.foreach { f =>
+      assert(fs.exists(ScbfStats.sidecarPath(f)), "live sidecars untouched")
+      assert(fs.exists(ScbfBloom.bloomPath(f)), "live blooms untouched")
+    }
+    assert(spark.read.format("scbf").load(dir)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 100))
+    // a fresh temp (younger than a sane horizon) survives
+    val fresh = plant(".part-88888-0-live-000.scbf.cafebabe.tmp")
+    val (t2, o2) = ScbfMaintenance.vacuum(spark, dir) // default 24 h horizon
+    assert(t2 == 0 && o2 == 0)
+    assert(fs.exists(fresh), "in-flight temp inside the horizon survives")
+  }
 }
