@@ -218,7 +218,8 @@ class ScbfScan(
         // static pushed filters AND any runtime (DPP) filters prune
         // through the same conjunctive stats check
         val pruner = new ScbfStats.Pruner(conf, pushedFilters ++ runtimeFilters)
-        val kept = files.filter(f => pruner.keep(f.getPath, f.getLen))
+        // batched: survivor blooms fetch on a bounded pool (keepAll)
+        val kept = pruner.keepAll(files)(_.getPath, _.getLen)
         // A pushed LIMIT keeps only a prefix of files whose stats
         // GUARANTEE ≥ n rows: a file without trusted stats still plans
         // (counts 0 toward the guarantee), so the planned set can only
@@ -273,7 +274,7 @@ class ScbfScan(
       if (aggregated.isDefined || pushedFilters.isEmpty) files
       else {
         val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-        files.filter(f => pruner.keep(f.getPath, f.getLen))
+        pruner.keepAll(files)(_.getPath, _.getLen)
       }
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)

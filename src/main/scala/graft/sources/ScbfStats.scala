@@ -246,6 +246,41 @@ object ScbfStats {
         (lookup.stats(data, dataLen).forall(st => mayMatch(filters, st)) &&
           (!bloomActive || ScbfBloom.read(data, dataLen, conf).forall(b =>
             ScbfBloom.mayMatch(filters, b))))
+
+    /**
+     * Batched [[keep]] preserving input order. The interval pass stays
+     * serial (manifest-backed: O(1) stats opens per directory), but
+     * bloom sidecars are PER FILE by design (see ScbfBloom's
+     * out-of-manifest note), so an equality probe over an unclustered
+     * 10⁵-file directory would otherwise serialize 10⁵ driver
+     * round-trips — the same planning-stall shape the manifest was
+     * built to kill. Survivor blooms are fetched on a bounded pool
+     * instead; each fetch is independent and the decision per file is
+     * deterministic, so parallelism changes wall-clock only.
+     */
+    def keepAll[T](fs: Seq[T])(path: T => Path, len: T => Long): Seq[T] = {
+      if (!active) return fs
+      val statsKept = fs.filter(f =>
+        lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))
+      if (!bloomActive) statsKept
+      else if (statsKept.size <= 1)
+        statsKept.filter(f => ScbfBloom.read(path(f), len(f), conf).forall(b =>
+          ScbfBloom.mayMatch(filters, b)))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())))
+        try {
+          val futures = statsKept.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean =
+                ScbfBloom.read(path(f), len(f), conf).forall(b =>
+                  ScbfBloom.mayMatch(filters, b))
+            })
+          }
+          statsKept.zip(futures).collect { case (f, fut) if fut.get() => f }
+        } finally pool.shutdown()
+      }
+    }
   }
 
   /** Can this filter ever contribute to file skipping? (Used to avoid

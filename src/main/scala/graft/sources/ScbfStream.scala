@@ -311,16 +311,16 @@ class ScbfMicroBatchStream(
     val s = start.asInstanceOf[ScbfOffset].batch
     val e = end.asInstanceOf[ScbfOffset].batch
     val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-    ((s + 1) to e).flatMap(readLog)
-      // stats-based file skipping — ScbfStats.Pruner, the SAME
-      // predicate object the batch scan uses (manifest-first, per-file
-      // sidecar fallback; the logged admission length doubles as the
-      // manifest staleness guard). Offsets/logs are untouched — a
-      // skipped file is still admitted and logged; and because every
-      // pushed filter remains residual in the query plan, a skip
-      // decision that differs on replay (stats appeared/vanished) only
-      // removes rows the filter would drop — results identical.
-      .filter { case (p, len, _) => pruner.keep(new Path(p), len) }
+    // stats-based file skipping — ScbfStats.Pruner, the SAME
+    // predicate object (and batched keepAll path) the batch scan uses
+    // (manifest-first, per-file sidecar fallback; the logged admission
+    // length doubles as the manifest staleness guard). Offsets/logs
+    // are untouched — a skipped file is still admitted and logged; and
+    // because every pushed filter remains residual in the query plan,
+    // a skip decision that differs on replay (stats appeared/vanished)
+    // only removes rows the filter would drop — results identical.
+    pruner.keepAll(((s + 1) to e).flatMap(readLog))(
+        f => new Path(f._1), _._2)
       .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray
   }

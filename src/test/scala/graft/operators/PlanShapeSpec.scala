@@ -123,9 +123,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("PartitionFilters: [isnotnull(p_brand"), p)
   }
 
-  test("t9/d12: per-row scrub and quantization stay map-only (no Exchange)") {
+  test("t9/d12/t15: per-row scrub, quantization and chunking stay map-only (no Exchange)") {
     assert(!plan("t9_pii_scan").contains("Exchange"), plan("t9_pii_scan"))
     assert(!plan("d12_embed_quantize").contains("Exchange"), plan("d12_embed_quantize"))
+    // chunking's explode is a Generate off the scan — no shuffle, no window
+    val t15 = plan("t15_chunking")
+    assert(!t15.contains("Exchange") && !t15.contains("Window"), t15)
+    assert(t15.contains("Generate"), t15)
   }
 
   test("t10: the benchmark gram side broadcasts; the corpus side never shuffles gram strings") {
