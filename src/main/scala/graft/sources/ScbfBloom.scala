@@ -201,6 +201,14 @@ object ScbfBloom {
               var i = 0
               while (i < words.length) { words(i) = bb.getLong(); i += 1 }
               n -> ColBloom(k.toInt, m.toInt, words)
+            }.collect {
+              // drop malformed entries a parse accepts but membership
+              // would CRASH on (m=0 divides, short words array indexes
+              // out of bounds) — planning must degrade to keep, never
+              // throw, exactly like an unparsable stats sidecar
+              case e @ (_, cb)
+                  if cb.k >= 1 && cb.m >= 64 && cb.m % 64 == 0 &&
+                    cb.words.length == cb.m / 64 => e
             }.toMap
             Some(FileBloom(cols))
           }

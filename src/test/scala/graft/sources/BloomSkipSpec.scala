@@ -106,6 +106,40 @@ class BloomSkipSpec extends AnyFunSuite with SparkTestBase {
       "equality reads blooms only for files surviving min/max pruning")
   }
 
+  test("malformed bloom files degrade to keep — planning never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("scbf-bloom-corrupt").toString
+    writeRoundRobin(dir)
+    val conf = new Configuration()
+    val f = scbfFiles(dir).head
+    val fs = f.getFileSystem(conf)
+    val len = fs.getFileStatus(f).getLen
+    val bp = ScbfBloom.bloomPath(f)
+    // parseable-but-malformed variants: zero m (membership would divide
+    // by zero), short bit array (would index out of bounds), zero k,
+    // non-multiple-of-64 m, plus plain garbage and a wrong header
+    val b64 = java.util.Base64.getEncoder.encodeToString(new Array[Byte](8))
+    val variants = Seq(
+      s"bloomv1\nlen\t$len\ncol\tid\t7\t0\t$b64\n",
+      s"bloomv1\nlen\t$len\ncol\tid\t7\t4096\t$b64\n",
+      s"bloomv1\nlen\t$len\ncol\tid\t0\t64\t$b64\n",
+      s"bloomv1\nlen\t$len\ncol\tid\t7\t100\t$b64\n",
+      s"bloomv1\nlen\t$len\ncol\tid\t7\tnotanumber\t$b64\n",
+      "complete garbage\nwith lines\n",
+      s"wrongheader\nlen\t$len\ncol\tid\t7\t64\t$b64\n")
+    variants.foreach { content =>
+      val out = fs.create(bp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      // the doctored file must KEEP under a point lookup it can no
+      // longer decide (the other three files still prune normally,
+      // except when their blooms legitimately exclude the value)
+      val n = planned(dir, EqualTo("id", 500))
+      assert(n >= 1 && n <= 2, s"planned $n under corrupt bloom: $content")
+      val got = spark.read.format("scbf").load(dir).filter(col("id") === 500)
+        .select("id").collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(500), s"row lost under corrupt bloom: $content")
+    }
+  }
+
   test("a stale bloom (data file replaced out-of-band) is ignored, not trusted") {
     val dir = java.nio.file.Files.createTempDirectory("scbf-bloom-stale").toString
     writeRoundRobin(dir)
