@@ -374,6 +374,33 @@ object RelationalQueries {
           min(col("doc_id")).as("min_doc"))
     },
 
+    "q42_scbf_zorder" -> { (s, dir) =>
+      // Z-order maintenance end-to-end (ScbfMaintenance.zorder — the
+      // multi-dimensional OPTIMIZE): documents land unclustered, the
+      // rewrite interleaves equi-depth bucket ranks of (doc_id,
+      // n_chars), and the query filters on n_chars ALONE — the
+      // second-listed dimension, which a hierarchical cluster would
+      // leave completely unprunable. The result is exact regardless of
+      // how many files the z-layout skips (filters stay residual);
+      // the oracle runs the same filter+aggregate on the source
+      // parquet, which is what makes the rewrite gate-able.
+      val scbfDir = scratchDir(s) + "/graft_scbf_zorder_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .repartition(spread(s))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      graft.sources.ScbfMaintenance.zorder(s, scbfDir, Seq("doc_id", "n_chars"), spread(s))
+      s.read.format("scbf").load(scbfDir)
+        .filter(col("n_chars") >= 200 && col("n_chars") < 400)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -626,6 +653,14 @@ object RelationalQueries {
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          CAST(MIN(doc_id) AS INT) AS min_doc
          FROM documents WHERE doc_id IN (7, 203, 411)
+         GROUP BY source""",
+
+    "q42_scbf_zorder" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE n_chars >= 200 AND n_chars < 400
          GROUP BY source""",
 
     "q17_events_tumbling" ->

@@ -115,6 +115,57 @@ class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfUtil.dataFileOpens.get == 0, "rewritten stats answer the aggregate")
   }
 
+  test("zorder makes EVERY listed dimension prunable; hierarchical cluster only the first") {
+    // a 64×64 grid: x = id % 64, y = id / 64 — the two-dimensional
+    // workload (e.g. (source, time) or (length, quality)) where
+    // hierarchical range clustering serves only its leading column
+    def writeGrid(dir: String): Unit =
+      spark.range(0, 4096)
+        .select(col("id").cast("int").as("id"),
+          (col("id") % 64).cast("int").as("x"),
+          (col("id") / 64).cast("int").as("y"))
+        .repartition(16)
+        .write.format("scbf").mode("overwrite").save(dir)
+
+    // range-only planning: strip blooms so the assertion isolates the
+    // interval-stats geometry the rewrite exists to shape (blooms
+    // prune point lookups on ANY layout and would blur the contrast)
+    def plannedRangeOnly(dir: String, f: org.apache.spark.sql.sources.Filter): Int = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(new Configuration())
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".bloom"))
+        .foreach(x => fs.delete(x.getPath, false))
+      plannedIn(dir, f)
+    }
+
+    val hier = tmpDir("scbf-zorder-hier")
+    writeGrid(hier)
+    ScbfMaintenance.cluster(spark, hier, Seq("x", "y"), 16)
+    // leading column prunes; the second column cannot (each file is a
+    // narrow x-slab spanning ALL y)
+    assert(plannedRangeOnly(hier, EqualTo("x", 32)) <= 2)
+    assert(plannedRangeOnly(hier, EqualTo("y", 32)) == 16,
+      "hierarchical clustering leaves the second dimension unprunable")
+
+    val zdir = tmpDir("scbf-zorder")
+    writeGrid(zdir)
+    ScbfMaintenance.zorder(spark, zdir, Seq("x", "y"), 64)
+    assert(scbfFiles(zdir).size == 64)
+    // z-curve locality: an equality on EITHER dimension intersects
+    // ~sqrt(64) = 8 of 64 files' bounding boxes in the ideal aligned
+    // case; sampled range boundaries bleed boxes, so allow 2× ideal —
+    // the contrast that matters is vs hierarchical's 100%
+    val px = plannedRangeOnly(zdir, EqualTo("x", 32))
+    val py = plannedRangeOnly(zdir, EqualTo("y", 32))
+    assert(px <= 16 && py <= 16, s"z-order should prune both dims: x=$px y=$py of 64")
+    // contents survive the rewrite exactly
+    assert(spark.read.format("scbf").load(zdir)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 4096))
+    // and the planned subset returns the exact slice
+    assert(spark.read.format("scbf").load(zdir).filter(col("y") === 32)
+      .collect().map(_.getInt(1)).sorted.toSeq == (0 until 64))
+  }
+
   test("vacuum sweeps aged temps and orphan sidecars; live files untouched") {
     val dir = tmpDir("scbf-maint-vac")
     spark.range(0, 100)
