@@ -401,6 +401,35 @@ object RelationalQueries {
           max(col("doc_id")).as("max_doc"))
     },
 
+    "q43_scbf_delete" -> { (s, dir) =>
+      // DELETE FROM end-to-end (ScbfDelete via DSv2 SupportsDelete) —
+      // the takedown path a training-data store needs (PII removal,
+      // licence retractions): documents written range-partitioned on
+      // doc_id, a doc_id-range delete scopes to the files that can
+      // hold victims (the rest stay byte-identical), survivors are
+      // re-written through the connector's own append path. The oracle
+      // aggregates the source parquet WITHOUT the deleted rows — only
+      // an exact, complete delete can hash-match it.
+      val scbfDir = scratchDir(s) + "/graft_scbf_delete_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .repartitionByRange(spread(s), col("doc_id"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      graft.sources.ScbfDelete.deleteWhere(s, scbfDir,
+        s.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100),
+          org.apache.spark.sql.sources.LessThan("doc_id", 200))))
+      s.read.format("scbf").load(scbfDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -661,6 +690,14 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE n_chars >= 200 AND n_chars < 400
+         GROUP BY source""",
+
+    "q43_scbf_delete" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE NOT (doc_id >= 100 AND doc_id < 200)
          GROUP BY source""",
 
     "q17_events_tumbling" ->

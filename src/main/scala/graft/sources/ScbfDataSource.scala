@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -129,7 +129,14 @@ class ScbfTable(
     files: Seq[FileStatus],
     schema: StructType,
     conf: Configuration)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** DELETE FROM ... WHERE — stats-scoped rewrite (see ScbfDelete). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    tablePaths.size == 1 && ScbfDelete.canDelete(filters)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
 
   override def name(): String = s"scbf:${tablePaths.mkString(",")}"
 

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+
+/**
+ * `DELETE FROM <scbf table> WHERE <cond>` — the takedown path a
+ * training-data store actually needs (PII removal, right-to-be-
+ * forgotten, licence retractions), wired through DSv2
+ * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] on
+ * [[ScbfTable]].
+ *
+ * Execution is a STATS-SCOPED rewrite: files whose stats/blooms PROVE
+ * no row can match (the same conjunctive check the scan prunes with)
+ * are left byte-identical on disk — at 100 TB a targeted delete
+ * touches the files holding the victims, not the table. Affected
+ * files are read back (distributed), their surviving rows re-written
+ * through the connector's own append path (task-commit publish,
+ * manifest merge, bloom/stats sidecars — all inherited), and the
+ * originals (plus their sidecars) are deleted last.
+ *
+ * Failure semantics, same logless contract the OPTIMIZE rewrites
+ * document: a crash BEFORE the append job commits aborts cleanly (new
+ * files are swept, originals untouched — the delete simply didn't
+ * happen); a crash in the window AFTER the append commits and before
+ * the originals are removed leaves original+replacement coexisting
+ * (duplicated survivors, deleted rows still gone from the
+ * replacement but present in the original). Readers during a healthy
+ * delete see the same transient old+new window `cluster` documents.
+ * A deployment needing atomic multi-file visibility layers a
+ * transaction log above the format — out of scope for the frozen
+ * reference format, stated honestly here.
+ *
+ * The no-op fast path matters operationally: probing `DELETE WHERE
+ * doc_id = k` over a clustered/bloom'd directory where nothing
+ * matches rewrites NOTHING (pure metadata reads).
+ */
+object ScbfDelete {
+
+  /** Translate a pushed source Filter to a Column predicate; None when
+   * any node is untranslatable (canDeleteWhere then declines and Spark
+   * surfaces a clean error instead of a wrong delete). */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+    case Or(l, r)  => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case Not(c)    => filterToColumn(c).map(not)
+    case _         => None
+  }
+
+  def canDelete(filters: Array[Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  /** Delete all rows matching the CONJUNCTION of `filters` from the
+   * single-directory table at `dir`. See object scaladoc. */
+  def deleteWhere(
+      spark: SparkSession,
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(lit(true)) // empty WHERE = delete everything
+    require(canDelete(filters),
+      s"untranslatable delete condition: ${filters.mkString(", ")}")
+    // fresh listing (the table object may predate recent writes)
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    // scope: files the stats/bloom machinery cannot prove unaffected
+    val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
+    val affected = pruner.keepAll(files)(_.getPath, _.getLen)
+    if (affected.isEmpty) return // metadata-only no-op
+    val survivors = spark.read.format("scbf")
+      .load(affected.map(_.getPath.toString): _*)
+      .filter(!cond)
+    // the connector's own append path: task-commit publish, sidecars,
+    // manifest merge — a failure here aborts with originals untouched
+    survivors.write.format("scbf").mode("append").save(dir)
+    // only after the replacement is fully committed: drop originals
+    val fs = new Path(dir).getFileSystem(conf)
+    affected.foreach { f =>
+      fs.delete(f.getPath, false)
+      val sc = ScbfStats.sidecarPath(f.getPath)
+      if (fs.exists(sc)) fs.delete(sc, false)
+      val bl = ScbfBloom.bloomPath(f.getPath)
+      if (fs.exists(bl)) fs.delete(bl, false)
+    }
+    // manifest entries for the removed names are dead weight (planning
+    // keys lookups by the LIVE listing, so they can never be trusted
+    // for a live file) — compact them away so the manifest doesn't
+    // grow monotonically under repeated deletes
+    val live = ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getName).toSet
+    val entries = ScbfStats.readManifest(new Path(dir), conf)
+      .values.filter(e => live.contains(e.name)).toSeq
+    ScbfStats.writeManifest(new Path(dir), conf, entries)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** DELETE FROM ... WHERE over SCBF tables (ScbfDelete via DSv2
+ * SupportsDelete): stats-scoped rewrite — provably-unaffected files
+ * stay byte-identical, affected files are rewritten without the
+ * matching rows through the connector's own append path. */
+class DeleteSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeRanged(dir: String): Unit =
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      .repartitionByRange(4, col("id"))
+      .write.format("scbf").mode("overwrite").save(dir)
+
+  private def files(dir: String): Map[String, Long] = {
+    val p = new Path(dir)
+    p.getFileSystem(new Configuration()).listStatus(p).toSeq
+      .filter(f => f.getPath.getName.endsWith(".scbf") && !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName -> f.getLen).toMap
+  }
+
+  private def delete(dir: String, fs: Filter*): Unit =
+    ScbfDelete.deleteWhere(spark, dir, new Configuration(), fs.toArray)
+
+  test("delete rewrites only the files that can hold matches") {
+    val dir = tmpDir("scbf-del")
+    writeRanged(dir)
+    val before = files(dir)
+    assert(before.size == 4)
+    delete(dir, GreaterThan("id", 899)) // victims live in the last range file only
+    val after = files(dir)
+    // the three unaffected range files are byte-identical (same name AND length)
+    assert(before.count { case (n, len) => after.get(n).contains(len) } == 3,
+      s"3 of 4 originals must survive untouched: before=$before after=$after")
+    assert(spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)), max(col("id"))).head()
+      == org.apache.spark.sql.Row(900L, 899))
+  }
+
+  test("a delete that provably matches nothing rewrites nothing") {
+    val dir = tmpDir("scbf-del-noop")
+    writeRanged(dir)
+    val before = files(dir)
+    ScbfUtil.dataFileOpens.set(0)
+    delete(dir, EqualTo("id", 100000)) // outside every file's range
+    assert(ScbfUtil.dataFileOpens.get == 0, "no-op delete must not read data")
+    assert(files(dir) == before, "no file may change")
+    assert(spark.read.format("scbf").load(dir).count() == 1000)
+  }
+
+  test("IN-victim delete over an UNCLUSTERED table scopes via blooms") {
+    val dir = tmpDir("scbf-del-bloom")
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      .repartition(4) // round-robin: min/max can scope nothing
+      .write.format("scbf").mode("overwrite").save(dir)
+    val before = files(dir)
+    delete(dir, In("id", Array[Any](500))) // one victim → bloom scopes to its file
+    val after = files(dir)
+    assert(before.count { case (n, len) => after.get(n).contains(len) } >= 2,
+      s"bloom scoping must leave most files untouched: before=${before.keySet} after=${after.keySet}")
+    val got = spark.read.format("scbf").load(dir).agg(count(lit(1)),
+      sum(when(col("id") === 500, 1).otherwise(0))).head()
+    assert(got == org.apache.spark.sql.Row(999L, 0L))
+  }
+
+  test("SQL DELETE FROM works end-to-end on a catalog table") {
+    val dir = tmpDir("scbf-del-sql")
+    writeRanged(dir)
+    spark.sql("DROP TABLE IF EXISTS scbf_del")
+    spark.sql(s"CREATE TABLE scbf_del USING scbf LOCATION '$dir'")
+    try {
+      spark.sql("DELETE FROM scbf_del WHERE source = 'src_2'")
+      val left = spark.sql(
+        "SELECT COUNT(*) AS c, SUM(CASE WHEN source = 'src_2' THEN 1 ELSE 0 END) AS s " +
+          "FROM scbf_del").head()
+      assert(left == org.apache.spark.sql.Row(750L, 0L))
+      // the rewrite went through the connector: stats + blooms exist for
+      // every live file, so post-delete queries still prune
+      val p = new Path(dir)
+      val fs = p.getFileSystem(new Configuration())
+      files(dir).keySet.foreach { n =>
+        assert(fs.exists(ScbfStats.sidecarPath(new Path(dir, n))))
+        assert(fs.exists(ScbfBloom.bloomPath(new Path(dir, n))))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_del")
+  }
+
+  test("delete everything leaves a readable empty table; manifest is compacted") {
+    val dir = tmpDir("scbf-del-all")
+    writeRanged(dir)
+    delete(dir) // no filters = delete all rows
+    assert(spark.read.format("scbf").load(dir).count() == 0)
+    // dead manifest entries for removed files are compacted away
+    val man = ScbfStats.readManifest(new Path(dir), new Configuration())
+    val live = files(dir).keySet
+    assert(man.keySet.subsetOf(live), s"manifest keys ${man.keySet} vs live $live")
+  }
+}
