@@ -96,6 +96,17 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_del")
   }
 
+  test("SQL TRUNCATE TABLE works via the SupportsDelete default") {
+    val dir = tmpDir("scbf-trunc")
+    writeRanged(dir)
+    spark.sql("DROP TABLE IF EXISTS scbf_trunc")
+    spark.sql(s"CREATE TABLE scbf_trunc USING scbf LOCATION '$dir'")
+    try {
+      spark.sql("TRUNCATE TABLE scbf_trunc")
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_trunc").head().getLong(0) == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_trunc")
+  }
+
   test("delete everything leaves a readable empty table; manifest is compacted") {
     val dir = tmpDir("scbf-del-all")
     writeRanged(dir)
