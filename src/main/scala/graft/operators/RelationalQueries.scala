@@ -430,6 +430,36 @@ object RelationalQueries {
           max(col("doc_id")).as("max_doc"))
     },
 
+    "q44_scbf_update" -> { (s, dir) =>
+      // UPDATE ... SET ... WHERE end-to-end (ScbfDelete.updateWhere) —
+      // the in-place remediation twin of q43's takedown: rows in a
+      // doc_id range get their source relabeled and n_chars zeroed
+      // (what a redaction pass does after stripping content), every
+      // other row passes through byte-identical, and only files that
+      // can hold victims are rewritten. The oracle computes the same
+      // CASE-mapped aggregate over the source parquet — only an exact,
+      // complete, correctly-scoped update hash-matches.
+      val scbfDir = scratchDir(s) + "/graft_scbf_update_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .repartitionByRange(spread(s), col("doc_id"))
+        .write.format("scbf").mode("overwrite").save(scbfDir)
+      graft.sources.ScbfDelete.updateWhere(s, scbfDir,
+        s.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 300),
+          org.apache.spark.sql.sources.LessThan("doc_id", 350))),
+        Map("source" -> lit("redacted"), "n_chars" -> lit(0)))
+      s.read.format("scbf").load(scbfDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -699,6 +729,17 @@ object RelationalQueries {
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE NOT (doc_id >= 100 AND doc_id < 200)
          GROUP BY source""",
+
+    "q44_scbf_update" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id >= 300 AND doc_id < 350 THEN 'redacted' ELSE source END AS source,
+           CASE WHEN doc_id >= 300 AND doc_id < 350 THEN 0 ELSE n_chars END AS n_chars
+         FROM documents)
+         SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM u GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

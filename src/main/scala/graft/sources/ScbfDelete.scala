@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{col, lit, not, when}
 import org.apache.spark.sql.sources._
 
 /**
@@ -66,6 +66,50 @@ object ScbfDelete {
   def canDelete(filters: Array[Filter]): Boolean =
     filters.forall(f => filterToColumn(f).isDefined)
 
+  /**
+   * UPDATE ... SET ... WHERE as the same stats-scoped rewrite as
+   * [[deleteWhere]]: files that provably hold no matching row stay
+   * byte-identical; affected files rewrite with `set` applied to the
+   * rows matching `cond` and every other row passed through
+   * unchanged. `set` values are arbitrary Column expressions over the
+   * row (so `SET n = n + 1` works); assigned columns must keep their
+   * SCBF type (the write fails fast otherwise). Same append-then-
+   * remove failure contract as delete.
+   *
+   * Exposed as an API rather than SQL UPDATE: wiring Spark's
+   * SupportsRowLevelOperations (the Iceberg copy-on-write machinery)
+   * is heavier than the single-directory format warrants; the rewrite
+   * semantics here are the same group-based copy-on-write.
+   */
+  def updateWhere(
+      spark: SparkSession,
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Array[Filter],
+      set: Map[String, Column]): Unit = {
+    require(canDelete(filters),
+      s"untranslatable update condition: ${filters.mkString(", ")}")
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
+    val affected = pruner.keepAll(files)(_.getPath, _.getLen)
+    if (affected.isEmpty) return
+    val src = spark.read.format("scbf")
+      .load(affected.map(_.getPath.toString): _*)
+    set.keys.foreach(c => require(src.columns.contains(c),
+      s"SET column '$c' does not exist in the table"))
+    val updated = set.foldLeft(src) { case (d, (c, v)) =>
+      // cast back to the column's exact type so `SET n = n + 1` on an
+      // int column cannot silently widen the schema the write rejects
+      d.withColumn(c, when(cond, v.cast(src.schema(c).dataType))
+        .otherwise(col(c)))
+    }.select(src.columns.map(col).toIndexedSeq: _*) // original column order
+    updated.write.format("scbf").mode("append").save(dir)
+    removeOriginals(dir, conf, affected)
+  }
+
   /** Delete all rows matching the CONJUNCTION of `filters` from the
    * single-directory table at `dir`. See object scaladoc. */
   def deleteWhere(
@@ -89,7 +133,17 @@ object ScbfDelete {
     // the connector's own append path: task-commit publish, sidecars,
     // manifest merge — a failure here aborts with originals untouched
     survivors.write.format("scbf").mode("append").save(dir)
-    // only after the replacement is fully committed: drop originals
+    removeOriginals(dir, conf, affected)
+  }
+
+  /** Post-commit removal of replaced originals (+ their sidecars) and
+   * manifest compaction — shared by delete and update. Runs only AFTER
+   * the replacement append committed; a crash before this point aborts
+   * with originals untouched. */
+  private def removeOriginals(
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      affected: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
     affected.foreach { f =>
       fs.delete(f.getPath, false)
@@ -101,7 +155,7 @@ object ScbfDelete {
     // manifest entries for the removed names are dead weight (planning
     // keys lookups by the LIVE listing, so they can never be trusted
     // for a live file) — compact them away so the manifest doesn't
-    // grow monotonically under repeated deletes
+    // grow monotonically under repeated deletes/updates
     val live = ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getName).toSet
     val entries = ScbfStats.readManifest(new Path(dir), conf)
       .values.filter(e => live.contains(e.name)).toSeq

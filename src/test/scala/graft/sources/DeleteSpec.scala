@@ -96,6 +96,51 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_del")
   }
 
+  test("update rewrites only affected files and applies SET to matching rows only") {
+    val dir = tmpDir("scbf-upd")
+    writeRanged(dir)
+    val before = files(dir)
+    ScbfDelete.updateWhere(spark, dir, new Configuration(),
+      Array(GreaterThan("id", 899)),
+      Map("source" -> lit("redacted"), "id" -> (col("id") + 10000)))
+    val after = files(dir)
+    assert(before.count { case (n, len) => after.get(n).contains(len) } == 3,
+      "3 of 4 originals untouched")
+    val got = spark.read.format("scbf").load(dir)
+    assert(got.count() == 1000, "update never changes row count")
+    assert(got.filter(col("source") === "redacted").count() == 100)
+    assert(got.agg(max(col("id"))).head().getInt(0) == 10999)
+    // non-matching rows byte-identical
+    assert(got.filter(col("id") < 900)
+      .filter(col("source") === "redacted").count() == 0)
+  }
+
+  test("update with a provably-unmatched predicate is a metadata no-op") {
+    val dir = tmpDir("scbf-upd-noop")
+    writeRanged(dir)
+    val before = files(dir)
+    ScbfUtil.dataFileOpens.set(0)
+    ScbfDelete.updateWhere(spark, dir, new Configuration(),
+      Array(EqualTo("id", 100000)), Map("source" -> lit("x")))
+    assert(ScbfUtil.dataFileOpens.get == 0 && files(dir) == before)
+  }
+
+  test("update rejects unknown SET columns and keeps column types") {
+    val dir = tmpDir("scbf-upd-bad")
+    writeRanged(dir)
+    intercept[IllegalArgumentException] {
+      ScbfDelete.updateWhere(spark, dir, new Configuration(),
+        Array(GreaterThan("id", 0)), Map("nope" -> lit(1)))
+    }
+    // int column assigned an arithmetic result stays int32 on disk
+    ScbfDelete.updateWhere(spark, dir, new Configuration(),
+      Array(EqualTo("id", 5)), Map("id" -> (col("id") * 2)))
+    val sch = spark.read.format("scbf").load(dir).schema
+    assert(sch("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("id") === 10).count() == 2) // original 10 + updated 5*2
+  }
+
   test("SQL TRUNCATE TABLE works via the SupportsDelete default") {
     val dir = tmpDir("scbf-trunc")
     writeRanged(dir)
