@@ -100,12 +100,18 @@ object ScbfDelete {
       .load(affected.map(_.getPath.toString): _*)
     set.keys.foreach(c => require(src.columns.contains(c),
       s"SET column '$c' does not exist in the table"))
-    val updated = set.foldLeft(src) { case (d, (c, v)) =>
-      // cast back to the column's exact type so `SET n = n + 1` on an
-      // int column cannot silently widen the schema the write rejects
-      d.withColumn(c, when(cond, v.cast(src.schema(c).dataType))
-        .otherwise(col(c)))
-    }.select(src.columns.map(col).toIndexedSeq: _*) // original column order
+    // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
+    // SET right-hand side against the OLD row (SET a = b, b = a swaps),
+    // and a sequential chain would leak earlier assignments into later
+    // expressions. Each assigned column casts back to its exact SCBF
+    // type so `SET n = n + 1` cannot silently widen the schema.
+    val updated = src.select(src.columns.map { c =>
+      set.get(c) match {
+        case Some(v) =>
+          when(cond, v.cast(src.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
     updated.write.format("scbf").mode("append").save(dir)
     removeOriginals(dir, conf, affected)
   }

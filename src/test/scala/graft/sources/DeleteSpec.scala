@@ -125,6 +125,22 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfUtil.dataFileOpens.get == 0 && files(dir) == before)
   }
 
+  test("update SET expressions all see the OLD row (simultaneous assignment)") {
+    val dir = tmpDir("scbf-upd-swap")
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("a"), (col("id") + 100).cast("int").as("b"))
+      .coalesce(1)
+      .write.format("scbf").mode("overwrite").save(dir)
+    // SQL UPDATE semantics: SET a = b, b = a SWAPS — a sequential
+    // withColumn chain would instead set both to the old b
+    ScbfDelete.updateWhere(spark, dir, new Configuration(),
+      Array(EqualTo("a", 5)), Map("a" -> col("b"), "b" -> col("a")))
+    val row = spark.read.format("scbf").load(dir)
+      .filter(col("b") === 5).head()
+    assert(row.getInt(0) == 105 && row.getInt(1) == 5,
+      s"expected swapped (105, 5), got $row")
+  }
+
   test("update rejects unknown SET columns and keeps column types") {
     val dir = tmpDir("scbf-upd-bad")
     writeRanged(dir)
