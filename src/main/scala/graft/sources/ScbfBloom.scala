@@ -95,7 +95,11 @@ object ScbfBloom {
     // files still get a real filter
     private val m: Int = {
       val want = math.max(512L, BitsPerKey * rows)
-      val capped = math.min(want, maxBytes.toLong * 8L)
+      // clamp the byte cap so m stays a valid Int even under an
+      // absurd bloomMaxBytes (e.g. 2 GiB): 64 MiB of bits per column
+      // is already far past any useful file-level filter
+      val capBits = math.min(maxBytes.toLong, 64L * 1024 * 1024) * 8L
+      val capped = math.min(want, math.max(512L, capBits))
       (((capped + 63) / 64) * 64).toInt
     }
     private val words = new Array[Long]((m + 63) / 64)

@@ -88,6 +88,8 @@ object ScbfMaintenance {
         dt == org.apache.spark.sql.types.DoubleType,
         s"zorder column '$c' must be numeric (int32/float64), got $dt")
     }
+    require(!df.columns.exists(c => c == "__z" || c.startsWith("__zb_")),
+      "zorder uses helper columns __z/__zb_N; rename conflicting table columns first")
     val nBuckets = 1 << bits
     // pass 1: equi-depth cutpoints (bounded driver data: 2^bits doubles
     // per column). relativeError trades one extra scan's precision for
