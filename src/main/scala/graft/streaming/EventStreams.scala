@@ -82,6 +82,8 @@ object EventStreams {
   case class Session(userId: Long, startMs: Long, endMs: Long, events: Int)
 
   case class Doc(ts: Timestamp, docId: Long, text: String)
+  case class DocChunk(ts: Timestamp, docId: Long, chunkId: Int,
+      chunkText: String, nTokens: Int)
   case class BandRow(ts: Timestamp, bandIdx: Int, bandKey: Long,
       docId: Long, sig: Array[Long])
   case class BucketState(docs: List[(Long, Long, Array[Long])]) // (tsMs, docId, sig)
@@ -559,6 +561,26 @@ object EventStreams {
    * event-time timeout. Emits a session once the watermark passes its
    * gap deadline; per-user state is one small struct, so state scales
    * with active users only. */
+  /** t15's streaming twin: chunk-at-ingest. Stateless — each arriving
+   * document immediately emits its fixed-size overlapping token
+   * windows (no state, no watermark; append-mode safe at any rate),
+   * with the SAME window geometry as batch t15 (size 64, stride 48):
+   * starts are every `stride`-th token index strictly inside the
+   * token list, so the final partial window is kept and an empty text
+   * (one empty token under split-by-space) still emits chunk 0. */
+  def chunkDocs(docs: Dataset[Doc], size: Int = 64,
+      stride: Int = 48): Dataset[DocChunk] = {
+    implicit val enc = Encoders.product[DocChunk]
+    docs.flatMap { d =>
+      val w = d.text.split(" ", -1)
+      (0 until w.length by stride).map { st =>
+        DocChunk(d.ts, d.docId, st / stride,
+          w.slice(st, st + size).mkString(" "),
+          math.min(size, w.length - st))
+      }
+    }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
