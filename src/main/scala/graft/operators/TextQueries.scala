@@ -309,6 +309,42 @@ object TextQueries {
           least(size(col("w")) - col("start"), lit(csize)).as("n_tokens"))
     },
 
+    // ---- corpus-LM statistical quality score (CCNet-style) ----
+    // The statistical complement of t2's heuristics: score each doc by
+    // the average Laplace-smoothed log-probability of its bigrams
+    // under the corpus's own bigram LM — fluent, typical text scores
+    // high; gibberish, boilerplate runs, and mixed-language fragments
+    // score low. Everything is joins/aggregates over the corpus: the
+    // LM "model" is the (bigram → count) relation itself, never
+    // collected or broadcast as a driver-side table, so the same plan
+    // trains-and-scores at 100 TB (bigram counts partial-aggregate;
+    // the score join is a fact-to-fact equi-join AQE can skew-split).
+    // Per-doc averages use the decimal-exact dsum discipline (ln
+    // values cast to DECIMAL(28,12) before summing) so addition order
+    // cannot flip the rounded result across engines.
+    "t16_lm_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = docs
+        .withColumn("b", explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+            |  (x, i) -> named_struct('w1', x, 'w2', element_at(w, i + 2)))""".stripMargin)))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = docs.select(explode(col("w")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = c1.agg(count(lit(1)).as("v")) // one row: vocabulary size
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(vocab)
+        .withColumn("ll", log(
+          (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("ll").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+            count(lit(1)), 4).as("avg_ll"))
+    },
+
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
     // The contamination check every training pipeline runs before a
     // model sees the data: flag corpus documents sharing any word
@@ -710,6 +746,22 @@ object TextQueries {
         |FROM c
         |WHERE cum_tokens <= $b * (1 + CAST(substr(source, 4) AS INT) % 3)""".stripMargin
     },
+
+    "t16_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |bge AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b FROM tok),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY 1, 2),
+        |uni AS (SELECT unnest(w) AS w1 FROM tok),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM c1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_ll
+        |FROM bgf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
 
     "t15_chunking" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
