@@ -132,6 +132,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(t15.contains("Generate"), t15)
   }
 
+  test("t16: LM counts partial-aggregate; no window, no driver-side model") {
+    val p = plan("t16_lm_score")
+    // the bigram/unigram count relations partial-combine before their
+    // shuffles (map-side partial_count), and the whole pipeline is
+    // joins+aggregates — no Window, no collect-shaped LocalTableScan
+    // of model rows
+    assert(p.contains("partial_count") || p.contains("partial, [count"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("t10: the benchmark gram side broadcasts; the corpus side never shuffles gram strings") {
     val p = plan("t10_decontam")
     assert(p.contains("BroadcastHashJoin"), p)
