@@ -168,6 +168,37 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_trunc")
   }
 
+  test("delete agrees with the DataFrame-computed expectation across predicate shapes") {
+    import org.apache.spark.sql.sources._
+    // predicate shapes spanning the translator: ranges, IN, string
+    // prefix, OR, AND, NOT (NOT is untranslatable to the STATS pruner
+    // — everything stays affected — but must still delete exactly)
+    val shapes: Seq[(String, Array[Filter])] = Seq(
+      "range" -> Array(GreaterThanOrEqual("id", 200), LessThan("id", 400)),
+      "in" -> Array(In("id", Array[Any](1, 500, 999, 123456))),
+      "prefix-or-range" -> Array(
+        Or(StringStartsWith("source", "src_1"), GreaterThan("id", 950))),
+      "not" -> Array(Not(EqualTo("source", "src_2"))),
+      "contains-and" -> Array(
+        And(StringContains("source", "_3"), LessThanOrEqual("id", 700))))
+    for (((label, fs), i) <- shapes.zipWithIndex; clustered <- Seq(true, false)) {
+      val dir = tmpDir(s"scbf-del-fuzz-$i-$clustered")
+      val base = spark.range(0, 1000)
+        .select(col("id").cast("int").as("id"),
+          concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      (if (clustered) base.repartitionByRange(4, col("id")) else base.repartition(4))
+        .write.format("scbf").mode("overwrite").save(dir)
+      val cond = fs.map(f => ScbfDelete.filterToColumn(f).get).reduce(_ && _)
+      val expect = base.filter(!cond)
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      ScbfDelete.deleteWhere(spark, dir, new Configuration(), fs)
+      val got = spark.read.format("scbf").load(dir)
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(got == expect, s"shape '$label' clustered=$clustered diverged: " +
+        s"got ${got.size} rows, expected ${expect.size}")
+    }
+  }
+
   test("delete everything leaves a readable empty table; manifest is compacted") {
     val dir = tmpDir("scbf-del-all")
     writeRanged(dir)
