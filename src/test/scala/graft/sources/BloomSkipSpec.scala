@@ -186,6 +186,31 @@ class BloomSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(planned(dir2, EqualTo("id", 500)) == 4)
   }
 
+  test("the streaming SOURCE prunes through blooms exactly like the batch scan") {
+    // round-robin layout: only the blooms can prune the point lookup,
+    // and the micro-batch planner goes through the same Pruner.keepAll
+    val dir = java.nio.file.Files.createTempDirectory("scbf-bloom-src").toString
+    writeRoundRobin(dir)
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val schema = spark.read.format("scbf").load(dir).schema
+    def plannedStream(filters: Filter*): Int = {
+      val ckpt = java.nio.file.Files.createTempDirectory("scbf-bloom-src-ck").toString
+      val b = new ScbfScanBuilder(schema, files, conf, tablePaths = Seq(dir))
+      b.pushFilters(filters.toArray)
+      val ms = b.build().asInstanceOf[ScbfScan].toMicroBatchStream(ckpt)
+        .asInstanceOf[ScbfMicroBatchStream]
+      val st = ms.initialOffset()
+      val en = ms.latestOffset(st,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      ms.planInputPartitions(st, en).length
+    }
+    assert(plannedStream() == 4)
+    assert(plannedStream(EqualTo("id", 500)) == 1,
+      "the micro-batch stream must bloom-prune like the batch scan")
+    assert(plannedStream(EqualTo("tag", "no-such-row")) == 0)
+  }
+
   test("the streaming sink's files carry blooms; a backfill scan prunes on them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
