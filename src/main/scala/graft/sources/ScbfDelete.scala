@@ -133,9 +133,14 @@ object ScbfDelete {
     val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
     val affected = pruner.keepAll(files)(_.getPath, _.getLen)
     if (affected.isEmpty) return // metadata-only no-op
+    // survivors under SQL three-valued logic: a row is deleted only when
+    // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
+    // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
+    // Moot while the SCBF schema is nullable=false, but correct for any
+    // future nullable column support.
     val survivors = spark.read.format("scbf")
       .load(affected.map(_.getPath.toString): _*)
-      .filter(!cond)
+      .filter(not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
     // the connector's own append path: task-commit publish, sidecars,
     // manifest merge — a failure here aborts with originals untouched
     survivors.write.format("scbf").mode("append").save(dir)

@@ -95,8 +95,12 @@ object ScbfMaintenance {
     // per column). relativeError trades one extra scan's precision for
     // speed; bucket skew only costs pruning sharpness, never rows.
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ONE multi-column quantile job — d columns share a single table
+    // scan (the single-column overload would cost d full scans)
+    val cutArrays =
+      df.stat.approxQuantile(zCols.toArray, probs, 0.001)
     val cuts: Map[String, Array[Double]] =
-      zCols.map(c => c -> df.stat.approxQuantile(c, probs, 0.001)).toMap
+      zCols.zip(cutArrays).toMap
     // bucket rank: count of cutpoints <= v, via the aggregate HOF over
     // the cutpoint array literal — codegen'd, no UDF
     def bucket(c: String): org.apache.spark.sql.Column =
@@ -136,9 +140,11 @@ object ScbfMaintenance {
    * Only files older than `olderThanMs` are touched — the horizon
    * protects in-flight work: a LIVE task's staged temps are younger
    * than any sane horizon, and a streaming epoch that crashed between
-   * staging and commit RE-STAGES byte-identical temps on replay
-   * (deterministic names + deterministic source replay), so deleting
-   * its aged litter is always safe. Same single-writer contract and
+   * staging and commit stages FRESH temps on replay (temp names embed a
+   * per-attempt random attemptUuid — ScbfWrite), converging via the
+   * epoch committer's content-identity check; the dead attempt's aged
+   * temps are pure litter and always safe to sweep. Same single-writer
+   * contract and
    * retention trade as Delta's VACUUM; default horizon 24 h.
    *
    * Returns (temps deleted, orphan sidecars deleted).

@@ -230,6 +230,21 @@ object ScbfStats {
    * through a [[Lookup]]; stats are read only when a usable filter
    * exists, and a file without trusted stats always plans.
    */
+  /** Lazily-created daemon pool for parallel bloom-sidecar fetches,
+   * shared across all [[Pruner]] instances for the JVM's lifetime.
+   * Daemon threads so an idle pool never blocks driver shutdown. */
+  private lazy val bloomFetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"scbf-bloom-fetch-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   final class Pruner(conf: Configuration, filters: Seq[Filter]) {
     private val lookup = new Lookup(conf)
     private val active = filters.nonEmpty
@@ -267,18 +282,18 @@ object ScbfStats {
         statsKept.filter(f => ScbfBloom.read(path(f), len(f), conf).forall(b =>
           ScbfBloom.mayMatch(filters, b)))
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())))
-        try {
-          val futures = statsKept.map { f =>
-            pool.submit(new java.util.concurrent.Callable[Boolean] {
-              override def call(): Boolean =
-                ScbfBloom.read(path(f), len(f), conf).forall(b =>
-                  ScbfBloom.mayMatch(filters, b))
-            })
-          }
-          statsKept.zip(futures).collect { case (f, fut) if fut.get() => f }
-        } finally pool.shutdown()
+        // shared daemon pool (object-level): planInputPartitions AND
+        // estimateStatistics both prune, so a single query can invoke
+        // keepAll several times — allocating 32 threads per call was
+        // measurable churn at high planning rates
+        val futures = statsKept.map { f =>
+          bloomFetchPool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean =
+              ScbfBloom.read(path(f), len(f), conf).forall(b =>
+                ScbfBloom.mayMatch(filters, b))
+          })
+        }
+        statsKept.zip(futures).collect { case (f, fut) if fut.get() => f }
       }
     }
   }
