@@ -460,6 +460,36 @@ object RelationalQueries {
           max(col("doc_id")).as("max_doc"))
     },
 
+    "q45_scbf_catalog_sql" -> { (s, dir) =>
+      // The catalog SQL surface end-to-end, PURE SQL on the engine side:
+      // CREATE TABLE ... USING scbf LOCATION → INSERT INTO ... SELECT
+      // (with a REPARTITION_BY_RANGE hint so the layout is the ordered
+      // one a clustered ingest produces — the DELETE then stats-scopes
+      // to the victim files) → SQL DELETE FROM → SELECT aggregate, all
+      // through the session catalog (V2SessionCatalog → ScbfTable;
+      // external metadata, so the DDL schema is authoritative). q43
+      // gates the same takedown through the API; this entry proves a
+      // SQL-only user needs nothing from graft.* to run it.
+      val scbfDir = scratchDir(s) + "/graft_scbf_catalog_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q45")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q45_src")
+      s.sql("CREATE TABLE graft_q45 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$scbfDir'")
+      s.sql(s"""INSERT INTO graft_q45
+        SELECT /*+ REPARTITION_BY_RANGE(${spread(s)}, doc_id) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q45_src""")
+      s.sql("DELETE FROM graft_q45 WHERE doc_id >= 400 AND doc_id < 450")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q45 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -740,6 +770,14 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM u GROUP BY source""",
+
+    "q45_scbf_catalog_sql" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE NOT (doc_id >= 400 AND doc_id < 450)
+         GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
