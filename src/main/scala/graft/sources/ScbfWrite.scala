@@ -77,6 +77,47 @@ object ScbfWrite {
   private[sources] def isTemp(name: String): Boolean =
     name.startsWith(".") && name.endsWith(".tmp") &&
       name.contains(Scbf.FileExtension)
+
+  /**
+   * Fail an APPEND whose schema doesn't match the directory's existing
+   * files — at write start on the driver, not at some later read.
+   * Without this, a mismatched append succeeds and creates a
+   * heterogeneous directory that every subsequent scan rejects
+   * (ScbfScan's per-file check is correct but LATE: the bad bytes are
+   * already published and interleaved with good files). One header read
+   * per append job (the first live file is authoritative — the
+   * directory is homogeneous by induction under this very check).
+   * Overwrites skip it: they replace the contents wholesale.
+   */
+  private[sources] def validateAppendSchema(
+      dir: String, schema: StructType, conf: Configuration): Unit = {
+    val existing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    if (existing.isEmpty) return
+    val have = ScbfUtil.readHeader(existing.head, conf).schema
+    val incoming = ScbfDataSource.sparkToScbf(schema)
+    if (have != incoming) {
+      val haveMap = have.columns.map(c => c.name -> c.tpe.typeName).toMap
+      val incMap = incoming.columns.map(c => c.name -> c.tpe.typeName).toMap
+      val missing = have.columns.map(_.name).filterNot(incMap.contains)
+      val extra = incoming.columns.map(_.name).filterNot(haveMap.contains)
+      val retyped = have.columns.map(_.name).filter(n =>
+        incMap.get(n).exists(_ != haveMap(n)))
+      val reordered =
+        if (missing.isEmpty && extra.isEmpty && retyped.isEmpty)
+          Seq("column order differs: table has " +
+            have.columns.map(_.name).mkString("(", ", ", ")") +
+            ", append has " + incoming.columns.map(_.name).mkString("(", ", ", ")"))
+        else Seq.empty
+      val diffs =
+        missing.map(n => s"missing column '$n' (${haveMap(n)})") ++
+          extra.map(n => s"unknown column '$n' (${incMap(n)})") ++
+          retyped.map(n => s"column '$n' is ${haveMap(n)} in the table but ${incMap(n)} in the append") ++
+          reordered
+      throw new ScbfFormatException(
+        s"cannot append to SCBF directory $dir: schema mismatch — ${diffs.mkString("; ")}. " +
+          "Align the append's schema or overwrite the directory.")
+    }
+  }
 }
 
 class ScbfBatchWrite(
@@ -93,6 +134,7 @@ class ScbfBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)
+    if (!truncate) ScbfWrite.validateAppendSchema(dir, schema, conf.value)
     if (truncate && fs.exists(path)) {
       toReplace = fs.listStatus(path).toSeq
         .filter(f => f.getPath.getName.endsWith(Scbf.FileExtension))
@@ -222,9 +264,18 @@ class ScbfStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val path = new Path(dir)
+    // append-only sink: the same write-time schema guard as batch
+    // appends, checked once per query (epoch 2+ would only re-validate
+    // this query's own files — skip the header read per trigger)
+    if (!appendValidated) {
+      ScbfWrite.validateAppendSchema(dir, schema, conf.value)
+      appendValidated = true
+    }
     path.getFileSystem(conf.value).mkdirs(path)
     new ScbfStreamingDataWriterFactory(dir, schema, conf, maxBufferedBytes)
   }
+
+  @volatile private var appendValidated = false
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.value)
