@@ -323,26 +323,7 @@ object TextQueries {
     // values cast to DECIMAL(28,12) before summing) so addition order
     // cannot flip the rounded result across engines.
     "t16_lm_score" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val bg = docs
-        .withColumn("b", explode(expr(
-          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
-            |  (x, i) -> named_struct('w1', x, 'w2', element_at(w, i + 2)))""".stripMargin)))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = docs.select(explode(col("w")).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val vocab = c1.agg(count(lit(1)).as("v")) // one row: vocabulary size
-      bg.join(c2, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .crossJoin(vocab)
-        .withColumn("ll", log(
-          (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("ll").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
-            count(lit(1)), 4).as("avg_ll"))
+      lmScore(t(s, dir, "documents").select(col("doc_id"), col("text")))
     },
 
     // ---- benchmark decontamination: 8-gram overlap vs an eval set ----
@@ -623,6 +604,46 @@ object TextQueries {
           col("group_size"))
     }
   )
+
+  /** Word-bigram struct array over the split-words column `w` — shared
+   * by t16 and its streaming twin so tokenization can never drift
+   * between the two. */
+  private[graft] val BigramExpr: String =
+    """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+      |  (x, i) -> named_struct('w1', x, 'w2', element_at(w, i + 2)))""".stripMargin
+
+  /** Corpus-LM scoring core (t16): add-one-smoothed bigram
+   * log-likelihood per document, the model (unigram/bigram counts +
+   * vocabulary size) built from `docs0` itself. Factored out so the
+   * streaming twin's parity spec can anchor to the exact batch
+   * semantics on an arbitrary document prefix. */
+  private[graft] def lmScore(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = docs
+      .withColumn("b", explode(expr(BigramExpr)))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v")) // one row: vocabulary size
+    lmScoreAgainst(bg, c2, c1, vocab)
+  }
+
+  /** Score pre-computed per-doc bigrams against a given LM model (c2:
+   * (w1,w2,c2), c1: (w1,c1), vocab: one-row (v)) — the piece the
+   * incremental streaming twin shares: it brings its own model relations
+   * (folded epoch deltas), batch t16 brings the whole-corpus ones. */
+  private[graft] def lmScoreAgainst(bg: DataFrame, c2: DataFrame,
+      c1: DataFrame, vocab: DataFrame): DataFrame =
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("ll", log(
+        (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("ll").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 4).as("avg_ll"))
 
   // a def, not a val: the t14 oracle re-resolves the budget knob
   def oracles: Map[String, String] = Map(

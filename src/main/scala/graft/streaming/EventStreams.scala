@@ -581,6 +581,66 @@ object EventStreams {
     }
   }
 
+  /**
+   * t16's streaming twin: INCREMENTAL corpus-LM scoring. The model
+   * (unigram counts, bigram counts, vocabulary size) lives as
+   * epoch-keyed DELTA relations under `modelDir` — distributed parquet,
+   * never a driver table — and each epoch's arriving documents are
+   * scored against the model folded from every epoch up to and
+   * including their own (the PREFIX model). Scores land under
+   * `scoresDir/epoch=N`.
+   *
+   * Exactly-once without a sink log: deltas and scores are keyed by the
+   * micro-batch epoch and OVERWRITTEN in place, so a replayed epoch
+   * rewrites identical content instead of double-counting; deltas from
+   * a crashed run's later epochs are excluded by the `epoch <= current`
+   * filter, keeping prefix semantics exact across restarts.
+   *
+   * Scale shape: the per-epoch delta is a map-side aggregate of that
+   * epoch's docs; the fold is a sum-groupBy over vocabulary-sized
+   * relations (words and word pairs — slowly-growing, corpus-sublinear),
+   * re-run per epoch. That O(model) fold per epoch is the same cost
+   * class as the compacting merge any incremental-materialization sink
+   * pays; throttle triggers (or compact every Nth epoch like the SCBF
+   * manifest) if epochs are tiny. Tokenization and smoothing reuse
+   * batch t16's exact expressions (TextQueries.BigramExpr /
+   * lmScoreAgainst), so streaming epoch-k scores are parity-anchored to
+   * batch t16 run over the same document prefix.
+   */
+  def lmScoreStream(docs: Dataset[Doc], modelDir: String, scoresDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        lmScoreEpoch(batch, epochId, modelDir, scoresDir)
+      }
+      .start()
+
+  private[streaming] def lmScoreEpoch(batch: DataFrame, epoch: Long,
+      modelDir: String, scoresDir: String): Unit = {
+    import graft.operators.TextQueries
+    val s = batch.sparkSession
+    if (batch.isEmpty) return // idle trigger: no delta, no scores
+    val docs = batch.select(col("docId").as("doc_id"),
+      split(col("text"), " ").as("w"))
+    val bg = docs.withColumn("b", explode(expr(TextQueries.BigramExpr)))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // this epoch's model delta, written BEFORE scoring so the prefix
+    // model below includes the epoch's own documents (batch parity)
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$modelDir/c2/epoch=$epoch")
+    docs.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$modelDir/c1/epoch=$epoch")
+    val c2 = s.read.parquet(s"$modelDir/c2").filter(col("epoch") <= epoch)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+    val c1 = s.read.parquet(s"$modelDir/c1").filter(col("epoch") <= epoch)
+      .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    TextQueries.lmScoreAgainst(bg, c2, c1, vocab)
+      .write.mode("overwrite").parquet(s"$scoresDir/epoch=$epoch")
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
