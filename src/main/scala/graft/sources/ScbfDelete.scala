@@ -168,8 +168,11 @@ object ScbfDelete {
     // for a live file) — compact them away so the manifest doesn't
     // grow monotonically under repeated deletes/updates
     val live = ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getName).toSet
-    val entries = ScbfStats.readManifest(new Path(dir), conf)
-      .values.filter(e => live.contains(e.name)).toSeq
-    ScbfStats.writeManifest(new Path(dir), conf, entries)
+    val (man, dirNdv) = ScbfStats.readManifestFull(new Path(dir), conf)
+    val entries = man.values.filter(e => live.contains(e.name)).toSeq
+    // the directory NDV sketch survives as-is: HLL cannot subtract, so
+    // after a delete it over-estimates until the next fresh rebuild —
+    // fine for an estimator (ScbfNdv scaladoc)
+    ScbfStats.writeManifest(new Path(dir), conf, entries, dirNdv)
   }
 }

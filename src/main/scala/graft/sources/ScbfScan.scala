@@ -276,13 +276,13 @@ class ScbfScan(
         val pruner = new ScbfStats.Pruner(conf, pushedFilters)
         pruner.keepAll(files)(_.getPath, _.getLen)
       }
+    private val lookup = new ScbfStats.Lookup(conf)
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
       else OptionalLong.of(kept.map(_.getLen).sum)
     override val numRows: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1L)
       else {
-        val lookup = new ScbfStats.Lookup(conf)
         val perFile = kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
         val missing = perFile.collect { case (f, None) => f }
         if (missing.length > 64) OptionalLong.empty()
@@ -290,6 +290,82 @@ class ScbfScan(
           perFile.collect { case (_, Some(r)) => r }.sum +
             missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
       }
+
+    /**
+     * Per-column stats for the CBO (filter-selectivity and
+     * join-cardinality estimation — `spark.sql.cbo.enabled`): min/max
+     * folded over the KEPT files' manifest entries, NDV from the
+     * directory-level HLL sketch (ScbfNdv), nullCount 0 by format
+     * contract (SCBF stores no nulls). All from data planning already
+     * read — the manifest — so this costs no extra IO. min/max are
+     * reported only when EVERY kept file has trusted stats for the
+     * column (a single stats-less file makes the fold unsound); NDV is
+     * directory-scoped, so under pruning it over-estimates the kept
+     * subset — capped at numRows, and fine for an estimator.
+     */
+    override def columnStats()
+        : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (aggregated.isDefined) return out
+      val perFile = kept.map(f => lookup.stats(f.getPath, f.getLen))
+      val allStats: Option[Seq[ScbfStats.FileStats]] =
+        if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
+      val dirNdv: Map[String, Long] = {
+        val dirs = files.map(_.getPath.getParent).distinct
+        val merged = dirs.foldLeft(Map.empty[String, Array[Byte]]) { (acc, d) =>
+          lookup.dirNdv(d).foldLeft(acc) { case (m, (n, regs)) =>
+            m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
+          }
+        }
+        merged.map { case (n, regs) => n -> ScbfNdv.estimate(regs) }
+      }
+      val rowCap = if (numRows.isPresent) Some(numRows.getAsLong) else None
+      required.fields.foreach { field =>
+        val minMax: Option[(Any, Any)] = field.dataType match {
+          case IntegerType | DoubleType =>
+            allStats.flatMap { sts =>
+              val nonEmpty = sts.filter(_.rows > 0)
+              val ranges = nonEmpty.map(_.cols.get(field.name))
+              if (nonEmpty.isEmpty || ranges.exists(_.isEmpty)) None
+              else {
+                val rs = ranges.flatten
+                val (mn, mx) = (rs.map(_.min).min, rs.map(_.max).max)
+                Some(if (field.dataType == IntegerType)
+                  (Int.box(mn.toInt), Int.box(mx.toInt))
+                else (Double.box(mn), Double.box(mx)))
+              }
+            }
+          case _ => None // utf8 bounds are truncated; not reported
+        }
+        val ndv: Option[Long] = dirNdv.get(field.name)
+          .map(n => rowCap.fold(n)(math.min(n, _)))
+        if (minMax.isDefined || ndv.isDefined) {
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                minMax.map(p => java.util.Optional.of(p._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                minMax.map(p => java.util.Optional.of(p._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def nullCount(): OptionalLong = OptionalLong.of(0L)
+              override def avgLen(): OptionalLong = field.dataType match {
+                case IntegerType => OptionalLong.of(4L)
+                case DoubleType  => OptionalLong.of(8L)
+                case _           => OptionalLong.empty()
+              }
+              override def maxLen(): OptionalLong = avgLen()
+            })
+        }
+      }
+      out
+    }
   }
 }
 

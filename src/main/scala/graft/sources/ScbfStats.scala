@@ -98,10 +98,15 @@ object ScbfStats {
       java.util.Arrays.hashCode(min) * 31 + max.map(java.util.Arrays.hashCode).getOrElse(0)
   }
 
+  /** `ndvs`: per-column HLL registers ([[ScbfNdv]]) — carried by
+   * SIDECARS and commit messages only; the manifest keeps one MERGED
+   * array per column per directory (see writeManifest) so it stays a
+   * small single read at any file count. */
   final case class FileStats(
       rows: Long,
       cols: Map[String, ColRange],
-      strCols: Map[String, StrRange] = Map.empty)
+      strCols: Map[String, StrRange] = Map.empty,
+      ndvs: Map[String, Array[Byte]] = Map.empty)
 
   /** One manifest entry: `dataLen` is the staleness guard — the live
    * listing's length must match for the entry to be trusted. */
@@ -127,11 +132,19 @@ object ScbfStats {
 
   /** Compact `entries` into the directory manifest (driver-side, at job
    * or epoch commit). Deterministic order so streaming-epoch replays
-   * rewrite identical bytes. */
-  def writeManifest(dir: Path, conf: Configuration, entries: Seq[FileEntry]): Unit = {
+   * rewrite identical bytes. Per-file NDV registers are NOT written
+   * per entry (that would grow the manifest by ~2 KB × columns × files,
+   * unreadable-in-one-go at 10⁵ files); instead `dirNdv` holds one
+   * merged register array per column for the whole directory. */
+  def writeManifest(dir: Path, conf: Configuration, entries: Seq[FileEntry],
+      dirNdv: Map[String, Array[Byte]] = Map.empty): Unit = {
     val sb = new StringBuilder("manifest\t1\n")
+    dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
+      sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")
+    }
     entries.sortBy(_.name).foreach { e =>
-      sb.append(s"file\t${e.name}\t${e.dataLen}\n").append(render(e.stats))
+      sb.append(s"file\t${e.name}\t${e.dataLen}\n")
+        .append(render(e.stats, withNdv = false))
     }
     publish(manifestPath(dir), conf, sb.toString)
   }
@@ -145,23 +158,48 @@ object ScbfStats {
    * sidecars until the next merge picks them up. */
   def mergeManifest(dir: Path, conf: Configuration,
       entries: Seq[FileEntry], fresh: Boolean): Unit = {
-    val base = if (fresh) Map.empty[String, FileEntry] else readManifest(dir, conf)
-    writeManifest(dir, conf, (base ++ entries.map(e => e.name -> e)).values.toSeq)
+    val (base, baseNdv) =
+      if (fresh) (Map.empty[String, FileEntry], Map.empty[String, Array[Byte]])
+      else readManifestFull(dir, conf)
+    // fold the new entries' per-file registers into the directory's
+    // merged sketch (insert-only: overwritten files' contributions are
+    // only shed by a FRESH rebuild — documented over-estimate)
+    val dirNdv = entries.foldLeft(baseNdv) { (acc, e) =>
+      e.stats.ndvs.foldLeft(acc) { case (m, (n, regs)) =>
+        m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
+      }
+    }
+    writeManifest(dir, conf, (base ++ entries.map(e => e.name -> e)).values.toSeq, dirNdv)
   }
 
   /** The directory manifest as name → entry; empty on missing/corrupt. */
   def readManifest(dir: Path, conf: Configuration): Map[String, FileEntry] =
+    readManifestFull(dir, conf)._1
+
+  /** Manifest entries PLUS the directory-level merged NDV registers
+   * (one array per column — see writeManifest). */
+  def readManifestFull(dir: Path, conf: Configuration)
+      : (Map[String, FileEntry], Map[String, Array[Byte]]) =
     try {
       val p = manifestPath(dir)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Map.empty
+      if (!fs.exists(p)) (Map.empty, Map.empty)
       else {
         manifestReads.incrementAndGet()
         val lines = slurp(fs, p).split("\n").filter(_.nonEmpty)
-        if (!lines.headOption.contains("manifest\t1")) Map.empty
+        if (!lines.headOption.contains("manifest\t1")) (Map.empty, Map.empty)
         else {
+          val ndv = Map.newBuilder[String, Array[Byte]]
           val out = Map.newBuilder[String, FileEntry]
           var i = 1
+          while (i < lines.length && !lines(i).startsWith("file\t")) {
+            if (lines(i).startsWith("dirndv\t")) {
+              val Array(_, n, regs) = lines(i).split("\t", 3)
+              val r = b64d.decode(regs)
+              if (r.length == ScbfNdv.M) ndv += n -> r
+            }
+            i += 1
+          }
           while (i < lines.length) {
             val Array(_, name, len) = lines(i).split("\t", 3)
             var j = i + 1
@@ -170,10 +208,10 @@ object ScbfStats {
               out += name -> FileEntry(name, len.toLong, st))
             i = j
           }
-          out.result()
+          (out.result(), ndv.result())
         }
       }
-    } catch { case NonFatal(_) => Map.empty }
+    } catch { case NonFatal(_) => (Map.empty, Map.empty) }
 
   /** None on a missing or unparsable sidecar — skipping is best-effort.
    * (Stats only; see [[readGuarded]] for the pruning path.) */
@@ -211,17 +249,24 @@ object ScbfStats {
    * single-threaded on the driver.
    */
   final class Lookup(conf: Configuration) {
-    private val manifests = mutable.Map.empty[Path, Map[String, FileEntry]]
+    private val manifests =
+      mutable.Map.empty[Path, (Map[String, FileEntry], Map[String, Array[Byte]])]
+
+    private def manifest(dir: Path): (Map[String, FileEntry], Map[String, Array[Byte]]) =
+      manifests.getOrElseUpdate(dir, readManifestFull(dir, conf))
 
     def stats(data: Path, dataLen: Long): Option[FileStats] = {
-      val man = manifests.getOrElseUpdate(data.getParent,
-        readManifest(data.getParent, conf))
+      val man = manifest(data.getParent)._1
       man.get(data.getName) match {
         case Some(e) if e.dataLen == dataLen => Some(e.stats)
         case _ =>
           readGuarded(data, conf).collect { case (l, st) if l == dataLen => st }
       }
     }
+
+    /** The directory's merged NDV registers (cached with the manifest —
+     * no extra IO beyond the one manifest read planning already pays). */
+    def dirNdv(dir: Path): Map[String, Array[Byte]] = manifest(dir)._2
   }
 
   /**
@@ -390,7 +435,7 @@ object ScbfStats {
   private val b64e = java.util.Base64.getEncoder
   private val b64d = java.util.Base64.getDecoder
 
-  private def render(stats: FileStats): String = {
+  private def render(stats: FileStats, withNdv: Boolean = true): String = {
     val sb = new StringBuilder(s"rows\t${stats.rows}\n")
     stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       // optional 5th field: the exact Long sum (int32 columns only)
@@ -399,6 +444,9 @@ object ScbfStats {
     stats.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       val mx = r.max.map(b64e.encodeToString).getOrElse("-")
       sb.append(s"scol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
+    }
+    if (withNdv) stats.ndvs.toSeq.sortBy(_._1).foreach { case (n, regs) =>
+      sb.append(s"ndv\t$n\t${b64e.encodeToString(regs)}\n")
     }
     sb.toString
   }
@@ -417,7 +465,11 @@ object ScbfStats {
       val Array(_, n, mn, mx) = l.split("\t", 4)
       n -> StrRange(b64d.decode(mn), if (mx == "-") None else Some(b64d.decode(mx)))
     }.toMap
-    rows.map(FileStats(_, cols, strCols))
+    val ndvs = lines.collect { case l if l.startsWith("ndv\t") =>
+      val Array(_, n, regs) = l.split("\t", 3)
+      n -> b64d.decode(regs)
+    }.filter(_._2.length == ScbfNdv.M).toMap
+    rows.map(FileStats(_, cols, strCols, ndvs))
   }
 
   private def publish(p: Path, conf: Configuration, content: String): Unit = {

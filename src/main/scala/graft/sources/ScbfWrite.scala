@@ -546,8 +546,21 @@ class ScbfDataWriter(
         Some(n -> ScbfStats.strRange(mn, mx))
       case _ => None
     }.toMap
+    // per-column NDV registers (ScbfNdv): one XXH64 per cell at write
+    // buys the CBO a distinct-count estimate at read — rides the
+    // sidecar; the manifest merge folds files into one directory sketch
+    val ndvs =
+      if (bufferedRows == 0) Map.empty[String, Array[Byte]]
+      else schema.fields.map(_.name).zip(builders).map {
+        case (n, b: IntBuilder) =>
+          val h = new ScbfNdv.Builder; b.values.foreach(h.addInt); n -> h.regs
+        case (n, b: DoubleBuilder) =>
+          val h = new ScbfNdv.Builder; b.values.foreach(h.addDouble); n -> h.regs
+        case (n, b: Utf8Builder) =>
+          val h = new ScbfNdv.Builder; b.values.foreach(h.addBytes); n -> h.regs
+      }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
-      ScbfStats.FileStats(bufferedRows, cols, strCols))
+      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs))
     // Bloom sidecar (equality/IN skipping on unclustered keys — see
     // ScbfBloom): staged as a (temp, final) pair like the data file, so
     // both publish paths (task commit / epoch-level driver commit) and

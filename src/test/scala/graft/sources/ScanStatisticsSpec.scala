@@ -78,6 +78,95 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     assert(st.sizeInBytes.isPresent)
   }
 
+  test("columnStats reports folded min/max, HLL NDV and zero nulls") {
+    val dir = tmpDir("scbf-colstats")
+    writeRanged(dir) // 4 range files; manifest merges their NDV registers
+    val cs = scanFor(dir).estimateStatistics().columnStats()
+    val byName = cs.entrySet().iterator()
+    var m = Map.empty[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    while (byName.hasNext) { val e = byName.next(); m += e.getKey.describe() -> e.getValue }
+    val id = m("id")
+    assert(id.min.get() == Int.box(0) && id.max.get() == Int.box(999),
+      s"id bounds ${id.min}..${id.max}")
+    assert(id.nullCount.getAsLong == 0L)
+    val ndv = id.distinctCount().getAsLong
+    assert(math.abs(ndv - 1000L) <= 100L, s"HLL NDV $ndv should be ~1000 (±10%)")
+    val score = m("score")
+    assert(score.min.get() == Double.box(0.0) &&
+      score.max.get() == Double.box(999 * 2.5), s"score bounds ${score.min}..${score.max}")
+  }
+
+  test("a file without stats withholds min/max but never breaks planning") {
+    val dir = tmpDir("scbf-colstats-partial")
+    writeRanged(dir)
+    // wipe ONE file's manifest entry + sidecar by appending a file and
+    // deleting every stats artifact, then rebuilding only some: simplest
+    // honest shape — delete the manifest and one sidecar
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.delete(ScbfStats.manifestPath(p), false)
+    val victim = scbfFiles(dir).head
+    fs.delete(ScbfStats.sidecarPath(victim), false)
+    val cs = scanFor(dir).estimateStatistics().columnStats()
+    val it = cs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      assert(!e.getValue.min().isPresent,
+        s"${e.getKey.describe()}: a stats-less kept file makes the min/max fold unsound")
+    }
+  }
+
+  test("CBO: column stats drive a selectivity-based broadcast flip") {
+    val dimDir = tmpDir("scbf-cbo-dim")
+    // UNCLUSTERED: every file spans the whole id range, so file pruning
+    // cannot shrink the scan — only the CBO's filter-selectivity
+    // estimate (from the reported min/max/NDV) can see that `id < 5`
+    // keeps ~5 of 1000 rows
+    // hash-valued score: zlib cannot flatten it, so the table's on-disk
+    // size (what size-only estimation sees) stays honestly large
+    spark.range(0, 20000)
+      .select(col("id").cast("int").as("id"),
+        (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+      .repartition(4)
+      .write.format("scbf").mode("overwrite").save(dimDir)
+    val factDir = tmpDir("scbf-cbo-fact")
+    spark.range(0, 20000).select(col("id").cast("int").as("fid"))
+      .repartition(2)
+      .write.format("scbf").mode("overwrite").save(factDir)
+    def totalSize(dir: String): Long = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(new Configuration())
+      fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".scbf") &&
+        !f.getPath.getName.startsWith(".")).map(_.getLen).sum
+    }
+    // threshold well below either table's size: nothing broadcasts on
+    // raw size, only a CBO selectivity estimate can get under it
+    val dimTotal = math.min(totalSize(dimDir), totalSize(factDir)) / 2
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // below both tables' full sizes: nothing broadcasts on raw size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (dimTotal - 1).toString)
+      def plan(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        val fact = spark.read.format("scbf").load(factDir)
+        val dim = spark.read.format("scbf").load(dimDir).filter(col("id") < 5)
+        fact.join(dim, fact("fid") === dim("id"))
+          .queryExecution.sparkPlan.toString
+      }
+      assert(!plan(false).contains("BroadcastHashJoin"),
+        "size-only estimation keeps the filtered dim at full size: no broadcast")
+      assert(plan(true).contains("BroadcastHashJoin"),
+        "CBO + reported column stats estimate ~5 surviving rows: broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    }
+  }
+
   test("a stats-pruned dimension becomes broadcast-able") {
     val dir = tmpDir("scbf-stat-bcast")
     writeRanged(dir)
