@@ -181,6 +181,17 @@ class ScbfTable(
         val c = new Configuration(conf); c.setInt(ScbfBloom.MaxBytesKey, cap); c
       case None => conf
     }
-    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf)
+    // concurrent-writer contract knobs (ScbfDelete / ScbfMaintenance):
+    // filePrefix marks this job's output so a rewrite can tell its own
+    // files from a concurrent append's; replaceFileNames scopes an
+    // overwrite's deletion to an explicit snapshot so files published
+    // AFTER the snapshot survive the commit instead of being destroyed
+    val prefix = Option(info.options.get("filePrefix"))
+    prefix.foreach(p => require(
+      p.nonEmpty && !p.startsWith(".") && !p.contains("/"),
+      s"filePrefix must be a plain visible name fragment, got '$p'"))
+    val replaceOnly = Option(info.options.get("replaceFileNames"))
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly)
   }
 }

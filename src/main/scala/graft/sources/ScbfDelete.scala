@@ -87,33 +87,23 @@ object ScbfDelete {
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
       set: Map[String, Column]): Unit = {
-    require(canDelete(filters),
-      s"untranslatable update condition: ${filters.mkString(", ")}")
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
-    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
-      .getOrElse(lit(true))
-    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
-    val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
-    val affected = pruner.keepAll(files)(_.getPath, _.getLen)
-    if (affected.isEmpty) return
-    val src = spark.read.format("scbf")
-      .load(affected.map(_.getPath.toString): _*)
-    set.keys.foreach(c => require(src.columns.contains(c),
-      s"SET column '$c' does not exist in the table"))
-    // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
-    // SET right-hand side against the OLD row (SET a = b, b = a swaps),
-    // and a sequential chain would leak earlier assignments into later
-    // expressions. Each assigned column casts back to its exact SCBF
-    // type so `SET n = n + 1` cannot silently widen the schema.
-    val updated = src.select(src.columns.map { c =>
-      set.get(c) match {
-        case Some(v) =>
-          when(cond, v.cast(src.schema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }.toIndexedSeq: _*)
-    updated.write.format("scbf").mode("append").save(dir)
-    removeOriginals(dir, conf, affected)
+    rewriteRounds(spark, dir, conf, filters, "UPDATE") { (src, cond) =>
+      set.keys.foreach(c => require(src.columns.contains(c),
+        s"SET column '$c' does not exist in the table"))
+      // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
+      // SET right-hand side against the OLD row (SET a = b, b = a swaps),
+      // and a sequential chain would leak earlier assignments into later
+      // expressions. Each assigned column casts back to its exact SCBF
+      // type so `SET n = n + 1` cannot silently widen the schema.
+      src.select(src.columns.map { c =>
+        set.get(c) match {
+          case Some(v) =>
+            when(cond, v.cast(src.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
   }
 
   /** Delete all rows matching the CONJUNCTION of `filters` from the
@@ -122,29 +112,82 @@ object ScbfDelete {
       spark: SparkSession,
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      filters: Array[Filter]): Unit = {
-    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
-      .getOrElse(lit(true)) // empty WHERE = delete everything
+      filters: Array[Filter]): Unit =
+    rewriteRounds(spark, dir, conf, filters, "DELETE") { (src, cond) =>
+      // survivors under SQL three-valued logic: a row is deleted only when
+      // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
+      // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
+      // Moot while the SCBF schema is nullable=false, but correct for any
+      // future nullable column support.
+      src.filter(not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
+    }
+
+  /** Bounded re-list rounds before a rewrite gives up on a directory
+   * under sustained concurrent appends. */
+  private val MaxRewriteRounds = 4
+
+  /** Test seam for the concurrent-append race: invoked after a round's
+   * scope is computed and before its rewrite runs — exactly the window
+   * a concurrent append lands in. Specs inject an append here. */
+  private[sources] var raceHook: () => Unit = () => ()
+
+  /**
+   * The shared rewrite engine for DELETE/UPDATE with the
+   * CONCURRENT-APPEND GUARD: each round (1) lists the directory,
+   * (2) stats-scopes the not-yet-accounted files, (3) rewrites the
+   * affected ones through the connector's own append path (marked with
+   * a round-unique `filePrefix` so this job's output is
+   * distinguishable), and (4) removes the originals — then RE-LISTS.
+   * A file a concurrent append published while the round ran shows up
+   * in the next round's listing and is folded in (its matching rows
+   * rewritten too) instead of silently surviving, which is what the
+   * single listing-at-start shape did. Rounds are bounded: a directory
+   * under a sustained in-scope append storm fails LOUDLY after
+   * [[MaxRewriteRounds]] (work already done is complete and
+   * consistent — the error says to re-run), never spins. The no-op
+   * fast path is preserved: a provably-unmatched predicate returns
+   * after one metadata-only round.
+   */
+  private def rewriteRounds(
+      spark: SparkSession,
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Array[Filter],
+      op: String)(rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Unit = {
     require(canDelete(filters),
-      s"untranslatable delete condition: ${filters.mkString(", ")}")
-    // fresh listing (the table object may predate recent writes)
-    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
-    // scope: files the stats/bloom machinery cannot prove unaffected
-    val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
-    val affected = pruner.keepAll(files)(_.getPath, _.getLen)
-    if (affected.isEmpty) return // metadata-only no-op
-    // survivors under SQL three-valued logic: a row is deleted only when
-    // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
-    // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
-    // Moot while the SCBF schema is nullable=false, but correct for any
-    // future nullable column support.
-    val survivors = spark.read.format("scbf")
-      .load(affected.map(_.getPath.toString): _*)
-      .filter(not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
-    // the connector's own append path: task-commit publish, sidecars,
-    // manifest merge — a failure here aborts with originals untouched
-    survivors.write.format("scbf").mode("append").save(dir)
-    removeOriginals(dir, conf, affected)
+      s"untranslatable ${op.toLowerCase} condition: ${filters.mkString(", ")}")
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(lit(true)) // empty WHERE = the whole table
+    // names already processed or proven out of scope, plus this job's
+    // own replacement prefixes (survivor files must never re-enter)
+    var accounted = Set.empty[String]
+    var ourPrefixes = Set.empty[String]
+    var round = 0
+    while (true) {
+      round += 1
+      val candidates = ScbfDataSource.resolveFiles(Seq(dir), conf)
+        .filterNot(f => accounted.contains(f.getPath.getName) ||
+          ourPrefixes.exists(f.getPath.getName.startsWith))
+      accounted ++= candidates.map(_.getPath.getName)
+      val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
+      val affected = pruner.keepAll(candidates)(_.getPath, _.getLen)
+      raceHook()
+      if (affected.isEmpty) return // nothing new in scope: done
+      if (round > MaxRewriteRounds) throw new graft.scbf.ScbfFormatException(
+        s"$op on $dir: concurrent appends kept publishing in-scope files " +
+          s"through $MaxRewriteRounds re-list rounds; giving up loudly. " +
+          "Files processed so far are fully rewritten and consistent — " +
+          "re-run once the append traffic settles.")
+      val prefix = s"rw-${java.util.UUID.randomUUID().toString.take(8)}-"
+      ourPrefixes += prefix
+      val src = spark.read.format("scbf")
+        .load(affected.map(_.getPath.toString): _*)
+      // the connector's own append path: task-commit publish, sidecars,
+      // manifest merge — a failure here aborts with originals untouched
+      rewrite(src, cond).write.format("scbf").mode("append")
+        .option("filePrefix", prefix).save(dir)
+      removeOriginals(dir, conf, affected)
+    }
   }
 
   /** Post-commit removal of replaced originals (+ their sidecars) and
@@ -168,11 +211,6 @@ object ScbfDelete {
     // for a live file) — compact them away so the manifest doesn't
     // grow monotonically under repeated deletes/updates
     val live = ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getName).toSet
-    val (man, dirNdv) = ScbfStats.readManifestFull(new Path(dir), conf)
-    val entries = man.values.filter(e => live.contains(e.name)).toSeq
-    // the directory NDV sketch survives as-is: HLL cannot subtract, so
-    // after a delete it over-estimates until the next fresh rebuild —
-    // fine for an estimator (ScbfNdv scaladoc)
-    ScbfStats.writeManifest(new Path(dir), conf, entries, dirNdv)
+    ScbfStats.pruneManifest(new Path(dir), conf, live)
   }
 }

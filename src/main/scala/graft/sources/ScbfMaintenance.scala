@@ -26,10 +26,23 @@ import org.apache.spark.sql.functions.col
  * separated by the range shuffle, so the input is fully consumed
  * before any publication happens. Concurrent READERS are safe at every
  * point (they see old files, or old+new during the commit window —
- * never partial files); a concurrent WRITER to the same directory is
- * the same single-writer contract the streaming sink documents.
+ * never partial files).
+ *
+ * Concurrent WRITERS: the rewrite reads an explicit SNAPSHOT listing
+ * and passes the same names as the overwrite's `replaceFileNames`
+ * scope, so the commit deletes exactly the files whose rows the
+ * rewrite consumed. A file a concurrent append publishes after the
+ * snapshot is neither read nor deleted — it survives untouched (the
+ * next maintenance pass folds it in), where a listing-at-commit shape
+ * would have DESTROYED it (deleted without its rows being in the
+ * rewrite's input). Temps are likewise left alone on the snapshot
+ * path; only a full (snapshot-free) overwrite sweeps them.
  */
 object ScbfMaintenance {
+
+  /** Test seam: invoked between the snapshot listing and the rewrite —
+   * the window a concurrent append lands in. */
+  private[sources] var raceHook: () => Unit = () => ()
 
   def cluster(
       spark: SparkSession,
@@ -39,10 +52,15 @@ object ScbfMaintenance {
       maxBufferedBytes: Option[Long] = None): Unit = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val df = spark.read.format("scbf").load(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    raceHook()
+    val df = spark.read.format("scbf")
+      .load(snapshot.map(_.getPath.toString): _*)
     val writer = df
       .repartitionByRange(numFiles, clusterCols.map(col): _*)
       .write.format("scbf").mode("overwrite")
+      .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     writer.save(dir)
   }
@@ -81,7 +99,11 @@ object ScbfMaintenance {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     require(bits >= 1 && bits <= 16, s"bits per column must be in [1,16], got $bits")
     import org.apache.spark.sql.functions._
-    val df = spark.read.format("scbf").load(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+    raceHook()
+    val df = spark.read.format("scbf")
+      .load(snapshot.map(_.getPath.toString): _*)
     zCols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt == org.apache.spark.sql.types.IntegerType ||
@@ -124,6 +146,7 @@ object ScbfMaintenance {
       .repartitionByRange(numFiles, col("__z"))
       .drop((zCols.indices.map(i => s"__zb_$i") :+ "__z"): _*)
       .write.format("scbf").mode("overwrite")
+      .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     writer.save(dir)
   }

@@ -176,6 +176,15 @@ object ScbfStats {
   def readManifest(dir: Path, conf: Configuration): Map[String, FileEntry] =
     readManifestFull(dir, conf)._1
 
+  /** Drop manifest entries for names no longer in `live` (post-delete /
+   * post-rewrite compaction so the manifest doesn't grow monotonically).
+   * The directory NDV sketch is preserved as-is: HLL cannot subtract,
+   * so it over-estimates until the next fresh rebuild (ScbfNdv). */
+  def pruneManifest(dir: Path, conf: Configuration, live: Set[String]): Unit = {
+    val (man, dirNdv) = readManifestFull(dir, conf)
+    writeManifest(dir, conf, man.values.filter(e => live.contains(e.name)).toSeq, dirNdv)
+  }
+
   /** Manifest entries PLUS the directory-level merged NDV registers
    * (one array per column — see writeManifest). */
   def readManifestFull(dir: Path, conf: Configuration)

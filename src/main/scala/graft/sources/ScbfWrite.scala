@@ -34,7 +34,8 @@ import graft.scbf._
  * empty string (indistinguishable in the reference's CSV world).
  */
 class ScbfWriteBuilder(
-    dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long)
+    dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
+    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None)
   extends WriteBuilder with SupportsOverwrite {
 
   private var doTruncate = false
@@ -49,7 +50,7 @@ class ScbfWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
-        new ScbfUtil.SerializableConf(conf), maxBufferedBytes)
+        new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
@@ -122,7 +123,8 @@ object ScbfWrite {
 
 class ScbfBatchWrite(
     dir: String, schema: StructType, truncate: Boolean,
-    conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long)
+    conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long,
+    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -136,12 +138,21 @@ class ScbfBatchWrite(
     val fs = path.getFileSystem(conf.value)
     if (!truncate) ScbfWrite.validateAppendSchema(dir, schema, conf.value)
     if (truncate && fs.exists(path)) {
-      toReplace = fs.listStatus(path).toSeq
+      val listed = fs.listStatus(path).toSeq
         .filter(f => f.getPath.getName.endsWith(Scbf.FileExtension))
         .map(_.getPath)
+      // a SNAPSHOT-scoped overwrite (OPTIMIZE rewrites pass the exact
+      // file set they read) deletes only that snapshot: a file a
+      // concurrent append publishes between the rewrite's read and this
+      // commit is NOT the rewrite's to destroy — it survives, and the
+      // next maintenance pass folds it in
+      toReplace = replaceOnly match {
+        case Some(names) => listed.filter(p => names.contains(p.getName))
+        case None        => listed
+      }
     }
     fs.mkdirs(path)
-    new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes)
+    new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -161,12 +172,32 @@ class ScbfBatchWrite(
         val bl = ScbfBloom.bloomPath(p)
         if (fs.exists(bl)) fs.delete(bl, false)
       }
-    if (truncate) sweepTemps()
     // compact per-file stats into the directory manifest so planning
     // reads one stats file, not one per data file. Overwrite starts
     // fresh (stale entries for replaced files must not survive); append
     // merges. The race/merge discipline lives in ScbfStats.mergeManifest.
-    ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = truncate)
+    replaceOnly match {
+      case None =>
+        // full overwrite owns the directory: dead-attempt temps are
+        // safe to sweep (no concurrent writer can be harmed — its
+        // contents are being replaced anyway)
+        if (truncate) sweepTemps()
+        ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = truncate)
+      case Some(snapshot) =>
+        // snapshot-scoped overwrite COEXISTS with concurrent appends:
+        // never sweep temps (a live append's staged files would die),
+        // and rebuild the manifest fresh only when nothing appeared
+        // mid-rewrite — otherwise merge and drop the replaced names so
+        // the newcomer's entries survive
+        val live = ScbfDataSource.resolveFiles(Seq(dir), conf.value)
+          .map(_.getPath.getName).toSet
+        if ((live -- snapshot -- newNames).isEmpty)
+          ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = true)
+        else {
+          ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = false)
+          ScbfStats.pruneManifest(new Path(dir), conf.value, live)
+        }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -393,15 +424,18 @@ class ScbfStreamingDataWriterFactory(
 }
 
 class ScbfDataWriterFactory(
-    dir: String, schema: StructType, conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long)
+    dir: String, schema: StructType, conf: ScbfUtil.SerializableConf,
+    maxBufferedBytes: Long, filePrefix: Option[String] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique FINAL names: concurrent attempts can never publish
     // over each other, and the plain `.<final>.tmp` temp is already
-    // attempt-unique too
+    // attempt-unique too. The optional prefix marks a rewrite job's
+    // files so it can distinguish them from a concurrent append's.
     val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val pre = filePrefix.getOrElse("")
     new ScbfDataWriter(dir, schema, conf.value, maxBufferedBytes,
-      seq => f"part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
+      seq => f"${pre}part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
       publishOnTaskCommit = true, emitEmptyFile = true)
   }
 }
