@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.tools.PlanningScale
+
+/** The many-files planning invariants (VERDICT r5 item 1), pinned at a
+ * CI-friendly 2000 files — graft.tools.PlanningScale runs the same
+ * shapes at 10⁵ and records the wall-times in BENCH_NOTES.md. What
+ * matters here is the IO SHAPE, which is what survives the scale-up:
+ * planning reads ONE manifest, zero per-file sidecars, zero data
+ * files; blooms are fetched only for stats-surviving files. */
+class PlanningScaleSpec extends AnyFunSuite with SparkTestBase {
+
+  private val N = 2000
+  private val Rows = 10
+
+  private lazy val dir: String = {
+    val d = tmpDir("scbf-planscale")
+    PlanningScale.generate(d, N, Rows)
+    d
+  }
+
+  private def reset(): Unit = {
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.sidecarReads.set(0)
+    ScbfBloom.bloomReads.set(0)
+    ScbfUtil.dataFileOpens.set(0)
+  }
+
+  private def plan(fs: Seq[Filter], runtime: Seq[Filter] = Nil): Int = {
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(PlanningScale.schemaStruct, files, conf, Seq(dir))
+    b.pushFilters(fs.toArray)
+    val scan = b.build().asInstanceOf[ScbfScan]
+    if (runtime.nonEmpty) scan.filter(runtime.toArray)
+    reset()
+    scan.planInputPartitions().length
+  }
+
+  test("filtered-scan planning: one manifest read, no sidecars, no data opens") {
+    val kept = plan(Seq(GreaterThanOrEqual("id", 10000), LessThan("id", 10020)))
+    assert(kept == 2, s"two 10-row files cover [10000,10020), planned $kept")
+    assert(ScbfStats.manifestReads.get == 1, "exactly one manifest read")
+    assert(ScbfStats.sidecarReads.get == 0, "manifest-covered files never fall back")
+    assert(ScbfUtil.dataFileOpens.get == 0, "planning never opens data")
+    assert(ScbfBloom.bloomReads.get == 0, "range filters never touch blooms")
+  }
+
+  test("runtime join pruning re-plans on the same metadata; blooms only for survivors") {
+    val kept = plan(Nil, Seq(In("id", Array[Any](3, 9999, 19998))))
+    assert(kept <= 3, s"at most one file per key, planned $kept")
+    assert(ScbfStats.manifestReads.get == 1)
+    assert(ScbfStats.sidecarReads.get == 0)
+    assert(ScbfBloom.bloomReads.get <= 3, "one bloom per stats-surviving file")
+    assert(ScbfUtil.dataFileOpens.get == 0)
+  }
+
+  test("top-k prunes to a file prefix; agg answers from the manifest") {
+    val t = spark.read.format("scbf").load(dir)
+    reset()
+    val top = t.orderBy(col("id").desc).limit(7).collect()
+    assert(top.map(_.getInt(0)).toSeq == (N * Rows - 7 until N * Rows).reverse)
+    assert(ScbfUtil.dataFileOpens.get <= 2,
+      s"top-7 over 10-row files needs 1 file (+1 guarantee slack), opened ${ScbfUtil.dataFileOpens.get}")
+    reset()
+    val agg = t.agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id"))).head()
+    assert(agg.getLong(0) == N.toLong * Rows && agg.getInt(1) == 0 &&
+      agg.getInt(2) == N * Rows - 1)
+    assert(ScbfUtil.dataFileOpens.get == 0, "stats-answered aggregate opens no data")
+    assert(ScbfStats.sidecarReads.get == 0)
+  }
+
+  test("planning cost is in-memory after the manifest read (stays sub-second at 2k)") {
+    // not a benchmark — a regression tripwire: if planning ever starts
+    // doing per-file IO, 2000 files on local disk will blow way past this
+    plan(Seq(EqualTo("id", 777))) // warm (manifest OS cache)
+    val t0 = System.nanoTime()
+    val kept = plan(Seq(EqualTo("id", 777)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(kept == 1)
+    assert(ms < 1000.0, f"planning 2000 files took $ms%.0f ms — per-file IO crept in?")
+  }
+}

@@ -1,0 +1,215 @@
+package graft.tools
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.scbf._
+import graft.sources._
+
+/**
+ * The 10⁵-file planning proof: generates a synthetic SCBF directory of
+ * `n` small files (real, honest files — each readable, with a manifest
+ * entry whose stats describe its actual rows), then measures the
+ * metadata-layer claims the connector's 100 TB design rests on:
+ *
+ *   1. filtered-scan planning = ONE manifest read, zero sidecar reads,
+ *      zero data-file opens, at any file count;
+ *   2. runtime (join-driven) re-planning: same;
+ *   3. top-k / limit file-prefix pruning: same metadata, tiny plan;
+ *   4. manifest-answered aggregate pushdown: zero data opens E2E;
+ *   5. the bloom "storm" shape — an equality probe over a directory
+ *      whose RANGE stats cannot prune (every file spans the full key
+ *      range) — where survivor blooms fetch on the shared bounded pool:
+ *      the worst planning case, reported so the clustered fast path has
+ *      a measured contrast.
+ *
+ * Usage: Test/runMain graft.tools.PlanningScale [nFiles] [rowsPerFile]
+ * Results go to stdout as [plan100k] lines → recorded in BENCH_NOTES.md.
+ */
+object PlanningScale {
+
+  val schemaStruct: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  private val scbfSchema = ScbfSchema(Seq(
+    ScbfColumn("id", ScbfType.Int32), ScbfColumn("v", ScbfType.Float64)))
+
+  /**
+   * Generate `n` files of `rowsPerFile` rows each: file i holds ids
+   * [i*rows, (i+1)*rows). `wideStats = false` writes honest DISJOINT
+   * per-file ranges into the manifest (the clustered-ingest layout);
+   * `wideStats = true` claims the full table range for every file
+   * (over-wide stats are safe — pruning keeps more — and model the
+   * fully-unclustered worst case where only blooms can prune an
+   * equality). Blooms are always honest (built from actual ids).
+   * Per-file .stats sidecars are deliberately NOT written: the
+   * manifest is the planning path under test; sidecars are its
+   * fallback and would mask a manifest miss in the counters.
+   */
+  def generate(dir: String, n: Int, rowsPerFile: Int,
+      wideStats: Boolean = false, threads: Int = 16): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val conf = new Configuration()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val entries = new java.util.concurrent.ConcurrentLinkedQueue[ScbfStats.FileEntry]()
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val name = f"part-$i%06d${Scbf.FileExtension}"
+            val ids = Array.tabulate(rowsPerFile)(r => i * rowsPerFile + r)
+            val vs = ids.map(_ * 0.5)
+            val bos = new ByteArrayOutputStream(256)
+            ScbfWriter.write(bos, scbfSchema,
+              Seq(IntColumnData(ids), DoubleColumnData(vs)), Some(rowsPerFile.toLong))
+            val bytes = bos.toByteArray
+            val fo = new FileOutputStream(new File(d, name))
+            try fo.write(bytes) finally fo.close()
+            // honest bloom sidecar (equality pruning path)
+            val bb = new ScbfBloom.Builder(rowsPerFile.toLong, ScbfBloom.DefaultMaxBytes)
+            ids.foreach(v => bb.add(ScbfBloom.encodeInt(v)))
+            val bloom = ScbfBloom.render(bytes.length.toLong,
+              ScbfBloom.FileBloom(Map("id" -> bb.result)))
+            val bo = new FileOutputStream(new File(d, s".$name.bloom"))
+            try bo.write(bloom.getBytes(UTF_8)) finally bo.close()
+            val (lo, hi) =
+              if (wideStats) (0.0, (n.toLong * rowsPerFile - 1).toDouble)
+              else (ids.head.toDouble, ids.last.toDouble)
+            entries.add(ScbfStats.FileEntry(name, bytes.length.toLong,
+              ScbfStats.FileStats(rowsPerFile.toLong,
+                Map("id" -> ScbfStats.ColRange(lo, hi, Some(ids.map(_.toLong).sum)),
+                  "v" -> ScbfStats.ColRange(
+                    if (wideStats) 0.0 else vs.head,
+                    if (wideStats) (n.toLong * rowsPerFile - 1) * 0.5 else vs.last)))))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    ScbfStats.writeManifest(new Path(dir), conf, entries.asScala.toSeq)
+  }
+
+  private def resetCounters(): Unit = {
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.sidecarReads.set(0)
+    ScbfBloom.bloomReads.set(0)
+    ScbfUtil.dataFileOpens.set(0)
+  }
+
+  private def counters(): String =
+    s"manifestReads=${ScbfStats.manifestReads.get} " +
+      s"sidecarReads=${ScbfStats.sidecarReads.get} " +
+      s"bloomReads=${ScbfBloom.bloomReads.get} " +
+      s"dataOpens=${ScbfUtil.dataFileOpens.get}"
+
+  private def timed[T](label: String)(body: => T): T = {
+    resetCounters()
+    val t0 = System.nanoTime()
+    val r = body
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"[plan100k] $label%-38s ${ms}%10.1f ms  ${counters()}")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 100000
+    val rows = if (args.length > 1) args(1).toInt else 10
+    val conf = new Configuration()
+    val base = s"/tmp/scbf_planscale_${n}_$rows"
+    val clustered = s"$base/clustered"
+    val wide = s"$base/wide"
+    for ((dir, isWide) <- Seq((clustered, false), (wide, true))) {
+      val existing = Option(new File(dir).list()).map(_.count(_.endsWith(".scbf"))).getOrElse(0)
+      if (existing != n) {
+        println(s"[plan100k] generating $n files (${if (isWide) "wide" else "clustered"} stats) in $dir ...")
+        val t0 = System.nanoTime()
+        org.apache.commons.io.FileUtils.deleteQuietly(new File(dir))
+        generate(dir, n, rows, wideStats = isWide)
+        println(f"[plan100k] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } else println(s"[plan100k] reusing $dir")
+    }
+    val manifestBytes = new File(clustered, ".scbf.stats.manifest").length()
+    println(f"[plan100k] nFiles=$n rowsPerFile=$rows manifest=${manifestBytes / 1048576.0}%.1f MiB")
+
+    // ---- driver-side planning costs, no Spark session needed ----
+    val listing = timed("list directory")(
+      ScbfDataSource.resolveFiles(Seq(clustered), conf))
+    require(listing.size == n, s"listing saw ${listing.size}")
+
+    // manifest load: wall time + retained driver heap
+    System.gc(); Thread.sleep(200)
+    val memBefore = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    val man = timed("load manifest (one read)")(
+      ScbfStats.readManifestFull(new Path(clustered), conf))
+    System.gc(); Thread.sleep(200)
+    val memAfter = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    println(f"[plan100k] manifest entries=${man._1.size} retained≈${(memAfter - memBefore) / 1048576.0}%.1f MiB driver heap")
+
+    import org.apache.spark.sql.sources._
+    def planFiltered(label: String, fs: Seq[Filter], runtime: Seq[Filter] = Nil): Int =
+      timed(label) {
+        val b = new ScbfScanBuilder(schemaStruct, listing, conf, Seq(clustered))
+        b.pushFilters(fs.toArray)
+        val scan = b.build().asInstanceOf[ScbfScan]
+        if (runtime.nonEmpty) scan.filter(runtime.toArray)
+        scan.planInputPartitions().length
+      }
+
+    val lo = n * rows / 2
+    val kept1 = planFiltered("plan: range filter (0.1% of table)",
+      Seq(GreaterThanOrEqual("id", lo), LessThan("id", lo + n * rows / 1000)))
+    println(s"[plan100k]   -> planned $kept1 of $n files")
+    val dppKeys: Array[Any] = Array.tabulate(5)(k => (k * (n / 5) * rows + 3).asInstanceOf[Any])
+    val kept2 = planFiltered("plan: runtime join pruning (5 keys)",
+      Nil, Seq(In("id", dppKeys)))
+    println(s"[plan100k]   -> planned $kept2 of $n files")
+    val kept3 = timed("plan: equality over WIDE stats (bloom storm)") {
+      val wfiles = ScbfDataSource.resolveFiles(Seq(wide), conf)
+      val b = new ScbfScanBuilder(schemaStruct, wfiles, conf, Seq(wide))
+      b.pushFilters(Array(EqualTo("id", lo)))
+      b.build().asInstanceOf[ScbfScan].planInputPartitions().length
+    }
+    println(s"[plan100k]   -> planned $kept3 of $n files")
+
+    // ---- end-to-end queries through Spark ----
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def e2e(label: String)(body: => Unit): Unit = timed(s"e2e: $label")(body)
+    val t = spark.read.format("scbf").load(clustered)
+    e2e("filtered agg (0.1% of files read)") {
+      t.filter(col("id") >= lo && col("id") < lo + n * rows / 1000)
+        .agg(count(lit(1)), sum(col("v"))).collect()
+    }
+    e2e("broadcast join w/ runtime pruning") {
+      // dim filtered on a NON-key column, so only the runtime (DPP)
+      // filter can prune fact files (the RuntimeFilterSpec shape); the
+      // 5 surviving keys spread across the whole table
+      val dim = spark.range(0, 1000)
+        .select((col("id") * ((n.toLong * rows) / 1000)).cast("int").as("k"),
+          (col("id") % 200).cast("int").as("grp"))
+        .filter(col("grp") === 7)
+      t.join(broadcast(dim), col("id") === col("k"))
+        .agg(count(lit(1))).collect()
+    }
+    e2e("top-k (ORDER BY id DESC LIMIT 100)") {
+      t.orderBy(col("id").desc).limit(100).collect()
+    }
+    e2e("agg pushdown (manifest-answered)") {
+      t.agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id"))).collect()
+    }
+    spark.stop()
+  }
+}
