@@ -641,6 +641,62 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$scoresDir/epoch=$epoch")
   }
 
+  case class SrcDoc(ts: Timestamp, docId: Long, source: String, text: String)
+  case class MixtureAdmit(source: String, docId: Long, tokens: Int,
+      cumTokens: Long, budget: Long)
+
+  /**
+   * t14's streaming twin: budget-capped mixture sampling at ingest.
+   * Per-source state is ONE long (tokens consumed so far — bounded by
+   * source count, not stream length); an arriving doc is admitted iff
+   * the running total stays within the source's budget, and its tokens
+   * count toward the total EITHER WAY — batch t14 filters a prefix sum
+   * (`cum <= budget`), so once the total overflows, everything after is
+   * rejected too; mirroring that keeps the two implementations
+   * convergent rather than look-alike.
+   *
+   * Ordering: batch t14 samples by md5(doc_id) — a deterministic
+   * pseudo-random shuffle of the WHOLE corpus, which no stream can
+   * reproduce across epochs without buffering everything. The twin
+   * applies the same md5 order WITHIN each micro-batch and
+   * first-arrival precedence ACROSS batches (the same semantic shape
+   * as the dedup twins' first-arrival-wins vs batch's min-key winner);
+   * a single-batch run is therefore EXACTLY batch t14, pinned by the
+   * parity spec.
+   *
+   * Budget formula shared with batch t14: base × (1 + srcIndex % 3),
+   * srcIndex parsed from the source name's digits.
+   */
+  def mixtureSample(docs: Dataset[SrcDoc], budgetBase: Int = 400): Dataset[MixtureAdmit] = {
+    implicit val outEnc = Encoders.product[MixtureAdmit]
+    implicit val stateEnc = Encoders.scalaLong
+    docs.groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, MixtureAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, batch: Iterator[SrcDoc], state: GroupState[Long]) =>
+          val budget = budgetBase.toLong *
+            (1L + (source.dropWhile(!_.isDigit) match {
+              case "" => 0L
+              case ds => ds.takeWhile(_.isDigit).toLong % 3
+            }))
+          var consumed = state.getOption.getOrElse(0L)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def md5hex(s: String): String =
+            md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val out = batch.toSeq
+            .sortBy(d => (md5hex(d.docId.toString), d.docId))
+            .flatMap { d =>
+              val tokens = d.text.split(" ").length
+              consumed += tokens
+              if (consumed <= budget)
+                Some(MixtureAdmit(source, d.docId, tokens, consumed, budget))
+              else None
+            }
+          state.update(consumed)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
