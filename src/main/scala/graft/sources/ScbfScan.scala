@@ -342,7 +342,25 @@ class ScbfScan(
         }
         val ndv: Option[Long] = dirNdv.get(field.name)
           .map(n => rowCap.fold(n)(math.min(n, _)))
-        if (minMax.isDefined || ndv.isDefined) {
+        // utf8 length stats: average folded as Σbytes/Σrows, max as max —
+        // sound only when every kept file reports them
+        val lens: Option[(Long, Long)] = field.dataType match {
+          case StringType =>
+            allStats.flatMap { sts =>
+              val nonEmpty = sts.filter(_.rows > 0)
+              val ls = nonEmpty.map(_.strLens.get(field.name))
+              if (nonEmpty.isEmpty || ls.exists(_.isEmpty)) None
+              else {
+                val totalRows = nonEmpty.map(_.rows).sum
+                val totalBytes = ls.flatten.map(_._1).sum
+                val maxLen = ls.flatten.map(_._2).max
+                Some((math.max(1L, math.round(totalBytes.toDouble / totalRows)),
+                  maxLen.toLong))
+              }
+            }
+          case _ => None
+        }
+        if (minMax.isDefined || ndv.isDefined || lens.isDefined) {
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -358,9 +376,15 @@ class ScbfScan(
               override def avgLen(): OptionalLong = field.dataType match {
                 case IntegerType => OptionalLong.of(4L)
                 case DoubleType  => OptionalLong.of(8L)
-                case _           => OptionalLong.empty()
+                case _ => lens.map(l => OptionalLong.of(l._1))
+                  .getOrElse(OptionalLong.empty())
               }
-              override def maxLen(): OptionalLong = avgLen()
+              override def maxLen(): OptionalLong = field.dataType match {
+                case IntegerType => OptionalLong.of(4L)
+                case DoubleType  => OptionalLong.of(8L)
+                case _ => lens.map(l => OptionalLong.of(l._2))
+                  .getOrElse(OptionalLong.empty())
+              }
             })
         }
       }

@@ -101,12 +101,16 @@ object ScbfStats {
   /** `ndvs`: per-column HLL registers ([[ScbfNdv]]) — carried by
    * SIDECARS and commit messages only; the manifest keeps one MERGED
    * array per column per directory (see writeManifest) so it stays a
-   * small single read at any file count. */
+   * small single read at any file count.
+   * `strLens`: per-utf8-column (total bytes, max bytes) — feeds the
+   * CBO's avgLen/maxLen so row-size estimates of string-heavy tables
+   * (hence broadcast decisions) stop guessing the 20-byte default. */
   final case class FileStats(
       rows: Long,
       cols: Map[String, ColRange],
       strCols: Map[String, StrRange] = Map.empty,
-      ndvs: Map[String, Array[Byte]] = Map.empty)
+      ndvs: Map[String, Array[Byte]] = Map.empty,
+      strLens: Map[String, (Long, Int)] = Map.empty)
 
   /** One manifest entry: `dataLen` is the staleness guard — the live
    * listing's length must match for the entry to be trusted. */
@@ -454,6 +458,9 @@ object ScbfStats {
       val mx = r.max.map(b64e.encodeToString).getOrElse("-")
       sb.append(s"scol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
     }
+    stats.strLens.toSeq.sortBy(_._1).foreach { case (n, (sum, mx)) =>
+      sb.append(s"slen\t$n\t$sum\t$mx\n")
+    }
     if (withNdv) stats.ndvs.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"ndv\t$n\t${b64e.encodeToString(regs)}\n")
     }
@@ -478,7 +485,11 @@ object ScbfStats {
       val Array(_, n, regs) = l.split("\t", 3)
       n -> b64d.decode(regs)
     }.filter(_._2.length == ScbfNdv.M).toMap
-    rows.map(FileStats(_, cols, strCols, ndvs))
+    val strLens = lines.collect { case l if l.startsWith("slen\t") =>
+      val Array(_, n, sum, mx) = l.split("\t", 4)
+      n -> ((sum.toLong, mx.toInt))
+    }.toMap
+    rows.map(FileStats(_, cols, strCols, ndvs, strLens))
   }
 
   private def publish(p: Path, conf: Configuration, content: String): Unit = {

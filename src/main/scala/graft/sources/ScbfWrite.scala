@@ -580,6 +580,15 @@ class ScbfDataWriter(
         Some(n -> ScbfStats.strRange(mn, mx))
       case _ => None
     }.toMap
+    // utf8 length stats → CBO avgLen/maxLen (row-size estimation)
+    val strLens = schema.fields.map(_.name).zip(builders).flatMap {
+      case (n, b: Utf8Builder) if b.values.nonEmpty =>
+        var sum = 0L
+        var mx = 0
+        b.values.foreach { v => sum += v.length; if (v.length > mx) mx = v.length }
+        Some(n -> ((sum, mx)))
+      case _ => None
+    }.toMap
     // per-column NDV registers (ScbfNdv): one XXH64 per cell at write
     // buys the CBO a distinct-count estimate at read — rides the
     // sidecar; the manifest merge folds files into one directory sketch
@@ -594,7 +603,7 @@ class ScbfDataWriter(
           val h = new ScbfNdv.Builder; b.values.foreach(h.addBytes); n -> h.regs
       }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
-      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs))
+      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs, strLens))
     // Bloom sidecar (equality/IN skipping on unclustered keys — see
     // ScbfBloom): staged as a (temp, final) pair like the data file, so
     // both publish paths (task commit / epoch-level driver commit) and

@@ -96,6 +96,27 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
       score.max.get() == Double.box(999 * 2.5), s"score bounds ${score.min}..${score.max}")
   }
 
+  test("utf8 columns report avgLen/maxLen from the written length stats") {
+    val dir = tmpDir("scbf-strlen")
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("id"),
+        // lengths 1..4 ("n0".."n99" → 2..3 chars plus one fixed): use
+        // rpad for deterministic lengths: 90 rows of 10 bytes, 10 of 30
+        when(col("id") < 90, rpad(lit("x"), 10, "x"))
+          .otherwise(rpad(lit("y"), 30, "y")).as("s"))
+      .repartitionByRange(2, col("id"))
+      .write.format("scbf").mode("overwrite").save(dir)
+    val cs = scanFor(dir).estimateStatistics().columnStats()
+    val it = cs.entrySet().iterator()
+    var m = Map.empty[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    while (it.hasNext) { val e = it.next(); m += e.getKey.describe() -> e.getValue }
+    val s = m("s")
+    assert(s.avgLen.getAsLong == 12L, // (90*10 + 10*30)/100 = 12
+      s"avgLen ${s.avgLen} should be 12")
+    assert(s.maxLen.getAsLong == 30L, s"maxLen ${s.maxLen} should be 30")
+    assert(!s.min().isPresent, "truncated utf8 bounds are not reported as min/max")
+  }
+
   test("a file without stats withholds min/max but never breaks planning") {
     val dir = tmpDir("scbf-colstats-partial")
     writeRanged(dir)
