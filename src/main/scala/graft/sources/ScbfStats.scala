@@ -206,20 +206,30 @@ object ScbfStats {
           val out = Map.newBuilder[String, FileEntry]
           var i = 1
           while (i < lines.length && !lines(i).startsWith("file\t")) {
-            if (lines(i).startsWith("dirndv\t")) {
+            if (lines(i).startsWith("dirndv\t")) try {
               val Array(_, n, regs) = lines(i).split("\t", 3)
               val r = b64d.decode(regs)
               if (r.length == ScbfNdv.M) ndv += n -> r
-            }
+            } catch { case NonFatal(_) => /* this column loses NDV only */ }
             i += 1
           }
           while (i < lines.length) {
-            val Array(_, name, len) = lines(i).split("\t", 3)
-            var j = i + 1
-            while (j < lines.length && !lines(j).startsWith("file\t")) j += 1
-            parse(lines.slice(i + 1, j)).foreach(st =>
-              out += name -> FileEntry(name, len.toLong, st))
-            i = j
+            // per-ENTRY resilience: one corrupt entry (torn line, bad
+            // number) must cost only that file's skipping — its scan
+            // falls back to the sidecar — not the other 10⁵ entries'
+            // (the outer catch still guards structural corruption)
+            try {
+              val Array(_, name, len) = lines(i).split("\t", 3)
+              var j = i + 1
+              while (j < lines.length && !lines(j).startsWith("file\t")) j += 1
+              parse(lines.slice(i + 1, j)).foreach(st =>
+                out += name -> FileEntry(name, len.toLong, st))
+              i = j
+            } catch {
+              case NonFatal(_) =>
+                i += 1
+                while (i < lines.length && !lines(i).startsWith("file\t")) i += 1
+            }
           }
           (out.result(), ndv.result())
         }
