@@ -209,17 +209,35 @@ class ScbfScan(
    * manifest misses or got stale on (ScbfStats.Pruner). Stats are
    * read only when a usable filter exists; a file without stats
    * always plans. */
+  /** One Lookup per scan: manifests (and their dirndv blocks) cache
+   * across planInputPartitions AND every estimateStatistics call. */
+  private lazy val lookup = new ScbfStats.Lookup(conf)
+
+  /** The static prune (pushed filters only), computed ONCE per scan:
+   * Catalyst asks for statistics (possibly several times) and then
+   * plans partitions, and each ask used to re-run the full stats +
+   * bloom pass — at the 10⁵-file bloom-storm worst case that
+   * multiplied a multi-second planning step. Sound to share: the
+   * pushed filters are fixed at build time. Runtime (DPP) filters
+   * arrive later and prune FROM this set (conjunctive semantics:
+   * kept(pushed ∧ runtime) = kept(runtime) ∩ kept(pushed)). */
+  private lazy val staticKept: Seq[FileStatus] =
+    if (pushedFilters.isEmpty) files
+    else new ScbfStats.Pruner(conf, pushedFilters, lookup)
+      .keepAll(files)(_.getPath, _.getLen)
+
   override def planInputPartitions(): Array[InputPartition] = {
     // a pushed aggregation IS the result: one partition, one row,
     // zero data files opened
     aggregated match {
       case Some(a) => Array(ScbfAggPartition(a.schema, a.values.toArray))
       case None =>
-        // static pushed filters AND any runtime (DPP) filters prune
-        // through the same conjunctive stats check
-        val pruner = new ScbfStats.Pruner(conf, pushedFilters ++ runtimeFilters)
-        // batched: survivor blooms fetch on a bounded pool (keepAll)
-        val kept = pruner.keepAll(files)(_.getPath, _.getLen)
+        // static prune computed once (staticKept); any runtime (DPP)
+        // filters narrow it further through the same conjunctive check
+        val kept =
+          if (runtimeFilters.isEmpty) staticKept
+          else new ScbfStats.Pruner(conf, runtimeFilters, lookup)
+            .keepAll(staticKept)(_.getPath, _.getLen)
         // A pushed LIMIT keeps only a prefix of files whose stats
         // GUARANTEE ≥ n rows: a file without trusted stats still plans
         // (counts 0 toward the guarantee), so the planned set can only
@@ -235,13 +253,12 @@ class ScbfScan(
               if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
             tableSchema.fields.find(_.name == colName) match {
               case Some(field) =>
-                ScbfTopN.prune(kept, new ScbfStats.Lookup(conf), field, desc, k)
+                ScbfTopN.prune(kept, lookup, field, desc, k)
               case None => kept
             }
           // plain LIMIT n: any prefix of files guaranteeing ≥ n rows
           case (Some(n), None)
               if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
-            val lookup = new ScbfStats.Lookup(conf)
             var known = 0L
             kept.takeWhile { f =>
               val need = known < n
@@ -271,12 +288,8 @@ class ScbfScan(
    * rows go unreported instead, never guessed). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val kept =
-      if (aggregated.isDefined || pushedFilters.isEmpty) files
-      else {
-        val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-        pruner.keepAll(files)(_.getPath, _.getLen)
-      }
-    private val lookup = new ScbfStats.Lookup(conf)
+      if (aggregated.isDefined) files else staticKept
+    private val lookup = ScbfScan.this.lookup
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
       else OptionalLong.of(kept.map(_.getLen).sum)

@@ -313,8 +313,11 @@ object ScbfStats {
         }
       })
 
-  final class Pruner(conf: Configuration, filters: Seq[Filter]) {
-    private val lookup = new Lookup(conf)
+  final class Pruner(conf: Configuration, filters: Seq[Filter],
+      sharedLookup: Lookup = null) {
+    // callers that plan repeatedly over one scan pass a shared Lookup so
+    // manifests load once across the pruner instances (ScbfScan)
+    private val lookup = Option(sharedLookup).getOrElse(new Lookup(conf))
     private val active = filters.nonEmpty
     // bloom files are read LAZILY: only when an equality-shaped filter
     // could use one, and only for files range pruning failed to exclude

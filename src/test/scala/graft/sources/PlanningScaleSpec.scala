@@ -76,6 +76,23 @@ class PlanningScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfStats.sidecarReads.get == 0)
   }
 
+  test("estimateStatistics and planInputPartitions share ONE static prune per scan") {
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(PlanningScale.schemaStruct, files, conf, Seq(dir))
+    b.pushFilters(Array(EqualTo("id", 4242)))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    reset()
+    scan.estimateStatistics() // Catalyst may ask several times
+    scan.estimateStatistics()
+    val planned = scan.planInputPartitions().length
+    assert(planned == 1)
+    assert(ScbfStats.manifestReads.get == 1,
+      s"one manifest read across stats+planning, got ${ScbfStats.manifestReads.get}")
+    assert(ScbfBloom.bloomReads.get <= 1,
+      s"the survivor's bloom fetches once, not per ask: ${ScbfBloom.bloomReads.get}")
+  }
+
   test("planning cost is in-memory after the manifest read (stays sub-second at 2k)") {
     // not a benchmark — a regression tripwire: if planning ever starts
     // doing per-file IO, 2000 files on local disk will blow way past this
