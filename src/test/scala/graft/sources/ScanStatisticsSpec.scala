@@ -137,6 +137,32 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a streaming-ingested directory reports column stats too (NDV via epoch manifest merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = tmpDir("scbf-stream-colstats")
+    val ckpt = tmpDir("scbf-stream-colstats-ckpt")
+    val input = MemoryStream[(Int, Double)]
+    val q = input.toDF().toDF("id", "score")
+      .writeStream.format("scbf").option("checkpointLocation", ckpt).start(out)
+    try {
+      // epoch 0 merges the manifest immediately (ManifestEpochInterval
+      // includes it), so sidecar NDV registers reach dirndv
+      input.addData((0 until 500).map(i => (i, i * 1.5)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cs = scanFor(out).estimateStatistics().columnStats()
+    val it = cs.entrySet().iterator()
+    var m = Map.empty[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    while (it.hasNext) { val e = it.next(); m += e.getKey.describe() -> e.getValue }
+    val id = m("id")
+    assert(id.min.get() == Int.box(0) && id.max.get() == Int.box(499))
+    val ndv = id.distinctCount()
+    assert(ndv.isPresent && math.abs(ndv.getAsLong - 500L) <= 50,
+      s"streaming-ingest NDV should be ~500, got $ndv")
+  }
+
   test("CBO: column stats drive a selectivity-based broadcast flip") {
     val dimDir = tmpDir("scbf-cbo-dim")
     // UNCLUSTERED: every file spans the whole id range, so file pruning
