@@ -36,6 +36,16 @@ import org.apache.spark.sql.sources._
  * The no-op fast path matters operationally: probing `DELETE WHERE
  * doc_id = k` over a clustered/bloom'd directory where nothing
  * matches rewrites NOTHING (pure metadata reads).
+ *
+ * Concurrency contract: concurrent APPENDS are handled (the fold-in
+ * re-list rounds in [[rewriteRounds]], and snapshot scoping on the
+ * OPTIMIZE side). Concurrent REWRITERS — two deletes/updates/
+ * optimizes on one directory — remain a single-writer contract, as in
+ * any logless table format: two rewrites can scope the same original
+ * and both republish survivors from it (duplicates), or one can
+ * remove a file the other is mid-read. Serialize maintenance per
+ * directory; a deployment needing multi-writer rewrites layers a
+ * transaction log above the frozen format.
  */
 object ScbfDelete {
 
