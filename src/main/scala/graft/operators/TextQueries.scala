@@ -131,6 +131,32 @@ object TextQueries {
           graft.functions.GraftFunctions.rollingHash(col("w")).as("rolling_hash"))
     },
 
+    // ---- dataset identity: content-addressable per-source digest ----
+    // Data versioning for reproducible training runs: a digest of each
+    // source's full content that is independent of row order, file
+    // layout, and partitioning — re-run after any rewrite (OPTIMIZE,
+    // zorder, delete+re-add of identical rows) and the digest is
+    // unchanged iff the DATA is unchanged; any dropped/mutated row
+    // flips it. Mechanics: md5 per row over a canonical field
+    // rendering (both engines produce identical hex), 60 bits parsed
+    // to a long, folded with the order-independent XOR aggregate plus
+    // count/min/max anchors. Scale shape: pure map-side hash off the
+    // scan + a partial-aggregated groupBy on the handful of sources —
+    // the cheapest possible 100 TB pass, no shuffle of row data.
+    "t17_dataset_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          conv(substring(md5(concat_ws("|",
+            col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), col("text"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_digest"),
+          min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"))
+    },
+
     // ---- event sessionization: 30-min-gap sessions per user ----
     "t5_sessionize" -> { (s, dir) =>
       val gapNs = 1800L * 1000 * 1000 * 1000
@@ -677,6 +703,14 @@ object TextQueries {
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    "t17_dataset_fingerprint" ->
+      """WITH h AS (SELECT source,
+        |  ('0x' || substr(md5(concat_ws('|', doc_id, source, lang, n_chars, text)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_rows, bit_xor(h) AS xor_digest,
+        |  MIN(h) AS min_h, MAX(h) AS max_h
+        |FROM h GROUP BY source""".stripMargin,
 
     "t4_fingerprint" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') w,
