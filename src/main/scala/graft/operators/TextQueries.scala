@@ -144,12 +144,9 @@ object TextQueries {
     // scan + a partial-aggregated groupBy on the handful of sources —
     // the cheapest possible 100 TB pass, no shuffle of row data.
     "t17_dataset_fingerprint" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("source"),
-          conv(substring(md5(concat_ws("|",
-            col("doc_id"), col("source"), col("lang"),
-            col("n_chars"), col("text"))), 1, 15), 16, 10)
-            .cast("long").as("h"))
+      rowDigest(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), col("text")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_digest"),
@@ -630,6 +627,16 @@ object TextQueries {
           col("group_size"))
     }
   )
+
+  /** Canonical 60-bit row hash for dataset fingerprinting, appended as
+   * `h` over the input's columns IN ORDER — the kernel shared by t17
+   * and its streaming twin so the two digests can never drift: md5 of
+   * a '|'-joined field rendering (both engines produce identical hex),
+   * first 15 hex digits parsed to a long. */
+  private[graft] def rowDigest(df: DataFrame): DataFrame =
+    df.withColumn("h",
+      conv(substring(md5(concat_ws("|",
+        df.columns.map(col).toIndexedSeq: _*)), 1, 15), 16, 10).cast("long"))
 
   /** Word-bigram struct array over the split-words column `w` — shared
    * by t16 and its streaming twin so tokenization can never drift

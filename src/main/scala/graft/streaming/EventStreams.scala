@@ -697,6 +697,21 @@ object EventStreams {
       }
   }
 
+  /** t17's streaming twin: the per-source dataset digest as a RUNNING
+   * streaming aggregate — count + XOR fold of the same canonical row
+   * hash (shared via [[graft.operators.TextQueries.rowDigest]], so the
+   * two can never drift). XOR is associative/commutative, so the
+   * incremental state (one long per source) equals the batch digest
+   * over everything ingested so far — a training pipeline reads the
+   * CURRENT dataset identity off the stream at any epoch. Update
+   * output mode: each trigger re-emits the sources it changed. */
+  def datasetFingerprint(docs: Dataset[SrcDoc]): DataFrame =
+    graft.operators.TextQueries.rowDigest(
+        docs.toDF().select(col("docId").as("doc_id"), col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_digest"))
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
