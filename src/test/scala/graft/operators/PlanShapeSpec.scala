@@ -96,6 +96,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("partial_count".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("t17: digest is one partial-aggregated groupBy; no window, no join, no row-data shuffle") {
+    val p = plan("t17_dataset_fingerprint")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg before the exchange: only (source, partial state) rows
+    // ever shuffle — never the hashed row data
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) >= 0,
+      s"expected partial+final aggregate around the exchange:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join") && !p.contains("Sort"),
+      s"digest must be a pure map+agg pass:\n$p")
+  }
+
   test("q35: the SCBF read carries pushed filters for stats-based file skipping") {
     val p = plan("q35_scbf_stats_skip")
     assert(p.contains("PushedFilters"), p)
