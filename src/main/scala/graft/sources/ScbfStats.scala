@@ -222,7 +222,7 @@ object ScbfStats {
               val Array(_, name, len) = lines(i).split("\t", 3)
               var j = i + 1
               while (j < lines.length && !lines(j).startsWith("file\t")) j += 1
-              parse(lines.slice(i + 1, j)).foreach(st =>
+              parse(lines.slice(i + 1, j).toIndexedSeq).foreach(st =>
                 out += name -> FileEntry(name, len.toLong, st))
               i = j
             } catch {
@@ -256,7 +256,7 @@ object ScbfStats {
         val len = lines.collectFirst {
           case l if l.startsWith("len\t") => l.stripPrefix("len\t").toLong
         }
-        for (l <- len; st <- parse(lines)) yield (l, st)
+        for (l <- len; st <- parse(lines.toIndexedSeq)) yield (l, st)
       }
     } catch { case NonFatal(_) => None }
 

@@ -160,7 +160,7 @@ class ScbfBatchWrite(
     // compare by file NAME: listStatus paths are fully qualified
     // (file:/...), task-side staged names are not — path-string
     // comparison would never match. Names are unique (uuid suffix).
-    val entries = messages.collect { case ScbfCommitMessage(es) => es }.flatten
+    val entries = messages.collect { case ScbfCommitMessage(es) => es }.flatten.toIndexedSeq
     val newNames = entries.map(_.name).toSet
     toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach { p =>

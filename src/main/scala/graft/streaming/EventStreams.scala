@@ -703,8 +703,9 @@ object EventStreams {
    * two can never drift). XOR is associative/commutative, so the
    * incremental state (one long per source) equals the batch digest
    * over everything ingested so far — a training pipeline reads the
-   * CURRENT dataset identity off the stream at any epoch. Update
-   * output mode: each trigger re-emits the sources it changed. */
+   * CURRENT dataset identity off the stream at any epoch. Run it in
+   * update mode (re-emits changed sources per trigger) or complete
+   * mode (the full per-source table, what the parity spec uses). */
   def datasetFingerprint(docs: Dataset[SrcDoc]): DataFrame =
     graft.operators.TextQueries.rowDigest(
         docs.toDF().select(col("docId").as("doc_id"), col("source"), col("text")))
