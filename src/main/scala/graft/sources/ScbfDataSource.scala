@@ -186,12 +186,20 @@ class ScbfTable(
     // files from a concurrent append's; replaceFileNames scopes an
     // overwrite's deletion to an explicit snapshot so files published
     // AFTER the snapshot survive the commit instead of being destroyed
+    // whitelist, not a blocklist: both values are embedded verbatim in
+    // tab-separated stats-manifest/sidecar lines (a tab or newline would
+    // tear those) and replaceFileNames rides a comma-joined CSV — a
+    // character outside the portable-filename set fails HERE, at the
+    // option, not three layers later as a mysteriously-disabled skip
     val prefix = Option(info.options.get("filePrefix"))
     prefix.foreach(p => require(
-      p.nonEmpty && !p.startsWith(".") && !p.contains("/"),
-      s"filePrefix must be a plain visible name fragment, got '$p'"))
+      p.matches("[A-Za-z0-9_-][A-Za-z0-9._-]*"),
+      s"filePrefix must match [A-Za-z0-9_-][A-Za-z0-9._-]* (no leading dot), got '$p'"))
     val replaceOnly = Option(info.options.get("replaceFileNames"))
       .map(_.split(",").filter(_.nonEmpty).toSet)
+    replaceOnly.foreach(_.foreach(n => require(
+      n.matches("[A-Za-z0-9._-]+"),
+      s"replaceFileNames entry must match [A-Za-z0-9._-]+, got '$n'")))
     new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly)
   }
 }

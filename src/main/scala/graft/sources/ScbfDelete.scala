@@ -218,9 +218,11 @@ object ScbfDelete {
     }
     // manifest entries for the removed names are dead weight (planning
     // keys lookups by the LIVE listing, so they can never be trusted
-    // for a live file) — compact them away so the manifest doesn't
-    // grow monotonically under repeated deletes/updates
-    val live = ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getName).toSet
-    ScbfStats.pruneManifest(new Path(dir), conf, live)
+    // for a live file) — drop exactly those names in one merge cycle,
+    // so the manifest doesn't grow monotonically under repeated
+    // deletes/updates and a concurrent append's just-merged entries
+    // survive (a retain-the-live-listing prune would race its commit)
+    ScbfStats.mergeManifest(new Path(dir), conf, Seq.empty, fresh = false,
+      drop = affected.map(_.getPath.getName).toSet)
   }
 }

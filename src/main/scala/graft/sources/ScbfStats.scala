@@ -160,8 +160,17 @@ object ScbfStats {
    * existing map name-keyed. Concurrent writers race last-writer-wins:
    * the loser's files simply fall back to their (length-guarded)
    * sidecars until the next merge picks them up. */
+  /** `drop`: names removed from the merged result IN THE SAME
+   * read-modify-write as the merge — a rewrite's "merge my new files,
+   * drop the files I replaced" must be one cycle, not a merge followed
+   * by a separate prune (an append committing between two cycles would
+   * have its just-merged entries dropped by the prune's stale read).
+   * Dropping by explicit name — not retaining a listed live set — also
+   * keeps an append that lands between the caller's listing and this
+   * merge: its names are never in the drop set. */
   def mergeManifest(dir: Path, conf: Configuration,
-      entries: Seq[FileEntry], fresh: Boolean): Unit = {
+      entries: Seq[FileEntry], fresh: Boolean,
+      drop: Set[String] = Set.empty): Unit = {
     val (base, baseNdv) =
       if (fresh) (Map.empty[String, FileEntry], Map.empty[String, Array[Byte]])
       else readManifestFull(dir, conf)
@@ -173,21 +182,15 @@ object ScbfStats {
         m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
       }
     }
-    writeManifest(dir, conf, (base ++ entries.map(e => e.name -> e)).values.toSeq, dirNdv)
+    val merged = (base ++ entries.map(e => e.name -> e)).values.toSeq
+    writeManifest(dir, conf,
+      if (drop.isEmpty) merged else merged.filterNot(e => drop.contains(e.name)),
+      dirNdv)
   }
 
   /** The directory manifest as name → entry; empty on missing/corrupt. */
   def readManifest(dir: Path, conf: Configuration): Map[String, FileEntry] =
     readManifestFull(dir, conf)._1
-
-  /** Drop manifest entries for names no longer in `live` (post-delete /
-   * post-rewrite compaction so the manifest doesn't grow monotonically).
-   * The directory NDV sketch is preserved as-is: HLL cannot subtract,
-   * so it over-estimates until the next fresh rebuild (ScbfNdv). */
-  def pruneManifest(dir: Path, conf: Configuration, live: Set[String]): Unit = {
-    val (man, dirNdv) = readManifestFull(dir, conf)
-    writeManifest(dir, conf, man.values.filter(e => live.contains(e.name)).toSeq, dirNdv)
-  }
 
   /** Manifest entries PLUS the directory-level merged NDV registers
    * (one array per column — see writeManifest). */
@@ -313,6 +316,11 @@ object ScbfStats {
         }
       })
 
+  /** Per-file cap on waiting for a pooled bloom fetch before falling
+   * back to keeping the file (see keepAll) — generous against slow
+   * stores, small against a truly hung stream. */
+  val BloomFetchTimeoutMs: Long = 60_000L
+
   final class Pruner(conf: Configuration, filters: Seq[Filter],
       sharedLookup: Lookup = null) {
     // callers that plan repeatedly over one scan pass a shared Lookup so
@@ -364,7 +372,17 @@ object ScbfStats {
                 ScbfBloom.mayMatch(filters, b))
           })
         }
-        statsKept.zip(futures).collect { case (f, fut) if fut.get() => f }
+        // bounded wait: the pool is JVM-wide, so one query's stalled
+        // bloom reads (hung object-store stream) must not wedge every
+        // other concurrently-planning query behind an unbounded get().
+        // Bloom skipping is a pure hint — on timeout, KEEP the file
+        // (never skip on evidence we failed to fetch) and cancel the
+        // straggler so it releases its pool slot.
+        statsKept.zip(futures).collect { case (f, fut) if (
+          try fut.get(BloomFetchTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            fut.cancel(true); true
+          }) => f }
       }
     }
   }

@@ -92,9 +92,29 @@ object ScbfWrite {
    */
   private[sources] def validateAppendSchema(
       dir: String, schema: StructType, conf: Configuration): Unit = {
-    val existing = ScbfDataSource.resolveFiles(Seq(dir), conf)
-    if (existing.isEmpty) return
-    val have = ScbfUtil.readHeader(existing.head, conf).schema
+    // List-then-read races a concurrent snapshot-scoped OPTIMIZE/DELETE
+    // commit that may delete the chosen file between the two calls —
+    // the exact append-concurrent-with-rewrite interleaving this guard
+    // legitimizes — so a vanished file is a retry (next live file, then
+    // a fresh listing), not a spurious job failure. Any OTHER read
+    // error propagates: a corrupt header is a real mismatch signal.
+    var have: ScbfSchema = null
+    var round = 0
+    while (have == null) {
+      val existing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+      if (existing.isEmpty) return
+      val it = existing.iterator
+      while (have == null && it.hasNext) {
+        val f = it.next()
+        try have = ScbfUtil.readHeader(f, conf).schema
+        catch { case _: java.io.FileNotFoundException => /* rewritten away — next */ }
+      }
+      round += 1
+      if (have == null && round >= 3)
+        // every listed file vanished three listings in a row: something
+        // is actively emptying the directory — treat as empty table
+        return
+    }
     val incoming = ScbfDataSource.sparkToScbf(schema)
     if (have != incoming) {
       val haveMap = have.columns.map(c => c.name -> c.tpe.typeName).toMap
@@ -187,16 +207,18 @@ class ScbfBatchWrite(
         // snapshot-scoped overwrite COEXISTS with concurrent appends:
         // never sweep temps (a live append's staged files would die),
         // and rebuild the manifest fresh only when nothing appeared
-        // mid-rewrite — otherwise merge and drop the replaced names so
-        // the newcomer's entries survive
+        // mid-rewrite — otherwise ONE merge cycle that adds this job's
+        // entries and drops exactly the names it deleted (a newcomer
+        // appending mid-merge keeps its entries: its names can never be
+        // in the drop set, where a retain-the-live-listing prune would
+        // race its commit)
         val live = ScbfDataSource.resolveFiles(Seq(dir), conf.value)
           .map(_.getPath.getName).toSet
         if ((live -- snapshot -- newNames).isEmpty)
           ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = true)
-        else {
-          ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = false)
-          ScbfStats.pruneManifest(new Path(dir), conf.value, live)
-        }
+        else
+          ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = false,
+            drop = toReplace.map(_.getName).toSet -- newNames)
     }
   }
 

@@ -677,7 +677,11 @@ object EventStreams {
           val budget = budgetBase.toLong *
             (1L + (source.dropWhile(!_.isDigit) match {
               case "" => 0L
-              case ds => ds.takeWhile(_.isDigit).toLong % 3
+              // first 18 digits only: a 20+-digit run would overflow
+              // toLong and fail the query; batch t14's CAST(... AS INT)
+              // is equally partial on such names, so truncation (not a
+              // crash) is the matching behavior
+              case ds => ds.takeWhile(_.isDigit).take(18).toLong % 3
             }))
           var consumed = state.getOption.getOrElse(0L)
           val md = java.security.MessageDigest.getInstance("MD5")
