@@ -182,17 +182,37 @@ object AdvancedQueries {
 
     // ---- sketch aggregates (HLL++, approximate quantiles) ----
     // The approximate-but-mergeable aggregates that actually run at
-    // 100 TB where exact distinct/percentile cannot. Approximate by
-    // construction, so no SQL oracle — the driver records the
-    // rows-only check; q9/q19 are their exact small-scale baselines.
+    // 100 TB where exact distinct/percentile cannot. Approximate ≠
+    // uncheckable: the query computes the EXACT twins alongside the
+    // sketches and emits bounded-error verdict booleans — HLL++
+    // (rsd 0.02) within 4×rsd of COUNT(DISTINCT), percentile_approx
+    // (accuracy 1000, rank error 1/1000) inside the exact values at
+    // ±0.01 rank (10× the guarantee — slack for interpolation at the
+    // exact side). The oracle asserts the exact columns and literal
+    // TRUE for every verdict, so a sketch drifting out of bounds is a
+    // hash mismatch — a real machine gate, not a rows-only count.
     "q28_sketches" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
+          expr("percentile(l_extendedprice, array(0.49D, 0.51D))").as("mb"),
+          expr("percentile(l_extendedprice, array(0.94D, 0.96D))").as("pb"))
+        .select(col("l_returnflag").as("rf"),
+          col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.08))
+            .as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * lit(0.08))
+            .as("orders_ok"),
+          (col("am") >= col("mb").getItem(0) && col("am") <= col("mb").getItem(1))
+            .as("median_ok"),
+          (col("a95") >= col("pb").getItem(0) && col("a95") <= col("pb").getItem(1))
+            .as("p95_ok"))
     },
 
     // ---- q24's frame surface at scale: chunked windows throughout ----
@@ -337,6 +357,16 @@ object AdvancedQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q28's bounded-error gate: the oracle re-computes the EXACT
+    // columns and asserts literal TRUE for every sketch-error verdict
+    // — a drifting sketch breaks the hash match (see the query's note)
+    "q28_sketches" ->
+      """SELECT l_returnflag AS rf,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS parts_ok, true AS orders_ok,
+        |  true AS median_ok, true AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q21_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) tsn FROM events),
         |marked AS (SELECT event_id, user_id, event_type, tsn,

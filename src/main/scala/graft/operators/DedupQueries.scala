@@ -1446,8 +1446,8 @@ object DedupQueries {
         |FROM q""".stripMargin,
     "d6_ann_lsh" -> d6OracleSql(GraftConf.int(GraftConf.LshBits, 10))
     // every DedupQueries entry is oracle-gated (d11's oracle is the
-    // ivfOracleSql entry at the TOP of this map); the repo's only
-    // rows-only query is q28's sketches, pinned by QueriesSmokeSpec
+    // ivfOracleSql entry at the TOP of this map); since round 7 EVERY
+    // query repo-wide is oracle-gated, pinned by QueriesSmokeSpec
   )
 
   /** The complete d5 all-pairs exact top-k oracle — factored so d21

@@ -77,10 +77,16 @@ object ScbfDataSource {
     (resolveFiles(paths(options), conf), conf)
   }
 
-  /** Path-based core of the listing — re-invoked per micro-batch by the
-   * streaming source, which discovers files that appear after the
-   * table was constructed. */
+  /** Test hook (PlanningScale-style): how many full directory listings
+   * were taken? The discovery-log streaming path pins this at zero for
+   * incremental triggers. */
+  val listings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Path-based core of the listing — re-invoked by the streaming
+   * source on baseline/reconcile triggers (incremental triggers read
+   * the [[ScbfDiscovery]] log instead of re-listing). */
   def resolveFiles(tablePaths: Seq[String], conf: Configuration): Seq[FileStatus] = {
+    listings.incrementAndGet()
     val statuses = tablePaths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -157,8 +163,12 @@ class ScbfTable(
     // escape hatch + fallback-parity testing: stats-answered aggregate
     // pushdown (ScbfAgg) can be disabled per read
     val aggPushdown = Option(options.get("aggPushdown")).forall(_.toBoolean)
+    // discovery-log streaming: every Nth trigger re-lists the directory
+    // (0 = never; 1 = list every trigger, i.e. disable the log path)
+    val reconcileEvery = Option(options.get("reconcileEvery")).map(_.toInt)
+      .getOrElse(ScbfMicroBatchStream.DefaultReconcileEvery)
     new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
-      maxFileAge, aggPushdown)
+      maxFileAge, aggPushdown, reconcileEvery)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/**
+ * Per-directory file-discovery log — the streaming rendering of the
+ * connector's metadata-first design (the manifest kills per-file stats
+ * reads at plan time; this kills the per-trigger DIRECTORY LISTING,
+ * which at 10⁵ files costs seconds of driver wall-clock re-paid every
+ * trigger forever, see BENCH_NOTES round-6 "listing-bound" measurement).
+ *
+ * Layout: `<table>/.scbf.discovery/` (dot-prefixed — invisible to the
+ * data-file listing and to reference tooling, like the stats sidecars)
+ * holding small immutable DELTA files, one appended per committing
+ * write (batch job commit, streaming epoch commit). Each delta lists
+ * the files that commit published as `name\tlen\tmtime` lines under a
+ * `discovery\t1` header, published via temp + atomic rename. Delta
+ * names are unique (millis + uuid) and never reused.
+ *
+ * Consumer contract ([[ScbfMicroBatchStream]]): a stream's FIRST
+ * trigger takes a full directory listing as its baseline and marks
+ * every then-visible delta consumed (commit order is data-files-then-
+ * delta, so a visible delta's files are always in a later listing —
+ * consuming it unread loses nothing). Subsequent triggers list only
+ * this small directory and read only unconsumed deltas — per-trigger
+ * planning IO is O(new files), independent of table file count. A
+ * periodic reconcile listing (option `reconcileEvery`) catches files
+ * from producers that bypass the connector.
+ *
+ * Compaction: the appender folds the log into one union snapshot delta
+ * whenever the directory exceeds [[CompactThreshold]] files, then
+ * deletes the folded deltas. Entries are preserved, never dropped —
+ * an incremental consumer that missed a folded delta reads the (new,
+ * unconsumed) snapshot instead and its seen-set dedups the rest, so
+ * compaction can never lose it a file. Two writers compacting
+ * concurrently each delete only the deltas they folded; both snapshots
+ * survive and their union still covers everything.
+ *
+ * The log is append-only truth about file PUBLICATION, not liveness:
+ * maintenance rewrites (DELETE/UPDATE/OPTIMIZE) announce their new
+ * files here but removed files are not recorded. That matches the
+ * consumer above — old deltas are only ever read by a consumer that
+ * was alive when they were fresh — and keeps the same contract as
+ * listing-based discovery: table-rewriting maintenance under an active
+ * streaming read is the documented single-rewriter hazard either way
+ * (listing mode silently skips the removed file's rows, discovery mode
+ * fails the read loudly).
+ *
+ * Everything here is a best-effort OPTIMIZATION: a missing, corrupt, or
+ * torn discovery log only ever degrades the stream to full-listing
+ * discovery (correct, just slower) — never to wrong results.
+ */
+object ScbfDiscovery {
+
+  val DirName = ".scbf.discovery"
+  private val Header = "discovery\t1"
+
+  /** Delta-file count that triggers an appender-side fold. */
+  val CompactThreshold = 64
+
+  /** One published data file: `name` relative to the table directory. */
+  final case class Entry(name: String, len: Long, ts: Long)
+
+  // test hooks, PlanningScale-style: what did discovery actually cost?
+  val deltaReads = new AtomicLong(0)
+  val deltaAppends = new AtomicLong(0)
+
+  def dir(table: Path): Path = new Path(table, DirName)
+
+  def exists(table: Path, conf: Configuration): Boolean =
+    try dir(table).getFileSystem(conf).exists(dir(table))
+    catch { case NonFatal(_) => false }
+
+  /** Names of the current delta files (unordered). Empty on a missing
+   * or unlistable log directory. */
+  def listDeltas(table: Path, conf: Configuration): Seq[String] =
+    try {
+      val d = dir(table)
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("delta-") && !n.endsWith(".tmp"))
+    } catch { case NonFatal(_) => Seq.empty }
+
+  /** A delta's entries; empty when the file vanished (compacted away —
+   * its entries live in the union snapshot) or is unparsable. Torn or
+   * alien lines are skipped per line: discovery is an optimization and
+   * the reconcile listing is the safety net, so degrading to
+   * fewer-entries is always preferable to failing the stream. */
+  def readDelta(table: Path, conf: Configuration, name: String): Seq[Entry] =
+    try {
+      val p = new Path(dir(table), name)
+      val fs = p.getFileSystem(conf)
+      deltaReads.incrementAndGet()
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      parse(new String(buf, UTF_8))
+    } catch { case NonFatal(_) => Seq.empty }
+
+  private def parse(text: String): Seq[Entry] = {
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains(Header)) Seq.empty
+    else lines.tail.flatMap { l =>
+      l.split('\t') match {
+        case Array(n, len, ts) =>
+          for (ln <- len.toLongOption; t <- ts.toLongOption) yield Entry(n, ln, t)
+        case _ => None
+      }
+    }
+  }
+
+  /** Append one delta announcing `entries`, then fold the log if it has
+   * grown past [[CompactThreshold]]. Failures are swallowed (log
+   * scaladoc: discovery must never fail a committed write — the files
+   * ARE published; a missed announcement is repaired by the consumer's
+   * reconcile listing). */
+  def append(table: Path, conf: Configuration, entries: Seq[Entry]): Unit =
+    try {
+      if (entries.nonEmpty) {
+        writeDelta(table, conf, entries)
+        deltaAppends.incrementAndGet()
+        if (listDeltas(table, conf).size > CompactThreshold) compact(table, conf)
+      }
+    } catch { case NonFatal(_) => /* best-effort — see scaladoc */ }
+
+  /** Full-overwrite commit: the directory's contents were replaced, so
+   * the log restarts — old announcements describe deleted files. Order
+   * is delete-then-write: a crash in between leaves an EMPTY log (new
+   * files surface at the next reconcile), never stale announcements of
+   * dead files. */
+  def reset(table: Path, conf: Configuration, entries: Seq[Entry]): Unit =
+    try {
+      val d = dir(table)
+      val fs = d.getFileSystem(conf)
+      if (fs.exists(d)) fs.listStatus(d).foreach(f => fs.delete(f.getPath, false))
+      if (entries.nonEmpty) {
+        writeDelta(table, conf, entries)
+        deltaAppends.incrementAndGet()
+      }
+    } catch { case NonFatal(_) => () }
+
+  private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry]): Unit = {
+    val d = dir(table)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val name = f"delta-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(d, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (Header +: entries.map(e => s"${e.name}\t${e.len}\t${e.ts}"))
+        .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(d, name))) {
+      fs.delete(tmp, false)
+      throw new graft.scbf.ScbfFormatException(s"could not publish discovery delta $name")
+    }
+  }
+
+  /** Fold every current delta into one union snapshot (last entry per
+   * file name wins — replayed-epoch duplicates are identical anyway),
+   * then delete exactly the deltas that were folded. */
+  private def compact(table: Path, conf: Configuration): Unit = {
+    val names = listDeltas(table, conf)
+    if (names.size <= 1) return
+    val union = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    // ts-prefixed names sort oldest-first, so later announcements win
+    names.sorted.foreach(n =>
+      readDelta(table, conf, n).foreach(e => union(e.name) = e))
+    if (union.nonEmpty) writeDelta(table, conf, union.values.toSeq)
+    val d = dir(table)
+    val fs = d.getFileSystem(conf)
+    names.foreach(n => fs.delete(new Path(d, n), false))
+  }
+}

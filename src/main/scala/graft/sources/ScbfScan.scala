@@ -32,7 +32,8 @@ import graft.scbf._
 class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configuration,
     tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
-    maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true)
+    maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true,
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -128,7 +129,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
 
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
-      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN)
+      compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
+      reconcileEvery)
 }
 
 class ScbfScan(
@@ -143,7 +145,8 @@ class ScbfScan(
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     aggregated: Option[ScbfAgg.Result] = None,
     limitRows: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -188,7 +191,8 @@ class ScbfScan(
     // scan carrying one would silently replay a frozen answer
     require(aggregated.isEmpty, "aggregate pushdown is batch-only")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
-      maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters)
+      maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
+      reconcileEvery)
   }
 
   override def description(): String =

@@ -59,9 +59,20 @@ case class ScbfOffset(batch: Long) extends Offset {
  * contract: REPLACING an evicted path with a fresh-mtime file would
  * re-admit it — that was already a contract violation.)
  *
- * Scale: per trigger the driver lists the directory once and reads no
- * data; files go one-per-partition to executors exactly like the batch
- * scan, with the same column pruning.
+ * Scale — file discovery is MANIFEST-STYLE INCREMENTAL, not per-trigger
+ * listing: for a single-directory table the connector's writers
+ * announce every committed file in the [[ScbfDiscovery]] log, so a
+ * trigger reads only the log's new deltas — O(new files) planning IO,
+ * independent of how many files the table has accumulated (a 10⁵-file
+ * directory's OS listing alone costs seconds, re-paid every trigger
+ * forever under listing discovery). The FIRST trigger takes one full
+ * listing as the baseline (and marks all then-visible deltas consumed —
+ * commit order guarantees their files are in that listing), and every
+ * `reconcileEvery`-th trigger (option, default 10, 0 = never) re-lists
+ * to catch files from producers that bypass the connector; multi-path
+ * and glob tables, and directories without a discovery log, stay on
+ * per-trigger listing. Admitted files go one-per-partition to
+ * executors exactly like the batch scan, with the same column pruning.
  */
 class ScbfMicroBatchStream(
     required: StructType,
@@ -71,7 +82,8 @@ class ScbfMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None,
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
@@ -81,6 +93,8 @@ class ScbfMicroBatchStream(
     s"compactInterval must be positive, got $compactInterval")
   maxFileAgeMs.foreach(a =>
     require(a > 0, s"maxFileAge must be positive, got $a ms"))
+  require(reconcileEvery >= 0,
+    s"reconcileEvery must be >= 0 (0 disables reconcile listings), got $reconcileEvery")
 
   private val logDir = new Path(checkpointLocation, "scbf-file-batches")
   private def fs = logDir.getFileSystem(conf)
@@ -101,6 +115,25 @@ class ScbfMicroBatchStream(
   // recovery
   private var lastCompactBatch = 0L
   private var lastPurgedCompact = 0L
+
+  // ---- incremental (discovery-log) file discovery ----
+  // The log only describes a SINGLE plain directory (the write side's
+  // unit); multi-path and glob tables keep per-trigger listing.
+  private val discoveryDir: Option[Path] =
+    if (tablePaths.size == 1 && !tablePaths.head.exists("*?[{".contains(_)))
+      Some(new Path(tablePaths.head))
+    else None
+  /** Triggers this instance has planned (drives first-trigger baseline
+   * and the reconcile cadence — session-local: a restart re-baselines
+   * with one full listing, which is exactly the paranoid thing). */
+  private var triggerCount = 0L
+  /** Delta files already folded into admission state; pruned to the
+   * log's live names each trigger so it stays O(log size). */
+  private var consumedDeltas: Set[String] = Set.empty
+  /** Delta entries past a maxFilesPerTrigger cut: a listing re-presents
+   * them next trigger for free, a consumed delta does not — carry them
+   * here so a capped trigger never strands a backlog until reconcile. */
+  private var pendingFromLog: Seq[(String, Long, Long)] = Seq.empty
 
   private def state(): (Long, Map[String, Long]) = cachedState.getOrElse {
     val loaded = if (!fs.exists(logDir)) (0L, Map.empty[String, Long])
@@ -229,9 +262,41 @@ class ScbfMicroBatchStream(
     // eviction-safety invariant: filter and stored values are compared
     // in the same clamped domain.
     val tsCap = System.currentTimeMillis() + ScbfMicroBatchStream.FutureSlackMs
-    val listed = ScbfDataSource.resolveFiles(tablePaths, conf)
-      .map(f => (f.getPath.toString, f.getLen,
-        math.min(f.getModificationTime, tsCap)))
+    triggerCount += 1
+    val useLog = discoveryDir.exists(d => ScbfDiscovery.exists(d, conf))
+    // full listing on: no usable log, the first trigger (baseline), and
+    // the periodic reconcile (catches non-connector producers + runs
+    // age eviction, which needs a real listing to be safe — see below)
+    val full = !useLog || triggerCount == 1L ||
+      (reconcileEvery > 0 && triggerCount % reconcileEvery == 0)
+    val listed: Seq[(String, Long, Long)] =
+      if (full) {
+        // snapshot the delta names BEFORE listing: writers publish data
+        // files, then append their delta — so a delta visible here has
+        // all its files visible to the listing below, and consuming it
+        // unread loses nothing; a delta landing after this snapshot is
+        // read (and its already-listed files seen-filtered) next trigger
+        val preDeltas = discoveryDir.filter(_ => useLog)
+          .map(d => ScbfDiscovery.listDeltas(d, conf).toSet).getOrElse(Set.empty)
+        val l = ScbfDataSource.resolveFiles(tablePaths, conf)
+          .map(f => (f.getPath.toString, f.getLen,
+            math.min(f.getModificationTime, tsCap)))
+        consumedDeltas = preDeltas
+        l
+      } else {
+        val d = discoveryDir.get
+        val current = ScbfDiscovery.listDeltas(d, conf).toSet
+        val freshDeltas = (current -- consumedDeltas).toSeq.sorted
+        // names are qualified against the table FS so they compare equal
+        // to resolveFiles' listing paths (the seen-set's key domain)
+        val qual = d.getFileSystem(conf).makeQualified(d)
+        val entries = freshDeltas
+          .flatMap(n => ScbfDiscovery.readDelta(d, conf, n))
+          .map(e => (new Path(qual, e.name).toString, e.len, math.min(e.ts, tsCap)))
+        // prune to live log names so the set tracks the compacted log
+        consumedDeltas = (consumedDeltas intersect current) ++ freshDeltas
+        (pendingFromLog ++ entries).distinctBy(_._1)
+      }
     // Age horizon rides the newest file timestamp OBSERVED SO FAR (the
     // max over the listing AND the admitted seen entries), not the
     // current listing alone: the eviction-safety invariant ("a
@@ -246,11 +311,18 @@ class ScbfMicroBatchStream(
         .maxOption.getOrElse(Long.MinValue) - age
     }.getOrElse(Long.MinValue)
     val current = listed.filter(_._3 >= horizon)
+    val notSeen = current.filterNot(f => seen.contains(f._1))
     val fresh = limit match {
-      case mf: ReadMaxFiles =>
-        current.filterNot(f => seen.contains(f._1)).take(mf.maxFiles())
-      case _ => current.filterNot(f => seen.contains(f._1))
+      case mf: ReadMaxFiles => notSeen.take(mf.maxFiles())
+      case _                => notSeen
     }
+    // carry the capped tail: a listing re-presents it next trigger, a
+    // consumed delta does not — without this an incremental trigger
+    // would strand a backlog until the next reconcile listing. (A full
+    // trigger's tail is carried too: the NEXT trigger may be
+    // incremental.) Age-rejected entries are dropped — the horizon
+    // only advances, so they'd be re-rejected forever anyway.
+    pendingFromLog = notSeen.drop(fresh.size)
     // Eviction retention rule (both branches): drop an entry only when
     // it is BELOW the horizon AND its path is absent from the current
     // listing. Age alone is not safe to evict on: a known file whose
@@ -277,7 +349,11 @@ class ScbfMicroBatchStream(
       // files arrive. Snapshots stay admit-path-only: log names are
       // batch-numbered and the batch counter doesn't advance on an
       // empty trigger; recovery simply re-evicts.
-      if (horizon != Long.MinValue) {
+      // (evict only on FULL-listing triggers: the retention rule needs
+      // real listing membership — an incremental trigger's `listed` is
+      // just the new delta entries, and treating everything else as
+      // delisted would evict entries for files still on disk)
+      if (full && horizon != Long.MinValue) {
         val listedPaths = listed.map(_._1).toSet
         val retained = seen.filter { case (p, ts) => keepEntry(p, ts, listedPaths) }
         if (retained.size != seen.size) cachedState = Some((maxBatch, retained))
@@ -293,7 +369,7 @@ class ScbfMicroBatchStream(
       // (see class doc): entries past the age horizon AND out of the
       // listing leave both the snapshot and driver memory.
       val retained =
-        if (horizon == Long.MinValue) nextSeen
+        if (!full || horizon == Long.MinValue) nextSeen
         else {
           val listedPaths = listed.map(_._1).toSet
           nextSeen.filter { case (p, ts) => keepEntry(p, ts, listedPaths) }
@@ -365,6 +441,11 @@ class ScbfMicroBatchStream(
 object ScbfMicroBatchStream {
   val DefaultCompactInterval = 10
   val CompactSuffix = ".compact"
+  /** Every Nth trigger falls back to a full directory listing even when
+   * the discovery log is active — the safety net for producers that
+   * publish files without announcing them, and the only trigger kind
+   * that runs maxFileAge eviction (which needs listing membership). */
+  val DefaultReconcileEvery = 10
   /** Max tolerated clock skew for file mtimes: timestamps beyond
    * driver-now + this are clamped so one future-dated file cannot
    * ratchet the maxFileAge horizon past all real files forever. */

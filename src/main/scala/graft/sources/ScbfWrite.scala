@@ -220,6 +220,15 @@ class ScbfBatchWrite(
           ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = false,
             drop = toReplace.map(_.getName).toSet -- newNames)
     }
+    // announce the published files to the streaming discovery log
+    // (ScbfDiscovery): a full overwrite restarts the log (its previous
+    // announcements describe replaced files), everything else appends.
+    // Best-effort by design — the data is already committed above.
+    val now = System.currentTimeMillis()
+    val announced = entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now))
+    if (truncate && replaceOnly.isEmpty)
+      ScbfDiscovery.reset(new Path(dir), conf.value, announced)
+    else ScbfDiscovery.append(new Path(dir), conf.value, announced)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -392,6 +401,14 @@ class ScbfStreamingWrite(
           pendingManifest.toSeq, fresh = false)
         pendingManifest.clear()
       }
+      // per-epoch discovery announcement (a downstream readStream of
+      // this directory then discovers the epoch's files from the log
+      // delta, never from a 10⁵-file listing). A replayed epoch appends
+      // a duplicate delta naming the same files — consumers dedup by
+      // path, harmless.
+      val now = System.currentTimeMillis()
+      ScbfDiscovery.append(new Path(dir), conf.value,
+        entries.toSeq.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now)))
     }
   }
 

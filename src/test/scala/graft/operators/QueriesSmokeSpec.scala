@@ -16,12 +16,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query and vice versa (minus rows-only ops)") {
-    // d6 (integer-plane buckets) and d11 (mirrored Lloyd's) graduated
-    // to exact oracles in round 3; only the sketches stay rows-only
-    val rowsOnly = Set("q28_sketches")
+  test("every oracle key has a query and vice versa — zero rows-only entries") {
+    // d6/d11 graduated to exact oracles in round 3; q28 graduated in
+    // round 7 (bounded-error verdict booleans the oracle asserts TRUE)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"rows-only queries remain: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
     // the ++ of the four query maps must not silently drop a duplicate key
     val total = RelationalQueries.queries.size + AdvancedQueries.queries.size +
       DedupQueries.queries.size + TextQueries.queries.size

@@ -68,11 +68,12 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
   test("missing stats fall back to headers while the missing set is small") {
     val dir = tmpDir("scbf-stat-nostats")
     writeRanged(dir)
-    // wipe every stats artifact: manifest + sidecars
+    // wipe every stats artifact: manifest + sidecars (+ the discovery
+    // log directory, hence recursive)
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
     fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("."))
-      .foreach(f => fs.delete(f, false))
+      .foreach(f => fs.delete(f, true))
     val st = scanFor(dir).estimateStatistics()
     assert(st.numRows.getAsLong == 1000L, "header fallback still reports rows")
     assert(st.sizeInBytes.isPresent)

@@ -255,6 +255,113 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
       s"expected ScbfFormatException in cause chain, got: ${causes(e).map(_.getClass.getSimpleName)}")
   }
 
+  // ---- discovery-log incremental file discovery ----
+
+  test("discovery log: incremental triggers plan with ZERO data-directory listings") {
+    val dir = Files.createTempDirectory("scbf-disc").toString
+    val ckpt = Files.createTempDirectory("scbf-disc-ckpt").toString
+    writeBatch(dir, 0 until 5) // connector write → creates the discovery log
+    assert(new java.io.File(dir, ".scbf.discovery").isDirectory,
+      "connector append did not create the discovery log")
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", 0) // never reconcile: every post-baseline trigger is incremental
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // trigger 1: full-listing baseline
+      // connector appends announce themselves; the stream must discover
+      // them from the log deltas alone (counter reset AFTER the write —
+      // the write path takes its own listings)
+      writeBatch(dir, 5 until 9)
+      ScbfDataSource.listings.set(0)
+      q.processAllAvailable()
+      assert(ScbfDataSource.listings.get == 0,
+        "an incremental trigger took a full data-directory listing")
+      // no-change triggers are also listing-free
+      ScbfDataSource.listings.set(0)
+      q.processAllAvailable()
+      assert(ScbfDataSource.listings.get == 0,
+        "a no-change trigger took a full data-directory listing")
+      writeBatch(dir, 9 until 12)
+      ScbfDataSource.listings.set(0)
+      q.processAllAvailable()
+      assert(ScbfDataSource.listings.get == 0)
+    } finally q.stop()
+    assert(seen.flatten.sorted == (0 until 12), s"got $seen")
+    assert(seen.flatten.size == 12, s"lost or duplicated rows: $seen")
+  }
+
+  test("discovery log: a maxFilesPerTrigger-capped backlog drains fully without re-listing") {
+    val dir = Files.createTempDirectory("scbf-disc-cap").toString
+    val ckpt = Files.createTempDirectory("scbf-disc-cap-ckpt").toString
+    writeBatch(dir, 0 until 2)
+    val batches = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", 0).option("maxFilesPerTrigger", 1)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // three new single-file appends → three deltas, consumed on the
+      // FIRST post-write trigger; the capped tail must carry over in
+      // memory (a consumed delta is never re-read) until drained
+      (0 until 3).foreach(i => writeBatch(dir, 2 + i * 2 until 4 + i * 2))
+      ScbfDataSource.listings.set(0)
+      q.processAllAvailable()
+      assert(ScbfDataSource.listings.get == 0,
+        "draining the capped backlog took a full listing")
+    } finally q.stop()
+    assert(batches.flatten.sorted == (0 until 8), s"backlog stranded: $batches")
+    assert(batches.forall(_.size <= 2), s"a batch exceeded 1 file x 2 rows: $batches")
+  }
+
+  test("discovery log: reconcile listing catches files published outside the connector") {
+    val dir = Files.createTempDirectory("scbf-disc-rec").toString
+    val ckpt = Files.createTempDirectory("scbf-disc-rec-ckpt").toString
+    writeBatch(dir, 0 until 3)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", 2) // triggers 2, 4, 6… re-list
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // an external producer drops a file in WITHOUT announcing it
+      val extSchema = graft.scbf.ScbfSchema(Seq(
+        graft.scbf.ScbfColumn("id", graft.scbf.ScbfType.Int32),
+        graft.scbf.ScbfColumn("name", graft.scbf.ScbfType.Utf8)))
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.scbf.ScbfWriter.write(bos, extSchema, Seq(
+        graft.scbf.IntColumnData(Array(100, 101)),
+        graft.scbf.Utf8ColumnData(Array("n100".getBytes, "n101".getBytes))), Some(2L))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "external-0.scbf"), bos.toByteArray)
+      // within reconcileEvery triggers the listing picks it up (the
+      // trigger loop runs continuously; poll until the even-numbered
+      // reconcile trigger has landed)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          seen.synchronized(seen.flatten.size) < 5) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+    } finally q.stop()
+    assert(seen.flatten.sorted == ((0 until 3) ++ Seq(100, 101)), s"got $seen")
+  }
+
   test("streaming scan prunes columns like the batch scan") {
     val dir = Files.createTempDirectory("scbf-stream-p").toString
     val ckpt = Files.createTempDirectory("scbf-stream-p-ckpt").toString

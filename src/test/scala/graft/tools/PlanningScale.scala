@@ -103,13 +103,17 @@ object PlanningScale {
     ScbfStats.sidecarReads.set(0)
     ScbfBloom.bloomReads.set(0)
     ScbfUtil.dataFileOpens.set(0)
+    ScbfDataSource.listings.set(0)
+    ScbfDiscovery.deltaReads.set(0)
   }
 
   private def counters(): String =
     s"manifestReads=${ScbfStats.manifestReads.get} " +
       s"sidecarReads=${ScbfStats.sidecarReads.get} " +
       s"bloomReads=${ScbfBloom.bloomReads.get} " +
-      s"dataOpens=${ScbfUtil.dataFileOpens.get}"
+      s"dataOpens=${ScbfUtil.dataFileOpens.get} " +
+      s"listings=${ScbfDataSource.listings.get} " +
+      s"deltaReads=${ScbfDiscovery.deltaReads.get}"
 
   private def timed[T](label: String)(body: => T): T = {
     resetCounters()
@@ -179,6 +183,50 @@ object PlanningScale {
       b.build().asInstanceOf[ScbfScan].planInputPartitions().length
     }
     println(s"[plan100k]   -> planned $kept3 of $n files")
+
+    // ---- streaming discovery at scale ----
+    // Announce every fixture file in one discovery delta, then measure
+    // per-trigger planning: the BASELINE trigger pays the full listing
+    // (plus writing the admission log for n files — the one-time
+    // backlog cost); steady-state NO-CHANGE triggers must take zero
+    // data-directory listings and O(1) IO regardless of n, and an
+    // APPEND trigger must cost O(new files), not O(n).
+    locally {
+      val dirP = new Path(clustered)
+      if (!ScbfDiscovery.exists(dirP, conf))
+        timed("discovery: announce all files (once)") {
+          ScbfDiscovery.append(dirP, conf,
+            listing.map(f => ScbfDiscovery.Entry(
+              f.getPath.getName, f.getLen, f.getModificationTime)))
+        }
+      val stream = new ScbfMicroBatchStream(schemaStruct, Seq(clustered), conf,
+        s"$base/stream-ckpt-${System.nanoTime()}", reconcileEvery = 0)
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      def trig(label: String, from: ScbfOffset): ScbfOffset = timed(label) {
+        stream.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+      }
+      val o1 = trig(s"stream trigger 1 (baseline, $n files)", ScbfOffset(0))
+      val o2 = trig("stream trigger 2 (no change)", o1)
+      val o3 = trig("stream trigger 3 (no change)", o2)
+      // one appended file: the trigger reads ONE delta, lists nothing
+      val extra = {
+        val ids = Array(n * rows + 1)
+        val bos = new ByteArrayOutputStream(64)
+        ScbfWriter.write(bos, scbfSchema,
+          Seq(IntColumnData(ids), DoubleColumnData(ids.map(_ * 0.5))), Some(1L))
+        val name = "appended-000001.scbf"
+        val fo = new FileOutputStream(new File(clustered, name))
+        try fo.write(bos.toByteArray) finally fo.close()
+        ScbfDiscovery.Entry(name, bos.size().toLong, System.currentTimeMillis())
+      }
+      ScbfDiscovery.append(dirP, conf, Seq(extra))
+      val o4 = trig("stream trigger 4 (1 new file via log)", o3)
+      require(o4.batch == o3.batch + 1, s"appended file not admitted: $o3 -> $o4")
+      // leave the fixture reusable: remove the appended file + its announcement
+      new File(clustered, extra.name).delete()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new File(clustered, ScbfDiscovery.DirName))
+    }
 
     // ---- end-to-end queries through Spark ----
     val spark = SparkSession.builder().master("local[32]")
