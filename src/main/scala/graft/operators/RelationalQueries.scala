@@ -490,6 +490,36 @@ object RelationalQueries {
         FROM graft_q45 GROUP BY source""")
     },
 
+    "q46_scbf_partitioned" -> { (s, dir) =>
+      // PARTITIONED BY through the catalog end-to-end, pure SQL:
+      // CREATE ... PARTITIONED BY (source) → INSERT (REPARTITION on
+      // the partition column so each task holds few values → few,
+      // larger files) → SELECT with a partition predicate. Rows route
+      // to source=<value>/ subdirectories, each a standalone SCBF
+      // directory with its own manifest, and the IN-filter prunes
+      // 18 of 20 directories BEFORE their manifests load
+      // (ScbfPartitions; pinned by PartitionedTableSpec) — the
+      // directory-sharding layout 100 TB ingest needs to keep both
+      // listings and manifests bounded per partition.
+      val scbfDir = scratchDir(s) + "/graft_scbf_part_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q46")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q46_src")
+      s.sql("CREATE TABLE graft_q46 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      s.sql("""INSERT INTO graft_q46
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q46_src""")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q46 WHERE source IN ('src3', 'src7') GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -777,6 +807,14 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE NOT (doc_id >= 400 AND doc_id < 450)
+         GROUP BY source""",
+
+    "q46_scbf_partitioned" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE source IN ('src3', 'src7')
          GROUP BY source""",
 
     "q17_events_tumbling" ->

@@ -53,7 +53,8 @@ class ScbfDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (files, conf) = ScbfDataSource.resolveFiles(options)
-    new ScbfTable(ScbfDataSource.paths(options), files, schema, conf)
+    new ScbfTable(ScbfDataSource.paths(options), files, schema, conf, partitioning,
+      options)
   }
 }
 
@@ -91,11 +92,19 @@ object ScbfDataSource {
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      // directories recurse into `k=v`-named children (Hive-style
+      // partition layout, ScbfPartitions) — and ONLY those, so an
+      // unrelated nested directory never leaks files into the table
+      def walk(d: org.apache.hadoop.fs.FileStatus): Seq[FileStatus] =
+        fs.listStatus(d.getPath).toSeq.flatMap {
+          case c if c.isDirectory && !isHidden(c.getPath) &&
+              c.getPath.getName.indexOf('=') > 0 => walk(c)
+          case c if c.isFile && c.getPath.getName.endsWith(Scbf.FileExtension) &&
+              !isHidden(c.getPath) => Seq(c)
+          case _ => Seq.empty
+        }
       globbed.flatMap {
-        case d if d.isDirectory =>
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(Scbf.FileExtension))
-            .filterNot(f => isHidden(f.getPath))
+        case d if d.isDirectory => walk(d)
         case f if isHidden(f.getPath) => Seq.empty
         case f => Seq(f)
       }
@@ -134,12 +143,20 @@ class ScbfTable(
     tablePaths: Seq[String],
     files: Seq[FileStatus],
     schema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    partitionTransforms: Array[Transform] = Array.empty,
+    tableProps: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  /** DELETE FROM ... WHERE — stats-scoped rewrite (see ScbfDelete). */
+  override def partitioning(): Array[Transform] = partitionTransforms
+
+  /** DELETE FROM ... WHERE — stats-scoped rewrite (see ScbfDelete).
+   * Partitioned tables decline: the rewrite's replacement append
+   * doesn't route to partition subdirectories yet, so it would fold
+   * partitioned rows back into the root (correct to read, but the
+   * layout contract would silently erode — refuse loudly instead). */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    tablePaths.size == 1 && ScbfDelete.canDelete(filters)
+    tablePaths.size == 1 && partitionTransforms.isEmpty && ScbfDelete.canDelete(filters)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
@@ -178,7 +195,10 @@ class ScbfTable(
         s"SCBF write requires exactly one output path, got: $other")
     }
     ScbfDataSource.sparkToScbf(info.schema()) // fail fast on unsupported types
-    val maxBuf = Option(info.options.get("maxBufferedBytes")).map(_.toLong)
+    // write option > table property (TBLPROPERTIES) > default — so a
+    // catalog table can set its buffering/roll policy once in DDL
+    val maxBuf = Option(info.options.get("maxBufferedBytes"))
+      .orElse(Option(tableProps.get("maxBufferedBytes"))).map(_.toLong)
       .getOrElse(ScbfWrite.DefaultMaxBufferedBytes)
     require(maxBuf > 0, s"maxBufferedBytes must be positive, got $maxBuf")
     // per-column bloom sidecar cap (0 disables — see ScbfBloom); rides
@@ -210,6 +230,10 @@ class ScbfTable(
     replaceOnly.foreach(_.foreach(n => require(
       n.matches("[A-Za-z0-9._-]+"),
       s"replaceFileNames entry must match [A-Za-z0-9._-]+, got '$n'")))
-    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly)
+    // identity-transform partition columns route rows to col=value/
+    // subdirectories (ScbfPartitions); validated against the WRITE
+    // schema so a bad DDL fails here, not per-task
+    val partCols = ScbfPartitions.partitionCols(partitionTransforms, info.schema())
+    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols)
   }
 }

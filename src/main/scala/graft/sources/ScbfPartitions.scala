@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+import graft.scbf.ScbfFormatException
+
+/**
+ * Hive-style directory partitioning for SCBF tables: `PARTITIONED BY
+ * (col)` maps each partition value to a `col=value/` subdirectory of
+ * the table root, and a filter on a partition column prunes whole
+ * subdirectories BEFORE any of their metadata (manifest, sidecars,
+ * blooms) is read — the directory-granularity layer above the
+ * per-file stats skipping, and the prescribed layout for 100 TB
+ * tables (10⁵ files in ONE directory makes both the reconcile listing
+ * and the per-directory manifest monolithic; sharding by partition
+ * bounds each directory's listing and manifest by its partition's
+ * share).
+ *
+ * Design choices:
+ *  - Partition columns are STORED IN THE DATA FILES TOO (not elided
+ *    Hive-style): every subdirectory is then a complete, standalone
+ *    SCBF directory — readable by the reference tooling, streamable,
+ *    OPTIMIZE-able — and the format stays frozen. The redundancy is a
+ *    few bytes per row of a constant (zlib flattens it).
+ *  - Only identity transforms: `PARTITIONED BY (source)`, not
+ *    bucket/days/etc — matching the three-type format (no timestamps
+ *    to truncate) and keeping values bijective with directory names.
+ *  - Read-side pruning needs no declared partitioning at all: any
+ *    `k=v` path component under the table root whose `k` names a
+ *    table column is evaluated against the pushed filters by
+ *    synthesizing a point-interval stats entry and reusing
+ *    [[ScbfStats.mayMatch]] — one prune semantics, not two.
+ */
+object ScbfPartitions {
+
+  /** Identity-transform column names, validated against the schema.
+   * Anything else (bucket, days, …) is rejected loudly at DDL/write
+   * time rather than silently ignored. */
+  def partitionCols(transforms: Array[Transform], schema: StructType): Seq[String] = {
+    val cols = transforms.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1 ||
+          t.references.head.fieldNames.length != 1)
+        throw new ScbfFormatException(
+          s"SCBF supports only identity partition transforms (PARTITIONED BY (col)), got: $t")
+      t.references.head.fieldNames.head
+    }
+    cols.foreach(c =>
+      if (!schema.fieldNames.contains(c)) throw new ScbfFormatException(
+        s"partition column '$c' is not in the table schema ${schema.fieldNames.mkString("(", ", ", ")")}"))
+    require(cols.distinct == cols, s"duplicate partition columns: $cols")
+    cols
+  }
+
+  /** `col=value` path component for one partition cell. */
+  def dirName(col: String, value: String): String = s"$col=${escape(value)}"
+
+  /** Chars outside the portable set are %XX-escaped per UTF-8 byte (the
+   * Hive convention), so any string value round-trips through a path
+   * component — including '/', '=', '%' and whitespace. */
+  def escape(v: String): String = {
+    val sb = new StringBuilder
+    v.getBytes(UTF_8).foreach { b =>
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '.' || c == '-' || c == '_')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    // a dot-leading component would be invisible to the listing
+    if (sb.nonEmpty && sb.charAt(0) == '.') s"%2E${sb.substring(1)}" else sb.toString
+  }
+
+  /** Tolerant of foreign directory naming: a `%` not followed by two
+   * hex digits stays literal, and unescaped non-ASCII characters pass
+   * through unmangled (escaped byte runs decode as UTF-8). */
+  def unescape(s: String): String = {
+    def hex(c: Char) = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    val sb = new StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray, UTF_8)); bytes.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { flush(); sb.append(s.charAt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** Qualified table-root prefixes for relative-path extraction (glob
+   * roots simply never prefix-match — no pruning, never a wrong one). */
+  def qualifiedRoots(tablePaths: Seq[String], conf: Configuration): Seq[String] =
+    tablePaths.flatMap { p =>
+      try {
+        val hp = new Path(p)
+        Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+
+  /** The `k=v` pairs on `file`'s path below the first matching root,
+   * keyed to schema columns only. Empty for unpartitioned layouts. */
+  def partValues(file: Path, schema: StructType, roots: Seq[String]): Map[String, String] = {
+    val fp = file.toString
+    roots.collectFirst { case r if fp.startsWith(r + "/") => fp.substring(r.length + 1) }
+      .map { rel =>
+        rel.split('/').dropRight(1).toSeq.flatMap { comp =>
+          val i = comp.indexOf('=')
+          if (i <= 0) None
+          else {
+            val k = comp.substring(0, i)
+            if (schema.fieldNames.contains(k)) Some(k -> unescape(comp.substring(i + 1)))
+            else None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+  }
+
+  /** Point-interval stats for the partition cells — evaluated by the
+   * SAME [[ScbfStats.mayMatch]] the file-skipping layer uses, so
+   * partition pruning and stats pruning can never disagree on filter
+   * semantics. A cell that doesn't parse to its schema type (foreign
+   * directory naming) is omitted — conservatively kept. */
+  private def synth(values: Map[String, String], schema: StructType): ScbfStats.FileStats = {
+    val cols = Map.newBuilder[String, ScbfStats.ColRange]
+    val strs = Map.newBuilder[String, ScbfStats.StrRange]
+    values.foreach { case (k, v) =>
+      schema.fields.find(_.name == k).foreach { f =>
+        f.dataType match {
+          case IntegerType => v.toIntOption.foreach(i =>
+            cols += k -> ScbfStats.ColRange(i.toDouble, i.toDouble))
+          case DoubleType => v.toDoubleOption.filterNot(_.isNaN).foreach(d =>
+            cols += k -> ScbfStats.ColRange(d, d))
+          case StringType =>
+            val b = v.getBytes(UTF_8)
+            strs += k -> ScbfStats.StrRange(b, Some(b))
+          case _ => ()
+        }
+      }
+    }
+    ScbfStats.FileStats(1L, cols.result(), strs.result())
+  }
+
+  /** Drop files whose partition-path values PROVE no row can pass the
+   * filters. Pure path arithmetic — zero IO, which is what lets it run
+   * BEFORE any manifest of a pruned directory is ever opened. */
+  def prune(files: Seq[FileStatus], schema: StructType, filters: Seq[Filter],
+      roots: Seq[String]): Seq[FileStatus] = {
+    if (filters.isEmpty || roots.isEmpty) return files
+    val usable = filters.filter(ScbfStats.usable)
+    if (usable.isEmpty) return files
+    // one evaluation per distinct parent directory, not per file
+    val byDir = mutable.Map.empty[Path, Boolean]
+    files.filter { f =>
+      byDir.getOrElseUpdate(f.getPath.getParent, {
+        val pv = partValues(f.getPath, schema, roots)
+        pv.isEmpty || ScbfStats.mayMatch(usable, synth(pv, schema))
+      })
+    }
+  }
+}

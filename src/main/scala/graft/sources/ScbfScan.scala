@@ -217,6 +217,16 @@ class ScbfScan(
    * across planInputPartitions AND every estimateStatistics call. */
   private lazy val lookup = new ScbfStats.Lookup(conf)
 
+  private lazy val partitionRoots: Seq[String] =
+    ScbfPartitions.qualifiedRoots(tablePaths, conf)
+
+  /** Partition-directory pruning FIRST (ScbfPartitions): pure path
+   * arithmetic against `col=value` components, zero IO — so a pruned
+   * partition's manifest is never even opened. The per-file stats
+   * pass below then only sees surviving partitions' files. */
+  private lazy val partitionKept: Seq[FileStatus] =
+    ScbfPartitions.prune(files, tableSchema, pushedFilters, partitionRoots)
+
   /** The static prune (pushed filters only), computed ONCE per scan:
    * Catalyst asks for statistics (possibly several times) and then
    * plans partitions, and each ask used to re-run the full stats +
@@ -226,9 +236,9 @@ class ScbfScan(
    * arrive later and prune FROM this set (conjunctive semantics:
    * kept(pushed ∧ runtime) = kept(runtime) ∩ kept(pushed)). */
   private lazy val staticKept: Seq[FileStatus] =
-    if (pushedFilters.isEmpty) files
+    if (pushedFilters.isEmpty) partitionKept
     else new ScbfStats.Pruner(conf, pushedFilters, lookup)
-      .keepAll(files)(_.getPath, _.getLen)
+      .keepAll(partitionKept)(_.getPath, _.getLen)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // a pushed aggregation IS the result: one partition, one row,
@@ -241,7 +251,9 @@ class ScbfScan(
         val kept =
           if (runtimeFilters.isEmpty) staticKept
           else new ScbfStats.Pruner(conf, runtimeFilters, lookup)
-            .keepAll(staticKept)(_.getPath, _.getLen)
+            .keepAll(ScbfPartitions.prune(
+              staticKept, tableSchema, runtimeFilters, partitionRoots))(
+              _.getPath, _.getLen)
         // A pushed LIMIT keeps only a prefix of files whose stats
         // GUARANTEE ≥ n rows: a file without trusted stats still plans
         // (counts 0 toward the guarantee), so the planned set can only
@@ -331,7 +343,10 @@ class ScbfScan(
       val allStats: Option[Seq[ScbfStats.FileStats]] =
         if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
       val dirNdv: Map[String, Long] = {
-        val dirs = files.map(_.getPath.getParent).distinct
+        // KEPT files' directories only: a partition-pruned directory's
+        // manifest must not load here (manifest reads == touched
+        // partitions), and the NDV estimate is tighter for it too
+        val dirs = kept.map(_.getPath.getParent).distinct
         val merged = dirs.foldLeft(Map.empty[String, Array[Byte]]) { (acc, d) =>
           lookup.dirNdv(d).foldLeft(acc) { case (m, (n, regs)) =>
             m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))

@@ -35,7 +35,8 @@ import graft.scbf._
  */
 class ScbfWriteBuilder(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
-    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None)
+    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
+    partitionCols: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsOverwrite {
 
   private var doTruncate = false
@@ -50,13 +51,17 @@ class ScbfWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
-        new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly)
+        new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
+        partitionCols)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
       // the sink is append-only (the natural mode for a file sink)
       require(!doTruncate,
         "SCBF streaming sink supports append output mode only")
+      require(partitionCols.isEmpty,
+        "SCBF streaming sink does not support partitioned tables yet — " +
+          "stream into the partition directory directly")
       new ScbfStreamingWrite(dir, schema,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes)
     }
@@ -66,6 +71,12 @@ class ScbfWriteBuilder(
 object ScbfWrite {
   /** Default per-task buffer cap before rolling to a new file. */
   val DefaultMaxBufferedBytes: Long = 128L << 20
+
+  /** Test seam (ConcurrentWriteSpec): fires at the head of every
+   * streaming epoch commit — after the epoch's tasks staged their
+   * temps, before any publication — the window a concurrent
+   * maintenance rewrite would race. */
+  private[sources] var epochCommitHook: () => Unit = () => ()
 
   /** Streaming manifest-merge cadence (every Nth epoch, including
    * epoch 0 so a new query's directory gets a manifest immediately);
@@ -144,7 +155,8 @@ object ScbfWrite {
 class ScbfBatchWrite(
     dir: String, schema: StructType, truncate: Boolean,
     conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long,
-    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None)
+    filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
+    partitionCols: Seq[String] = Seq.empty)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -158,9 +170,9 @@ class ScbfBatchWrite(
     val fs = path.getFileSystem(conf.value)
     if (!truncate) ScbfWrite.validateAppendSchema(dir, schema, conf.value)
     if (truncate && fs.exists(path)) {
-      val listed = fs.listStatus(path).toSeq
-        .filter(f => f.getPath.getName.endsWith(Scbf.FileExtension))
-        .map(_.getPath)
+      // resolveFiles: recursive over partition subdirectories, so a
+      // partitioned overwrite replaces the WHOLE table, not just root
+      val listed = ScbfDataSource.resolveFiles(Seq(dir), conf.value).map(_.getPath)
       // a SNAPSHOT-scoped overwrite (OPTIMIZE rewrites pass the exact
       // file set they read) deletes only that snapshot: a file a
       // concurrent append publishes between the rewrite's read and this
@@ -172,7 +184,11 @@ class ScbfBatchWrite(
       }
     }
     fs.mkdirs(path)
-    new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix)
+    if (partitionCols.isEmpty)
+      new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix)
+    else
+      new ScbfPartitionedDataWriterFactory(
+        dir, schema, conf, maxBufferedBytes, partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -196,13 +212,37 @@ class ScbfBatchWrite(
     // reads one stats file, not one per data file. Overwrite starts
     // fresh (stale entries for replaced files must not survive); append
     // merges. The race/merge discipline lives in ScbfStats.mergeManifest.
+    // PARTITIONED writes carry subdir-prefixed entry names: each
+    // partition subdirectory gets ITS OWN manifest (it is a complete
+    // standalone SCBF directory — the whole point of the layout), so
+    // entries group by subdir and localize before merging.
+    val qroot = fs.makeQualified(new Path(dir))
+    def subdirOf(n: String): String = {
+      val i = n.lastIndexOf('/'); if (i < 0) "" else n.substring(0, i)
+    }
+    def dirOf(sub: String): Path = if (sub.isEmpty) qroot else new Path(qroot, sub)
+    def localized(es: Seq[ScbfStats.FileEntry], sub: String): Seq[ScbfStats.FileEntry] =
+      if (sub.isEmpty) es else es.map(e => e.copy(name = e.name.substring(sub.length + 1)))
+    val bySub = entries.groupBy(e => subdirOf(e.name))
     replaceOnly match {
       case None =>
         // full overwrite owns the directory: dead-attempt temps are
         // safe to sweep (no concurrent writer can be harmed — its
         // contents are being replaced anyway)
         if (truncate) sweepTemps()
-        ScbfStats.mergeManifest(new Path(dir), conf.value, entries, fresh = truncate)
+        bySub.foreach { case (sub, es) =>
+          ScbfStats.mergeManifest(dirOf(sub), conf.value, localized(es, sub),
+            fresh = truncate)
+        }
+        if (truncate) {
+          // partition subdirectories the overwrite emptied but did not
+          // repopulate: their manifests describe only deleted files
+          // (length-guarded, so harmless — but clear them anyway)
+          val touched = bySub.keySet.map(dirOf(_).toString)
+          toReplace.map(_.getParent).distinct
+            .filterNot(p => touched.contains(p.toString))
+            .foreach(p => ScbfStats.mergeManifest(p, conf.value, Seq.empty, fresh = true))
+        }
       case Some(snapshot) =>
         // snapshot-scoped overwrite COEXISTS with concurrent appends:
         // never sweep temps (a live append's staged files would die),
@@ -258,11 +298,16 @@ class ScbfBatchWrite(
   private def sweepTemps(): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)
-    if (fs.exists(path)) {
-      fs.listStatus(path).toSeq
-        .filter(f => f.isFile && ScbfWrite.isTemp(f.getPath.getName))
-        .foreach(f => fs.delete(f.getPath, false))
-    }
+    def sweep(p: Path): Unit =
+      if (fs.exists(p)) fs.listStatus(p).toSeq.foreach {
+        case f if f.isFile && ScbfWrite.isTemp(f.getPath.getName) =>
+          fs.delete(f.getPath, false)
+        // partition subdirectories stage their own temps
+        case d if d.isDirectory && d.getPath.getName.indexOf('=') > 0 =>
+          sweep(d.getPath)
+        case _ => ()
+      }
+    sweep(path)
   }
 }
 
@@ -340,6 +385,7 @@ class ScbfStreamingWrite(
   @volatile private var appendValidated = false
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    ScbfWrite.epochCommitHook()
     val fs = new Path(dir).getFileSystem(conf.value)
     messages.collect { case ScbfStagedCommitMessage(pairs, _) => pairs }.flatten
       .foreach { case (tmp, dst) =>
@@ -479,6 +525,96 @@ class ScbfDataWriterFactory(
   }
 }
 
+class ScbfPartitionedDataWriterFactory(
+    dir: String, schema: StructType, conf: ScbfUtil.SerializableConf,
+    maxBufferedBytes: Long, partitionCols: Seq[String])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ScbfPartitionedDataWriter(
+      dir, schema, conf.value, maxBufferedBytes, partitionCols, partitionId, taskId)
+}
+
+/**
+ * Routes each row to a per-partition-value [[ScbfDataWriter]] writing
+ * into `dir/col=value/…` (see [[ScbfPartitions]]). The task holds one
+ * open inner writer per distinct partition value it sees — but total
+ * buffered bytes across ALL of them are capped at `maxBufferedBytes`
+ * by flushing the largest buffer when the sum crosses the cap, so a
+ * task seeing many partition values cannot multiply its memory
+ * footprint by the value count (the per-writer roll alone would allow
+ * values × cap). Writes benefit from pre-clustering the input on the
+ * partition columns (`REPARTITION(source)` hint or repartition()) —
+ * fewer values per task, fewer+larger files — but remain correct and
+ * memory-bounded without it.
+ *
+ * Inner writers keep the full schema: partition columns are stored in
+ * the data files too, making every subdirectory a complete standalone
+ * SCBF directory (reference-readable, independently streamable).
+ * Commit prefixes each inner entry with its subdirectory so the job
+ * committer can group manifest merges per partition.
+ */
+class ScbfPartitionedDataWriter(
+    dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
+    partitionCols: Seq[String], partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val partIdx: Seq[(String, Int)] =
+    partitionCols.map(c => c -> schema.fieldIndex(c))
+  private val attempt = java.util.UUID.randomUUID().toString.take(8)
+  private val inner =
+    scala.collection.mutable.LinkedHashMap.empty[String, ScbfDataWriter]
+
+  private def cellString(row: InternalRow, i: Int): String =
+    schema.fields(i).dataType match {
+      case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
+      case org.apache.spark.sql.types.DoubleType  => row.getDouble(i).toString
+      // null string → "" (the format contract; numeric nulls abort in
+      // the inner writer exactly like unpartitioned writes)
+      case _ => if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val sub = partIdx.map { case (c, i) =>
+      ScbfPartitions.dirName(c, cellString(row, i))
+    }.mkString("/")
+    val w = inner.getOrElseUpdate(sub,
+      new ScbfDataWriter(s"$dir/$sub", schema, conf, maxBufferedBytes,
+        seq => f"part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
+        publishOnTaskCommit = true, emitEmptyFile = false))
+    // task-wide memory cap, O(1) per row: a running total tracked by
+    // deltas (an inner self-roll shows up as a negative delta); when
+    // the SUM crosses the limit, flush the fattest buffer. Each inner
+    // writer also rolls itself at the limit, so this only matters when
+    // many values share one task.
+    val before = w.bufferedSize
+    w.write(row)
+    totalBuffered += w.bufferedSize - before
+    if (totalBuffered >= maxBufferedBytes) {
+      val fattest = inner.values.maxBy(_.bufferedSize)
+      totalBuffered -= fattest.bufferedSize
+      fattest.flushBuffered()
+    }
+  }
+
+  private var totalBuffered = 0L
+
+  override def commit(): WriterCommitMessage = {
+    val all = inner.toSeq.flatMap { case (sub, w) =>
+      w.commit() match {
+        case ScbfCommitMessage(entries) =>
+          entries.map(e => e.copy(name = s"$sub/${e.name}"))
+        case other => throw new ScbfFormatException(
+          s"unexpected inner commit message: $other")
+      }
+    }
+    ScbfCommitMessage(all)
+  }
+
+  override def abort(): Unit = inner.values.foreach(_.abort())
+
+  override def close(): Unit = inner.values.foreach(_.close())
+}
+
 /**
  * Buffers rows column-major, rolling staged files at `maxBufferedBytes`.
  *
@@ -571,6 +707,13 @@ class ScbfDataWriter(
     bufferedBytes += added
     if (bufferedBytes >= maxBufferedBytes) flush()
   }
+
+  /** Current buffered estimate — the partitioned router reads this to
+   * enforce a TASK-wide cap across its inner writers. */
+  private[sources] def bufferedSize: Long = bufferedBytes
+
+  /** Early roll on the router's demand (no-op when empty). */
+  private[sources] def flushBuffered(): Unit = if (bufferedRows > 0) flush()
 
   /** Write the buffered columns to the next dot-temp file and reset. */
   private def flush(): Unit = {

@@ -138,6 +138,67 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(xs == ((0 until 2000) ++ (9000 until 9010)).toSet)
   }
 
+  // ---- streaming sink vs maintenance ----
+
+  /** One fully-committed streaming epoch appending `ids` into `dir`. */
+  private def streamEpoch(dir: String, from: Int, until: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Int]
+    ms.addData(from until until: _*)
+    val q = ms.toDF()
+      .select(col("value").cast("int").as("id"),
+        concat(lit("src_"), (col("value") % 4).cast("int")).as("source"))
+      .writeStream.option("checkpointLocation", tmpDir("scbf-race-sckpt"))
+      .format("scbf").start(dir)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("a streaming epoch committing mid-rewrite survives OPTIMIZE (snapshot-scoped commit)") {
+    val dir = tmpDir("scbf-race-epoch-mid")
+    writeRanged(dir)
+    // the hook fires between the rewrite's snapshot listing and its
+    // commit — exactly where a live ingest's epoch would land
+    var fired = false
+    ScbfMaintenance.raceHook = () => if (!fired) { fired = true; streamEpoch(dir, 4000, 4050) }
+    try ScbfMaintenance.cluster(spark, dir, Seq("id"), 4)
+    finally ScbfMaintenance.raceHook = () => ()
+    assert(ids(dir) == ((0 until 1000) ++ (4000 until 4050)).toSet,
+      "the epoch's file must survive the rewrite commit")
+    val man = ScbfStats.readManifest(new Path(dir), new Configuration())
+    val live = ScbfDataSource.resolveFiles(Seq(dir), new Configuration())
+      .map(_.getPath.getName).toSet
+    assert(man.keySet.subsetOf(live), "manifest must hold only live files")
+    assert(man.values.map(_.stats.rows).sum == 1050L,
+      "manifest covers the clustered output AND the epoch's file")
+  }
+
+  test("OPTIMIZE completing mid-epoch (staged, unpublished) loses neither side") {
+    val dir = tmpDir("scbf-race-mid-epoch")
+    writeRanged(dir)
+    // the hook fires at epoch-commit start: tasks have STAGED their
+    // temps (invisible), nothing is published — the rewrite must not
+    // sweep them (snapshot-scoped overwrites never sweep), and the
+    // epoch's subsequent publication must land intact
+    var fired = false
+    ScbfWrite.epochCommitHook = () => if (!fired) {
+      fired = true
+      ScbfMaintenance.cluster(spark, dir, Seq("id"), 4)
+    }
+    try streamEpoch(dir, 6000, 6050)
+    finally ScbfWrite.epochCommitHook = () => ()
+    assert(fired, "hook never fired — the epoch committed nothing")
+    assert(ids(dir) == ((0 until 1000) ++ (6000 until 6050)).toSet,
+      "mid-epoch rewrite lost rows on one side")
+    val man = ScbfStats.readManifest(new Path(dir), new Configuration())
+    val live = ScbfDataSource.resolveFiles(Seq(dir), new Configuration())
+      .map(_.getPath.getName).toSet
+    assert(man.keySet.subsetOf(live), "manifest must hold only live files")
+    assert(man.values.map(_.stats.rows).sum == 1050L,
+      "the epoch's entries must fold into the rewrite's fresh manifest")
+  }
+
   test("without a concurrent append, OPTIMIZE still rebuilds the manifest fresh") {
     val dir = tmpDir("scbf-race-none")
     writeRanged(dir)

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, In}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** PARTITIONED BY through the catalog: rows route to `col=value/`
+ * subdirectories, each a complete standalone SCBF directory with its
+ * own manifest, and a filter on the partition column prunes whole
+ * directories BEFORE their manifests load — the metadata contract is
+ * pinned by counters (manifest reads == touched partitions). */
+class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("grp", StringType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  /** CREATE + INSERT a 4-partition table; 25 rows per grp value. */
+  private def makeTable(name: String): String = {
+    val dir = Files.createTempDirectory(s"scbf-part-$name").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING, v DOUBLE) " +
+      s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+    (0 until 100).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "v")
+      .createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION(2, grp) */ id, grp, v FROM ${name}_src")
+    dir
+  }
+
+  test("partitioned CTAS-style write lays out col=value subdirectories, reads back whole") {
+    val dir = makeTable("graft_pt1")
+    val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(subs.toSeq == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g3"), s"got ${subs.toSeq}")
+    // each subdirectory is a standalone SCBF dir: files + its own manifest
+    subs.foreach { s =>
+      val d = new java.io.File(dir, s)
+      assert(d.listFiles().exists(_.getName.endsWith(".scbf")), s"$s has no data")
+      assert(new java.io.File(d, ".scbf.stats.manifest").isFile, s"$s has no manifest")
+    }
+    val back = spark.sql("SELECT * FROM graft_pt1")
+    assert(back.count() == 100)
+    assert(back.select(sum($"id")).as[Long].head() == (0 until 100).sum)
+    // partition column values survive the round trip (stored in-file)
+    assert(back.filter($"grp" === "g2").select(countDistinct($"id")).as[Long].head() == 25)
+  }
+
+  test("a partition filter prunes directories BEFORE their manifests load") {
+    val dir = makeTable("graft_pt2")
+    val conf = new Configuration()
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    assert(listing.nonEmpty)
+    val filesInG1 = listing.count(_.getPath.toString.contains("grp=g1/"))
+    assert(filesInG1 > 0)
+    val b = new ScbfScanBuilder(schema, listing, conf, Seq(dir))
+    b.pushFilters(Array(EqualTo("grp", "g1")))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.sidecarReads.set(0)
+    ScbfUtil.dataFileOpens.set(0)
+    val parts = scan.planInputPartitions()
+    assert(parts.length == filesInG1,
+      s"planned ${parts.length} partitions, expected the $filesInG1 files of grp=g1")
+    assert(ScbfStats.manifestReads.get == 1,
+      s"expected ONE manifest read (the touched partition), got ${ScbfStats.manifestReads.get}")
+    assert(ScbfStats.sidecarReads.get == 0 && ScbfUtil.dataFileOpens.get == 0)
+    // statistics ride the same cached prune: rows = the partition's share
+    assert(scan.estimateStatistics().numRows.getAsLong == 25L)
+    assert(ScbfStats.manifestReads.get == 1, "statistics re-read pruned manifests")
+  }
+
+  test("runtime (DPP-shaped) In-filters partition-prune too") {
+    val dir = makeTable("graft_pt3")
+    val conf = new Configuration()
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val expected = listing.count(f =>
+      f.getPath.toString.contains("grp=g0/") || f.getPath.toString.contains("grp=g3/"))
+    val b = new ScbfScanBuilder(schema, listing, conf, Seq(dir))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("grp", Array[Any]("g0", "g3"))))
+    ScbfStats.manifestReads.set(0)
+    val parts = scan.planInputPartitions()
+    assert(parts.length == expected, s"planned ${parts.length}, expected $expected")
+    assert(ScbfStats.manifestReads.get <= 2,
+      s"untouched partitions' manifests loaded: ${ScbfStats.manifestReads.get}")
+  }
+
+  test("INSERT INTO appends; INSERT OVERWRITE replaces (per-partition manifests follow)") {
+    val name = "graft_pt4"
+    makeTable(name)
+    spark.sql(s"INSERT INTO $name SELECT id + 100, grp, v FROM ${name}_src")
+    assert(spark.table(name).count() == 200)
+    spark.sql(s"INSERT OVERWRITE $name SELECT id, grp, v FROM ${name}_src WHERE id < 8")
+    val left = spark.table(name)
+    assert(left.count() == 8)
+    // overwrite scoped correctly: only g0..g3 of the 8 survivors remain
+    assert(left.select($"grp").distinct().as[String].collect().sorted.toSeq ==
+      Seq("g0", "g1", "g2", "g3"))
+    assert(left.filter($"grp" === "g1").select(collect_list($"id")).head().getSeq[Int](0).sorted
+      == Seq(1, 5))
+  }
+
+  test("partition values with path-hostile characters escape and round-trip") {
+    val name = "graft_pt5"
+    val dir = Files.createTempDirectory("scbf-part-esc").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING) " +
+      s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+    val hostile = "a/b c%=d"
+    Seq((1, hostile), (2, "plain")).toDF("id", "grp").createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $name SELECT id, grp FROM ${name}_src")
+    val got = spark.table(name).filter($"grp" === hostile).select($"id").as[Int].collect()
+    assert(got.toSeq == Seq(1), s"got ${got.toSeq}")
+    // the hostile value never produced a nested or broken layout
+    val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("."))
+    assert(subs.length == 2 && subs.forall(_.startsWith("grp=")), s"got ${subs.toSeq}")
+    // and pruning still touches only one manifest
+    val conf = new Configuration()
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("grp", StringType, nullable = false))), listing, conf, Seq(dir))
+    b.pushFilters(Array(EqualTo("grp", hostile)))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    ScbfStats.manifestReads.set(0)
+    assert(scan.planInputPartitions().length == 1)
+    assert(ScbfStats.manifestReads.get == 1)
+  }
+
+  test("a task seeing many partition values stays memory-capped (forced rolls) and exact") {
+    val name = "graft_pt6"
+    val dir = Files.createTempDirectory("scbf-part-cap").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // tiny cap → the router must keep flushing; COALESCE(1) puts every
+    // partition value in ONE task, the worst memory shape
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING, v DOUBLE) " +
+      s"USING scbf LOCATION '$dir' PARTITIONED BY (grp) " +
+      "TBLPROPERTIES ('maxBufferedBytes' = '256')")
+    (0 until 400).map(i => (i, s"g${i % 16}", i * 1.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $name SELECT /*+ COALESCE(1) */ id, grp, v FROM ${name}_src")
+    val back = spark.table(name)
+    assert(back.count() == 400)
+    assert(back.select(sum($"id")).as[Long].head() == (0 until 400).sum)
+    // the cap forced multiple files somewhere
+    val files = ScbfDataSource.resolveFiles(Seq(dir), new Configuration())
+    assert(files.length > 16, s"cap produced no rolls: ${files.length} files")
+  }
+}
