@@ -41,6 +41,17 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // load guard (the round-6 ±15% lesson): record the 1-minute system
+    // load at each rep boundary so a comparator can SEE whether a rep
+    // ran on a contended box instead of inferring it from swing. The
+    // floors protocol (BENCH_NOTES) only trusts reps whose starting
+    // load is below the core count.
+    def loadAvg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pair-graph OWNERS run first in every round so each pair query is
     // attributed its own pipeline's materialization and the downstream
     // consumers (d13/d15/d18) show only their incremental cost — under
@@ -55,6 +66,7 @@ object Bench {
       SparkEntry.queries.keySet.toSeq.sorted.filterNot(owners.contains)
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (rep <- 1 to reps) {
+      repLoads += loadAvg()
       // every round re-pays each staged pair graph once (first consumer)
       graft.operators.Ops.stagedClear()
       names.foreach { name =>
@@ -80,7 +92,8 @@ object Bench {
     val failedNames = names.filterNot(best.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = best.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir","reps":$reps}""")
+    val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads}""")
     spark.stop()
   }
 }

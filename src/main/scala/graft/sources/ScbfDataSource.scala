@@ -205,11 +205,19 @@ class ScbfTable(
     // the task-bound Hadoop conf so no writer signature changes. The
     // conf is copied: a write option must not leak into other writes
     // sharing this session's conf.
-    val wconf = Option(info.options.get("bloomMaxBytes")).map(_.toInt) match {
+    val wconf0 = Option(info.options.get("bloomMaxBytes")).map(_.toInt) match {
       case Some(cap) =>
         require(cap >= 0, s"bloomMaxBytes must be >= 0, got $cap")
         val c = new Configuration(conf); c.setInt(ScbfBloom.MaxBytesKey, cap); c
       case None => conf
+    }
+    // histogram bin count (0 disables collection) — same conf-copy ride
+    val wconf = Option(info.options.get("histogramBins"))
+      .orElse(Option(tableProps.get("histogramBins"))).map(_.toInt) match {
+      case Some(bins) =>
+        require(bins >= 0, s"histogramBins must be >= 0, got $bins")
+        val c = new Configuration(wconf0); c.setInt(ScbfHistogram.BinsKey, bins); c
+      case None => wconf0
     }
     // concurrent-writer contract knobs (ScbfDelete / ScbfMaintenance):
     // filePrefix marks this job's output so a rewrite can tell its own

@@ -1,0 +1,206 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Compact equi-height histograms for SCBF numeric columns — the
+ * skew-awareness half of the planner statistics story. min/max + HLL
+ * NDV ([[ScbfNdv]]) already flow to Catalyst, but selectivity on a
+ * SKEWED range predicate still assumed uniformity: `col > v` over a
+ * column with 99% of its mass below v estimated ~(max−v)/(max−min) of
+ * the rows surviving — orders of magnitude off, and the CBO's
+ * broadcast/join-reorder decisions inherit the error. An equi-height
+ * histogram (the same shape Spark's own ANALYZE .. FOR COLUMNS
+ * computes, and what Catalyst's FilterEstimation/JoinEstimation
+ * consume: `computeComparisonPossibilityByHistogram`,
+ * `getOverlappedRanges`) carries the mass distribution in ~32 bins.
+ *
+ * Placement mirrors [[ScbfNdv]]: each file's sidecar records its own
+ * exact histogram (the writer sees every value), and the MANIFEST
+ * keeps one merged histogram per column per DIRECTORY (`dirhist`
+ * lines) — per-file histograms in the manifest would grow it by
+ * ~1 KB × columns × files, unreadable-in-one-go at 10⁵ files.
+ * Like the NDV registers, the directory histogram is insert-only
+ * across appends (merge is a weighted mixture) and is only rebuilt
+ * from scratch by a fresh overwrite/OPTIMIZE — after a DELETE it
+ * over-represents deleted mass until then, the documented staleness
+ * contract of the whole stats layer. Histograms are ESTIMATOR input
+ * only: no pruning or correctness path reads them.
+ *
+ * Equi-height semantics (Catalyst's contract): `height` rows per bin,
+ * bins ordered, each [lo, hi] with its distinct-value count. A heavily
+ * repeated value shows up as several consecutive point bins
+ * (lo == hi), exactly how ANALYZE's percentile-based generation
+ * renders skew — FilterEstimation counts each such bin's full height
+ * toward any range containing the value.
+ */
+object ScbfHistogram {
+
+  /** Hadoop-conf key for the per-write bin count (0 disables histogram
+   * collection). Set via the `histogramBins` write option, which rides
+   * a per-job Configuration copy the same way bloomMaxBytes does. */
+  val BinsKey = "graft.stats.histogram.bins"
+  val DefaultBins = 32
+
+  /** Above this many buffered values the writer histograms a
+   * deterministic stride sample instead of sorting everything: the
+   * sort is the only super-linear step in the write-path stats, and a
+   * 64Ki sample bounds it at ~ms while keeping bin boundaries within
+   * a fraction of a bin of exact (estimator input — exactness buys
+   * nothing past the bin resolution). Deterministic (every k-th
+   * value), so streaming-epoch replays write byte-identical sidecars. */
+  val SampleCap = 65536
+
+  /** Sub-points per source bin when merging: each input bin is
+   * re-discretized into this many equally-spaced weighted points, so
+   * merge accuracy is ~1/(SubPoints × bins) of the mass. */
+  val SubPoints = 8
+
+  final case class Bin(lo: Double, hi: Double, ndv: Long)
+
+  /** `height` = rows per bin (equi-height). Total represented rows =
+   * height × bins.length, carried implicitly. */
+  final case class Hist(height: Double, bins: Vector[Bin]) {
+    def rows: Double = height * bins.length
+  }
+
+  /**
+   * Exact equi-height histogram from a column's (possibly sampled)
+   * values. `rows` is the TRUE row count the histogram represents —
+   * when `values` is a sample, height scales to it (bin boundaries
+   * come from the sample, mass from reality). Per-bin NDV is the
+   * distinct count within the bin's value slice (under sampling, of
+   * the sample — an under-estimate, documented estimator input).
+   * None for empty input. NaN-bearing columns must be filtered by the
+   * caller (same contract as ColRange — NaN breaks interval math).
+   */
+  def fromValues(values: Array[Double], rows: Long, bins: Int = DefaultBins): Option[Hist] = {
+    if (values.isEmpty || rows <= 0 || bins <= 0) return None
+    val sorted = values.clone()
+    java.util.Arrays.sort(sorted)
+    val n = sorted.length
+    val b = math.min(bins, n)
+    // percentile endpoints, Spark's ANALYZE shape: e_k at rank
+    // k(n−1)/b; duplicates collapse consecutive endpoints into point
+    // bins, which is how skew is represented
+    val ends = Array.tabulate(b + 1)(k => sorted(((k.toLong * (n - 1)) / b).toInt))
+    val out = Vector.newBuilder[Bin]
+    // the bins tile (e_{k-1}, e_k] (first bin closed below), so one
+    // forward walk assigns every value to the first bin whose hi
+    // reaches it; a repeated endpoint's mass lands in the first of its
+    // point bins and the rest record the endpoint value alone (ndv 1)
+    var i = 0
+    var k = 1
+    while (k <= b) {
+      val lo = ends(k - 1)
+      val hi = ends(k)
+      var ndv = 0L
+      var last = 0.0
+      while (i < n && sorted(i) <= hi) {
+        if (ndv == 0 || sorted(i) != last) { ndv += 1; last = sorted(i) }
+        i += 1
+      }
+      out += Bin(lo, hi, math.max(ndv, 1L))
+      k += 1
+    }
+    Some(Hist(rows.toDouble / b, out.result()))
+  }
+
+  /**
+   * Merge histograms into one equi-height histogram of `bins` bins —
+   * the weighted mixture of the inputs' piecewise-uniform
+   * distributions. Used by the manifest merge (directory histogram ⊎
+   * new files' sidecars) and by planning (kept directories' dirhists).
+   * Each input bin re-discretizes into [[SubPoints]] equally-spaced
+   * weighted points (point bins stay single atoms), the pooled points
+   * sort once, and equal-mass cuts form the output bins. Per-output-bin
+   * NDV sums the contributing fractions — an over-estimate when files
+   * share values (the caller may rescale against the HLL directory
+   * NDV, which handles cross-file duplicates exactly).
+   */
+  def merge(hists: Seq[Hist], bins: Int = DefaultBins): Option[Hist] = {
+    val nonEmpty = hists.filter(h => h.bins.nonEmpty && h.height > 0)
+    if (nonEmpty.isEmpty || bins <= 0) return None
+    if (nonEmpty.sizeIs == 1 && nonEmpty.head.bins.length <= bins)
+      return Some(nonEmpty.head)
+    // (position, rowWeight, ndvWeight)
+    val pts = new ArrayBuffer[(Double, Double, Double)]()
+    nonEmpty.foreach { h =>
+      h.bins.foreach { b =>
+        if (b.lo == b.hi) pts += ((b.lo, h.height, b.ndv.toDouble))
+        else {
+          val step = (b.hi - b.lo) / (SubPoints - 1)
+          var j = 0
+          while (j < SubPoints) {
+            pts += ((b.lo + j * step, h.height / SubPoints, b.ndv.toDouble / SubPoints))
+            j += 1
+          }
+        }
+      }
+    }
+    val sorted = pts.sortBy(_._1)
+    val totalW = sorted.iterator.map(_._2).sum
+    val target = totalW / bins
+    val out = Vector.newBuilder[Bin]
+    var binLo = sorted.head._1
+    var lastPos = sorted.head._1
+    var acc = 0.0
+    var ndvAcc = 0.0
+    var emitted = 0
+    sorted.foreach { case (pos, w, nw) =>
+      var remaining = w
+      ndvAcc += nw
+      lastPos = pos
+      // a heavy point can span several output bins: emit point bins
+      // until its remaining mass fits the current one
+      while (emitted < bins - 1 && acc + remaining >= target) {
+        val take = target - acc
+        remaining -= take
+        out += Bin(binLo, pos, math.max(1L, math.round(ndvAcc)))
+        emitted += 1
+        binLo = pos
+        acc = 0.0
+        ndvAcc = 0.0
+      }
+      acc += remaining
+    }
+    out += Bin(binLo, lastPos, math.max(1L, math.round(math.max(ndvAcc, 1.0))))
+    Some(Hist(totalW / (emitted + 1), out.result()))
+  }
+
+  /** `height|lo:hi:ndv;lo:hi:ndv;…` — Double.toString round-trips
+   * exactly and never contains the separators. */
+  def render(h: Hist): String =
+    s"${h.height}|" + h.bins.map(b => s"${b.lo}:${b.hi}:${b.ndv}").mkString(";")
+
+  /** None on any malformed input — histograms are a pure estimator
+   * hint, so a torn line only costs this column its histogram. */
+  def parse(s: String): Option[Hist] =
+    try {
+      val bar = s.indexOf('|')
+      if (bar < 0) return None
+      val height = s.substring(0, bar).toDouble
+      val bins = s.substring(bar + 1).split(";").toVector.map { t =>
+        val Array(lo, hi, ndv) = t.split(":", 3)
+        Bin(lo.toDouble, hi.toDouble, ndv.toLong)
+      }
+      if (height > 0 && bins.nonEmpty &&
+          bins.forall(b => b.lo <= b.hi && !b.lo.isNaN && !b.hi.isNaN && b.ndv >= 0))
+        Some(Hist(height, bins))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic stride sample for the writer: every k-th value of
+   * the buffer (k = ⌈n/cap⌉), preserving first/last after sort is not
+   * needed — boundaries are percentile-accurate to ~n/cap rows. */
+  def sample(values: Array[Double], cap: Int = SampleCap): Array[Double] =
+    if (values.length <= cap) values
+    else {
+      val stride = (values.length + cap - 1) / cap
+      val out = new Array[Double](values.length / stride + (if (values.length % stride == 0) 0 else 1))
+      var i = 0
+      var j = 0
+      while (i < values.length) { out(j) = values(i); j += 1; i += stride }
+      out
+    }
+}

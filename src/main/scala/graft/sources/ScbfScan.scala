@@ -354,6 +354,32 @@ class ScbfScan(
         }
         merged.map { case (n, regs) => n -> ScbfNdv.estimate(regs) }
       }
+      // merged per-column histograms over the SAME kept directories —
+      // skew-aware selectivity for FilterEstimation/JoinEstimation.
+      // Per-bin NDVs are rescaled so their sum agrees with the HLL
+      // directory estimate (a straight merge sums each file's distinct
+      // counts, over-counting values shared across files; the HLL
+      // union counts them once).
+      val dirHist: Map[String, ScbfHistogram.Hist] = {
+        val dirs = kept.map(_.getPath.getParent).distinct
+        val byCol = dirs.flatMap(d => lookup.dirHist(d).toSeq)
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        byCol.flatMap { case (n, hists) =>
+          ScbfHistogram.merge(hists).map { h =>
+            val scaled = dirNdv.get(n) match {
+              case Some(hll) =>
+                val s = h.bins.iterator.map(_.ndv).sum
+                if (s > hll && s > 0) {
+                  val f = hll.toDouble / s
+                  h.copy(bins = h.bins.map(b =>
+                    b.copy(ndv = math.max(1L, math.round(b.ndv * f)))))
+                } else h
+              case None => h
+            }
+            n -> scaled
+          }
+        }
+      }
       val rowCap = if (numRows.isPresent) Some(numRows.getAsLong) else None
       required.fields.foreach { field =>
         val minMax: Option[(Any, Any)] = field.dataType match {
@@ -392,7 +418,15 @@ class ScbfScan(
             }
           case _ => None
         }
-        if (minMax.isDefined || ndv.isDefined || lens.isDefined) {
+        // equi-height histogram (numeric columns): reported alongside
+        // min/max so the estimator can weigh skewed predicates; the
+        // DSv2 → Catalyst conversion (transformV2Stats) hands it to
+        // FilterEstimation's computeComparisonPossibilityByHistogram
+        val hist: Option[ScbfHistogram.Hist] = field.dataType match {
+          case IntegerType | DoubleType => dirHist.get(field.name)
+          case _                        => None
+        }
+        if (minMax.isDefined || ndv.isDefined || lens.isDefined || hist.isDefined) {
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(field.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -417,6 +451,23 @@ class ScbfScan(
                 case _ => lens.map(l => OptionalLong.of(l._2))
                   .getOrElse(OptionalLong.empty())
               }
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.map { h =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h.height
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        h.bins.map { b =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = b.lo
+                            override def hi(): Double = b.hi
+                            override def ndv(): Long = b.ndv
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }.toArray
+                    }: org.apache.spark.sql.connector.read.colstats.Histogram)
+                }.getOrElse(java.util.Optional.empty())
             })
         }
       }

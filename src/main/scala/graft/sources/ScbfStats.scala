@@ -46,6 +46,11 @@ import org.apache.spark.sql.sources._
  * exactly; int32 columns append a 5th field, the exact Long sum, for
  * aggregate pushdown), then per utf8 column
  * `scol\t<name>\t<b64min>\t<b64max|->`.
+ * then per utf8 column `slen\t<name>\t<totalBytes>\t<maxBytes>`, then
+ * per column `ndv\t<name>\t<b64 HLL registers>` ([[ScbfNdv]]) and per
+ * numeric column `hist\t<name>\t<equi-height histogram>`
+ * ([[ScbfHistogram]]) — the last two sidecar-only; the manifest
+ * carries one merged `dirndv`/`dirhist` line per column instead.
  * A double column containing NaN is omitted (NaN breaks interval
  * reasoning). String bounds are TRUNCATED byte prefixes (Parquet's
  * strategy, cap [[MaxStrBound]] bytes): the min prefix is always a
@@ -104,17 +109,33 @@ object ScbfStats {
    * small single read at any file count.
    * `strLens`: per-utf8-column (total bytes, max bytes) — feeds the
    * CBO's avgLen/maxLen so row-size estimates of string-heavy tables
-   * (hence broadcast decisions) stop guessing the 20-byte default. */
+   * (hence broadcast decisions) stop guessing the 20-byte default.
+   * `hists`: per-numeric-column equi-height histograms
+   * ([[ScbfHistogram]]) — sidecar-only like ndvs; the manifest keeps
+   * one merged histogram per column per directory (`dirhist`). */
   final case class FileStats(
       rows: Long,
       cols: Map[String, ColRange],
       strCols: Map[String, StrRange] = Map.empty,
       ndvs: Map[String, Array[Byte]] = Map.empty,
-      strLens: Map[String, (Long, Int)] = Map.empty)
+      strLens: Map[String, (Long, Int)] = Map.empty,
+      hists: Map[String, ScbfHistogram.Hist] = Map.empty)
 
   /** One manifest entry: `dataLen` is the staleness guard — the live
    * listing's length must match for the entry to be trusted. */
   final case class FileEntry(name: String, dataLen: Long, stats: FileStats)
+
+  /** Everything one manifest read yields: per-file entries plus the
+   * directory-level merged NDV registers and merged histograms (one
+   * per column each — see writeManifest). */
+  final case class ManifestData(
+      entries: Map[String, FileEntry],
+      ndv: Map[String, Array[Byte]],
+      hist: Map[String, ScbfHistogram.Hist])
+
+  object ManifestData {
+    val empty: ManifestData = ManifestData(Map.empty, Map.empty, Map.empty)
+  }
 
   // test hooks: how many stats files did planning actually open?
   val sidecarReads = new AtomicLong(0)
@@ -141,10 +162,14 @@ object ScbfStats {
    * unreadable-in-one-go at 10⁵ files); instead `dirNdv` holds one
    * merged register array per column for the whole directory. */
   def writeManifest(dir: Path, conf: Configuration, entries: Seq[FileEntry],
-      dirNdv: Map[String, Array[Byte]] = Map.empty): Unit = {
+      dirNdv: Map[String, Array[Byte]] = Map.empty,
+      dirHist: Map[String, ScbfHistogram.Hist] = Map.empty): Unit = {
     val sb = new StringBuilder("manifest\t1\n")
     dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")
+    }
+    dirHist.toSeq.sortBy(_._1).foreach { case (n, h) =>
+      sb.append(s"dirhist\t$n\t${ScbfHistogram.render(h)}\n")
     }
     entries.sortBy(_.name).foreach { e =>
       sb.append(s"file\t${e.name}\t${e.dataLen}\n")
@@ -171,41 +196,47 @@ object ScbfStats {
   def mergeManifest(dir: Path, conf: Configuration,
       entries: Seq[FileEntry], fresh: Boolean,
       drop: Set[String] = Set.empty): Unit = {
-    val (base, baseNdv) =
-      if (fresh) (Map.empty[String, FileEntry], Map.empty[String, Array[Byte]])
-      else readManifestFull(dir, conf)
+    val prev = if (fresh) ManifestData.empty else readManifestFull(dir, conf)
     // fold the new entries' per-file registers into the directory's
     // merged sketch (insert-only: overwritten files' contributions are
     // only shed by a FRESH rebuild — documented over-estimate)
-    val dirNdv = entries.foldLeft(baseNdv) { (acc, e) =>
+    val dirNdv = entries.foldLeft(prev.ndv) { (acc, e) =>
       e.stats.ndvs.foldLeft(acc) { case (m, (n, regs)) =>
         m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
       }
     }
-    val merged = (base ++ entries.map(e => e.name -> e)).values.toSeq
+    // same insert-only discipline for the directory histograms: the
+    // existing merged histogram is one weighted input among the new
+    // files' sidecar histograms
+    val histCols = prev.hist.keySet ++ entries.flatMap(_.stats.hists.keys)
+    val dirHist = histCols.iterator.flatMap { n =>
+      val inputs = prev.hist.get(n).toSeq ++ entries.flatMap(_.stats.hists.get(n))
+      ScbfHistogram.merge(inputs).map(n -> _)
+    }.toMap
+    val merged = (prev.entries ++ entries.map(e => e.name -> e)).values.toSeq
     writeManifest(dir, conf,
       if (drop.isEmpty) merged else merged.filterNot(e => drop.contains(e.name)),
-      dirNdv)
+      dirNdv, dirHist)
   }
 
   /** The directory manifest as name → entry; empty on missing/corrupt. */
   def readManifest(dir: Path, conf: Configuration): Map[String, FileEntry] =
-    readManifestFull(dir, conf)._1
+    readManifestFull(dir, conf).entries
 
   /** Manifest entries PLUS the directory-level merged NDV registers
-   * (one array per column — see writeManifest). */
-  def readManifestFull(dir: Path, conf: Configuration)
-      : (Map[String, FileEntry], Map[String, Array[Byte]]) =
+   * and histograms (one per column each — see writeManifest). */
+  def readManifestFull(dir: Path, conf: Configuration): ManifestData =
     try {
       val p = manifestPath(dir)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) (Map.empty, Map.empty)
+      if (!fs.exists(p)) ManifestData.empty
       else {
         manifestReads.incrementAndGet()
         val lines = slurp(fs, p).split("\n").filter(_.nonEmpty)
-        if (!lines.headOption.contains("manifest\t1")) (Map.empty, Map.empty)
+        if (!lines.headOption.contains("manifest\t1")) ManifestData.empty
         else {
           val ndv = Map.newBuilder[String, Array[Byte]]
+          val hist = Map.newBuilder[String, ScbfHistogram.Hist]
           val out = Map.newBuilder[String, FileEntry]
           var i = 1
           while (i < lines.length && !lines(i).startsWith("file\t")) {
@@ -214,6 +245,10 @@ object ScbfStats {
               val r = b64d.decode(regs)
               if (r.length == ScbfNdv.M) ndv += n -> r
             } catch { case NonFatal(_) => /* this column loses NDV only */ }
+            else if (lines(i).startsWith("dirhist\t")) try {
+              val Array(_, n, h) = lines(i).split("\t", 3)
+              ScbfHistogram.parse(h).foreach(hist += n -> _)
+            } catch { case NonFatal(_) => /* this column loses its histogram only */ }
             i += 1
           }
           while (i < lines.length) {
@@ -234,10 +269,10 @@ object ScbfStats {
                 while (i < lines.length && !lines(i).startsWith("file\t")) i += 1
             }
           }
-          (out.result(), ndv.result())
+          ManifestData(out.result(), ndv.result(), hist.result())
         }
       }
-    } catch { case NonFatal(_) => (Map.empty, Map.empty) }
+    } catch { case NonFatal(_) => ManifestData.empty }
 
   /** None on a missing or unparsable sidecar — skipping is best-effort.
    * (Stats only; see [[readGuarded]] for the pruning path.) */
@@ -275,14 +310,13 @@ object ScbfStats {
    * single-threaded on the driver.
    */
   final class Lookup(conf: Configuration) {
-    private val manifests =
-      mutable.Map.empty[Path, (Map[String, FileEntry], Map[String, Array[Byte]])]
+    private val manifests = mutable.Map.empty[Path, ManifestData]
 
-    private def manifest(dir: Path): (Map[String, FileEntry], Map[String, Array[Byte]]) =
+    private def manifest(dir: Path): ManifestData =
       manifests.getOrElseUpdate(dir, readManifestFull(dir, conf))
 
     def stats(data: Path, dataLen: Long): Option[FileStats] = {
-      val man = manifest(data.getParent)._1
+      val man = manifest(data.getParent).entries
       man.get(data.getName) match {
         case Some(e) if e.dataLen == dataLen => Some(e.stats)
         case _ =>
@@ -292,7 +326,10 @@ object ScbfStats {
 
     /** The directory's merged NDV registers (cached with the manifest —
      * no extra IO beyond the one manifest read planning already pays). */
-    def dirNdv(dir: Path): Map[String, Array[Byte]] = manifest(dir)._2
+    def dirNdv(dir: Path): Map[String, Array[Byte]] = manifest(dir).ndv
+
+    /** The directory's merged per-column histograms (same one read). */
+    def dirHist(dir: Path): Map[String, ScbfHistogram.Hist] = manifest(dir).hist
   }
 
   /**
@@ -492,8 +529,15 @@ object ScbfStats {
     stats.strLens.toSeq.sortBy(_._1).foreach { case (n, (sum, mx)) =>
       sb.append(s"slen\t$n\t$sum\t$mx\n")
     }
-    if (withNdv) stats.ndvs.toSeq.sortBy(_._1).foreach { case (n, regs) =>
-      sb.append(s"ndv\t$n\t${b64e.encodeToString(regs)}\n")
+    if (withNdv) {
+      stats.ndvs.toSeq.sortBy(_._1).foreach { case (n, regs) =>
+        sb.append(s"ndv\t$n\t${b64e.encodeToString(regs)}\n")
+      }
+      // per-file histograms are sidecar-only, like the NDV registers:
+      // the manifest carries one merged dirhist per column instead
+      stats.hists.toSeq.sortBy(_._1).foreach { case (n, h) =>
+        sb.append(s"hist\t$n\t${ScbfHistogram.render(h)}\n")
+      }
     }
     sb.toString
   }
@@ -520,7 +564,11 @@ object ScbfStats {
       val Array(_, n, sum, mx) = l.split("\t", 4)
       n -> ((sum.toLong, mx.toInt))
     }.toMap
-    rows.map(FileStats(_, cols, strCols, ndvs, strLens))
+    val hists = lines.collect { case l if l.startsWith("hist\t") =>
+      val Array(_, n, h) = l.split("\t", 3)
+      ScbfHistogram.parse(h).map(n -> _)
+    }.flatten.toMap
+    rows.map(FileStats(_, cols, strCols, ndvs, strLens, hists))
   }
 
   private def publish(p: Path, conf: Configuration, content: String): Unit = {

@@ -784,8 +784,30 @@ class ScbfDataWriter(
         case (n, b: Utf8Builder) =>
           val h = new ScbfNdv.Builder; b.values.foreach(h.addBytes); n -> h.regs
       }.toMap
+    // per-column equi-height histograms (ScbfHistogram): skew-aware
+    // selectivity for the CBO. Exact up to SampleCap values, then a
+    // deterministic stride sample bounds the sort; NaN-bearing double
+    // columns are omitted (the ColRange contract). Bin count rides the
+    // Hadoop conf (`histogramBins` write option; 0 disables).
+    val histBins = conf.getInt(ScbfHistogram.BinsKey, ScbfHistogram.DefaultBins)
+    val hists =
+      if (bufferedRows == 0 || histBins <= 0) Map.empty[String, ScbfHistogram.Hist]
+      else schema.fields.map(_.name).zip(builders).flatMap {
+        case (n, b: IntBuilder) if b.values.nonEmpty =>
+          val vs = new Array[Double](b.values.length)
+          var i = 0
+          while (i < vs.length) { vs(i) = b.values(i).toDouble; i += 1 }
+          ScbfHistogram.fromValues(
+            ScbfHistogram.sample(vs), b.values.length, histBins).map(n -> _)
+        case (n, b: DoubleBuilder)
+            if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
+          ScbfHistogram.fromValues(
+            ScbfHistogram.sample(b.values.toArray), b.values.length, histBins)
+            .map(n -> _)
+        case _ => None
+      }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
-      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs, strLens))
+      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs, strLens, hists))
     // Bloom sidecar (equality/IN skipping on unclustered keys — see
     // ScbfBloom): staged as a (temp, final) pair like the data file, so
     // both publish paths (task commit / epoch-level driver commit) and

@@ -46,7 +46,7 @@ class ManifestRobustnessSpec extends AnyFunSuite with SparkTestBase {
     // tear the first entry's rows line into garbage
     val torn = lines.updated(firstFile + 1, "rows\tNOT_A_NUMBER")
     overwriteManifest(dir, torn.mkString("\n"))
-    val (man, _) = ScbfStats.readManifestFull(new Path(dir), new Configuration())
+    val man = ScbfStats.readManifestFull(new Path(dir), new Configuration()).entries
     assert(man.size == 3, s"3 intact entries must survive, got ${man.keySet}")
     // pruning still works: the torn file falls back to its own sidecar
     val conf = new Configuration()
@@ -66,7 +66,8 @@ class ManifestRobustnessSpec extends AnyFunSuite with SparkTestBase {
     assert(idNdv >= 0, "manifest must carry dirndv lines")
     val torn = lines.updated(idNdv, "dirndv\tid\t%%%not-base64%%%")
     overwriteManifest(dir, torn.mkString("\n"))
-    val (man, ndv) = ScbfStats.readManifestFull(new Path(dir), new Configuration())
+    val md = ScbfStats.readManifestFull(new Path(dir), new Configuration())
+    val (man, ndv) = (md.entries, md.ndv)
     assert(man.size == 4, "entries unaffected")
     assert(!ndv.contains("id") && ndv.contains("v"),
       s"only id's NDV drops, got ${ndv.keySet}")
@@ -80,7 +81,7 @@ class ManifestRobustnessSpec extends AnyFunSuite with SparkTestBase {
     val torn = lines.updated(idNdv,
       "dirndv\tid\t" + java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3)))
     overwriteManifest(dir, torn.mkString("\n"))
-    val (_, ndv) = ScbfStats.readManifestFull(new Path(dir), new Configuration())
+    val ndv = ScbfStats.readManifestFull(new Path(dir), new Configuration()).ndv
     assert(!ndv.contains("id"))
   }
 

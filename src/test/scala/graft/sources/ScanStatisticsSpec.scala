@@ -215,6 +215,75 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CBO: the histogram flips a SKEWED-range broadcast decision min/max+NDV cannot") {
+    // 99% of dim ids are 0..9; 1% spread over [10, ~1e6]. A filter
+    // `id > 500000` truly keeps ~0.5% of the 1% tail, but WITHOUT a
+    // histogram the estimator only has [min, max] + NDV and assumes
+    // uniformity: (max−500000)/(max−min) ≈ 50% survive — three orders
+    // of magnitude high, and NDV cannot correct a RANGE predicate.
+    // The equi-height histogram puts ~31 of 32 bins at the hot values,
+    // so the range holds well under one bin of mass → broadcast.
+    def writeDim(dir: String, bins: Int): Unit =
+      spark.range(0, 40000)
+        .select(
+          when(col("id") % 100 < 99, (col("id") % 10))
+            .otherwise(col("id") * 25 % 1000000 + 10)
+            .cast("int").as("id"),
+          // hash-valued payload: zlib cannot flatten it, so on-disk
+          // size (the size-only fallback) stays honestly large
+          (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+        .repartition(4) // UNCLUSTERED: file pruning cannot help
+        .write.format("scbf").option("histogramBins", bins.toString)
+        .mode("overwrite").save(dir)
+    val histDir = tmpDir("scbf-cbo-hist")
+    val noHistDir = tmpDir("scbf-cbo-nohist")
+    writeDim(histDir, ScbfHistogram.DefaultBins)
+    writeDim(noHistDir, 0) // same rows, histograms disabled at write
+    val fact = spark.range(0, 40000).select(col("id").cast("int").as("fid"))
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // between the two estimates: uniform ≈ 20k rows × ~20 B ≈ 400 KB,
+      // histogram ≈ ≤1 bin ≈ ≤625 rows ≈ ≤13 KB — and far below either
+      // table's on-disk size, so raw size never broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def plan(dir: String): String = {
+        val dim = spark.read.format("scbf").load(dir).filter(col("id") > 500000)
+        fact.join(dim, fact("fid") === dim("id"))
+          .queryExecution.sparkPlan.toString
+      }
+      assert(!plan(noHistDir).contains("BroadcastHashJoin"),
+        "min/max+NDV alone assume uniformity over the skewed range: no broadcast")
+      assert(plan(histDir).contains("BroadcastHashJoin"),
+        "the equi-height histogram sees <1 bin of mass above the cut: broadcast")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("histograms ride sidecar + manifest and histogramBins=0 disables them") {
+    val dir = tmpDir("scbf-hist-plumbing")
+    writeRanged(dir)
+    val conf = new Configuration()
+    val md = ScbfStats.readManifestFull(new Path(dir), conf)
+    assert(md.hist.contains("id") && md.hist.contains("score"),
+      s"manifest must carry merged dirhist lines, got ${md.hist.keySet}")
+    val h = md.hist("id")
+    assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 999.0)
+    assert(math.abs(h.rows - 1000.0) < 1.0, s"dirhist mass ${h.rows} ≠ 1000")
+    // per-file sidecars carry their own exact histogram
+    val side = ScbfStats.read(scbfFiles(dir).head, conf).get
+    assert(side.hists.contains("id"), "sidecar must carry hist lines")
+    // and the write option disables collection entirely
+    val off = tmpDir("scbf-hist-off")
+    spark.range(0, 100).select(col("id").cast("int").as("id"))
+      .write.format("scbf").option("histogramBins", "0").mode("overwrite").save(off)
+    val mdOff = ScbfStats.readManifestFull(new Path(off), conf)
+    assert(mdOff.hist.isEmpty, "histogramBins=0 must write no histograms")
+    assert(ScbfStats.read(scbfFiles(off).head, conf).get.hists.isEmpty)
+  }
+
   test("a stats-pruned dimension becomes broadcast-able") {
     val dir = tmpDir("scbf-stat-bcast")
     writeRanged(dir)

@@ -156,7 +156,7 @@ object PlanningScale {
       ScbfStats.readManifestFull(new Path(clustered), conf))
     System.gc(); Thread.sleep(200)
     val memAfter = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
-    println(f"[plan100k] manifest entries=${man._1.size} retained≈${(memAfter - memBefore) / 1048576.0}%.1f MiB driver heap")
+    println(f"[plan100k] manifest entries=${man.entries.size} retained≈${(memAfter - memBefore) / 1048576.0}%.1f MiB driver heap")
 
     import org.apache.spark.sql.sources._
     def planFiltered(label: String, fs: Seq[Filter], runtime: Seq[Filter] = Nil): Int =
