@@ -139,6 +139,12 @@ object DedupQueries {
    * contamination-gram convention. */
   private[graft] val DupSpanTokens = 8
 
+  /** d22's winnowing window (consecutive window-hash positions per
+   * selection) — the shuffle-reduction/guarantee trade: selected
+   * fingerprint density is 2/(W+1) and the exactness guarantee covers
+   * spans of ≥ DupSpanTokens + W − 1 tokens. */
+  private[operators] val WinnowWindow = 4
+
 
   /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded
    * per dim — the same cross-engine trick as [[d8Planes]]: over
@@ -648,11 +654,23 @@ object DedupQueries {
    * (small outputs of expensive shuffling pipelines). */
   private def spanWindows(s: SparkSession, dir: String): DataFrame = {
     val L = DupSpanTokens
+    // Window key = xxhash64 over the window's L per-token hashes, not
+    // over a rebuilt window STRING: the naive form (slice + concat_ws +
+    // hash per window) re-touches every token L times and allocates a
+    // ~50-byte string per window — the explode is the most
+    // data-proportional stage of d16/d17, so its constant matters at
+    // 100 TB. Hashing each token ONCE and then combining L fixed-width
+    // longs per window does O(1) string work per token instead of O(L).
+    // Key equality still ⟺ window equality modulo a 2⁻⁶⁴ collision
+    // (same contract as before: the oracles hash the window string with
+    // md5 and the gate would catch a disagreement).
+    val windowKey = (1 to L).map(k => s"element_at(th, i + $k)").mkString(", ")
     corpus(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= L)
+      .select(col("doc_id"), expr("transform(w, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $L), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $L))))")))
+        s"transform(sequence(0, size(th) - $L), i -> xxhash64($windowKey))")))
       .toDF("doc_id", "idx", "h")
   }
 
@@ -858,6 +876,64 @@ object DedupQueries {
           expr("""concat_ws(' ', transform(
             |  array_sort(collect_list(CASE WHEN NOT dropped THEN struct(pos, tokn) END)),
             |  x -> x.tokn))""".stripMargin).as("dedup_text"))
+    },
+
+    // ---- winnowed duplicated-span detection (the d16 scale path) ----
+    // Schleimer et al.'s winnowing over the d16 window-hash stream: in
+    // every run of WinnowWindow consecutive window hashes, only the
+    // minimum (leftmost on ties) is SELECTED as a fingerprint, and only
+    // selected fingerprints are exploded, shuffled and dup-counted —
+    // the rest of the L×-token window relation never leaves the map
+    // side. The winnowing theorem makes this exact-by-construction for
+    // spans of ≥ L + WinnowWindow − 1 tokens (two occurrences of such a
+    // span contain a full shared winnow window, whose minimum hash both
+    // select), while shorter duplicates are found opportunistically —
+    // the contract a 100 TB substring-dedup pass actually runs under
+    // (Lee et al. use 50-token minimums; d16 remains the exact-at-L
+    // reference implementation). Selection is ARRAY-DOMAIN (transform /
+    // array_min / array_position on the per-doc hash array): no window
+    // function, no per-doc shuffle — the only shuffled relation is the
+    // ~2/(W+1)-density fingerprint set. Window hashes are md5-derived
+    // (the d2/d5 convention) because SELECTION must be bit-identical in
+    // the DuckDB oracle; a production deployment would swap xxhash64
+    // into the same plan. Spans group selected duplicated fingerprints
+    // ≤ W apart (winnowing guarantees one selection per W window
+    // starts, so one duplicated span's fingerprints can never sit
+    // further than W apart).
+    "d22_winnowed_spans" -> { (s, dir) =>
+      val L = DupSpanTokens
+      val W = WinnowWindow
+      val withH = corpus(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), expr(
+          s"""transform(sequence(0, size(w) - $L),
+             |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $L))), 1, 15), 16, 10) AS BIGINT))"""
+            .stripMargin).as("th"))
+      val sel = withH
+        .select(col("doc_id"), col("th"), expr(
+          s"""array_distinct(transform(sequence(0, greatest(size(th) - $W, 0)),
+             |  j -> j + array_position(slice(th, j + 1, $W), array_min(slice(th, j + 1, $W))) - 1))"""
+            .stripMargin).as("sels"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sels, p -> struct(p AS idx, element_at(th, CAST(p + 1 AS INT)) AS h))")).as("f"))
+        .select(col("doc_id"), col("f.idx").as("idx"), col("f.h").as("h"))
+      // dup marker: ONE row per duplicated fingerprint hash (the d14
+      // skew lesson — hot boilerplate meets a one-row marker, linear)
+      val dup = sel.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val dsel = sel.join(dup, "h").select(col("doc_id"), col("idx"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val grp = dsel
+        .withColumn("f", when(
+          col("idx") - lag(col("idx"), 1, -(W + 1)).over(wDoc) > W, 1).otherwise(0))
+        .withColumn("grp", sum(col("f")).over(wDoc))
+      grp.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("idx")).cast("long").as("span_start"),
+          (max(col("idx")) + L - 1).cast("long").as("span_end"),
+          count(lit(1)).as("n_fingerprints"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_fingerprints"))
     },
 
     // ---- pair-graph agreement report (MinHash-Jaccard × SimHash) ----
@@ -1350,6 +1426,38 @@ object DedupQueries {
          |       COALESCE(string_agg(CASE WHEN NOT dropped THEN tokn END, ' ' ORDER BY pos), '')
          |         AS dedup_text
          |FROM flag GROUP BY doc_id""".stripMargin,
+
+    // winnowing selection replicated bit-for-bit: md5-derived window
+    // hashes (the cross-engine value convention), leftmost-min
+    // selection per winnow window, gap-W island grouping
+    "d22_winnowed_spans" ->
+      s"""WITH $CorpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+         |th0 AS (SELECT doc_id, list_transform(
+         |          generate_series(0, len(w) - $DupSpanTokens),
+         |          i -> ('0x' || substr(md5(array_to_string(
+         |                 list_slice(w, i + 1, i + $DupSpanTokens), ' ')), 1, 15))::BIGINT) th
+         |        FROM tok WHERE len(w) >= $DupSpanTokens),
+         |sel0 AS (SELECT doc_id, th, list_distinct(list_transform(
+         |           generate_series(0, greatest(len(th) - $WinnowWindow, 0)),
+         |           j -> j + list_position(list_slice(th, j + 1, j + $WinnowWindow),
+         |                  list_min(list_slice(th, j + 1, j + $WinnowWindow))) - 1)) sels
+         |         FROM th0),
+         |sel AS (SELECT doc_id, unnest(list_transform(sels,
+         |          p -> {'idx': p, 'h': th[CAST(p + 1 AS INT)]}), recursive := true)
+         |        FROM sel0),
+         |dup AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2),
+         |dsel AS (SELECT doc_id, idx FROM sel JOIN dup USING (h)),
+         |g AS (SELECT doc_id, idx, CASE WHEN idx - LAG(idx, 1, ${-(WinnowWindow + 1)})
+         |        OVER (PARTITION BY doc_id ORDER BY idx) > $WinnowWindow
+         |        THEN 1 ELSE 0 END f
+         |      FROM dsel),
+         |g2 AS (SELECT doc_id, idx,
+         |         SUM(f) OVER (PARTITION BY doc_id ORDER BY idx) grp FROM g)
+         |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+         |       CAST(MAX(idx) + ${DupSpanTokens - 1} AS BIGINT) AS span_end,
+         |       COUNT(*) AS n_fingerprints
+         |FROM g2 GROUP BY doc_id, grp""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT source, doc_id, string_split(text, ' ') w FROM documents),
