@@ -790,20 +790,29 @@ class ScbfDataWriter(
     // columns are omitted (the ColRange contract). Bin count rides the
     // Hadoop conf (`histogramBins` write option; 0 disables).
     val histBins = conf.getInt(ScbfHistogram.BinsKey, ScbfHistogram.DefaultBins)
+    // stride-sample straight off the builders (no full-width Double
+    // copy of a multi-MB buffer per column — only the ≤64Ki sample is
+    // ever materialized; deterministic, so streaming replays match)
+    def strided(n: Int)(get: Int => Double): Array[Double] = {
+      val stride = math.max(1, (n + ScbfHistogram.SampleCap - 1) / ScbfHistogram.SampleCap)
+      val out = new Array[Double]((n + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (i < n) { out(j) = get(i); j += 1; i += stride }
+      out
+    }
     val hists =
       if (bufferedRows == 0 || histBins <= 0) Map.empty[String, ScbfHistogram.Hist]
       else schema.fields.map(_.name).zip(builders).flatMap {
         case (n, b: IntBuilder) if b.values.nonEmpty =>
-          val vs = new Array[Double](b.values.length)
-          var i = 0
-          while (i < vs.length) { vs(i) = b.values(i).toDouble; i += 1 }
           ScbfHistogram.fromValues(
-            ScbfHistogram.sample(vs), b.values.length, histBins).map(n -> _)
+            strided(b.values.length)(b.values(_).toDouble),
+            b.values.length, histBins).map(n -> _)
         case (n, b: DoubleBuilder)
             if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
           ScbfHistogram.fromValues(
-            ScbfHistogram.sample(b.values.toArray), b.values.length, histBins)
-            .map(n -> _)
+            strided(b.values.length)(b.values(_)),
+            b.values.length, histBins).map(n -> _)
         case _ => None
       }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
