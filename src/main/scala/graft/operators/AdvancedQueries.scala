@@ -191,28 +191,56 @@ object AdvancedQueries {
     // exact side). The oracle asserts the exact columns and literal
     // TRUE for every verdict, so a sketch drifting out of bounds is a
     // hash mismatch — a real machine gate, not a rows-only count.
+    // Plan shape matters here (the round-7 floors run caught the naive
+    // form at 46 s): TWO countDistincts in one aggregate force an
+    // Expand (×3 the input), and Spark's EXACT `percentile` aggregate
+    // merges a value→count hash map per group — ~every distinct price
+    // serialized between partial and merge. Instead: (a) the sketches
+    // run alone in one mergeable small-state pass — the 100 TB path;
+    // (b) each exact distinct twin is its own expand-free two-phase
+    // aggregate; (c) the exact rank bounds come from a per-group
+    // row_number sort, reading off the values at the bracketing ranks
+    // — rank ⌊0.49(n−1)⌋+1 ≤ interp(0.49) and interp(0.51) ≤ rank
+    // ⌈0.51(n−1)⌉+1, so the bracket still bounds the sketch's rank
+    // error at 10× its 1/1000 guarantee. The exact twins are the
+    // GATE's cost, not the operator's: a deployment runs (a) alone.
     "q28_sketches" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
-          expr("percentile(l_extendedprice, array(0.49D, 0.51D))").as("mb"),
-          expr("percentile(l_extendedprice, array(0.94D, 0.96D))").as("pb"))
-        .select(col("l_returnflag").as("rf"),
-          col("exact_parts"), col("exact_orders"),
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+      val sk = li.groupBy(col("rf")).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"))
+      val ep = li.select(col("rf"), col("l_partkey")).distinct()
+        .groupBy(col("rf")).agg(count(lit(1)).as("exact_parts"))
+      val eo = li.select(col("rf"), col("l_orderkey")).distinct()
+        .groupBy(col("rf")).agg(count(lit(1)).as("exact_orders"))
+      val w = Window.partitionBy(col("rf")).orderBy(col("v"))
+      val ranked = li.select(col("rf"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(w))
+      val bounds = ranked
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
+        .select(col("rf"), col("v"), col("rn"),
+          (floor(lit(0.49) * (col("n") - 1)) + 1).as("mlo"),
+          least(ceil(lit(0.51) * (col("n") - 1)) + 1, col("n")).as("mhi"),
+          (floor(lit(0.94) * (col("n") - 1)) + 1).as("plo"),
+          least(ceil(lit(0.96) * (col("n") - 1)) + 1, col("n")).as("phi"))
+        .filter(col("rn") === col("mlo") || col("rn") === col("mhi") ||
+          col("rn") === col("plo") || col("rn") === col("phi"))
+        .groupBy(col("rf")).agg(
+          max(when(col("rn") === col("mlo"), col("v"))).as("mlo_v"),
+          max(when(col("rn") === col("mhi"), col("v"))).as("mhi_v"),
+          max(when(col("rn") === col("plo"), col("v"))).as("plo_v"),
+          max(when(col("rn") === col("phi"), col("v"))).as("phi_v"))
+      sk.join(ep, "rf").join(eo, "rf").join(bounds, "rf")
+        .select(col("rf"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.08))
             .as("parts_ok"),
           (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * lit(0.08))
             .as("orders_ok"),
-          (col("am") >= col("mb").getItem(0) && col("am") <= col("mb").getItem(1))
-            .as("median_ok"),
-          (col("a95") >= col("pb").getItem(0) && col("a95") <= col("pb").getItem(1))
-            .as("p95_ok"))
+          (col("am") >= col("mlo_v") && col("am") <= col("mhi_v")).as("median_ok"),
+          (col("a95") >= col("plo_v") && col("a95") <= col("phi_v")).as("p95_ok"))
     },
 
     // ---- q24's frame surface at scale: chunked windows throughout ----
