@@ -542,14 +542,40 @@ object RelationalQueries {
           col("rn").cast("int").as("rn"))
     },
 
+    // The exact median comes from the rank kernel (Ops.globalRowNumber:
+    // range-partition + local rank + broadcast offsets), NOT Spark's
+    // exact `percentile` aggregate — that aggregate merges a
+    // value→count hash map holding ~every distinct price per group
+    // (the q28 floors lesson), which at 100 TB is an OOM on the merge
+    // side; rank selection reads two rows at the bracketing ranks and
+    // interpolates, all bounded-task.
     "q19_stats" -> { (s, dir) =>
-      t(s, dir, "orders").agg(
+      val orders = t(s, dir, "orders")
+      val base = orders.agg(
         count(lit(1)).as("cnt"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         (dsum(col("o_totalprice"), 2) / count(lit(1))).as("avg_price"),
-        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"))
+      val ranked = Ops.globalRowNumber(
+        orders.select(col("o_totalprice").as("v"), col("o_orderkey")),
+        Seq(col("v"), col("o_orderkey")), "rn")
+      // percentile interpolation at p=0.5: pos = 0.5(n−1) 0-based;
+      // median = v⌊pos⌋ + (pos−⌊pos⌋)(v⌈pos⌉ − v⌊pos⌋)
+      val med = ranked
+        .join(broadcast(base.select(col("cnt"))))
+        .withColumn("pos", lit(0.5) * (col("cnt") - 1))
+        .filter(col("rn") === floor(col("pos")) + 1 ||
+          col("rn") === ceil(col("pos")) + 1)
+        .agg(
+          min(when(col("rn") === floor(col("pos")) + 1, col("v"))).as("vlo"),
+          min(when(col("rn") === ceil(col("pos")) + 1, col("v"))).as("vhi"),
+          first(col("pos") - floor(col("pos"))).as("frac"))
+        .select(round(col("vlo") + col("frac") * (col("vhi") - col("vlo")), 4)
+          .as("median_price"))
+      base.join(broadcast(med))
+        .select(col("cnt"), col("min_price"), col("max_price"),
+          col("avg_price"), col("sd_price"), col("median_price"))
     },
 
     "q20_scalar_subquery" -> { (s, dir) =>

@@ -320,8 +320,6 @@ object EventStreams {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     implicit val rowEnc = Encoders.product[WindowRow]
-    implicit val stateEnc = Encoders.product[SpanState]
-    implicit val dupEnc = Encoders.product[SpanDup]
     // watermark AFTER the typed flatMap (see nearDupPairs)
     val rows = docs.flatMap { d =>
       val w = d.text.split(" ")
@@ -329,11 +327,24 @@ object EventStreams {
         WindowRow(d.ts, d.docId, i, w.slice(i, i + spanTokens).mkString(" "))
       }
     }.withWatermark("ts", watermark)
+    dupDetect(rows) { r =>
+      val b = r.win.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+  }
+
+  /** The shared stateful core of [[spanDedup]] and
+   * [[winnowedSpanDedup]]: hash-keyed duplicated-window detection with
+   * exact string-guarded state, retroactive first-occurrence emission
+   * and per-sighting timeout refresh. The key function is a pure
+   * function of the window STRING, so a 64-bit collision can never
+   * conflate passages (the entries list compares strings). */
+  private def dupDetect(rows: Dataset[WindowRow])(
+      keyFn: WindowRow => Long): Dataset[SpanDup] = {
+    implicit val stateEnc = Encoders.product[SpanState]
+    implicit val dupEnc = Encoders.product[SpanDup]
     rows
-      .groupByKey { r =>
-        val b = r.win.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-      }(Encoders.scalaLong)
+      .groupByKey(keyFn)(Encoders.scalaLong)
       .flatMapGroupsWithState[SpanState, SpanDup](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_, it: Iterator[WindowRow], state: GroupState[SpanState]) =>
@@ -363,6 +374,60 @@ object EventStreams {
             out.result().iterator
           }
       }
+  }
+
+  /** Batch d22's md5-derived 60-bit window hash — first 15 hex chars
+   * of md5, base-16 — value-identical to the engine/oracle expression
+   * `conv(substr(md5(x), 1, 15), 16, 10)`, so the stream's winnowing
+   * selects exactly the positions batch d22 selects. */
+  private[streaming] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** d22's streaming twin: WINNOWED duplicated-fingerprint detection
+   * at ingest. Winnowing runs per doc inside the flatMap — the
+   * streaming rendering of batch d22's array-domain selection: in
+   * every run of `winnowW` consecutive window hashes only the minimum
+   * (leftmost on ties, batch's array_position rule) becomes a
+   * fingerprint row, so the stateful operator shuffles and keys on
+   * ~2/(W+1) of the window stream and holds proportionally fewer
+   * state entries — the same cut that funds d22 at 100 TB, applied to
+   * the dominant streaming cost (state size × shuffle volume). Dup
+   * detection, retroactive first emission, string-guarded exactness
+   * and horizon expiry are [[spanDedup]]'s shared core; the parity
+   * spec pins the single-batch gap-W island composition span-for-span
+   * to batch d22. */
+  def winnowedSpanDedup(docs: Dataset[Doc], spanTokens: Int = 8,
+      winnowW: Int = 4, watermark: String = "1 hour"): Dataset[SpanDup] = {
+    implicit val rowEnc = Encoders.product[WindowRow]
+    val rows = docs.flatMap { d =>
+      val w = d.text.split(" ")
+      if (w.length < spanTokens) Iterator.empty
+      else {
+        val wins = Array.tabulate(w.length - spanTokens + 1)(
+          i => w.slice(i, i + spanTokens).mkString(" "))
+        val th = wins.map(md5Hash60)
+        // winnow: argmin (leftmost) of each W-window of hashes; short
+        // docs (fewer windows than W) winnow their single partial
+        // window — batch d22's greatest(size−W, 0) edge, exactly
+        val lastStart = math.max(th.length - winnowW, 0)
+        val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+        var j = 0
+        while (j <= lastStart) {
+          val end = math.min(j + winnowW, th.length)
+          var best = j
+          var k = j + 1
+          while (k < end) { if (th(k) < th(best)) best = k; k += 1 }
+          sel += best
+          j += 1
+        }
+        sel.iterator.map(i => WindowRow(d.ts, d.docId, i, wins(i)))
+      }
+    }.withWatermark("ts", watermark)
+    dupDetect(rows)(r => md5Hash60(r.win))
   }
 
   /** Per-row Scala spelling of batch t13's signal stage (t1 language
