@@ -296,6 +296,50 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.flatten.size == 12, s"lost or duplicated rows: $seen")
   }
 
+  test("discovery log: a PARTITIONED append is discovered incrementally (subdir-relative delta names)") {
+    // partitioned writes announce `grp=x/file.scbf` names to the ROOT
+    // log; the stream source must resolve those against the table root
+    // and admit files in partition subdirectories — including a
+    // partition directory that did not exist at baseline — with zero
+    // data-directory listings
+    val name = "graft_pt_stream"
+    val dir = Files.createTempDirectory("scbf-part-stream").toString
+    val ckpt = Files.createTempDirectory("scbf-part-stream-ckpt").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING) " +
+      s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+    spark.sql(s"INSERT INTO $name VALUES (0, 'a'), (1, 'b')")
+    val ptSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val seen = mutable.ArrayBuffer.empty[Seq[(Int, String)]]
+    val q = spark.readStream.format("scbf").schema(ptSchema)
+      .option("reconcileEvery", 0)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen += df.select("id", "grp").as[(Int, String)].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // baseline listing
+      // new rows into an existing partition AND a brand-new one
+      spark.sql(s"INSERT INTO $name VALUES (2, 'a'), (3, 'c')")
+      ScbfDataSource.listings.set(0)
+      q.processAllAvailable()
+      assert(ScbfDataSource.listings.get == 0,
+        "a partitioned append forced a full data-directory listing")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+    assert(seen.flatten.map(_._1).sorted == Seq(0, 1, 2, 3), s"got $seen")
+    assert(seen.flatten.toMap == Map(0 -> "a", 1 -> "b", 2 -> "a", 3 -> "c"), s"got $seen")
+  }
+
   test("discovery log: a maxFilesPerTrigger-capped backlog drains fully without re-listing") {
     val dir = Files.createTempDirectory("scbf-disc-cap").toString
     val ckpt = Files.createTempDirectory("scbf-disc-cap-ckpt").toString
