@@ -132,6 +132,9 @@ object GraftFunctions {
   def rollingHash(tokens: Column): Column =
     column(RollingHash(expression(tokens)))
 
+  def winnowFingerprints(tokens: Column, spanTokens: Int, winnowW: Int): Column =
+    column(WinnowFingerprints(expression(tokens), spanTokens, winnowW))
+
   def simhashSketch(hi: Column, lo: Column): Column =
     column(SimHashSketch(expression(hi), expression(lo)).toAggregateExpression())
 

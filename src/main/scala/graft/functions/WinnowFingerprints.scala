@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * d22's fused map-side kernel as a native Catalyst expression: window
+ * hashing + winnowed fingerprint selection over a token array, in one
+ * codegen'd loop.
+ *
+ * Per window start i (stride 1, `spanTokens` tokens): the window hash
+ * is the first 60 bits of md5 over the space-joined window — exactly
+ * `CAST(conv(substr(md5(concat_ws(' ', slice(w, i+1, L))), 1, 15), 16, 10)
+ * AS BIGINT)`, the cross-engine value convention the DuckDB oracle
+ * replicates (the big-endian first 8 digest bytes >>> 4). Winnowing
+ * (Schleimer et al.) then selects, for every run of `winnowW`
+ * consecutive window hashes (a single truncated run when there are
+ * fewer), the position of the minimum hash (leftmost on ties — SQL's
+ * array_position rule), deduplicated. Returns
+ * array<struct<idx:int, h:bigint>> of the selected fingerprints.
+ *
+ * Why custom: the HOF spelling runs interpreted — per window it builds
+ * a slice array, a ~50-byte concat string, a 32-char md5 hex string
+ * and a conv() base-16 parse, then the selection pass re-slices the
+ * hash array twice per position. This loop digests straight from the
+ * token bytes (no window string, no hex), selects in place, and fuses
+ * into whole-stage codegen — the (b)-tier rationale of [[RollingHash]]
+ * applied to d22's dominant map-side cost.
+ *
+ * Null array → null; null tokens throw (the [[RollingHash]] contract:
+ * `split` can't produce them, so one means corrupted input).
+ */
+case class WinnowFingerprints(child: Expression, spanTokens: Int, winnowW: Int)
+  extends UnaryExpression {
+
+  require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+  require(winnowW >= 1, s"winnowW must be >= 1, got $winnowW")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowFingerprints.compute(a.asInstanceOf[ArrayData], spanTokens, winnowW)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowFingerprints.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = $cls.compute($a, $spanTokens, $winnowW);")
+  }
+}
+
+object WinnowFingerprints {
+
+  private val Space = Array(' '.toByte)
+
+  // MessageDigest is stateful — one per thread, reset per window
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData, spanTokens: Int, winnowW: Int): ArrayData = {
+    val n = arr.numElements()
+    val nWin = n - spanTokens + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    // token bytes fetched once; each window digests L token slices +
+    // L−1 separators straight into the digest (no window string)
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null token at index $i in winnow_fingerprints input")
+      toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val digest = md5.get()
+    val th = new Array[Long](nWin)
+    i = 0
+    while (i < nWin) {
+      digest.reset()
+      var k = 0
+      while (k < spanTokens) {
+        if (k > 0) digest.update(Space)
+        digest.update(toks(i + k))
+        k += 1
+      }
+      val d = digest.digest()
+      // first 15 hex digits of the md5 = big-endian first 8 bytes >>> 4
+      th(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    // winnow: leftmost argmin of each W-window of hashes, deduped —
+    // consecutive windows share their argmin unless it falls out of
+    // range or a smaller hash enters, so track it incrementally
+    val selected = new Array[Boolean](nWin)
+    val lastStart = math.max(nWin - winnowW, 0)
+    var j = 0
+    while (j <= lastStart) {
+      val end = math.min(j + winnowW, nWin)
+      var best = j
+      var k = j + 1
+      while (k < end) {
+        if (th(k) < th(best)) best = k
+        k += 1
+      }
+      selected(best) = true
+      j += 1
+    }
+    val out = List.newBuilder[Any]
+    i = 0
+    while (i < nWin) {
+      if (selected(i))
+        out += (new GenericInternalRow(Array[Any](i, th(i))): InternalRow)
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray)
+  }
+}

@@ -903,20 +903,18 @@ object DedupQueries {
     "d22_winnowed_spans" -> { (s, dir) =>
       val L = DupSpanTokens
       val W = WinnowWindow
-      val withH = corpus(s, dir)
+      // hashing + selection fused into ONE codegen expression
+      // (functions.WinnowFingerprints — the RollingHash rationale: the
+      // HOF spelling ran interpreted, building a window string, an md5
+      // hex string and a conv() parse per window plus two slices per
+      // selection step; the kernel digests straight from token bytes).
+      // Value-identical to the HOF chain, which WinnowedSpansSpec
+      // still computes independently as the density cross-check.
+      val sel = corpus(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
-        .select(col("doc_id"), expr(
-          s"""transform(sequence(0, size(w) - $L),
-             |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $L))), 1, 15), 16, 10) AS BIGINT))"""
-            .stripMargin).as("th"))
-      val sel = withH
-        .select(col("doc_id"), col("th"), expr(
-          s"""array_distinct(transform(sequence(0, greatest(size(th) - $W, 0)),
-             |  j -> j + array_position(slice(th, j + 1, $W), array_min(slice(th, j + 1, $W))) - 1))"""
-            .stripMargin).as("sels"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sels, p -> struct(p AS idx, element_at(th, CAST(p + 1 AS INT)) AS h))")).as("f"))
+        .select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.winnowFingerprints(col("w"), L, W)).as("f"))
         .select(col("doc_id"), col("f.idx").as("idx"), col("f.h").as("h"))
       // dup marker: ONE row per duplicated fingerprint hash (the d14
       // skew lesson — hot boilerplate meets a one-row marker, linear)
