@@ -135,6 +135,9 @@ object GraftFunctions {
   def winnowFingerprints(tokens: Column, spanTokens: Int, winnowW: Int): Column =
     column(WinnowFingerprints(expression(tokens), spanTokens, winnowW))
 
+  def tokenWindowHashes(tokens: Column, spanTokens: Int): Column =
+    column(TokenWindowHashes(expression(tokens), spanTokens))
+
   def simhashSketch(hi: Column, lo: Column): Column =
     column(SimHashSketch(expression(hi), expression(lo)).toAggregateExpression())
 

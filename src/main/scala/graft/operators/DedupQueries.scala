@@ -660,17 +660,18 @@ object DedupQueries {
     // ~50-byte string per window — the explode is the most
     // data-proportional stage of d16/d17, so its constant matters at
     // 100 TB. Hashing each token ONCE and then combining L fixed-width
-    // longs per window does O(1) string work per token instead of O(L).
-    // Key equality still ⟺ window equality modulo a 2⁻⁶⁴ collision
-    // (same contract as before: the oracles hash the window string with
-    // md5 and the gate would catch a disagreement).
-    val windowKey = (1 to L).map(k => s"element_at(th, i + $k)").mkString(", ")
+    // longs per window does O(1) string work per token instead of O(L),
+    // and the whole thing runs as ONE codegen kernel
+    // (functions.TokenWindowHashes — bit-identical to the interpreted
+    // transform/xxhash64 HOF chain it replaces, the WinnowFingerprints
+    // rationale). Key equality still ⟺ window equality modulo a 2⁻⁶⁴
+    // collision (same contract as before: the oracles hash the window
+    // string with md5 and the gate would catch a disagreement).
     corpus(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= L)
-      .select(col("doc_id"), expr("transform(w, t -> xxhash64(t))").as("th"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(th) - $L), i -> xxhash64($windowKey))")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.tokenWindowHashes(col("w"), L)))
       .toDF("doc_id", "idx", "h")
   }
 
