@@ -262,6 +262,46 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("CBO: histograms correct a skewed JOIN-cardinality estimate NDV alone underestimates") {
+    // both sides share a hot key (99% of rows = 0, tail spread over
+    // ~1000 values). True join cardinality is dominated by the
+    // hot×hot product (~0.99n × 0.99m); NDV-based estimation divides
+    // n×m by max(ndv) — assuming uniform key frequency — and lands
+    // orders of magnitude low. JoinEstimation's histogram path
+    // (getOverlappedRanges) multiplies per-bin masses instead, so the
+    // estimate recovers the hot-key product.
+    def writeSide(dir: String, rows: Int, bins: Int): Unit =
+      spark.range(0, rows)
+        .select(when(col("id") % 100 < 99, 0)
+          .otherwise(col("id") % 1000 + 1).cast("int").as("k"))
+        .repartition(2)
+        .write.format("scbf").option("histogramBins", bins.toString)
+        .mode("overwrite").save(dir)
+    val aH = tmpDir("scbf-jh-a"); val bH = tmpDir("scbf-jh-b")
+    val aN = tmpDir("scbf-jn-a"); val bN = tmpDir("scbf-jn-b")
+    writeSide(aH, 10000, ScbfHistogram.DefaultBins)
+    writeSide(bH, 10000, ScbfHistogram.DefaultBins)
+    writeSide(aN, 10000, 0)
+    writeSide(bN, 10000, 0)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def estRows(da: String, db: String): BigInt = {
+        val a = spark.read.format("scbf").load(da)
+        val b = spark.read.format("scbf").load(db)
+        a.join(b, a("k") === b("k")).queryExecution.optimizedPlan.stats
+          .rowCount.getOrElse(BigInt(-1))
+      }
+      val withHist = estRows(aH, bH)
+      val without = estRows(aN, bN)
+      // truth ≈ 0.99² × 10k × 10k ≈ 9.8e7; NDV path ≈ 1e8/1001 ≈ 1e5
+      assert(withHist > without * 5,
+        s"histogram join estimate $withHist must exceed the uniform-NDV estimate $without by far")
+      assert(withHist > BigInt(10000000L),
+        s"histogram estimate $withHist should recover the hot-key product (~1e8)")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("histograms ride sidecar + manifest and histogramBins=0 disables them") {
     val dir = tmpDir("scbf-hist-plumbing")
     writeRanged(dir)
