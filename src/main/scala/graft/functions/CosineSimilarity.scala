@@ -167,7 +167,23 @@ object GraftFunctions {
       require(args.length == 2,
         s"simhash_sketch expects 2 arguments (hi, lo), got ${args.length}")
       SimHashSketch(args.head, args(1)) // raw aggregate, as minhash_sketch
+    }),
+    ("winnow_fingerprints", WinnowFingerprints.info, { args: Seq[Expression] =>
+      require(args.length == 3,
+        s"winnow_fingerprints expects 3 arguments (tokens, spanTokens, winnowW), got ${args.length}")
+      WinnowFingerprints(args.head, intLit(args(1), "spanTokens"), intLit(args(2), "winnowW"))
+    }),
+    ("token_window_hashes", TokenWindowHashes.info, { args: Seq[Expression] =>
+      require(args.length == 2,
+        s"token_window_hashes expects 2 arguments (tokens, spanTokens), got ${args.length}")
+      TokenWindowHashes(args.head, intLit(args(1), "spanTokens"))
     }))
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a
    * session someone else built, where setting spark.sql.extensions is no

@@ -60,6 +60,11 @@ case class TokenWindowHashes(child: Expression, spanTokens: Int)
 
 object TokenWindowHashes {
 
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TokenWindowHashes].getName, "token_window_hashes")
+
+
   private val Seed = 42L // xxhash64's fixed seed
 
   def compute(arr: ArrayData, spanTokens: Int): ArrayData = {

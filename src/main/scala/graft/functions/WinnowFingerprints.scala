@@ -71,6 +71,11 @@ case class WinnowFingerprints(child: Expression, spanTokens: Int, winnowW: Int)
 
 object WinnowFingerprints {
 
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[WinnowFingerprints].getName, "winnow_fingerprints")
+
+
   private val Space = Array(' '.toByte)
 
   // MessageDigest is stateful — one per thread, reset per window

@@ -31,6 +31,21 @@ class TokenWindowHashesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("both kernels are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val twh = spark.sql(
+      "SELECT token_window_hashes(array('a','b','c'), 2) AS h").as[Seq[Long]].head
+    assert(twh.length == 2)
+    val wf = spark.sql(
+      "SELECT winnow_fingerprints(array('a','b','c','d'), 2, 2) AS f")
+      .selectExpr("size(f)").as[Int].head
+    assert(wf >= 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_window_hashes(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("short arrays yield empty; null token throws") {
     val short = Seq(Seq("a", "b")).toDF("w")
       .select(GraftFunctions.tokenWindowHashes(col("w"), 8))
