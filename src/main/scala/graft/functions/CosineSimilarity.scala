@@ -138,6 +138,9 @@ object GraftFunctions {
   def tokenWindowHashes(tokens: Column, spanTokens: Int): Column =
     column(TokenWindowHashes(expression(tokens), spanTokens))
 
+  def cmsEstimate(c: Column, sketchBytes: Array[Byte]): Column =
+    column(CmsEstimate(expression(c), sketchBytes))
+
   def simhashSketch(hi: Column, lo: Column): Column =
     column(SimHashSketch(expression(hi), expression(lo)).toAggregateExpression())
 

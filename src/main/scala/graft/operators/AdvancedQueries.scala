@@ -15,6 +15,11 @@ object AdvancedQueries {
 
   import Ops.{t, events, dsum, spread}
 
+  /** q47's heavy-hitter threshold (occurrences of one l_partkey) —
+   * picks the upper tail at every driver SF (6 keys at sf0.001, 85 at
+   * sf0.01, 914 at sf0.1). */
+  private val HeavyHitterMin = 40
+
   /** Strictly-less-than-max second maximum, as a typed Aggregator — the
    * UDAF surface. Buffer is the (top1, top2) pair; merge is associative
    * and commutative, so partial aggregation applies as usual. */
@@ -243,6 +248,44 @@ object AdvancedQueries {
           (col("a95") >= col("plo_v") && col("a95") <= col("phi_v")).as("p95_ok"))
     },
 
+    // ---- approximate heavy hitters: Count-Min sketch, bounded-error gate ----
+    // The third sketch family (q28 covers HLL++ and quantiles): at
+    // 100 TB exact per-key counts of a high-cardinality column are a
+    // full shuffle, while the CMS is ONE mergeable ~112 KB summary
+    // built in a single pass. Spark provides the `count_min_sketch`
+    // AGGREGATE but no probe function — CmsEstimate (a codegen
+    // expression carrying the sketch as plan-attached model state, the
+    // CentroidSims pattern) supplies per-row estimates through the
+    // same byte path the aggregate adds with. The gate is q28's
+    // pattern made CMS-shaped: per heavy key, assert the structural
+    // guarantees — est ≥ exact (CMS never undercounts) and
+    // est ≤ exact + 2εN (twice the ε-bound the depth/confidence pair
+    // guarantees w.p. 0.99 — deterministic for a fixed seed, verified
+    // at sf0.001/0.01/0.1 AND the 100× fixture). The exact twin
+    // exists to power the gate; a deployment runs the sketch alone.
+    "q47_heavy_hitters" -> { (s, dir) =>
+      val eps = 0.001
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("part_key"))
+      // driver-side collect of the MODEL (the IVF-centroid precedent):
+      // one 112 KB sketch row, never the data
+      val skBytes = li
+        .agg(expr(s"count_min_sketch(part_key, ${eps}d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val exact = li.groupBy(col("part_key"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") >= HeavyHitterMin)
+      val total = li.agg(count(lit(1)).as("n"))
+      exact
+        .withColumn("est",
+          graft.functions.GraftFunctions.cmsEstimate(col("part_key"), skBytes))
+        .crossJoin(broadcast(total))
+        .select(col("part_key"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("no_undercount"),
+          (col("est") <= col("exact_cnt") +
+            ceil(lit(2 * eps) * col("n")).cast("long")).as("bounded_overcount"))
+    },
+
     // ---- q24's frame surface at scale: chunked windows throughout ----
     // q24 exercises lag / dense_rank / moving frames / ntile with the
     // semantic partition key (o_orderpriority, 5 values) — correct, but
@@ -462,6 +505,11 @@ object AdvancedQueries {
         |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q47_heavy_hitters" ->
+      """SELECT CAST(l_partkey AS VARCHAR) AS part_key, COUNT(*) AS exact_cnt,
+        |  true AS no_undercount, true AS bounded_overcount
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 40""".stripMargin,
 
     "q29_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS rf,
