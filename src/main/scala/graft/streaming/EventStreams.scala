@@ -376,6 +376,49 @@ object EventStreams {
       }
   }
 
+  case class KeyedRow(ts: Timestamp, key: String)
+  case class HeavyHit(key: String, count: Long)
+
+  /** q47's streaming twin: heavy-hitter detection at ingest. One
+   * stateful operator keyed on the value; state is a single running
+   * count per live key, and a key EMITS exactly once — the batch (its
+   * threshold-crossing batch) carries (key, count-so-far). Batch q47
+   * probes a Count-Min sketch because a 100 TB BATCH wants one pass
+   * and no per-key shuffle; the STREAM's natural rendering is exact
+   * state — per-key counts are precisely what
+   * flatMapGroupsWithState holds, the state row is one long, and
+   * idle keys expire with the event-time horizon so state tracks the
+   * live key set, not stream history. The parity spec pins the
+   * single-batch emitted key set to batch q47's heavy keys. */
+  def heavyHitters(rows: Dataset[KeyedRow], minCount: Long = 40L,
+      watermark: String = "1 hour"): Dataset[HeavyHit] = {
+    implicit val rowEnc = Encoders.product[KeyedRow]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[HeavyHit]
+    rows.withWatermark("ts", watermark)
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long), HeavyHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it: Iterator[KeyedRow], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (prev, prevNewest) = state.getOption.getOrElse((0L, Long.MinValue))
+            var newest = prevNewest
+            var c = prev
+            it.foreach { r =>
+              c += 1
+              if (r.ts.getTime > newest) newest = r.ts.getTime
+            }
+            state.update((c, newest))
+            state.setTimeoutTimestamp(newest + 1)
+            // exactly-once emission: the count crossed the bar in THIS
+            // batch iff it was below before and at-or-above now
+            if (prev < minCount && c >= minCount) Iterator(HeavyHit(key, c))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Batch d22's md5-derived 60-bit window hash — first 15 hex chars
    * of md5, base-16 — value-identical to the engine/oracle expression
    * `conv(substr(md5(x), 1, 15), 16, 10)`, so the stream's winnowing
