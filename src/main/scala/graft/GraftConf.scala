@@ -32,6 +32,10 @@ object GraftConf {
    * deployment tunes: more bands → higher recall, more candidate
    * pairs. */
   val MinHashBands = "graft.minhash.bands"
+  /** d22's winnowing window (default 4) — the shuffle-cut/guarantee
+   * trade: fingerprint density 2/(W+1), exactness guarantee covers
+   * spans ≥ DupSpanTokens + W − 1. */
+  val WinnowW = "graft.winnow.window"
 
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)
@@ -43,7 +47,7 @@ object GraftConf {
   /** All knob keys, for divergence auditing. */
   val Keys: Seq[(String, Int)] = Seq(
     AnnKCells -> 16, LshBits -> 10, LshD8Bits -> 12, MixtureBudget -> 400,
-    MinHashHashes -> 48, MinHashBands -> 24)
+    MinHashHashes -> 48, MinHashBands -> 24, WinnowW -> 4)
 
   /** Fail fast when a session-conf override diverges from what oracle
    * generation will see (the system property / default): the engine

@@ -139,11 +139,22 @@ object DedupQueries {
    * contamination-gram convention. */
   private[graft] val DupSpanTokens = 8
 
-  /** d22's winnowing window (consecutive window-hash positions per
-   * selection) — the shuffle-reduction/guarantee trade: selected
+  /** d22's winnowing window DEFAULT (consecutive window-hash positions
+   * per selection) — the shuffle-reduction/guarantee trade: selected
    * fingerprint density is 2/(W+1) and the exactness guarantee covers
-   * spans of ≥ DupSpanTokens + W − 1 tokens. */
+   * spans of ≥ DupSpanTokens + W − 1 tokens. Deployments widen it via
+   * the graft.winnow.window knob (GraftConf: system property moves
+   * engine AND oracle together; requireOracleConsistency guards
+   * divergence). */
   private[operators] val WinnowWindow = 4
+
+  /** The knob-resolved winnow window for the ORACLE side (session-less
+   * system-property resolution — the GraftConf contract). */
+  private def winnowW: Int = {
+    val w = GraftConf.int(GraftConf.WinnowW, WinnowWindow)
+    require(w >= 1, s"graft.winnow.window must be >= 1, got $w")
+    w
+  }
 
 
   /** d6's integer hyperplane tables (4 tables × 10 sign bits), seeded
@@ -903,7 +914,7 @@ object DedupQueries {
     // further than W apart).
     "d22_winnowed_spans" -> { (s, dir) =>
       val L = DupSpanTokens
-      val W = WinnowWindow
+      val W = GraftConf.int(s, GraftConf.WinnowW, WinnowWindow)
       // hashing + selection fused into ONE codegen expression
       // (functions.WinnowFingerprints — the RollingHash rationale: the
       // HOF spelling ran interpreted, building a window string, an md5
@@ -1438,17 +1449,17 @@ object DedupQueries {
          |                 list_slice(w, i + 1, i + $DupSpanTokens), ' ')), 1, 15))::BIGINT) th
          |        FROM tok WHERE len(w) >= $DupSpanTokens),
          |sel0 AS (SELECT doc_id, th, list_distinct(list_transform(
-         |           generate_series(0, greatest(len(th) - $WinnowWindow, 0)),
-         |           j -> j + list_position(list_slice(th, j + 1, j + $WinnowWindow),
-         |                  list_min(list_slice(th, j + 1, j + $WinnowWindow))) - 1)) sels
+         |           generate_series(0, greatest(len(th) - $winnowW, 0)),
+         |           j -> j + list_position(list_slice(th, j + 1, j + $winnowW),
+         |                  list_min(list_slice(th, j + 1, j + $winnowW))) - 1)) sels
          |         FROM th0),
          |sel AS (SELECT doc_id, unnest(list_transform(sels,
          |          p -> {'idx': p, 'h': th[CAST(p + 1 AS INT)]}), recursive := true)
          |        FROM sel0),
          |dup AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) >= 2),
          |dsel AS (SELECT doc_id, idx FROM sel JOIN dup USING (h)),
-         |g AS (SELECT doc_id, idx, CASE WHEN idx - LAG(idx, 1, ${-(WinnowWindow + 1)})
-         |        OVER (PARTITION BY doc_id ORDER BY idx) > $WinnowWindow
+         |g AS (SELECT doc_id, idx, CASE WHEN idx - LAG(idx, 1, ${-(winnowW + 1)})
+         |        OVER (PARTITION BY doc_id ORDER BY idx) > $winnowW
          |        THEN 1 ELSE 0 END f
          |      FROM dsel),
          |g2 AS (SELECT doc_id, idx,

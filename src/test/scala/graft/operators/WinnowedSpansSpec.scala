@@ -90,6 +90,38 @@ class WinnowedSpansSpec extends AnyFunSuite with SparkTestBase {
     assert(density > 0.2, f"density $density%.2f implausibly low for W=$W")
   }
 
+  test("the winnow-window knob moves engine and generated oracle together") {
+    def withProp[A](key: String, value: String)(body: => A): A = {
+      sys.props(key) = value
+      try body finally sys.props -= key
+    }
+    val dflt = DedupQueries.oracles("d22_winnowed_spans")
+    assert(dflt.contains(s"j + 1, j + $W"), "shipped oracle carries the default W")
+    withProp(graft.GraftConf.WinnowW, "6") {
+      val o = DedupQueries.oracles("d22_winnowed_spans")
+      assert(o.contains("j + 1, j + 6") && !o.contains("j + 1, j + 4"),
+        "regenerated oracle must carry the overridden W")
+      // engine side under W=6: soundness must still hold (wider
+      // windows only select FEWER fingerprints; every span remains
+      // inside an exact duplicated region)
+      val wide = SparkEntry.queries("d22_winnowed_spans")(spark, sf).cache()
+      val orphans = wide.join(
+          d16.select(col("doc_id"), col("span_start").as("s16"), col("span_end").as("e16")),
+          Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("span_start"), col("span_end"))
+        .agg(max(when(col("s16") <= col("span_start") &&
+          col("e16") >= col("span_end"), 1).otherwise(0)).as("inside"))
+        .filter(col("inside") === 0).count()
+      assert(orphans == 0)
+      val fpWide = wide.agg(sum(col("n_fingerprints"))).head.getLong(0)
+      val fpDflt = d22.agg(sum(col("n_fingerprints"))).head.getLong(0)
+      assert(fpWide <= fpDflt,
+        s"W=6 must select no more fingerprints than W=$W ($fpWide vs $fpDflt)")
+    }
+    assert(DedupQueries.oracles("d22_winnowed_spans") == dflt,
+      "property cleanup must restore the shipped oracle")
+  }
+
   test("plan shape: selection is map-side — no Window operator, one shuffle for the dup count") {
     // the winnowed fingerprint relation (corpus → arrays → explode)
     // must contain NO Window/Sort before its first exchange: selection
