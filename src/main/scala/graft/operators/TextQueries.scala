@@ -362,16 +362,19 @@ object TextQueries {
     // pair aggregation, so nothing quadratic and no corpus shuffle of
     // gram strings.
     "t10_decontam" -> { (s, dir) =>
-      val gram8 =
-        """filter(transform(w, (x, i) ->
-          |  IF(i <= size(w) - 8,
-          |     concat_ws('_', x, element_at(w, i + 2), element_at(w, i + 3),
-          |       element_at(w, i + 4), element_at(w, i + 5), element_at(w, i + 6),
-          |       element_at(w, i + 7), element_at(w, i + 8)),
-          |     NULL)), y -> y IS NOT NULL)""".stripMargin
+      // 8-grams keyed by their 64-bit window hash, not the rebuilt
+      // "t1_t2_…" string: the TokenWindowHashes codegen kernel hashes
+      // each token once and folds 8 longs per gram, the distinct and
+      // the bench join carry 8-byte keys instead of ~50-byte strings,
+      // and the broadcast eval-set shrinks accordingly. Counts agree
+      // with the string spelling modulo a 2⁻⁶⁴ collision (the d2/d16
+      // key convention — the oracle joins the strings and the gate
+      // would catch a disagreement).
       def grams(df: DataFrame): DataFrame = df
         .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(gram8)).as("g")).distinct()
+        .select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.tokenWindowHashes(col("w"), 8)).as("g"))
+        .distinct()
       val corp = DedupQueries.corpus(s, dir)
       val cg = grams(corp.repartition(spread(s), col("doc_id")))
       val bench = grams(t(s, dir, "documents")
