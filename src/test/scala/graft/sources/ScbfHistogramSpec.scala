@@ -84,6 +84,40 @@ class ScbfHistogramSpec extends AnyFunSuite {
       s"height must represent the real rows, got ${h.rows}")
   }
 
+  test("merge of random splits conserves mass, bounds and quantiles") {
+    // deterministic LCG so the "random" data is reproducible
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      // mix of a hot value and a heavy tail — the merge must survive both
+      val u = (seed >>> 11).toDouble / (1L << 53).toDouble
+      if (u < 0.5) 7.0 else math.pow(u, 4) * 10000.0
+    }
+    val n = 40000
+    val all = Array.fill(n)(next())
+    (1 to 3).foreach { trial =>
+      val parts = 2 + trial * 3 // 5, 8, 11 splits
+      val chunks = all.grouped(math.ceil(n.toDouble / parts).toInt).toSeq
+      val hists = chunks.map(c => ScbfHistogram.fromValues(c, c.length, 32).get)
+      val m = ScbfHistogram.merge(hists, 32).get
+      // mass conservation
+      assert(math.abs(m.rows - n) < 2.0, s"parts=$parts mass ${m.rows}")
+      // bound containment: outer bin edges are the global extrema
+      val sorted = all.clone(); java.util.Arrays.sort(sorted)
+      assert(m.bins.head.lo == sorted.head && m.bins.last.hi == sorted.last,
+        s"parts=$parts bounds [${m.bins.head.lo}, ${m.bins.last.hi}]")
+      // quantile fidelity: the merged equi-height boundary nearest the
+      // median must land within a few bins' mass of the exact median
+      val exactMedian = sorted(n / 2)
+      val medianBin = m.bins(m.bins.length / 2)
+      val nearExact = sorted((n * 14) / 32) // ±2 bins of slack
+      val farExact = sorted(math.min(n - 1, (n * 18) / 32))
+      assert(medianBin.hi >= nearExact && medianBin.lo <= farExact,
+        s"parts=$parts median bin [${medianBin.lo}, ${medianBin.hi}] " +
+          s"vs exact median $exactMedian")
+    }
+  }
+
   test("empty/degenerate inputs yield None") {
     assert(ScbfHistogram.fromValues(Array.empty[Double], 0, 32).isEmpty)
     assert(ScbfHistogram.fromValues(Array(1.0), 0, 32).isEmpty)
