@@ -64,8 +64,15 @@ object ScbfDiscovery {
   /** Delta-file count that triggers an appender-side fold. */
   val CompactThreshold = 64
 
-  /** One published data file: `name` relative to the table directory. */
-  final case class Entry(name: String, len: Long, ts: Long)
+  /** One published data file: `name` relative to the table directory.
+   * `rewriteOf` (non-empty on snapshot-scoped OPTIMIZE/rewrite
+   * commits) lists the replaced files' names: the file's CONTENT is
+   * exactly those files' surviving rows, so a streaming consumer that
+   * has already delivered every replaced file may admit this one as
+   * seen-without-delivery — rewrites become invisible to log-path
+   * streams instead of re-delivering old rows. */
+  final case class Entry(name: String, len: Long, ts: Long,
+      rewriteOf: Seq[String] = Nil)
 
   // test hooks, PlanningScale-style: what did discovery actually cost?
   val deltaReads = new AtomicLong(0)
@@ -112,6 +119,9 @@ object ScbfDiscovery {
       l.split('\t') match {
         case Array(n, len, ts) =>
           for (ln <- len.toLongOption; t <- ts.toLongOption) yield Entry(n, ln, t)
+        case Array(n, len, ts, r) if r.startsWith("R:") =>
+          for (ln <- len.toLongOption; t <- ts.toLongOption)
+            yield Entry(n, ln, t, r.drop(2).split(',').toSeq.filter(_.nonEmpty))
         case _ => None
       }
     }
@@ -156,7 +166,8 @@ object ScbfDiscovery {
     val tmp = new Path(d, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      (Header +: entries.map(e => s"${e.name}\t${e.len}\t${e.ts}"))
+      (Header +: entries.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
+        (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}")))
         .mkString("\n").getBytes(UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(d, name))) {

@@ -269,6 +269,20 @@ class ScbfMicroBatchStream(
     // age eviction, which needs a real listing to be safe — see below)
     val full = !useLog || triggerCount == 1L ||
       (reconcileEvery > 0 && triggerCount % reconcileEvery == 0)
+    // Rewrite transparency: an entry whose delta marks it the REWRITE
+    // of files this consumer has fully delivered (Entry.rewriteOf ⊆
+    // seen) carries only already-delivered rows — admit it with the
+    // SENTINEL length −1: it enters the seen set and the batch log
+    // like any file (so restarts replay the skip exactly), but
+    // planInputPartitions never opens it. A consumer that has NOT
+    // delivered every replaced file (fresh checkpoint, partial
+    // history) admits it normally — completeness beats dedup, the
+    // pre-transparency behavior.
+    def skipLen(rewriteOf: Seq[String], qualify: String => String,
+        seen: Map[String, Long], realLen: Long): Long =
+      if (rewriteOf.nonEmpty && rewriteOf.forall(r => seen.contains(qualify(r))))
+        -1L
+      else realLen
     val listed: Seq[(String, Long, Long)] =
       if (full) {
         // snapshot the delta names BEFORE listing: writers publish data
@@ -278,9 +292,30 @@ class ScbfMicroBatchStream(
         // read (and its already-listed files seen-filtered) next trigger
         val preDeltas = discoveryDir.filter(_ => useLog)
           .map(d => ScbfDiscovery.listDeltas(d, conf).toSet).getOrElse(Set.empty)
+        // rewrite markers from the live deltas (≤ the compaction bound
+        // of files, one small read each): listing triggers — baseline,
+        // reconcile, restart — must make the SAME skip decision the
+        // incremental path would, or a reconcile would re-deliver every
+        // rewritten file the log path just skipped
+        val rewriteMarks: Map[String, Seq[String]] = discoveryDir
+          .filter(_ => useLog).map { d =>
+            val qual = d.getFileSystem(conf).makeQualified(d)
+            preDeltas.toSeq.sorted.flatMap(n =>
+                ScbfDiscovery.readDelta(d, conf, n))
+              .filter(_.rewriteOf.nonEmpty)
+              .map(e => new Path(qual, e.name).toString ->
+                e.rewriteOf.map(r => new Path(qual, r).toString))
+              .toMap
+          }.getOrElse(Map.empty)
         val l = ScbfDataSource.resolveFiles(tablePaths, conf)
-          .map(f => (f.getPath.toString, f.getLen,
-            math.min(f.getModificationTime, tsCap)))
+          .map { f =>
+            val p = f.getPath.toString
+            val len = rewriteMarks.get(p) match {
+              case Some(reps) if reps.forall(seen.contains) => -1L
+              case _ => f.getLen
+            }
+            (p, len, math.min(f.getModificationTime, tsCap))
+          }
         consumedDeltas = preDeltas
         l
       } else {
@@ -292,7 +327,9 @@ class ScbfMicroBatchStream(
         val qual = d.getFileSystem(conf).makeQualified(d)
         val entries = freshDeltas
           .flatMap(n => ScbfDiscovery.readDelta(d, conf, n))
-          .map(e => (new Path(qual, e.name).toString, e.len, math.min(e.ts, tsCap)))
+          .map(e => (new Path(qual, e.name).toString,
+            skipLen(e.rewriteOf, r => new Path(qual, r).toString, seen, e.len),
+            math.min(e.ts, tsCap)))
         // prune to live log names so the set tracks the compacted log
         consumedDeltas = (consumedDeltas intersect current) ++ freshDeltas
         (pendingFromLog ++ entries).distinctBy(_._1)
@@ -395,7 +432,9 @@ class ScbfMicroBatchStream(
     // because every pushed filter remains residual in the query plan,
     // a skip decision that differs on replay (stats appeared/vanished)
     // only removes rows the filter would drop — results identical.
-    pruner.keepAll(((s + 1) to e).flatMap(readLog))(
+    // sentinel entries (length −1: rewrite files admitted as
+    // seen-without-delivery) are logged for replay but never planned
+    pruner.keepAll(((s + 1) to e).flatMap(readLog).filter(_._2 >= 0))(
         f => new Path(f._1), _._2)
       .map { case (p, len, _) => ScbfFilePartition(p, len): InputPartition }
       .toArray

@@ -263,9 +263,16 @@ class ScbfBatchWrite(
     // announce the published files to the streaming discovery log
     // (ScbfDiscovery): a full overwrite restarts the log (its previous
     // announcements describe replaced files), everything else appends.
-    // Best-effort by design — the data is already committed above.
+    // A SNAPSHOT-SCOPED rewrite (OPTIMIZE) announces its files with
+    // the replaced names attached (Entry.rewriteOf) — their content is
+    // the snapshot's surviving rows, so a log-path streaming consumer
+    // that already delivered every replaced file marks them seen
+    // WITHOUT re-delivering (maintenance becomes invisible to the
+    // stream). Best-effort by design — the data is committed above.
     val now = System.currentTimeMillis()
-    val announced = entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now))
+    val rewriteOf = replaceOnly.fold(Seq.empty[String])(_.toSeq.sorted)
+    val announced =
+      entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf))
     if (truncate && replaceOnly.isEmpty)
       ScbfDiscovery.reset(new Path(dir), conf.value, announced)
     else ScbfDiscovery.append(new Path(dir), conf.value, announced)
