@@ -238,10 +238,21 @@ class ScbfTable(
     replaceOnly.foreach(_.foreach(n => require(
       n.matches("[A-Za-z0-9._-]+"),
       s"replaceFileNames entry must match [A-Za-z0-9._-]+, got '$n'")))
+    // announce-only rewrite marking for appends that REPLACE files the
+    // caller deletes itself (DELETE/UPDATE's rewrite rounds): the
+    // published files' discovery entries carry these names as
+    // Entry.rewriteOf so log-path streams treat them as rewrites, but
+    // nothing here deletes anything — deletion stays with the caller
+    val rewriteOf = Option(info.options.get("rewriteOfNames"))
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    rewriteOf.foreach(n => require(
+      n.matches("[A-Za-z0-9._-]+"),
+      s"rewriteOfNames entry must match [A-Za-z0-9._-]+, got '$n'"))
     // identity-transform partition columns route rows to col=value/
     // subdirectories (ScbfPartitions); validated against the WRITE
     // schema so a bad DDL fails here, not per-task
     val partCols = ScbfPartitions.partitionCols(partitionTransforms, info.schema())
-    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols)
+    new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols,
+      rewriteOf)
   }
 }

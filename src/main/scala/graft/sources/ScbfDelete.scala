@@ -194,8 +194,16 @@ object ScbfDelete {
         .load(affected.map(_.getPath.toString): _*)
       // the connector's own append path: task-commit publish, sidecars,
       // manifest merge — a failure here aborts with originals untouched
+      // announce the replacements as rewrites of the affected names:
+      // a caught-up log-path stream skips them (their rows are a
+      // subset of what it already delivered — an append-only stream
+      // cannot retract deletions anyway), a fresh consumer delivers
+      // them normally. Partitioned deletes announce bare names the
+      // stream can't match — skip degrades to delivery, never loss.
       rewrite(src, cond).write.format("scbf").mode("append")
-        .option("filePrefix", prefix).save(dir)
+        .option("filePrefix", prefix)
+        .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
+        .save(dir)
       removeOriginals(dir, conf, affected)
     }
   }

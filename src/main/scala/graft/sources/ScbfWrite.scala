@@ -36,7 +36,7 @@ import graft.scbf._
 class ScbfWriteBuilder(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsOverwrite {
 
   private var doTruncate = false
@@ -52,7 +52,7 @@ class ScbfWriteBuilder(
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
-        partitionCols)
+        partitionCols, rewriteOf)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
@@ -156,7 +156,7 @@ class ScbfBatchWrite(
     dir: String, schema: StructType, truncate: Boolean,
     conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty, rewriteOfNames: Seq[String] = Seq.empty)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -270,7 +270,9 @@ class ScbfBatchWrite(
     // WITHOUT re-delivering (maintenance becomes invisible to the
     // stream). Best-effort by design — the data is committed above.
     val now = System.currentTimeMillis()
-    val rewriteOf = replaceOnly.fold(Seq.empty[String])(_.toSeq.sorted)
+    // snapshot rewrites mark with the snapshot; DELETE/UPDATE appends
+    // mark with the caller-supplied rewriteOfNames (announce-only)
+    val rewriteOf = replaceOnly.fold(rewriteOfNames.sorted)(_.toSeq.sorted)
     val announced =
       entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf))
     if (truncate && replaceOnly.isEmpty)

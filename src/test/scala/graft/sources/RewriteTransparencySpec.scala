@@ -107,6 +107,34 @@ class RewriteTransparencySpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("a DELETE's replacement files are also invisible to a caught-up consumer") {
+    val dir = Files.createTempDirectory("scbf-rw-del").toString
+    val ckpt = Files.createTempDirectory("scbf-rw-del-ckpt").toString
+    writeBatch(dir, 0 until 10)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = startCollector(dir, ckpt, seen)
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.sorted == (0 until 10))
+      // DELETE rewrites the affected files through the append path with
+      // rewriteOfNames — survivors are a SUBSET of delivered rows, and
+      // an append-only stream cannot retract deletions anyway
+      ScbfDelete.deleteWhere(spark, dir,
+        spark.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.LessThan("id", 3)))
+      q.processAllAvailable()
+      assert(seen.flatten.size == 10,
+        s"the delete's replacement files re-delivered rows: $seen")
+      // the table itself reflects the delete for batch readers
+      val left = spark.read.format("scbf").load(dir)
+        .select("id").as[Int].collect().sorted
+      assert(left.toSeq == (3 until 10), s"table after delete: ${left.toSeq}")
+      writeBatch(dir, 10 until 12)
+      q.processAllAvailable()
+      assert(seen.flatten.sorted == (0 until 12), s"post-delete append: $seen")
+    } finally q.stop()
+  }
+
   test("rewriteOf entries round-trip the delta format and compaction") {
     val dir = Files.createTempDirectory("scbf-rw-fmt").toString
     val conf = new org.apache.hadoop.conf.Configuration()
