@@ -135,6 +135,34 @@ class RewriteTransparencySpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("UPDATE is stream-invisible too: the no-CDC contract, pinned") {
+    // an append-only stream can express neither retraction nor
+    // modification; re-delivering an UPDATE's rewritten files (what a
+    // plain file stream would do) duplicates every unmodified row and
+    // interleaves old/new values — strictly worse than the skip. The
+    // contract: maintenance/DELETE/UPDATE are invisible to caught-up
+    // streams; updated values reach batch readers and FRESH streams.
+    val dir = Files.createTempDirectory("scbf-rw-upd").toString
+    val ckpt = Files.createTempDirectory("scbf-rw-upd-ckpt").toString
+    writeBatch(dir, 0 until 10)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = startCollector(dir, ckpt, seen)
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.sorted == (0 until 10))
+      ScbfDelete.updateWhere(spark, dir,
+        spark.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.LessThan("id", 3)),
+        Map("v" -> lit(-1.0)))
+      q.processAllAvailable()
+      assert(seen.flatten.size == 10,
+        s"the update's replacement files re-delivered rows: $seen")
+      val updated = spark.read.format("scbf").load(dir)
+        .filter(col("v") === -1.0).select("id").as[Int].collect().sorted
+      assert(updated.toSeq == (0 until 3), s"batch view after update: ${updated.toSeq}")
+    } finally q.stop()
+  }
+
   test("rewriteOf entries round-trip the delta format and compaction") {
     val dir = Files.createTempDirectory("scbf-rw-fmt").toString
     val conf = new org.apache.hadoop.conf.Configuration()
