@@ -36,6 +36,19 @@ object GraftConf {
    * trade: fingerprint density 2/(W+1), exactness guarantee covers
    * spans ≥ DupSpanTokens + W − 1. */
   val WinnowW = "graft.winnow.window"
+  /** Hash family for the span/near-dup kernels whose hash VALUES (not
+   * just equality) drive selection — d22's winnow argmin, the d3/d10
+   * SimHash bit pattern, and the span streaming twins. `md5`
+   * (default) is the oracle-parity family: DuckDB replicates the
+   * exact values, so the correctness gate can pin selection
+   * bit-for-bit. `xxhash64` is the production family — the same plan,
+   * same guarantees (winnowing density/exactness, SimHash locality
+   * are hash-agnostic), but one long-mix per token instead of a
+   * cryptographic digest per window, the dominant map-side cost of a
+   * 100 TB span-dedup pass. Oracle comparison is only valid under
+   * `md5`; [[requireOracleConsistency]] enforces engine/oracle
+   * agreement on the knob. */
+  val SpanHash = "graft.span.hash"
 
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)
@@ -44,10 +57,28 @@ object GraftConf {
   def int(key: String, dflt: Int): Int =
     sys.props.get(key).fold(dflt)(_.trim.toInt)
 
+  def str(s: SparkSession, key: String, dflt: String): String =
+    s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim)
+
+  /** Session-less resolution (oracle generation / streaming twins). */
+  def str(key: String, dflt: String): String =
+    sys.props.get(key).fold(dflt)(_.trim)
+
+  /** The resolved span-hash family, validated. */
+  def spanHash(s: SparkSession): String = {
+    val v = str(s, SpanHash, "md5")
+    require(v == "md5" || v == "xxhash64",
+      s"$SpanHash must be md5 or xxhash64, got $v")
+    v
+  }
+
   /** All knob keys, for divergence auditing. */
   val Keys: Seq[(String, Int)] = Seq(
     AnnKCells -> 16, LshBits -> 10, LshD8Bits -> 12, MixtureBudget -> 400,
     MinHashHashes -> 48, MinHashBands -> 24, WinnowW -> 4)
+
+  /** String-valued knob keys, same auditing contract as [[Keys]]. */
+  val StrKeys: Seq[(String, String)] = Seq(SpanHash -> "md5")
 
   /** Fail fast when a session-conf override diverges from what oracle
    * generation will see (the system property / default): the engine
@@ -55,7 +86,7 @@ object GraftConf {
    * oracle computes under another, and the gate run fails confusingly
    * far from the cause. Called by Verify before running any query;
    * harmless for engine-only use (no oracle in play → don't call). */
-  def requireOracleConsistency(s: SparkSession): Unit =
+  def requireOracleConsistency(s: SparkSession): Unit = {
     Keys.foreach { case (key, dflt) =>
       s.conf.getOption(key).foreach { sess =>
         val oracleSide = int(key, dflt)
@@ -65,4 +96,19 @@ object GraftConf {
             "PROPERTY to move engine and oracle together")
       }
     }
+    StrKeys.foreach { case (key, dflt) =>
+      s.conf.getOption(key).foreach { sess =>
+        val oracleSide = str(key, dflt)
+        require(sess.trim == oracleSide,
+          s"knob $key: session conf says ${sess.trim} but oracle generation " +
+            s"resolves $oracleSide (system property/default) — set the SYSTEM " +
+            "PROPERTY to move engine and oracle together")
+      }
+    }
+    // the oracle can only replicate md5-family selection: a gate run
+    // under xxhash64 would fail far from the cause, so fail it here
+    require(spanHash(s) == "md5",
+      s"$SpanHash=${spanHash(s)}: oracle comparison requires the md5 " +
+        "family (DuckDB cannot replicate xxhash64 selection)")
+  }
 }

@@ -132,8 +132,9 @@ object GraftFunctions {
   def rollingHash(tokens: Column): Column =
     column(RollingHash(expression(tokens)))
 
-  def winnowFingerprints(tokens: Column, spanTokens: Int, winnowW: Int): Column =
-    column(WinnowFingerprints(expression(tokens), spanTokens, winnowW))
+  def winnowFingerprints(tokens: Column, spanTokens: Int, winnowW: Int,
+      hashAlgo: String = "md5"): Column =
+    column(WinnowFingerprints(expression(tokens), spanTokens, winnowW, hashAlgo))
 
   def tokenWindowHashes(tokens: Column, spanTokens: Int): Column =
     column(TokenWindowHashes(expression(tokens), spanTokens))
@@ -172,9 +173,12 @@ object GraftFunctions {
       SimHashSketch(args.head, args(1)) // raw aggregate, as minhash_sketch
     }),
     ("winnow_fingerprints", WinnowFingerprints.info, { args: Seq[Expression] =>
-      require(args.length == 3,
-        s"winnow_fingerprints expects 3 arguments (tokens, spanTokens, winnowW), got ${args.length}")
-      WinnowFingerprints(args.head, intLit(args(1), "spanTokens"), intLit(args(2), "winnowW"))
+      require(args.length == 3 || args.length == 4,
+        s"winnow_fingerprints expects 3 or 4 arguments " +
+          s"(tokens, spanTokens, winnowW[, hashAlgo]), got ${args.length}")
+      val algo = if (args.length == 4) strLit(args(3), "hashAlgo") else "md5"
+      WinnowFingerprints(args.head, intLit(args(1), "spanTokens"),
+        intLit(args(2), "winnowW"), algo)
     }),
     ("token_window_hashes", TokenWindowHashes.info, { args: Seq[Expression] =>
       require(args.length == 2,
@@ -186,6 +190,13 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
   }
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session (a

@@ -67,6 +67,26 @@ object TokenWindowHashes {
 
   private val Seed = 42L // xxhash64's fixed seed
 
+  /** xxhash64(token) — the per-token half of the window-key
+   * convention, shared with [[WinnowFingerprints]]'s xxhash64 family
+   * so d22-under-xxhash64 fingerprints ARE a winnowed subset of d16's
+   * window keys by construction. */
+  def tokenHash(b: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+
+  /** Window key at start `i` over the per-token hashes: seed-chained
+   * long mixes, the multi-argument `xxhash64(th_i, …, th_{i+L−1})`
+   * fold. */
+  def windowKey(th: Array[Long], i: Int, spanTokens: Int): Long = {
+    var h = Seed
+    var k = 0
+    while (k < spanTokens) {
+      h = XXH64.hashLong(th(i + k), h)
+      k += 1
+    }
+    h
+  }
+
   def compute(arr: ArrayData, spanTokens: Int): ArrayData = {
     val n = arr.numElements()
     val nWin = n - spanTokens + 1
@@ -78,22 +98,13 @@ object TokenWindowHashes {
       if (arr.isNullAt(i))
         throw new IllegalArgumentException(
           s"null token at index $i in token_window_hashes input")
-      val b = arr.getUTF8String(i).getBytes
-      th(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+      th(i) = tokenHash(arr.getUTF8String(i).getBytes)
       i += 1
     }
-    // per-window key — xxhash64(th(i), …, th(i+L−1)): seed-chained
-    // long mixes, the multi-argument xxhash64 fold
     val out = new Array[Long](nWin)
     i = 0
     while (i < nWin) {
-      var h = Seed
-      var k = 0
-      while (k < spanTokens) {
-        h = XXH64.hashLong(th(i + k), h)
-        k += 1
-      }
-      out(i) = h
+      out(i) = windowKey(th, i, spanTokens)
       i += 1
     }
     new GenericArrayData(out)

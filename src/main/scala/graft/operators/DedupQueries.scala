@@ -97,18 +97,31 @@ object DedupQueries {
        |sigs AS (SELECT doc_id, $recombine AS simhash FROM bits)""".stripMargin
   }
 
-  /** 64-bit md5-derived SimHash per corpus doc — shared by d3 (the
-   * signature surface) and d10 (near-dup pairs over the signatures).
-   * The token hash is taken as two 32-bit md5 halves (bits 32-63 from
-   * hex chars 1-8, bits 0-31 from chars 9-16) so no per-token value
-   * ever exceeds the signed-BIGINT range in either engine; see
-   * SimhashSigsSql for the bit-63 recombination. */
+  /** 64-bit SimHash per corpus doc — shared by d3 (the signature
+   * surface) and d10 (near-dup pairs over the signatures). The token
+   * hash family is the graft.span.hash knob: md5 (default — taken as
+   * two 32-bit md5 halves, bits 32-63 from hex chars 1-8, bits 0-31
+   * from chars 9-16, so no per-token value ever exceeds the
+   * signed-BIGINT range in either engine; see SimhashSigsSql for the
+   * bit-63 recombination) replicates in the DuckDB oracle, which the
+   * gate needs because SimHash bit VALUES drive the signature;
+   * xxhash64 (production — the two halves of one xxhash64(t)) keeps
+   * the locality property with one long-mix per token instead of a
+   * digest + two hex parses, the per-token map-side cost at
+   * 100 TB. */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val (hiExpr, loExpr) =
+      if (GraftConf.spanHash(s) == "md5")
+        ("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)",
+          "CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)")
+      else
+        ("shiftrightunsigned(xxhash64(t), 32)",
+          "xxhash64(t) & 4294967295")
     val tok = corpus(s, dir)
       .repartition(spread(s), col("doc_id")) // single-file input: spread the hash work
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("hv_hi", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("hv_lo", expr("CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)"))
+      .withColumn("hv_hi", expr(hiExpr))
+      .withColumn("hv_lo", expr(loExpr))
     // all 64 bit-sums + the sign recombination in ONE
     // TypedImperativeAggregate (bit-identical to 64 separate
     // sum(when(...)) aggs — whose 64-slot HashAggregate janino compile
@@ -146,7 +159,7 @@ object DedupQueries {
    * the graft.winnow.window knob (GraftConf: system property moves
    * engine AND oracle together; requireOracleConsistency guards
    * divergence). */
-  private[operators] val WinnowWindow = 4
+  private[graft] val WinnowWindow = 4
 
   /** The knob-resolved winnow window for the ORACLE side (session-less
    * system-property resolution — the GraftConf contract). */
@@ -590,9 +603,11 @@ object DedupQueries {
 
   /** The d10 pair graph (doc_a, doc_b, hamming), staged once per
    * (session, sfDir): consumed by the d10 pair report, d13's
-   * clustering, and the d18 agreement report. */
+   * clustering, and the d18 agreement report. The staging key carries
+   * the resolved hash family — a knob change must never be served a
+   * graph staged under the other family (the d2/d8 staging rule). */
   private[operators] def d10Pairs(s: SparkSession, dir: String): DataFrame =
-    Ops.staged(s, dir, "d10_pairs")(d10PairsPlan(s, dir))
+    Ops.staged(s, dir, s"d10_pairs_${GraftConf.spanHash(s)}")(d10PairsPlan(s, dir))
 
   /** d8's hyperplane-LSH pair pipeline, unstaged (see [[d8Pairs]]).
    * Candidate generation via d6's hyperplane sign buckets (4 tables ×
@@ -905,16 +920,19 @@ object DedupQueries {
     // reference implementation). Selection is ARRAY-DOMAIN (transform /
     // array_min / array_position on the per-doc hash array): no window
     // function, no per-doc shuffle — the only shuffled relation is the
-    // ~2/(W+1)-density fingerprint set. Window hashes are md5-derived
-    // (the d2/d5 convention) because SELECTION must be bit-identical in
-    // the DuckDB oracle; a production deployment would swap xxhash64
-    // into the same plan. Spans group selected duplicated fingerprints
+    // ~2/(W+1)-density fingerprint set. Window hashes come from the
+    // graft.span.hash knob: md5 (default) because SELECTION must be
+    // bit-identical in the DuckDB oracle; xxhash64 is the production
+    // family — same plan, same winnowing guarantees, one long-mix per
+    // token instead of a digest per window (the dominant map-side cost
+    // at 100 TB). Spans group selected duplicated fingerprints
     // ≤ W apart (winnowing guarantees one selection per W window
     // starts, so one duplicated span's fingerprints can never sit
     // further than W apart).
     "d22_winnowed_spans" -> { (s, dir) =>
       val L = DupSpanTokens
       val W = GraftConf.int(s, GraftConf.WinnowW, WinnowWindow)
+      val algo = GraftConf.spanHash(s)
       // hashing + selection fused into ONE codegen expression
       // (functions.WinnowFingerprints — the RollingHash rationale: the
       // HOF spelling ran interpreted, building a window string, an md5
@@ -926,7 +944,7 @@ object DedupQueries {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), explode(
-          graft.functions.GraftFunctions.winnowFingerprints(col("w"), L, W)).as("f"))
+          graft.functions.GraftFunctions.winnowFingerprints(col("w"), L, W, algo)).as("f"))
         .select(col("doc_id"), col("f.idx").as("idx"), col("f.h").as("h"))
       // dup marker: ONE row per duplicated fingerprint hash (the d14
       // skew lesson — hot boilerplate meets a one-row marker, linear)

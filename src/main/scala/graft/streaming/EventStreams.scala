@@ -430,6 +430,19 @@ object EventStreams {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** The window hash of a single L-token window string under the
+   * graft.span.hash knob — md5's 60-bit convention or the d16/d22
+   * xxhash64 per-token fold (shared [[graft.functions.TokenWindowHashes]]
+   * helpers, so stream keys equal batch fingerprint hashes under
+   * either family). */
+  private[streaming] def windowHash(algo: String)(win: String): Long =
+    if (algo == "md5") md5Hash60(win)
+    else {
+      val th = win.split(" ").map(t => graft.functions.TokenWindowHashes
+        .tokenHash(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      graft.functions.TokenWindowHashes.windowKey(th, 0, th.length)
+    }
+
   /** d22's streaming twin: WINNOWED duplicated-fingerprint detection
    * at ingest. Winnowing runs per doc inside the flatMap — the
    * streaming rendering of batch d22's array-domain selection: in
@@ -444,33 +457,32 @@ object EventStreams {
    * spec pins the single-batch gap-W island composition span-for-span
    * to batch d22. */
   def winnowedSpanDedup(docs: Dataset[Doc], spanTokens: Int = 8,
-      winnowW: Int = 4, watermark: String = "1 hour"): Dataset[SpanDup] = {
+      winnowW: Int = 4, watermark: String = "1 hour",
+      hashAlgo: String = graft.GraftConf.str(graft.GraftConf.SpanHash, "md5"))
+      : Dataset[SpanDup] = {
+    require(hashAlgo == "md5" || hashAlgo == "xxhash64",
+      s"hashAlgo must be md5 or xxhash64, got $hashAlgo")
     implicit val rowEnc = Encoders.product[WindowRow]
     val rows = docs.flatMap { d =>
       val w = d.text.split(" ")
       if (w.length < spanTokens) Iterator.empty
       else {
-        val wins = Array.tabulate(w.length - spanTokens + 1)(
-          i => w.slice(i, i + spanTokens).mkString(" "))
-        val th = wins.map(md5Hash60)
-        // winnow: argmin (leftmost) of each W-window of hashes; short
-        // docs (fewer windows than W) winnow their single partial
-        // window — batch d22's greatest(size−W, 0) edge, exactly
-        val lastStart = math.max(th.length - winnowW, 0)
-        val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
-        var j = 0
-        while (j <= lastStart) {
-          val end = math.min(j + winnowW, th.length)
-          var best = j
-          var k = j + 1
-          while (k < end) { if (th(k) < th(best)) best = k; k += 1 }
-          sel += best
-          j += 1
-        }
-        sel.iterator.map(i => WindowRow(d.ts, d.docId, i, wins(i)))
+        // window hashing + winnow selection are the SHARED batch-kernel
+        // helpers (functions.WinnowFingerprints): same hash family,
+        // same O(nWin) monotonic-deque argmin, same leftmost-on-ties
+        // rule and same truncated-single-run edge for docs with fewer
+        // windows than W — the stream selects exactly the positions
+        // batch d22 selects, under either knob value, by construction.
+        val toks = w.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val th = graft.functions.WinnowFingerprints
+          .hashWindows(toks, spanTokens, hashAlgo)
+        val selected = graft.functions.WinnowFingerprints
+          .winnowSelect(th, winnowW)
+        Iterator.range(0, th.length).filter(selected(_)).map(
+          i => WindowRow(d.ts, d.docId, i, w.slice(i, i + spanTokens).mkString(" ")))
       }
     }.withWatermark("ts", watermark)
-    dupDetect(rows)(r => md5Hash60(r.win))
+    dupDetect(rows)(r => windowHash(hashAlgo)(r.win))
   }
 
   /** Per-row Scala spelling of batch t13's signal stage (t1 language

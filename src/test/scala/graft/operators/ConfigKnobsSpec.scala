@@ -123,6 +123,42 @@ class ConfigKnobsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d3/d10 under the xxhash64 span-hash family: exact-duplicate pairs survive, staging re-keys") {
+    // identical texts hash to identical SimHash signatures under ANY
+    // token-hash family (hamming 0), so the exact-duplicate pair set is
+    // a family-invariant floor under d10's hamming ≤ 3 cut
+    val txt = DedupQueries.corpus(spark, sf).collect()
+      .map(r => r.getAs[Number]("doc_id").longValue -> r.getString(1))
+    val dupPairs = txt.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    assert(dupPairs.nonEmpty, "fixture needs exact duplicates")
+    def pairs(): Set[(Long, Long)] =
+      SparkEntry.queries("d10_simhash_neardup")(spark, sf).collect()
+        .map(r => (r.getAs[Number]("doc_a").longValue,
+          r.getAs[Number]("doc_b").longValue)).toSet
+    val underMd5 = pairs()
+    spark.conf.set(GraftConf.SpanHash, "xxhash64")
+    val underXx = try pairs() finally spark.conf.unset(GraftConf.SpanHash)
+    assert(dupPairs.subsetOf(underMd5), "md5 family lost exact duplicates")
+    assert(dupPairs.subsetOf(underXx),
+      s"xxhash64 family lost exact duplicates: ${(dupPairs -- underXx).take(3)}")
+    // and the signatures really moved (different family, different
+    // near-miss frontier) — proving the knob reached the engine and the
+    // staged graph re-keyed instead of serving the md5 build
+    val sigMd5 = SparkEntry.queries("d3_simhash")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue, r.getAs[Long]("simhash"))).toMap
+    spark.conf.set(GraftConf.SpanHash, "xxhash64")
+    val sigXx = try {
+      SparkEntry.queries("d3_simhash")(spark, sf).collect()
+        .map(r => (r.getAs[Number]("doc_id").longValue, r.getAs[Long]("simhash"))).toMap
+    } finally spark.conf.unset(GraftConf.SpanHash)
+    assert(sigMd5.keySet == sigXx.keySet)
+    assert(sigMd5.exists { case (id, s) => sigXx(id) != s },
+      "xxhash64 family produced identical signatures — knob not reaching the hash stage")
+  }
+
   test("d11 kCells knob reaches the trained index and its oracle") {
     withProp(GraftConf.AnnKCells, "8") {
       assert(DedupQueries.oracles("d11_ann_ivf").contains("cell < 8"))

@@ -97,6 +97,42 @@ class WinnowedSpanStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("xxhash64 family: stream and batch still agree span-for-span") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val L = graft.operators.DedupQueries.DupSpanTokens
+    val W = 4
+    val docs = graft.operators.DedupQueries.corpus(spark, sf)
+      .as[(Long, String)].collect()
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.winnowedSpanDedup(input.toDS(), spanTokens = L,
+        winnowW = W, hashAlgo = "xxhash64")
+      .writeStream.format("memory").queryName("wsd_xx").outputMode("append").start()
+    try {
+      input.addData(docs.map { case (id, t) => EventStreams.Doc(ts(0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wsd_xx").as[EventStreams.SpanDup].collect()
+        .groupBy(_.docId).flatMap { case (doc, ds) =>
+          val idxs = ds.map(_.idx).distinct.sorted
+          val runs = idxs.foldLeft(List.empty[List[Int]]) {
+            case (cur :: rest, i) if i - cur.head <= W => (i :: cur) :: rest
+            case (acc, i) => List(i) :: acc
+          }
+          runs.map(r =>
+            (doc, r.last.toLong, (r.head + L - 1).toLong, r.length.toLong))
+        }.toSet
+      spark.conf.set(graft.GraftConf.SpanHash, "xxhash64")
+      val batch = try {
+        graft.SparkEntry.queries("d22_winnowed_spans")(spark, sf)
+          .collect().map(r => (r.getAs[Number]("doc_id").longValue,
+            r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+            r.getAs[Long]("n_fingerprints"))).toSet
+      } finally spark.conf.unset(graft.GraftConf.SpanHash)
+      assert(streamed == batch,
+        s"stream-batch: ${(streamed -- batch).take(3)}; batch-stream: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("a cross-batch duplicated fingerprint retroactively emits the first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Doc]

@@ -8,7 +8,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_pricing_summary", "q5_multi_join", "q21_asof_join", "t3_token_stats", "d1_dedup_exact")) {
+    for (q <- Seq("q1_pricing_summary", "q5_multi_join", "q21_asof_join", "t3_token_count", "d1_dedup_exact")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val broadcasts = "BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).size
       val smj = "SortMergeJoin".r.findAllIn(plan).size
