@@ -184,8 +184,14 @@ class ScbfTable(
     // (0 = never; 1 = list every trigger, i.e. disable the log path)
     val reconcileEvery = Option(options.get("reconcileEvery")).map(_.toInt)
       .getOrElse(ScbfMicroBatchStream.DefaultReconcileEvery)
+    // what a caught-up stream does with DELETE/UPDATE replacement
+    // files: skip (default, no-CDC) | deliver | fail — see
+    // ScbfMicroBatchStream.DefaultOnChangeCommit
+    val onChangeCommit = Option(options.get("onChangeCommit"))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse(ScbfMicroBatchStream.DefaultOnChangeCommit)
     new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
-      maxFileAge, aggPushdown, reconcileEvery)
+      maxFileAge, aggPushdown, reconcileEvery, onChangeCommit)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -194,12 +194,17 @@ object ScbfDelete {
         .load(affected.map(_.getPath.toString): _*)
       // the connector's own append path: task-commit publish, sidecars,
       // manifest merge — a failure here aborts with originals untouched
-      // announce the replacements as rewrites of the affected names:
-      // a caught-up log-path stream skips them (their rows are a
+      // announce the replacements as rewrites of the affected names,
+      // tagged row-changing (C:1): by default a caught-up log-path
+      // stream skips them with a logged warning (their rows are a
       // subset of what it already delivered — an append-only stream
-      // cannot retract deletions anyway), a fresh consumer delivers
-      // them normally. Partitioned deletes announce bare names the
-      // stream can't match — skip degrades to delivery, never loss.
+      // cannot retract deletions anyway), but the reader's
+      // onChangeCommit option can deliver them (surviving rows
+      // re-deliver, changed values reach the stream) or fail the
+      // stream loudly (Delta's default for change commits). A fresh
+      // consumer delivers them normally under any policy. Partitioned
+      // deletes announce bare names the stream can't match — skip
+      // degrades to delivery, never loss.
       rewrite(src, cond).write.format("scbf").mode("append")
         .option("filePrefix", prefix)
         .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))

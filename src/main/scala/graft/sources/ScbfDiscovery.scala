@@ -59,6 +59,17 @@ import org.apache.hadoop.fs.Path
 object ScbfDiscovery {
 
   val DirName = ".scbf.discovery"
+
+  /** Format evolution rule: a delta line is `name\tlen\tmtime` plus
+   * zero or more TAGGED trailing fields (`R:<names>` today); readers
+   * MUST accept any line with ≥3 parseable leading fields and ignore
+   * unrecognized trailing tags, so adding a tag is compatible in both
+   * directions (an old reader sees the file, just not the tag's
+   * refinement — for `R:` that means a rewrite output is treated as a
+   * plain new file, the pre-tag behavior). The header version bumps
+   * ONLY on changes that break the first three fields; version-2
+   * deltas would be skipped whole by this reader (→ reconcile catches
+   * the files, the documented degraded mode). */
   private val Header = "discovery\t1"
 
   /** Delta-file count that triggers an appender-side fold. */
@@ -70,9 +81,15 @@ object ScbfDiscovery {
    * exactly those files' surviving rows, so a streaming consumer that
    * has already delivered every replaced file may admit this one as
    * seen-without-delivery — rewrites become invisible to log-path
-   * streams instead of re-delivering old rows. */
+   * streams instead of re-delivering old rows. `rowsChanged` (the
+   * `C:1` tag) marks a rewrite whose rows DIFFER from the replaced
+   * files' (DELETE/UPDATE replacements; false for pure compaction —
+   * OPTIMIZE/cluster): the reader's `onChangeCommit` policy keys on
+   * it, Delta's dataChange distinction. Readers that predate the tag
+   * ignore it (the format evolution rule) and treat every covered
+   * rewrite as skippable — the pre-tag contract. */
   final case class Entry(name: String, len: Long, ts: Long,
-      rewriteOf: Seq[String] = Nil)
+      rewriteOf: Seq[String] = Nil, rowsChanged: Boolean = false)
 
   // test hooks, PlanningScale-style: what did discovery actually cost?
   val deltaReads = new AtomicLong(0)
@@ -116,12 +133,18 @@ object ScbfDiscovery {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     if (!lines.headOption.contains(Header)) Seq.empty
     else lines.tail.flatMap { l =>
+      // ≥3 fields, unrecognized trailing tags ignored — the format
+      // evolution rule (see Header): dropping a line over an unknown
+      // tag would hide newly published files from a mixed-version
+      // incremental consumer until its next reconcile
       l.split('\t') match {
-        case Array(n, len, ts) =>
-          for (ln <- len.toLongOption; t <- ts.toLongOption) yield Entry(n, ln, t)
-        case Array(n, len, ts, r) if r.startsWith("R:") =>
-          for (ln <- len.toLongOption; t <- ts.toLongOption)
-            yield Entry(n, ln, t, r.drop(2).split(',').toSeq.filter(_.nonEmpty))
+        case a if a.length >= 3 =>
+          for (ln <- a(1).toLongOption; t <- a(2).toLongOption) yield {
+            val tags = a.iterator.drop(3).toSeq
+            val rewriteOf = tags.find(_.startsWith("R:"))
+              .map(_.drop(2).split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"))
+          }
         case _ => None
       }
     }
@@ -167,7 +190,8 @@ object ScbfDiscovery {
     val out = fs.create(tmp, true)
     try out.write(
       (Header +: entries.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
-        (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}")))
+        (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
+        (if (e.rowsChanged) "\tC:1" else "")))
         .mkString("\n").getBytes(UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(d, name))) {

@@ -140,24 +140,32 @@ object ScbfHistogram {
     }
     val sorted = pts.sortBy(_._1)
     val totalW = sorted.iterator.map(_._2).sum
-    val target = totalW / bins
     val out = Vector.newBuilder[Bin]
     var binLo = sorted.head._1
     var lastPos = sorted.head._1
-    var acc = 0.0
+    var cum = 0.0 // mass consumed through the last cut
+    var acc = 0.0 // mass accumulated since the last cut
     var ndvAcc = 0.0
-    var emitted = 0
+    var k = 1 // next cut index
+    // cut k lands where cumulative mass reaches k·totalW/bins — the
+    // thresholds come from the TOTAL, not from repeated target
+    // subtraction, so fp drift cannot suppress a cut and lump several
+    // targets into the final bin: exactly bins−1 cuts always fire
+    // (the last threshold sits a full target below totalW) and every
+    // bin holds totalW/bins of mass to ulp accuracy — the equi-height
+    // property FilterEstimation assumes when it weighs bins uniformly
     sorted.foreach { case (pos, w, nw) =>
       var remaining = w
       ndvAcc += nw
       lastPos = pos
       // a heavy point can span several output bins: emit point bins
       // until its remaining mass fits the current one
-      while (emitted < bins - 1 && acc + remaining >= target) {
-        val take = target - acc
+      while (k < bins && cum + acc + remaining >= k * totalW / bins) {
+        val take = math.max(k * totalW / bins - cum - acc, 0.0)
         remaining -= take
         out += Bin(binLo, pos, math.max(1L, math.round(ndvAcc)))
-        emitted += 1
+        cum = k * totalW / bins
+        k += 1
         binLo = pos
         acc = 0.0
         ndvAcc = 0.0
@@ -165,7 +173,7 @@ object ScbfHistogram {
       acc += remaining
     }
     out += Bin(binLo, lastPos, math.max(1L, math.round(math.max(ndvAcc, 1.0))))
-    Some(Hist(totalW / (emitted + 1), out.result()))
+    Some(Hist(totalW / bins, out.result()))
   }
 
   /** `height|lo:hi:ndv;lo:hi:ndv;…` — Double.toString round-trips
@@ -192,15 +200,26 @@ object ScbfHistogram {
 
   /** Deterministic stride sample for the writer: every k-th value of
    * the buffer (k = ⌈n/cap⌉), preserving first/last after sort is not
-   * needed — boundaries are percentile-accurate to ~n/cap rows. */
-  def sample(values: Array[Double], cap: Int = SampleCap): Array[Double] =
+   * needed — boundaries are percentile-accurate to ~n/cap rows.
+   * Accessor form so the writer samples straight off its typed column
+   * builders without materializing a full-width Double copy; this is
+   * THE stride-sampling definition (byte-identical streaming-replay
+   * sidecars depend on every caller agreeing on cap and stride
+   * arithmetic — do not re-implement it). */
+  def sample(n: Int, cap: Int = SampleCap)(get: Int => Double): Array[Double] = {
+    val stride = math.max(1, (n + cap - 1) / cap)
+    val out = new Array[Double]((n + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < n) { out(j) = get(i); j += 1; i += stride }
+    out
+  }
+
+  /** Array convenience overload of [[sample]]; returns the input
+   * unchanged when it already fits the cap. */
+  def sample(values: Array[Double], cap: Int): Array[Double] =
     if (values.length <= cap) values
-    else {
-      val stride = (values.length + cap - 1) / cap
-      val out = new Array[Double](values.length / stride + (if (values.length % stride == 0) 0 else 1))
-      var i = 0
-      var j = 0
-      while (i < values.length) { out(j) = values(i); j += 1; i += stride }
-      out
-    }
+    else sample(values.length, cap)(values(_))
+
+  def sample(values: Array[Double]): Array[Double] = sample(values, SampleCap)
 }

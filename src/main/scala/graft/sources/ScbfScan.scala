@@ -33,7 +33,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     tablePaths: Seq[String] = Seq.empty, maxFilesPerTrigger: Option[Int] = None,
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true,
-    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -130,7 +131,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
-      reconcileEvery)
+      reconcileEvery, onChangeCommit)
 }
 
 class ScbfScan(
@@ -146,7 +147,8 @@ class ScbfScan(
     aggregated: Option[ScbfAgg.Result] = None,
     limitRows: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -192,7 +194,7 @@ class ScbfScan(
     require(aggregated.isEmpty, "aggregate pushdown is batch-only")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
-      reconcileEvery)
+      reconcileEvery, onChangeCommit)
   }
 
   override def description(): String =

@@ -83,10 +83,14 @@ class ScbfMicroBatchStream(
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery)
-  extends MicroBatchStream with SupportsAdmissionControl {
+    reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with org.apache.spark.internal.Logging {
 
   require(tablePaths.nonEmpty, "SCBF streaming read requires a directory path")
+  require(Set("skip", "deliver", "fail").contains(onChangeCommit),
+    s"onChangeCommit must be skip, deliver or fail, got $onChangeCommit")
   maxFilesPerTrigger.foreach(n =>
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
   require(compactInterval > 0,
@@ -230,6 +234,58 @@ class ScbfMicroBatchStream(
       throw new ScbfFormatException(s"could not commit stream log file $name")
   }
 
+  /** Transitive rewrite coverage: a marked path (rewrite output) is
+   * COVERED — its content fully accounted for by this stream — when
+   * every name it replaces is already in the seen set or is itself a
+   * covered rewrite. The closure handles maintenance chains between
+   * two triggers (OPTIMIZE produces f, a DELETE then rewrites f: the
+   * DELETE's output is covered through the OPTIMIZE's, even though
+   * neither is in `seen` yet). Marks are bounded by the discovery
+   * log's compaction threshold, so the fixpoint is tiny. */
+  private def coveredRewrites(marks: Map[String, Seq[String]],
+      seen: Map[String, Long]): Set[String] = {
+    val covered = scala.collection.mutable.Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      marks.foreach { case (p, reps) =>
+        if (!covered.contains(p) &&
+            reps.forall(r => seen.contains(r) || covered.contains(r))) {
+          covered += p
+          changed = true
+        }
+      }
+    }
+    covered.toSet
+  }
+
+  /** Admission length for a COVERED rewrite under the onChangeCommit
+   * policy. Pure compaction (rowsChanged=false) always takes the −1
+   * sentinel — its rows are identical by construction, skipping can
+   * never hide data. A row-changing rewrite (DELETE/UPDATE
+   * replacement) skips with a warning (default: the pinned no-CDC
+   * contract, but now detectable in the logs), delivers (changed rows
+   * reach the stream, surviving rows re-deliver), or fails the stream
+   * loudly (Delta's default for change commits). */
+  private def coveredLen(path: String, realLen: Long, rowsChanged: Boolean): Long =
+    if (!rowsChanged) -1L
+    else onChangeCommit match {
+      case "deliver" => realLen
+      case "fail" => throw new ScbfFormatException(
+        s"onChangeCommit=fail: $path is a DELETE/UPDATE replacement of files " +
+          "this stream already delivered — the changed rows cannot reach an " +
+          "append-only stream without re-delivery. Restart from a fresh " +
+          "checkpoint for a complete view, or read with onChangeCommit=skip " +
+          "(default; hides the change) or onChangeCommit=deliver (admits the " +
+          "replacement, re-delivering its surviving rows).")
+      case _ =>
+        logWarning(s"onChangeCommit=skip: admitting $path seen-without-delivery — " +
+          "it rewrites already-delivered files with CHANGED rows (DELETE/UPDATE); " +
+          "downstream consumers will not observe the change (no-CDC contract). " +
+          "Read with onChangeCommit=deliver or =fail to surface changes.")
+        -1L
+    }
+
   override def initialOffset(): Offset = ScbfOffset(0L)
 
   /** Backfill throttling: with `maxFilesPerTrigger` set, a directory
@@ -270,19 +326,16 @@ class ScbfMicroBatchStream(
     val full = !useLog || triggerCount == 1L ||
       (reconcileEvery > 0 && triggerCount % reconcileEvery == 0)
     // Rewrite transparency: an entry whose delta marks it the REWRITE
-    // of files this consumer has fully delivered (Entry.rewriteOf ⊆
-    // seen) carries only already-delivered rows — admit it with the
-    // SENTINEL length −1: it enters the seen set and the batch log
-    // like any file (so restarts replay the skip exactly), but
-    // planInputPartitions never opens it. A consumer that has NOT
-    // delivered every replaced file (fresh checkpoint, partial
-    // history) admits it normally — completeness beats dedup, the
-    // pre-transparency behavior.
-    def skipLen(rewriteOf: Seq[String], qualify: String => String,
-        seen: Map[String, Long], realLen: Long): Long =
-      if (rewriteOf.nonEmpty && rewriteOf.forall(r => seen.contains(qualify(r))))
-        -1L
-      else realLen
+    // of files this consumer has fully accounted for (transitively —
+    // see coveredRewrites) carries only already-delivered rows — by
+    // default it is admitted with the SENTINEL length −1: it enters
+    // the seen set and the batch log like any file (so restarts
+    // replay the skip exactly), but planInputPartitions never opens
+    // it. Row-CHANGING rewrites (DELETE/UPDATE replacements) honor
+    // the onChangeCommit policy instead (coveredLen). A consumer that
+    // has NOT accounted for every replaced file (fresh checkpoint,
+    // partial history) admits the rewrite normally — completeness
+    // beats dedup, the pre-transparency behavior.
     val listed: Seq[(String, Long, Long)] =
       if (full) {
         // snapshot the delta names BEFORE listing: writers publish data
@@ -297,23 +350,24 @@ class ScbfMicroBatchStream(
         // reconcile, restart — must make the SAME skip decision the
         // incremental path would, or a reconcile would re-deliver every
         // rewritten file the log path just skipped
-        val rewriteMarks: Map[String, Seq[String]] = discoveryDir
+        val rewriteMarks: Map[String, (Seq[String], Boolean)] = discoveryDir
           .filter(_ => useLog).map { d =>
             val qual = d.getFileSystem(conf).makeQualified(d)
             preDeltas.toSeq.sorted.flatMap(n =>
                 ScbfDiscovery.readDelta(d, conf, n))
               .filter(_.rewriteOf.nonEmpty)
               .map(e => new Path(qual, e.name).toString ->
-                e.rewriteOf.map(r => new Path(qual, r).toString))
+                ((e.rewriteOf.map(r => new Path(qual, r).toString), e.rowsChanged)))
               .toMap
           }.getOrElse(Map.empty)
+        val covered = coveredRewrites(
+          rewriteMarks.map { case (p, (reps, _)) => p -> reps }, seen)
         val l = ScbfDataSource.resolveFiles(tablePaths, conf)
           .map { f =>
             val p = f.getPath.toString
-            val len = rewriteMarks.get(p) match {
-              case Some(reps) if reps.forall(seen.contains) => -1L
-              case _ => f.getLen
-            }
+            val len =
+              if (covered.contains(p)) coveredLen(p, f.getLen, rewriteMarks(p)._2)
+              else f.getLen
             (p, len, math.min(f.getModificationTime, tsCap))
           }
         consumedDeltas = preDeltas
@@ -325,14 +379,44 @@ class ScbfMicroBatchStream(
         // names are qualified against the table FS so they compare equal
         // to resolveFiles' listing paths (the seen-set's key domain)
         val qual = d.getFileSystem(conf).makeQualified(d)
-        val entries = freshDeltas
-          .flatMap(n => ScbfDiscovery.readDelta(d, conf, n))
-          .map(e => (new Path(qual, e.name).toString,
-            skipLen(e.rewriteOf, r => new Path(qual, r).toString, seen, e.len),
+        def qualify(n: String): String = new Path(qual, n).toString
+        val raw = freshDeltas.flatMap(n => ScbfDiscovery.readDelta(d, conf, n))
+        val marks = raw.filter(_.rewriteOf.nonEmpty)
+          .map(e => qualify(e.name) -> ((e.rewriteOf.map(qualify), e.rowsChanged)))
+          .toMap
+        // transitive coverage spans this trigger's own announcements
+        // too: a lagging consumer can pick up an OPTIMIZE output AND
+        // the later rewrite of that output in one trigger
+        val covered = coveredRewrites(
+          marks.map { case (p, (reps, _)) => p -> reps }, seen)
+        // Same-trigger rewrite preference (narrowing the documented
+        // single-rewriter hazard): a NOT-covered rewrite's replaced
+        // names that are only now being announced (or still sit in the
+        // pending tail) were never delivered, and maintenance has
+        // already deleted their data files. Deliver the rewrite — its
+        // content is exactly their surviving rows — and drop the
+        // replaced names from admission: delivering both would
+        // duplicate rows, and planning a deleted original fails the
+        // read.
+        val pendingNames = pendingFromLog.map(_._1).toSet
+        val freshNames = raw.map(e => qualify(e.name)).toSet
+        val replacedNow = marks.iterator
+          .filter { case (p, _) => !covered.contains(p) }
+          .flatMap(_._2._1)
+          .filter(p => (freshNames.contains(p) || pendingNames.contains(p)) &&
+            !seen.contains(p))
+          .toSet
+        val entries = raw.flatMap { e =>
+          val p = qualify(e.name)
+          if (replacedNow.contains(p)) None
+          else Some((p,
+            if (covered.contains(p)) coveredLen(p, e.len, e.rowsChanged) else e.len,
             math.min(e.ts, tsCap)))
+        }
         // prune to live log names so the set tracks the compacted log
         consumedDeltas = (consumedDeltas intersect current) ++ freshDeltas
-        (pendingFromLog ++ entries).distinctBy(_._1)
+        (pendingFromLog.filterNot(f => replacedNow.contains(f._1)) ++ entries)
+          .distinctBy(_._1)
       }
     // Age horizon rides the newest file timestamp OBSERVED SO FAR (the
     // max over the listing AND the admitted seen entries), not the
@@ -480,6 +564,20 @@ class ScbfMicroBatchStream(
 object ScbfMicroBatchStream {
   val DefaultCompactInterval = 10
   val CompactSuffix = ".compact"
+  /** What a caught-up stream does with a row-CHANGING rewrite
+   * (DELETE/UPDATE replacement — discovery `C:1` tag) whose replaced
+   * files it has fully delivered: `skip` (default — the pinned no-CDC
+   * contract: mark seen without delivery, so the stream stays
+   * duplicate-free but never sees the changed rows; logged per
+   * trigger so operators can detect hidden changes), `deliver`
+   * (admit the replacement normally: changed rows reach the stream at
+   * the cost of re-delivering every surviving row of the rewritten
+   * files), or `fail` (stop the stream loudly, Delta's default for
+   * change commits — restart from a fresh checkpoint for a complete
+   * view). Pure compaction (OPTIMIZE/cluster, no `C:1`) is always
+   * transparent regardless of this option: its rows are identical by
+   * construction. */
+  val DefaultOnChangeCommit = "skip"
   /** Every Nth trigger falls back to a full directory listing even when
    * the discovery log is active — the safety net for producers that
    * publish files without announcing them, and the only trigger kind

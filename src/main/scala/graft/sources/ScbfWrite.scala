@@ -271,10 +271,16 @@ class ScbfBatchWrite(
     // stream). Best-effort by design — the data is committed above.
     val now = System.currentTimeMillis()
     // snapshot rewrites mark with the snapshot; DELETE/UPDATE appends
-    // mark with the caller-supplied rewriteOfNames (announce-only)
+    // mark with the caller-supplied rewriteOfNames (announce-only).
+    // The two paths also carry Delta's dataChange distinction: a
+    // snapshot rewrite (OPTIMIZE/cluster) preserves rows exactly,
+    // while a rewriteOfNames append is a DELETE/UPDATE replacement —
+    // its rows differ, so the entry is tagged rowsChanged and the
+    // reader's onChangeCommit policy can see it
     val rewriteOf = replaceOnly.fold(rewriteOfNames.sorted)(_.toSeq.sorted)
+    val rowsChanged = replaceOnly.isEmpty && rewriteOf.nonEmpty
     val announced =
-      entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf))
+      entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf, rowsChanged))
     if (truncate && replaceOnly.isEmpty)
       ScbfDiscovery.reset(new Path(dir), conf.value, announced)
     else ScbfDiscovery.append(new Path(dir), conf.value, announced)
@@ -801,26 +807,20 @@ class ScbfDataWriter(
     val histBins = conf.getInt(ScbfHistogram.BinsKey, ScbfHistogram.DefaultBins)
     // stride-sample straight off the builders (no full-width Double
     // copy of a multi-MB buffer per column — only the ≤64Ki sample is
-    // ever materialized; deterministic, so streaming replays match)
-    def strided(n: Int)(get: Int => Double): Array[Double] = {
-      val stride = math.max(1, (n + ScbfHistogram.SampleCap - 1) / ScbfHistogram.SampleCap)
-      val out = new Array[Double]((n + stride - 1) / stride)
-      var i = 0
-      var j = 0
-      while (i < n) { out(j) = get(i); j += 1; i += stride }
-      out
-    }
+    // ever materialized; deterministic, so streaming replays match).
+    // ScbfHistogram.sample's accessor form IS the one stride-sampling
+    // definition — byte-identical replay sidecars depend on it.
     val hists =
       if (bufferedRows == 0 || histBins <= 0) Map.empty[String, ScbfHistogram.Hist]
       else schema.fields.map(_.name).zip(builders).flatMap {
         case (n, b: IntBuilder) if b.values.nonEmpty =>
           ScbfHistogram.fromValues(
-            strided(b.values.length)(b.values(_).toDouble),
+            ScbfHistogram.sample(b.values.length)(b.values(_).toDouble),
             b.values.length, histBins).map(n -> _)
         case (n, b: DoubleBuilder)
             if b.values.nonEmpty && !b.values.exists(_.isNaN) =>
           ScbfHistogram.fromValues(
-            strided(b.values.length)(b.values(_)),
+            ScbfHistogram.sample(b.values.length)(b.values(_)),
             b.values.length, histBins).map(n -> _)
         case _ => None
       }.toMap

@@ -115,6 +115,10 @@ class WinnowKnobSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("d22 under xxhash64: same plan shape, same span guarantees, oracle guard trips") {
+    // another suite may have .cache()d the default-knob d22 — that
+    // would collapse the md5 baseline plan to InMemoryRelation and
+    // poison the shape comparison
+    spark.sharedState.cacheManager.clearCache()
     val d16 = graft.SparkEntry.queries("d16_dup_spans")(spark, sf).cache()
     def planOps(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.collect { case p => p.getClass.getSimpleName }

@@ -163,18 +163,168 @@ class RewriteTransparencySpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("onChangeCommit=deliver: an UPDATE's replacement files DO reach a caught-up consumer") {
+    val dir = Files.createTempDirectory("scbf-rw-dlv").toString
+    val ckpt = Files.createTempDirectory("scbf-rw-dlv-ckpt").toString
+    writeBatch(dir, 0 until 10)
+    val seen = mutable.ArrayBuffer.empty[Seq[(Int, Double)]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", "0")
+      .option("onChangeCommit", "deliver")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id", "v").as[(Int, Double)].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.map(_._1).sorted == (0 until 10))
+      ScbfDelete.updateWhere(spark, dir,
+        spark.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.LessThan("id", 3)),
+        Map("v" -> lit(-1.0)))
+      q.processAllAvailable()
+      // the replacement files re-deliver: every surviving row of the
+      // rewritten files arrives again, updated values included — the
+      // duplicates are the documented price of seeing changes
+      val post = seen.flatten
+      assert(post.count { case (_, v) => v == -1.0 } == 3,
+        s"updated values must reach the stream under deliver: $post")
+      assert(post.map(_._1).size > 10, "replacement rows re-delivered")
+    } finally q.stop()
+  }
+
+  test("onChangeCommit=fail: an UPDATE stops a caught-up consumer loudly; OPTIMIZE does not") {
+    val dir = Files.createTempDirectory("scbf-rw-fail").toString
+    val ckpt = Files.createTempDirectory("scbf-rw-fail-ckpt").toString
+    writeBatch(dir, 0 until 10)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", "0")
+      .option("onChangeCommit", "fail")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.sorted == (0 until 10))
+      // pure compaction carries no C:1 tag — always transparent, the
+      // fail policy must not trip on it
+      ScbfMaintenance.cluster(spark, dir, Seq("id"), 1)
+      q.processAllAvailable()
+      assert(seen.flatten.size == 10, s"OPTIMIZE must stay invisible under fail: $seen")
+      // a row-changing rewrite fails the stream with guidance
+      ScbfDelete.updateWhere(spark, dir,
+        spark.sessionState.newHadoopConf(),
+        Array(org.apache.spark.sql.sources.LessThan("id", 3)),
+        Map("v" -> lit(-1.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("onChangeCommit=fail")),
+        s"failure must carry the policy guidance: ${messages(e)}")
+    } finally q.stop()
+  }
+
+  test("same-trigger announcement of originals AND their rewrite prefers the rewrite") {
+    // a lagging consumer wakes up to find an append AND the DELETE that
+    // already rewrote (and removed) the appended files, in one trigger:
+    // the replaced names' data files are gone, so admitting them would
+    // fail the read, and delivering them alongside the replacement
+    // would duplicate rows — the rewrite alone is delivered. Driven at
+    // the MicroBatchStream level (a query's own triggers would race
+    // the append)
+    val dir = Files.createTempDirectory("scbf-rw-lag").toString
+    val ckpt = Files.createTempDirectory("scbf-rw-lag-ckpt").toString
+    writeBatch(dir, 0 until 10)
+    val conf = spark.sessionState.newHadoopConf()
+    val stream = new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+      reconcileEvery = 0)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def trig(from: ScbfOffset): ScbfOffset =
+      stream.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    val o1 = trig(ScbfOffset(0)) // baseline full listing
+    assert(stream.planInputPartitions(ScbfOffset(0), o1).nonEmpty)
+    val o2 = trig(o1) // incremental mode from here
+    // lagging window: append 10..20, then DELETE 10..14 — the delete
+    // prunes to the appended files, removes them, and announces
+    // replacements carrying the survivors (15..19)
+    writeBatch(dir, 10 until 20)
+    val appended = ScbfDataSource.resolveFiles(Seq(dir), conf)
+      .map(_.getPath.getName).filterNot(_.startsWith("rw-")).toSet
+    ScbfDelete.deleteWhere(spark, dir, conf,
+      Array(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10),
+        org.apache.spark.sql.sources.LessThan("id", 15))))
+    val o3 = trig(o2)
+    assert(o3.batch == o2.batch + 1, s"trigger admitted nothing: $o2 -> $o3")
+    val planned = stream.planInputPartitions(o2, o3)
+      .map(_.asInstanceOf[ScbfFilePartition].path)
+    assert(planned.nonEmpty, "the replacement files must be planned")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    planned.foreach(p => assert(fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"planned a deleted file: $p"))
+    assert(planned.forall(p => new org.apache.hadoop.fs.Path(p).getName.startsWith("rw-")),
+      s"originals must be dropped in favor of their rewrite: ${planned.toSeq}")
+    // and the planned content is the survivors, exactly once
+    val ids = spark.read.format("scbf").load(planned.toIndexedSeq: _*)
+      .select("id").as[Int].collect().sorted
+    assert(ids.toSeq == (15 until 20), s"planned rows: ${ids.toSeq}")
+  }
+
   test("rewriteOf entries round-trip the delta format and compaction") {
     val dir = Files.createTempDirectory("scbf-rw-fmt").toString
     val conf = new org.apache.hadoop.conf.Configuration()
     val table = new org.apache.hadoop.fs.Path(dir)
     ScbfDiscovery.append(table, conf, Seq(
       ScbfDiscovery.Entry("plain.scbf", 10L, 1L),
-      ScbfDiscovery.Entry("rw.scbf", 20L, 2L, Seq("a.scbf", "b.scbf"))))
+      ScbfDiscovery.Entry("rw.scbf", 20L, 2L, Seq("a.scbf", "b.scbf")),
+      ScbfDiscovery.Entry("upd.scbf", 30L, 3L, Seq("c.scbf"), rowsChanged = true)))
     val read = ScbfDiscovery.listDeltas(table, conf)
       .flatMap(n => ScbfDiscovery.readDelta(table, conf, n))
     assert(read.toSet == Set(
       ScbfDiscovery.Entry("plain.scbf", 10L, 1L),
-      ScbfDiscovery.Entry("rw.scbf", 20L, 2L, Seq("a.scbf", "b.scbf"))),
+      ScbfDiscovery.Entry("rw.scbf", 20L, 2L, Seq("a.scbf", "b.scbf")),
+      ScbfDiscovery.Entry("upd.scbf", 30L, 3L, Seq("c.scbf"), rowsChanged = true)),
       s"got $read")
+  }
+
+  test("delta parse tolerates unknown trailing tags — the format evolution rule") {
+    // a FUTURE writer appends a tagged field this reader doesn't know;
+    // the file must still surface (with the R: tag honored wherever it
+    // sits), or a mixed-version incremental consumer silently misses
+    // newly published files until its next reconcile
+    val dir = Files.createTempDirectory("scbf-rw-fwd").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val logDir = ScbfDiscovery.dir(table)
+    val fs = logDir.getFileSystem(conf)
+    fs.mkdirs(logDir)
+    val delta = new org.apache.hadoop.fs.Path(logDir, "delta-0-test")
+    val out = fs.create(delta)
+    out.write(("discovery\t1\n" +
+      "future.scbf\t10\t1\tZ:something-new\n" +
+      "both.scbf\t20\t2\tR:a.scbf\tZ:more\n" +
+      "tagless.scbf\t30\t3\n" +
+      "corrupt\tnot-a-number\t4\n").getBytes("UTF-8"))
+    out.close()
+    val read = ScbfDiscovery.readDelta(table, conf, "delta-0-test")
+    assert(read.toSet == Set(
+      ScbfDiscovery.Entry("future.scbf", 10L, 1L),
+      ScbfDiscovery.Entry("both.scbf", 20L, 2L, Seq("a.scbf")),
+      ScbfDiscovery.Entry("tagless.scbf", 30L, 3L)),
+      s"got $read")
+    // a future HEADER version is skipped whole (reconcile is the net)
+    val v2 = new org.apache.hadoop.fs.Path(logDir, "delta-1-test")
+    val o2 = fs.create(v2)
+    o2.write("discovery\t2\nx.scbf\t1\t1\n".getBytes("UTF-8"))
+    o2.close()
+    assert(ScbfDiscovery.readDelta(table, conf, "delta-1-test").isEmpty)
   }
 }

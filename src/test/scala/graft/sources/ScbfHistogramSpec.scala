@@ -118,6 +118,40 @@ class ScbfHistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("merge stays equi-height under front-loaded mass and extreme weight ratios") {
+    // adversarial mixtures: a huge front-loaded point mass forces the
+    // cut loop through many point-bin emissions early, and a 1e12
+    // weight ratio maximizes fp drift in the mass accounting — the
+    // regression shape where greedy target-subtraction could silently
+    // drop a cut and lump several targets into the final bin while
+    // still REPORTING height = totalW/bins
+    var seed = 42L
+    def nextW(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.pow(10.0, ((seed >>> 11) % 13).toDouble) // 1 .. 1e12
+    }
+    (1 to 50).foreach { trial =>
+      val heavy = ScbfHistogram.Hist(nextW() * 1e3,
+        Vector(ScbfHistogram.Bin(0.0, 0.0, 1)))
+      val tails = (1 to 4).map { t =>
+        ScbfHistogram.Hist(nextW(),
+          Vector.tabulate(8)(i => ScbfHistogram.Bin(i * 10.0 + t, i * 10.0 + t + 9, 5)))
+      }
+      val m = ScbfHistogram.merge(heavy +: tails, 32).get
+      val totalW = heavy.rows + tails.map(_.rows).sum
+      // exactly the requested bin count — a dropped cut shows up here
+      assert(m.bins.length == 32, s"trial $trial: ${m.bins.length} bins")
+      // and the reported height is consistent with the represented mass,
+      // so each bin really stands for totalW/32 rows
+      assert(math.abs(m.rows - totalW) / totalW < 1e-9,
+        s"trial $trial: rows ${m.rows} vs $totalW")
+      // when the front mass dominates a bin's worth, it renders as a
+      // point bin at the hot value
+      if (heavy.rows >= totalW / 32)
+        assert(m.bins.head.lo == 0.0 && m.bins.head.hi == 0.0, s"trial $trial")
+    }
+  }
+
   test("empty/degenerate inputs yield None") {
     assert(ScbfHistogram.fromValues(Array.empty[Double], 0, 32).isEmpty)
     assert(ScbfHistogram.fromValues(Array(1.0), 0, 32).isEmpty)
