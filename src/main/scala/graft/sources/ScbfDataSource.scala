@@ -218,12 +218,20 @@ class ScbfTable(
       case None => conf
     }
     // histogram bin count (0 disables collection) — same conf-copy ride
-    val wconf = Option(info.options.get("histogramBins"))
+    val wconf1 = Option(info.options.get("histogramBins"))
       .orElse(Option(tableProps.get("histogramBins"))).map(_.toInt) match {
       case Some(bins) =>
         require(bins >= 0, s"histogramBins must be >= 0, got $bins")
         val c = new Configuration(wconf0); c.setInt(ScbfHistogram.BinsKey, bins); c
       case None => wconf0
+    }
+    // string top-K size (0 disables collection) — same conf-copy ride
+    val wconf = Option(info.options.get("topkK"))
+      .orElse(Option(tableProps.get("topkK"))).map(_.toInt) match {
+      case Some(k) =>
+        require(k >= 0, s"topkK must be >= 0, got $k")
+        val c = new Configuration(wconf1); c.setInt(ScbfStrTopK.KKey, k); c
+      case None => wconf1
     }
     // concurrent-writer contract knobs (ScbfDelete / ScbfMaintenance):
     // filePrefix marks this job's output so a rewrite can tell its own

@@ -308,18 +308,102 @@ class ScbfScan(
     private val kept =
       if (aggregated.isDefined) files else staticKept
     private val lookup = ScbfScan.this.lookup
+
+    /** Keep-fraction of the pushed STRING predicates, estimated from
+     * the kept directories' merged top-K frequency summaries
+     * ([[ScbfStrTopK]]) and folded into the reported
+     * numRows/sizeInBytes — the same authority the scan already
+     * exercises by reporting kept-file sizes under pruning. This is
+     * where string SKEW reaches join planning: Catalyst has no
+     * string-histogram path (equality falls back to 1/NDV), and
+     * file-level pruning can't narrow a rare-value filter when every
+     * file holds a few matching rows — but a fact scan filtered to
+     * `lang = 'kw'` (0.1% of a 95%-'en' column) reports 0.1% of its
+     * size here, dropping below the broadcast threshold, CBO on or
+     * off. Estimates floor at one row and only ever come from real
+     * frequency evidence; columns or filter shapes the summary can't
+     * judge contribute 1.0 (never shrink on a guess). */
+    private lazy val strSel: Double =
+      if (aggregated.isDefined || pushedFilters.isEmpty) 1.0
+      else {
+        val dirs = kept.map(_.getPath.getParent).distinct
+        val topks: Map[String, ScbfStrTopK.TopK] = dirs
+          .flatMap(d => lookup.dirTopK(d).toSeq)
+          .groupBy(_._1).view.mapValues(v => ScbfStrTopK.merge(v.map(_._2)))
+          .collect { case (n, Some(t)) => n -> t }.toMap
+        if (topks.isEmpty) 1.0
+        else {
+          // folded utf8 bounds over the kept files (max only when every
+          // kept file reports one — the fold is unsound otherwise),
+          // anchoring the range interpolation of the non-top-K mass
+          def boundsFor(c: String): Option[(Array[Byte], Option[Array[Byte]])] =
+            allStats.flatMap { sts =>
+              val nonEmpty = sts.filter(_.rows > 0)
+              val rs = nonEmpty.map(_.strCols.get(c))
+              if (nonEmpty.isEmpty || rs.exists(_.isEmpty)) None
+              else {
+                val ranges = rs.flatten
+                val mn = ranges.map(_.min).min(ScbfScan.byteOrdering)
+                val mx =
+                  if (ranges.forall(_.max.isDefined))
+                    Some(ranges.flatMap(_.max).max(ScbfScan.byteOrdering))
+                  else None
+                Some((mn, mx))
+              }
+            }
+          import org.apache.spark.sql.sources._
+          def colOf(f: Filter): Option[String] = f match {
+            case EqualTo(a, _)            => Some(a)
+            case EqualNullSafe(a, _)      => Some(a)
+            case In(a, _)                 => Some(a)
+            case StringStartsWith(a, _)   => Some(a)
+            case GreaterThan(a, _)        => Some(a)
+            case GreaterThanOrEqual(a, _) => Some(a)
+            case LessThan(a, _)           => Some(a)
+            case LessThanOrEqual(a, _)    => Some(a)
+            case _                        => None
+          }
+          pushedFilters.foldLeft(1.0) { (acc, f) =>
+            val s = for {
+              c <- colOf(f)
+              t <- topks.get(c)
+              s <- ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f)
+            } yield s
+            acc * s.getOrElse(1.0)
+          }
+        }
+      }
+
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
-      else OptionalLong.of(kept.map(_.getLen).sum)
+      else OptionalLong.of(
+        math.max(1L, math.round(kept.map(_.getLen).sum * strSel)))
+    private lazy val perFileRows =
+      kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
+    private lazy val allStats: Option[Seq[ScbfStats.FileStats]] = {
+      val perFile = kept.map(f => lookup.stats(f.getPath, f.getLen))
+      if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
+    }
+    private lazy val dirNdv: Map[String, Long] = {
+      // KEPT files' directories only: a partition-pruned directory's
+      // manifest must not load here (manifest reads == touched
+      // partitions), and the NDV estimate is tighter for it too
+      val dirs = kept.map(_.getPath.getParent).distinct
+      val merged = dirs.foldLeft(Map.empty[String, Array[Byte]]) { (acc, d) =>
+        lookup.dirNdv(d).foldLeft(acc) { case (m, (n, regs)) =>
+          m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
+        }
+      }
+      merged.map { case (n, regs) => n -> ScbfNdv.estimate(regs) }
+    }
     override val numRows: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1L)
       else {
-        val perFile = kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
-        val missing = perFile.collect { case (f, None) => f }
+        val missing = perFileRows.collect { case (f, None) => f }
         if (missing.length > 64) OptionalLong.empty()
-        else OptionalLong.of(
-          perFile.collect { case (_, Some(r)) => r }.sum +
-            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum)
+        else OptionalLong.of(math.max(1L, math.round(
+          (perFileRows.collect { case (_, Some(r)) => r }.sum +
+            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum) * strSel)))
       }
 
     /**
@@ -341,21 +425,6 @@ class ScbfScan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (aggregated.isDefined) return out
-      val perFile = kept.map(f => lookup.stats(f.getPath, f.getLen))
-      val allStats: Option[Seq[ScbfStats.FileStats]] =
-        if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
-      val dirNdv: Map[String, Long] = {
-        // KEPT files' directories only: a partition-pruned directory's
-        // manifest must not load here (manifest reads == touched
-        // partitions), and the NDV estimate is tighter for it too
-        val dirs = kept.map(_.getPath.getParent).distinct
-        val merged = dirs.foldLeft(Map.empty[String, Array[Byte]]) { (acc, d) =>
-          lookup.dirNdv(d).foldLeft(acc) { case (m, (n, regs)) =>
-            m.updated(n, m.get(n).map(ScbfNdv.merge(_, regs)).getOrElse(regs))
-          }
-        }
-        merged.map { case (n, regs) => n -> ScbfNdv.estimate(regs) }
-      }
       // merged per-column histograms over the SAME kept directories —
       // skew-aware selectivity for FilterEstimation/JoinEstimation.
       // Per-bin NDVs are rescaled so their sum agrees with the HLL
@@ -475,6 +544,21 @@ class ScbfScan(
       }
       out
     }
+  }
+}
+
+object ScbfScan {
+  /** Lexicographic unsigned byte order — the utf8 bound domain
+   * ([[ScbfStats.StrRange]]'s comparison convention). */
+  val byteOrdering: Ordering[Array[Byte]] = (a: Array[Byte], b: Array[Byte]) => {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else a.length - b.length
   }
 }
 

@@ -112,14 +112,18 @@ object ScbfStats {
    * (hence broadcast decisions) stop guessing the 20-byte default.
    * `hists`: per-numeric-column equi-height histograms
    * ([[ScbfHistogram]]) — sidecar-only like ndvs; the manifest keeps
-   * one merged histogram per column per directory (`dirhist`). */
+   * one merged histogram per column per directory (`dirhist`).
+   * `topks`: per-utf8-column top-K frequency summaries
+   * ([[ScbfStrTopK]]) — sidecar-only like hists; the manifest keeps
+   * one merged summary per column per directory (`dirtopk`). */
   final case class FileStats(
       rows: Long,
       cols: Map[String, ColRange],
       strCols: Map[String, StrRange] = Map.empty,
       ndvs: Map[String, Array[Byte]] = Map.empty,
       strLens: Map[String, (Long, Int)] = Map.empty,
-      hists: Map[String, ScbfHistogram.Hist] = Map.empty)
+      hists: Map[String, ScbfHistogram.Hist] = Map.empty,
+      topks: Map[String, ScbfStrTopK.TopK] = Map.empty)
 
   /** One manifest entry: `dataLen` is the staleness guard — the live
    * listing's length must match for the entry to be trusted. */
@@ -131,7 +135,8 @@ object ScbfStats {
   final case class ManifestData(
       entries: Map[String, FileEntry],
       ndv: Map[String, Array[Byte]],
-      hist: Map[String, ScbfHistogram.Hist])
+      hist: Map[String, ScbfHistogram.Hist],
+      topk: Map[String, ScbfStrTopK.TopK] = Map.empty)
 
   object ManifestData {
     val empty: ManifestData = ManifestData(Map.empty, Map.empty, Map.empty)
@@ -163,13 +168,17 @@ object ScbfStats {
    * merged register array per column for the whole directory. */
   def writeManifest(dir: Path, conf: Configuration, entries: Seq[FileEntry],
       dirNdv: Map[String, Array[Byte]] = Map.empty,
-      dirHist: Map[String, ScbfHistogram.Hist] = Map.empty): Unit = {
+      dirHist: Map[String, ScbfHistogram.Hist] = Map.empty,
+      dirTopK: Map[String, ScbfStrTopK.TopK] = Map.empty): Unit = {
     val sb = new StringBuilder("manifest\t1\n")
     dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")
     }
     dirHist.toSeq.sortBy(_._1).foreach { case (n, h) =>
       sb.append(s"dirhist\t$n\t${ScbfHistogram.render(h)}\n")
+    }
+    dirTopK.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      sb.append(s"dirtopk\t$n\t${ScbfStrTopK.render(t)}\n")
     }
     entries.sortBy(_.name).foreach { e =>
       sb.append(s"file\t${e.name}\t${e.dataLen}\n")
@@ -213,10 +222,16 @@ object ScbfStats {
       val inputs = prev.hist.get(n).toSeq ++ entries.flatMap(_.stats.hists.get(n))
       ScbfHistogram.merge(inputs).map(n -> _)
     }.toMap
+    // and for the string top-K summaries (same insert-only staleness)
+    val topkCols = prev.topk.keySet ++ entries.flatMap(_.stats.topks.keys)
+    val dirTopK = topkCols.iterator.flatMap { n =>
+      val inputs = prev.topk.get(n).toSeq ++ entries.flatMap(_.stats.topks.get(n))
+      ScbfStrTopK.merge(inputs).map(n -> _)
+    }.toMap
     val merged = (prev.entries ++ entries.map(e => e.name -> e)).values.toSeq
     writeManifest(dir, conf,
       if (drop.isEmpty) merged else merged.filterNot(e => drop.contains(e.name)),
-      dirNdv, dirHist)
+      dirNdv, dirHist, dirTopK)
   }
 
   /** The directory manifest as name → entry; empty on missing/corrupt. */
@@ -237,6 +252,7 @@ object ScbfStats {
         else {
           val ndv = Map.newBuilder[String, Array[Byte]]
           val hist = Map.newBuilder[String, ScbfHistogram.Hist]
+          val topk = Map.newBuilder[String, ScbfStrTopK.TopK]
           val out = Map.newBuilder[String, FileEntry]
           var i = 1
           while (i < lines.length && !lines(i).startsWith("file\t")) {
@@ -249,6 +265,10 @@ object ScbfStats {
               val Array(_, n, h) = lines(i).split("\t", 3)
               ScbfHistogram.parse(h).foreach(hist += n -> _)
             } catch { case NonFatal(_) => /* this column loses its histogram only */ }
+            else if (lines(i).startsWith("dirtopk\t")) try {
+              val Array(_, n, t) = lines(i).split("\t", 3)
+              ScbfStrTopK.parse(t).foreach(topk += n -> _)
+            } catch { case NonFatal(_) => /* this column loses its summary only */ }
             i += 1
           }
           while (i < lines.length) {
@@ -269,7 +289,7 @@ object ScbfStats {
                 while (i < lines.length && !lines(i).startsWith("file\t")) i += 1
             }
           }
-          ManifestData(out.result(), ndv.result(), hist.result())
+          ManifestData(out.result(), ndv.result(), hist.result(), topk.result())
         }
       }
     } catch { case NonFatal(_) => ManifestData.empty }
@@ -330,6 +350,9 @@ object ScbfStats {
 
     /** The directory's merged per-column histograms (same one read). */
     def dirHist(dir: Path): Map[String, ScbfHistogram.Hist] = manifest(dir).hist
+
+    /** The directory's merged per-column string top-K summaries. */
+    def dirTopK(dir: Path): Map[String, ScbfStrTopK.TopK] = manifest(dir).topk
   }
 
   /**
@@ -538,6 +561,10 @@ object ScbfStats {
       stats.hists.toSeq.sortBy(_._1).foreach { case (n, h) =>
         sb.append(s"hist\t$n\t${ScbfHistogram.render(h)}\n")
       }
+      // same for the string top-K summaries (merged as dirtopk)
+      stats.topks.toSeq.sortBy(_._1).foreach { case (n, t) =>
+        sb.append(s"topk\t$n\t${ScbfStrTopK.render(t)}\n")
+      }
     }
     sb.toString
   }
@@ -568,7 +595,11 @@ object ScbfStats {
       val Array(_, n, h) = l.split("\t", 3)
       ScbfHistogram.parse(h).map(n -> _)
     }.flatten.toMap
-    rows.map(FileStats(_, cols, strCols, ndvs, strLens, hists))
+    val topks = lines.collect { case l if l.startsWith("topk\t") =>
+      val Array(_, n, t) = l.split("\t", 3)
+      ScbfStrTopK.parse(t).map(n -> _)
+    }.flatten.toMap
+    rows.map(FileStats(_, cols, strCols, ndvs, strLens, hists, topks))
   }
 
   private def publish(p: Path, conf: Configuration, content: String): Unit = {

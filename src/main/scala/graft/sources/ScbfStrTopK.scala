@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Per-column top-K frequency summaries for SCBF utf8 columns — the
+ * string half of the skew-awareness story. Numeric skew reaches the
+ * planner through [[ScbfHistogram]] (Catalyst's FilterEstimation
+ * consumes equi-height histograms natively), but STRING columns are
+ * the skew-prone keys of an LLM pipeline (source, lang, domain), and
+ * Catalyst has no string-histogram path at all: equality selectivity
+ * falls back to 1/NDV, which on a 95%-'en' / 0.1%-'kw' language
+ * column is off by orders of magnitude in BOTH directions — and the
+ * CBO's broadcast decisions inherit the error.
+ *
+ * A top-K summary (value → estimated row count for the K most
+ * frequent values, plus the residual mass) is the right shape for
+ * exactly that: hot values get their true mass, everything else gets
+ * `otherRows / (ndv − K)` — the classic frequency-sketch split of
+ * ANALYZE's histogram point bins, rendered where the connector can
+ * actually use it. Because Catalyst cannot consume it, the summary is
+ * applied INSIDE the connector: `estimateStatistics` scales its
+ * reported numRows/sizeInBytes by the estimated selectivity of the
+ * PUSHED string predicates (the same authority it already exercises
+ * by reporting kept-file sizes under pruning). That lever works with
+ * the CBO on or off — a rare-value equality filter on a fact table
+ * shrinks the scan's reported size below the broadcast threshold, and
+ * the join flips, which file-level pruning alone cannot do when every
+ * file contains a few matching rows.
+ *
+ * Placement mirrors [[ScbfNdv]]/[[ScbfHistogram]]: each file's sidecar
+ * records its own summary (`topk` lines), the manifest keeps one
+ * merged summary per column per directory (`dirtopk`), merged
+ * insert-only across appends and rebuilt by overwrite/OPTIMIZE — the
+ * same staleness contract as the whole stats layer. Summaries are
+ * ESTIMATOR input only: no pruning or correctness path reads them.
+ *
+ * Estimates, and why they are sound enough: counts come from the same
+ * deterministic stride sample as the histograms (hot values are what
+ * samples capture best; byte-identical streaming replays hold), merge
+ * sums matching values exactly and pools the rest, and selectivity
+ * never reports below one row. A value longer than [[MaxValBytes]]
+ * never enters a summary (its mass pools into `otherRows`): pipeline
+ * group keys are short, and the cap bounds sidecar size.
+ */
+object ScbfStrTopK {
+
+  /** Hadoop-conf key for the per-write K (0 disables collection). Set
+   * via the `topkK` write option, riding the same per-job
+   * Configuration copy as histogramBins. */
+  val KKey = "graft.stats.topk.k"
+  val DefaultK = 32
+
+  /** Values longer than this never enter a summary. */
+  val MaxValBytes = 64
+
+  /** rows: total rows the summary represents. entries: the ≤K most
+   * frequent values with estimated counts, ordered by (count desc,
+   * value asc — deterministic). otherRows: rows − Σ entry counts. */
+  final case class TopK(rows: Long, entries: Vector[(String, Long)], otherRows: Long)
+
+  /** Summary from a column's values via the deterministic stride
+   * sample (cap shared with [[ScbfHistogram]]); counts scale from the
+   * sample to `rows`. None for empty input or k <= 0. */
+  def fromValues(n: Int, rows: Long, k: Int = DefaultK)(
+      get: Int => Array[Byte]): Option[TopK] = {
+    if (n <= 0 || rows <= 0 || k <= 0) return None
+    val stride = math.max(1, (n + ScbfHistogram.SampleCap - 1) / ScbfHistogram.SampleCap)
+    val counts = new java.util.HashMap[String, Long]()
+    var sampled = 0L
+    var i = 0
+    while (i < n) {
+      val b = get(i)
+      if (b.length <= MaxValBytes)
+        counts.merge(new String(b, UTF_8), 1L, (a, x) => a + x)
+      sampled += 1
+      i += stride
+    }
+    val scale = rows.toDouble / sampled
+    val top = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toVector
+        .sortBy { case (v, c) => (-c, v) }
+        .take(k)
+        .map { case (v, c) => v -> math.max(1L, math.round(c * scale)) }
+    }
+    val covered = top.iterator.map(_._2).sum
+    Some(TopK(rows, top, math.max(0L, rows - covered)))
+  }
+
+  /** Weighted merge: matching values sum exactly, the combined tail
+   * keeps the K heaviest, everything displaced pools into otherRows —
+   * the standard mergeable heavy-hitter summary (a directory's hot
+   * values are hot in most of its files, so displacement noise stays
+   * in the tail the estimator already treats as average-mass). */
+  def merge(ts: Seq[TopK], k: Int = DefaultK): Option[TopK] = {
+    val nonEmpty = ts.filter(_.rows > 0)
+    if (nonEmpty.isEmpty || k <= 0) return None
+    val rows = nonEmpty.iterator.map(_.rows).sum
+    val summed = nonEmpty.flatMap(_.entries)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toVector
+      .sortBy { case (v, c) => (-c, v) }
+    val top = summed.take(k)
+    val covered = top.iterator.map(_._2).sum
+    Some(TopK(rows, top, math.max(0L, rows - covered)))
+  }
+
+  /** `rows|v:c;v:c;…|other` with base64url values (never contains the
+   * separators). */
+  def render(t: TopK): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    s"${t.rows}|" + t.entries.map { case (v, c) =>
+      s"${enc.encodeToString(v.getBytes(UTF_8))}:$c"
+    }.mkString(";") + s"|${t.otherRows}"
+  }
+
+  /** None on any malformed input — summaries are a pure estimator
+   * hint, so a torn line only costs this column its summary. */
+  def parse(s: String): Option[TopK] =
+    try {
+      val parts = s.split('|')
+      if (parts.length != 3) return None
+      val dec = java.util.Base64.getUrlDecoder
+      val entries =
+        if (parts(1).isEmpty) Vector.empty[(String, Long)]
+        else parts(1).split(";").toVector.map { t =>
+          val Array(v, c) = t.split(":", 2)
+          new String(dec.decode(v), UTF_8) -> c.toLong
+        }
+      val t = TopK(parts(0).toLong, entries, parts(2).toLong)
+      if (t.rows > 0 && t.otherRows >= 0 && t.entries.forall(_._2 >= 0)) Some(t)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- selectivity estimation (planning-side) -----------------------------
+
+  /** First-8-bytes big-endian unsigned prefix of a utf8 value, as a
+   * Double — a monotone embedding of the lexicographic byte order,
+   * used to interpolate how much of the NON-top-K mass a range
+   * predicate keeps (the truncated-bound ordering the utf8 min/max
+   * stats already live in). */
+  private def prefixKey(b: Array[Byte]): Double = {
+    var l = 0L
+    var i = 0
+    while (i < 8) {
+      l = (l << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    // unsigned long → double
+    if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Estimated fraction of rows a single pushed predicate on this
+   * column keeps, or None when the summary can't say (unsupported
+   * filter shape, non-string literal). `ndv` refines the average mass
+   * of non-top-K values; `bounds` (the folded utf8 min/max, max
+   * possibly unavailable) anchors the range interpolation for the
+   * non-top-K mass — absent bounds keep that mass whole, erring
+   * toward NOT shrinking (a wrongly-broadcast big side is the failure
+   * mode to avoid; a missed broadcast is just the status quo). */
+  def selectivity(t: TopK, ndv: Option[Long],
+      bounds: Option[(Array[Byte], Option[Array[Byte]])],
+      filter: org.apache.spark.sql.sources.Filter): Option[Double] = {
+    import org.apache.spark.sql.sources._
+    def str(v: Any): Option[String] = v match {
+      case s: String                                   => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _                                           => None
+    }
+    val otherNdv = math.max(1L, ndv.getOrElse(t.entries.size + 1L) - t.entries.size)
+    val otherAvg = t.otherRows.toDouble / otherNdv
+    def equality(v: String): Double =
+      t.entries.find(_._1 == v).map(_._2.toDouble).getOrElse(otherAvg)
+    // range keep-fraction: exact over the top-K values, interpolated
+    // (prefix-key domain) over the residual mass when bounds exist
+    def range(keepTop: String => Boolean, otherFrac: => Double): Double = {
+      val topMass = t.entries.iterator.collect {
+        case (v, c) if keepTop(v) => c.toDouble }.sum
+      topMass + t.otherRows * math.min(1.0, math.max(0.0, otherFrac))
+    }
+    def interp(litB: Array[Byte], keepAbove: Boolean, inclusive: Boolean): Double =
+      bounds match {
+        case Some((mn, Some(mx))) =>
+          val (lo, hi, x) = (prefixKey(mn), prefixKey(mx), prefixKey(litB))
+          if (hi <= lo) { // single-point domain: compare directly
+            val c = cmpBytes(mn, litB)
+            val keeps = if (keepAbove) c > 0 || (inclusive && c == 0)
+                        else c < 0 || (inclusive && c == 0)
+            if (keeps) 1.0 else 0.0
+          }
+          else if (keepAbove) (hi - x) / (hi - lo)
+          else (x - lo) / (hi - lo)
+        case _ => 1.0 // no anchor: keep the residual mass whole
+      }
+    val kept: Option[Double] = filter match {
+      case EqualTo(_, v) => str(v).map(equality)
+      case EqualNullSafe(_, v) => str(v).map(equality)
+      case In(_, vs) =>
+        val ss = vs.toSeq.flatMap(str(_))
+        if (ss.size != vs.length) None
+        else Some(ss.distinct.map(equality).sum)
+      case StringStartsWith(_, p) =>
+        // v startsWith p  ⟺  p <= v < p+ε: exact over top-K, and the
+        // residual interpolates the [p, p∥0xff…] prefix interval
+        val pb = p.getBytes(UTF_8)
+        val hiB = pb ++ Array.fill(8)(0xff.toByte)
+        Some(range(_.startsWith(p),
+          math.max(0.0, interp(pb, keepAbove = true, inclusive = true) -
+            interp(hiB, keepAbove = true, inclusive = false))))
+      case GreaterThan(_, v) => str(v).map { s =>
+        val b = s.getBytes(UTF_8)
+        range(tv => cmpBytes(tv.getBytes(UTF_8), b) > 0,
+          interp(b, keepAbove = true, inclusive = false))
+      }
+      case GreaterThanOrEqual(_, v) => str(v).map { s =>
+        val b = s.getBytes(UTF_8)
+        range(tv => cmpBytes(tv.getBytes(UTF_8), b) >= 0,
+          interp(b, keepAbove = true, inclusive = true))
+      }
+      case LessThan(_, v) => str(v).map { s =>
+        val b = s.getBytes(UTF_8)
+        range(tv => cmpBytes(tv.getBytes(UTF_8), b) < 0,
+          interp(b, keepAbove = false, inclusive = false))
+      }
+      case LessThanOrEqual(_, v) => str(v).map { s =>
+        val b = s.getBytes(UTF_8)
+        range(tv => cmpBytes(tv.getBytes(UTF_8), b) <= 0,
+          interp(b, keepAbove = false, inclusive = true))
+      }
+      case _ => None
+    }
+    // floor at one row — an estimator must never claim empty — and
+    // cap at 1: a frequency summary can locally exceed its own total
+    kept.map(r => math.min(1.0, math.max(1.0, r) / t.rows))
+  }
+}

@@ -824,8 +824,21 @@ class ScbfDataWriter(
             b.values.length, histBins).map(n -> _)
         case _ => None
       }.toMap
+    // per-utf8-column top-K frequency summaries (ScbfStrTopK): string
+    // skew for the planner's selectivity scaling, off the same
+    // deterministic stride sample. K rides the Hadoop conf (`topkK`
+    // write option; 0 disables).
+    val topkK = conf.getInt(ScbfStrTopK.KKey, ScbfStrTopK.DefaultK)
+    val topks =
+      if (bufferedRows == 0 || topkK <= 0) Map.empty[String, ScbfStrTopK.TopK]
+      else schema.fields.map(_.name).zip(builders).flatMap {
+        case (n, b: Utf8Builder) if b.values.nonEmpty =>
+          ScbfStrTopK.fromValues(b.values.length, b.values.length, topkK)(
+            b.values(_)).map(n -> _)
+        case _ => None
+      }.toMap
     stagedStats += ScbfStats.FileEntry(fn, written,
-      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs, strLens, hists))
+      ScbfStats.FileStats(bufferedRows, cols, strCols, ndvs, strLens, hists, topks))
     // Bloom sidecar (equality/IN skipping on unclustered keys — see
     // ScbfBloom): staged as a (temp, final) pair like the data file, so
     // both publish paths (task commit / epoch-level driver commit) and

@@ -302,6 +302,63 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("a skewed STRING equality filter flips a join to broadcast that NDV+bounds cannot") {
+    // lang is 95% 'en', ~4.9% mid-tail, 0.1% 'zzkw'. Catalyst has NO
+    // string-histogram path: with CBO on, equality selectivity is
+    // 1/NDV ≈ 1/7 — which leaves the filtered fact side far above the
+    // broadcast threshold. The top-K summary knows 'zzkw' carries
+    // ~0.1% of the mass, the scan's reported size shrinks accordingly,
+    // and the join flips. File pruning can't do this either: every
+    // file holds a few 'zzkw' rows, so nothing prunes.
+    def writeFact(dir: String, topkK: Int): Unit =
+      spark.range(0, 40000)
+        .select(
+          col("id").cast("int").as("fid"),
+          when(col("id") % 1000 < 950, lit("en"))
+            .when(col("id") % 1000 < 999,
+              concat(lit("l"), (col("id") % 7).cast("string")))
+            .otherwise(lit("zzkw")).as("lang"),
+          // hash-valued payload: zlib cannot flatten it, so on-disk
+          // size (the size-only fallback) stays honestly large
+          abs(xxhash64(col("id"))).cast("string").as("payload"))
+        .repartition(4) // UNCLUSTERED: every file holds every lang
+        .write.format("scbf").option("topkK", topkK.toString)
+        .mode("overwrite").save(dir)
+    val topkDir = tmpDir("scbf-topk")
+    val noTopkDir = tmpDir("scbf-notopk")
+    writeFact(topkDir, ScbfStrTopK.DefaultK)
+    writeFact(noTopkDir, 0) // same rows, summaries disabled at write
+    val dim = spark.range(0, 40000).select(col("id").cast("int").as("did"))
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // NDV path estimates ~40000/7 ≈ 5700 rows ≈ hundreds of KB; the
+      // summary path reports ~40 rows' worth of bytes — orders apart
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def plan(dir: String, filter: org.apache.spark.sql.Column): String = {
+        val fact = spark.read.format("scbf").load(dir).filter(filter)
+        dim.join(fact, dim("did") === fact("fid"))
+          .queryExecution.sparkPlan.toString
+      }
+      assert(!plan(noTopkDir, col("lang") === "zzkw").contains("BroadcastHashJoin"),
+        "NDV+bounds alone say 1/ndv for every value: no broadcast")
+      assert(plan(topkDir, col("lang") === "zzkw").contains("BroadcastHashJoin"),
+        "the top-K summary knows 'zzkw' is 0.1% of the mass: broadcast")
+      // the RANGE shape too: lang >= 'zz' keeps only the rare tail —
+      // Catalyst makes no estimate at all for string ranges
+      assert(!plan(noTopkDir, col("lang") >= "zz").contains("BroadcastHashJoin"),
+        "string ranges have no Catalyst estimate: no broadcast")
+      assert(plan(topkDir, col("lang") >= "zz").contains("BroadcastHashJoin"),
+        "top-K mass above 'zz' is ~0.1%: broadcast")
+      // and the hot value must NOT shrink: a 95% filter stays big
+      assert(!plan(topkDir, col("lang") === "en").contains("BroadcastHashJoin"),
+        "the hot value keeps 95% of the scan: must not broadcast")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("histograms ride sidecar + manifest and histogramBins=0 disables them") {
     val dir = tmpDir("scbf-hist-plumbing")
     writeRanged(dir)
