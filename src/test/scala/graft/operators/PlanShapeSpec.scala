@@ -25,6 +25,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   private def builderPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("the five ExplainAudit flagships hold their plan shape (the audit, as a gate)") {
+    // the counts the manually-run ExplainAudit tool reports, pinned so
+    // a plan regression fails the build instead of waiting for someone
+    // to run the tool. Counts are observed-at-HEAD floors/equalities,
+    // deliberately loose enough to survive cosmetic plan changes.
+    // under AQE the final (codegen-collapsed) plan exists after execution
+    def executed(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    def shape(name: String): (Int, Int, Int, Int) = {
+      val p = executed(name)
+      ("BroadcastHashJoin".r.findAllIn(p).size,
+        "SortMergeJoin".r.findAllIn(p).size,
+        "PushedFilters: \\[[^\\]]".r.findAllIn(p).size,
+        "\\*\\(\\d+\\)".r.findAllIn(p).map(identity).toSet.size)
+    }
+    // q1: one scan with pushed filters, no joins, codegen'd agg pipeline
+    val (b1, s1, f1, c1) = shape("q1_pricing_summary")
+    assert(b1 == 0 && s1 == 0 && f1 >= 1 && c1 >= 2, s"q1: ($b1,$s1,$f1,$c1)")
+    // q5: the 5-table star joins ALL broadcast — a single SMJ here
+    // means a dimension grew past the threshold or stats regressed
+    val (b5, s5, f5, _) = shape("q5_multi_join")
+    assert(b5 >= 4 && s5 == 0 && f5 >= 4, s"q5: ($b5,$s5,$f5)")
+    // q21 (as-of): no join materializes at all — the as-of composes
+    // union + window, never a range join blowup or a cartesian
+    val p21 = executed("q21_asof_join")
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+    assert(p21.contains("Window") || p21.contains("RunningWindowFunction"), p21)
+    // t3: per-doc token counts are a PURE MAP — no join, no shuffle,
+    // one codegen span straight off the scan
+    val (bt, st, _, ct) = shape("t3_token_count")
+    assert(bt == 0 && st == 0 && ct >= 1, s"t3: ($bt,$st,$ct)")
+    val pt3 = executed("t3_token_count")
+    assert(!pt3.contains("Exchange") && !pt3.contains("Join"), pt3)
+    // d1: hash-groupBy dedup — partial+final aggregate, no window
+    val pd1 = executed("d1_dedup_exact")
+    assert("HashAggregate".r.findAllIn(pd1).size >= 2, pd1)
+    assert(!pd1.contains("Window"), pd1)
+  }
+
   test("q2: filters are pushed down to the parquet scan") {
     val p = plan("q2_filter_project")
     // plan strings truncate long filter lists; the IsNotNull prefix in

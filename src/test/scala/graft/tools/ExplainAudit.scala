@@ -13,7 +13,8 @@ object ExplainAudit {
       val broadcasts = "BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).size
       val smj = "SortMergeJoin".r.findAllIn(plan).size
       val scans = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+      // executedPlan renders codegen stages as "*(n)" markers
+      val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size
       println(s"== $q: broadcast=$broadcasts smj=$smj pushedFilterScans=$scans codegenSpans=$wsc")
       plan.split("\n").filter(l => l.contains("FileScan") || l.contains("ReadSchema")).take(4).foreach(l => println("   " + l.trim.take(160)))
     }
