@@ -49,7 +49,8 @@ object ScbfMaintenance {
       dir: String,
       clusterCols: Seq[String],
       numFiles: Int,
-      maxBufferedBytes: Option[Long] = None): Unit = {
+      maxBufferedBytes: Option[Long] = None,
+      filePrefix: Option[String] = None): Unit = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
@@ -62,6 +63,7 @@ object ScbfMaintenance {
       .write.format("scbf").mode("overwrite")
       .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
+    filePrefix.foreach(p => writer.option("filePrefix", p))
     writer.save(dir)
   }
 
@@ -94,7 +96,8 @@ object ScbfMaintenance {
       zCols: Seq[String],
       numFiles: Int,
       bits: Int = 8,
-      maxBufferedBytes: Option[Long] = None): Unit = {
+      maxBufferedBytes: Option[Long] = None,
+      filePrefix: Option[String] = None): Unit = {
     require(zCols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     require(bits >= 1 && bits <= 16, s"bits per column must be in [1,16], got $bits")
@@ -148,7 +151,93 @@ object ScbfMaintenance {
       .write.format("scbf").mode("overwrite")
       .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
+    filePrefix.foreach(p => writer.option("filePrefix", p))
     writer.save(dir)
+  }
+
+  /** The partition directories of a table: the distinct parents of its
+   * data files (recursive listing). An unpartitioned table yields its
+   * own root; a hive-layout table yields one leaf per partition value
+   * combination. */
+  private[sources] def partitionDirs(
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.Path] =
+    ScbfDataSource.resolveFiles(Seq(dir), conf).map(_.getPath.getParent).distinct
+
+  /**
+   * Table-level OPTIMIZE: run [[cluster]] in EVERY partition directory
+   * of a (possibly hive-partitioned) table with one call — the shape
+   * an operator maintains a 100 TB table with. Each per-partition
+   * rewrite keeps the properties the single-directory form already
+   * has (snapshot-scoped against concurrent appends, old files deleted
+   * only at commit, fresh per-directory manifest), and partitions fail
+   * independently: a partition that throws stops the sweep with
+   * everything before it fully maintained and everything after it
+   * untouched — re-running is always safe (a clustered partition just
+   * re-clusters).
+   *
+   * Stream transparency at the ROOT: the per-partition commit
+   * announces to the PARTITION's own discovery log (it is a complete
+   * standalone SCBF directory), which a stream reading the table root
+   * never consumes — so after each partition's rewrite this method
+   * re-announces the new files to the ROOT log with subdir-qualified
+   * names, marked as rewrites of the subdir-qualified snapshot. A
+   * caught-up root stream admits them seen-without-delivery exactly
+   * like a root-level OPTIMIZE; rewrite outputs are identified by a
+   * per-partition unique file prefix, so a concurrent append's files
+   * can never be mis-marked as rewrite output (they announce
+   * themselves through their own commit). Returns the partition
+   * directories maintained, in sweep order.
+   */
+  def clusterTable(
+      spark: SparkSession,
+      dir: String,
+      clusterCols: Seq[String],
+      numFilesPerPartition: Int,
+      maxBufferedBytes: Option[Long] = None): Seq[String] =
+    sweepPartitions(spark, dir) { (part, prefix) =>
+      cluster(spark, part, clusterCols, numFilesPerPartition,
+        maxBufferedBytes, Some(prefix))
+    }
+
+  /** Table-level [[zorder]] — the multi-dimensional [[clusterTable]];
+   * same per-partition sweep, same root-log re-announcement. */
+  def zorderTable(
+      spark: SparkSession,
+      dir: String,
+      zCols: Seq[String],
+      numFilesPerPartition: Int,
+      bits: Int = 8,
+      maxBufferedBytes: Option[Long] = None): Seq[String] =
+    sweepPartitions(spark, dir) { (part, prefix) =>
+      zorder(spark, part, zCols, numFilesPerPartition, bits,
+        maxBufferedBytes, Some(prefix))
+    }
+
+  private def sweepPartitions(spark: SparkSession, dir: String)(
+      rewrite: (String, String) => Unit): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val qroot = root.getFileSystem(conf).makeQualified(root)
+    val parts = partitionDirs(dir, conf)
+    parts.foreach { part =>
+      val sub = qroot.toUri.relativize(part.toUri).getPath.stripSuffix("/")
+      val snapshot = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
+        .map(_.getPath.getName)
+      val prefix = s"opt-${java.util.UUID.randomUUID().toString.take(8)}-"
+      rewrite(part.toString, prefix)
+      // root-log re-announcement (see scaladoc) — skipped when the
+      // partition IS the root: the inner commit already announced there
+      if (sub.nonEmpty) {
+        val produced = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
+          .filter(_.getPath.getName.startsWith(prefix))
+        val now = System.currentTimeMillis()
+        ScbfDiscovery.append(qroot, conf, produced.map(f =>
+          ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
+            rewriteOf = snapshot.map(n => s"$sub/$n").sorted)))
+      }
+    }
+    parts.map(_.toString)
   }
 
   /**

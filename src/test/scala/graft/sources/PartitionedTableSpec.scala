@@ -139,6 +139,60 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfStats.manifestReads.get == 1)
   }
 
+  test("table-level OPTIMIZE: one call clusters every partition; a caught-up root stream is undisturbed") {
+    val dir = makeTable("graft_ptopt")
+    // second ingest: every partition now holds several unclustered files
+    (100 until 200).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("graft_ptopt_src2")
+    spark.sql("INSERT INTO graft_ptopt " +
+      "SELECT /*+ REPARTITION(2, grp) */ id, grp, v FROM graft_ptopt_src2")
+    val conf = spark.sessionState.newHadoopConf()
+    val before = spark.sql("SELECT sum(id), count(*) FROM graft_ptopt").head()
+    // a root stream catches up BEFORE maintenance (direct-drive: a
+    // query's own triggers would race the sweep)
+    val ckpt = Files.createTempDirectory("scbf-ptopt-ckpt").toString
+    val stream = new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+      reconcileEvery = 0)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def trig(from: ScbfOffset): ScbfOffset =
+      stream.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    val o1 = trig(ScbfOffset(0))
+    assert(stream.planInputPartitions(ScbfOffset(0), o1).length >= 8,
+      "baseline must deliver both ingests' files")
+    val o2 = trig(o1) // incremental mode from here
+    // ONE call maintains the whole table
+    val parts = ScbfMaintenance.clusterTable(spark, dir, Seq("id"), 2)
+    assert(parts.size == 4, s"expected 4 partition sweeps, got $parts")
+    // every partition is now 2 files with DISJOINT id ranges — the
+    // layout under which stats skipping bites (manifest-read check)
+    Seq("g0", "g1", "g2", "g3").foreach { g =>
+      val pdir = new Path(dir, s"grp=$g")
+      val entries = ScbfStats.readManifest(pdir, conf).values.toSeq
+      assert(entries.size == 2, s"grp=$g: ${entries.map(_.name)}")
+      val ranges = entries.flatMap(_.stats.cols.get("id")).sortBy(_.min)
+      assert(ranges.size == 2 && ranges(0).max < ranges(1).min,
+        s"grp=$g ranges overlap: $ranges")
+    }
+    // and the data is intact for batch readers
+    assert(spark.sql("SELECT sum(id), count(*) FROM graft_ptopt").head() == before)
+    // the caught-up root stream admits the rewrites WITHOUT delivery:
+    // the sweep's root-log re-announcements mark them covered
+    val o3 = trig(o2)
+    val planned = stream.planInputPartitions(o2, o3)
+    assert(planned.isEmpty,
+      s"table-level OPTIMIZE must be invisible to a caught-up root stream: " +
+        planned.map(_.asInstanceOf[ScbfFilePartition].path).toSeq)
+    // later appends still flow
+    (200 until 210).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("graft_ptopt_src3")
+    spark.sql("INSERT INTO graft_ptopt SELECT id, grp, v FROM graft_ptopt_src3")
+    val o4 = trig(o3)
+    val newRows = stream.planInputPartitions(o3, o4)
+      .map(_.asInstanceOf[ScbfFilePartition].path)
+    assert(newRows.nonEmpty && newRows.forall(!_.contains("opt-")),
+      s"post-sweep append must deliver exactly the new files: ${newRows.toSeq}")
+  }
+
   test("a task seeing many partition values stays memory-capped (forced rolls) and exact") {
     val name = "graft_pt6"
     val dir = Files.createTempDirectory("scbf-part-cap").toString

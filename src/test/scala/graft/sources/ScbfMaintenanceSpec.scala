@@ -166,6 +166,28 @@ class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getInt(1)).sorted.toSeq == (0 until 64))
   }
 
+  test("zorderTable sweeps every partition directory; both dimensions prune per partition") {
+    import spark.implicits._
+    val dir = tmpDir("scbf-ztab")
+    (0 until 2000).map(i => (i, i * 37 % 1000, s"g${i % 2}", i * 0.5))
+      .toDF("x", "y", "grp", "v")
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val before = spark.read.format("scbf").load(dir)
+      .agg(sum("x"), count(lit(1))).head()
+    val parts = ScbfMaintenance.zorderTable(spark, dir, Seq("x", "y"), 4)
+    assert(parts.size == 2, s"got $parts")
+    // every partition got its own z-ordered 4-file layout, and a point
+    // predicate on EITHER dimension prunes within the partition
+    Seq("grp=g0", "grp=g1").foreach { sub =>
+      val p = s"$dir/$sub"
+      assert(scbfFiles(p).size == 4, s"$sub: ${scbfFiles(p)}")
+      assert(plannedIn(p, EqualTo("x", 3)) < 4, s"$sub: x did not prune")
+      assert(plannedIn(p, EqualTo("y", 111)) < 4, s"$sub: y did not prune")
+    }
+    assert(spark.read.format("scbf").load(dir)
+      .agg(sum("x"), count(lit(1))).head() == before)
+  }
+
   test("vacuum sweeps aged temps and orphan sidecars; live files untouched") {
     val dir = tmpDir("scbf-maint-vac")
     spark.range(0, 100)
