@@ -93,6 +93,47 @@ class PlanningScaleSpec extends AnyFunSuite with SparkTestBase {
       s"the survivor's bloom fetches once, not per ask: ${ScbfBloom.bloomReads.get}")
   }
 
+  test("partitioned layout: manifest reads == touched partitions, at fixture scale") {
+    // the CI-sized twin of graft.tools.PlanningScalePartitioned (20 x
+    // 5000 files, measured in BENCH_NOTES): partition pruning is path
+    // arithmetic BEFORE any manifest load, so a partition-filtered
+    // plan loads exactly the touched partitions' manifests — the
+    // property that bounds per-query metadata IO on a 100 TB
+    // partitioned table
+    val parts = 8
+    val fpp = 250
+    val root = tmpDir("scbf-planscale-part")
+    graft.tools.PlanningScalePartitioned.generate(root, parts, fpp, Rows)
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(root), conf)
+    assert(files.size == parts * fpp)
+    def planP(fs: Seq[Filter]): Int = {
+      val b = new ScbfScanBuilder(
+        graft.tools.PlanningScalePartitioned.schemaP, files, conf, Seq(root))
+      b.pushFilters(fs.toArray)
+      val scan = b.build().asInstanceOf[ScbfScan]
+      reset()
+      scan.planInputPartitions().length
+    }
+    // one partition touched → ONE manifest read
+    assert(planP(Seq(EqualTo("pk", "p03"))) == fpp)
+    assert(ScbfStats.manifestReads.get == 1,
+      s"1-partition plan read ${ScbfStats.manifestReads.get} manifests")
+    assert(ScbfStats.sidecarReads.get == 0 && ScbfUtil.dataFileOpens.get == 0)
+    // two partitions touched → two
+    assert(planP(Seq(In("pk", Array[Any]("p01", "p05")))) == 2 * fpp)
+    assert(ScbfStats.manifestReads.get == 2,
+      s"2-partition plan read ${ScbfStats.manifestReads.get} manifests")
+    // partition + range: O(1) files, still one manifest
+    val kept = planP(Seq(EqualTo("pk", "p03"),
+      GreaterThanOrEqual("id", 100), LessThan("id", 100 + Rows)))
+    assert(kept == 1, s"planned $kept")
+    assert(ScbfStats.manifestReads.get == 1)
+    // no partition filter: every partition's manifest loads, no more
+    assert(planP(Seq(EqualTo("id", 777))) == parts)
+    assert(ScbfStats.manifestReads.get == parts)
+  }
+
   test("planning cost is in-memory after the manifest read (stays sub-second at 2k)") {
     // not a benchmark — a regression tripwire: if planning ever starts
     // doing per-file IO, 2000 files on local disk will blow way past this

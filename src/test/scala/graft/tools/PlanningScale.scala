@@ -261,3 +261,120 @@ object PlanningScale {
     spark.stop()
   }
 }
+
+/**
+ * The PARTITIONED rendering of [[PlanningScale]]: the same total file
+ * count sharded hive-style across partition directories (default 20 ×
+ * 5000), each partition a complete standalone SCBF directory with its
+ * own manifest. Measures the claims the 100 TB partitioned design
+ * rests on: partition pruning is pure path arithmetic BEFORE any
+ * manifest load (manifest reads == touched partitions, manifest bytes
+ * per touched partition = 1/parts of the flat layout), and the
+ * streaming discovery log at the root keeps no-change triggers at
+ * zero listings regardless of the sharding.
+ *
+ * Usage: Test/runMain graft.tools.PlanningScalePartitioned [parts] [filesPerPart] [rowsPerFile]
+ * Results go to stdout as [planpart] lines → recorded in BENCH_NOTES.md.
+ */
+object PlanningScalePartitioned {
+
+  /** id, v + the hive partition column pk. */
+  val schemaP: StructType = StructType(
+    PlanningScale.schemaStruct.fields.toSeq :+
+      StructField("pk", StringType, nullable = false))
+
+  def generate(root: String, parts: Int, filesPerPart: Int, rowsPerFile: Int): Unit =
+    (0 until parts).foreach { k =>
+      PlanningScale.generate(f"$root/pk=p$k%02d", filesPerPart, rowsPerFile)
+    }
+
+  private def timed[T](label: String)(body: => T): T = {
+    Seq(ScbfStats.manifestReads, ScbfStats.sidecarReads, ScbfBloom.bloomReads,
+      ScbfUtil.dataFileOpens, ScbfDataSource.listings, ScbfDiscovery.deltaReads)
+      .foreach(_.set(0))
+    val t0 = System.nanoTime()
+    val r = body
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"[planpart] $label%-44s ${ms}%10.1f ms  " +
+      s"manifestReads=${ScbfStats.manifestReads.get} " +
+      s"sidecarReads=${ScbfStats.sidecarReads.get} " +
+      s"dataOpens=${ScbfUtil.dataFileOpens.get} " +
+      s"listings=${ScbfDataSource.listings.get} " +
+      s"deltaReads=${ScbfDiscovery.deltaReads.get}")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val parts = if (args.length > 0) args(0).toInt else 20
+    val fpp = if (args.length > 1) args(1).toInt else 5000
+    val rows = if (args.length > 2) args(2).toInt else 10
+    val conf = new Configuration()
+    val root = s"/tmp/scbf_planscale_part_${parts}_$fpp"
+    val existing = Option(new File(s"$root/pk=p00").list())
+      .map(_.count(_.endsWith(".scbf"))).getOrElse(0)
+    if (existing != fpp) {
+      println(s"[planpart] generating $parts x $fpp files in $root ...")
+      val t0 = System.nanoTime()
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+      generate(root, parts, fpp, rows)
+      println(f"[planpart] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else println(s"[planpart] reusing $root")
+    val perPartManifest = new File(s"$root/pk=p00/.scbf.stats.manifest").length()
+    println(f"[planpart] parts=$parts filesPerPart=$fpp total=${parts * fpp} " +
+      f"manifest/partition=${perPartManifest / 1024.0}%.1f KiB " +
+      f"(x$parts = ${parts * perPartManifest / 1048576.0}%.1f MiB table-wide)")
+
+    val listing = timed(s"list partitioned root (${parts * fpp} files)")(
+      ScbfDataSource.resolveFiles(Seq(root), conf))
+    require(listing.size == parts * fpp, s"listing saw ${listing.size}")
+
+    import org.apache.spark.sql.sources._
+    def plan(label: String, fs: Seq[Filter]): Int = timed(label) {
+      val b = new ScbfScanBuilder(schemaP, listing, conf, Seq(root))
+      b.pushFilters(fs.toArray)
+      b.build().asInstanceOf[ScbfScan].planInputPartitions().length
+    }
+    // partition pruning is path arithmetic: ONE partition's manifest
+    // loads, the other parts-1 stay untouched
+    val k1 = plan("plan: partition filter (1 of parts)", Seq(EqualTo("pk", "p07")))
+    println(s"[planpart]   -> planned $k1 files (expect $fpp), " +
+      "manifest reads above must equal touched partitions (1)")
+    require(ScbfStats.manifestReads.get == 1,
+      s"partition-pruned plan read ${ScbfStats.manifestReads.get} manifests")
+    val k2 = plan("plan: partition + range (O(1) files)",
+      Seq(EqualTo("pk", "p07"),
+        GreaterThanOrEqual("id", fpp * rows / 2), LessThan("id", fpp * rows / 2 + rows)))
+    println(s"[planpart]   -> planned $k2 files")
+    require(ScbfStats.manifestReads.get == 1)
+    val k3 = plan("plan: range only (every partition touched)",
+      Seq(GreaterThanOrEqual("id", fpp * rows / 2), LessThan("id", fpp * rows / 2 + rows)))
+    println(s"[planpart]   -> planned $k3 files across $parts partitions; " +
+      s"manifest reads == $parts (all touched)")
+    require(ScbfStats.manifestReads.get == parts)
+
+    // streaming discovery at the partitioned root: the log lives at the
+    // ROOT (subdir-qualified names), so no-change triggers stay at zero
+    // listings exactly as in the flat layout
+    val rootP = new Path(root)
+    if (!ScbfDiscovery.exists(rootP, conf)) {
+      val qroot = rootP.getFileSystem(conf).makeQualified(rootP)
+      timed("discovery: announce all files (once)") {
+        ScbfDiscovery.append(rootP, conf, listing.map { f =>
+          val rel = qroot.toUri.relativize(f.getPath.toUri).getPath
+          ScbfDiscovery.Entry(rel, f.getLen, f.getModificationTime)
+        })
+      }
+    }
+    val stream = new ScbfMicroBatchStream(schemaP, Seq(root), conf,
+      s"$root/stream-ckpt-${System.nanoTime()}", reconcileEvery = 0)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def trig(label: String, from: ScbfOffset): ScbfOffset = timed(label) {
+      stream.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    }
+    val o1 = trig(s"stream trigger 1 (baseline, ${parts * fpp} files)", ScbfOffset(0))
+    val o2 = trig("stream trigger 2 (no change)", o1)
+    trig("stream trigger 3 (no change)", o2)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new File(root, ScbfDiscovery.DirName))
+  }
+}
