@@ -520,6 +520,46 @@ object RelationalQueries {
         FROM graft_q46 WHERE source IN ('src3', 'src7') GROUP BY source""")
     },
 
+    "q48_table_optimize" -> { (s, dir) =>
+      // Table-level OPTIMIZE end-to-end: a hive-partitioned catalog
+      // table ingests TWICE (every partition holds several unclustered
+      // files — the streaming/daily-batch layout), then ONE
+      // ScbfMaintenance.clusterTable call sweeps every partition with
+      // the snapshot-scoped per-directory rewrite — the maintenance
+      // call a 100 TB partitioned deployment runs between ingest and
+      // query. The post-sweep read combines partition pruning (source
+      // IN ...) with the in-partition doc_id range skipping the
+      // rewrite just enabled; results are exact either way (filters
+      // stay residual), which is what makes the sweep oracle-gateable:
+      // the oracle runs the same filter+aggregate on the source
+      // parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_tblopt_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q48")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      val src = t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+      src.createOrReplaceTempView("graft_q48_src")
+      s.sql("CREATE TABLE graft_q48 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      // two ingests, each round-robin WITHIN partitions: several files
+      // per partition, every file spanning the whole doc_id range
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1").foreach { half =>
+        s.sql(s"""INSERT INTO graft_q48
+          SELECT /*+ REPARTITION(4, source) */ doc_id, source, n_chars
+          FROM graft_q48_src WHERE $half""")
+      }
+      graft.sources.ScbfMaintenance.clusterTable(s, scbfDir, Seq("doc_id"), 2)
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q48 WHERE source IN ('src2', 'src5') AND doc_id < 2000
+        GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -841,6 +881,14 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE source IN ('src3', 'src7')
+         GROUP BY source""",
+
+    "q48_table_optimize" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE source IN ('src2', 'src5') AND doc_id < 2000
          GROUP BY source""",
 
     "q17_events_tumbling" ->
