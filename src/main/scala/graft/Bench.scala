@@ -52,6 +52,22 @@ object Bench {
         try src.getLines().next().split(" ")(0).toDouble finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // quiet-box gate (VERDICT r7 item 7): the RECORDED artifact should
+    // come from a load-checked run, not rely on the min-of-reps filter
+    // alone — so before the first rep, wait (bounded) for the 1-minute
+    // load to fall under the threshold. Transient contention (a CI
+    // step draining, a concurrent build) rides out inside the budget;
+    // a genuinely busy box proceeds after the cap with the elevated
+    // rep_load values recording the fact.
+    val quietBar = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
+    val quietCapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "120").toInt
+    val waitStart = System.nanoTime()
+    while (loadAvg() > quietBar &&
+        (System.nanoTime() - waitStart) / 1e9 < quietCapS) {
+      System.err.println(f"[bench] waiting for quiet box: load=${loadAvg()}%.2f > $quietBar%.1f")
+      Thread.sleep(5000)
+    }
+    val quietWaitS = (System.nanoTime() - waitStart) / 1e9
     // pair-graph OWNERS run first in every round so each pair query is
     // attributed its own pipeline's materialization and the downstream
     // consumers (d13/d15/d18) show only their incremental cost — under
@@ -93,7 +109,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = best.values.sum
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"quiet_wait_s":$quietWaitS%.1f}""")
     spark.stop()
   }
 }
