@@ -552,7 +552,10 @@ object RelationalQueries {
           SELECT /*+ REPARTITION(4, source) */ doc_id, source, n_chars
           FROM graft_q48_src WHERE $half""")
       }
-      graft.sources.ScbfMaintenance.clusterTable(s, scbfDir, Seq("doc_id"), 2)
+      // parallel sweep: a partition rewrite at this SF is fixed job
+      // overhead, and partitions are independent — 8 concurrent jobs
+      graft.sources.ScbfMaintenance.clusterTable(s, scbfDir, Seq("doc_id"), 2,
+        parallelism = 8)
       s.sql("""SELECT source, COUNT(*) AS cnt,
         SUM(n_chars) AS sum_chars,
         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc

@@ -186,16 +186,26 @@ object ScbfMaintenance {
    * like a root-level OPTIMIZE; rewrite outputs are identified by a
    * per-partition unique file prefix, so a concurrent append's files
    * can never be mis-marked as rewrite output (they announce
-   * themselves through their own commit). Returns the partition
-   * directories maintained, in sweep order.
+   * themselves through their own commit).
+   *
+   * `parallelism` runs that many partition rewrites as CONCURRENT
+   * Spark jobs from driver threads — partitions are disjoint
+   * directories (independent snapshots, manifests, logs; the root-log
+   * append is atomic-rename per unique delta), so the only shared
+   * resource is cluster capacity. A per-partition rewrite of a small
+   * partition is dominated by fixed job overhead; a sweep of 10³
+   * partitions serializing that overhead would make table maintenance
+   * O(partitions) wall-clock for no reason. Returns the partition
+   * directories maintained.
    */
   def clusterTable(
       spark: SparkSession,
       dir: String,
       clusterCols: Seq[String],
       numFilesPerPartition: Int,
-      maxBufferedBytes: Option[Long] = None): Seq[String] =
-    sweepPartitions(spark, dir) { (part, prefix) =>
+      maxBufferedBytes: Option[Long] = None,
+      parallelism: Int = 1): Seq[String] =
+    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
       cluster(spark, part, clusterCols, numFilesPerPartition,
         maxBufferedBytes, Some(prefix))
     }
@@ -208,19 +218,21 @@ object ScbfMaintenance {
       zCols: Seq[String],
       numFilesPerPartition: Int,
       bits: Int = 8,
-      maxBufferedBytes: Option[Long] = None): Seq[String] =
-    sweepPartitions(spark, dir) { (part, prefix) =>
+      maxBufferedBytes: Option[Long] = None,
+      parallelism: Int = 1): Seq[String] =
+    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
       zorder(spark, part, zCols, numFilesPerPartition, bits,
         maxBufferedBytes, Some(prefix))
     }
 
-  private def sweepPartitions(spark: SparkSession, dir: String)(
+  private def sweepPartitions(spark: SparkSession, dir: String, parallelism: Int)(
       rewrite: (String, String) => Unit): Seq[String] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val qroot = root.getFileSystem(conf).makeQualified(root)
     val parts = partitionDirs(dir, conf)
-    parts.foreach { part =>
+    def sweepOne(part: org.apache.hadoop.fs.Path): Unit = {
       val sub = qroot.toUri.relativize(part.toUri).getPath.stripSuffix("/")
       val snapshot = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
         .map(_.getPath.getName)
@@ -236,6 +248,20 @@ object ScbfMaintenance {
           ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
             rewriteOf = snapshot.map(n => s"$sub/$n").sorted)))
       }
+    }
+    if (parallelism == 1) parts.foreach(sweepOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, math.max(1, parts.size)))
+      try {
+        val futures = parts.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = sweepOne(p)
+        }))
+        // surface the FIRST failure; the other partitions' rewrites
+        // are each atomic (commit-or-leave-intact), so a partial sweep
+        // is safe to re-run
+        futures.foreach(_.get())
+      } finally pool.shutdown()
     }
     parts.map(_.toString)
   }

@@ -160,8 +160,11 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
     assert(stream.planInputPartitions(ScbfOffset(0), o1).length >= 8,
       "baseline must deliver both ingests' files")
     val o2 = trig(o1) // incremental mode from here
-    // ONE call maintains the whole table
-    val parts = ScbfMaintenance.clusterTable(spark, dir, Seq("id"), 2)
+    // ONE call maintains the whole table — concurrent sweep: the
+    // stream-transparency and disjoint-range assertions below cover
+    // the parallel path too
+    val parts = ScbfMaintenance.clusterTable(spark, dir, Seq("id"), 2,
+      parallelism = 4)
     assert(parts.size == 4, s"expected 4 partition sweeps, got $parts")
     // every partition is now 2 files with DISJOINT id ranges — the
     // layout under which stats skipping bites (manifest-read check)
