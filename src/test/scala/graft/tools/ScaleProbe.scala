@@ -32,7 +32,8 @@ object ScaleProbe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val scaledDir = s"/tmp/graft_scale$factor"
     val heavy = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d13_dedup_clusters",
-      "d16_dup_spans", "d17_span_dedup", "q34_scalable_frames", "t14_mixture_sample")
+      "d16_dup_spans", "d17_span_dedup", "d22_winnowed_spans",
+      "q34_scalable_frames", "t14_mixture_sample")
 
     val spark = SparkSession.builder()
       .master("local[32]")
