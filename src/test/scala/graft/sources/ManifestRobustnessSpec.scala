@@ -85,6 +85,40 @@ class ManifestRobustnessSpec extends AnyFunSuite with SparkTestBase {
     assert(!ndv.contains("id"))
   }
 
+  test("one corrupt dirtopk line loses only that column's summary — never the plan") {
+    val dir = tmpDir("scbf-man-topk")
+    spark.range(0, 1000)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("src"))
+      .repartition(2)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val lines = manifestText(dir).split("\n").toSeq
+    val topkLine = lines.indexWhere(_.startsWith("dirtopk\tsrc\t"))
+    assert(topkLine >= 0, "manifest must carry a dirtopk line for src")
+    val conf = new Configuration()
+    // intact: the summary parses and selectivity applies
+    val intact = ScbfStats.readManifestFull(new Path(dir), conf)
+    assert(intact.topk.contains("src"))
+    // torn: ONLY this column's summary is lost; entries, ndv, hist stay
+    overwriteManifest(dir,
+      lines.updated(topkLine, "dirtopk\tsrc\tgarbage|not|numbers").mkString("\n"))
+    val torn = ScbfStats.readManifestFull(new Path(dir), conf)
+    assert(!torn.topk.contains("src"), "torn summary must parse to nothing")
+    assert(torn.entries.size == intact.entries.size, "entries must survive")
+    assert(torn.ndv.keySet == intact.ndv.keySet, "NDV must survive")
+    // and the scan still plans (selectivity falls back to 1.0 — the
+    // summary is estimator input only, never a correctness dependency)
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val b = new ScbfScanBuilder(
+      spark.read.format("scbf").load(dir).schema, files, conf, Seq(dir))
+    b.pushFilters(Array(EqualTo("src", "s1")))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    assert(scan.planInputPartitions().nonEmpty)
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows.isPresent && stats.numRows.getAsLong == 1000,
+      "without a summary the row estimate must stay unscaled")
+  }
+
   test("structural corruption (bad header) drops the manifest; sidecars keep pruning exact") {
     val dir = tmpDir("scbf-man-header")
     writeRanged(dir)
