@@ -363,11 +363,19 @@ class ScbfScan(
             case LessThanOrEqual(a, _)    => Some(a)
             case _                        => None
           }
+          // the merged utf8 prefix-key histograms (same dirhist lines
+          // the numeric columns use) refine the residual-range model
+          val dirs2 = kept.map(_.getPath.getParent).distinct
+          def prefixHistFor(c: String): Option[ScbfHistogram.Hist] = {
+            val hs = dirs2.flatMap(d => lookup.dirHist(d).get(c))
+            if (hs.isEmpty) None else ScbfHistogram.merge(hs)
+          }
           pushedFilters.foldLeft(1.0) { (acc, f) =>
             val s = for {
               c <- colOf(f)
               t <- topks.get(c)
-              s <- ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f)
+              s <- ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f,
+                prefixHistFor(c))
             } yield s
             acc * s.getOrElse(1.0)
           }

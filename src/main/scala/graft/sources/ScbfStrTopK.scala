@@ -138,8 +138,12 @@ object ScbfStrTopK {
    * Double — a monotone embedding of the lexicographic byte order,
    * used to interpolate how much of the NON-top-K mass a range
    * predicate keeps (the truncated-bound ordering the utf8 min/max
-   * stats already live in). */
-  private def prefixKey(b: Array[Byte]): Double = {
+   * stats already live in). Also the domain of the utf8 EQUI-HEIGHT
+   * histograms ([[ScbfHistogram]] over prefix keys): the writer
+   * histograms each utf8 column's prefix keys, and range estimation
+   * prefers that bin-accurate mass over the flat [min,max]
+   * interpolation when the directory carries one. */
+  def prefixKey(b: Array[Byte]): Double = {
     var l = 0L
     var i = 0
     while (i < 8) {
@@ -161,17 +165,40 @@ object ScbfStrTopK {
     a.length - b.length
   }
 
+  /** Mass fraction of the histogram at or above `x` (equi-height:
+   * every bin carries 1/bins of the mass; a straddled range bin
+   * contributes linearly, a point bin all-or-nothing). */
+  def fracAbove(h: ScbfHistogram.Hist, x: Double, inclusive: Boolean): Double = {
+    val n = h.bins.length
+    if (n == 0) return 1.0
+    var s = 0.0
+    h.bins.foreach { b =>
+      if (b.lo == b.hi) {
+        if (b.lo > x || (inclusive && b.lo == x)) s += 1.0
+      } else if (b.lo >= x) s += 1.0
+      else if (b.hi > x) s += (b.hi - x) / (b.hi - b.lo)
+    }
+    s / n
+  }
+
   /** Estimated fraction of rows a single pushed predicate on this
    * column keeps, or None when the summary can't say (unsupported
    * filter shape, non-string literal). `ndv` refines the average mass
-   * of non-top-K values; `bounds` (the folded utf8 min/max, max
-   * possibly unavailable) anchors the range interpolation for the
-   * non-top-K mass — absent bounds keep that mass whole, erring
-   * toward NOT shrinking (a wrongly-broadcast big side is the failure
-   * mode to avoid; a missed broadcast is just the status quo). */
+   * of non-top-K values. For ranges, the non-top-K mass interpolates
+   * through `prefixHist` when the directory carries a utf8 equi-height
+   * histogram (bin-accurate mass over the prefix-key ordering — the
+   * shape that matters when the value distribution is skewed along
+   * the range), else through `bounds` (the folded utf8 min/max, flat
+   * model) — absent both, that mass stays whole, erring toward NOT
+   * shrinking (a wrongly-broadcast big side is the failure mode to
+   * avoid; a missed broadcast is just the status quo). The histogram
+   * describes ALL values including the top-K ones, so hot values can
+   * overweight their own region of the residual — estimator slack,
+   * bounded by the top-K's exact handling of those values. */
   def selectivity(t: TopK, ndv: Option[Long],
       bounds: Option[(Array[Byte], Option[Array[Byte]])],
-      filter: org.apache.spark.sql.sources.Filter): Option[Double] = {
+      filter: org.apache.spark.sql.sources.Filter,
+      prefixHist: Option[ScbfHistogram.Hist] = None): Option[Double] = {
     import org.apache.spark.sql.sources._
     def str(v: Any): Option[String] = v match {
       case s: String                                   => Some(s)
@@ -190,18 +217,24 @@ object ScbfStrTopK {
       topMass + t.otherRows * math.min(1.0, math.max(0.0, otherFrac))
     }
     def interp(litB: Array[Byte], keepAbove: Boolean, inclusive: Boolean): Double =
-      bounds match {
-        case Some((mn, Some(mx))) =>
-          val (lo, hi, x) = (prefixKey(mn), prefixKey(mx), prefixKey(litB))
-          if (hi <= lo) { // single-point domain: compare directly
-            val c = cmpBytes(mn, litB)
-            val keeps = if (keepAbove) c > 0 || (inclusive && c == 0)
-                        else c < 0 || (inclusive && c == 0)
-            if (keeps) 1.0 else 0.0
-          }
-          else if (keepAbove) (hi - x) / (hi - lo)
-          else (x - lo) / (hi - lo)
-        case _ => 1.0 // no anchor: keep the residual mass whole
+      prefixHist match {
+        case Some(h) if h.bins.nonEmpty =>
+          val x = prefixKey(litB)
+          if (keepAbove) fracAbove(h, x, inclusive)
+          else 1.0 - fracAbove(h, x, !inclusive)
+        case _ => bounds match {
+          case Some((mn, Some(mx))) =>
+            val (lo, hi, x) = (prefixKey(mn), prefixKey(mx), prefixKey(litB))
+            if (hi <= lo) { // single-point domain: compare directly
+              val c = cmpBytes(mn, litB)
+              val keeps = if (keepAbove) c > 0 || (inclusive && c == 0)
+                          else c < 0 || (inclusive && c == 0)
+              if (keeps) 1.0 else 0.0
+            }
+            else if (keepAbove) (hi - x) / (hi - lo)
+            else (x - lo) / (hi - lo)
+          case _ => 1.0 // no anchor: keep the residual mass whole
+        }
       }
     val kept: Option[Double] = filter match {
       case EqualTo(_, v) => str(v).map(equality)

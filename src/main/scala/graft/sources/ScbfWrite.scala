@@ -822,6 +822,18 @@ class ScbfDataWriter(
           ScbfHistogram.fromValues(
             ScbfHistogram.sample(b.values.length)(b.values(_)),
             b.values.length, histBins).map(n -> _)
+        // utf8 columns histogram their PREFIX KEYS (first-8-bytes
+        // big-endian — the monotone embedding of the lexicographic
+        // order the truncated bounds already live in): equi-height
+        // mass over the string ordering, consumed ONLY by the
+        // connector's own string-range selectivity (ScbfStrTopK) —
+        // the scan never reports a string column's histogram to
+        // Catalyst, whose histogram path is numeric
+        case (n, b: Utf8Builder) if b.values.nonEmpty =>
+          ScbfHistogram.fromValues(
+            ScbfHistogram.sample(b.values.length)(
+              i => ScbfStrTopK.prefixKey(b.values(i))),
+            b.values.length, histBins).map(n -> _)
         case _ => None
       }.toMap
     // per-utf8-column top-K frequency summaries (ScbfStrTopK): string

@@ -359,6 +359,53 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("utf8 prefix-key histograms make skewed string RANGES bin-accurate (flat model can't)") {
+    // high-cardinality strings (every value distinct — the top-K holds
+    // 32 singletons and ~all mass is residual), 95% of them packed
+    // into the 'b...' prefix and 5% spread uniformly over prefixes
+    // c..z: a range filter src >= 'x' truly keeps 3/24 of the 5% tail
+    // (~187 of 30000 rows, 0.6%). The FLAT residual model (min/max
+    // interpolation) sees [b, z] as ONE uniform interval — the 95%
+    // hot prefix inflates everything above 'x' to (z−x)/(z−b) ≈ 8% of
+    // ALL rows (~13× over). The utf8 equi-height histogram
+    // (prefix-key domain, the same dirhist machinery as numeric
+    // columns) puts ~31 of 32 bins below the cut and lands within a
+    // bin of truth.
+    def write(dir: String, bins: Int): Unit =
+      spark.range(0, 30000)
+        .select(col("id").cast("int").as("id"),
+          when(col("id") % 1000 < 950,
+            concat(lit("b"), lpad(col("id").cast("string"), 8, "0")))
+            .otherwise(concat(
+              expr("char(99 + id % 24)"), // c..z, uniform
+              col("id").cast("string"))).as("src"))
+        .repartition(4)
+        .write.format("scbf")
+        .option("histogramBins", bins.toString)
+        .mode("overwrite").save(dir)
+    val histDir = tmpDir("scbf-strhist")
+    val flatDir = tmpDir("scbf-strflat")
+    write(histDir, ScbfHistogram.DefaultBins)
+    write(flatDir, 0) // top-K still on; no histogram → flat bounds model
+    val conf = new Configuration()
+    def estimate(dir: String): Long = {
+      val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+      val b = new ScbfScanBuilder(
+        spark.read.format("scbf").load(dir).schema, files, conf, Seq(dir))
+      b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("src", "x")))
+      b.build().asInstanceOf[ScbfScan].estimateStatistics().numRows.getAsLong
+    }
+    val truth = 30000L * 50 / 1000 * 3 / 24 // ~187 rows at prefixes x,y,z
+    val flat = estimate(flatDir)
+    val binned = estimate(histDir)
+    assert(flat > 6 * truth,
+      s"flat model must visibly over-keep the skewed range: $flat vs $truth")
+    assert(binned < flat / 2,
+      s"histogram must beat the flat model: $binned vs $flat")
+    assert(binned >= truth / 4 && binned <= 8 * truth,
+      s"histogram estimate must land within ~a bin of truth: $binned vs $truth")
+  }
+
   test("histograms ride sidecar + manifest and histogramBins=0 disables them") {
     val dir = tmpDir("scbf-hist-plumbing")
     writeRanged(dir)
