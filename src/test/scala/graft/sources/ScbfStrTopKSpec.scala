@@ -72,6 +72,63 @@ class ScbfStrTopKSpec extends AnyFunSuite {
     // 11x for 'en' and 83x for 'kw'; that gap is the point
   }
 
+  test("estimator calibration invariants on randomized distributions") {
+    // the selectivity estimator has four paths (top-K mass, residual
+    // average, histogram interpolation, flat interpolation); these
+    // invariants hold across ALL of them and catch a regression in
+    // any: never-zero, range monotonicity, >=/< complementarity, and
+    // hot-value equality accuracy when sampling is exact
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      // mixture: a few hot values + a random tail, n small enough that
+      // the stride sample is the full data (exact counts)
+      val hot = (1 to (1 + rnd.nextInt(3))).map(h =>
+        f"hot$h%02d" -> (500 + rnd.nextInt(4000)))
+      val tailN = 200 + rnd.nextInt(800)
+      val vals = hot.flatMap { case (v, c) => Seq.fill(c)(v) } ++
+        (1 to tailN).map(_ => f"t${rnd.nextInt(100000)}%05d${('a' + rnd.nextInt(26)).toChar}")
+      val arr = rnd.shuffle(vals).toArray
+      val n = arr.length
+      val t = ScbfStrTopK.fromValues(n, n, k = 8)(i => bytes(arr(i))).get
+      val hist = ScbfHistogram.fromValues(
+        arr.map(v => ScbfStrTopK.prefixKey(bytes(v))), n, 32)
+      val ndv = Some(arr.distinct.length.toLong)
+      val sorted = arr.map(bytes).sortWith((a, b) =>
+        java.util.Arrays.compareUnsigned(a, b) < 0)
+      // both anchored residual models: flat bounds and the histogram
+      // (unanchored is DELIBERATELY conservative — it keeps the
+      // residual whole in both directions, so complementarity
+      // overshoots; that behavior is pinned in the range test below)
+      val bounds = Some((sorted.head, Some(sorted.last)))
+      def sel(f: Filter, h: Option[ScbfHistogram.Hist]): Double =
+        ScbfStrTopK.selectivity(t, ndv, bounds, f, h).get
+      for (h <- Seq(None, hist)) {
+        // 1. hot-value equality is exact (counts are exact at this n)
+        hot.foreach { case (v, c) =>
+          val s = sel(EqualTo("c", v), h)
+          assert(math.abs(s - c.toDouble / n) < 1e-9,
+            s"trial $trial: hot $v $s vs ${c.toDouble / n}")
+        }
+        // 2. never zero, never above one — any value, any cut
+        assert(sel(EqualTo("c", "never-seen"), h) >= 1.0 / n)
+        assert(sel(EqualTo("c", "never-seen"), h) <= 1.0)
+        // 3. range monotonicity in the cut point
+        val cuts = Seq("a", "hot00", "hot99", "t3", "t99999z", "zz")
+        val ge = cuts.map(c => sel(GreaterThanOrEqual("c", c), h))
+        ge.sliding(2).foreach { case Seq(a, b) =>
+          assert(a >= b - 1e-9, s"trial $trial h=${h.isDefined}: >= not monotone: $ge")
+        }
+        // 4. >= and < complement to ~1 (slack: the one-row floor and
+        // residual-model seams, both bounded)
+        cuts.foreach { c =>
+          val s = sel(GreaterThanOrEqual("c", c), h) + sel(LessThan("c", c), h)
+          assert(s > 0.9 && s < 1.2,
+            s"trial $trial h=${h.isDefined} cut=$c: complement sum $s")
+        }
+      }
+    }
+  }
+
   test("range selectivity: exact over top-K, bound-interpolated residual, conservative without bounds") {
     val t = ScbfStrTopK.TopK(10000,
       Vector("aa" -> 9000L, "mm" -> 500L, "zz" -> 100L), 400)
