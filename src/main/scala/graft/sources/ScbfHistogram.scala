@@ -176,6 +176,67 @@ object ScbfHistogram {
     Some(Hist(totalW / bins, out.result()))
   }
 
+  /** Mass fraction of the histogram at or above `x` (equi-height:
+   * every bin carries 1/bins of the mass; a straddled range bin
+   * contributes linearly, a point bin all-or-nothing). Domain-neutral:
+   * numeric column values, or utf8 prefix keys (ScbfStrTopK). */
+  def fracAbove(h: Hist, x: Double, inclusive: Boolean): Double = {
+    val n = h.bins.length
+    if (n == 0) return 1.0
+    var s = 0.0
+    h.bins.foreach { b =>
+      if (b.lo == b.hi) {
+        if (b.lo > x || (inclusive && b.lo == x)) s += 1.0
+      } else if (b.lo >= x) s += 1.0
+      else if (b.hi > x) s += (b.hi - x) / (b.hi - b.lo)
+    }
+    s / n
+  }
+
+  /** Estimated keep-fraction of one pushed predicate with a NUMERIC
+   * literal against this histogram, or None when the histogram can't
+   * say (unsupported shape, non-numeric literal). Ranges interpolate
+   * bin mass; equality/In shrink ONLY on point-bin evidence (a value
+   * heavy enough to occupy its own bins — for everything else 1/NDV
+   * is the estimator's job, and without evidence we must not shrink).
+   * The planning-side mirror of the string path (ScbfStrTopK): it
+   * feeds the scan's own reported numRows/sizeInBytes, so numeric
+   * skew flips broadcasts in DEFAULT (cbo.enabled=false) deployments
+   * where Catalyst's FilterEstimation never runs. */
+  def keepFraction(h: Hist,
+      filter: org.apache.spark.sql.sources.Filter): Option[Double] = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _                   => None
+    }
+    def pointMass(x: Double): Option[Double] = {
+      val pts = h.bins.count(b => b.lo == x && b.hi == x)
+      if (pts > 0) Some(pts.toDouble / h.bins.length)
+      else if (x < h.bins.head.lo || x > h.bins.last.hi) Some(0.0)
+      else None // in-range, not point-heavy: no evidence, don't shrink
+    }
+    if (h.bins.isEmpty) return None
+    filter match {
+      case GreaterThan(_, v) => num(v).map(fracAbove(h, _, inclusive = false))
+      case GreaterThanOrEqual(_, v) => num(v).map(fracAbove(h, _, inclusive = true))
+      case LessThan(_, v) => num(v).map(x => 1.0 - fracAbove(h, x, inclusive = true))
+      case LessThanOrEqual(_, v) =>
+        num(v).map(x => 1.0 - fracAbove(h, x, inclusive = false))
+      case EqualTo(_, v) => num(v).flatMap(pointMass)
+      case EqualNullSafe(_, v) => num(v).flatMap(pointMass)
+      case In(_, vs) =>
+        val xs = vs.toSeq.map(num)
+        if (xs.exists(_.isEmpty)) None
+        else {
+          val ms = xs.flatten.distinct.map(pointMass)
+          if (ms.exists(_.isEmpty)) None
+          else Some(math.min(1.0, ms.flatten.sum))
+        }
+      case _ => None
+    }
+  }
+
   /** `height|lo:hi:ndv;lo:hi:ndv;…` — Double.toString round-trips
    * exactly and never contains the separators. */
   def render(h: Hist): String =

@@ -309,21 +309,27 @@ class ScbfScan(
       if (aggregated.isDefined) files else staticKept
     private val lookup = ScbfScan.this.lookup
 
-    /** Keep-fraction of the pushed STRING predicates, estimated from
-     * the kept directories' merged top-K frequency summaries
-     * ([[ScbfStrTopK]]) and folded into the reported
-     * numRows/sizeInBytes — the same authority the scan already
-     * exercises by reporting kept-file sizes under pruning. This is
-     * where string SKEW reaches join planning: Catalyst has no
-     * string-histogram path (equality falls back to 1/NDV), and
-     * file-level pruning can't narrow a rare-value filter when every
-     * file holds a few matching rows — but a fact scan filtered to
-     * `lang = 'kw'` (0.1% of a 95%-'en' column) reports 0.1% of its
+    /** Keep-fraction of the pushed predicates, estimated from the
+     * kept directories' merged statistics and folded into the
+     * reported numRows/sizeInBytes — the same authority the scan
+     * already exercises by reporting kept-file sizes under pruning.
+     * This is where SKEW reaches join planning in a DEFAULT
+     * deployment: Catalyst's FilterEstimation runs only under
+     * spark.sql.cbo.enabled (off by default) and has no string path
+     * at all, and file-level pruning can't narrow a rare-value filter
+     * when every file holds a few matching rows. STRING predicates
+     * estimate through the top-K frequency summaries
+     * ([[ScbfStrTopK]]; residual ranges through the utf8 prefix-key
+     * histograms); NUMERIC ranges interpolate the merged equi-height
+     * histograms, and numeric equality shrinks only on point-bin
+     * evidence ([[ScbfHistogram.keepFraction]]). A fact scan filtered
+     * to `lang = 'kw'` (0.1% of a 95%-'en' column) or to the sparse
+     * tail of a skewed numeric range reports that fraction of its
      * size here, dropping below the broadcast threshold, CBO on or
      * off. Estimates floor at one row and only ever come from real
-     * frequency evidence; columns or filter shapes the summary can't
+     * frequency evidence; columns or filter shapes the stats can't
      * judge contribute 1.0 (never shrink on a guess). */
-    private lazy val strSel: Double =
+    private lazy val pushedSel: Double =
       if (aggregated.isDefined || pushedFilters.isEmpty) 1.0
       else {
         val dirs = kept.map(_.getPath.getParent).distinct
@@ -331,61 +337,64 @@ class ScbfScan(
           .flatMap(d => lookup.dirTopK(d).toSeq)
           .groupBy(_._1).view.mapValues(v => ScbfStrTopK.merge(v.map(_._2)))
           .collect { case (n, Some(t)) => n -> t }.toMap
-        if (topks.isEmpty) 1.0
-        else {
-          // folded utf8 bounds over the kept files (max only when every
-          // kept file reports one — the fold is unsound otherwise),
-          // anchoring the range interpolation of the non-top-K mass
-          def boundsFor(c: String): Option[(Array[Byte], Option[Array[Byte]])] =
-            allStats.flatMap { sts =>
-              val nonEmpty = sts.filter(_.rows > 0)
-              val rs = nonEmpty.map(_.strCols.get(c))
-              if (nonEmpty.isEmpty || rs.exists(_.isEmpty)) None
-              else {
-                val ranges = rs.flatten
-                val mn = ranges.map(_.min).min(ScbfScan.byteOrdering)
-                val mx =
-                  if (ranges.forall(_.max.isDefined))
-                    Some(ranges.flatMap(_.max).max(ScbfScan.byteOrdering))
-                  else None
-                Some((mn, mx))
-              }
+        // folded utf8 bounds over the kept files (max only when every
+        // kept file reports one — the fold is unsound otherwise),
+        // anchoring the range interpolation of the non-top-K mass
+        def boundsFor(c: String): Option[(Array[Byte], Option[Array[Byte]])] =
+          allStats.flatMap { sts =>
+            val nonEmpty = sts.filter(_.rows > 0)
+            val rs = nonEmpty.map(_.strCols.get(c))
+            if (nonEmpty.isEmpty || rs.exists(_.isEmpty)) None
+            else {
+              val ranges = rs.flatten
+              val mn = ranges.map(_.min).min(ScbfScan.byteOrdering)
+              val mx =
+                if (ranges.forall(_.max.isDefined))
+                  Some(ranges.flatMap(_.max).max(ScbfScan.byteOrdering))
+                else None
+              Some((mn, mx))
             }
-          import org.apache.spark.sql.sources._
-          def colOf(f: Filter): Option[String] = f match {
-            case EqualTo(a, _)            => Some(a)
-            case EqualNullSafe(a, _)      => Some(a)
-            case In(a, _)                 => Some(a)
-            case StringStartsWith(a, _)   => Some(a)
-            case GreaterThan(a, _)        => Some(a)
-            case GreaterThanOrEqual(a, _) => Some(a)
-            case LessThan(a, _)           => Some(a)
-            case LessThanOrEqual(a, _)    => Some(a)
-            case _                        => None
           }
-          // the merged utf8 prefix-key histograms (same dirhist lines
-          // the numeric columns use) refine the residual-range model
-          val dirs2 = kept.map(_.getPath.getParent).distinct
-          def prefixHistFor(c: String): Option[ScbfHistogram.Hist] = {
-            val hs = dirs2.flatMap(d => lookup.dirHist(d).get(c))
-            if (hs.isEmpty) None else ScbfHistogram.merge(hs)
+        import org.apache.spark.sql.sources._
+        def colOf(f: Filter): Option[String] = f match {
+          case EqualTo(a, _)            => Some(a)
+          case EqualNullSafe(a, _)      => Some(a)
+          case In(a, _)                 => Some(a)
+          case StringStartsWith(a, _)   => Some(a)
+          case GreaterThan(a, _)        => Some(a)
+          case GreaterThanOrEqual(a, _) => Some(a)
+          case LessThan(a, _)           => Some(a)
+          case LessThanOrEqual(a, _)    => Some(a)
+          case _                        => None
+        }
+        // merged per-column histograms: utf8 prefix-key histograms
+        // refine the string residual-range model, numeric histograms
+        // estimate numeric predicates directly (same dirhist lines)
+        def histFor(c: String): Option[ScbfHistogram.Hist] = {
+          val hs = dirs.flatMap(d => lookup.dirHist(d).get(c))
+          if (hs.isEmpty) None else ScbfHistogram.merge(hs)
+        }
+        def isStringCol(c: String): Boolean = // full schema: a filter
+          // column may be pruned from the scan's output
+          tableSchema.fields.find(_.name == c).exists(_.dataType == StringType)
+        pushedFilters.foldLeft(1.0) { (acc, f) =>
+          val s = colOf(f).flatMap { c =>
+            topks.get(c) match {
+              case Some(t) =>
+                ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f, histFor(c))
+              case None if !isStringCol(c) =>
+                histFor(c).flatMap(h => ScbfHistogram.keepFraction(h, f))
+              case None => None
+            }
           }
-          pushedFilters.foldLeft(1.0) { (acc, f) =>
-            val s = for {
-              c <- colOf(f)
-              t <- topks.get(c)
-              s <- ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f,
-                prefixHistFor(c))
-            } yield s
-            acc * s.getOrElse(1.0)
-          }
+          acc * s.fold(1.0)(v => math.max(v, 1e-9))
         }
       }
 
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
       else OptionalLong.of(
-        math.max(1L, math.round(kept.map(_.getLen).sum * strSel)))
+        math.max(1L, math.round(kept.map(_.getLen).sum * pushedSel)))
     private lazy val perFileRows =
       kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
     private lazy val allStats: Option[Seq[ScbfStats.FileStats]] = {
@@ -411,7 +420,7 @@ class ScbfScan(
         if (missing.length > 64) OptionalLong.empty()
         else OptionalLong.of(math.max(1L, math.round(
           (perFileRows.collect { case (_, Some(r)) => r }.sum +
-            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum) * strSel)))
+            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum) * pushedSel)))
       }
 
     /**

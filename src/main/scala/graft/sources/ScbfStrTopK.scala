@@ -165,21 +165,10 @@ object ScbfStrTopK {
     a.length - b.length
   }
 
-  /** Mass fraction of the histogram at or above `x` (equi-height:
-   * every bin carries 1/bins of the mass; a straddled range bin
-   * contributes linearly, a point bin all-or-nothing). */
-  def fracAbove(h: ScbfHistogram.Hist, x: Double, inclusive: Boolean): Double = {
-    val n = h.bins.length
-    if (n == 0) return 1.0
-    var s = 0.0
-    h.bins.foreach { b =>
-      if (b.lo == b.hi) {
-        if (b.lo > x || (inclusive && b.lo == x)) s += 1.0
-      } else if (b.lo >= x) s += 1.0
-      else if (b.hi > x) s += (b.hi - x) / (b.hi - b.lo)
-    }
-    s / n
-  }
+  /** See [[ScbfHistogram.fracAbove]] — one definition for both the
+   * numeric and prefix-key domains. */
+  def fracAbove(h: ScbfHistogram.Hist, x: Double, inclusive: Boolean): Double =
+    ScbfHistogram.fracAbove(h, x, inclusive)
 
   /** Estimated fraction of rows a single pushed predicate on this
    * column keeps, or None when the summary can't say (unsupported

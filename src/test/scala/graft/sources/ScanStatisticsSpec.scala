@@ -172,15 +172,24 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     // keeps ~5 of 1000 rows
     // hash-valued score: zlib cannot flatten it, so the table's on-disk
     // size (what size-only estimation sees) stays honestly large
+    // histogramBins=0: this test isolates the CBO path (min/max/NDV →
+    // FilterEstimation). With a histogram present the SCAN's own
+    // selectivity scaling would flip the join even with CBO off —
+    // that stronger default-config behavior has its own test below.
     spark.range(0, 20000)
       .select(col("id").cast("int").as("id"),
         (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
       .repartition(4)
-      .write.format("scbf").mode("overwrite").save(dimDir)
+      .write.format("scbf").option("histogramBins", "0")
+      .mode("overwrite").save(dimDir)
     val factDir = tmpDir("scbf-cbo-fact")
+    // histogram off here too: Catalyst PROPAGATES `id < 5` across the
+    // equi-join as `fid < 5`, and a fact-side histogram would let the
+    // scan-level estimator shrink (and broadcast) the fact side
     spark.range(0, 20000).select(col("id").cast("int").as("fid"))
       .repartition(2)
-      .write.format("scbf").mode("overwrite").save(factDir)
+      .write.format("scbf").option("histogramBins", "0")
+      .mode("overwrite").save(factDir)
     def totalSize(dir: String): Long = {
       val p = new Path(dir)
       val fs = p.getFileSystem(new Configuration())
@@ -356,6 +365,50 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
       // and the hot value must NOT shrink: a 95% filter stays big
       assert(!plan(topkDir, col("lang") === "en").contains("BroadcastHashJoin"),
         "the hot value keeps 95% of the scan: must not broadcast")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("DEFAULT config (CBO off): a skewed numeric range flips to broadcast via scan-level selectivity") {
+    // spark.sql.cbo.enabled is FALSE by default, so Catalyst's
+    // FilterEstimation — the consumer of the DSv2 histogram — never
+    // runs in a stock deployment and the r7 histogram flip needed CBO
+    // on. The scan now folds the histogram's keep-fraction into its
+    // OWN reported numRows/sizeInBytes, so the same skewed-range
+    // filter flips the join with Spark untouched: 99% of ids are 0..9
+    // (point bins), the 1% tail spreads to ~1e6, and `id > 500000`
+    // truly keeps ~0.5% of the tail — the histogram sees <1 bin of
+    // mass above the cut where size-only stats see the whole table.
+    def writeDim(dir: String, bins: Int): Unit =
+      spark.range(0, 40000)
+        .select(
+          when(col("id") % 100 < 99, (col("id") % 10))
+            .otherwise(col("id") * 25 % 1000000 + 10)
+            .cast("int").as("id"),
+          (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+        .repartition(4) // UNCLUSTERED: file pruning cannot help
+        .write.format("scbf").option("histogramBins", bins.toString)
+        .mode("overwrite").save(dir)
+    val histDir = tmpDir("scbf-nocbo-hist")
+    val noHistDir = tmpDir("scbf-nocbo-nohist")
+    writeDim(histDir, ScbfHistogram.DefaultBins)
+    writeDim(noHistDir, 0)
+    val fact = spark.range(0, 40000).select(col("id").cast("int").as("fid"))
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false") // THE DEFAULT
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def plan(dir: String): String = {
+        val dim = spark.read.format("scbf").load(dir).filter(col("id") > 500000)
+        fact.join(dim, fact("fid") === dim("id"))
+          .queryExecution.sparkPlan.toString
+      }
+      assert(!plan(noHistDir).contains("BroadcastHashJoin"),
+        "without a histogram the scan reports full size: no broadcast")
+      assert(plan(histDir).contains("BroadcastHashJoin"),
+        "scan-level histogram selectivity must flip the join with CBO OFF")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
