@@ -196,6 +196,40 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
       s"post-sweep append must deliver exactly the new files: ${newRows.toSeq}")
   }
 
+  test("a root sweep is invisible under EVERY onChangeCommit policy (deliver and fail too)") {
+    // clusterTable's root-log re-announcements carry rowsChanged=false
+    // (cluster preserves rows), and a no-C:1 rewrite takes the silent
+    // sentinel under every policy — so even a consumer reading with
+    // onChangeCommit=deliver (wants UPDATE rows re-delivered) or =fail
+    // (wants to stop on changes) sails through table maintenance. Only
+    // genuine DELETE/UPDATE replacements engage the policy.
+    val dir = makeTable("graft_ptpol")
+    spark.sql("INSERT INTO graft_ptpol SELECT /*+ REPARTITION(2, grp) */ " +
+      "id + 100, grp, v FROM graft_ptpol_src")
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val streams = Seq("deliver", "fail").map { pol =>
+      val ckpt = Files.createTempDirectory(s"scbf-ptpol-$pol-ckpt").toString
+      pol -> new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+        reconcileEvery = 0, onChangeCommit = pol)
+    }
+    def trig(s: ScbfMicroBatchStream, from: ScbfOffset): ScbfOffset =
+      s.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    val caught = streams.map { case (pol, s) =>
+      val o1 = trig(s, ScbfOffset(0))
+      assert(s.planInputPartitions(ScbfOffset(0), o1).nonEmpty, s"$pol baseline")
+      (pol, s, trig(s, o1)) // incremental mode from here
+    }
+    ScbfMaintenance.clusterTable(spark, dir, Seq("id"), 2, parallelism = 4)
+    caught.foreach { case (pol, s, o2) =>
+      val o3 = trig(s, o2) // =fail would throw here if the policy engaged
+      val planned = s.planInputPartitions(o2, o3)
+      assert(planned.isEmpty,
+        s"onChangeCommit=$pol: a root sweep must deliver nothing: " +
+          planned.map(_.asInstanceOf[ScbfFilePartition].path).toSeq)
+    }
+  }
+
   test("a task seeing many partition values stays memory-capped (forced rolls) and exact") {
     val name = "graft_pt6"
     val dir = Files.createTempDirectory("scbf-part-cap").toString
