@@ -193,6 +193,17 @@ object ScbfHistogram {
     s / n
   }
 
+  /** Upper bound on the mass fraction at point `x`: every bin whose
+   * interval contains `x` contributes in full. Used when a predicate's
+   * true interval is narrower than the histogram's domain resolution
+   * (a long string prefix in the 8-byte prefix-key domain) — the bins
+   * covering the point bound what the predicate can keep there. */
+  def fracAt(h: Hist, x: Double): Double = {
+    val n = h.bins.length
+    if (n == 0) 1.0
+    else h.bins.count(b => b.lo <= x && x <= b.hi).toDouble / n
+  }
+
   /** Estimated keep-fraction of one pushed predicate with a NUMERIC
    * literal against this histogram, or None when the histogram can't
    * say (unsupported shape, non-numeric literal). Ranges interpolate

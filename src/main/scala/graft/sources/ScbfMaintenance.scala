@@ -50,7 +50,7 @@ object ScbfMaintenance {
       clusterCols: Seq[String],
       numFiles: Int,
       maxBufferedBytes: Option[Long] = None,
-      filePrefix: Option[String] = None): Unit = {
+      filePrefix: Option[String] = None): Seq[String] = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
@@ -65,6 +65,13 @@ object ScbfMaintenance {
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     filePrefix.foreach(p => writer.option("filePrefix", p))
     writer.save(dir)
+    // the names ACTUALLY folded into the rewrite — callers announcing
+    // the rewrite elsewhere (sweepPartitions' root log) must mark
+    // exactly this set, not their own (re-)listing: a file appended
+    // between two listings would be folded in but not marked, and a
+    // caught-up stream would skip the rewrite as covered while the
+    // file's own announcement points at deleted data
+    snapshot.map(_.getPath.getName)
   }
 
   /**
@@ -97,7 +104,7 @@ object ScbfMaintenance {
       numFiles: Int,
       bits: Int = 8,
       maxBufferedBytes: Option[Long] = None,
-      filePrefix: Option[String] = None): Unit = {
+      filePrefix: Option[String] = None): Seq[String] = {
     require(zCols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     require(bits >= 1 && bits <= 16, s"bits per column must be in [1,16], got $bits")
@@ -153,6 +160,7 @@ object ScbfMaintenance {
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     filePrefix.foreach(p => writer.option("filePrefix", p))
     writer.save(dir)
+    snapshot.map(_.getPath.getName) // see [[cluster]]: the folded-in set
   }
 
   /** The partition directories of a table: the distinct parents of its
@@ -171,10 +179,12 @@ object ScbfMaintenance {
    * rewrite keeps the properties the single-directory form already
    * has (snapshot-scoped against concurrent appends, old files deleted
    * only at commit, fresh per-directory manifest), and partitions fail
-   * independently: a partition that throws stops the sweep with
-   * everything before it fully maintained and everything after it
-   * untouched — re-running is always safe (a clustered partition just
-   * re-clusters).
+   * independently: serially, a partition that throws stops the sweep
+   * with everything before it fully maintained and everything after it
+   * untouched; in parallel, every started partition attempt runs to
+   * completion before the first failure surfaces (nothing is left
+   * running in the background). Either way re-running is always safe
+   * (a clustered partition just re-clusters).
    *
    * Stream transparency at the ROOT: the per-partition commit
    * announces to the PARTITION's own discovery log (it is a complete
@@ -226,7 +236,7 @@ object ScbfMaintenance {
     }
 
   private def sweepPartitions(spark: SparkSession, dir: String, parallelism: Int)(
-      rewrite: (String, String) => Unit): Seq[String] = {
+      rewrite: (String, String) => Seq[String]): Seq[String] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -234,10 +244,14 @@ object ScbfMaintenance {
     val parts = partitionDirs(dir, conf)
     def sweepOne(part: org.apache.hadoop.fs.Path): Unit = {
       val sub = qroot.toUri.relativize(part.toUri).getPath.stripSuffix("/")
-      val snapshot = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
-        .map(_.getPath.getName)
       val prefix = s"opt-${java.util.UUID.randomUUID().toString.take(8)}-"
-      rewrite(part.toString, prefix)
+      // the root-log mark must carry the names the rewrite ACTUALLY
+      // folded in (its return value) — a separate listing here could
+      // miss a file appended before the rewrite's own snapshot, and a
+      // caught-up root stream would then skip the rewrite as covered
+      // while that file's rows reach it only through the (deleted)
+      // original
+      val snapshot = rewrite(part.toString, prefix)
       // root-log re-announcement (see scaladoc) — skipped when the
       // partition IS the root: the inner commit already announced there
       if (sub.nonEmpty) {
@@ -257,10 +271,21 @@ object ScbfMaintenance {
         val futures = parts.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = sweepOne(p)
         }))
-        // surface the FIRST failure; the other partitions' rewrites
-        // are each atomic (commit-or-leave-intact), so a partial sweep
-        // is safe to re-run
-        futures.foreach(_.get())
+        // run EVERY partition attempt to completion BEFORE surfacing
+        // the first failure: propagating early would return control to
+        // the caller while queued and in-flight rewrites keep running
+        // in the background — an immediate retry (the documented
+        // recovery) would then race them, exactly the single-rewriter
+        // hazard. Each rewrite is atomic (commit-or-leave-intact), so
+        // once this HAS returned, re-running the sweep is always safe.
+        val results = futures.map(f => scala.util.Try(f.get()))
+        results.collectFirst { case scala.util.Failure(e) =>
+          throw (e match {
+            case ee: java.util.concurrent.ExecutionException
+              if ee.getCause != null => ee.getCause
+            case other => other
+          })
+        }
       } finally pool.shutdown()
     }
     parts.map(_.toString)

@@ -309,6 +309,22 @@ class ScbfScan(
       if (aggregated.isDefined) files else staticKept
     private val lookup = ScbfScan.this.lookup
 
+    /** Post-partition-prune, PRE-stats-prune listing: the anchor the
+     * selectivity estimate multiplies. [[pushedSel]] is derived from
+     * DIRECTORY-wide summaries, whose mass still includes the files
+     * the per-file stats prune dropped — applying it to the pruned
+     * (`kept`) size would count the same predicate twice: on a
+     * CLUSTERED table a 10%-keep range first prunes ~90% of files and
+     * would then shrink by ~10% again, reporting ~1% of the true
+     * post-filter size and wrongly broadcasting a ~10× larger side.
+     * The two independent estimates of the post-filter size — kept
+     * bytes (file pruning, a sound upper bound) and directory mass ×
+     * keep-fraction — combine by MIN instead. Partition pruning stays
+     * outside the anchor: a pruned partition's summaries never load,
+     * so its mass is in neither factor. */
+    private lazy val anchor: Seq[FileStatus] =
+      if (aggregated.isDefined) files else partitionKept
+
     /** Keep-fraction of the pushed predicates, estimated from the
      * kept directories' merged statistics and folded into the
      * reported numRows/sizeInBytes — the same authority the scan
@@ -377,12 +393,29 @@ class ScbfScan(
         def isStringCol(c: String): Boolean = // full schema: a filter
           // column may be pruned from the scan's output
           tableSchema.fields.find(_.name == c).exists(_.dataType == StringType)
+        // Under CBO, Catalyst's FilterEstimation re-applies the
+        // residual filters' selectivity from the reported column stats
+        // — for NUMERIC predicates it holds the very histogram we'd
+        // use, so pre-scaling here would SQUARE the selectivity (a 1%
+        // filter reported at 0.01% flips joins the wrong way). Numeric
+        // estimation defers to Catalyst when cbo is on. STRING
+        // predicates keep scaling either way: FilterEstimation has no
+        // string-histogram path (ranges/prefixes get no estimate at
+        // all; equality's 1/NDV overlap is bounded and pushes the
+        // estimate below a value we already believe small).
+        // conf via the session, not bare SQLConf.get: outside an
+        // active query-execution scope (direct estimateStatistics
+        // calls) SQLConf.get falls back to a static default
+        val cboOwnsNumerics = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sessionState.conf.cboEnabled)
+          .getOrElse(org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
         pushedFilters.foldLeft(1.0) { (acc, f) =>
           val s = colOf(f).flatMap { c =>
             topks.get(c) match {
               case Some(t) =>
                 ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f, histFor(c))
-              case None if !isStringCol(c) =>
+              case None if !isStringCol(c) && !cboOwnsNumerics =>
                 histFor(c).flatMap(h => ScbfHistogram.keepFraction(h, f))
               case None => None
             }
@@ -393,10 +426,11 @@ class ScbfScan(
 
     override val sizeInBytes: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1024L)
-      else OptionalLong.of(
-        math.max(1L, math.round(kept.map(_.getLen).sum * pushedSel)))
+      else OptionalLong.of(math.max(1L, math.min(
+        kept.map(_.getLen).sum,
+        math.round(anchor.map(_.getLen).sum * pushedSel))))
     private lazy val perFileRows =
-      kept.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
+      anchor.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
     private lazy val allStats: Option[Seq[ScbfStats.FileStats]] = {
       val perFile = kept.map(f => lookup.stats(f.getPath, f.getLen))
       if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
@@ -418,9 +452,14 @@ class ScbfScan(
       else {
         val missing = perFileRows.collect { case (f, None) => f }
         if (missing.length > 64) OptionalLong.empty()
-        else OptionalLong.of(math.max(1L, math.round(
-          (perFileRows.collect { case (_, Some(r)) => r }.sum +
-            missing.map(f => ScbfUtil.readHeader(f, conf).totalRows).sum) * pushedSel)))
+        else {
+          val rowsOf = perFileRows.map { case (f, r) =>
+            f.getPath -> r.getOrElse(ScbfUtil.readHeader(f, conf).totalRows)
+          }.toMap
+          val keptRows = kept.iterator.map(f => rowsOf(f.getPath)).sum
+          OptionalLong.of(math.max(1L, math.min(keptRows,
+            math.round(rowsOf.valuesIterator.sum * pushedSel))))
+        }
       }
 
     /**

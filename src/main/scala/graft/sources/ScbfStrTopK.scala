@@ -93,14 +93,21 @@ object ScbfStrTopK {
    * the standard mergeable heavy-hitter summary (a directory's hot
    * values are hot in most of its files, so displacement noise stays
    * in the tail the estimator already treats as average-mass). */
-  def merge(ts: Seq[TopK], k: Int = DefaultK): Option[TopK] = {
+  def merge(ts: Seq[TopK], k: Int = 0): Option[TopK] = {
     val nonEmpty = ts.filter(_.rows > 0)
-    if (nonEmpty.isEmpty || k <= 0) return None
+    if (nonEmpty.isEmpty || k < 0) return None
+    // k=0 (the default) infers the budget from the inputs: summaries
+    // written with a larger `topkK` option keep their width through
+    // the dirtopk merge and the planning-side merge instead of being
+    // silently truncated to DefaultK
+    val kEff =
+      if (k > 0) k
+      else math.max(DefaultK, nonEmpty.iterator.map(_.entries.size).max)
     val rows = nonEmpty.iterator.map(_.rows).sum
     val summed = nonEmpty.flatMap(_.entries)
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toVector
       .sortBy { case (v, c) => (-c, v) }
-    val top = summed.take(k)
+    val top = summed.take(kEff)
     val covered = top.iterator.map(_._2).sum
     Some(TopK(rows, top, math.max(0L, rows - covered)))
   }
@@ -234,12 +241,25 @@ object ScbfStrTopK {
         else Some(ss.distinct.map(equality).sum)
       case StringStartsWith(_, p) =>
         // v startsWith p  ⟺  p <= v < p+ε: exact over top-K, and the
-        // residual interpolates the [p, p∥0xff…] prefix interval
+        // residual interpolates the [p, p∥0xff…] prefix interval.
+        // A prefix of 8+ bytes collapses that interval to zero width
+        // in the 8-byte prefix-key domain (`url LIKE 'https://%'` is
+        // exactly 8) — the key resolution can't discriminate, so the
+        // residual is BOUNDED by the histogram mass at the key point
+        // (or kept whole without one), never shrunk to zero on no
+        // evidence
         val pb = p.getBytes(UTF_8)
-        val hiB = pb ++ Array.fill(8)(0xff.toByte)
-        Some(range(_.startsWith(p),
-          math.max(0.0, interp(pb, keepAbove = true, inclusive = true) -
-            interp(hiB, keepAbove = true, inclusive = false))))
+        val residual: Double =
+          if (pb.length >= 8) prefixHist match {
+            case Some(h) if h.bins.nonEmpty =>
+              ScbfHistogram.fracAt(h, prefixKey(pb))
+            case _ => 1.0
+          } else {
+            val hiB = pb ++ Array.fill(8)(0xff.toByte)
+            math.max(0.0, interp(pb, keepAbove = true, inclusive = true) -
+              interp(hiB, keepAbove = true, inclusive = false))
+          }
+        Some(range(_.startsWith(p), residual))
       case GreaterThan(_, v) => str(v).map { s =>
         val b = s.getBytes(UTF_8)
         range(tv => cmpBytes(tv.getBytes(UTF_8), b) > 0,

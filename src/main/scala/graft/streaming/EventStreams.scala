@@ -438,7 +438,13 @@ object EventStreams {
   private[streaming] def windowHash(algo: String)(win: String): Long =
     if (algo == "md5") md5Hash60(win)
     else {
-      val th = win.split(" ").map(t => graft.functions.TokenWindowHashes
+      // split with limit -1: the exact inverse of the producer's
+      // mkString(" ") (window tokens never contain spaces). The
+      // default split DROPS trailing empty tokens, so a window whose
+      // last token is empty (doc text with consecutive spaces) would
+      // fold one hash fewer than batch d22 hashed for the same window
+      // and the stream key would diverge from the batch fingerprint.
+      val th = win.split(" ", -1).map(t => graft.functions.TokenWindowHashes
         .tokenHash(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       graft.functions.TokenWindowHashes.windowKey(th, 0, th.length)
     }

@@ -363,6 +363,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the bench heavies never regress to cartesian or nested-loop shapes") {
+    // d2/d4/d13/q34 are the audited slowest queries — each is inherent
+    // work (banded LSH, DF-capped join, contraction CC, chunked
+    // windows), and the audit's conclusion is only durable if their
+    // executed plans stay free of the shapes that would silently turn
+    // "slow but scale-sublinear" into "quadratic": a cartesian product
+    // or a nested-loop join anywhere in the final pipeline.
+    Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d13_dedup_clusters",
+        "q34_scalable_frames").foreach { qn =>
+      val df = SparkEntry.queries(qn)(spark, sf)
+      df.collect() // AQE: judge the final adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$qn grew a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$qn grew an NL join:\n$p")
+    }
+  }
+
   test("d15: keeper selection adds no pair stage of its own") {
     // the pair graph's shape is d8's lock (bucket equi-join, no
     // all-pairs) and the component iteration is ComponentsSpec's; what

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, Filter, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -410,6 +410,58 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(histDir).contains("BroadcastHashJoin"),
         "scan-level histogram selectivity must flip the join with CBO OFF")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("file pruning and histogram selectivity never double-count the same predicate") {
+    // CLUSTERED table: `id >= 750` prunes to ~1 of 4 range files AND
+    // the histogram estimates ~25% keep. Multiplying both (kept bytes
+    // × keep-fraction) would report ~6% of the table for a filter that
+    // truly keeps 25% — the broadcast-OOM direction. The two estimates
+    // must combine by MIN against the pre-prune anchor, landing at
+    // ~25% whichever is tighter.
+    val dir = tmpDir("scbf-stat-nodouble")
+    writeRanged(dir) // histograms on by default; 4 disjoint id ranges
+    val st = scanFor(dir, GreaterThanOrEqual("id", 750)).estimateStatistics()
+    val rows = st.numRows.getAsLong
+    assert(rows >= 200 && rows <= 260,
+      s"~250 of 1000 rows survive; double-counting would report ~63: $rows")
+    val total = scbfFiles(dir).map(
+      f => f.getFileSystem(new Configuration()).getFileStatus(f).getLen).sum
+    val size = st.sizeInBytes.getAsLong
+    assert(size >= (total * 0.18).toLong && size <= (total * 0.32).toLong,
+      s"~a quarter of $total expected; double-counting would report ~6%: $size")
+  }
+
+  test("with CBO on, numeric predicates defer to FilterEstimation (no squared selectivity)") {
+    // Catalyst's FilterEstimation re-applies residual-filter
+    // selectivity from the reported column stats — for numerics it
+    // consumes the very histogram the scan would use, so pre-scaling
+    // the scan's own numRows/sizeInBytes too would SQUARE the
+    // selectivity. Under cbo.enabled the scan must report unscaled
+    // stats for numeric predicates (strings still scale: Catalyst has
+    // no string-histogram path).
+    val dir = tmpDir("scbf-stat-cbosq")
+    spark.range(0, 40000) // tail values reach ~1e6: the filter keeps a sliver
+      .select(
+        when(col("id") % 100 < 99, (col("id") % 10))
+          .otherwise(col("id") * 25 % 1000000 + 10)
+          .cast("int").as("id"),
+        (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+      .repartition(4) // unclustered: no file pruning on id
+      .write.format("scbf").mode("overwrite").save(dir)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = scanFor(dir, GreaterThan("id", 500000))
+        .estimateStatistics().numRows.getAsLong
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val on = scanFor(dir, GreaterThan("id", 500000))
+        .estimateStatistics().numRows.getAsLong
+      assert(off < 2000,
+        s"CBO off: the scan's own histogram scaling must shrink the estimate: $off")
+      assert(on == 40000,
+        s"CBO on: the scan must report unscaled rows and let FilterEstimation scale: $on")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
   test("utf8 prefix-key histograms make skewed string RANGES bin-accurate (flat model can't)") {

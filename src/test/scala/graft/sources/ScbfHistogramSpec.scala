@@ -152,6 +152,60 @@ class ScbfHistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("keepFraction calibration invariants on randomized distributions") {
+    // the numeric mirror of the string estimator's calibration gate:
+    // range estimates land within bin resolution of the truth, are
+    // monotone in the cut, complement exactly, and equality shrinks
+    // ONLY on point-bin evidence (in-range non-hot values estimate
+    // nothing rather than guessing)
+    import org.apache.spark.sql.sources._
+    val rnd = new scala.util.Random(13)
+    (1 to 20).foreach { trial =>
+      val hot = (1 to (1 + rnd.nextInt(3)))
+        .map(h => (h * 17).toDouble -> (800 + rnd.nextInt(4000)))
+      val tail = Array.fill(300 + rnd.nextInt(700))(rnd.nextDouble() * 1e6)
+      val vals = hot.flatMap { case (v, c) => Seq.fill(c)(v) }.toArray ++ tail
+      val n = vals.length
+      val h = ScbfHistogram.fromValues(vals, n, 32).get
+      def truth(p: Double => Boolean) = vals.count(p).toDouble / n
+      def est(f: Filter): Option[Double] = ScbfHistogram.keepFraction(h, f)
+      // 1. range accuracy within a few bins' resolution
+      val cuts = Seq(-1.0, 5.0, 20.0, 1e3, 1e5, 5e5, 9.9e5, 2e6)
+      cuts.foreach { c =>
+        val e = est(GreaterThan("x", c)).get
+        assert(math.abs(e - truth(_ > c)) < 5.0 / 32,
+          s"trial $trial cut $c: est $e truth ${truth(_ > c)}")
+      }
+      // 2. monotone in the cut
+      cuts.map(c => est(GreaterThanOrEqual("x", c)).get)
+        .sliding(2).foreach { case Seq(a, b) =>
+          assert(a >= b - 1e-9, s"trial $trial: >= not monotone")
+        }
+      // 3. exact complements by construction
+      cuts.foreach { c =>
+        assert(math.abs(est(GreaterThanOrEqual("x", c)).get +
+          est(LessThan("x", c)).get - 1.0) < 1e-9)
+        assert(math.abs(est(GreaterThan("x", c)).get +
+          est(LessThanOrEqual("x", c)).get - 1.0) < 1e-9)
+      }
+      // 4. hot-value equality tracks the true mass (point-bin evidence)
+      hot.foreach { case (v, c) =>
+        val e = est(EqualTo("x", v)).get
+        assert(math.abs(e - c.toDouble / n) < 2.5 / 32,
+          s"trial $trial hot $v: est $e truth ${c.toDouble / n}")
+      }
+      // 5. in-range non-hot equality: NO estimate (1/NDV is the
+      // estimator's job; shrinking on no evidence is the OOM direction)
+      assert(est(EqualTo("x", 123456.789)).isEmpty)
+      // 6. out-of-range equality/In is provably empty
+      assert(est(EqualTo("x", -5.0)).contains(0.0))
+      assert(est(In("x", Array(-5.0, 2e6))).contains(0.0))
+      // 7. non-numeric literals and unsupported shapes estimate nothing
+      assert(est(EqualTo("x", "s")).isEmpty)
+      assert(est(IsNull("x")).isEmpty)
+    }
+  }
+
   test("empty/degenerate inputs yield None") {
     assert(ScbfHistogram.fromValues(Array.empty[Double], 0, 32).isEmpty)
     assert(ScbfHistogram.fromValues(Array(1.0), 0, 32).isEmpty)

@@ -188,6 +188,59 @@ class ScbfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       .agg(sum("x"), count(lit(1))).head() == before)
   }
 
+  test("cluster and zorder return exactly the folded-in file names") {
+    // sweepPartitions' root-log rewrite marks are built from this
+    // return value — it must be the rewrite's OWN snapshot (the files
+    // it actually replaced), not a separate listing that could miss a
+    // concurrent append
+    import spark.implicits._
+    val dir = tmpDir("scbf-maint-ret")
+    (0 until 400).map(i => (i, i * 31 % 100, i * 0.5)).toDF("x", "y", "v")
+      .repartition(5)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val before = scbfFiles(dir).map(_.getName).toSet
+    val replaced = ScbfMaintenance.cluster(spark, dir, Seq("x"), 2)
+    assert(replaced.toSet == before, s"$replaced vs $before")
+    val before2 = scbfFiles(dir).map(_.getName).toSet
+    val replaced2 = ScbfMaintenance.zorder(spark, dir, Seq("x", "y"), 2, bits = 4)
+    assert(replaced2.toSet == before2, s"$replaced2 vs $before2")
+  }
+
+  test("a failing partition surfaces its ORIGINAL error only after every parallel attempt finished") {
+    // propagating mid-sweep would hand control back while queued
+    // rewrites keep running in the background — an immediate retry
+    // (the documented recovery) would race them. Every other
+    // partition's attempt must have completed by the time the caller
+    // sees the failure, and the cause arrives unwrapped.
+    import spark.implicits._
+    val dir = tmpDir("scbf-maint-fail")
+    (0 until 800).map(i => (i, s"g${i % 4}", i * 0.5)).toDF("x", "grp", "v")
+      .repartition(3)
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val boom = new java.util.concurrent.atomic.AtomicInteger(0)
+    ScbfMaintenance.raceHook = () =>
+      if (boom.incrementAndGet() == 2) throw new IllegalStateException("boom")
+    try {
+      val e = intercept[IllegalStateException] {
+        ScbfMaintenance.clusterTable(spark, dir, Seq("x"), 2, parallelism = 4)
+      }
+      assert(e.getMessage == "boom", "the cause must surface unwrapped")
+      // all four attempts ran: three clustered to 2 files, one aborted
+      // pre-rewrite and kept its ingest layout — and nothing is still
+      // rewriting in the background (file counts are stable)
+      val counts = Seq("g0", "g1", "g2", "g3")
+        .map(g => scbfFiles(s"$dir/grp=$g").size)
+      assert(counts.count(_ == 2) == 3 && counts.count(_ == 3) == 1,
+        s"per-partition file counts after failed sweep: $counts")
+      // the failed partition's data is intact; a re-run completes it
+      assert(spark.read.format("scbf").load(dir).count() == 800)
+      ScbfMaintenance.clusterTable(spark, dir, Seq("x"), 2, parallelism = 4)
+      assert(Seq("g0", "g1", "g2", "g3")
+        .forall(g => scbfFiles(s"$dir/grp=$g").size == 2))
+      assert(spark.read.format("scbf").load(dir).count() == 800)
+    } finally ScbfMaintenance.raceHook = () => ()
+  }
+
   test("vacuum sweeps aged temps and orphan sidecars; live files untouched") {
     val dir = tmpDir("scbf-maint-vac")
     spark.range(0, 100)

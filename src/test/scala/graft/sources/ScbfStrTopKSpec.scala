@@ -151,4 +151,43 @@ class ScbfStrTopKSpec extends AnyFunSuite {
     assert(ScbfStrTopK.selectivity(t, None, None,
       StringContains("k", "a")).isEmpty)
   }
+
+  test("startsWith with an 8+ byte prefix never zeroes the residual (key-resolution limit)") {
+    // 'https://' is exactly 8 bytes: in the 8-byte prefix-key domain
+    // the [p, p∥0xff…] interval collapses to zero width — but the
+    // filter truly keeps every https URL (here ~all the mass, all of
+    // it residual because URLs exceed nothing but are high-cardinality
+    // singletons). The estimator must keep the residual whole, not
+    // floor a 90%-keep filter at one row and wrongly broadcast.
+    val t = ScbfStrTopK.TopK(100000, Vector("https://a.example/0" -> 4L), 99996)
+    // mixed http/https bounds: the single-point-domain fallback can't fire
+    val bounds = Some((bytes("http://a.example"), Some(bytes("https://z.example"))))
+    val s = ScbfStrTopK.selectivity(t, Some(90000L), bounds,
+      StringStartsWith("u", "https://")).get
+    assert(s >= 0.9, s"8-byte prefix, no point evidence: residual must stay whole, got $s")
+    // WITH a prefix-key histogram the residual is bounded by the mass
+    // of the bins covering the key point — real evidence, so it may
+    // shrink, but exactly to the covering mass, never to zero
+    val x = ScbfStrTopK.prefixKey(bytes("https://"))
+    val h = ScbfHistogram.Hist(25000.0, Vector(
+      ScbfHistogram.Bin(x - 2e15, x - 1e15, 5000),
+      ScbfHistogram.Bin(x, x, 1),
+      ScbfHistogram.Bin(x, x, 1),
+      ScbfHistogram.Bin(x + 1e15, x + 2e15, 5000)))
+    val s2 = ScbfStrTopK.selectivity(t, Some(90000L), bounds,
+      StringStartsWith("u", "https://"), Some(h)).get
+    assert(s2 >= 0.45 && s2 <= 0.55,
+      s"two of four bins cover the prefix key: residual ~0.5, got $s2")
+  }
+
+  test("merge preserves summaries wider than DefaultK (a topkK knob survives the dir merge)") {
+    val wide = ScbfStrTopK.TopK(10000,
+      (0 until 100).map(i => f"v$i%03d" -> (200L - i)).toVector, 0)
+    val m = ScbfStrTopK.merge(Seq(wide, wide)).get
+    assert(m.entries.size == 100,
+      s"a 100-entry summary must not truncate to DefaultK on merge: ${m.entries.size}")
+    assert(m.entries.head == ("v000" -> 400L) && m.otherRows == 0)
+    // the explicit-k overload still caps
+    assert(ScbfStrTopK.merge(Seq(wide), k = 8).get.entries.size == 8)
+  }
 }

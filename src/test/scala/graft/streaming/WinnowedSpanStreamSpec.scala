@@ -150,4 +150,26 @@ class WinnowedSpanStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(out == Set(EventStreams.SpanDup(1L, 0), EventStreams.SpanDup(2L, 0)), s"got $out")
     } finally q.stop()
   }
+
+  test("xxhash64 window keys survive empty tokens at the window edge (split is mkString's inverse)") {
+    // doc text with consecutive spaces produces empty tokens; a window
+    // whose LAST token is empty renders as "a b " and a default
+    // split(" ") would drop the trailing empty — folding one hash
+    // fewer than batch d22 hashed for the same window. The stream key
+    // must equal the batch fingerprint for every token shape.
+    import graft.functions.TokenWindowHashes
+    def key(tokens: Seq[String]): Long = {
+      val th = tokens.map(t => TokenWindowHashes.tokenHash(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
+      TokenWindowHashes.windowKey(th, 0, th.length)
+    }
+    for (tokens <- Seq(Seq("a", ""), Seq("", "a"), Seq("a", "", "b"),
+        Seq("", ""), Seq("a", "b"))) {
+      val win = tokens.mkString(" ")
+      assert(EventStreams.windowHash("xxhash64")(win) == key(tokens),
+        s"tokens $tokens (win '$win'): stream key must fold every token hash")
+    }
+    // and md5 keys are a pure function of the string, trivially stable
+    assert(EventStreams.windowHash("md5")("a ") == EventStreams.md5Hash60("a "))
+  }
 }
