@@ -27,23 +27,23 @@ import graft.SparkTestBase
  * same-trigger preference when an append and its rewrite arrive in one
  * trigger, restart recovery of the seen set mid-sequence.
  *
- * The delivery model is EXACT (per-trigger multiset compare), built on
- * the pinned contracts:
- *  - appends deliver exactly once;
- *  - DELETE/UPDATE against a caught-up consumer deliver nothing
- *    (onChangeCommit=skip, the no-CDC default);
- *  - a row-preserving rewrite (cluster/zorder) over a caught-up
- *    consumer delivers nothing (covered -> sentinel);
- *  - a row-preserving rewrite that folds in files the consumer has
- *    NOT delivered is uncovered: the next trigger delivers the
- *    rewrite's full content — the table snapshot at rewrite time —
- *    re-delivering already-seen rows ("completeness beats dedup") and
- *    dropping the folded-in originals (same-trigger preference);
- *  - vacuum never reaches the stream.
- * DELETE/UPDATE are issued only against a caught-up consumer: against
- * a lagging one their replacement files mix delivered and undelivered
- * originals and delivery becomes stats-scope-dependent (the targeted
- * lagging shapes are pinned in [[RewriteTransparencySpec]]).
+ * The delivery model is EXACT at FILE granularity, driven by
+ * observation rather than prediction: each mutating op is bracketed by
+ * a listing, and the (removed, added) diff applies the pinned
+ * admission rules —
+ *  - removed ⊆ seenModel (delivered, or admitted seen-without-delivery
+ *    as a covered rewrite): the op is a COVERED rewrite; its outputs
+ *    join seenModel silently and nothing is ever delivered for them
+ *    (onChangeCommit=skip, the no-CDC default; OPTIMIZE sentinel);
+ *  - otherwise it is UNCOVERED: its outputs become deliverable, the
+ *    still-undelivered removed names drop from the pending set
+ *    (same-trigger preference / not-listed-after-rewrite), and
+ *    already-delivered rows folded into the outputs re-deliver
+ *    ("completeness beats dedup").
+ * Every trigger then must plan EXACTLY the pending file set, and
+ * deliver exactly those files' current contents. The model needs no
+ * knowledge of which files a DELETE's stats-scoping decides to
+ * rewrite — the observed diff IS that decision.
  *
  * Driven at the MicroBatchStream level (a query's own triggers would
  * race the op sequence); every planned path is asserted to exist, so
@@ -72,6 +72,9 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
 
   private def sorted(rows: Seq[R]): Seq[R] = rows.sortBy(r => (r.id, r.n, r.src))
 
+  private def toR(r: org.apache.spark.sql.Row): R =
+    R(r.getAs[Int]("id"), r.getAs[Int]("n"), r.getAs[String]("src"))
+
   private def runSeed(seed: Int, steps: Int): Unit = {
     val rnd = new Random(seed)
     val dir = tmpDir(s"scbf-stream-chaos-$seed")
@@ -79,18 +82,53 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
     val conf = new Configuration()
     val fs = new Path(dir).getFileSystem(conf)
 
+    def liveFiles(): Set[String] =
+      fs.listStatus(new Path(dir)).filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith("."))
+        .toSet
+    def rowsOf(names: Set[String]): Seq[R] =
+      if (names.isEmpty) Seq.empty
+      else spark.read.format("scbf")
+        .load(names.map(n => s"$dir/$n").toSeq: _*).collect().map(toR).toSeq
+
     var nextId = 0
     def fresh(k: Int): Seq[R] = (0 until k).map { _ =>
       val id = nextId; nextId += 1
       R(id, rnd.nextInt(1000), s"s${rnd.nextInt(4)}")
     }
 
+    // the batch-side model (exact table contents) …
     var table: Seq[R] = fresh(100)
-    var pending: Seq[R] = table // announced (or about to be) but undelivered
+    // … and the stream-side model: file names the next trigger must
+    // plan, and names the stream has accounted for (delivered or
+    // sentinel-admitted) — coverage is decided against seenModel
+    val pendingFiles = mutable.Set.empty[String]
+    val seenModel = mutable.Set.empty[String]
     val deliveredModel = mutable.ArrayBuffer.empty[R]
     val deliveredActual = mutable.ArrayBuffer.empty[R]
     val history = mutable.ArrayBuffer.empty[String]
-    writeRows(dir, table)
+
+    def mutate(op: => Unit): (Set[String], Set[String]) = {
+      val pre = liveFiles(); op; val post = liveFiles()
+      (pre -- post, post -- pre)
+    }
+    /** The admission rule for an observed rewrite diff (skip policy). */
+    def applyRewrite(removed: Set[String], added: Set[String]): String =
+      if (removed.isEmpty) "no-op"
+      else if (removed.subsetOf(seenModel)) {
+        seenModel ++= added // covered: sentinel-admitted, never delivered
+        "covered"
+      } else {
+        // uncovered: outputs deliver in full; undelivered replaced
+        // names drop (their data files are gone); replaced covered
+        // outputs leave seenModel's future-coverage role to `added`
+        pendingFiles --= removed
+        pendingFiles ++= added
+        "uncovered"
+      }
+
+    val (_, first) = mutate(writeRows(dir, table))
+    pendingFiles ++= first
 
     def mkStream() = new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
       reconcileEvery = 0)
@@ -98,27 +136,31 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
     var off = ScbfOffset(0)
 
     def trig(label: String): Unit = {
+      val expected = rowsOf(pendingFiles.toSet) // current on-disk contents
       val next = stream.latestOffset(off, ReadLimit.allAvailable())
         .asInstanceOf[ScbfOffset]
-      val rows: Seq[R] =
-        if (next.batch == off.batch) Seq.empty
+      val (plannedNames, rows): (Set[String], Seq[R]) =
+        if (next.batch == off.batch) (Set.empty, Seq.empty)
         else {
           val planned = stream.planInputPartitions(off, next)
             .map(_.asInstanceOf[ScbfFilePartition].path)
           planned.foreach(p => assert(fs.exists(new Path(p)),
             s"[$label] planned a maintenance-deleted file: $p\n${history.mkString("\n")}"))
-          if (planned.isEmpty) Seq.empty
-          else spark.read.format("scbf").load(planned: _*).collect()
-            .map(r => R(r.getAs[Int]("id"), r.getAs[Int]("n"),
-              r.getAs[String]("src"))).toSeq
+          val r = if (planned.isEmpty) Seq.empty[R]
+            else spark.read.format("scbf").load(planned: _*).collect().map(toR).toSeq
+          (planned.map(p => new Path(p).getName).toSet, r)
         }
       off = next
+      assert(plannedNames == pendingFiles.toSet,
+        s"[$label] planned $plannedNames, model expects ${pendingFiles.toSet}\n" +
+          history.mkString("\n"))
+      assert(sorted(rows) == sorted(expected),
+        s"[$label] delivered ${rows.size} rows, model expected ${expected.size}\n" +
+          history.mkString("\n"))
       deliveredActual ++= rows
-      deliveredModel ++= pending
-      assert(sorted(rows) == sorted(pending),
-        s"[$label] trigger delivered ${rows.size} rows, model expected " +
-          s"${pending.size}\n${history.mkString("\n")}")
-      pending = Seq.empty
+      deliveredModel ++= expected
+      seenModel ++= pendingFiles
+      pendingFiles.clear()
     }
 
     trig("baseline")
@@ -127,46 +169,42 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
       val label = rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 => // append
           val rows = fresh(10 + rnd.nextInt(40))
-          writeRows(dir, rows)
-          table ++= rows; pending ++= rows
+          val (_, added) = mutate(writeRows(dir, rows))
+          table ++= rows; pendingFiles ++= added
           s"append ${rows.size}"
         case 4 | 5 => // OPTIMIZE cluster: row-preserving whole-snapshot rewrite
           if (table.nonEmpty) {
-            ScbfMaintenance.cluster(spark, dir, Seq("id"), 1 + rnd.nextInt(3))
-            // folds every live file in: covered (silent) iff caught up,
-            // else the uncovered outputs re-deliver the whole snapshot
-            if (pending.nonEmpty) pending = table
-            "cluster"
+            val (rm, ad) = mutate(
+              ScbfMaintenance.cluster(spark, dir, Seq("id"), 1 + rnd.nextInt(3)))
+            s"cluster (${applyRewrite(rm, ad)})"
           } else "cluster skipped (empty)"
         case 6 => // OPTIMIZE zorder: same contract as cluster
           if (table.nonEmpty) {
-            ScbfMaintenance.zorder(spark, dir, Seq("id", "n"),
-              1 + rnd.nextInt(3), bits = 4)
-            if (pending.nonEmpty) pending = table
-            "zorder"
+            val (rm, ad) = mutate(ScbfMaintenance.zorder(spark, dir,
+              Seq("id", "n"), 1 + rnd.nextInt(3), bits = 4))
+            s"zorder (${applyRewrite(rm, ad)})"
           } else "zorder skipped (empty)"
         case 7 => // vacuum: janitorial only, never visible to the stream
-          ScbfMaintenance.vacuum(spark, dir, olderThanMs = 0L)
+          val (rm, ad) = mutate(ScbfMaintenance.vacuum(spark, dir, olderThanMs = 0L))
+          assert(rm.isEmpty && ad.isEmpty, "vacuum must not touch live data files")
           "vacuum"
-        case 8 | 9 => // DELETE against a caught-up consumer: invisible
-          if (pending.nonEmpty) trig(s"step $step catch-up before delete")
+        case 8 | 9 => // DELETE: lazy too — the observed diff is the scope
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(80)
-          ScbfDelete.deleteWhere(spark, dir, conf,
-            Array[Filter](GreaterThanOrEqual("id", lo), LessThan("id", hi)))
+          val (rm, ad) = mutate(ScbfDelete.deleteWhere(spark, dir, conf,
+            Array[Filter](GreaterThanOrEqual("id", lo), LessThan("id", hi))))
           table = table.filterNot(r => r.id >= lo && r.id < hi)
-          s"delete id in [$lo,$hi)"
-        case _ => // UPDATE against a caught-up consumer: invisible (no-CDC)
-          if (pending.nonEmpty) trig(s"step $step catch-up before update")
+          s"delete id in [$lo,$hi) (${applyRewrite(rm, ad)})"
+        case _ => // UPDATE: the no-CDC contract under every interleaving
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(120)
-          ScbfDelete.updateWhere(spark, dir, conf,
+          val (rm, ad) = mutate(ScbfDelete.updateWhere(spark, dir, conf,
             Array[Filter](GreaterThanOrEqual("id", lo), LessThan("id", hi)),
-            Map("src" -> lit("redacted"), "n" -> (col("n") + 1000)))
+            Map("src" -> lit("redacted"), "n" -> (col("n") + 1000))))
           table = table.map(r =>
             if (r.id >= lo && r.id < hi) r.copy(src = "redacted", n = r.n + 1000)
             else r)
-          s"update id in [$lo,$hi)"
+          s"update id in [$lo,$hi) (${applyRewrite(rm, ad)})"
       }
       history += s"step $step: $label"
       if (rnd.nextInt(6) == 0) { // restart: seen set recovers from logs
@@ -181,8 +219,7 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
       s"cumulative delivery diverged\n${history.mkString("\n")}")
     // and the table itself is still batch-exact (ConnectorChaosSpec's
     // invariant, re-checked here because the op mix differs)
-    val got = spark.read.format("scbf").load(dir).collect()
-      .map(r => R(r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    val got = spark.read.format("scbf").load(dir).collect().map(toR).toSeq
     assert(sorted(got) == sorted(table),
       s"final table contents diverged\n${history.mkString("\n")}")
   }
@@ -192,6 +229,9 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
   }
   test("random maintenance interleavings deliver exactly the model (seed 12)") {
     runSeed(12, 16)
+  }
+  test("random maintenance interleavings deliver exactly the model (seed 13)") {
+    runSeed(13, 16)
   }
 
   test("OPTIMIZE over a lagging consumer re-delivers the snapshot, exactly (deterministic)") {
@@ -224,8 +264,7 @@ class StreamChaosSpec extends AnyFunSuite with SparkTestBase {
     val fs = new Path(dir).getFileSystem(conf)
     planned.foreach(p => assert(fs.exists(new Path(p)),
       s"planned a maintenance-deleted file: $p"))
-    val got = spark.read.format("scbf").load(planned: _*).collect()
-      .map(r => R(r.getAs[Int]("id"), r.getAs[Int]("n"), r.getAs[String]("src")))
+    val got = spark.read.format("scbf").load(planned: _*).collect().map(toR)
     assert(sorted(got.toSeq) == sorted(rows(0 until 20)),
       s"lagging OPTIMIZE must deliver the full snapshot once: got ${got.length} rows")
     // and the consumer is caught up: a further rewrite is silent
