@@ -193,6 +193,21 @@ object ScbfHistogram {
     s / n
   }
 
+  /** Keep-fraction of a conjunctive numeric interval — mass in
+   * [lo, hi] with per-bound inclusivity, either side open. The
+   * BETWEEN shape: estimating the two sides independently and
+   * multiplying assumes independence between perfectly-correlated
+   * predicates and OVERESTIMATES (a 20%-wide band in the middle of a
+   * uniform column multiplies to 36%), and for contradictory bounds
+   * reports a product where the truth is exactly zero. */
+  def intervalFraction(h: Hist,
+      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Double = {
+    val aboveLo = lo.map { case (x, incl) => fracAbove(h, x, incl) }.getOrElse(1.0)
+    // mass STRICTLY above an inclusive hi / at-or-above an exclusive hi
+    val aboveHi = hi.map { case (x, incl) => fracAbove(h, x, !incl) }.getOrElse(0.0)
+    math.max(0.0, aboveLo - aboveHi)
+  }
+
   /** Upper bound on the mass fraction at point `x`: every bin whose
    * interval contains `x` contributes in full. Used when a predicate's
    * true interval is narrower than the histogram's domain resolution

@@ -386,10 +386,12 @@ class ScbfScan(
         // merged per-column histograms: utf8 prefix-key histograms
         // refine the string residual-range model, numeric histograms
         // estimate numeric predicates directly (same dirhist lines)
-        def histFor(c: String): Option[ScbfHistogram.Hist] = {
-          val hs = dirs.flatMap(d => lookup.dirHist(d).get(c))
-          if (hs.isEmpty) None else ScbfHistogram.merge(hs)
-        }
+        val histCache = scala.collection.mutable.Map.empty[String, Option[ScbfHistogram.Hist]]
+        def histFor(c: String): Option[ScbfHistogram.Hist] =
+          histCache.getOrElseUpdate(c, {
+            val hs = dirs.flatMap(d => lookup.dirHist(d).get(c))
+            if (hs.isEmpty) None else ScbfHistogram.merge(hs)
+          })
         def isStringCol(c: String): Boolean = // full schema: a filter
           // column may be pruned from the scan's output
           tableSchema.fields.find(_.name == c).exists(_.dataType == StringType)
@@ -410,7 +412,44 @@ class ScbfScan(
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
           .map(_.sessionState.conf.cboEnabled)
           .getOrElse(org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
-        pushedFilters.foldLeft(1.0) { (acc, f) =>
+        // Same-column numeric RANGE conjunctions (the BETWEEN shape —
+        // date/id bands are the most common analytic filter) estimate
+        // as ONE interval: the sides are perfectly correlated through
+        // the column value, so multiplying them assumes independence
+        // and overestimates (a 20% mid-band multiplies to 36%), and
+        // contradictory bounds would report a product where the truth
+        // is zero. Bounds fold to the tightest of each side.
+        def numLit(v: Any): Option[Double] = v match {
+          case n: java.lang.Number => Some(n.doubleValue())
+          case _                   => None
+        }
+        def rangeBound(f: Filter): Option[(String, Either[(Double, Boolean), (Double, Boolean)])] =
+          f match {
+            case GreaterThan(a, v) => numLit(v).map(x => a -> Left((x, false)))
+            case GreaterThanOrEqual(a, v) => numLit(v).map(x => a -> Left((x, true)))
+            case LessThan(a, v) => numLit(v).map(x => a -> Right((x, false)))
+            case LessThanOrEqual(a, v) => numLit(v).map(x => a -> Right((x, true)))
+            case _ => None
+          }
+        def asInterval(f: Filter): Option[(String, Either[(Double, Boolean), (Double, Boolean)])] =
+          if (cboOwnsNumerics) None
+          else rangeBound(f).filter { case (c, _) =>
+            !isStringCol(c) && topks.get(c).isEmpty && histFor(c).isDefined
+          }
+        val (intervalFs, restFs) = pushedFilters.partition(asInterval(_).isDefined)
+        val intervalSel = intervalFs.flatMap(asInterval)
+          .groupBy(_._1).values.map { bs =>
+            val c = bs.head._1
+            // tightest lower bound: larger value, exclusive on ties
+            val lo = bs.collect { case (_, Left(b)) => b }
+              .reduceOption((a, b) =>
+                if (a._1 > b._1 || (a._1 == b._1 && !a._2)) a else b)
+            val hi = bs.collect { case (_, Right(b)) => b }
+              .reduceOption((a, b) =>
+                if (a._1 < b._1 || (a._1 == b._1 && !a._2)) a else b)
+            math.max(ScbfHistogram.intervalFraction(histFor(c).get, lo, hi), 1e-9)
+          }.product
+        restFs.foldLeft(intervalSel) { (acc, f) =>
           val s = colOf(f).flatMap { c =>
             topks.get(c) match {
               case Some(t) =>

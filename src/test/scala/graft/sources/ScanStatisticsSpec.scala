@@ -464,6 +464,29 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("a BETWEEN conjunction estimates one interval, not the product of its sides") {
+    // uniform ids on an UNCLUSTERED layout (file pruning can't help):
+    // 400k <= id < 600k truly keeps 20%; estimating each side at ~60%
+    // and multiplying would report 36%, and a CONTRADICTORY band would
+    // report 9% where the truth is zero
+    val dir = tmpDir("scbf-stat-between")
+    spark.range(0, 20000)
+      .select((col("id") * 50).cast("int").as("id"), // 0..1e6
+        (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+      .repartition(4)
+      .write.format("scbf").mode("overwrite").save(dir)
+    val band = scanFor(dir,
+      GreaterThanOrEqual("id", 400000), LessThan("id", 600000))
+      .estimateStatistics().numRows.getAsLong
+    assert(band >= 3200 && band <= 4800,
+      s"~20% of 20000 expected; the per-side product would report ~36%: $band")
+    val empty = scanFor(dir,
+      GreaterThan("id", 700000), LessThan("id", 300000))
+      .estimateStatistics().numRows.getAsLong
+    assert(empty == 1,
+      s"a contradictory band keeps nothing (floor 1); the product would report ~9%: $empty")
+  }
+
   test("utf8 prefix-key histograms make skewed string RANGES bin-accurate (flat model can't)") {
     // high-cardinality strings (every value distinct — the top-K holds
     // 32 singletons and ~all mass is residual), 95% of them packed

@@ -203,6 +203,17 @@ class ScbfHistogramSpec extends AnyFunSuite {
       // 7. non-numeric literals and unsupported shapes estimate nothing
       assert(est(EqualTo("x", "s")).isEmpty)
       assert(est(IsNull("x")).isEmpty)
+      // 8. interval conjunction: a band estimates its true mass (the
+      // per-side product overestimates), a contradictory band is zero
+      val band = ScbfHistogram.intervalFraction(h,
+        Some((2e5, true)), Some((6e5, false)))
+      assert(math.abs(band - truth(v => v >= 2e5 && v < 6e5)) < 5.0 / 32,
+        s"trial $trial band: $band vs ${truth(v => v >= 2e5 && v < 6e5)}")
+      assert(ScbfHistogram.intervalFraction(h,
+        Some((7e5, false)), Some((3e5, false))) == 0.0)
+      // one-sided intervals equal the corresponding range estimate
+      assert(math.abs(ScbfHistogram.intervalFraction(h, Some((1e3, false)), None) -
+        est(GreaterThan("x", 1e3)).get) < 1e-12)
     }
   }
 
