@@ -436,7 +436,7 @@ class ScbfScan(
           else rangeBound(f).filter { case (c, _) =>
             !isStringCol(c) && topks.get(c).isEmpty && histFor(c).isDefined
           }
-        val (intervalFs, restFs) = pushedFilters.partition(asInterval(_).isDefined)
+        val (intervalFs, rest1) = pushedFilters.partition(asInterval(_).isDefined)
         val intervalSel = intervalFs.flatMap(asInterval)
           .groupBy(_._1).values.map { bs =>
             val c = bs.head._1
@@ -449,7 +449,35 @@ class ScbfScan(
                 if (a._1 < b._1 || (a._1 == b._1 && !a._2)) a else b)
             math.max(ScbfHistogram.intervalFraction(histFor(c).get, lo, hi), 1e-9)
           }.product
-        restFs.foldLeft(intervalSel) { (acc, f) =>
+        // … and the STRING analog: utf8 range conjunctions on a
+        // summarized column (the scbf date-range shape — timestamps
+        // are utf8 in the 3-type format) estimate as one prefix-key
+        // interval through the top-K + residual model
+        def strLit(v: Any): Option[String] = v match {
+          case s: String                                   => Some(s)
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+          case _                                           => None
+        }
+        def strRange(f: Filter): Option[(String, Either[(String, Boolean), (String, Boolean)])] =
+          f match {
+            case GreaterThan(a, v) => strLit(v).map(x => a -> Left((x, false)))
+            case GreaterThanOrEqual(a, v) => strLit(v).map(x => a -> Left((x, true)))
+            case LessThan(a, v) => strLit(v).map(x => a -> Right((x, false)))
+            case LessThanOrEqual(a, v) => strLit(v).map(x => a -> Right((x, true)))
+            case _ => None
+          }
+        def asStrInterval(f: Filter): Option[(String, Either[(String, Boolean), (String, Boolean)])] =
+          strRange(f).filter { case (c, _) => topks.contains(c) }
+        val (strIntervalFs, restFs) = rest1.partition(asStrInterval(_).isDefined)
+        val strIntervalSel = strIntervalFs.flatMap(asStrInterval)
+          .groupBy(_._1).map { case (c, bs) =>
+            val los = bs.collect { case (_, Left(b)) => b }
+            val his = bs.collect { case (_, Right(b)) => b }
+            ScbfStrTopK.selectivityInterval(topks(c), dirNdv.get(c),
+              boundsFor(c), los, his, histFor(c))
+              .fold(1.0)(v => math.max(v, 1e-9))
+          }.product
+        restFs.foldLeft(intervalSel * strIntervalSel) { (acc, f) =>
           val s = colOf(f).flatMap { c =>
             topks.get(c) match {
               case Some(t) =>

@@ -191,6 +191,70 @@ object ScbfStrTopK {
    * describes ALL values including the top-K ones, so hot values can
    * overweight their own region of the residual — estimator slack,
    * bounded by the top-K's exact handling of those values. */
+  /** Residual-mass interpolation in the 8-byte prefix-key domain:
+   * prefix-key histogram when present (bin-accurate under skew), else
+   * the flat model between the folded utf8 bounds, else 1.0 (no
+   * anchor: keep the residual whole — shrink only on evidence). */
+  private def interpFrac(
+      bounds: Option[(Array[Byte], Option[Array[Byte]])],
+      prefixHist: Option[ScbfHistogram.Hist])(
+      litB: Array[Byte], keepAbove: Boolean, inclusive: Boolean): Double =
+    prefixHist match {
+      case Some(h) if h.bins.nonEmpty =>
+        val x = prefixKey(litB)
+        if (keepAbove) fracAbove(h, x, inclusive)
+        else 1.0 - fracAbove(h, x, !inclusive)
+      case _ => bounds match {
+        case Some((mn, Some(mx))) =>
+          val (lo, hi, x) = (prefixKey(mn), prefixKey(mx), prefixKey(litB))
+          if (hi <= lo) { // single-point domain: compare directly
+            val c = cmpBytes(mn, litB)
+            val keeps = if (keepAbove) c > 0 || (inclusive && c == 0)
+                        else c < 0 || (inclusive && c == 0)
+            if (keeps) 1.0 else 0.0
+          }
+          else if (keepAbove) (hi - x) / (hi - lo)
+          else (x - lo) / (hi - lo)
+        case _ => 1.0 // no anchor: keep the residual mass whole
+      }
+    }
+
+  /** Keep-fraction of a conjunctive string RANGE interval — lower and
+   * upper bounds with per-bound inclusivity, either side open, several
+   * bounds per side allowed. Exact over the top-K mass (every bound
+   * applied), residual as ONE prefix-key interval: the per-side
+   * product assumes independence between predicates that are perfectly
+   * correlated through the value. This is the scbf DATE-RANGE shape —
+   * timestamps live in utf8 columns in the 3-type format, so
+   * `ts >= '2024-01' AND ts < '2024-02'` is a string conjunction.
+   * Tightness folds in MASS space: the mass satisfying every lower
+   * bound is the MIN of the per-bound above-masses (the tightest
+   * bound), violating any upper bound the MAX. */
+  def selectivityInterval(t: TopK, ndv: Option[Long],
+      bounds: Option[(Array[Byte], Option[Array[Byte]])],
+      los: Seq[(String, Boolean)], his: Seq[(String, Boolean)],
+      prefixHist: Option[ScbfHistogram.Hist] = None): Option[Double] = {
+    if (t.rows <= 0) return None
+    def keeps(v: String): Boolean = {
+      val b = v.getBytes(UTF_8)
+      los.forall { case (s, incl) =>
+        val c = cmpBytes(b, s.getBytes(UTF_8)); c > 0 || (incl && c == 0) } &&
+      his.forall { case (s, incl) =>
+        val c = cmpBytes(b, s.getBytes(UTF_8)); c < 0 || (incl && c == 0) }
+    }
+    val topMass = t.entries.iterator.collect {
+      case (v, c) if keeps(v) => c.toDouble }.sum
+    val interp = interpFrac(bounds, prefixHist) _
+    val aboveLo = los.map { case (s, incl) =>
+      interp(s.getBytes(UTF_8), true, incl) }.minOption.getOrElse(1.0)
+    // mass strictly above an inclusive hi / at-or-above an exclusive hi
+    val aboveHi = his.map { case (s, incl) =>
+      interp(s.getBytes(UTF_8), true, !incl) }.maxOption.getOrElse(0.0)
+    val kept = topMass +
+      t.otherRows * math.min(1.0, math.max(0.0, aboveLo - aboveHi))
+    Some(math.min(1.0, math.max(1.0, kept) / t.rows))
+  }
+
   def selectivity(t: TopK, ndv: Option[Long],
       bounds: Option[(Array[Byte], Option[Array[Byte]])],
       filter: org.apache.spark.sql.sources.Filter,
@@ -213,25 +277,7 @@ object ScbfStrTopK {
       topMass + t.otherRows * math.min(1.0, math.max(0.0, otherFrac))
     }
     def interp(litB: Array[Byte], keepAbove: Boolean, inclusive: Boolean): Double =
-      prefixHist match {
-        case Some(h) if h.bins.nonEmpty =>
-          val x = prefixKey(litB)
-          if (keepAbove) fracAbove(h, x, inclusive)
-          else 1.0 - fracAbove(h, x, !inclusive)
-        case _ => bounds match {
-          case Some((mn, Some(mx))) =>
-            val (lo, hi, x) = (prefixKey(mn), prefixKey(mx), prefixKey(litB))
-            if (hi <= lo) { // single-point domain: compare directly
-              val c = cmpBytes(mn, litB)
-              val keeps = if (keepAbove) c > 0 || (inclusive && c == 0)
-                          else c < 0 || (inclusive && c == 0)
-              if (keeps) 1.0 else 0.0
-            }
-            else if (keepAbove) (hi - x) / (hi - lo)
-            else (x - lo) / (hi - lo)
-          case _ => 1.0 // no anchor: keep the residual mass whole
-        }
-      }
+      interpFrac(bounds, prefixHist)(litB, keepAbove, inclusive)
     val kept: Option[Double] = filter match {
       case EqualTo(_, v) => str(v).map(equality)
       case EqualNullSafe(_, v) => str(v).map(equality)

@@ -487,6 +487,30 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
       s"a contradictory band keeps nothing (floor 1); the product would report ~9%: $empty")
   }
 
+  test("a STRING date-range conjunction estimates one interval too (utf8 timestamps)") {
+    // SCBF's 3-type format stores timestamps as utf8, so the analytic
+    // date band `day >= 'd040' AND day < 'd060'` is a STRING
+    // conjunction — it must estimate ~20%, not the ~36% per-side
+    // product, and its scan-reported rows shrink accordingly
+    val dir = tmpDir("scbf-stat-strbetween")
+    spark.range(0, 20000)
+      .select(format_string("d%03d", col("id") % 100).as("day"),
+        (abs(xxhash64(col("id"))) % 1000000 / 7.0).as("score"))
+      .repartition(4)
+      .write.format("scbf").option("topkK", "32")
+      .mode("overwrite").save(dir)
+    val band = scanFor(dir,
+      GreaterThanOrEqual("day", "d040"), LessThan("day", "d060"))
+      .estimateStatistics().numRows.getAsLong
+    assert(band >= 2800 && band <= 5200,
+      s"~20% of 20000 expected for the utf8 date band: $band")
+    val empty = scanFor(dir,
+      GreaterThan("day", "d070"), LessThan("day", "d030"))
+      .estimateStatistics().numRows.getAsLong
+    assert(empty <= 300,
+      s"a contradictory utf8 band keeps ~nothing: $empty")
+  }
+
   test("utf8 prefix-key histograms make skewed string RANGES bin-accurate (flat model can't)") {
     // high-cardinality strings (every value distinct — the top-K holds
     // 32 singletons and ~all mass is residual), 95% of them packed

@@ -180,6 +180,48 @@ class ScbfStrTopKSpec extends AnyFunSuite {
       s"two of four bins cover the prefix key: residual ~0.5, got $s2")
   }
 
+  test("string interval conjunctions estimate one interval (the utf8 date-range shape)") {
+    // 100 distinct day strings, uniform mass, all residual (k small);
+    // day >= 'd040' AND day < 'd060' truly keeps 20% — a per-side
+    // product would say ~36%, a contradictory band ~9% where truth is 0
+    val days = (0 until 100).map(i => f"d$i%03d")
+    val vals = days.flatMap(d => Seq.fill(10)(d)).toArray
+    val t = ScbfStrTopK.fromValues(vals.length, vals.length, k = 4)(
+      i => bytes(vals(i))).get
+    val hist = ScbfHistogram.fromValues(
+      vals.map(v => ScbfStrTopK.prefixKey(bytes(v))), vals.length, 32)
+    val bounds = Some((bytes("d000"), Some(bytes("d099"))))
+    for (h <- Seq(None, hist)) {
+      val band = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+        Seq("d040" -> true), Seq("d060" -> false), h).get
+      assert(band > 0.14 && band < 0.26,
+        s"h=${h.isDefined}: ~20% expected, product would say 36%: $band")
+      val empty = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+        Seq("d070" -> false), Seq("d030" -> false), h).get
+      assert(empty <= 1.0 / vals.length + 1e-9,
+        s"h=${h.isDefined}: contradictory band floors at one row: $empty")
+      // single-sided interval == the corresponding range selectivity
+      val one = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+        Seq("d040" -> true), Seq.empty, h).get
+      val ref = ScbfStrTopK.selectivity(t, Some(100L), bounds,
+        GreaterThanOrEqual("c", "d040"), h).get
+      assert(math.abs(one - ref) < 1e-12, s"h=${h.isDefined}: $one vs $ref")
+      // several bounds per side fold to the tightest
+      val tight = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+        Seq("d010" -> true, "d040" -> true), Seq("d090" -> false, "d060" -> false), h).get
+      assert(math.abs(tight - band) < 1e-12, s"h=${h.isDefined}: $tight vs $band")
+    }
+    // hot values stay exact through the top-K regardless of the model:
+    // a band holding a 60%-hot value keeps at least that mass
+    val hotVals = Array.fill(600)("d050") ++ vals.take(400)
+    val th = ScbfStrTopK.fromValues(hotVals.length, hotVals.length, k = 4)(
+      i => bytes(hotVals(i))).get
+    val s = ScbfStrTopK.selectivityInterval(th, Some(41L),
+      Some((bytes("d000"), Some(bytes("d099")))),
+      Seq("d045" -> true), Seq("d055" -> false), None).get
+    assert(s >= 0.6, s"the hot value's exact mass must survive the band: $s")
+  }
+
   test("merge preserves summaries wider than DefaultK (a topkK knob survives the dir merge)") {
     val wide = ScbfStrTopK.TopK(10000,
       (0 until 100).map(i => f"v$i%03d" -> (200L - i)).toVector, 0)
