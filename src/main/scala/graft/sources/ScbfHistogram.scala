@@ -199,13 +199,37 @@ object ScbfHistogram {
    * multiplying assumes independence between perfectly-correlated
    * predicates and OVERESTIMATES (a 20%-wide band in the middle of a
    * uniform column multiplies to 36%), and for contradictory bounds
-   * reports a product where the truth is exactly zero. */
+   * reports a product where the truth is exactly zero.
+   *
+   * None = no evidence, do not shrink. Zero comes back ONLY as proof:
+   * a contradictory/point-excluding band, or a band outside the
+   * histogram's domain. A non-empty in-domain band whose interpolated
+   * mass is zero is NARROWER THAN THE BIN RESOLUTION (point-bin mass
+   * would have shown in the difference — fracAbove counts a point bin
+   * at the cut inclusively on one side and exclusively on the other);
+   * shrinking there would be the guess `keepFraction`'s equality path
+   * explicitly refuses (the broadcast-OOM direction), so it estimates
+   * nothing instead. */
   def intervalFraction(h: Hist,
-      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Double = {
+      lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Option[Double] = {
+    val emptyBand = (lo, hi) match {
+      case (Some((l, li)), Some((u, ui))) => l > u || (l == u && !(li && ui))
+      case _ => false
+    }
+    if (emptyBand) return Some(0.0)
+    if (h.bins.isEmpty) return None
     val aboveLo = lo.map { case (x, incl) => fracAbove(h, x, incl) }.getOrElse(1.0)
     // mass STRICTLY above an inclusive hi / at-or-above an exclusive hi
     val aboveHi = hi.map { case (x, incl) => fracAbove(h, x, !incl) }.getOrElse(0.0)
-    math.max(0.0, aboveLo - aboveHi)
+    val diff = aboveLo - aboveHi
+    if (diff > 0) Some(math.min(1.0, diff))
+    else {
+      val beyond = lo.exists { case (x, incl) =>
+        x > h.bins.last.hi || (!incl && x >= h.bins.last.hi) }
+      val before = hi.exists { case (x, incl) =>
+        x < h.bins.head.lo || (!incl && x <= h.bins.head.lo) }
+      if (beyond || before) Some(0.0) else None // sub-resolution: no evidence
+    }
   }
 
   /** Upper bound on the mass fraction at point `x`: every bin whose

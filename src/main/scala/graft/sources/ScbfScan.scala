@@ -447,7 +447,8 @@ class ScbfScan(
             val hi = bs.collect { case (_, Right(b)) => b }
               .reduceOption((a, b) =>
                 if (a._1 < b._1 || (a._1 == b._1 && !a._2)) a else b)
-            math.max(ScbfHistogram.intervalFraction(histFor(c).get, lo, hi), 1e-9)
+            ScbfHistogram.intervalFraction(histFor(c).get, lo, hi)
+              .fold(1.0)(v => math.max(v, 1e-9)) // None: no evidence, no shrink
           }.product
         // … and the STRING analog: utf8 range conjunctions on a
         // summarized column (the scbf date-range shape — timestamps

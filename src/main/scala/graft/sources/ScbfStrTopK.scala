@@ -244,14 +244,64 @@ object ScbfStrTopK {
     }
     val topMass = t.entries.iterator.collect {
       case (v, c) if keeps(v) => c.toDouble }.sum
-    val interp = interpFrac(bounds, prefixHist) _
-    val aboveLo = los.map { case (s, incl) =>
-      interp(s.getBytes(UTF_8), true, incl) }.minOption.getOrElse(1.0)
-    // mass strictly above an inclusive hi / at-or-above an exclusive hi
-    val aboveHi = his.map { case (s, incl) =>
-      interp(s.getBytes(UTF_8), true, !incl) }.maxOption.getOrElse(0.0)
-    val kept = topMass +
-      t.otherRows * math.min(1.0, math.max(0.0, aboveLo - aboveHi))
+    // tightest bounds in VALUE space: emptiness and domain checks must
+    // be exact even where the 8-byte key resolution is not
+    val tLo = los.reduceOption { (a, b) =>
+      val c = cmpBytes(a._1.getBytes(UTF_8), b._1.getBytes(UTF_8))
+      if (c > 0 || (c == 0 && !a._2)) a else b
+    }
+    val tHi = his.reduceOption { (a, b) =>
+      val c = cmpBytes(a._1.getBytes(UTF_8), b._1.getBytes(UTF_8))
+      if (c < 0 || (c == 0 && !a._2)) a else b
+    }
+    val emptyBand = (tLo, tHi) match {
+      case (Some((l, li)), Some((u, ui))) =>
+        val c = cmpBytes(l.getBytes(UTF_8), u.getBytes(UTF_8))
+        c > 0 || (c == 0 && !(li && ui))
+      case _ => false
+    }
+    val anchored = prefixHist.exists(_.bins.nonEmpty) ||
+      bounds.exists(_._2.isDefined)
+    // Residual evidence rules (mirror ScbfHistogram.intervalFraction):
+    // a provably empty band is zero; without an anchor there is no
+    // evidence, keep the residual whole; with one, a zero interpolated
+    // mass is exact only when the band misses the domain — an
+    // IN-DOMAIN zero means the band is narrower than the 8-byte
+    // prefix-key resolution (a daily range under a shared '2024-01-'
+    // prefix), and shrinking on that would be a guess in the
+    // broadcast-OOM direction. The top-K mass stays exact throughout.
+    val residFrac: Double =
+      if (emptyBand) 0.0
+      else if (!anchored) 1.0
+      else {
+        val interp = interpFrac(bounds, prefixHist) _
+        val aboveLo = los.map { case (s, incl) =>
+          interp(s.getBytes(UTF_8), true, incl) }.minOption.getOrElse(1.0)
+        // mass strictly above an inclusive hi / at-or-above an exclusive hi
+        val aboveHi = his.map { case (s, incl) =>
+          interp(s.getBytes(UTF_8), true, !incl) }.maxOption.getOrElse(0.0)
+        val diff = aboveLo - aboveHi
+        if (diff > 0) math.min(1.0, diff)
+        else {
+          val outOfDomain = prefixHist match {
+            case Some(h) if h.bins.nonEmpty =>
+              tLo.exists { case (s, _) =>
+                prefixKey(s.getBytes(UTF_8)) > h.bins.last.hi } ||
+              tHi.exists { case (s, _) =>
+                prefixKey(s.getBytes(UTF_8)) < h.bins.head.lo }
+            case _ => bounds match {
+              case Some((mn, Some(mx))) =>
+                tLo.exists { case (s, incl) =>
+                  val c = cmpBytes(s.getBytes(UTF_8), mx); c > 0 || (!incl && c == 0) } ||
+                tHi.exists { case (s, incl) =>
+                  val c = cmpBytes(s.getBytes(UTF_8), mn); c < 0 || (!incl && c == 0) }
+              case _ => false
+            }
+          }
+          if (outOfDomain) 0.0 else 1.0 // sub-resolution: no evidence
+        }
+      }
+    val kept = topMass + t.otherRows * residFrac
     Some(math.min(1.0, math.max(1.0, kept) / t.rows))
   }
 

@@ -129,7 +129,10 @@ object EventStreams {
   private[streaming] def minhashSig(text: String): Option[Array[Long]] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
-    val words = text.split(" ")
+    // limit -1 matches batch SQL split/string_split: trailing empty
+    // tokens are kept, so stream and batch tokenize identically for
+    // EVERY text shape (consecutive/trailing spaces included)
+    val words = text.split(" ", -1)
     if (words.length < 3) return None
     val sig = Array.fill(NdNumHashes)(Long.MaxValue)
     var w = 0
@@ -258,7 +261,7 @@ object EventStreams {
     implicit val decEnc = Encoders.product[ChunkDecision]
     // watermark AFTER the typed flatMap (see nearDupPairs)
     val rows = docs.flatMap { d =>
-      val w = d.text.split(" ")
+      val w = d.text.split(" ", -1)
       val n = math.max(1, math.ceil(w.length / chunkTokens.toDouble).toInt)
       (0 until n).map { i =>
         ChunkRow(d.ts, d.docId, i,
@@ -322,7 +325,7 @@ object EventStreams {
     implicit val rowEnc = Encoders.product[WindowRow]
     // watermark AFTER the typed flatMap (see nearDupPairs)
     val rows = docs.flatMap { d =>
-      val w = d.text.split(" ")
+      val w = d.text.split(" ", -1)
       (0 to w.length - spanTokens).map { i =>
         WindowRow(d.ts, d.docId, i, w.slice(i, i + spanTokens).mkString(" "))
       }
@@ -470,7 +473,7 @@ object EventStreams {
       s"hashAlgo must be md5 or xxhash64, got $hashAlgo")
     implicit val rowEnc = Encoders.product[WindowRow]
     val rows = docs.flatMap { d =>
-      val w = d.text.split(" ")
+      val w = d.text.split(" ", -1)
       if (w.length < spanTokens) Iterator.empty
       else {
         // window hashing + winnow selection are the SHARED batch-kernel
@@ -497,7 +500,7 @@ object EventStreams {
    * parity spec pins the outputs value-for-value. */
   private[streaming] def docSignals(d: Doc): DocSignals = {
     import graft.operators.TextQueries.{EmailRe, IpRe, LangOrder, PhoneRe, Stopwords}
-    val w = d.text.split(" ")
+    val w = d.text.split(" ", -1)
     val scores = LangOrder.map(l => l -> w.count(Stopwords(l).toSet)).toMap
     val mx = LangOrder.map(scores).max
     val predLang =
@@ -816,7 +819,7 @@ object EventStreams {
           val out = batch.toSeq
             .sortBy(d => (md5hex(d.docId.toString), d.docId))
             .flatMap { d =>
-              val tokens = d.text.split(" ").length
+              val tokens = d.text.split(" ", -1).length
               consumed += tokens
               if (consumed <= budget)
                 Some(MixtureAdmit(source, d.docId, tokens, consumed, budget))

@@ -206,14 +206,29 @@ class ScbfHistogramSpec extends AnyFunSuite {
       // 8. interval conjunction: a band estimates its true mass (the
       // per-side product overestimates), a contradictory band is zero
       val band = ScbfHistogram.intervalFraction(h,
-        Some((2e5, true)), Some((6e5, false)))
+        Some((2e5, true)), Some((6e5, false))).get
       assert(math.abs(band - truth(v => v >= 2e5 && v < 6e5)) < 5.0 / 32,
         s"trial $trial band: $band vs ${truth(v => v >= 2e5 && v < 6e5)}")
       assert(ScbfHistogram.intervalFraction(h,
-        Some((7e5, false)), Some((3e5, false))) == 0.0)
+        Some((7e5, false)), Some((3e5, false))).contains(0.0))
       // one-sided intervals equal the corresponding range estimate
-      assert(math.abs(ScbfHistogram.intervalFraction(h, Some((1e3, false)), None) -
+      assert(math.abs(ScbfHistogram.intervalFraction(h, Some((1e3, false)), None).get -
         est(GreaterThan("x", 1e3)).get) < 1e-12)
+      // 9. zero-width bands follow the equality evidence rule: a HOT
+      // value's point-bin mass shows through the difference; a
+      // non-hot in-domain value yields NO estimate (shrinking there
+      // would be a guess — BETWEEN x AND x never folds to EqualTo in
+      // pushed filters); out-of-domain is provably empty
+      hot.foreach { case (v, c) =>
+        val e = ScbfHistogram.intervalFraction(h,
+          Some((v, true)), Some((v, true))).get
+        assert(math.abs(e - c.toDouble / n) < 2.5 / 32,
+          s"trial $trial hot band [$v,$v]: $e vs ${c.toDouble / n}")
+      }
+      assert(ScbfHistogram.intervalFraction(h,
+        Some((123456.789, true)), Some((123456.789, true))).isEmpty)
+      assert(ScbfHistogram.intervalFraction(h,
+        Some((2e6, true)), Some((3e6, true))).contains(0.0))
     }
   }
 

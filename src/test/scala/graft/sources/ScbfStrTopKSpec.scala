@@ -211,6 +211,25 @@ class ScbfStrTopKSpec extends AnyFunSuite {
         Seq("d010" -> true, "d040" -> true), Seq("d090" -> false, "d060" -> false), h).get
       assert(math.abs(tight - band) < 1e-12, s"h=${h.isDefined}: $tight vs $band")
     }
+    // sub-resolution band: a DAILY range whose bounds share the first
+    // 8 bytes ('2024-01-') collapses to one prefix key — the key
+    // domain cannot resolve it, so the residual must stay WHOLE (the
+    // old per-side product overestimated; zeroing would underestimate
+    // a filter that truly keeps 1/30 of the data, the OOM direction)
+    val tsVals = (1 to 30).flatMap(d => (0 until 20).map(h =>
+      f"2024-01-$d%02dT$h%02d")).toArray
+    val tt = ScbfStrTopK.fromValues(tsVals.length, tsVals.length, k = 4)(
+      i => bytes(tsVals(i))).get
+    val tsHist = ScbfHistogram.fromValues(
+      tsVals.map(v => ScbfStrTopK.prefixKey(bytes(v))), tsVals.length, 32)
+    val tsBounds = Some((bytes("2024-01-01T00"), Some(bytes("2024-01-30T19"))))
+    for (h <- Seq(None, tsHist)) {
+      val daily = ScbfStrTopK.selectivityInterval(tt, Some(600L), tsBounds,
+        Seq("2024-01-15" -> true), Seq("2024-01-16" -> false), h).get
+      assert(daily >= 0.9,
+        s"h=${h.isDefined}: sub-key-resolution band must not shrink the residual: $daily")
+    }
+
     // hot values stay exact through the top-K regardless of the model:
     // a band holding a 60%-hot value keeps at least that mass
     val hotVals = Array.fill(600)("d050") ++ vals.take(400)
