@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * [[StreamChaosSpec]]'s model, run against a PARTITIONED table root:
+ * random hive-partitioned appends, table-level cluster/zorder sweeps
+ * (serial and parallel) and vacuums interleave with a root-reading
+ * consumer's triggers and restarts. This is the layout where the
+ * sweep's ROOT-LOG re-announcement mechanics carry the transparency
+ * story (each partition's own commit announces only to the partition's
+ * log, which a root stream never consumes), so the chaos drives
+ * subdir-qualified rewrite marks, the per-partition rewrite prefixes,
+ * and restarts' full-listing coverage across partition directories.
+ *
+ * The admission model applies PER PARTITION: a table sweep is one op
+ * but N independent rewrites — a caught-up partition's outputs are
+ * covered (silent) in the same trigger where a lagging partition's
+ * outputs are uncovered (delivered, replacing its folded-in pending
+ * files). The observed (removed, added) diff grouped by partition
+ * subdir IS that decision, file-exact.
+ */
+object PartitionedStreamChaosSpec {
+  case class R(id: Int, n: Int)
+}
+
+class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
+
+  import PartitionedStreamChaosSpec.R
+
+  // data-file schema: the partition column lives in the directory name
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+
+  private def sorted(rows: Seq[R]): Seq[R] = rows.sortBy(r => (r.id, r.n))
+
+  private def runSeed(seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val dir = tmpDir(s"scbf-pchaos-$seed")
+    val ckpt = Files.createTempDirectory(s"scbf-pchaos-ckpt-$seed").toString
+    val conf = new Configuration()
+    val qroot = new Path(dir).getFileSystem(conf)
+      .makeQualified(new Path(dir))
+
+    def relName(p: Path): String =
+      qroot.toUri.relativize(p.toUri).getPath
+    def liveFiles(): Set[String] =
+      ScbfDataSource.resolveFiles(Seq(dir), conf).map(f => relName(f.getPath)).toSet
+    def rowsOf(names: Set[String]): Seq[R] =
+      if (names.isEmpty) Seq.empty
+      else spark.read.format("scbf")
+        .load(names.map(n => s"$dir/$n").toSeq: _*)
+        .collect().map(r => R(r.getAs[Int]("id"), r.getAs[Int]("n"))).toSeq
+
+    var nextId = 0
+    def fresh(k: Int): Seq[(R, String)] = (0 until k).map { _ =>
+      val id = nextId; nextId += 1
+      (R(id, rnd.nextInt(1000)), s"g${rnd.nextInt(4)}")
+    }
+    def writeRows(rows: Seq[(R, String)]): Unit = {
+      import spark.implicits._
+      rows.map { case (r, g) => (r.id, r.n, g) }.toDF("id", "n", "grp")
+        .repartition(2)
+        .write.format("scbf").partitionBy("grp").mode("append").save(dir)
+    }
+
+    val pendingFiles = mutable.Set.empty[String]
+    val seenModel = mutable.Set.empty[String]
+    val deliveredModel = mutable.ArrayBuffer.empty[R]
+    val deliveredActual = mutable.ArrayBuffer.empty[R]
+    val history = mutable.ArrayBuffer.empty[String]
+    var tableRows: Seq[R] = Seq.empty
+
+    def mutate(op: => Unit): (Set[String], Set[String]) = {
+      val pre = liveFiles(); op; val post = liveFiles()
+      (pre -- post, post -- pre)
+    }
+    /** The per-partition admission rule: group an op's diff by subdir
+     * and decide coverage independently — a table sweep is N rewrites. */
+    def applyRewrite(removed: Set[String], added: Set[String]): String = {
+      def part(n: String) = n.takeWhile(_ != '/')
+      val parts = (removed ++ added).map(part)
+      val verdicts = parts.toSeq.sorted.map { g =>
+        val rm = removed.filter(part(_) == g)
+        val ad = added.filter(part(_) == g)
+        if (rm.isEmpty) "no-op"
+        else if (rm.subsetOf(seenModel)) {
+          seenModel ++= ad
+          s"$g:covered"
+        } else {
+          pendingFiles --= rm
+          pendingFiles ++= ad
+          s"$g:uncovered"
+        }
+      }
+      verdicts.mkString(",")
+    }
+
+    val first = fresh(80)
+    tableRows = first.map(_._1)
+    val (_, firstAdded) = mutate(writeRows(first))
+    pendingFiles ++= firstAdded
+
+    def mkStream() = new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+      reconcileEvery = 0)
+    var stream = mkStream()
+    var off = ScbfOffset(0)
+    val fs = qroot.getFileSystem(conf)
+
+    def trig(label: String): Unit = {
+      val expected = rowsOf(pendingFiles.toSet)
+      val next = stream.latestOffset(off, ReadLimit.allAvailable())
+        .asInstanceOf[ScbfOffset]
+      val (plannedNames, rows): (Set[String], Seq[R]) =
+        if (next.batch == off.batch) (Set.empty, Seq.empty)
+        else {
+          val planned = stream.planInputPartitions(off, next)
+            .map(_.asInstanceOf[ScbfFilePartition].path)
+          planned.foreach(p => assert(fs.exists(new Path(p)),
+            s"[$label] planned a maintenance-deleted file: $p\n${history.mkString("\n")}"))
+          val r = if (planned.isEmpty) Seq.empty[R]
+            else spark.read.format("scbf").load(planned: _*).collect()
+              .map(x => R(x.getAs[Int]("id"), x.getAs[Int]("n"))).toSeq
+          (planned.map(p => relName(new Path(p))).toSet, r)
+        }
+      off = next
+      assert(plannedNames == pendingFiles.toSet,
+        s"[$label] planned $plannedNames, model expects ${pendingFiles.toSet}\n" +
+          history.mkString("\n"))
+      assert(sorted(rows) == sorted(expected),
+        s"[$label] delivered ${rows.size} rows, model expected ${expected.size}\n" +
+          history.mkString("\n"))
+      deliveredActual ++= rows
+      deliveredModel ++= expected
+      seenModel ++= pendingFiles
+      pendingFiles.clear()
+    }
+
+    trig("baseline")
+
+    for (step <- 1 to steps) {
+      val label = rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // partitioned append (rows fan across grps)
+          val rows = fresh(8 + rnd.nextInt(30))
+          tableRows ++= rows.map(_._1)
+          val (_, added) = mutate(writeRows(rows))
+          pendingFiles ++= added
+          s"append ${rows.size} across ${rows.map(_._2).distinct.size} grps"
+        case 4 | 5 | 6 => // table-level OPTIMIZE sweep
+          val par = 1 + rnd.nextInt(4)
+          val (rm, ad) = mutate(ScbfMaintenance.clusterTable(
+            spark, dir, Seq("id"), 1 + rnd.nextInt(2), parallelism = par))
+          s"clusterTable(par=$par) [${applyRewrite(rm, ad)}]"
+        case 7 => // table-level zorder sweep
+          val (rm, ad) = mutate(ScbfMaintenance.zorderTable(
+            spark, dir, Seq("id", "n"), 1 + rnd.nextInt(2), bits = 4))
+          s"zorderTable [${applyRewrite(rm, ad)}]"
+        case _ => // vacuum every partition: never visible
+          val parts = ScbfMaintenance.partitionDirs(dir, conf)
+          val (rm, ad) = mutate(parts.foreach(p =>
+            ScbfMaintenance.vacuum(spark, p.toString, olderThanMs = 0L)))
+          assert(rm.isEmpty && ad.isEmpty, "vacuum must not touch live data files")
+          s"vacuum ${parts.size} partitions"
+      }
+      history += s"step $step: $label"
+      if (rnd.nextInt(6) == 0) {
+        stream = mkStream()
+        history += s"step $step: restart"
+      }
+      if (rnd.nextInt(3) != 0) trig(s"step $step after [$label]")
+    }
+
+    trig("final")
+    assert(sorted(deliveredActual.toSeq) == sorted(deliveredModel.toSeq),
+      s"cumulative delivery diverged\n${history.mkString("\n")}")
+    val got = spark.read.format("scbf").load(dir)
+      .selectExpr("id", "n").collect()
+      .map(r => R(r.getInt(0), r.getInt(1))).toSeq
+    assert(sorted(got) == sorted(tableRows),
+      s"final table contents diverged\n${history.mkString("\n")}")
+  }
+
+  test("partitioned-root maintenance interleavings deliver exactly the model (seed 21)") {
+    runSeed(21, 12)
+  }
+  test("partitioned-root maintenance interleavings deliver exactly the model (seed 22)") {
+    runSeed(22, 12)
+  }
+
+  test("ONE sweep, mixed coverage: the lagging partition delivers, the caught-up ones stay silent") {
+    // deterministic pin of the per-partition verdict split inside a
+    // single clusterTable call: grp=g1 has an undelivered append when
+    // the sweep runs, so ITS rewrite outputs are uncovered (delivered
+    // in full, replacing the folded-in pending files) while g0/g2's
+    // outputs ride the silent sentinel — one op, two admission rules.
+    import spark.implicits._
+    val dir = tmpDir("scbf-pchaos-mixed")
+    val ckpt = Files.createTempDirectory("scbf-pchaos-mixed-ckpt").toString
+    val conf = new Configuration()
+    def write(rows: Seq[(Int, Int, String)]): Unit =
+      rows.toDF("id", "n", "grp").repartition(2)
+        .write.format("scbf").partitionBy("grp").mode("append").save(dir)
+    write((0 until 60).map(i => (i, i * 2, s"g${i % 3}")))
+    val stream = new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+      reconcileEvery = 0)
+    def trig(from: ScbfOffset): ScbfOffset =
+      stream.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    val o1 = trig(ScbfOffset(0))
+    assert(stream.planInputPartitions(ScbfOffset(0), o1).nonEmpty)
+    val o2 = trig(o1) // caught up, incremental from here
+    write((100 until 120).map(i => (i, i, "g1"))) // g1 lags
+    ScbfMaintenance.clusterTable(spark, dir, Seq("id"), 2, parallelism = 3)
+    val o3 = trig(o2)
+    val planned = stream.planInputPartitions(o2, o3)
+      .map(_.asInstanceOf[ScbfFilePartition].path)
+    assert(planned.nonEmpty && planned.forall(_.contains("grp=g1")),
+      s"only g1's uncovered outputs may deliver: ${planned.toSeq}")
+    val got = spark.read.format("scbf").load(planned: _*)
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    // g1's outputs carry its WHOLE partition: the re-delivered old g1
+    // rows (ids ≡ 1 mod 3; completeness beats dedup) + the lagging 20
+    val oldG1 = (0 until 60).filter(_ % 3 == 1)
+    assert(got == (oldG1 ++ (100 until 120)).sorted,
+      s"g1 must deliver its full post-sweep contents exactly once: $got")
+  }
+}
