@@ -563,6 +563,39 @@ object RelationalQueries {
         GROUP BY source""")
     },
 
+    "q49_partitioned_delete" -> { (s, dir) =>
+      // SQL DELETE on a PARTITIONED table — the takedown path at its
+      // real 100 TB layout. Two delete shapes compose: a
+      // partition-column predicate (source = 'src4') that scopes by
+      // pure path arithmetic — only that directory rewrites, every
+      // other partition's files stay byte-identical — and a
+      // data-column predicate (a doc_id band) that routes the
+      // stats-scoped per-partition rewrite through every partition
+      // holding matching rows. Replacements re-announce to the root
+      // discovery log (C:1) so root streams keep their onChangeCommit
+      // semantics; the oracle applies the same two WHERE-NOTs to the
+      // source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_pdel_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q49")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q49_src")
+      s.sql("CREATE TABLE graft_q49 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      s.sql("""INSERT INTO graft_q49
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q49_src""")
+      s.sql("DELETE FROM graft_q49 WHERE source = 'src4'")
+      s.sql("DELETE FROM graft_q49 WHERE doc_id >= 120 AND doc_id < 180")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q49 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -892,6 +925,16 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE source IN ('src2', 'src5') AND doc_id < 2000
+         GROUP BY source""",
+
+    "q49_partitioned_delete" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents
+         WHERE NOT (source = 'src4')
+           AND NOT (doc_id >= 120 AND doc_id < 180)
          GROUP BY source""",
 
     "q17_events_tumbling" ->

@@ -150,16 +150,29 @@ class ScbfTable(
 
   override def partitioning(): Array[Transform] = partitionTransforms
 
+  private def partitionColNames: Seq[String] =
+    partitionTransforms.toSeq
+      .flatMap(_.references().toSeq.flatMap(_.fieldNames().toSeq))
+
   /** DELETE FROM ... WHERE — stats-scoped rewrite (see ScbfDelete).
-   * Partitioned tables decline: the rewrite's replacement append
-   * doesn't route to partition subdirectories yet, so it would fold
-   * partitioned rows back into the root (correct to read, but the
-   * layout contract would silently erode — refuse loudly instead). */
+   * Partitioned tables route through [[ScbfDelete.deleteWhereTable]]:
+   * partition-column predicates prune directories exactly (and only
+   * exactly-evaluable shapes are accepted — may-match would
+   * over-scope a DELETE), data predicates scope each partition's
+   * rewrite, and replacements re-announce to the root discovery log
+   * so root streams keep the onChangeCommit semantics. Mixed
+   * partition/data predicates decline loudly. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    tablePaths.size == 1 && partitionTransforms.isEmpty && ScbfDelete.canDelete(filters)
+    tablePaths.size == 1 &&
+      (if (partitionTransforms.isEmpty) ScbfDelete.canDelete(filters)
+       else ScbfDelete.canDeleteTable(filters, partitionColNames))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
+    if (partitionTransforms.isEmpty) {
+      ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
+      ()
+    } else ScbfDelete.deleteWhereTable(SparkSession.active, tablePaths.head,
+      conf, schema, partitionColNames, filters)
 
   override def name(): String = s"scbf:${tablePaths.mkString(",")}"
 

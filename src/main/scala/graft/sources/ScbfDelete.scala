@@ -76,6 +76,147 @@ object ScbfDelete {
   def canDelete(filters: Array[Filter]): Boolean =
     filters.forall(f => filterToColumn(f).isDefined)
 
+  /** One rewrite round's outputs: the unique file prefix its
+   * replacements carry and the original names they replaced — what a
+   * TABLE-level caller needs to re-announce the rewrite to the root
+   * discovery log with subdir-qualified names. */
+  private[sources] case class RewriteRound(prefix: String, replaced: Seq[String])
+
+  /** Filters a PARTITIONED delete/update can enforce soundly, split
+   * into (partition-column filters, data-column filters). Partition
+   * filters are enforced by EXACT evaluation against each directory's
+   * point partition values and then dropped from the rewrite
+   * condition (the data files do not hold the partition column);
+   * data filters become the rewrite predicate. None when any filter
+   * mixes the two domains (cannot be split) or a partition filter's
+   * shape is not exactly evaluable on point values (may-match
+   * pruning would over-scope the DELETE — the one direction a
+   * takedown path must never err in). */
+  private[sources] def splitPartitionFilters(
+      filters: Array[Filter],
+      partitionCols: Seq[String]): Option[(Array[Filter], Array[Filter])] = {
+    val pset = partitionCols.toSet
+    def pointLit(v: Any): Boolean = v match {
+      case _: java.lang.Number => true
+      case _: String => true
+      case _: org.apache.spark.unsafe.types.UTF8String => true
+      case _ => false
+    }
+    // exact on point partition values: every node decides truly, so
+    // may-match == must-match (utf8 synth ranges are untruncated)
+    def exactOnPoint(f: Filter): Boolean = f match {
+      case EqualTo(_, v)            => pointLit(v)
+      case GreaterThan(_, v)        => pointLit(v)
+      case GreaterThanOrEqual(_, v) => pointLit(v)
+      case LessThan(_, v)           => pointLit(v)
+      case LessThanOrEqual(_, v)    => pointLit(v)
+      case In(_, vs)                => vs.nonEmpty && vs.forall(pointLit)
+      case StringStartsWith(_, p)   => p != null
+      case And(l, r)                => exactOnPoint(l) && exactOnPoint(r)
+      case Or(l, r)                 => exactOnPoint(l) && exactOnPoint(r)
+      case _                        => false
+    }
+    // empty-reference filters (AlwaysTrue/AlwaysFalse) go to the DATA
+    // side: filterToColumn folds them into the rewrite condition
+    // exactly, while the partition-prune path would silently ignore
+    // the non-`usable` shapes
+    val (pf, df) = filters.partition(f =>
+      f.references.nonEmpty && f.references.forall(pset.contains))
+    val sound = pf.forall(exactOnPoint) &&
+      df.forall(_.references.forall(c => !pset.contains(c)))
+    if (sound) Some((pf, df)) else None
+  }
+
+  /** canDeleteWhere for a hive-partitioned table root. */
+  def canDeleteTable(filters: Array[Filter], partitionCols: Seq[String]): Boolean =
+    splitPartitionFilters(filters, partitionCols)
+      .exists { case (_, df) => canDelete(df) }
+
+  /**
+   * `DELETE FROM <partitioned scbf table> WHERE <cond>` — the
+   * takedown path at its REAL layout: a 100 TB corpus is
+   * hive-partitioned, and this routes the same stats-scoped rewrite
+   * [[deleteWhere]] runs on a flat directory through every partition
+   * the predicate can touch. Partition-column predicates prune
+   * directories by pure path arithmetic BEFORE any IO (a
+   * `source = 'x'` takedown opens only that partition) and are
+   * enforced exactly; data-column predicates scope the per-partition
+   * rewrite as usual. After each partition's rewrite commits, its
+   * replacement files are re-announced to the ROOT discovery log with
+   * subdir-qualified names and the `C:1` row-changing tag — a root
+   * stream gets the identical onChangeCommit semantics (skip with a
+   * warning / deliver / fail) as a flat-directory DELETE, instead of
+   * the bare-name partition-log announcements it cannot match.
+   */
+  def deleteWhereTable(
+      spark: SparkSession,
+      rootDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      filters: Array[Filter]): Unit =
+    tableRewrite(spark, rootDir, conf, tableSchema, partitionCols, filters)(
+      (part, df) => deleteWhere(spark, part, conf, df))
+
+  /** Table-level [[updateWhere]] — same routing as
+   * [[deleteWhereTable]]. SET targets must be data columns: updating
+   * a partition column would move rows across directories (a
+   * different operation — delete+insert — refused loudly). */
+  def updateWhereTable(
+      spark: SparkSession,
+      rootDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      filters: Array[Filter],
+      set: Map[String, Column]): Unit = {
+    val bad = set.keySet.intersect(partitionCols.toSet)
+    require(bad.isEmpty,
+      s"cannot UPDATE partition column(s) ${bad.mkString(", ")}: rows would " +
+        "change directories — DELETE and re-INSERT instead")
+    tableRewrite(spark, rootDir, conf, tableSchema, partitionCols, filters)(
+      (part, df) => updateWhere(spark, part, conf, df, set))
+  }
+
+  private def tableRewrite(
+      spark: SparkSession,
+      rootDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      filters: Array[Filter])(
+      perPartition: (String, Array[Filter]) => Seq[RewriteRound]): Unit = {
+    val (pf, df) = splitPartitionFilters(filters, partitionCols).getOrElse(
+      throw new graft.scbf.ScbfFormatException(
+        "untranslatable partitioned-table condition: every predicate must " +
+          "reference only partition columns (exact shapes) or only data " +
+          s"columns; got ${filters.mkString(", ")}"))
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val qroot = fs.makeQualified(root)
+    val all = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
+    // exact partition scope: splitPartitionFilters admitted only
+    // shapes that decide truly on point partition values, so this
+    // may-match prune IS the exact evaluation
+    val kept = ScbfPartitions.prune(all, tableSchema, pf.toSeq, Seq(rootDir))
+    kept.map(_.getPath.getParent).distinct.foreach { part =>
+      val sub = qroot.toUri.relativize(fs.makeQualified(part).toUri)
+        .getPath.stripSuffix("/")
+      val rounds = perPartition(part.toString, df)
+      if (sub.nonEmpty && rounds.nonEmpty) {
+        val live = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
+        val now = System.currentTimeMillis()
+        rounds.foreach { r =>
+          val produced = live.filter(_.getPath.getName.startsWith(r.prefix))
+          ScbfDiscovery.append(qroot, conf, produced.map(f =>
+            ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
+              rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
+              rowsChanged = true)))
+        }
+      }
+    }
+  }
+
   /**
    * UPDATE ... SET ... WHERE as the same stats-scoped rewrite as
    * [[deleteWhere]]: files that provably hold no matching row stay
@@ -96,7 +237,7 @@ object ScbfDelete {
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
-      set: Map[String, Column]): Unit = {
+      set: Map[String, Column]): Seq[RewriteRound] = {
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
     rewriteRounds(spark, dir, conf, filters, "UPDATE") { (src, cond) =>
       set.keys.foreach(c => require(src.columns.contains(c),
@@ -122,7 +263,7 @@ object ScbfDelete {
       spark: SparkSession,
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      filters: Array[Filter]): Unit =
+      filters: Array[Filter]): Seq[RewriteRound] =
     rewriteRounds(spark, dir, conf, filters, "DELETE") { (src, cond) =>
       // survivors under SQL three-valued logic: a row is deleted only when
       // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
@@ -163,7 +304,7 @@ object ScbfDelete {
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
-      op: String)(rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Unit = {
+      op: String)(rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Seq[RewriteRound] = {
     require(canDelete(filters),
       s"untranslatable ${op.toLowerCase} condition: ${filters.mkString(", ")}")
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
@@ -172,6 +313,7 @@ object ScbfDelete {
     // own replacement prefixes (survivor files must never re-enter)
     var accounted = Set.empty[String]
     var ourPrefixes = Set.empty[String]
+    val rounds = Seq.newBuilder[RewriteRound]
     var round = 0
     while (true) {
       round += 1
@@ -182,7 +324,7 @@ object ScbfDelete {
       val pruner = new ScbfStats.Pruner(conf, filters.toSeq)
       val affected = pruner.keepAll(candidates)(_.getPath, _.getLen)
       raceHook()
-      if (affected.isEmpty) return // nothing new in scope: done
+      if (affected.isEmpty) return rounds.result() // nothing new in scope: done
       if (round > MaxRewriteRounds) throw new graft.scbf.ScbfFormatException(
         s"$op on $dir: concurrent appends kept publishing in-scope files " +
           s"through $MaxRewriteRounds re-list rounds; giving up loudly. " +
@@ -202,15 +344,20 @@ object ScbfDelete {
       // onChangeCommit option can deliver them (surviving rows
       // re-deliver, changed values reach the stream) or fail the
       // stream loudly (Delta's default for change commits). A fresh
-      // consumer delivers them normally under any policy. Partitioned
-      // deletes announce bare names the stream can't match — skip
-      // degrades to delivery, never loss.
+      // consumer delivers them normally under any policy. On a
+      // partitioned table, tableRewrite re-announces each round to the
+      // ROOT log with subdir-qualified names, so root streams get the
+      // same policies; a direct per-partition call without that
+      // re-announcement leaves bare names a root stream can't match —
+      // skip then degrades to delivery, never loss.
       rewrite(src, cond).write.format("scbf").mode("append")
         .option("filePrefix", prefix)
         .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
         .save(dir)
       removeOriginals(dir, conf, affected)
+      rounds += RewriteRound(prefix, affected.map(_.getPath.getName))
     }
+    rounds.result() // unreachable; the while(true) exits via return
   }
 
   /** Post-commit removal of replaced originals (+ their sidecars) and

@@ -150,29 +150,52 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
 
     trig("baseline")
 
+    val tableSchema = StructType(schema.fields :+
+      StructField("grp", StringType, nullable = false))
     for (step <- 1 to steps) {
-      val label = rnd.nextInt(10) match {
+      val label = rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 => // partitioned append (rows fan across grps)
           val rows = fresh(8 + rnd.nextInt(30))
           tableRows ++= rows.map(_._1)
           val (_, added) = mutate(writeRows(rows))
           pendingFiles ++= added
           s"append ${rows.size} across ${rows.map(_._2).distinct.size} grps"
-        case 4 | 5 | 6 => // table-level OPTIMIZE sweep
+        case 4 | 5 => // table-level OPTIMIZE sweep
           val par = 1 + rnd.nextInt(4)
           val (rm, ad) = mutate(ScbfMaintenance.clusterTable(
             spark, dir, Seq("id"), 1 + rnd.nextInt(2), parallelism = par))
           s"clusterTable(par=$par) [${applyRewrite(rm, ad)}]"
-        case 7 => // table-level zorder sweep
+        case 6 => // table-level zorder sweep
           val (rm, ad) = mutate(ScbfMaintenance.zorderTable(
             spark, dir, Seq("id", "n"), 1 + rnd.nextInt(2), bits = 4))
           s"zorderTable [${applyRewrite(rm, ad)}]"
-        case _ => // vacuum every partition: never visible
+        case 7 => // vacuum every partition: never visible
           val parts = ScbfMaintenance.partitionDirs(dir, conf)
           val (rm, ad) = mutate(parts.foreach(p =>
             ScbfMaintenance.vacuum(spark, p.toString, olderThanMs = 0L)))
           assert(rm.isEmpty && ad.isEmpty, "vacuum must not touch live data files")
           s"vacuum ${parts.size} partitions"
+        case 8 | 9 => // table-level DELETE (spans partitions)
+          val lo = rnd.nextInt(math.max(1, nextId))
+          val hi = lo + rnd.nextInt(60)
+          val (rm, ad) = mutate(ScbfDelete.deleteWhereTable(spark, dir, conf,
+            tableSchema, Seq("grp"), Array(
+              org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+              org.apache.spark.sql.sources.LessThan("id", hi))))
+          tableRows = tableRows.filterNot(r => r.id >= lo && r.id < hi)
+          s"deleteTable id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
+        case _ => // table-level UPDATE (no-CDC under skip, per partition)
+          val lo = rnd.nextInt(math.max(1, nextId))
+          val hi = lo + rnd.nextInt(80)
+          val (rm, ad) = mutate(ScbfDelete.updateWhereTable(spark, dir, conf,
+            tableSchema, Seq("grp"), Array(
+              org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+              org.apache.spark.sql.sources.LessThan("id", hi)),
+            Map("n" -> org.apache.spark.sql.functions.col("n").plus(
+              org.apache.spark.sql.functions.lit(1000)))))
+          tableRows = tableRows.map(r =>
+            if (r.id >= lo && r.id < hi) r.copy(n = r.n + 1000) else r)
+          s"updateTable id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
       }
       history += s"step $step: $label"
       if (rnd.nextInt(6) == 0) {

@@ -230,6 +230,115 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL DELETE works on a PARTITIONED table: per-partition scoped rewrite, layout preserved") {
+    val dir = makeTable("graft_ptdel")
+    // data-predicate delete spans partitions
+    spark.sql("DELETE FROM graft_ptdel WHERE id >= 80")
+    assert(spark.sql("SELECT count(*), max(id) FROM graft_ptdel").head()
+      == org.apache.spark.sql.Row(80L, 79), "survivors exact")
+    // rows still live under their col=value subdirectories
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    assert(files.nonEmpty && files.forall(_.getPath.getParent.getName.startsWith("grp=")),
+      s"replacements must stay in their partitions: ${files.map(_.getPath)}")
+    // and per-partition stats still answer scans (manifest followed)
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel WHERE grp = 'g1'")
+      .head().getLong(0) == 20L)
+  }
+
+  test("a partition-predicate DELETE empties exactly the matching partitions, others untouched") {
+    val dir = makeTable("graft_ptdel2")
+    val conf = new Configuration()
+    def filesOf(g: String): Set[String] =
+      ScbfDataSource.resolveFiles(Seq(s"$dir/grp=$g"), conf)
+        .map(_.getPath.getName).toSet
+    val beforeOthers = Seq("g0", "g2", "g3").map(g => g -> filesOf(g)).toMap
+    spark.sql("DELETE FROM graft_ptdel2 WHERE grp = 'g1'")
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel2 WHERE grp = 'g1'")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel2").head().getLong(0) == 75L)
+    // the exact partition scope: non-matching partitions were never
+    // rewritten — same file names on disk
+    Seq("g0", "g2", "g3").foreach(g =>
+      assert(filesOf(g) == beforeOthers(g), s"grp=$g must be untouched"))
+  }
+
+  test("a predicate mixing partition and data columns declines loudly (never over-deletes)") {
+    makeTable("graft_ptdel3")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_ptdel3 WHERE grp = 'g1' OR id < 5")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel3").head().getLong(0) == 100L,
+      "a declined delete must not touch the table")
+  }
+
+  test("partitioned DELETE is root-stream transparent under every onChangeCommit policy") {
+    val dir = makeTable("graft_ptdel4")
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def mk(pol: String) = {
+      val ckpt = Files.createTempDirectory(s"scbf-ptdel4-$pol").toString
+      new ScbfMicroBatchStream(schema, Seq(dir), conf, ckpt,
+        reconcileEvery = 0, onChangeCommit = pol)
+    }
+    def trig(s: ScbfMicroBatchStream, from: ScbfOffset): ScbfOffset =
+      s.latestOffset(from, ReadLimit.allAvailable()).asInstanceOf[ScbfOffset]
+    val skip = mk("skip"); val deliver = mk("deliver")
+    val caught = Seq(skip, deliver).map { s =>
+      val o1 = trig(s, ScbfOffset(0))
+      assert(s.planInputPartitions(ScbfOffset(0), o1).nonEmpty)
+      trig(s, o1)
+    }
+    spark.sql("DELETE FROM graft_ptdel4 WHERE id >= 30 AND id < 40") // spans all 4 grps
+    // skip (default, no-CDC): the root-log re-announcement marks the
+    // replacements covered row-changing — nothing delivered
+    val oS = trig(skip, caught(0))
+    assert(skip.planInputPartitions(caught(0), oS).isEmpty,
+      "skip policy must hide a partitioned DELETE from a caught-up root stream")
+    // deliver: the same marks ADMIT the replacements — survivors
+    // re-deliver, which is exactly the policy's contract
+    val oD = trig(deliver, caught(1))
+    val planned = deliver.planInputPartitions(caught(1), oD)
+      .map(_.asInstanceOf[ScbfFilePartition].path)
+    assert(planned.nonEmpty, "deliver policy must surface the replacements")
+    val ids = spark.read.format("scbf").load(planned: _*)
+      .select("id").collect().map(_.getInt(0))
+    assert(ids.nonEmpty && ids.forall(i => i < 30 || i >= 40),
+      s"delivered replacements hold surviving rows only: ${ids.take(5).toSeq}")
+  }
+
+  test("DELETE FROM a partitioned table without WHERE empties every partition") {
+    // Spark spells the no-WHERE delete as AlwaysTrue — an
+    // empty-reference filter that must route into the rewrite
+    // condition (the partition-prune path would silently ignore it)
+    makeTable("graft_ptdel5")
+    spark.sql("DELETE FROM graft_ptdel5")
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel5").head().getLong(0) == 0L)
+    // and the table stays usable: partitions accept new rows
+    spark.sql("INSERT INTO graft_ptdel5 SELECT /*+ REPARTITION(2, grp) */ " +
+      "id, grp, v FROM graft_ptdel5_src WHERE id < 8")
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel5").head().getLong(0) == 8L)
+  }
+
+  test("table-level UPDATE routes per partition; partition-column SET refuses") {
+    val dir = makeTable("graft_ptupd")
+    val conf = spark.sessionState.newHadoopConf()
+    ScbfDelete.updateWhereTable(spark, dir, conf,
+      spark.table("graft_ptupd").schema, Seq("grp"),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 90)),
+      Map("v" -> (col("v") + 1000.0)))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_ptupd WHERE v >= 1000.0").head().getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft_ptupd").head().getLong(0) == 100L)
+    val e = intercept[IllegalArgumentException] {
+      ScbfDelete.updateWhereTable(spark, dir, conf,
+        spark.table("graft_ptupd").schema, Seq("grp"),
+        Array.empty, Map("grp" -> lit("gX")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("a task seeing many partition values stays memory-capped (forced rolls) and exact") {
     val name = "graft_pt6"
     val dir = Files.createTempDirectory("scbf-part-cap").toString
