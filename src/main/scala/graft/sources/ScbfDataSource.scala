@@ -156,16 +156,14 @@ class ScbfTable(
 
   /** DELETE FROM ... WHERE — stats-scoped rewrite (see ScbfDelete).
    * Partitioned tables route through [[ScbfDelete.deleteWhereTable]]:
-   * partition-column predicates prune directories exactly (and only
-   * exactly-evaluable shapes are accepted — may-match would
-   * over-scope a DELETE), data predicates scope each partition's
-   * rewrite, and replacements re-announce to the root discovery log
-   * so root streams keep the onChangeCommit semantics. Mixed
-   * partition/data predicates decline loudly. */
+   * the FULL condition is enforced by every per-directory rewrite
+   * (partition columns are stored in the data files), partition
+   * pruning is a pure optimization, and replacements re-announce to
+   * the root discovery log so root streams keep the onChangeCommit
+   * semantics — so the accepted predicate surface is identical to the
+   * flat-directory case. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    tablePaths.size == 1 &&
-      (if (partitionTransforms.isEmpty) ScbfDelete.canDelete(filters)
-       else ScbfDelete.canDeleteTable(filters, partitionColNames))
+    tablePaths.size == 1 && ScbfDelete.canDelete(filters)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     if (partitionTransforms.isEmpty) {

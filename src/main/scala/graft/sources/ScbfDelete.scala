@@ -82,71 +82,36 @@ object ScbfDelete {
    * discovery log with subdir-qualified names. */
   private[sources] case class RewriteRound(prefix: String, replaced: Seq[String])
 
-  /** Filters a PARTITIONED delete/update can enforce soundly, split
-   * into (partition-column filters, data-column filters). Partition
-   * filters are enforced by EXACT evaluation against each directory's
-   * point partition values and then dropped from the rewrite
-   * condition (the data files do not hold the partition column);
-   * data filters become the rewrite predicate. None when any filter
-   * mixes the two domains (cannot be split) or a partition filter's
-   * shape is not exactly evaluable on point values (may-match
-   * pruning would over-scope the DELETE — the one direction a
-   * takedown path must never err in). */
-  private[sources] def splitPartitionFilters(
-      filters: Array[Filter],
-      partitionCols: Seq[String]): Option[(Array[Filter], Array[Filter])] = {
-    val pset = partitionCols.toSet
-    def pointLit(v: Any): Boolean = v match {
-      case _: java.lang.Number => true
-      case _: String => true
-      case _: org.apache.spark.unsafe.types.UTF8String => true
-      case _ => false
-    }
-    // exact on point partition values: every node decides truly, so
-    // may-match == must-match (utf8 synth ranges are untruncated)
-    def exactOnPoint(f: Filter): Boolean = f match {
-      case EqualTo(_, v)            => pointLit(v)
-      case GreaterThan(_, v)        => pointLit(v)
-      case GreaterThanOrEqual(_, v) => pointLit(v)
-      case LessThan(_, v)           => pointLit(v)
-      case LessThanOrEqual(_, v)    => pointLit(v)
-      case In(_, vs)                => vs.nonEmpty && vs.forall(pointLit)
-      case StringStartsWith(_, p)   => p != null
-      case And(l, r)                => exactOnPoint(l) && exactOnPoint(r)
-      case Or(l, r)                 => exactOnPoint(l) && exactOnPoint(r)
-      case _                        => false
-    }
-    // empty-reference filters (AlwaysTrue/AlwaysFalse) go to the DATA
-    // side: filterToColumn folds them into the rewrite condition
-    // exactly, while the partition-prune path would silently ignore
-    // the non-`usable` shapes
-    val (pf, df) = filters.partition(f =>
-      f.references.nonEmpty && f.references.forall(pset.contains))
-    val sound = pf.forall(exactOnPoint) &&
-      df.forall(_.references.forall(c => !pset.contains(c)))
-    if (sound) Some((pf, df)) else None
-  }
-
-  /** canDeleteWhere for a hive-partitioned table root. */
-  def canDeleteTable(filters: Array[Filter], partitionCols: Seq[String]): Boolean =
-    splitPartitionFilters(filters, partitionCols)
-      .exists { case (_, df) => canDelete(df) }
-
   /**
    * `DELETE FROM <partitioned scbf table> WHERE <cond>` — the
    * takedown path at its REAL layout: a 100 TB corpus is
    * hive-partitioned, and this routes the same stats-scoped rewrite
-   * [[deleteWhere]] runs on a flat directory through every partition
-   * the predicate can touch. Partition-column predicates prune
-   * directories by pure path arithmetic BEFORE any IO (a
-   * `source = 'x'` takedown opens only that partition) and are
-   * enforced exactly; data-column predicates scope the per-partition
-   * rewrite as usual. After each partition's rewrite commits, its
-   * replacement files are re-announced to the ROOT discovery log with
-   * subdir-qualified names and the `C:1` row-changing tag — a root
-   * stream gets the identical onChangeCommit semantics (skip with a
-   * warning / deliver / fail) as a flat-directory DELETE, instead of
-   * the bare-name partition-log announcements it cannot match.
+   * [[deleteWhere]] runs on a flat directory through every directory
+   * the predicate can touch.
+   *
+   * Correctness is carried by ONE mechanism: the FULL condition is
+   * enforced by every per-directory rewrite — partition columns are
+   * STORED IN THE DATA FILES (ScbfPartitions' design choice), so
+   * partition predicates evaluate exactly there like any other
+   * column, and their per-file point-range stats make non-matching
+   * files a pure metadata no-op. Directory-level partition pruning is
+   * then a pure OPTIMIZATION (a `source = 'x'` takedown lists only
+   * that partition): its conservative keeps — stray root-level files,
+   * foreign `k=v` directories, unparseable cells — can cost a listing
+   * but can never over-delete. Each per-directory pass lists LEAF
+   * files only, so a stray file at the table root scopes a root pass
+   * to the root's own files instead of recursing into every
+   * partition.
+   *
+   * After each directory's rewrite commits, its replacement files are
+   * re-announced to the ROOT discovery log with subdir-qualified
+   * names and the `C:1` row-changing tag — a root stream gets the
+   * identical onChangeCommit semantics (skip with a warning / deliver
+   * / fail) as a flat-directory DELETE, instead of the bare-name
+   * partition-log announcements it cannot match. `parallelism` drives
+   * that many per-directory rewrites as concurrent Spark jobs (same
+   * contract as [[ScbfMaintenance.clusterTable]]: every started
+   * attempt completes before the first failure surfaces).
    */
   def deleteWhereTable(
       spark: SparkSession,
@@ -154,9 +119,10 @@ object ScbfDelete {
       conf: org.apache.hadoop.conf.Configuration,
       tableSchema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String],
-      filters: Array[Filter]): Unit =
-    tableRewrite(spark, rootDir, conf, tableSchema, partitionCols, filters)(
-      (part, df) => deleteWhere(spark, part, conf, df))
+      filters: Array[Filter],
+      parallelism: Int = 1): Unit =
+    tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
+      part => deleteWhere(spark, part, conf, filters, leafOnly = true))
 
   /** Table-level [[updateWhere]] — same routing as
    * [[deleteWhereTable]]. SET targets must be data columns: updating
@@ -169,13 +135,14 @@ object ScbfDelete {
       tableSchema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String],
       filters: Array[Filter],
-      set: Map[String, Column]): Unit = {
+      set: Map[String, Column],
+      parallelism: Int = 1): Unit = {
     val bad = set.keySet.intersect(partitionCols.toSet)
     require(bad.isEmpty,
       s"cannot UPDATE partition column(s) ${bad.mkString(", ")}: rows would " +
         "change directories — DELETE and re-INSERT instead")
-    tableRewrite(spark, rootDir, conf, tableSchema, partitionCols, filters)(
-      (part, df) => updateWhere(spark, part, conf, df, set))
+    tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
+      part => updateWhere(spark, part, conf, filters, set, leafOnly = true))
   }
 
   private def tableRewrite(
@@ -183,26 +150,26 @@ object ScbfDelete {
       rootDir: String,
       conf: org.apache.hadoop.conf.Configuration,
       tableSchema: org.apache.spark.sql.types.StructType,
-      partitionCols: Seq[String],
-      filters: Array[Filter])(
-      perPartition: (String, Array[Filter]) => Seq[RewriteRound]): Unit = {
-    val (pf, df) = splitPartitionFilters(filters, partitionCols).getOrElse(
-      throw new graft.scbf.ScbfFormatException(
-        "untranslatable partitioned-table condition: every predicate must " +
-          "reference only partition columns (exact shapes) or only data " +
-          s"columns; got ${filters.mkString(", ")}"))
+      filters: Array[Filter],
+      parallelism: Int)(
+      perPartition: String => Seq[RewriteRound]): Unit = {
+    require(canDelete(filters),
+      s"untranslatable condition: ${filters.mkString(", ")}")
     val root = new Path(rootDir)
     val fs = root.getFileSystem(conf)
     val qroot = fs.makeQualified(root)
     val all = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
-    // exact partition scope: splitPartitionFilters admitted only
-    // shapes that decide truly on point partition values, so this
-    // may-match prune IS the exact evaluation
-    val kept = ScbfPartitions.prune(all, tableSchema, pf.toSeq, Seq(rootDir))
-    kept.map(_.getPath.getParent).distinct.foreach { part =>
+    // pure optimization (see scaladoc): over-keeping a directory only
+    // costs its listing — the rewrite condition enforces exactness
+    val kept = ScbfPartitions.prune(all, tableSchema, filters.toSeq, Seq(rootDir))
+    val parents = kept.map(_.getPath.getParent).distinct
+    ScbfMaintenance.forEachDir(parents, parallelism) { part =>
       val sub = qroot.toUri.relativize(fs.makeQualified(part).toUri)
         .getPath.stripSuffix("/")
-      val rounds = perPartition(part.toString, df)
+      val rounds = perPartition(part.toString)
+      // root-dir rounds announced themselves in their own commit;
+      // subdirectory rounds re-announce to the root log (atomic-rename
+      // appends: safe from concurrent pool threads, like the sweep)
       if (sub.nonEmpty && rounds.nonEmpty) {
         val live = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
         val now = System.currentTimeMillis()
@@ -237,9 +204,10 @@ object ScbfDelete {
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
-      set: Map[String, Column]): Seq[RewriteRound] = {
+      set: Map[String, Column],
+      leafOnly: Boolean = false): Seq[RewriteRound] = {
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
-    rewriteRounds(spark, dir, conf, filters, "UPDATE") { (src, cond) =>
+    rewriteRounds(spark, dir, conf, filters, "UPDATE", leafOnly) { (src, cond) =>
       set.keys.foreach(c => require(src.columns.contains(c),
         s"SET column '$c' does not exist in the table"))
       // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
@@ -263,8 +231,9 @@ object ScbfDelete {
       spark: SparkSession,
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      filters: Array[Filter]): Seq[RewriteRound] =
-    rewriteRounds(spark, dir, conf, filters, "DELETE") { (src, cond) =>
+      filters: Array[Filter],
+      leafOnly: Boolean = false): Seq[RewriteRound] =
+    rewriteRounds(spark, dir, conf, filters, "DELETE", leafOnly) { (src, cond) =>
       // survivors under SQL three-valued logic: a row is deleted only when
       // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
       // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
@@ -304,7 +273,14 @@ object ScbfDelete {
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
-      op: String)(rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Seq[RewriteRound] = {
+      op: String,
+      // restrict each round's scope to files DIRECTLY in `dir`: a
+      // table-level rewrite visits the root and each partition as
+      // separate passes, and the root pass must not recurse into the
+      // subdirectories another pass owns (double-applied UPDATEs,
+      // survivors folded out of their partitions)
+      leafOnly: Boolean = false)(
+      rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Seq[RewriteRound] = {
     require(canDelete(filters),
       s"untranslatable ${op.toLowerCase} condition: ${filters.mkString(", ")}")
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
@@ -317,7 +293,10 @@ object ScbfDelete {
     var round = 0
     while (true) {
       round += 1
+      val qdir = new Path(dir).getFileSystem(conf)
+        .makeQualified(new Path(dir))
       val candidates = ScbfDataSource.resolveFiles(Seq(dir), conf)
+        .filter(f => !leafOnly || f.getPath.getParent == qdir)
         .filterNot(f => accounted.contains(f.getPath.getName) ||
           ourPrefixes.exists(f.getPath.getName.startsWith))
       accounted ++= candidates.map(_.getPath.getName)

@@ -263,22 +263,33 @@ object ScbfMaintenance {
             rewriteOf = snapshot.map(n => s"$sub/$n").sorted)))
       }
     }
-    if (parallelism == 1) parts.foreach(sweepOne)
+    forEachDir(parts, parallelism)(sweepOne)
+    parts.map(_.toString)
+  }
+
+  /** Run `f` over independent directories with up to `parallelism`
+   * concurrent driver threads (each typically launching Spark jobs).
+   * EVERY started attempt runs to completion BEFORE the first failure
+   * surfaces (unwrapped): propagating early would return control to
+   * the caller while queued and in-flight work keeps running in the
+   * background — an immediate retry (the documented recovery for
+   * sweeps and table-level DELETE/UPDATE) would then race it, exactly
+   * the single-rewriter hazard. Each per-directory op is atomic
+   * (commit-or-leave-intact), so once this HAS returned, re-running
+   * is always safe. */
+  private[sources] def forEachDir(
+      dirs: Seq[org.apache.hadoop.fs.Path],
+      parallelism: Int)(f: org.apache.hadoop.fs.Path => Unit): Unit = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1 || dirs.size <= 1) dirs.foreach(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, math.max(1, parts.size)))
+        math.min(parallelism, dirs.size))
       try {
-        val futures = parts.map(p => pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = sweepOne(p)
+        val futures = dirs.map(d => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f(d)
         }))
-        // run EVERY partition attempt to completion BEFORE surfacing
-        // the first failure: propagating early would return control to
-        // the caller while queued and in-flight rewrites keep running
-        // in the background — an immediate retry (the documented
-        // recovery) would then race them, exactly the single-rewriter
-        // hazard. Each rewrite is atomic (commit-or-leave-intact), so
-        // once this HAS returned, re-running the sweep is always safe.
-        val results = futures.map(f => scala.util.Try(f.get()))
+        val results = futures.map(fu => scala.util.Try(fu.get()))
         results.collectFirst { case scala.util.Failure(e) =>
           throw (e match {
             case ee: java.util.concurrent.ExecutionException
@@ -288,7 +299,6 @@ object ScbfMaintenance {
         }
       } finally pool.shutdown()
     }
-    parts.map(_.toString)
   }
 
   /**

@@ -263,14 +263,46 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
       assert(filesOf(g) == beforeOthers(g), s"grp=$g must be untouched"))
   }
 
-  test("a predicate mixing partition and data columns declines loudly (never over-deletes)") {
+  test("a predicate mixing partition and data columns is enforced exactly (one condition, every pass)") {
+    // partition columns are stored in the data files, so the FULL
+    // condition evaluates in every per-directory rewrite — mixed
+    // shapes like `grp = 'g1' OR id < 5` need no split and cannot
+    // over-delete: directory pruning is a pure optimization
     makeTable("graft_ptdel3")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft_ptdel3 WHERE grp = 'g1' OR id < 5")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(spark.sql("SELECT count(*) FROM graft_ptdel3").head().getLong(0) == 100L,
-      "a declined delete must not touch the table")
+    spark.sql("DELETE FROM graft_ptdel3 WHERE grp = 'g1' OR id < 5")
+    // removed: the 25 g1 rows (id % 4 = 1) plus ids {0,2,3,4}
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel3").head().getLong(0) == 71L)
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel3 WHERE grp = 'g1'")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT min(id) FROM graft_ptdel3").head().getInt(0) == 6,
+      "id 5 is g1 (gone); 6 is the smallest survivor")
+  }
+
+  test("a STRAY root-level file never widens a partitioned DELETE's scope") {
+    // the over-delete hazard: a path-based write drops a data file at
+    // the TABLE ROOT (partition columns live in the data files, so
+    // it's read-valid). A partition-predicate DELETE must then run a
+    // ROOT pass scoped to the root's own files — not recurse into
+    // every partition — and the condition still applies exactly to
+    // the stray rows themselves.
+    import spark.implicits._
+    val dir = makeTable("graft_ptdel6")
+    Seq((1000, "g1", 1.0), (1001, "g2", 2.0)).toDF("id", "grp", "v")
+      .coalesce(1).write.format("scbf").mode("append").save(dir) // stray, at root
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel6").head().getLong(0) == 102L)
+    spark.sql("DELETE FROM graft_ptdel6 WHERE grp = 'g1'")
+    // the 25 partitioned g1 rows AND the stray g1 row are gone; the
+    // stray g2 row and every other partition survive
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel6").head().getLong(0) == 76L)
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel6 WHERE id = 1001")
+      .head().getLong(0) == 1L, "the stray g2 row must survive")
+    assert(spark.sql("SELECT count(*) FROM graft_ptdel6 WHERE grp = 'g0'")
+      .head().getLong(0) == 25L, "partitions must not be wiped by the root pass")
+    // layout preserved: partitioned rows still under grp=*/
+    val conf = new Configuration()
+    val parts = ScbfDataSource.resolveFiles(Seq(dir), conf)
+      .map(_.getPath.getParent.getName).toSet
+    assert(parts.exists(_.startsWith("grp=")), s"partition dirs survive: $parts")
   }
 
   test("partitioned DELETE is root-stream transparent under every onChangeCommit policy") {
