@@ -112,6 +112,10 @@ object ScbfDelete {
    * that many per-directory rewrites as concurrent Spark jobs (same
    * contract as [[ScbfMaintenance.clusterTable]]: every started
    * attempt completes before the first failure surfaces).
+   * `partitionCols` is not consulted for DELETE (the single-mechanism
+   * design needs no predicate split) — it stays in the signature for
+   * symmetry with [[updateWhereTable]], which must refuse
+   * partition-column SETs.
    */
   def deleteWhereTable(
       spark: SparkSession,
