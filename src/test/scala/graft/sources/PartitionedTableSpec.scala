@@ -340,6 +340,31 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
       s"delivered replacements hold surviving rows only: ${ids.take(5).toSeq}")
   }
 
+  test("after a partitioned DELETE, planning metadata costs are unchanged (one manifest per touched partition)") {
+    // the takedown path must leave the 100 TB metadata story intact:
+    // the delete's per-partition rewrite refreshes that partition's
+    // manifest in place, so a partition-filtered scan afterwards still
+    // reads exactly ONE manifest and the replacement files' stats
+    // still answer row counts without data opens
+    val dir = makeTable("graft_ptdel7")
+    spark.sql("DELETE FROM graft_ptdel7 WHERE id >= 40 AND id < 60")
+    val conf = new Configuration()
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val filesInG2 = listing.count(_.getPath.toString.contains("grp=g2/"))
+    val b = new ScbfScanBuilder(schema, listing, conf, Seq(dir))
+    b.pushFilters(Array(EqualTo("grp", "g2")))
+    val scan = b.build().asInstanceOf[ScbfScan]
+    ScbfStats.manifestReads.set(0)
+    ScbfUtil.dataFileOpens.set(0)
+    assert(scan.planInputPartitions().length == filesInG2)
+    assert(ScbfStats.manifestReads.get == 1,
+      s"post-delete planning must still read ONE manifest: ${ScbfStats.manifestReads.get}")
+    // g2 lost ids {42,46,50,54,58}: 20 of 25 rows remain, known
+    // from the refreshed manifest without opening data files
+    assert(scan.estimateStatistics().numRows.getAsLong == 20L)
+    assert(ScbfUtil.dataFileOpens.get == 0, "statistics never open data files")
+  }
+
   test("DELETE FROM a partitioned table without WHERE empties every partition") {
     // Spark spells the no-WHERE delete as AlwaysTrue — an
     // empty-reference filter that must route into the rewrite
