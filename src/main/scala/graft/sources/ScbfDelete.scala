@@ -162,12 +162,11 @@ object ScbfDelete {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(conf)
     val qroot = fs.makeQualified(root)
-    val all = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
-    // pure optimization (see scaladoc): over-keeping a directory only
-    // costs its listing — the rewrite condition enforces exactness
-    val kept = ScbfPartitions.prune(all, tableSchema, filters.toSeq, Seq(rootDir))
-    val parents = kept.map(_.getPath.getParent).distinct
-    ScbfMaintenance.forEachDir(parents, parallelism) { part =>
+    // qualified roots: prune prefix-matches against the listing's
+    // qualified paths, so an unqualified caller path would silently
+    // no-op the optimization (correctness unaffected — conservative)
+    val qroots = ScbfPartitions.qualifiedRoots(Seq(rootDir), conf)
+    def sweepOne(part: Path): Unit = {
       val sub = qroot.toUri.relativize(fs.makeQualified(part).toUri)
         .getPath.stripSuffix("/")
       val rounds = perPartition(part.toString)
@@ -185,6 +184,34 @@ object ScbfDelete {
               rowsChanged = true)))
         }
       }
+    }
+    // Bounded re-list rounds at the DIRECTORY level, mirroring
+    // rewriteRounds' file-level guard: a concurrent INSERT can CREATE
+    // a partition directory after the initial listing, and a one-shot
+    // snapshot would silently exempt its rows from the condition.
+    // Already-processed directories are NOT revisited — appends to
+    // them after their pass land "after" this operation (the same
+    // point-in-time semantics a flat-directory rewrite settles on
+    // when its own re-list round comes up clean), and revisiting
+    // would double-apply UPDATE's SET expressions.
+    var done = Set.empty[Path]
+    var round = 0
+    while (true) {
+      round += 1
+      val all = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
+      // pure optimization (see scaladoc): over-keeping a directory
+      // only costs its listing — the rewrite condition enforces
+      // exactness
+      val kept = ScbfPartitions.prune(all, tableSchema, filters.toSeq, qroots)
+      val parents = kept.map(_.getPath.getParent).distinct.filterNot(done)
+      if (parents.isEmpty) return
+      if (round > MaxRewriteRounds) throw new graft.scbf.ScbfFormatException(
+        s"partitioned rewrite on $rootDir: concurrent ingest kept creating " +
+          s"in-scope partition directories through $MaxRewriteRounds re-list " +
+          "rounds; giving up loudly. Directories processed so far are fully " +
+          "rewritten and consistent — re-run once the ingest settles.")
+      done ++= parents
+      ScbfMaintenance.forEachDir(parents, parallelism)(sweepOne)
     }
   }
 
@@ -294,13 +321,22 @@ object ScbfDelete {
     var accounted = Set.empty[String]
     var ourPrefixes = Set.empty[String]
     val rounds = Seq.newBuilder[RewriteRound]
+    val dfs = new Path(dir).getFileSystem(conf)
+    val qdir = dfs.makeQualified(new Path(dir))
+    // leafOnly lists the directory itself, never recursing into k=v
+    // subtrees another table-level pass owns (a stray root file on a
+    // 10⁵-file table must not cost full-table listings per round)
+    def listCandidates(): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (leafOnly)
+        dfs.listStatus(qdir).toSeq.filter(f => f.isFile && {
+          val n = f.getPath.getName
+          n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith(".")
+        })
+      else ScbfDataSource.resolveFiles(Seq(dir), conf)
     var round = 0
     while (true) {
       round += 1
-      val qdir = new Path(dir).getFileSystem(conf)
-        .makeQualified(new Path(dir))
-      val candidates = ScbfDataSource.resolveFiles(Seq(dir), conf)
-        .filter(f => !leafOnly || f.getPath.getParent == qdir)
+      val candidates = listCandidates()
         .filterNot(f => accounted.contains(f.getPath.getName) ||
           ourPrefixes.exists(f.getPath.getName.startsWith))
       accounted ++= candidates.map(_.getPath.getName)

@@ -178,24 +178,28 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
         case 8 | 9 => // table-level DELETE (spans partitions)
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(60)
+          val par = 1 + rnd.nextInt(3) // concurrent per-partition rewrites too
           val (rm, ad) = mutate(ScbfDelete.deleteWhereTable(spark, dir, conf,
             tableSchema, Seq("grp"), Array(
               org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
-              org.apache.spark.sql.sources.LessThan("id", hi))))
+              org.apache.spark.sql.sources.LessThan("id", hi)),
+            parallelism = par))
           tableRows = tableRows.filterNot(r => r.id >= lo && r.id < hi)
-          s"deleteTable id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
+          s"deleteTable(par=$par) id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
         case _ => // table-level UPDATE (no-CDC under skip, per partition)
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(80)
+          val par = 1 + rnd.nextInt(3)
           val (rm, ad) = mutate(ScbfDelete.updateWhereTable(spark, dir, conf,
             tableSchema, Seq("grp"), Array(
               org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
               org.apache.spark.sql.sources.LessThan("id", hi)),
             Map("n" -> org.apache.spark.sql.functions.col("n").plus(
-              org.apache.spark.sql.functions.lit(1000)))))
+              org.apache.spark.sql.functions.lit(1000))),
+            parallelism = par))
           tableRows = tableRows.map(r =>
             if (r.id >= lo && r.id < hi) r.copy(n = r.n + 1000) else r)
-          s"updateTable id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
+          s"updateTable(par=$par) id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
       }
       history += s"step $step: $label"
       if (rnd.nextInt(6) == 0) {
