@@ -596,6 +596,98 @@ object RelationalQueries {
         FROM graft_q49 GROUP BY source""")
     },
 
+    "q50_sql_update" -> { (s, dir) =>
+      // Pure-SQL UPDATE end-to-end (SupportsRowLevelOperations →
+      // ScbfRowLevelOp, group-based copy-on-write) — the redaction
+      // path q44 gates through the API, now with nothing from graft.*:
+      // a FLAT table gets the q44-twin band redaction, and a
+      // PARTITIONED table gets (a) a data-column UPDATE whose modulo
+      // condition no metadata path could express and (b) a
+      // PARTITION-COLUMN update that moves rows between directories —
+      // the case the API path refuses and copy-on-write handles
+      // (replacements route to their new source=... directory by
+      // value, originals are removed from the old one). The oracle
+      // applies the same CASE transforms to the source parquet; only
+      // exact, complete, correctly-scoped updates hash-match.
+      val base = scratchDir(s) + "/graft_scbf_sqlupd_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q50f")
+      s.sql("DROP TABLE IF EXISTS graft_q50p")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q50_src")
+      s.sql("CREATE TABLE graft_q50f (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base/flat'")
+      s.sql(s"""INSERT INTO graft_q50f
+        SELECT /*+ REPARTITION_BY_RANGE(${spread(s)}, doc_id) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q50_src""")
+      s.sql("UPDATE graft_q50f SET source = 'redacted', n_chars = 0 " +
+        "WHERE doc_id >= 300 AND doc_id < 350")
+      s.sql("CREATE TABLE graft_q50p (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base/part'")
+      s.sql("""INSERT INTO graft_q50p
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q50_src""")
+      s.sql("UPDATE graft_q50p SET n_chars = n_chars + 1000 WHERE doc_id % 7 = 0")
+      s.sql("UPDATE graft_q50p SET source = 'moved' " +
+        "WHERE source = 'src2' AND doc_id < 100")
+      s.sql("""SELECT side, source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM (
+          SELECT 'flat' AS side, source, doc_id, n_chars FROM graft_q50f
+          UNION ALL
+          SELECT 'part' AS side, source, doc_id, n_chars FROM graft_q50p)
+        GROUP BY side, source""")
+    },
+
+    "q51_sql_merge" -> { (s, dir) =>
+      // MERGE INTO end-to-end — the upsert primitive every
+      // Delta/Iceberg deployment leans on for incremental ingest, in
+      // pure SQL over a PARTITIONED table: a change feed derived from
+      // the corpus (every 10th doc re-scored, plus a block of brand-new
+      // ids) merges with all three clause kinds. Matched-and-short
+      // docs UPDATE (and MOVE partitions: source := 'm'),
+      // matched-and-long docs DELETE, unmatched changes INSERT into a
+      // fresh source=ins partition. Group-based copy-on-write rewrites
+      // only files holding matched rows; the oracle replays the same
+      // merge semantics as left/anti joins over the source parquet.
+      val base = scratchDir(s) + "/graft_scbf_sqlmerge_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q51")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q51_src")
+      s.sql("CREATE TABLE graft_q51 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q51
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q51_src""")
+      s.sql("""SELECT CAST(doc_id AS INT) AS doc_id, 'm' AS source,
+          CAST(77 AS INT) AS n_chars
+        FROM graft_q51_src WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT CAST(doc_id + 1000000 AS INT), 'ins', CAST(5 AS INT)
+        FROM graft_q51_src WHERE doc_id % 100 = 0""")
+        .createOrReplaceTempView("graft_q51_chg")
+      s.sql("""MERGE INTO graft_q51 t USING graft_q51_chg c
+        ON t.doc_id = c.doc_id
+        WHEN MATCHED AND t.n_chars < 300 THEN
+          UPDATE SET t.n_chars = c.n_chars, t.source = c.source
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, source, n_chars) VALUES (c.doc_id, c.source, c.n_chars)""")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q51 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -936,6 +1028,57 @@ object RelationalQueries {
          WHERE NOT (source = 'src4')
            AND NOT (doc_id >= 120 AND doc_id < 180)
          GROUP BY source""",
+
+    "q50_sql_update" ->
+      """WITH f AS (
+           SELECT CAST(doc_id AS INT) AS doc_id,
+             CASE WHEN doc_id >= 300 AND doc_id < 350 THEN 'redacted' ELSE source END AS source,
+             CASE WHEN doc_id >= 300 AND doc_id < 350 THEN 0 ELSE CAST(n_chars AS INT) END AS n_chars
+           FROM documents),
+         p0 AS (
+           SELECT CAST(doc_id AS INT) AS doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(n_chars AS INT) + 1000
+                  ELSE CAST(n_chars AS INT) END AS n_chars
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             CASE WHEN source = 'src2' AND doc_id < 100 THEN 'moved' ELSE source END AS source,
+             n_chars
+           FROM p0),
+         u AS (
+           SELECT 'flat' AS side, source, doc_id, n_chars FROM f
+           UNION ALL
+           SELECT 'part' AS side, source, doc_id, n_chars FROM p)
+         SELECT side, source, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS INT) AS min_doc,
+           CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM u GROUP BY side, source""",
+
+    "q51_sql_merge" ->
+      """WITH tgt AS (
+           SELECT CAST(doc_id AS INT) AS doc_id, source, CAST(n_chars AS INT) AS n_chars
+           FROM documents),
+         chg AS (
+           SELECT doc_id, 'm' AS source, 77 AS n_chars FROM tgt WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'ins', 5 FROM tgt WHERE doc_id % 100 = 0),
+         kept AS (
+           SELECT CASE WHEN c.doc_id IS NOT NULL AND t.n_chars < 300 THEN c.source ELSE t.source END AS source,
+                  t.doc_id AS doc_id,
+                  CASE WHEN c.doc_id IS NOT NULL AND t.n_chars < 300 THEN c.n_chars ELSE t.n_chars END AS n_chars
+           FROM tgt t LEFT JOIN chg c ON t.doc_id = c.doc_id
+           WHERE c.doc_id IS NULL OR t.n_chars < 300),
+         ins AS (
+           SELECT c.source, c.doc_id, c.n_chars
+           FROM chg c LEFT JOIN tgt t ON c.doc_id = t.doc_id
+           WHERE t.doc_id IS NULL),
+         u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT source, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS INT) AS min_doc,
+           CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM u GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -146,9 +146,27 @@ class ScbfTable(
     conf: Configuration,
     partitionTransforms: Array[Transform] = Array.empty,
     tableProps: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def partitioning(): Array[Transform] = partitionTransforms
+
+  /** SQL UPDATE / MERGE INTO / subquery-DELETE via group-based
+   * copy-on-write (see [[ScbfRowLevelOperation]]). Filter-translatable
+   * DELETEs still take the stats-scoped [[ScbfDelete]] path — Spark's
+   * OptimizeMetadataOnlyDeleteFromTable converts them back because
+   * [[canDeleteWhere]] accepts them. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val dir = tablePaths match {
+      case Seq(one) => one
+      case other => throw new ScbfFormatException(
+        s"SCBF row-level SQL requires exactly one table path, got: $other")
+    }
+    new ScbfRowLevelOperationBuilder(this, dir, files, schema, conf,
+      ScbfPartitions.partitionCols(partitionTransforms, schema), info)
+  }
 
   private def partitionColNames: Seq[String] =
     partitionTransforms.toSeq

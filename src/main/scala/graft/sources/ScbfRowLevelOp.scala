@@ -1,0 +1,319 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * SQL `UPDATE` / `MERGE INTO` (and subquery-conditioned `DELETE`) for
+ * SCBF tables, wired through Spark's group-based row-level-operation
+ * machinery ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+ * — the same copy-on-write contract Iceberg/Delta implement). This is
+ * the redaction path a SQL-only 100 TB operator runs: with it, every
+ * takedown/remediation primitive — DELETE, UPDATE, MERGE — is pure
+ * SQL end-to-end, no `graft.*` API required.
+ *
+ * How the plumbing composes with what already exists:
+ *
+ *  - **Scan side**: Spark rewrites `UPDATE t SET ... WHERE c` into a
+ *    `ReplaceData` plan that scans the affected GROUPS (for SCBF:
+ *    files) and re-writes every row of those groups with the
+ *    assignments applied. The group-selection contract — "use pushed
+ *    filters to pick groups, but return EVERY row of each kept
+ *    group" — is exactly how the SCBF scan already treats filters
+ *    (file skipping via stats/blooms/partition paths; all filters
+ *    stay residual, rows are never dropped by the source), so the
+ *    row-level scan is the normal [[ScbfScan]] with two deltas: it
+ *    reports the file set it planned to the operation (those are the
+ *    groups being replaced — the commit deletes exactly them), and it
+ *    opts out of runtime group filtering (`filterAttributes` empty:
+ *    the matching-rows pre-scan Spark would otherwise run duplicates
+ *    work our static stats pruning already does, and its build keys
+ *    would be every column of the table).
+ *
+ *  - **Write side**: the replacement rows ride the connector's own
+ *    append path ([[ScbfBatchWrite]]: task-commit publish, partition
+ *    routing, stats/bloom sidecars, per-directory manifest merge,
+ *    discovery-log announcement). At job commit the append publishes
+ *    first, then the scanned originals (plus sidecars) are removed
+ *    and their manifest entries dropped — the same
+ *    append-then-remove failure contract [[ScbfDelete]] documents: a
+ *    crash before the append commits aborts cleanly (originals
+ *    untouched), a crash in the removal window leaves
+ *    original+replacement coexisting, re-runnable.
+ *
+ *  - **Streams**: replacement files are announced with
+ *    `Entry.rewriteOf` = the replaced names (root-relative on
+ *    partitioned tables) and the row-changing tag, so a caught-up
+ *    discovery-log stream applies its `onChangeCommit` policy
+ *    (skip/deliver/fail) to a SQL UPDATE exactly as it does to the
+ *    API path.
+ *
+ * Semantics notes, stated honestly:
+ *
+ *  - **Snapshot scope.** The SQL path operates on the scan's planned
+ *    snapshot (standard COW semantics): a file a concurrent append
+ *    publishes mid-operation is not folded in and fully survives —
+ *    its rows land "after" this operation. The API path
+ *    ([[ScbfDelete.deleteWhere]]) additionally re-lists in bounded
+ *    rounds; SQL matches Iceberg/Delta snapshot isolation instead.
+ *  - **Partition-column UPDATE moves rows.** Copy-on-write makes
+ *    `UPDATE t SET part = ...` safe: replacement rows route to their
+ *    NEW `part=value/` directories by value, originals are removed
+ *    from the old ones. (The API path refuses this; SQL handles it.)
+ *  - **DELETE routing.** A DELETE whose condition translates to
+ *    pushable filters still takes the metadata/stats-scoped
+ *    [[ScbfDelete]] path (Spark's OptimizeMetadataOnlyDeleteFromTable
+ *    converts it back because [[ScbfTable.canDeleteWhere]] accepts
+ *    it); only conditions that path cannot express — subqueries,
+ *    unknown expressions — fall through to this copy-on-write plan.
+ *
+ * Reference tie-in: the reference format is storage-only
+ * (reference: writer.py, reader.py — no mutation surface at all);
+ * row-level SQL is part of the query-engine north star built on top,
+ * with the file layout staying bit-compatible throughout.
+ */
+private[sources] class ScbfRowLevelOperation(
+    table: ScbfTable,
+    rootDir: String,
+    files: Seq[org.apache.hadoop.fs.FileStatus],
+    schema: StructType,
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionCols: Seq[String],
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** File paths the executed ReplaceData scan planned — the groups
+   * being replaced. Written by the scan at plan time (driver-side,
+   * before write tasks launch), read by the write at commit. Starts
+   * None so a commit can tell "scan planned nothing" (delete nothing)
+   * from "scan never ran" (also delete nothing — a plan that never
+   * executed its scan read no rows, so there is nothing to replace). */
+  @volatile private[sources] var scannedPaths: Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"ScbfRowLevelOperation[$cmd, $rootDir]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScbfRowLevelScanBuilder(schema, files, conf, Seq(rootDir), this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    ScbfDataSource.sparkToScbf(info.schema()) // fail fast on unsupported types
+    val maxBuf = Option(info.options.get("maxBufferedBytes")).map(_.toLong)
+      .getOrElse(ScbfWrite.DefaultMaxBufferedBytes)
+    val op = this
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ScbfRowLevelBatchWrite(rootDir, info.schema(),
+            new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
+      }
+    }
+  }
+}
+
+private[sources] class ScbfRowLevelOperationBuilder(
+    table: ScbfTable,
+    rootDir: String,
+    files: Seq[org.apache.hadoop.fs.FileStatus],
+    schema: StructType,
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionCols: Seq[String],
+    info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new ScbfRowLevelOperation(table, rootDir, files, schema, conf,
+      partitionCols, info.command)
+}
+
+/**
+ * Scan builder for the ReplaceData scan: filter pushdown only (for
+ * group/file skipping — same residual-only contract as the main
+ * builder), no aggregate/limit/topN surface (none can appear in a
+ * rewrite plan), and the built scan reports its planned file set to
+ * the operation.
+ */
+private[sources] class ScbfRowLevelScanBuilder(
+    schema: StructType,
+    files: Seq[org.apache.hadoop.fs.FileStatus],
+    conf: org.apache.hadoop.conf.Configuration,
+    tablePaths: Seq[String],
+    op: ScbfRowLevelOperation)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ScbfStats.usable)
+    filters // all residual: pruning picks groups, Spark re-checks rows
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan =
+    new ScbfScan(schema, required, files, conf, tablePaths,
+      pushedFilters = pushed.toSeq) {
+      // no runtime group filtering: Spark's matching-rows pre-scan
+      // would re-scan the table to build In-keys over EVERY column;
+      // static stats/partition pruning already scopes the groups
+      override def filterAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array.empty
+      override def planInputPartitions(): Array[InputPartition] = {
+        val parts = super.planInputPartitions()
+        op.scannedPaths =
+          Some(parts.toSeq.collect { case ScbfFilePartition(p, _) => p })
+        parts
+      }
+    }
+}
+
+/**
+ * Commit = the connector's own append commit, then group removal:
+ * publish replacement files (manifests merged per partition
+ * directory, discovery entries announced with `rewriteOf` = the
+ * root-relative replaced names, row-changing tag set), then delete
+ * the scanned originals + sidecars and drop their manifest entries
+ * per directory. Abort delegates to the append's abort (originals
+ * untouched).
+ */
+private[sources] class ScbfRowLevelBatchWrite(
+    dir: String,
+    schema: StructType,
+    conf: ScbfUtil.SerializableConf,
+    maxBufferedBytes: Long,
+    partitionCols: Seq[String],
+    op: ScbfRowLevelOperation)
+  extends BatchWrite {
+
+  private val inner = new ScbfBatchWrite(dir, schema, truncate = false,
+    conf, maxBufferedBytes, filePrefix = None, replaceOnly = None,
+    partitionCols = partitionCols, emitEmptyFiles = false)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ScbfRowOpStrippingFactory(inner.createBatchWriterFactory(info),
+      schema.length)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = conf.value
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val qroot = fs.makeQualified(root)
+    val scanned = op.scannedPaths.getOrElse(Seq.empty).map(new Path(_))
+    // root-relative qualified names ("part=x/file.scbf" / "file.scbf")
+    // — the discovery-log naming tableRewrite uses, so root streams
+    // match the rewriteOf against entries they have actually seen
+    def qualify(p: Path): String = {
+      val rel = qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath
+      rel.stripPrefix("/")
+    }
+    inner.rewriteOfNames = scanned.map(qualify)
+    inner.commit(messages)
+    // remove the replaced groups — only AFTER the replacement append
+    // committed (crash before here = clean abort, originals intact)
+    scanned.groupBy(_.getParent).foreach { case (parent, ps) =>
+      ps.foreach { p =>
+        fs.delete(p, false)
+        val sc = ScbfStats.sidecarPath(p)
+        if (fs.exists(sc)) fs.delete(sc, false)
+        val bl = ScbfBloom.bloomPath(p)
+        if (fs.exists(bl)) fs.delete(bl, false)
+      }
+      // one merge cycle per directory dropping exactly the removed
+      // names — same discipline as ScbfDelete.removeOriginals: a
+      // concurrent append's just-merged entries survive
+      ScbfStats.mergeManifest(parent, hconf, Seq.empty, fresh = false,
+        drop = ps.map(_.getName).toSet)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
+}
+
+/**
+ * Strips the leading `__row_operation` marker Spark prepends to every
+ * group-based ReplaceData row (RewriteRowLevelCommand emits
+ * `[__row_operation] ++ rowAttrs`; with no metadata attributes
+ * declared, ReplaceDataExec's DataWritingSparkTask hands the writer
+ * the RAW query rows — the row projection in ReplaceDataProjections
+ * is only applied on the metadata-attribute path). The inner SCBF
+ * writer reads fields positionally against the table schema, so the
+ * marker must go. Defensive: rows already at the declared width pass
+ * through untouched, any other width fails loudly.
+ */
+private[sources] class ScbfRowOpStrippingFactory(
+    inner: DataWriterFactory, tableWidth: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val view = new ScbfShiftedRow(1)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == tableWidth) w.write(row)
+        else if (row.numFields == tableWidth + 1) { view.target = row; w.write(view) }
+        else throw new graft.scbf.ScbfFormatException(
+          s"row-level write: got a ${row.numFields}-field row for a " +
+            s"$tableWidth-column table — unexpected ReplaceData row layout")
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+/** Zero-copy view of an InternalRow with the first `shift` fields
+ * dropped. Reused across rows (the consumer extracts values
+ * immediately — ScbfDataWriter buffers column VALUES, not rows). */
+private[sources] final class ScbfShiftedRow(shift: Int)
+  extends org.apache.spark.sql.catalyst.InternalRow {
+  var target: org.apache.spark.sql.catalyst.InternalRow = _
+  override def numFields: Int = target.numFields - shift
+  override def setNullAt(i: Int): Unit = target.setNullAt(i + shift)
+  override def update(i: Int, v: Any): Unit = target.update(i + shift, v)
+  override def copy(): org.apache.spark.sql.catalyst.InternalRow =
+    // fail-fast by design: the SCBF writer extracts values immediately
+    // and never retains rows, so a copy() call means a consumer this
+    // view was not built for — surface that instead of guessing types
+    throw new UnsupportedOperationException(
+      "ScbfShiftedRow.copy: the SCBF writer never retains rows")
+  override def isNullAt(i: Int): Boolean = target.isNullAt(i + shift)
+  override def getBoolean(i: Int): Boolean = target.getBoolean(i + shift)
+  override def getByte(i: Int): Byte = target.getByte(i + shift)
+  override def getShort(i: Int): Short = target.getShort(i + shift)
+  override def getInt(i: Int): Int = target.getInt(i + shift)
+  override def getLong(i: Int): Long = target.getLong(i + shift)
+  override def getFloat(i: Int): Float = target.getFloat(i + shift)
+  override def getDouble(i: Int): Double = target.getDouble(i + shift)
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    target.getDecimal(i + shift, p, s)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    target.getUTF8String(i + shift)
+  override def getBinary(i: Int): Array[Byte] = target.getBinary(i + shift)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    target.getGeography(i + shift)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    target.getGeometry(i + shift)
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    target.getInterval(i + shift)
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    target.getVariant(i + shift)
+  override def getStruct(i: Int, numFields: Int): org.apache.spark.sql.catalyst.InternalRow =
+    target.getStruct(i + shift, numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    target.getArray(i + shift)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    target.getMap(i + shift)
+  override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+    target.get(i + shift, dt)
+}

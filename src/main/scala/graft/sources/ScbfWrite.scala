@@ -156,7 +156,13 @@ class ScbfBatchWrite(
     dir: String, schema: StructType, truncate: Boolean,
     conf: ScbfUtil.SerializableConf, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
-    partitionCols: Seq[String] = Seq.empty, rewriteOfNames: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    // a var: the SQL row-level path (ScbfRowLevelBatchWrite) learns the
+    // replaced names only when its scan plans, and sets them just
+    // before delegating commit — always on the driver, before commit
+    // reads the field
+    private[sources] var rewriteOfNames: Seq[String] = Seq.empty,
+    emitEmptyFiles: Boolean = true)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -185,7 +191,8 @@ class ScbfBatchWrite(
     }
     fs.mkdirs(path)
     if (partitionCols.isEmpty)
-      new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix)
+      new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix,
+        emitEmptyFiles)
     else
       new ScbfPartitionedDataWriterFactory(
         dir, schema, conf, maxBufferedBytes, partitionCols)
@@ -525,7 +532,11 @@ class ScbfStreamingDataWriterFactory(
 
 class ScbfDataWriterFactory(
     dir: String, schema: StructType, conf: ScbfUtil.SerializableConf,
-    maxBufferedBytes: Long, filePrefix: Option[String] = None)
+    maxBufferedBytes: Long, filePrefix: Option[String] = None,
+    // INSERT/overwrite keeps the empty-partition file (an empty table
+    // stays readable — schema lives in the header); the row-level
+    // rewrite path turns it off so a no-op UPDATE publishes NOTHING
+    emitEmptyFiles: Boolean = true)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique FINAL names: concurrent attempts can never publish
@@ -536,7 +547,7 @@ class ScbfDataWriterFactory(
     val pre = filePrefix.getOrElse("")
     new ScbfDataWriter(dir, schema, conf.value, maxBufferedBytes,
       seq => f"${pre}part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
-      publishOnTaskCommit = true, emitEmptyFile = true)
+      publishOnTaskCommit = true, emitEmptyFile = emitEmptyFiles)
   }
 }
 

@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * Pure-SQL row-level operations through SupportsRowLevelOperations
+ * (ScbfRowLevelOp): UPDATE (flat, partitioned, partition-column),
+ * MERGE INTO, and subquery-conditioned DELETE — plus the scoping,
+ * routing and stream-announcement properties that make them safe at
+ * 100 TB:
+ *  - copy-on-write touches only files that can hold matching rows
+ *    (stats-scoped group selection), everything else stays
+ *    byte-identical under its original name;
+ *  - filter-translatable DELETE still plans the metadata path
+ *    (OptimizeMetadataOnlyDeleteFromTable → ScbfDelete), not a
+ *    full-group rewrite;
+ *  - replacements announce to the discovery log with root-relative
+ *    rewriteOf names and the row-changing tag, so streams keep their
+ *    onChangeCommit semantics.
+ */
+class RowLevelSqlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def dataFiles(dir: String): Map[String, Long] =
+    ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
+
+  /** Clustered source table: doc_id range-partitioned so a narrow
+   * doc_id predicate scopes to few files. */
+  private def mkTable(name: String, dir: String, parts: Int = 8): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING, v INT) " +
+      s"USING scbf LOCATION '$dir'")
+    spark.range(0, 800)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("g"), (col("id") % 4).cast("int")).as("grp"),
+        (col("id") * 10).cast("int").as("v"))
+      .repartitionByRange(parts, col("id"))
+      .createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION_BY_RANGE($parts, id) */ * FROM ${name}_src")
+  }
+
+  test("SQL UPDATE on a flat table: exact rows, stats-scoped file rewrite") {
+    val dir = tmpDir("scbf-sql-upd")
+    mkTable("scbf_upd", dir)
+    try {
+      val before = dataFiles(dir)
+      assert(before.size >= 4, s"need a multi-file table, got ${before.size}")
+      spark.sql("UPDATE scbf_upd SET v = v + 1000, grp = 'touched' " +
+        "WHERE id >= 100 AND id < 150")
+      // values: exactly the banded rows updated, everything else intact
+      val got = spark.sql(
+        "SELECT COUNT(*), SUM(v), SUM(CASE WHEN grp = 'touched' THEN 1 ELSE 0 END) FROM scbf_upd")
+        .head()
+      val expSum = (0 until 800).map(i =>
+        if (i >= 100 && i < 150) i * 10 + 1000 else i * 10).sum.toLong
+      assert(got == org.apache.spark.sql.Row(800L, expSum, 50L))
+      // scoping: files that cannot hold id∈[100,150) survive byte-identical
+      val after = dataFiles(dir)
+      val survivors = before.keySet.intersect(after.keySet)
+      assert(survivors.nonEmpty, "a narrow-band UPDATE must not rewrite every file")
+      survivors.foreach(p => assert(before(p) == after(p)))
+      // no-match UPDATE: pure metadata no-op (zero groups planned)
+      val preNoop = dataFiles(dir)
+      spark.sql("UPDATE scbf_upd SET v = 0 WHERE id >= 10000")
+      assert(dataFiles(dir) == preNoop, "no-match UPDATE must rewrite nothing")
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_upd")
+  }
+
+  test("SQL UPDATE announces a row-changing rewrite to the discovery log") {
+    val dir = tmpDir("scbf-sql-upd-log")
+    mkTable("scbf_updlog", dir)
+    try {
+      val replaced = dataFiles(dir).keySet
+      spark.sql("UPDATE scbf_updlog SET v = -1 WHERE id >= 700")
+      val root = new Path(dir)
+      val entries = ScbfDiscovery.listDeltas(root, hconf)
+        .flatMap(n => ScbfDiscovery.readDelta(root, hconf, n))
+      val rewrites = entries.filter(_.rewriteOf.nonEmpty)
+      assert(rewrites.nonEmpty, "UPDATE replacements must announce rewriteOf")
+      assert(rewrites.forall(_.rowsChanged), "UPDATE rewrites carry the C:1 tag")
+      // rewriteOf names are real replaced file names (root-relative)
+      val replacedNames = replaced.map(p => p.substring(p.lastIndexOf('/') + 1))
+      rewrites.flatMap(_.rewriteOf).foreach(n =>
+        assert(replacedNames.contains(n), s"unknown rewriteOf name $n"))
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_updlog")
+  }
+
+  test("SQL UPDATE on a partitioned table; partition-column UPDATE moves rows") {
+    val dir = tmpDir("scbf-sql-updp")
+    spark.sql("DROP TABLE IF EXISTS scbf_updp")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE scbf_updp (id INT, grp STRING, v INT) " +
+        s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.range(0, 400)
+        .select(col("id").cast("int").as("id"),
+          concat(lit("g"), (col("id") % 4).cast("int")).as("grp"),
+          col("id").cast("int").as("v"))
+        .createOrReplaceTempView("scbf_updp_src")
+      spark.sql("INSERT INTO scbf_updp SELECT /*+ REPARTITION(2, grp) */ * FROM scbf_updp_src")
+      // data-column UPDATE under a partition predicate: other
+      // partitions' files stay byte-identical
+      val before = dataFiles(dir)
+      spark.sql("UPDATE scbf_updp SET v = 0 WHERE grp = 'g1'")
+      val after = dataFiles(dir)
+      val untouched = before.keySet.filterNot(_.contains("grp=g1"))
+      assert(untouched.nonEmpty && untouched.forall(p => after.get(p).contains(before(p))),
+        "partitions outside the predicate must not rewrite")
+      assert(spark.sql("SELECT SUM(v) FROM scbf_updp WHERE grp = 'g1'").head().getLong(0) == 0L)
+      // partition-column UPDATE: rows MOVE to the new directory (the
+      // API path refuses this; SQL copy-on-write handles it)
+      spark.sql("UPDATE scbf_updp SET grp = 'g9' WHERE grp = 'g2' AND id < 100")
+      val moved = spark.sql("SELECT COUNT(*) FROM scbf_updp WHERE grp = 'g9'").head().getLong(0)
+      assert(moved == 25L, s"expected 25 rows moved to grp=g9, got $moved")
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_updp WHERE grp = 'g2' AND id < 100")
+        .head().getLong(0) == 0L)
+      assert(dataFiles(dir).keySet.exists(_.contains("grp=g9")),
+        "moved rows must land in a real grp=g9/ directory")
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_updp").head().getLong(0) == 400L)
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_updp")
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    val dir = tmpDir("scbf-sql-merge")
+    mkTable("scbf_mrg", dir, parts = 4)
+    try {
+      // ids 0,20,...,780 — every one matches a target row (800..1180
+      // would silently become not-matched inserts and skew the counts)
+      spark.range(0, 40)
+        .select((col("id") * 20).cast("int").as("id"),
+          lit("merged").as("grp"), lit(7).cast("int").as("v"))
+        .union(spark.range(0, 5).select(
+          (col("id") + 10000).cast("int").as("id"),
+          lit("fresh").as("grp"), lit(1).cast("int").as("v")))
+        .createOrReplaceTempView("mrg_src")
+      spark.sql("""MERGE INTO scbf_mrg t USING mrg_src s ON t.id = s.id
+        WHEN MATCHED AND t.id < 400 THEN UPDATE SET t.v = s.v, t.grp = s.grp
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, s.grp, s.v)""")
+      // ids 0,20,...,780 matched: <400 → v=7 (20 rows), >=400 → deleted (20 rows)
+      // ids 10000..10004 inserted
+      val r = spark.sql(
+        """SELECT COUNT(*),
+           SUM(CASE WHEN grp = 'merged' THEN 1 ELSE 0 END),
+           SUM(CASE WHEN grp = 'fresh' THEN 1 ELSE 0 END) FROM scbf_mrg""").head()
+      assert(r == org.apache.spark.sql.Row(800L - 20L + 5L, 20L, 5L), s"got $r")
+      assert(spark.sql("SELECT SUM(v) FROM scbf_mrg WHERE grp = 'merged'")
+        .head().getLong(0) == 140L)
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_mrg")
+  }
+
+  test("DELETE with a subquery condition routes through copy-on-write") {
+    val dir = tmpDir("scbf-sql-subdel")
+    mkTable("scbf_subdel", dir, parts = 4)
+    try {
+      spark.range(0, 50).select(col("id").cast("int").as("vid"))
+        .createOrReplaceTempView("victims")
+      // untranslatable for SupportsDelete (subquery) — before
+      // SupportsRowLevelOperations this failed; now it rewrites groups
+      spark.sql("DELETE FROM scbf_subdel WHERE id IN (SELECT vid FROM victims)")
+      assert(spark.sql("SELECT COUNT(*), MIN(id) FROM scbf_subdel").head()
+        == org.apache.spark.sql.Row(750L, 50))
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_subdel")
+  }
+
+  test("filter-translatable DELETE still plans the metadata path") {
+    val dir = tmpDir("scbf-sql-metadel")
+    mkTable("scbf_metadel", dir, parts = 4)
+    try {
+      val plan = spark.sql("EXPLAIN DELETE FROM scbf_metadel WHERE id < 50")
+        .head().getString(0)
+      assert(plan.contains("DeleteFromTable"),
+        s"translatable DELETE must stay on the SupportsDelete path, got:\n$plan")
+      assert(!plan.contains("ReplaceData"),
+        s"translatable DELETE must not plan a group rewrite:\n$plan")
+      spark.sql("DELETE FROM scbf_metadel WHERE id < 50")
+      assert(spark.sql("SELECT COUNT(*), MIN(id) FROM scbf_metadel").head()
+        == org.apache.spark.sql.Row(750L, 50))
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_metadel")
+  }
+}
