@@ -198,12 +198,15 @@ object ScbfDelete {
     var round = 0
     while (true) {
       round += 1
-      val all = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
-      // pure optimization (see scaladoc): over-keeping a directory
-      // only costs its listing — the rewrite condition enforces
-      // exactness
-      val kept = ScbfPartitions.prune(all, tableSchema, filters.toSeq, qroots)
-      val parents = kept.map(_.getPath.getParent).distinct.filterNot(done)
+      // directory-first discovery (ScbfPartitions.pruneDirs): prune
+      // partition NAMES before listing their contents, so a scoped
+      // takedown's listing bill is the in-scope subtree plus one root
+      // listing — never a full-table leaf LIST per round. Pure
+      // optimization (see scaladoc): over-keeping a directory only
+      // costs its listing — the rewrite condition enforces exactness
+      val parents = ScbfPartitions.pruneDirs(
+        new Path(rootDir), conf, tableSchema, filters.toSeq, qroots)
+        .filterNot(done)
       if (parents.isEmpty) return
       if (round > MaxRewriteRounds) throw new graft.scbf.ScbfFormatException(
         s"partitioned rewrite on $rootDir: concurrent ingest kept creating " +
