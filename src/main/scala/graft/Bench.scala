@@ -61,13 +61,19 @@ object Bench {
     // rep_load values recording the fact.
     val quietBar = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
     val quietCapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "120").toInt
-    val waitStart = System.nanoTime()
-    while (loadAvg() > quietBar &&
-        (System.nanoTime() - waitStart) / 1e9 < quietCapS) {
-      System.err.println(f"[bench] waiting for quiet box: load=${loadAvg()}%.2f > $quietBar%.1f")
-      Thread.sleep(5000)
+    // invoked before EVERY rep, not just the first (the round-8 lesson:
+    // rep 2 started at load 8.2 and contaminated the artifact despite a
+    // clean first rep) — each rep's bounded wait is recorded so the
+    // artifact shows whether the gate exhausted
+    def waitQuiet(): Double = {
+      val waitStart = System.nanoTime()
+      while (loadAvg() > quietBar &&
+          (System.nanoTime() - waitStart) / 1e9 < quietCapS) {
+        System.err.println(f"[bench] waiting for quiet box: load=${loadAvg()}%.2f > $quietBar%.1f")
+        Thread.sleep(5000)
+      }
+      (System.nanoTime() - waitStart) / 1e9
     }
-    val quietWaitS = (System.nanoTime() - waitStart) / 1e9
     // pair-graph OWNERS run first in every round so each pair query is
     // attributed its own pipeline's materialization and the downstream
     // consumers (d13/d15/d18) show only their incremental cost — under
@@ -81,7 +87,14 @@ object Bench {
     val names = owners ++
       SparkEntry.queries.keySet.toSeq.sorted.filterNot(owners.contains)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // per-rep per-query wall times (null for a failed run): with these
+    // in the artifact, a contaminated rep is discountable from the
+    // file alone — recompute any filter (min, median, drop-rep-k)
+    // without re-running the bench
+    val perRep = scala.collection.mutable.Map.empty[String, Array[Option[Double]]]
+    val repWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (rep <- 1 to reps) {
+      repWaits += waitQuiet()
       repLoads += loadAvg()
       // every round re-pays each staged pair graph once (first consumer)
       graft.operators.Ops.stagedClear()
@@ -96,7 +109,11 @@ object Bench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] rep $rep $name%-22s $sec%8.3f s${if (failed) "  FAILED" else ""}")
-        if (!failed) best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        val slot = perRep.getOrElseUpdate(name, Array.fill[Option[Double]](reps)(None))
+        if (!failed) {
+          slot(rep - 1) = Some(sec)
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        }
       }
     }
     // queries that never succeeded emit null, not a number: a numeric
@@ -105,11 +122,16 @@ object Bench {
     val qs = names.map { k =>
       "\"" + k + "\":" + best.get(k).fold("null")(v => f"$v%.3f")
     }.mkString("{", ",", "}")
+    val reptimes = names.map { k =>
+      "\"" + k + "\":" + perRep.get(k).fold("[]")(
+        _.map(_.fold("null")(v => f"$v%.3f")).mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
     val failedNames = names.filterNot(best.contains).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = best.values.sum
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"quiet_wait_s":$quietWaitS%.1f}""")
+    val waits = repWaits.map(w => f"$w%.1f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$reptimes,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"rep_quiet_wait_s":$waits,"quiet_wait_s":${repWaits.sum}%.1f}""")
     spark.stop()
   }
 }

@@ -126,7 +126,9 @@ object ScbfDelete {
       filters: Array[Filter],
       parallelism: Int = 1): Unit =
     tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
-      part => deleteWhere(spark, part, conf, filters, leafOnly = true))
+      (part, onRound) =>
+        deleteWhere(spark, part, conf, filters, leafOnly = true,
+          onRound = onRound))
 
   /** Table-level [[updateWhere]] — same routing as
    * [[deleteWhereTable]]. SET targets must be data columns: updating
@@ -146,7 +148,9 @@ object ScbfDelete {
       s"cannot UPDATE partition column(s) ${bad.mkString(", ")}: rows would " +
         "change directories — DELETE and re-INSERT instead")
     tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
-      part => updateWhere(spark, part, conf, filters, set, leafOnly = true))
+      (part, onRound) =>
+        updateWhere(spark, part, conf, filters, set, leafOnly = true,
+          onRound = onRound))
   }
 
   private def tableRewrite(
@@ -156,7 +160,7 @@ object ScbfDelete {
       tableSchema: org.apache.spark.sql.types.StructType,
       filters: Array[Filter],
       parallelism: Int)(
-      perPartition: String => Seq[RewriteRound]): Unit = {
+      perPartition: (String, RewriteRound => Unit) => Seq[RewriteRound]): Unit = {
     require(canDelete(filters),
       s"untranslatable condition: ${filters.mkString(", ")}")
     val root = new Path(rootDir)
@@ -169,21 +173,27 @@ object ScbfDelete {
     def sweepOne(part: Path): Unit = {
       val sub = qroot.toUri.relativize(fs.makeQualified(part).toUri)
         .getPath.stripSuffix("/")
-      val rounds = perPartition(part.toString)
-      // root-dir rounds announced themselves in their own commit;
-      // subdirectory rounds re-announce to the root log (atomic-rename
-      // appends: safe from concurrent pool threads, like the sweep)
-      if (sub.nonEmpty && rounds.nonEmpty) {
-        val live = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
-        val now = System.currentTimeMillis()
-        rounds.foreach { r =>
+      // root-dir rounds announce themselves in their own commit;
+      // subdirectory rounds re-announce to the root log PER ROUND,
+      // immediately after each round's commit (atomic-rename appends:
+      // safe from concurrent pool threads, like the sweep) — a crash
+      // between a round's partition-level commit and a deferred
+      // whole-partition announcement would leave no C:1 mark and make
+      // a caught-up root stream's next reconcile re-deliver the
+      // replacement's rows even under onChangeCommit=skip; per-round
+      // announcement narrows that window to the flat path's
+      val announce: RewriteRound => Unit = r =>
+        if (sub.nonEmpty) {
+          val live = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
+          val now = System.currentTimeMillis()
           val produced = live.filter(_.getPath.getName.startsWith(r.prefix))
           ScbfDiscovery.append(qroot, conf, produced.map(f =>
             ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
               rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
               rowsChanged = true)))
         }
-      }
+      perPartition(part.toString, announce)
+      ()
     }
     // Bounded re-list rounds at the DIRECTORY level, mirroring
     // rewriteRounds' file-level guard: a concurrent INSERT can CREATE
@@ -239,9 +249,10 @@ object ScbfDelete {
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
       set: Map[String, Column],
-      leafOnly: Boolean = false): Seq[RewriteRound] = {
+      leafOnly: Boolean = false,
+      onRound: RewriteRound => Unit = _ => ()): Seq[RewriteRound] = {
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
-    rewriteRounds(spark, dir, conf, filters, "UPDATE", leafOnly) { (src, cond) =>
+    rewriteRounds(spark, dir, conf, filters, "UPDATE", leafOnly, onRound) { (src, cond) =>
       set.keys.foreach(c => require(src.columns.contains(c),
         s"SET column '$c' does not exist in the table"))
       // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
@@ -266,8 +277,9 @@ object ScbfDelete {
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
-      leafOnly: Boolean = false): Seq[RewriteRound] =
-    rewriteRounds(spark, dir, conf, filters, "DELETE", leafOnly) { (src, cond) =>
+      leafOnly: Boolean = false,
+      onRound: RewriteRound => Unit = _ => ()): Seq[RewriteRound] =
+    rewriteRounds(spark, dir, conf, filters, "DELETE", leafOnly, onRound) { (src, cond) =>
       // survivors under SQL three-valued logic: a row is deleted only when
       // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
       // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
@@ -313,7 +325,11 @@ object ScbfDelete {
       // separate passes, and the root pass must not recurse into the
       // subdirectories another pass owns (double-applied UPDATEs,
       // survivors folded out of their partitions)
-      leafOnly: Boolean = false)(
+      leafOnly: Boolean = false,
+      // invoked after each round fully commits (replacements
+      // published, originals removed) — the table-level path's
+      // per-round root-log re-announcement hook
+      onRound: RewriteRound => Unit = _ => ())(
       rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Seq[RewriteRound] = {
     require(canDelete(filters),
       s"untranslatable ${op.toLowerCase} condition: ${filters.mkString(", ")}")
@@ -377,7 +393,9 @@ object ScbfDelete {
         .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
         .save(dir)
       removeOriginals(dir, conf, affected)
-      rounds += RewriteRound(prefix, affected.map(_.getPath.getName))
+      val round_ = RewriteRound(prefix, affected.map(_.getPath.getName))
+      rounds += round_
+      onRound(round_)
     }
     rounds.result() // unreachable; the while(true) exits via return
   }

@@ -290,12 +290,19 @@ object ScbfMaintenance {
           override def call(): Unit = f(d)
         }))
         val results = futures.map(fu => scala.util.Try(fu.get()))
-        results.collectFirst { case scala.util.Failure(e) =>
-          throw (e match {
+        val failures = results.collect { case scala.util.Failure(e) =>
+          e match {
             case ee: java.util.concurrent.ExecutionException
               if ee.getCause != null => ee.getCause
             case other => other
-          })
+          }
+        }
+        // surface EVERY partition's failure, not just the first: a
+        // parallel sweep failing in several partitions must not hide
+        // all but one cause — the rest attach as suppressed
+        failures.headOption.foreach { first =>
+          failures.drop(1).foreach(first.addSuppressed)
+          throw first
         }
       } finally pool.shutdown()
     }

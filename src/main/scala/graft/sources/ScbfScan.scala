@@ -474,7 +474,7 @@ class ScbfScan(
           .groupBy(_._1).map { case (c, bs) =>
             val los = bs.collect { case (_, Left(b)) => b }
             val his = bs.collect { case (_, Right(b)) => b }
-            ScbfStrTopK.selectivityInterval(topks(c), dirNdv.get(c),
+            ScbfStrTopK.selectivityInterval(topks(c),
               boundsFor(c), los, his, histFor(c))
               .fold(1.0)(v => math.max(v, 1e-9))
           }.product
@@ -482,7 +482,33 @@ class ScbfScan(
           val s = colOf(f).flatMap { c =>
             topks.get(c) match {
               case Some(t) =>
-                ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f, histFor(c))
+                // under CBO, string equality/In scaling COMPOUNDS with
+                // FilterEstimation's own 1/NDV re-application on the
+                // residual predicate (DefaultRange.contains is always
+                // true for strings, so Catalyst never skips it). For a
+                // value the top-K has EXACT frequency evidence on, the
+                // compound is our-exact × 1/NDV — still far better than
+                // 1/NDV alone for skew (the broadcast-flip spec pins
+                // it). For a value OUTSIDE the top-K our own estimate
+                // is itself ~1/NDV-shaped, so the compound squares to
+                // 1/NDV² — an extra NDV-factor under-estimate in the
+                // wrongly-broadcast direction. Defer exactly those to
+                // Catalyst, mirroring the numeric deferral; ranges,
+                // prefixes and contains (no Catalyst string path at
+                // all) always scale.
+                val cboOwnsStringEq = cboOwnsNumerics && dirNdv.contains(c) && {
+                  lazy val topVals = t.entries.iterator.map(_._1).toSet
+                  f match {
+                    case EqualTo(_, v) => strLit(v).exists(!topVals.contains(_))
+                    case EqualNullSafe(_, v) => strLit(v).exists(!topVals.contains(_))
+                    case In(_, vs) =>
+                      val lits = vs.toSeq.flatMap(strLit)
+                      lits.size < vs.length || lits.exists(!topVals.contains(_))
+                    case _ => false
+                  }
+                }
+                if (cboOwnsStringEq) None
+                else ScbfStrTopK.selectivity(t, dirNdv.get(c), boundsFor(c), f, histFor(c))
               case None if !isStringCol(c) && !cboOwnsNumerics =>
                 histFor(c).flatMap(h => ScbfHistogram.keepFraction(h, f))
               case None => None
@@ -497,8 +523,6 @@ class ScbfScan(
       else OptionalLong.of(math.max(1L, math.min(
         kept.map(_.getLen).sum,
         math.round(anchor.map(_.getLen).sum * pushedSel))))
-    private lazy val perFileRows =
-      anchor.map(f => (f, lookup.stats(f.getPath, f.getLen).map(_.rows)))
     private lazy val allStats: Option[Seq[ScbfStats.FileStats]] = {
       val perFile = kept.map(f => lookup.stats(f.getPath, f.getLen))
       if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
@@ -518,15 +542,31 @@ class ScbfScan(
     override val numRows: OptionalLong =
       if (aggregated.isDefined) OptionalLong.of(1L)
       else {
-        val missing = perFileRows.collect { case (f, None) => f }
-        if (missing.length > 64) OptionalLong.empty()
+        // missing-stats budget over the KEPT files only: a table with
+        // many stats-less files the pruning dropped must not lose its
+        // estimate, and header reads never happen for pruned files
+        val perKept = kept.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
+        if (perKept.count(_.isEmpty) > 64) OptionalLong.empty()
         else {
-          val rowsOf = perFileRows.map { case (f, r) =>
-            f.getPath -> r.getOrElse(ScbfUtil.readHeader(f, conf).totalRows)
-          }.toMap
-          val keptRows = kept.iterator.map(f => rowsOf(f.getPath)).sum
-          OptionalLong.of(math.max(1L, math.min(keptRows,
-            math.round(rowsOf.valuesIterator.sum * pushedSel))))
+          val keptRows = kept.iterator.zip(perKept.iterator).map {
+            case (f, r) => r.getOrElse(ScbfUtil.readHeader(f, conf).totalRows)
+          }.sum
+          // the directory-mass × keep-fraction term needs the
+          // PRE-stats-prune anchor totals — materialized only when the
+          // selectivity actually shrinks, from the manifest alone (the
+          // Pruner already loaded these directories' manifests; a
+          // stats-less anchor file would need a header read for a file
+          // the scan never opens, so the term is skipped instead and
+          // the sound keptRows upper bound stands)
+          val est =
+            if (pushedSel >= 1.0) keptRows
+            else {
+              val perAnchor = anchor.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
+              if (perAnchor.forall(_.isDefined))
+                math.min(keptRows, math.round(perAnchor.flatten.sum * pushedSel))
+              else keptRows
+            }
+          OptionalLong.of(math.max(1L, est))
         }
       }
 

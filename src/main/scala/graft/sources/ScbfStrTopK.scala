@@ -142,7 +142,15 @@ object ScbfStrTopK {
   // ---- selectivity estimation (planning-side) -----------------------------
 
   /** First-8-bytes big-endian unsigned prefix of a utf8 value, as a
-   * Double — a monotone embedding of the lexicographic byte order,
+   * Double — a monotone embedding of the lexicographic byte order.
+   * EFFECTIVE resolution is the double's 53-bit mantissa, ~6½ bytes:
+   * two values differing only in the last ~1.4 of the 8 bytes
+   * collapse to one key, and a band between them interpolates to an
+   * IN-DOMAIN zero that [[selectivityInterval]] conservatively keeps
+   * whole (never shrink below the model's resolution). Compact
+   * `yyMMdd`-style stamps resolve daily bands; ISO `2024-01-10`
+   * spends the key on the shared `2024-01-` prefix and resolves only
+   * month-crossing bands. A monotone embedding,
    * used to interpolate how much of the NON-top-K mass a range
    * predicate keeps (the truncated-bound ordering the utf8 min/max
    * stats already live in). Also the domain of the utf8 EQUI-HEIGHT
@@ -221,8 +229,11 @@ object ScbfStrTopK {
 
   /** Keep-fraction of a conjunctive string RANGE interval — lower and
    * upper bounds with per-bound inclusivity, either side open, several
-   * bounds per side allowed. Exact over the top-K mass (every bound
-   * applied), residual as ONE prefix-key interval: the per-side
+   * bounds per side allowed. No NDV input: a range keeps or drops MASS
+   * over the key domain — unlike [[selectivity]]'s equality shapes,
+   * nothing here splits the residual per distinct value. Exact over
+   * the top-K mass (every bound applied), residual as ONE prefix-key
+   * interval: the per-side
    * product assumes independence between predicates that are perfectly
    * correlated through the value. This is the scbf DATE-RANGE shape —
    * timestamps live in utf8 columns in the 3-type format, so
@@ -230,7 +241,7 @@ object ScbfStrTopK {
    * Tightness folds in MASS space: the mass satisfying every lower
    * bound is the MIN of the per-bound above-masses (the tightest
    * bound), violating any upper bound the MAX. */
-  def selectivityInterval(t: TopK, ndv: Option[Long],
+  def selectivityInterval(t: TopK,
       bounds: Option[(Array[Byte], Option[Array[Byte]])],
       los: Seq[(String, Boolean)], his: Seq[(String, Boolean)],
       prefixHist: Option[ScbfHistogram.Hist] = None): Option[Double] = {

@@ -412,6 +412,54 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("DEFAULT config: a utf8 date-band flips the join to broadcast; a whole-domain band does not") {
+    // the scbf DATE-BAND shape at PLAN level: timestamps are utf8 in
+    // the 3-type format, and `ts BETWEEN a AND b` desugars to a
+    // same-column >=/< conjunction. The scan estimates it as ONE
+    // prefix-key interval (exact top-K mass + histogram-interpolated
+    // residual — ScbfStrTopK.selectivityInterval) and folds the
+    // fraction into its reported size, so a 3-day band over a
+    // year-long domain drops an UNPRUNABLE side (every file spans the
+    // year) under the broadcast threshold with CBO OFF — the stock
+    // deployment. Compact log-style `yyMMdd-HH` stamps: the whole
+    // date sits inside the prefix key's ~6.5-byte effective
+    // resolution (53-bit double mantissa), so daily bands resolve;
+    // ISO `2024-01-10` spends the key on `2024-01-` and in-month
+    // bands conservatively stay whole — pinned at estimate level in
+    // ScbfStrTopKSpec.
+    val dir = tmpDir("scbf-stat-dateband")
+    spark.range(0, 40000).select(
+      col("id").cast("int").as("fid"),
+      concat(lit("24"),
+        lpad(((col("id") % 360) / 30 + 1).cast("int").cast("string"), 2, "0"),
+        lpad(((col("id") % 360) % 30 + 1).cast("int").cast("string"), 2, "0"),
+        lit("-"), lpad((col("id") % 24).cast("string"), 2, "0")).as("ts"),
+      // hash-valued payload: zlib cannot flatten it, so the size-only
+      // fallback stays honestly large
+      abs(xxhash64(col("id"))).cast("string").as("payload"))
+      .repartition(4) // UNCLUSTERED: every file spans the whole year
+      .write.format("scbf").mode("overwrite").save(dir)
+    val other = spark.range(0, 40000).select(col("id").cast("int").as("oid"))
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false") // THE DEFAULT
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def plan(lo: String, hi: String): String = {
+        val fact = spark.read.format("scbf").load(dir)
+          .filter(col("ts") >= lo && col("ts") < hi)
+        other.join(fact, other("oid") === fact("fid"))
+          .queryExecution.sparkPlan.toString
+      }
+      assert(plan("240110", "240113").contains("BroadcastHashJoin"),
+        "a 3-day band keeps ~0.8% of the year: the filtered side must broadcast")
+      assert(!plan("240101", "250101").contains("BroadcastHashJoin"),
+        "a whole-domain band keeps everything: must NOT broadcast")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("file pruning and histogram selectivity never double-count the same predicate") {
     // CLUSTERED table: `id >= 750` prunes to ~1 of 4 range files AND
     // the histogram estimates ~25% keep. Multiplying both (kept bytes

@@ -192,22 +192,22 @@ class ScbfStrTopKSpec extends AnyFunSuite {
       vals.map(v => ScbfStrTopK.prefixKey(bytes(v))), vals.length, 32)
     val bounds = Some((bytes("d000"), Some(bytes("d099"))))
     for (h <- Seq(None, hist)) {
-      val band = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+      val band = ScbfStrTopK.selectivityInterval(t, bounds,
         Seq("d040" -> true), Seq("d060" -> false), h).get
       assert(band > 0.14 && band < 0.26,
         s"h=${h.isDefined}: ~20% expected, product would say 36%: $band")
-      val empty = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+      val empty = ScbfStrTopK.selectivityInterval(t, bounds,
         Seq("d070" -> false), Seq("d030" -> false), h).get
       assert(empty <= 1.0 / vals.length + 1e-9,
         s"h=${h.isDefined}: contradictory band floors at one row: $empty")
       // single-sided interval == the corresponding range selectivity
-      val one = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+      val one = ScbfStrTopK.selectivityInterval(t, bounds,
         Seq("d040" -> true), Seq.empty, h).get
       val ref = ScbfStrTopK.selectivity(t, Some(100L), bounds,
         GreaterThanOrEqual("c", "d040"), h).get
       assert(math.abs(one - ref) < 1e-12, s"h=${h.isDefined}: $one vs $ref")
       // several bounds per side fold to the tightest
-      val tight = ScbfStrTopK.selectivityInterval(t, Some(100L), bounds,
+      val tight = ScbfStrTopK.selectivityInterval(t, bounds,
         Seq("d010" -> true, "d040" -> true), Seq("d090" -> false, "d060" -> false), h).get
       assert(math.abs(tight - band) < 1e-12, s"h=${h.isDefined}: $tight vs $band")
     }
@@ -224,7 +224,7 @@ class ScbfStrTopKSpec extends AnyFunSuite {
       tsVals.map(v => ScbfStrTopK.prefixKey(bytes(v))), tsVals.length, 32)
     val tsBounds = Some((bytes("2024-01-01T00"), Some(bytes("2024-01-30T19"))))
     for (h <- Seq(None, tsHist)) {
-      val daily = ScbfStrTopK.selectivityInterval(tt, Some(600L), tsBounds,
+      val daily = ScbfStrTopK.selectivityInterval(tt, tsBounds,
         Seq("2024-01-15" -> true), Seq("2024-01-16" -> false), h).get
       assert(daily >= 0.9,
         s"h=${h.isDefined}: sub-key-resolution band must not shrink the residual: $daily")
@@ -235,7 +235,7 @@ class ScbfStrTopKSpec extends AnyFunSuite {
     val hotVals = Array.fill(600)("d050") ++ vals.take(400)
     val th = ScbfStrTopK.fromValues(hotVals.length, hotVals.length, k = 4)(
       i => bytes(hotVals(i))).get
-    val s = ScbfStrTopK.selectivityInterval(th, Some(41L),
+    val s = ScbfStrTopK.selectivityInterval(th,
       Some((bytes("d000"), Some(bytes("d099")))),
       Seq("d045" -> true), Seq("d055" -> false), None).get
     assert(s >= 0.6, s"the hot value's exact mass must survive the band: $s")
