@@ -405,6 +405,12 @@ object DedupQueries {
       // unique-text corpus
       val withRep = corpus(s, dir)
         .repartition(spread(s), col("doc_id")) // single-file input: spread the work
+        // group hash deliberately md5, not xxhash64: a same-session
+        // interleaved A/B (ABQuery, round 9) measured the xxhash64+
+        // length variant 10% SLOWER over 4/4 pairs (2.25 vs 1.95 s
+        // warm at sf0.1) — the rep-assignment stage is not
+        // hash-digest-bound, and md5's 128 bits make false merges a
+        // non-concern
         .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       // members is consumed by both expansion stages and is two ints per
