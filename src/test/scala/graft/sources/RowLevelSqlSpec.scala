@@ -156,6 +156,28 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_mrg")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: sync-to-source shapes work") {
+    // the mirror-a-feed shape: rows the change feed no longer carries
+    // are retired (DELETE) or flagged (UPDATE) — Spark 4 clause,
+    // group-based rewrite underneath
+    val dir = tmpDir("scbf-sql-mrgsrc")
+    mkTable("scbf_mrgsrc", dir, parts = 4)
+    try {
+      // the feed holds only ids 0..99, re-scored
+      spark.range(0, 100).select(col("id").cast("int").as("id"),
+        lit(5).cast("int").as("v")).createOrReplaceTempView("mrgsrc_feed")
+      spark.sql("""MERGE INTO scbf_mrgsrc t USING mrgsrc_feed s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.v = s.v
+        WHEN NOT MATCHED BY SOURCE AND t.id >= 700 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.grp = 'stale'""")
+      val r = spark.sql(
+        """SELECT COUNT(*), SUM(CASE WHEN grp = 'stale' THEN 1 ELSE 0 END),
+           SUM(CASE WHEN id < 100 THEN v ELSE 0 END) FROM scbf_mrgsrc""").head()
+      // 800 - 100 deleted (ids 700..799); 600 stale (100..699); fed rows v=5
+      assert(r == org.apache.spark.sql.Row(700L, 600L, 500L), s"got $r")
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_mrgsrc")
+  }
+
   test("DELETE with a subquery condition routes through copy-on-write") {
     val dir = tmpDir("scbf-sql-subdel")
     mkTable("scbf_subdel", dir, parts = 4)

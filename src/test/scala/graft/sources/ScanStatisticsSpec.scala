@@ -412,6 +412,42 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("with CBO on, NON-top-K string equality defers to Catalyst (no squared selectivity)") {
+    // the round-9 advice fix: for a value the top-K has exact
+    // frequency evidence on, scan-level scaling beats Catalyst's
+    // 1/NDV and stays on (the skew-flip test above). For a value
+    // OUTSIDE the top-K our own estimate is itself ~1/NDV-shaped, so
+    // scaling AND FilterEstimation's 1/NDV re-application would
+    // compound to ~1/NDV² — the scan must defer those under
+    // cbo.enabled and scale them with CBO off.
+    val dir = tmpDir("scbf-stat-cbostr")
+    // 32 hot values own the top-K deterministically; the probed value
+    // 'v195' is a count-1 tail value, guaranteed outside the summary
+    spark.range(0, 20000).select(
+      col("id").cast("int").as("id"),
+      when(col("id") % 100 < 90, concat(lit("hot"), (col("id") % 32).cast("string")))
+        .otherwise(concat(lit("v"), col("id").cast("string"))).as("tag"))
+      .repartition(4)
+      // blooms off: they would (correctly) prune to the one file that
+      // can hold 'v195' — sound FILE evidence, but this test isolates
+      // the SELECTIVITY deferral, so remove the file-pruning signal
+      .write.format("scbf").option("bloomMaxBytes", "0")
+      .mode("overwrite").save(dir)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      def rows(): Long = scanFor(dir, EqualTo("tag", "v195"))
+        .estimateStatistics().numRows.getAsLong
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = rows()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val on = rows()
+      assert(off < 2000,
+        s"CBO off: the scan's own residual/(ndv-K) estimate must shrink: $off")
+      assert(on >= 19000,
+        s"CBO on: a non-top-K equality must defer (unscaled rows), got $on")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("DEFAULT config: a utf8 date-band flips the join to broadcast; a whole-domain band does not") {
     // the scbf DATE-BAND shape at PLAN level: timestamps are utf8 in
     // the 3-type format, and `ts BETWEEN a AND b` desugars to a
