@@ -155,8 +155,14 @@ object ScbfPartitions {
 
   /** Test seam: every directory [[pruneDirs]] actually listed.
    * PlanningScale/Delete specs pin that a partition-scoped rewrite
-   * never lists an out-of-scope partition directory. */
+   * never lists an out-of-scope partition directory. Bounded so a
+   * long-lived driver running many maintenance ops cannot grow it
+   * without limit (specs clear() it before the operation they pin). */
   val listedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val ListedDirsCap = 100000
+
+  private def recordListing(p: Path): Unit =
+    if (listedDirs.size < ListedDirsCap) listedDirs.add(p.toString)
 
   /**
    * Partition-directory discovery for table-level maintenance WITHOUT
@@ -181,7 +187,7 @@ object ScbfPartitions {
     def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
     val out = Seq.newBuilder[Path]
     def walk(d: Path): Unit = {
-      listedDirs.add(d.toString)
+      recordListing(d)
       val children =
         try fs.listStatus(d).toSeq
         catch { case _: java.io.FileNotFoundException => Seq.empty }

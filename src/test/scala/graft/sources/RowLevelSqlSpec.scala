@@ -192,6 +192,45 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_subdel")
   }
 
+  test("a failing UPDATE aborts cleanly: originals intact, no replacements leak") {
+    // the copy-on-write failure contract at the SQL layer: the
+    // replacement append never committed, so abort removes the staged
+    // outputs and the scanned originals are untouched — the statement
+    // simply didn't happen
+    val dir = tmpDir("scbf-sql-updfail")
+    mkTable("scbf_updfail", dir, parts = 4)
+    try {
+      val before = dataFiles(dir)
+      val sum = spark.sql("SELECT SUM(v) FROM scbf_updfail").head().getLong(0)
+      intercept[Exception] {
+        // ANSI cast of 'g0'-style strings to INT throws at runtime,
+        // mid-write-job — after tasks have staged output files
+        spark.sql("UPDATE scbf_updfail SET v = CAST(grp AS INT) WHERE id < 400")
+      }
+      assert(dataFiles(dir) == before,
+        "a failed UPDATE must leave every original file byte-identical and publish nothing")
+      assert(spark.sql("SELECT SUM(v) FROM scbf_updfail").head().getLong(0) == sum)
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_updfail")
+  }
+
+  test("MERGE plans a real join, never a cartesian/nested-loop blowup") {
+    val dir = tmpDir("scbf-sql-mrgplan")
+    mkTable("scbf_mrgplan", dir, parts = 4)
+    try {
+      spark.range(0, 50).select(col("id").cast("int").as("id"),
+        lit(1).cast("int").as("v")).createOrReplaceTempView("mrgplan_src")
+      val plan = spark.sql("""EXPLAIN MERGE INTO scbf_mrgplan t
+        USING mrgplan_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, 'new', s.v)""")
+        .head().getString(0)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"MERGE must plan an equi-join on the ON clause:\n$plan")
+      assert(plan.contains("MergeRows"), s"expected the MergeRows exec:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_mrgplan")
+  }
+
   test("filter-translatable DELETE still plans the metadata path") {
     val dir = tmpDir("scbf-sql-metadel")
     mkTable("scbf_metadel", dir, parts = 4)
