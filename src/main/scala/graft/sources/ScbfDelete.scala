@@ -355,7 +355,8 @@ object ScbfDelete {
     var round = 0
     while (true) {
       round += 1
-      val candidates = listCandidates()
+      val listed = listCandidates()
+      val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
           ourPrefixes.exists(f.getPath.getName.startsWith))
       accounted ++= candidates.map(_.getPath.getName)
@@ -370,28 +371,58 @@ object ScbfDelete {
           "re-run once the append traffic settles.")
       val prefix = s"rw-${java.util.UUID.randomUUID().toString.take(8)}-"
       ourPrefixes += prefix
-      val src = spark.read.format("scbf")
-        .load(affected.map(_.getPath.toString): _*)
-      // the connector's own append path: task-commit publish, sidecars,
-      // manifest merge — a failure here aborts with originals untouched
-      // announce the replacements as rewrites of the affected names,
-      // tagged row-changing (C:1): by default a caught-up log-path
-      // stream skips them with a logged warning (their rows are a
-      // subset of what it already delivered — an append-only stream
-      // cannot retract deletions anyway), but the reader's
-      // onChangeCommit option can deliver them (surviving rows
-      // re-deliver, changed values reach the stream) or fail the
-      // stream loudly (Delta's default for change commits). A fresh
-      // consumer delivers them normally under any policy. On a
-      // partitioned table, tableRewrite re-announces each round to the
-      // ROOT log with subdir-qualified names, so root streams get the
-      // same policies; a direct per-partition call without that
-      // re-announcement leaves bare names a root stream can't match —
-      // skip then degrades to delivery, never loss.
-      rewrite(src, cond).write.format("scbf").mode("append")
-        .option("filePrefix", prefix)
-        .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
-        .save(dir)
+      // DELETE whole-file fast path: a file whose TRUSTED stats prove
+      // every row matches the condition (ScbfStats.mustMatchAll —
+      // point-range partition cells under `source = 'x'`, fully-
+      // contained ranges under a band, rows==0 litter) is deleted
+      // outright, never read or rewritten. At 100 TB this turns a
+      // partition takedown from a partition-sized read+write into
+      // O(files) metadata deletes. Strictly evidence-gated: no stats
+      // or no proof → the exact rewrite below, and only DELETE can
+      // take it (an UPDATE must evaluate SET on every matching row).
+      // Failure contract unchanged in kind: removals are per-file and
+      // re-runnable (a crash mid-removal leaves the remaining victims
+      // still provably-matching for the re-run).
+      val rewriteSet0 =
+        if (op == "DELETE")
+          affected.filterNot(f =>
+            filters.isEmpty || pruner.provablyAllMatch(f.getPath, f.getLen))
+        else affected
+      // empty-table contract: if the fast path would remove EVERY live
+      // file of this directory and publish nothing, the directory
+      // would stop being a readable SCBF table (schema lives in file
+      // headers). Pull the smallest victim back through the exact
+      // rewrite so a (possibly 0-row) replacement file survives.
+      val rewriteSet =
+        if (rewriteSet0.isEmpty && affected.nonEmpty &&
+            affected.size == listed.size)
+          Seq(affected.minBy(_.getLen))
+        else rewriteSet0
+      if (rewriteSet.nonEmpty) {
+        val src = spark.read.format("scbf")
+          .load(rewriteSet.map(_.getPath.toString): _*)
+        // the connector's own append path: task-commit publish, sidecars,
+        // manifest merge — a failure here aborts with originals untouched
+        // announce the replacements as rewrites of ALL affected names
+        // (dropped-whole files included — their disappearance is covered
+        // by the same entries), tagged row-changing (C:1): by default a
+        // caught-up log-path stream skips them with a logged warning
+        // (their rows are a subset of what it already delivered — an
+        // append-only stream cannot retract deletions anyway), but the
+        // reader's onChangeCommit option can deliver them (surviving
+        // rows re-deliver, changed values reach the stream) or fail the
+        // stream loudly (Delta's default for change commits). A fresh
+        // consumer delivers them normally under any policy. On a
+        // partitioned table, tableRewrite re-announces each round to the
+        // ROOT log with subdir-qualified names, so root streams get the
+        // same policies; a direct per-partition call without that
+        // re-announcement leaves bare names a root stream can't match —
+        // skip then degrades to delivery, never loss.
+        rewrite(src, cond).write.format("scbf").mode("append")
+          .option("filePrefix", prefix)
+          .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
+          .save(dir)
+      }
       removeOriginals(dir, conf, affected)
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName))
       rounds += round_

@@ -392,6 +392,13 @@ object ScbfStats {
     // (the && below short-circuits) — see ScbfBloom's design note
     private val bloomActive = filters.exists(ScbfBloom.usable)
 
+    /** Trusted-stats proof that EVERY row matches — the DELETE
+     * whole-file fast path's evidence ([[ScbfStats.mustMatchAll]]).
+     * Requires stats to EXIST (`exists`, not keep's conservative
+     * `forall`): no stats, no proof, the file rewrites instead. */
+    def provablyAllMatch(data: Path, dataLen: Long): Boolean =
+      lookup.stats(data, dataLen).exists(st => mustMatchAll(filters, st))
+
     /** Keep unless present-and-whole stats prove no row can match —
      * first by min/max interval reasoning, then (for survivors, under
      * equality-shaped filters) by per-file Bloom membership. */
@@ -506,6 +513,67 @@ object ScbfStats {
     case Or(l, r)   => mayMatchOne(l, s) || mayMatchOne(r, s)
     case _          => true
   }
+
+  /**
+   * Dual of [[mayMatch]]: trusted-stats PROOF that EVERY row satisfies
+   * the filters — the evidence behind DELETE's whole-file fast path
+   * (drop the file instead of reading and rewriting it; the partition-
+   * takedown shape: `DELETE WHERE source = 'x'` on files whose stored
+   * cell is exactly 'x'). Strictness is INVERTED from mayMatch:
+   * absence of a column's stats, an unknown filter shape, or an
+   * uncomparable literal all yield FALSE (no proof, rewrite instead) —
+   * an over-claim here would OVER-DELETE, the one failure class a
+   * takedown path must never have. Sound under bound truncation
+   * because the stored min is ALWAYS a valid lower bound and the
+   * stored max a valid upper bound (see strRange): interval
+   * containment of the stored bounds proves containment of the true
+   * values. A rows==0 file is vacuously all-matching (dropping it
+   * removes nothing).
+   */
+  def mustMatchAll(filters: Seq[Filter], stats: FileStats): Boolean =
+    filters.forall(f => mustMatchOne(f, stats))
+
+  private def mustMatchOne(f: Filter, s: FileStats): Boolean =
+    s.rows == 0 || (f match {
+      case AlwaysTrue() => true
+      case EqualTo(c, v) =>
+        // min == v == max pins every value to v exactly
+        range(s, c, v).exists { case (r, d) => r.min == d && r.max == d } ||
+          srange(s, c, v).exists { case (r, b) =>
+            cmp(r.min, b) == 0 && r.max.exists(mx => cmp(mx, b) == 0) }
+      case EqualNullSafe(c, v) if v != null => mustMatchOne(EqualTo(c, v), s)
+      case GreaterThan(c, v) =>
+        range(s, c, v).exists { case (r, d) => r.min > d } ||
+          srange(s, c, v).exists { case (r, b) => cmp(r.min, b) > 0 }
+      case GreaterThanOrEqual(c, v) =>
+        range(s, c, v).exists { case (r, d) => r.min >= d } ||
+          srange(s, c, v).exists { case (r, b) => cmp(r.min, b) >= 0 }
+      case LessThan(c, v) =>
+        range(s, c, v).exists { case (r, d) => r.max < d } ||
+          srange(s, c, v).exists { case (r, b) =>
+            r.max.exists(mx => cmp(mx, b) < 0) }
+      case LessThanOrEqual(c, v) =>
+        range(s, c, v).exists { case (r, d) => r.max <= d } ||
+          srange(s, c, v).exists { case (r, b) =>
+            r.max.exists(mx => cmp(mx, b) <= 0) }
+      case StringStartsWith(c, p) =>
+        // every value in [p, succ(p)) ⟸ storedMin ≥ p ∧ storedMax < succ(p)
+        s.strCols.get(c).exists { r =>
+          val pb = utf8(p)
+          cmp(r.min, pb) >= 0 &&
+            succ(pb).exists(ub => r.max.exists(mx => cmp(mx, ub) < 0))
+        }
+      case In(c, vs)    => vs.exists(v => mustMatchOne(EqualTo(c, v), s))
+      // the format stores no nulls (numeric nulls abort the write,
+      // null strings become "") — every row satisfies IsNotNull
+      case IsNotNull(_) => true
+      // every row satisfies NOT g ⟺ no row satisfies g — which is
+      // exactly what mayMatch=false proves
+      case Not(g)       => !mayMatch(Seq(g), s)
+      case And(l, r)    => mustMatchOne(l, s) && mustMatchOne(r, s)
+      case Or(l, r)     => mustMatchOne(l, s) || mustMatchOne(r, s)
+      case _            => false
+    })
 
   /** Build the truncated bounds for a utf8 column from its exact
    * byte-wise min and max values (writer side). */

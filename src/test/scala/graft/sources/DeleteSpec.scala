@@ -57,6 +57,45 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("scbf").load(dir).count() == 1000)
   }
 
+  test("whole-file fast path: victims that are ENTIRE files are dropped without a read") {
+    // the partition-takedown shape generalized: a range-clustered
+    // table, a band that wholly covers one file's range — trusted
+    // stats PROVE every row of that file matches (mustMatchAll), so
+    // it is deleted outright; zero data files are opened, the other
+    // files stay byte-identical, and no replacement is published
+    // (the directory keeps its other live files).
+    val dir = tmpDir("scbf-del-fast")
+    // four disjoint, exactly-known ranges, one file each
+    (0 until 4).foreach { k =>
+      spark.range(k * 250, (k + 1) * 250)
+        .select(col("id").cast("int").as("id"),
+          concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+        .coalesce(1)
+        .write.format("scbf").mode("append").save(dir)
+    }
+    val before = files(dir)
+    assert(before.size == 4)
+    ScbfUtil.dataFileOpens.set(0)
+    delete(dir,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 250),
+      org.apache.spark.sql.sources.LessThan("id", 500))
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      "a whole-file victim must be dropped without reading any data file")
+    val after = files(dir)
+    assert(after.size == 3 && after.forall { case (n, len) => before.get(n).contains(len) },
+      s"exactly the covered file goes, others byte-identical: before=$before after=$after")
+    assert(spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+      == org.apache.spark.sql.Row(750L, 0, 999))
+    // a STRADDLING band still rewrites exactly the straddling files
+    ScbfUtil.dataFileOpens.set(0)
+    delete(dir,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 700),
+      org.apache.spark.sql.sources.LessThan("id", 800))
+    assert(ScbfUtil.dataFileOpens.get > 0, "a partial victim needs the exact rewrite")
+    assert(spark.read.format("scbf").load(dir).count() == 650L)
+  }
+
   test("IN-victim delete over an UNCLUSTERED table scopes via blooms") {
     val dir = tmpDir("scbf-del-bloom")
     spark.range(0, 1000)

@@ -253,7 +253,14 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
       ScbfDataSource.resolveFiles(Seq(s"$dir/grp=$g"), conf)
         .map(_.getPath.getName).toSet
     val beforeOthers = Seq("g0", "g2", "g3").map(g => g -> filesOf(g)).toMap
+    ScbfUtil.dataFileOpens.set(0)
     spark.sql("DELETE FROM graft_ptdel2 WHERE grp = 'g1'")
+    // the whole-file fast path: every g1 file's stored cell PROVES all
+    // rows match, so victims are dropped without reads — except the
+    // ONE file rewritten to keep the partition a readable (0-row)
+    // SCBF directory (the empty-table contract)
+    assert(ScbfUtil.dataFileOpens.get <= 1,
+      s"a partition takedown must not read the partition's data: ${ScbfUtil.dataFileOpens.get} opens")
     assert(spark.sql("SELECT count(*) FROM graft_ptdel2 WHERE grp = 'g1'")
       .head().getLong(0) == 0L)
     assert(spark.sql("SELECT count(*) FROM graft_ptdel2").head().getLong(0) == 75L)

@@ -85,6 +85,53 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       "unbounded-above column can never exclude by max")
   }
 
+  test("mustMatchAll proves every-row containment and never over-claims") {
+    import org.apache.spark.sql.sources._
+    def num(min: Double, max: Double) =
+      ScbfStats.FileStats(10, Map("id" -> ScbfStats.ColRange(min, max)))
+    def str(min: String, max: String) =
+      ScbfStats.FileStats(10, Map.empty,
+        Map("s" -> ScbfStats.StrRange(min.getBytes, Some(max.getBytes))))
+    def must(f: Filter, st: ScbfStats.FileStats) = ScbfStats.mustMatchAll(Seq(f), st)
+    // numeric point ranges pin equality; anything wider does not
+    assert(must(EqualTo("id", 5), num(5, 5)))
+    assert(!must(EqualTo("id", 5), num(5, 6)))
+    assert(must(In("id", Array[Any](3, 5, 9)), num(5, 5)))
+    assert(!must(In("id", Array[Any](3, 9)), num(5, 5)))
+    // range containment, boundary-exact
+    assert(must(GreaterThan("id", 4), num(5, 9)) && !must(GreaterThan("id", 5), num(5, 9)))
+    assert(must(GreaterThanOrEqual("id", 5), num(5, 9)))
+    assert(must(LessThan("id", 10), num(5, 9)) && !must(LessThan("id", 9), num(5, 9)))
+    assert(must(LessThanOrEqual("id", 9), num(5, 9)))
+    // conjunction = the whole-file band-victim proof
+    assert(ScbfStats.mustMatchAll(
+      Seq(GreaterThanOrEqual("id", 0), LessThan("id", 10)), num(0, 9)))
+    // string point pins equality; prefixes prove StartsWith by interval
+    assert(must(EqualTo("s", "src4"), str("src4", "src4")))
+    assert(!must(EqualTo("s", "src4"), str("src3", "src4")))
+    assert(must(StringStartsWith("s", "src4"), str("src4_a", "src4_z")))
+    assert(!must(StringStartsWith("s", "src5"), str("src4_a", "src4_z")))
+    // TRUNCATION soundness: a 60-byte min/max stores a 48-byte prefix
+    // min and an incremented max — equality on the stored PREFIX must
+    // NOT claim proof (the true values differ from the prefix)
+    val longB = ("b" * 60).getBytes
+    val stLong = ScbfStats.FileStats(10, Map.empty,
+      Map("s" -> ScbfStats.strRange(longB, longB)))
+    assert(!must(EqualTo("s", "b" * ScbfStats.MaxStrBound), stLong),
+      "truncated bounds must never prove equality to the prefix")
+    // Not(g) is proven by mayMatch(g)=false, and only then
+    assert(must(Not(EqualTo("id", 100)), num(5, 9)))
+    assert(!must(Not(EqualTo("id", 7)), num(5, 9)))
+    // absence of stats is absence of proof
+    assert(!must(EqualTo("other", 5), num(5, 5)))
+    // the format stores no nulls: IsNotNull holds for every row
+    assert(must(IsNotNull("anything"), num(5, 9)))
+    // a 0-row file is vacuously all-matching (dropping it is free)
+    assert(ScbfStats.mustMatchAll(Seq(EqualTo("id", 5)), ScbfStats.FileStats(0, Map.empty)))
+    // unknown shapes: no proof
+    assert(!must(StringEndsWith("s", "x"), str("a", "a")))
+  }
+
   test("a 0-row placeholder file is skippable under any filter") {
     assert(!ScbfStats.mayMatch(Seq(EqualTo("id", 5)), ScbfStats.FileStats(0, Map.empty)))
     assert(ScbfStats.mayMatch(Seq(EqualTo("id", 5)),
