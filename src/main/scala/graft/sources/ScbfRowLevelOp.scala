@@ -107,11 +107,35 @@ private[sources] class ScbfRowLevelOperation(
       .getOrElse(ScbfWrite.DefaultMaxBufferedBytes)
     val op = this
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new ScbfRowLevelBatchWrite(rootDir, info.schema(),
-            new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
-      }
+      override def build(): Write =
+        if (partitionCols.isEmpty) new Write {
+          override def toBatch: BatchWrite =
+            new ScbfRowLevelBatchWrite(rootDir, info.schema(),
+              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
+        }
+        else new Write with RequiresDistributionAndOrdering {
+          // partitioned replacements CLUSTER by the partition columns —
+          // a wide UPDATE/MERGE otherwise has every task holding a
+          // writer per partition value it sees, emitting tasks×values
+          // small files. NOT strictly required: Spark then plans a
+          // RebalancePartitions, and AQE splits an oversized group
+          // (the single-partition scoped update — its rows must not
+          // collapse to one task) and coalesces tiny ones — few large
+          // files without serializing per-partition writes.
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              partitionCols.map(c =>
+                org.apache.spark.sql.connector.expressions.Expressions.column(c)
+                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch: BatchWrite =
+            new ScbfRowLevelBatchWrite(rootDir, info.schema(),
+              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
+        }
     }
   }
 }
