@@ -192,6 +192,60 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_subdel")
   }
 
+  test("a caught-up root stream is undisturbed by a partitioned SQL UPDATE (onChangeCommit default)") {
+    // the end-to-end stream contract for the SQL path: replacements
+    // announce to the ROOT discovery log with subdir-qualified
+    // rewriteOf names and the C:1 tag, so a caught-up log-path
+    // consumer applies the default skip (with a warning) — no
+    // re-delivery, no listings — and later appends still flow
+    val dir = tmpDir("scbf-sql-updstream")
+    spark.sql("DROP TABLE IF EXISTS scbf_updstream")
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ckpt = tmpDir("scbf-sql-updstream-ckpt")
+    try {
+      spark.sql("CREATE TABLE scbf_updstream (id INT, grp STRING, v INT) " +
+        s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("""INSERT INTO scbf_updstream
+        SELECT /*+ REPARTITION(2, grp) */ * FROM (
+          SELECT CAST(id AS INT) AS id,
+            concat('g', CAST(id % 3 AS INT)) AS grp, CAST(id AS INT) AS v
+          FROM range(0, 120))""")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val q = spark.readStream.format("scbf").schema(schema)
+        .option("reconcileEvery", "0").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getInt(0)).toSeq
+          seen.synchronized { seen += ids }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == (0 until 120), s"baseline: $seen")
+        // spans partitions; rewrites via copy-on-write
+        spark.sql("UPDATE scbf_updstream SET v = 0 WHERE id % 4 = 0")
+        ScbfDataSource.listings.set(0)
+        q.processAllAvailable()
+        assert(seen.flatten.size == 120,
+          s"default onChangeCommit=skip must not re-deliver: $seen")
+        assert(ScbfDataSource.listings.get == 0,
+          "the skip must ride the discovery log, not a listing")
+        spark.sql("INSERT INTO scbf_updstream VALUES (1000, 'g9', 1)")
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == ((0 until 120) :+ 1000),
+          s"post-update append must flow: $seen")
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_updstream")
+  }
+
   test("a failing UPDATE aborts cleanly: originals intact, no replacements leak") {
     // the copy-on-write failure contract at the SQL layer: the
     // replacement append never committed, so abort removes the staged
