@@ -25,6 +25,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // testdata parquet files are ~10-40MB; the 128MB default would scan
       // each table in one task on a 32-core machine

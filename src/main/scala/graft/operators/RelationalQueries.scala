@@ -688,6 +688,42 @@ object RelationalQueries {
         FROM graft_q51 GROUP BY source""")
     },
 
+    "q52_sql_optimize" -> { (s, dir) =>
+      // q48's table-level OPTIMIZE, now PURE SQL end-to-end through
+      // the GraftExtensions parser: `OPTIMIZE ... CLUSTER BY ... FILES`
+      // sweeps every partition of a twice-ingested hive table in one
+      // statement and `VACUUM ... RETAIN` sweeps litter — with q45/q49
+      // (DELETE), q50 (UPDATE) and q51 (MERGE), the ENTIRE mutation
+      // and maintenance surface is now reachable without graft.* (the
+      // SQL-only 100 TB operator's full toolbox). The post-OPTIMIZE
+      // read combines partition pruning with the in-partition doc_id
+      // skipping the statement just enabled; the oracle replays the
+      // filter+aggregate on the source parquet — maintenance must be
+      // value-invisible to hash-match.
+      val scbfDir = scratchDir(s) + "/graft_scbf_sqlopt_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q52")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q52_src")
+      s.sql("CREATE TABLE graft_q52 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1").foreach { half =>
+        s.sql(s"""INSERT INTO graft_q52
+          SELECT /*+ REPARTITION(4, source) */
+            CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+          FROM graft_q52_src WHERE $half""")
+      }
+      s.sql("OPTIMIZE graft_q52 CLUSTER BY (doc_id) FILES 2")
+      s.sql("VACUUM graft_q52 RETAIN 24 HOURS")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q52 WHERE source IN ('src1', 'src6') AND doc_id >= 300
+        GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1079,6 +1115,14 @@ object RelationalQueries {
            CAST(MIN(doc_id) AS INT) AS min_doc,
            CAST(MAX(doc_id) AS INT) AS max_doc
          FROM u GROUP BY source""",
+
+    "q52_sql_optimize" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE source IN ('src1', 'src6') AND doc_id >= 300
+         GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

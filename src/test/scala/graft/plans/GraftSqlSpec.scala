@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.{ScbfDataSource, ScbfStats, ScbfUtil}
+
+/**
+ * The maintenance SQL surface (GraftSqlParser via GraftExtensions):
+ * OPTIMIZE CLUSTER/ZORDER and VACUUM as pure SQL, resolving through
+ * the session catalog and running the same maintenance engine the API
+ * exposes — closing the last API-only gap in the "a SQL-only user
+ * needs nothing from graft.*" contract.
+ */
+class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  test("OPTIMIZE ... CLUSTER BY compacts and enables range skipping, pure SQL") {
+    val dir = tmpDir("scbf-sql-opt")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_t")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlopt_t (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      // unclustered ingest: every file spans the id domain
+      spark.sql("""INSERT INTO sqlopt_t
+        SELECT /*+ REPARTITION(4) */ CAST(id AS INT), CAST(id AS DOUBLE)
+        FROM range(0, 1000)""")
+      val pre = ScbfDataSource.resolveFiles(Seq(dir), hconf).size
+      assert(pre >= 4)
+      val rewritten = spark.sql("OPTIMIZE sqlopt_t CLUSTER BY (id) FILES 2")
+        .head().getInt(0)
+      assert(rewritten == pre, s"all $pre originals fold in, got $rewritten")
+      assert(ScbfDataSource.resolveFiles(Seq(dir), hconf).size == 2)
+      // post-OPTIMIZE, a range predicate prunes to one file
+      ScbfUtil.dataFileOpens.set(0)
+      assert(spark.sql("SELECT COUNT(*) FROM sqlopt_t WHERE id < 100")
+        .head().getLong(0) == 100L)
+      assert(ScbfUtil.dataFileOpens.get <= 1,
+        s"clustered layout must range-skip: ${ScbfUtil.dataFileOpens.get} opens")
+      assert(spark.sql("SELECT COUNT(*), SUM(v) FROM sqlopt_t").head()
+        == org.apache.spark.sql.Row(1000L, 499500.0))
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_t")
+  }
+
+  test("OPTIMIZE ... ZORDER BY works on a flat table; partitioned tables sweep per partition") {
+    val flat = tmpDir("scbf-sql-optz")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_z")
+    new Path(flat).getFileSystem(hconf).delete(new Path(flat), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlopt_z (a INT, b INT) USING scbf LOCATION '$flat'")
+      spark.sql("""INSERT INTO sqlopt_z
+        SELECT /*+ REPARTITION(4) */ CAST(id % 100 AS INT), CAST(id / 100 AS INT)
+        FROM range(0, 10000)""")
+      assert(spark.sql("OPTIMIZE sqlopt_z ZORDER BY (a, b) FILES 4")
+        .head().getInt(0) >= 4, "the unclustered originals fold in")
+      assert(spark.sql("SELECT COUNT(*) FROM sqlopt_z").head().getLong(0) == 10000L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_z")
+
+    val part = tmpDir("scbf-sql-optp")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_p")
+    new Path(part).getFileSystem(hconf).delete(new Path(part), true)
+    try {
+      spark.sql("CREATE TABLE sqlopt_p (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$part'")
+      (0 until 2).foreach { _ =>
+        spark.sql("""INSERT INTO sqlopt_p
+          SELECT CAST(id AS INT), concat('g', CAST(id % 3 AS INT)) FROM range(0, 300)""")
+      }
+      spark.sql("OPTIMIZE sqlopt_p CLUSTER BY (id)")
+      // each partition compacted to one file, rows preserved
+      val files = ScbfDataSource.resolveFiles(Seq(part), hconf)
+      val perDir = files.groupBy(_.getPath.getParent.getName).view.mapValues(_.size)
+      assert(perDir.toMap.values.forall(_ == 1), s"one file per partition: $perDir")
+      assert(spark.sql("SELECT COUNT(*) FROM sqlopt_p").head().getLong(0) == 600L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_p")
+  }
+
+  test("VACUUM sweeps aged temps and orphan sidecars across partitions, pure SQL") {
+    val dir = tmpDir("scbf-sql-vac")
+    spark.sql("DROP TABLE IF EXISTS sqlvac_t")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE sqlvac_t (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("""INSERT INTO sqlvac_t
+        SELECT CAST(id AS INT), concat('g', CAST(id % 2 AS INT)) FROM range(0, 100)""")
+      val fs = new Path(dir).getFileSystem(hconf)
+      // plant aged litter in a partition dir: a dead-attempt temp and
+      // an orphan stats sidecar for a data file that no longer exists
+      val pdir = new Path(dir, "grp=g0")
+      val temp = new Path(pdir, ".dead.scbf.tmp")
+      fs.create(temp).close()
+      val orphan = ScbfStats.sidecarPath(new Path(pdir, "gone.scbf"))
+      fs.create(orphan).close()
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      fs.setTimes(temp, old, old)
+      fs.setTimes(orphan, old, old)
+      val r = spark.sql("VACUUM sqlvac_t RETAIN 24 HOURS").head()
+      assert(r.getInt(0) >= 1 && r.getInt(1) >= 1,
+        s"expected >=1 temp and >=1 orphan removed, got $r")
+      assert(!fs.exists(temp) && !fs.exists(orphan))
+      assert(spark.sql("SELECT COUNT(*) FROM sqlvac_t").head().getLong(0) == 100L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlvac_t")
+  }
+
+  test("delegation is transparent; non-scbf tables are refused") {
+    // ordinary SQL — including the word OPTIMIZE inside a query — is
+    // untouched by the injected parser
+    assert(spark.sql("SELECT 'OPTIMIZE t CLUSTER BY (x)' AS s").head().getString(0)
+      .startsWith("OPTIMIZE"))
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    spark.sql("DROP TABLE IF EXISTS sqlopt_foreign")
+    try {
+      spark.range(5).write.saveAsTable("sqlopt_foreign") // parquet provider
+      val e = intercept[Exception] {
+        spark.sql("OPTIMIZE sqlopt_foreign CLUSTER BY (id)")
+      }
+      assert(e.getMessage.contains("not an SCBF table"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_foreign")
+    // unknown table: the catalog error surfaces, not a sweep of nothing
+    intercept[Exception] { spark.sql("OPTIMIZE no_such_table CLUSTER BY (id)") }
+  }
+}
