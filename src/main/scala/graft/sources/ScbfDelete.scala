@@ -238,10 +238,12 @@ object ScbfDelete {
    * SCBF type (the write fails fast otherwise). Same append-then-
    * remove failure contract as delete.
    *
-   * Exposed as an API rather than SQL UPDATE: wiring Spark's
-   * SupportsRowLevelOperations (the Iceberg copy-on-write machinery)
-   * is heavier than the single-directory format warrants; the rewrite
-   * semantics here are the same group-based copy-on-write.
+   * SQL `UPDATE` exists too since round 9 — Spark's
+   * SupportsRowLevelOperations path ([[ScbfRowLevelOp]], q50) runs the
+   * same group-based copy-on-write with snapshot scoping. This API
+   * twin differs in two deliberate ways: it re-lists in bounded rounds
+   * (concurrent appends fold in instead of landing "after"), and it
+   * refuses partition-column SETs where the SQL path moves rows.
    */
   def updateWhere(
       spark: SparkSession,
