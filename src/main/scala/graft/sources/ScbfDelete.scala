@@ -187,10 +187,24 @@ object ScbfDelete {
           val live = ScbfDataSource.resolveFiles(Seq(part.toString), conf)
           val now = System.currentTimeMillis()
           val produced = live.filter(_.getPath.getName.startsWith(r.prefix))
-          ScbfDiscovery.append(qroot, conf, produced.map(f =>
-            ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
-              rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
-              rowsChanged = true)))
+          val entries =
+            if (produced.nonEmpty) produced.map(f =>
+              ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
+                rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
+                rowsChanged = true))
+            // metadata-only round (DELETE whole-file fast path): no
+            // replacement exists to carry the announcement, so the
+            // root log gets the same REMOVAL entry the partition's own
+            // log got — subdir-qualified, like every root announcement
+            // (same existing-log gate as the flat path)
+            else if (r.replaced.nonEmpty && ScbfDiscovery.exists(qroot, conf))
+              Seq(ScbfDiscovery.Entry(
+                s"$sub/${r.prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}",
+                ScbfDiscovery.RemovedLen, now,
+                rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
+                rowsChanged = true))
+            else Seq.empty
+          ScbfDiscovery.append(qroot, conf, entries)
         }
       perPartition(part.toString, announce)
       ()
@@ -424,6 +438,26 @@ object ScbfDelete {
           .option("filePrefix", prefix)
           .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
           .save(dir)
+      } else if (ScbfDiscovery.exists(new Path(dir), conf)) {
+        // METADATA-ONLY round: every victim was dropped whole and no
+        // replacement publishes, so nothing would announce the change
+        // — yet rows this table's streams may have delivered are about
+        // to disappear. Append a REMOVAL entry (synthetic name, len −1,
+        // R:victims, C:1): log-path consumers get the identical
+        // onChangeCommit semantics a replacement entry carries (skip
+        // logs a warning, fail stops the stream, deliver has nothing
+        // to deliver) while the takedown itself stays zero-data-IO.
+        // Gated on the log existing — a log-less table has no log-path
+        // consumers, and CREATING a log here would flip its streams
+        // from listing mode to a log that omits every other file.
+        // Same announce-then-remove order and best-effort contract as
+        // the write path (a swallowed announce failure can mute the
+        // policy, never break delivery correctness).
+        ScbfDiscovery.append(new Path(dir), conf, Seq(ScbfDiscovery.Entry(
+          s"${prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}",
+          ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
+          rewriteOf = affected.map(_.getPath.getName).sorted,
+          rowsChanged = true)))
       }
       removeOriginals(dir, conf, affected)
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName))

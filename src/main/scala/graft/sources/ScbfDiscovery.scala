@@ -91,6 +91,27 @@ object ScbfDiscovery {
   final case class Entry(name: String, len: Long, ts: Long,
       rewriteOf: Seq[String] = Nil, rowsChanged: Boolean = false)
 
+  /** Reserved suffix for REMOVAL entries — announce-only log lines a
+   * metadata-only DELETE appends when its whole-file fast path drops
+   * every victim without publishing a replacement (ScbfDelete's
+   * `mustMatchAll` rounds). The entry's `name` is synthetic (no such
+   * file ever exists; the suffix is disjoint from the `.scbf` data
+   * extension), its `len` is [[RemovedLen]] so the stream admits it
+   * seen-without-delivery and never plans it, and its `rewriteOf` +
+   * `rowsChanged=true` carry exactly the information a replacement
+   * file's entry would: which delivered files changed, so a caught-up
+   * consumer's `onChangeCommit` policy (skip-with-warning / deliver /
+   * fail) fires for a pure takedown just as it does for a rewrite.
+   * Old readers see a plain entry they can't open — but its sentinel
+   * length keeps it out of planning on this reader, and the format
+   * evolution rule covers the tags. */
+  val RemovalSuffix = ".removed"
+
+  /** Sentinel length for removal entries: planning skips negative
+   * lengths (the same −1 the stream uses to admit covered rewrites
+   * seen-without-delivery), so a removal entry is never opened. */
+  val RemovedLen = -1L
+
   // test hooks, PlanningScale-style: what did discovery actually cost?
   val deltaReads = new AtomicLong(0)
   val deltaAppends = new AtomicLong(0)

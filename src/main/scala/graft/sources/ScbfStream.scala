@@ -336,6 +336,12 @@ class ScbfMicroBatchStream(
     // has NOT accounted for every replaced file (fresh checkpoint,
     // partial history) admits the rewrite normally — completeness
     // beats dedup, the pre-transparency behavior.
+    // removal entries admitted by THIS full-listing trigger whose
+    // onChangeCommit policy must fire at admission (covered = the
+    // consumer delivered every removed file) — applied after the
+    // age/seen filters below so an age-rejected or replayed entry
+    // never warns/fails again on every reconcile
+    var deferredRemovalPolicy: Map[String, Boolean] = Map.empty
     val listed: Seq[(String, Long, Long)] =
       if (full) {
         // snapshot the delta names BEFORE listing: writers publish data
@@ -350,16 +356,18 @@ class ScbfMicroBatchStream(
         // reconcile, restart — must make the SAME skip decision the
         // incremental path would, or a reconcile would re-deliver every
         // rewritten file the log path just skipped
-        val rewriteMarks: Map[String, (Seq[String], Boolean)] = discoveryDir
+        val logEntries: Seq[(String, ScbfDiscovery.Entry)] = discoveryDir
           .filter(_ => useLog).map { d =>
             val qual = d.getFileSystem(conf).makeQualified(d)
             preDeltas.toSeq.sorted.flatMap(n =>
                 ScbfDiscovery.readDelta(d, conf, n))
-              .filter(_.rewriteOf.nonEmpty)
               .map(e => new Path(qual, e.name).toString ->
-                ((e.rewriteOf.map(r => new Path(qual, r).toString), e.rowsChanged)))
-              .toMap
-          }.getOrElse(Map.empty)
+                e.copy(rewriteOf =
+                  e.rewriteOf.map(r => new Path(qual, r).toString)))
+          }.getOrElse(Seq.empty)
+        val rewriteMarks: Map[String, (Seq[String], Boolean)] =
+          logEntries.collect { case (p, e) if e.rewriteOf.nonEmpty =>
+            p -> ((e.rewriteOf, e.rowsChanged)) }.toMap
         val covered = coveredRewrites(
           rewriteMarks.map { case (p, (reps, _)) => p -> reps }, seen)
         val l = ScbfDataSource.resolveFiles(tablePaths, conf)
@@ -370,8 +378,21 @@ class ScbfMicroBatchStream(
               else f.getLen
             (p, len, math.min(f.getModificationTime, tsCap))
           }
+        // REMOVAL entries (metadata-only DELETE fast path) never appear
+        // in a listing — the synthetic name has no file — so a listing
+        // trigger must admit them from the log itself or a reconcile
+        // would silently swallow the one record of the change. Un-seen
+        // ones enter with the sentinel length (never planned, replayed
+        // as the skip they are); the covered ones' policy decision is
+        // deferred to admission time (see deferredRemovalPolicy).
+        val removals = logEntries.filter { case (p, e) =>
+          p.endsWith(ScbfDiscovery.RemovalSuffix) && e.rewriteOf.nonEmpty &&
+            !seen.contains(p) }
+        deferredRemovalPolicy = removals.collect {
+          case (p, e) if covered.contains(p) => p -> e.rowsChanged }.toMap
         consumedDeltas = preDeltas
-        l
+        l ++ removals.map { case (p, e) =>
+          (p, ScbfDiscovery.RemovedLen, math.min(e.ts, tsCap)) }
       } else {
         val d = discoveryDir.get
         val current = ScbfDiscovery.listDeltas(d, conf).toSet
@@ -433,17 +454,29 @@ class ScbfMicroBatchStream(
     }.getOrElse(Long.MinValue)
     val current = listed.filter(_._3 >= horizon)
     val notSeen = current.filterNot(f => seen.contains(f._1))
-    val fresh = limit match {
-      case mf: ReadMaxFiles => notSeen.take(mf.maxFiles())
-      case _                => notSeen
+    // removal entries are pure metadata (planned never, delivered
+    // never): exempt them from the file cap so a capped backlog can't
+    // strand one in the pending tail, where a full-listing trigger's
+    // deferred policy decision would be lost
+    val (removalFresh, rowNotSeen) = notSeen.partition(
+      _._1.endsWith(ScbfDiscovery.RemovalSuffix))
+    val freshRows = limit match {
+      case mf: ReadMaxFiles => rowNotSeen.take(mf.maxFiles())
+      case _                => rowNotSeen
     }
+    val fresh = removalFresh ++ freshRows
+    // deferred onChangeCommit for removal entries admitted by a
+    // full-listing trigger (the incremental path applies coveredLen
+    // when it reads the delta): fires exactly once, at admission
+    fresh.foreach { case (p, len, _) =>
+      deferredRemovalPolicy.get(p).foreach(rc => coveredLen(p, len, rc)) }
     // carry the capped tail: a listing re-presents it next trigger, a
     // consumed delta does not — without this an incremental trigger
     // would strand a backlog until the next reconcile listing. (A full
     // trigger's tail is carried too: the NEXT trigger may be
     // incremental.) Age-rejected entries are dropped — the horizon
     // only advances, so they'd be re-rejected forever anyway.
-    pendingFromLog = notSeen.drop(fresh.size)
+    pendingFromLog = rowNotSeen.drop(freshRows.size)
     // Eviction retention rule (both branches): drop an entry only when
     // it is BELOW the horizon AND its path is absent from the current
     // listing. Age alone is not safe to evict on: a known file whose

@@ -63,7 +63,10 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     // stats PROVE every row of that file matches (mustMatchAll), so
     // it is deleted outright; zero data files are opened, the other
     // files stay byte-identical, and no replacement is published
-    // (the directory keeps its other live files).
+    // (the directory keeps its other live files). The one record of
+    // the change is a REMOVAL entry in the discovery log — sentinel
+    // length, R:victim, C:1 — so log-path streams keep their
+    // onChangeCommit semantics (RewriteTransparencySpec pins those).
     val dir = tmpDir("scbf-del-fast")
     // four disjoint, exactly-known ranges, one file each
     (0 until 4).foreach { k =>
@@ -84,6 +87,15 @@ class DeleteSpec extends AnyFunSuite with SparkTestBase {
     val after = files(dir)
     assert(after.size == 3 && after.forall { case (n, len) => before.get(n).contains(len) },
       s"exactly the covered file goes, others byte-identical: before=$before after=$after")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val removals = ScbfDiscovery.listDeltas(root, hconf)
+      .flatMap(n => ScbfDiscovery.readDelta(root, hconf, n))
+      .filter(_.name.endsWith(ScbfDiscovery.RemovalSuffix))
+    assert(removals.size == 1 && removals.head.len == ScbfDiscovery.RemovedLen &&
+      removals.head.rowsChanged &&
+      removals.head.rewriteOf == (before.keySet -- after.keySet).toSeq.sorted,
+      s"the drop must announce itself as a removal entry: $removals")
     assert(spark.read.format("scbf").load(dir)
       .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
       == org.apache.spark.sql.Row(750L, 0, 999))

@@ -270,6 +270,40 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
       assert(filesOf(g) == beforeOthers(g), s"grp=$g must be untouched"))
   }
 
+  test("a metadata-only partitioned DELETE announces subdir-qualified removals to the ROOT log") {
+    // two files per partition with disjoint id ranges: `id < 50`
+    // wholly covers each partition's first file, so every round is a
+    // PURE fast-path round (no replacement published) — the root
+    // discovery log must still record the change, as removal entries
+    // a root stream's onChangeCommit policy can key on
+    val name = "graft_ptrm"
+    val dir = Files.createTempDirectory(s"scbf-part-$name").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING, v DOUBLE) " +
+      s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+    Seq(0 until 50, 50 until 100).foreach { r =>
+      r.map(i => (i, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "v")
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION(2, grp) */ id, grp, v FROM ${name}_src")
+    }
+    val conf = new Configuration()
+    ScbfUtil.dataFileOpens.set(0)
+    spark.sql(s"DELETE FROM $name WHERE id < 50")
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      s"each partition's first file is provably all-matching: ${ScbfUtil.dataFileOpens.get} opens")
+    assert(spark.sql(s"SELECT count(*), min(id) FROM $name").head()
+      == org.apache.spark.sql.Row(50L, 50))
+    val qroot = new Path(dir).getFileSystem(conf).makeQualified(new Path(dir))
+    val removals = ScbfDiscovery.listDeltas(qroot, conf)
+      .flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
+      .filter(_.name.endsWith(ScbfDiscovery.RemovalSuffix))
+    assert(removals.size == 4, s"one removal entry per partition round: $removals")
+    assert(removals.forall(e => e.len == ScbfDiscovery.RemovedLen && e.rowsChanged &&
+      e.name.startsWith("grp=g") && e.rewriteOf.nonEmpty &&
+      e.rewriteOf.forall(_.startsWith("grp=g"))),
+      s"root entries must be subdir-qualified sentinels: $removals")
+  }
+
   test("a partition-scoped DELETE lists only in-scope directories (+ the root)") {
     // the round-8 `weak` grade: table-level maintenance used to take a
     // FULL recursive leaf listing per re-list round and prune files

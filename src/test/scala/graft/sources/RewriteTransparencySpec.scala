@@ -232,6 +232,119 @@ class RewriteTransparencySpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  // one file with an exactly-known id range — the whole-file fast
+  // path's provable victim shape (ScbfStats.mustMatchAll)
+  private def writeRangeFile(dir: String, ids: Range): Unit =
+    ids.toDF("id").select(col("id").cast("int").as("id"),
+        (col("id") * 1.5).as("v"))
+      .coalesce(1).write.format("scbf").mode("append").save(dir)
+
+  private def bandDelete(dir: String, lo: Int, hi: Int): Unit =
+    ScbfDelete.deleteWhere(spark, dir, spark.sessionState.newHadoopConf(),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+        org.apache.spark.sql.sources.LessThan("id", hi)))
+
+  private def removalEntries(dir: String): Seq[ScbfDiscovery.Entry] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    ScbfDiscovery.listDeltas(root, conf)
+      .flatMap(n => ScbfDiscovery.readDelta(root, conf, n))
+      .filter(_.name.endsWith(ScbfDiscovery.RemovalSuffix))
+  }
+
+  test("a METADATA-ONLY delete (whole-file fast path) still trips onChangeCommit=fail") {
+    // the fast path publishes no replacement — the removal entry is the
+    // ONLY record of the change, and the fail policy must fire from it
+    val dir = Files.createTempDirectory("scbf-rm-fail").toString
+    val ckpt = Files.createTempDirectory("scbf-rm-fail-ckpt").toString
+    (0 until 4).foreach(k => writeRangeFile(dir, k * 250 until (k + 1) * 250))
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("reconcileEvery", "0")
+      .option("onChangeCommit", "fail")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.size == 1000)
+      ScbfUtil.dataFileOpens.set(0)
+      bandDelete(dir, 250, 500) // wholly covers file 2: dropped, not rewritten
+      assert(ScbfUtil.dataFileOpens.get == 0,
+        "the announced takedown must stay metadata-only")
+      val rem = removalEntries(dir)
+      assert(rem.size == 1 && rem.head.len == ScbfDiscovery.RemovedLen &&
+        rem.head.rowsChanged && rem.head.rewriteOf.size == 1,
+        s"one sentinel removal entry carrying the victim: $rem")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("onChangeCommit=fail")),
+        s"failure must carry the policy guidance: ${messages(e)}")
+    } finally q.stop()
+  }
+
+  test("a metadata-only delete under skip: silent, nothing re-delivered, once — reconciles and restarts included") {
+    val dir = Files.createTempDirectory("scbf-rm-skip").toString
+    val ckpt = Files.createTempDirectory("scbf-rm-skip-ckpt").toString
+    (0 until 4).foreach(k => writeRangeFile(dir, k * 250 until (k + 1) * 250))
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    // reconcileEvery=1: EVERY trigger takes the full-listing branch,
+    // which must admit the removal entry from the log exactly once
+    // (deferred policy) — the branch a plain reconcile would otherwise
+    // use to silently swallow the only record of the change
+    val q = startCollector(dir, ckpt, seen, reconcileEvery = 1)
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.size == 1000)
+      bandDelete(dir, 250, 500)
+      q.processAllAvailable()
+      q.processAllAvailable() // a second reconcile must not re-admit
+      assert(seen.flatten.size == 1000,
+        s"nothing to deliver after a pure takedown: ${seen.flatten.size}")
+      writeRangeFile(dir, 1000 until 1100)
+      q.processAllAvailable()
+      assert(seen.flatten.size == 1100, "appends after the removal flow")
+    } finally q.stop()
+    // restart from the checkpoint: the admitted removal entry replays
+    // as the skip it was — no duplicate delivery, no policy re-fire
+    val seen2 = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q2 = startCollector(dir, ckpt, seen2, reconcileEvery = 1)
+    try {
+      q2.processAllAvailable()
+      assert(seen2.flatten.isEmpty, s"restart re-delivered: ${seen2.flatten.size}")
+    } finally q2.stop()
+  }
+
+  test("a FRESH consumer after a metadata-only delete just gets the surviving files") {
+    val dir = Files.createTempDirectory("scbf-rm-fresh").toString
+    (0 until 4).foreach(k => writeRangeFile(dir, k * 250 until (k + 1) * 250))
+    bandDelete(dir, 250, 500)
+    assert(removalEntries(dir).size == 1)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val ckpt = Files.createTempDirectory("scbf-rm-fresh-ckpt").toString
+    // fail policy on purpose: an UNCOVERED removal entry (this consumer
+    // never delivered the victim) must not trip it
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("onChangeCommit", "fail")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.size == 750 && !seen.flatten.exists(i => i >= 250 && i < 500),
+        s"fresh consumer sees exactly the survivors: ${seen.flatten.size}")
+    } finally q.stop()
+  }
+
   test("same-trigger announcement of originals AND their rewrite prefers the rewrite") {
     // a lagging consumer wakes up to find an append AND the DELETE that
     // already rewrote (and removed) the appended files, in one trigger:
