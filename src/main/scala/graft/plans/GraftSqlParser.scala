@@ -79,9 +79,17 @@ object GraftSqlParser {
   private[plans] def resolveScbfTable(
       spark: SparkSession, table: String): (String, Boolean) = {
     val parts = table.split('.')
-    val ti =
-      if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
-      else TableIdentifier(table)
+    val ti = parts.length match {
+      case 2 => TableIdentifier(parts(1), Some(parts(0)))
+      // fully-qualified session-catalog names resolve too; a foreign
+      // catalog fails with the real name in the message instead of a
+      // mangled single-part lookup
+      case 3 =>
+        require(parts(0).equalsIgnoreCase("spark_catalog"),
+          s"OPTIMIZE/VACUUM support session-catalog tables only, got $table")
+        TableIdentifier(parts(2), Some(parts(1)))
+      case _ => TableIdentifier(table)
+    }
     val meta = spark.sessionState.catalog.getTableMetadata(ti)
     require(meta.provider.exists(_.equalsIgnoreCase("scbf")),
       s"$table is not an SCBF table (provider=${meta.provider.getOrElse("?")}): " +
@@ -130,14 +138,11 @@ case class GraftVacuumCommand(table: String, olderThanMs: Option[Long])
     val (dir, _) = GraftSqlParser.resolveScbfTable(spark, table)
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
-    // every directory holding data files (root included), discovered
-    // directory-first — the same walk maintenance DELETE uses
-    val dirs = graft.sources.ScbfPartitions.pruneDirs(root, conf,
-      spark.table(table).schema, Seq.empty,
-      graft.sources.ScbfPartitions.qualifiedRoots(Seq(dir), conf)) match {
-      case Seq() => Seq(root)
-      case ds    => ds
-    }
+    // EVERY table directory, data-holding or not: the partitioned
+    // root's own litter and a crashed write's temp-only partition
+    // directory both need sweeping, so the data-holding filter the
+    // rewrite walk applies (pruneDirs) is exactly wrong here
+    val dirs = graft.sources.ScbfPartitions.allDirs(root, conf)
     var temps = 0
     var orphans = 0
     dirs.foreach { d =>

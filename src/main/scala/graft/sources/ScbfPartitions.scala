@@ -180,6 +180,32 @@ object ScbfPartitions {
    * over-keep costs one listing, never an over-delete (the rewrite
    * enforces the full condition per directory regardless).
    */
+  /** Every directory of the table tree — the root plus all nested
+   * `k=v` directories, whether or not they currently hold data files.
+   * VACUUM's domain: a crashed write can leave ONLY dot-temps in a
+   * fresh partition directory (no live data file), and the root of a
+   * partitioned table holds no data at all — both still need their
+   * litter swept, so the data-holding filter [[pruneDirs]] applies is
+   * exactly wrong here. Same walk, same listing accounting. */
+  def allDirs(root: Path, conf: Configuration): Seq[Path] = {
+    val fs = root.getFileSystem(conf)
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    val out = Seq.newBuilder[Path]
+    def walk(d: Path): Unit = {
+      recordListing(d)
+      out += d
+      val children =
+        try fs.listStatus(d).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      children.foreach { c =>
+        val n = c.getPath.getName
+        if (c.isDirectory && !hidden(n) && n.indexOf('=') > 0) walk(c.getPath)
+      }
+    }
+    walk(fs.makeQualified(root))
+    out.result()
+  }
+
   def pruneDirs(root: Path, conf: Configuration, schema: StructType,
       filters: Seq[Filter], qroots: Seq[String]): Seq[Path] = {
     val fs = root.getFileSystem(conf)

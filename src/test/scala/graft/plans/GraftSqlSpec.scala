@@ -95,13 +95,24 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       fs.create(temp).close()
       val orphan = ScbfStats.sidecarPath(new Path(pdir, "gone.scbf"))
       fs.create(orphan).close()
+      // litter OUTSIDE any data-holding directory: the partitioned
+      // root holds no data files, and a crashed first write can leave
+      // a partition directory with ONLY temps — both must be swept,
+      // which a data-holding-directories walk would miss
+      val rootTemp = new Path(dir, ".dead-root.scbf.tmp")
+      fs.create(rootTemp).close()
+      val emptyPart = new Path(dir, "grp=gnew")
+      fs.mkdirs(emptyPart)
+      val emptyPartTemp = new Path(emptyPart, ".dead-new.scbf.tmp")
+      fs.create(emptyPartTemp).close()
       val old = System.currentTimeMillis() - 48L * 3600 * 1000
-      fs.setTimes(temp, old, old)
-      fs.setTimes(orphan, old, old)
-      val r = spark.sql("VACUUM sqlvac_t RETAIN 24 HOURS").head()
-      assert(r.getInt(0) >= 1 && r.getInt(1) >= 1,
-        s"expected >=1 temp and >=1 orphan removed, got $r")
-      assert(!fs.exists(temp) && !fs.exists(orphan))
+      Seq(temp, orphan, rootTemp, emptyPartTemp).foreach(p => fs.setTimes(p, old, old))
+      // fully-qualified session-catalog name resolves like the bare one
+      val r = spark.sql("VACUUM spark_catalog.default.sqlvac_t RETAIN 24 HOURS").head()
+      assert(r.getInt(0) >= 3 && r.getInt(1) >= 1,
+        s"expected >=3 temps (partition, root, temp-only dir) and >=1 orphan removed, got $r")
+      assert(!fs.exists(temp) && !fs.exists(orphan) &&
+        !fs.exists(rootTemp) && !fs.exists(emptyPartTemp))
       assert(spark.sql("SELECT COUNT(*) FROM sqlvac_t").head().getLong(0) == 100L)
     } finally spark.sql("DROP TABLE IF EXISTS sqlvac_t")
   }
