@@ -243,6 +243,45 @@ private[sources] class ScbfRowLevelBatchWrite(
     }
     inner.rewriteOfNames = scanned.map(qualify)
     inner.commit(messages)
+    // EMPTY-REPLACEMENT coverage. A rewrite can legitimately publish
+    // NOTHING for some (or all) of its groups — a subquery DELETE or
+    // MERGE matched-DELETE that removes every row, or a partition-
+    // column UPDATE that moves a whole directory's rows elsewhere
+    // (emitEmptyFiles=false keeps no-op tasks from littering). Two
+    // consequences need handling before/alongside the removals:
+    //  1) a directory losing its LAST data file gets a 0-row KEEPER
+    //     (codec-written, before the removals) so it stays a readable
+    //     standalone SCBF table — the same contract ScbfDelete's
+    //     empty-table guard keeps;
+    //  2) if nothing was published at all, no replacement entry exists
+    //     to carry the rewriteOf announcement — append the same
+    //     REMOVAL entry the whole-file DELETE fast path uses, or the
+    //     log's live entries keep claiming the removed files: silent
+    //     under every onChangeCommit policy, and read-crashing for a
+    //     lagging consumer with those entries still pending.
+    val published =
+      messages.collect { case m: ScbfCommitMessage => m.entries }.flatten
+    val publishedDirs = published
+      .map(e => fs.makeQualified(new Path(root, e.name)).getParent).toSet
+    val byDir = scanned.groupBy(p => fs.makeQualified(p).getParent)
+    byDir.foreach { case (parent, ps) =>
+      if (!publishedDirs.contains(parent)) {
+        val removedNames = ps.map(_.getName).toSet
+        val liveLeft =
+          try fs.listStatus(parent).toSeq.filter(f => f.isFile && {
+            val n = f.getPath.getName
+            n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith(".")
+          }).map(_.getPath.getName).filterNot(removedNames)
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        if (liveLeft.isEmpty) writeKeeper(fs, parent)
+      }
+    }
+    if (published.isEmpty && scanned.nonEmpty &&
+        ScbfDiscovery.exists(qroot, hconf))
+      ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+        s"rl-${java.util.UUID.randomUUID().toString.take(8)}${ScbfDiscovery.RemovalSuffix}",
+        ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
+        rewriteOf = scanned.map(qualify).sorted, rowsChanged = true)))
     // remove the replaced groups — only AFTER the replacement append
     // committed (crash before here = clean abort, originals intact)
     scanned.groupBy(_.getParent).foreach { case (parent, ps) =>
@@ -258,6 +297,33 @@ private[sources] class ScbfRowLevelBatchWrite(
       // concurrent append's just-merged entries survive
       ScbfStats.mergeManifest(parent, hconf, Seq.empty, fresh = false,
         drop = ps.map(_.getName).toSet)
+    }
+  }
+
+  /** A 0-row data file with the full table schema, published atomically
+   * (dot-temp + rename) straight through the codec — no Spark job, no
+   * manifest entry (the scan's header fallback covers a stats-less
+   * file). Keeps a fully-emptied directory a readable SCBF table. */
+  private def writeKeeper(fs: org.apache.hadoop.fs.FileSystem,
+      parent: Path): Unit = {
+    val name = s"rl-keeper-${java.util.UUID.randomUUID().toString.take(8)}-000" +
+      graft.scbf.Scbf.FileExtension
+    val scbfSchema = ScbfDataSource.sparkToScbf(schema)
+    val cols: Seq[graft.scbf.ColumnData] = scbfSchema.columns.map(_.tpe match {
+      case graft.scbf.ScbfType.Int32 =>
+        graft.scbf.IntColumnData(Array.empty[Int])
+      case graft.scbf.ScbfType.Float64 =>
+        graft.scbf.DoubleColumnData(Array.empty[Double])
+      case graft.scbf.ScbfType.Utf8 =>
+        graft.scbf.Utf8ColumnData(Array.empty[Array[Byte]])
+    })
+    val tmp = new Path(parent, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try graft.scbf.ScbfWriter.write(out, scbfSchema, cols) finally out.close()
+    if (!fs.rename(tmp, new Path(parent, name))) {
+      fs.delete(tmp, false)
+      throw new graft.scbf.ScbfFormatException(
+        s"could not publish keeper file $name in $parent")
     }
   }
 

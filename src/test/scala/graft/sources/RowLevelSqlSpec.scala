@@ -192,6 +192,64 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS scbf_subdel")
   }
 
+  test("an ALL-rows copy-on-write DELETE leaves a readable table and announces the removal") {
+    // the empty-replacement shape: every row of every scanned group is
+    // deleted, so the rewrite publishes NOTHING (emitEmptyFiles=false)
+    // — the table must keep a 0-row data file (path reads need a
+    // header to infer schema from) and the log must record the change
+    // (no replacement entry exists to carry the rewriteOf, and the
+    // stale live entries would otherwise crash a lagging consumer and
+    // mute every onChangeCommit policy)
+    val dir = tmpDir("scbf-sql-delall")
+    mkTable("scbf_delall", dir, parts = 3)
+    val preNames = dataFiles(dir).keySet
+    // subquery condition: untranslatable, must take the ReplaceData path
+    spark.sql(
+      "DELETE FROM scbf_delall WHERE id IN (SELECT CAST(id AS INT) FROM range(0, 800))")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_delall").head().getLong(0) == 0L)
+      // path-based readers (no catalog schema) still work: the keeper
+      val files = dataFiles(dir)
+      assert(files.size == 1 && !preNames.exists(files.contains),
+        s"one fresh 0-row keeper, all originals gone: $files")
+      assert(spark.read.format("scbf").load(dir).count() == 0L,
+        "a schema-less path read must survive the emptied table")
+      val root = new Path(dir)
+      val removals = ScbfDiscovery.listDeltas(root, hconf)
+        .flatMap(n => ScbfDiscovery.readDelta(root, hconf, n))
+        .filter(_.name.endsWith(ScbfDiscovery.RemovalSuffix))
+      assert(removals.size == 1 && removals.head.rowsChanged &&
+        removals.head.len == ScbfDiscovery.RemovedLen &&
+        removals.head.rewriteOf.toSet == preNames.map(p => new Path(p).getName),
+        s"the removal entry must carry every replaced group: $removals")
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_delall")
+  }
+
+  test("a whole-partition MOVE keeps the emptied source partition readable") {
+    val dir = tmpDir("scbf-sql-mvall")
+    spark.sql("DROP TABLE IF EXISTS scbf_mvall")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE scbf_mvall (id INT, grp STRING, v INT) " +
+        s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.range(0, 100)
+        .select(col("id").cast("int").as("id"),
+          concat(lit("g"), (col("id") % 2).cast("int")).as("grp"),
+          col("id").cast("int").as("v"))
+        .createOrReplaceTempView("scbf_mvall_src")
+      spark.sql("INSERT INTO scbf_mvall SELECT /*+ REPARTITION(2, grp) */ * FROM scbf_mvall_src")
+      // move EVERY g1 row to g9: replacements land in grp=g9 only, so
+      // grp=g1 loses its last data file and needs the keeper
+      spark.sql("UPDATE scbf_mvall SET grp = 'g9' WHERE grp = 'g1'")
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_mvall WHERE grp = 'g9'")
+        .head().getLong(0) == 50L)
+      assert(spark.sql("SELECT COUNT(*) FROM scbf_mvall").head().getLong(0) == 100L)
+      // the emptied partition stays a readable standalone SCBF table
+      assert(spark.read.format("scbf").load(s"$dir/grp=g1").count() == 0L,
+        "the emptied source partition must keep a readable keeper file")
+    } finally spark.sql("DROP TABLE IF EXISTS scbf_mvall")
+  }
+
   test("a caught-up root stream is undisturbed by a partitioned SQL UPDATE (onChangeCommit default)") {
     // the end-to-end stream contract for the SQL path: replacements
     // announce to the ROOT discovery log with subdir-qualified
