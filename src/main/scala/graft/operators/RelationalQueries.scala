@@ -724,6 +724,44 @@ object RelationalQueries {
         GROUP BY source""")
     },
 
+    "q53_partition_mgmt" -> { (s, dir) =>
+      // SHOW PARTITIONS / ALTER TABLE ADD/DROP PARTITION / TRUNCATE
+      // TABLE ... PARTITION via SupportsPartitionManagement: the
+      // partition IS its k=v directory (no metastore to sync), DROP is
+      // O(files) metadata work announced to the root discovery log as
+      // a removal entry (the same record a metadata-only DELETE
+      // leaves), and ADD/TRUNCATE keep their directories readable via
+      // 0-row keepers. The net DATA effect of the statements below is
+      // two plain source filters, which the oracle replays on the
+      // source parquet; the partition-listing surface itself is
+      // spec-gated (PartitionMgmtSpec).
+      val scbfDir = scratchDir(s) + "/graft_scbf_pm_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q53")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q53_src")
+      s.sql("CREATE TABLE graft_q53 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      s.sql("""INSERT INTO graft_q53
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q53_src""")
+      s.sql("ALTER TABLE graft_q53 ADD PARTITION (source='zzz_added')")
+      s.sql("ALTER TABLE graft_q53 DROP PARTITION (source='src2')")
+      s.sql("TRUNCATE TABLE graft_q53 PARTITION (source='src4')")
+      val parts = s.sql("SHOW PARTITIONS graft_q53")
+        .collect().map(_.getString(0)).toSet
+      require(parts.contains("source=zzz_added") &&
+        !parts.contains("source=src2") && parts.contains("source=src4"),
+        s"partition surface after ADD/DROP/TRUNCATE is wrong: $parts")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q53 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1122,6 +1160,14 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE source IN ('src1', 'src6') AND doc_id >= 300
+         GROUP BY source""",
+
+    "q53_partition_mgmt" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE source NOT IN ('src2', 'src4')
          GROUP BY source""",
 
     "q17_events_tumbling" ->

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsPartitionManagement, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -147,7 +148,7 @@ class ScbfTable(
     partitionTransforms: Array[Transform] = Array.empty,
     tableProps: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsPartitionManagement {
 
   override def partitioning(): Array[Transform] = partitionTransforms
 
@@ -191,6 +192,94 @@ class ScbfTable(
       conf, schema, partitionColNames, filters)
 
   override def name(): String = s"scbf:${tablePaths.mkString(",")}"
+
+  // ---- SupportsPartitionManagement: SHOW PARTITIONS, ALTER TABLE
+  // ADD/DROP PARTITION, TRUNCATE TABLE ... PARTITION. A partition IS
+  // its k=v directory (no metastore to sync — see ScbfPartitionMgmt);
+  // DROP/TRUNCATE announce removal entries to the root discovery log
+  // first (the metadata-only DELETE record), so streams keep their
+  // onChangeCommit semantics, and TRUNCATE leaves a 0-row keeper (the
+  // readable-empty-table contract). Multi-partition ALTER statements
+  // need the atomic interface (deliberately not claimed: a directory
+  // loop is not atomic); Spark's error says to go one at a time.
+
+  private def pmRoot: Path = {
+    require(tablePaths.size == 1 && partitionTransforms.nonEmpty,
+      s"partition management needs one partitioned table path, got $tablePaths")
+    val r = new Path(tablePaths.head)
+    r.getFileSystem(conf).makeQualified(r)
+  }
+
+  override def partitionSchema(): StructType =
+    StructType(partitionColNames.map(n => schema.fields(schema.fieldIndex(n))))
+
+  override def createPartition(ident: InternalRow,
+      props: java.util.Map[String, String]): Unit = {
+    val qroot = pmRoot
+    val fs = qroot.getFileSystem(conf)
+    val d = ScbfPartitionMgmt.dirOf(qroot, partitionSchema(), ident)
+    if (fs.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        name(), ident, partitionSchema())
+    fs.mkdirs(d)
+    // the keeper makes the fresh partition a readable standalone SCBF
+    // directory immediately (schema lives in file headers)
+    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-")
+    ()
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val qroot = pmRoot
+    val fs = qroot.getFileSystem(conf)
+    val d = ScbfPartitionMgmt.dirOf(qroot, partitionSchema(), ident)
+    if (!fs.exists(d)) false
+    else {
+      ScbfPartitionMgmt.announceRemoval(qroot, d, conf)
+      fs.delete(d, true)
+      true
+    }
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    val qroot = pmRoot
+    val fs = qroot.getFileSystem(conf)
+    val d = ScbfPartitionMgmt.dirOf(qroot, partitionSchema(), ident)
+    if (!fs.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    ScbfPartitionMgmt.announceRemoval(qroot, d, conf)
+    // keeper FIRST (no unreadable window), then remove the data files
+    // + sidecars and drop their manifest entries in one merge cycle
+    val victims = ScbfDataSource.resolveFiles(Seq(d.toString), conf)
+    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-")
+    victims.foreach { f =>
+      fs.delete(f.getPath, false)
+      val sc = ScbfStats.sidecarPath(f.getPath)
+      if (fs.exists(sc)) fs.delete(sc, false)
+      val bl = ScbfBloom.bloomPath(f.getPath)
+      if (fs.exists(bl)) fs.delete(bl, false)
+    }
+    ScbfStats.mergeManifest(d, conf, Seq.empty, fresh = false,
+      drop = victims.map(_.getPath.getName).toSet)
+    true
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "SCBF partitions carry no partition-level metadata (the k=v " +
+        "directory is the partition)")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val qroot = pmRoot
+    ScbfPartitionMgmt.listIdents(qroot, qroot.getFileSystem(conf),
+      partitionSchema(), names, ident)
+  }
 
   override def schema(): StructType = schema
 

@@ -300,31 +300,12 @@ private[sources] class ScbfRowLevelBatchWrite(
     }
   }
 
-  /** A 0-row data file with the full table schema, published atomically
-   * (dot-temp + rename) straight through the codec — no Spark job, no
-   * manifest entry (the scan's header fallback covers a stats-less
-   * file). Keeps a fully-emptied directory a readable SCBF table. */
+  /** Codec-written 0-row keeper ([[ScbfUtil.writeEmptyScbf]]): keeps a
+   * fully-emptied directory a readable SCBF table. */
   private def writeKeeper(fs: org.apache.hadoop.fs.FileSystem,
       parent: Path): Unit = {
-    val name = s"rl-keeper-${java.util.UUID.randomUUID().toString.take(8)}-000" +
-      graft.scbf.Scbf.FileExtension
-    val scbfSchema = ScbfDataSource.sparkToScbf(schema)
-    val cols: Seq[graft.scbf.ColumnData] = scbfSchema.columns.map(_.tpe match {
-      case graft.scbf.ScbfType.Int32 =>
-        graft.scbf.IntColumnData(Array.empty[Int])
-      case graft.scbf.ScbfType.Float64 =>
-        graft.scbf.DoubleColumnData(Array.empty[Double])
-      case graft.scbf.ScbfType.Utf8 =>
-        graft.scbf.Utf8ColumnData(Array.empty[Array[Byte]])
-    })
-    val tmp = new Path(parent, s".$name.tmp")
-    val out = fs.create(tmp, true)
-    try graft.scbf.ScbfWriter.write(out, scbfSchema, cols) finally out.close()
-    if (!fs.rename(tmp, new Path(parent, name))) {
-      fs.delete(tmp, false)
-      throw new graft.scbf.ScbfFormatException(
-        s"could not publish keeper file $name in $parent")
-    }
+    ScbfUtil.writeEmptyScbf(fs, parent, schema, "rl-keeper-")
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -35,6 +35,35 @@ object ScbfUtil {
     try ScbfReader.readHeader(in) finally in.close()
   }
 
+  /** A 0-row data file with the given schema, published atomically
+   * (dot-temp + rename) straight through the codec — no Spark job, no
+   * manifest entry (the scan's header fallback covers a stats-less
+   * file). The KEEPER the empty-table contract relies on: a directory
+   * that would otherwise hold no data file stays a readable standalone
+   * SCBF table (schema lives in file headers). Used by the row-level
+   * commit (all-rows rewrites) and partition management (ADD/TRUNCATE
+   * PARTITION). Returns the published path. */
+  def writeEmptyScbf(fs: org.apache.hadoop.fs.FileSystem, parent: Path,
+      schema: org.apache.spark.sql.types.StructType, prefix: String): Path = {
+    val name = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}-000" +
+      Scbf.FileExtension
+    val scbfSchema = ScbfDataSource.sparkToScbf(schema)
+    val cols: Seq[ColumnData] = scbfSchema.columns.map(_.tpe match {
+      case ScbfType.Int32   => IntColumnData(Array.empty[Int])
+      case ScbfType.Float64 => DoubleColumnData(Array.empty[Double])
+      case ScbfType.Utf8    => Utf8ColumnData(Array.empty[Array[Byte]])
+    })
+    val tmp = new Path(parent, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try ScbfWriter.write(out, scbfSchema, cols) finally out.close()
+    val dest = new Path(parent, name)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new ScbfFormatException(s"could not publish keeper file $name in $parent")
+    }
+    dest
+  }
+
   /** Hadoop Configuration is not Serializable; standard writable-based
    * wrapper so tasks receive the driver's filesystem settings. */
   final class SerializableConf(@transient var value: Configuration) extends Serializable {

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * SupportsPartitionManagement over the hive-layout directory tree:
+ * SHOW PARTITIONS (full + partial spec), ALTER TABLE ADD/DROP
+ * PARTITION, TRUNCATE TABLE ... PARTITION — the partition IS its k=v
+ * directory, DROP/TRUNCATE announce removal entries to the root
+ * discovery log (streams keep onChangeCommit semantics), ADD/TRUNCATE
+ * leave a 0-row keeper (readable-empty-table contract).
+ */
+class PartitionMgmtSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def mk(name: String): String = {
+    val dir = Files.createTempDirectory(s"scbf-pm-$name").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, grp STRING, b INT, v DOUBLE) " +
+      s"USING scbf PARTITIONED BY (grp, b) LOCATION '$dir'")
+    (0 until 120).map(i => (i, s"g${i % 3}", i % 2, i * 0.5))
+      .toDF("id", "grp", "b", "v").createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION(2, grp, b) */ id, grp, b, v FROM ${name}_src")
+    dir
+  }
+
+  private def rootRemovals(dir: String): Seq[ScbfDiscovery.Entry] = {
+    val conf = new Configuration()
+    val qroot = new Path(dir).getFileSystem(conf).makeQualified(new Path(dir))
+    ScbfDiscovery.listDeltas(qroot, conf)
+      .flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
+      .filter(_.name.endsWith(ScbfDiscovery.RemovalSuffix))
+  }
+
+  test("SHOW PARTITIONS: full listing and partial-spec filtering, typed columns") {
+    mk("pm_show")
+    try {
+      val all = spark.sql("SHOW PARTITIONS pm_show")
+        .collect().map(_.getString(0)).sorted
+      assert(all.toSeq == Seq(
+        "grp=g0/b=0", "grp=g0/b=1", "grp=g1/b=0", "grp=g1/b=1",
+        "grp=g2/b=0", "grp=g2/b=1"), s"full listing: ${all.toSeq}")
+      val part = spark.sql("SHOW PARTITIONS pm_show PARTITION (grp='g1')")
+        .collect().map(_.getString(0)).sorted
+      assert(part.toSeq == Seq("grp=g1/b=0", "grp=g1/b=1"), s"partial: ${part.toSeq}")
+      val one = spark.sql("SHOW PARTITIONS pm_show PARTITION (grp='g2', b=1)")
+        .collect().map(_.getString(0))
+      assert(one.toSeq == Seq("grp=g2/b=1"), s"full spec: ${one.toSeq}")
+    } finally spark.sql("DROP TABLE IF EXISTS pm_show")
+  }
+
+  test("ADD PARTITION creates a readable keeper directory; duplicate add refuses") {
+    val dir = mk("pm_add")
+    try {
+      spark.sql("ALTER TABLE pm_add ADD PARTITION (grp='gnew', b=7)")
+      assert(spark.sql("SHOW PARTITIONS pm_add").collect()
+        .exists(_.getString(0) == "grp=gnew/b=7"))
+      // the keeper makes the fresh partition directly readable
+      assert(spark.read.format("scbf").load(s"$dir/grp=gnew/b=7").count() == 0L)
+      assert(spark.sql("SELECT COUNT(*) FROM pm_add").head().getLong(0) == 120L)
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE pm_add ADD PARTITION (grp='gnew', b=7)")
+      }
+      assert(e.getMessage.toLowerCase.contains("already exist"), e.getMessage)
+      // rows INSERTed into the added partition coexist with the keeper
+      spark.sql("INSERT INTO pm_add VALUES (999, 'gnew', 7, 1.0)")
+      assert(spark.sql("SELECT COUNT(*) FROM pm_add WHERE grp='gnew'").head().getLong(0) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS pm_add")
+  }
+
+  test("DROP PARTITION removes the directory and announces removals to the root log") {
+    val dir = mk("pm_drop")
+    try {
+      ScbfUtil.dataFileOpens.set(0)
+      spark.sql("ALTER TABLE pm_drop DROP PARTITION (grp='g1', b=0)")
+      assert(ScbfUtil.dataFileOpens.get == 0, "a drop is pure metadata work")
+      assert(!new java.io.File(s"$dir/grp=g1/b=0").exists(), "directory must be gone")
+      assert(spark.sql("SELECT COUNT(*) FROM pm_drop").head().getLong(0) == 100L)
+      assert(!spark.sql("SHOW PARTITIONS pm_drop").collect()
+        .exists(_.getString(0) == "grp=g1/b=0"))
+      val rem = rootRemovals(dir)
+      assert(rem.size == 1 && rem.head.rowsChanged &&
+        rem.head.name.startsWith("grp=g1/b=0/") &&
+        rem.head.rewriteOf.nonEmpty &&
+        rem.head.rewriteOf.forall(_.startsWith("grp=g1/b=0/")),
+        s"subdir-qualified removal entry: $rem")
+      // droping a missing partition: IF EXISTS is quiet, bare errors
+      spark.sql("ALTER TABLE pm_drop DROP IF EXISTS PARTITION (grp='g1', b=0)")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE pm_drop DROP PARTITION (grp='g1', b=0)")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS pm_drop")
+  }
+
+  test("TRUNCATE TABLE ... PARTITION empties exactly that partition, keeps it listed and readable") {
+    val dir = mk("pm_trunc")
+    try {
+      val beforeOther = spark.sql("SELECT COUNT(*) FROM pm_trunc WHERE grp='g0'")
+        .head().getLong(0)
+      spark.sql("TRUNCATE TABLE pm_trunc PARTITION (grp='g2', b=1)")
+      assert(spark.sql("SELECT COUNT(*) FROM pm_trunc WHERE grp='g2' AND b=1")
+        .head().getLong(0) == 0L)
+      assert(spark.sql("SELECT COUNT(*) FROM pm_trunc WHERE grp='g0'")
+        .head().getLong(0) == beforeOther, "other partitions untouched")
+      // still a listed partition AND a readable standalone directory
+      assert(spark.sql("SHOW PARTITIONS pm_trunc").collect()
+        .exists(_.getString(0) == "grp=g2/b=1"))
+      assert(spark.read.format("scbf").load(s"$dir/grp=g2/b=1").count() == 0L)
+      assert(rootRemovals(dir).size == 1, "the truncate announces its removals")
+    } finally spark.sql("DROP TABLE IF EXISTS pm_trunc")
+  }
+}
