@@ -224,7 +224,8 @@ class ScbfTable(
     fs.mkdirs(d)
     // the keeper makes the fresh partition a readable standalone SCBF
     // directory immediately (schema lives in file headers)
-    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-")
+    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-",
+      announceRoot = Some(qroot))
     ()
   }
 
@@ -251,7 +252,8 @@ class ScbfTable(
     // keeper FIRST (no unreadable window), then remove the data files
     // + sidecars and drop their manifest entries in one merge cycle
     val victims = ScbfDataSource.resolveFiles(Seq(d.toString), conf)
-    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-")
+    ScbfUtil.writeEmptyScbf(fs, d, schema, "pm-keeper-",
+      announceRoot = Some(qroot))
     victims.foreach { f =>
       fs.delete(f.getPath, false)
       val sc = ScbfStats.sidecarPath(f.getPath)

@@ -273,7 +273,9 @@ private[sources] class ScbfRowLevelBatchWrite(
             n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith(".")
           }).map(_.getPath.getName).filterNot(removedNames)
           catch { case _: java.io.FileNotFoundException => Seq.empty }
-        if (liveLeft.isEmpty) writeKeeper(fs, parent)
+        if (liveLeft.isEmpty)
+          ScbfUtil.writeEmptyScbf(fs, parent, schema, "rl-keeper-",
+            announceRoot = Some(qroot))
       }
     }
     if (published.isEmpty && scanned.nonEmpty &&
@@ -300,13 +302,6 @@ private[sources] class ScbfRowLevelBatchWrite(
     }
   }
 
-  /** Codec-written 0-row keeper ([[ScbfUtil.writeEmptyScbf]]): keeps a
-   * fully-emptied directory a readable SCBF table. */
-  private def writeKeeper(fs: org.apache.hadoop.fs.FileSystem,
-      parent: Path): Unit = {
-    ScbfUtil.writeEmptyScbf(fs, parent, schema, "rl-keeper-")
-    ()
-  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     inner.abort(messages)

@@ -42,9 +42,16 @@ object ScbfUtil {
    * that would otherwise hold no data file stays a readable standalone
    * SCBF table (schema lives in file headers). Used by the row-level
    * commit (all-rows rewrites) and partition management (ADD/TRUNCATE
-   * PARTITION). Returns the published path. */
+   * PARTITION). With `announceRoot` set (the table root whose
+   * discovery log should learn of the file), the keeper is announced
+   * as a PLAIN entry — root-relative name, real length — exactly like
+   * any published file, so a log-path stream admits it promptly (it
+   * delivers zero rows) instead of discovering it at the next
+   * reconcile; gated on the log existing, best-effort like every
+   * announcement. Returns the published path. */
   def writeEmptyScbf(fs: org.apache.hadoop.fs.FileSystem, parent: Path,
-      schema: org.apache.spark.sql.types.StructType, prefix: String): Path = {
+      schema: org.apache.spark.sql.types.StructType, prefix: String,
+      announceRoot: Option[Path] = None): Path = {
     val name = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}-000" +
       Scbf.FileExtension
     val scbfSchema = ScbfDataSource.sparkToScbf(schema)
@@ -60,6 +67,15 @@ object ScbfUtil {
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       throw new ScbfFormatException(s"could not publish keeper file $name in $parent")
+    }
+    announceRoot.foreach { root =>
+      val qroot = fs.makeQualified(root)
+      if (ScbfDiscovery.exists(qroot, fs.getConf)) {
+        val rel = qroot.toUri.relativize(fs.makeQualified(dest).toUri)
+          .getPath.stripPrefix("/")
+        ScbfDiscovery.append(qroot, fs.getConf, Seq(ScbfDiscovery.Entry(
+          rel, fs.getFileStatus(dest).getLen, System.currentTimeMillis())))
+      }
     }
     dest
   }

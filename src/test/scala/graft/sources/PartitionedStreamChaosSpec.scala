@@ -46,7 +46,7 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
 
   private def sorted(rows: Seq[R]): Seq[R] = rows.sortBy(r => (r.id, r.n))
 
-  private def runSeed(seed: Int, steps: Int): Unit = {
+  private def runSeed(seed: Int, steps: Int): Seq[String] = {
     val rnd = new Random(seed)
     val dir = tmpDir(s"scbf-pchaos-$seed")
     val ckpt = Files.createTempDirectory(s"scbf-pchaos-ckpt-$seed").toString
@@ -152,8 +152,16 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
 
     val tableSchema = StructType(schema.fields :+
       StructField("grp", StringType, nullable = false))
+    // partition-management surface under chaos: DROP/TRUNCATE route
+    // through the real SupportsPartitionManagement entry points
+    val pmTable = new ScbfTable(Seq(dir), Seq.empty, tableSchema, conf,
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("grp")))
+    def pmIdent(g: String): org.apache.spark.sql.catalyst.InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(g)))
     for (step <- 1 to steps) {
-      val label = rnd.nextInt(12) match {
+      val label = rnd.nextInt(14) match {
         case 0 | 1 | 2 | 3 => // partitioned append (rows fan across grps)
           val rows = fresh(8 + rnd.nextInt(30))
           tableRows ++= rows.map(_._1)
@@ -186,6 +194,37 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
             parallelism = par))
           tableRows = tableRows.filterNot(r => r.id >= lo && r.id < hi)
           s"deleteTable(par=$par) id in [$lo,$hi) [${applyRewrite(rm, ad)}]"
+        case 10 => // DROP PARTITION: O(files) metadata takedown, the
+          // removal-entry announcement carries the whole record — a
+          // caught-up partition stays silent, a lagging partition's
+          // pending victims are dropped from admission (nothing
+          // replaces them: their rows are gone)
+          val g = s"g${rnd.nextInt(4)}"
+          val victims = liveFiles().filter(_.startsWith(s"grp=$g/"))
+          val victimIds = rowsOf(victims).map(_.id).toSet
+          val (rm, ad) = mutate { pmTable.dropPartition(pmIdent(g)); () }
+          assert(ad.isEmpty && rm == victims,
+            s"drop must remove exactly grp=$g's files: rm=$rm ad=$ad")
+          tableRows = tableRows.filterNot(r => victimIds.contains(r.id))
+          s"dropPartition($g) ${victims.size} files [${applyRewrite(rm, ad)}]"
+        case 11 => // TRUNCATE PARTITION: same takedown + an announced
+          // 0-row keeper, which any consumer admits as a (rowless)
+          // new file — pending regardless of the victims' coverage
+          val g = s"g${rnd.nextInt(4)}"
+          val existed = liveFiles().exists(_.startsWith(s"grp=$g/"))
+          if (!existed) s"truncatePartition($g) skipped (absent)"
+          else {
+            val victims = liveFiles().filter(_.startsWith(s"grp=$g/"))
+            val victimIds = rowsOf(victims).map(_.id).toSet
+            val (rm, ad) = mutate { pmTable.truncatePartition(pmIdent(g)); () }
+            assert(rm == victims && ad.size == 1 &&
+              ad.head.startsWith(s"grp=$g/"),
+              s"truncate must swap grp=$g's files for one keeper: rm=$rm ad=$ad")
+            tableRows = tableRows.filterNot(r => victimIds.contains(r.id))
+            val verdict = applyRewrite(rm, Set.empty)
+            pendingFiles ++= ad
+            s"truncatePartition($g) ${victims.size} files [$verdict]"
+          }
         case _ => // table-level UPDATE (no-CDC under skip, per partition)
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(80)
@@ -217,6 +256,7 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
       .map(r => R(r.getInt(0), r.getInt(1))).toSeq
     assert(sorted(got) == sorted(tableRows),
       s"final table contents diverged\n${history.mkString("\n")}")
+    history.toSeq
   }
 
   test("partitioned-root maintenance interleavings deliver exactly the model (seed 21)") {
@@ -224,6 +264,12 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
   }
   test("partitioned-root maintenance interleavings deliver exactly the model (seed 22)") {
     runSeed(22, 12)
+  }
+  test("the op mix covers DROP/TRUNCATE PARTITION under chaos (seed 23)") {
+    val h = runSeed(23, 18)
+    assert(h.exists(_.contains("dropPartition")) &&
+      h.exists(_.contains("truncatePartition(")),
+      s"seed must exercise partition management:\n${h.mkString("\n")}")
   }
 
   test("ONE sweep, mixed coverage: the lagging partition delivers, the caught-up ones stay silent") {
