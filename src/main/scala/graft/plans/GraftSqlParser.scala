@@ -20,6 +20,7 @@ import graft.sources.ScbfMaintenance
  * statements and delegates EVERYTHING else untouched:
  *
  * {{{
+ *   OPTIMIZE tbl [FILES n]                          -- bin-pack compaction
  *   OPTIMIZE tbl CLUSTER BY (c1[, c2…]) [FILES n]   -- range-cluster
  *   OPTIMIZE tbl ZORDER  BY (c1, c2[, …]) [FILES n] -- z-order
  *   VACUUM tbl [RETAIN h HOURS]                     -- temp/orphan sweep
@@ -58,6 +59,10 @@ object GraftSqlParser {
 
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+(CLUSTER|ZORDER)\s+BY\s*\(\s*([^)]+?)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  // plain bin-packing compaction, no BY clause (Delta's un-ZORDERed
+  // OPTIMIZE) — matched AFTER the BY form so it can't shadow it
+  private val OptimizePlainRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
 
@@ -67,6 +72,9 @@ object GraftSqlParser {
       require(colNames.nonEmpty, s"OPTIMIZE needs at least one column: $sql")
       Some(GraftOptimizeCommand(tbl,
         zorder = kind.equalsIgnoreCase("ZORDER"), colNames,
+        Option(files).map(_.toInt).getOrElse(1)))
+    case OptimizePlainRe(tbl, files) =>
+      Some(GraftOptimizeCommand(tbl, zorder = false, Seq.empty,
         Option(files).map(_.toInt).getOrElse(1)))
     case VacuumRe(tbl, hours) =>
       Some(GraftVacuumCommand(tbl, Option(hours).map(_.toLong * 3600 * 1000)))
@@ -114,11 +122,14 @@ case class GraftOptimizeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val (dir, partitioned) = GraftSqlParser.resolveScbfTable(spark, table)
     val produced =
-      (zorder, partitioned) match {
-        case (false, false) => ScbfMaintenance.cluster(spark, dir, cols, files)
-        case (false, true)  => ScbfMaintenance.clusterTable(spark, dir, cols, files)
-        case (true, false)  => ScbfMaintenance.zorder(spark, dir, cols, files)
-        case (true, true)   => ScbfMaintenance.zorderTable(spark, dir, cols, files)
+      (zorder, cols.isEmpty, partitioned) match {
+        // no BY clause: plain bin-packing compaction
+        case (false, true, false)  => ScbfMaintenance.compact(spark, dir, files)
+        case (false, true, true)   => ScbfMaintenance.compactTable(spark, dir, files)
+        case (false, false, false) => ScbfMaintenance.cluster(spark, dir, cols, files)
+        case (false, false, true)  => ScbfMaintenance.clusterTable(spark, dir, cols, files)
+        case (true, _, false)      => ScbfMaintenance.zorder(spark, dir, cols, files)
+        case (true, _, true)       => ScbfMaintenance.zorderTable(spark, dir, cols, files)
       }
     Seq(Row(produced.size))
   }

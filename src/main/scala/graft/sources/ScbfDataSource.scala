@@ -215,6 +215,12 @@ class ScbfTable(
 
   override def createPartition(ident: InternalRow,
       props: java.util.Map[String, String]): Unit = {
+    // a custom LOCATION would detach the partition from the k=v tree
+    // the scan/write/maintenance paths all walk — refuse loudly
+    // rather than silently planting it in the default directory
+    require(!props.containsKey("location"),
+      s"SCBF partitions live under the table root's k=v layout; " +
+        s"a custom partition LOCATION (${props.get("location")}) is not supported")
     val qroot = pmRoot
     val fs = qroot.getFileSystem(conf)
     val d = ScbfPartitionMgmt.dirOf(qroot, partitionSchema(), ident)

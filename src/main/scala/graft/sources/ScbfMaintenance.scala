@@ -97,6 +97,55 @@ object ScbfMaintenance {
    * defaults to 8 (256 buckets — plenty against file counts, which are
    * ~10⁴ per directory even at 100 TB).
    */
+  /** Plain bin-packing compaction — `OPTIMIZE tbl [FILES n]` without a
+   * BY clause: fold the directory's current files into `numFiles`
+   * without imposing an order (Delta's un-ZORDERed OPTIMIZE). The
+   * 100 TB small-file remedy when no clustering column is worth a
+   * sort: same snapshot scoping, replace-only announcement (pure
+   * compaction, no C:1 — streams stay silent) and commit discipline
+   * as [[cluster]]. SHUFFLE-FREE in the normal (fold-down) direction:
+   * the scan plans one partition per file, so `coalesce` packs several
+   * files per task without moving a row — at 100 TB that is the whole
+   * point of bin-packing over clustering. Only the rare grow-the-
+   * file-count direction pays a repartition shuffle (coalesce cannot
+   * split partitions). */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      numFiles: Int,
+      maxBufferedBytes: Option[Long] = None,
+      filePrefix: Option[String] = None): Seq[String] = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    raceHook()
+    val df = spark.read.format("scbf")
+      .load(snapshot.map(_.getPath.toString): _*)
+    val packed =
+      if (numFiles < snapshot.size) df.coalesce(numFiles)
+      else df.repartition(numFiles)
+    val writer = packed
+      .write.format("scbf").mode("overwrite")
+      .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
+    maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
+    filePrefix.foreach(p => writer.option("filePrefix", p))
+    writer.save(dir)
+    snapshot.map(_.getPath.getName)
+  }
+
+  /** Table-level [[compact]] — every partition swept, root-log
+   * re-announced; same contract as [[clusterTable]]. */
+  def compactTable(
+      spark: SparkSession,
+      dir: String,
+      numFilesPerPartition: Int,
+      maxBufferedBytes: Option[Long] = None,
+      parallelism: Int = 1): Seq[String] =
+    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
+      compact(spark, part, numFilesPerPartition, maxBufferedBytes,
+        Some(prefix))
+    }
+
   def zorder(
       spark: SparkSession,
       dir: String,

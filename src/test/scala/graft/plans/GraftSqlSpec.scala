@@ -78,6 +78,30 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqlopt_p")
   }
 
+  test("plain OPTIMIZE (no BY clause) bin-packs small files, values identical") {
+    val dir = tmpDir("scbf-sql-optp")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_plain")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlopt_plain (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      (0 until 4).foreach { k =>
+        spark.sql(s"""INSERT INTO sqlopt_plain
+          SELECT CAST(id AS INT), CAST(id AS DOUBLE)
+          FROM range(${k * 100}, ${(k + 1) * 100})""")
+      }
+      val pre = ScbfDataSource.resolveFiles(Seq(dir), hconf).size
+      assert(pre >= 4)
+      val folded = spark.sql("OPTIMIZE sqlopt_plain").head().getInt(0)
+      assert(folded == pre, s"all $pre small files fold in, got $folded")
+      assert(ScbfDataSource.resolveFiles(Seq(dir), hconf).size == 1)
+      assert(spark.sql("SELECT COUNT(*), SUM(v) FROM sqlopt_plain").head()
+        == org.apache.spark.sql.Row(400L, 79800.0))
+      // FILES n respected on the partitioned table form too
+      spark.sql("OPTIMIZE sqlopt_plain FILES 2")
+      assert(ScbfDataSource.resolveFiles(Seq(dir), hconf).size == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_plain")
+  }
+
   test("VACUUM sweeps aged temps and orphan sidecars across partitions, pure SQL") {
     val dir = tmpDir("scbf-sql-vac")
     spark.sql("DROP TABLE IF EXISTS sqlvac_t")

@@ -72,6 +72,12 @@ class PartitionMgmtSpec extends AnyFunSuite with SparkTestBase {
       // rows INSERTed into the added partition coexist with the keeper
       spark.sql("INSERT INTO pm_add VALUES (999, 'gnew', 7, 1.0)")
       assert(spark.sql("SELECT COUNT(*) FROM pm_add WHERE grp='gnew'").head().getLong(0) == 1L)
+      // a custom partition LOCATION would detach the partition from
+      // the k=v tree every other path walks — refused loudly
+      val loc = intercept[Exception] {
+        spark.sql("ALTER TABLE pm_add ADD PARTITION (grp='gloc', b=1) LOCATION '/tmp/elsewhere'")
+      }
+      assert(loc.getMessage.contains("LOCATION"), loc.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS pm_add")
   }
 
