@@ -272,6 +272,23 @@ class ScbfTable(
     true
   }
 
+  /** `RENAME PARTITION` is a documented DECLINE: SCBF stores partition
+   * columns IN the data files (that is what makes every partition
+   * directory a complete standalone table, and what lets partition
+   * predicates evaluate as ordinary column predicates), so a
+   * directory rename would leave stored values contradicting the
+   * path — `WHERE grp = '<new>'` would match nothing. Changing a
+   * partition VALUE is a row rewrite by definition here; the
+   * copy-on-write SQL path already does exactly that, routing rows
+   * to their new directory. */
+  override def renamePartition(from: InternalRow, to: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "SCBF stores partition values in the data files, so renaming a " +
+        "partition is a row rewrite, not a directory move. Run " +
+        "UPDATE <table> SET <partition-col> = <new value> WHERE " +
+        "<partition-col> = <old value> — copy-on-write moves the rows " +
+        "to their new directory and announces the change to streams.")
+
   override def replacePartitionMetadata(ident: InternalRow,
       props: java.util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(

@@ -105,6 +105,33 @@ class PartitionMgmtSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS pm_drop")
   }
 
+  test("RENAME PARTITION declines with guidance; the UPDATE path does the actual move") {
+    mk("pm_ren")
+    try {
+      // a directory rename would leave the STORED partition values
+      // (in the data files — what makes every partition a standalone
+      // table) contradicting the path, so rename is a row rewrite by
+      // definition — the error routes to the copy-on-write UPDATE
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE pm_ren PARTITION (grp='g0', b=1) " +
+          "RENAME TO PARTITION (grp='gren', b=9)")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("UPDATE")), messages(e).mkString("|"))
+      // the documented path: copy-on-write UPDATE moves the rows
+      val before = spark.sql("SELECT COUNT(*) FROM pm_ren WHERE grp='g0' AND b=1")
+        .head().getLong(0)
+      assert(before > 0)
+      spark.sql("UPDATE pm_ren SET grp='gren', b=9 WHERE grp='g0' AND b=1")
+      assert(spark.sql("SELECT COUNT(*) FROM pm_ren WHERE grp='gren' AND b=9")
+        .head().getLong(0) == before)
+      assert(spark.sql("SELECT COUNT(*) FROM pm_ren").head().getLong(0) == 120L)
+      val parts = spark.sql("SHOW PARTITIONS pm_ren").collect().map(_.getString(0))
+      assert(parts.contains("grp=gren/b=9"))
+    } finally spark.sql("DROP TABLE IF EXISTS pm_ren")
+  }
+
   test("TRUNCATE TABLE ... PARTITION empties exactly that partition, keeps it listed and readable") {
     val dir = mk("pm_trunc")
     try {
