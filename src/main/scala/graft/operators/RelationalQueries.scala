@@ -762,6 +762,45 @@ object RelationalQueries {
         FROM graft_q53 GROUP BY source""")
     },
 
+    "q54_partition_overwrite" -> { (s, dir) =>
+      // Partition-scoped INSERT OVERWRITE — the idempotent re-ingest
+      // primitive: STATIC (`PARTITION (source='src3')` replaces
+      // exactly that partition's files, scope decided by path cells —
+      // out-of-scope partitions stay byte-identical) and DYNAMIC
+      // (`partitionOverwriteMode=dynamic` replaces exactly the
+      // partitions the insert produces rows for). Victims announce as
+      // a C:1 removal entry, new files as plain entries, so streams
+      // keep their onChangeCommit semantics. The oracle replays both
+      // replacements as plain SQL over the source parquet.
+      val scbfDir = scratchDir(s) + "/graft_scbf_ow_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(scbfDir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q54")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q54_src")
+      s.sql("CREATE TABLE graft_q54 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$scbfDir'")
+      s.sql("""INSERT INTO graft_q54
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q54_src""")
+      // static: re-ingest src3 with recomputed rows
+      s.sql("""INSERT OVERWRITE graft_q54 PARTITION (source='src3')
+        SELECT CAST(doc_id + 1000000 AS INT), CAST(n_chars * 2 AS INT)
+        FROM graft_q54_src WHERE source = 'src3'""")
+      // dynamic: only src5 appears in the data, only src5 is replaced
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql("""INSERT OVERWRITE graft_q54
+        SELECT CAST(doc_id AS INT), source, CAST(0 AS INT)
+        FROM graft_q54_src WHERE source = 'src5'""")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      s.sql("""SELECT source, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q54 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1169,6 +1208,25 @@ object RelationalQueries {
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE source NOT IN ('src2', 'src4')
          GROUP BY source""",
+
+    "q54_partition_overwrite" ->
+      """WITH base AS (
+           SELECT CAST(doc_id AS INT) AS doc_id, source,
+                  CAST(n_chars AS INT) AS n_chars
+           FROM documents),
+         u AS (
+           SELECT doc_id, source, n_chars FROM base
+           WHERE source NOT IN ('src3', 'src5')
+           UNION ALL
+           SELECT doc_id + 1000000, source, n_chars * 2 FROM base
+           WHERE source = 'src3'
+           UNION ALL
+           SELECT doc_id, source, 0 FROM base WHERE source = 'src5')
+         SELECT source, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS INT) AS min_doc,
+           CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM u GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

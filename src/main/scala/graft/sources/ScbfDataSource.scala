@@ -311,7 +311,8 @@ class ScbfTable(
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)

@@ -133,6 +133,25 @@ object ScbfPartitions {
    * partition pruning and stats pruning can never disagree on filter
    * semantics. A cell that doesn't parse to its schema type (foreign
    * directory naming) is omitted — conservatively kept. */
+  /** EXACT decision from partition-path cells, where [[prune]] is only
+   * conservative: Some(matches) when EVERY column the filters
+   * reference has a parseable cell on this file's path — the cells
+   * are point values, so may-match IS must-match for the equality/
+   * point-interval shapes static partition overwrite uses. None when
+   * any referenced column lacks a cell (stray file, foreign layout,
+   * unparseable value): the caller must decide another way or fail
+   * loudly — an overwrite scope may never guess. */
+  def decideByCells(file: Path, schema: StructType, filters: Seq[Filter],
+      roots: Seq[String]): Option[Boolean] = {
+    val usable = filters.filter(ScbfStats.usable)
+    if (usable.isEmpty) return None
+    val cells = partValues(file, schema, roots)
+    val st = synth(cells, schema)
+    val decided = usable.flatMap(_.references).distinct.forall(c =>
+      st.cols.contains(c) || st.strCols.contains(c))
+    if (!decided) None else Some(ScbfStats.mayMatch(usable, st))
+  }
+
   private def synth(values: Map[String, String], schema: StructType): ScbfStats.FileStats = {
     val cols = Map.newBuilder[String, ScbfStats.ColRange]
     val strs = Map.newBuilder[String, ScbfStats.StrRange]

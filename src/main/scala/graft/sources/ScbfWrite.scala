@@ -37,14 +37,60 @@ class ScbfWriteBuilder(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
     partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty)
-  extends WriteBuilder with SupportsOverwrite {
+  extends WriteBuilder with SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var doTruncate = false
+  private var scopeFilters: Option[Seq[Filter]] = None
+  private var dynamicOverwrite = false
 
+  /** `INSERT OVERWRITE`: `AlwaysTrue` = full-table truncate (the
+   * original surface); anything else must be the STATIC PARTITION
+   * OVERWRITE shape — a conjunction of equalities on partition
+   * columns (`INSERT OVERWRITE t PARTITION (grp='x')`) — which
+   * replaces exactly the in-scope partitions' files (delete-then-
+   * insert, scoped by path cells, commit-time atomicity per file).
+   * A row-scoped overwrite on data columns is refused loudly: that is
+   * DELETE + INSERT, two statements with honest semantics. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      s"SCBF supports only full-table overwrite, got: ${filters.mkString(", ")}")
-    doTruncate = true
+    def flat(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val fl = filters.toSeq.flatMap(flat).filterNot(_.isInstanceOf[AlwaysTrue])
+    if (fl.isEmpty) doTruncate = true
+    else {
+      val pc = partitionCols.toSet
+      // Spark emits the static partition spec as null-safe equalities;
+      // SCBF stores no nulls, so <=> with a non-null literal IS =
+      val norm = fl.map {
+        case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null =>
+          org.apache.spark.sql.sources.EqualTo(c, v)
+        case other => other
+      }
+      val ok = norm.forall {
+        case org.apache.spark.sql.sources.EqualTo(c, _) => pc.contains(c)
+        case _ => false
+      }
+      require(ok,
+        s"SCBF overwrite scope must be partition-column equalities " +
+          s"(INSERT OVERWRITE ... PARTITION) or the whole table; got: " +
+          s"${fl.mkString(", ")} — for row-scoped replacement run DELETE " +
+          "then INSERT")
+      scopeFilters = Some(norm)
+    }
+    this
+  }
+
+  /** `partitionOverwriteMode=dynamic`: replace exactly the partitions
+   * this write produces rows for — victims are computed at COMMIT from
+   * the produced files' directories. The standard dynamic-overwrite
+   * race applies (a concurrent append to a touched partition between
+   * job start and commit is replaced along with the old contents). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partitionCols.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table")
+    dynamicOverwrite = true
     this
   }
 
@@ -52,12 +98,13 @@ class ScbfWriteBuilder(
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
-        partitionCols, rewriteOf)
+        partitionCols, rewriteOf,
+        scopeFilters = scopeFilters, dynamicPartitionOverwrite = dynamicOverwrite)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
       // the sink is append-only (the natural mode for a file sink)
-      require(!doTruncate,
+      require(!doTruncate && scopeFilters.isEmpty && !dynamicOverwrite,
         "SCBF streaming sink supports append output mode only")
       require(partitionCols.isEmpty,
         "SCBF streaming sink does not support partitioned tables yet — " +
@@ -162,7 +209,14 @@ class ScbfBatchWrite(
     // before delegating commit — always on the driver, before commit
     // reads the field
     private[sources] var rewriteOfNames: Seq[String] = Seq.empty,
-    emitEmptyFiles: Boolean = true)
+    emitEmptyFiles: Boolean = true,
+    // static partition overwrite: replace exactly the files whose
+    // partition-path cells satisfy these equalities (see
+    // ScbfWriteBuilder.overwrite); mutually exclusive with truncate
+    scopeFilters: Option[Seq[Filter]] = None,
+    // dynamic partition overwrite: victims are the pre-existing files
+    // of exactly the partitions this commit publishes into
+    dynamicPartitionOverwrite: Boolean = false)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -175,6 +229,30 @@ class ScbfBatchWrite(
     val path = new Path(dir)
     val fs = path.getFileSystem(conf.value)
     if (!truncate) ScbfWrite.validateAppendSchema(dir, schema, conf.value)
+    // STATIC partition overwrite: capture the exact in-scope victims
+    // now (deleted only at commit, like truncate's). Path cells decide
+    // EXACTLY (point values); a file no cell can decide — a stray
+    // root-level file that might hold in-scope rows — fails the job
+    // loudly rather than silently surviving an overwrite that claims
+    // to replace its rows (DELETE covers that shape exactly).
+    scopeFilters.foreach { sf =>
+      require(!truncate, "overwrite scope and truncate are exclusive")
+      if (fs.exists(path)) {
+        val qroots = ScbfPartitions.qualifiedRoots(Seq(dir), conf.value)
+        val listed = ScbfDataSource.resolveFiles(Seq(dir), conf.value)
+        toReplace = listed.flatMap { f =>
+          ScbfPartitions.decideByCells(f.getPath, schema, sf, qroots) match {
+            case Some(true)  => Some(f.getPath)
+            case Some(false) => None
+            case None => throw new ScbfFormatException(
+              s"static partition overwrite cannot decide ${f.getPath} " +
+                s"against scope ${sf.mkString(" AND ")}: the file's path " +
+                "carries no partition cells for the scoped column(s). " +
+                "Move or delete the stray file, or use DELETE + INSERT.")
+          }
+        }
+      }
+    }
     if (truncate && fs.exists(path)) {
       // resolveFiles: recursive over partition subdirectories, so a
       // partitioned overwrite replaces the WHOLE table, not just root
@@ -205,6 +283,52 @@ class ScbfBatchWrite(
     // comparison would never match. Names are unique (uuid suffix).
     val entries = messages.collect { case ScbfCommitMessage(es) => es }.flatten.toIndexedSeq
     val newNames = entries.map(_.name).toSet
+    val qroot = fs.makeQualified(new Path(dir))
+    def subdirOf(n: String): String = {
+      val i = n.lastIndexOf('/'); if (i < 0) "" else n.substring(0, i)
+    }
+    def dirOf(sub: String): Path = if (sub.isEmpty) qroot else new Path(qroot, sub)
+    def relOf(p: Path): String =
+      qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+    def localized(es: Seq[ScbfStats.FileEntry], sub: String): Seq[ScbfStats.FileEntry] =
+      if (sub.isEmpty) es else es.map(e => e.copy(name = e.name.substring(sub.length + 1)))
+    val bySub = entries.groupBy(e => subdirOf(e.name))
+    // DYNAMIC partition overwrite: victims are the pre-existing files
+    // of exactly the partitions this commit published into — computed
+    // here (the produced set is only known now), excluding the just-
+    // published files by bare name
+    if (dynamicPartitionOverwrite) {
+      val newBare = entries.map { e =>
+        val i = e.name.lastIndexOf('/'); if (i < 0) e.name else e.name.substring(i + 1)
+      }.toSet
+      toReplace = bySub.keySet.toSeq.flatMap(sub =>
+          ScbfDataSource.resolveFiles(Seq(dirOf(sub).toString), conf.value)
+            .map(_.getPath))
+        .filterNot(p => newBare.contains(p.getName))
+    }
+    val scopedOverwrite = scopeFilters.isDefined || dynamicPartitionOverwrite
+    // scoped overwrite emptying a directory the insert does not
+    // repopulate (static scope with no rows for it): write the 0-row
+    // keeper BEFORE the deletions — no unreadable window (the same
+    // contract as the row-level commit)
+    if (scopedOverwrite && toReplace.nonEmpty) {
+      toReplace.map(_.getParent).distinct.foreach { parent =>
+        val sub = relOf(parent)
+        if (!bySub.contains(sub)) {
+          val victimNames =
+            toReplace.filter(_.getParent == parent).map(_.getName).toSet
+          val left =
+            try fs.listStatus(parent).toSeq.filter(f => f.isFile && {
+              val n = f.getPath.getName
+              n.endsWith(Scbf.FileExtension) && !n.startsWith(".")
+            }).map(_.getPath.getName).filterNot(victimNames)
+            catch { case _: java.io.FileNotFoundException => Seq.empty }
+          if (left.isEmpty)
+            ScbfUtil.writeEmptyScbf(fs, parent, schema, "ow-keeper-",
+              announceRoot = Some(new Path(dir)))
+        }
+      }
+    }
     toReplace.filterNot(p => newNames.contains(p.getName))
       .foreach { p =>
         fs.delete(p, false)
@@ -223,23 +347,23 @@ class ScbfBatchWrite(
     // partition subdirectory gets ITS OWN manifest (it is a complete
     // standalone SCBF directory — the whole point of the layout), so
     // entries group by subdir and localize before merging.
-    val qroot = fs.makeQualified(new Path(dir))
-    def subdirOf(n: String): String = {
-      val i = n.lastIndexOf('/'); if (i < 0) "" else n.substring(0, i)
-    }
-    def dirOf(sub: String): Path = if (sub.isEmpty) qroot else new Path(qroot, sub)
-    def localized(es: Seq[ScbfStats.FileEntry], sub: String): Seq[ScbfStats.FileEntry] =
-      if (sub.isEmpty) es else es.map(e => e.copy(name = e.name.substring(sub.length + 1)))
-    val bySub = entries.groupBy(e => subdirOf(e.name))
     replaceOnly match {
       case None =>
         // full overwrite owns the directory: dead-attempt temps are
         // safe to sweep (no concurrent writer can be harmed — its
         // contents are being replaced anyway)
         if (truncate) sweepTemps()
-        bySub.foreach { case (sub, es) =>
-          ScbfStats.mergeManifest(dirOf(sub), conf.value, localized(es, sub),
-            fresh = truncate)
+        // scoped overwrites drop their victims' manifest entries per
+        // directory (truncate rebuilds fresh instead); directories
+        // with victims but no new entries still need the drop cycle
+        val victimBySub: Map[String, Set[String]] =
+          if (!scopedOverwrite) Map.empty
+          else toReplace.groupBy(p => relOf(p.getParent))
+            .map { case (s, ps) => s -> ps.map(_.getName).toSet }
+        (bySub.keySet ++ victimBySub.keySet).foreach { sub =>
+          val es = bySub.getOrElse(sub, Seq.empty)
+          ScbfStats.mergeManifest(dirOf(sub), conf.value, localized(es.toIndexedSeq, sub),
+            fresh = truncate, drop = victimBySub.getOrElse(sub, Set.empty))
         }
         if (truncate) {
           // partition subdirectories the overwrite emptied but did not
@@ -291,6 +415,22 @@ class ScbfBatchWrite(
     if (truncate && replaceOnly.isEmpty)
       ScbfDiscovery.reset(new Path(dir), conf.value, announced)
     else ScbfDiscovery.append(new Path(dir), conf.value, announced)
+    // scoped overwrite = delete-old-rows + insert-new: the new files
+    // announced above are PLAIN entries (they are new data, not the
+    // victims' surviving rows — marking them rewriteOf would make a
+    // caught-up skip-policy stream hide them), so the victims'
+    // disappearance gets its own REMOVAL entry, C:1 like any
+    // row-changing commit (same record a metadata-only DELETE leaves)
+    if (scopedOverwrite && toReplace.nonEmpty &&
+        ScbfDiscovery.exists(new Path(dir), conf.value)) {
+      val qr = fs.makeQualified(new Path(dir))
+      def relOf2(p: Path): String =
+        qr.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+      ScbfDiscovery.append(new Path(dir), conf.value, Seq(ScbfDiscovery.Entry(
+        s"ow-${java.util.UUID.randomUUID().toString.take(8)}${ScbfDiscovery.RemovalSuffix}",
+        ScbfDiscovery.RemovedLen, now,
+        rewriteOf = toReplace.map(relOf2).sorted, rowsChanged = true)))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
