@@ -160,8 +160,14 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
     def pmIdent(g: String): org.apache.spark.sql.catalyst.InternalRow =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    // static partition overwrite needs the catalog route
+    // (OverwriteByExpression): register a table over the same root
+    val catName = s"pchaos_ow_$seed"
+    spark.sql(s"DROP TABLE IF EXISTS $catName")
+    spark.sql(s"CREATE TABLE $catName (id INT, n INT, grp STRING) " +
+      s"USING scbf PARTITIONED BY (grp) LOCATION '$dir'")
     for (step <- 1 to steps) {
-      val label = rnd.nextInt(14) match {
+      val label = rnd.nextInt(16) match {
         case 0 | 1 | 2 | 3 => // partitioned append (rows fan across grps)
           val rows = fresh(8 + rnd.nextInt(30))
           tableRows ++= rows.map(_._1)
@@ -225,6 +231,29 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
             pendingFiles ++= ad
             s"truncatePartition($g) ${victims.size} files [$verdict]"
           }
+        case 12 | 13 => // static partition INSERT OVERWRITE: replace
+          // grp=g's files with fresh rows — victims follow the
+          // removal-entry coverage rule, the new files are plain
+          // entries (new data: delivered to every consumer)
+          val g = s"g${rnd.nextInt(4)}"
+          val victims = liveFiles().filter(_.startsWith(s"grp=$g/"))
+          val victimIds = rowsOf(victims).map(_.id).toSet
+          val k = 3 + rnd.nextInt(8)
+          val newRows = (0 until k).map { _ =>
+            val id = nextId; nextId += 1; R(id, rnd.nextInt(1000))
+          }
+          import spark.implicits._
+          newRows.map(r => (r.id, r.n)).toDF("id", "n")
+            .createOrReplaceTempView("pchaos_ow_src")
+          val (rm, ad) = mutate(spark.sql(
+            s"INSERT OVERWRITE $catName PARTITION (grp='$g') " +
+              "SELECT CAST(id AS INT), CAST(n AS INT) FROM pchaos_ow_src"))
+          assert(rm == victims && ad.forall(_.startsWith(s"grp=$g/")),
+            s"overwrite must swap exactly grp=$g: rm=$rm victims=$victims ad=$ad")
+          tableRows = tableRows.filterNot(r => victimIds.contains(r.id)) ++ newRows
+          val verdict = applyRewrite(rm, Set.empty)
+          pendingFiles ++= ad
+          s"overwrite($g) ${victims.size}->${ad.size} files [$verdict]"
         case _ => // table-level UPDATE (no-CDC under skip, per partition)
           val lo = rnd.nextInt(math.max(1, nextId))
           val hi = lo + rnd.nextInt(80)
@@ -256,6 +285,7 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
       .map(r => R(r.getInt(0), r.getInt(1))).toSeq
     assert(sorted(got) == sorted(tableRows),
       s"final table contents diverged\n${history.mkString("\n")}")
+    spark.sql(s"DROP TABLE IF EXISTS $catName")
     history.toSeq
   }
 
@@ -265,11 +295,12 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
   test("partitioned-root maintenance interleavings deliver exactly the model (seed 22)") {
     runSeed(22, 12)
   }
-  test("the op mix covers DROP/TRUNCATE PARTITION under chaos (seed 23)") {
-    val h = runSeed(23, 18)
+  test("the op mix covers DROP/TRUNCATE PARTITION and static OVERWRITE under chaos (seed 23)") {
+    val h = runSeed(23, 26)
     assert(h.exists(_.contains("dropPartition")) &&
-      h.exists(_.contains("truncatePartition(")),
-      s"seed must exercise partition management:\n${h.mkString("\n")}")
+      h.exists(_.contains("truncatePartition(")) &&
+      h.exists(_.contains("overwrite(")),
+      s"seed must exercise partition management + overwrite:\n${h.mkString("\n")}")
   }
 
   test("ONE sweep, mixed coverage: the lagging partition delivers, the caught-up ones stay silent") {
