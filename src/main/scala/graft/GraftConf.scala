@@ -49,6 +49,16 @@ object GraftConf {
    * `md5`; [[requireOracleConsistency]] enforces engine/oracle
    * agreement on the knob. */
   val SpanHash = "graft.span.hash"
+  /** Storage-partitioned joins (default true): report
+   * `KeyGroupedPartitioning` from partitioned SCBF scans so joins and
+   * aggregations on the partition columns run shuffle-free. Spark's
+   * own `spark.sql.sources.v2.bucketing.enabled` (default TRUE since
+   * Spark 4) must also be on. The cost: under a key-grouping Spark
+   * plans one task per partition VALUE, so a table with fewer
+   * partitions than cores scans with less parallelism — this knob is
+   * the per-session escape hatch for that shape (at 100 TB partitions
+   * outnumber cores and the trade always wins). */
+  val SpjEnabled = "graft.spj.enabled"
 
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)

@@ -801,6 +801,53 @@ object RelationalQueries {
         FROM graft_q54 GROUP BY source""")
     },
 
+    "q55_spj_join" -> { (s, dir) =>
+      // Storage-partitioned join end-to-end: a documents fact table
+      // and a one-row-per-source dim share the source=... directory
+      // layout, so both scans report KeyGroupedPartitioning and the
+      // join ON the partition column — and the GROUP BY behind it —
+      // runs with ZERO exchanges on either side (Spark co-locates
+      // splits by partition key; ScbfScan.outputPartitioning). At
+      // 100 TB this deletes a co-partitioned layout's entire shuffle
+      // bill. The require pins the exchange-free plan in every
+      // gate/bench run (broadcast disabled while pinning so the plan
+      // can't dodge via a BroadcastExchange); the oracle replays
+      // fact-join-dim over the source parquet.
+      val base = scratchDir(s) + "/graft_scbf_spj_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      Seq("graft_q55f", "graft_q55d")
+        .foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q55_src")
+      s.sql("CREATE TABLE graft_q55f (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base/fact'")
+      s.sql("""INSERT INTO graft_q55f
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q55_src""")
+      s.sql("CREATE TABLE graft_q55d (source STRING, src_docs INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base/dim'")
+      s.sql("""INSERT INTO graft_q55d
+        SELECT /*+ REPARTITION(4, source) */ source, CAST(COUNT(*) AS INT)
+        FROM graft_q55_src GROUP BY source""")
+      val q = """SELECT f.source, COUNT(*) AS cnt,
+        SUM(f.n_chars) AS sum_chars, MAX(d.src_docs) AS src_docs
+        FROM graft_q55f f JOIN graft_q55d d ON f.source = d.source
+        GROUP BY f.source"""
+      val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val pin = s.sql(q)
+        pin.collect()
+        val plan = pin.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join must be exchange-free:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+      s.sql(q)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1227,6 +1274,19 @@ object RelationalQueries {
            CAST(MIN(doc_id) AS INT) AS min_doc,
            CAST(MAX(doc_id) AS INT) AS max_doc
          FROM u GROUP BY source""",
+
+    "q55_spj_join" ->
+      """WITH f AS (
+           SELECT CAST(doc_id AS INT) AS doc_id, source,
+                  CAST(n_chars AS INT) AS n_chars
+           FROM documents),
+         d AS (
+           SELECT source, CAST(COUNT(*) AS INT) AS src_docs
+           FROM f GROUP BY source)
+         SELECT f.source AS source, COUNT(*) AS cnt,
+           CAST(SUM(f.n_chars) AS BIGINT) AS sum_chars,
+           MAX(d.src_docs) AS src_docs
+         FROM f JOIN d ON f.source = d.source GROUP BY f.source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -335,7 +335,8 @@ class ScbfTable(
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .getOrElse(ScbfMicroBatchStream.DefaultOnChangeCommit)
     new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
-      maxFileAge, aggPushdown, reconcileEvery, onChangeCommit)
+      maxFileAge, aggPushdown, reconcileEvery, onChangeCommit,
+      ScbfPartitions.partitionCols(partitionTransforms, schema))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

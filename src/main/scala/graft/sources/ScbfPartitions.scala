@@ -110,9 +110,12 @@ object ScbfPartitions {
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }
 
-  /** The `k=v` pairs on `file`'s path below the first matching root,
-   * keyed to schema columns only. Empty for unpartitioned layouts. */
-  def partValues(file: Path, schema: StructType, roots: Seq[String]): Map[String, String] = {
+  /** The `k=v` cells on `file`'s path below the first matching root,
+   * keyed to schema columns only and IN PATH ORDER (outermost directory
+   * first — the physical partition-column order, which storage-
+   * partitioned join keys must follow). Empty for unpartitioned
+   * layouts. */
+  def orderedCells(file: Path, schema: StructType, roots: Seq[String]): Seq[(String, String)] = {
     val fp = file.toString
     roots.collectFirst { case r if fp.startsWith(r + "/") => fp.substring(r.length + 1) }
       .map { rel =>
@@ -124,9 +127,13 @@ object ScbfPartitions {
             if (schema.fieldNames.contains(k)) Some(k -> unescape(comp.substring(i + 1)))
             else None
           }
-        }.toMap
-      }.getOrElse(Map.empty)
+        }
+      }.getOrElse(Seq.empty)
   }
+
+  /** [[orderedCells]] as a map, for callers that only look values up. */
+  def partValues(file: Path, schema: StructType, roots: Seq[String]): Map[String, String] =
+    orderedCells(file, schema, roots).toMap
 
   /** Point-interval stats for the partition cells — evaluated by the
    * SAME [[ScbfStats.mayMatch]] the file-skipping layer uses, so

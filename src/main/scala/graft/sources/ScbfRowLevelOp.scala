@@ -196,7 +196,7 @@ private[sources] class ScbfRowLevelScanBuilder(
       override def planInputPartitions(): Array[InputPartition] = {
         val parts = super.planInputPartitions()
         op.scannedPaths =
-          Some(parts.toSeq.collect { case ScbfFilePartition(p, _) => p })
+          Some(parts.toSeq.collect { case ScbfFilePartition(p, _, _) => p })
         parts
       }
     }

@@ -34,7 +34,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     compactInterval: Int = ScbfMicroBatchStream.DefaultCompactInterval,
     maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true,
     reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
-    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
+    partitionCols: Seq[String] = Seq.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -131,7 +132,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
-      reconcileEvery, onChangeCommit)
+      reconcileEvery, onChangeCommit, partitionCols)
 }
 
 class ScbfScan(
@@ -148,9 +149,10 @@ class ScbfScan(
     limitRows: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
     reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
-    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
+    partitionCols: Seq[String] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** Runtime (join-driven) filters — Spark's dynamic partition pruning
    * applied to SCBF files: a broadcast join's build-side keys arrive at
@@ -242,6 +244,93 @@ class ScbfScan(
     else new ScbfStats.Pruner(conf, pushedFilters, lookup)
       .keepAll(partitionKept)(_.getPath, _.getLen)
 
+  /** Storage-partitioned join (SPJ) support: when every file of a
+   * partitioned table carries a full, parseable set of `k=v` cells,
+   * the scan can report `KeyGroupedPartitioning` over the partition
+   * columns and attach each file's typed partition values as its
+   * split's `partitionKey()`. Spark then co-locates two such scans'
+   * splits by key — a `fact JOIN dim ON partition-cols` or a
+   * `GROUP BY partition-cols` runs with ZERO shuffle on either side,
+   * which at 100 TB deletes the single largest network cost a
+   * co-partitioned layout can avoid. Missing partitions on one side
+   * are padded by Spark (`v2.bucketing.pushPartValues.enabled`) and
+   * skewed partitions re-split (`partiallyClusteredDistribution`), so
+   * the plan survives asymmetric layouts.
+   *
+   * The column ORDER is the catalog's `PARTITIONED BY` order when this
+   * scan came through a catalog table, else the path order of the
+   * first file (path reads) — both are the physical directory order.
+   * None (no SPJ) when any file lies outside the `k=v` tree or a cell
+   * fails to parse to its column type: a reported key-grouping is a
+   * hard contract (every split must carry a key), never a guess. */
+  private lazy val spjKeyed: Option[(Seq[StructField], Map[String, InternalRow])] = {
+    val declared =
+      if (partitionCols.nonEmpty) partitionCols
+      else files.headOption
+        .map(f => ScbfPartitions.orderedCells(f.getPath, tableSchema, partitionRoots)
+          .map(_._1))
+        .getOrElse(Seq.empty)
+    val fields = declared.flatMap(c => tableSchema.fields.find(_.name == c))
+    if (fields.isEmpty || fields.size != declared.size || files.isEmpty) None
+    else {
+      def parse(dt: DataType, v: String): Option[Any] = dt match {
+        case IntegerType => v.toIntOption
+        case DoubleType  => v.toDoubleOption.filterNot(_.isNaN)
+        case StringType  => Some(UTF8String.fromString(v))
+        case _           => None
+      }
+      val keys = Map.newBuilder[String, InternalRow]
+      val ok = files.forall { f =>
+        val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
+        val vals = fields.map(fld => cells.get(fld.name).flatMap(parse(fld.dataType, _)))
+        vals.forall(_.isDefined) && {
+          keys += f.getPath.toString ->
+            new GenericInternalRow(vals.map(_.get).toArray[Any])
+          true
+        }
+      }
+      if (ok) Some((fields, keys.result())) else None
+    }
+  }
+
+  /** Report key-grouping only when SPJ is enabled — Spark's own
+   * `spark.sql.sources.v2.bucketing.enabled` (default TRUE since
+   * Spark 4) AND the graft-side escape hatch [[GraftConf.SpjEnabled]]
+   * (default true; resolution mirrors GraftConf: session conf →
+   * system property → default). Under a reported key-grouping Spark
+   * also GROUPS a scan's splits one-task-per-partition-value, which
+   * trades scan parallelism for shuffle elimination — the right trade
+   * whenever partitions outnumber cores (always at 100 TB), and the
+   * knob is the per-session exit for small-partition-count tables
+   * where it isn't. With either conf off, plans are byte-identical to
+   * the pre-SPJ connector. The pushed-aggregate single-row path and
+   * projections that drop a partition column report unknown (Spark
+   * could not resolve the keys anyway). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val enabled =
+      try {
+        val sc = org.apache.spark.sql.internal.SQLConf.get
+        val graftOn = Option(sc.getConfString(graft.GraftConf.SpjEnabled, null))
+          .orElse(sys.props.get(graft.GraftConf.SpjEnabled))
+          .forall(_.trim.toBoolean)
+        sc.v2BucketingEnabled && graftOn
+      } catch { case scala.util.control.NonFatal(_) => false }
+    spjKeyed match {
+      case Some((fields, keys)) if enabled && aggregated.isEmpty &&
+          fields.forall(f => required.fieldNames.contains(f.name)) =>
+        val n = staticKept.map(f => keys(f.getPath.toString)).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          fields.map(f => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(f.name): org.apache.spark.sql.connector.expressions.Expression)
+            .toArray,
+          math.max(n, 1))
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          files.size)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // a pushed aggregation IS the result: one partition, one row,
     // zero data files opened
@@ -285,8 +374,16 @@ class ScbfScan(
             }
           case _ => kept
         }
+        // partition keys ride along whenever they are known (null when
+        // not): Spark only reads them under a reported key-grouping,
+        // where spjKeyed guarantees every planned file has one
+        val keyOf: String => InternalRow = spjKeyed match {
+          case Some((_, keys)) => p => keys.getOrElse(p, null)
+          case None            => _ => null
+        }
         limited
-          .map(f => ScbfFilePartition(f.getPath.toString, f.getLen): InputPartition)
+          .map(f => ScbfFilePartition(f.getPath.toString, f.getLen,
+            keyOf(f.getPath.toString)): InputPartition)
           .toArray
     }
   }
@@ -726,7 +823,15 @@ object ScbfScan {
   }
 }
 
-case class ScbfFilePartition(path: String, length: Long) extends InputPartition
+/** One SCBF data file = one split. `key` is the file's typed partition
+ * values (declared order) when the table's layout supports storage-
+ * partitioned joins, else null — Spark reads it driver-side only, and
+ * only under a reported `KeyGroupedPartitioning` (see
+ * [[ScbfScan.outputPartitioning]]). */
+case class ScbfFilePartition(path: String, length: Long, key: InternalRow = null)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** A fully stats-answered aggregation: the partition carries the single
  * result row's values; no file IO happens on the executor at all. */
