@@ -836,13 +836,19 @@ object RelationalQueries {
         SUM(f.n_chars) AS sum_chars, MAX(d.src_docs) AS src_docs
         FROM graft_q55f f JOIN graft_q55d d ON f.source = d.source
         GROUP BY f.source"""
+      // the pin only applies when SPJ is actually on (both confs
+      // default true) — with either escape hatch thrown the query
+      // still answers, it just shuffles (the A/B measurement shape)
+      val spjOn = graft.GraftConf.str(s, graft.GraftConf.SpjEnabled, "true")
+        .toBoolean && s.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean
       val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val pin = s.sql(q)
         pin.collect()
         val plan = pin.queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange"),
+        require(!spjOn || !plan.contains("Exchange"),
           s"storage-partitioned join must be exchange-free:\n$plan")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
       s.sql(q)

@@ -237,6 +237,46 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** The 100 TB HIGH-CARDINALITY shuffle-free join recipe: identity
+   * partitioning can't make a directory per doc_id, but an explicit
+   * bucket column (`id % B` computed at ingest) CAN be the partition
+   * column, and a join whose keys INCLUDE it is exchange-free — the
+   * key-grouping on (db) satisfies the (db, id) clustering on both
+   * sides, so each bucket's rows sort-merge locally. */
+  test("high-cardinality join via an explicit bucket column is exchange-free") {
+    def mk(name: String): Unit = {
+      val dir = tmpDir(s"scbf-spj-$name")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name (id INT, n INT, db INT) USING scbf " +
+        s"PARTITIONED BY (db) LOCATION '$dir'")
+      import spark.implicits._
+      (0 until 200).map(i => (i, i * 3, i % 4)).toDF("id", "n", "db")
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION(4, db) */ " +
+        s"id, n, db FROM ${name}_src")
+    }
+    mk("spj_hc1"); mk("spj_hc2")
+    // per-bucket aggregate: a global COUNT would add the inherent
+    // SinglePartition exchange and hide what we're pinning
+    val q = """SELECT a.db, COUNT(*) AS cnt, SUM(a.n + b.n) AS s
+      FROM spj_hc1 a JOIN spj_hc2 b ON a.db = b.db AND a.id = b.id
+      GROUP BY a.db"""
+    val expected = spark.sql(q).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // partition keys (db) are a strict SUBSET of the join keys (db, id):
+    // Spark accepts the partial co-partition only with this conf off
+    withConfs(Spj :+
+        ("spark.sql.requireAllClusterKeysForCoPartition" -> "false"): _*) {
+      val df = spark.sql(q)
+      val plan = executed(df)
+      assert(!plan.contains("Exchange"),
+        s"bucket-column join (keys ⊇ partition cols) must not shuffle:\n$plan")
+      val got = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected && got.toSeq.map(_._2).sum == 200L)
+    }
+  }
+
   test("a stray file outside the k=v tree disables the report, never corrupts it") {
     val dir = mkTable("spj_stray", Seq("g0", "g1"))
     // copy one partition's data file to the ROOT — readable, but with no
