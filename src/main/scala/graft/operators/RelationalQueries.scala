@@ -854,6 +854,44 @@ object RelationalQueries {
       s.sql(q)
     },
 
+    "q56_partition_rollup" -> { (s, dir) =>
+      // Metadata-only GROUP BY partition columns: the per-partition
+      // COUNT/MIN/MAX/SUM rollup — the "how big is each partition"
+      // query every 100 TB operator runs daily — is answered entirely
+      // from the stats manifests (ScbfAgg grouped pushdown): one row
+      // per live partition, ZERO data files opened, enforced by the
+      // requires below on every gate/bench run. The oracle replays the
+      // same rollup over the source parquet.
+      val base = scratchDir(s) + "/graft_scbf_rollup_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q56")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q56_src")
+      s.sql("CREATE TABLE graft_q56 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base'")
+      // two waves: each partition's rollup must merge several files' stats
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1").foreach { half =>
+        s.sql(s"""INSERT INTO graft_q56
+          SELECT /*+ REPARTITION(4, source) */
+            CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+          FROM graft_q56_src WHERE $half""")
+      }
+      val q = """SELECT source, COUNT(*) AS cnt,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        SUM(n_chars) AS sum_chars
+        FROM graft_q56 GROUP BY source"""
+      val pin = s.sql(q)
+      graft.sources.ScbfUtil.dataFileOpens.set(0)
+      pin.collect()
+      require(graft.sources.ScbfUtil.dataFileOpens.get == 0,
+        "the partition rollup must not open a data file")
+      require(pin.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        s"rollup must push: ${pin.queryExecution.executedPlan}")
+      s.sql(q)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1293,6 +1331,13 @@ object RelationalQueries {
            CAST(SUM(f.n_chars) AS BIGINT) AS sum_chars,
            MAX(d.src_docs) AS src_docs
          FROM f JOIN d ON f.source = d.source GROUP BY f.source""",
+
+    "q56_partition_rollup" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -31,35 +31,103 @@ import org.apache.spark.sql.types._
  *    exact and order-independent; a float sum depends on accumulation
  *    order and is never recorded. Merging uses addExact — on overflow we
  *    fall back to the scan, which raises Spark's own overflow behavior.
- *  - Only a global aggregate (no GROUP BY) and only when no filter is
- *    pushed (Catalyst only pushes aggregates below fully-handled
- *    filters, and SCBF filters are always residual; the guard here is
- *    defense in depth).
+ *  - GROUP BY pushes ONLY over partition columns, and only when EVERY
+ *    file carries a parseable `k=v` cell for every grouping column (the
+ *    cell IS the value for every row of the file — the writer routes
+ *    rows by value, so the key is exact, not a bound). Per-group
+ *    aggregates reuse the same per-file stats; a 100 TB
+ *    `SELECT part_col, COUNT(*)/MIN/MAX/SUM ... GROUP BY part_col`
+ *    rollup is answered from the manifests alone — one row per live
+ *    partition, zero data files opened. Groups whose files hold ZERO
+ *    rows (keepers from ADD/TRUNCATE PARTITION) are omitted: a SQL
+ *    group only exists where rows do.
+ *  - Only when no filter is pushed (Catalyst only pushes aggregates
+ *    below fully-handled filters, and SCBF filters are always
+ *    residual; the guard here is defense in depth).
  */
 object ScbfAgg {
 
   /** A fully-evaluated pushed aggregation: the scan's result schema and
-   * its single row of values, plus a human string for `.explain`. */
-  final case class Result(schema: StructType, values: Seq[Any], description: String)
+   * its rows (ONE row for a global aggregate, one per live partition
+   * value for a grouped one), plus a human string for `.explain`. */
+  final case class Result(schema: StructType, rows: Seq[Seq[Any]], description: String)
 
   def compute(
       agg: Aggregation,
       tableSchema: StructType,
       files: Seq[FileStatus],
-      conf: Configuration): Option[Result] = {
-    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+      conf: Configuration,
+      partitionRoots: Seq[String]): Option[Result] = {
+    if (agg.aggregateExpressions.isEmpty) return None
     val lookup = new ScbfStats.Lookup(conf)
     val perFile = files.map(f => lookup.stats(f.getPath, f.getLen))
     if (perFile.exists(_.isEmpty)) return None // an unknown file → full scan
     val stats = perFile.flatten
+    val descr = agg.aggregateExpressions.map(_.toString).mkString(", ")
+
+    if (agg.groupByExpressions.isEmpty) {
+      evalGroup(agg, tableSchema, stats).map { case (fs, vs) =>
+        Result(StructType(fs), Seq(vs), descr)
+      }
+    } else {
+      // grouped: every grouping expression must be a plain reference to
+      // a schema column with a parseable partition cell on EVERY file
+      val gfields = agg.groupByExpressions.toSeq.map {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          tableSchema.fields.find(_.name == ref.fieldNames()(0))
+        case _ => None
+      }
+      if (gfields.exists(_.isEmpty)) return None
+      val gcols = gfields.flatten
+      // the agg-field schema must exist even when every group is empty;
+      // evaluating over ALL stats also pre-declines shapes no group
+      // could answer (wrong type, missing entries)
+      val shape = evalGroup(agg, tableSchema, stats).getOrElse(return None)._1
+      val keyed = files.zip(stats).map { case (f, st) =>
+        val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
+        val key = gcols.map(c => cells.get(c.name).flatMap(parseCell(c.dataType, _)))
+        if (key.exists(_.isEmpty)) return None // stray file / foreign cell
+        (key.map(_.get), st)
+      }
+      val rows = keyed.groupBy(_._1).toSeq.flatMap { case (key, members) =>
+        val gStats = members.map(_._2)
+        // keepers (0-row files) do not make a group: SQL groups only
+        // exist where rows do
+        if (gStats.map(_.rows).sum == 0L) None
+        else evalGroup(agg, tableSchema, gStats) match {
+          case Some((_, vs)) => Some(key ++ vs)
+          case None          => return None // one unanswerable group → full scan
+        }
+      }
+      Some(Result(
+        StructType(gcols.map(c => StructField(c.name, c.dataType, nullable = false)) ++ shape),
+        rows,
+        s"group by ${gcols.map(_.name).mkString(", ")}: $descr"))
+    }
+  }
+
+  /** The directory cell parsed back to the exact typed value the writer
+   * routed by — the same inversion the SPJ split keys use. NaN cells
+   * decline (grouping semantics would depend on NaN identity). */
+  private def parseCell(dt: DataType, v: String): Option[Any] = dt match {
+    case IntegerType => v.toIntOption
+    case DoubleType  => v.toDoubleOption.filterNot(_.isNaN)
+    case StringType  =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    case _ => None
+  }
+
+  /** All aggregate expressions evaluated over one set of file stats
+   * (the whole table, or one partition-value group). */
+  private def evalGroup(
+      agg: Aggregation,
+      tableSchema: StructType,
+      stats: Seq[ScbfStats.FileStats]): Option[(Seq[StructField], Seq[Any])] = {
     val totalRows = stats.map(_.rows).sum
     val live = stats.filter(_.rows > 0)
-
     val fields = agg.aggregateExpressions.toSeq.map(f => evalOne(f, tableSchema, live, totalRows))
-    if (fields.exists(_.isEmpty)) return None
-    val (fs, vs) = fields.flatten.unzip
-    Some(Result(StructType(fs), vs,
-      agg.aggregateExpressions.map(_.toString).mkString(", ")))
+    if (fields.exists(_.isEmpty)) None
+    else Some(fields.flatten.unzip)
   }
 
   private def evalOne(

@@ -65,16 +65,19 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   /** Complete-only aggregate pushdown answered from the stats manifest
-   * (see [[ScbfAgg]]): a global COUNT/MIN/MAX/SUM(int) never opens a
-   * data file. Anything not provably answerable — a filter present, a
-   * group-by, a file without trusted stats, a truncated/suppressed
-   * bound — declines, and Spark runs the normal scan + aggregate. */
+   * (see [[ScbfAgg]]): a global COUNT/MIN/MAX/SUM(int) — or the same
+   * GROUPED BY partition columns, one row per live partition — never
+   * opens a data file. Anything not provably answerable — a filter
+   * present, a group-by on a non-partition column, a file without
+   * trusted stats or a parseable cell, a truncated/suppressed bound —
+   * declines, and Spark runs the normal scan + aggregate. */
   private def computeAgg(agg: Aggregation): Option[ScbfAgg.Result] = {
     if (!aggPushdown || anyFilter) return None
     lastAgg match {
       case Some((a, r)) if a eq agg => r
       case _ =>
-        val r = ScbfAgg.compute(agg, schema, files, conf)
+        val r = ScbfAgg.compute(agg, schema, files, conf,
+          ScbfPartitions.qualifiedRoots(tablePaths, conf))
         lastAgg = Some((agg, r))
         r
     }
@@ -335,7 +338,7 @@ class ScbfScan(
     // a pushed aggregation IS the result: one partition, one row,
     // zero data files opened
     aggregated match {
-      case Some(a) => Array(ScbfAggPartition(a.schema, a.values.toArray))
+      case Some(a) => Array(ScbfAggPartition(a.schema, a.rows.map(_.toArray).toArray))
       case None =>
         // static prune computed once (staticKept); any runtime (DPP)
         // filters narrow it further through the same conjunctive check
@@ -616,7 +619,8 @@ class ScbfScan(
       }
 
     override val sizeInBytes: OptionalLong =
-      if (aggregated.isDefined) OptionalLong.of(1024L)
+      if (aggregated.isDefined)
+        OptionalLong.of(1024L * math.max(1, aggregated.get.rows.size))
       else OptionalLong.of(math.max(1L, math.min(
         kept.map(_.getLen).sum,
         math.round(anchor.map(_.getLen).sum * pushedSel))))
@@ -637,7 +641,8 @@ class ScbfScan(
       merged.map { case (n, regs) => n -> ScbfNdv.estimate(regs) }
     }
     override val numRows: OptionalLong =
-      if (aggregated.isDefined) OptionalLong.of(1L)
+      if (aggregated.isDefined)
+        OptionalLong.of(math.max(1L, aggregated.get.rows.size.toLong))
       else {
         // missing-stats budget over the KEPT files only: a table with
         // many stats-less files the pruning dropped must not lose its
@@ -833,9 +838,10 @@ case class ScbfFilePartition(path: String, length: Long, key: InternalRow = null
   override def partitionKey(): InternalRow = key
 }
 
-/** A fully stats-answered aggregation: the partition carries the single
- * result row's values; no file IO happens on the executor at all. */
-case class ScbfAggPartition(schema: StructType, values: Array[Any]) extends InputPartition
+/** A fully stats-answered aggregation: the partition carries the
+ * result rows' values (one row global, one per live partition value
+ * grouped); no file IO happens on the executor at all. */
+case class ScbfAggPartition(schema: StructType, rows: Array[Array[Any]]) extends InputPartition
 
 class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.SerializableConf)
   extends PartitionReaderFactory {
@@ -852,13 +858,14 @@ class ScbfPartitionReaderFactory(required: StructType, conf: ScbfUtil.Serializab
   }
 }
 
-/** Emits a pushed aggregation's single pre-computed result row. */
+/** Emits a pushed aggregation's pre-computed result rows. */
 class ScbfAggReader(partition: ScbfAggPartition) extends PartitionReader[InternalRow] {
-  private var emitted = false
-  override def next(): Boolean = { val n = !emitted; emitted = true; n }
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < partition.rows.length }
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(partition.values.length)
-    partition.values.indices.foreach(i => row.update(i, partition.values(i)))
+    val values = partition.rows(i)
+    val row = new GenericInternalRow(values.length)
+    values.indices.foreach(j => row.update(j, values(j)))
     row
   }
   override def close(): Unit = ()

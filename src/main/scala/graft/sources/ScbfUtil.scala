@@ -37,8 +37,11 @@ object ScbfUtil {
 
   /** A 0-row data file with the given schema, published atomically
    * (dot-temp + rename) straight through the codec — no Spark job, no
-   * manifest entry (the scan's header fallback covers a stats-less
-   * file). The KEEPER the empty-table contract relies on: a directory
+   * manifest entry, but WITH a 0-row stats sidecar (published after
+   * the keeper; a crash between the two only costs the header
+   * fallback) so the aggregate-pushdown path keeps its every-file-
+   * trusted invariant across ADD/TRUNCATE PARTITION and all-rows
+   * rewrites. The KEEPER the empty-table contract relies on: a directory
    * that would otherwise hold no data file stays a readable standalone
    * SCBF table (schema lives in file headers). Used by the row-level
    * commit (all-rows rewrites) and partition management (ADD/TRUNCATE
@@ -68,6 +71,8 @@ object ScbfUtil {
       fs.delete(tmp, false)
       throw new ScbfFormatException(s"could not publish keeper file $name in $parent")
     }
+    ScbfStats.write(dest, fs.getConf, ScbfStats.FileStats(0L, Map.empty),
+      fs.getFileStatus(dest).getLen)
     announceRoot.foreach { root =>
       val qroot = fs.makeQualified(root)
       if (ScbfDiscovery.exists(qroot, fs.getConf)) {

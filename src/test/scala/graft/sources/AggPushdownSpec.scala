@@ -9,12 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 /** Stats-answered aggregate pushdown (ScbfAgg): a global
- * COUNT/MIN/MAX/SUM(int) over an SCBF directory is served from the
- * stats manifest without opening ONE data file — the 100 TB shape of
- * `SELECT count(*) FROM table`. Anything not provably answerable
- * (filters, group-by, NaN-suppressed or truncated bounds, a file
- * without trusted stats) falls back to the normal scan, and fallback
- * results are always identical to pushed ones. */
+ * COUNT/MIN/MAX/SUM(int) over an SCBF directory — or the same GROUPED
+ * BY partition columns (one row per live partition) — is served from
+ * the stats manifest without opening ONE data file: the 100 TB shapes
+ * of `SELECT count(*) FROM table` and the per-partition rollup.
+ * Anything not provably answerable (filters, group-by on a data
+ * column, a stray file without a partition cell, NaN-suppressed or
+ * truncated bounds, a file without trusted stats) falls back to the
+ * normal scan, and fallback results are always identical to pushed
+ * ones. */
 class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
 
   private def writeRanged(dir: String): Unit = {
@@ -145,9 +148,90 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
     val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
     val schema = spark.read.format("scbf").load(dir).schema
     val scan = new ScbfScan(schema, schema, files, conf, tablePaths = Seq(dir),
-      aggregated = Some(ScbfAgg.Result(schema, Seq(1L), "count(*)")))
+      aggregated = Some(ScbfAgg.Result(schema, Seq(Seq(1L)), "count(*)")))
     intercept[IllegalArgumentException] {
       scan.toMicroBatchStream(tmpDir("scbf-aggpush-ck"))
     }
+  }
+
+  /** A partitioned table for the GROUPED pushdown: two ingest waves so
+   * every partition holds several files whose stats must merge. */
+  private def mkPart(name: String): String = {
+    val dir = tmpDir(s"scbf-aggpush-$name")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (id INT, v DOUBLE, grp STRING) USING scbf " +
+      s"PARTITIONED BY (grp) LOCATION '$dir'")
+    (0 until 2).foreach { w =>
+      spark.range(0, 300)
+        .select((col("id") + w * 1000).cast("int").as("id"),
+          (col("id") * 0.5).as("v"),
+          concat(lit("g"), (col("id") % 3).cast("int")).as("grp"))
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO $name SELECT /*+ REPARTITION(3, grp) */ " +
+        s"id, v, grp FROM ${name}_src")
+    }
+    dir
+  }
+
+  test("GROUP BY the partition column answers from stats: zero data files opened") {
+    val dir = mkPart("aggp_grp")
+    def q(table: String, off: Boolean = false) = {
+      val t = if (off) spark.read.format("scbf").option("aggPushdown", "false")
+        .load(dir) else spark.table(table)
+      t.groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), count(col("id")).as("cnt_id"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"),
+          min(col("v")).as("mnv"), max(col("v")).as("mxv"),
+          sum(col("id")).as("s"))
+    }
+    val pushed = q("aggp_grp")
+    ScbfUtil.dataFileOpens.set(0)
+    val rows = pushed.collect()
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      "a grouped pushed aggregate must never open a data file")
+    assert(plan(pushed).contains("PushedAggregation"), plan(pushed))
+    val scanned = q("aggp_grp", off = true).collect()
+    assert(rows.sortBy(_.getString(0)).toSeq == scanned.sortBy(_.getString(0)).toSeq)
+    assert(rows.length == 3 && rows.map(_.getLong(1)).sum == 600L)
+  }
+
+  test("a keeper partition (0-row file) makes NO group — matching SQL semantics") {
+    mkPart("aggp_keep")
+    spark.sql("ALTER TABLE aggp_keep ADD PARTITION (grp='empty')")
+    val pushed = spark.table("aggp_keep").groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(plan(pushed).contains("PushedAggregation"))
+    val got = pushed.collect().map(_.getString(0)).toSet
+    assert(got == Set("g0", "g1", "g2"),
+      s"the keeper-only partition must not surface as a group: $got")
+  }
+
+  test("GROUP BY a non-partition column (or mixed) still falls back exactly") {
+    mkPart("aggp_data")
+    val byData = spark.table("aggp_data").groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!plan(byData).contains("PushedAggregation"))
+    assert(byData.collect().map(_.getLong(1)).sum == 600L)
+    val mixed = spark.table("aggp_data")
+      .groupBy(col("grp"), (col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!plan(mixed).contains("PushedAggregation"))
+    assert(mixed.collect().length == 6)
+  }
+
+  test("a stray file outside the k=v tree disables the grouped pushdown") {
+    val dir = mkPart("aggp_stray")
+    val conf = new Configuration()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val src = files.head.getPath
+    val fs = src.getFileSystem(conf)
+    val strayDir = new Path(dir, "stray.scbf")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, strayDir, false, conf)
+    // the stray file has no grp cell on its path: grouping by path
+    // cells would mis-bucket its rows, so the pushdown must decline
+    val q = spark.read.format("scbf").load(dir).groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!plan(q).contains("PushedAggregation"))
+    assert(q.collect().map(_.getLong(1)).sum > 600L) // stray rows counted by the scan
   }
 }
