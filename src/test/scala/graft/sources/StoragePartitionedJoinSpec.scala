@@ -277,6 +277,26 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Runtime (join-driven) file pruning re-plans input partitions
+   * AFTER the key-grouping was reported; Spark then REQUIRES the
+   * surviving partition values to be a subset of the originals. Our
+   * runtime prune only drops files (keys ride along on every split),
+   * so the contract holds — pinned here because a violation is a
+   * runtime SparkException, not a wrong plan. */
+  test("runtime file pruning (DPP) composes with the key-grouped report") {
+    mkTable("spj_dpp", Seq("g0", "g1", "g2", "g3"))
+    import spark.implicits._
+    Seq(("g0", 1), ("g1", 2)).toDF("grp", "w").createOrReplaceTempView("spj_dpp_dim")
+    // broadcast ENABLED: the BHJ's build side arrives as an In runtime
+    // filter on the key-grouped fact scan (the q38 shape, now under a
+    // reported KeyGroupedPartitioning)
+    val df = spark.sql("""SELECT f.grp, COUNT(*) AS cnt
+      FROM spj_dpp f JOIN spj_dpp_dim d ON f.grp = d.grp
+      WHERE d.w = 1 GROUP BY f.grp""")
+    val rows = df.collect()
+    assert(rows.toSeq.map(r => (r.getString(0), r.getLong(1))) == Seq(("g0", 50L)))
+  }
+
   test("a stray file outside the k=v tree disables the report, never corrupts it") {
     val dir = mkTable("spj_stray", Seq("g0", "g1"))
     // copy one partition's data file to the ROOT — readable, but with no
