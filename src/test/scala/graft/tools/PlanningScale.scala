@@ -352,6 +352,28 @@ object PlanningScalePartitioned {
       s"manifest reads == $parts (all touched)")
     require(ScbfStats.manifestReads.get == parts)
 
+    // metadata-only per-partition rollup (grouped aggregate pushdown):
+    // GROUP BY pk COUNT/MIN/MAX over parts × fpp files = parts manifest
+    // reads, ZERO data opens, one result row per partition
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+    val kAgg = timed(s"plan: GROUP BY pk rollup (metadata-only)") {
+      val b = new ScbfScanBuilder(schemaP, listing, conf, Seq(root))
+      val agg = new Aggregation(
+        Array(new CountStar(), new Min(Expressions.column("id")),
+          new Max(Expressions.column("id"))),
+        Array(Expressions.column("pk")))
+      require(b.supportCompletePushDown(agg) && b.pushAggregation(agg),
+        "rollup must push completely")
+      b.build().asInstanceOf[ScbfScan].planInputPartitions()
+        .head.asInstanceOf[ScbfAggPartition].rows.length
+    }
+    println(s"[planpart]   -> rollup answered $kAgg partition rows from " +
+      s"$parts manifests, zero data opens")
+    require(kAgg == parts, s"expected $parts rollup rows, got $kAgg")
+    require(ScbfStats.manifestReads.get == parts && ScbfUtil.dataFileOpens.get == 0,
+      s"rollup cost: manifests=${ScbfStats.manifestReads.get} opens=${ScbfUtil.dataFileOpens.get}")
+
     // table-level maintenance discovery: a partition-scoped DELETE's
     // metadata bill. Directory-first pruning (ScbfPartitions.pruneDirs)
     // lists the root's children once and recurses only into in-scope
