@@ -85,7 +85,10 @@ object ScbfAgg {
       val shape = evalGroup(agg, tableSchema, stats).getOrElse(return None)._1
       val keyed = files.zip(stats).map { case (f, st) =>
         val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
-        val key = gcols.map(c => cells.get(c.name).flatMap(parseCell(c.dataType, _)))
+        // typed cell parse shared with the SPJ split keys
+        // (ScbfPartitions.parseCell): -0.0 normalized, NaN declined
+        val key = gcols.map(c =>
+          cells.get(c.name).flatMap(ScbfPartitions.parseCell(c.dataType, _)))
         if (key.exists(_.isEmpty)) return None // stray file / foreign cell
         (key.map(_.get), st)
       }
@@ -104,17 +107,6 @@ object ScbfAgg {
         rows,
         s"group by ${gcols.map(_.name).mkString(", ")}: $descr"))
     }
-  }
-
-  /** The directory cell parsed back to the exact typed value the writer
-   * routed by — the same inversion the SPJ split keys use. NaN cells
-   * decline (grouping semantics would depend on NaN identity). */
-  private def parseCell(dt: DataType, v: String): Option[Any] = dt match {
-    case IntegerType => v.toIntOption
-    case DoubleType  => v.toDoubleOption.filterNot(_.isNaN)
-    case StringType  =>
-      Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
-    case _ => None
   }
 
   /** All aggregate expressions evaluated over one set of file stats

@@ -135,6 +135,25 @@ object ScbfPartitions {
   def partValues(file: Path, schema: StructType, roots: Seq[String]): Map[String, String] =
     orderedCells(file, schema, roots).toMap
 
+  /** The typed value a partition cell encodes — the exact inversion of
+   * the writer's cell formatting (ScbfWrite.cellString), shared by the
+   * SPJ split keys and the grouped aggregate pushdown so those two
+   * layers can never disagree on cell semantics. `-0.0` normalizes to
+   * `0.0`, matching Spark's NormalizeFloatingNumbers view of group and
+   * join keys (the writer routes both zeros to one directory; a legacy
+   * `-0.0` directory parses to the normalized key, so its rows land in
+   * the same group/split key as `0.0` rows — exactly what a scan +
+   * aggregate computes). NaN declines: grouping on it would hinge on
+   * NaN identity. None = no typed reading, callers must fall back. */
+  def parseCell(dt: DataType, v: String): Option[Any] = dt match {
+    case IntegerType => v.toIntOption
+    case DoubleType =>
+      v.toDoubleOption.filterNot(_.isNaN).map(d => if (d == 0.0) 0.0 else d)
+    case StringType =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    case _ => None
+  }
+
   /** Point-interval stats for the partition cells — evaluated by the
    * SAME [[ScbfStats.mayMatch]] the file-skipping layer uses, so
    * partition pruning and stats pruning can never disagree on filter

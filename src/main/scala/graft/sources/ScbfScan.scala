@@ -276,16 +276,11 @@ class ScbfScan(
     val fields = declared.flatMap(c => tableSchema.fields.find(_.name == c))
     if (fields.isEmpty || fields.size != declared.size || files.isEmpty) None
     else {
-      def parse(dt: DataType, v: String): Option[Any] = dt match {
-        case IntegerType => v.toIntOption
-        case DoubleType  => v.toDoubleOption.filterNot(_.isNaN)
-        case StringType  => Some(UTF8String.fromString(v))
-        case _           => None
-      }
       val keys = Map.newBuilder[String, InternalRow]
       val ok = files.forall { f =>
         val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
-        val vals = fields.map(fld => cells.get(fld.name).flatMap(parse(fld.dataType, _)))
+        val vals = fields.map(fld =>
+          cells.get(fld.name).flatMap(ScbfPartitions.parseCell(fld.dataType, _)))
         vals.forall(_.isDefined) && {
           keys += f.getPath.toString ->
             new GenericInternalRow(vals.map(_.get).toArray[Any])
@@ -309,18 +304,26 @@ class ScbfScan(
    * the pre-SPJ connector. The pushed-aggregate single-row path and
    * projections that drop a partition column report unknown (Spark
    * could not resolve the keys anyway). */
+  /** Both SPJ switches resolved at planning time — Spark's v2 bucketing
+   * conf AND the graft escape hatch. Checked BEFORE [[spjKeyed]] is
+   * forced anywhere, so a disabled session never pays the O(files)
+   * cell-parse/key-map build. */
+  private def spjConfEnabled: Boolean =
+    try {
+      val sc = org.apache.spark.sql.internal.SQLConf.get
+      val graftOn = Option(sc.getConfString(graft.GraftConf.SpjEnabled, null))
+        .orElse(sys.props.get(graft.GraftConf.SpjEnabled))
+        .forall(_.trim.toBoolean)
+      sc.v2BucketingEnabled && graftOn
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val enabled =
-      try {
-        val sc = org.apache.spark.sql.internal.SQLConf.get
-        val graftOn = Option(sc.getConfString(graft.GraftConf.SpjEnabled, null))
-          .orElse(sys.props.get(graft.GraftConf.SpjEnabled))
-          .forall(_.trim.toBoolean)
-        sc.v2BucketingEnabled && graftOn
-      } catch { case scala.util.control.NonFatal(_) => false }
-    spjKeyed match {
-      case Some((fields, keys)) if enabled && aggregated.isEmpty &&
+    // conf first: with SPJ off, spjKeyed is never forced (no O(files)
+    // key-map build for a disabled session)
+    val keyed = if (spjConfEnabled) spjKeyed else None
+    keyed match {
+      case Some((fields, keys)) if aggregated.isEmpty &&
           fields.forall(f => required.fieldNames.contains(f.name)) =>
         val n = staticKept.map(f => keys(f.getPath.toString)).distinct.size
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -377,13 +380,15 @@ class ScbfScan(
             }
           case _ => kept
         }
-        // partition keys ride along whenever they are known (null when
-        // not): Spark only reads them under a reported key-grouping,
-        // where spjKeyed guarantees every planned file has one
-        val keyOf: String => InternalRow = spjKeyed match {
-          case Some((_, keys)) => p => keys.getOrElse(p, null)
-          case None            => _ => null
-        }
+        // partition keys ride along whenever SPJ is on and the layout
+        // keys (null otherwise): Spark only reads them under a reported
+        // key-grouping, where spjKeyed guarantees every planned file
+        // has one — and with SPJ off the key map is never built
+        val keyOf: String => InternalRow =
+          (if (spjConfEnabled) spjKeyed else None) match {
+            case Some((_, keys)) => p => keys.getOrElse(p, null)
+            case None            => _ => null
+          }
         limited
           .map(f => ScbfFilePartition(f.getPath.toString, f.getLen,
             keyOf(f.getPath.toString)): InputPartition)

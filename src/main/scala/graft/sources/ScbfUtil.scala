@@ -71,8 +71,13 @@ object ScbfUtil {
       fs.delete(tmp, false)
       throw new ScbfFormatException(s"could not publish keeper file $name in $parent")
     }
-    ScbfStats.write(dest, fs.getConf, ScbfStats.FileStats(0L, Map.empty),
+    // best-effort like the announcement below: the sidecar is an
+    // optimization (header fallback covers a stats-less keeper; the
+    // aggregate pushdown just declines), so a failed publish must not
+    // abort a partition operation whose keeper is already live
+    try ScbfStats.write(dest, fs.getConf, ScbfStats.FileStats(0L, Map.empty),
       fs.getFileStatus(dest).getLen)
+    catch { case scala.util.control.NonFatal(_) => () }
     announceRoot.foreach { root =>
       val qroot = fs.makeQualified(root)
       if (ScbfDiscovery.exists(qroot, fs.getConf)) {

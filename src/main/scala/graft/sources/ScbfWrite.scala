@@ -733,7 +733,12 @@ class ScbfPartitionedDataWriter(
   private def cellString(row: InternalRow, i: Int): String =
     schema.fields(i).dataType match {
       case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
-      case org.apache.spark.sql.types.DoubleType  => row.getDouble(i).toString
+      // -0.0 routes to the 0.0 directory: group/join keys treat the two
+      // zeros as one value (ScbfPartitions.parseCell normalizes the
+      // same way on read, so legacy -0.0 directories still merge)
+      case org.apache.spark.sql.types.DoubleType =>
+        val d = row.getDouble(i)
+        (if (d == 0.0) 0.0 else d).toString
       // null string → "" (the format contract; numeric nulls abort in
       // the inner writer exactly like unpartitioned writes)
       case _ => if (row.isNullAt(i)) "" else row.getUTF8String(i).toString

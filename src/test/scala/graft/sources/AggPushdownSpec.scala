@@ -227,11 +227,43 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
     val fs = src.getFileSystem(conf)
     val strayDir = new Path(dir, "stray.scbf")
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, strayDir, false, conf)
+    // copy the SIDECAR too: the stray file must have trusted stats, so
+    // the decline is forced by the missing-partition-cell guard (the
+    // one this test pins), not the earlier missing-stats guard
+    org.apache.hadoop.fs.FileUtil.copy(fs, ScbfStats.sidecarPath(src), fs,
+      ScbfStats.sidecarPath(strayDir), false, conf)
     // the stray file has no grp cell on its path: grouping by path
     // cells would mis-bucket its rows, so the pushdown must decline
     val q = spark.read.format("scbf").load(dir).groupBy(col("grp"))
       .agg(count(lit(1)).as("cnt"))
     assert(!plan(q).contains("PushedAggregation"))
     assert(q.collect().map(_.getLong(1)).sum > 600L) // stray rows counted by the scan
+  }
+
+  test("-0.0 and 0.0 partition cells are ONE key: one directory, one group") {
+    val dir = tmpDir("scbf-aggpush-negzero")
+    spark.sql("DROP TABLE IF EXISTS aggp_zero")
+    spark.sql("CREATE TABLE aggp_zero (id INT, db DOUBLE) USING scbf " +
+      s"PARTITIONED BY (db) LOCATION '$dir'")
+    spark.createDataFrame(Seq((1, 0.0), (2, -0.0), (3, 1.5)))
+      .toDF("id", "db").createOrReplaceTempView("aggp_zero_src")
+    spark.sql("INSERT INTO aggp_zero SELECT id, db FROM aggp_zero_src")
+    // the writer routes both zeros to ONE directory
+    val dirs = new java.io.File(new java.net.URI(new Path(dir).getFileSystem(
+      new Configuration()).makeQualified(new Path(dir)).toString))
+      .list().filter(_.startsWith("db=")).toSet
+    assert(dirs.contains("db=0.0") && !dirs.exists(_.contains("-0.0")), dirs)
+    // grouped pushdown returns the same (normalized) groups as a scan
+    val pushed = spark.table("aggp_zero").groupBy(col("db"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(plan(pushed).contains("PushedAggregation"))
+    val got = pushed.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got == Map(0.0 -> 2L, 1.5 -> 1L), got.toString)
+    // a LEGACY -0.0 directory (pre-normalization writer) parses to the
+    // normalized key, merging with 0.0 exactly like a scan + aggregate
+    val parsed = ScbfPartitions.parseCell(
+      org.apache.spark.sql.types.DoubleType, "-0.0")
+    assert(parsed.contains(0.0) && java.lang.Double.doubleToRawLongBits(
+      parsed.get.asInstanceOf[Double]) == 0L, s"got $parsed")
   }
 }
