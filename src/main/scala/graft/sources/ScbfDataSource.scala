@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsPartitionManagement, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsPartitionManagement, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -60,6 +60,10 @@ class ScbfDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ScbfDataSource {
+
+  /** The `_file_path` metadata column's name (see
+   * [[ScbfTable.metadataColumns]]). */
+  val FilePathCol = "_file_path"
 
   /** Path options as DataFrameReader/Writer set them: single `path`, or
    * `paths` as a JSON string array. */
@@ -148,9 +152,27 @@ class ScbfTable(
     partitionTransforms: Array[Transform] = Array.empty,
     tableProps: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations with SupportsPartitionManagement {
+  with SupportsRowLevelOperations with SupportsPartitionManagement
+  with SupportsMetadataColumns {
 
   override def partitioning(): Array[Transform] = partitionTransforms
+
+  /** `_file_path` — the absolute path of the SCBF data file each row
+   * came from, surfaced only when explicitly selected (never in
+   * `SELECT *`). The 100 TB lineage/incident primitive: a bad row's
+   * `_file_path` turns "somewhere in the table" into one file, which
+   * the takedown path (DELETE, OPTIMIZE of one partition) can then
+   * target. Served as a per-split constant by the readers — zero
+   * decode cost. A DATA column of the same name wins (Spark excludes
+   * conflicting metadata columns, and the readers prefer the file's
+   * own column). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = ScbfDataSource.FilePathCol
+      override def dataType: DataType = StringType
+      override def comment: String =
+        "absolute path of the SCBF data file this row was read from"
+    })
 
   /** SQL UPDATE / MERGE INTO / subquery-DELETE via group-based
    * copy-on-write (see [[ScbfRowLevelOperation]]). Filter-translatable

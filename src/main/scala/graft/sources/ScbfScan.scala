@@ -892,6 +892,12 @@ private[sources] class ScbfFileColumns(
       val metaByName = ScbfReader.readMeta(input, hdr, partition.length)
         .map(m => m.name -> m).toMap
       val cols: Array[AnyRef] = required.fields.map { field =>
+        // the _file_path METADATA column is a per-split constant — no
+        // bytes decoded; a data column of the same name wins
+        if (field.name == ScbfDataSource.FilePathCol &&
+            !metaByName.contains(field.name)) {
+          UTF8String.fromString(partition.path): AnyRef
+        } else {
         val meta = metaByName.getOrElse(field.name, throw new ScbfFormatException(
           s"Column not found: ${field.name} in ${partition.path} " +
             s"(has: ${metaByName.keys.mkString(", ")})"))
@@ -906,6 +912,7 @@ private[sources] class ScbfFileColumns(
           case ScbfType.Float64 => ScbfReader.readDoubleColumn(input, meta)
           case ScbfType.Utf8    => ScbfReader.readUtf8Column(input, meta)
         }): AnyRef
+        }
       }
       (hdr, hdr.totalRows.toInt, cols)
     } catch {
@@ -958,6 +965,11 @@ class ScbfColumnarReader(
             vec.putByteArray(r, utf8.blob, a, utf8.offsets(cursor + r + 1) - a)
             r += 1
           }
+        // per-split constant (the _file_path metadata column)
+        case const: UTF8String =>
+          val bytes = const.getBytes
+          var r = 0
+          while (r < n) { vec.putByteArray(r, bytes); r += 1 }
       }
       vec: ColumnVector
     }.toArray
@@ -998,6 +1010,8 @@ class ScbfRowReader(partition: ScbfFilePartition, required: StructType, conf: Co
         case utf8: Utf8Raw =>
           val a = utf8.offsets(row)
           out.update(i, UTF8String.fromBytes(utf8.blob, a, utf8.offsets(row + 1) - a))
+        // per-split constant (the _file_path metadata column)
+        case const: UTF8String => out.update(i, const)
       }
       i += 1
     }
