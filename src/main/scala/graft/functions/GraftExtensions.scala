@@ -23,5 +23,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // `_file_path` is batch-only: Spark's DSv2 STREAMING column pruning
+    // never forwards metadata columns to the scan (the analyzer binds
+    // the attribute, but the micro-batch reader is only ever told the
+    // data columns), so the reader would produce narrower batches than
+    // the plan expects and crash deep in codegen. Fail the shape at
+    // ANALYSIS instead, with the workaround in the message. Batch
+    // reads — where the pruning contract does carry metadata columns —
+    // are untouched.
+    ext.injectCheckRule(_ => plan =>
+      plan.foreach { node =>
+        val streamingScbf = node.isInstanceOf[
+            org.apache.spark.sql.catalyst.streaming.StreamingRelationV2] &&
+          node.asInstanceOf[org.apache.spark.sql.catalyst.streaming.StreamingRelationV2]
+            .table.isInstanceOf[graft.sources.ScbfTable]
+        if (streamingScbf && node.output.exists(a =>
+            a.name == graft.sources.ScbfDataSource.FilePathCol &&
+              a.metadata.contains("__metadata_col"))) {
+          throw new graft.scbf.ScbfFormatException(
+            "the _file_path metadata column is batch-only: Spark's streaming " +
+              "column pruning does not forward metadata columns to the scan. " +
+              "Read the directory in BATCH for lineage, or join the stream to " +
+              "a batch lineage snapshot on the table's key.")
+        }
+      })
   }
 }

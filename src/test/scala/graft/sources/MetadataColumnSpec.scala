@@ -76,6 +76,32 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
       s"the file's own column must win: $vals")
   }
 
+  test("a STREAMING read selecting _file_path fails fast at analysis (batch-only)") {
+    val dir = mk("stream")
+    // Spark's streaming column pruning never forwards metadata columns
+    // to the scan (the analyzer binds the attribute, the reader is told
+    // only the data columns), which would crash deep in codegen — the
+    // GraftExtensions check rule fails the shape at ANALYSIS instead
+    val e = intercept[Throwable] {
+      val q = spark.readStream.format("scbf").schema("id INT, tag STRING")
+        .load(dir)
+        .select(col("_file_path"), col("id"))
+        .writeStream.format("memory").queryName("meta_stream_probe")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(30000) finally q.stop()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("batch-only"), s"wanted the guidance message, got: $msgs")
+    // a plain streaming read (no metadata column) is untouched
+    val ok = spark.readStream.format("scbf").schema("id INT, tag STRING")
+      .load(dir).select(col("id"))
+      .writeStream.format("memory").queryName("meta_stream_ok")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    ok.awaitTermination(60000); ok.stop()
+    assert(spark.sql("SELECT COUNT(*) FROM meta_stream_ok").head().getLong(0) == 400L)
+  }
+
   test("the columnar (vectorized) path serves the constant too") {
     val dir = mk("columnar")
     // an aggregate over id + _file_path keeps the scan columnar
