@@ -204,7 +204,12 @@ class ScbfTable(
    * semantics — so the accepted predicate surface is identical to the
    * flat-directory case. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    tablePaths.size == 1 && ScbfDelete.canDelete(filters)
+    tablePaths.size == 1 && ScbfDelete.canDelete(filters) &&
+      // only DATA columns: a condition on the _file_path metadata
+      // column (or any non-schema reference) must take the row-level
+      // copy-on-write plan, whose scan actually serves that column —
+      // the metadata path would evaluate it over data that lacks it
+      filters.flatMap(_.references).forall(schema.fieldNames.contains)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     if (partitionTransforms.isEmpty) {

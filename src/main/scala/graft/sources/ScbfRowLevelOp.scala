@@ -98,6 +98,18 @@ private[sources] class ScbfRowLevelOperation(
   override def description(): String =
     s"ScbfRowLevelOperation[$cmd, $rootDir]"
 
+  /** The `_file_path` metadata column rides every row-level read (an
+   * O(1)-per-batch constant vector), which is what lets a condition
+   * REFERENCE it — `DELETE FROM t WHERE _file_path = '...'` is the
+   * literal file takedown, and the scan's exact path pruning scopes
+   * the rewrite to just that file. Declaring it also flips
+   * ReplaceDataExec onto its projection path, which hands the writer
+   * table-width rows (the stripping factory accepts both layouts). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(ScbfDataSource.FilePathCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScbfRowLevelScanBuilder(schema, files, conf, Seq(rootDir), this)
 

@@ -242,10 +242,26 @@ class ScbfScan(
    * pushed filters are fixed at build time. Runtime (DPP) filters
    * arrive later and prune FROM this set (conjunctive semantics:
    * kept(pushed ∧ runtime) = kept(runtime) ∩ kept(pushed)). */
+  /** Exact pruning on `_file_path` predicates: the metadata column is
+   * a per-file CONSTANT, so equality/In/prefix shapes on it decide a
+   * whole file definitively — `WHERE _file_path = '...'` plans exactly
+   * one file, which is what makes `DELETE FROM t WHERE _file_path=…`
+   * (through the row-level scan, which inherits this) a single-file
+   * takedown instead of a whole-table rewrite. Keep unless provably
+   * false; undecidable shapes fall through to the row-level re-check
+   * against the served constant. */
+  private def pruneByFilePath(fs: Seq[FileStatus],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileStatus] =
+    if (!filters.exists(_.references.contains(ScbfDataSource.FilePathCol))) fs
+    else fs.filter { f =>
+      val p = f.getPath.toString
+      !filters.exists(flt => ScbfScan.filePathTruth(flt, p).contains(false))
+    }
+
   private lazy val staticKept: Seq[FileStatus] =
     if (pushedFilters.isEmpty) partitionKept
     else new ScbfStats.Pruner(conf, pushedFilters, lookup)
-      .keepAll(partitionKept)(_.getPath, _.getLen)
+      .keepAll(pruneByFilePath(partitionKept, pushedFilters))(_.getPath, _.getLen)
 
   /** Storage-partitioned join (SPJ) support: when every file of a
    * partitioned table carries a full, parseable set of `k=v` cells,
@@ -819,6 +835,49 @@ class ScbfScan(
 }
 
 object ScbfScan {
+
+  /** Exact truth of `f` with respect to the `_file_path` metadata
+   * column for a file at `path` — Some(v) when the outcome is fully
+   * decided by the path alone (the column is a per-file constant),
+   * None when any part references another column (undecidable here;
+   * the stats layers own data columns). Kleene three-valued through
+   * And/Or/Not, so a mixed conjunction still prunes on its decided
+   * leg: And(false, unknown) = false drops the file, Or(unknown, x)
+   * only decides when x does. */
+  def filePathTruth(f: org.apache.spark.sql.sources.Filter,
+      path: String): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    val C = ScbfDataSource.FilePathCol
+    def s(v: Any): String = String.valueOf(v)
+    f match {
+      case EqualTo(C, v)                       => Some(path == s(v))
+      case EqualNullSafe(C, v) if v != null    => Some(path == s(v))
+      case EqualNullSafe(C, _)                 => Some(false) // never null
+      case In(C, vs)                           => Some(vs.exists(v => path == s(v)))
+      case StringStartsWith(C, p)              => Some(path.startsWith(p))
+      case StringEndsWith(C, p)                => Some(path.endsWith(p))
+      case StringContains(C, p)                => Some(path.contains(p))
+      case IsNull(C)                           => Some(false)
+      case IsNotNull(C)                        => Some(true)
+      case AlwaysTrue()                        => Some(true)
+      case AlwaysFalse()                       => Some(false)
+      case And(l, r) =>
+        (filePathTruth(l, path), filePathTruth(r, path)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case Or(l, r) =>
+        (filePathTruth(l, path), filePathTruth(r, path)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case Not(x) => filePathTruth(x, path).map(!_)
+      case _      => None
+    }
+  }
+
   /** Lexicographic unsigned byte order — the utf8 bound domain
    * ([[ScbfStats.StrRange]]'s comparison convention). */
   val byteOrdering: Ordering[Array[Byte]] = (a: Array[Byte], b: Array[Byte]) => {
@@ -893,8 +952,13 @@ private[sources] class ScbfFileColumns(
         .map(m => m.name -> m).toMap
       val cols: Array[AnyRef] = required.fields.map { field =>
         // the _file_path METADATA column is a per-split constant — no
-        // bytes decoded; a data column of the same name wins
+        // bytes decoded. Only a field MARKED as a metadata column
+        // qualifies (a user-declared DATA column of the same name that
+        // is missing from the file must keep failing loudly below, not
+        // get fabricated paths), and a data column present in the file
+        // wins either way.
         if (field.name == ScbfDataSource.FilePathCol &&
+            field.metadata.contains("__metadata_col") &&
             !metaByName.contains(field.name)) {
           UTF8String.fromString(partition.path): AnyRef
         } else {
@@ -954,24 +1018,30 @@ class ScbfColumnarReader(
     first = false
     val n = math.min(batchSize, decoded.totalRows - cursor)
     val vectors: Array[ColumnVector] = required.fields.indices.map { i =>
-      val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(i).dataType)
       decoded.columns(i) match {
-        case ints: Array[Int] => vec.putInts(0, n, ints, cursor)
-        case doubles: Array[Double] => vec.putDoubles(0, n, doubles, cursor)
-        case utf8: Utf8Raw =>
-          var r = 0
-          while (r < n) {
-            val a = utf8.offsets(cursor + r)
-            vec.putByteArray(r, utf8.blob, a, utf8.offsets(cursor + r + 1) - a)
-            r += 1
-          }
-        // per-split constant (the _file_path metadata column)
+        // per-split constant (the _file_path metadata column): O(1)
+        // storage per batch, the same vector Spark's own file-source
+        // metadata columns ride
         case const: UTF8String =>
-          val bytes = const.getBytes
-          var r = 0
-          while (r < n) { vec.putByteArray(r, bytes); r += 1 }
+          val vec = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(math.max(n, 1), required.fields(i).dataType)
+          vec.setUtf8String(const)
+          vec: ColumnVector
+        case other =>
+          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(i).dataType)
+          other match {
+            case ints: Array[Int] => vec.putInts(0, n, ints, cursor)
+            case doubles: Array[Double] => vec.putDoubles(0, n, doubles, cursor)
+            case utf8: Utf8Raw =>
+              var r = 0
+              while (r < n) {
+                val a = utf8.offsets(cursor + r)
+                vec.putByteArray(r, utf8.blob, a, utf8.offsets(cursor + r + 1) - a)
+                r += 1
+              }
+          }
+          vec: ColumnVector
       }
-      vec: ColumnVector
     }.toArray
     batch = new ColumnarBatch(vectors, n)
     cursor += n

@@ -76,6 +76,69 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
       s"the file's own column must win: $vals")
   }
 
+  test("SELECT ... WHERE _file_path = '…' plans exactly ONE file (exact path pruning)") {
+    val dir = mk("prune")
+    val victim = spark.read.format("scbf").load(dir)
+      .select(col("_file_path")).limit(1).collect().head.getString(0)
+    val q = spark.read.format("scbf").load(dir)
+      .where(col("_file_path") === victim).select(col("id"))
+    ScbfUtil.dataFileOpens.set(0)
+    val n = q.count()
+    assert(ScbfUtil.dataFileOpens.get == 1,
+      s"path-equality scan must open 1 file, opened ${ScbfUtil.dataFileOpens.get}")
+    assert(n == spark.read.format("scbf").load(victim).count())
+  }
+
+  test("DELETE FROM t WHERE _file_path = '…' is the literal single-file takedown") {
+    val dir = mk("takedown")
+    spark.sql("DROP TABLE IF EXISTS meta_td")
+    spark.sql(s"CREATE TABLE meta_td (id INT, tag STRING) USING scbf LOCATION '$dir'")
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+    assert(files.size == 4)
+    val victim = files.head.getPath
+    val witness = files.last.getPath
+    def bytes(p: org.apache.hadoop.fs.Path): Seq[Byte] = {
+      val fs = p.getFileSystem(hconf)
+      val in = fs.open(p)
+      try Iterator.continually(in.read()).takeWhile(_ >= 0).map(_.toByte).toSeq
+      finally in.close()
+    }
+    val victimRows = spark.read.format("scbf").load(victim.toString).count()
+    val witnessBefore = bytes(witness)
+    ScbfUtil.dataFileOpens.set(0)
+    spark.sql(s"DELETE FROM meta_td WHERE _file_path = '$victim'")
+    // the copy-on-write rewrite scans exactly the named file — every
+    // other file is untouched BYTES, not just untouched rows
+    assert(ScbfUtil.dataFileOpens.get == 1,
+      s"single-file takedown must open 1 file, opened ${ScbfUtil.dataFileOpens.get}")
+    assert(!victim.getFileSystem(hconf).exists(victim), "victim must be gone")
+    assert(bytes(witness) == witnessBefore, "untouched files must stay byte-identical")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_td").head().getLong(0) ==
+      400L - victimRows)
+  }
+
+  test("UPDATE ... WHERE _file_path = '…' redacts one file, partitioned tables included") {
+    val dir = tmpDir("scbf-meta-upd")
+    spark.sql("DROP TABLE IF EXISTS meta_upd")
+    spark.sql("CREATE TABLE meta_upd (id INT, tag STRING, grp STRING) USING scbf " +
+      s"PARTITIONED BY (grp) LOCATION '$dir'")
+    spark.range(0, 200)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("v"), col("id")).as("tag"),
+        concat(lit("g"), (col("id") % 2).cast("int")).as("grp"))
+      .createOrReplaceTempView("meta_upd_src")
+    spark.sql("INSERT INTO meta_upd SELECT /*+ REPARTITION(2, grp) */ " +
+      "id, tag, grp FROM meta_upd_src")
+    val one = spark.table("meta_upd").select(col("_file_path"))
+      .limit(1).collect().head.getString(0)
+    val fileRows = spark.read.format("scbf").load(one).count()
+    spark.sql(s"UPDATE meta_upd SET tag = 'redacted' WHERE _file_path = '$one'")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_upd WHERE tag = 'redacted'")
+      .head().getLong(0) == fileRows)
+    assert(spark.sql("SELECT COUNT(*) FROM meta_upd").head().getLong(0) == 200L)
+  }
+
   test("a STREAMING read selecting _file_path fails fast at analysis (batch-only)") {
     val dir = mk("stream")
     // Spark's streaming column pruning never forwards metadata columns
