@@ -139,6 +139,32 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT COUNT(*) FROM meta_upd").head().getLong(0) == 200L)
   }
 
+  test("MERGE references _file_path in clause conditions (not in ON)") {
+    val dir = mk("merge")
+    spark.sql("DROP TABLE IF EXISTS meta_mrg")
+    spark.sql(s"CREATE TABLE meta_mrg (id INT, tag STRING) USING scbf LOCATION '$dir'")
+    spark.table("meta_mrg").select(col("id")).createOrReplaceTempView("meta_mrg_src")
+    val one = spark.table("meta_mrg").select(col("_file_path"))
+      .limit(1).collect().head.getString(0)
+    val fileRows = spark.read.format("scbf").load(one).count()
+    // the supported spelling: per-clause condition (resolves against
+    // the rewrite read relation, which carries the metadata column)
+    spark.sql(s"""MERGE INTO meta_mrg t USING meta_mrg_src s
+      ON t.id = s.id
+      WHEN MATCHED AND t._file_path = '$one' THEN UPDATE SET t.tag = 'merged'""")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_mrg WHERE tag = 'merged'")
+      .head().getLong(0) == fileRows)
+    // the ON clause resolves against a subplan WITHOUT metadata output
+    // (Spark-side shape) — pin the failure so a behavior change shows
+    val e = intercept[Throwable] {
+      spark.sql(s"""MERGE INTO meta_mrg t USING meta_mrg_src s
+        ON t.id = s.id AND t._file_path = '$one'
+        WHEN MATCHED THEN UPDATE SET t.tag = 'x'""")
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("_file_path"))))
+  }
+
   test("a STREAMING read selecting _file_path fails fast at analysis (batch-only)") {
     val dir = mk("stream")
     // Spark's streaming column pruning never forwards metadata columns
