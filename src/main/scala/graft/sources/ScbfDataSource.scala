@@ -205,11 +205,15 @@ class ScbfTable(
    * flat-directory case. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     tablePaths.size == 1 && ScbfDelete.canDelete(filters) &&
-      // only DATA columns: a condition on the _file_path metadata
-      // column (or any non-schema reference) must take the row-level
-      // copy-on-write plan, whose scan actually serves that column —
-      // the metadata path would evaluate it over data that lacks it
-      filters.flatMap(_.references).forall(schema.fieldNames.contains)
+      // data columns, plus the _file_path metadata column: its
+      // predicates decide per file EXACTLY (the column IS the file's
+      // path — Pruner path evidence), so `DELETE WHERE _file_path='…'`
+      // is a zero-read whole-file drop on this path, and a mixed
+      // condition's exact rewrite resolves _file_path as a metadata
+      // column on the re-read. Any OTHER non-schema reference routes
+      // to the row-level copy-on-write plan.
+      filters.flatMap(_.references).forall(r =>
+        schema.fieldNames.contains(r) || r == ScbfDataSource.FilePathCol)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     if (partitionTransforms.isEmpty) {

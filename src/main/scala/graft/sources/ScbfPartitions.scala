@@ -154,6 +154,50 @@ object ScbfPartitions {
     case _ => None
   }
 
+  /** Exact truth of `f` with respect to the `_file_path` metadata
+   * column for a file at `path` — Some(v) when the outcome is fully
+   * decided by the path alone (the column is a per-file constant),
+   * None when any part references another column or an ordering shape
+   * (undecidable here; the stats layers own data columns). Kleene
+   * three-valued through And/Or/Not, so a mixed conjunction still
+   * decides on its decided leg: And(false, unknown) = false, Or with
+   * one Some(true) = true. Shared by scan pruning (drop a file iff
+   * provably false) and the DELETE fast path (whole-file proof iff
+   * provably true) — `WHERE _file_path = '…'` plans one file and
+   * deletes it without a read. */
+  def filePathTruth(f: Filter, path: String): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    val C = ScbfDataSource.FilePathCol
+    def s(v: Any): String = String.valueOf(v)
+    f match {
+      case EqualTo(C, v)                    => Some(path == s(v))
+      case EqualNullSafe(C, v) if v != null => Some(path == s(v))
+      case EqualNullSafe(C, _)              => Some(false) // never null
+      case In(C, vs)                        => Some(vs.exists(v => path == s(v)))
+      case StringStartsWith(C, p)           => Some(path.startsWith(p))
+      case StringEndsWith(C, p)             => Some(path.endsWith(p))
+      case StringContains(C, p)             => Some(path.contains(p))
+      case IsNull(C)                        => Some(false)
+      case IsNotNull(C)                     => Some(true)
+      case AlwaysTrue()                     => Some(true)
+      case AlwaysFalse()                    => Some(false)
+      case And(l, r) =>
+        (filePathTruth(l, path), filePathTruth(r, path)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case Or(l, r) =>
+        (filePathTruth(l, path), filePathTruth(r, path)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case Not(x) => filePathTruth(x, path).map(!_)
+      case _      => None
+    }
+  }
+
   /** Point-interval stats for the partition cells — evaluated by the
    * SAME [[ScbfStats.mayMatch]] the file-skipping layer uses, so
    * partition pruning and stats pruning can never disagree on filter

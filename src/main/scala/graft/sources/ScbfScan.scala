@@ -242,26 +242,15 @@ class ScbfScan(
    * pushed filters are fixed at build time. Runtime (DPP) filters
    * arrive later and prune FROM this set (conjunctive semantics:
    * kept(pushed ∧ runtime) = kept(runtime) ∩ kept(pushed)). */
-  /** Exact pruning on `_file_path` predicates: the metadata column is
-   * a per-file CONSTANT, so equality/In/prefix shapes on it decide a
-   * whole file definitively — `WHERE _file_path = '...'` plans exactly
-   * one file, which is what makes `DELETE FROM t WHERE _file_path=…`
-   * (through the row-level scan, which inherits this) a single-file
-   * takedown instead of a whole-table rewrite. Keep unless provably
-   * false; undecidable shapes fall through to the row-level re-check
-   * against the served constant. */
-  private def pruneByFilePath(fs: Seq[FileStatus],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileStatus] =
-    if (!filters.exists(_.references.contains(ScbfDataSource.FilePathCol))) fs
-    else fs.filter { f =>
-      val p = f.getPath.toString
-      !filters.exists(flt => ScbfScan.filePathTruth(flt, p).contains(false))
-    }
-
+  // `_file_path` predicates prune exactly inside the Pruner itself
+  // (path truth is a per-file constant — see ScbfStats.Pruner and
+  // ScbfPartitions.filePathTruth): `WHERE _file_path = '…'` plans ONE
+  // file here, and the same evidence makes the DELETE fast path a
+  // zero-read takedown.
   private lazy val staticKept: Seq[FileStatus] =
     if (pushedFilters.isEmpty) partitionKept
     else new ScbfStats.Pruner(conf, pushedFilters, lookup)
-      .keepAll(pruneByFilePath(partitionKept, pushedFilters))(_.getPath, _.getLen)
+      .keepAll(partitionKept)(_.getPath, _.getLen)
 
   /** Storage-partitioned join (SPJ) support: when every file of a
    * partitioned table carries a full, parseable set of `k=v` cells,
@@ -835,48 +824,6 @@ class ScbfScan(
 }
 
 object ScbfScan {
-
-  /** Exact truth of `f` with respect to the `_file_path` metadata
-   * column for a file at `path` — Some(v) when the outcome is fully
-   * decided by the path alone (the column is a per-file constant),
-   * None when any part references another column (undecidable here;
-   * the stats layers own data columns). Kleene three-valued through
-   * And/Or/Not, so a mixed conjunction still prunes on its decided
-   * leg: And(false, unknown) = false drops the file, Or(unknown, x)
-   * only decides when x does. */
-  def filePathTruth(f: org.apache.spark.sql.sources.Filter,
-      path: String): Option[Boolean] = {
-    import org.apache.spark.sql.sources._
-    val C = ScbfDataSource.FilePathCol
-    def s(v: Any): String = String.valueOf(v)
-    f match {
-      case EqualTo(C, v)                       => Some(path == s(v))
-      case EqualNullSafe(C, v) if v != null    => Some(path == s(v))
-      case EqualNullSafe(C, _)                 => Some(false) // never null
-      case In(C, vs)                           => Some(vs.exists(v => path == s(v)))
-      case StringStartsWith(C, p)              => Some(path.startsWith(p))
-      case StringEndsWith(C, p)                => Some(path.endsWith(p))
-      case StringContains(C, p)                => Some(path.contains(p))
-      case IsNull(C)                           => Some(false)
-      case IsNotNull(C)                        => Some(true)
-      case AlwaysTrue()                        => Some(true)
-      case AlwaysFalse()                       => Some(false)
-      case And(l, r) =>
-        (filePathTruth(l, path), filePathTruth(r, path)) match {
-          case (Some(false), _) | (_, Some(false)) => Some(false)
-          case (Some(true), Some(true))            => Some(true)
-          case _                                   => None
-        }
-      case Or(l, r) =>
-        (filePathTruth(l, path), filePathTruth(r, path)) match {
-          case (Some(true), _) | (_, Some(true)) => Some(true)
-          case (Some(false), Some(false))        => Some(false)
-          case _                                 => None
-        }
-      case Not(x) => filePathTruth(x, path).map(!_)
-      case _      => None
-    }
-  }
 
   /** Lexicographic unsigned byte order — the utf8 bound domain
    * ([[ScbfStats.StrRange]]'s comparison convention). */

@@ -391,20 +391,44 @@ object ScbfStats {
     // could use one, and only for files range pruning failed to exclude
     // (the && below short-circuits) — see ScbfBloom's design note
     private val bloomActive = filters.exists(ScbfBloom.usable)
+    // `_file_path` predicates decide per file EXACTLY (the metadata
+    // column is the file's own path — ScbfPartitions.filePathTruth):
+    // provably-false drops the file from any scan, provably-true is a
+    // whole-file all-match proof with NO stats read — the zero-IO
+    // takedown `DELETE FROM t WHERE _file_path = '…'` rides on
+    private val pathActive =
+      filters.exists(_.references.contains(ScbfDataSource.FilePathCol))
+    private def pathExcludes(data: Path): Boolean =
+      pathActive && filters.exists(f =>
+        ScbfPartitions.filePathTruth(f, data.toString).contains(false))
 
-    /** Trusted-stats proof that EVERY row matches — the DELETE
-     * whole-file fast path's evidence ([[ScbfStats.mustMatchAll]]).
-     * Requires stats to EXIST (`exists`, not keep's conservative
-     * `forall`): no stats, no proof, the file rewrites instead. */
-    def provablyAllMatch(data: Path, dataLen: Long): Boolean =
-      lookup.stats(data, dataLen).exists(st => mustMatchAll(filters, st))
+    /** Proof that EVERY row matches — the DELETE whole-file fast
+     * path's evidence: each conjunct proven either by the file's path
+     * (exact — [[ScbfPartitions.filePathTruth]]) or by trusted stats
+     * ([[ScbfStats.mustMatchAll]]; those must EXIST — `exists`, not
+     * keep's conservative `forall`: no stats, no proof, the file
+     * rewrites instead). A fully path-proven condition never reads
+     * stats at all. */
+    def provablyAllMatch(data: Path, dataLen: Long): Boolean = {
+      val truths =
+        if (pathActive) filters.map(f =>
+          f -> ScbfPartitions.filePathTruth(f, data.toString))
+        else filters.map(_ -> (None: Option[Boolean]))
+      if (truths.exists(_._2.contains(false))) return false
+      val residual = truths.collect { case (f, t) if !t.contains(true) => f }
+      if (residual.isEmpty) filters.nonEmpty
+      else lookup.stats(data, dataLen).exists(st => mustMatchAll(residual, st))
+    }
 
-    /** Keep unless present-and-whole stats prove no row can match —
-     * first by min/max interval reasoning, then (for survivors, under
-     * equality-shaped filters) by per-file Bloom membership. */
+    /** Keep unless provably no row can match — a definitively-false
+     * `_file_path` predicate first (exact, zero IO), then
+     * present-and-whole stats by min/max interval reasoning, then (for
+     * survivors, under equality-shaped filters) per-file Bloom
+     * membership. */
     def keep(data: Path, dataLen: Long): Boolean =
       !active ||
-        (lookup.stats(data, dataLen).forall(st => mayMatch(filters, st)) &&
+        (!pathExcludes(data) &&
+          lookup.stats(data, dataLen).forall(st => mayMatch(filters, st)) &&
           (!bloomActive || ScbfBloom.read(data, dataLen, conf).forall(b =>
             ScbfBloom.mayMatch(filters, b))))
 
@@ -422,7 +446,8 @@ object ScbfStats {
     def keepAll[T](fs: Seq[T])(path: T => Path, len: T => Long): Seq[T] = {
       if (!active) return fs
       val statsKept = fs.filter(f =>
-        lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))
+        !pathExcludes(path(f)) &&
+          lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))
       if (!bloomActive) statsKept
       else if (statsKept.size <= 1)
         statsKept.filter(f => ScbfBloom.read(path(f), len(f), conf).forall(b =>

@@ -108,14 +108,26 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
     val witnessBefore = bytes(witness)
     ScbfUtil.dataFileOpens.set(0)
     spark.sql(s"DELETE FROM meta_td WHERE _file_path = '$victim'")
-    // the copy-on-write rewrite scans exactly the named file — every
-    // other file is untouched BYTES, not just untouched rows
-    assert(ScbfUtil.dataFileOpens.get == 1,
-      s"single-file takedown must open 1 file, opened ${ScbfUtil.dataFileOpens.get}")
+    // the path predicate PROVES the whole file matches (the column IS
+    // the path), so the metadata DELETE path drops it without reading
+    // A BYTE — and every other file is untouched bytes, not just
+    // untouched rows
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      s"path takedown must be zero-read, opened ${ScbfUtil.dataFileOpens.get}")
     assert(!victim.getFileSystem(hconf).exists(victim), "victim must be gone")
     assert(bytes(witness) == witnessBefore, "untouched files must stay byte-identical")
     assert(spark.sql("SELECT COUNT(*) FROM meta_td").head().getLong(0) ==
       400L - victimRows)
+    // a MIXED condition (path AND data predicate) scopes to the named
+    // file and rewrites it exactly — the re-read resolves _file_path
+    // as a metadata column
+    val second = ScbfDataSource.resolveFiles(Seq(dir), hconf).head.getPath
+    val secondRows = spark.read.format("scbf").load(second.toString)
+      .where(col("id") % 2 === 0).count()
+    ScbfUtil.dataFileOpens.set(0)
+    spark.sql(s"DELETE FROM meta_td WHERE _file_path = '$second' AND id >= 0 AND id % 2 = 0")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_td").head().getLong(0) ==
+      400L - victimRows - secondRows)
   }
 
   test("UPDATE ... WHERE _file_path = '…' redacts one file, partitioned tables included") {
