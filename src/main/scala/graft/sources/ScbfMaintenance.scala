@@ -55,6 +55,9 @@ object ScbfMaintenance {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    // a freshly-created (or fully-truncated) directory has nothing to
+    // rewrite — loading zero paths would crash with an unrelated error
+    if (snapshot.isEmpty) return Seq.empty
     raceHook()
     val df = spark.read.format("scbf")
       .load(snapshot.map(_.getPath.toString): _*)
@@ -118,6 +121,12 @@ object ScbfMaintenance {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    // idempotence: nothing to pack (empty directory), or already AT the
+    // target file count — re-running `OPTIMIZE tbl` must not pay a full
+    // rewrite and churn the discovery log for a layout it cannot
+    // improve. Growing the count (numFiles > current) stays an explicit
+    // rewrite: the caller asked for more parallelism.
+    if (snapshot.isEmpty || numFiles == snapshot.size) return Seq.empty
     raceHook()
     val df = spark.read.format("scbf")
       .load(snapshot.map(_.getPath.toString): _*)
@@ -160,6 +169,7 @@ object ScbfMaintenance {
     import org.apache.spark.sql.functions._
     val hconf = spark.sessionState.newHadoopConf()
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+    if (snapshot.isEmpty) return Seq.empty // nothing to rewrite
     raceHook()
     val df = spark.read.format("scbf")
       .load(snapshot.map(_.getPath.toString): _*)

@@ -30,11 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object ScbfPartitionMgmt {
 
   /** Render one identifier field exactly as the write path renders the
-   * same value into a directory name (ScbfWrite.cellString). */
+   * same value into a directory name (ScbfWrite.cellString) — including
+   * its -0.0→0.0 normalization, so `ALTER TABLE ... PARTITION (db=-0.0)`
+   * targets the `db=0.0` directory the writer actually creates. */
   def cell(pSchema: StructType, ident: InternalRow, i: Int): String =
     pSchema.fields(i).dataType match {
       case IntegerType => ident.getInt(i).toString
-      case DoubleType  => ident.getDouble(i).toString
+      case DoubleType  =>
+        val d = ident.getDouble(i)
+        (if (d == 0.0) 0.0 else d).toString
       case _ => if (ident.isNullAt(i)) "" else ident.getUTF8String(i).toString
     }
 
@@ -79,7 +83,9 @@ private[sources] object ScbfPartitionMgmt {
         val i = pSchema.fieldIndex(nm)
         val v = pSchema.fields(i).dataType match {
           case IntegerType => ident.getInt(k).toString
-          case DoubleType  => ident.getDouble(k).toString
+          case DoubleType  => // -0.0→0.0, mirroring cell()/cellString
+            val d = ident.getDouble(k)
+            (if (d == 0.0) 0.0 else d).toString
           case _ =>
             if (ident.isNullAt(k)) "" else ident.getUTF8String(k).toString
         }

@@ -170,10 +170,18 @@ object ScbfPartitions {
     val C = ScbfDataSource.FilePathCol
     def s(v: Any): String = String.valueOf(v)
     f match {
+      case EqualTo(C, null)                 => None // SQL: `= NULL` is NULL
       case EqualTo(C, v)                    => Some(path == s(v))
       case EqualNullSafe(C, v) if v != null => Some(path == s(v))
       case EqualNullSafe(C, _)              => Some(false) // never null
-      case In(C, vs)                        => Some(vs.exists(v => path == s(v)))
+      case In(C, vs) =>
+        // three-valued like SQL's IN: a null element can never MATCH,
+        // but it makes a non-match UNKNOWN (not false) — otherwise
+        // Not(In(path, [..., null])) would flip to a provably-true the
+        // DELETE fast path acts on, deleting files SQL would keep
+        if (vs.exists(v => v != null && path == s(v))) Some(true)
+        else if (!vs.contains(null)) Some(false)
+        else None
       case StringStartsWith(C, p)           => Some(path.startsWith(p))
       case StringEndsWith(C, p)             => Some(path.endsWith(p))
       case StringContains(C, p)             => Some(path.contains(p))
@@ -314,6 +322,47 @@ object ScbfPartitions {
         if (c.isDirectory && !hidden(n) && n.indexOf('=') > 0) {
           // cumulative cells of the CHILD directory: partValues drops
           // the last path component, so probe with a synthetic leaf
+          val cells = partValues(new Path(c.getPath, "f"), schema, qroots)
+          if (usable.isEmpty || cells.isEmpty ||
+              ScbfStats.mayMatch(usable, synth(cells, schema)))
+            walk(c.getPath)
+        }
+      }
+    }
+    walk(fs.makeQualified(root))
+    out.result()
+  }
+
+  /**
+   * [[pruneDirs]] for the batch READ path: the same directory-first
+   * walk — one listing per visited directory, `k=v` child NAMES pruned
+   * by the point-interval arithmetic before their contents are ever
+   * listed — but returning the kept directories' data FILES (the
+   * scan's planning input). This is what keeps a partition-pruned
+   * `SELECT ... WHERE pk = 'p1'` on a 10⁶-file table at
+   * root-plus-touched-partitions listings instead of a full-table leaf
+   * LIST that [[prune]] then mostly discards. Exactly [[prune]]'s
+   * conservative semantics at directory granularity: an unparseable
+   * cell, a foreign column name, or no usable filter keeps the subtree
+   * (its files are then subject to the per-file stats pass, and every
+   * filter stays residual — correctness never depends on the prune).
+   */
+  def pruneResolve(root: Path, conf: Configuration, schema: StructType,
+      filters: Seq[Filter], qroots: Seq[String]): Seq[FileStatus] = {
+    val fs = root.getFileSystem(conf)
+    val usable = filters.filter(ScbfStats.usable)
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    val out = Seq.newBuilder[FileStatus]
+    def walk(d: Path): Unit = {
+      recordListing(d)
+      val children =
+        try fs.listStatus(d).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      children.foreach { c =>
+        val n = c.getPath.getName
+        if (c.isFile && !hidden(n) && n.endsWith(graft.scbf.Scbf.FileExtension))
+          out += c
+        else if (c.isDirectory && !hidden(n) && n.indexOf('=') > 0) {
           val cells = partValues(new Path(c.getPath, "f"), schema, qroots)
           if (usable.isEmpty || cells.isEmpty ||
               ScbfStats.mayMatch(usable, synth(cells, schema)))

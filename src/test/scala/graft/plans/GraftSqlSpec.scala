@@ -102,6 +102,31 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqlopt_plain")
   }
 
+  test("OPTIMIZE is idempotent: empty tables and already-packed layouts are no-ops") {
+    val dir = tmpDir("scbf-sql-optn")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_noop")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlopt_noop (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      // a freshly-created table has zero data files: OPTIMIZE must be a
+      // quiet no-op, not a crash from loading an empty path list
+      assert(spark.sql("OPTIMIZE sqlopt_noop").head().getInt(0) == 0)
+      spark.sql("""INSERT INTO sqlopt_noop
+        SELECT /*+ REPARTITION(3) */ CAST(id AS INT), CAST(id AS DOUBLE)
+        FROM range(0, 300)""")
+      assert(spark.sql("OPTIMIZE sqlopt_noop").head().getInt(0) > 0)
+      val files = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      assert(files.size == 1)
+      val before = files.head.getPath.getName
+      // re-running on the already-1-file layout: no rewrite, no log
+      // churn — the SAME file stays on disk
+      assert(spark.sql("OPTIMIZE sqlopt_noop").head().getInt(0) == 0)
+      assert(ScbfDataSource.resolveFiles(Seq(dir), hconf)
+        .map(_.getPath.getName) == Seq(before), "no-op must not rewrite the file")
+      assert(spark.sql("SELECT COUNT(*) FROM sqlopt_noop").head().getLong(0) == 300L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_noop")
+  }
+
   test("VACUUM sweeps aged temps and orphan sidecars across partitions, pure SQL") {
     val dir = tmpDir("scbf-sql-vac")
     spark.sql("DROP TABLE IF EXISTS sqlvac_t")

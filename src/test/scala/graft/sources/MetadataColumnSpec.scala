@@ -130,6 +130,42 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
       400L - victimRows - secondRows)
   }
 
+  test("filePathTruth is three-valued: a NULL in an IN list never proves a NOT IN") {
+    import org.apache.spark.sql.sources._
+    val C = ScbfDataSource.FilePathCol
+    // a null element can never MATCH, but it makes a non-match UNKNOWN:
+    // SQL's `p NOT IN ('a', NULL)` is NULL (never true) for p != 'a'
+    assert(ScbfPartitions.filePathTruth(In(C, Array[Any]("p", null)), "p") == Some(true))
+    assert(ScbfPartitions.filePathTruth(In(C, Array[Any]("p", null)), "q").isEmpty)
+    assert(ScbfPartitions.filePathTruth(Not(In(C, Array[Any]("p", null))), "q").isEmpty,
+      "Not(unknown) must stay unknown — a Some(true) here would let the " +
+        "zero-read DELETE fast path drop files SQL keeps")
+    assert(ScbfPartitions.filePathTruth(In(C, Array[Any]("p")), "q") == Some(false))
+    assert(ScbfPartitions.filePathTruth(Not(In(C, Array[Any]("p"))), "q") == Some(true))
+    assert(ScbfPartitions.filePathTruth(EqualTo(C, null), "q").isEmpty,
+      "`= NULL` is NULL in SQL, not false")
+  }
+
+  test("DELETE WHERE _file_path NOT IN (path, NULL) deletes nothing (SQL NULL semantics)") {
+    val dir = mk("notin")
+    spark.sql("DROP TABLE IF EXISTS meta_ni")
+    spark.sql(s"CREATE TABLE meta_ni (id INT, tag STRING) USING scbf LOCATION '$dir'")
+    val hconf = spark.sessionState.newHadoopConf()
+    val keep = ScbfDataSource.resolveFiles(Seq(dir), hconf).head.getPath
+    // `path NOT IN ('keep', NULL)` is NULL for every other path — never
+    // TRUE — so SQL deletes no row and the whole-file proof must decline
+    spark.sql(s"DELETE FROM meta_ni WHERE _file_path NOT IN ('$keep', NULL)")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_ni").head().getLong(0) == 400L,
+      "a NULL in the NOT IN list makes the predicate never-true")
+    // without the NULL the same shape is an exact takedown of the rest
+    // (re-resolve: the never-true DELETE may have rewritten file names)
+    val keep2 = ScbfDataSource.resolveFiles(Seq(dir), hconf).head.getPath
+    val keepRows = spark.read.format("scbf").load(keep2.toString).count()
+    spark.sql(s"DELETE FROM meta_ni WHERE _file_path NOT IN ('$keep2')")
+    assert(spark.sql("SELECT COUNT(*) FROM meta_ni").head().getLong(0) == keepRows)
+    spark.sql("DROP TABLE IF EXISTS meta_ni")
+  }
+
   test("UPDATE ... WHERE _file_path = '…' redacts one file, partitioned tables included") {
     val dir = tmpDir("scbf-meta-upd")
     spark.sql("DROP TABLE IF EXISTS meta_upd")

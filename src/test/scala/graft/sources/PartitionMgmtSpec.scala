@@ -132,6 +132,39 @@ class PartitionMgmtSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS pm_ren")
   }
 
+  test("PARTITION (db=-0.0) targets the db=0.0 directory the writer creates") {
+    // the writer normalizes -0.0 to 0.0 when routing rows
+    // (ScbfWrite.cellString), so identifier rendering must too — else
+    // DROP/TRUNCATE (db=-0.0) silently misses and ADD plants a
+    // directory the normalized key contract says cannot exist
+    val dir = Files.createTempDirectory("scbf-pm-negzero").toString
+    spark.sql("DROP TABLE IF EXISTS pm_nz")
+    spark.sql(s"CREATE TABLE pm_nz (id INT, db DOUBLE) USING scbf " +
+      s"PARTITIONED BY (db) LOCATION '$dir'")
+    try {
+      Seq((1, -0.0), (2, 0.0), (3, 1.5)).toDF("id", "db")
+        .createOrReplaceTempView("pm_nz_src")
+      spark.sql("INSERT INTO pm_nz SELECT id, db FROM pm_nz_src")
+      assert(new java.io.File(s"$dir/db=0.0").exists() &&
+        !new java.io.File(s"$dir/db=-0.0").exists(), "writer routes -0.0 to db=0.0")
+      // SHOW PARTITIONS with the -0.0 spec finds the normalized partition
+      val shown = spark.sql("SHOW PARTITIONS pm_nz PARTITION (db=-0.0)")
+        .collect().map(_.getString(0))
+      assert(shown.toSeq == Seq("db=0.0"), s"spec must normalize: ${shown.toSeq}")
+      // TRUNCATE with the -0.0 spelling hits the real directory
+      spark.sql("TRUNCATE TABLE pm_nz PARTITION (db=-0.0)")
+      assert(spark.sql("SELECT COUNT(*) FROM pm_nz WHERE db = 0.0").head().getLong(0) == 0L)
+      assert(spark.sql("SELECT COUNT(*) FROM pm_nz").head().getLong(0) == 1L)
+      // DROP with the -0.0 spelling removes it (no silent false)
+      spark.sql("ALTER TABLE pm_nz DROP PARTITION (db=-0.0)")
+      assert(!new java.io.File(s"$dir/db=0.0").exists(), "db=0.0 must be gone")
+      // ADD with -0.0 creates the normalized directory, not db=-0.0
+      spark.sql("ALTER TABLE pm_nz ADD PARTITION (db=-0.0)")
+      assert(new java.io.File(s"$dir/db=0.0").exists() &&
+        !new java.io.File(s"$dir/db=-0.0").exists(), "ADD must normalize too")
+    } finally spark.sql("DROP TABLE IF EXISTS pm_nz")
+  }
+
   test("TRUNCATE TABLE ... PARTITION empties exactly that partition, keeps it listed and readable") {
     val dir = mk("pm_trunc")
     try {
