@@ -40,21 +40,31 @@ class ScbfDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Schema inference reads ONE file header, found by an early-exit
+   * walk — never a full-table leaf LIST. Every SCBF file of a table
+   * carries the full schema in its header, so the tree size is
+   * irrelevant to inference; at 10⁶ files on an object store this is
+   * the difference between milliseconds and minutes of driver time
+   * before a single filter has even been seen. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (files, conf) = ScbfDataSource.resolveFiles(options)
-    if (files.isEmpty)
-      throw new ScbfFormatException(
-        s"No .scbf files found at ${ScbfDataSource.paths(options).mkString(", ")}")
-    ScbfDataSource.scbfToSpark(ScbfUtil.readHeader(files.head, conf).schema)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val first = ScbfDataSource.findFirstFile(ScbfDataSource.paths(options), conf)
+      .getOrElse(throw new ScbfFormatException(
+        s"No .scbf files found at ${ScbfDataSource.paths(options).mkString(", ")}"))
+    ScbfDataSource.scbfToSpark(ScbfUtil.readHeader(first, conf).schema)
   }
 
+  /** No listing here AT ALL: file resolution is deferred to scan/write
+   * build time, where the pushed partition filters can drive the
+   * directory-first pruned walk ([[ScbfDataSource.resolveFilesPruned]])
+   * — so resolving a catalog table is pure metadata work. */
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (files, conf) = ScbfDataSource.resolveFiles(options)
-    new ScbfTable(ScbfDataSource.paths(options), files, schema, conf, partitioning,
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new ScbfTable(ScbfDataSource.paths(options), schema, conf, partitioning,
       options)
   }
 }
@@ -120,6 +130,61 @@ object ScbfDataSource {
   private def isHidden(p: Path): Boolean =
     p.getName.startsWith("_") || p.getName.startsWith(".")
 
+  /** ONE data file, via an early-exit depth-first walk in name order —
+   * what schema inference needs (every file's header carries the full
+   * schema). Visits at most one directory per tree level on the happy
+   * path instead of listing the whole tree. */
+  def findFirstFile(tablePaths: Seq[String], conf: Configuration): Option[FileStatus] = {
+    def walk(fs: org.apache.hadoop.fs.FileSystem, d: Path): Option[FileStatus] = {
+      val children =
+        try fs.listStatus(d).toSeq.sortBy(_.getPath.getName)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      children.iterator.flatMap { c =>
+        if (c.isFile && !isHidden(c.getPath) &&
+            c.getPath.getName.endsWith(Scbf.FileExtension)) Some(c)
+        else if (c.isDirectory && !isHidden(c.getPath) &&
+            c.getPath.getName.indexOf('=') > 0) walk(fs, c.getPath)
+        else None
+      }.nextOption()
+    }
+    tablePaths.iterator.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .sortBy(_.getPath.toString).iterator.flatMap {
+          case d if d.isDirectory       => walk(fs, d.getPath)
+          case f if isHidden(f.getPath) => None
+          case f                        => Some(f)
+        }
+    }.nextOption()
+  }
+
+  /** Filter-driven file resolution for scan planning: directories walk
+   * through [[ScbfPartitions.pruneResolve]] — one listing per kept
+   * directory, partition `k=v` names pruned BEFORE their contents are
+   * listed — so a partition-pruned read of a 10⁶-file table lists the
+   * root plus the touched partitions only. With no usable filter this
+   * degenerates to exactly [[resolveFiles]]'s walk (same one-pass
+   * cost). Glob patterns and plain-file paths behave as in
+   * [[resolveFiles]]; output is path-sorted like it too. */
+  def resolveFilesPruned(tablePaths: Seq[String], conf: Configuration,
+      schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileStatus] = {
+    val qroots = ScbfPartitions.qualifiedRoots(tablePaths, conf)
+    val statuses = tablePaths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      globbed.flatMap {
+        case d if d.isDirectory =>
+          ScbfPartitions.pruneResolve(d.getPath, conf, schema, filters, qroots)
+        case f if isHidden(f.getPath) => Seq.empty
+        case f                        => Seq(f)
+      }
+    }
+    statuses.sortBy(_.getPath.toString)
+  }
+
   def scbfToSpark(schema: ScbfSchema): StructType =
     StructType(schema.columns.map { c =>
       // nullable=false: the format has no null representation (SURVEY §1.2)
@@ -146,7 +211,6 @@ object ScbfDataSource {
 
 class ScbfTable(
     tablePaths: Seq[String],
-    files: Seq[FileStatus],
     schema: StructType,
     conf: Configuration,
     partitionTransforms: Array[Transform] = Array.empty,
@@ -156,6 +220,14 @@ class ScbfTable(
   with SupportsMetadataColumns {
 
   override def partitioning(): Array[Transform] = partitionTransforms
+
+  /** Filter-driven deferred listing — the table NEVER lists eagerly
+   * (resolution is pure metadata work); each scan/rewrite lists at
+   * build time through the directory-first pruned walk, driven by its
+   * own pushed filters. */
+  private[sources] def listFiles(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileStatus] =
+    ScbfDataSource.resolveFilesPruned(tablePaths, conf, schema, filters)
 
   /** `_file_path` — the absolute path of the SCBF data file each row
    * came from, surfaced only when explicitly selected (never in
@@ -187,7 +259,7 @@ class ScbfTable(
       case other => throw new ScbfFormatException(
         s"SCBF row-level SQL requires exactly one table path, got: $other")
     }
-    new ScbfRowLevelOperationBuilder(this, dir, files, schema, conf,
+    new ScbfRowLevelOperationBuilder(this, dir, listFiles, schema, conf,
       ScbfPartitions.partitionCols(partitionTransforms, schema), info)
   }
 
@@ -365,9 +437,30 @@ class ScbfTable(
     val onChangeCommit = Option(options.get("onChangeCommit"))
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .getOrElse(ScbfMicroBatchStream.DefaultOnChangeCommit)
-    new ScbfScanBuilder(schema, files, conf, tablePaths, maxFiles, compactInterval,
-      maxFileAge, aggPushdown, reconcileEvery, onChangeCommit,
-      ScbfPartitions.partitionCols(partitionTransforms, schema))
+    // time travel: `asOfTimestamp` (epoch millis) resolves the file
+    // set from the discovery log's version chain (ScbfDiscovery
+    // .filesAsOf — loud refusals for unrecorded or swept history) and
+    // plans it EAGERLY: stats pruning still applies per file, but
+    // aggregate pushdown is disabled (manifests describe the present
+    // table, not the past one)
+    Option(options.get("asOfTimestamp")).map(_.toLong) match {
+      case Some(ts) =>
+        val root = tablePaths match {
+          case Seq(one) => one
+          case other => throw new ScbfFormatException(
+            s"asOfTimestamp needs exactly one table directory, got: $other")
+        }
+        val asOfFiles = ScbfDiscovery.filesAsOf(new Path(root), conf, ts,
+          ScbfDataSource.resolveFiles(Seq(root), conf))
+        new ScbfScanBuilder(schema, asOfFiles, conf, tablePaths,
+          aggPushdown = false, asOf = Some(ts),
+          partitionCols = ScbfPartitions.partitionCols(partitionTransforms, schema))
+      case None =>
+        new ScbfScanBuilder(schema, Seq.empty, conf, tablePaths, maxFiles, compactInterval,
+          maxFileAge, aggPushdown, reconcileEvery, onChangeCommit,
+          ScbfPartitions.partitionCols(partitionTransforms, schema),
+          listFilesOpt = Some(listFiles))
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

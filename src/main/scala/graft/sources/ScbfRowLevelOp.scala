@@ -78,7 +78,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[sources] class ScbfRowLevelOperation(
     table: ScbfTable,
     rootDir: String,
-    files: Seq[org.apache.hadoop.fs.FileStatus],
+    listFiles: Seq[org.apache.spark.sql.sources.Filter] => Seq[org.apache.hadoop.fs.FileStatus],
     schema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
     partitionCols: Seq[String],
@@ -111,7 +111,7 @@ private[sources] class ScbfRowLevelOperation(
       .column(ScbfDataSource.FilePathCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScbfRowLevelScanBuilder(schema, files, conf, Seq(rootDir), this)
+    new ScbfRowLevelScanBuilder(schema, listFiles, conf, Seq(rootDir), this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     ScbfDataSource.sparkToScbf(info.schema()) // fail fast on unsupported types
@@ -155,14 +155,14 @@ private[sources] class ScbfRowLevelOperation(
 private[sources] class ScbfRowLevelOperationBuilder(
     table: ScbfTable,
     rootDir: String,
-    files: Seq[org.apache.hadoop.fs.FileStatus],
+    listFiles: Seq[org.apache.spark.sql.sources.Filter] => Seq[org.apache.hadoop.fs.FileStatus],
     schema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
     partitionCols: Seq[String],
     info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new ScbfRowLevelOperation(table, rootDir, files, schema, conf,
+    new ScbfRowLevelOperation(table, rootDir, listFiles, schema, conf,
       partitionCols, info.command)
 }
 
@@ -175,7 +175,7 @@ private[sources] class ScbfRowLevelOperationBuilder(
  */
 private[sources] class ScbfRowLevelScanBuilder(
     schema: StructType,
-    files: Seq[org.apache.hadoop.fs.FileStatus],
+    listFiles: Seq[org.apache.spark.sql.sources.Filter] => Seq[org.apache.hadoop.fs.FileStatus],
     conf: org.apache.hadoop.conf.Configuration,
     tablePaths: Seq[String],
     op: ScbfRowLevelOperation)
@@ -197,8 +197,10 @@ private[sources] class ScbfRowLevelScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan =
-    new ScbfScan(schema, required, files, conf, tablePaths,
-      pushedFilters = pushed.toSeq) {
+    // deferred, filter-driven listing here too: a partition-scoped
+    // UPDATE/MERGE's rewrite scan lists root + touched partitions only
+    new ScbfScan(schema, required, Seq.empty, conf, tablePaths,
+      pushedFilters = pushed.toSeq, listFilesOpt = Some(listFiles)) {
       // no runtime group filtering: Spark's matching-rows pre-scan
       // would re-scan the table to build In-keys over EVERY column;
       // static stats/partition pruning already scopes the groups

@@ -35,11 +35,24 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     maxFileAgeMs: Option[Long] = None, aggPushdown: Boolean = true,
     reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
     onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    // deferred, filter-driven listing (ScbfTable.listFiles): when set,
+    // `files` is ignored and every file set is resolved at build time
+    // through the directory-first pruned walk. The eager `files` form
+    // stays for direct (test/tool) construction over a known list —
+    // and for time travel (`asOf`), whose file set the discovery log
+    // already resolved.
+    listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
+    asOf: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
   with SupportsPushDownTopN {
+
+  /** Full (unfiltered) listing — only the stats-answered aggregate
+   * pushdown needs it, and only when actually attempted. */
+  private lazy val allFiles: Seq[FileStatus] =
+    listFilesOpt.map(_(Seq.empty)).getOrElse(files)
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -76,7 +89,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     lastAgg match {
       case Some((a, r)) if a eq agg => r
       case _ =>
-        val r = ScbfAgg.compute(agg, schema, files, conf,
+        val r = ScbfAgg.compute(agg, schema, allFiles, conf,
           ScbfPartitions.qualifiedRoots(tablePaths, conf))
         lastAgg = Some((agg, r))
         r
@@ -135,7 +148,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
-      reconcileEvery, onChangeCommit, partitionCols)
+      reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf)
 }
 
 class ScbfScan(
@@ -153,7 +166,9 @@ class ScbfScan(
     topN: Option[(String, Boolean, Int)] = None,
     reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
     onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
+    asOf: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -197,19 +212,25 @@ class ScbfScan(
     // Catalyst pushes aggregates on the batch path only; a streaming
     // scan carrying one would silently replay a frozen answer
     require(aggregated.isEmpty, "aggregate pushdown is batch-only")
+    // a stream is by definition the LIVE table; a frozen historical
+    // file set would silently pin every trigger to the past
+    require(asOf.isEmpty,
+      "asOfTimestamp is batch-only: a stream reads the live table. " +
+        "Read the historical snapshot in batch instead.")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
       reconcileEvery, onChangeCommit)
   }
 
   override def description(): String =
-    s"SCBF scan of ${files.length} file(s), columns [${required.fieldNames.mkString(", ")}]" +
+    s"SCBF scan, columns [${required.fieldNames.mkString(", ")}]" +
       (if (pushedFilters.nonEmpty)
         s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
       aggregated.map(a => s", PushedAggregation: [${a.description}]").getOrElse("") +
       limitRows.map(n => s", PushedLimit: $n").getOrElse("") +
       topN.map { case (c, d, k) =>
-        s", PushedTopN: [$c ${if (d) "DESC" else "ASC"}, $k]" }.getOrElse("")
+        s", PushedTopN: [$c ${if (d) "DESC" else "ASC"}, $k]" }.getOrElse("") +
+      asOf.map(t => s", AsOfTimestamp: $t").getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled
@@ -228,11 +249,19 @@ class ScbfScan(
     ScbfPartitions.qualifiedRoots(tablePaths, conf)
 
   /** Partition-directory pruning FIRST (ScbfPartitions): pure path
-   * arithmetic against `col=value` components, zero IO — so a pruned
-   * partition's manifest is never even opened. The per-file stats
-   * pass below then only sees surviving partitions' files. */
-  private lazy val partitionKept: Seq[FileStatus] =
-    ScbfPartitions.prune(files, tableSchema, pushedFilters, partitionRoots)
+   * arithmetic against `col=value` components — so a pruned
+   * partition's manifest is never even opened. On the deferred-listing
+   * path (table reads) the pruning happens DURING the walk
+   * ([[ScbfPartitions.pruneResolve]]): a pruned partition's directory
+   * is never LISTED either, which is what bounds a partition-pruned
+   * SELECT's metadata bill at root + touched partitions on a 10⁶-file
+   * table. Eager (test/tool) construction keeps the post-hoc prune of
+   * the supplied list — identical kept set, listing already paid. The
+   * per-file stats pass below then only sees surviving files. */
+  private lazy val partitionKept: Seq[FileStatus] = listFilesOpt match {
+    case Some(lf) => lf(pushedFilters)
+    case None => ScbfPartitions.prune(files, tableSchema, pushedFilters, partitionRoots)
+  }
 
   /** The static prune (pushed filters only), computed ONCE per scan:
    * Catalyst asks for statistics (possibly several times) and then
@@ -272,17 +301,20 @@ class ScbfScan(
    * fails to parse to its column type: a reported key-grouping is a
    * hard contract (every split must carry a key), never a guess. */
   private lazy val spjKeyed: Option[(Seq[StructField], Map[String, InternalRow])] = {
+    // PLANNED files only (post-partition-prune): the key-grouping
+    // contract is per planned split, so unplanned files' layout is
+    // irrelevant — and the deferred-listing path never lists them
     val declared =
       if (partitionCols.nonEmpty) partitionCols
-      else files.headOption
+      else partitionKept.headOption
         .map(f => ScbfPartitions.orderedCells(f.getPath, tableSchema, partitionRoots)
           .map(_._1))
         .getOrElse(Seq.empty)
     val fields = declared.flatMap(c => tableSchema.fields.find(_.name == c))
-    if (fields.isEmpty || fields.size != declared.size || files.isEmpty) None
+    if (fields.isEmpty || fields.size != declared.size || partitionKept.isEmpty) None
     else {
       val keys = Map.newBuilder[String, InternalRow]
-      val ok = files.forall { f =>
+      val ok = partitionKept.forall { f =>
         val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
         val vals = fields.map(fld =>
           cells.get(fld.name).flatMap(ScbfPartitions.parseCell(fld.dataType, _)))
@@ -337,8 +369,11 @@ class ScbfScan(
             .toArray,
           math.max(n, 1))
       case _ =>
+        // a pushed aggregation plans exactly one partition; otherwise
+        // the kept-file count (the hint is advisory — Spark derives the
+        // real partitioning from the planned splits)
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          files.size)
+          if (aggregated.isDefined) 1 else partitionKept.size)
     }
   }
 
@@ -415,8 +450,10 @@ class ScbfScan(
    * thousands of headers serially on the driver would stall planning —
    * rows go unreported instead, never guessed). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val kept =
-      if (aggregated.isDefined) files else staticKept
+    // lazy: a pushed aggregation's statistics come from its result
+    // rows alone — no file set (and on the deferred path, no LISTING)
+    // may be forced for it
+    private lazy val kept = staticKept
     private val lookup = ScbfScan.this.lookup
 
     /** Post-partition-prune, PRE-stats-prune listing: the anchor the
@@ -432,8 +469,7 @@ class ScbfScan(
      * keep-fraction — combine by MIN instead. Partition pruning stays
      * outside the anchor: a pruned partition's summaries never load,
      * so its mass is in neither factor. */
-    private lazy val anchor: Seq[FileStatus] =
-      if (aggregated.isDefined) files else partitionKept
+    private lazy val anchor: Seq[FileStatus] = partitionKept
 
     /** Keep-fraction of the pushed predicates, estimated from the
      * kept directories' merged statistics and folded into the

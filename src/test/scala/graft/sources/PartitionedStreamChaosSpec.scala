@@ -154,7 +154,7 @@ class PartitionedStreamChaosSpec extends AnyFunSuite with SparkTestBase {
       StructField("grp", StringType, nullable = false))
     // partition-management surface under chaos: DROP/TRUNCATE route
     // through the real SupportsPartitionManagement entry points
-    val pmTable = new ScbfTable(Seq(dir), Seq.empty, tableSchema, conf,
+    val pmTable = new ScbfTable(Seq(dir), tableSchema, conf,
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .identity("grp")))
     def pmIdent(g: String): org.apache.spark.sql.catalyst.InternalRow =

