@@ -221,6 +221,88 @@ object ScbfDiscovery {
     }
   }
 
+  /**
+   * Read-only TIME TRAVEL from the log — `graft` batch read option
+   * `asOfTimestamp` (epoch millis): the set of data files LIVE at `ts`.
+   *
+   * The log is already a version chain: every commit appends entries
+   * stamped with the publication time, rewrites/deletes name their
+   * victims in `rewriteOf`, and file names are never reused — so
+   * liveness needs no replay order at all:
+   *   live(ts) = {published at ≤ ts} − {named as replaced at ≤ ts}.
+   * Compaction preserves entries (and their original `ts`), so history
+   * survives folding; only a full-overwrite `reset` truncates it, and
+   * that boundary is refused loudly below.
+   *
+   * Three REFUSALS keep this honest (each names its cure):
+   *  - no log, or `ts` before the log's first entry — history simply
+   *    is not recorded that far back;
+   *  - a currently-listed data file the log never announced (producer
+   *    bypassed the connector) — the chain cannot be trusted;
+   *  - a live-at-ts file that no longer exists on disk — a later
+   *    DELETE/UPDATE/OPTIMIZE physically removed it (SCBF retains no
+   *    tombstoned bytes; see README). AS OF is exact for any point
+   *    whose files still live — the append-only ingest history, which
+   *    at 100 TB is almost all of it.
+   */
+  def filesAsOf(root: Path, conf: Configuration, ts: Long,
+      currentListing: Seq[org.apache.hadoop.fs.FileStatus]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = root.getFileSystem(conf)
+    val qroot = fs.makeQualified(root)
+    def refuse(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"asOfTimestamp=$ts on $qroot: $why")
+    if (!exists(qroot, conf))
+      refuse("the table has no discovery log — time travel replays the " +
+        "log's version chain. Tables written by this connector keep one " +
+        "automatically; foreign/reference-tool directories have no " +
+        "recorded history.")
+    val all = listDeltas(qroot, conf).sorted
+      .flatMap(n => readDelta(qroot, conf, n))
+    if (all.isEmpty) refuse("the discovery log is empty — no recorded history.")
+    // first-announcement per name (compaction snapshots duplicate
+    // entries verbatim; names are never reused)
+    val byName = all.groupBy(_.name).view.mapValues(_.minBy(_.ts)).toMap
+    val logStart = byName.values.map(_.ts).min
+    if (ts < logStart)
+      refuse(s"history starts at $logStart (the log's first entry — a full " +
+        "INSERT OVERWRITE resets the chain, and nothing before the first " +
+        "connector write was ever recorded).")
+    // earliest time each file was declared replaced/removed
+    val removedAt: Map[String, Long] = all
+      .flatMap(e => e.rewriteOf.map(_ -> e.ts))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def liveAt(t: Long): Seq[Entry] = byName.values.toSeq
+      .filter(e => e.len >= 0 && e.ts <= t &&
+        removedAt.get(e.name).forall(_ > t))
+    // reconcile: every CURRENTLY listed data file must be in the
+    // log's live-at-now view, else a producer bypassed the log and
+    // the chain cannot be trusted for any timestamp
+    val nowNames = liveAt(Long.MaxValue).map(_.name).toSet
+    val unannounced = currentListing.map { f =>
+      qroot.toUri.relativize(fs.makeQualified(f.getPath).toUri)
+        .getPath.stripPrefix("/")
+    }.filterNot(nowNames)
+    if (unannounced.nonEmpty)
+      refuse(s"the discovery log is incomplete — data files exist that it " +
+        s"never announced (${unannounced.take(3).mkString(", ")}" +
+        s"${if (unannounced.size > 3) ", …" else ""}). A producer bypassed " +
+        "the connector; the version chain cannot be trusted.")
+    liveAt(ts).sortBy(_.name).map { e =>
+      val p = new Path(qroot, e.name)
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
+            "timestamp but has been physically removed by a later " +
+            "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
+            "bytes (the frozen reference format has no retention layer). " +
+            "Pick a timestamp at or after the rewrite, or keep explicit " +
+            "CTAS snapshots for long-horizon audits (README 'Time travel').")
+      }
+    }
+  }
+
   /** Fold every current delta into one union snapshot (last entry per
    * file name wins — replayed-epoch duplicates are identical anyway),
    * then delete exactly the deltas that were folded. */

@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * Read-only time travel (`asOfTimestamp` batch read option): the
+ * discovery log already records per-commit appends, removals and C:1
+ * rewrites, so "files live at time T" is a pure log replay —
+ * `live(T) = published(≤T) − replaced(≤T)` (names are never reused,
+ * so no ordering is needed, and compaction preserves entries with
+ * their original timestamps).
+ *
+ * The honesty contract (all refusals loud, each naming its cure):
+ * no log / pre-log timestamps refuse; an unannounced data file
+ * (producer bypassed the connector) refuses; a live-at-T file that a
+ * later rewrite physically removed refuses — SCBF retains no
+ * tombstoned bytes (frozen reference format, no retention layer), so
+ * AS OF is exact precisely for history whose files still live: the
+ * append-only ingest chain, which at 100 TB is almost all of it.
+ */
+class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def writeWave(dir: String, from: Int, until: Int): Unit =
+    (from until until).map(i => (i, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("scbf").mode("append").save(dir)
+
+  private def asOf(dir: String, ts: Long) =
+    spark.read.format("scbf").option("asOfTimestamp", ts).load(dir)
+
+  private def tick(): Long = { Thread.sleep(5); System.currentTimeMillis() }
+
+  test("append-only history replays bit-exact at every captured timestamp") {
+    val dir = tmpDir("scbf-asof-append")
+    writeWave(dir, 0, 100)
+    val t1 = tick()
+    writeWave(dir, 100, 250)
+    val t2 = tick()
+    writeWave(dir, 250, 400)
+    val t3 = tick()
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum($"id"), sum($"v")).head()
+    assert(sums(asOf(dir, t1)) ==
+      org.apache.spark.sql.Row(100L, (0 until 100).map(_.toLong).sum,
+        (0 until 100).map(_ * 0.5).sum))
+    assert(sums(asOf(dir, t2)) ==
+      org.apache.spark.sql.Row(250L, (0 until 250).map(_.toLong).sum,
+        (0 until 250).map(_ * 0.5).sum))
+    assert(sums(asOf(dir, t3)) == sums(spark.read.format("scbf").load(dir)))
+    // column pruning + filters still work on the historical scan
+    assert(asOf(dir, t2).filter($"id" < 50).select($"id").count() == 50L)
+  }
+
+  test("a rewrite bounds history: before it refuses loudly, after it is exact") {
+    val dir = tmpDir("scbf-asof-rw")
+    spark.sql("DROP TABLE IF EXISTS asof_rw")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE asof_rw (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO asof_rw SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(0, 200)")
+      val tPre = tick()
+      assert(asOf(dir, tPre).count() == 200L)
+      // a stats-scoped DELETE physically rewrites the affected file(s)
+      spark.sql("DELETE FROM asof_rw WHERE id >= 50 AND id < 100")
+      val tPost = tick()
+      assert(asOf(dir, tPost).count() == 150L, "post-rewrite history is exact")
+      // the pre-rewrite point needs the replaced originals — gone
+      val e = intercept[Exception] { asOf(dir, tPre).count() }
+      assert(e.getMessage.contains("physically removed"), e.getMessage)
+      // OPTIMIZE moves the boundary again
+      spark.sql("OPTIMIZE asof_rw FILES 1")
+      val tOpt = tick()
+      assert(asOf(dir, tOpt).count() == 150L)
+      val e2 = intercept[Exception] { asOf(dir, tPost).count() }
+      assert(e2.getMessage.contains("physically removed"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS asof_rw")
+  }
+
+  test("refusals: no log, pre-log history, unannounced files, streaming") {
+    // a directory with data but NO discovery log (foreign producer)
+    val bare = tmpDir("scbf-asof-bare")
+    writeWave(bare, 0, 10)
+    val fs = new Path(bare).getFileSystem(hconf)
+    fs.delete(ScbfDiscovery.dir(new Path(bare)), true)
+    val e1 = intercept[Exception] { asOf(bare, System.currentTimeMillis()).count() }
+    assert(e1.getMessage.contains("no discovery log"), e1.getMessage)
+
+    // pre-log timestamps refuse (a full overwrite RESETS the chain)
+    val dir = tmpDir("scbf-asof-reset")
+    writeWave(dir, 0, 50)
+    val tOld = tick()
+    (0 until 30).map(i => (i, 1.0)).toDF("id", "v")
+      .coalesce(1).write.format("scbf").mode("overwrite").save(dir)
+    val e2 = intercept[Exception] { asOf(dir, tOld).count() }
+    assert(e2.getMessage.contains("history starts at"), e2.getMessage)
+    assert(asOf(dir, tick()).count() == 30L, "post-overwrite history works")
+
+    // an unannounced data file poisons the chain — refuse, don't guess
+    val alien = tmpDir("scbf-asof-alien")
+    writeWave(alien, 0, 20)
+    val tGood = tick()
+    val src = ScbfDataSource.resolveFiles(Seq(alien), hconf).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new Path(alien, "alien-copy.scbf"), false, hconf)
+    val e3 = intercept[Exception] { asOf(alien, tGood).count() }
+    assert(e3.getMessage.contains("never announced"), e3.getMessage)
+
+    // streaming with asOfTimestamp is refused at read-start
+    val ok = tmpDir("scbf-asof-stream")
+    writeWave(ok, 0, 10)
+    val e4 = intercept[Exception] {
+      val q = spark.readStream.format("scbf").schema("id INT, v DOUBLE")
+        .option("asOfTimestamp", System.currentTimeMillis())
+        .load(ok).writeStream.format("memory").queryName("asof_stream_probe")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(30000) finally q.stop()
+    }
+    val msgs = Iterator.iterate(e4: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("batch-only"), msgs)
+  }
+
+  test("partitioned tables time-travel too, with partition pruning intact") {
+    val dir = tmpDir("scbf-asof-part")
+    spark.sql("DROP TABLE IF EXISTS asof_pt")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE asof_pt (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("INSERT INTO asof_pt SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(0, 100)")
+      val t1 = tick()
+      spark.sql("INSERT INTO asof_pt SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(100, 300)")
+      assert(asOf(dir, t1).count() == 100L)
+      // historical scan still prunes files by partition cells
+      ScbfUtil.dataFileOpens.set(0)
+      val g0 = asOf(dir, t1).filter($"grp" === "g0").count()
+      assert(g0 == 50L)
+      val allT1 = ScbfDiscovery.filesAsOf(new Path(dir), hconf, t1,
+        ScbfDataSource.resolveFiles(Seq(dir), hconf))
+      val g0Files = allT1.count(_.getPath.toString.contains("grp=g0"))
+      assert(ScbfUtil.dataFileOpens.get == g0Files,
+        s"historical partition scan must prune: opened ${ScbfUtil.dataFileOpens.get} of ${allT1.size}")
+    } finally spark.sql("DROP TABLE IF EXISTS asof_pt")
+  }
+}
