@@ -892,6 +892,53 @@ object RelationalQueries {
       s.sql(q)
     },
 
+    "q57_add_column" -> { (s, dir) =>
+      // ALTER TABLE ... ADD COLUMN ... DEFAULT as ONE managed statement
+      // (GraftAddColumnsCommand): the schema-evolution recipe —
+      // successor + one-pass rewrite + atomic swap + discovery-log
+      // continuity — that round 9's README documented as three manual
+      // steps. Runs on a PARTITIONED table (layout must survive), adds
+      // a DOUBLE and a STRING column in one statement, then proves
+      // mixed old/new files interoperate: a post-ALTER INSERT supplies
+      // explicit values while rewritten rows carry the defaults. The
+      // oracle replays default + insert semantics over the source
+      // parquet — only an exact, complete, layout-preserving rewrite
+      // hash-matches.
+      val base = scratchDir(s) + "/graft_scbf_addcol_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q57")
+      fs.delete(p, true) // clean location: external tables keep files across DROP
+      t(s, dir, "documents").createOrReplaceTempView("graft_q57_src")
+      s.sql("CREATE TABLE graft_q57 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf PARTITIONED BY (source) LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q57
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q57_src""")
+      s.sql("ALTER TABLE graft_q57 ADD COLUMNS (score DOUBLE DEFAULT 1.5, " +
+        "lang STRING DEFAULT 'und')")
+      // mixed files: new-schema INSERT coexists with rewritten defaults
+      s.sql("""INSERT INTO graft_q57
+        SELECT CAST(doc_id + 1000000 AS INT), 'ins', CAST(7 AS INT),
+          CAST(2.0 AS DOUBLE), 'en'
+        FROM graft_q57_src WHERE doc_id % 10 = 0""")
+      // partition pruning still bites on the rewritten layout
+      val pin = s.sql(
+        "SELECT COUNT(*) FROM graft_q57 WHERE source = 'ins' AND lang = 'en'")
+      graft.sources.ScbfPartitions.listedDirs.clear()
+      pin.collect()
+      val walked = graft.sources.ScbfPartitions.listedDirs
+        .toArray(Array.empty[String]).toSeq.filter(_.contains("source="))
+      require(walked.nonEmpty && walked.forall(_.endsWith("source=ins")),
+        s"post-ADD-COLUMN partition pruning must hold: $walked")
+      s.sql("""SELECT source, lang, COUNT(*) AS cnt,
+        SUM(n_chars) AS sum_chars, SUM(score) AS sum_score,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q57 GROUP BY source, lang""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1338,6 +1385,20 @@ object RelationalQueries {
          CAST(MAX(doc_id) AS INT) AS max_doc,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source""",
+
+    "q57_add_column" ->
+      """SELECT source, lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(score) AS DOUBLE) AS sum_score,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM (
+           SELECT CAST(doc_id AS INT) AS doc_id, source, n_chars,
+             1.5 AS score, 'und' AS lang FROM documents
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS INT), 'ins', 7, 2.0, 'en'
+           FROM documents WHERE doc_id % 10 = 0)
+         GROUP BY source, lang""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -34,9 +34,12 @@ import graft.sources.ScbfMaintenance
  * rewrite in one snapshot-scoped pass. Recognition is whole-statement
  * anchored — a SELECT mentioning the word OPTIMIZE never detours.
  */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.maintenancePlan(sqlText)
+      .orElse(GraftSqlParser.alterColumnPlan(sqlText, session))
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -86,6 +89,13 @@ object GraftSqlParser {
    * maintenance must never sweep a foreign format's directory. */
   private[plans] def resolveScbfTable(
       spark: SparkSession, table: String): (String, Boolean) = {
+    val (_, meta) = resolveScbfMeta(spark, table)
+    (new org.apache.hadoop.fs.Path(meta.location).toString,
+      meta.partitionColumnNames.nonEmpty)
+  }
+
+  private[plans] def resolveScbfMeta(spark: SparkSession, table: String)
+      : (TableIdentifier, org.apache.spark.sql.catalyst.catalog.CatalogTable) = {
     val parts = table.split('.')
     val ti = parts.length match {
       case 2 => TableIdentifier(parts(1), Some(parts(0)))
@@ -94,16 +104,256 @@ object GraftSqlParser {
       // mangled single-part lookup
       case 3 =>
         require(parts(0).equalsIgnoreCase("spark_catalog"),
-          s"OPTIMIZE/VACUUM support session-catalog tables only, got $table")
+          s"OPTIMIZE/VACUUM/ALTER COLUMN support session-catalog tables only, got $table")
         TableIdentifier(parts(2), Some(parts(1)))
       case _ => TableIdentifier(table)
     }
     val meta = spark.sessionState.catalog.getTableMetadata(ti)
     require(meta.provider.exists(_.equalsIgnoreCase("scbf")),
       s"$table is not an SCBF table (provider=${meta.provider.getOrElse("?")}): " +
-        "OPTIMIZE/VACUUM apply to USING scbf tables only")
-    (new org.apache.hadoop.fs.Path(meta.location).toString,
-      meta.partitionColumnNames.nonEmpty)
+        "this statement applies to USING scbf tables only")
+    (ti, meta)
+  }
+
+  // ---- ALTER TABLE ... {ADD|DROP|RENAME|ALTER|CHANGE} COLUMN ----
+  // Vanilla Spark would route these to the session catalog and update
+  // ONLY the metastore schema — SCBF files carry their schema in their
+  // headers (the frozen reference format has no column-mapping layer),
+  // so a catalog-only ALTER leaves every existing file missing the new
+  // column and every read failing. The parser therefore intercepts the
+  // COLUMN forms FOR SCBF TABLES ONLY (a parse-time catalog probe; any
+  // other table delegates untouched): ADD COLUMN becomes a managed
+  // one-pass rewrite + atomic swap (the SchemaEvolutionSpec recipe as
+  // ONE statement), the other column forms decline with that guidance.
+  // Partition forms (ADD/DROP PARTITION, RENAME TO PARTITION, ...)
+  // never match these shapes and keep their Spark paths.
+  private val AlterAddColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
+  private val AlterOtherColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(DROP\s+COLUMNS?|RENAME\s+COLUMN|ALTER\s+COLUMN|CHANGE\s+COLUMN)\b.*""".r
+  // one column spec: name TYPE [DEFAULT <number | 'string' | "string">]
+  private val ColSpecRe =
+    """(?is)\s*(\w+)\s+(INT|INTEGER|DOUBLE|STRING)(?:\s+DEFAULT\s+('(?:[^']|'')*'|"(?:[^"]|"")*"|[-+]?[\d.][\w.+-]*))?\s*(?:,|$)""".r
+
+  private[plans] def alterColumnPlan(
+      sql: String, session: Option[SparkSession]): Option[LogicalPlan] = {
+    def isScbf(table: String): Boolean = session.exists { s =>
+      try { resolveScbfMeta(s, table); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    sql match {
+      case AlterAddColRe(tbl, spec) if isScbf(tbl) =>
+        val body = spec.trim match {
+          case s if s.startsWith("(") && s.endsWith(")") => s.substring(1, s.length - 1)
+          case s => s
+        }
+        val ms = ColSpecRe.findAllMatchIn(body).toSeq
+        val covered = ms.map(_.matched.length).sum
+        if (ms.isEmpty || covered != body.length)
+          throw new graft.scbf.ScbfFormatException(
+            s"cannot parse ADD COLUMN spec '$body' for SCBF table $tbl. " +
+              "Supported: ALTER TABLE t ADD COLUMN[S] [(]name {INT|DOUBLE|STRING} " +
+              "DEFAULT <literal>[, ...][)] — the three SCBF types, each with an " +
+              "explicit DEFAULT (the format stores no nulls, so every existing " +
+              "row needs a value).")
+        val cols = ms.map { m =>
+          val raw = Option(m.group(3))
+          GraftAddCol(m.group(1), m.group(2).toUpperCase(java.util.Locale.ROOT) match {
+            case "INT" | "INTEGER" => IntegerType
+            case "DOUBLE"          => org.apache.spark.sql.types.DoubleType
+            case _                 => org.apache.spark.sql.types.StringType
+          }, raw.getOrElse(throw new graft.scbf.ScbfFormatException(
+            s"ADD COLUMN ${m.group(1)}: SCBF stores no nulls — an explicit " +
+              "DEFAULT <literal> is required so every existing row gets a value")))
+        }
+        Some(GraftAddColumnsCommand(tbl, cols))
+      case AlterOtherColRe(tbl, form) if isScbf(tbl) =>
+        throw new graft.scbf.ScbfFormatException(
+          s"ALTER TABLE ${form.trim.toUpperCase(java.util.Locale.ROOT)} is not " +
+            s"supported for SCBF table $tbl: the file format is frozen (schema " +
+            "lives in every file's header; there is no column-mapping layer), " +
+            "so dropping/renaming/retyping a column is a table rewrite by " +
+            "definition. Use the rewrite recipe: CREATE a successor table with " +
+            "the new schema + INSERT INTO successor SELECT ... FROM old + swap " +
+            "(see README 'Schema evolution'). ADD COLUMN ... DEFAULT ... IS " +
+            "supported as a managed rewrite.")
+      case _ => None
+    }
+  }
+}
+
+/** One ADD COLUMN spec: the new column, its SCBF-representable Spark
+ * type, and the raw DEFAULT literal (validated/cast at run). */
+case class GraftAddCol(name: String, dataType: DataType, default: String)
+
+/**
+ * `ALTER TABLE t ADD COLUMN[S] name TYPE DEFAULT lit[, ...]` for SCBF
+ * tables — the schema-evolution recipe (successor + one-pass rewrite +
+ * atomic swap, SchemaEvolutionSpec) as ONE managed statement.
+ *
+ * LOUD about cost by design: this rewrites every data file once (at
+ * 100 TB that is a full-table pass — the explicit price of a frozen,
+ * reference-compatible format with no read-time column-mapping layer;
+ * you pay it once here instead of every future scan funding a mapping
+ * layer). Mechanics:
+ *
+ *  1. snapshot the live file set, read EXACTLY those files (partition
+ *     values live in the data, so layout information survives);
+ *  2. append the new columns as cast literals, reorder to the final
+ *     catalog order (old data columns, new columns, partition columns
+ *     — so rewritten files and future INSERTs agree on order);
+ *  3. write the successor directory (same partition routing via
+ *     partitionBy; keeper-only partitions are re-created empty with
+ *     the new schema);
+ *  4. swap: rename root→retired, successor→root (two renames — the
+ *     atomic unit a filesystem gives; readers in the gap see a
+ *     transient missing-path error, never mixed schemas). A file that
+ *     appeared AFTER the snapshot (concurrent append) is detected in
+ *     the retired directory and rolls the swap back loudly;
+ *  5. discovery-log continuity: the ORIGINAL log moves into the new
+ *     root and the rewrite announces `rewriteOf` entries per directory
+ *     (rowsChanged=false — existing columns' rows are untouched), so
+ *     checkpointed streams treat it exactly like a compaction rewrite;
+ *  6. retire the old directory and update the catalog schema.
+ */
+case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.sources.{ScbfDataSource, ScbfDiscovery, ScbfPartitions, ScbfUtil}
+    val (ti, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+    val rootDir = new org.apache.hadoop.fs.Path(meta.location).toString
+    val partCols = meta.partitionColumnNames
+    cols.foreach { c =>
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(c.name)),
+        s"column '${c.name}' already exists in $table " +
+          meta.schema.fieldNames.mkString("(", ", ", ")"))
+    }
+    require(cols.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.size == cols.size,
+      s"duplicate new column names: ${cols.map(_.name)}")
+    // validate every DEFAULT up front (cast must produce a non-null of
+    // the declared type) — fail HERE, not mid-rewrite
+    val probe = spark.range(1).select(
+      cols.map(c => expr(c.default).cast(c.dataType).as(c.name)): _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!probe.isNullAt(i),
+        s"DEFAULT ${c.default} for column '${c.name}' evaluates to NULL — " +
+          "SCBF stores no nulls; give a concrete literal")
+    }
+
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = rootP.getFileSystem(conf)
+    val qroot = fs.makeQualified(rootP)
+    val snapshot = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val successor = new org.apache.hadoop.fs.Path(rootDir + s".addcol-$uuid")
+    val retired = new org.apache.hadoop.fs.Path(rootDir + s".pre-addcol-$uuid")
+    def rel(p: org.apache.hadoop.fs.Path): String =
+      qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+
+    // final order: the ORIGINAL column order with the new columns
+    // appended — rewritten files, future INSERTs and SELECT * all
+    // agree, and partition columns keep their declared positions
+    // (catalog V2 tables preserve DDL order; nothing is reshuffled)
+    val finalOrder = meta.schema.fieldNames.toSeq ++ cols.map(_.name)
+    if (snapshot.nonEmpty) {
+      // read EXACTLY the snapshot (partition values are stored in the
+      // data files, so routing information survives a by-file read)
+      val df = spark.read.format("scbf")
+        .load(snapshot.map(_.getPath.toString): _*)
+      val widened = cols.foldLeft(df)((d, c) =>
+        d.withColumn(c.name, expr(c.default).cast(c.dataType)))
+        .select(finalOrder.map(col): _*)
+      val w = widened.write.format("scbf").mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .save(successor.toString)
+    } else fs.mkdirs(successor)
+    val finalSchema = StructType(
+      finalOrder.map(n => meta.schema.find(_.name == n).getOrElse(
+        cols.find(_.name == n).map(c =>
+          org.apache.spark.sql.types.StructField(c.name, c.dataType,
+            nullable = false)).get)))
+    // keeper-only directories (TRUNCATEd / freshly ADDed partitions
+    // hold a 0-row file the empty-DataFrame write cannot reproduce):
+    // re-create them empty with the NEW schema so no partition vanishes
+    val oldDirs = ScbfPartitions.pruneDirs(rootP, conf, meta.schema,
+      Seq.empty, ScbfPartitions.qualifiedRoots(Seq(rootDir), conf)).map(rel)
+    val qsucc = fs.makeQualified(successor)
+    val newDirs = ScbfPartitions.pruneDirs(successor, conf, finalSchema,
+      Seq.empty, ScbfPartitions.qualifiedRoots(Seq(successor.toString), conf))
+      .map(p => qsucc.toUri.relativize(
+        fs.makeQualified(p).toUri).getPath.stripPrefix("/")).toSet
+    oldDirs.filterNot(newDirs).foreach { d =>
+      val target = if (d.isEmpty) successor
+        else new org.apache.hadoop.fs.Path(successor, d)
+      fs.mkdirs(target)
+      ScbfUtil.writeEmptyScbf(fs, target, finalSchema, "addcol-keeper-")
+    }
+
+    // ---- the swap ----
+    require(fs.rename(rootP, retired),
+      s"ADD COLUMN on $table: could not retire $rootP")
+    // concurrent-append guard: a file published after the snapshot
+    // would be silently destroyed with the retired directory — detect
+    // it and roll the whole swap back instead
+    val lateFiles = ScbfDataSource.resolveFiles(Seq(retired.toString), conf)
+      .map(_.getPath.getName).toSet -- snapshot.map(_.getPath.getName).toSet
+    if (lateFiles.nonEmpty) {
+      require(fs.rename(retired, rootP),
+        s"ADD COLUMN on $table: rollback rename failed — table data is at $retired")
+      fs.delete(successor, true)
+      throw new graft.scbf.ScbfFormatException(
+        s"ADD COLUMN on $table aborted: files were appended concurrently " +
+          s"(${lateFiles.take(3).mkString(", ")}${if (lateFiles.size > 3) ", …" else ""}). " +
+          "The table is unchanged; re-run when ingest settles.")
+    }
+    // ---- discovery-log continuity, BEFORE the successor is visible ----
+    // The root is currently ABSENT (streams' listings and log reads
+    // come up empty — quiet no-op triggers), so this is the window to
+    // assemble the successor's final state: the ORIGINAL log (the
+    // checkpointed streams' delta chain) replaces the successor's
+    // fresh one, and the rewrite announces itself per directory like a
+    // compaction (rowsChanged=false: existing columns' rows are
+    // untouched). Doing it after the final rename would race a stream
+    // trigger into the fresh log and re-deliver the whole table.
+    val retiredLog = ScbfDiscovery.dir(retired)
+    val succLog = ScbfDiscovery.dir(successor)
+    if (fs.exists(retiredLog)) {
+      fs.delete(succLog, true)
+      fs.rename(retiredLog, succLog)
+      val now = System.currentTimeMillis()
+      val oldByDir = snapshot.groupBy(f => rel(f.getPath.getParent))
+        .view.mapValues(_.map(f => rel(f.getPath)).sorted).toMap
+      val qsucc2 = fs.makeQualified(successor)
+      val newFiles = ScbfDataSource.resolveFiles(Seq(successor.toString), conf)
+      def relS(p: org.apache.hadoop.fs.Path): String =
+        qsucc2.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+      ScbfDiscovery.append(qsucc2, conf, newFiles.map { f =>
+        val d = relS(f.getPath.getParent)
+        ScbfDiscovery.Entry(relS(f.getPath), f.getLen, now,
+          rewriteOf = oldByDir.getOrElse(d, Seq.empty), rowsChanged = false)
+      })
+    }
+    require(fs.rename(successor, rootP),
+      s"ADD COLUMN on $table: table data retired to $retired but the successor " +
+        s"rename failed — restore by renaming $retired back to $rootP")
+    fs.delete(retired, true)
+
+    // ---- catalog: full schema with the new columns appended ----
+    // (not alterTableDataSchema: its dataSchema view drops the LAST
+    // n-partition-columns positionally, which mis-slices any table
+    // whose partition columns are not declared last)
+    val newFullSchema = StructType(meta.schema ++
+      cols.map(c => org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, nullable = false)))
+    spark.sessionState.catalog.alterTable(meta.copy(schema = newFullSchema))
+    spark.sessionState.catalog.refreshTable(ti)
+    Seq(Row(snapshot.size))
   }
 }
 

@@ -75,6 +75,125 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN ... DEFAULT is the managed one-statement rewrite") {
+    val dir = tmpDir("scbf-evo-addcol")
+    spark.sql("DROP TABLE IF EXISTS evo_ac")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE evo_ac (id INT, name STRING) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_ac SELECT CAST(id AS INT), concat('n', id) FROM range(0, 100)")
+      val rewritten = spark.sql(
+        "ALTER TABLE evo_ac ADD COLUMN score DOUBLE DEFAULT 1.5").head().getInt(0)
+      assert(rewritten > 0, "the managed rewrite reports the files it rewrote")
+      // catalog AND files agree on the new schema; every row got the default
+      assert(spark.table("evo_ac").columns.toSeq == Seq("id", "name", "score"))
+      val r = spark.sql("SELECT COUNT(*), SUM(score), MIN(id), MAX(id) FROM evo_ac").head()
+      assert(r == org.apache.spark.sql.Row(100L, 150.0, 0, 99))
+      // new-schema INSERTs work immediately (column order agrees)
+      spark.sql("INSERT INTO evo_ac VALUES (1000, 'x', 2.5)")
+      assert(spark.sql("SELECT COUNT(*) FROM evo_ac WHERE score = 2.5").head().getLong(0) == 1L)
+      // multi-column parenthesized form, string + int defaults
+      spark.sql("ALTER TABLE evo_ac ADD COLUMNS (lang STRING DEFAULT 'en', n INT DEFAULT 7)")
+      val r2 = spark.sql("SELECT COUNT(*), SUM(n) FROM evo_ac WHERE lang = 'en'").head()
+      assert(r2 == org.apache.spark.sql.Row(101L, 707L))
+    } finally spark.sql("DROP TABLE IF EXISTS evo_ac")
+  }
+
+  test("ADD COLUMN on a PARTITIONED table preserves the layout, keepers included") {
+    val dir = tmpDir("scbf-evo-acp")
+    spark.sql("DROP TABLE IF EXISTS evo_acp")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE evo_acp (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_acp SELECT CAST(id AS INT), concat('g', CAST(id % 3 AS INT)) " +
+        "FROM range(0, 90)")
+      // a keeper-only partition (ADD PARTITION) must survive the rewrite
+      spark.sql("ALTER TABLE evo_acp ADD PARTITION (grp='gempty')")
+      spark.sql("ALTER TABLE evo_acp ADD COLUMN flag STRING DEFAULT 'ok'")
+      val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(subs.toSeq == Seq("grp=g0", "grp=g1", "grp=g2", "grp=gempty"),
+        s"partition layout must survive: ${subs.toSeq}")
+      assert(spark.sql("SELECT COUNT(*) FROM evo_acp WHERE flag = 'ok'").head().getLong(0) == 90L)
+      // the empty partition is still a readable standalone dir, NEW schema
+      val keeper = spark.read.format("scbf").load(s"$dir/grp=gempty")
+      assert(keeper.columns.toSeq.sorted == Seq("flag", "grp", "id"))
+      assert(keeper.count() == 0L)
+      // partition pruning still bites post-rewrite
+      assert(spark.sql("SELECT COUNT(*) FROM evo_acp WHERE grp = 'g1'").head().getLong(0) == 30L)
+    } finally spark.sql("DROP TABLE IF EXISTS evo_acp")
+  }
+
+  test("ADD COLUMN guards: DEFAULT required, duplicates refused, other ALTERs guided, foreign tables delegate") {
+    val dir = tmpDir("scbf-evo-acg")
+    spark.sql("DROP TABLE IF EXISTS evo_acg")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE evo_acg (id INT) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_acg VALUES (1)")
+      // no DEFAULT: the format stores no nulls — loud, actionable
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_acg ADD COLUMN x INT") }
+      assert(e1.getMessage.contains("DEFAULT"), e1.getMessage)
+      // existing name refused
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_acg ADD COLUMN id INT DEFAULT 0") }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      // NULL default refused (evaluates to null)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_acg ADD COLUMN x DOUBLE DEFAULT CAST('zzz' AS DOUBLE)") }
+      assert(e3.getMessage.toLowerCase.contains("null") ||
+        e3.getMessage.contains("cannot parse"), e3.getMessage)
+      // DROP/RENAME COLUMN decline with the rewrite guidance
+      val e4 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_acg DROP COLUMN id") }
+      assert(e4.getMessage.contains("rewrite"), e4.getMessage)
+      // a non-scbf table keeps its vanilla ALTER path untouched
+      spark.sql("DROP TABLE IF EXISTS evo_foreign")
+      spark.range(3).write.saveAsTable("evo_foreign") // parquet provider
+      try {
+        spark.sql("ALTER TABLE evo_foreign ADD COLUMNS (extra INT)")
+        assert(spark.table("evo_foreign").columns.contains("extra"),
+          "vanilla ADD COLUMNS must still reach parquet tables")
+      } finally spark.sql("DROP TABLE IF EXISTS evo_foreign")
+      // table unchanged by the failed attempts
+      assert(spark.sql("SELECT COUNT(*) FROM evo_acg").head().getLong(0) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS evo_acg")
+  }
+
+  test("a checkpointed stream rides through ADD COLUMN like a compaction (no re-delivery)") {
+    val dir = tmpDir("scbf-evo-acs")
+    spark.sql("DROP TABLE IF EXISTS evo_acs")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE evo_acs (id INT) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_acs SELECT CAST(id AS INT) FROM range(0, 50)")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val q = spark.readStream.format("scbf").schema("id INT").load(dir)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = df.select(col("id")).collect().map(_.getInt(0)).toSeq
+            seen.synchronized { seen += ids }
+            ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == (0 until 50), s"baseline: $seen")
+        spark.sql("ALTER TABLE evo_acs ADD COLUMN score DOUBLE DEFAULT 0.0")
+        q.processAllAvailable()
+        // rowsChanged=false rewrite: the caught-up stream skips it
+        assert(seen.flatten.size == 50,
+          s"ADD COLUMN must not re-deliver rows: ${seen.flatten.size}")
+        // post-rewrite appends still flow (log continuity preserved)
+        spark.sql("INSERT INTO evo_acs VALUES (1000, 9.0)")
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == ((0 until 50) :+ 1000),
+          s"appended row must arrive: $seen")
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS evo_acs")
+  }
+
   test("path-based swap: directory rename completes the rewrite atomically for path readers") {
     val live = tmpDir("scbf-evo-live")
     val next = live + ".next"
