@@ -286,7 +286,70 @@ class ScbfMicroBatchStream(
         -1L
     }
 
-  override def initialOffset(): Offset = ScbfOffset(0L)
+  /** One-time fail-closed guard: a streaming plan that demands the
+   * `_file_path` metadata column would crash deep in codegen — Spark's
+   * streaming column pruning never forwards metadata columns to the
+   * scan, so `required` here can never carry it while the plan's
+   * relation output still does. The GraftExtensions check rule fails
+   * the shape at ANALYSIS with guidance, but the connector must not
+   * depend on an optional extension for a crash-vs-error distinction:
+   * the first trigger re-checks from inside by locating the owning
+   * StreamExecution's analyzed plan (reflection — the executor classes
+   * are private[sql]) and throwing the same guidance error when its
+   * relation output demands the column this scan cannot serve.
+   * Best-effort by construction: any reflection surprise skips the
+   * guard (the extension rule and the documented caveat still stand) —
+   * it can only ever turn an opaque codegen crash into a clear error,
+   * never fail a healthy stream. */
+  @volatile private var filePathGuardDone = false
+
+  private def guardFilePathDemand(): Unit = {
+    if (filePathGuardDone ||
+        required.fieldNames.contains(ScbfDataSource.FilePathCol)) {
+      filePathGuardDone = true
+      return
+    }
+    val demanded =
+      try {
+        val sessions = Seq(
+          org.apache.spark.sql.SparkSession.getActiveSession,
+          org.apache.spark.sql.SparkSession.getDefaultSession).flatten.distinct
+        sessions.flatMap(_.streams.active.toSeq).exists { q =>
+          // unwrap StreamingQueryWrapper -> StreamExecution, then read
+          // its analyzed logicalPlan — all public in bytecode
+          val se = q.getClass.getMethods.find(m =>
+            m.getName == "streamingQuery" && m.getParameterCount == 0)
+            .map(_.invoke(q)).getOrElse(q)
+          se.getClass.getMethods.find(m =>
+            m.getName == "logicalPlan" && m.getParameterCount == 0)
+            .map(_.invoke(se)).toSeq
+            .collect { case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => lp }
+            .exists { lp =>
+              var hit = false
+              lp.foreach { node =>
+                if (!hit) {
+                  val streamM = node.getClass.getMethods.find(m =>
+                    m.getName == "stream" && m.getParameterCount == 0)
+                  if (streamM.exists(_.invoke(node).asInstanceOf[AnyRef] eq this))
+                    hit = node.output.exists(a =>
+                      a.name == ScbfDataSource.FilePathCol &&
+                        a.metadata.contains("__metadata_col"))
+                }
+              }
+              hit
+            }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (demanded)
+      throw new ScbfFormatException(
+        "the _file_path metadata column is batch-only: Spark's streaming " +
+          "column pruning does not forward metadata columns to the scan. " +
+          "Read the directory in BATCH for lineage, or join the stream to " +
+          "a batch lineage snapshot on the table's key.")
+    filePathGuardDone = true
+  }
+
+  override def initialOffset(): Offset = { guardFilePathDemand(); ScbfOffset(0L) }
 
   /** Backfill throttling: with `maxFilesPerTrigger` set, a directory
    * with a deep backlog drains over several right-sized micro-batches
@@ -302,6 +365,7 @@ class ScbfMicroBatchStream(
       "latestOffset(start, limit) is used for admission-control sources")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    guardFilePathDemand()
     val (maxBatch, seen) = state()
     // a batch logged before a crash but never planned (offset WAL not
     // yet written) replays FIRST — admitting more files here would fold

@@ -203,14 +203,48 @@ class MetadataColumnSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT COUNT(*) FROM meta_mrg WHERE tag = 'merged'")
       .head().getLong(0) == fileRows)
     // the ON clause resolves against a subplan WITHOUT metadata output
-    // (Spark-side shape) — pin the failure so a behavior change shows
+    // (Spark-side shape) — the injected post-hoc rule turns the stock
+    // generic UNRESOLVED_COLUMN into guidance naming the supported
+    // per-clause spelling
     val e = intercept[Throwable] {
       spark.sql(s"""MERGE INTO meta_mrg t USING meta_mrg_src s
         ON t.id = s.id AND t._file_path = '$one'
         WHEN MATCHED THEN UPDATE SET t.tag = 'x'""")
     }
-    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("_file_path"))))
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("ON clause") && msgs.contains("WHEN MATCHED"),
+      s"wanted the guided per-clause spelling, got: $msgs")
+  }
+
+  test("without GraftExtensions the CONNECTOR fails the _file_path stream closed (own JVM)") {
+    // the shared test session bakes the extension into its
+    // SparkContext conf — every in-process session inherits it — so
+    // the genuinely-bare session runs in a forked JVM
+    // (graft.tools.NoExtStreamGuard: healthy stream works, _file_path
+    // stream gets the connector's own guidance error, never the
+    // opaque codegen crash)
+    val dir = mk("noext")
+    val java = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.NoExtStreamGuard", dir)
+    val out = new StringBuilder
+    import scala.sys.process._
+    val logger = ProcessLogger(l => out.synchronized { out.append(l).append('\n'); () },
+      l => out.synchronized { out.append(l).append('\n'); () })
+    val code = Process(cmd).!(logger)
+    assert(code == 0 && out.toString.contains("GUARD-OK"),
+      s"no-extensions guard probe failed (exit $code):\n$out")
   }
 
   test("a STREAMING read selecting _file_path fails fast at analysis (batch-only)") {
