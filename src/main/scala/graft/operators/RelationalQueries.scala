@@ -939,6 +939,61 @@ object RelationalQueries {
         FROM graft_q57 GROUP BY source, lang""")
     },
 
+    "q58_bucket_spj" -> { (s, dir) =>
+      // bucket(16, doc_id) as a REAL catalog transform (GraftCatalog +
+      // its V2 bucket function): two HIGH-CARDINALITY fact tables
+      // share the hash-bucket layout, so the join ON doc_id — the
+      // shape q55's identity-partition SPJ cannot cover (a partition
+      // per doc_id would be absurd) — runs with zero join exchanges:
+      // Spark resolves the reported bucket transform against the
+      // catalog's function (the same floorMod the writer routes with)
+      // and co-locates splits by bucket id. This lifts round 9's
+      // manual `db = doc_id % 32` recipe into DDL: the bucket column
+      // never appears in the schema and the user owns nothing. The
+      // require pins the exchange-free join (broadcast disabled while
+      // pinning); the oracle replays the join over the source parquet.
+      val wh = scratchDir(s) + "/graft_cat_q58_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      s.conf.set("spark.sql.catalog.gq58", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq58.warehouse", wh)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq58.db")
+      Seq("docs", "scores").foreach(tn =>
+        s.sql(s"DROP TABLE IF EXISTS gq58.db.$tn"))
+      fs.delete(p, true)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq58.db")
+      t(s, dir, "documents").createOrReplaceTempView("graft_q58_src")
+      s.sql("CREATE TABLE gq58.db.docs (doc_id INT, n_chars INT) USING scbf " +
+        "PARTITIONED BY (bucket(16, doc_id))")
+      s.sql("CREATE TABLE gq58.db.scores (doc_id INT, score DOUBLE) USING scbf " +
+        "PARTITIONED BY (bucket(16, doc_id))")
+      s.sql("""INSERT INTO gq58.db.docs
+        SELECT CAST(doc_id AS INT), CAST(n_chars AS INT) FROM graft_q58_src""")
+      s.sql("""INSERT INTO gq58.db.scores
+        SELECT CAST(doc_id AS INT), CAST(doc_id % 97 AS DOUBLE)
+        FROM graft_q58_src WHERE doc_id % 3 = 0""")
+      val q = """SELECT COUNT(*) AS cnt,
+        SUM(d.n_chars * s2.score) AS sum_mix,
+        MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
+        FROM gq58.db.docs d JOIN gq58.db.scores s2 ON d.doc_id = s2.doc_id"""
+      val spjOn = graft.GraftConf.str(s, graft.GraftConf.SpjEnabled, "true")
+        .toBoolean && s.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean
+      val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val pin = s.sql(q)
+        pin.collect()
+        val plan = pin.queryExecution.executedPlan.toString
+        // the JOIN must add no exchange; the global aggregate's
+        // SinglePartition collect is not a join shuffle
+        require(!spjOn || !plan.contains("Exchange hashpartitioning"),
+          s"co-bucketed join must be exchange-free:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+      s.sql(q)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1399,6 +1454,15 @@ object RelationalQueries {
            SELECT CAST(doc_id + 1000000 AS INT), 'ins', 7, 2.0, 'en'
            FROM documents WHERE doc_id % 10 = 0)
          GROUP BY source, lang""",
+
+    "q58_bucket_spj" ->
+      """SELECT COUNT(*) AS cnt,
+         CAST(SUM(d.n_chars * (d2.doc_id % 97)) AS DOUBLE) AS sum_mix,
+         CAST(MIN(d.doc_id) AS INT) AS min_doc,
+         CAST(MAX(d.doc_id) AS INT) AS max_doc
+         FROM documents d
+         JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d2
+         ON d.doc_id = d2.doc_id""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -260,7 +260,8 @@ class ScbfTable(
         s"SCBF row-level SQL requires exactly one table path, got: $other")
     }
     new ScbfRowLevelOperationBuilder(this, dir, listFiles, schema, conf,
-      ScbfPartitions.partitionCols(partitionTransforms, schema), info)
+      ScbfPartitions.partitionCols(partitionTransforms, schema), info,
+      ScbfPartitions.bucketSpec(partitionTransforms, schema))
   }
 
   private def partitionColNames: Seq[String] =
@@ -459,7 +460,8 @@ class ScbfTable(
         new ScbfScanBuilder(schema, Seq.empty, conf, tablePaths, maxFiles, compactInterval,
           maxFileAge, aggPushdown, reconcileEvery, onChangeCommit,
           ScbfPartitions.partitionCols(partitionTransforms, schema),
-          listFilesOpt = Some(listFiles))
+          listFilesOpt = Some(listFiles),
+          bucketSpec = ScbfPartitions.bucketSpec(partitionTransforms, schema))
     }
   }
 
@@ -532,10 +534,12 @@ class ScbfTable(
       n.matches("[A-Za-z0-9._-]+"),
       s"rewriteOfNames entry must match [A-Za-z0-9._-]+, got '$n'"))
     // identity-transform partition columns route rows to col=value/
-    // subdirectories (ScbfPartitions); validated against the WRITE
-    // schema so a bad DDL fails here, not per-task
+    // subdirectories, an optional bucket(n, intCol) transform to
+    // <col>_bucket=<id>/ below them (ScbfPartitions); validated
+    // against the WRITE schema so a bad DDL fails here, not per-task
     val partCols = ScbfPartitions.partitionCols(partitionTransforms, info.schema())
+    val bucket = ScbfPartitions.bucketSpec(partitionTransforms, info.schema())
     new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols,
-      rewriteOf)
+      rewriteOf, bucket)
   }
 }

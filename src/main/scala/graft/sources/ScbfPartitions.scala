@@ -42,14 +42,16 @@ import graft.scbf.ScbfFormatException
 object ScbfPartitions {
 
   /** Identity-transform column names, validated against the schema.
-   * Anything else (bucket, days, …) is rejected loudly at DDL/write
-   * time rather than silently ignored. */
+   * One trailing `bucket(n, intCol)` transform is allowed (extracted by
+   * [[bucketSpec]]); anything else (days, hours, truncate, …) is
+   * rejected loudly at DDL/write time rather than silently ignored. */
   def partitionCols(transforms: Array[Transform], schema: StructType): Seq[String] = {
-    val cols = transforms.toSeq.map { t =>
+    val cols = transforms.toSeq.filterNot(isBucket).map { t =>
       if (t.name != "identity" || t.references.length != 1 ||
           t.references.head.fieldNames.length != 1)
         throw new ScbfFormatException(
-          s"SCBF supports only identity partition transforms (PARTITIONED BY (col)), got: $t")
+          s"SCBF supports identity partition transforms (PARTITIONED BY (col)) " +
+            s"plus one bucket(n, intCol), got: $t")
       t.references.head.fieldNames.head
     }
     cols.foreach(c =>
@@ -58,6 +60,63 @@ object ScbfPartitions {
     require(cols.distinct == cols, s"duplicate partition columns: $cols")
     cols
   }
+
+  private def isBucket(t: Transform): Boolean = t.name == "bucket"
+
+  /** The `bucket(n, col)` transform, if declared: (column, numBuckets).
+   * At most ONE, on a single INT column (the 3-type format's natural
+   * high-cardinality key shape — doc ids), declared LAST (its
+   * directory level is innermost, under the identity cells). Rows
+   * route to a `<col>_bucket=<b>/` directory where
+   * `b = floorMod(value, n)` — the same function [[bucketId]] and the
+   * catalog's V2 `bucket` function compute, which is what lets two
+   * co-bucketed tables join storage-partitioned with zero exchanges.
+   * The synthetic `<col>_bucket` path component is NOT a schema
+   * column, so the cell-based pruning/read layers ignore it
+   * (conservative keep) and every partition directory stays a
+   * complete standalone SCBF table. */
+  def bucketSpec(transforms: Array[Transform], schema: StructType): Option[(String, Int)] = {
+    val buckets = transforms.toSeq.filter(isBucket)
+    if (buckets.isEmpty) return None
+    require(buckets.size == 1,
+      s"SCBF supports at most one bucket transform, got: $buckets")
+    require(isBucket(transforms.last),
+      s"the bucket transform must be declared LAST in PARTITIONED BY " +
+        s"(its directory level is innermost), got: ${transforms.toSeq}")
+    val t = buckets.head
+    // Transform shape: bucket(n, col) — one literal arg + one reference
+    val col = t.references.headOption
+      .filter(_.fieldNames.length == 1).map(_.fieldNames.head)
+      .getOrElse(throw new ScbfFormatException(
+        s"cannot read bucket transform column from $t"))
+    val n = t.arguments.collectFirst {
+      case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+          if lit.value.isInstanceOf[Number] => lit.value.asInstanceOf[Number].intValue()
+    }.getOrElse(throw new ScbfFormatException(
+      s"cannot read bucket count from transform $t"))
+    require(n > 0, s"bucket count must be positive, got $n")
+    schema.fields.find(_.name == col) match {
+      case Some(f) if f.dataType == IntegerType => ()
+      case Some(f) => throw new ScbfFormatException(
+        s"bucket column '$col' must be INT, got ${f.dataType.simpleString} — " +
+          "bucket the key column, not a measure")
+      case None => throw new ScbfFormatException(
+        s"bucket column '$col' is not in the table schema " +
+          schema.fieldNames.mkString("(", ", ", ")"))
+    }
+    Some((col, n))
+  }
+
+  /** The bucket id of one value — floorMod keeps negatives in range.
+   * MUST stay in lockstep with [[graft.sources.GraftBucketFunction]]
+   * (the catalog's V2 function Spark resolves the transform against):
+   * the write-side routing and the join-planning key are the same
+   * function or storage-partitioned joins would silently co-locate
+   * WRONG buckets. */
+  def bucketId(value: Int, n: Int): Int = java.lang.Math.floorMod(value, n)
+
+  /** The `<col>_bucket=<b>` path component. */
+  def bucketDirName(col: String, b: Int): String = s"${col}_bucket=$b"
 
   /** `col=value` path component for one partition cell. */
   def dirName(col: String, value: String): String = s"$col=${escape(value)}"
@@ -134,6 +193,21 @@ object ScbfPartitions {
   /** [[orderedCells]] as a map, for callers that only look values up. */
   def partValues(file: Path, schema: StructType, roots: Seq[String]): Map[String, String] =
     orderedCells(file, schema, roots).toMap
+
+  /** ALL `k=v` path components below the root — including synthetic
+   * (non-schema) cells like the bucket transform's `<col>_bucket=<id>`,
+   * which [[orderedCells]] deliberately filters out. */
+  def rawCells(file: Path, roots: Seq[String]): Map[String, String] = {
+    val fp = file.toString
+    roots.collectFirst { case r if fp.startsWith(r + "/") => fp.substring(r.length + 1) }
+      .map { rel =>
+        rel.split('/').dropRight(1).toSeq.flatMap { comp =>
+          val i = comp.indexOf('=')
+          if (i <= 0) None
+          else Some(comp.substring(0, i) -> unescape(comp.substring(i + 1)))
+        }.toMap
+      }.getOrElse(Map.empty)
+  }
 
   /** The typed value a partition cell encodes — the exact inversion of
    * the writer's cell formatting (ScbfWrite.cellString), shared by the

@@ -82,7 +82,8 @@ private[sources] class ScbfRowLevelOperation(
     schema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
     partitionCols: Seq[String],
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    bucketSpec: Option[(String, Int)] = None)
   extends RowLevelOperation {
 
   /** File paths the executed ReplaceData scan planned — the groups
@@ -120,10 +121,15 @@ private[sources] class ScbfRowLevelOperation(
     val op = this
     new WriteBuilder {
       override def build(): Write =
-        if (partitionCols.isEmpty) new Write {
+        // bucketed tables skip the clustered-distribution request (the
+        // bucket expression would need catalog function resolution in
+        // the distribution; replacement rows still route correctly —
+        // the cost is only more small files per rewrite)
+        if (partitionCols.isEmpty || bucketSpec.isDefined) new Write {
           override def toBatch: BatchWrite =
             new ScbfRowLevelBatchWrite(rootDir, info.schema(),
-              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
+              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op,
+              bucketSpec)
         }
         else new Write with RequiresDistributionAndOrdering {
           // partitioned replacements CLUSTER by the partition columns —
@@ -146,7 +152,8 @@ private[sources] class ScbfRowLevelOperation(
             Array.empty
           override def toBatch: BatchWrite =
             new ScbfRowLevelBatchWrite(rootDir, info.schema(),
-              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op)
+              new ScbfUtil.SerializableConf(conf), maxBuf, partitionCols, op,
+              bucketSpec)
         }
     }
   }
@@ -159,11 +166,12 @@ private[sources] class ScbfRowLevelOperationBuilder(
     schema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
     partitionCols: Seq[String],
-    info: RowLevelOperationInfo)
+    info: RowLevelOperationInfo,
+    bucketSpec: Option[(String, Int)] = None)
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     new ScbfRowLevelOperation(table, rootDir, listFiles, schema, conf,
-      partitionCols, info.command)
+      partitionCols, info.command, bucketSpec)
 }
 
 /**
@@ -231,12 +239,14 @@ private[sources] class ScbfRowLevelBatchWrite(
     conf: ScbfUtil.SerializableConf,
     maxBufferedBytes: Long,
     partitionCols: Seq[String],
-    op: ScbfRowLevelOperation)
+    op: ScbfRowLevelOperation,
+    bucketSpec: Option[(String, Int)] = None)
   extends BatchWrite {
 
   private val inner = new ScbfBatchWrite(dir, schema, truncate = false,
     conf, maxBufferedBytes, filePrefix = None, replaceOnly = None,
-    partitionCols = partitionCols, emitEmptyFiles = false)
+    partitionCols = partitionCols, emitEmptyFiles = false,
+    bucketSpec = bucketSpec)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ScbfRowOpStrippingFactory(inner.createBatchWriterFactory(info),

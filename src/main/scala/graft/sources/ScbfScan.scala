@@ -43,7 +43,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     // and for time travel (`asOf`), whose file set the discovery log
     // already resolved.
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    bucketSpec: Option[(String, Int)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -148,7 +149,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
-      reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf)
+      reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf, bucketSpec)
 }
 
 class ScbfScan(
@@ -168,7 +169,8 @@ class ScbfScan(
     onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
     partitionCols: Seq[String] = Seq.empty,
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    bucketSpec: Option[(String, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -303,30 +305,57 @@ class ScbfScan(
   private lazy val spjKeyed: Option[(Seq[StructField], Map[String, InternalRow])] = {
     // PLANNED files only (post-partition-prune): the key-grouping
     // contract is per planned split, so unplanned files' layout is
-    // irrelevant — and the deferred-listing path never lists them
+    // irrelevant — and the deferred-listing path never lists them.
+    // Path reads of an undeclared layout infer identity columns from
+    // the first file's cells; a declared bucket transform is never
+    // inferred (it needs the catalog's V2 bucket function to resolve).
     val declared =
-      if (partitionCols.nonEmpty) partitionCols
+      if (partitionCols.nonEmpty || bucketSpec.isDefined) partitionCols
       else partitionKept.headOption
         .map(f => ScbfPartitions.orderedCells(f.getPath, tableSchema, partitionRoots)
           .map(_._1))
         .getOrElse(Seq.empty)
     val fields = declared.flatMap(c => tableSchema.fields.find(_.name == c))
-    if (fields.isEmpty || fields.size != declared.size || partitionKept.isEmpty) None
+    if (fields.size != declared.size || (fields.isEmpty && bucketSpec.isEmpty) ||
+        partitionKept.isEmpty) None
     else {
       val keys = Map.newBuilder[String, InternalRow]
       val ok = partitionKept.forall { f =>
         val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
         val vals = fields.map(fld =>
           cells.get(fld.name).flatMap(ScbfPartitions.parseCell(fld.dataType, _)))
-        vals.forall(_.isDefined) && {
+        // the bucket id rides the synthetic <col>_bucket=<id> cell —
+        // a raw (non-schema) component the identity layers ignore
+        val bucketVal: Option[Seq[Any]] = bucketSpec match {
+          case None => Some(Seq.empty)
+          case Some((c, _)) =>
+            ScbfPartitions.rawCells(f.getPath, partitionRoots)
+              .get(s"${c}_bucket").flatMap(_.toIntOption).map(Seq(_))
+        }
+        vals.forall(_.isDefined) && bucketVal.isDefined && {
           keys += f.getPath.toString ->
-            new GenericInternalRow(vals.map(_.get).toArray[Any])
+            new GenericInternalRow(
+              (vals.map(_.get) ++ bucketVal.get).toArray[Any])
           true
         }
       }
       if (ok) Some((fields, keys.result())) else None
     }
   }
+
+  /** The reported key-grouping expressions: identity transforms over
+   * the declared partition columns, plus the bucket transform (Spark
+   * resolves it against the table's catalog `bucket` function —
+   * [[GraftCatalog]]; path-based reads have no function catalog, so a
+   * bucket layout reports unknown there and the plan simply shuffles). */
+  private def spjExpressions(fields: Seq[StructField])
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    (fields.map(f => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(f.name): org.apache.spark.sql.connector.expressions.Expression) ++
+      bucketSpec.map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+      }).toArray
 
   /** Report key-grouping only when SPJ is enabled — Spark's own
    * `spark.sql.sources.v2.bucketing.enabled` (default TRUE since
@@ -361,13 +390,11 @@ class ScbfScan(
     val keyed = if (spjConfEnabled) spjKeyed else None
     keyed match {
       case Some((fields, keys)) if aggregated.isEmpty &&
-          fields.forall(f => required.fieldNames.contains(f.name)) =>
+          (fields.map(_.name) ++ bucketSpec.map(_._1))
+            .forall(required.fieldNames.contains) =>
         val n = staticKept.map(f => keys(f.getPath.toString)).distinct.size
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          fields.map(f => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(f.name): org.apache.spark.sql.connector.expressions.Expression)
-            .toArray,
-          math.max(n, 1))
+          spjExpressions(fields), math.max(n, 1))
       case _ =>
         // a pushed aggregation plans exactly one partition; otherwise
         // the kept-file count (the hint is advisory — Spark derives the

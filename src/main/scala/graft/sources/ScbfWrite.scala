@@ -36,7 +36,8 @@ import graft.scbf._
 class ScbfWriteBuilder(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
-    partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty,
+    bucketSpec: Option[(String, Int)] = None)
   extends WriteBuilder with SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -99,14 +100,15 @@ class ScbfWriteBuilder(
       new ScbfBatchWrite(dir, schema, doTruncate,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
         partitionCols, rewriteOf,
-        scopeFilters = scopeFilters, dynamicPartitionOverwrite = dynamicOverwrite)
+        scopeFilters = scopeFilters, dynamicPartitionOverwrite = dynamicOverwrite,
+        bucketSpec = bucketSpec)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
       // the sink is append-only (the natural mode for a file sink)
       require(!doTruncate && scopeFilters.isEmpty && !dynamicOverwrite,
         "SCBF streaming sink supports append output mode only")
-      require(partitionCols.isEmpty,
+      require(partitionCols.isEmpty && bucketSpec.isEmpty,
         "SCBF streaming sink does not support partitioned tables yet — " +
           "stream into the partition directory directly")
       new ScbfStreamingWrite(dir, schema,
@@ -216,7 +218,10 @@ class ScbfBatchWrite(
     scopeFilters: Option[Seq[Filter]] = None,
     // dynamic partition overwrite: victims are the pre-existing files
     // of exactly the partitions this commit publishes into
-    dynamicPartitionOverwrite: Boolean = false)
+    dynamicPartitionOverwrite: Boolean = false,
+    // bucket(n, intCol) routing: rows land in <col>_bucket=<id>/
+    // directories below the identity cells (ScbfPartitions.bucketId)
+    bucketSpec: Option[(String, Int)] = None)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -268,12 +273,12 @@ class ScbfBatchWrite(
       }
     }
     fs.mkdirs(path)
-    if (partitionCols.isEmpty)
+    if (partitionCols.isEmpty && bucketSpec.isEmpty)
       new ScbfDataWriterFactory(dir, schema, conf, maxBufferedBytes, filePrefix,
         emitEmptyFiles)
     else
       new ScbfPartitionedDataWriterFactory(
-        dir, schema, conf, maxBufferedBytes, partitionCols)
+        dir, schema, conf, maxBufferedBytes, partitionCols, bucketSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -693,11 +698,13 @@ class ScbfDataWriterFactory(
 
 class ScbfPartitionedDataWriterFactory(
     dir: String, schema: StructType, conf: ScbfUtil.SerializableConf,
-    maxBufferedBytes: Long, partitionCols: Seq[String])
+    maxBufferedBytes: Long, partitionCols: Seq[String],
+    bucketSpec: Option[(String, Int)] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ScbfPartitionedDataWriter(
-      dir, schema, conf.value, maxBufferedBytes, partitionCols, partitionId, taskId)
+      dir, schema, conf.value, maxBufferedBytes, partitionCols, partitionId, taskId,
+      bucketSpec)
 }
 
 /**
@@ -721,11 +728,16 @@ class ScbfPartitionedDataWriterFactory(
  */
 class ScbfPartitionedDataWriter(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
-    partitionCols: Seq[String], partitionId: Int, taskId: Long)
+    partitionCols: Seq[String], partitionId: Int, taskId: Long,
+    bucketSpec: Option[(String, Int)] = None)
   extends DataWriter[InternalRow] {
 
   private val partIdx: Seq[(String, Int)] =
     partitionCols.map(c => c -> schema.fieldIndex(c))
+  // bucket routing: (col, numBuckets, field index) — the innermost
+  // directory level, below the identity cells
+  private val bucketIdx: Option[(String, Int, Int)] =
+    bucketSpec.map { case (c, n) => (c, n, schema.fieldIndex(c)) }
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val inner =
     scala.collection.mutable.LinkedHashMap.empty[String, ScbfDataWriter]
@@ -745,9 +757,11 @@ class ScbfPartitionedDataWriter(
     }
 
   override def write(row: InternalRow): Unit = {
-    val sub = partIdx.map { case (c, i) =>
+    val sub = (partIdx.map { case (c, i) =>
       ScbfPartitions.dirName(c, cellString(row, i))
-    }.mkString("/")
+    } ++ bucketIdx.map { case (c, n, i) =>
+      ScbfPartitions.bucketDirName(c, ScbfPartitions.bucketId(row.getInt(i), n))
+    }).mkString("/")
     val w = inner.getOrElseUpdate(sub,
       new ScbfDataWriter(s"$dir/$sub", schema, conf, maxBufferedBytes,
         seq => f"part-$partitionId%05d-$taskId-$attempt-$seq%03d${Scbf.FileExtension}",
