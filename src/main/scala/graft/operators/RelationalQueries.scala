@@ -994,6 +994,47 @@ object RelationalQueries {
       s.sql(q)
     },
 
+    "q59_time_travel" -> { (s, dir) =>
+      // Read-only time travel as a GATED query: two ingest waves, and
+      // the AS OF read must see EXACTLY wave 1 — the oracle replays
+      // the wave-1 predicate over the source parquet, so only an
+      // exact discovery-log replay hash-matches. The AS OF timestamp
+      // is picked FROM `DESCRIBE HISTORY` (max publication ts after
+      // wave 1) — the way a real user finds their point in time, and
+      // a pin that the history relation agrees with the version chain
+      // the replay walks. A require() also pins the live read seeing
+      // both waves (AS OF must not leak into the present).
+      val base = scratchDir(s) + "/graft_scbf_asof_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q59")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q59_src")
+      s.sql("CREATE TABLE graft_q59 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q59
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q59_src WHERE doc_id % 3 != 0""")
+      val t1 = s.sql("DESCRIBE HISTORY graft_q59")
+        .agg(org.apache.spark.sql.functions.max("ts")).head()
+        .getTimestamp(0).getTime
+      Thread.sleep(10) // wave 2 publishes strictly after t1
+      s.sql("""INSERT INTO graft_q59
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q59_src WHERE doc_id % 3 = 0""")
+      val live = s.table("graft_q59").count()
+      val total = s.table("graft_q59_src").count()
+      require(live == total, s"live table must see both waves: $live != $total")
+      s.read.format("scbf").option("asOfTimestamp", t1).load(base)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("n_chars").as("sum_chars"),
+          org.apache.spark.sql.functions.min("doc_id").as("min_doc"),
+          org.apache.spark.sql.functions.max("doc_id").as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1463,6 +1504,13 @@ object RelationalQueries {
          FROM documents d
          JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d2
          ON d.doc_id = d2.doc_id""",
+
+    "q59_time_travel" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE doc_id % 3 != 0 GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 
 import graft.sources.ScbfMaintenance
 
@@ -24,6 +24,7 @@ import graft.sources.ScbfMaintenance
  *   OPTIMIZE tbl CLUSTER BY (c1[, c2…]) [FILES n]   -- range-cluster
  *   OPTIMIZE tbl ZORDER  BY (c1, c2[, …]) [FILES n] -- z-order
  *   VACUUM tbl [RETAIN h HOURS]                     -- temp/orphan sweep
+ *   DESCRIBE HISTORY tbl                            -- discovery-log chain
  * }}}
  *
  * The commands resolve the table through the session catalog (provider
@@ -68,8 +69,14 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  // Delta-shaped history inspection — not vanilla Spark grammar, so
+  // the intercept can claim the statement outright (a non-scbf table
+  // fails with the real reason at run, same as OPTIMIZE/VACUUM)
+  private val DescribeHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
+    case DescribeHistoryRe(tbl) => Some(GraftDescribeHistoryCommand(tbl))
     case OptimizeRe(tbl, kind, cols, files) =>
       val colNames = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(colNames.nonEmpty, s"OPTIMIZE needs at least one column: $sql")
@@ -354,6 +361,67 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
     spark.sessionState.catalog.alterTable(meta.copy(schema = newFullSchema))
     spark.sessionState.catalog.refreshTable(ti)
     Seq(Row(snapshot.size))
+  }
+}
+
+/**
+ * `DESCRIBE HISTORY tbl` — the discovery log's version chain as a
+ * relation, one row per first file announcement (compaction snapshots
+ * duplicate entries verbatim; the first-per-name rule is exactly
+ * [[graft.sources.ScbfDiscovery.filesAsOf]]'s). The companion to time
+ * travel: pick any `ts` here and read `TIMESTAMP AS OF` it / the
+ * `asOfTimestamp` option. Resolves session-catalog SCBF tables and
+ * graft-catalog tables (`cat.ns.name` — through the table's own
+ * catalog, like Spark resolves the relation itself).
+ */
+case class GraftDescribeHistoryCommand(table: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("ts", TimestampType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("len", LongType, nullable = false)(),
+    AttributeReference("rows_changed", BooleanType, nullable = false)(),
+    AttributeReference("rewrite_of", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{GraftCatalog, ScbfDiscovery}
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = table.split('.')
+    val dir: org.apache.hadoop.fs.Path =
+      (if (parts.length >= 3) {
+        // cat.ns….name — if `cat` is a registered GraftCatalog, the
+        // table lives in ITS warehouse, not the session catalog
+        try spark.sessionState.catalogManager.catalog(parts(0)) match {
+          case g: GraftCatalog => Some(g.tableDirectory(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.slice(1, parts.length - 1), parts.last)))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      } else None).getOrElse {
+        val (d, _) = GraftSqlParser.resolveScbfTable(spark, table)
+        new org.apache.hadoop.fs.Path(d)
+      }
+    val fs = dir.getFileSystem(conf)
+    val qroot = fs.makeQualified(dir)
+    if (!ScbfDiscovery.exists(qroot, conf))
+      throw new graft.scbf.ScbfFormatException(
+        s"DESCRIBE HISTORY $table: the table has no discovery log — " +
+          "history is recorded by connector writes; a foreign/reference-" +
+          "tool directory has none.")
+    val all = ScbfDiscovery.listDeltas(qroot, conf).sorted
+      .flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
+    val entries = all.groupBy(_.name).values.map(_.minBy(_.ts)).toSeq
+      .sortBy(e => (-e.ts, e.name))
+    entries.map { e =>
+      val action =
+        if (e.name.endsWith(ScbfDiscovery.RemovalSuffix)) "remove"
+        else if (e.rewriteOf.nonEmpty) "rewrite"
+        else "append"
+      Row(new java.sql.Timestamp(e.ts), action, e.name, e.len, e.rowsChanged,
+        if (e.rewriteOf.isEmpty) null else e.rewriteOf.mkString(","))
+    }
   }
 }
 

@@ -69,6 +69,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   private def dirOf(ident: Identifier): Path =
     (ident.namespace.toSeq :+ ident.name).foldLeft(warehouse)((d, p) => new Path(d, p))
 
+  /** The table's root directory — `DESCRIBE HISTORY` resolves through
+   * this to read the discovery log without loading the table. */
+  def tableDirectory(ident: Identifier): Path = {
+    val dir = dirOf(ident)
+    if (!dir.getFileSystem(conf).exists(metaOf(dir)))
+      throw new NoSuchTableException(ident)
+    dir
+  }
+
   private def nsDir(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((d, p) => new Path(d, p))
 
@@ -98,6 +107,39 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     new ScbfTable(Seq(dir.toString), schema, conf, transforms,
       new CaseInsensitiveStringMap(Map("path" -> dir.toString).asJava))
   }
+
+  /** SQL time travel — `SELECT … FROM cat.db.t TIMESTAMP AS OF <ts>`.
+   * Spark hands the resolved timestamp in MICROseconds since epoch;
+   * the discovery log's version chain is millisecond-stamped, so we
+   * floor to millis and load a read-only rendering of the table whose
+   * every scan replays the chain (ScbfDiscovery.filesAsOf — same
+   * refusal contract as the `asOfTimestamp` read option, which this
+   * lifts into SQL). Writes and row-level SQL against the travelled
+   * relation refuse loudly (the past is immutable by construction). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(metaOf(dir))) throw new NoSuchTableException(ident)
+    val (schema, transforms) = GraftCatalog.readMeta(fs, metaOf(dir))
+    val millis = Math.floorDiv(timestamp, 1000L)
+    new ScbfTable(Seq(dir.toString), schema, conf, transforms,
+      new CaseInsensitiveStringMap(Map(
+        "path" -> dir.toString,
+        "asOfTimestamp" -> millis.toString).asJava))
+  }
+
+  /** `VERSION AS OF` has nothing stable to bind to: the discovery
+   * log's delta names are `millis+uuid` (unique, never reused) and
+   * compaction folds them — there is no monotone version number a
+   * user could have written down. Refuse with the working spelling
+   * instead of inventing unstable version identifiers. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    throw new ScbfFormatException(
+      s"VERSION AS OF '$version' on ${name()}.$ident: SCBF history is " +
+        "time-stamped, not version-numbered (discovery-log deltas are " +
+        "named by publication time and folded by compaction). Use " +
+        "TIMESTAMP AS OF <timestamp> — exact for any point whose files " +
+        "still exist (see README 'Time travel').")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {

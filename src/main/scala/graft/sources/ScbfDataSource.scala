@@ -221,6 +221,20 @@ class ScbfTable(
 
   override def partitioning(): Array[Transform] = partitionTransforms
 
+  /** Set only on the read-only rendering a catalog time-travel load
+   * produces (`TIMESTAMP AS OF` → GraftCatalog.loadTable(ident, ts));
+   * every mutation surface refuses on it — the past is immutable. */
+  private def travelledAsOf: Option[Long] =
+    Option(tableProps.get("asOfTimestamp")).map(_.toLong)
+
+  private def refuseMutationIfTravelled(op: String): Unit =
+    travelledAsOf.foreach { ts =>
+      throw new ScbfFormatException(
+        s"$op on a TIMESTAMP AS OF ($ts) rendering of ${name()}: a " +
+          "time-travelled relation is read-only. Run the statement " +
+          "against the live table instead.")
+    }
+
   /** Filter-driven deferred listing — the table NEVER lists eagerly
    * (resolution is pure metadata work); each scan/rewrite lists at
    * build time through the directory-first pruned walk, driven by its
@@ -254,6 +268,7 @@ class ScbfTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseMutationIfTravelled("row-level SQL (UPDATE/MERGE/DELETE)")
     val dir = tablePaths match {
       case Seq(one) => one
       case other => throw new ScbfFormatException(
@@ -288,12 +303,14 @@ class ScbfTable(
       filters.flatMap(_.references).forall(r =>
         schema.fieldNames.contains(r) || r == ScbfDataSource.FilePathCol)
 
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseMutationIfTravelled("DELETE")
     if (partitionTransforms.isEmpty) {
       ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
       ()
     } else ScbfDelete.deleteWhereTable(SparkSession.active, tablePaths.head,
       conf, schema, partitionColNames, filters)
+  }
 
   override def name(): String = s"scbf:${tablePaths.mkString(",")}"
 
@@ -444,7 +461,11 @@ class ScbfTable(
     // plans it EAGERLY: stats pruning still applies per file, but
     // aggregate pushdown is disabled (manifests describe the present
     // table, not the past one)
-    Option(options.get("asOfTimestamp")).map(_.toLong) match {
+    // the option spelling (DataFrame reads) or the table-level pin a
+    // catalog time-travel load planted (SQL `TIMESTAMP AS OF`,
+    // GraftCatalog.loadTable(ident, timestamp)) — same plan either way
+    Option(options.get("asOfTimestamp"))
+      .orElse(Option(tableProps.get("asOfTimestamp"))).map(_.toLong) match {
       case Some(ts) =>
         val root = tablePaths match {
           case Seq(one) => one
@@ -466,6 +487,7 @@ class ScbfTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseMutationIfTravelled("write")
     val dir = tablePaths match {
       case Seq(one) => one
       case other => throw new ScbfFormatException(

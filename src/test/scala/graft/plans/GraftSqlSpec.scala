@@ -183,4 +183,65 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     // unknown table: the catalog error surfaces, not a sweep of nothing
     intercept[Exception] { spark.sql("OPTIMIZE no_such_table CLUSTER BY (id)") }
   }
+
+  test("DESCRIBE HISTORY renders the discovery log's version chain") {
+    val dir = tmpDir("scbf-sql-hist")
+    spark.sql("DROP TABLE IF EXISTS sqlhist_t")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlhist_t (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      spark.sql("""INSERT INTO sqlhist_t
+        SELECT /*+ REPARTITION(2) */ CAST(id AS INT), CAST(id AS DOUBLE)
+        FROM range(0, 100)""")
+      val appends = spark.sql("DESCRIBE HISTORY sqlhist_t").collect()
+      assert(appends.length >= 2 && appends.forall(_.getString(1) == "append"),
+        appends.mkString("; "))
+      assert(appends.forall(r => r.getLong(3) > 0 && !r.getBoolean(4)))
+      // a row-changing rewrite shows up as action=rewrite, rows_changed
+      spark.sql("DELETE FROM sqlhist_t WHERE id < 10")
+      val hist = spark.sql("DESCRIBE HISTORY sqlhist_t").collect()
+      val rewrites = hist.filter(_.getString(1) == "rewrite")
+      assert(rewrites.nonEmpty && rewrites.forall(r =>
+        r.getBoolean(4) && r.getString(5) != null), hist.mkString("; "))
+      // newest first, and the chain agrees with AS OF's physics: the
+      // pre-DELETE point needs the replaced originals — gone, refused
+      assert(hist.map(_.getTimestamp(0).getTime).sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1)))
+      val preRewriteTs = hist.filter(_.getString(1) == "append")
+        .map(_.getTimestamp(0).getTime).max
+      if (rewrites.map(_.getTimestamp(0).getTime).min > preRewriteTs) {
+        val eGone = intercept[Exception] {
+          spark.read.format("scbf")
+            .option("asOfTimestamp", preRewriteTs).load(dir).count()
+        }
+        assert(eGone.getMessage.contains("physically removed"), eGone.getMessage)
+      }
+      // DESC shorthand works; a table with no log refuses loudly
+      assert(spark.sql("DESC HISTORY sqlhist_t").count() == hist.length.toLong)
+      val bare = tmpDir("scbf-sql-hist-bare")
+      spark.sql("DROP TABLE IF EXISTS sqlhist_bare")
+      new Path(bare).getFileSystem(hconf).delete(new Path(bare), true)
+      spark.sql(s"CREATE TABLE sqlhist_bare (id INT) USING scbf LOCATION '$bare'")
+      spark.sql("INSERT INTO sqlhist_bare VALUES (1)")
+      new Path(bare).getFileSystem(hconf)
+        .delete(graft.sources.ScbfDiscovery.dir(new Path(bare)), true)
+      val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY sqlhist_bare").collect() }
+      assert(e.getMessage.contains("no discovery log"), e.getMessage)
+      spark.sql("DROP TABLE IF EXISTS sqlhist_bare")
+    } finally spark.sql("DROP TABLE IF EXISTS sqlhist_t")
+  }
+
+  test("DESCRIBE HISTORY resolves graft-catalog tables through their own catalog") {
+    val wh = tmpDir("graft-hist-wh")
+    spark.conf.set("spark.sql.catalog.ghist", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghist.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghist.db")
+    spark.sql("DROP TABLE IF EXISTS ghist.db.ht")
+    spark.sql("CREATE TABLE ghist.db.ht (id INT) USING scbf")
+    spark.sql("INSERT INTO ghist.db.ht SELECT CAST(id AS INT) FROM range(0, 10)")
+    val hist = spark.sql("DESCRIBE HISTORY ghist.db.ht").collect()
+    assert(hist.nonEmpty && hist.forall(_.getString(1) == "append"),
+      hist.mkString("; "))
+    spark.sql("DROP TABLE IF EXISTS ghist.db.ht")
+  }
 }

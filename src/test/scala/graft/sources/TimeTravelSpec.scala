@@ -127,6 +127,50 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs.contains("batch-only"), msgs)
   }
 
+  test("SQL TIMESTAMP AS OF via the graft catalog; VERSION AS OF and mutations refuse") {
+    val wh = tmpDir("graft-asof-wh")
+    spark.conf.set("spark.sql.catalog.gasof", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gasof.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gasof.db")
+    spark.sql("DROP TABLE IF EXISTS gasof.db.tt")
+    spark.sql("CREATE TABLE gasof.db.tt (id INT, v DOUBLE) USING scbf")
+    spark.sql("INSERT INTO gasof.db.tt SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(0, 100)")
+    val t1 = tick()
+    spark.sql("INSERT INTO gasof.db.tt SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(100, 300)")
+    // the SQL spelling of the asOfTimestamp option: Spark resolves the
+    // expression to MICROseconds and calls loadTable(ident, ts)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM gasof.db.tt TIMESTAMP AS OF timestamp_millis(${t1}L)")
+      .head().getLong(0) == 100L)
+    assert(spark.sql("SELECT COUNT(*) FROM gasof.db.tt").head().getLong(0) == 300L)
+    // filters/pruning flow through the travelled relation unchanged
+    assert(spark.sql(s"SELECT COUNT(*) FROM gasof.db.tt " +
+      s"TIMESTAMP AS OF timestamp_millis(${t1}L) WHERE id < 50").head().getLong(0) == 50L)
+    // the refusal contract surfaces through SQL too (pre-log history)
+    val ePre = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM gasof.db.tt TIMESTAMP AS OF timestamp_millis(1000)")
+        .collect()
+    }
+    assert(ePre.getMessage.contains("history starts at"), ePre.getMessage)
+    // VERSION AS OF has no stable identifier to bind — guided refusal
+    val eVer = intercept[Exception] {
+      spark.sql("SELECT * FROM gasof.db.tt VERSION AS OF '3'").collect()
+    }
+    assert(eVer.getMessage.contains("TIMESTAMP AS OF"), eVer.getMessage)
+    // a travelled rendering is read-only: every mutation surface refuses
+    val cat = spark.sessionState.catalogManager.catalog("gasof")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val travelled = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "tt"),
+      t1 * 1000L)
+    val eMut = intercept[graft.scbf.ScbfFormatException] {
+      travelled.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+        .deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+    }
+    assert(eMut.getMessage.contains("read-only"), eMut.getMessage)
+    spark.sql("DROP TABLE IF EXISTS gasof.db.tt")
+  }
+
   test("partitioned tables time-travel too, with partition pruning intact") {
     val dir = tmpDir("scbf-asof-part")
     spark.sql("DROP TABLE IF EXISTS asof_pt")
