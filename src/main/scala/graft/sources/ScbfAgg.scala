@@ -60,6 +60,10 @@ object ScbfAgg {
       partitionRoots: Seq[String]): Option[Result] = {
     if (agg.aggregateExpressions.isEmpty) return None
     val lookup = new ScbfStats.Lookup(conf)
+    // one manifest per partition directory, loaded in parallel: a
+    // 100-partition metadata-only rollup costs ~one manifest parse of
+    // driver wall instead of a sequential hundred (BENCH_NOTES r10)
+    lookup.prewarm(files.map(_.getPath.getParent))
     val perFile = files.map(f => lookup.stats(f.getPath, f.getLen))
     if (perFile.exists(_.isEmpty)) return None // an unknown file → full scan
     val stats = perFile.flatten
@@ -83,17 +87,23 @@ object ScbfAgg {
       // evaluating over ALL stats also pre-declines shapes no group
       // could answer (wrong type, missing entries)
       val shape = evalGroup(agg, tableSchema, stats).getOrElse(return None)._1
-      val keyed = files.zip(stats).map { case (f, st) =>
-        val cells = ScbfPartitions.partValues(f.getPath, tableSchema, partitionRoots)
-        // typed cell parse shared with the SPJ split keys
-        // (ScbfPartitions.parseCell): -0.0 normalized, NaN declined
-        val key = gcols.map(c =>
-          cells.get(c.name).flatMap(ScbfPartitions.parseCell(c.dataType, _)))
-        if (key.exists(_.isEmpty)) return None // stray file / foreign cell
-        (key.map(_.get), st)
-      }
+      // partition cells are a DIRECTORY property (the k=v path), so
+      // parse them once per directory, not once per file — at 10⁶
+      // files / 100 partitions that is 100 path parses instead of a
+      // million of driver wall (BENCH_NOTES round 10)
+      val keyed = files.zip(stats).groupBy(_._1.getPath.getParent).toSeq
+        .map { case (_, members) =>
+          val cells = ScbfPartitions.partValues(
+            members.head._1.getPath, tableSchema, partitionRoots)
+          // typed cell parse shared with the SPJ split keys
+          // (ScbfPartitions.parseCell): -0.0 normalized, NaN declined
+          val key = gcols.map(c =>
+            cells.get(c.name).flatMap(ScbfPartitions.parseCell(c.dataType, _)))
+          if (key.exists(_.isEmpty)) return None // stray dir / foreign cell
+          (key.map(_.get), members.map(_._2))
+        }
       val rows = keyed.groupBy(_._1).toSeq.flatMap { case (key, members) =>
-        val gStats = members.map(_._2)
+        val gStats = members.flatMap(_._2)
         // keepers (0-row files) do not make a group: SQL groups only
         // exist where rows do
         if (gStats.map(_.rows).sum == 0L) None

@@ -335,6 +335,34 @@ object ScbfStats {
     private def manifest(dir: Path): ManifestData =
       manifests.getOrElseUpdate(dir, readManifestFull(dir, conf))
 
+    /** Parallel manifest prewarm for plans touching MANY partition
+     * directories (grouped rollups, wide partitioned scans): loads
+     * each not-yet-cached directory's manifest on the shared daemon
+     * pool, so the driver bill is ~max(one parse) instead of
+     * sum(parses) — at 100 partitions × ~1 MB manifests that is
+     * seconds of driver wall (BENCH_NOTES round 10, 10⁶-file probe).
+     * Same reads, same cache, same counters as the sequential path —
+     * only the schedule changes. */
+    def prewarm(dirs: Seq[Path]): Unit = {
+      val missing = dirs.distinct.filterNot(manifests.contains)
+      if (missing.size <= 1) { missing.foreach(manifest); return }
+      val futures = missing.map(d => d -> bloomFetchPool.submit(
+        new java.util.concurrent.Callable[ManifestData] {
+          override def call(): ManifestData = readManifestFull(d, conf)
+        }))
+      futures.foreach { case (d, f) =>
+        manifests.getOrElseUpdate(d,
+          try f.get()
+          catch { case _: java.util.concurrent.ExecutionException |
+                       _: InterruptedException =>
+            // degrade to the sequential read — a pool failure must
+            // surface the SAME error (or success) the caller would
+            // have seen without the prewarm
+            readManifestFull(d, conf)
+          })
+      }
+    }
+
     def stats(data: Path, dataLen: Long): Option[FileStats] = {
       val man = manifest(data.getParent).entries
       man.get(data.getName) match {
@@ -445,9 +473,14 @@ object ScbfStats {
      */
     def keepAll[T](fs: Seq[T])(path: T => Path, len: T => Long): Seq[T] = {
       if (!active) return fs
-      val statsKept = fs.filter(f =>
-        !pathExcludes(path(f)) &&
-          lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))
+      // path-excluded files never consult stats; the rest will, one
+      // manifest per directory — load those in parallel first so a
+      // many-partition scan pays ~one parse of driver wall, not a
+      // sequential sum (the 10⁶-file probe's dominant rollup cost)
+      val candidates = fs.filter(f => !pathExcludes(path(f)))
+      lookup.prewarm(candidates.map(f => path(f).getParent))
+      val statsKept = candidates.filter(f =>
+        lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))
       if (!bloomActive) statsKept
       else if (statsKept.size <= 1)
         statsKept.filter(f => ScbfBloom.read(path(f), len(f), conf).forall(b =>
