@@ -1035,6 +1035,50 @@ object RelationalQueries {
           org.apache.spark.sql.functions.max("doc_id").as("max_doc"))
     },
 
+    "q60_schema_evolution" -> { (s, dir) =>
+      // DROP COLUMN + RENAME COLUMN as managed one-statement rewrites
+      // (GraftDropColumnsCommand / GraftRenameColumnCommand — the
+      // completion of q57's ADD COLUMN family: the frozen format has
+      // no column-mapping layer, so each is an explicit one-pass
+      // rewrite + atomic swap). Runs on a PARTITIONED table, drops a
+      // column, renames another, then proves mixed old/new files
+      // interoperate via a post-ALTER INSERT. The oracle replays
+      // drop/rename semantics over the source parquet — only an exact,
+      // complete, layout-preserving rewrite hash-matches.
+      val base = scratchDir(s) + "/graft_scbf_evocol_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q60")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q60_src")
+      s.sql("CREATE TABLE graft_q60 (doc_id INT, source STRING, n_chars INT, " +
+        s"extra INT) USING scbf PARTITIONED BY (source) LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q60
+        SELECT /*+ REPARTITION(4, source) */
+          CAST(doc_id AS INT), source, CAST(n_chars AS INT),
+          CAST(doc_id % 5 AS INT)
+        FROM graft_q60_src""")
+      s.sql("ALTER TABLE graft_q60 DROP COLUMN extra")
+      s.sql("ALTER TABLE graft_q60 RENAME COLUMN n_chars TO chars")
+      // mixed files: new-schema INSERT coexists with rewritten rows
+      s.sql("""INSERT INTO graft_q60
+        SELECT CAST(doc_id + 1000000 AS INT), 'ins', CAST(7 AS INT)
+        FROM graft_q60_src WHERE doc_id % 10 = 0""")
+      // partition pruning still bites on the twice-rewritten layout
+      val pin = s.sql(
+        "SELECT COUNT(*) FROM graft_q60 WHERE source = 'ins' AND chars = 7")
+      graft.sources.ScbfPartitions.listedDirs.clear()
+      pin.collect()
+      val walked = graft.sources.ScbfPartitions.listedDirs
+        .toArray(Array.empty[String]).toSeq.filter(_.contains("source="))
+      require(walked.nonEmpty && walked.forall(_.endsWith("source=ins")),
+        s"post-DROP/RENAME partition pruning must hold: $walked")
+      s.sql("""SELECT source, COUNT(*) AS cnt, SUM(chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q60 GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1511,6 +1555,19 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE doc_id % 3 != 0 GROUP BY source""",
+
+    "q60_schema_evolution" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM (
+           SELECT CAST(doc_id AS INT) AS doc_id, source,
+             CAST(n_chars AS INT) AS chars FROM documents
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS INT), 'ins', 7
+           FROM documents WHERE doc_id % 10 = 0)
+         GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

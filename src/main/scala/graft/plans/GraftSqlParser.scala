@@ -129,15 +129,21 @@ object GraftSqlParser {
   // so a catalog-only ALTER leaves every existing file missing the new
   // column and every read failing. The parser therefore intercepts the
   // COLUMN forms FOR SCBF TABLES ONLY (a parse-time catalog probe; any
-  // other table delegates untouched): ADD COLUMN becomes a managed
-  // one-pass rewrite + atomic swap (the SchemaEvolutionSpec recipe as
-  // ONE statement), the other column forms decline with that guidance.
+  // other table delegates untouched): ADD/DROP/RENAME COLUMN become
+  // managed one-pass rewrites + atomic swap (the SchemaEvolutionSpec
+  // recipe as ONE statement); the retype forms (ALTER/CHANGE COLUMN)
+  // decline with that guidance — a type change needs an explicit CAST
+  // the user must own (lossy double→int, parse-failing string→num).
   // Partition forms (ADD/DROP PARTITION, RENAME TO PARTITION, ...)
   // never match these shapes and keep their Spark paths.
   private val AlterAddColRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
+  private val AlterDropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
+  private val AlterRenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterOtherColRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(DROP\s+COLUMNS?|RENAME\s+COLUMN|ALTER\s+COLUMN|CHANGE\s+COLUMN)\b.*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(ALTER\s+COLUMN|CHANGE\s+COLUMN)\b.*""".r
   // one column spec: name TYPE [DEFAULT <number | 'string' | "string">]
   private val ColSpecRe =
     """(?is)\s*(\w+)\s+(INT|INTEGER|DOUBLE|STRING)(?:\s+DEFAULT\s+('(?:[^']|'')*'|"(?:[^"]|"")*"|[-+]?[\d.][\w.+-]*))?\s*(?:,|$)""".r
@@ -174,16 +180,30 @@ object GraftSqlParser {
               "DEFAULT <literal> is required so every existing row gets a value")))
         }
         Some(GraftAddColumnsCommand(tbl, cols))
+      case AlterDropColRe(tbl, spec) if isScbf(tbl) =>
+        val body = spec.trim match {
+          case s if s.startsWith("(") && s.endsWith(")") => s.substring(1, s.length - 1)
+          case s => s
+        }
+        val names = body.split(",").map(_.trim).toSeq
+        if (names.isEmpty || !names.forall(_.matches("""\w+""")))
+          throw new graft.scbf.ScbfFormatException(
+            s"cannot parse DROP COLUMN spec '$body' for SCBF table $tbl. " +
+              "Supported: ALTER TABLE t DROP COLUMN[S] [(]name[, ...][)]")
+        Some(GraftDropColumnsCommand(tbl, names))
+      case AlterRenameColRe(tbl, from, to) if isScbf(tbl) =>
+        Some(GraftRenameColumnCommand(tbl, from, to))
       case AlterOtherColRe(tbl, form) if isScbf(tbl) =>
         throw new graft.scbf.ScbfFormatException(
           s"ALTER TABLE ${form.trim.toUpperCase(java.util.Locale.ROOT)} is not " +
             s"supported for SCBF table $tbl: the file format is frozen (schema " +
             "lives in every file's header; there is no column-mapping layer), " +
-            "so dropping/renaming/retyping a column is a table rewrite by " +
-            "definition. Use the rewrite recipe: CREATE a successor table with " +
-            "the new schema + INSERT INTO successor SELECT ... FROM old + swap " +
-            "(see README 'Schema evolution'). ADD COLUMN ... DEFAULT ... IS " +
-            "supported as a managed rewrite.")
+            "and a type change needs an explicit CAST the user must own " +
+            "(lossy double→int, parse-failing string→num). Use the rewrite " +
+            "recipe: CREATE a successor table with the new schema + INSERT " +
+            "INTO successor SELECT ... CAST(...) ... FROM old + swap (see " +
+            "README 'Schema evolution'). ADD/DROP/RENAME COLUMN ARE " +
+            "supported as managed rewrites.")
       case _ => None
     }
   }
@@ -230,11 +250,8 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
     Seq(AttributeReference("files_rewritten", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import graft.sources.{ScbfDataSource, ScbfDiscovery, ScbfPartitions, ScbfUtil}
+    import org.apache.spark.sql.functions.expr
     val (ti, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
-    val rootDir = new org.apache.hadoop.fs.Path(meta.location).toString
-    val partCols = meta.partitionColumnNames
     cols.foreach { c =>
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(c.name)),
         s"column '${c.name}' already exists in $table " +
@@ -251,47 +268,155 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
         s"DEFAULT ${c.default} for column '${c.name}' evaluates to NULL — " +
           "SCBF stores no nulls; give a concrete literal")
     }
+    // final order: the ORIGINAL column order with the new columns
+    // appended — rewritten files, future INSERTs and SELECT * all
+    // agree, and partition columns keep their declared positions
+    // (catalog V2 tables preserve DDL order; nothing is reshuffled)
+    val newSchema = StructType(meta.schema ++
+      cols.map(c => org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, nullable = false)))
+    val rewritten = GraftSchemaRewrite.run(spark, ti, meta, table,
+      op = "ADD COLUMN", tag = "addcol", newSchema,
+      df => cols.foldLeft(df)((d, c) =>
+        d.withColumn(c.name, expr(c.default).cast(c.dataType))))
+    Seq(Row(rewritten))
+  }
+}
 
+/**
+ * `ALTER TABLE t DROP COLUMN[S] name[, ...]` for SCBF tables — the
+ * inverse of [[GraftAddColumnsCommand]], through the same managed
+ * one-pass rewrite + atomic swap ([[GraftSchemaRewrite]]; same LOUD
+ * full-table cost, paid once). Partition columns are refused: dropping
+ * one changes the directory layout — that is a repartitioning, not a
+ * schema edit; the guidance names the CTAS recipe.
+ */
+case class GraftDropColumnsCommand(table: String, names: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ti, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+    val resolved = names.map { n =>
+      meta.schema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new graft.scbf.ScbfFormatException(
+          s"DROP COLUMN $n: no such column in $table " +
+            meta.schema.fieldNames.mkString("(", ", ", ")")))
+    }
+    require(resolved.distinct.size == resolved.size,
+      s"duplicate columns in DROP: $names")
+    val partLower = meta.partitionColumnNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    resolved.foreach { n =>
+      if (partLower.contains(n.toLowerCase(java.util.Locale.ROOT)))
+        throw new graft.scbf.ScbfFormatException(
+          s"DROP COLUMN $n on $table: '$n' is a partition column — dropping " +
+            "it changes the directory layout (a repartitioning, not a schema " +
+            "edit). Use CREATE TABLE successor ... PARTITIONED BY (<new " +
+            "layout>) + INSERT SELECT + swap (README 'Schema evolution').")
+    }
+    val droppedLower = resolved.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val remaining = meta.schema.filterNot(f =>
+      droppedLower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+    require(remaining.nonEmpty,
+      s"DROP COLUMN would leave $table with no columns — DROP TABLE instead")
+    val rewritten = GraftSchemaRewrite.run(spark, ti, meta, table,
+      op = "DROP COLUMN", tag = "dropcol", StructType(remaining), identity)
+    Seq(Row(rewritten))
+  }
+}
+
+/**
+ * `ALTER TABLE t RENAME COLUMN a TO b` for SCBF tables — a managed
+ * rewrite like ADD/DROP (file headers carry column names; there is no
+ * column-mapping layer to alias through, so a rename IS a rewrite).
+ * Partition-column renames are refused: they change every `k=v`
+ * directory name and the catalog partitioning; the guidance names the
+ * CTAS recipe.
+ */
+case class GraftRenameColumnCommand(table: String, from: String, to: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ti, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+    val actual = meta.schema.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
+      throw new graft.scbf.ScbfFormatException(
+        s"RENAME COLUMN $from: no such column in $table " +
+          meta.schema.fieldNames.mkString("(", ", ", ")")))
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"RENAME COLUMN $from TO $to: '$to' already exists in $table " +
+        meta.schema.fieldNames.mkString("(", ", ", ")"))
+    if (meta.partitionColumnNames.exists(_.equalsIgnoreCase(from)))
+      throw new graft.scbf.ScbfFormatException(
+        s"RENAME COLUMN $from on $table: '$actual' is a partition column — " +
+          "renaming it changes every k=v directory name and the catalog " +
+          "partitioning. Use CREATE TABLE successor ... PARTITIONED BY " +
+          s"($to) + INSERT SELECT + swap (README 'Schema evolution').")
+    val newSchema = StructType(meta.schema.map(f =>
+      if (f.name == actual) f.copy(name = to) else f))
+    val rewritten = GraftSchemaRewrite.run(spark, ti, meta, table,
+      op = "RENAME COLUMN", tag = "renamecol", newSchema,
+      _.withColumnRenamed(actual, to))
+    Seq(Row(rewritten))
+  }
+}
+
+/**
+ * Shared core of the managed schema-evolution rewrites (ADD/DROP/
+ * RENAME COLUMN): snapshot the live file set, rewrite it once through
+ * `transform` into a successor directory (same partition routing,
+ * keeper-only partitions re-created empty with the new schema), swap
+ * atomically with a concurrent-append rollback, move the ORIGINAL
+ * discovery log into the successor BEFORE it becomes visible (streams
+ * see a rowsChanged=false compaction — no re-delivery), retire the old
+ * directory, and update the catalog schema LAST. Crash-window contract
+ * documented at [[GraftAddColumnsCommand]]. Returns the number of
+ * snapshot files rewritten.
+ */
+private[plans] object GraftSchemaRewrite {
+  def run(spark: SparkSession, ti: TableIdentifier,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      table: String, op: String, tag: String, newSchema: StructType,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Int = {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{ScbfDataSource, ScbfDiscovery, ScbfPartitions, ScbfUtil}
+    val rootDir = new org.apache.hadoop.fs.Path(meta.location).toString
+    val partCols = meta.partitionColumnNames
     val conf = spark.sessionState.newHadoopConf()
     val rootP = new org.apache.hadoop.fs.Path(rootDir)
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
     val snapshot = ScbfDataSource.resolveFiles(Seq(rootDir), conf)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val successor = new org.apache.hadoop.fs.Path(rootDir + s".addcol-$uuid")
-    val retired = new org.apache.hadoop.fs.Path(rootDir + s".pre-addcol-$uuid")
+    val successor = new org.apache.hadoop.fs.Path(rootDir + s".$tag-$uuid")
+    val retired = new org.apache.hadoop.fs.Path(rootDir + s".pre-$tag-$uuid")
     def rel(p: org.apache.hadoop.fs.Path): String =
       qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
 
-    // final order: the ORIGINAL column order with the new columns
-    // appended — rewritten files, future INSERTs and SELECT * all
-    // agree, and partition columns keep their declared positions
-    // (catalog V2 tables preserve DDL order; nothing is reshuffled)
-    val finalOrder = meta.schema.fieldNames.toSeq ++ cols.map(_.name)
+    val finalOrder = newSchema.fieldNames.toSeq
     if (snapshot.nonEmpty) {
       // read EXACTLY the snapshot (partition values are stored in the
       // data files, so routing information survives a by-file read)
       val df = spark.read.format("scbf")
         .load(snapshot.map(_.getPath.toString): _*)
-      val widened = cols.foldLeft(df)((d, c) =>
-        d.withColumn(c.name, expr(c.default).cast(c.dataType)))
-        .select(finalOrder.map(col): _*)
-      val w = widened.write.format("scbf").mode("overwrite")
+      val out = transform(df).select(finalOrder.map(col): _*)
+      val w = out.write.format("scbf").mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .save(successor.toString)
     } else fs.mkdirs(successor)
-    val finalSchema = StructType(
-      finalOrder.map(n => meta.schema.find(_.name == n).getOrElse(
-        cols.find(_.name == n).map(c =>
-          org.apache.spark.sql.types.StructField(c.name, c.dataType,
-            nullable = false)).get)))
     // keeper-only directories (TRUNCATEd / freshly ADDed partitions
     // hold a 0-row file the empty-DataFrame write cannot reproduce):
     // re-create them empty with the NEW schema so no partition vanishes
     val oldDirs = ScbfPartitions.pruneDirs(rootP, conf, meta.schema,
       Seq.empty, ScbfPartitions.qualifiedRoots(Seq(rootDir), conf)).map(rel)
     val qsucc = fs.makeQualified(successor)
-    val newDirs = ScbfPartitions.pruneDirs(successor, conf, finalSchema,
+    val newDirs = ScbfPartitions.pruneDirs(successor, conf, newSchema,
       Seq.empty, ScbfPartitions.qualifiedRoots(Seq(successor.toString), conf))
       .map(p => qsucc.toUri.relativize(
         fs.makeQualified(p).toUri).getPath.stripPrefix("/")).toSet
@@ -299,12 +424,12 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
       val target = if (d.isEmpty) successor
         else new org.apache.hadoop.fs.Path(successor, d)
       fs.mkdirs(target)
-      ScbfUtil.writeEmptyScbf(fs, target, finalSchema, "addcol-keeper-")
+      ScbfUtil.writeEmptyScbf(fs, target, newSchema, s"$tag-keeper-")
     }
 
     // ---- the swap ----
     require(fs.rename(rootP, retired),
-      s"ADD COLUMN on $table: could not retire $rootP")
+      s"$op on $table: could not retire $rootP")
     // concurrent-append guard: a file published after the snapshot
     // would be silently destroyed with the retired directory — detect
     // it and roll the whole swap back instead
@@ -312,10 +437,10 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
       .map(_.getPath.getName).toSet -- snapshot.map(_.getPath.getName).toSet
     if (lateFiles.nonEmpty) {
       require(fs.rename(retired, rootP),
-        s"ADD COLUMN on $table: rollback rename failed — table data is at $retired")
+        s"$op on $table: rollback rename failed — table data is at $retired")
       fs.delete(successor, true)
       throw new graft.scbf.ScbfFormatException(
-        s"ADD COLUMN on $table aborted: files were appended concurrently " +
+        s"$op on $table aborted: files were appended concurrently " +
           s"(${lateFiles.take(3).mkString(", ")}${if (lateFiles.size > 3) ", …" else ""}). " +
           "The table is unchanged; re-run when ingest settles.")
     }
@@ -347,20 +472,17 @@ case class GraftAddColumnsCommand(table: String, cols: Seq[GraftAddCol])
       })
     }
     require(fs.rename(successor, rootP),
-      s"ADD COLUMN on $table: table data retired to $retired but the successor " +
+      s"$op on $table: table data retired to $retired but the successor " +
         s"rename failed — restore by renaming $retired back to $rootP")
     fs.delete(retired, true)
 
-    // ---- catalog: full schema with the new columns appended ----
+    // ---- catalog: the full new schema, partition positions intact ----
     // (not alterTableDataSchema: its dataSchema view drops the LAST
     // n-partition-columns positionally, which mis-slices any table
     // whose partition columns are not declared last)
-    val newFullSchema = StructType(meta.schema ++
-      cols.map(c => org.apache.spark.sql.types.StructField(
-        c.name, c.dataType, nullable = false)))
-    spark.sessionState.catalog.alterTable(meta.copy(schema = newFullSchema))
+    spark.sessionState.catalog.alterTable(meta.copy(schema = newSchema))
     spark.sessionState.catalog.refreshTable(ti)
-    Seq(Row(snapshot.size))
+    snapshot.size
   }
 }
 

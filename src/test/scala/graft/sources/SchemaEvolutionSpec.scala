@@ -145,10 +145,15 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
         spark.sql("ALTER TABLE evo_acg ADD COLUMN x DOUBLE DEFAULT CAST('zzz' AS DOUBLE)") }
       assert(e3.getMessage.toLowerCase.contains("null") ||
         e3.getMessage.contains("cannot parse"), e3.getMessage)
-      // DROP/RENAME COLUMN decline with the rewrite guidance
+      // retype (ALTER COLUMN TYPE) declines with the rewrite guidance —
+      // a type change needs an explicit CAST the user must own
       val e4 = intercept[Exception] {
-        spark.sql("ALTER TABLE evo_acg DROP COLUMN id") }
+        spark.sql("ALTER TABLE evo_acg ALTER COLUMN id TYPE DOUBLE") }
       assert(e4.getMessage.contains("rewrite"), e4.getMessage)
+      // dropping the ONLY column refused (that's DROP TABLE)
+      val e5 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_acg DROP COLUMN id") }
+      assert(e5.getMessage.contains("no columns"), e5.getMessage)
       // a non-scbf table keeps its vanilla ALTER path untouched
       spark.sql("DROP TABLE IF EXISTS evo_foreign")
       spark.range(3).write.saveAsTable("evo_foreign") // parquet provider
@@ -160,6 +165,110 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
       // table unchanged by the failed attempts
       assert(spark.sql("SELECT COUNT(*) FROM evo_acg").head().getLong(0) == 1L)
     } finally spark.sql("DROP TABLE IF EXISTS evo_acg")
+  }
+
+  test("ALTER TABLE DROP COLUMN is the managed one-statement rewrite") {
+    val dir = tmpDir("scbf-evo-dropcol")
+    spark.sql("DROP TABLE IF EXISTS evo_dc")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE evo_dc (id INT, name STRING, score DOUBLE, n INT) " +
+        s"USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_dc SELECT CAST(id AS INT), concat('n', id), " +
+        "CAST(id AS DOUBLE), CAST(id % 7 AS INT) FROM range(0, 100)")
+      // multi-column parenthesized form
+      val rewritten = spark.sql(
+        "ALTER TABLE evo_dc DROP COLUMNS (score, n)").head().getInt(0)
+      assert(rewritten > 0, "the managed rewrite reports the files it rewrote")
+      // catalog AND files agree; surviving columns' data intact
+      assert(spark.table("evo_dc").columns.toSeq == Seq("id", "name"))
+      val files = spark.read.format("scbf").load(dir)
+      assert(files.columns.toSeq == Seq("id", "name"),
+        "the dropped column must be gone from the FILES, not just the catalog")
+      val r = spark.sql("SELECT COUNT(*), MIN(id), MAX(id) FROM evo_dc").head()
+      assert(r == org.apache.spark.sql.Row(100L, 0, 99))
+      // narrow-schema INSERTs work immediately
+      spark.sql("INSERT INTO evo_dc VALUES (1000, 'x')")
+      assert(spark.sql("SELECT COUNT(*) FROM evo_dc").head().getLong(0) == 101L)
+      // guards: unknown column; partition columns pinned in the
+      // partitioned RENAME test below share the same code path
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_dc DROP COLUMN nope") }
+      assert(e.getMessage.contains("no such column"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS evo_dc")
+  }
+
+  test("ALTER TABLE RENAME COLUMN rewrites on a partitioned table, layout intact") {
+    val dir = tmpDir("scbf-evo-rencol")
+    spark.sql("DROP TABLE IF EXISTS evo_rc")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE evo_rc (id INT, val DOUBLE, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_rc SELECT CAST(id AS INT), CAST(id AS DOUBLE), " +
+        "concat('g', CAST(id % 3 AS INT)) FROM range(0, 90)")
+      val rewritten = spark.sql(
+        "ALTER TABLE evo_rc RENAME COLUMN val TO score").head().getInt(0)
+      assert(rewritten > 0)
+      assert(spark.table("evo_rc").columns.toSeq == Seq("id", "score", "grp"))
+      // partition layout survives and pruning still bites
+      val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(subs.toSeq == Seq("grp=g0", "grp=g1", "grp=g2"), subs.toSeq.toString)
+      val r = spark.sql(
+        "SELECT COUNT(*), SUM(score) FROM evo_rc WHERE grp = 'g1'").head()
+      assert(r == org.apache.spark.sql.Row(30L, (1 until 90 by 3).sum.toDouble))
+      // renamed-schema INSERT works; the OLD name is gone
+      spark.sql("INSERT INTO evo_rc VALUES (1000, 5555.5, 'g0')")
+      assert(spark.sql("SELECT COUNT(*) FROM evo_rc WHERE score = 5555.5")
+        .head().getLong(0) == 1L)
+      val eOld = intercept[Exception] {
+        spark.sql("SELECT val FROM evo_rc").collect() }
+      assert(eOld.getMessage.contains("val"), eOld.getMessage)
+      // guards: target exists; partition column refused with CTAS guidance
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rc RENAME COLUMN id TO score") }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rc RENAME COLUMN grp TO category") }
+      assert(e2.getMessage.contains("partition column"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rc DROP COLUMN grp") }
+      assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS evo_rc")
+  }
+
+  test("a checkpointed stream rides through DROP COLUMN of an unread column (no re-delivery)") {
+    val dir = tmpDir("scbf-evo-dcs")
+    spark.sql("DROP TABLE IF EXISTS evo_dcs")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE evo_dcs (id INT, extra DOUBLE) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_dcs SELECT CAST(id AS INT), CAST(0.0 AS DOUBLE) FROM range(0, 50)")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      // the stream reads ONLY the surviving column — dropping `extra`
+      // must look like a compaction (the dropped column's removal does
+      // not change the rows of the columns the stream carries)
+      val q = spark.readStream.format("scbf").schema("id INT").load(dir)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = df.select(col("id")).collect().map(_.getInt(0)).toSeq
+            seen.synchronized { seen += ids }
+            ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == (0 until 50), s"baseline: $seen")
+        spark.sql("ALTER TABLE evo_dcs DROP COLUMN extra")
+        q.processAllAvailable()
+        assert(seen.flatten.size == 50,
+          s"DROP COLUMN must not re-deliver rows: ${seen.flatten.size}")
+        spark.sql("INSERT INTO evo_dcs VALUES (1000)")
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == ((0 until 50) :+ 1000),
+          s"appended row must arrive: $seen")
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS evo_dcs")
   }
 
   test("a checkpointed stream rides through ADD COLUMN like a compaction (no re-delivery)") {
