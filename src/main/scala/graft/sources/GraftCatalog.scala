@@ -167,8 +167,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     if (structural) throw new ScbfFormatException(
       s"ALTER TABLE on graft-catalog table $ident: schema changes are table " +
         "rewrites in the frozen SCBF format. Use a session-catalog table " +
-        "(USING scbf LOCATION …) for the managed ADD COLUMN statement, or " +
-        "the successor-rewrite recipe (README 'Schema evolution').")
+        "(USING scbf LOCATION …) for the managed ADD/DROP/RENAME COLUMN " +
+        "statements, or the successor-rewrite recipe (README 'Schema evolution').")
     loadTable(ident)
   }
 
