@@ -142,6 +142,11 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
   private val AlterRenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // the one LOSSLESS retype (int32→float64, exact for every int32) is
+  // managed; every other TYPE change declines at run with the
+  // CAST-ownership guidance
+  private val AlterRetypeColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
   private val AlterOtherColRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(ALTER\s+COLUMN|CHANGE\s+COLUMN)\b.*""".r
   // one column spec: name TYPE [DEFAULT <number | 'string' | "string">]
@@ -193,6 +198,9 @@ object GraftSqlParser {
         Some(GraftDropColumnsCommand(tbl, names))
       case AlterRenameColRe(tbl, from, to) if isScbf(tbl) =>
         Some(GraftRenameColumnCommand(tbl, from, to))
+      case AlterRetypeColRe(tbl, colName, typeName) if isScbf(tbl) =>
+        Some(GraftRetypeColumnCommand(tbl, colName,
+          typeName.toUpperCase(java.util.Locale.ROOT)))
       case AlterOtherColRe(tbl, form) if isScbf(tbl) =>
         throw new graft.scbf.ScbfFormatException(
           s"ALTER TABLE ${form.trim.toUpperCase(java.util.Locale.ROOT)} is not " +
@@ -362,6 +370,56 @@ case class GraftRenameColumnCommand(table: String, from: String, to: String)
     val rewritten = GraftSchemaRewrite.run(spark, ti, meta, table,
       op = "RENAME COLUMN", tag = "renamecol", newSchema,
       _.withColumnRenamed(actual, to))
+    Seq(Row(rewritten))
+  }
+}
+
+/**
+ * `ALTER TABLE t ALTER COLUMN c TYPE <T>` for SCBF tables. Exactly ONE
+ * retype is managed: `INT → DOUBLE`, the lossless widening (float64
+ * represents every int32 exactly). Every other TYPE change declines
+ * with the CAST-ownership guidance — double→int truncates, string→num
+ * can fail to parse row-by-row, num→string bakes in one rendering —
+ * so the user writes the CAST in a successor rewrite and owns the
+ * semantics. Partition columns refuse (the retype changes the `k=v`
+ * directory rendering: `db=5` vs `db=5.0`).
+ */
+case class GraftRetypeColumnCommand(table: String, colName: String,
+    typeName: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DoubleType
+    val (ti, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+    val field = meta.schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new graft.scbf.ScbfFormatException(
+        s"ALTER COLUMN $colName: no such column in $table " +
+          meta.schema.fieldNames.mkString("(", ", ", ")")))
+    if (meta.partitionColumnNames.exists(_.equalsIgnoreCase(colName)))
+      throw new graft.scbf.ScbfFormatException(
+        s"ALTER COLUMN ${field.name} on $table: '${field.name}' is a " +
+          "partition column — retyping it changes every k=v directory " +
+          "rendering. Use CREATE TABLE successor + INSERT SELECT + swap " +
+          "(README 'Schema evolution').")
+    val widens = field.dataType == IntegerType &&
+      (typeName == "DOUBLE" || typeName == "FLOAT8")
+    if (!widens)
+      throw new graft.scbf.ScbfFormatException(
+        s"ALTER COLUMN ${field.name} TYPE $typeName on $table: only the " +
+          s"lossless INT → DOUBLE widening is managed (${field.name} is " +
+          s"${field.dataType.sql}). Any other retype needs an explicit CAST " +
+          "the user must own (lossy double→int, parse-failing string→num, " +
+          "rendering-bound num→string): CREATE a successor table + INSERT " +
+          "INTO successor SELECT ... CAST(...) ... + swap (README 'Schema " +
+          "evolution').")
+    val newSchema = StructType(meta.schema.map(f =>
+      if (f.name == field.name) f.copy(dataType = DoubleType) else f))
+    val rewritten = GraftSchemaRewrite.run(spark, ti, meta, table,
+      op = "ALTER COLUMN TYPE", tag = "retypecol", newSchema,
+      _.withColumn(field.name, col(field.name).cast(DoubleType)))
     Seq(Row(rewritten))
   }
 }

@@ -145,11 +145,11 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
         spark.sql("ALTER TABLE evo_acg ADD COLUMN x DOUBLE DEFAULT CAST('zzz' AS DOUBLE)") }
       assert(e3.getMessage.toLowerCase.contains("null") ||
         e3.getMessage.contains("cannot parse"), e3.getMessage)
-      // retype (ALTER COLUMN TYPE) declines with the rewrite guidance —
-      // a type change needs an explicit CAST the user must own
+      // lossy retype (ALTER COLUMN TYPE) declines with the CAST-ownership
+      // guidance — only the lossless INT → DOUBLE widening is managed
       val e4 = intercept[Exception] {
-        spark.sql("ALTER TABLE evo_acg ALTER COLUMN id TYPE DOUBLE") }
-      assert(e4.getMessage.contains("rewrite"), e4.getMessage)
+        spark.sql("ALTER TABLE evo_acg ALTER COLUMN id TYPE STRING") }
+      assert(e4.getMessage.contains("CAST"), e4.getMessage)
       // dropping the ONLY column refused (that's DROP TABLE)
       val e5 = intercept[Exception] {
         spark.sql("ALTER TABLE evo_acg DROP COLUMN id") }
@@ -236,6 +236,44 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
         spark.sql("ALTER TABLE evo_rc DROP COLUMN grp") }
       assert(e3.getMessage.contains("partition column"), e3.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS evo_rc")
+  }
+
+  test("ALTER COLUMN TYPE: the lossless INT→DOUBLE widening is managed, lossy retypes decline") {
+    val dir = tmpDir("scbf-evo-retype")
+    spark.sql("DROP TABLE IF EXISTS evo_rt")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE evo_rt (id INT, n INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("INSERT INTO evo_rt SELECT CAST(id AS INT), CAST(id * 7 AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(0, 60)")
+      val rewritten = spark.sql(
+        "ALTER TABLE evo_rt ALTER COLUMN n TYPE DOUBLE").head().getInt(0)
+      assert(rewritten > 0)
+      // catalog AND files widened; every value exact (int32 ⊂ float64)
+      assert(spark.table("evo_rt").schema("n").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(spark.read.format("scbf").load(dir).schema("n").dataType ==
+        org.apache.spark.sql.types.DoubleType,
+        "the FILES must carry the widened type, not just the catalog")
+      val r = spark.sql("SELECT SUM(n), MIN(n), MAX(n) FROM evo_rt").head()
+      assert(r == org.apache.spark.sql.Row(
+        (0 until 60).map(_ * 7L).sum.toDouble, 0.0, 59 * 7.0))
+      // widened-schema INSERT works; partition pruning intact
+      spark.sql("INSERT INTO evo_rt VALUES (1000, 2.5, 'g0')")
+      assert(spark.sql("SELECT COUNT(*) FROM evo_rt WHERE grp = 'g0'")
+        .head().getLong(0) == 31L)
+      // lossy directions refuse: DOUBLE→INT, INT→STRING, partition column
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rt ALTER COLUMN n TYPE INT") }
+      assert(e1.getMessage.contains("CAST"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rt ALTER COLUMN id TYPE STRING") }
+      assert(e2.getMessage.contains("CAST"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE evo_rt ALTER COLUMN grp TYPE DOUBLE") }
+      assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS evo_rt")
   }
 
   test("a checkpointed stream rides through DROP COLUMN of an unread column (no re-delivery)") {
