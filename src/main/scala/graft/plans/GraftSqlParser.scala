@@ -74,9 +74,21 @@ object GraftSqlParser {
   // fails with the real reason at run, same as OPTIMIZE/VACUUM)
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  // Delta-shaped RESTORE: rolls the live table back to its AS OF
+  // rendering by REMOVING the files published after the timestamp
+  // (exact for append-only history — the same refusal contract as
+  // time travel; a literal timestamp or epoch millis)
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case DescribeHistoryRe(tbl) => Some(GraftDescribeHistoryCommand(tbl))
+    case RestoreRe(tbl, tsLit) =>
+      val ts =
+        if (tsLit.startsWith("'"))
+          java.sql.Timestamp.valueOf(tsLit.substring(1, tsLit.length - 1)).getTime
+        else tsLit.toLong
+      Some(GraftRestoreTableCommand(tbl, ts))
     case OptimizeRe(tbl, kind, cols, files) =>
       val colNames = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(colNames.nonEmpty, s"OPTIMIZE needs at least one column: $sql")
@@ -602,6 +614,91 @@ case class GraftDescribeHistoryCommand(table: String)
       Row(new java.sql.Timestamp(e.ts), action, e.name, e.len, e.rowsChanged,
         if (e.rewriteOf.isEmpty) null else e.rewriteOf.mkString(","))
     }
+  }
+}
+
+/**
+ * `RESTORE TABLE t TO TIMESTAMP AS OF ts` — roll the LIVE table back
+ * to its time-travel rendering by removing every data file published
+ * after `ts` (the undo-a-bad-ingest-wave primitive). The as-of set
+ * comes from the same [[graft.sources.ScbfDiscovery.filesAsOf]] replay
+ * the read path uses, so RESTORE inherits its exactness contract and
+ * all of its refusals: no/reset log, pre-log timestamps, unannounced
+ * files, and any as-of file a later rewrite physically removed (a
+ * RESTORE across a DELETE/UPDATE/OPTIMIZE boundary refuses — SCBF
+ * retains no tombstoned bytes, so those rows are unrecoverable and
+ * the command says so instead of "restoring" a half-table). For
+ * append-only history — the common case, a bad wave on top of good
+ * data — the restore is EXACT, zero-read (file deletes + manifest
+ * drops, no data IO), and idempotent (re-running removes nothing).
+ *
+ * Stream semantics match the row-level takedown path: the removal is
+ * announced to the discovery log FIRST (a sentinel removal entry,
+ * R:victims, C:1), so checkpointed log-path streams get their
+ * onChangeCommit policy (skip logs a warning, fail stops the stream)
+ * instead of silently losing files. Partition directories emptied by
+ * the restore are removed entirely — they did not exist at `ts`.
+ */
+case class GraftRestoreTableCommand(table: String, ts: Long)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("files_removed", IntegerType, nullable = false)(),
+    AttributeReference("files_kept", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{ScbfBloom, ScbfDataSource, ScbfDiscovery, ScbfStats}
+    val (dir, _) = GraftSqlParser.resolveScbfTable(spark, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootP.getFileSystem(conf)
+    val qroot = fs.makeQualified(rootP)
+    def rel(p: org.apache.hadoop.fs.Path): String =
+      qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    // the as-of rendering; every refusal (no log, pre-log ts, bypassed
+    // producer, swept originals) surfaces here BEFORE anything changes
+    val asOf = ScbfDiscovery.filesAsOf(qroot, conf, ts, listing)
+    val keepNames = asOf.map(f => rel(f.getPath)).toSet
+    require(keepNames.nonEmpty,
+      s"RESTORE $table: no files were live at $ts — restoring would " +
+        "empty the table; DROP or TRUNCATE it instead")
+    val extras = listing.filterNot(f => keepNames.contains(rel(f.getPath)))
+    if (extras.isEmpty) return Seq(Row(0, keepNames.size))
+    // announce-then-remove, same contract as the row-level takedown:
+    // log-path streams see the change under their onChangeCommit policy
+    if (ScbfDiscovery.exists(qroot, conf)) {
+      ScbfDiscovery.append(qroot, conf, Seq(ScbfDiscovery.Entry(
+        s"restore-${java.util.UUID.randomUUID().toString.take(8)}" +
+          ScbfDiscovery.RemovalSuffix,
+        ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
+        rewriteOf = extras.map(f => rel(f.getPath)).sorted,
+        rowsChanged = true)))
+    }
+    // zero-read removal: file + sidecars, then one manifest drop per
+    // touched directory
+    extras.foreach { f =>
+      fs.delete(f.getPath, false)
+      val sc = ScbfStats.sidecarPath(f.getPath)
+      if (fs.exists(sc)) fs.delete(sc, false)
+      val bl = ScbfBloom.bloomPath(f.getPath)
+      if (fs.exists(bl)) fs.delete(bl, false)
+    }
+    extras.groupBy(_.getPath.getParent).foreach { case (d, fsInDir) =>
+      ScbfStats.mergeManifest(d, conf, Seq.empty, fresh = false,
+        drop = fsInDir.map(_.getPath.getName).toSet)
+      // a partition directory the restore emptied did not exist at ts —
+      // remove it, walking up through emptied intermediate levels
+      // (never the root; the root always keeps as-of files)
+      var cur = d
+      while (fs.makeQualified(cur) != qroot &&
+          ScbfDataSource.resolveFiles(Seq(cur.toString), conf).isEmpty) {
+        fs.delete(cur, true)
+        cur = cur.getParent
+      }
+    }
+    spark.catalog.refreshTable(table)
+    Seq(Row(extras.size, keepNames.size))
   }
 }
 

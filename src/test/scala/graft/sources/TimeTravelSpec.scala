@@ -58,6 +58,76 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(asOf(dir, t2).filter($"id" < 50).select($"id").count() == 50L)
   }
 
+  test("RESTORE TABLE rolls an append-only table back exactly, zero-read and idempotent") {
+    val dir = tmpDir("scbf-restore")
+    spark.sql("DROP TABLE IF EXISTS tt_restore")
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE tt_restore (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO tt_restore SELECT CAST(id AS INT), id * 0.5 FROM range(0, 100)")
+      val t1 = tick()
+      spark.sql("INSERT INTO tt_restore SELECT CAST(id AS INT), id * 0.5 FROM range(100, 300)")
+      spark.sql("INSERT INTO tt_restore SELECT CAST(id AS INT), id * 0.5 FROM range(300, 350)")
+      assert(spark.table("tt_restore").count() == 350L)
+      graft.sources.ScbfUtil.dataFileOpens.set(0)
+      val r = spark.sql(s"RESTORE TABLE tt_restore TO TIMESTAMP AS OF $t1").head()
+      assert(graft.sources.ScbfUtil.dataFileOpens.get == 0,
+        "RESTORE must be zero-read: file deletes + manifest drops only")
+      // waves publish one file per write task; exact counts are a
+      // parallelism detail — the invariant is: something was removed,
+      // something was kept, and the data below is exactly wave 1
+      assert(r.getInt(0) > 0 && r.getInt(1) > 0, s"removed/kept: $r")
+      // the LIVE table is the wave-1 rendering, exactly
+      val s1 = spark.table("tt_restore").agg(count(lit(1)), sum($"id")).head()
+      assert(s1 == org.apache.spark.sql.Row(100L, (0 until 100).map(_.toLong).sum))
+      // idempotent: a second restore removes nothing
+      assert(spark.sql(s"RESTORE TABLE tt_restore TO TIMESTAMP AS OF $t1")
+        .head().getInt(0) == 0)
+      // the restore is itself history: DESCRIBE HISTORY shows the removal
+      val acts = spark.sql("DESCRIBE HISTORY tt_restore")
+        .select("action").as[String].collect().toSeq
+      assert(acts.contains("remove"), acts.toString)
+      // appends continue normally on the restored table
+      spark.sql("INSERT INTO tt_restore VALUES (1000, 9.0)")
+      assert(spark.table("tt_restore").count() == 101L)
+    } finally spark.sql("DROP TABLE IF EXISTS tt_restore")
+  }
+
+  test("RESTORE refusals: across a rewrite boundary, to-empty, pre-log; partitions vanish") {
+    val dir = tmpDir("scbf-restore-g")
+    spark.sql("DROP TABLE IF EXISTS tt_rg")
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE tt_rg (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      val t0 = tick()
+      spark.sql("INSERT INTO tt_rg SELECT CAST(id AS INT), 'a' FROM range(0, 50)")
+      val t1 = tick()
+      // wave 2 creates a NEW partition — the restore must remove the
+      // whole directory, not leave an empty husk
+      spark.sql("INSERT INTO tt_rg SELECT CAST(id AS INT), 'b' FROM range(50, 80)")
+      // pre-log / to-empty refusals fire BEFORE anything changes
+      val e0 = intercept[Exception] {
+        spark.sql(s"RESTORE TABLE tt_rg TO TIMESTAMP AS OF ${t0 - 60000}") }
+      assert(e0.getMessage.contains("history"), e0.getMessage)
+      assert(spark.table("tt_rg").count() == 80L, "refusal must not mutate")
+      spark.sql(s"RESTORE TABLE tt_rg TO TIMESTAMP AS OF $t1")
+      assert(spark.table("tt_rg").count() == 50L)
+      val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(subs.toSeq == Seq("grp=a"), s"emptied partition must vanish: ${subs.toSeq}")
+      // a rewrite (DELETE) bounds restorability: pre-rewrite timestamps
+      // refuse — the originals are physically gone
+      val t2 = tick()
+      spark.sql("DELETE FROM tt_rg WHERE id < 10")
+      val e1 = intercept[Exception] {
+        spark.sql(s"RESTORE TABLE tt_rg TO TIMESTAMP AS OF $t2") }
+      assert(e1.getMessage.contains("physically removed"), e1.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS tt_rg")
+  }
+
   test("a rewrite bounds history: before it refuses loudly, after it is exact") {
     val dir = tmpDir("scbf-asof-rw")
     spark.sql("DROP TABLE IF EXISTS asof_rw")
