@@ -134,6 +134,26 @@ object GraftSqlParser {
     (ti, meta)
   }
 
+  /** Table-root resolution that accepts BOTH session-catalog SCBF
+   * tables and graft-catalog tables (`cat.ns….name` — the table IS its
+   * warehouse directory). Shared by DESCRIBE HISTORY and RESTORE. */
+  private[plans] def resolveAnyScbfDir(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    import graft.sources.GraftCatalog
+    val parts = table.split('.')
+    (if (parts.length >= 3) {
+      try spark.sessionState.catalogManager.catalog(parts(0)) match {
+        case g: GraftCatalog => Some(g.tableDirectory(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.slice(1, parts.length - 1), parts.last)))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    } else None).getOrElse {
+      val (d, _) = resolveScbfTable(spark, table)
+      new org.apache.hadoop.fs.Path(d)
+    }
+  }
+
   // ---- ALTER TABLE ... {ADD|DROP|RENAME|ALTER|CHANGE} COLUMN ----
   // Vanilla Spark would route these to the session catalog and update
   // ONLY the metastore schema — SCBF files carry their schema in their
@@ -578,23 +598,9 @@ case class GraftDescribeHistoryCommand(table: String)
     AttributeReference("rewrite_of", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import graft.sources.{GraftCatalog, ScbfDiscovery}
+    import graft.sources.ScbfDiscovery
     val conf = spark.sessionState.newHadoopConf()
-    val parts = table.split('.')
-    val dir: org.apache.hadoop.fs.Path =
-      (if (parts.length >= 3) {
-        // cat.ns….name — if `cat` is a registered GraftCatalog, the
-        // table lives in ITS warehouse, not the session catalog
-        try spark.sessionState.catalogManager.catalog(parts(0)) match {
-          case g: GraftCatalog => Some(g.tableDirectory(
-            org.apache.spark.sql.connector.catalog.Identifier.of(
-              parts.slice(1, parts.length - 1), parts.last)))
-          case _ => None
-        } catch { case scala.util.control.NonFatal(_) => None }
-      } else None).getOrElse {
-        val (d, _) = GraftSqlParser.resolveScbfTable(spark, table)
-        new org.apache.hadoop.fs.Path(d)
-      }
+    val dir = GraftSqlParser.resolveAnyScbfDir(spark, table)
     val fs = dir.getFileSystem(conf)
     val qroot = fs.makeQualified(dir)
     if (!ScbfDiscovery.exists(qroot, conf))
@@ -648,14 +654,15 @@ case class GraftRestoreTableCommand(table: String, ts: Long)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.sources.{ScbfBloom, ScbfDataSource, ScbfDiscovery, ScbfStats}
-    val (dir, _) = GraftSqlParser.resolveScbfTable(spark, table)
     val conf = spark.sessionState.newHadoopConf()
-    val rootP = new org.apache.hadoop.fs.Path(dir)
+    // graft-catalog tables resolve through their own catalog (the table
+    // IS its warehouse directory) — same resolution as DESCRIBE HISTORY
+    val rootP = GraftSqlParser.resolveAnyScbfDir(spark, table)
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
     def rel(p: org.apache.hadoop.fs.Path): String =
       qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
-    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val listing = ScbfDataSource.resolveFiles(Seq(rootP.toString), conf)
     // the as-of rendering; every refusal (no log, pre-log ts, bypassed
     // producer, swept originals) surfaces here BEFORE anything changes
     val asOf = ScbfDiscovery.filesAsOf(qroot, conf, ts, listing)
@@ -675,15 +682,21 @@ case class GraftRestoreTableCommand(table: String, ts: Long)
         rewriteOf = extras.map(f => rel(f.getPath)).sorted,
         rowsChanged = true)))
     }
-    // zero-read removal: file + sidecars, then one manifest drop per
-    // touched directory
-    extras.foreach { f =>
-      fs.delete(f.getPath, false)
-      val sc = ScbfStats.sidecarPath(f.getPath)
-      if (fs.exists(sc)) fs.delete(sc, false)
-      val bl = ScbfBloom.bloomPath(f.getPath)
-      if (fs.exists(bl)) fs.delete(bl, false)
-    }
+    // zero-read removal: file + sidecars on the shared driver IO pool
+    // (a restored wave can be 10⁵ files — on an object store the
+    // deletes must overlap, not serialize their latencies), then one
+    // manifest drop per touched directory
+    val deletes = extras.map(f => ScbfStats.ioPool.submit(
+      new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          fs.delete(f.getPath, false)
+          val sc = ScbfStats.sidecarPath(f.getPath)
+          if (fs.exists(sc)) fs.delete(sc, false)
+          val bl = ScbfBloom.bloomPath(f.getPath)
+          if (fs.exists(bl)) fs.delete(bl, false)
+        }
+      }))
+    deletes.foreach(_.get())
     extras.groupBy(_.getPath.getParent).foreach { case (d, fsInDir) =>
       ScbfStats.mergeManifest(d, conf, Seq.empty, fresh = false,
         drop = fsInDir.map(_.getPath.getName).toSet)
@@ -697,7 +710,9 @@ case class GraftRestoreTableCommand(table: String, ts: Long)
         cur = cur.getParent
       }
     }
-    spark.catalog.refreshTable(table)
+    // best-effort cache invalidation (the restore itself is complete)
+    try spark.catalog.refreshTable(table)
+    catch { case scala.util.control.NonFatal(_) => }
     Seq(Row(extras.size, keepNames.size))
   }
 }

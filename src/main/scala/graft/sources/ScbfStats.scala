@@ -392,6 +392,7 @@ object ScbfStats {
   /** Lazily-created daemon pool for parallel bloom-sidecar fetches,
    * shared across all [[Pruner]] instances for the JVM's lifetime.
    * Daemon threads so an idle pool never blocks driver shutdown. */
+  private[graft] def ioPool: java.util.concurrent.ExecutorService = bloomFetchPool
   private lazy val bloomFetchPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())),

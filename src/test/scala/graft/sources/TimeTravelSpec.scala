@@ -94,6 +94,23 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS tt_restore")
   }
 
+  test("RESTORE resolves graft-catalog tables through their own catalog") {
+    val wh = tmpDir("graft-restore-wh")
+    spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gres.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gres.db")
+    spark.sql("DROP TABLE IF EXISTS gres.db.tt")
+    spark.sql("CREATE TABLE gres.db.tt (id INT, v DOUBLE) USING scbf")
+    spark.sql("INSERT INTO gres.db.tt SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(0, 100)")
+    val t1 = tick()
+    spark.sql("INSERT INTO gres.db.tt SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(100, 300)")
+    assert(spark.sql("SELECT COUNT(*) FROM gres.db.tt").head().getLong(0) == 300L)
+    val r = spark.sql(s"RESTORE TABLE gres.db.tt TO TIMESTAMP AS OF $t1").head()
+    assert(r.getInt(0) > 0, r.toString)
+    assert(spark.sql("SELECT COUNT(*) FROM gres.db.tt").head().getLong(0) == 100L)
+    spark.sql("DROP TABLE IF EXISTS gres.db.tt")
+  }
+
   test("RESTORE refusals: across a rewrite boundary, to-empty, pre-log; partitions vanish") {
     val dir = tmpDir("scbf-restore-g")
     spark.sql("DROP TABLE IF EXISTS tt_rg")
