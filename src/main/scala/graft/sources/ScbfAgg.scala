@@ -59,14 +59,33 @@ object ScbfAgg {
       conf: Configuration,
       partitionRoots: Seq[String]): Option[Result] = {
     if (agg.aggregateExpressions.isEmpty) return None
-    val lookup = new ScbfStats.Lookup(conf)
-    // one manifest per partition directory, loaded in parallel: a
-    // 100-partition metadata-only rollup costs ~one manifest parse of
-    // driver wall instead of a sequential hundred (BENCH_NOTES r10)
-    lookup.prewarm(files.map(_.getPath.getParent))
-    val perFile = files.map(f => lookup.stats(f.getPath, f.getLen))
-    if (perFile.exists(_.isEmpty)) return None // an unknown file → full scan
-    val stats = perFile.flatten
+    // FAST PATH — O(partitions), not O(files): each directory's
+    // manifest leads with a DirSummary (rows + per-column fold over
+    // exactly its entries, fingerprinted against the live listing).
+    // When every directory's summary matches its listed files, the
+    // whole aggregate evaluates over one synthetic FileStats per
+    // DIRECTORY — a head-read per manifest, never the 10⁴+ per-file
+    // entry parses. Any mismatch (unmanifested append, crashed
+    // rewrite, pre-summary manifest) falls back to the per-file path
+    // below, which re-derives trust from per-entry length guards.
+    val byDir = files.groupBy(_.getPath.getParent).toSeq
+    val summaried = byDir.map { case (d, fsIn) =>
+      (fsIn, ScbfStats.readDirSummary(d, conf))
+    }
+    val units: Seq[(FileStatus, ScbfStats.FileStats)] =
+      if (summaried.forall { case (fsIn, s) => s.exists(_.matches(fsIn)) })
+        summaried.map { case (fsIn, s) => (fsIn.head, s.get.toFileStats) }
+      else {
+        val lookup = new ScbfStats.Lookup(conf)
+        // one manifest per partition directory, loaded in parallel: a
+        // 100-partition metadata-only rollup costs ~one manifest parse
+        // of driver wall instead of a sequential hundred (BENCH_NOTES)
+        lookup.prewarm(files.map(_.getPath.getParent))
+        val perFile = files.map(f => lookup.stats(f.getPath, f.getLen))
+        if (perFile.exists(_.isEmpty)) return None // unknown file → full scan
+        files.zip(perFile.flatten)
+      }
+    val stats = units.map(_._2)
     val descr = agg.aggregateExpressions.map(_.toString).mkString(", ")
 
     if (agg.groupByExpressions.isEmpty) {
@@ -90,8 +109,10 @@ object ScbfAgg {
       // partition cells are a DIRECTORY property (the k=v path), so
       // parse them once per directory, not once per file — at 10⁶
       // files / 100 partitions that is 100 path parses instead of a
-      // million of driver wall (BENCH_NOTES round 10)
-      val keyed = files.zip(stats).groupBy(_._1.getPath.getParent).toSeq
+      // million of driver wall (BENCH_NOTES round 10). Under the
+      // summary fast path `units` is already one synthetic entry per
+      // directory, so this group-by is the identity there.
+      val keyed = units.groupBy(_._1.getPath.getParent).toSeq
         .map { case (_, members) =>
           val cells = ScbfPartitions.partValues(
             members.head._1.getPath, tableSchema, partitionRoots)

@@ -129,6 +129,107 @@ object ScbfStats {
    * listing's length must match for the entry to be trusted. */
   final case class FileEntry(name: String, dataLen: Long, stats: FileStats)
 
+  /**
+   * Directory-level pre-aggregation, written at the HEAD of every
+   * manifest (directly after the version line) so a consumer can read
+   * it with a tiny head-read instead of parsing 10⁴ per-file entries:
+   * the O(partitions)-not-O(files) path for metadata-only rollups.
+   *
+   * `fpA`/`fpB` are an order-independent fingerprint over the
+   * manifest's (name, dataLen) pairs; [[matches]] recomputes it from a
+   * LIVE listing, so a summary is trusted only when the manifest
+   * covered exactly the listed files at their listed lengths — the
+   * same evidence the per-file path derives from its per-entry length
+   * guards. Any divergence (unmanifested append, dropped file, crashed
+   * rewrite) fails the fingerprint and the consumer falls back to the
+   * per-file path.
+   *
+   * `cols` holds ONLY columns every live (rows > 0) entry carried, with
+   * min/max folded over those entries and the exact int sum when every
+   * live entry recorded one ([[toFileStats]] then behaves, under
+   * [[ScbfAgg]]'s fold, exactly like the per-file stats would). */
+  final case class DirSummary(
+      nEntries: Int, fpA: Long, fpB: Long, rows: Long,
+      cols: Map[String, ColRange]) {
+    def matches(files: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
+      if (files.size != nEntries) return false
+      val (a, b) = fingerprint(files.map(f => (f.getPath.getName, f.getLen)))
+      a == fpA && b == fpB
+    }
+    def toFileStats: FileStats = FileStats(rows, cols)
+  }
+
+  /** Order-independent 128-bit-ish fingerprint over (name, len) pairs:
+   * two independent 64-bit accumulations (sum and xor of two seeded
+   * 32-bit hashes packed per pair). Not adversarial-proof — a
+   * consistency check against torn/raced metadata, like the per-entry
+   * length guard it generalizes. */
+  def fingerprint(pairs: Iterable[(String, Long)]): (Long, Long) = {
+    var sum = 0L
+    var xor = 0L
+    pairs.foreach { case (n, l) =>
+      val s = n + " " + l
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
+      val packed = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      sum += packed
+      xor ^= java.lang.Long.rotateLeft(packed, (h1 & 63))
+    }
+    (sum, xor)
+  }
+
+  private def summarize(entries: Seq[FileEntry]): DirSummary = {
+    val (fpA, fpB) = fingerprint(entries.map(e => (e.name, e.dataLen)))
+    val live = entries.filter(_.stats.rows > 0)
+    val colNames: Set[String] =
+      if (live.isEmpty) Set.empty
+      else live.map(_.stats.cols.keySet).reduce(_ intersect _)
+    val cols = colNames.iterator.map { n =>
+      val rs = live.map(_.stats.cols(n))
+      val sums = rs.map(_.sum)
+      val total =
+        if (sums.exists(_.isEmpty)) None
+        else try Some(sums.flatten.foldLeft(0L)(Math.addExact))
+        catch { case _: ArithmeticException => None }
+      n -> ColRange(rs.map(_.min).min, rs.map(_.max).max, total)
+    }.toMap
+    DirSummary(entries.size, fpA, fpB, entries.map(_.stats.rows).sum, cols)
+  }
+
+  /** Head-read of a manifest's [[DirSummary]] block: opens the file and
+   * reads ONLY the leading dirsum lines (the block is written first by
+   * design), never the 10⁴+ per-file entries below. None on a manifest
+   * without a summary (pre-summary writers) — consumers fall back to
+   * the per-file path. */
+  def readDirSummary(dir: Path, conf: Configuration): Option[DirSummary] =
+    try {
+      val p = manifestPath(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      manifestReads.incrementAndGet()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), UTF_8))
+      try {
+        if (in.readLine() != "manifest\t1") return None
+        val head = in.readLine()
+        if (head == null || !head.startsWith("dirsum\t")) return None
+        val Array(_, n, a, b, rows) = head.split("\t", 5)
+        val cols = Map.newBuilder[String, ColRange]
+        var line = in.readLine()
+        while (line != null && line.startsWith("dirsumcol\t")) {
+          line.split("\t", 5) match {
+            case Array(_, cn, mn, mx, sm) =>
+              cols += cn -> ColRange(mn.toDouble, mx.toDouble,
+                if (sm == "-") None else Some(sm.toLong))
+            case _ =>
+          }
+          line = in.readLine()
+        }
+        summaryReads.incrementAndGet()
+        Some(DirSummary(n.toInt, a.toLong, b.toLong, rows.toLong, cols.result()))
+      } finally in.close()
+    } catch { case NonFatal(_) => None }
+
   /** Everything one manifest read yields: per-file entries plus the
    * directory-level merged NDV registers and merged histograms (one
    * per column each — see writeManifest). */
@@ -145,6 +246,11 @@ object ScbfStats {
   // test hooks: how many stats files did planning actually open?
   val sidecarReads = new AtomicLong(0)
   val manifestReads = new AtomicLong(0)
+  /** Successful [[readDirSummary]] head-reads — a fast-path rollup
+   * shows summaryReads == manifestReads == touched directories (no
+   * full entry parse happened); a fallback shows manifestReads grow
+   * past summaryReads. */
+  val summaryReads = new AtomicLong(0)
 
   def sidecarPath(data: Path): Path =
     new Path(data.getParent, s".${data.getName}.stats")
@@ -171,6 +277,13 @@ object ScbfStats {
       dirHist: Map[String, ScbfHistogram.Hist] = Map.empty,
       dirTopK: Map[String, ScbfStrTopK.TopK] = Map.empty): Unit = {
     val sb = new StringBuilder("manifest\t1\n")
+    // directory summary FIRST so readDirSummary's head-read never
+    // touches the (potentially multi-KB) sketch lines or file entries
+    val sum = summarize(entries)
+    sb.append(s"dirsum\t${sum.nEntries}\t${sum.fpA}\t${sum.fpB}\t${sum.rows}\n")
+    sum.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      sb.append(s"dirsumcol\t$n\t${r.min}\t${r.max}\t${r.sum.getOrElse("-")}\n")
+    }
     dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")
     }

@@ -32,6 +32,64 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("directory summary: the O(partitions) head-read answers the rollup, no entry parse") {
+    val dir = tmpDir("scbf-aggsum")
+    spark.range(0, 1200)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("g"), (col("id") % 3).cast("int")).as("grp"))
+      .repartition(4, col("id")) // mixed grps per task → several files per dir
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .groupBy("grp").agg(count(lit(1)).as("cnt"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"), sum(col("id")).as("sm"))
+    ScbfUtil.dataFileOpens.set(0)
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.summaryReads.set(0)
+    val rows = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getLong(4))).toMap
+    assert(ScbfUtil.dataFileOpens.get == 0, "rollup must not open data files")
+    // the FAST path: one head-read per partition directory, and the
+    // manifest was never parsed entry-by-entry (reads == summary reads)
+    assert(ScbfStats.summaryReads.get == 3,
+      s"expected 3 summary head-reads, got ${ScbfStats.summaryReads.get}")
+    assert(ScbfStats.manifestReads.get == ScbfStats.summaryReads.get,
+      s"fast path must not fall back to full manifest parses: " +
+        s"${ScbfStats.manifestReads.get} reads vs ${ScbfStats.summaryReads.get} summaries")
+    // and the answers are the exact fold
+    (0 until 3).foreach { g =>
+      val ids = (0 until 1200).filter(_ % 3 == g)
+      assert(rows(s"g$g") == ((ids.size.toLong, ids.min, ids.max,
+        ids.map(_.toLong).sum)), s"group g$g")
+    }
+    // summary round-trip + staleness: matches the live listing, and a
+    // file removed out-of-band fails the fingerprint so consumers fall
+    // back to per-file evidence
+    val conf = new Configuration()
+    val d0 = new Path(dir, "grp=g0")
+    val fs = d0.getFileSystem(conf)
+    val s0 = ScbfStats.readDirSummary(d0, conf).get
+    val listed = ScbfDataSource.resolveFiles(Seq(d0.toString), conf)
+    assert(s0.matches(listed))
+    assert(s0.rows == 400L && s0.cols.contains("id"))
+    val victim = listed.head.getPath
+    fs.delete(victim, false)
+    val relisted = ScbfDataSource.resolveFiles(Seq(d0.toString), conf)
+    assert(!s0.matches(relisted), "a dropped file must fail the fingerprint")
+    // the stale-summary directory now falls back (and the per-file path
+    // refuses the pushdown for the DELETED file's absence is fine — the
+    // remaining files still carry length-guarded entries, so the query
+    // answers exactly over what exists)
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.summaryReads.set(0)
+    val after = spark.read.format("scbf").load(dir)
+      .groupBy("grp").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.get("g0").exists(_ < 400L) && after("g1") == 400L,
+      s"post-delete counts must reflect the live files: $after")
+    assert(ScbfStats.manifestReads.get > ScbfStats.summaryReads.get,
+      "the stale directory must have fallen back to a full manifest read")
+  }
+
   test("global count/min/max/sum(int) answers from stats: zero data files opened") {
     val dir = tmpDir("scbf-aggpush")
     writeRanged(dir)

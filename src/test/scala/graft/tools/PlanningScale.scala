@@ -319,6 +319,17 @@ object PlanningScalePartitioned {
       generate(root, parts, fpp, rows)
       println(f"[planpart] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else println(s"[planpart] reusing $root")
+    // a reused fixture may predate the manifest's dirsum head block —
+    // refresh by read-rewrite (what any real merge would do), so the
+    // rollup row below measures the summary fast path, not the
+    // pre-summary fallback
+    (0 until parts).foreach { p =>
+      val d = new Path(f"$root/pk=p$p%02d")
+      if (ScbfStats.readDirSummary(d, conf).isEmpty) {
+        val m = ScbfStats.readManifestFull(d, conf)
+        ScbfStats.writeManifest(d, conf, m.entries.values.toSeq, m.ndv, m.hist, m.topk)
+      }
+    }
     val perPartManifest = new File(s"$root/pk=p00/.scbf.stats.manifest").length()
     println(f"[planpart] parts=$parts filesPerPart=$fpp total=${parts * fpp} " +
       f"manifest/partition=${perPartManifest / 1024.0}%.1f KiB " +
