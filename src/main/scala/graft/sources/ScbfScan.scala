@@ -717,13 +717,31 @@ class ScbfScan(
       if (aggregated.isDefined)
         OptionalLong.of(math.max(1L, aggregated.get.rows.size.toLong))
       else {
-        // missing-stats budget over the KEPT files only: a table with
-        // many stats-less files the pruning dropped must not lose its
-        // estimate, and header reads never happen for pruned files
-        val perKept = kept.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
+        // Directory-summary fast path per FULLY-kept directory: when a
+        // directory's fingerprinted dirsum covers exactly its kept
+        // files, its total rows come from one ~200 B head-read — no
+        // per-file lookups, no 10⁴-entry manifest parse. Partially
+        // kept or divergent directories fall through to the per-file
+        // path below (an unfiltered 10⁶-file fact scan's join-planning
+        // row count is O(partitions), not O(files)).
+        def dirRows(fs: Seq[FileStatus]): (Long, Seq[FileStatus]) = {
+          val (summed, leftover) = fs.groupBy(_.getPath.getParent).values
+            .partitionMap { dirFiles =>
+              lookup.dirSummary(dirFiles.head.getPath.getParent) match {
+                case Some(s) if s.matches(dirFiles) => Left(s.rows)
+                case _                              => Right(dirFiles)
+              }
+            }
+          (summed.sum, leftover.flatten.toSeq)
+        }
+        val (keptSummed, keptRest) = dirRows(kept)
+        // missing-stats budget over the residual files only: a table
+        // with many stats-less files the pruning dropped must not lose
+        // its estimate, and header reads never happen for pruned files
+        val perKept = keptRest.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
         if (perKept.count(_.isEmpty) > 64) OptionalLong.empty()
         else {
-          val keptRows = kept.iterator.zip(perKept.iterator).map {
+          val keptRows = keptSummed + keptRest.iterator.zip(perKept.iterator).map {
             case (f, r) => r.getOrElse(ScbfUtil.readHeader(f, conf).totalRows)
           }.sum
           // the directory-mass × keep-fraction term needs the
@@ -736,9 +754,11 @@ class ScbfScan(
           val est =
             if (pushedSel >= 1.0) keptRows
             else {
-              val perAnchor = anchor.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
+              val (anchorSummed, anchorRest) = dirRows(anchor)
+              val perAnchor = anchorRest.map(f => lookup.stats(f.getPath, f.getLen).map(_.rows))
               if (perAnchor.forall(_.isDefined))
-                math.min(keptRows, math.round(perAnchor.flatten.sum * pushedSel))
+                math.min(keptRows,
+                  math.round((anchorSummed + perAnchor.flatten.sum) * pushedSel))
               else keptRows
             }
           OptionalLong.of(math.max(1L, est))

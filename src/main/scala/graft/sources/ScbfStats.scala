@@ -168,7 +168,7 @@ object ScbfStats {
     var sum = 0L
     var xor = 0L
     pairs.foreach { case (n, l) =>
-      val s = n + " " + l
+      val s = n + "\u0000" + l
       val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
       val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
       val packed = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
@@ -494,6 +494,20 @@ object ScbfStats {
 
     /** The directory's merged per-column string top-K summaries. */
     def dirTopK(dir: Path): Map[String, ScbfStrTopK.TopK] = manifest(dir).topk
+
+    /** Memoized directory summary. Served from the full-manifest cache
+     * when this Lookup already paid that parse (synthesized by the same
+     * fold the writer uses — zero IO, and the ONE-read-per-directory
+     * invariant planning pins stays intact); a head-read otherwise. */
+    private val summaries = mutable.Map.empty[Path, Option[DirSummary]]
+    def dirSummary(dir: Path): Option[DirSummary] =
+      summaries.getOrElseUpdate(dir,
+        manifests.get(dir) match {
+          case Some(m) if m.entries.nonEmpty =>
+            Some(summarize(m.entries.values.toSeq))
+          case Some(_) => None // cached-as-missing/corrupt manifest
+          case None    => readDirSummary(dir, conf)
+        })
   }
 
   /**

@@ -363,6 +363,16 @@ object PlanningScalePartitioned {
       s"manifest reads == $parts (all touched)")
     require(ScbfStats.manifestReads.get == parts)
 
+    // join-planning row count of an UNFILTERED scan (V2
+    // estimateStatistics): with dirsum head-reads this is
+    // O(partitions), never a 10⁶-entry parse
+    val nr = timed("stats: numRows, unfiltered (dirsum head-reads)") {
+      val b = new ScbfScanBuilder(schemaP, listing, conf, Seq(root))
+      b.build().asInstanceOf[ScbfScan].estimateStatistics().numRows().getAsLong
+    }
+    println(s"[planpart]   -> numRows=$nr (expect ${parts.toLong * fpp * rows})")
+    require(nr == parts.toLong * fpp * rows, s"numRows $nr")
+
     // THE BATCH-READ RESOLVE BILL (the round-9 weak grade): resolving
     // and planning a partition-pruned SELECT through the TABLE path —
     // deferred, filter-driven listing — must list root + the touched
