@@ -119,6 +119,41 @@ class ManifestRobustnessSpec extends AnyFunSuite with SparkTestBase {
       "without a summary the row estimate must stay unscaled")
   }
 
+  test("corrupt dirsum lines fall back to per-file evidence, never a wrong aggregate") {
+    val dir = tmpDir("scbf-man-dirsum")
+    writeRanged(dir)
+    def ans() = spark.read.format("scbf").load(dir)
+      .agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id"))).head()
+    val truth = ans()
+    // (a) torn dirsum header line → summary unreadable → fallback, same answer
+    val text = manifestText(dir)
+    assert(text.contains("dirsum\t"), "fixture must carry a summary")
+    overwriteManifest(dir,
+      text.replaceFirst("dirsum\t\\d+", "dirsum\tgarbage"))
+    assert(ScbfStats.readDirSummary(new Path(dir), new Configuration()).isEmpty,
+      "a torn dirsum must read as absent")
+    spark.read.format("scbf").load(dir).queryExecution // no cache of scans
+    assert(ans() == truth, "fallback answer must equal the pushed one")
+    // (b) a STALE but well-formed summary (wrong fingerprint — models a
+    // crashed writer that never refreshed it) is rejected by matches()
+    val conf = new Configuration()
+    overwriteManifest(dir,
+      text.replaceFirst("dirsum\t(\\d+)\t-?\\d+", "dirsum\t$1\t12345"))
+    val stale = ScbfStats.readDirSummary(new Path(dir), conf)
+    assert(stale.isDefined, "well-formed summary parses")
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    assert(!stale.get.matches(listing), "wrong fingerprint must not match")
+    assert(ans() == truth)
+    // (c) a corrupt dirsumcol value breaks only the summary, not the
+    // manifest's entries (per-file pruning still serves)
+    overwriteManifest(dir,
+      text.replaceFirst("(dirsumcol\tid\t)[-\\d.E]+", "$1notanumber"))
+    assert(ScbfStats.readDirSummary(new Path(dir), conf).isEmpty)
+    assert(ScbfStats.readManifest(new Path(dir), conf).nonEmpty,
+      "entries must survive a corrupt summary line")
+    assert(ans() == truth)
+  }
+
   test("structural corruption (bad header) drops the manifest; sidecars keep pruning exact") {
     val dir = tmpDir("scbf-man-header")
     writeRanged(dir)
