@@ -476,13 +476,19 @@ object ScbfDelete {
       conf: org.apache.hadoop.conf.Configuration,
       affected: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
-    affected.foreach { f =>
-      fs.delete(f.getPath, false)
-      val sc = ScbfStats.sidecarPath(f.getPath)
-      if (fs.exists(sc)) fs.delete(sc, false)
-      val bl = ScbfBloom.bloomPath(f.getPath)
-      if (fs.exists(bl)) fs.delete(bl, false)
-    }
+    // parallel on the shared driver IO pool: a whole-partition takedown
+    // can remove 10⁵ files, and on an object store the delete latencies
+    // must overlap, not serialize (same schedule as RESTORE's removal)
+    affected.map(f => ScbfStats.ioPool.submit(
+      new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          fs.delete(f.getPath, false)
+          val sc = ScbfStats.sidecarPath(f.getPath)
+          if (fs.exists(sc)) fs.delete(sc, false)
+          val bl = ScbfBloom.bloomPath(f.getPath)
+          if (fs.exists(bl)) fs.delete(bl, false)
+        }
+      })).foreach(_.get())
     // manifest entries for the removed names are dead weight (planning
     // keys lookups by the LIVE listing, so they can never be trusted
     // for a live file) — drop exactly those names in one merge cycle,
