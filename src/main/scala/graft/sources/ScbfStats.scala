@@ -151,9 +151,11 @@ object ScbfStats {
   final case class DirSummary(
       nEntries: Int, fpA: Long, fpB: Long, rows: Long,
       cols: Map[String, ColRange]) {
-    def matches(files: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
-      if (files.size != nEntries) return false
-      val (a, b) = fingerprint(files.map(f => (f.getPath.getName, f.getLen)))
+    def matches(files: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
+      matchesNames(files.map(f => (f.getPath.getName, f.getLen)))
+    def matchesNames(pairs: Seq[(String, Long)]): Boolean = {
+      if (pairs.size != nEntries) return false
+      val (a, b) = fingerprint(pairs)
       a == fpA && b == fpB
     }
     def toFileStats: FileStats = FileStats(rows, cols)
@@ -206,7 +208,6 @@ object ScbfStats {
       val p = manifestPath(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None
-      manifestReads.incrementAndGet()
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), UTF_8))
       try {
@@ -246,10 +247,10 @@ object ScbfStats {
   // test hooks: how many stats files did planning actually open?
   val sidecarReads = new AtomicLong(0)
   val manifestReads = new AtomicLong(0)
-  /** Successful [[readDirSummary]] head-reads — a fast-path rollup
-   * shows summaryReads == manifestReads == touched directories (no
-   * full entry parse happened); a fallback shows manifestReads grow
-   * past summaryReads. */
+  /** Successful [[readDirSummary]] head-reads. DISTINCT counter from
+   * manifestReads (which counts FULL entry parses only): a fast-path
+   * rollup shows summaryReads == touched directories with
+   * manifestReads == 0; any fallback shows manifestReads > 0. */
   val summaryReads = new AtomicLong(0)
 
   def sidecarPath(data: Path): Path =
@@ -605,7 +606,54 @@ object ScbfStats {
       // manifest per directory — load those in parallel first so a
       // many-partition scan pays ~one parse of driver wall, not a
       // sequential sum (the 10⁶-file probe's dominant rollup cost)
-      val candidates = fs.filter(f => !pathExcludes(path(f)))
+      val candidates0 = fs.filter(f => !pathExcludes(path(f)))
+      // whole-DIRECTORY pre-prune: a fingerprint-validated dirsum
+      // bounds every row in its directory, so an interval-excluded
+      // summary drops the directory without ever LOADING its manifest
+      // — on a partition-clustered table a narrow band keeps O(1)
+      // directories and the other 10² manifests (10⁶ entries) are
+      // never parsed. Partial candidate sets (path-excluded members),
+      // absent/stale summaries, or a may-match verdict all fall
+      // through to the per-file path below unchanged — the drop is
+      // taken only on the same interval proof a per-file drop uses,
+      // applied to bounds that cover the whole directory. Input order
+      // is preserved (keepAll's contract): the pass computes a
+      // dropped-directory SET and filters the original sequence.
+      val droppedDirs: java.util.HashSet[Path] = {
+        // cheap screen first: bounds-excluded directories by summary
+        // alone (memoized ~200 B head-reads). The common all-touched
+        // case exits here having built NOTHING per file beyond the
+        // parent dedupe the prewarm below pays anyway.
+        val parents = new java.util.LinkedHashSet[Path]()
+        candidates0.foreach(f => parents.add(path(f).getParent))
+        val excluded = new java.util.HashSet[Path]()
+        parents.forEach { d =>
+          if (lookup.dirSummary(d).exists(s => !mayMatch(filters, s.toFileStats)))
+            excluded.add(d)
+        }
+        val dropped = new java.util.HashSet[Path]()
+        if (!excluded.isEmpty) {
+          // fingerprint validation only for the would-drop directories:
+          // the summary must cover exactly the candidate (name, len)
+          // pairs, else the directory stays on the per-file path
+          val byDir = new java.util.HashMap[Path, mutable.ArrayBuffer[(String, Long)]]()
+          candidates0.foreach { f =>
+            val p = path(f)
+            val par = p.getParent
+            if (excluded.contains(par))
+              byDir.computeIfAbsent(par,
+                _ => mutable.ArrayBuffer.empty).append((p.getName, len(f)))
+          }
+          byDir.forEach { (d, pairs) =>
+            if (lookup.dirSummary(d).exists(_.matchesNames(pairs.toSeq)))
+              dropped.add(d)
+          }
+        }
+        dropped
+      }
+      val candidates =
+        if (droppedDirs.isEmpty) candidates0
+        else candidates0.filterNot(f => droppedDirs.contains(path(f).getParent))
       lookup.prewarm(candidates.map(f => path(f).getParent))
       val statsKept = candidates.filter(f =>
         lookup.stats(path(f), len(f)).forall(st => mayMatch(filters, st)))

@@ -48,13 +48,13 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
     val rows = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2),
       r.getInt(3), r.getLong(4))).toMap
     assert(ScbfUtil.dataFileOpens.get == 0, "rollup must not open data files")
-    // the FAST path: one head-read per partition directory, and the
-    // manifest was never parsed entry-by-entry (reads == summary reads)
+    // the FAST path: one head-read per partition directory, and no
+    // manifest was ever parsed entry-by-entry
     assert(ScbfStats.summaryReads.get == 3,
       s"expected 3 summary head-reads, got ${ScbfStats.summaryReads.get}")
-    assert(ScbfStats.manifestReads.get == ScbfStats.summaryReads.get,
+    assert(ScbfStats.manifestReads.get == 0,
       s"fast path must not fall back to full manifest parses: " +
-        s"${ScbfStats.manifestReads.get} reads vs ${ScbfStats.summaryReads.get} summaries")
+        s"${ScbfStats.manifestReads.get} parses")
     // and the answers are the exact fold
     (0 until 3).foreach { g =>
       val ids = (0 until 1200).filter(_ % 3 == g)
@@ -86,7 +86,7 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after.get("g0").exists(_ < 400L) && after("g1") == 400L,
       s"post-delete counts must reflect the live files: $after")
-    assert(ScbfStats.manifestReads.get > ScbfStats.summaryReads.get,
+    assert(ScbfStats.manifestReads.get > 0,
       "the stale directory must have fallen back to a full manifest read")
   }
 

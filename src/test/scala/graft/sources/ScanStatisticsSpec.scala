@@ -43,13 +43,17 @@ class ScanStatisticsSpec extends AnyFunSuite with SparkTestBase {
     writeRanged(dir)
     val scan = scanFor(dir)
     ScbfStats.manifestReads.set(0); ScbfStats.sidecarReads.set(0)
-    ScbfUtil.dataFileOpens.set(0)
+    ScbfStats.summaryReads.set(0); ScbfUtil.dataFileOpens.set(0)
     val st = scan.estimateStatistics()
     assert(st.numRows.getAsLong == 1000L)
     assert(st.sizeInBytes.getAsLong ==
       scbfFiles(dir).map(f => f.getFileSystem(new Configuration()).getFileStatus(f).getLen).sum)
-    assert(ScbfStats.manifestReads.get == 1 && ScbfStats.sidecarReads.get == 0,
-      "rows must come from the manifest, not per-file reads")
+    // an unfiltered scan's row count needs only the dirsum head-read —
+    // the manifest's per-file entries are never parsed
+    assert(ScbfStats.summaryReads.get == 1 && ScbfStats.manifestReads.get == 0 &&
+      ScbfStats.sidecarReads.get == 0,
+      s"rows must come from ONE summary head-read, got " +
+        s"summaries=${ScbfStats.summaryReads.get} manifests=${ScbfStats.manifestReads.get}")
     assert(ScbfUtil.dataFileOpens.get == 0, "statistics never open data files")
   }
 

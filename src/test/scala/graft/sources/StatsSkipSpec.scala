@@ -159,6 +159,38 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(planned(EqualTo("tag", "row5")) == 1, "utf8 bounds prune too")
   }
 
+  test("dirsum pre-prune: a band over partition-clustered ids parses ONE manifest") {
+    val dir = tmpDir("scbf-dirprune")
+    // ids clustered BY PARTITION (disjoint ranges per grp directory) —
+    // the natural time/ingest-partitioned layout
+    spark.range(0, 900)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("g"), (col("id") / 300).cast("int")).as("grp"))
+      .repartition(3, col("grp"))
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .filter(col("id") >= 400 && col("id") < 410) // lives entirely in g1
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.summaryReads.set(0)
+    assert(q.count() == 10L)
+    // head-read per directory; only the surviving directory's manifest
+    // is ever parsed entry-by-entry — the other directories drop on
+    // their fingerprint-validated summary bounds
+    assert(ScbfStats.summaryReads.get == 3,
+      s"expected 3 summary head-reads, got ${ScbfStats.summaryReads.get}")
+    assert(ScbfStats.manifestReads.get == 1,
+      s"expected ONE manifest parse (the surviving dir), got ${ScbfStats.manifestReads.get}")
+    // and the drop is evidence-gated: results identical when summaries
+    // can't serve (manifests removed → sidecar path)
+    val conf = new Configuration()
+    (0 until 3).foreach { g =>
+      val m = ScbfStats.manifestPath(new Path(s"$dir/grp=g$g"))
+      m.getFileSystem(conf).delete(m, false)
+    }
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("id") >= 400 && col("id") < 410).count() == 10L)
+  }
+
   test("query results are identical with sidecars present or deleted; explain shows pushed filters") {
     val dir = java.nio.file.Files.createTempDirectory("scbf-skip-e2e").toString
     writeRanged(dir)

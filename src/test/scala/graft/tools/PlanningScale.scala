@@ -54,7 +54,7 @@ object PlanningScale {
    * fallback and would mask a manifest miss in the counters.
    */
   def generate(dir: String, n: Int, rowsPerFile: Int,
-      wideStats: Boolean = false, threads: Int = 16): Unit = {
+      wideStats: Boolean = false, threads: Int = 16, offset: Int = 0): Unit = {
     val d = new File(dir)
     d.mkdirs()
     val conf = new Configuration()
@@ -65,7 +65,7 @@ object PlanningScale {
         pool.submit(new Runnable {
           override def run(): Unit = {
             val name = f"part-$i%06d${Scbf.FileExtension}"
-            val ids = Array.tabulate(rowsPerFile)(r => i * rowsPerFile + r)
+            val ids = Array.tabulate(rowsPerFile)(r => offset + i * rowsPerFile + r)
             val vs = ids.map(_ * 0.5)
             val bos = new ByteArrayOutputStream(256)
             ScbfWriter.write(bos, scbfSchema,
@@ -81,14 +81,15 @@ object PlanningScale {
             val bo = new FileOutputStream(new File(d, s".$name.bloom"))
             try bo.write(bloom.getBytes(UTF_8)) finally bo.close()
             val (lo, hi) =
-              if (wideStats) (0.0, (n.toLong * rowsPerFile - 1).toDouble)
+              if (wideStats) (offset.toDouble, (offset + n.toLong * rowsPerFile - 1).toDouble)
               else (ids.head.toDouble, ids.last.toDouble)
             entries.add(ScbfStats.FileEntry(name, bytes.length.toLong,
               ScbfStats.FileStats(rowsPerFile.toLong,
                 Map("id" -> ScbfStats.ColRange(lo, hi, Some(ids.map(_.toLong).sum)),
                   "v" -> ScbfStats.ColRange(
-                    if (wideStats) 0.0 else vs.head,
-                    if (wideStats) (n.toLong * rowsPerFile - 1) * 0.5 else vs.last)))))
+                    if (wideStats) offset * 0.5 else vs.head,
+                    if (wideStats) (offset + n.toLong * rowsPerFile - 1) * 0.5
+                    else vs.last)))))
           }
         })
       }
@@ -100,6 +101,7 @@ object PlanningScale {
 
   private def resetCounters(): Unit = {
     ScbfStats.manifestReads.set(0)
+    ScbfStats.summaryReads.set(0)
     ScbfStats.sidecarReads.set(0)
     ScbfBloom.bloomReads.set(0)
     ScbfUtil.dataFileOpens.set(0)
@@ -109,6 +111,7 @@ object PlanningScale {
 
   private def counters(): String =
     s"manifestReads=${ScbfStats.manifestReads.get} " +
+      s"summaryReads=${ScbfStats.summaryReads.get} " +
       s"sidecarReads=${ScbfStats.sidecarReads.get} " +
       s"bloomReads=${ScbfBloom.bloomReads.get} " +
       s"dataOpens=${ScbfUtil.dataFileOpens.get} " +
@@ -289,14 +292,16 @@ object PlanningScalePartitioned {
     }
 
   private def timed[T](label: String)(body: => T): T = {
-    Seq(ScbfStats.manifestReads, ScbfStats.sidecarReads, ScbfBloom.bloomReads,
-      ScbfUtil.dataFileOpens, ScbfDataSource.listings, ScbfDiscovery.deltaReads)
+    Seq(ScbfStats.manifestReads, ScbfStats.summaryReads, ScbfStats.sidecarReads,
+      ScbfBloom.bloomReads, ScbfUtil.dataFileOpens, ScbfDataSource.listings,
+      ScbfDiscovery.deltaReads)
       .foreach(_.set(0))
     val t0 = System.nanoTime()
     val r = body
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"[planpart] $label%-44s ${ms}%10.1f ms  " +
       s"manifestReads=${ScbfStats.manifestReads.get} " +
+      s"summaryReads=${ScbfStats.summaryReads.get} " +
       s"sidecarReads=${ScbfStats.sidecarReads.get} " +
       s"dataOpens=${ScbfUtil.dataFileOpens.get} " +
       s"listings=${ScbfDataSource.listings.get} " +
@@ -357,10 +362,15 @@ object PlanningScalePartitioned {
         GreaterThanOrEqual("id", fpp * rows / 2), LessThan("id", fpp * rows / 2 + rows)))
     println(s"[planpart]   -> planned $k2 files")
     require(ScbfStats.manifestReads.get == 1)
+    // this fixture's ids repeat in EVERY partition (pk is uncorrelated
+    // with id), so the band genuinely touches all of them — the
+    // dirsum pre-prune finds nothing to drop and every manifest
+    // parses; DirPruneScale measures the clustered contrast where the
+    // same band drops parts−1 directories unparsed
     val k3 = plan("plan: range only (every partition touched)",
       Seq(GreaterThanOrEqual("id", fpp * rows / 2), LessThan("id", fpp * rows / 2 + rows)))
     println(s"[planpart]   -> planned $k3 files across $parts partitions; " +
-      s"manifest reads == $parts (all touched)")
+      s"manifest reads == $parts (all genuinely touched)")
     require(ScbfStats.manifestReads.get == parts)
 
     // join-planning row count of an UNFILTERED scan (V2
@@ -415,10 +425,12 @@ object PlanningScalePartitioned {
         .head.asInstanceOf[ScbfAggPartition].rows.length
     }
     println(s"[planpart]   -> rollup answered $kAgg partition rows from " +
-      s"$parts manifests, zero data opens")
+      s"$parts summary head-reads, zero full manifest parses, zero data opens")
     require(kAgg == parts, s"expected $parts rollup rows, got $kAgg")
-    require(ScbfStats.manifestReads.get == parts && ScbfUtil.dataFileOpens.get == 0,
-      s"rollup cost: manifests=${ScbfStats.manifestReads.get} opens=${ScbfUtil.dataFileOpens.get}")
+    require(ScbfStats.summaryReads.get == parts && ScbfStats.manifestReads.get == 0 &&
+      ScbfUtil.dataFileOpens.get == 0,
+      s"rollup cost: summaries=${ScbfStats.summaryReads.get} " +
+        s"manifests=${ScbfStats.manifestReads.get} opens=${ScbfUtil.dataFileOpens.get}")
 
     // table-level maintenance discovery: a partition-scoped DELETE's
     // metadata bill. Directory-first pruning (ScbfPartitions.pruneDirs)
