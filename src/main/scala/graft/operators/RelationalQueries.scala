@@ -1079,6 +1079,44 @@ object RelationalQueries {
         FROM graft_q60 GROUP BY source""")
     },
 
+    "q61_dirsum_prune" -> { (s, dir) =>
+      // Whole-DIRECTORY pre-pruning from the manifest's fingerprinted
+      // dirsum bounds (round 10): ids are clustered BY PARTITION (the
+      // natural time/ingest layout — db = doc_id div 1000), so a
+      // narrow doc_id band drops every other directory on its ~200 B
+      // summary head-read and parses exactly ONE manifest. The require
+      // pins the IO shape INSIDE the query; the oracle replays the
+      // band over the source parquet, so only an exact (never
+      // over-eager) drop hash-matches.
+      val base = scratchDir(s) + "/graft_scbf_dirsum_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q61")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q61_src")
+      s.sql("CREATE TABLE graft_q61 (doc_id INT, source STRING, n_chars INT, " +
+        s"db INT) USING scbf PARTITIONED BY (db) LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q61
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT),
+          CAST(doc_id DIV 1000 AS INT)
+        FROM graft_q61_src""")
+      val q = """SELECT source, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q61 WHERE doc_id >= 100 AND doc_id < 200
+        GROUP BY source"""
+      val pin = s.sql(q)
+      graft.sources.ScbfStats.manifestReads.set(0)
+      graft.sources.ScbfStats.summaryReads.set(0)
+      pin.collect()
+      require(graft.sources.ScbfStats.manifestReads.get == 1,
+        s"the band must parse ONE manifest (the surviving directory), " +
+          s"got ${graft.sources.ScbfStats.manifestReads.get}")
+      require(graft.sources.ScbfStats.summaryReads.get >= 1,
+        "directory screening must run on summary head-reads")
+      s.sql(q)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1567,6 +1605,14 @@ object RelationalQueries {
            UNION ALL
            SELECT CAST(doc_id + 1000000 AS INT), 'ins', 7
            FROM documents WHERE doc_id % 10 = 0)
+         GROUP BY source""",
+
+    "q61_dirsum_prune" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE doc_id >= 100 AND doc_id < 200
          GROUP BY source""",
 
     "q17_events_tumbling" ->
