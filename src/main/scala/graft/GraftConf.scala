@@ -60,6 +60,17 @@ object GraftConf {
    * outnumber cores and the trade always wins). */
   val SpjEnabled = "graft.spj.enabled"
 
+  /** Minimum distinct partition-value count for the scan to REPORT its
+   * key-grouping (default 1 = always report when SPJ is on). The
+   * parallelism-trade gate: a key-grouped scan runs one task per
+   * partition VALUE, so a 4-partition table on a 32-core cluster
+   * scans at 1/8 parallelism for a join benefit it may never use —
+   * setting this to ≈ the cluster's default parallelism keeps
+   * exchange-free joins for the many-partition tables that win the
+   * trade while small-key-count tables keep per-file tasks. Unlike
+   * [[SpjEnabled]]=false it is a size gate, not a feature switch. */
+  val SpjMinPartitions = "graft.spj.minPartitions"
+
   def int(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).orElse(sys.props.get(key)).fold(dflt)(_.trim.toInt)
 

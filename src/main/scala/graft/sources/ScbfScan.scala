@@ -393,8 +393,25 @@ class ScbfScan(
           (fields.map(_.name) ++ bucketSpec.map(_._1))
             .forall(required.fieldNames.contains) =>
         val n = staticKept.map(f => keys(f.getPath.toString)).distinct.size
-        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          spjExpressions(fields), math.max(n, 1))
+        // the parallelism-trade gate (GraftConf.SpjMinPartitions,
+        // default 1 = always report): below the threshold the scan
+        // keeps per-file tasks — Spark only groups splits one-task-
+        // per-partition-value under a REPORTED key-grouping, so
+        // withholding the report here restores scan parallelism for
+        // small-key-count tables without touching the feature switch
+        val minParts =
+          try {
+            val sc = org.apache.spark.sql.internal.SQLConf.get
+            Option(sc.getConfString(graft.GraftConf.SpjMinPartitions, null))
+              .orElse(sys.props.get(graft.GraftConf.SpjMinPartitions))
+              .fold(1)(_.trim.toInt)
+          } catch { case scala.util.control.NonFatal(_) => 1 }
+        if (n < minParts)
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+            partitionKept.size)
+        else
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            spjExpressions(fields), math.max(n, 1))
       case _ =>
         // a pushed aggregation plans exactly one partition; otherwise
         // the kept-file count (the hint is advisory — Spark derives the

@@ -165,6 +165,36 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft.spj.minPartitions gates the report by key count, not by feature") {
+    val dir = mkTable("spj_minp", Seq("g0", "g1", "g2", "g3"))
+    val files = ScbfDataSource.resolveFiles(Seq(dir),
+      spark.sessionState.newHadoopConf())
+    mkTable("spj_minp2", Seq("g0", "g1", "g2", "g3"))
+    // above the table's key count: per-file tasks return and the join
+    // shuffles — the size gate, without flipping the feature switch
+    withConfs(Spj :+ (graft.GraftConf.SpjMinPartitions -> "32"): _*) {
+      val flat = spark.sql("SELECT id, n, grp FROM spj_minp").rdd.getNumPartitions
+      assert(flat == files.size,
+        s"below-threshold key count must plan per-file, got $flat vs ${files.size}")
+      val df = spark.sql("""SELECT a.grp, COUNT(*) AS cnt
+        FROM spj_minp a JOIN spj_minp2 b ON a.grp = b.grp GROUP BY a.grp""")
+      val plan = executed(df)
+      assert(plan.contains("Exchange"),
+        s"below the threshold the join shuffles:\n$plan")
+      assert(df.collect().map(_.getLong(1)).sum == 10000L)
+    }
+    // at/below the key count: the exchange-free grouping stands
+    withConfs(Spj :+ (graft.GraftConf.SpjMinPartitions -> "4"): _*) {
+      val grouped = spark.sql("SELECT id, n, grp FROM spj_minp").rdd.getNumPartitions
+      assert(grouped == 4, s"at-threshold scan must key-group, got $grouped")
+      val df = spark.sql("""SELECT a.grp, COUNT(*) AS cnt
+        FROM spj_minp a JOIN spj_minp2 b ON a.grp = b.grp GROUP BY a.grp""")
+      val plan = executed(df)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"at the threshold the join stays exchange-free:\n$plan")
+    }
+  }
+
   test("join on a NON-partition key still plans (shuffles) and answers correctly") {
     mkTable("spj_n1", Seq("g0", "g1"))
     mkTable("spj_n2", Seq("g0", "g1"))
