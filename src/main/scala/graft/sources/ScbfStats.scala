@@ -150,7 +150,8 @@ object ScbfStats {
    * [[ScbfAgg]]'s fold, exactly like the per-file stats would). */
   final case class DirSummary(
       nEntries: Int, fpA: Long, fpB: Long, rows: Long,
-      cols: Map[String, ColRange]) {
+      cols: Map[String, ColRange],
+      strCols: Map[String, StrRange] = Map.empty) {
     def matches(files: Seq[org.apache.hadoop.fs.FileStatus]): Boolean =
       matchesNames(files.map(f => (f.getPath.getName, f.getLen)))
     def matchesNames(pairs: Seq[(String, Long)]): Boolean = {
@@ -158,7 +159,7 @@ object ScbfStats {
       val (a, b) = fingerprint(pairs)
       a == fpA && b == fpB
     }
-    def toFileStats: FileStats = FileStats(rows, cols)
+    def toFileStats: FileStats = FileStats(rows, cols, strCols)
   }
 
   /** Order-independent 128-bit-ish fingerprint over (name, len) pairs:
@@ -195,7 +196,22 @@ object ScbfStats {
         catch { case _: ArithmeticException => None }
       n -> ColRange(rs.map(_.min).min, rs.map(_.max).max, total)
     }.toMap
-    DirSummary(entries.size, fpA, fpB, entries.map(_.stats.rows).sum, cols)
+    // utf8 bounds fold like ScbfScan.boundsFor: min of mins (always a
+    // valid lower bound); max only when EVERY live entry has one (any
+    // unbounded-above file makes the fold unbounded too)
+    val strNames: Set[String] =
+      if (live.isEmpty) Set.empty
+      else live.map(_.stats.strCols.keySet).reduce(_ intersect _)
+    val strCols = strNames.iterator.map { n =>
+      val rs = live.map(_.stats.strCols(n))
+      val mn = rs.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      val mx =
+        if (rs.forall(_.max.isDefined))
+          Some(rs.flatMap(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+        else None
+      n -> StrRange(mn, mx)
+    }.toMap
+    DirSummary(entries.size, fpA, fpB, entries.map(_.stats.rows).sum, cols, strCols)
   }
 
   /** Head-read of a manifest's [[DirSummary]] block: opens the file and
@@ -216,18 +232,26 @@ object ScbfStats {
         if (head == null || !head.startsWith("dirsum\t")) return None
         val Array(_, n, a, b, rows) = head.split("\t", 5)
         val cols = Map.newBuilder[String, ColRange]
+        val strCols = Map.newBuilder[String, StrRange]
         var line = in.readLine()
-        while (line != null && line.startsWith("dirsumcol\t")) {
-          line.split("\t", 5) match {
+        while (line != null &&
+            (line.startsWith("dirsumcol\t") || line.startsWith("dirsumscol\t"))) {
+          if (line.startsWith("dirsumcol\t")) line.split("\t", 5) match {
             case Array(_, cn, mn, mx, sm) =>
               cols += cn -> ColRange(mn.toDouble, mx.toDouble,
                 if (sm == "-") None else Some(sm.toLong))
+            case _ =>
+          } else line.split("\t", 4) match {
+            case Array(_, cn, mn, mx) =>
+              strCols += cn -> StrRange(b64d.decode(mn),
+                if (mx == "-") None else Some(b64d.decode(mx)))
             case _ =>
           }
           line = in.readLine()
         }
         summaryReads.incrementAndGet()
-        Some(DirSummary(n.toInt, a.toLong, b.toLong, rows.toLong, cols.result()))
+        Some(DirSummary(n.toInt, a.toLong, b.toLong, rows.toLong,
+          cols.result(), strCols.result()))
       } finally in.close()
     } catch { case NonFatal(_) => None }
 
@@ -284,6 +308,10 @@ object ScbfStats {
     sb.append(s"dirsum\t${sum.nEntries}\t${sum.fpA}\t${sum.fpB}\t${sum.rows}\n")
     sum.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       sb.append(s"dirsumcol\t$n\t${r.min}\t${r.max}\t${r.sum.getOrElse("-")}\n")
+    }
+    sum.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      val mx = r.max.map(b64e.encodeToString).getOrElse("-")
+      sb.append(s"dirsumscol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
     }
     dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")

@@ -191,6 +191,31 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("id") >= 400 && col("id") < 410).count() == 10L)
   }
 
+  test("dirsum pre-prune works for STRING bands too (folded utf8 bounds)") {
+    val dir = tmpDir("scbf-dirprune-str")
+    // tags clustered by partition: grp=g0 holds a##, g1 holds b##, g2 c##
+    spark.range(0, 300)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("abc").substr((col("id") / 100 + 1).cast("int"), lit(1)),
+          format_string("%02d", col("id") % 100)).as("tag"),
+        concat(lit("g"), (col("id") / 100).cast("int")).as("grp"))
+      .repartition(2, col("id"))
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .filter(col("tag") >= "b10" && col("tag") < "b20") // lives in g1 only
+    ScbfStats.manifestReads.set(0)
+    ScbfStats.summaryReads.set(0)
+    assert(q.count() == 10L)
+    assert(ScbfStats.summaryReads.get == 3,
+      s"expected 3 summary head-reads, got ${ScbfStats.summaryReads.get}")
+    assert(ScbfStats.manifestReads.get == 1,
+      s"string band must parse ONE manifest, got ${ScbfStats.manifestReads.get}")
+    // round-trip: the folded utf8 bounds survive the head-read
+    val s = ScbfStats.readDirSummary(new Path(s"$dir/grp=g1"), new Configuration()).get
+    assert(s.strCols.contains("tag"))
+    assert(new String(s.strCols("tag").min, "UTF-8") == "b00")
+  }
+
   test("query results are identical with sidecars present or deleted; explain shows pushed filters") {
     val dir = java.nio.file.Files.createTempDirectory("scbf-skip-e2e").toString
     writeRanged(dir)
