@@ -80,6 +80,10 @@ object GraftSqlParser {
   // time travel; a literal timestamp or epoch millis)
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)\s*;?\s*""".r
+  // the VERSION spelling refuses with the same guidance as SELECT's
+  // VERSION AS OF (otherwise it would surface as a bare parse error)
+  private val RestoreVersionRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+.*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case DescribeHistoryRe(tbl) => Some(GraftDescribeHistoryCommand(tbl))
@@ -89,6 +93,13 @@ object GraftSqlParser {
           java.sql.Timestamp.valueOf(tsLit.substring(1, tsLit.length - 1)).getTime
         else tsLit.toLong
       Some(GraftRestoreTableCommand(tbl, ts))
+    case RestoreVersionRe(tbl) =>
+      throw new graft.scbf.ScbfFormatException(
+        s"RESTORE TABLE $tbl TO VERSION AS OF is not supported: discovery-log " +
+          "deltas are named by publication time and folded by compaction, so " +
+          "there is no stable version number to bind — timestamps ARE the " +
+          "version axis. Pick a ts from DESCRIBE HISTORY and use " +
+          "RESTORE TABLE ... TO TIMESTAMP AS OF <ts | 'yyyy-MM-dd HH:mm:ss'>.")
     case OptimizeRe(tbl, kind, cols, files) =>
       val colNames = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(colNames.nonEmpty, s"OPTIMIZE needs at least one column: $sql")

@@ -142,7 +142,49 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
       val e1 = intercept[Exception] {
         spark.sql(s"RESTORE TABLE tt_rg TO TIMESTAMP AS OF $t2") }
       assert(e1.getMessage.contains("physically removed"), e1.getMessage)
+      // VERSION spelling refuses with guidance, not a bare parse error
+      val e2 = intercept[Exception] {
+        spark.sql("RESTORE TABLE tt_rg TO VERSION AS OF 3") }
+      assert(e2.getMessage.contains("TIMESTAMP AS OF"), e2.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS tt_rg")
+  }
+
+  test("a checkpointed stream rides through RESTORE under the default skip policy") {
+    val dir = tmpDir("scbf-restore-stream")
+    spark.sql("DROP TABLE IF EXISTS tt_rs")
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE tt_rs (id INT) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO tt_rs SELECT CAST(id AS INT) FROM range(0, 40)")
+      val t1 = tick()
+      spark.sql("INSERT INTO tt_rs SELECT CAST(id AS INT) FROM range(40, 70)")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val q = spark.readStream.format("scbf").schema("id INT").load(dir)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = df.select(col("id")).collect().map(_.getInt(0)).toSeq
+            seen.synchronized { seen += ids }
+            ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == (0 until 70), s"baseline: $seen")
+        // the restore announces a removal entry FIRST; an append-only
+        // stream cannot retract deliveries, so the default policy skips
+        // the change with a logged warning and the stream stays alive
+        spark.sql(s"RESTORE TABLE tt_rs TO TIMESTAMP AS OF $t1")
+        q.processAllAvailable()
+        assert(seen.flatten.size == 70,
+          s"RESTORE must not re-deliver or crash the stream: ${seen.flatten.size}")
+        // post-restore appends still flow (log continuity)
+        spark.sql("INSERT INTO tt_rs VALUES (1000)")
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == ((0 until 70) :+ 1000), s"append: $seen")
+      } finally q.stop()
+      // and the LIVE batch view is the restored one
+      assert(spark.table("tt_rs").count() == 41L)
+    } finally spark.sql("DROP TABLE IF EXISTS tt_rs")
   }
 
   test("a rewrite bounds history: before it refuses loudly, after it is exact") {
