@@ -88,10 +88,15 @@ object GraftSqlParser {
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case DescribeHistoryRe(tbl) => Some(GraftDescribeHistoryCommand(tbl))
     case RestoreRe(tbl, tsLit) =>
+      // a string literal resolves at RUN time in the SESSION timezone —
+      // the same instant `SELECT … TIMESTAMP AS OF '<literal>'` names
+      // (Catalyst resolves that one; parsing here with
+      // java.sql.Timestamp.valueOf would use the JVM default zone, and
+      // when the two zones differ RESTORE would delete files relative
+      // to a different point in time than the SELECT the user checked)
       val ts =
-        if (tsLit.startsWith("'"))
-          java.sql.Timestamp.valueOf(tsLit.substring(1, tsLit.length - 1)).getTime
-        else tsLit.toLong
+        if (tsLit.startsWith("'")) Left(tsLit.substring(1, tsLit.length - 1))
+        else Right(tsLit.toLong)
       Some(GraftRestoreTableCommand(tbl, ts))
     case RestoreVersionRe(tbl) =>
       throw new graft.scbf.ScbfFormatException(
@@ -480,6 +485,13 @@ case class GraftRetypeColumnCommand(table: String, colName: String,
  * snapshot files rewritten.
  */
 private[plans] object GraftSchemaRewrite {
+  /** Test seam: invoked twice around the final-swap root check — phase
+   * 0 BEFORE the exists check, phase 1 after it passes (just before
+   * the rename) — so chaos specs can re-create the root at either
+   * point and pin BOTH abort paths (pre-check and the TOCTOU nested-
+   * rename backstop). */
+  private[plans] var swapRaceHook: Int => Unit = _ => ()
+
   def run(spark: SparkSession, ti: TableIdentifier,
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
       table: String, op: String, tag: String, newSchema: StructType,
@@ -556,6 +568,7 @@ private[plans] object GraftSchemaRewrite {
     // trigger into the fresh log and re-deliver the whole table.
     val retiredLog = ScbfDiscovery.dir(retired)
     val succLog = ScbfDiscovery.dir(successor)
+    var announcedNames = Set.empty[String]
     if (fs.exists(retiredLog)) {
       fs.delete(succLog, true)
       fs.rename(retiredLog, succLog)
@@ -566,15 +579,61 @@ private[plans] object GraftSchemaRewrite {
       val newFiles = ScbfDataSource.resolveFiles(Seq(successor.toString), conf)
       def relS(p: org.apache.hadoop.fs.Path): String =
         qsucc2.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
-      ScbfDiscovery.append(qsucc2, conf, newFiles.map { f =>
+      val entries = newFiles.map { f =>
         val d = relS(f.getPath.getParent)
         ScbfDiscovery.Entry(relS(f.getPath), f.getLen, now,
           rewriteOf = oldByDir.getOrElse(d, Seq.empty), rowsChanged = false)
-      })
+      }
+      announcedNames = entries.map(_.name).toSet
+      ScbfDiscovery.append(qsucc2, conf, entries)
     }
+    // a writer JOB that started after the retire rename re-creates the
+    // root via its committer's mkdirs; renaming the successor onto an
+    // EXISTING root would nest it inside (Hadoop rename-into-directory
+    // semantics), the require below would still pass, and deleting
+    // `retired` would then destroy the only intact copy. The lateFiles
+    // guard above only sees appends that COMMITTED before the check —
+    // this one catches the in-flight writer. Abort: set the stray root
+    // aside (it may hold the racing job's half-committed output — never
+    // silently destroy it), move the original log back, scrub the
+    // successor announcement (its files die with the successor; left in
+    // the log they would poison later time travel as phantom removals),
+    // and restore the original directory untouched.
+    def abortConcurrentRoot(): Nothing = {
+      val stray = new org.apache.hadoop.fs.Path(rootDir + s".concurrent-$tag-$uuid")
+      require(fs.rename(rootP, stray),
+        s"$op on $table: a concurrent writer re-created $rootP mid-swap and " +
+          s"it could not be set aside — table data is intact at $retired")
+      if (fs.exists(succLog)) {
+        fs.delete(retiredLog, true)
+        fs.rename(succLog, retiredLog)
+        ScbfDiscovery.scrubEntries(fs.makeQualified(retired), conf, announcedNames)
+      }
+      require(fs.rename(retired, rootP),
+        s"$op on $table: rollback rename failed — table data is at $retired")
+      fs.delete(successor, true)
+      throw new graft.scbf.ScbfFormatException(
+        s"$op on $table aborted: a concurrent writer re-created the table " +
+          s"root mid-swap; its partial output was set aside at $stray " +
+          "(inspect or delete it). The table is unchanged; re-run when " +
+          "ingest settles.")
+    }
+    swapRaceHook(0)
+    if (fs.exists(rootP)) abortConcurrentRoot()
+    swapRaceHook(1)
     require(fs.rename(successor, rootP),
       s"$op on $table: table data retired to $retired but the successor " +
         s"rename failed — restore by renaming $retired back to $rootP")
+    // TOCTOU backstop: the root re-appeared BETWEEN the check and the
+    // rename, so the rename nested the successor inside it — un-nest
+    // and take the same abort path
+    val nested = new org.apache.hadoop.fs.Path(rootP, successor.getName)
+    if (fs.exists(nested)) {
+      require(fs.rename(nested, successor),
+        s"$op on $table: swap raced a concurrent writer and the successor " +
+          s"could not be un-nested from $nested — table data is intact at $retired")
+      abortConcurrentRoot()
+    }
     fs.delete(retired, true)
 
     // ---- catalog: the full new schema, partition positions intact ----
@@ -655,8 +714,21 @@ case class GraftDescribeHistoryCommand(table: String)
  * onChangeCommit policy (skip logs a warning, fail stops the stream)
  * instead of silently losing files. Partition directories emptied by
  * the restore are removed entirely — they did not exist at `ts`.
+ *
+ * Crash recovery: the removal entry lands in the log BEFORE the
+ * physical deletes, so a crash in between leaves log-removed files
+ * still on disk. [[graft.sources.ScbfDiscovery.filesAsOf]] treats an
+ * announced-but-removed listed file as exactly that half-finished
+ * state (the log is the truth; the bytes are garbage pending
+ * deletion), so re-running the SAME RESTORE completes it: the victims
+ * are still outside the as-of keep set and get deleted idempotently.
+ *
+ * `tsSpec`: Right(epoch millis), or Left(a timestamp literal) resolved
+ * at run time in the SESSION timezone — the same resolution
+ * `TIMESTAMP AS OF` gets from Catalyst, so the two spellings of one
+ * literal always name one instant.
  */
-case class GraftRestoreTableCommand(table: String, ts: Long)
+case class GraftRestoreTableCommand(table: String, tsSpec: Either[String, Long])
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -666,6 +738,20 @@ case class GraftRestoreTableCommand(table: String, ts: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.sources.{ScbfBloom, ScbfDataSource, ScbfDiscovery, ScbfStats}
     val conf = spark.sessionState.newHadoopConf()
+    val ts = tsSpec match {
+      case Right(millis) => millis
+      case Left(lit) =>
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        val micros = DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lit),
+          DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone))
+          .getOrElse(throw new graft.scbf.ScbfFormatException(
+            s"RESTORE TABLE $table: cannot parse timestamp literal '$lit' " +
+              "(session timezone " +
+              s"${spark.sessionState.conf.sessionLocalTimeZone}). Use " +
+              "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis."))
+        Math.floorDiv(micros, 1000L)
+    }
     // graft-catalog tables resolve through their own catalog (the table
     // IS its warehouse directory) — same resolution as DESCRIBE HISTORY
     val rootP = GraftSqlParser.resolveAnyScbfDir(spark, table)

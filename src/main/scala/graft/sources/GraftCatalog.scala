@@ -66,8 +66,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def name(): String = catalogName
 
-  private def dirOf(ident: Identifier): Path =
+  /** Identifier/namespace parts become warehouse DIRECTORY names, and
+   * dropTable/dropNamespace recursively delete at the computed path —
+   * so a quoted part containing a path separator or `..` must be
+   * rejected HERE, before it can resolve (and delete) outside the
+   * warehouse. Dot-prefixed names are reserved for sidecars/logs. */
+  private def checkParts(parts: Seq[String]): Unit = parts.foreach { p =>
+    if (p.isEmpty || p.contains('/') || p.contains('\\') ||
+        p == ".." || p.startsWith("."))
+      throw new ScbfFormatException(
+        s"invalid graft-catalog name part '$p': parts map to warehouse " +
+          "directory names, so path separators, '..' and '.'-prefixed " +
+          "names are not allowed")
+  }
+
+  private def dirOf(ident: Identifier): Path = {
+    checkParts(ident.namespace.toSeq :+ ident.name)
     (ident.namespace.toSeq :+ ident.name).foldLeft(warehouse)((d, p) => new Path(d, p))
+  }
 
   /** The table's root directory — `DESCRIBE HISTORY` resolves through
    * this to read the discovery log without loading the table. */
@@ -78,8 +94,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     dir
   }
 
-  private def nsDir(ns: Array[String]): Path =
+  private def nsDir(ns: Array[String]): Path = {
+    checkParts(ns.toSeq)
     ns.foldLeft(warehouse)((d, p) => new Path(d, p))
+  }
 
   private def metaOf(dir: Path): Path = new Path(dir, GraftCatalog.MetaFile)
 

@@ -275,14 +275,22 @@ object ScbfDiscovery {
     def liveAt(t: Long): Seq[Entry] = byName.values.toSeq
       .filter(e => e.len >= 0 && e.ts <= t &&
         removedAt.get(e.name).forall(_ > t))
-    // reconcile: every CURRENTLY listed data file must be in the
-    // log's live-at-now view, else a producer bypassed the log and
-    // the chain cannot be trusted for any timestamp
-    val nowNames = liveAt(Long.MaxValue).map(_.name).toSet
+    // reconcile: every CURRENTLY listed data file must have been
+    // ANNOUNCED to the log, else a producer bypassed it and the chain
+    // cannot be trusted for any timestamp. A listed file the log marks
+    // REMOVED is a different, recognizable state: a crashed RESTORE /
+    // metadata-only DELETE that announced its removal entry but died
+    // before the physical deletes (announce-then-remove is the
+    // documented commit order). The log is the truth — those bytes are
+    // garbage pending deletion — so the chain stays trusted, reads at
+    // any ts keep their log-derived answer, and RE-RUNNING the same
+    // RESTORE completes the half-finished removal instead of being
+    // refused with a misleading bypassed-producer error.
+    val announced = byName.keySet
     val unannounced = currentListing.map { f =>
       qroot.toUri.relativize(fs.makeQualified(f.getPath).toUri)
         .getPath.stripPrefix("/")
-    }.filterNot(nowNames)
+    }.filterNot(announced)
     if (unannounced.nonEmpty)
       refuse(s"the discovery log is incomplete — data files exist that it " +
         s"never announced (${unannounced.take(3).mkString(", ")}" +
@@ -302,6 +310,26 @@ object ScbfDiscovery {
       }
     }
   }
+
+  /** Remove every entry naming one of `names` from the log — the
+   * aborted-rewrite rollback path: a managed schema rewrite announces
+   * its successor files to the (moved) log BEFORE the final swap rename
+   * so streams never race a visibility gap, but if the swap then aborts
+   * (concurrent root re-creation) those entries describe files that are
+   * about to be deleted with the successor — left behind they would
+   * poison every later time travel with a phantom "physically removed"
+   * refusal. Rewrites the whole log in one reset (entry timestamps are
+   * preserved verbatim, so history and `logStart` are unchanged); only
+   * ever runs on the rare abort path. Best-effort like all log writes. */
+  def scrubEntries(table: Path, conf: Configuration, names: Set[String]): Unit =
+    try {
+      if (names.isEmpty) return
+      val all = listDeltas(table, conf).sorted
+        .flatMap(n => readDelta(table, conf, n))
+      val kept = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+      all.foreach(e => if (!names.contains(e.name)) kept(e.name) = e)
+      reset(table, conf, kept.values.toSeq)
+    } catch { case NonFatal(_) => () }
 
   /** Fold every current delta into one union snapshot (last entry per
    * file name wins — replayed-epoch duplicates are identical anyway),

@@ -122,11 +122,26 @@ object ScbfMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
     // idempotence: nothing to pack (empty directory), or already AT the
-    // target file count — re-running `OPTIMIZE tbl` must not pay a full
-    // rewrite and churn the discovery log for a layout it cannot
-    // improve. Growing the count (numFiles > current) stays an explicit
+    // target file count with a plausibly-packed layout — re-running
+    // `OPTIMIZE tbl` must not pay a full rewrite and churn the
+    // discovery log for a layout it cannot improve. Count equality
+    // alone is NOT enough: one huge file plus tiny ones has the target
+    // count but none of the balance a pack exists to give, so the skip
+    // additionally requires max ≤ 2× mean size (the one-huge-of-n case
+    // maxes out at n× mean, so the band must sit well below small n;
+    // a rewrite's own row-round-robin output lands within a few % of
+    // mean, so the skip-after-pack contract holds and re-runs converge
+    // instead of churning). An equal-count rebalance must REPARTITION:
+    // coalesce(n) over n per-file input partitions is the identity and
+    // would rewrite the skew verbatim.
+    // Growing the count (numFiles > current) stays an explicit
     // rewrite: the caller asked for more parallelism.
-    if (snapshot.isEmpty || numFiles == snapshot.size) return Seq.empty
+    if (snapshot.isEmpty) return Seq.empty
+    if (numFiles == snapshot.size) {
+      val lens = snapshot.map(_.getLen)
+      val balanced = lens.size == 1 || lens.max <= 2L * (lens.sum / lens.size)
+      if (balanced) return Seq.empty
+    }
     raceHook()
     val df = spark.read.format("scbf")
       .load(snapshot.map(_.getPath.toString): _*)

@@ -244,4 +244,77 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       hist.mkString("; "))
     spark.sql("DROP TABLE IF EXISTS ghist.db.ht")
   }
+
+  test("OPTIMIZE rebalances an equal-count skewed layout; balanced re-runs converge") {
+    val dir = tmpDir("scbf-sql-skew")
+    spark.sql("DROP TABLE IF EXISTS sqlopt_skew")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlopt_skew (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      // one huge file plus two tiny ones: the target count (3) is
+      // already met, but none of the balance a pack exists to give
+      spark.sql("""INSERT INTO sqlopt_skew
+        SELECT /*+ COALESCE(1) */ CAST(id AS INT), CAST(id AS DOUBLE)
+        FROM range(0, 20000)""")
+      spark.sql("INSERT INTO sqlopt_skew VALUES (20000, 1.0)")
+      spark.sql("INSERT INTO sqlopt_skew VALUES (20001, 2.0)")
+      def lens = ScbfDataSource.resolveFiles(Seq(dir), hconf).map(_.getLen)
+      assert(lens.size == 3 && lens.max > 2L * (lens.sum / 3), lens.toString)
+      // count equality must NOT suppress the rebalance
+      assert(spark.sql("OPTIMIZE sqlopt_skew FILES 3").head().getInt(0) == 3)
+      val after = lens
+      assert(after.size == 3 && after.max <= 2L * (after.sum / 3),
+        s"rebalanced layout still skewed: $after")
+      // …and the balanced result converges: the re-run is a no-op
+      assert(spark.sql("OPTIMIZE sqlopt_skew FILES 3").head().getInt(0) == 0)
+      assert(spark.sql("SELECT COUNT(*), SUM(id) FROM sqlopt_skew").head() ==
+        org.apache.spark.sql.Row(20002L, (0L until 20002L).sum))
+    } finally spark.sql("DROP TABLE IF EXISTS sqlopt_skew")
+  }
+
+  test("ALTER TABLE swap aborts when a concurrent writer re-creates the root (both phases)") {
+    for (phase <- Seq(0, 1)) {
+      val dir = tmpDir(s"scbf-swaprace$phase")
+      val tbl = s"swaprace$phase"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val fs = new Path(dir).getFileSystem(hconf)
+      fs.delete(new Path(dir), true)
+      try {
+        spark.sql(s"CREATE TABLE $tbl (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+        spark.sql(s"INSERT INTO $tbl SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(0, 100)")
+        // the racing writer: re-creates the (retired) root mid-swap and
+        // drops half-committed litter into it — phase 0 exercises the
+        // pre-rename exists check, phase 1 the nested-rename backstop
+        GraftSchemaRewrite.swapRaceHook = p => if (p == phase) {
+          fs.mkdirs(new Path(dir))
+          val out = fs.create(new Path(dir, ".racer.scbf.tmp"), true)
+          out.write(1); out.close()
+        }
+        val e =
+          try intercept[Exception] {
+            spark.sql(s"ALTER TABLE $tbl ADD COLUMN flag INT DEFAULT 0")
+          } finally GraftSchemaRewrite.swapRaceHook = _ => ()
+        assert(e.getMessage.contains("concurrent writer re-created"), e.getMessage)
+        // the table is byte-identical: same schema, same rows
+        assert(spark.table(tbl).columns.toSeq == Seq("id", "v"))
+        assert(spark.table(tbl).count() == 100L)
+        // the racer's output was set aside, never destroyed
+        val parent = new Path(dir).getParent
+        val base = new Path(dir).getName
+        val strays = fs.listStatus(parent).map(_.getPath.getName)
+          .filter(_.startsWith(s"$base.concurrent-"))
+        assert(strays.length == 1, strays.mkString(", "))
+        // the aborted successor announcement was scrubbed from the log:
+        // time travel at now must neither refuse nor see phantom files
+        Thread.sleep(5)
+        val now = System.currentTimeMillis()
+        assert(spark.read.format("scbf").option("asOfTimestamp", now)
+          .load(dir).count() == 100L)
+        // with the racer gone, the SAME statement runs to completion
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN flag INT DEFAULT 7")
+        assert(spark.table(tbl).columns.toSeq == Seq("id", "v", "flag"))
+        assert(spark.table(tbl).where("flag = 7").count() == 100L)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }

@@ -107,6 +107,36 @@ class BucketTransformSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE gtest.db.btc")
   }
 
+  test("catalog name parts that would escape the warehouse directory refuse") {
+    val wh = tmpDir("graft-escape-wh")
+    val cat = new GraftCatalog
+    cat.initialize("gesc", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT")
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // plant a victim OUTSIDE the warehouse that a traversal would reach
+    val victim = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh).getParent, "gesc-victim")
+    fs.mkdirs(victim)
+    try {
+      for (bad <- Seq("../gesc-victim", "a/b", "..", ".hidden", "")) {
+        intercept[Exception] {
+          cat.createTable(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array.empty[String], bad),
+            schema, Array.empty, java.util.Collections.emptyMap())
+        }
+        intercept[Exception] {
+          cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array(bad), "t"))
+        }
+        intercept[Exception] { cat.dropNamespace(Array(bad), cascade = true) }
+      }
+      assert(fs.exists(victim), "a traversal identifier deleted outside the warehouse")
+    } finally fs.delete(victim, true)
+  }
+
   test("guards: non-int bucket column, multiple buckets, bucket not last all refuse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.db")
     val e1 = intercept[Exception] {

@@ -94,6 +94,72 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS tt_restore")
   }
 
+  test("RESTORE's timestamp literal resolves in the SESSION timezone, like TIMESTAMP AS OF") {
+    val dir = tmpDir("scbf-restore-tz")
+    spark.sql("DROP TABLE IF EXISTS tt_tz")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a session zone far from the JVM default: if RESTORE parsed the
+      // literal with java.sql.Timestamp.valueOf (JVM zone) the instant
+      // would be hours off and the restore would delete relative to
+      // the wrong point in time
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      spark.sql(s"CREATE TABLE tt_tz (id INT) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO tt_tz SELECT CAST(id AS INT) FROM range(0, 50)")
+      Thread.sleep(1100) // second-resolution literal needs a real gap
+      val cutMs = System.currentTimeMillis()
+      Thread.sleep(1100)
+      spark.sql("INSERT INTO tt_tz SELECT CAST(id AS INT) FROM range(50, 200)")
+      // the cut instant rendered as a LOCAL datetime in the session zone
+      val lit = java.time.Instant.ofEpochMilli(cutMs)
+        .atZone(java.time.ZoneId.of("Asia/Kolkata")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val r = spark.sql(s"RESTORE TABLE tt_tz TO TIMESTAMP AS OF '$lit'").head()
+      assert(r.getInt(0) > 0, s"nothing removed for literal '$lit': $r")
+      assert(spark.table("tt_tz").count() == 50L)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.sql("DROP TABLE IF EXISTS tt_tz")
+    }
+  }
+
+  test("a crashed RESTORE (removal logged, deletes unfinished) is resumable, not bricked") {
+    val dir = tmpDir("scbf-restore-crash")
+    writeWave(dir, 0, 100)
+    val t1 = tick()
+    writeWave(dir, 100, 300)
+    val qroot = new Path(dir).getFileSystem(hconf)
+      .makeQualified(new Path(dir))
+    // simulate the crash window: RESTORE appends its removal entry to
+    // the log FIRST, then dies before any physical delete — exactly
+    // what its announce-then-remove commit order leaves behind
+    val listing = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+    val keep = ScbfDiscovery.filesAsOf(qroot, hconf, t1, listing)
+      .map(_.getPath.getName).toSet
+    val victims = listing.map(_.getPath.getName).filterNot(keep).sorted
+    assert(victims.nonEmpty)
+    ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+      "restore-crashed" + ScbfDiscovery.RemovalSuffix,
+      ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
+      rewriteOf = victims, rowsChanged = true)))
+    // the half-finished state must NOT read as "producer bypassed the
+    // connector": time travel before the cut still answers…
+    assert(asOf(dir, t1).count() == 100L)
+    // …and RE-RUNNING the restore completes the removal idempotently
+    spark.sql("DROP TABLE IF EXISTS tt_crash")
+    try {
+      spark.sql(s"CREATE TABLE tt_crash (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      val r = spark.sql(s"RESTORE TABLE tt_crash TO TIMESTAMP AS OF $t1").head()
+      assert(r.getInt(0) == victims.size, s"expected ${victims.size} removed: $r")
+      assert(spark.table("tt_crash").count() == 100L)
+      val names = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+        .map(_.getPath.getName).toSet
+      assert(names == keep, s"on-disk set after resume: $names")
+    } finally spark.sql("DROP TABLE IF EXISTS tt_crash")
+  }
+
   test("RESTORE resolves graft-catalog tables through their own catalog") {
     val wh = tmpDir("graft-restore-wh")
     spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")
