@@ -1026,6 +1026,21 @@ object RelationalQueries {
       val live = s.table("graft_q59").count()
       val total = s.table("graft_q59_src").count()
       require(live == total, s"live table must see both waves: $live != $total")
+      // round 11: the commit-ordinal axis agrees with the time axis —
+      // DESCRIBE HISTORY COMMITS shows the two waves (newest first),
+      // and VERSION AS OF 0 (the chain mapping SQL's VERSION AS OF
+      // rides) renders exactly the same state as TIMESTAMP AS OF t1
+      val commits = s.sql("DESCRIBE HISTORY graft_q59 COMMITS").collect()
+      require(commits.length == 2 && commits.map(_.getInt(0)).toSeq == Seq(1, 0),
+        s"two waves = two commits, newest first: ${commits.mkString("; ")}")
+      val v0ts = graft.sources.ScbfDiscovery.versionTs(
+        fs.makeQualified(p), s.sessionState.newHadoopConf(), 0)
+      val asOfCnt = s.read.format("scbf").option("asOfTimestamp", t1)
+        .load(base).count()
+      val v0Cnt = s.read.format("scbf").option("asOfTimestamp", v0ts)
+        .load(base).count()
+      require(v0Cnt == asOfCnt,
+        s"VERSION AS OF 0 must equal TIMESTAMP AS OF wave-1: $v0Cnt != $asOfCnt")
       s.read.format("scbf").option("asOfTimestamp", t1).load(base)
         .groupBy("source")
         .agg(org.apache.spark.sql.functions.count(

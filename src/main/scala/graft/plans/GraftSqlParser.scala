@@ -71,22 +71,31 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   // Delta-shaped history inspection — not vanilla Spark grammar, so
   // the intercept can claim the statement outright (a non-scbf table
-  // fails with the real reason at run, same as OPTIMIZE/VACUUM)
+  // fails with the real reason at run, same as OPTIMIZE/VACUUM).
+  // `COMMITS` switches to per-commit granularity (one row per delta,
+  // with the VERSION AS OF ordinal); `LIMIT n` bounds both views —
+  // pushed into the replay, newest first, so driver memory and delta
+  // reads are O(n)-ish, not O(table history).
   private val DescribeHistoryRe =
-    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)(\s+COMMITS)?(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   // Delta-shaped RESTORE: rolls the live table back to its AS OF
   // rendering by REMOVING the files published after the timestamp
   // (exact for append-only history — the same refusal contract as
   // time travel; a literal timestamp or epoch millis)
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)\s*;?\s*""".r
-  // the VERSION spelling refuses with the same guidance as SELECT's
-  // VERSION AS OF (otherwise it would surface as a bare parse error)
+  // the VERSION spelling maps through the same commit-ordinal → max-ts
+  // resolution as SELECT's VERSION AS OF (non-numeric versions refuse
+  // there with the guidance, not as a bare parse error)
   private val RestoreVersionRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+('?)(\d+)\2\s*;?\s*""".r
+  private val RestoreVersionBadRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+.*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
-    case DescribeHistoryRe(tbl) => Some(GraftDescribeHistoryCommand(tbl))
+    case DescribeHistoryRe(tbl, commits, limit) =>
+      Some(GraftDescribeHistoryCommand(tbl, commits = commits != null,
+        limit = Option(limit).map(_.toInt)))
     case RestoreRe(tbl, tsLit) =>
       // a string literal resolves at RUN time in the SESSION timezone —
       // the same instant `SELECT … TIMESTAMP AS OF '<literal>'` names
@@ -95,15 +104,17 @@ object GraftSqlParser {
       // when the two zones differ RESTORE would delete files relative
       // to a different point in time than the SELECT the user checked)
       val ts =
-        if (tsLit.startsWith("'")) Left(tsLit.substring(1, tsLit.length - 1))
-        else Right(tsLit.toLong)
+        if (tsLit.startsWith("'")) RestoreAtLiteral(tsLit.substring(1, tsLit.length - 1))
+        else RestoreAtMillis(tsLit.toLong)
       Some(GraftRestoreTableCommand(tbl, ts))
-    case RestoreVersionRe(tbl) =>
+    case RestoreVersionRe(tbl, _, v) =>
+      Some(GraftRestoreTableCommand(tbl, RestoreAtVersion(v.toInt)))
+    case RestoreVersionBadRe(tbl) =>
       throw new graft.scbf.ScbfFormatException(
-        s"RESTORE TABLE $tbl TO VERSION AS OF is not supported: discovery-log " +
-          "deltas are named by publication time and folded by compaction, so " +
-          "there is no stable version number to bind — timestamps ARE the " +
-          "version axis. Pick a ts from DESCRIBE HISTORY and use " +
+        s"RESTORE TABLE $tbl TO VERSION AS OF needs an integer version — " +
+          "the commit ordinals DESCRIBE HISTORY <tbl> COMMITS shows (current " +
+          "chain, oldest = 0; compaction folds pre-history into version 0 " +
+          "and renumbers). For a durable reference use " +
           "RESTORE TABLE ... TO TIMESTAMP AS OF <ts | 'yyyy-MM-dd HH:mm:ss'>.")
     case OptimizeRe(tbl, kind, cols, files) =>
       val colNames = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -647,25 +658,53 @@ private[plans] object GraftSchemaRewrite {
 }
 
 /**
- * `DESCRIBE HISTORY tbl` — the discovery log's version chain as a
- * relation, one row per first file announcement (compaction snapshots
- * duplicate entries verbatim; the first-per-name rule is exactly
- * [[graft.sources.ScbfDiscovery.filesAsOf]]'s). The companion to time
- * travel: pick any `ts` here and read `TIMESTAMP AS OF` it / the
- * `asOfTimestamp` option. Resolves session-catalog SCBF tables and
+ * `DESCRIBE HISTORY tbl [COMMITS] [LIMIT n]` — the discovery log's
+ * version chain as a relation. The companion to time travel: pick any
+ * `ts` here and read `TIMESTAMP AS OF` it / the `asOfTimestamp`
+ * option; pick a `version` from the COMMITS view and read
+ * `VERSION AS OF` it. Resolves session-catalog SCBF tables and
  * graft-catalog tables (`cat.ns.name` — through the table's own
  * catalog, like Spark resolves the relation itself).
+ *
+ * Two granularities:
+ *  - per-FILE (default): one row per first file announcement
+ *    (compaction snapshots duplicate entries verbatim; the
+ *    first-per-name rule is exactly
+ *    [[graft.sources.ScbfDiscovery.filesAsOf]]'s), newest first.
+ *  - per-COMMIT (`COMMITS`): one row per current delta, newest first,
+ *    with the `VERSION AS OF` ordinal — `fold` rows are compaction
+ *    snapshots (the union of every commit folded so far), so their
+ *    counts describe pre-history in aggregate, not one commit.
+ *
+ * `LIMIT n` is pushed INTO the replay, not applied after it: deltas
+ * are visited newest-first, per-file selection keeps a bounded n-entry
+ * heap (duplicates excluded by an in-heap name set, so memory is O(n)
+ * even across a fold snapshot's verbatim re-announcements), and the
+ * walk STOPS at the first delta whose creation-millis prefix is older
+ * than the heap's n-th newest entry — at 10⁶ log entries with a recent
+ * tail, `DESCRIBE HISTORY t LIMIT 10` reads a handful of small deltas
+ * and materializes ten driver Rows, not a million (HistoryScale).
  */
-case class GraftDescribeHistoryCommand(table: String)
+case class GraftDescribeHistoryCommand(table: String,
+    commits: Boolean = false, limit: Option[Int] = None)
   extends LeafRunnableCommand {
 
-  override def output: Seq[Attribute] = Seq(
-    AttributeReference("ts", TimestampType, nullable = false)(),
-    AttributeReference("action", StringType, nullable = false)(),
-    AttributeReference("file", StringType, nullable = false)(),
-    AttributeReference("len", LongType, nullable = false)(),
-    AttributeReference("rows_changed", BooleanType, nullable = false)(),
-    AttributeReference("rewrite_of", StringType, nullable = true)())
+  override def output: Seq[Attribute] =
+    if (commits) Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("ts", TimestampType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("files", IntegerType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("rows_changed", BooleanType, nullable = false)(),
+      AttributeReference("commit", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("ts", TimestampType, nullable = false)(),
+      AttributeReference("action", StringType, nullable = false)(),
+      AttributeReference("file", StringType, nullable = false)(),
+      AttributeReference("len", LongType, nullable = false)(),
+      AttributeReference("rows_changed", BooleanType, nullable = false)(),
+      AttributeReference("rewrite_of", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.sources.ScbfDiscovery
@@ -678,11 +717,90 @@ case class GraftDescribeHistoryCommand(table: String)
         s"DESCRIBE HISTORY $table: the table has no discovery log — " +
           "history is recorded by connector writes; a foreign/reference-" +
           "tool directory has none.")
-    val all = ScbfDiscovery.listDeltas(qroot, conf).sorted
-      .flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
-    val entries = all.groupBy(_.name).values.map(_.minBy(_.ts)).toSeq
-      .sortBy(e => (-e.ts, e.name))
-    entries.map { e =>
+    limit.foreach(n => require(n > 0, s"DESCRIBE HISTORY LIMIT must be positive, got $n"))
+    if (commits) runCommits(qroot, conf) else runFiles(qroot, conf)
+  }
+
+  private def runCommits(qroot: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
+    import graft.sources.ScbfDiscovery
+    val chain = ScbfDiscovery.commitChain(qroot, conf)
+    // newest first; LIMIT bounds the DELTA READS themselves (one
+    // summary row needs one delta parse, nothing table-history-sized)
+    val wanted = chain.zipWithIndex.reverse.take(limit.getOrElse(chain.size))
+    wanted.map { case (name, version) =>
+      // streamed fold over the delta: counts/max, never an entry Seq —
+      // a fold snapshot's summary row costs O(1) retained memory
+      var files = 0; var bytes = 0L; var maxTs = Long.MinValue
+      var rowsChanged = false
+      ScbfDiscovery.readDeltaStream(qroot, conf, name) { e =>
+        files += 1; bytes += Math.max(e.len, 0L)
+        if (e.ts > maxTs) maxTs = e.ts
+        rowsChanged ||= e.rowsChanged
+      }
+      val ts = if (maxTs == Long.MinValue)
+        ScbfDiscovery.deltaMillis(name).getOrElse(0L)
+      else maxTs
+      Row(version, new java.sql.Timestamp(ts),
+        if (ScbfDiscovery.isFold(name)) "fold" else "commit",
+        files, bytes, rowsChanged, name)
+    }
+  }
+
+  private def runFiles(qroot: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
+    import graft.sources.ScbfDiscovery
+    val names = ScbfDiscovery.commitChain(qroot, conf).reverse // newest first
+    val selected: Seq[ScbfDiscovery.Entry] = limit match {
+      case None =>
+        // unbounded view: the full first-per-name replay
+        val all = names.flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
+        all.groupBy(_.name).values.map(_.minBy(_.ts)).toSeq
+      case Some(n) =>
+        // bounded: keep the n FIRST entries under the OUTPUT order
+        // (newest ts first, name ascending among ties) in a max-heap
+        // whose head is the worst kept entry, with an in-heap name set
+        // (duplicates are verbatim copies — compaction preserves
+        // entries — so a copy can never displace anything; memory
+        // stays O(n) even while scanning a fold snapshot). Early stop:
+        // entries are stamped at or before their delta's creation
+        // millis, so once the heap is full and the next delta's prefix
+        // is strictly older than the worst kept timestamp, nothing
+        // further can rank earlier.
+        val ord: Ordering[(Long, String)] =
+          Ordering.Tuple2(Ordering.Long.reverse, Ordering.String)
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Long, String)](ord) // head = greatest = worst kept
+        val inHeap = scala.collection.mutable.HashMap.empty[String, ScbfDiscovery.Entry]
+        val it = names.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val d = it.next()
+          if (heap.size >= n &&
+              ScbfDiscovery.deltaMillis(d).exists(_ < heap.head._1)) stop = true
+          else ScbfDiscovery.readDeltaStream(qroot, conf, d) { e =>
+            val key = (e.ts, e.name)
+            if (!inHeap.contains(e.name)) {
+              if (heap.size < n) { heap.enqueue(key); inHeap(e.name) = e }
+              else if (ord.compare(key, heap.head) < 0) {
+                inHeap.remove(heap.dequeue()._2)
+                heap.enqueue(key); inHeap(e.name) = e
+              }
+            } else if (e.ts < inHeap(e.name).ts) {
+              // a later-visited delta holding the FIRST announcement
+              // (older ts) of a name already selected: keep the
+              // first-per-name rule by replacing the entry value (the
+              // heap key must follow so ordering stays consistent)
+              val rebuilt = heap.toSeq.filterNot(_ == (inHeap(e.name).ts, e.name))
+              heap.clear(); rebuilt.foreach(heap.enqueue(_))
+              heap.enqueue(key)
+              inHeap(e.name) = e
+            }
+          }
+        }
+        inHeap.values.toSeq
+    }
+    selected.sortBy(e => (-e.ts, e.name)).map { e =>
       val action =
         if (e.name.endsWith(ScbfDiscovery.RemovalSuffix)) "remove"
         else if (e.rewriteOf.nonEmpty) "rewrite"
@@ -723,12 +841,19 @@ case class GraftDescribeHistoryCommand(table: String)
  * deletion), so re-running the SAME RESTORE completes it: the victims
  * are still outside the as-of keep set and get deleted idempotently.
  *
- * `tsSpec`: Right(epoch millis), or Left(a timestamp literal) resolved
- * at run time in the SESSION timezone — the same resolution
+ * The restore point is one of: epoch millis; a timestamp literal
+ * resolved at run time in the SESSION timezone (the same resolution
  * `TIMESTAMP AS OF` gets from Catalyst, so the two spellings of one
- * literal always name one instant.
+ * literal always name one instant); or a commit-ordinal VERSION,
+ * resolved through the same chain mapping as `SELECT … VERSION AS OF`
+ * ([[graft.sources.ScbfDiscovery.versionTs]]).
  */
-case class GraftRestoreTableCommand(table: String, tsSpec: Either[String, Long])
+sealed trait RestorePoint
+case class RestoreAtLiteral(lit: String) extends RestorePoint
+case class RestoreAtMillis(ms: Long) extends RestorePoint
+case class RestoreAtVersion(version: Int) extends RestorePoint
+
+case class GraftRestoreTableCommand(table: String, point: RestorePoint)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -738,9 +863,12 @@ case class GraftRestoreTableCommand(table: String, tsSpec: Either[String, Long])
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.sources.{ScbfBloom, ScbfDataSource, ScbfDiscovery, ScbfStats}
     val conf = spark.sessionState.newHadoopConf()
-    val ts = tsSpec match {
-      case Right(millis) => millis
-      case Left(lit) =>
+    // graft-catalog tables resolve through their own catalog (the table
+    // IS its warehouse directory) — same resolution as DESCRIBE HISTORY
+    val rootP0 = GraftSqlParser.resolveAnyScbfDir(spark, table)
+    val ts = point match {
+      case RestoreAtMillis(millis) => millis
+      case RestoreAtLiteral(lit) =>
         import org.apache.spark.sql.catalyst.util.DateTimeUtils
         val micros = DateTimeUtils.stringToTimestamp(
           org.apache.spark.unsafe.types.UTF8String.fromString(lit),
@@ -751,10 +879,11 @@ case class GraftRestoreTableCommand(table: String, tsSpec: Either[String, Long])
               s"${spark.sessionState.conf.sessionLocalTimeZone}). Use " +
               "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis."))
         Math.floorDiv(micros, 1000L)
+      case RestoreAtVersion(v) =>
+        val fs0 = rootP0.getFileSystem(conf)
+        ScbfDiscovery.versionTs(fs0.makeQualified(rootP0), conf, v)
     }
-    // graft-catalog tables resolve through their own catalog (the table
-    // IS its warehouse directory) — same resolution as DESCRIBE HISTORY
-    val rootP = GraftSqlParser.resolveAnyScbfDir(spark, table)
+    val rootP = rootP0
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
     def rel(p: org.apache.hadoop.fs.Path): String =

@@ -146,18 +146,33 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         "asOfTimestamp" -> millis.toString).asJava))
   }
 
-  /** `VERSION AS OF` has nothing stable to bind to: the discovery
-   * log's delta names are `millis+uuid` (unique, never reused) and
-   * compaction folds them — there is no monotone version number a
-   * user could have written down. Refuse with the working spelling
-   * instead of inventing unstable version identifiers. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    throw new ScbfFormatException(
-      s"VERSION AS OF '$version' on ${name()}.$ident: SCBF history is " +
-        "time-stamped, not version-numbered (discovery-log deltas are " +
-        "named by publication time and folded by compaction). Use " +
+  /** `VERSION AS OF n` — n indexes the CURRENT commit chain (the
+   * discovery log's name-sorted deltas, oldest = 0; the mapping
+   * `DESCRIBE HISTORY tbl COMMITS` shows), resolved to the state after
+   * that commit via its max entry timestamp and served by the same
+   * TIMESTAMP AS OF machinery — so `VERSION AS OF n` ≡
+   * `TIMESTAMP AS OF (that commit's ts)`, refusals included.
+   * Honesty limits, each loud or documented: ordinals are indices into
+   * the current chain, so compaction RENUMBERS them (it folds
+   * pre-history into one `fold` snapshot = version 0, the state after
+   * the last folded commit — per-commit boundaries inside the fold are
+   * gone, and out-of-range versions refuse naming the valid range);
+   * timestamps remain the durable axis for anything written down.
+   * Non-numeric versions refuse with that guidance. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val n = version.trim.toIntOption.getOrElse(throw new ScbfFormatException(
+      s"VERSION AS OF '$version' on ${name()}.$ident: versions are the " +
+        "integer ordinals DESCRIBE HISTORY <tbl> COMMITS shows (current " +
+        "commit chain, oldest = 0). For a durable reference use " +
         "TIMESTAMP AS OF <timestamp> — exact for any point whose files " +
-        "still exist (see README 'Time travel').")
+        "still exist (see README 'Time travel')."))
+    val dir = dirOf(ident)
+    if (!dir.getFileSystem(conf).exists(metaOf(dir)))
+      throw new NoSuchTableException(ident)
+    val ts = ScbfDiscovery.versionTs(
+      dir.getFileSystem(conf).makeQualified(dir), conf, n)
+    loadTable(ident, ts * 1000L) // the millis-stamped chain in micros
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {

@@ -150,26 +150,52 @@ object ScbfDiscovery {
       parse(new String(buf, UTF_8))
     } catch { case NonFatal(_) => Seq.empty }
 
+  /** Streaming [[readDelta]]: `f` per entry, ONE line resident at a
+   * time — so a consumer that keeps a bounded selection (DESCRIBE
+   * HISTORY LIMIT's n-entry heap, a commit-summary fold over counts)
+   * never materializes a fold snapshot's 10⁶ entries as a Seq. Same
+   * per-line resilience and same swallow-to-nothing failure mode as
+   * the buffered read. */
+  def readDeltaStream(table: Path, conf: Configuration, name: String)
+      (f: Entry => Unit): Unit =
+    try {
+      val p = new Path(dir(table), name)
+      val fs = p.getFileSystem(conf)
+      deltaReads.incrementAndGet()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), UTF_8))
+      try {
+        if (in.readLine() == Header) {
+          var l = in.readLine()
+          while (l != null) {
+            if (l.nonEmpty) parseLine(l).foreach(f)
+            l = in.readLine()
+          }
+        }
+      } finally in.close()
+    } catch { case NonFatal(_) => () }
+
   private def parse(text: String): Seq[Entry] = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     if (!lines.headOption.contains(Header)) Seq.empty
-    else lines.tail.flatMap { l =>
-      // ≥3 fields, unrecognized trailing tags ignored — the format
-      // evolution rule (see Header): dropping a line over an unknown
-      // tag would hide newly published files from a mixed-version
-      // incremental consumer until its next reconcile
-      l.split('\t') match {
-        case a if a.length >= 3 =>
-          for (ln <- a(1).toLongOption; t <- a(2).toLongOption) yield {
-            val tags = a.iterator.drop(3).toSeq
-            val rewriteOf = tags.find(_.startsWith("R:"))
-              .map(_.drop(2).split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-            Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"))
-          }
-        case _ => None
-      }
-    }
+    else lines.tail.flatMap(parseLine)
   }
+
+  private def parseLine(l: String): Option[Entry] =
+    // ≥3 fields, unrecognized trailing tags ignored — the format
+    // evolution rule (see Header): dropping a line over an unknown
+    // tag would hide newly published files from a mixed-version
+    // incremental consumer until its next reconcile
+    l.split('\t') match {
+      case a if a.length >= 3 =>
+        for (ln <- a(1).toLongOption; t <- a(2).toLongOption) yield {
+          val tags = a.iterator.drop(3).toSeq
+          val rewriteOf = tags.find(_.startsWith("R:"))
+            .map(_.drop(2).split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"))
+        }
+      case _ => None
+    }
 
   /** Append one delta announcing `entries`, then fold the log if it has
    * grown past [[CompactThreshold]]. Failures are swallowed (log
@@ -201,12 +227,67 @@ object ScbfDiscovery {
       }
     } catch { case NonFatal(_) => () }
 
-  private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry]): Unit = {
+  /** `true` for a compaction-snapshot delta — the `-fold-` name marker
+   * lets the commit view ([[commitChain]] consumers) distinguish "one
+   * commit" from "the union of every commit folded so far" without a
+   * format change: names were always opaque beyond their sort order,
+   * so old logs (unmarked folds) and old readers both keep working. */
+  def isFold(name: String): Boolean = name.contains("-fold-")
+
+  /** A delta name's creation-millis prefix (used for newest-first
+   * early-stop bounds: every entry in a delta was stamped at or before
+   * the delta's own publication). None on an alien name. */
+  def deltaMillis(name: String): Option[Long] =
+    name.split('-').lift(1).flatMap(_.toLongOption)
+
+  /** The current commit chain, oldest-first — the total order
+   * `VERSION AS OF n` indexes (version n = the state after the chain's
+   * n-th delta). Ordinals are indices into THIS list: compaction folds
+   * pre-history into one `-fold-` snapshot (version 0 afterwards, the
+   * state after the last folded commit), which renumbers older
+   * ordinals — timestamps remain the durable axis, and DESCRIBE
+   * HISTORY COMMITS shows the current mapping. */
+  def commitChain(table: Path, conf: Configuration): Seq[String] =
+    listDeltas(table, conf).sorted
+
+  /** The instant "the state after commit `version`" names: the max
+   * entry timestamp in that delta — feed it to the TIMESTAMP AS OF
+   * machinery ([[filesAsOf]]) and the rendering is exactly the chain
+   * prefix 0..version (entry stamps are monotone along the chain up to
+   * millisecond granularity; two commits inside one millisecond are
+   * indistinguishable to the time axis, the documented limit). Loud
+   * refusals for an out-of-range version and an unreadable delta. */
+  def versionTs(table: Path, conf: Configuration, version: Int): Long = {
+    val chain = commitChain(table, conf)
+    if (chain.isEmpty)
+      throw new graft.scbf.ScbfFormatException(
+        s"VERSION AS OF $version on $table: the table has no discovery log — " +
+          "no recorded history.")
+    if (version < 0 || version >= chain.size)
+      throw new graft.scbf.ScbfFormatException(
+        s"VERSION AS OF $version on $table: the current commit chain has " +
+          s"${chain.size} commits (valid versions 0..${chain.size - 1} — " +
+          "see DESCRIBE HISTORY <tbl> COMMITS; compaction folds pre-history " +
+          "into version 0). For points older than the chain records, use " +
+          "TIMESTAMP AS OF <ts>.")
+    var maxTs = Long.MinValue
+    readDeltaStream(table, conf, chain(version))(e =>
+      if (e.ts > maxTs) maxTs = e.ts)
+    if (maxTs == Long.MinValue)
+      throw new graft.scbf.ScbfFormatException(
+        s"VERSION AS OF $version on $table: commit ${chain(version)} is " +
+          "unreadable or empty — use TIMESTAMP AS OF <ts> from " +
+          "DESCRIBE HISTORY instead.")
+    maxTs
+  }
+
+  private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry],
+      fold: Boolean = false): Unit = {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
     val name = f"delta-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+      if (fold) "fold-" else ""}${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(d, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(
@@ -341,7 +422,7 @@ object ScbfDiscovery {
     // ts-prefixed names sort oldest-first, so later announcements win
     names.sorted.foreach(n =>
       readDelta(table, conf, n).foreach(e => union(e.name) = e))
-    if (union.nonEmpty) writeDelta(table, conf, union.values.toSeq)
+    if (union.nonEmpty) writeDelta(table, conf, union.values.toSeq, fold = true)
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     names.foreach(n => fs.delete(new Path(d, n), false))

@@ -245,6 +245,48 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ghist.db.ht")
   }
 
+  test("DESCRIBE HISTORY LIMIT + COMMITS: bounded views over the chain; RESTORE by version") {
+    val dir = tmpDir("scbf-sql-histlim")
+    spark.sql("DROP TABLE IF EXISTS sqlhist_lim")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlhist_lim (id INT) USING scbf LOCATION '$dir'")
+      // three commits, strictly separated on the millisecond axis
+      for (w <- 0 until 3) {
+        spark.sql(s"INSERT INTO sqlhist_lim SELECT CAST(id AS INT) " +
+          s"FROM range(${w * 100}, ${w * 100 + 100})")
+        Thread.sleep(5)
+      }
+      val full = spark.sql("DESCRIBE HISTORY sqlhist_lim").collect().toSeq
+      assert(full.size >= 3)
+      // LIMIT n = the n newest rows of the full per-file view, exactly
+      val lim = spark.sql("DESCRIBE HISTORY sqlhist_lim LIMIT 2").collect().toSeq
+      assert(lim == full.take(2), s"LIMIT view diverged:\n$lim\nvs\n${full.take(2)}")
+      // the bounded replay reads FEWER deltas than the full one (early
+      // stop at the first delta older than the heap's n-th newest)
+      graft.sources.ScbfDiscovery.deltaReads.set(0)
+      spark.sql("DESCRIBE HISTORY sqlhist_lim LIMIT 1").collect()
+      val boundedReads = graft.sources.ScbfDiscovery.deltaReads.get
+      assert(boundedReads < 3, s"LIMIT 1 read $boundedReads deltas of a 3-commit chain")
+      // COMMITS: one row per delta, newest first, versions oldest = 0
+      val com = spark.sql("DESCRIBE HISTORY sqlhist_lim COMMITS").collect().toSeq
+      assert(com.size == 3, com.mkString("; "))
+      assert(com.map(_.getInt(0)) == Seq(2, 1, 0), com.mkString("; "))
+      assert(com.forall(_.getString(2) == "commit"), com.mkString("; "))
+      assert(com.forall(r => r.getInt(3) > 0 && r.getLong(4) > 0), com.mkString("; "))
+      // newest-first on the time axis too
+      val ts = com.map(_.getTimestamp(1).getTime)
+      assert(ts == ts.sorted.reverse, ts.toString)
+      assert(spark.sql("DESCRIBE HISTORY sqlhist_lim COMMITS LIMIT 1")
+        .collect().toSeq == com.take(1))
+      // VERSION AS OF n ≡ TIMESTAMP AS OF that commit's ts — and
+      // RESTORE accepts the same ordinals
+      assert(spark.sql(s"RESTORE TABLE sqlhist_lim TO VERSION AS OF 1")
+        .head().getInt(0) > 0)
+      assert(spark.table("sqlhist_lim").count() == 200L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlhist_lim")
+  }
+
   test("OPTIMIZE rebalances an equal-count skewed layout; balanced re-runs converge") {
     val dir = tmpDir("scbf-sql-skew")
     spark.sql("DROP TABLE IF EXISTS sqlopt_skew")

@@ -208,10 +208,15 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
       val e1 = intercept[Exception] {
         spark.sql(s"RESTORE TABLE tt_rg TO TIMESTAMP AS OF $t2") }
       assert(e1.getMessage.contains("physically removed"), e1.getMessage)
-      // VERSION spelling refuses with guidance, not a bare parse error
+      // VERSION spelling: out-of-range ordinals refuse naming the valid
+      // range; non-numeric refuses with guidance, not a bare parse error
       val e2 = intercept[Exception] {
-        spark.sql("RESTORE TABLE tt_rg TO VERSION AS OF 3") }
-      assert(e2.getMessage.contains("TIMESTAMP AS OF"), e2.getMessage)
+        spark.sql("RESTORE TABLE tt_rg TO VERSION AS OF 999") }
+      assert(e2.getMessage.contains("valid versions 0..") &&
+        e2.getMessage.contains("TIMESTAMP AS OF"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("RESTORE TABLE tt_rg TO VERSION AS OF latest") }
+      assert(e3.getMessage.contains("integer version"), e3.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS tt_rg")
   }
 
@@ -347,11 +352,23 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
         .collect()
     }
     assert(ePre.getMessage.contains("history starts at"), ePre.getMessage)
-    // VERSION AS OF has no stable identifier to bind — guided refusal
+    // VERSION AS OF n indexes the commit chain (oldest = 0) and is
+    // exactly TIMESTAMP AS OF that commit's max entry timestamp
+    assert(spark.sql("SELECT COUNT(*) FROM gasof.db.tt VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+    assert(spark.sql("SELECT COUNT(*) FROM gasof.db.tt VERSION AS OF 1")
+      .head().getLong(0) == 300L)
+    // out-of-range ordinals refuse naming the valid range + durable axis
     val eVer = intercept[Exception] {
       spark.sql("SELECT * FROM gasof.db.tt VERSION AS OF '3'").collect()
     }
-    assert(eVer.getMessage.contains("TIMESTAMP AS OF"), eVer.getMessage)
+    assert(eVer.getMessage.contains("valid versions 0..1") &&
+      eVer.getMessage.contains("TIMESTAMP AS OF"), eVer.getMessage)
+    // non-numeric versions refuse with the ordinal guidance
+    val eBad = intercept[Exception] {
+      spark.sql("SELECT * FROM gasof.db.tt VERSION AS OF 'latest'").collect()
+    }
+    assert(eBad.getMessage.contains("integer ordinals"), eBad.getMessage)
     // a travelled rendering is read-only: every mutation surface refuses
     val cat = spark.sessionState.catalogManager.catalog("gasof")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
@@ -364,6 +381,39 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(eMut.getMessage.contains("read-only"), eMut.getMessage)
     spark.sql("DROP TABLE IF EXISTS gasof.db.tt")
+  }
+
+  test("compaction folds the chain: version 0 becomes the fold, ordinals renumber loudly") {
+    val dir = tmpDir("scbf-asof-fold")
+    writeWave(dir, 0, 30)
+    val tA = tick()
+    writeWave(dir, 30, 80)
+    val qroot = new Path(dir).getFileSystem(hconf).makeQualified(new Path(dir))
+    assert(ScbfDiscovery.commitChain(qroot, hconf).size == 2)
+    // version n = state after commit n, via the commit's max entry ts
+    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 0)).count() == 30L)
+    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 1)).count() == 80L)
+    // drive the appender over CompactThreshold with harmless removal
+    // sentinels (len < 0: never planned, never listed) — the fold must
+    // collapse the chain to ONE marked snapshot
+    // 2 wave deltas + 63 noops = 65 > threshold on the last append,
+    // whose own post-append check folds everything to one snapshot
+    (0 until ScbfDiscovery.CompactThreshold - 1).foreach { i =>
+      ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+        s"noop-$i${ScbfDiscovery.RemovalSuffix}", ScbfDiscovery.RemovedLen,
+        System.currentTimeMillis())))
+    }
+    val chain = ScbfDiscovery.commitChain(qroot, hconf)
+    assert(chain.size == 1 && ScbfDiscovery.isFold(chain.head), chain.toString)
+    // the fold is version 0: the state after the LAST folded commit —
+    // per-commit boundaries inside it are gone (tA is still reachable
+    // by timestamp, the durable axis)
+    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 0)).count() == 80L)
+    assert(asOf(dir, tA).count() == 30L)
+    val oor = intercept[graft.scbf.ScbfFormatException] {
+      ScbfDiscovery.versionTs(qroot, hconf, 1)
+    }
+    assert(oor.getMessage.contains("valid versions 0..0"), oor.getMessage)
   }
 
   test("partitioned tables time-travel too, with partition pruning intact") {
