@@ -338,21 +338,29 @@ object ScbfDiscovery {
         "log's version chain. Tables written by this connector keep one " +
         "automatically; foreign/reference-tool directories have no " +
         "recorded history.")
-    val all = listDeltas(qroot, conf).sorted
-      .flatMap(n => readDelta(qroot, conf, n))
-    if (all.isEmpty) refuse("the discovery log is empty — no recorded history.")
-    // first-announcement per name (compaction snapshots duplicate
-    // entries verbatim; names are never reused)
-    val byName = all.groupBy(_.name).view.mapValues(_.minBy(_.ts)).toMap
-    val logStart = byName.values.map(_.ts).min
+    // one streamed pass over the chain builds the liveness relation —
+    // first announcement per name (compaction snapshots duplicate
+    // entries verbatim; names are never reused) and earliest removal
+    // per name — without ever materializing the 10⁶-entry history as
+    // a Seq or paying double groupBys over it (HistoryScale)
+    val byName = scala.collection.mutable.HashMap.empty[String, Entry]
+    val removedAt = scala.collection.mutable.HashMap.empty[String, Long]
+    listDeltas(qroot, conf).sorted.foreach { n =>
+      readDeltaStream(qroot, conf, n) { e =>
+        val cur = byName.get(e.name)
+        if (cur.isEmpty || cur.get.ts > e.ts) byName(e.name) = e
+        e.rewriteOf.foreach { victim =>
+          val r = removedAt.get(victim)
+          if (r.isEmpty || r.get > e.ts) removedAt(victim) = e.ts
+        }
+      }
+    }
+    if (byName.isEmpty) refuse("the discovery log is empty — no recorded history.")
+    val logStart = byName.valuesIterator.map(_.ts).min
     if (ts < logStart)
       refuse(s"history starts at $logStart (the log's first entry — a full " +
         "INSERT OVERWRITE resets the chain, and nothing before the first " +
         "connector write was ever recorded).")
-    // earliest time each file was declared replaced/removed
-    val removedAt: Map[String, Long] = all
-      .flatMap(e => e.rewriteOf.map(_ -> e.ts))
-      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     def liveAt(t: Long): Seq[Entry] = byName.values.toSeq
       .filter(e => e.len >= 0 && e.ts <= t &&
         removedAt.get(e.name).forall(_ > t))
@@ -377,17 +385,30 @@ object ScbfDiscovery {
         s"never announced (${unannounced.take(3).mkString(", ")}" +
         s"${if (unannounced.size > 3) ", …" else ""}). A producer bypassed " +
         "the connector; the version chain cannot be trusted.")
-    liveAt(ts).sortBy(_.name).map { e =>
-      val p = new Path(qroot, e.name)
-      try fs.getFileStatus(p)
+    // per-file stat on the shared IO pool: an as-of rendering can be
+    // 10⁵+ files, and on an object store serial HEAD latencies would
+    // dominate the whole replay (HistoryScale) — overlap them, keep
+    // name order, and surface the removed-file refusal unwrapped
+    val futures = liveAt(ts).sortBy(_.name).map { e =>
+      e -> ScbfStats.ioPool.submit(
+        new java.util.concurrent.Callable[org.apache.hadoop.fs.FileStatus] {
+          override def call(): org.apache.hadoop.fs.FileStatus =
+            fs.getFileStatus(new Path(qroot, e.name))
+        })
+    }
+    futures.map { case (e, f) =>
+      try f.get()
       catch {
-        case _: java.io.FileNotFoundException =>
+        case ee: java.util.concurrent.ExecutionException
+            if ee.getCause.isInstanceOf[java.io.FileNotFoundException] =>
           refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
             "timestamp but has been physically removed by a later " +
             "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
             "bytes (the frozen reference format has no retention layer). " +
             "Pick a timestamp at or after the rewrite, or keep explicit " +
             "CTAS snapshots for long-horizon audits (README 'Time travel').")
+        case ee: java.util.concurrent.ExecutionException =>
+          throw ee.getCause
       }
     }
   }

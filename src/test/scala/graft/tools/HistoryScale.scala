@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources._
+
+/**
+ * The version-chain metadata surface at 10⁶ LOG ENTRIES — the scale
+ * the round-10 verdict flagged: `DESCRIBE HISTORY` used to driver-
+ * materialize one Row per file ever announced with no LIMIT. This
+ * probe builds a retention-heavy history (n live files plus ~10⁶
+ * announced-then-removed phantom entries, the shape an ingest+RESTORE/
+ * takedown-churned 100 TB table's log actually has — compaction folds
+ * ride along exactly as production appends trigger them) and measures:
+ *
+ *  - full `DESCRIBE HISTORY` (the unbounded per-file view — the
+ *    baseline that motivates LIMIT),
+ *  - `DESCRIBE HISTORY LIMIT 10` (bounded heap + newest-first early
+ *    stop: wall and delta reads must be tail-sized, not chain-sized),
+ *  - `DESCRIBE HISTORY COMMITS [LIMIT 5]` (per-commit summaries,
+ *    streamed folds),
+ *  - `versionTs` resolution (VERSION AS OF's mapping),
+ *  - time-travel READ planning (`filesAsOf` replay + pooled stats) and
+ *    the travelled count itself.
+ *
+ * Usage: Test/runMain graft.tools.HistoryScale [liveFiles] [phantomEntries]
+ */
+object HistoryScale {
+  def main(args: Array[String]): Unit = {
+    val nLive = if (args.length > 0) args(0).toInt else 2000
+    val nPhantom = if (args.length > 1) args(1).toInt else 1000000
+    val dir = s"/tmp/graft_history_scale_$nLive"
+    val d = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    val conf = new Configuration()
+
+    println(s"[hist1m] generating $nLive live files at $dir")
+    PlanningScale.generate(dir, nLive, 10)
+    val root = new Path(dir)
+    val qroot = root.getFileSystem(conf).makeQualified(root)
+
+    // ~nPhantom announced-then-removed entries in 1000-entry commits,
+    // each commit announcing a batch and removing the previous one —
+    // the ingest-wave + takedown churn that grows a real table's log.
+    // Appends go through the production ScbfDiscovery.append, so
+    // compaction folds fire exactly as they would in production.
+    val batch = 1000
+    val waves = nPhantom / batch
+    println(s"[hist1m] appending $waves phantom waves x $batch entries (+removals)")
+    val t0 = System.nanoTime()
+    var prev = Seq.empty[String]
+    for (w <- 0 until waves) {
+      // wall-clock stamps, like every production commit: the LIMIT
+      // path's early stop compares entry stamps against delta-name
+      // millis, so realistic stamps are part of what's being measured
+      val ts = System.currentTimeMillis()
+      val names = (0 until batch).map(i => f"phantom-$w%05d-$i%04d.scbf")
+      val entries = names.map(ScbfDiscovery.Entry(_, 100L, ts)) ++
+        (if (prev.isEmpty) Nil
+         else Seq(ScbfDiscovery.Entry(
+           f"takedown-$w%05d${ScbfDiscovery.RemovalSuffix}",
+           ScbfDiscovery.RemovedLen, ts, rewriteOf = prev, rowsChanged = true)))
+      ScbfDiscovery.append(qroot, conf, entries)
+      prev = names
+    }
+    // the final wave's phantoms die too, then the REAL files publish
+    ScbfDiscovery.append(qroot, conf, Seq(ScbfDiscovery.Entry(
+      s"takedown-final${ScbfDiscovery.RemovalSuffix}", ScbfDiscovery.RemovedLen,
+      System.currentTimeMillis(), rewriteOf = prev, rowsChanged = true)))
+    Thread.sleep(5)
+    val tsLive = System.currentTimeMillis()
+    val liveNames = (0 until nLive).map(i =>
+      f"part-$i%06d${graft.scbf.Scbf.FileExtension}")
+    ScbfDiscovery.append(qroot, conf, liveNames.map(nm =>
+      ScbfDiscovery.Entry(nm, new java.io.File(d, nm).length(), tsLive)))
+    println(f"[hist1m] log built in ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+      s"${ScbfDiscovery.commitChain(qroot, conf).size} deltas after folding")
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("DROP TABLE IF EXISTS history_scale_t")
+    spark.sql("CREATE TABLE history_scale_t (id INT, v DOUBLE) USING scbf " +
+      s"LOCATION '$dir'")
+
+    def timed[T](label: String)(f: => T): T = {
+      val s = System.nanoTime()
+      val r = f
+      println(f"[hist1m] $label: ${(System.nanoTime() - s) / 1e6}%.1f ms")
+      r
+    }
+
+    // 1. the unbounded baseline: one Row per entry ever announced
+    val full = timed("DESCRIBE HISTORY (full)") {
+      spark.sql("DESCRIBE HISTORY history_scale_t").collect()
+    }
+    println(s"[hist1m]   full rows=${full.length}")
+    require(full.length >= nPhantom, s"expected >= $nPhantom rows, got ${full.length}")
+
+    // 2. LIMIT 10: bounded heap + early stop — delta reads must be
+    // tail-sized (the newest deltas), never the whole chain
+    ScbfDiscovery.deltaReads.set(0)
+    val lim = timed("DESCRIBE HISTORY LIMIT 10") {
+      spark.sql("DESCRIBE HISTORY history_scale_t LIMIT 10").collect()
+    }
+    val limReads = ScbfDiscovery.deltaReads.get
+    println(s"[hist1m]   LIMIT rows=${lim.length} deltaReads=$limReads")
+    require(lim.length == 10 && lim.toSeq == full.toSeq.take(10),
+      "LIMIT 10 must be the 10 newest rows of the full view")
+    require(limReads <= 3,
+      s"LIMIT 10 must early-stop after the newest tail deltas, read $limReads")
+
+    // 3. per-commit summaries (streamed folds, O(1) retained per row)
+    val com = timed("DESCRIBE HISTORY COMMITS") {
+      spark.sql("DESCRIBE HISTORY history_scale_t COMMITS").collect()
+    }
+    println(s"[hist1m]   commits=${com.length} " +
+      s"folds=${com.count(_.getString(2) == "fold")}")
+    ScbfDiscovery.deltaReads.set(0)
+    val com5 = timed("DESCRIBE HISTORY COMMITS LIMIT 5") {
+      spark.sql("DESCRIBE HISTORY history_scale_t COMMITS LIMIT 5").collect()
+    }
+    require(com5.length == 5 && ScbfDiscovery.deltaReads.get <= 6,
+      s"COMMITS LIMIT 5 read ${ScbfDiscovery.deltaReads.get} deltas")
+
+    // 4. VERSION AS OF's ordinal → instant mapping on the folded chain
+    val lastV = com.head.getInt(0)
+    val vts = timed(s"versionTs($lastV)") {
+      ScbfDiscovery.versionTs(qroot, conf, lastV)
+    }
+    require(vts == tsLive, s"last commit ts: $vts != $tsLive")
+
+    // 5. time-travel planning: the full 10⁶-entry replay + pooled
+    // per-file stats, then the travelled read itself
+    ScbfUtil.dataFileOpens.set(0)
+    val asOf = timed("filesAsOf replay (planning only)") {
+      ScbfDiscovery.filesAsOf(qroot, conf, tsLive,
+        ScbfDataSource.resolveFiles(Seq(dir), conf))
+    }
+    require(asOf.size == nLive, s"as-of set: ${asOf.size} != $nLive")
+    val cnt = timed("travelled COUNT(*)") {
+      spark.read.format("scbf").option("asOfTimestamp", tsLive).load(dir).count()
+    }
+    require(cnt == nLive.toLong * 10, s"travelled count: $cnt")
+
+    spark.sql("DROP TABLE history_scale_t")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    println("[hist1m] OK")
+  }
+}
