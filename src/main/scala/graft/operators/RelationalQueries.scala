@@ -262,14 +262,29 @@ object RelationalQueries {
       t(s, dir, "orders")
         .select(col("o_orderkey").cast("int").as("okey"),
           col("o_custkey").cast("int").as("ckey"),
-          col("o_totalprice").as("price"))
+          col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
         .repartition(spread(s))
         .write.format("scbf").mode("overwrite").save(scbfDir)
-      s.read.format("scbf").load(scbfDir)
+      // round 11: MIN/MAX(string) rides too when the sidecar bounds are
+      // exact (short values fit whole under the truncation cap) — the
+      // plan pin + zero-open counter make the claim self-verifying,
+      // and the oracle's DuckDB MIN/MAX guards against an off-by-one
+      // truncation ever serving a prefix as the extremum
+      val q = s.read.format("scbf").load(scbfDir)
         .agg(count(lit(1)).as("cnt"),
           min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
           min(col("price")).as("min_price"), max(col("price")).as("max_price"),
-          sum(col("ckey")).as("sum_cust"))
+          sum(col("ckey")).as("sum_cust"),
+          min(col("prio")).as("min_prio"), max(col("prio")).as("max_prio"))
+      require(q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        s"the aggregate (incl. string MIN/MAX) must push:\n" +
+          q.queryExecution.executedPlan.toString)
+      graft.sources.ScbfUtil.dataFileOpens.set(0)
+      q.collect()
+      require(graft.sources.ScbfUtil.dataFileOpens.get == 0,
+        "the pushed aggregate must answer zero-data-open")
+      q
     },
 
     "q38_scbf_runtime_prune" -> { (s, dir) =>
@@ -1381,7 +1396,9 @@ object RelationalQueries {
          CAST(MAX(o_orderkey) AS INT) AS max_key,
          CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
          CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
-         CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         MIN(o_orderpriority) AS min_prio,
+         MAX(o_orderpriority) AS max_prio
          FROM orders""",
 
     "q38_scbf_runtime_prune" ->

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types._
  *  - COUNT(*) and COUNT(col) are the summed `rows` (SCBF stores no
  *    nulls, so COUNT(col) = COUNT(*); a NaN is not null). DISTINCT is
  *    never answerable from per-file stats.
- *  - MIN/MAX need a numeric stats entry in every file with rows > 0.
- *    Utf8 bounds are TRUNCATED (not the exact extrema) and a NaN-bearing
- *    double column has its entry suppressed (NaN sorts above every
- *    double in Spark, so stats ignoring it would be wrong) — both
- *    therefore fall back.
+ *  - MIN/MAX need a stats entry in every file with rows > 0. A
+ *    NaN-bearing double column has its entry suppressed (NaN sorts
+ *    above every double in Spark, so stats ignoring it would be wrong)
+ *    and falls back. Utf8 bounds are truncated in general, but bounds
+ *    that fit whole under the cap carry an exactness flag
+ *    (ScbfStats.strRange) — MIN/MAX(string) is served when the WINNING
+ *    bound is exact (short strings: codes, labels), declining
+ *    otherwise.
  *  - SUM pushes only for int32 columns, whose recorded per-file sums are
  *    exact and order-independent; a float sum depends on accumulation
  *    order and is never recorded. Merging uses addExact — on overflow we
@@ -217,7 +220,44 @@ object ScbfAgg {
             val name = s"${if (isMin) "min" else "max"}(${f.name})"
             Some((StructField(name, f.dataType, nullable = true), d))
           }
-        case _ => None // utf8 bounds are truncated, not exact extrema
+        case StringType =>
+          // utf8 bounds are SOMETIMES the exact extrema: the sidecar
+          // flags a bound that fit whole under the truncation cap
+          // (ScbfStats.strRange). Serve MIN/MAX(string) when the
+          // WINNING bound is exact — recorded mins never exceed true
+          // mins, so the smallest recorded min, when exact, IS the
+          // global minimum (symmetrically for max); the short-string
+          // case (codes, labels, categories) answers zero-data-open,
+          // long strings keep declining to the scan.
+          val ranges = live.map(_.strCols.get(f.name))
+          if (ranges.exists(_.isEmpty)) None
+          else {
+            val rs = ranges.flatten
+            if (rs.isEmpty)
+              Some((StructField(s"${if (isMin) "min" else "max"}(${f.name})",
+                f.dataType, nullable = true), null))
+            else {
+              val winner =
+                if (isMin) rs.reduce((a, b) =>
+                  if (ScbfStats.cmp(a.min, b.min) < 0) a
+                  else if (ScbfStats.cmp(a.min, b.min) > 0) b
+                  else if (a.exactMin) a else b)
+                else if (rs.exists(_.max.isEmpty)) return None
+                else rs.reduce((a, b) =>
+                  if (ScbfStats.cmp(a.max.get, b.max.get) > 0) a
+                  else if (ScbfStats.cmp(a.max.get, b.max.get) < 0) b
+                  else if (a.exactMax) a else b)
+              val exact = if (isMin) winner.exactMin else winner.exactMax
+              if (!exact) None
+              else {
+                val bytes = if (isMin) winner.min else winner.max.get
+                Some((StructField(s"${if (isMin) "min" else "max"}(${f.name})",
+                  f.dataType, nullable = true),
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)))
+              }
+            }
+          }
+        case _ => None
       }
     }
 

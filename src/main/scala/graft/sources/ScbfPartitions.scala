@@ -315,8 +315,10 @@ object ScbfPartitions {
           case DoubleType => v.toDoubleOption.filterNot(_.isNaN).foreach(d =>
             cols += k -> ScbfStats.ColRange(d, d))
           case StringType =>
+            // the k=v cell IS the value for every row — exact by layout
             val b = v.getBytes(UTF_8)
-            strs += k -> ScbfStats.StrRange(b, Some(b))
+            strs += k -> ScbfStats.StrRange(b, Some(b),
+              exactMin = true, exactMax = true)
           case _ => ()
         }
       }

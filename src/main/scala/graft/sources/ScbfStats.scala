@@ -87,11 +87,21 @@ object ScbfStats {
 
   /** Truncated utf8 bounds: `min` is a valid lower bound by prefix
    * order; `max` is a valid upper bound by construction (incremented on
-   * truncation) or None when unbounded above (untruncatable 0xFF run). */
-  final case class StrRange(min: Array[Byte], max: Option[Array[Byte]]) {
+   * truncation) or None when unbounded above (untruncatable 0xFF run).
+   * `exactMin`/`exactMax` mark a bound that is the column's EXACT
+   * extremum (it fit under [[MaxStrBound]], no truncation) — the flag
+   * that lets [[ScbfAgg]] answer `MIN/MAX(string)` from the manifest
+   * for short-string columns (codes, labels, categories) while long
+   * strings keep declining. Absent on pre-flag sidecars (parses to
+   * `false` — conservative: bounds stay valid for skipping, pushdown
+   * declines). Flags are deliberately OUTSIDE equals/hashCode: a
+   * range's identity is its bounds (specs written against pre-flag
+   * fixtures must keep comparing equal); exactness is a refinement. */
+  final case class StrRange(min: Array[Byte], max: Option[Array[Byte]],
+      exactMin: Boolean = false, exactMax: Boolean = false) {
     // Array equality is reference equality; specs compare StrRanges.
     override def equals(o: Any): Boolean = o match {
-      case StrRange(m, x) =>
+      case StrRange(m, x, _, _) =>
         java.util.Arrays.equals(min, m) && (((max, x)) match {
           case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
           case (None, None)       => true
@@ -198,18 +208,29 @@ object ScbfStats {
     }.toMap
     // utf8 bounds fold like ScbfScan.boundsFor: min of mins (always a
     // valid lower bound); max only when EVERY live entry has one (any
-    // unbounded-above file makes the fold unbounded too)
+    // unbounded-above file makes the fold unbounded too). Exactness
+    // folds by WINNER: recorded mins never exceed true mins, so when
+    // the entry achieving the fold's min is exact, its value IS the
+    // directory's true minimum (every other file's true min sits at or
+    // above its own recorded min ≥ the winner); symmetrically for max.
     val strNames: Set[String] =
       if (live.isEmpty) Set.empty
       else live.map(_.stats.strCols.keySet).reduce(_ intersect _)
     val strCols = strNames.iterator.map { n =>
       val rs = live.map(_.stats.strCols(n))
-      val mn = rs.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      val mn = rs.reduce((a, b) =>
+        if (cmp(a.min, b.min) < 0) a
+        else if (cmp(a.min, b.min) > 0) b
+        else if (a.exactMin) a else b)
       val mx =
         if (rs.forall(_.max.isDefined))
-          Some(rs.flatMap(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+          Some(rs.reduce((a, b) =>
+            if (cmp(a.max.get, b.max.get) > 0) a
+            else if (cmp(a.max.get, b.max.get) < 0) b
+            else if (a.exactMax) a else b))
         else None
-      n -> StrRange(mn, mx)
+      n -> StrRange(mn.min, mx.map(_.max.get),
+        exactMin = mn.exactMin, exactMax = mx.exists(_.exactMax))
     }.toMap
     DirSummary(entries.size, fpA, fpB, entries.map(_.stats.rows).sum, cols, strCols)
   }
@@ -241,7 +262,12 @@ object ScbfStats {
               cols += cn -> ColRange(mn.toDouble, mx.toDouble,
                 if (sm == "-") None else Some(sm.toLong))
             case _ =>
-          } else line.split("\t", 4) match {
+          } else line.split("\t", 5) match {
+            case Array(_, cn, mn, mx, e) =>
+              strCols += cn -> StrRange(b64d.decode(mn),
+                if (mx == "-") None else Some(b64d.decode(mx)),
+                exactMin = e == "E:11" || e == "E:10",
+                exactMax = e == "E:11" || e == "E:01")
             case Array(_, cn, mn, mx) =>
               strCols += cn -> StrRange(b64d.decode(mn),
                 if (mx == "-") None else Some(b64d.decode(mx)))
@@ -311,7 +337,7 @@ object ScbfStats {
     }
     sum.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       val mx = r.max.map(b64e.encodeToString).getOrElse("-")
-      sb.append(s"dirsumscol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
+      sb.append(s"dirsumscol\t$n\t${b64e.encodeToString(r.min)}\t$mx\t${eFlags(r)}\n")
     }
     dirNdv.toSeq.sortBy(_._1).foreach { case (n, regs) =>
       sb.append(s"dirndv\t$n\t${b64e.encodeToString(regs)}\n")
@@ -838,12 +864,16 @@ object ScbfStats {
     })
 
   /** Build the truncated bounds for a utf8 column from its exact
-   * byte-wise min and max values (writer side). */
+   * byte-wise min and max values (writer side). Bounds short enough to
+   * store whole are flagged exact — the extremum itself, servable to
+   * aggregate pushdown; truncated ones stay valid bounds only. */
   def strRange(exactMin: Array[Byte], exactMax: Array[Byte]): StrRange =
     StrRange(
       exactMin.take(MaxStrBound),
       if (exactMax.length <= MaxStrBound) Some(exactMax)
-      else succ(exactMax.take(MaxStrBound)))
+      else succ(exactMax.take(MaxStrBound)),
+      exactMin = exactMin.length <= MaxStrBound,
+      exactMax = exactMax.length <= MaxStrBound)
 
   /** Unsigned byte-wise lexicographic order — UTF8String's binary
    * comparison, which is Spark's (non-collated) string ordering. */
@@ -869,6 +899,10 @@ object ScbfStats {
   private val b64e = java.util.Base64.getEncoder
   private val b64d = java.util.Base64.getDecoder
 
+  /** The exactness tag rendered after a string-bounds pair. */
+  private def eFlags(r: StrRange): String =
+    s"E:${if (r.exactMin) 1 else 0}${if (r.exactMax) 1 else 0}"
+
   private def render(stats: FileStats, withNdv: Boolean = true): String = {
     val sb = new StringBuilder(s"rows\t${stats.rows}\n")
     stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
@@ -877,7 +911,11 @@ object ScbfStats {
     }
     stats.strCols.toSeq.sortBy(_._1).foreach { case (n, r) =>
       val mx = r.max.map(b64e.encodeToString).getOrElse("-")
-      sb.append(s"scol\t$n\t${b64e.encodeToString(r.min)}\t$mx\n")
+      // 5th field: exactness flags (format evolution — old readers'
+      // 4-field split folds it into max and fails that line's parse,
+      // losing only that sidecar's skipping; new readers of old lines
+      // default both flags to false, declining pushdown, never wrong)
+      sb.append(s"scol\t$n\t${b64e.encodeToString(r.min)}\t$mx\t${eFlags(r)}\n")
     }
     stats.strLens.toSeq.sortBy(_._1).foreach { case (n, (sum, mx)) =>
       sb.append(s"slen\t$n\t$sum\t$mx\n")
@@ -910,8 +948,16 @@ object ScbfStats {
       }
     }.toMap
     val strCols = lines.collect { case l if l.startsWith("scol\t") =>
-      val Array(_, n, mn, mx) = l.split("\t", 4)
-      n -> StrRange(b64d.decode(mn), if (mx == "-") None else Some(b64d.decode(mx)))
+      l.split("\t", 5) match {
+        case Array(_, n, mn, mx, e) =>
+          n -> StrRange(b64d.decode(mn),
+            if (mx == "-") None else Some(b64d.decode(mx)),
+            exactMin = e == "E:11" || e == "E:10",
+            exactMax = e == "E:11" || e == "E:01")
+        case Array(_, n, mn, mx) =>
+          n -> StrRange(b64d.decode(mn),
+            if (mx == "-") None else Some(b64d.decode(mx)))
+      }
     }.toMap
     val ndvs = lines.collect { case l if l.startsWith("ndv\t") =>
       val Array(_, n, regs) = l.split("\t", 3)

@@ -154,13 +154,50 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(c).contains("PushedAggregation") && c.head().getLong(0) == 10L)
   }
 
-  test("min/max on utf8 falls back: stored bounds are truncated, not exact") {
+  test("min/max on SHORT utf8 answers from exact-flagged bounds, zero data opens") {
     val dir = tmpDir("scbf-aggpush-str")
-    writeRanged(dir)
+    writeRanged(dir) // tags "row0".."row999": all under the truncation cap
     val q = spark.read.format("scbf").load(dir)
       .agg(min(col("tag")).as("mn"), max(col("tag")).as("mx"))
-    assert(!plan(q).contains("PushedAggregation"))
+    assert(plan(q).contains("PushedAggregation"), plan(q))
+    ScbfUtil.dataFileOpens.set(0)
     assert(q.head() == Row("row0", "row999"))
+    assert(ScbfUtil.dataFileOpens.get == 0,
+      "short-string MIN/MAX must answer from the manifest")
+  }
+
+  test("min/max on LONG utf8 declines: truncated bounds are not the extrema") {
+    val dir = tmpDir("scbf-aggpush-strlong")
+    // values longer than MaxStrBound (48): bounds store truncated
+    // prefixes, flagged inexact — serving them would be WRONG (the
+    // recorded min is a prefix strictly below the true minimum)
+    spark.range(0, 500)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("x" * 60), col("id")).as("tag"))
+      .repartitionByRange(3, col("id"))
+      .write.format("scbf").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .agg(min(col("tag")).as("mn"), max(col("tag")).as("mx"))
+    assert(!plan(q).contains("PushedAggregation"), plan(q))
+    assert(q.head() == Row("x" * 60 + "0", "x" * 60 + "99"))
+    // MIXED: one directory exact, another truncated on the same column
+    // — the fold's winner decides; here the truncated file owns the
+    // max, so MAX declines while MIN (owned by an exact bound) serves
+    val dir2 = tmpDir("scbf-aggpush-strmix")
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("a"), col("id")).as("tag"))
+      .coalesce(1).write.format("scbf").mode("overwrite").save(dir2)
+    spark.range(0, 10)
+      .select((col("id") + 100).cast("int").as("id"),
+        concat(lit("z" * 60), col("id")).as("tag"))
+      .coalesce(1).write.format("scbf").mode("append").save(dir2)
+    val mn2 = spark.read.format("scbf").load(dir2).agg(min(col("tag")).as("mn"))
+    assert(plan(mn2).contains("PushedAggregation"), plan(mn2))
+    assert(mn2.head() == Row("a0"))
+    val mx2 = spark.read.format("scbf").load(dir2).agg(max(col("tag")).as("mx"))
+    assert(!plan(mx2).contains("PushedAggregation"), plan(mx2))
+    assert(mx2.head() == Row("z" * 60 + "9"))
   }
 
   test("a file without trusted stats disables the whole pushdown") {
