@@ -1147,6 +1147,49 @@ object RelationalQueries {
       s.sql(q)
     },
 
+    "q62_shallow_clone" -> { (s, dir) =>
+      // Zero-copy SHALLOW CLONE as a GATED query: source built from 3/4
+      // of documents, cloned (zero data opens — pinned), the remaining
+      // 1/4 APPENDED to the clone only. The oracle aggregates ALL
+      // documents, so only a clone that references the source's files
+      // exactly AND keeps its appends local hash-matches; two requires
+      // pin the zero-copy claim (no data opened at clone time) and
+      // source byte-identity (same file set, same lengths, after the
+      // clone was mutated).
+      val base = scratchDir(s) + "/graft_scbf_clone_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      s.sql("DROP TABLE IF EXISTS graft_q62c")
+      s.sql("DROP TABLE IF EXISTS graft_q62")
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(base + "_c"), true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q62_src")
+      s.sql("CREATE TABLE graft_q62 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q62
+        SELECT /*+ REPARTITION(4) */ CAST(doc_id AS INT), source,
+          CAST(n_chars AS INT)
+        FROM graft_q62_src WHERE doc_id % 4 != 0""")
+      def sig = graft.sources.ScbfDataSource.resolveFiles(Seq(base), conf)
+        .map(f => (f.getPath.toString, f.getLen))
+      val sig0 = sig
+      graft.sources.ScbfUtil.dataFileOpens.set(0)
+      s.sql(s"CREATE TABLE graft_q62c SHALLOW CLONE graft_q62 " +
+        s"LOCATION '${base}_c'")
+      require(graft.sources.ScbfUtil.dataFileOpens.get == 0,
+        "SHALLOW CLONE must open zero data files (metadata-only branch)")
+      s.sql("""INSERT INTO graft_q62c
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q62_src WHERE doc_id % 4 = 0""")
+      require(sig == sig0,
+        s"the mutated clone must leave the source byte-identical")
+      s.sql("""SELECT source, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q62c GROUP BY source""")
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1646,6 +1689,13 @@ object RelationalQueries {
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE doc_id >= 100 AND doc_id < 200
          GROUP BY source""",
+
+    "q62_shallow_clone" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

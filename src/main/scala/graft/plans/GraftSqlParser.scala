@@ -92,7 +92,20 @@ object GraftSqlParser {
   private val RestoreVersionBadRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+.*""".r
 
+  // Delta-shaped zero-copy branching: a new session-catalog table whose
+  // data is a ref list into the source's live (or AS OF) file set —
+  // metadata cost only; see [[graft.sources.ScbfClone]] for the
+  // contract (reads + appends; rewrites refuse; dangling refs loud).
+  private val ShallowCloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+      """(?:\s+(TIMESTAMP|VERSION)\s+AS\s+OF\s+('[^']*'|\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
+    case ShallowCloneRe(target, source, axis, point, location) =>
+      Some(GraftShallowCloneCommand(target, source,
+        Option(axis).map(_.toUpperCase(java.util.Locale.ROOT)),
+        Option(point), Option(location)))
     case DescribeHistoryRe(tbl, commits, limit) =>
       Some(GraftDescribeHistoryCommand(tbl, commits = commits != null,
         limit = Option(limit).map(_.toInt)))
@@ -513,6 +526,8 @@ private[plans] object GraftSchemaRewrite {
     val rootDir = new org.apache.hadoop.fs.Path(meta.location).toString
     val partCols = meta.partitionColumnNames
     val conf = spark.sessionState.newHadoopConf()
+    graft.sources.ScbfClone.refuseIfClone(
+      new org.apache.hadoop.fs.Path(rootDir), conf, s"ALTER TABLE $op")
     val rootP = new org.apache.hadoop.fs.Path(rootDir)
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
@@ -884,6 +899,7 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
         ScbfDiscovery.versionTs(fs0.makeQualified(rootP0), conf, v)
     }
     val rootP = rootP0
+    graft.sources.ScbfClone.refuseIfClone(rootP, conf, "RESTORE TABLE")
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
     def rel(p: org.apache.hadoop.fs.Path): String =
@@ -940,6 +956,95 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
     try spark.catalog.refreshTable(table)
     catch { case scala.util.control.NonFatal(_) => }
     Seq(Row(extras.size, keepNames.size))
+  }
+}
+
+/**
+ * `CREATE TABLE t SHALLOW CLONE s [TIMESTAMP AS OF ts | VERSION AS OF n]
+ * [LOCATION '<dir>']` — zero-copy branching (see
+ * [[graft.sources.ScbfClone]] for the full contract): the new
+ * session-catalog table's directory holds a ref list into the source's
+ * live (or as-of) file set; creating it opens ZERO data files. The
+ * clone reads through the refs (length-guarded; a source rewrite that
+ * removes referenced bytes turns into a loud dangling-ref refusal, the
+ * documented VACUUM/DELETE interaction) and accepts APPENDS into its
+ * own directory; every rewrite surface refuses with the CTAS guidance.
+ * A partitioned source clones as a FLAT relation — partition values
+ * live in the data files, so every row reads correctly; only directory
+ * pruning/SPJ on the refs is given up (declared zero-copy cost).
+ */
+case class GraftShallowCloneCommand(target: String, source: String,
+    axis: Option[String], point: Option[String], location: Option[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("files_referenced", IntegerType, nullable = false)(),
+    AttributeReference("bytes_referenced", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{ScbfClone, ScbfDataSource, ScbfDiscovery}
+    val conf = spark.sessionState.newHadoopConf()
+    val srcDir = GraftSqlParser.resolveAnyScbfDir(spark, source)
+    val fs = srcDir.getFileSystem(conf)
+    val qsrc = fs.makeQualified(srcDir)
+    // the source's CURRENT listing (flattens through a clone source's
+    // own refs), or its AS OF rendering from the discovery log
+    val files = (axis, point) match {
+      case (None, _) => ScbfDataSource.resolveFiles(Seq(qsrc.toString), conf)
+      case (Some(a), Some(raw)) =>
+        val ts = a match {
+          case "TIMESTAMP" if raw.startsWith("'") =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val micros = DateTimeUtils.stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                raw.substring(1, raw.length - 1)),
+              DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone))
+              .getOrElse(throw new graft.scbf.ScbfFormatException(
+                s"SHALLOW CLONE $source: cannot parse timestamp literal $raw"))
+            Math.floorDiv(micros, 1000L)
+          case "TIMESTAMP" => raw.toLong
+          case _ => // VERSION — quoted digits or bare; same mapping as SELECT's
+            val v = raw.stripPrefix("'").stripSuffix("'").toIntOption
+              .getOrElse(throw new graft.scbf.ScbfFormatException(
+                s"SHALLOW CLONE $source VERSION AS OF $raw: versions are " +
+                  "the integer ordinals DESCRIBE HISTORY <tbl> COMMITS shows"))
+            ScbfDiscovery.versionTs(qsrc, conf, v)
+        }
+        ScbfDiscovery.filesAsOf(qsrc, conf, ts,
+          ScbfDataSource.resolveFiles(Seq(qsrc.toString), conf))
+      case _ => throw new graft.scbf.ScbfFormatException(
+        s"SHALLOW CLONE $source: AS OF needs a point in time")
+    }
+    require(files.nonEmpty,
+      s"SHALLOW CLONE $source: the source has no data files to reference")
+    val schema = spark.table(source).schema
+    // target: a session-catalog table over the clone directory
+    val parts = target.split('.')
+    val ti = parts.length match {
+      case 2 => TableIdentifier(parts(1), Some(parts(0)))
+      case 1 => TableIdentifier(target)
+      case _ => throw new graft.scbf.ScbfFormatException(
+        s"SHALLOW CLONE target must be a session-catalog table name, got $target")
+    }
+    require(!spark.sessionState.catalog.tableExists(ti),
+      s"SHALLOW CLONE: target table $target already exists")
+    val loc = location.getOrElse(
+      spark.sessionState.catalog.defaultTablePath(ti).toString)
+    val locP = new org.apache.hadoop.fs.Path(loc)
+    require(ScbfDataSource.resolveFiles(Seq(loc), conf).isEmpty,
+      s"SHALLOW CLONE: target location $loc already holds data files")
+    ScbfClone.write(locP, conf, qsrc, files)
+    val storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+      .copy(locationUri = Some(locP.toUri))
+    spark.sessionState.catalog.createTable(
+      org.apache.spark.sql.catalyst.catalog.CatalogTable(
+        identifier = ti,
+        tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+        storage = storage,
+        schema = schema,
+        provider = Some("scbf")),
+      ignoreIfExists = false)
+    Seq(Row(files.size, files.map(_.getLen).sum))
   }
 }
 

@@ -119,7 +119,11 @@ object ScbfDataSource {
           case _ => Seq.empty
         }
       globbed.flatMap {
-        case d if d.isDirectory => walk(d)
+        // a SHALLOW CLONE directory's data is its ref list ∪ its own
+        // (appended) files — the refs resolve length-guarded through
+        // ScbfClone, everything else walks as usual
+        case d if d.isDirectory =>
+          ScbfClone.resolve(d.getPath, conf) ++ walk(d)
         case f if isHidden(f.getPath) => Seq.empty
         case f => Seq(f)
       }
@@ -152,7 +156,10 @@ object ScbfDataSource {
       val fs = hp.getFileSystem(conf)
       Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
         .sortBy(_.getPath.toString).iterator.flatMap {
-          case d if d.isDirectory       => walk(fs, d.getPath)
+          // a fresh clone holds no local data files — its first ref
+          // serves schema inference (every SCBF file carries the schema)
+          case d if d.isDirectory =>
+            walk(fs, d.getPath).orElse(ScbfClone.firstRef(d.getPath, conf))
           case f if isHidden(f.getPath) => None
           case f                        => Some(f)
         }
@@ -176,8 +183,12 @@ object ScbfDataSource {
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
       globbed.flatMap {
+        // clone refs are never directory-pruned (a clone is a flat
+        // relation); per-file stats/bloom pruning still applies to
+        // them downstream, off the SOURCE directories' sidecars
         case d if d.isDirectory =>
-          ScbfPartitions.pruneResolve(d.getPath, conf, schema, filters, qroots)
+          ScbfClone.resolve(d.getPath, conf) ++
+            ScbfPartitions.pruneResolve(d.getPath, conf, schema, filters, qroots)
         case f if isHidden(f.getPath) => Seq.empty
         case f                        => Seq(f)
       }
@@ -274,6 +285,7 @@ class ScbfTable(
       case other => throw new ScbfFormatException(
         s"SCBF row-level SQL requires exactly one table path, got: $other")
     }
+    ScbfClone.refuseIfClone(new Path(dir), conf, "row-level SQL (UPDATE/MERGE/DELETE)")
     new ScbfRowLevelOperationBuilder(this, dir, listFiles, schema, conf,
       ScbfPartitions.partitionCols(partitionTransforms, schema), info,
       ScbfPartitions.bucketSpec(partitionTransforms, schema))
@@ -305,6 +317,7 @@ class ScbfTable(
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     refuseMutationIfTravelled("DELETE")
+    tablePaths.foreach(p => ScbfClone.refuseIfClone(new Path(p), conf, "DELETE"))
     if (partitionTransforms.isEmpty) {
       ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
       ()

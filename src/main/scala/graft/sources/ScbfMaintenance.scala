@@ -54,6 +54,8 @@ object ScbfMaintenance {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
+    ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
+      "OPTIMIZE (cluster)")
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
     // a freshly-created (or fully-truncated) directory has nothing to
     // rewrite — loading zero paths would crash with an unrelated error
@@ -120,6 +122,8 @@ object ScbfMaintenance {
       filePrefix: Option[String] = None): Seq[String] = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
+    ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
+      "OPTIMIZE (compact)")
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
     // idempotence: nothing to pack (empty directory), or already AT the
     // target file count with a plausibly-packed layout — re-running
@@ -183,6 +187,8 @@ object ScbfMaintenance {
     require(bits >= 1 && bits <= 16, s"bits per column must be in [1,16], got $bits")
     import org.apache.spark.sql.functions._
     val hconf = spark.sessionState.newHadoopConf()
+    ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), hconf,
+      "OPTIMIZE (zorder)")
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), hconf)
     if (snapshot.isEmpty) return Seq.empty // nothing to rewrite
     raceHook()

@@ -96,6 +96,12 @@ class ScbfWriteBuilder(
   }
 
   override def build(): Write = new Write {
+    // appends are the clone contract; anything that REPLACES contents
+    // would leave the refs visible (a half-overwritten table) or imply
+    // deleting shared source bytes — refuse at build, before any task
+    if (doTruncate || scopeFilters.nonEmpty || dynamicOverwrite)
+      ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
+        "INSERT OVERWRITE / truncate")
     override def toBatch: BatchWrite =
       new ScbfBatchWrite(dir, schema, doTruncate,
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
