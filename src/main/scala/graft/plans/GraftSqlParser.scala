@@ -516,6 +516,11 @@ private[plans] object GraftSchemaRewrite {
    * rename backstop). */
   private[plans] var swapRaceHook: Int => Unit = _ => ()
 
+  /** Test seam: invoked between the successor write and the retire
+   * rename — the window a concurrent APPEND to the live root lands in
+   * (the lateFiles rollback guard's window). */
+  private[plans] var preRetireHook: () => Unit = () => ()
+
   def run(spark: SparkSession, ti: TableIdentifier,
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
       table: String, op: String, tag: String, newSchema: StructType,
@@ -567,6 +572,7 @@ private[plans] object GraftSchemaRewrite {
     }
 
     // ---- the swap ----
+    preRetireHook()
     require(fs.rename(rootP, retired),
       s"$op on $table: could not retire $rootP")
     // concurrent-append guard: a file published after the snapshot
@@ -868,6 +874,15 @@ case class RestoreAtLiteral(lit: String) extends RestorePoint
 case class RestoreAtMillis(ms: Long) extends RestorePoint
 case class RestoreAtVersion(version: Int) extends RestorePoint
 
+object GraftRestoreTableCommand {
+  /** Test seam: invoked between the as-of replay (listing captured)
+   * and the removal announcement — the window a concurrent append
+   * lands in. The restore must neither delete nor announce the new
+   * file (it is not in the captured listing), so the append legally
+   * serializes AFTER the restore. */
+  private[plans] var raceHook: () => Unit = () => ()
+}
+
 case class GraftRestoreTableCommand(table: String, point: RestorePoint)
   extends LeafRunnableCommand {
 
@@ -914,6 +929,7 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
         "empty the table; DROP or TRUNCATE it instead")
     val extras = listing.filterNot(f => keepNames.contains(rel(f.getPath)))
     if (extras.isEmpty) return Seq(Row(0, keepNames.size))
+    GraftRestoreTableCommand.raceHook()
     // announce-then-remove, same contract as the row-level takedown:
     // log-path streams see the change under their onChangeCommit policy
     if (ScbfDiscovery.exists(qroot, conf)) {

@@ -314,6 +314,75 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqlopt_skew")
   }
 
+  test("DROP/RENAME COLUMN roll back when an append commits mid-rewrite (lateFiles guard)") {
+    for ((stmt, tag) <- Seq(
+        ("ALTER TABLE %s DROP COLUMN v", "drop"),
+        ("ALTER TABLE %s RENAME COLUMN v TO w", "rename"))) {
+      val dir = tmpDir(s"scbf-latefiles-$tag")
+      val tbl = s"laterace_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+      try {
+        spark.sql(s"CREATE TABLE $tbl (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+        spark.sql(s"INSERT INTO $tbl SELECT CAST(id AS INT), CAST(id AS DOUBLE) FROM range(0, 100)")
+        // the racing append COMMITS between the snapshot and the swap —
+        // files the successor never folded in; destroying them with the
+        // retired directory would lose committed rows
+        var fired = false
+        GraftSchemaRewrite.preRetireHook = () => if (!fired) {
+          fired = true
+          spark.sql(s"INSERT INTO $tbl SELECT CAST(id AS INT), 9.0 FROM range(100, 150)")
+        }
+        val e =
+          try intercept[Exception] { spark.sql(stmt.format(tbl)) }
+          finally GraftSchemaRewrite.preRetireHook = () => ()
+        assert(e.getMessage.contains("appended concurrently"), e.getMessage)
+        // the table is unchanged INCLUDING the racer's committed rows
+        assert(spark.table(tbl).columns.toSeq == Seq("id", "v"))
+        assert(spark.table(tbl).count() == 150L)
+        // and the statement runs to completion once ingest settles
+        spark.sql(stmt.format(tbl))
+        val cols = spark.table(tbl).columns.toSeq
+        assert(if (tag == "drop") cols == Seq("id") else cols == Seq("id", "w"),
+          cols.toString)
+        assert(spark.table(tbl).count() == 150L)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("RESTORE racing an append: the new file survives (append serializes after)") {
+    val dir = tmpDir("scbf-restore-race")
+    spark.sql("DROP TABLE IF EXISTS restrace")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE restrace (id INT) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO restrace SELECT CAST(id AS INT) FROM range(0, 100)")
+      Thread.sleep(5)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(5)
+      spark.sql("INSERT INTO restrace SELECT CAST(id AS INT) FROM range(100, 300)")
+      var fired = false
+      GraftRestoreTableCommand.raceHook = () => if (!fired) {
+        fired = true
+        spark.sql("INSERT INTO restrace SELECT CAST(id AS INT) FROM range(1000, 1050)")
+      }
+      val r =
+        try spark.sql(s"RESTORE TABLE restrace TO TIMESTAMP AS OF $t1").head()
+        finally GraftRestoreTableCommand.raceHook = () => ()
+      assert(r.getInt(0) > 0, r.toString)
+      // wave 2 removed; wave 1 AND the mid-restore append both live —
+      // the legal linearization is restore-then-append
+      val ids = spark.table("restrace").select("id").collect().map(_.getInt(0)).sorted
+      assert(ids.length == 150 && ids.take(100).toSeq == (0 until 100) &&
+        ids.drop(100).toSeq == (1000 until 1050), s"${ids.length} rows")
+      // the log stays coherent: time travel to now sees the same 150
+      Thread.sleep(5)
+      assert(spark.read.format("scbf")
+        .option("asOfTimestamp", System.currentTimeMillis())
+        .load(dir).count() == 150L)
+    } finally spark.sql("DROP TABLE IF EXISTS restrace")
+  }
+
   test("ALTER TABLE swap aborts when a concurrent writer re-creates the root (both phases)") {
     for (phase <- Seq(0, 1)) {
       val dir = tmpDir(s"scbf-swaprace$phase")
