@@ -105,6 +105,44 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a clone is a streamable branch: refs at baseline, clone appends flow, source appends don't") {
+    val src = tmpDir("scbf-clone-stream-src")
+    val cl = tmpDir("scbf-clone-stream") + "/c"
+    new Path(src).getFileSystem(hconf).delete(new Path(src), true)
+    spark.sql("DROP TABLE IF EXISTS clone_ssrc")
+    spark.sql("DROP TABLE IF EXISTS clone_sc")
+    try {
+      spark.sql(s"CREATE TABLE clone_ssrc (id INT) USING scbf LOCATION '$src'")
+      spark.sql("INSERT INTO clone_ssrc SELECT CAST(id AS INT) FROM range(0, 60)")
+      spark.sql(s"CREATE TABLE clone_sc SHALLOW CLONE clone_ssrc LOCATION '$cl'")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val q = spark.readStream.format("scbf").schema("id INT").load(cl)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = df.select(col("id")).collect().map(_.getInt(0)).toSeq
+            seen.synchronized { seen += ids }
+            ()
+        }.start()
+      try {
+        // baseline listing resolves the refs — the branch's frozen view
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == (0 until 60), s"baseline: $seen")
+        // appends to the CLONE flow incrementally (its own discovery log)
+        spark.sql("INSERT INTO clone_sc VALUES (1000)")
+        q.processAllAvailable()
+        assert(seen.flatten.sorted == ((0 until 60) :+ 1000), s"clone append: $seen")
+        // appends to the SOURCE never reach the branch
+        spark.sql("INSERT INTO clone_ssrc VALUES (2000)")
+        q.processAllAvailable()
+        assert(!seen.flatten.contains(2000),
+          s"a source append leaked into the clone stream: $seen")
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS clone_sc")
+      spark.sql("DROP TABLE IF EXISTS clone_ssrc")
+    }
+  }
+
   test("rewrite surfaces refuse on a clone; VACUUM on the source never dangles it") {
     val src = tmpDir("scbf-clone-guard-src")
     val cl = tmpDir("scbf-clone-guard") + "/c"
