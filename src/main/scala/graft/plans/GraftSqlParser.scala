@@ -733,11 +733,18 @@ case class GraftDescribeHistoryCommand(table: String,
     val dir = GraftSqlParser.resolveAnyScbfDir(spark, table)
     val fs = dir.getFileSystem(conf)
     val qroot = fs.makeQualified(dir)
-    if (!ScbfDiscovery.exists(qroot, conf))
+    if (!ScbfDiscovery.exists(qroot, conf)) {
+      if (graft.sources.ScbfClone.isClone(qroot, conf))
+        throw new graft.scbf.ScbfFormatException(
+          s"DESCRIBE HISTORY $table: a SHALLOW CLONE starts with no history " +
+            "of its own — the ref list IS the branch point. Inspect the " +
+            "SOURCE table's history; the clone's own log begins with its " +
+            "first append.")
       throw new graft.scbf.ScbfFormatException(
         s"DESCRIBE HISTORY $table: the table has no discovery log — " +
           "history is recorded by connector writes; a foreign/reference-" +
           "tool directory has none.")
+    }
     limit.foreach(n => require(n > 0, s"DESCRIBE HISTORY LIMIT must be positive, got $n"))
     if (commits) runCommits(qroot, conf) else runFiles(qroot, conf)
   }

@@ -485,6 +485,16 @@ class ScbfTable(
           case other => throw new ScbfFormatException(
             s"asOfTimestamp needs exactly one table directory, got: $other")
         }
+        // a clone has no chain of its own (the refs ARE a frozen AS OF
+        // rendering of the source) — the generic no-log/unannounced
+        // refusals would mislead, so name the clone contract directly
+        if (ScbfClone.isClone(new Path(root), conf))
+          throw new ScbfFormatException(
+            s"asOfTimestamp=$ts on $root: the table is a SHALLOW CLONE — " +
+              "it IS a frozen rendering (its ref list is the branch " +
+              "point) and records no version chain of its own. Time " +
+              "travel the SOURCE table, or create another clone " +
+              "[TIMESTAMP|VERSION] AS OF the point you need.")
         val asOfFiles = ScbfDiscovery.filesAsOf(new Path(root), conf, ts,
           ScbfDataSource.resolveFiles(Seq(root), conf))
         new ScbfScanBuilder(schema, asOfFiles, conf, tablePaths,

@@ -170,6 +170,18 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
       refuses("ALTER TABLE clone_gc ADD COLUMN flag INT DEFAULT 0", "ADD COLUMN")
       // and the clone still reads fine after every refusal
       assert(spark.table("clone_gc").count() == 200L)
+      // history/time-travel guidance is clone-aware, not the generic
+      // no-log / bypassed-producer refusals
+      val eh = intercept[Exception](spark.sql("DESCRIBE HISTORY clone_gc").collect())
+      assert(eh.getMessage.contains("branch point"), eh.getMessage)
+      val et = intercept[Exception] {
+        spark.read.format("scbf")
+          .option("asOfTimestamp", System.currentTimeMillis())
+          .load(cl).count()
+      }
+      val etMsgs = Iterator.iterate(et: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(etMsgs.contains("frozen rendering"), etMsgs)
       // VACUUM on the source sweeps litter only — the clone survives
       spark.sql("VACUUM clone_gsrc RETAIN 0 HOURS")
       assert(spark.table("clone_gc").count() == 200L)
