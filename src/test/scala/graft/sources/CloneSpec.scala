@@ -194,6 +194,17 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
       assert(msgs.contains("shallow clone") &&
         (msgs.contains("no longer exists") || msgs.contains("changed length")),
         msgs)
+      // a torn/corrupt ref file REFUSES (refs ARE the data — unlike
+      // best-effort stats, a half-read list would be a silently
+      // partial table)
+      val refP = ScbfClone.refPath(new Path(cl))
+      val rfs = refP.getFileSystem(hconf)
+      val out = rfs.create(refP, true)
+      out.write("garbage\nnot-a-clone-file".getBytes("UTF-8")); out.close()
+      val ec = intercept[Exception](spark.table("clone_gc").count())
+      val ecMsgs = Iterator.iterate(ec: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(ecMsgs.contains("unreadable"), ecMsgs)
     } finally {
       spark.sql("DROP TABLE IF EXISTS clone_gc")
       spark.sql("DROP TABLE IF EXISTS clone_gsrc")
