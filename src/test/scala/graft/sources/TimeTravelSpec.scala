@@ -414,6 +414,14 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
       ScbfDiscovery.versionTs(qroot, hconf, 1)
     }
     assert(oor.getMessage.contains("valid versions 0..0"), oor.getMessage)
+    // the SQL commit view says so too: one row, kind=fold, version 0
+    spark.sql("DROP TABLE IF EXISTS tt_fold")
+    try {
+      spark.sql(s"CREATE TABLE tt_fold (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      val com = spark.sql("DESCRIBE HISTORY tt_fold COMMITS").collect()
+      assert(com.length == 1 && com.head.getInt(0) == 0 &&
+        com.head.getString(2) == "fold", com.mkString("; "))
+    } finally spark.sql("DROP TABLE IF EXISTS tt_fold")
   }
 
   test("partitioned tables time-travel too, with partition pruning intact") {
