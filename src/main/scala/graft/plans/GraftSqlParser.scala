@@ -287,6 +287,24 @@ object GraftSqlParser {
       case _ => None
     }
   }
+
+  /** A timestamp literal resolved in the SESSION timezone — the same
+   * instant Catalyst gives `SELECT … TIMESTAMP AS OF` for the same
+   * string — floored to the discovery log's millisecond axis. ONE
+   * implementation for RESTORE and SHALLOW CLONE, so a format or
+   * timezone fix can never drift between them. */
+  private[plans] def sessionTsLiteralMillis(
+      spark: SparkSession, lit: String, ctx: String): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val micros = DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lit),
+      DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone))
+      .getOrElse(throw new graft.scbf.ScbfFormatException(
+        s"$ctx: cannot parse timestamp literal '$lit' (session timezone " +
+          s"${spark.sessionState.conf.sessionLocalTimeZone}). Use " +
+          "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis."))
+    Math.floorDiv(micros, 1000L)
+  }
 }
 
 /** One ADD COLUMN spec: the new column, its SCBF-representable Spark
@@ -571,6 +589,47 @@ private[plans] object GraftSchemaRewrite {
       ScbfUtil.writeEmptyScbf(fs, target, newSchema, s"$tag-keeper-")
     }
 
+    // restore `src` to the root path even while a racing writer keeps
+    // re-creating the root: each re-created root is set aside (never
+    // destroyed — it may hold the racer's half-committed output), and
+    // every restore rename is verified against the SAME rename-into-
+    // existing-directory nesting the forward swap guards (a rollback
+    // that silently nests the table inside the racer's root would be
+    // a silent table replacement). Bounded retries; on exhaustion the
+    // data stays intact at `src` and the error says where.
+    def renameBackToRoot(src: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val strays = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      var done = false
+      var attempt = 0
+      while (!done) {
+        attempt += 1
+        require(attempt <= 5,
+          s"$op on $table: could not restore the table to $rootP after " +
+            s"${attempt - 1} attempts — a concurrent writer keeps re-creating " +
+            s"the root; table data is intact at $src" +
+            (if (strays.isEmpty) "" else s"; racing output set aside at ${strays.mkString(", ")}"))
+        if (fs.exists(rootP)) {
+          val stray = new org.apache.hadoop.fs.Path(
+            rootDir + s".concurrent-$tag-$uuid-$attempt")
+          require(fs.rename(rootP, stray),
+            s"$op on $table: a concurrent writer re-created $rootP mid-swap " +
+              s"and it could not be set aside — table data is intact at $src")
+          strays += stray
+        }
+        if (fs.rename(src, rootP)) {
+          val nestedP = new org.apache.hadoop.fs.Path(rootP, src.getName)
+          if (fs.exists(nestedP)) {
+            // raced again between the check and the rename: the restore
+            // nested `src` inside a re-created root — un-nest and retry
+            require(fs.rename(nestedP, src),
+              s"$op on $table: rollback raced a concurrent writer and could " +
+                s"not be un-nested from $nestedP — table data is there")
+          } else done = true
+        }
+      }
+      strays.toSeq
+    }
+
     // ---- the swap ----
     preRetireHook()
     require(fs.rename(rootP, retired),
@@ -581,8 +640,7 @@ private[plans] object GraftSchemaRewrite {
     val lateFiles = ScbfDataSource.resolveFiles(Seq(retired.toString), conf)
       .map(_.getPath.getName).toSet -- snapshot.map(_.getPath.getName).toSet
     if (lateFiles.nonEmpty) {
-      require(fs.rename(retired, rootP),
-        s"$op on $table: rollback rename failed — table data is at $retired")
+      renameBackToRoot(retired) // nesting-guarded, racer roots set aside
       fs.delete(successor, true)
       throw new graft.scbf.ScbfFormatException(
         s"$op on $table aborted: files were appended concurrently " +
@@ -601,9 +659,16 @@ private[plans] object GraftSchemaRewrite {
     val retiredLog = ScbfDiscovery.dir(retired)
     val succLog = ScbfDiscovery.dir(successor)
     var announcedNames = Set.empty[String]
+    // tracks whether the ORIGINAL log was moved into the successor: the
+    // abort path must only move a log back when it moved one out — a
+    // previously log-less table must not inherit the successor write's
+    // fresh log (it would announce only files the abort deletes,
+    // poisoning later time travel with phantom entries)
+    var logMoved = false
     if (fs.exists(retiredLog)) {
       fs.delete(succLog, true)
       fs.rename(retiredLog, succLog)
+      logMoved = true
       val now = System.currentTimeMillis()
       val oldByDir = snapshot.groupBy(f => rel(f.getPath.getParent))
         .view.mapValues(_.map(f => rel(f.getPath)).sorted).toMap
@@ -632,23 +697,21 @@ private[plans] object GraftSchemaRewrite {
     // the log they would poison later time travel as phantom removals),
     // and restore the original directory untouched.
     def abortConcurrentRoot(): Nothing = {
-      val stray = new org.apache.hadoop.fs.Path(rootDir + s".concurrent-$tag-$uuid")
-      require(fs.rename(rootP, stray),
-        s"$op on $table: a concurrent writer re-created $rootP mid-swap and " +
-          s"it could not be set aside — table data is intact at $retired")
-      if (fs.exists(succLog)) {
+      // only un-move a log this rewrite moved OUT (see logMoved)
+      if (logMoved && fs.exists(succLog)) {
         fs.delete(retiredLog, true)
         fs.rename(succLog, retiredLog)
         ScbfDiscovery.scrubEntries(fs.makeQualified(retired), conf, announcedNames)
       }
-      require(fs.rename(retired, rootP),
-        s"$op on $table: rollback rename failed — table data is at $retired")
+      val strays = renameBackToRoot(retired)
       fs.delete(successor, true)
       throw new graft.scbf.ScbfFormatException(
         s"$op on $table aborted: a concurrent writer re-created the table " +
-          s"root mid-swap; its partial output was set aside at $stray " +
-          "(inspect or delete it). The table is unchanged; re-run when " +
-          "ingest settles.")
+          s"root mid-swap" +
+          (if (strays.isEmpty) ""
+           else s"; its partial output was set aside at ${strays.mkString(", ")} " +
+             "(inspect or delete it)") +
+          ". The table is unchanged; re-run when ingest settles.")
     }
     swapRaceHook(0)
     if (fs.exists(rootP)) abortConcurrentRoot()
@@ -718,7 +781,11 @@ case class GraftDescribeHistoryCommand(table: String,
       AttributeReference("files", IntegerType, nullable = false)(),
       AttributeReference("bytes", LongType, nullable = false)(),
       AttributeReference("rows_changed", BooleanType, nullable = false)(),
-      AttributeReference("commit", StringType, nullable = false)())
+      AttributeReference("commit", StringType, nullable = false)(),
+      // victims named by this commit's removal/rewrite entries — a
+      // RESTORE/takedown commit is files=0, removed=50k, not a
+      // one-file append (its sentinel is not a data file)
+      AttributeReference("removed", LongType, nullable = false)())
     else Seq(
       AttributeReference("ts", TimestampType, nullable = false)(),
       AttributeReference("action", StringType, nullable = false)(),
@@ -758,11 +825,14 @@ case class GraftDescribeHistoryCommand(table: String,
     val wanted = chain.zipWithIndex.reverse.take(limit.getOrElse(chain.size))
     wanted.map { case (name, version) =>
       // streamed fold over the delta: counts/max, never an entry Seq —
-      // a fold snapshot's summary row costs O(1) retained memory
+      // a fold snapshot's summary row costs O(1) retained memory.
+      // `files` counts DATA files only (len >= 0); removal sentinels
+      // count their victims under `removed` instead.
       var files = 0; var bytes = 0L; var maxTs = Long.MinValue
-      var rowsChanged = false
+      var rowsChanged = false; var removed = 0L
       ScbfDiscovery.readDeltaStream(qroot, conf, name) { e =>
-        files += 1; bytes += Math.max(e.len, 0L)
+        if (e.len >= 0) { files += 1; bytes += e.len }
+        removed += e.rewriteOf.size
         if (e.ts > maxTs) maxTs = e.ts
         rowsChanged ||= e.rowsChanged
       }
@@ -771,7 +841,7 @@ case class GraftDescribeHistoryCommand(table: String,
       else maxTs
       Row(version, new java.sql.Timestamp(ts),
         if (ScbfDiscovery.isFold(name)) "fold" else "commit",
-        files, bytes, rowsChanged, name)
+        files, bytes, rowsChanged, name, removed)
     }
   }
 
@@ -903,25 +973,19 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
     // graft-catalog tables resolve through their own catalog (the table
     // IS its warehouse directory) — same resolution as DESCRIBE HISTORY
     val rootP0 = GraftSqlParser.resolveAnyScbfDir(spark, table)
+    // BEFORE point resolution: a clone has no chain, and VERSION AS OF
+    // would otherwise die on the generic no-log error instead of the
+    // clone contract
+    graft.sources.ScbfClone.refuseIfClone(rootP0, conf, "RESTORE TABLE")
     val ts = point match {
       case RestoreAtMillis(millis) => millis
       case RestoreAtLiteral(lit) =>
-        import org.apache.spark.sql.catalyst.util.DateTimeUtils
-        val micros = DateTimeUtils.stringToTimestamp(
-          org.apache.spark.unsafe.types.UTF8String.fromString(lit),
-          DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone))
-          .getOrElse(throw new graft.scbf.ScbfFormatException(
-            s"RESTORE TABLE $table: cannot parse timestamp literal '$lit' " +
-              "(session timezone " +
-              s"${spark.sessionState.conf.sessionLocalTimeZone}). Use " +
-              "'yyyy-MM-dd HH:mm:ss[.SSS]' or epoch millis."))
-        Math.floorDiv(micros, 1000L)
+        GraftSqlParser.sessionTsLiteralMillis(spark, lit, s"RESTORE TABLE $table")
       case RestoreAtVersion(v) =>
         val fs0 = rootP0.getFileSystem(conf)
         ScbfDiscovery.versionTs(fs0.makeQualified(rootP0), conf, v)
     }
     val rootP = rootP0
-    graft.sources.ScbfClone.refuseIfClone(rootP, conf, "RESTORE TABLE")
     val fs = rootP.getFileSystem(conf)
     val qroot = fs.makeQualified(rootP)
     def rel(p: org.apache.hadoop.fs.Path): String =
@@ -1011,20 +1075,22 @@ case class GraftShallowCloneCommand(target: String, source: String,
     val fs = srcDir.getFileSystem(conf)
     val qsrc = fs.makeQualified(srcDir)
     // the source's CURRENT listing (flattens through a clone source's
-    // own refs), or its AS OF rendering from the discovery log
+    // own refs), or its AS OF rendering from the discovery log. An
+    // AS OF over a CLONE source refuses with the clone contract (a
+    // clone records no chain; the generic no-log error would mislead).
     val files = (axis, point) match {
       case (None, _) => ScbfDataSource.resolveFiles(Seq(qsrc.toString), conf)
       case (Some(a), Some(raw)) =>
+        if (graft.sources.ScbfClone.isClone(qsrc, conf))
+          throw new graft.scbf.ScbfFormatException(
+            s"SHALLOW CLONE $source $a AS OF: the source is itself a " +
+              "SHALLOW CLONE — a frozen rendering with no version chain of " +
+              "its own. Clone it live (no AS OF), or clone the ORIGINAL " +
+              "table at the point you need.")
         val ts = a match {
           case "TIMESTAMP" if raw.startsWith("'") =>
-            import org.apache.spark.sql.catalyst.util.DateTimeUtils
-            val micros = DateTimeUtils.stringToTimestamp(
-              org.apache.spark.unsafe.types.UTF8String.fromString(
-                raw.substring(1, raw.length - 1)),
-              DateTimeUtils.getZoneId(spark.sessionState.conf.sessionLocalTimeZone))
-              .getOrElse(throw new graft.scbf.ScbfFormatException(
-                s"SHALLOW CLONE $source: cannot parse timestamp literal $raw"))
-            Math.floorDiv(micros, 1000L)
+            GraftSqlParser.sessionTsLiteralMillis(spark,
+              raw.substring(1, raw.length - 1), s"SHALLOW CLONE $source")
           case "TIMESTAMP" => raw.toLong
           case _ => // VERSION — quoted digits or bare; same mapping as SELECT's
             val v = raw.stripPrefix("'").stripSuffix("'").toIntOption
@@ -1054,9 +1120,14 @@ case class GraftShallowCloneCommand(target: String, source: String,
     val loc = location.getOrElse(
       spark.sessionState.catalog.defaultTablePath(ti).toString)
     val locP = new org.apache.hadoop.fs.Path(loc)
+    require(!ScbfClone.isClone(locP, conf),
+      s"SHALLOW CLONE: target location $loc already holds a clone ref file " +
+        "— an aborted clone; delete it (or the directory) and re-run")
     require(ScbfDataSource.resolveFiles(Seq(loc), conf).isEmpty,
       s"SHALLOW CLONE: target location $loc already holds data files")
-    ScbfClone.write(locP, conf, qsrc, files)
+    // catalog entry FIRST, refs second: a createTable failure must not
+    // strand a ref file that bricks retries; a ref-write failure drops
+    // the just-created entry so neither half survives alone
     val storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
       .copy(locationUri = Some(locP.toUri))
     spark.sessionState.catalog.createTable(
@@ -1067,6 +1138,14 @@ case class GraftShallowCloneCommand(target: String, source: String,
         schema = schema,
         provider = Some("scbf")),
       ignoreIfExists = false)
+    try ScbfClone.write(locP, conf, qsrc, files)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try spark.sessionState.catalog.dropTable(ti,
+          ignoreIfNotExists = true, purge = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     Seq(Row(files.size, files.map(_.getLen).sum))
   }
 }

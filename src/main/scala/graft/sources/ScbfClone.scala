@@ -124,11 +124,21 @@ object ScbfClone {
   }
 
   /** ONE referenced file's status — schema inference needs a single
-   * header, so a 10⁵-ref clone must not stat every ref for it. */
+   * header, so a 10⁵-ref clone must not stat every ref for it. A
+   * dangling first ref refuses with the same contract as [[resolve]]
+   * (schema inference is just the earliest reader to trip over it). */
   def firstRef(dir: Path, conf: Configuration): Option[FileStatus] =
     read(dir, conf).flatMap { case (src, refs) =>
       refs.headOption.map { case (p, _) =>
-        src.getFileSystem(conf).getFileStatus(p)
+        try src.getFileSystem(conf).getFileStatus(p)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new ScbfFormatException(
+              s"shallow clone at $dir: referenced file $p no longer exists. " +
+                s"A mutating operation on the source ($src) rewrote or " +
+                "removed bytes the clone references; re-create the clone " +
+                "from the current source, or keep a materialized CTAS copy.")
+        }
       }
     }
 

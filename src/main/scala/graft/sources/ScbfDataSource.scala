@@ -110,20 +110,29 @@ object ScbfDataSource {
       // directories recurse into `k=v`-named children (Hive-style
       // partition layout, ScbfPartitions) — and ONLY those, so an
       // unrelated nested directory never leaks files into the table
-      def walk(d: org.apache.hadoop.fs.FileStatus): Seq[FileStatus] =
-        fs.listStatus(d.getPath).toSeq.flatMap {
+      def walkChildren(children: Seq[FileStatus]): Seq[FileStatus] =
+        children.flatMap {
           case c if c.isDirectory && !isHidden(c.getPath) &&
-              c.getPath.getName.indexOf('=') > 0 => walk(c)
+              c.getPath.getName.indexOf('=') > 0 =>
+            walkChildren(fs.listStatus(c.getPath).toSeq)
           case c if c.isFile && c.getPath.getName.endsWith(Scbf.FileExtension) &&
               !isHidden(c.getPath) => Seq(c)
           case _ => Seq.empty
         }
       globbed.flatMap {
         // a SHALLOW CLONE directory's data is its ref list ∪ its own
-        // (appended) files — the refs resolve length-guarded through
-        // ScbfClone, everything else walks as usual
+        // (appended) files. Clone detection rides the top-level listing
+        // the walk pays anyway (the ref file is one of its hidden
+        // children) — a non-clone table never pays an extra RPC for
+        // the feature's existence on this hot planning path.
         case d if d.isDirectory =>
-          ScbfClone.resolve(d.getPath, conf) ++ walk(d)
+          val children = fs.listStatus(d.getPath).toSeq
+          val refs =
+            if (children.exists(c => c.isFile &&
+                c.getPath.getName == ScbfClone.RefFile))
+              ScbfClone.resolve(d.getPath, conf)
+            else Seq.empty
+          refs ++ walkChildren(children)
         case f if isHidden(f.getPath) => Seq.empty
         case f => Seq(f)
       }
@@ -185,10 +194,16 @@ object ScbfDataSource {
       globbed.flatMap {
         // clone refs are never directory-pruned (a clone is a flat
         // relation); per-file stats/bloom pruning still applies to
-        // them downstream, off the SOURCE directories' sidecars
+        // them downstream, off the SOURCE directories' sidecars.
+        // Detection rides pruneResolve's own root listing (the
+        // rootChildHook seam) — no extra RPC for non-clone tables.
         case d if d.isDirectory =>
-          ScbfClone.resolve(d.getPath, conf) ++
-            ScbfPartitions.pruneResolve(d.getPath, conf, schema, filters, qroots)
+          var hasRef = false
+          val pruned = ScbfPartitions.pruneResolve(d.getPath, conf, schema,
+            filters, qroots,
+            c => if (c.isFile && c.getPath.getName == ScbfClone.RefFile)
+              hasRef = true)
+          (if (hasRef) ScbfClone.resolve(d.getPath, conf) else Seq.empty) ++ pruned
         case f if isHidden(f.getPath) => Seq.empty
         case f                        => Seq(f)
       }

@@ -423,18 +423,24 @@ object ScbfPartitions {
    * (its files are then subject to the per-file stats pass, and every
    * filter stays residual — correctness never depends on the prune).
    */
+  /** `rootChildHook` sees every DIRECT child of the root during the
+   * listing the walk pays anyway — the zero-extra-RPC seam the clone
+   * layer uses to detect its (hidden) ref file on the planning hot
+   * path without a per-table exists() probe. */
   def pruneResolve(root: Path, conf: Configuration, schema: StructType,
-      filters: Seq[Filter], qroots: Seq[String]): Seq[FileStatus] = {
+      filters: Seq[Filter], qroots: Seq[String],
+      rootChildHook: FileStatus => Unit = _ => ()): Seq[FileStatus] = {
     val fs = root.getFileSystem(conf)
     val usable = filters.filter(ScbfStats.usable)
     def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
     val out = Seq.newBuilder[FileStatus]
-    def walk(d: Path): Unit = {
+    def walk(d: Path, isRoot: Boolean): Unit = {
       recordListing(d)
       val children =
         try fs.listStatus(d).toSeq
         catch { case _: java.io.FileNotFoundException => Seq.empty }
       children.foreach { c =>
+        if (isRoot) rootChildHook(c)
         val n = c.getPath.getName
         if (c.isFile && !hidden(n) && n.endsWith(graft.scbf.Scbf.FileExtension))
           out += c
@@ -442,11 +448,11 @@ object ScbfPartitions {
           val cells = partValues(new Path(c.getPath, "f"), schema, qroots)
           if (usable.isEmpty || cells.isEmpty ||
               ScbfStats.mayMatch(usable, synth(cells, schema)))
-            walk(c.getPath)
+            walk(c.getPath, isRoot = false)
         }
       }
     }
-    walk(fs.makeQualified(root))
+    walk(fs.makeQualified(root), isRoot = true)
     out.result()
   }
 

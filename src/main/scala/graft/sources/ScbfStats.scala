@@ -263,14 +263,8 @@ object ScbfStats {
                 if (sm == "-") None else Some(sm.toLong))
             case _ =>
           } else line.split("\t", 5) match {
-            case Array(_, cn, mn, mx, e) =>
-              strCols += cn -> StrRange(b64d.decode(mn),
-                if (mx == "-") None else Some(b64d.decode(mx)),
-                exactMin = e == "E:11" || e == "E:10",
-                exactMax = e == "E:11" || e == "E:01")
-            case Array(_, cn, mn, mx) =>
-              strCols += cn -> StrRange(b64d.decode(mn),
-                if (mx == "-") None else Some(b64d.decode(mx)))
+            case Array(_, cn, mn, mx, e) => strCols += cn -> parseStrRange(mn, mx, Some(e))
+            case Array(_, cn, mn, mx)    => strCols += cn -> parseStrRange(mn, mx, None)
             case _ =>
           }
           line = in.readLine()
@@ -903,6 +897,15 @@ object ScbfStats {
   private def eFlags(r: StrRange): String =
     s"E:${if (r.exactMin) 1 else 0}${if (r.exactMax) 1 else 0}"
 
+  /** Dual of [[eFlags]] — the ONE decoder for a string-bounds line's
+   * fields (`scol` and `dirsumscol` share it); a missing 5th field
+   * (pre-flag writers) parses to inexact, the conservative reading. */
+  private def parseStrRange(mn: String, mx: String, e: Option[String]): StrRange =
+    StrRange(b64d.decode(mn),
+      if (mx == "-") None else Some(b64d.decode(mx)),
+      exactMin = e.exists(v => v == "E:11" || v == "E:10"),
+      exactMax = e.exists(v => v == "E:11" || v == "E:01"))
+
   private def render(stats: FileStats, withNdv: Boolean = true): String = {
     val sb = new StringBuilder(s"rows\t${stats.rows}\n")
     stats.cols.toSeq.sortBy(_._1).foreach { case (n, r) =>
@@ -949,14 +952,8 @@ object ScbfStats {
     }.toMap
     val strCols = lines.collect { case l if l.startsWith("scol\t") =>
       l.split("\t", 5) match {
-        case Array(_, n, mn, mx, e) =>
-          n -> StrRange(b64d.decode(mn),
-            if (mx == "-") None else Some(b64d.decode(mx)),
-            exactMin = e == "E:11" || e == "E:10",
-            exactMax = e == "E:11" || e == "E:01")
-        case Array(_, n, mn, mx) =>
-          n -> StrRange(b64d.decode(mn),
-            if (mx == "-") None else Some(b64d.decode(mx)))
+        case Array(_, n, mn, mx, e) => n -> parseStrRange(mn, mx, Some(e))
+        case Array(_, n, mn, mx)    => n -> parseStrRange(mn, mx, None)
       }
     }.toMap
     val ndvs = lines.collect { case l if l.startsWith("ndv\t") =>

@@ -284,6 +284,10 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.sql(s"RESTORE TABLE sqlhist_lim TO VERSION AS OF 1")
         .head().getInt(0) > 0)
       assert(spark.table("sqlhist_lim").count() == 200L)
+      // the restore's commit row is a TAKEDOWN, not a one-file append:
+      // its sentinel is no data file — files=0, removed counts victims
+      val rest = spark.sql("DESCRIBE HISTORY sqlhist_lim COMMITS LIMIT 1").head()
+      assert(rest.getInt(3) == 0 && rest.getLong(7) > 0, rest.toString)
     } finally spark.sql("DROP TABLE IF EXISTS sqlhist_lim")
   }
 
@@ -381,6 +385,38 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
         .option("asOfTimestamp", System.currentTimeMillis())
         .load(dir).count() == 150L)
     } finally spark.sql("DROP TABLE IF EXISTS restrace")
+  }
+
+  test("an aborted swap on a LOG-LESS table must not implant the successor's fresh log") {
+    val dir = tmpDir("scbf-swaplogless")
+    spark.sql("DROP TABLE IF EXISTS swaplogless")
+    val fs = new Path(dir).getFileSystem(hconf)
+    fs.delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE swaplogless (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
+      spark.sql("INSERT INTO swaplogless SELECT CAST(id AS INT), 1.0 FROM range(0, 50)")
+      // make the table LOG-LESS (the foreign/reference-tool shape):
+      // the rewrite's own successor WRITE creates a fresh log — an
+      // abort must not move that log into the restored table, where
+      // it would announce only files the abort deletes (phantom
+      // entries poisoning DESCRIBE HISTORY and time travel)
+      fs.delete(graft.sources.ScbfDiscovery.dir(
+        fs.makeQualified(new Path(dir))), true)
+      GraftSchemaRewrite.swapRaceHook = p => if (p == 0) {
+        fs.mkdirs(new Path(dir))
+        val out = fs.create(new Path(dir, ".racer.tmp"), true)
+        out.write(1); out.close()
+      }
+      val e =
+        try intercept[Exception] {
+          spark.sql("ALTER TABLE swaplogless ADD COLUMN flag INT DEFAULT 0")
+        } finally GraftSchemaRewrite.swapRaceHook = _ => ()
+      assert(e.getMessage.contains("concurrent writer re-created"), e.getMessage)
+      assert(spark.table("swaplogless").count() == 50L)
+      assert(!graft.sources.ScbfDiscovery.exists(
+        fs.makeQualified(new Path(dir)), hconf),
+        "the abort implanted the successor's fresh log into a log-less table")
+    } finally spark.sql("DROP TABLE IF EXISTS swaplogless")
   }
 
   test("ALTER TABLE swap aborts when a concurrent writer re-creates the root (both phases)") {
