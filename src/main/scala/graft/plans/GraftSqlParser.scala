@@ -640,12 +640,16 @@ private[plans] object GraftSchemaRewrite {
     val lateFiles = ScbfDataSource.resolveFiles(Seq(retired.toString), conf)
       .map(_.getPath.getName).toSet -- snapshot.map(_.getPath.getName).toSet
     if (lateFiles.nonEmpty) {
-      renameBackToRoot(retired) // nesting-guarded, racer roots set aside
+      // nesting-guarded; racer roots set aside and REPORTED
+      val strays = renameBackToRoot(retired)
       fs.delete(successor, true)
       throw new graft.scbf.ScbfFormatException(
         s"$op on $table aborted: files were appended concurrently " +
-          s"(${lateFiles.take(3).mkString(", ")}${if (lateFiles.size > 3) ", …" else ""}). " +
-          "The table is unchanged; re-run when ingest settles.")
+          s"(${lateFiles.take(3).mkString(", ")}${if (lateFiles.size > 3) ", …" else ""})" +
+          (if (strays.isEmpty) ""
+           else s"; racing output set aside at ${strays.mkString(", ")} " +
+             "(inspect or delete it)") +
+          ". The table is unchanged; re-run when ingest settles.")
     }
     // ---- discovery-log continuity, BEFORE the successor is visible ----
     // The root is currently ABSENT (streams' listings and log reads
@@ -667,8 +671,13 @@ private[plans] object GraftSchemaRewrite {
     var logMoved = false
     if (fs.exists(retiredLog)) {
       fs.delete(succLog, true)
-      fs.rename(retiredLog, succLog)
-      logMoved = true
+      // the flag MUST be the rename's actual result: on a failed move
+      // the original log is still in place, and an abort that believed
+      // otherwise would delete it and implant the announce-only
+      // successor log — exactly the invariant the flag enforces
+      logMoved = fs.rename(retiredLog, succLog)
+    }
+    if (logMoved) {
       val now = System.currentTimeMillis()
       val oldByDir = snapshot.groupBy(f => rel(f.getPath.getParent))
         .view.mapValues(_.map(f => rel(f.getPath)).sorted).toMap
@@ -824,18 +833,23 @@ case class GraftDescribeHistoryCommand(table: String,
     // summary row needs one delta parse, nothing table-history-sized)
     val wanted = chain.zipWithIndex.reverse.take(limit.getOrElse(chain.size))
     wanted.map { case (name, version) =>
-      // streamed fold over the delta: counts/max, never an entry Seq —
-      // a fold snapshot's summary row costs O(1) retained memory.
-      // `files` counts DATA files only (len >= 0); removal sentinels
-      // count their victims under `removed` instead.
+      // streamed fold over the delta — counts/max plus a DISTINCT
+      // victim-name set (producers attach the SAME full victim list to
+      // every file a commit publishes — ScbfWrite/ScbfDelete/the swap
+      // announce — so summing rewriteOf sizes would multiply the count
+      // by the commit's output width; the set is transient and bounded
+      // by the delta's victim population). `files` counts DATA files
+      // only (len >= 0); removal sentinels count under `removed`.
       var files = 0; var bytes = 0L; var maxTs = Long.MinValue
-      var rowsChanged = false; var removed = 0L
+      var rowsChanged = false
+      val victims = scala.collection.mutable.HashSet.empty[String]
       ScbfDiscovery.readDeltaStream(qroot, conf, name) { e =>
         if (e.len >= 0) { files += 1; bytes += e.len }
-        removed += e.rewriteOf.size
+        victims ++= e.rewriteOf
         if (e.ts > maxTs) maxTs = e.ts
         rowsChanged ||= e.rowsChanged
       }
+      val removed = victims.size.toLong
       val ts = if (maxTs == Long.MinValue)
         ScbfDiscovery.deltaMillis(name).getOrElse(0L)
       else maxTs

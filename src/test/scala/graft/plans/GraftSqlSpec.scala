@@ -311,6 +311,11 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       val after = lens
       assert(after.size == 3 && after.max <= 2L * (after.sum / 3),
         s"rebalanced layout still skewed: $after")
+      // the rewrite commit's `removed` counts DISTINCT victims (every
+      // output file repeats the same victim list — 3 outputs × 3
+      // victims must read 3, not 9); its 3 outputs are the files count
+      val rw = spark.sql("DESCRIBE HISTORY sqlopt_skew COMMITS LIMIT 1").head()
+      assert(rw.getInt(3) == 3 && rw.getLong(7) == 3L, rw.toString)
       // …and the balanced result converges: the re-run is a no-op
       assert(spark.sql("OPTIMIZE sqlopt_skew FILES 3").head().getInt(0) == 0)
       assert(spark.sql("SELECT COUNT(*), SUM(id) FROM sqlopt_skew").head() ==
