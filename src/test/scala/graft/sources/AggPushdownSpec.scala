@@ -290,6 +290,27 @@ class AggPushdownSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 3 && rows.map(_.getLong(1)).sum == 600L)
   }
 
+  test("grouped MIN/MAX(string) rides the exactness flags per group, zero data opens") {
+    val dir = tmpDir("scbf-aggpush-grpstr")
+    spark.range(0, 600)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("tag"), col("id")).as("tag"),
+        concat(lit("g"), (col("id") % 3).cast("int")).as("grp"))
+      .repartition(3, col("grp"))
+      .write.format("scbf").partitionBy("grp").mode("overwrite").save(dir)
+    val q = spark.read.format("scbf").load(dir)
+      .groupBy(col("grp"))
+      .agg(min(col("tag")).as("mn"), max(col("tag")).as("mx"))
+    assert(plan(q).contains("PushedAggregation"), plan(q))
+    ScbfUtil.dataFileOpens.set(0)
+    val rows = q.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(ScbfUtil.dataFileOpens.get == 0, "grouped string MIN/MAX must answer from stats")
+    (0 until 3).foreach { g =>
+      val tags = (0 until 600).filter(_ % 3 == g).map(i => s"tag$i")
+      assert(rows(s"g$g") == ((tags.min, tags.max)), s"group g$g")
+    }
+  }
+
   test("a keeper partition (0-row file) makes NO group — matching SQL semantics") {
     mkPart("aggp_keep")
     spark.sql("ALTER TABLE aggp_keep ADD PARTITION (grp='empty')")
