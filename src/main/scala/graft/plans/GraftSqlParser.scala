@@ -97,15 +97,15 @@ object GraftSqlParser {
   // metadata cost only; see [[graft.sources.ScbfClone]] for the
   // contract (reads + appends; rewrites refuse; dangling refs loud).
   private val ShallowCloneRe =
-    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
       """(?:\s+(TIMESTAMP|VERSION)\s+AS\s+OF\s+('[^']*'|\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
-    case ShallowCloneRe(target, source, axis, point, location) =>
+    case ShallowCloneRe(orReplace, target, source, axis, point, location) =>
       Some(GraftShallowCloneCommand(target, source,
         Option(axis).map(_.toUpperCase(java.util.Locale.ROOT)),
-        Option(point), Option(location)))
+        Option(point), Option(location), replace = orReplace != null))
     case DescribeHistoryRe(tbl, commits, limit) =>
       Some(GraftDescribeHistoryCommand(tbl, commits = commits != null,
         limit = Option(limit).map(_.toInt)))
@@ -1073,9 +1073,20 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
  * A partitioned source clones as a FLAT relation — partition values
  * live in the data files, so every row reads correctly; only directory
  * pruning/SPJ on the refs is given up (declared zero-copy cost).
+ *
+ * `CREATE OR REPLACE … SHALLOW CLONE` is the one-statement spelling of
+ * every dangling-ref refusal's cure ("re-create the clone"): the
+ * existing table must itself BE a clone (replacing a real table's data
+ * with refs would be silent data loss — refused), its directory is
+ * dropped whole (REPLACE semantics: the branch dies, LOCAL APPENDS
+ * INCLUDED — they were part of the branch), and the new ref list is
+ * taken from the source's current (or AS OF) state at the SAME
+ * location (an explicit different LOCATION refuses — moving the
+ * directory is a different operation).
  */
 case class GraftShallowCloneCommand(target: String, source: String,
-    axis: Option[String], point: Option[String], location: Option[String])
+    axis: Option[String], point: Option[String], location: Option[String],
+    replace: Boolean = false)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -1129,10 +1140,38 @@ case class GraftShallowCloneCommand(target: String, source: String,
       case _ => throw new graft.scbf.ScbfFormatException(
         s"SHALLOW CLONE target must be a session-catalog table name, got $target")
     }
-    require(!spark.sessionState.catalog.tableExists(ti),
-      s"SHALLOW CLONE: target table $target already exists")
+    val exists = spark.sessionState.catalog.tableExists(ti)
+    if (exists && !replace)
+      throw new graft.scbf.ScbfFormatException(
+        s"SHALLOW CLONE: target table $target already exists. If it is a " +
+          "clone you want to re-point at the source's current (or AS OF) " +
+          "state, use CREATE OR REPLACE TABLE … SHALLOW CLONE — REPLACE " +
+          "drops the whole branch, local appends included.")
+    val oldLoc: Option[org.apache.hadoop.fs.Path] = if (exists) {
+      // REPLACE: only a CLONE may be replaced by a clone — replacing a
+      // real table's data files with refs would be silent data loss
+      val oldMeta = spark.sessionState.catalog.getTableMetadata(ti)
+      val old = new org.apache.hadoop.fs.Path(oldMeta.location)
+      require(ScbfClone.isClone(old, conf),
+        s"CREATE OR REPLACE … SHALLOW CLONE: $target exists and is NOT a " +
+          "shallow clone — replacing a real table with a ref list would " +
+          "destroy its data. DROP it explicitly if that is what you want.")
+      location.foreach(l => require(
+        old.getFileSystem(conf).makeQualified(
+          new org.apache.hadoop.fs.Path(l)) ==
+          old.getFileSystem(conf).makeQualified(old),
+        s"CREATE OR REPLACE … SHALLOW CLONE: the existing clone lives at " +
+          s"$old; a different LOCATION ($l) is a move, not a replace — " +
+          "DROP and re-create instead."))
+      spark.sessionState.catalog.dropTable(ti, ignoreIfNotExists = false,
+        purge = false)
+      // the branch dies whole: refs AND local appends
+      old.getFileSystem(conf).delete(old, true)
+      Some(old)
+    } else None
     val loc = location.getOrElse(
-      spark.sessionState.catalog.defaultTablePath(ti).toString)
+      oldLoc.map(_.toString).getOrElse(
+        spark.sessionState.catalog.defaultTablePath(ti).toString))
     val locP = new org.apache.hadoop.fs.Path(loc)
     require(!ScbfClone.isClone(locP, conf),
       s"SHALLOW CLONE: target location $loc already holds a clone ref file " +

@@ -143,6 +143,48 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE OR REPLACE SHALLOW CLONE re-points the branch; real tables refuse") {
+    val src = tmpDir("scbf-clone-repl-src")
+    val cl = tmpDir("scbf-clone-repl") + "/c"
+    new Path(src).getFileSystem(hconf).delete(new Path(src), true)
+    spark.sql("DROP TABLE IF EXISTS clone_rsrc")
+    spark.sql("DROP TABLE IF EXISTS clone_rc")
+    try {
+      spark.sql(s"CREATE TABLE clone_rsrc (id INT) USING scbf LOCATION '$src'")
+      spark.sql("INSERT INTO clone_rsrc SELECT CAST(id AS INT) FROM range(0, 100)")
+      spark.sql(s"CREATE TABLE clone_rc SHALLOW CLONE clone_rsrc LOCATION '$cl'")
+      spark.sql("INSERT INTO clone_rc VALUES (9999)") // local branch work
+      spark.sql("INSERT INTO clone_rsrc SELECT CAST(id AS INT) FROM range(100, 300)")
+      assert(spark.table("clone_rc").count() == 101L)
+      // plain CREATE over the existing clone refuses, naming the cure
+      val e0 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE clone_rc SHALLOW CLONE clone_rsrc LOCATION '$cl'")
+      }
+      assert(e0.getMessage.contains("OR REPLACE"), e0.getMessage)
+      // REPLACE re-points the branch at the source's CURRENT state and
+      // drops the old branch whole — local appends included (REPLACE
+      // semantics, documented loudly)
+      spark.sql("CREATE OR REPLACE TABLE clone_rc SHALLOW CLONE clone_rsrc")
+      assert(spark.table("clone_rc").count() == 300L)
+      assert(spark.table("clone_rc").where("id = 9999").count() == 0L,
+        "REPLACE must drop the old branch's local appends")
+      // …and it is the one-statement cure for a dangling branch
+      spark.sql("DELETE FROM clone_rsrc WHERE id < 50")
+      intercept[Exception](spark.table("clone_rc").count()) // dangled
+      spark.sql("CREATE OR REPLACE TABLE clone_rc SHALLOW CLONE clone_rsrc")
+      assert(spark.table("clone_rc").count() == 250L)
+      // a REAL table never gets silently replaced by a ref list
+      val eReal = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE clone_rsrc SHALLOW CLONE clone_rc")
+      }
+      assert(eReal.getMessage.contains("NOT a shallow clone"), eReal.getMessage)
+      assert(spark.table("clone_rsrc").count() == 250L, "refusal must not mutate")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS clone_rc")
+      spark.sql("DROP TABLE IF EXISTS clone_rsrc")
+    }
+  }
+
   test("rewrite surfaces refuse on a clone; VACUUM on the source never dangles it") {
     val src = tmpDir("scbf-clone-guard-src")
     val cl = tmpDir("scbf-clone-guard") + "/c"
