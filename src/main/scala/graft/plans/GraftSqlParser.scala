@@ -78,6 +78,10 @@ object GraftSqlParser {
   // reads are O(n)-ish, not O(table history).
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)(\s+COMMITS)?(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
+  // Delta-shaped one-row table summary — size/row counts served from
+  // the dirsum head-reads (never a full manifest parse or data open)
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   // Delta-shaped RESTORE: rolls the live table back to its AS OF
   // rendering by REMOVING the files published after the timestamp
   // (exact for append-only history — the same refusal contract as
@@ -109,6 +113,7 @@ object GraftSqlParser {
     case DescribeHistoryRe(tbl, commits, limit) =>
       Some(GraftDescribeHistoryCommand(tbl, commits = commits != null,
         limit = Option(limit).map(_.toInt)))
+    case DescribeDetailRe(tbl) => Some(GraftDescribeDetailCommand(tbl))
     case RestoreRe(tbl, tsLit) =>
       // a string literal resolves at RUN time in the SESSION timezone —
       // the same instant `SELECT … TIMESTAMP AS OF '<literal>'` names
@@ -920,6 +925,64 @@ case class GraftDescribeHistoryCommand(table: String,
       Row(new java.sql.Timestamp(e.ts), action, e.name, e.len, e.rowsChanged,
         if (e.rewriteOf.isEmpty) null else e.rewriteOf.mkString(","))
     }
+  }
+}
+
+/**
+ * `DESCRIBE DETAIL tbl` — the Delta-shaped one-row table summary,
+ * scale-honest by construction: `num_files`/`size_bytes` come from the
+ * one listing the command pays (clone refs resolve through their
+ * length-guarded path like any read), and `rows` is served ONLY from
+ * fingerprint-validated dirsum head-reads — per directory ~200 B, zero
+ * full manifest parses, zero data opens — or is NULL when any
+ * directory's summary cannot vouch for its exact live file set
+ * (unmanifested append, pre-summary manifest, clone refs that are a
+ * subset of their source directory). A NULL is the honest answer; the
+ * exact count is one `SELECT COUNT(*)` away (itself usually
+ * stats-answered). Resolves session-catalog and graft-catalog tables.
+ */
+case class GraftDescribeDetailCommand(table: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("provider", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = true)(),
+    AttributeReference("partition_columns", StringType, nullable = true)(),
+    AttributeReference("is_clone", BooleanType, nullable = false)(),
+    AttributeReference("has_history", BooleanType, nullable = false)(),
+    AttributeReference("commits", IntegerType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{ScbfClone, ScbfDataSource, ScbfDiscovery, ScbfStats}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = GraftSqlParser.resolveAnyScbfDir(spark, table)
+    val fs = dir.getFileSystem(conf)
+    val qroot = fs.makeQualified(dir)
+    val files = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
+    // rows from dirsums only: every directory's summary must
+    // fingerprint-match exactly its listed files, else NULL
+    val byDir = files.groupBy(_.getPath.getParent).toSeq
+    val rows: Option[Long] =
+      if (byDir.isEmpty) Some(0L)
+      else {
+        val sums = byDir.map { case (d, fsIn) =>
+          ScbfStats.readDirSummary(d, conf).filter(_.matches(fsIn))
+        }
+        if (sums.forall(_.isDefined)) Some(sums.map(_.get.rows).sum) else None
+      }
+    val partCols =
+      try {
+        val (_, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+        if (meta.partitionColumnNames.isEmpty) null
+        else meta.partitionColumnNames.mkString(",")
+      } catch { case scala.util.control.NonFatal(_) => null }
+    val hasHistory = ScbfDiscovery.exists(qroot, conf)
+    Seq(Row(qroot.toString, "scbf", files.size, files.map(_.getLen).sum,
+      rows.orNull, partCols, ScbfClone.isClone(qroot, conf), hasHistory,
+      if (hasHistory) ScbfDiscovery.commitChain(qroot, conf).size else null))
   }
 }
 

@@ -291,6 +291,49 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqlhist_lim")
   }
 
+  test("DESCRIBE DETAIL: one row from dirsum head-reads — zero manifest parses, zero opens") {
+    val dir = tmpDir("scbf-sql-detail")
+    spark.sql("DROP TABLE IF EXISTS sqldetail")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql("CREATE TABLE sqldetail (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dir'")
+      spark.sql("""INSERT INTO sqldetail
+        SELECT /*+ REPARTITION(3, grp) */ * FROM (
+          SELECT CAST(id AS INT) AS id,
+            concat('g', CAST(id % 3 AS INT)) AS grp FROM range(0, 600))""")
+      val files = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      ScbfStats.manifestReads.set(0)
+      ScbfStats.summaryReads.set(0)
+      ScbfUtil.dataFileOpens.set(0)
+      val d = spark.sql("DESCRIBE DETAIL sqldetail").head()
+      assert(ScbfStats.manifestReads.get == 0 && ScbfUtil.dataFileOpens.get == 0,
+        s"DETAIL must be head-reads only: manifests=${ScbfStats.manifestReads.get} " +
+          s"opens=${ScbfUtil.dataFileOpens.get}")
+      assert(ScbfStats.summaryReads.get >= 3, "rows must come from dirsums")
+      assert(d.getInt(2) == files.size && d.getLong(3) == files.map(_.getLen).sum, d.toString)
+      assert(d.getLong(4) == 600L, d.toString)
+      assert(d.getString(5) == "grp" && !d.getBoolean(6) && d.getBoolean(7), d.toString)
+      assert(d.getInt(8) >= 1, d.toString)
+      // an out-of-band file the manifests never met: num_files counts
+      // it, rows goes honestly NULL (no summary can vouch)
+      val stray = new Path(new Path(dir, "grp=g0"),
+        "stray" + graft.scbf.Scbf.FileExtension)
+      val w = files.head // copy a real file's bytes under a new name
+      val fsys = stray.getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(fsys, w.getPath, fsys, stray, false, hconf)
+      val d2 = spark.sql("DESCRIBE DETAIL sqldetail").head()
+      assert(d2.getInt(2) == files.size + 1 && d2.isNullAt(4), d2.toString)
+      // a clone's DETAIL says so
+      val cl = tmpDir("scbf-sql-detail-cl") + "/c"
+      spark.sql("DROP TABLE IF EXISTS sqldetail_c")
+      spark.sql(s"CREATE TABLE sqldetail_c SHALLOW CLONE sqldetail LOCATION '$cl'")
+      val d3 = spark.sql("DESCRIBE DETAIL sqldetail_c").head()
+      assert(d3.getBoolean(6) && d3.getInt(2) == files.size + 1, d3.toString)
+      spark.sql("DROP TABLE IF EXISTS sqldetail_c")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldetail")
+  }
+
   test("OPTIMIZE rebalances an equal-count skewed layout; balanced re-runs converge") {
     val dir = tmpDir("scbf-sql-skew")
     spark.sql("DROP TABLE IF EXISTS sqlopt_skew")
