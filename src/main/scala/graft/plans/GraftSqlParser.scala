@@ -963,22 +963,47 @@ case class GraftDescribeDetailCommand(table: String)
     val qroot = fs.makeQualified(dir)
     val files = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
     // rows from dirsums only: every directory's summary must
-    // fingerprint-match exactly its listed files, else NULL
+    // fingerprint-match exactly its listed files, else NULL —
+    // short-circuiting on the first directory that cannot vouch (a
+    // 10⁴-partition table with one unmanifested append answers NULL
+    // after ONE head-read, not 10⁴)
     val byDir = files.groupBy(_.getPath.getParent).toSeq
     val rows: Option[Long] =
       if (byDir.isEmpty) Some(0L)
       else {
-        val sums = byDir.map { case (d, fsIn) =>
-          ScbfStats.readDirSummary(d, conf).filter(_.matches(fsIn))
+        var total = 0L
+        var vouched = true
+        val it = byDir.iterator
+        while (vouched && it.hasNext) {
+          val (d, fsIn) = it.next()
+          ScbfStats.readDirSummary(d, conf).filter(_.matches(fsIn)) match {
+            case Some(s) => total += s.rows
+            case None    => vouched = false
+          }
         }
-        if (sums.forall(_.isDefined)) Some(sums.map(_.get.rows).sum) else None
+        if (vouched) Some(total) else None
       }
-    val partCols =
-      try {
-        val (_, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
-        if (meta.partitionColumnNames.isEmpty) null
-        else meta.partitionColumnNames.mkString(",")
-      } catch { case scala.util.control.NonFatal(_) => null }
+    // partitioning: graft-catalog tables resolve through their own
+    // catalog's transforms (mirroring resolveAnyScbfDir's dispatch);
+    // session-catalog errors stay LOUD — no blanket swallow
+    val partNames: Seq[String] = {
+      val parts = table.split('.')
+      val viaGraft: Option[Seq[String]] =
+        if (parts.length >= 3) {
+          try spark.sessionState.catalogManager.catalog(parts(0)) match {
+            case g: graft.sources.GraftCatalog =>
+              Some(g.loadTable(
+                org.apache.spark.sql.connector.catalog.Identifier.of(
+                  parts.slice(1, parts.length - 1), parts.last))
+                .partitioning().toSeq
+                .flatMap(_.references().toSeq.flatMap(_.fieldNames().toSeq)))
+            case _ => None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        } else None
+      viaGraft.getOrElse(
+        GraftSqlParser.resolveScbfMeta(spark, table)._2.partitionColumnNames)
+    }
+    val partCols = if (partNames.isEmpty) null else partNames.mkString(",")
     val hasHistory = ScbfDiscovery.exists(qroot, conf)
     Seq(Row(qroot.toString, "scbf", files.size, files.map(_.getLen).sum,
       rows.orNull, partCols, ScbfClone.isClone(qroot, conf), hasHistory,

@@ -330,8 +330,23 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       spark.sql(s"CREATE TABLE sqldetail_c SHALLOW CLONE sqldetail LOCATION '$cl'")
       val d3 = spark.sql("DESCRIBE DETAIL sqldetail_c").head()
       assert(d3.getBoolean(6) && d3.getInt(2) == files.size + 1, d3.toString)
+      // graft-catalog tables report their partition transforms too
+      // (resolved through their OWN catalog, not a swallowed error)
+      spark.conf.set("spark.sql.catalog.gdet", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gdet.warehouse", tmpDir("graft-detail-wh"))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gdet.db")
+      spark.sql("DROP TABLE IF EXISTS gdet.db.dt")
+      spark.sql("CREATE TABLE gdet.db.dt (id INT, grp STRING) USING scbf " +
+        "PARTITIONED BY (grp)")
+      spark.sql("INSERT INTO gdet.db.dt SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(0, 20)")
+      val d4 = spark.sql("DESCRIBE DETAIL gdet.db.dt").head()
+      assert(d4.getString(5) == "grp" && d4.getInt(2) > 0, d4.toString)
+      spark.sql("DROP TABLE IF EXISTS gdet.db.dt")
+    } finally {
       spark.sql("DROP TABLE IF EXISTS sqldetail_c")
-    } finally spark.sql("DROP TABLE IF EXISTS sqldetail")
+      spark.sql("DROP TABLE IF EXISTS sqldetail")
+    }
   }
 
   test("OPTIMIZE rebalances an equal-count skewed layout; balanced re-runs converge") {
