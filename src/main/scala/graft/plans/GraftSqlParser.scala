@@ -130,9 +130,10 @@ object GraftSqlParser {
     case RestoreVersionBadRe(tbl) =>
       throw new graft.scbf.ScbfFormatException(
         s"RESTORE TABLE $tbl TO VERSION AS OF needs an integer version — " +
-          "the commit ordinals DESCRIBE HISTORY <tbl> COMMITS shows (current " +
-          "chain, oldest = 0; compaction folds pre-history into version 0 " +
-          "and renumbers). For a durable reference use " +
+          "the commit ordinals DESCRIBE HISTORY <tbl> COMMITS shows " +
+          "(oldest = 0; ordinals are durable across compaction, though a " +
+          "folded-away interior ordinal refuses with the timestamp cure). " +
+          "Timestamps work too: " +
           "RESTORE TABLE ... TO TIMESTAMP AS OF <ts | 'yyyy-MM-dd HH:mm:ss'>.")
     case OptimizeRe(tbl, kind, cols, files) =>
       val colNames = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -833,11 +834,13 @@ case class GraftDescribeHistoryCommand(table: String,
   private def runCommits(qroot: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
     import graft.sources.ScbfDiscovery
-    val chain = ScbfDiscovery.commitChain(qroot, conf)
+    // span-aware ordinals (durable across compaction): a fold row's
+    // version is the LAST ordinal it covers — the state it renders
+    val chain = ScbfDiscovery.versionedChain(qroot, conf)
     // newest first; LIMIT bounds the DELTA READS themselves (one
     // summary row needs one delta parse, nothing table-history-sized)
-    val wanted = chain.zipWithIndex.reverse.take(limit.getOrElse(chain.size))
-    wanted.map { case (name, version) =>
+    val wanted = chain.reverse.take(limit.getOrElse(chain.size))
+    wanted.map { case (name, _, version) =>
       // streamed fold over the delta — counts/max plus a DISTINCT
       // victim-name set (producers attach the SAME full victim list to
       // every file a commit publishes — ScbfWrite/ScbfDelete/the swap
@@ -1005,9 +1008,17 @@ case class GraftDescribeDetailCommand(table: String)
     }
     val partCols = if (partNames.isEmpty) null else partNames.mkString(",")
     val hasHistory = ScbfDiscovery.exists(qroot, conf)
+    // commits = total recorded ordinals (durable across folds), not
+    // the physical delta count — the same axis COMMITS/VERSION AS OF use
+    val commitCount: Any =
+      if (!hasHistory) null
+      else ScbfDiscovery.versionedChain(qroot, conf) match {
+        case Seq() => 0
+        case chain => chain.last._3 + 1
+      }
     Seq(Row(qroot.toString, "scbf", files.size, files.map(_.getLen).sum,
       rows.orNull, partCols, ScbfClone.isClone(qroot, conf), hasHistory,
-      if (hasHistory) ScbfDiscovery.commitChain(qroot, conf).size else null))
+      commitCount))
   }
 }
 
@@ -1171,6 +1182,15 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
  * taken from the source's current (or AS OF) state at the SAME
  * location (an explicit different LOCATION refuses — moving the
  * directory is a different operation).
+ *
+ * REPLACE is STAGED, never destroy-first: the old branch is renamed
+ * aside, the new ref file is published at the original location, the
+ * catalog schema is refreshed in place (the entry is never dropped —
+ * there is no window with no table), and only then is the old branch
+ * deleted. A failure mid-replace leaves either the original branch
+ * restored (ref-write failure → rename back) or, at worst, the new
+ * clone live with the old branch parked at `<loc>.replaced-<uuid>`
+ * (a crash between publish and cleanup — litter, never loss).
  */
 case class GraftShallowCloneCommand(target: String, source: String,
     axis: Option[String], point: Option[String], location: Option[String],
@@ -1235,31 +1255,60 @@ case class GraftShallowCloneCommand(target: String, source: String,
           "clone you want to re-point at the source's current (or AS OF) " +
           "state, use CREATE OR REPLACE TABLE … SHALLOW CLONE — REPLACE " +
           "drops the whole branch, local appends included.")
-    val oldLoc: Option[org.apache.hadoop.fs.Path] = if (exists) {
-      // REPLACE: only a CLONE may be replaced by a clone — replacing a
-      // real table's data files with refs would be silent data loss
+    GraftShallowCloneCommand.raceHook()
+    if (exists) {
+      // REPLACE, staged: only a CLONE may be replaced by a clone —
+      // replacing a real table's data files with refs would be silent
+      // data loss. The old branch is set ASIDE (never destroyed before
+      // the replacement is durably published), the new ref file is
+      // written at the same location, the catalog entry is refreshed
+      // in place (no drop/create — no window with no table), and the
+      // parked branch is deleted LAST.
       val oldMeta = spark.sessionState.catalog.getTableMetadata(ti)
       val old = new org.apache.hadoop.fs.Path(oldMeta.location)
+      val ofs = old.getFileSystem(conf)
       require(ScbfClone.isClone(old, conf),
         s"CREATE OR REPLACE … SHALLOW CLONE: $target exists and is NOT a " +
           "shallow clone — replacing a real table with a ref list would " +
           "destroy its data. DROP it explicitly if that is what you want.")
       location.foreach(l => require(
-        old.getFileSystem(conf).makeQualified(
-          new org.apache.hadoop.fs.Path(l)) ==
-          old.getFileSystem(conf).makeQualified(old),
+        ofs.makeQualified(new org.apache.hadoop.fs.Path(l)) ==
+          ofs.makeQualified(old),
         s"CREATE OR REPLACE … SHALLOW CLONE: the existing clone lives at " +
           s"$old; a different LOCATION ($l) is a move, not a replace — " +
           "DROP and re-create instead."))
-      spark.sessionState.catalog.dropTable(ti, ignoreIfNotExists = false,
-        purge = false)
-      // the branch dies whole: refs AND local appends
-      old.getFileSystem(conf).delete(old, true)
-      Some(old)
-    } else None
+      val retired = new org.apache.hadoop.fs.Path(
+        old + s".replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+      require(ofs.rename(old, retired),
+        s"CREATE OR REPLACE … SHALLOW CLONE: could not set the existing " +
+          s"branch aside ($old → $retired) — nothing was changed")
+      try ScbfClone.write(old, conf, qsrc, files, sourceName = Some(source))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // restore the original branch; a failed restore leaves it
+          // intact at `retired` and the error below says so
+          if (!(try { ofs.delete(old, true); ofs.rename(retired, old) }
+                catch { case scala.util.control.NonFatal(_) => false }))
+            throw new graft.scbf.ScbfFormatException(
+              s"CREATE OR REPLACE … SHALLOW CLONE failed (${e.getMessage}) " +
+                s"and the original branch could not be restored — it is " +
+                s"intact at $retired; rename it back to $old.")
+          throw e
+      }
+      try {
+        spark.sessionState.catalog.alterTable(oldMeta.copy(schema = schema))
+        spark.sessionState.catalog.refreshTable(ti)
+      } catch { case scala.util.control.NonFatal(_) =>
+        // the clone itself is live; a stale catalog schema self-heals
+        // on the next DDL — never fail the replace over it
+        ()
+      }
+      // the replacement is durably published — the old branch dies now
+      ofs.delete(retired, true)
+      return Seq(Row(files.size, files.map(_.getLen).sum))
+    }
     val loc = location.getOrElse(
-      oldLoc.map(_.toString).getOrElse(
-        spark.sessionState.catalog.defaultTablePath(ti).toString))
+      spark.sessionState.catalog.defaultTablePath(ti).toString)
     val locP = new org.apache.hadoop.fs.Path(loc)
     require(!ScbfClone.isClone(locP, conf),
       s"SHALLOW CLONE: target location $loc already holds a clone ref file " +
@@ -1279,7 +1328,7 @@ case class GraftShallowCloneCommand(target: String, source: String,
         schema = schema,
         provider = Some("scbf")),
       ignoreIfExists = false)
-    try ScbfClone.write(locP, conf, qsrc, files)
+    try ScbfClone.write(locP, conf, qsrc, files, sourceName = Some(source))
     catch {
       case scala.util.control.NonFatal(e) =>
         try spark.sessionState.catalog.dropTable(ti,
@@ -1289,6 +1338,18 @@ case class GraftShallowCloneCommand(target: String, source: String,
     }
     Seq(Row(files.size, files.map(_.getLen).sum))
   }
+}
+
+object GraftShallowCloneCommand {
+  /** Test seam: invoked AFTER the source file list is captured and
+   * BEFORE the ref file is written — the window a source mutation
+   * (DELETE, OPTIMIZE, RESTORE) can land in. The contract the chaos
+   * specs pin: the create still succeeds (the ref list is a snapshot
+   * of the captured listing), and the FIRST READ either resolves a
+   * valid branch or refuses loudly with the dangling-ref contract
+   * naming CREATE OR REPLACE as the cure — never a torn ref file,
+   * never a silently partial table. */
+  private[plans] var raceHook: () => Unit = () => ()
 }
 
 /** `OPTIMIZE tbl CLUSTER|ZORDER BY (cols) [FILES n]` — snapshot-scoped

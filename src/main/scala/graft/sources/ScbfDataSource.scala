@@ -192,18 +192,21 @@ object ScbfDataSource {
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
       globbed.flatMap {
-        // clone refs are never directory-pruned (a clone is a flat
-        // relation); per-file stats/bloom pruning still applies to
-        // them downstream, off the SOURCE directories' sidecars.
-        // Detection rides pruneResolve's own root listing (the
-        // rootChildHook seam) — no extra RPC for non-clone tables.
+        // clone refs are directory-pruned by their SOURCE-rooted k=v
+        // cells (ScbfClone.resolvePruned — pure path arithmetic, so a
+        // pruned partition's refs are never stat'ed); per-file
+        // stats/bloom pruning still applies to the survivors
+        // downstream, off the SOURCE directories' sidecars. Detection
+        // rides pruneResolve's own root listing (the rootChildHook
+        // seam) — no extra RPC for non-clone tables.
         case d if d.isDirectory =>
           var hasRef = false
           val pruned = ScbfPartitions.pruneResolve(d.getPath, conf, schema,
             filters, qroots,
             c => if (c.isFile && c.getPath.getName == ScbfClone.RefFile)
               hasRef = true)
-          (if (hasRef) ScbfClone.resolve(d.getPath, conf) else Seq.empty) ++ pruned
+          (if (hasRef) ScbfClone.resolvePruned(d.getPath, conf, schema, filters)
+           else Seq.empty) ++ pruned
         case f if isHidden(f.getPath) => Seq.empty
         case f                        => Seq(f)
       }

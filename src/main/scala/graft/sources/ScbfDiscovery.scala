@@ -215,14 +215,19 @@ object ScbfDiscovery {
    * the log restarts — old announcements describe deleted files. Order
    * is delete-then-write: a crash in between leaves an EMPTY log (new
    * files surface at the next reconcile), never stale announcements of
-   * dead files. */
-  def reset(table: Path, conf: Configuration, entries: Seq[Entry]): Unit =
+   * dead files. `preserveTs` is the scrub/rollback spelling: entry
+   * timestamps are HISTORY being rewritten in place and must pass
+   * through verbatim (clamping them would shift `logStart` and every
+   * recorded announce instant); the default (new announcements) rides
+   * the monotonic commit clock like [[append]]. */
+  def reset(table: Path, conf: Configuration, entries: Seq[Entry],
+      preserveTs: Boolean = false): Unit =
     try {
       val d = dir(table)
       val fs = d.getFileSystem(conf)
       if (fs.exists(d)) fs.listStatus(d).foreach(f => fs.delete(f.getPath, false))
       if (entries.nonEmpty) {
-        writeDelta(table, conf, entries)
+        writeDelta(table, conf, entries, preserveTs = preserveTs)
         deltaAppends.incrementAndGet()
       }
     } catch { case NonFatal(_) => () }
@@ -234,6 +239,25 @@ object ScbfDiscovery {
    * so old logs (unmarked folds) and old readers both keep working. */
   def isFold(name: String): Boolean = name.contains("-fold-")
 
+  /** The number of versions a fold snapshot REPRESENTS, recorded in
+   * its name (`delta-<millis>-fold-<span>-<uuid>`) so commit ordinals
+   * stay durable across compaction: a fold covering spans [v, v+span)
+   * keeps every later commit's ordinal exactly what it was before the
+   * fold. None on a pre-span fold name (`delta-<millis>-fold-<uuid>` —
+   * the uuid never contains a dash, so the `-fold-<digits>-` shape
+   * cannot false-match it); those degrade to span 1, the historical
+   * renumbering behavior. */
+  def foldedSpan(name: String): Option[Int] =
+    FoldSpanRe.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  private val FoldSpanRe = """-fold-(\d+)-""".r
+
+  /** How many ordinals one chain delta occupies: a plain commit is 1;
+   * a span-recorded fold is the number of commits it folded (counted
+   * through earlier folds' own spans). */
+  def versionSpan(name: String): Int =
+    if (isFold(name)) foldedSpan(name).getOrElse(1) else 1
+
   /** A delta name's creation-millis prefix (used for newest-first
    * early-stop bounds: every entry in a delta was stamped at or before
    * the delta's own publication). None on an alien name. */
@@ -241,57 +265,130 @@ object ScbfDiscovery {
     name.split('-').lift(1).flatMap(_.toLongOption)
 
   /** The current commit chain, oldest-first — the total order
-   * `VERSION AS OF n` indexes (version n = the state after the chain's
-   * n-th delta). Ordinals are indices into THIS list: compaction folds
-   * pre-history into one `-fold-` snapshot (version 0 afterwards, the
-   * state after the last folded commit), which renumbers older
-   * ordinals — timestamps remain the durable axis, and DESCRIBE
-   * HISTORY COMMITS shows the current mapping. */
+   * `VERSION AS OF n` indexes (version n = the state after the n-th
+   * commit). Compaction folds pre-history into one `-fold-` snapshot
+   * that RECORDS how many versions it covers ([[foldedSpan]]), so
+   * ordinals are durable: `VERSION AS OF 7` names the same state
+   * before and after any number of folds — a fold only changes which
+   * ordinals are individually RENDERABLE (interior folded ordinals
+   * refuse loudly; the fold's last ordinal and everything after it
+   * render exactly as before). Timestamps remain the finest axis. */
   def commitChain(table: Path, conf: Configuration): Seq[String] =
     listDeltas(table, conf).sorted
+
+  /** The chain with each delta's ordinal span: (name, firstVersion,
+   * lastVersion), oldest-first. `lastVersion` is the state the delta
+   * renders; a fold's interior ordinals [first, last) are folded away. */
+  def versionedChain(table: Path, conf: Configuration): Seq[(String, Int, Int)] = {
+    var v = 0
+    commitChain(table, conf).map { n =>
+      val span = versionSpan(n)
+      val t = (n, v, v + span - 1)
+      v += span
+      t
+    }
+  }
 
   /** The instant "the state after commit `version`" names: the max
    * entry timestamp in that delta — feed it to the TIMESTAMP AS OF
    * machinery ([[filesAsOf]]) and the rendering is exactly the chain
-   * prefix 0..version (entry stamps are monotone along the chain up to
-   * millisecond granularity; two commits inside one millisecond are
-   * indistinguishable to the time axis, the documented limit). Loud
-   * refusals for an out-of-range version and an unreadable delta. */
+   * prefix 0..version. Sound because [[append]] enforces strictly-
+   * increasing entry timestamps per table (the monotonic commit
+   * clock): commit n+1's entries are stamped strictly after commit
+   * n's, so the time axis separates every pair of commits. Loud
+   * refusals for an out-of-range version, an ordinal folded away by
+   * compaction (the state still EXISTED — it just has no standalone
+   * delta to bound it; the refusal names the timestamp cure), and an
+   * unreadable delta. */
   def versionTs(table: Path, conf: Configuration, version: Int): Long = {
-    val chain = commitChain(table, conf)
+    val chain = versionedChain(table, conf)
     if (chain.isEmpty)
       throw new graft.scbf.ScbfFormatException(
         s"VERSION AS OF $version on $table: the table has no discovery log — " +
           "no recorded history.")
-    if (version < 0 || version >= chain.size)
+    val total = chain.last._3 + 1
+    if (version < 0 || version >= total)
       throw new graft.scbf.ScbfFormatException(
-        s"VERSION AS OF $version on $table: the current commit chain has " +
-          s"${chain.size} commits (valid versions 0..${chain.size - 1} — " +
-          "see DESCRIBE HISTORY <tbl> COMMITS; compaction folds pre-history " +
-          "into version 0). For points older than the chain records, use " +
-          "TIMESTAMP AS OF <ts>.")
+        s"VERSION AS OF $version on $table: the table has $total recorded " +
+          s"commits (valid versions 0..${total - 1} — see DESCRIBE HISTORY " +
+          "<tbl> COMMITS). Ordinals are durable across compaction; for " +
+          "points older than the log records, use TIMESTAMP AS OF <ts>.")
+    val (name, _, last) = chain.find { case (_, f, l) =>
+      version >= f && version <= l }.get
+    if (version != last)
+      throw new graft.scbf.ScbfFormatException(
+        s"VERSION AS OF $version on $table: that commit was folded into " +
+          s"compaction snapshot $name (which renders version $last, the " +
+          "state after its newest folded commit) — its per-commit boundary " +
+          "no longer has a standalone delta. Use TIMESTAMP AS OF <ts> " +
+          "(timestamps are the finest durable axis; entries keep their " +
+          "original stamps through folds), or a renderable ordinal from " +
+          "DESCRIBE HISTORY <tbl> COMMITS.")
     var maxTs = Long.MinValue
-    readDeltaStream(table, conf, chain(version))(e =>
+    readDeltaStream(table, conf, name)(e =>
       if (e.ts > maxTs) maxTs = e.ts)
     if (maxTs == Long.MinValue)
       throw new graft.scbf.ScbfFormatException(
-        s"VERSION AS OF $version on $table: commit ${chain(version)} is " +
+        s"VERSION AS OF $version on $table: commit $name is " +
           "unreadable or empty — use TIMESTAMP AS OF <ts> from " +
           "DESCRIBE HISTORY instead.")
     maxTs
   }
 
+  /** Per-table monotonic commit clock (this process): the newest entry
+   * timestamp any commit has published. [[writeDelta]] shifts a new
+   * commit's entries past it, so two commits can never share a
+   * millisecond — which is what makes `versionTs`'s max-entry-ts → the
+   * time axis mapping EXACT instead of "exact up to ms granularity"
+   * (the round-11 documented ambiguity: a commit n+1 landing in commit
+   * n's millisecond leaked into version n's rendering). In-process
+   * only: cross-process writers racing inside one millisecond remain
+   * theoretically possible (two JVMs, same table, same ms), but every
+   * connector surface that commits rapidly enough to collide — batch
+   * jobs, streaming epochs, maintenance — runs through one driver. */
+  private val commitClock =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
   private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry],
-      fold: Boolean = false): Unit = {
+      foldSpan: Int = 0, preserveTs: Boolean = false): Unit = {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
-    val name = f"delta-${System.currentTimeMillis()}%013d-${
-      if (fold) "fold-" else ""}${java.util.UUID.randomUUID().toString.take(8)}"
+    // folds and history rewrites preserve entry stamps VERBATIM (they
+    // re-announce old history); only genuinely new commits ride the
+    // monotonic clock
+    val stamped =
+      if (preserveTs || foldSpan > 0 || entries.isEmpty) entries
+      else {
+        val clock = commitClock.computeIfAbsent(
+          fs.makeQualified(d).toString, _ => new AtomicLong(Long.MinValue))
+        var out = entries
+        var done = false
+        while (!done) {
+          val floor = clock.get()
+          val minIn = entries.iterator.map(_.ts).min
+          val shift = if (floor == Long.MinValue || minIn > floor) 0L
+            else floor + 1 - minIn
+          out = if (shift == 0L) entries
+            else entries.map(e => e.copy(ts = e.ts + shift))
+          val newMax = out.iterator.map(_.ts).max
+          done = clock.compareAndSet(floor, math.max(floor, newMax))
+        }
+        out
+      }
+    // name millis must be ≥ every entry stamp (the newest-first
+    // early-stop invariant: entries are stamped at or before their
+    // delta's publication) — a clock-shifted commit can run a few ms
+    // ahead of the wall clock
+    val millis = math.max(System.currentTimeMillis(),
+      if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max)
+    val name = f"delta-$millis%013d-${
+      if (foldSpan > 0) s"fold-$foldSpan-" else ""}${
+      java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(d, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      (Header +: entries.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
+      (Header +: stamped.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
         (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
         (if (e.rowsChanged) "\tC:1" else "")))
         .mkString("\n").getBytes(UTF_8))
@@ -430,12 +527,16 @@ object ScbfDiscovery {
         .flatMap(n => readDelta(table, conf, n))
       val kept = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
       all.foreach(e => if (!names.contains(e.name)) kept(e.name) = e)
-      reset(table, conf, kept.values.toSeq)
+      // history rewritten in place: timestamps pass through verbatim
+      reset(table, conf, kept.values.toSeq, preserveTs = true)
     } catch { case NonFatal(_) => () }
 
   /** Fold every current delta into one union snapshot (last entry per
    * file name wins — replayed-epoch duplicates are identical anyway),
-   * then delete exactly the deltas that were folded. */
+   * then delete exactly the deltas that were folded. The snapshot
+   * records the total ordinal span it covers ([[foldedSpan]] — folds
+   * of folds accumulate through [[versionSpan]]), which is what keeps
+   * `VERSION AS OF` ordinals durable across any number of folds. */
   private def compact(table: Path, conf: Configuration): Unit = {
     val names = listDeltas(table, conf)
     if (names.size <= 1) return
@@ -443,7 +544,9 @@ object ScbfDiscovery {
     // ts-prefixed names sort oldest-first, so later announcements win
     names.sorted.foreach(n =>
       readDelta(table, conf, n).foreach(e => union(e.name) = e))
-    if (union.nonEmpty) writeDelta(table, conf, union.values.toSeq, fold = true)
+    val span = names.iterator.map(versionSpan).sum
+    if (union.nonEmpty)
+      writeDelta(table, conf, union.values.toSeq, foldSpan = math.max(span, 1))
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     names.foreach(n => fs.delete(new Path(d, n), false))

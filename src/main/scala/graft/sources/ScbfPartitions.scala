@@ -473,4 +473,24 @@ object ScbfPartitions {
       })
     }
   }
+
+  /** [[prune]] over bare paths — the clone ref list's shape: refs must
+   * be pruned by their SOURCE-rooted cells BEFORE being stat'ed (the
+   * whole point is never paying a HEAD for a pruned partition's refs,
+   * exactly as the source's walk never lists a pruned directory).
+   * Same per-parent memoized point-interval arithmetic, same
+   * conservative keeps. */
+  def prunePaths(paths: Seq[Path], schema: StructType, filters: Seq[Filter],
+      roots: Seq[String]): Seq[Path] = {
+    if (filters.isEmpty || roots.isEmpty) return paths
+    val usable = filters.filter(ScbfStats.usable)
+    if (usable.isEmpty) return paths
+    val byDir = mutable.Map.empty[Path, Boolean]
+    paths.filter { p =>
+      byDir.getOrElseUpdate(p.getParent, {
+        val pv = partValues(p, schema, roots)
+        pv.isEmpty || ScbfStats.mayMatch(usable, synth(pv, schema))
+      })
+    }
+  }
 }

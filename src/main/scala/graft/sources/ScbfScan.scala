@@ -90,8 +90,11 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     lastAgg match {
       case Some((a, r)) if a eq agg => r
       case _ =>
+        // rootsWithSources: a SHALLOW CLONE's refs live under the
+        // SOURCE root — including it gives them parseable cells, so
+        // the partition-rollup fast path serves branches too
         val r = ScbfAgg.compute(agg, schema, allFiles, conf,
-          ScbfPartitions.qualifiedRoots(tablePaths, conf))
+          ScbfClone.rootsWithSources(tablePaths, conf))
         lastAgg = Some((agg, r))
         r
     }
@@ -247,8 +250,12 @@ class ScbfScan(
    * across planInputPartitions AND every estimateStatistics call. */
   private lazy val lookup = new ScbfStats.Lookup(conf)
 
+  /** Table roots PLUS any SHALLOW CLONE source root (one streamed
+   * 2-line probe per path, once per scan): refs then carry their
+   * source `k=v` cells into the prune, the SPJ keys and the runtime
+   * (DPP) re-plan — partition-grade branches. */
   private lazy val partitionRoots: Seq[String] =
-    ScbfPartitions.qualifiedRoots(tablePaths, conf)
+    ScbfClone.rootsWithSources(tablePaths, conf)
 
   /** Partition-directory pruning FIRST (ScbfPartitions): pure path
    * arithmetic against `col=value` components — so a pruned

@@ -383,7 +383,8 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS gasof.db.tt")
   }
 
-  test("compaction folds the chain: version 0 becomes the fold, ordinals renumber loudly") {
+  test("compaction folds the chain: ordinals stay DURABLE (span-recorded fold); " +
+      "interior folded ordinals refuse with the timestamp cure") {
     val dir = tmpDir("scbf-asof-fold")
     writeWave(dir, 0, 30)
     val tA = tick()
@@ -392,7 +393,8 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(ScbfDiscovery.commitChain(qroot, hconf).size == 2)
     // version n = state after commit n, via the commit's max entry ts
     assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 0)).count() == 30L)
-    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 1)).count() == 80L)
+    val v1tsBefore = ScbfDiscovery.versionTs(qroot, hconf, 1)
+    assert(asOf(dir, v1tsBefore).count() == 80L)
     // drive the appender over CompactThreshold with harmless removal
     // sentinels (len < 0: never planned, never listed) — the fold must
     // collapse the chain to ONE marked snapshot
@@ -405,23 +407,92 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     }
     val chain = ScbfDiscovery.commitChain(qroot, hconf)
     assert(chain.size == 1 && ScbfDiscovery.isFold(chain.head), chain.toString)
-    // the fold is version 0: the state after the LAST folded commit —
-    // per-commit boundaries inside it are gone (tA is still reachable
-    // by timestamp, the durable axis)
-    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 0)).count() == 80L)
+    // the fold RECORDS its span (65 folded commits), so ordinals are
+    // durable: the fold renders version 64 (the state after its newest
+    // folded commit), and the total stays 65
+    assert(ScbfDiscovery.foldedSpan(chain.head).contains(65), chain.head)
+    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 64)).count() == 80L)
     assert(asOf(dir, tA).count() == 30L)
-    val oor = intercept[graft.scbf.ScbfFormatException] {
+    // an INTERIOR folded ordinal refuses loudly with the timestamp cure
+    // — a dashboard pinned to VERSION AS OF 1 can never silently mean a
+    // different state after a fold
+    val folded = intercept[graft.scbf.ScbfFormatException] {
       ScbfDiscovery.versionTs(qroot, hconf, 1)
     }
-    assert(oor.getMessage.contains("valid versions 0..0"), oor.getMessage)
-    // the SQL commit view says so too: one row, kind=fold, version 0
+    assert(folded.getMessage.contains("folded into compaction snapshot") &&
+      folded.getMessage.contains("TIMESTAMP AS OF"), folded.getMessage)
+    // truly out-of-range stays out-of-range with the durable total
+    val oor = intercept[graft.scbf.ScbfFormatException] {
+      ScbfDiscovery.versionTs(qroot, hconf, 65)
+    }
+    assert(oor.getMessage.contains("valid versions 0..64"), oor.getMessage)
+    // the SQL commit view says so too: one row, kind=fold, version 64
     spark.sql("DROP TABLE IF EXISTS tt_fold")
     try {
       spark.sql(s"CREATE TABLE tt_fold (id INT, v DOUBLE) USING scbf LOCATION '$dir'")
       val com = spark.sql("DESCRIBE HISTORY tt_fold COMMITS").collect()
-      assert(com.length == 1 && com.head.getInt(0) == 0 &&
+      assert(com.length == 1 && com.head.getInt(0) == 64 &&
         com.head.getString(2) == "fold", com.mkString("; "))
+      // DESCRIBE DETAIL's commits column reports the durable total
+      val det = spark.sql("DESCRIBE DETAIL tt_fold").collect().head
+      assert(det.getInt(8) == 65, det.toString)
     } finally spark.sql("DROP TABLE IF EXISTS tt_fold")
+  }
+
+  test("VERSION AS OF n renders the SAME state before and after a fold (durable pin)") {
+    val dir = tmpDir("scbf-asof-durable")
+    val qroot = new Path(dir).getFileSystem(hconf).makeQualified(new Path(dir))
+    // 70 single-file waves → the appender folds mid-way (threshold 64);
+    // capture version 67's rendering BEFORE the fold that covers it
+    // can happen again, then verify it is IDENTICAL after more commits
+    // (no fold between capture and check can change it — and the fold
+    // that already happened did not renumber it)
+    (0 until 66).foreach(i => writeWave(dir, i, i + 1))
+    // the chain has folded at least once by now (66 appends > 64)
+    val tsAt60Before = ScbfDiscovery.versionTs(qroot, hconf, 65)
+    val cntBefore = asOf(dir, tsAt60Before).count()
+    // more commits → another fold pass over the existing fold
+    (66 until 70).foreach(i => writeWave(dir, i, i + 1))
+    val chain = ScbfDiscovery.commitChain(qroot, hconf)
+    assert(chain.exists(ScbfDiscovery.isFold), chain.mkString(", "))
+    // same ordinal, same state — ordinals never renumber
+    val tsAfter = ScbfDiscovery.versionTs(qroot, hconf, 65)
+    assert(tsAfter == tsAt60Before,
+      s"version 65 must resolve to the same instant: $tsAfter != $tsAt60Before")
+    assert(asOf(dir, tsAfter).count() == cntBefore)
+    // and the newest ordinal is the durable total minus one
+    val total = ScbfDiscovery.versionedChain(qroot, hconf).last._3 + 1
+    assert(total == 70, s"70 commits recorded, got $total")
+    assert(asOf(dir, ScbfDiscovery.versionTs(qroot, hconf, 69)).count() == 70L)
+  }
+
+  test("rapid same-millisecond commits stay version-separable (monotonic commit clock)") {
+    val dir = tmpDir("scbf-asof-clock")
+    val qroot = new Path(dir).getFileSystem(hconf).makeQualified(new Path(dir))
+    // 30 commits as fast as the appender can go — wall-clock guarantees
+    // several land in one millisecond; the clock must keep every
+    // version's rendering exactly its chain prefix
+    (0 until 30).foreach { i =>
+      ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+        s"f$i.scbf", 100L + i, System.currentTimeMillis())))
+    }
+    val stamps = (0 until 30).map(v => ScbfDiscovery.versionTs(qroot, hconf, v))
+    assert(stamps == stamps.sorted && stamps.distinct.size == 30,
+      s"strictly increasing commit stamps required, got: $stamps")
+    // version v's rendering = exactly v+1 files, for every v — the
+    // round-11 ambiguity (commit n+1 leaking into version n inside one
+    // millisecond) is now impossible, not just documented
+    (0 until 30).foreach { v =>
+      // liveness replay at the version's instant: count announced
+      // names with ts <= versionTs — the same selection filesAsOf
+      // makes before its physical checks
+      var n = 0
+      ScbfDiscovery.commitChain(qroot, hconf).foreach { d =>
+        ScbfDiscovery.readDeltaStream(qroot, hconf, d)(e =>
+          if (e.ts <= stamps(v)) n += 1)
+      }
+      assert(n == v + 1, s"version $v must see ${v + 1} files, saw $n")
+    }
   }
 
   test("partitioned tables time-travel too, with partition pruning intact") {
