@@ -1190,6 +1190,67 @@ object RelationalQueries {
         FROM graft_q62c GROUP BY source""")
     },
 
+    "q63_partitioned_clone" -> { (s, dir) =>
+      // Partition-GRADE SHALLOW CLONE (round 12): the branch of a
+      // partitioned table keeps directory pruning — refs are pruned by
+      // their SOURCE-rooted k=v cells as pure path arithmetic, so a
+      // partition-predicate read stats ONLY the selected partition's
+      // refs and never lists a source partition directory. Three
+      // requires pin that in-query (zero-open creation, ref-stat count
+      // == selected partition's refs, zero source partition listings);
+      // the oracle replays the partition predicate over the source
+      // parquet, so only an exact branch rendering hash-matches.
+      val base = scratchDir(s) + "/graft_scbf_pclone_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      s.sql("DROP TABLE IF EXISTS graft_q63c")
+      s.sql("DROP TABLE IF EXISTS graft_q63")
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(base + "_c"), true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q63_src")
+      s.sql("CREATE TABLE graft_q63 (doc_id INT, source STRING, n_chars INT, " +
+        s"db INT) USING scbf PARTITIONED BY (db) LOCATION '$base'")
+      // two waves → multi-file partitions (pruning must drop FILES, not
+      // get lucky with one-file dirs)
+      s.sql("""INSERT INTO graft_q63
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT),
+          CAST(doc_id % 5 AS INT)
+        FROM graft_q63_src WHERE doc_id % 2 = 0""")
+      s.sql("""INSERT INTO graft_q63
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT),
+          CAST(doc_id % 5 AS INT)
+        FROM graft_q63_src WHERE doc_id % 2 = 1""")
+      graft.sources.ScbfUtil.dataFileOpens.set(0)
+      s.sql(s"CREATE TABLE graft_q63c SHALLOW CLONE graft_q63 " +
+        s"LOCATION '${base}_c'")
+      require(graft.sources.ScbfUtil.dataFileOpens.get == 0,
+        "SHALLOW CLONE of a partitioned table must open zero data files")
+      val qsrc = fs.makeQualified(p).toString
+      val refsAll = graft.sources.ScbfDataSource.resolveFiles(Seq(base), conf)
+      val refsSel = refsAll.count(_.getPath.toString.contains("db=2"))
+      require(refsSel > 0 && refsSel < refsAll.size,
+        s"fixture must be multi-partition: $refsSel of ${refsAll.size}")
+      val q = """SELECT source, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM graft_q63c WHERE db = 2 GROUP BY source"""
+      val pin = s.sql(q)
+      graft.sources.ScbfClone.refStats.set(0)
+      graft.sources.ScbfPartitions.listedDirs.clear()
+      pin.collect()
+      require(graft.sources.ScbfClone.refStats.get == refsSel,
+        s"the branch read must stat ONLY db=2's refs: " +
+          s"${graft.sources.ScbfClone.refStats.get} != $refsSel")
+      val walked = graft.sources.ScbfPartitions.listedDirs
+        .toArray(Array.empty[String]).toSeq
+        .filter(d => d.startsWith(qsrc) && d.contains("db="))
+      require(walked.isEmpty,
+        s"branch pruning is path arithmetic — no source partition may be " +
+          s"listed: $walked")
+      s.sql(q)
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1696,6 +1757,13 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents GROUP BY source""",
+
+    "q63_partitioned_clone" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE doc_id % 5 = 2 GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -1282,8 +1282,10 @@ case class GraftShallowCloneCommand(target: String, source: String,
       require(ofs.rename(old, retired),
         s"CREATE OR REPLACE … SHALLOW CLONE: could not set the existing " +
           s"branch aside ($old → $retired) — nothing was changed")
-      try ScbfClone.write(old, conf, qsrc, files, sourceName = Some(source))
-      catch {
+      try {
+        GraftShallowCloneCommand.replacePublishHook()
+        ScbfClone.write(old, conf, qsrc, files, sourceName = Some(source))
+      } catch {
         case scala.util.control.NonFatal(e) =>
           // restore the original branch; a failed restore leaves it
           // intact at `retired` and the error below says so
@@ -1349,7 +1351,14 @@ object GraftShallowCloneCommand {
    * valid branch or refuses loudly with the dangling-ref contract
    * naming CREATE OR REPLACE as the cure — never a torn ref file,
    * never a silently partial table. */
-  private[plans] var raceHook: () => Unit = () => ()
+  private[graft] var raceHook: () => Unit = () => ()
+
+  /** Test seam inside REPLACE's publish window: after the old branch
+   * was renamed aside, before the new ref file is written — the crash
+   * point the staged design exists for. A throw here must leave the
+   * ORIGINAL branch restored (local appends included), never a
+   * destroyed branch or a missing table. */
+  private[graft] var replacePublishHook: () => Unit = () => ()
 }
 
 /** `OPTIMIZE tbl CLUSTER|ZORDER BY (cols) [FILES n]` — snapshot-scoped

@@ -185,6 +185,191 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitioned clones are partition-grade: pruned refs, rollup pushdown, zero-shuffle SPJ") {
+    val src = tmpDir("scbf-clone-part-src")
+    val cl1 = tmpDir("scbf-clone-part") + "/c1"
+    val cl2 = tmpDir("scbf-clone-part") + "/c2"
+    new Path(src).getFileSystem(hconf).delete(new Path(src), true)
+    Seq("clone_psrc", "clone_pc1", "clone_pc2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      spark.sql("CREATE TABLE clone_psrc (id INT, n INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$src'")
+      // two waves → every partition holds MULTIPLE files
+      (0 until 2).foreach { w =>
+        spark.sql("INSERT INTO clone_psrc SELECT CAST(id AS INT), " +
+          s"CAST(id * 7 + $w AS INT), concat('g', CAST(id % 4 AS INT)) " +
+          s"FROM range(${w * 100}, ${w * 100 + 100})")
+      }
+      spark.sql(s"CREATE TABLE clone_pc1 SHALLOW CLONE clone_psrc LOCATION '$cl1'")
+      val refsAll = ScbfDataSource.resolveFiles(Seq(src), hconf)
+      val refsG1 = refsAll.count(_.getPath.toString.contains("grp=g1"))
+      assert(refsAll.size > refsG1 && refsG1 >= 2, s"fixture: $refsAll")
+      // partition-pruned branch read: only g1's refs are ever STAT'ed
+      // (pure path arithmetic on the ref list — the branch-side
+      // rendering of directory pruning), only g1's files opened, and
+      // no source partition directory is ever LISTED
+      ScbfClone.refStats.set(0)
+      ScbfPartitions.listedDirs.clear()
+      ScbfUtil.dataFileOpens.set(0)
+      val got = spark.table("clone_pc1").where($"grp" === "g1")
+        .agg(sum($"n")).head().getLong(0)
+      val branchOpens = ScbfUtil.dataFileOpens.get
+      val branchStats = ScbfClone.refStats.get
+      import scala.jdk.CollectionConverters._
+      val listedSrcParts = ScbfPartitions.listedDirs.asScala
+        .filter(d => d.startsWith(new Path(src).getFileSystem(hconf)
+          .makeQualified(new Path(src)).toString) && d.contains("grp=")).toSeq
+      val want = spark.table("clone_psrc").where($"grp" === "g1")
+        .agg(sum($"n")).head().getLong(0)
+      assert(got == want, s"pruned branch read parity: $got != $want")
+      assert(branchStats == refsG1,
+        s"a grp=g1 read must stat ONLY g1's refs: $branchStats != $refsG1")
+      assert(branchOpens == refsG1, s"opened $branchOpens of $refsG1")
+      assert(listedSrcParts.isEmpty,
+        s"branch pruning is path arithmetic — no source partition listing: $listedSrcParts")
+      // partition-rollup aggregate pushdown serves the BRANCH from the
+      // source's dirsum head-reads: zero data opens, one row per grp
+      ScbfUtil.dataFileOpens.set(0)
+      val roll = spark.table("clone_pc1").groupBy($"grp")
+        .agg(count(lit(1)).as("cnt"), sum($"n").as("s"))
+      assert(roll.queryExecution.executedPlan.toString.contains("PushedAggregation") ||
+        roll.queryExecution.optimizedPlan.toString.contains("count"), "plan sanity")
+      val rows = roll.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ScbfUtil.dataFileOpens.get == 0,
+        s"branch rollup must be metadata-only, opened ${ScbfUtil.dataFileOpens.get}")
+      val wantRows = spark.table("clone_psrc").groupBy($"grp")
+        .agg(count(lit(1)).as("cnt"), sum($"n").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq == wantRows.toSeq, s"${rows.toSeq} != ${wantRows.toSeq}")
+      // SPJ: two branches of the co-partitioned source join on the
+      // partition column with ZERO shuffle (keys inferred from the
+      // refs' source-rooted cells; broadcast disabled so the plan
+      // can't dodge the assertion)
+      spark.sql(s"CREATE TABLE clone_pc2 SHALLOW CLONE clone_psrc LOCATION '$cl2'")
+      val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("clone_pc1").groupBy($"grp").agg(sum($"n").as("a"))
+          .join(spark.table("clone_pc2").groupBy($"grp").agg(count(lit(1)).as("b")), "grp")
+        val cnt = j.collect().length
+        assert(cnt == 4, s"4 grp rows, got $cnt")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"co-partitioned BRANCH join must not shuffle:\n$plan")
+      } finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      // a LOCAL append lands flat in the clone directory → that branch
+      // honestly loses its key-grouping (a keyless split can't honor
+      // the contract) but keeps reading correctly, pruning included
+      spark.sql("INSERT INTO clone_pc1 VALUES (9999, 1, 'g1')")
+      assert(spark.table("clone_pc1").where($"grp" === "g1").count() ==
+        spark.table("clone_psrc").where($"grp" === "g1").count() + 1)
+    } finally Seq("clone_pc1", "clone_pc2", "clone_psrc")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("clone-create racing source mutations: valid branch or loud dangling refusal, never torn") {
+    val src = tmpDir("scbf-clone-race-src")
+    val cl = tmpDir("scbf-clone-race") + "/c"
+    new Path(src).getFileSystem(hconf).delete(new Path(src), true)
+    Seq("clone_xsrc", "clone_xc").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val cloneCmd = graft.plans.GraftShallowCloneCommand
+    try {
+      spark.sql("CREATE TABLE clone_xsrc (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$src'")
+      spark.sql("INSERT INTO clone_xsrc SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(0, 100)")
+      // interleaving A: a whole-partition DELETE lands between the
+      // source listing and the ref-file publish — the create SUCCEEDS
+      // (the ref list is a snapshot of the captured listing) and the
+      // FIRST READ refuses with the dangling-ref contract naming the
+      // CREATE OR REPLACE cure; the ref file itself is never torn
+      cloneCmd.raceHook =
+        () => spark.sql("DELETE FROM clone_xsrc WHERE grp = 'g0'")
+      try spark.sql(s"CREATE TABLE clone_xc SHALLOW CLONE clone_xsrc LOCATION '$cl'")
+      finally cloneCmd.raceHook = () => ()
+      val meta = ScbfClone.read(new Path(cl), hconf)
+      assert(meta.exists(_.refs.nonEmpty), "ref file must be whole, never torn")
+      val e1 = intercept[Exception](spark.table("clone_xc").count())
+      val m1 = Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(m1.contains("no longer exists") && m1.contains("Re-create the clone"), m1)
+      // the cure works and lands on the post-mutation state
+      spark.sql("CREATE OR REPLACE TABLE clone_xc SHALLOW CLONE clone_xsrc")
+      assert(spark.table("clone_xc").count() ==
+        spark.table("clone_xsrc").count())
+      // interleaving B: OPTIMIZE rewrites the referenced bytes
+      // mid-create — same contract (create succeeds; read refuses
+      // loudly; REPLACE cures). Re-seed multi-file partitions first so
+      // OPTIMIZE has something to fold.
+      spark.sql("INSERT INTO clone_xsrc SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(100, 200)")
+      spark.sql("DROP TABLE IF EXISTS clone_xc")
+      new Path(cl).getFileSystem(hconf).delete(new Path(cl), true)
+      cloneCmd.raceHook = () => spark.sql("OPTIMIZE clone_xsrc")
+      try spark.sql(s"CREATE TABLE clone_xc SHALLOW CLONE clone_xsrc LOCATION '$cl'")
+      finally cloneCmd.raceHook = () => ()
+      assert(ScbfClone.read(new Path(cl), hconf).exists(_.refs.nonEmpty))
+      val e2 = intercept[Exception](spark.table("clone_xc").count())
+      val m2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(m2.contains("shallow clone") &&
+        (m2.contains("no longer exists") || m2.contains("changed length")), m2)
+      spark.sql("CREATE OR REPLACE TABLE clone_xc SHALLOW CLONE clone_xsrc")
+      assert(spark.table("clone_xc").count() ==
+        spark.table("clone_xsrc").count())
+    } finally {
+      cloneCmd.raceHook = () => ()
+      Seq("clone_xc", "clone_xsrc").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("REPLACE is staged: a ref-write failure restores the original branch") {
+    val src = tmpDir("scbf-clone-stage-src")
+    val cl = tmpDir("scbf-clone-stage") + "/c"
+    new Path(src).getFileSystem(hconf).delete(new Path(src), true)
+    Seq("clone_stsrc", "clone_stc").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val cloneCmd = graft.plans.GraftShallowCloneCommand
+    try {
+      spark.sql(s"CREATE TABLE clone_stsrc (id INT) USING scbf LOCATION '$src'")
+      spark.sql("INSERT INTO clone_stsrc SELECT CAST(id AS INT) FROM range(0, 50)")
+      spark.sql(s"CREATE TABLE clone_stc SHALLOW CLONE clone_stsrc LOCATION '$cl'")
+      spark.sql("INSERT INTO clone_stc VALUES (777)") // branch-local work
+      assert(spark.table("clone_stc").count() == 51L)
+      // crash INSIDE the publish window (after the old branch was set
+      // aside, before the new ref file lands) — the staged design's
+      // whole point: the original branch must come back whole
+      cloneCmd.replacePublishHook =
+        () => throw new RuntimeException("simulated publish crash")
+      val e = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE clone_stc SHALLOW CLONE clone_stsrc")
+      }
+      cloneCmd.replacePublishHook = () => ()
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("simulated publish crash"))),
+        e.getMessage)
+      // the original branch is back: same table, same rows, local
+      // append included — REPLACE never destroys before publishing
+      assert(spark.table("clone_stc").count() == 51L,
+        "failed REPLACE must restore the original branch")
+      assert(spark.table("clone_stc").where($"id" === 777).count() == 1L)
+      // and the table is still replaceable (no parked-litter brick)
+      spark.sql("CREATE OR REPLACE TABLE clone_stc SHALLOW CLONE clone_stsrc")
+      assert(spark.table("clone_stc").count() == 50L)
+    } finally {
+      cloneCmd.raceHook = () => ()
+      cloneCmd.replacePublishHook = () => ()
+      Seq("clone_stc", "clone_stsrc").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("rewrite surfaces refuse on a clone; VACUUM on the source never dangles it") {
     val src = tmpDir("scbf-clone-guard-src")
     val cl = tmpDir("scbf-clone-guard") + "/c"
