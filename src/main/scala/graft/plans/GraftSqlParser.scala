@@ -40,6 +40,7 @@ class GraftSqlParser(delegate: ParserInterface,
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText)
       .orElse(GraftSqlParser.alterColumnPlan(sqlText, session))
+      .orElse(GraftSqlParser.showCreatePlan(sqlText, session))
       .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -78,6 +79,18 @@ object GraftSqlParser {
   // reads are O(n)-ish, not O(table history).
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)(\s+COMMITS)?(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
+  // The file-level CHANGE FEED between two points — the resync
+  // primitive incremental consumers lack under onChangeCommit=skip:
+  // `DESCRIBE HISTORY t BETWEEN <p1> AND <p2> [LIMIT n]` enumerates
+  // every add/rewrite/remove published AFTER p1 up to and including p2
+  // (exclusive-start, inclusive-end — so BETWEEN VERSION v1 AND
+  // VERSION v2 is exactly commits v1+1..v2: feed it your last-seen
+  // version and read forward). Points are epoch millis, timestamp
+  // literals (session timezone), or VERSION <n> ordinals.
+  private val DescribeHistoryBetweenRe =
+    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s+BETWEEN\s+""" +
+      """(VERSION\s+\d+|'[^']*'|\d+)\s+AND\s+(VERSION\s+\d+|'[^']*'|\d+)""" +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*""").r
   // Delta-shaped one-row table summary — size/row counts served from
   // the dirsum head-reads (never a full manifest parse or data open)
   private val DescribeDetailRe =
@@ -110,6 +123,17 @@ object GraftSqlParser {
       Some(GraftShallowCloneCommand(target, source,
         Option(axis).map(_.toUpperCase(java.util.Locale.ROOT)),
         Option(point), Option(location), replace = orReplace != null))
+    case DescribeHistoryBetweenRe(tbl, p1, p2, limit) =>
+      def parsePoint(s: String): RestorePoint = {
+        val t = s.trim
+        if (t.toUpperCase(java.util.Locale.ROOT).startsWith("VERSION"))
+          RestoreAtVersion(t.substring("VERSION".length).trim.toInt)
+        else if (t.startsWith("'")) RestoreAtLiteral(t.substring(1, t.length - 1))
+        else RestoreAtMillis(t.toLong)
+      }
+      Some(GraftDescribeHistoryCommand(tbl,
+        limit = Option(limit).map(_.toInt),
+        between = Some((parsePoint(p1), parsePoint(p2)))))
     case DescribeHistoryRe(tbl, commits, limit) =>
       Some(GraftDescribeHistoryCommand(tbl, commits = commits != null,
         limit = Option(limit).map(_.toInt)))
@@ -292,6 +316,30 @@ object GraftSqlParser {
             "supported as managed rewrites.")
       case _ => None
     }
+  }
+
+  // ---- SHOW CREATE TABLE for scbf tables ----
+  // Vanilla Spark's v1 SHOW CREATE TABLE renders USING-provider tables
+  // fine, but knows nothing about SHALLOW CLONEs (it would render a
+  // clone as a plain external table — losing the one fact an operator
+  // re-creating it needs) and cannot resolve graft-catalog tables (the
+  // v2 path). The intercept claims the statement FOR SCBF/GRAFT TABLES
+  // ONLY (the same parse-time catalog probe as the ALTER COLUMN forms);
+  // every other table delegates untouched.
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+
+  private[plans] def showCreatePlan(
+      sql: String, session: Option[SparkSession]): Option[LogicalPlan] = sql match {
+    case ShowCreateRe(tbl) if session.exists { s =>
+      (try { resolveScbfMeta(s, tbl); true }
+        catch { case scala.util.control.NonFatal(_) => false }) ||
+      (tbl.split('.').length >= 3 &&
+        (try s.sessionState.catalogManager.catalog(tbl.split('.')(0))
+          .isInstanceOf[graft.sources.GraftCatalog]
+        catch { case scala.util.control.NonFatal(_) => false }))
+    } => Some(GraftShowCreateTableCommand(tbl))
+    case _ => None
   }
 
   /** A timestamp literal resolved in the SESSION timezone — the same
@@ -783,9 +831,25 @@ private[plans] object GraftSchemaRewrite {
  * than the heap's n-th newest entry — at 10⁶ log entries with a recent
  * tail, `DESCRIBE HISTORY t LIMIT 10` reads a handful of small deltas
  * and materializes ten driver Rows, not a million (HistoryScale).
+ *
+ * `BETWEEN p1 AND p2` is the file-level CHANGE FEED (round 12): the
+ * per-file view windowed to changes published AFTER p1 up to and
+ * including p2 — exclusive-start/inclusive-end BY DESIGN (not SQL
+ * BETWEEN's inclusive-inclusive): `BETWEEN VERSION v1 AND VERSION v2`
+ * then enumerates exactly commits v1+1..v2, which is the resync
+ * contract an incremental consumer needs ("everything since my
+ * last-seen point"). Every action kind flows through — `append` rows
+ * are new files, `rewrite` rows carry their victims in `rewrite_of`,
+ * `remove` rows are metadata-only takedowns/RESTOREs — so replaying
+ * the feed's adds minus its removals/rewrites reconstructs the file-
+ * set delta between the two points. Bounded like LIMIT: deltas named
+ * before p1 are never read (entries are stamped at or before their
+ * delta's publication), so a feed over a recent window of a 10⁶-entry
+ * log reads only the bracketed deltas (HistoryScale).
  */
 case class GraftDescribeHistoryCommand(table: String,
-    commits: Boolean = false, limit: Option[Int] = None)
+    commits: Boolean = false, limit: Option[Int] = None,
+    between: Option[(RestorePoint, RestorePoint)] = None)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
@@ -828,7 +892,25 @@ case class GraftDescribeHistoryCommand(table: String,
           "tool directory has none.")
     }
     limit.foreach(n => require(n > 0, s"DESCRIBE HISTORY LIMIT must be positive, got $n"))
-    if (commits) runCommits(qroot, conf) else runFiles(qroot, conf)
+    val window = between.map { case (p1, p2) =>
+      def resolve(p: RestorePoint, which: String): Long = p match {
+        case RestoreAtMillis(ms) => ms
+        case RestoreAtLiteral(lit) => GraftSqlParser.sessionTsLiteralMillis(
+          spark, lit, s"DESCRIBE HISTORY $table BETWEEN ($which point)")
+        case RestoreAtVersion(v) =>
+          graft.sources.ScbfDiscovery.versionTs(qroot, conf, v)
+      }
+      val lo = resolve(p1, "start")
+      val hi = resolve(p2, "end")
+      if (lo >= hi)
+        throw new graft.scbf.ScbfFormatException(
+          s"DESCRIBE HISTORY $table BETWEEN: the start point ($lo) is not " +
+            s"before the end point ($hi). The feed is exclusive-start/" +
+            "inclusive-end — changes AFTER the first point up to the " +
+            "second; swap the points or widen the window.")
+      (lo, hi)
+    }
+    if (commits) runCommits(qroot, conf) else runFiles(qroot, conf, window)
   }
 
   private def runCommits(qroot: org.apache.hadoop.fs.Path,
@@ -868,14 +950,29 @@ case class GraftDescribeHistoryCommand(table: String,
   }
 
   private def runFiles(qroot: org.apache.hadoop.fs.Path,
-      conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      window: Option[(Long, Long)] = None): Seq[Row] = {
     import graft.sources.ScbfDiscovery
+    // window lower bound: a delta NAMED before the start cannot hold
+    // in-window entries (entries are stamped at or before their
+    // delta's publication) — the feed never reads pre-window deltas.
+    // Deltas named after the end still must be read: a fold published
+    // later re-announces in-window history verbatim (and may be the
+    // only surviving copy of it); the per-entry window filter keeps
+    // the output exact either way.
     val names = ScbfDiscovery.commitChain(qroot, conf).reverse // newest first
+      .filter(n => window.forall { case (lo, _) =>
+        ScbfDiscovery.deltaMillis(n).forall(_ > lo) })
+    def inWindow(e: ScbfDiscovery.Entry): Boolean =
+      window.forall { case (lo, hi) => e.ts > lo && e.ts <= hi }
     val selected: Seq[ScbfDiscovery.Entry] = limit match {
       case None =>
-        // unbounded view: the full first-per-name replay
+        // unbounded view: the full first-per-name replay; the window
+        // applies to each name's FIRST announcement (its publication —
+        // fold copies keep the original stamp, so they can neither
+        // re-admit pre-window files nor hide in-window ones)
         val all = names.flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n))
-        all.groupBy(_.name).values.map(_.minBy(_.ts)).toSeq
+        all.groupBy(_.name).values.map(_.minBy(_.ts)).filter(inWindow).toSeq
       case Some(n) =>
         // bounded: keep the n FIRST entries under the OUTPUT order
         // (newest ts first, name ascending among ties) in a max-heap
@@ -892,6 +989,10 @@ case class GraftDescribeHistoryCommand(table: String,
         val heap = scala.collection.mutable.PriorityQueue
           .empty[(Long, String)](ord) // head = greatest = worst kept
         val inHeap = scala.collection.mutable.HashMap.empty[String, ScbfDiscovery.Entry]
+        // names whose FIRST announcement proved pre-window (a later-
+        // visited delta held an older, out-of-window stamp): the file
+        // was not ADDED in the window, so no copy of it may stay kept
+        val excluded = scala.collection.mutable.HashSet.empty[String]
         val it = names.iterator
         var stop = false
         while (it.hasNext && !stop) {
@@ -900,21 +1001,33 @@ case class GraftDescribeHistoryCommand(table: String,
               ScbfDiscovery.deltaMillis(d).exists(_ < heap.head._1)) stop = true
           else ScbfDiscovery.readDeltaStream(qroot, conf, d) { e =>
             val key = (e.ts, e.name)
-            if (!inHeap.contains(e.name)) {
-              if (heap.size < n) { heap.enqueue(key); inHeap(e.name) = e }
-              else if (ord.compare(key, heap.head) < 0) {
-                inHeap.remove(heap.dequeue()._2)
-                heap.enqueue(key); inHeap(e.name) = e
+            if (!inWindow(e)) {
+              // an out-of-window stamp is this name's true (or earlier)
+              // publication — evict any in-window copy already kept
+              if (window.exists(_._1 >= e.ts)) {
+                excluded += e.name
+                inHeap.remove(e.name).foreach { old =>
+                  val rebuilt = heap.toSeq.filterNot(_ == ((old.ts, e.name)))
+                  heap.clear(); rebuilt.foreach(heap.enqueue(_))
+                }
               }
-            } else if (e.ts < inHeap(e.name).ts) {
-              // a later-visited delta holding the FIRST announcement
-              // (older ts) of a name already selected: keep the
-              // first-per-name rule by replacing the entry value (the
-              // heap key must follow so ordering stays consistent)
-              val rebuilt = heap.toSeq.filterNot(_ == (inHeap(e.name).ts, e.name))
-              heap.clear(); rebuilt.foreach(heap.enqueue(_))
-              heap.enqueue(key)
-              inHeap(e.name) = e
+            } else if (!excluded.contains(e.name)) {
+              if (!inHeap.contains(e.name)) {
+                if (heap.size < n) { heap.enqueue(key); inHeap(e.name) = e }
+                else if (ord.compare(key, heap.head) < 0) {
+                  inHeap.remove(heap.dequeue()._2)
+                  heap.enqueue(key); inHeap(e.name) = e
+                }
+              } else if (e.ts < inHeap(e.name).ts) {
+                // a later-visited delta holding the FIRST announcement
+                // (older ts) of a name already selected: keep the
+                // first-per-name rule by replacing the entry value (the
+                // heap key must follow so ordering stays consistent)
+                val rebuilt = heap.toSeq.filterNot(_ == (inHeap(e.name).ts, e.name))
+                heap.clear(); rebuilt.foreach(heap.enqueue(_))
+                heap.enqueue(key)
+                inHeap(e.name) = e
+              }
             }
           }
         }
@@ -935,14 +1048,19 @@ case class GraftDescribeHistoryCommand(table: String,
  * `DESCRIBE DETAIL tbl` — the Delta-shaped one-row table summary,
  * scale-honest by construction: `num_files`/`size_bytes` come from the
  * one listing the command pays (clone refs resolve through their
- * length-guarded path like any read), and `rows` is served ONLY from
+ * length-guarded path like any read), and `rows` is served from
  * fingerprint-validated dirsum head-reads — per directory ~200 B, zero
- * full manifest parses, zero data opens — or is NULL when any
- * directory's summary cannot vouch for its exact live file set
- * (unmanifested append, pre-summary manifest, clone refs that are a
- * subset of their source directory). A NULL is the honest answer; the
- * exact count is one `SELECT COUNT(*)` away (itself usually
- * stats-answered). Resolves session-catalog and graft-catalog tables.
+ * full manifest parses, zero data opens — with a BOUNDED fallback for
+ * exactly the directories whose summary cannot vouch (round 12): each
+ * dirty directory pays ONE manifest parse, its length-guarded entries
+ * answer the manifested files, and only files the manifest misses
+ * (the unmanifested append, the foreign drop-in) pay a sidecar read
+ * or, last, one header read. The common incident shape — one hot
+ * partition mid-ingest on a 10⁴-partition table — thus answers EXACT
+ * rows for one manifest parse + one header read, while clean
+ * directories keep the zero-parse head-read bill. `rows` is NULL only
+ * when a file is unreadable by every route — the honest answer, never
+ * a guess. Resolves session-catalog and graft-catalog tables.
  */
 case class GraftDescribeDetailCommand(table: String)
   extends LeafRunnableCommand {
@@ -965,26 +1083,38 @@ case class GraftDescribeDetailCommand(table: String)
     val fs = dir.getFileSystem(conf)
     val qroot = fs.makeQualified(dir)
     val files = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
-    // rows from dirsums only: every directory's summary must
-    // fingerprint-match exactly its listed files, else NULL —
-    // short-circuiting on the first directory that cannot vouch (a
-    // 10⁴-partition table with one unmanifested append answers NULL
-    // after ONE head-read, not 10⁴)
+    // rows: dirsum head-reads for every directory that can vouch; an
+    // O(dirty-dirs) manifest fallback (+ sidecar/header per file the
+    // manifest misses) for the rest — see the class scaladoc
     val byDir = files.groupBy(_.getPath.getParent).toSeq
     val rows: Option[Long] =
       if (byDir.isEmpty) Some(0L)
       else {
+        lazy val lookup = new ScbfStats.Lookup(conf)
         var total = 0L
-        var vouched = true
+        var exact = true
         val it = byDir.iterator
-        while (vouched && it.hasNext) {
+        while (exact && it.hasNext) {
           val (d, fsIn) = it.next()
           ScbfStats.readDirSummary(d, conf).filter(_.matches(fsIn)) match {
             case Some(s) => total += s.rows
-            case None    => vouched = false
+            case None =>
+              // dirty directory: one manifest parse (cached in the
+              // Lookup), length-guarded entries first, sidecar then
+              // header for the files it misses
+              val fit = fsIn.iterator
+              while (exact && fit.hasNext) {
+                val f = fit.next()
+                lookup.stats(f.getPath, f.getLen) match {
+                  case Some(st) => total += st.rows
+                  case None =>
+                    try total += graft.sources.ScbfUtil.readHeader(f, conf).totalRows
+                    catch { case scala.util.control.NonFatal(_) => exact = false }
+                }
+              }
           }
         }
-        if (vouched) Some(total) else None
+        if (exact) Some(total) else None
       }
     // partitioning: graft-catalog tables resolve through their own
     // catalog's transforms (mirroring resolveAnyScbfDir's dispatch);
@@ -1359,6 +1489,84 @@ object GraftShallowCloneCommand {
    * ORIGINAL branch restored (local appends included), never a
    * destroyed branch or a missing table. */
   private[graft] var replacePublishHook: () => Unit = () => ()
+}
+
+/**
+ * `SHOW CREATE TABLE tbl` for scbf/graft tables — the round-trip
+ * statement the DDL surface now has enough shapes to need: flat and
+ * partitioned session-catalog tables render `CREATE TABLE … USING scbf
+ * [PARTITIONED BY …] LOCATION …`; graft-catalog tables render their
+ * transforms (identity + bucket) with no LOCATION (the catalog owns
+ * the warehouse path); a SHALLOW CLONE renders its `SHALLOW CLONE
+ * <source>` spelling from the ref file's recorded source name — the
+ * one fact a plain external-table rendering would lose. Clones created
+ * before the name was recorded fall back to the plain rendering
+ * (which re-registers the same branch directory — still equivalent).
+ * Re-executing the output (after DROP + directory cleanup where
+ * applicable) produces an equivalent table; for a clone it re-branches
+ * off the source's CURRENT state, exactly like the dangling-ref cure.
+ */
+case class GraftShowCreateTableCommand(table: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  private def sqlType(dt: DataType): String = dt match {
+    case IntegerType => "INT"
+    case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+    case _ => "STRING"
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{GraftCatalog, ScbfClone}
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = table.split('.')
+    val viaGraft: Option[String] =
+      if (parts.length >= 3) {
+        try spark.sessionState.catalogManager.catalog(parts(0)) match {
+          case g: GraftCatalog =>
+            val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.slice(1, parts.length - 1), parts.last)
+            val t = g.loadTable(ident)
+            val cols = t.columns().toSeq
+              .map(c => s"${c.name} ${sqlType(c.dataType)}").mkString(", ")
+            val transforms = t.partitioning().toSeq.map { tr =>
+              if (tr.name == "bucket") {
+                val n = tr.arguments.collectFirst {
+                  case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                    String.valueOf(l.value)
+                }.getOrElse("?")
+                s"bucket($n, ${tr.references().head.fieldNames().mkString(".")})"
+              } else tr.references().head.fieldNames().mkString(".")
+            }
+            Some(s"CREATE TABLE $table ($cols) USING scbf" +
+              (if (transforms.isEmpty) ""
+               else s" PARTITIONED BY (${transforms.mkString(", ")})"))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      } else None
+    val stmt = viaGraft.getOrElse {
+      val (_, meta) = GraftSqlParser.resolveScbfMeta(spark, table)
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val cloneSource: Option[String] =
+        if (ScbfClone.isClone(loc, conf))
+          ScbfClone.read(loc, conf).flatMap(_.sourceName)
+        else None
+      cloneSource match {
+        case Some(src) =>
+          s"CREATE TABLE $table SHALLOW CLONE $src LOCATION '$loc'"
+        case None =>
+          val cols = meta.schema.fields.toSeq
+            .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+          s"CREATE TABLE $table ($cols) USING scbf" +
+            (if (meta.partitionColumnNames.isEmpty) ""
+             else s" PARTITIONED BY (${meta.partitionColumnNames.mkString(", ")})") +
+            s" LOCATION '$loc'"
+      }
+    }
+    Seq(Row(stmt))
+  }
 }
 
 /** `OPTIMIZE tbl CLUSTER|ZORDER BY (cols) [FILES n]` — snapshot-scoped

@@ -291,6 +291,76 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqlhist_lim")
   }
 
+  test("DESCRIBE HISTORY BETWEEN: the file-level change feed — exact sets per window") {
+    val dir = tmpDir("scbf-sql-feed")
+    spark.sql("DROP TABLE IF EXISTS sqlhist_feed")
+    new Path(dir).getFileSystem(hconf).delete(new Path(dir), true)
+    try {
+      spark.sql(s"CREATE TABLE sqlhist_feed (id INT) USING scbf LOCATION '$dir'")
+      // five commits: A, B, C appends; a metadata-only DELETE of C
+      // (removal entry); an OPTIMIZE folding A+B (rewrite entry)
+      def names() = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+        .map(_.getPath.getName).toSet
+      var waveFiles = Seq.empty[Set[String]] // files ADDED by each wave
+      for (w <- 0 until 3) {
+        val before = names()
+        spark.sql("INSERT INTO sqlhist_feed SELECT /*+ REPARTITION(1) */ " +
+          s"CAST(id AS INT) FROM range(${w * 50}, ${w * 50 + 50})")
+        waveFiles :+= (names() -- before)
+        Thread.sleep(5)
+      }
+      spark.sql("DELETE FROM sqlhist_feed WHERE id >= 100") // drops C whole
+      Thread.sleep(5)
+      spark.sql("OPTIMIZE sqlhist_feed FILES 1")            // folds A+B
+      // commits 0..4; the feed is exclusive-start/inclusive-end, so
+      // BETWEEN VERSION v1 AND v2 = commits v1+1..v2 exactly
+      val seg01 = spark.sql(
+        "DESCRIBE HISTORY sqlhist_feed BETWEEN VERSION 0 AND VERSION 2").collect()
+      assert(seg01.forall(_.getString(1) == "append"), seg01.mkString("; "))
+      assert(seg01.map(_.getString(2)).toSet == (waveFiles(1) ++ waveFiles(2)),
+        s"(v0, v2] must be exactly waves B+C's files: ${seg01.mkString("; ")}")
+      // the DELETE window: exactly one remove row naming C's victims
+      val segDel = spark.sql(
+        "DESCRIBE HISTORY sqlhist_feed BETWEEN VERSION 2 AND VERSION 3").collect()
+      assert(segDel.length == 1 && segDel.head.getString(1) == "remove",
+        segDel.mkString("; "))
+      assert(Option(segDel.head.getString(5)).exists(_.nonEmpty),
+        "the remove row must enumerate its victims")
+      // the OPTIMIZE window: rewrite rows carrying A+B as victims,
+      // rows_changed = false (pure compaction)
+      val segOpt = spark.sql(
+        "DESCRIBE HISTORY sqlhist_feed BETWEEN VERSION 3 AND VERSION 4").collect()
+      assert(segOpt.nonEmpty && segOpt.forall(_.getString(1) == "rewrite"),
+        segOpt.mkString("; "))
+      assert(segOpt.forall(!_.getBoolean(4)), "compaction is rowsChanged=false")
+      // the whole recorded span = the unwindowed per-file view
+      val t0 = spark.sql("DESCRIBE HISTORY sqlhist_feed COMMITS").collect()
+        .map(_.getTimestamp(1).getTime).min - 1
+      val all = spark.sql(s"DESCRIBE HISTORY sqlhist_feed BETWEEN $t0 AND " +
+        s"${System.currentTimeMillis()}").collect().toSeq
+      assert(all == spark.sql("DESCRIBE HISTORY sqlhist_feed").collect().toSeq,
+        "a window covering everything must equal the full view")
+      // LIMIT composes (newest first), and the bracketed replay reads
+      // only the bracketed deltas (plus the two version resolutions)
+      graft.sources.ScbfDiscovery.deltaReads.set(0)
+      val lim = spark.sql("DESCRIBE HISTORY sqlhist_feed " +
+        "BETWEEN VERSION 2 AND VERSION 4 LIMIT 1").collect()
+      assert(lim.length == 1 && lim.head.getString(1) == "rewrite",
+        lim.mkString("; "))
+      assert(graft.sources.ScbfDiscovery.deltaReads.get <= 4,
+        s"bracketed feed must not replay the whole chain: " +
+          s"${graft.sources.ScbfDiscovery.deltaReads.get} delta reads")
+      // reversed points refuse with the window contract
+      val e = intercept[Exception](spark.sql(
+        "DESCRIBE HISTORY sqlhist_feed BETWEEN VERSION 3 AND VERSION 1").collect())
+      assert(e.getMessage.contains("exclusive-start"), e.getMessage)
+      // timestamp-literal points resolve like RESTORE/TIMESTAMP AS OF
+      val litRows = spark.sql("DESCRIBE HISTORY sqlhist_feed BETWEEN " +
+        s"'1970-01-01 00:00:01' AND ${System.currentTimeMillis()}").collect()
+      assert(litRows.length == all.length, s"${litRows.length} != ${all.length}")
+    } finally spark.sql("DROP TABLE IF EXISTS sqlhist_feed")
+  }
+
   test("DESCRIBE DETAIL: one row from dirsum head-reads — zero manifest parses, zero opens") {
     val dir = tmpDir("scbf-sql-detail")
     spark.sql("DROP TABLE IF EXISTS sqldetail")
@@ -316,14 +386,35 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       assert(d.getString(5) == "grp" && !d.getBoolean(6) && d.getBoolean(7), d.toString)
       assert(d.getInt(8) >= 1, d.toString)
       // an out-of-band file the manifests never met: num_files counts
-      // it, rows goes honestly NULL (no summary can vouch)
+      // it and rows stays EXACT through the bounded fallback — ONE
+      // manifest parse (the dirty directory only), one header read
+      // (the unmanifested file only); clean directories keep their
+      // zero-parse dirsum bill
       val stray = new Path(new Path(dir, "grp=g0"),
         "stray" + graft.scbf.Scbf.FileExtension)
       val w = files.head // copy a real file's bytes under a new name
+      val strayRows = ScbfUtil.readHeader(w, hconf).totalRows
       val fsys = stray.getFileSystem(hconf)
       org.apache.hadoop.fs.FileUtil.copy(fsys, w.getPath, fsys, stray, false, hconf)
+      ScbfStats.manifestReads.set(0)
+      ScbfStats.summaryReads.set(0)
       val d2 = spark.sql("DESCRIBE DETAIL sqldetail").head()
-      assert(d2.getInt(2) == files.size + 1 && d2.isNullAt(4), d2.toString)
+      assert(d2.getInt(2) == files.size + 1, d2.toString)
+      assert(d2.getLong(4) == 600L + strayRows,
+        s"dirty-dir fallback must stay exact: ${d2.toString} (stray=$strayRows)")
+      assert(ScbfStats.manifestReads.get == 1,
+        s"manifest parses == dirty directories (1): ${ScbfStats.manifestReads.get}")
+      assert(ScbfStats.summaryReads.get >= 3,
+        "clean directories must still answer from dirsum head-reads")
+      // a file unreadable by EVERY route (manifest, sidecar, header)
+      // is the one honest NULL left
+      val junk = new Path(new Path(dir, "grp=g1"),
+        "junk" + graft.scbf.Scbf.FileExtension)
+      val out = fsys.create(junk, true)
+      out.write("not an scbf file".getBytes("UTF-8")); out.close()
+      val d2b = spark.sql("DESCRIBE DETAIL sqldetail").head()
+      assert(d2b.isNullAt(4), d2b.toString)
+      fsys.delete(junk, false)
       // a clone's DETAIL says so
       val cl = tmpDir("scbf-sql-detail-cl") + "/c"
       spark.sql("DROP TABLE IF EXISTS sqldetail_c")
@@ -347,6 +438,74 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS sqldetail_c")
       spark.sql("DROP TABLE IF EXISTS sqldetail")
     }
+  }
+
+  test("SHOW CREATE TABLE round-trips: flat, partitioned, graft-catalog bucketed, clone") {
+    val dirF = tmpDir("scbf-sql-sct-flat")
+    val dirP = tmpDir("scbf-sql-sct-part")
+    val dirC = tmpDir("scbf-sql-sct-clone") + "/c"
+    Seq("sct_flat", "sct_part", "sct_clone").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(dirF, dirP).foreach(d =>
+      new Path(d).getFileSystem(hconf).delete(new Path(d), true))
+    try {
+      // flat: the statement re-registers the same directory
+      spark.sql(s"CREATE TABLE sct_flat (id INT, v DOUBLE) USING scbf LOCATION '$dirF'")
+      spark.sql("INSERT INTO sct_flat SELECT CAST(id AS INT), 0.5 FROM range(0, 100)")
+      val sF = spark.sql("SHOW CREATE TABLE sct_flat").head().getString(0)
+      assert(sF.contains("USING scbf") && sF.contains(s"LOCATION") &&
+        sF.contains("id INT") && sF.contains("v DOUBLE"), sF)
+      spark.sql("DROP TABLE sct_flat")
+      spark.sql(sF)
+      assert(spark.table("sct_flat").count() == 100L, "flat round-trip")
+      // partitioned: PARTITIONED BY survives the round-trip
+      spark.sql("CREATE TABLE sct_part (id INT, grp STRING) USING scbf " +
+        s"PARTITIONED BY (grp) LOCATION '$dirP'")
+      spark.sql("INSERT INTO sct_part SELECT CAST(id AS INT), " +
+        "concat('g', CAST(id % 2 AS INT)) FROM range(0, 40)")
+      val sP = spark.sql("SHOW CREATE TABLE sct_part").head().getString(0)
+      assert(sP.contains("PARTITIONED BY (grp)"), sP)
+      spark.sql("DROP TABLE sct_part")
+      spark.sql(sP)
+      assert(spark.table("sct_part").count() == 40L)
+      assert(GraftSqlParser.resolveScbfMeta(spark, "sct_part")
+        ._2.partitionColumnNames == Seq("grp"), "partitioning must survive")
+      // graft-catalog: transforms render, bucket included, no LOCATION
+      spark.conf.set("spark.sql.catalog.gsct", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsct.warehouse", tmpDir("graft-sct-wh"))
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsct.db")
+      spark.sql("DROP TABLE IF EXISTS gsct.db.bt")
+      spark.sql("CREATE TABLE gsct.db.bt (id INT, grp STRING) USING scbf " +
+        "PARTITIONED BY (grp, bucket(4, id))")
+      val sB = spark.sql("SHOW CREATE TABLE gsct.db.bt").head().getString(0)
+      assert(sB.contains("PARTITIONED BY (grp, bucket(4, id))") &&
+        !sB.contains("LOCATION"), sB)
+      spark.sql("DROP TABLE gsct.db.bt")
+      spark.sql(sB)
+      val reT = spark.sessionState.catalogManager.catalog("gsct")
+        .asInstanceOf[graft.sources.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "bt"))
+      assert(reT.partitioning().length == 2, reT.partitioning().mkString(", "))
+      spark.sql("DROP TABLE IF EXISTS gsct.db.bt")
+      // clone: renders the SHALLOW CLONE spelling from the recorded
+      // source name; re-executing re-branches off the current source
+      spark.sql(s"CREATE TABLE sct_clone SHALLOW CLONE sct_flat LOCATION '$dirC'")
+      val sC = spark.sql("SHOW CREATE TABLE sct_clone").head().getString(0)
+      assert(sC.contains("SHALLOW CLONE sct_flat") && sC.contains("LOCATION"), sC)
+      spark.sql("DROP TABLE sct_clone")
+      new Path(dirC).getFileSystem(hconf).delete(new Path(dirC), true)
+      spark.sql(sC)
+      assert(spark.table("sct_clone").count() == 100L, "clone round-trip")
+      // non-scbf tables delegate to Spark's own SHOW CREATE TABLE
+      spark.sql("DROP TABLE IF EXISTS sct_pq")
+      spark.sql(s"CREATE TABLE sct_pq (id INT) USING parquet LOCATION " +
+        s"'${tmpDir("scbf-sql-sct-pq")}'")
+      val sPq = spark.sql("SHOW CREATE TABLE sct_pq").head().getString(0)
+      assert(sPq.toLowerCase.contains("parquet"), sPq)
+      spark.sql("DROP TABLE IF EXISTS sct_pq")
+    } finally Seq("sct_clone", "sct_part", "sct_flat").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("OPTIMIZE rebalances an equal-count skewed layout; balanced re-runs converge") {

@@ -135,6 +135,21 @@ object HistoryScale {
     }
     require(vts == tsLive, s"last commit ts: $vts != $tsLive")
 
+    // 4b. the change feed over a recent window: deltas named before the
+    // window start are never read, so a bracketed BETWEEN over the
+    // 10⁶-entry log reads only the tail deltas it brackets
+    ScbfDiscovery.deltaReads.set(0)
+    val feed = timed(s"DESCRIBE HISTORY BETWEEN (live window only)") {
+      spark.sql(s"DESCRIBE HISTORY history_scale_t BETWEEN ${tsLive - 1} " +
+        s"AND ${System.currentTimeMillis()}").collect()
+    }
+    val feedReads = ScbfDiscovery.deltaReads.get
+    println(s"[hist1m]   feed rows=${feed.length} deltaReads=$feedReads")
+    require(feed.length == nLive,
+      s"the live-window feed must be exactly the live appends: ${feed.length}")
+    require(feedReads <= 3,
+      s"a bracketed feed must read only the bracketed deltas, read $feedReads")
+
     // 5. time-travel planning: the full 10⁶-entry replay + pooled
     // per-file stats, then the travelled read itself
     ScbfUtil.dataFileOpens.set(0)
