@@ -1251,6 +1251,67 @@ object RelationalQueries {
       s.sql(q)
     },
 
+    "q64_change_feed" -> { (s, dir) =>
+      // Row-level CHANGE FEED as a GATED query (round 12): the
+      // `changesSince[Version]` batch read — the resync primitive for
+      // incremental consumers. Three ingest waves plus an in-window
+      // add-then-takedown; the feed from the point after wave 1 must
+      // return EXACTLY waves 2+3 (the takedown nets to zero) — the
+      // oracle replays the wave-2/3 predicate over the source parquet,
+      // so only an exact windowed replay hash-matches. Requires pin,
+      // in-query: (a) the replay is BOUNDED — only deltas named after
+      // the start point are read (4 of 5: waves 2,3, the netted add,
+      // its removal — never wave 1's); (b) the version-ordinal
+      // spelling renders the same window as the timestamp spelling.
+      val base = scratchDir(s) + "/graft_scbf_feed_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      s.sql("DROP TABLE IF EXISTS graft_q64")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q64_src")
+      s.sql("CREATE TABLE graft_q64 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      s.sql("""INSERT INTO graft_q64
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q64_src WHERE doc_id % 3 = 0""")
+      // the consumer's last-seen point: an instant strictly after wave
+      // 1's publication (what a periodic consumer records between
+      // reads) — strictly after the wave-1 DELTA NAME too, so the
+      // bounded-replay pin below is deterministic (a point equal to a
+      // delta's own millisecond legitimately re-reads that one delta)
+      val t1 = { Thread.sleep(5); System.currentTimeMillis() }
+      s.sql("""INSERT INTO graft_q64
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q64_src WHERE doc_id % 3 = 1""")
+      s.sql("""INSERT INTO graft_q64
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q64_src WHERE doc_id % 3 = 2""")
+      // in-window add + whole-file takedown: nets to ZERO in the feed
+      s.sql("""INSERT INTO graft_q64
+        SELECT /*+ COALESCE(1) */ CAST(-1 AS INT), 'netted', CAST(0 AS INT)
+        FROM range(10)""")
+      s.sql("DELETE FROM graft_q64 WHERE doc_id < 0")
+      graft.sources.ScbfDiscovery.deltaReads.set(0)
+      val fed = s.read.format("scbf").option("changesSince", t1).load(base)
+      val cnt = fed.count()
+      val reads = graft.sources.ScbfDiscovery.deltaReads.get
+      require(reads == 4,
+        s"the feed must read ONLY the 4 deltas named after the start " +
+          s"point (waves 2,3 + the netted add + its removal), read $reads")
+      // version spelling ≡ timestamp spelling: wave 1 is commit 0
+      val vCnt = s.read.format("scbf").option("changesSinceVersion", 0)
+        .load(base).count()
+      require(vCnt == cnt,
+        s"changesSinceVersion 0 must render the same window: $vCnt != $cnt")
+      fed.groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("n_chars").as("sum_chars"),
+          org.apache.spark.sql.functions.min("doc_id").as("min_doc"),
+          org.apache.spark.sql.functions.max("doc_id").as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1764,6 +1825,13 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE doc_id % 5 = 2 GROUP BY source""",
+
+    "q64_change_feed" ->
+      """SELECT source, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM documents WHERE doc_id % 3 IN (1, 2) GROUP BY source""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -495,8 +495,65 @@ class ScbfTable(
     // the option spelling (DataFrame reads) or the table-level pin a
     // catalog time-travel load planted (SQL `TIMESTAMP AS OF`,
     // GraftCatalog.loadTable(ident, timestamp)) — same plan either way
-    Option(options.get("asOfTimestamp"))
-      .orElse(Option(tableProps.get("asOfTimestamp"))).map(_.toLong) match {
+    val asOfOpt = Option(options.get("asOfTimestamp"))
+      .orElse(Option(tableProps.get("asOfTimestamp"))).map(_.toLong)
+    // row-level CHANGE FEED: `changesSince` (epoch millis) or
+    // `changesSinceVersion` (commit ordinal) mark the EXCLUSIVE start;
+    // `changesUntil`/`changesUntilVersion` the INCLUSIVE end (default:
+    // everything since). Resolved to a file set by ScbfDiscovery
+    // .changedFilesBetween and planned eagerly like AS OF — stats
+    // pruning still applies per file; manifest-served aggregate
+    // pushdown is off (manifests describe the present table, not a
+    // window). `onChangeCommit` gates in-window rewrites — note the
+    // feed DEFAULTS to fail (a resync primitive must not silently
+    // drop), unlike the stream's skip.
+    val sinceMs = Option(options.get("changesSince")).map(_.toLong)
+    val sinceV = Option(options.get("changesSinceVersion")).map(_.toInt)
+    val untilMs = Option(options.get("changesUntil")).map(_.toLong)
+    val untilV = Option(options.get("changesUntilVersion")).map(_.toInt)
+    if ((sinceMs.isEmpty && sinceV.isEmpty) &&
+        (untilMs.nonEmpty || untilV.nonEmpty))
+      throw new ScbfFormatException(
+        "changesUntil[Version] needs a start point — set changesSince " +
+          "(epoch millis) or changesSinceVersion (commit ordinal).")
+    if (sinceMs.nonEmpty && sinceV.nonEmpty)
+      throw new ScbfFormatException(
+        "set ONE of changesSince / changesSinceVersion, not both.")
+    if (untilMs.nonEmpty && untilV.nonEmpty)
+      throw new ScbfFormatException(
+        "set ONE of changesUntil / changesUntilVersion, not both.")
+    if ((sinceMs.nonEmpty || sinceV.nonEmpty) && asOfOpt.nonEmpty)
+      throw new ScbfFormatException(
+        "changesSince[Version] and asOfTimestamp are different reads — a " +
+          "window of added rows vs a full rendering at one instant; set one.")
+    if (sinceMs.nonEmpty || sinceV.nonEmpty) {
+      val root = tablePaths match {
+        case Seq(one) => one
+        case other => throw new ScbfFormatException(
+          s"changesSince needs exactly one table directory, got: $other")
+      }
+      val p = new Path(root)
+      if (ScbfClone.isClone(p, conf))
+        throw new ScbfFormatException(
+          s"changesSince on $root: the table is a SHALLOW CLONE — it records " +
+            "no version chain of its own (the ref list IS the branch " +
+            "point). Feed from the SOURCE table; the clone's own history " +
+            "begins with its first append.")
+      val qroot = p.getFileSystem(conf).makeQualified(p)
+      val feedPolicy = Option(options.get("onChangeCommit"))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("fail")
+      val lo = sinceMs.getOrElse(
+        ScbfDiscovery.versionTs(qroot, conf, sinceV.get))
+      val hi = untilMs.orElse(
+        untilV.map(v => ScbfDiscovery.versionTs(qroot, conf, v)))
+        .getOrElse(Long.MaxValue)
+      val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf, lo, hi,
+        feedPolicy)
+      return new ScbfScanBuilder(schema, feedFiles, conf, tablePaths,
+        aggPushdown = false, feed = Some((lo, hi)),
+        partitionCols = ScbfPartitions.partitionCols(partitionTransforms, schema))
+    }
+    asOfOpt match {
       case Some(ts) =>
         val root = tablePaths match {
           case Seq(one) => one

@@ -56,7 +56,7 @@ import org.apache.hadoop.fs.Path
  * torn discovery log only ever degrades the stream to full-listing
  * discovery (correct, just slower) — never to wrong results.
  */
-object ScbfDiscovery {
+object ScbfDiscovery extends org.apache.spark.internal.Logging {
 
   val DirName = ".scbf.discovery"
 
@@ -111,6 +111,20 @@ object ScbfDiscovery {
    * lengths (the same −1 the stream uses to admit covered rewrites
    * seen-without-delivery), so a removal entry is never opened. */
   val RemovedLen = -1L
+
+  /** Name prefix of the OVERWRITE-BOUNDARY entry a data-truncating
+   * [[reset]] records (a victims-empty removal sentinel): a full
+   * INSERT OVERWRITE restarts the log, which deletes every earlier
+   * record — without a durable boundary, a restarted chain is
+   * indistinguishable from a brand-new table, and a change-feed window
+   * spanning the overwrite would silently serve the replacement as
+   * plain adds while the consumer keeps its stale copy. The boundary
+   * is an ENTRY (not a delta-name marker) so compaction folds preserve
+   * it verbatim forever; being a removal sentinel, every existing
+   * reader already handles it: planning skips it (negative length),
+   * liveness ignores it (no victims), DESCRIBE HISTORY shows it as the
+   * explicit `remove` record of the overwrite. */
+  val OverwriteBoundaryPrefix = "full-overwrite-"
 
   // test hooks, PlanningScale-style: what did discovery actually cost?
   val deltaReads = new AtomicLong(0)
@@ -225,9 +239,23 @@ object ScbfDiscovery {
     try {
       val d = dir(table)
       val fs = d.getFileSystem(conf)
+      val hadLog = exists(table, conf) &&
+        listDeltas(table, conf).nonEmpty
       if (fs.exists(d)) fs.listStatus(d).foreach(f => fs.delete(f.getPath, false))
-      if (entries.nonEmpty) {
-        writeDelta(table, conf, entries, preserveTs = preserveTs)
+      // a data-truncating reset of a table WITH recorded history leaves
+      // a durable overwrite-boundary entry (see OverwriteBoundaryPrefix)
+      // — folds carry it verbatim, so a change feed can always tell a
+      // restarted chain from a brand-new table. History rewrites in
+      // place (preserveTs — scrub/rollback) pass through unmarked: they
+      // preserve history, they don't truncate it.
+      val announced =
+        if (preserveTs || !hadLog) entries
+        else Entry(
+          s"$OverwriteBoundaryPrefix${java.util.UUID.randomUUID().toString.take(8)}$RemovalSuffix",
+          RemovedLen, entries.headOption.fold(System.currentTimeMillis())(_.ts),
+          rowsChanged = true) +: entries
+      if (announced.nonEmpty) {
+        writeDelta(table, conf, announced, preserveTs = preserveTs)
         deltaAppends.incrementAndGet()
       }
     } catch { case NonFatal(_) => () }
@@ -507,6 +535,201 @@ object ScbfDiscovery {
         case ee: java.util.concurrent.ExecutionException =>
           throw ee.getCause
       }
+    }
+  }
+
+  /**
+   * Row-level CHANGE FEED between two instants — batch read options
+   * `changesSince[Version]` / `changesUntil[Version]`: the data files
+   * holding exactly the ROWS ADDED in `(lo, hi]`, resolved from the
+   * delta chain. The resync primitive incremental consumers lack under
+   * `onChangeCommit=skip`: feed your last-seen point, read forward,
+   * union the result into your copy. Exclusive-start/inclusive-end
+   * like the file-level `DESCRIBE HISTORY … BETWEEN` feed this serves
+   * rows for — `changesSinceVersion v1` + `changesUntilVersion v2`
+   * is exactly commits v1+1..v2.
+   *
+   * Scale contract (HistoryScale): deltas NAMED at or before `lo` are
+   * never read (entries are stamped at or before their delta's
+   * publication, and fold re-announcements are verbatim copies
+   * carrying the original stamp), and entries stamped at or before
+   * `lo` are dropped on sight — the replay is O(changes after lo),
+   * not O(table history). The selected files then ride the NORMAL
+   * scan: stats skipping, column pruning and `_file_path` lineage all
+   * apply to a feed read (only manifest-served aggregate pushdown is
+   * off — manifests describe the present table, not a window).
+   *
+   * Rows — not files — is the contract, so rewrites touching window
+   * bytes are handled by EXACT SUBSTITUTION where the log proves it
+   * sound, and by the `onChangeCommit` policy where it cannot:
+   *  - a pure compaction (rowsChanged=false) whose victims are ALL in
+   *    the selection replaces them with its output — same rows, new
+   *    container, exact (even when the compaction lands after `hi`);
+   *  - an IN-window DELETE/UPDATE/takedown whose victims are ALL
+   *    in-window adds nets out — the replacement (or nothing, for a
+   *    removal) IS the window's net row contribution, exact;
+   *  - anything mixing window rows with pre-window rows, or changing
+   *    them after the end point, cannot be expressed as "rows added
+   *    in the window" without CDC the frozen format does not retain:
+   *    policy `fail` (the feed's DEFAULT — a resync primitive must
+   *    not silently drop) refuses naming the cure; `skip` warns and
+   *    serves the unaffected adds; `deliver` admits the replacement
+   *    file's rows (over-delivery — the stream's deliver contract).
+   */
+  def changedFilesBetween(root: Path, conf: Configuration, lo: Long, hi: Long,
+      policy: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    require(Set("skip", "deliver", "fail").contains(policy),
+      s"onChangeCommit must be skip, deliver or fail, got $policy")
+    val fs = root.getFileSystem(conf)
+    val qroot = fs.makeQualified(root)
+    def refuse(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"changesSince=$lo on $qroot: $why")
+    if (lo >= hi)
+      refuse(s"the start point is not before the end point ($hi). The feed " +
+        "is exclusive-start/inclusive-end — rows added AFTER the first " +
+        "point up to the second; swap the points or widen the window.")
+    if (!exists(qroot, conf))
+      refuse("the table has no discovery log — the change feed replays the " +
+        "log's version chain. Tables written by this connector keep one " +
+        "automatically; foreign/reference-tool directories have no " +
+        "recorded history.")
+    // one streamed pass over the post-lo deltas: first announcement per
+    // name (names are never reused; fold copies are verbatim, so every
+    // copy of a name carries the same stamp — min-ts kept defensively)
+    val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
+    listDeltas(qroot, conf).sorted
+      .filter(n => deltaMillis(n).forall(_ > lo))
+      .foreach { n =>
+        readDeltaStream(qroot, conf, n) { e =>
+          if (e.ts > lo) {
+            val cur = firstAt.get(e.name)
+            if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
+          }
+        }
+      }
+    def inWindow(t: Long): Boolean = t > lo && t <= hi
+    // replay in publication order (the monotonic commit clock makes ts
+    // a total order across commits), maintaining the selected net adds
+    val selected = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    // a full INSERT OVERWRITE after `lo` restarted the log: every
+    // record before it is GONE (the reset deleted the old deltas), so
+    // "rows added in (lo, overwrite)" is unknowable and every
+    // pre-overwrite row was replaced — gate BEFORE serving anything.
+    // The boundary entry is durable across folds (OverwriteBoundaryPrefix).
+    firstAt.values.filter(e =>
+        e.name.startsWith(OverwriteBoundaryPrefix) && e.ts > lo)
+      .toSeq.sortBy(_.ts).headOption.foreach { b =>
+      if (b.ts <= hi)
+        gate(s"the table was fully overwritten (INSERT OVERWRITE, at " +
+          s"${b.ts}) inside the window — every pre-existing row was " +
+          "replaced, and records before the overwrite are gone from the " +
+          "restarted log, so rows added between the start point and the " +
+          "overwrite are unknowable; under skip/deliver the feed serves " +
+          "the post-overwrite adds only")
+      else
+        gate(s"the table was fully overwritten (INSERT OVERWRITE, at " +
+          s"${b.ts}) after the end point — the window's bytes were " +
+          "replaced wholesale and records before the overwrite are gone " +
+          "from the restarted log")
+    }
+    // policy gate for a change the feed cannot express exactly.
+    // Returns true when the replacement bytes should be ADMITTED
+    // (deliver), false when the affected adds should be dropped with a
+    // warning (skip); refuses under fail, naming the cure.
+    def gate(what: String): Boolean = policy match {
+      case "fail" =>
+        refuse(s"$what — the feed cannot express this as rows added in " +
+          "the window (SCBF retains no row-level change data; the frozen " +
+          "reference format has no CDC layer). Resync from a TIMESTAMP " +
+          "AS OF read, or read the feed with onChangeCommit=skip (serves " +
+          "the unaffected adds, hides this change) or =deliver (admits " +
+          "the replacement file's rows).")
+      case "skip" =>
+        logWarning(s"changesSince=$lo on $qroot: onChangeCommit=skip — " +
+          s"$what; serving the unaffected adds and hiding this change.")
+        false
+      case _ =>
+        logWarning(s"changesSince=$lo on $qroot: onChangeCommit=deliver — " +
+          s"$what; admitting the replacement file's rows (over-delivery).")
+        true
+    }
+    firstAt.values.toSeq.sortBy(e => (e.ts, e.name))
+      .filterNot(_.name.startsWith(OverwriteBoundaryPrefix)) // gated above
+      .foreach { e =>
+      val isRemoval = e.len < 0 || e.name.endsWith(RemovalSuffix)
+      if (e.rewriteOf.isEmpty && !isRemoval) {
+        if (inWindow(e.ts)) selected(e.name) = e
+      } else {
+        val victims = e.rewriteOf
+        val selVictims = victims.filter(selected.contains)
+        val allSelected = victims.nonEmpty && victims.forall(selected.contains)
+        if (isRemoval) {
+          if (inWindow(e.ts) && allSelected) {
+            selected --= victims // added then removed inside the window: net zero
+          } else if (inWindow(e.ts)) {
+            gate("a takedown in the window removed rows that predate it " +
+              s"(removal ${e.name} at ${e.ts})")
+            selected --= selVictims // their in-window rows were removed in-window too
+          } else if (selVictims.nonEmpty) {
+            gate("rows added in the window were removed AFTER the end " +
+              s"point (removal ${e.name} at ${e.ts}) and their bytes are gone")
+            selected --= selVictims
+          } // else: a post-window removal of pre-window rows — the next window's feed
+        } else if (!e.rowsChanged) { // pure compaction: same rows, new container
+          if (selVictims.isEmpty) {
+            // a rearrangement of pre-window rows only — not a row change
+          } else if (allSelected) {
+            selected --= victims; selected(e.name) = e // exact substitution
+          } else if (gate("a compaction folded window rows together with " +
+              s"pre-window rows (${e.name} at ${e.ts})")) {
+            selected --= selVictims; selected(e.name) = e
+          } else selected --= selVictims
+        } else { // rowsChanged rewrite: DELETE/UPDATE/MERGE replacement
+          if (inWindow(e.ts) && allSelected) {
+            selected --= victims; selected(e.name) = e // in-window net state: exact
+          } else if (inWindow(e.ts)) {
+            if (gate("a DELETE/UPDATE in the window rewrote rows that " +
+                s"predate it (${e.name} at ${e.ts})")) {
+              selected --= selVictims; selected(e.name) = e
+            } else selected --= selVictims
+          } else if (selVictims.nonEmpty) {
+            if (gate("rows added in the window were rewritten AFTER the " +
+                s"end point (${e.name} at ${e.ts})")) {
+              selected --= selVictims; selected(e.name) = e
+            } else selected --= selVictims
+          } // else: a post-window rewrite of pre-window rows — the next window's feed
+        }
+      }
+    }
+    // pooled per-file stats (a large window can select 10⁵ files; see
+    // filesAsOf) — each length-guarded: the log says these bytes are
+    // the window's rows, so a missing or resized file is a loud stop
+    val futures = selected.values.toSeq.sortBy(_.name).map { e =>
+      e -> ScbfStats.ioPool.submit(
+        new java.util.concurrent.Callable[org.apache.hadoop.fs.FileStatus] {
+          override def call(): org.apache.hadoop.fs.FileStatus =
+            fs.getFileStatus(new Path(qroot, e.name))
+        })
+    }
+    futures.map { case (e, f) =>
+      val st =
+        try f.get()
+        catch {
+          case ee: java.util.concurrent.ExecutionException
+              if ee.getCause.isInstanceOf[java.io.FileNotFoundException] =>
+            refuse(s"file ${e.name} (published at ${e.ts}) holds rows added " +
+              "in the window but has been physically removed without a log " +
+              "entry — a producer bypassed the connector, or retention " +
+              "swept bytes the chain still names; the feed cannot be " +
+              "trusted. Resync from a full read.")
+          case ee: java.util.concurrent.ExecutionException => throw ee.getCause
+        }
+      if (st.getLen != e.len)
+        refuse(s"file ${e.name} changed length (${st.getLen} != recorded " +
+          s"${e.len}) without a log entry — a producer bypassed the " +
+          "connector; the feed cannot be trusted. Resync from a full read.")
+      st
     }
   }
 

@@ -44,7 +44,11 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     // already resolved.
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
     asOf: Option[Long] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    // row-level change feed (changesSince[Version]): like asOf, the
+    // file set was already resolved from the discovery log — `files`
+    // is eager and manifest-served aggregate pushdown stays off
+    feed: Option[(Long, Long)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -152,7 +156,8 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
   override def build(): Scan =
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
-      reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf, bucketSpec)
+      reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf, bucketSpec,
+      feed)
 }
 
 class ScbfScan(
@@ -173,7 +178,8 @@ class ScbfScan(
     partitionCols: Seq[String] = Seq.empty,
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
     asOf: Option[Long] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    feed: Option[(Long, Long)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -222,6 +228,12 @@ class ScbfScan(
     require(asOf.isEmpty,
       "asOfTimestamp is batch-only: a stream reads the live table. " +
         "Read the historical snapshot in batch instead.")
+    // same frozen-file-set argument as asOf: a stream wanting "changes
+    // since" is just… a stream — readStream from the checkpoint instead
+    require(feed.isEmpty,
+      "changesSince[Version] is batch-only: a stream IS an incremental " +
+        "read — readStream the table with a checkpoint instead, or run " +
+        "the feed as periodic batch reads advancing the start point.")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
       reconcileEvery, onChangeCommit)
@@ -235,7 +247,8 @@ class ScbfScan(
       limitRows.map(n => s", PushedLimit: $n").getOrElse("") +
       topN.map { case (c, d, k) =>
         s", PushedTopN: [$c ${if (d) "DESC" else "ASC"}, $k]" }.getOrElse("") +
-      asOf.map(t => s", AsOfTimestamp: $t").getOrElse("")
+      asOf.map(t => s", AsOfTimestamp: $t").getOrElse("") +
+      feed.map { case (lo, hi) => s", ChangesBetween: ($lo, $hi]" }.getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled

@@ -150,6 +150,22 @@ object HistoryScale {
     require(feedReads <= 3,
       s"a bracketed feed must read only the bracketed deltas, read $feedReads")
 
+    // 4c. the ROW-level change feed over the same window
+    // (changesSince batch read): resolution must read only the
+    // bracketed deltas, and the read must serve exactly the window's
+    // added rows through the normal scan
+    ScbfDiscovery.deltaReads.set(0)
+    val rowFeed = timed("changesSince row feed (live window)") {
+      spark.read.format("scbf").option("changesSince", tsLive - 1)
+        .load(dir).count()
+    }
+    val rowFeedReads = ScbfDiscovery.deltaReads.get
+    println(s"[hist1m]   row feed rows=$rowFeed deltaReads=$rowFeedReads")
+    require(rowFeed == nLive.toLong * 10,
+      s"the row feed must serve exactly the live appends' rows: $rowFeed")
+    require(rowFeedReads <= 3,
+      s"a bracketed row feed must read only the bracketed deltas, read $rowFeedReads")
+
     // 5. time-travel planning: the full 10⁶-entry replay + pooled
     // per-file stats, then the travelled read itself
     ScbfUtil.dataFileOpens.set(0)
