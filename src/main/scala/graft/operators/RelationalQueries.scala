@@ -1248,6 +1248,25 @@ object RelationalQueries {
       require(walked.isEmpty,
         s"branch pruning is path arithmetic — no source partition may be " +
           s"listed: $walked")
+      // round 12: branch appends are PARTITION-GROUPED — the clone's
+      // catalog entry carries the source's identity partitioning, so
+      // this insert routes into a db=2 subdirectory of the CLONE root
+      // (REQUIREd below) and the final read serves refs ∪ grouped
+      // locals; the oracle gains exactly the appended rows, so only an
+      // exact merged rendering hash-matches.
+      s.sql("""INSERT INTO graft_q63c
+        SELECT CAST(doc_id + 1000000 AS INT), 'ins', CAST(7 AS INT),
+          CAST(2 AS INT)
+        FROM graft_q63_src WHERE doc_id % 10 = 0""")
+      val qcl = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(base + "_c")).toString
+      val locals = graft.sources.ScbfDataSource
+        .resolveFiles(Seq(base + "_c"), conf)
+        .filter(_.getPath.toString.startsWith(qcl))
+      require(locals.nonEmpty && locals.forall(
+          _.getPath.toString.contains("db=2")),
+        s"branch appends must land under the clone's k=v layout: " +
+          s"${locals.map(_.getPath)}")
       s.sql(q)
     },
 
@@ -1824,7 +1843,14 @@ object RelationalQueries {
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
-         FROM documents WHERE doc_id % 5 = 2 GROUP BY source""",
+         FROM (
+           SELECT source, CAST(n_chars AS INT) AS n_chars,
+                  CAST(doc_id AS INT) AS doc_id
+           FROM documents WHERE doc_id % 5 = 2
+           UNION ALL
+           SELECT 'ins', 7, CAST(doc_id + 1000000 AS INT)
+           FROM documents WHERE doc_id % 10 = 0
+         ) GROUP BY source""",
 
     "q64_change_feed" ->
       """SELECT source, COUNT(*) AS cnt,

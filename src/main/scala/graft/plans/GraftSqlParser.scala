@@ -1370,6 +1370,44 @@ case class GraftShallowCloneCommand(target: String, source: String,
     require(files.nonEmpty,
       s"SHALLOW CLONE $source: the source has no data files to reference")
     val schema = spark.table(source).schema
+    // the source's IDENTITY partitioning, when resolvable: the branch's
+    // catalog entry records it, so the branch's OWN appends route into
+    // k=v subdirectories of the clone root — the refs keep the source's
+    // layout (their paths carry the cells) and now local appends keep
+    // it too, which is what preserves directory pruning, the rollup
+    // fast path and SPJ key-grouping on an APPENDED-TO branch (a flat
+    // local file would force SPJ off: a split without a key cannot
+    // honor a key-grouped contract). Bucket transforms don't clone as
+    // appendable groupings (the bucket function lives in the source's
+    // catalog); those branches keep flat appends, the declared trade.
+    val srcPartCols: Seq[String] = {
+      val session =
+        try Some(GraftSqlParser.resolveScbfMeta(spark, source)._2.partitionColumnNames)
+        catch { case scala.util.control.NonFatal(_) => None }
+      session.getOrElse {
+        val parts0 = source.split('.')
+        if (parts0.length < 3) Seq.empty
+        else try {
+          val cat = spark.sessionState.catalogManager.catalog(parts0(0))
+          val t = cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+            .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts0.slice(1, parts0.length - 1), parts0.last))
+          val transforms = t.partitioning().toSeq
+          val idents = transforms.collect {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references.head.fieldNames.mkString(".")
+          }
+          if (idents.size == transforms.size) idents else Seq.empty
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+    }
+    // catalog invariant for partitioned USING tables: partition columns
+    // sit at the END of the stored schema (the DDL path enforces it)
+    val storedSchema =
+      if (srcPartCols.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => srcPartCols.contains(f.name)) ++
+          srcPartCols.flatMap(c => schema.fields.find(_.name == c)))
     // target: a session-catalog table over the clone directory
     val parts = target.split('.')
     val ti = parts.length match {
@@ -1428,7 +1466,8 @@ case class GraftShallowCloneCommand(target: String, source: String,
           throw e
       }
       try {
-        spark.sessionState.catalog.alterTable(oldMeta.copy(schema = schema))
+        spark.sessionState.catalog.alterTable(oldMeta.copy(
+          schema = storedSchema, partitionColumnNames = srcPartCols))
         spark.sessionState.catalog.refreshTable(ti)
       } catch { case scala.util.control.NonFatal(_) =>
         // the clone itself is live; a stale catalog schema self-heals
@@ -1457,7 +1496,8 @@ case class GraftShallowCloneCommand(target: String, source: String,
         identifier = ti,
         tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
         storage = storage,
-        schema = schema,
+        schema = storedSchema,
+        partitionColumnNames = srcPartCols,
         provider = Some("scbf")),
       ignoreIfExists = false)
     try ScbfClone.write(locP, conf, qsrc, files, sourceName = Some(source))

@@ -49,11 +49,19 @@ import graft.scbf.ScbfFormatException
  *    predicate's partitions are never even stat'ed), SPJ key
  *    inference, runtime (DPP) pruning and the partition-rollup
  *    aggregate fast path, all riding the SOURCE directories' layout
- *    and sidecars. What a branch does NOT have is partition
- *    MANAGEMENT (ADD/DROP PARTITION, partitioned appends) — those
- *    mutate layout, and a clone's own appends land flat in the clone
- *    directory (which also switches SPJ off for that clone: a split
- *    without a partition key cannot honor a key-grouped contract).
+ *    and sidecars. The branch's OWN appends are partition-grouped
+ *    too (identity layouts): the clone's catalog entry records the
+ *    source's partitioning, so INSERTs route into `k=v`
+ *    subdirectories of the clone root and pruning/rollup/SPJ survive
+ *    an appended-to branch (a bucket-transform source's branch keeps
+ *    flat appends — the bucket function lives in the source catalog —
+ *    which switches SPJ off for that clone: a split without a key
+ *    cannot honor a key-grouped contract). What a branch does NOT
+ *    have is partition MANAGEMENT (ADD/DROP/TRUNCATE PARTITION, SHOW
+ *    PARTITIONS): its partitions live in the source; managing the
+ *    local tree alone would half-drop (refs survive) or under-report
+ *    (ref-only partitions missing) — refused loudly, manage the
+ *    source or materialize first.
  *  - Cloning a clone works: resolution flattens through the ref list
  *    (the new clone references the same underlying absolute paths).
  */

@@ -359,7 +359,22 @@ class ScbfTable(
     require(tablePaths.size == 1 && partitionTransforms.nonEmpty,
       s"partition management needs one partitioned table path, got $tablePaths")
     val r = new Path(tablePaths.head)
-    r.getFileSystem(conf).makeQualified(r)
+    val q = r.getFileSystem(conf).makeQualified(r)
+    // a branch's partitions are the SOURCE's: dropping/truncating one
+    // here would sweep only the clone-local files while the refs into
+    // the source partition survive (a silently half-dropped
+    // partition), and SHOW PARTITIONS over the local tree alone would
+    // omit every ref-only partition — partition management stays a
+    // source-table operation (reads, appends and partition PRUNING are
+    // the branch contract)
+    if (ScbfClone.isClone(q, conf))
+      throw new graft.scbf.ScbfFormatException(
+        s"partition management on $q: the table is a SHALLOW CLONE — its " +
+          "partitions live in the SOURCE table (the refs carry the k=v " +
+          "layout; only local appends sit under the clone root). Manage " +
+          "partitions on the source, or materialize the branch with CTAS " +
+          "first.")
+    q
   }
 
   override def partitionSchema(): StructType =
@@ -547,10 +562,18 @@ class ScbfTable(
       val hi = untilMs.orElse(
         untilV.map(v => ScbfDiscovery.versionTs(qroot, conf, v)))
         .getOrElse(Long.MaxValue)
-      val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf, lo, hi,
-        feedPolicy)
-      return new ScbfScanBuilder(schema, feedFiles, conf, tablePaths,
+      // LAZY window resolution: a stream must hit ScbfScan's clean
+      // "changesSince[Version] is batch-only" refusal, not a policy
+      // gate fired during stream planning (and must not pay the
+      // replay + per-file stats for a scan that is then refused) —
+      // the files resolve at batch build time, once per scan builder
+      lazy val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf,
+        lo, hi, feedPolicy)
+      val roots = ScbfPartitions.qualifiedRoots(tablePaths, conf)
+      return new ScbfScanBuilder(schema, Seq.empty, conf, tablePaths,
         aggPushdown = false, feed = Some((lo, hi)),
+        listFilesOpt = Some(filters =>
+          ScbfPartitions.prune(feedFiles, schema, filters, roots)),
         partitionCols = ScbfPartitions.partitionCols(partitionTransforms, schema))
     }
     asOfOpt match {

@@ -169,17 +169,31 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * HISTORY LIMIT's n-entry heap, a commit-summary fold over counts)
    * never materializes a fold snapshot's 10⁶ entries as a Seq. Same
    * per-line resilience and same swallow-to-nothing failure mode as
-   * the buffered read. */
-  def readDeltaStream(table: Path, conf: Configuration, name: String)
-      (f: Entry => Unit): Unit =
-    try {
+   * the buffered read — unless `strict`: a consumer whose CORRECTNESS
+   * (not just freshness) depends on the chain, like the change feed's
+   * "must not silently drop" contract, must REFUSE on an unreadable
+   * or alien-headed delta instead of quietly serving a partial
+   * replay. A delta that VANISHES mid-read stays non-fatal even under
+   * strict: compaction deletes folded deltas after publishing their
+   * union snapshot, so the entries are in a delta the caller's listing
+   * also holds (or will re-list). */
+  def readDeltaStream(table: Path, conf: Configuration, name: String,
+      strict: Boolean = false)
+      (f: Entry => Unit): Unit = {
+    def run(): Unit = {
       val p = new Path(dir(table), name)
       val fs = p.getFileSystem(conf)
       deltaReads.incrementAndGet()
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), UTF_8))
       try {
-        if (in.readLine() == Header) {
+        if (in.readLine() != Header) {
+          if (strict)
+            throw new graft.scbf.ScbfFormatException(
+              s"discovery delta $name at $table has an unrecognized header " +
+                "— the chain cannot be replayed exactly; repair or remove " +
+                "the foreign file and re-run.")
+        } else {
           var l = in.readLine()
           while (l != null) {
             if (l.nonEmpty) parseLine(l).foreach(f)
@@ -187,7 +201,14 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           }
         }
       } finally in.close()
-    } catch { case NonFatal(_) => () }
+    }
+    if (strict)
+      try run()
+      catch { case _: java.io.FileNotFoundException => () } // folded away
+    else
+      try run()
+      catch { case NonFatal(_) => () }
+  }
 
   private def parse(text: String): Seq[Entry] = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -239,8 +260,16 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     try {
       val d = dir(table)
       val fs = d.getFileSystem(conf)
-      val hadLog = exists(table, conf) &&
-        listDeltas(table, conf).nonEmpty
+      // direct FS probe, errors → TRUE: the boundary exists to keep a
+      // change-feed window from silently serving an overwrite's
+      // replacement as plain adds, so an UNVERIFIABLE history must be
+      // treated as history (a spurious boundary on a fresh table only
+      // makes a pre-creation feed window gate — loud, never wrong rows)
+      val hadLog =
+        try fs.exists(d) && fs.listStatus(d).exists(f =>
+          f.getPath.getName.startsWith("delta-") &&
+            !f.getPath.getName.endsWith(".tmp"))
+        catch { case NonFatal(_) => true }
       if (fs.exists(d)) fs.listStatus(d).foreach(f => fs.delete(f.getPath, false))
       // a data-truncating reset of a table WITH recorded history leaves
       // a durable overwrite-boundary entry (see OverwriteBoundaryPrefix)
@@ -510,32 +539,17 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         s"never announced (${unannounced.take(3).mkString(", ")}" +
         s"${if (unannounced.size > 3) ", …" else ""}). A producer bypassed " +
         "the connector; the version chain cannot be trusted.")
-    // per-file stat on the shared IO pool: an as-of rendering can be
-    // 10⁵+ files, and on an object store serial HEAD latencies would
-    // dominate the whole replay (HistoryScale) — overlap them, keep
-    // name order, and surface the removed-file refusal unwrapped
-    val futures = liveAt(ts).sortBy(_.name).map { e =>
-      e -> ScbfStats.ioPool.submit(
-        new java.util.concurrent.Callable[org.apache.hadoop.fs.FileStatus] {
-          override def call(): org.apache.hadoop.fs.FileStatus =
-            fs.getFileStatus(new Path(qroot, e.name))
-        })
-    }
-    futures.map { case (e, f) =>
-      try f.get()
-      catch {
-        case ee: java.util.concurrent.ExecutionException
-            if ee.getCause.isInstanceOf[java.io.FileNotFoundException] =>
-          refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
-            "timestamp but has been physically removed by a later " +
-            "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
-            "bytes (the frozen reference format has no retention layer). " +
-            "Pick a timestamp at or after the rewrite, or keep explicit " +
-            "CTAS snapshots for long-horizon audits (README 'Time travel').")
-        case ee: java.util.concurrent.ExecutionException =>
-          throw ee.getCause
-      }
-    }
+    // per-file stat on the shared IO pool ([[statPooled]]): an as-of
+    // rendering can be 10⁵+ files — overlap the HEADs, keep name
+    // order, and surface the removed-file refusal unwrapped
+    statPooled(fs, qroot, liveAt(ts).sortBy(_.name),
+      onMissing = e =>
+        refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
+          "timestamp but has been physically removed by a later " +
+          "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
+          "bytes (the frozen reference format has no retention layer). " +
+          "Pick a timestamp at or after the rewrite, or keep explicit " +
+          "CTAS snapshots for long-horizon audits (README 'Time travel')."))
   }
 
   /**
@@ -594,14 +608,25 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         "log's version chain. Tables written by this connector keep one " +
         "automatically; foreign/reference-tool directories have no " +
         "recorded history.")
+    // the feed's contract is "must not silently drop", so unlike the
+    // best-effort optimization layers it REFUSES what it cannot
+    // verify: an empty/unlistable chain (listDeltas degrades errors to
+    // empty — for a stream that only costs freshness; here it would
+    // cost rows) and, below, unreadable deltas (strict reads) and
+    // unannounced files.
+    val chain = listDeltas(qroot, conf)
+    if (chain.isEmpty)
+      refuse("the discovery log is empty or unlistable — there is no " +
+        "recorded history to replay (a crashed overwrite, a swept log, or " +
+        "a transient filesystem error). Retry, or resync from a full read.")
     // one streamed pass over the post-lo deltas: first announcement per
     // name (names are never reused; fold copies are verbatim, so every
     // copy of a name carries the same stamp — min-ts kept defensively)
     val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
-    listDeltas(qroot, conf).sorted
+    chain.sorted
       .filter(n => deltaMillis(n).forall(_ > lo))
       .foreach { n =>
-        readDeltaStream(qroot, conf, n) { e =>
+        readDeltaStream(qroot, conf, n, strict = true) { e =>
           if (e.ts > lo) {
             val cur = firstAt.get(e.name)
             if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
@@ -617,6 +642,11 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // "rows added in (lo, overwrite)" is unknowable and every
     // pre-overwrite row was replaced — gate BEFORE serving anything.
     // The boundary entry is durable across folds (OverwriteBoundaryPrefix).
+    // Under `deliver`, a POST-window overwrite admits the overwrite
+    // commit's own files (the replacement bytes — they share the
+    // boundary's stamp); an IN-window overwrite's replacements are the
+    // post-overwrite adds the window already serves.
+    var admitOverwriteAt: Option[Long] = None
     firstAt.values.filter(e =>
         e.name.startsWith(OverwriteBoundaryPrefix) && e.ts > lo)
       .toSeq.sortBy(_.ts).headOption.foreach { b =>
@@ -625,13 +655,13 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           s"${b.ts}) inside the window — every pre-existing row was " +
           "replaced, and records before the overwrite are gone from the " +
           "restarted log, so rows added between the start point and the " +
-          "overwrite are unknowable; under skip/deliver the feed serves " +
-          "the post-overwrite adds only")
-      else
-        gate(s"the table was fully overwritten (INSERT OVERWRITE, at " +
-          s"${b.ts}) after the end point — the window's bytes were " +
+          "overwrite are unknowable; under skip AND deliver the feed " +
+          "serves the post-overwrite adds (they ARE the replacement rows)")
+      else if (gate(s"the table was fully overwritten (INSERT OVERWRITE, " +
+          s"at ${b.ts}) after the end point — the window's bytes were " +
           "replaced wholesale and records before the overwrite are gone " +
-          "from the restarted log")
+          "from the restarted log"))
+        admitOverwriteAt = Some(b.ts)
     }
     // policy gate for a change the feed cannot express exactly.
     // Returns true when the replacement bytes should be ADMITTED
@@ -682,7 +712,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           } else if (allSelected) {
             selected --= victims; selected(e.name) = e // exact substitution
           } else if (gate("a compaction folded window rows together with " +
-              s"pre-window rows (${e.name} at ${e.ts})")) {
+              s"rows outside the window (${e.name} at ${e.ts})")) {
             selected --= selVictims; selected(e.name) = e
           } else selected --= selVictims
         } else { // rowsChanged rewrite: DELETE/UPDATE/MERGE replacement
@@ -702,10 +732,67 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         }
       }
     }
-    // pooled per-file stats (a large window can select 10⁵ files; see
-    // filesAsOf) — each length-guarded: the log says these bytes are
-    // the window's rows, so a missing or resized file is a loud stop
-    val futures = selected.values.toSeq.sortBy(_.name).map { e =>
+    // deliver's post-window-overwrite admission: the overwrite commit's
+    // own files (plain adds sharing the boundary's stamp — see the
+    // gate above)
+    admitOverwriteAt.foreach { at =>
+      firstAt.values.foreach { e =>
+        if (e.ts == at && e.len >= 0 && e.rewriteOf.isEmpty &&
+            !e.name.endsWith(RemovalSuffix))
+          selected(e.name) = e
+      }
+    }
+    // bypassed-producer reconcile, scoped to the window's own replay
+    // cost: a currently-listed data file whose modification time is
+    // after `lo` must have been ANNOUNCED after `lo` (data lands
+    // before its delta, and fold copies keep original stamps) — one
+    // the replay never saw was written around the connector, and a
+    // feed that silently omitted its rows would claim a sync it does
+    // not have. Files older than the window are the baseline read's
+    // business, not this window's (checking them would cost the full
+    // chain — exactly what the bounded replay exists to avoid).
+    val announced = firstAt.keySet
+    val bypassed = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
+      .filter(_.getModificationTime > lo)
+      .map(f => qroot.toUri.relativize(
+        fs.makeQualified(f.getPath).toUri).getPath.stripPrefix("/"))
+      .filterNot(announced)
+    if (bypassed.nonEmpty)
+      refuse(s"data files newer than the start point exist that the " +
+        s"discovery log never announced (${bypassed.take(3).mkString(", ")}" +
+        s"${if (bypassed.size > 3) ", …" else ""}) — a producer bypassed " +
+        "the connector (or file clocks are skewed); the feed cannot be " +
+        "trusted. Resync from a full read.")
+    // pooled per-file stats (a large window can select 10⁵ files) —
+    // each length-guarded: the log says these bytes are the window's
+    // rows, so a missing or resized file is a loud stop
+    statPooled(fs, qroot, selected.values.toSeq.sortBy(_.name),
+      onMissing = e =>
+        refuse(s"file ${e.name} (published at ${e.ts}) holds rows added " +
+          "in the window but has been physically removed without a log " +
+          "entry — a producer bypassed the connector, or retention " +
+          "swept bytes the chain still names; the feed cannot be " +
+          "trusted. Resync from a full read."),
+      onResized = (e, len) =>
+        refuse(s"file ${e.name} changed length ($len != recorded " +
+          s"${e.len}) without a log entry — a producer bypassed the " +
+          "connector; the feed cannot be trusted. Resync from a full read."))
+  }
+
+  /** Pooled per-file stats over log entries (an as-of rendering or a
+   * feed window can be 10⁵+ files; on an object store serial HEAD
+   * latencies would dominate the replay — overlap them on the shared
+   * IO pool, keep name order). `onResized` fires when the live length
+   * differs from the announced one (callers that cannot tolerate a
+   * swap-under-same-name pass it; filesAsOf's historical lengths can
+   * legitimately differ only by never — announced lengths are final —
+   * but its refusal text predates the guard, so it keeps its own). */
+  private def statPooled(fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
+      entries: Seq[Entry],
+      onMissing: Entry => Nothing,
+      onResized: (Entry, Long) => Nothing = null)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val futures = entries.map { e =>
       e -> ScbfStats.ioPool.submit(
         new java.util.concurrent.Callable[org.apache.hadoop.fs.FileStatus] {
           override def call(): org.apache.hadoop.fs.FileStatus =
@@ -718,17 +805,10 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         catch {
           case ee: java.util.concurrent.ExecutionException
               if ee.getCause.isInstanceOf[java.io.FileNotFoundException] =>
-            refuse(s"file ${e.name} (published at ${e.ts}) holds rows added " +
-              "in the window but has been physically removed without a log " +
-              "entry — a producer bypassed the connector, or retention " +
-              "swept bytes the chain still names; the feed cannot be " +
-              "trusted. Resync from a full read.")
+            onMissing(e)
           case ee: java.util.concurrent.ExecutionException => throw ee.getCause
         }
-      if (st.getLen != e.len)
-        refuse(s"file ${e.name} changed length (${st.getLen} != recorded " +
-          s"${e.len}) without a log entry — a producer bypassed the " +
-          "connector; the feed cannot be trusted. Resync from a full read.")
+      if (onResized != null && st.getLen != e.len) onResized(e, st.getLen)
       st
     }
   }

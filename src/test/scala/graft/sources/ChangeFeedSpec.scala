@@ -190,6 +190,10 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
       val e2 = intercept[Exception] { feed(dir, t1, Some(t2)).count() }
       assert(e2.getMessage.contains("after the end point"), e2.getMessage)
       assert(ids(feed(dir, t1, Some(t2), policy = Some("skip"))) == Seq.empty)
+      // deliver on a post-window overwrite admits the replacement bytes
+      // (the overwrite commit's own files), as its warning promises
+      assert(ids(feed(dir, t1, Some(t2), policy = Some("deliver"))) ==
+        (1000 until 1100))
       // a window starting AFTER the overwrite is clean — no gate
       val t3 = spark.sql("DESCRIBE HISTORY feed_ow")
         .agg(org.apache.spark.sql.functions.max($"ts")).head()
@@ -203,6 +207,46 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
         r.getString(1).startsWith(ScbfDiscovery.OverwriteBoundaryPrefix)),
         acts.mkString("; "))
     } finally spark.sql("DROP TABLE IF EXISTS feed_ow")
+  }
+
+  test("the feed fails CLOSED on what it cannot verify: empty chains, torn deltas, bypassed producers") {
+    // an existing-but-empty log (a crashed overwrite's window) refuses —
+    // listDeltas degrades errors to empty, and for the feed an empty
+    // replay would be silent row loss, not a freshness hiccup
+    val dir = tmpDir("scbf-feed-emptylog")
+    writeWave(dir, 0, 10)
+    val fs = new Path(dir).getFileSystem(hconf)
+    val logDir = ScbfDiscovery.dir(new Path(dir))
+    fs.listStatus(logDir).foreach(f => fs.delete(f.getPath, false))
+    val e1 = intercept[Exception] { feed(dir, 0).count() }
+    assert(e1.getMessage.contains("empty or unlistable"), e1.getMessage)
+
+    // a torn delta refuses under the feed's strict read (a stream just
+    // degrades to reconcile; the feed's correctness depends on it)
+    val dir2 = tmpDir("scbf-feed-torn")
+    writeWave(dir2, 0, 10)
+    val t = tick()
+    writeWave(dir2, 10, 20)
+    val log2 = ScbfDiscovery.dir(new Path(dir2))
+    val delta = fs.listStatus(log2).map(_.getPath)
+      .filter(_.getName.startsWith("delta-")).maxBy(_.getName)
+    val out = fs.create(delta, true)
+    try out.write("not a discovery header\n".getBytes("UTF-8")) finally out.close()
+    val e2 = intercept[Exception] { feed(dir2, t).count() }
+    assert(e2.getMessage.contains("unrecognized header"), e2.getMessage)
+
+    // a data file newer than the start point that the log never
+    // announced: a producer bypassed the connector — refuse, don't
+    // silently under-deliver (same trust contract as asOfTimestamp)
+    val dir3 = tmpDir("scbf-feed-bypass")
+    writeWave(dir3, 0, 10)
+    val t3 = tick()
+    writeWave(dir3, 10, 20)
+    val src = ScbfDataSource.resolveFiles(Seq(dir3), hconf).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new Path(dir3, "alien-copy.scbf"), false, hconf)
+    val e3 = intercept[Exception] { feed(dir3, t3).count() }
+    assert(e3.getMessage.contains("never announced"), e3.getMessage)
   }
 
   test("misuse refuses loudly: reversed points, until-without-since, both spellings, clones, streams") {

@@ -265,12 +265,54 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
-      // a LOCAL append lands flat in the clone directory → that branch
-      // honestly loses its key-grouping (a keyless split can't honor
-      // the contract) but keeps reading correctly, pruning included
+      // a LOCAL append is PARTITION-GROUPED (round 12): the branch's
+      // catalog entry carries the source's identity partitioning, so
+      // the insert routes into a k=v subdirectory of the clone root —
+      // pruning, the rollup fast path and SPJ survive an appended-to
+      // branch
       spark.sql("INSERT INTO clone_pc1 VALUES (9999, 1, 'g1')")
       assert(spark.table("clone_pc1").where($"grp" === "g1").count() ==
         spark.table("clone_psrc").where($"grp" === "g1").count() + 1)
+      val qcl1 = new Path(cl1).getFileSystem(hconf)
+        .makeQualified(new Path(cl1)).toString
+      val local = ScbfDataSource.resolveFiles(Seq(cl1), hconf)
+        .filter(_.getPath.toString.startsWith(qcl1))
+      assert(local.nonEmpty && local.forall(
+          _.getPath.toString.contains("grp=g1")),
+        s"branch appends must land under the clone's k=v layout: " +
+          s"${local.map(_.getPath)}")
+      // the pruned branch read still stats ONLY g1's refs and plans the
+      // local file alongside them
+      ScbfClone.refStats.set(0)
+      val gotApp = spark.table("clone_pc1").where($"grp" === "g1")
+        .agg(sum($"n")).head().getLong(0)
+      assert(gotApp == want + 1, s"appended branch parity: $gotApp")
+      assert(ScbfClone.refStats.get == refsG1,
+        s"append must not widen the ref scope: ${ScbfClone.refStats.get}")
+      // SPJ still holds: the local file's cells parse under the CLONE
+      // root (both roots are partition roots for the branch scan)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j2 = spark.table("clone_pc1").groupBy($"grp").agg(sum($"n").as("a"))
+          .join(spark.table("clone_pc2").groupBy($"grp").agg(count(lit(1)).as("b")), "grp")
+        assert(j2.collect().length == 4)
+        val plan2 = j2.queryExecution.executedPlan.toString
+        assert(!plan2.contains("Exchange"),
+          s"SPJ must survive a partition-grouped branch append:\n$plan2")
+      } finally Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
+      // partition MANAGEMENT stays a source-table operation: the
+      // branch's partitions live in the source (refs), so managing the
+      // local tree alone would half-drop or under-report — refused
+      val ePm = intercept[Exception] {
+        spark.sql("ALTER TABLE clone_pc1 DROP PARTITION (grp='g1')")
+      }
+      val mPm = Iterator.iterate(ePm: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(mPm.contains("SHALLOW CLONE"), mPm)
     } finally Seq("clone_pc1", "clone_pc2", "clone_psrc")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
