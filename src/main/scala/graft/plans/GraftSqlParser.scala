@@ -1299,9 +1299,14 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
  * removes referenced bytes turns into a loud dangling-ref refusal, the
  * documented VACUUM/DELETE interaction) and accepts APPENDS into its
  * own directory; every rewrite surface refuses with the CTAS guidance.
- * A partitioned source clones as a FLAT relation — partition values
- * live in the data files, so every row reads correctly; only directory
- * pruning/SPJ on the refs is given up (declared zero-copy cost).
+ * A partitioned source clones PARTITION-GRADE (round 12): the branch's
+ * catalog entry records the source's identity partitioning
+ * (srcPartCols below), so ref reads keep directory pruning/rollup/SPJ
+ * off the source-rooted cells AND the branch's own appends route into
+ * k=v subdirectories of the clone root, preserving all three on an
+ * appended-to branch. Bucket-transform sources clone with flat
+ * appends (the bucket function lives in the source catalog); partition
+ * MANAGEMENT refuses on any branch (see ScbfClone's contract).
  *
  * `CREATE OR REPLACE … SHALLOW CLONE` is the one-statement spelling of
  * every dangling-ref refusal's cure ("re-create the clone"): the

@@ -567,8 +567,13 @@ class ScbfTable(
       // gate fired during stream planning (and must not pay the
       // replay + per-file stats for a scan that is then refused) —
       // the files resolve at batch build time, once per scan builder
+      // feedReconcile=false skips the O(listing) bypassed-producer
+      // trust check for connector-only pipelines (see
+      // ScbfDiscovery.changedFilesBetween)
+      val feedReconcile = Option(options.get("feedReconcile"))
+        .forall(_.toBoolean)
       lazy val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf,
-        lo, hi, feedPolicy)
+        lo, hi, feedPolicy, feedReconcile)
       val roots = ScbfPartitions.qualifiedRoots(tablePaths, conf)
       return new ScbfScanBuilder(schema, Seq.empty, conf, tablePaths,
         aggPushdown = false, feed = Some((lo, hi)),

@@ -196,15 +196,26 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         } else {
           var l = in.readLine()
           while (l != null) {
-            if (l.nonEmpty) parseLine(l).foreach(f)
+            if (l.nonEmpty) parseLine(l) match {
+              case Some(e) => f(e)
+              case None if strict =>
+                // a torn LINE loses an entry (possibly the overwrite
+                // boundary) — under strict that is silent row loss
+                throw new graft.scbf.ScbfFormatException(
+                  s"discovery delta $name at $table has an unparsable " +
+                    "entry line — the chain cannot be replayed exactly; " +
+                    "repair or remove the torn delta and re-run.")
+              case None => ()
+            }
             l = in.readLine()
           }
         }
       } finally in.close()
     }
-    if (strict)
-      try run()
-      catch { case _: java.io.FileNotFoundException => () } // folded away
+    if (strict) run() // propagate everything, FileNotFound included — a
+                      // concurrently-compacted delta's entries live in a
+                      // fold the caller's LISTING may predate, so the
+                      // caller must re-list and retry, not skip
     else
       try run()
       catch { case NonFatal(_) => () }
@@ -567,11 +578,16 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * never read (entries are stamped at or before their delta's
    * publication, and fold re-announcements are verbatim copies
    * carrying the original stamp), and entries stamped at or before
-   * `lo` are dropped on sight — the replay is O(changes after lo),
-   * not O(table history). The selected files then ride the NORMAL
-   * scan: stats skipping, column pruning and `_file_path` lineage all
-   * apply to a feed read (only manifest-served aggregate pushdown is
-   * off — manifests describe the present table, not a window).
+   * `lo` are dropped on sight — the LOG replay is O(changes after
+   * lo), not O(table history). The default trust reconcile
+   * (`reconcileListing`) additionally pays ONE table listing per feed
+   * read — the bill any batch scan's planning pays — to catch files a
+   * producer wrote around the connector; connector-only pipelines can
+   * opt out (`feedReconcile=false`) and keep planning at O(changes).
+   * The selected files then ride the NORMAL scan: stats skipping,
+   * column pruning and `_file_path` lineage all apply to a feed read
+   * (only manifest-served aggregate pushdown is off — manifests
+   * describe the present table, not a window).
    *
    * Rows — not files — is the contract, so rewrites touching window
    * bytes are handled by EXACT SUBSTITUTION where the log proves it
@@ -591,7 +607,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    *    file's rows (over-delivery — the stream's deliver contract).
    */
   def changedFilesBetween(root: Path, conf: Configuration, lo: Long, hi: Long,
-      policy: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      policy: String, reconcileListing: Boolean = true)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     require(Set("skip", "deliver", "fail").contains(policy),
       s"onChangeCommit must be skip, deliver or fail, got $policy")
     val fs = root.getFileSystem(conf)
@@ -614,25 +631,45 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // empty — for a stream that only costs freshness; here it would
     // cost rows) and, below, unreadable deltas (strict reads) and
     // unannounced files.
-    val chain = listDeltas(qroot, conf)
-    if (chain.isEmpty)
-      refuse("the discovery log is empty or unlistable — there is no " +
-        "recorded history to replay (a crashed overwrite, a swept log, or " +
-        "a transient filesystem error). Retry, or resync from a full read.")
-    // one streamed pass over the post-lo deltas: first announcement per
-    // name (names are never reused; fold copies are verbatim, so every
-    // copy of a name carries the same stamp — min-ts kept defensively)
+    //
+    // One streamed pass over the post-lo deltas builds first
+    // announcement per name (names are never reused; fold copies are
+    // verbatim, so every copy of a name carries the same stamp —
+    // min-ts kept defensively). A delta VANISHING mid-replay is a
+    // concurrent compaction: its entries now live in a fold the stale
+    // listing predates, so re-list and replay again (bounded retries)
+    // instead of silently skipping what could be the only copy of an
+    // overwrite boundary.
     val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
-    chain.sorted
-      .filter(n => deltaMillis(n).forall(_ > lo))
-      .foreach { n =>
-        readDeltaStream(qroot, conf, n, strict = true) { e =>
-          if (e.ts > lo) {
-            val cur = firstAt.get(e.name)
-            if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
+    var attempt = 0
+    var replayed = false
+    while (!replayed) {
+      attempt += 1
+      firstAt.clear()
+      val chain = listDeltas(qroot, conf)
+      if (chain.isEmpty)
+        refuse("the discovery log is empty or unlistable — there is no " +
+          "recorded history to replay (a crashed overwrite, a swept log, or " +
+          "a transient filesystem error). Retry, or resync from a full read.")
+      try {
+        chain.sorted
+          .filter(n => deltaMillis(n).forall(_ > lo))
+          .foreach { n =>
+            readDeltaStream(qroot, conf, n, strict = true) { e =>
+              if (e.ts > lo) {
+                val cur = firstAt.get(e.name)
+                if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
+              }
+            }
           }
-        }
+        replayed = true
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => // re-list
+        case _: java.io.FileNotFoundException =>
+          refuse("the delta chain kept changing under the replay " +
+            "(concurrent compactions) — retry the feed.")
       }
+    }
     def inWindow(t: Long): Boolean = t > lo && t <= hi
     // replay in publication order (the monotonic commit clock makes ts
     // a total order across commits), maintaining the selected net adds
@@ -689,7 +726,12 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       .foreach { e =>
       val isRemoval = e.len < 0 || e.name.endsWith(RemovalSuffix)
       if (e.rewriteOf.isEmpty && !isRemoval) {
-        if (inWindow(e.ts)) selected(e.name) = e
+        // deliver's post-window-overwrite admission enters HERE (the
+        // overwrite commit's own adds share the boundary's stamp), so
+        // later rewrites of the admitted files substitute normally
+        // instead of leaving dangling names for statPooled to trip on
+        if (inWindow(e.ts) || admitOverwriteAt.contains(e.ts))
+          selected(e.name) = e
       } else {
         val victims = e.rewriteOf
         val selVictims = victims.filter(selected.contains)
@@ -732,37 +774,33 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         }
       }
     }
-    // deliver's post-window-overwrite admission: the overwrite commit's
-    // own files (plain adds sharing the boundary's stamp — see the
-    // gate above)
-    admitOverwriteAt.foreach { at =>
-      firstAt.values.foreach { e =>
-        if (e.ts == at && e.len >= 0 && e.rewriteOf.isEmpty &&
-            !e.name.endsWith(RemovalSuffix))
-          selected(e.name) = e
-      }
-    }
-    // bypassed-producer reconcile, scoped to the window's own replay
-    // cost: a currently-listed data file whose modification time is
-    // after `lo` must have been ANNOUNCED after `lo` (data lands
+    // bypassed-producer reconcile (default ON, `feedReconcile=false`
+    // opts out): a currently-listed data file whose modification time
+    // is after `lo` must have been ANNOUNCED after `lo` (data lands
     // before its delta, and fold copies keep original stamps) — one
     // the replay never saw was written around the connector, and a
     // feed that silently omitted its rows would claim a sync it does
     // not have. Files older than the window are the baseline read's
     // business, not this window's (checking them would cost the full
-    // chain — exactly what the bounded replay exists to avoid).
-    val announced = firstAt.keySet
-    val bypassed = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
-      .filter(_.getModificationTime > lo)
-      .map(f => qroot.toUri.relativize(
-        fs.makeQualified(f.getPath).toUri).getPath.stripPrefix("/"))
-      .filterNot(announced)
-    if (bypassed.nonEmpty)
-      refuse(s"data files newer than the start point exist that the " +
-        s"discovery log never announced (${bypassed.take(3).mkString(", ")}" +
-        s"${if (bypassed.size > 3) ", …" else ""}) — a producer bypassed " +
-        "the connector (or file clocks are skewed); the feed cannot be " +
-        "trusted. Resync from a full read.")
+    // chain). This check pays ONE table listing — the same bill any
+    // batch scan's planning pays, but MORE than the pure log replay;
+    // pipelines whose producers are known connector-only can opt out
+    // and keep the feed's planning at O(changes).
+    if (reconcileListing) {
+      val announced = firstAt.keySet
+      val bypassed = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
+        .filter(_.getModificationTime > lo)
+        .map(f => qroot.toUri.relativize(
+          fs.makeQualified(f.getPath).toUri).getPath.stripPrefix("/"))
+        .filterNot(announced)
+      if (bypassed.nonEmpty)
+        refuse(s"data files newer than the start point exist that the " +
+          s"discovery log never announced (${bypassed.take(3).mkString(", ")}" +
+          s"${if (bypassed.size > 3) ", …" else ""}) — a producer bypassed " +
+          "the connector (or file clocks are skewed); the feed cannot be " +
+          "trusted. Resync from a full read, or read with " +
+          "feedReconcile=false if these files are intentionally foreign.")
+    }
     // pooled per-file stats (a large window can select 10⁵ files) —
     // each length-guarded: the log says these bytes are the window's
     // rows, so a missing or resized file is a loud stop

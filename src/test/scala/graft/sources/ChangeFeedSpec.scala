@@ -194,6 +194,14 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
       // (the overwrite commit's own files), as its warning promises
       assert(ids(feed(dir, t1, Some(t2), policy = Some("deliver"))) ==
         (1000 until 1100))
+      // ...and the admission flows through the rewrite machinery: a
+      // later OPTIMIZE of the (physically deleted) overwrite files
+      // composes — substitution or a further deliver gate — instead of
+      // leaving dangling names for the stat guard to trip on
+      spark.sql("INSERT INTO feed_ow SELECT /*+ COALESCE(1) */ CAST(id AS INT), id * 0.5 FROM range(1100, 1150)")
+      spark.sql("OPTIMIZE feed_ow")
+      assert(ids(feed(dir, t1, Some(t2), policy = Some("deliver"))) ==
+        (1000 until 1150))
       // a window starting AFTER the overwrite is clean — no gate
       val t3 = spark.sql("DESCRIBE HISTORY feed_ow")
         .agg(org.apache.spark.sql.functions.max($"ts")).head()
@@ -247,6 +255,31 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
       new Path(dir3, "alien-copy.scbf"), false, hconf)
     val e3 = intercept[Exception] { feed(dir3, t3).count() }
     assert(e3.getMessage.contains("never announced"), e3.getMessage)
+    // connector-only pipelines can opt out of the O(listing) trust
+    // check and keep the feed's planning at O(changes)
+    assert(ids(spark.read.format("scbf").option("changesSince", t3)
+      .option("feedReconcile", false).load(dir3)) == (10 until 20))
+
+    // a torn LINE (valid header, unparsable entry) refuses too — it
+    // could be the only copy of an overwrite boundary
+    val dir4 = tmpDir("scbf-feed-tornline")
+    writeWave(dir4, 0, 10)
+    val t4 = tick()
+    writeWave(dir4, 10, 20)
+    val log4 = ScbfDiscovery.dir(new Path(dir4))
+    val delta4 = fs.listStatus(log4).map(_.getPath)
+      .filter(_.getName.startsWith("delta-")).maxBy(_.getName)
+    val body = {
+      val len = fs.getFileStatus(delta4).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(delta4)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val out4 = fs.create(delta4, true)
+    try out4.write((body + "\ntorn").getBytes("UTF-8")) finally out4.close()
+    val e4 = intercept[Exception] { feed(dir4, t4).count() }
+    assert(e4.getMessage.contains("unparsable entry line"), e4.getMessage)
   }
 
   test("misuse refuses loudly: reversed points, until-without-since, both spellings, clones, streams") {

@@ -142,6 +142,64 @@ object CloneScale {
         s"read ${ScbfStats.manifestReads.get}")
     println(s"[clonepart] planned=$planned files manifestReads=${ScbfStats.manifestReads.get}")
 
+    // ---- grouped APPEND on the branch (round 12, second half) ----
+    // the catalog route: the clone's entry records the source's
+    // partitioning, so a branch INSERT lands under the clone root's
+    // k=v layout and a partition-scoped read keeps its bill (pruned
+    // ref stats + the local file). Needs a CONNECTOR-written source
+    // (partition columns live in the data files too — every subdir is
+    // a standalone SCBF directory); the raw probe fixture above is a
+    // cell-only layout whose appends refuse identically on the SOURCE.
+    val appRoot = "/tmp/graft_clone_scale_app"
+    val appClone = s"$appRoot.branch"
+    Seq(appRoot, appClone).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    spark.sql("DROP TABLE IF EXISTS clone_scale_psrc")
+    spark.sql("DROP TABLE IF EXISTS clone_scale_pbr")
+    spark.sql("CREATE TABLE clone_scale_psrc (id INT, v DOUBLE, pk STRING) " +
+      s"USING scbf PARTITIONED BY (pk) LOCATION '$appRoot'")
+    spark.sql(s"INSERT INTO clone_scale_psrc SELECT /*+ REPARTITION(8, pk) */ * " +
+      s"FROM (SELECT CAST(id AS INT) AS id, id * 0.5 AS v, " +
+      s"concat('p', CAST(id % $parts AS INT)) AS pk " +
+      s"FROM range(0, ${parts * 200}))")
+    val appRefsAll = ScbfDataSource.resolveFiles(Seq(appRoot), conf)
+    val appRefsSel = appRefsAll.count(_.getPath.toString.contains("pk=p7"))
+    require(appRefsSel > 0 && appRefsSel < appRefsAll.size,
+      s"append fixture: $appRefsSel of ${appRefsAll.size}")
+    ScbfUtil.dataFileOpens.set(0)
+    timed(s"SHALLOW CLONE via SQL (partitioned catalog entry)") {
+      spark.sql("CREATE TABLE clone_scale_pbr SHALLOW CLONE clone_scale_psrc " +
+        s"LOCATION '$appClone'")
+    }
+    require(ScbfUtil.dataFileOpens.get == 0, "SQL clone creation opened data")
+    timed("branch INSERT (partition-grouped append)") {
+      spark.sql("INSERT INTO clone_scale_pbr VALUES (999999, 1.0, 'p7')")
+    }
+    val localApp = ScbfDataSource.resolveFiles(Seq(appClone), conf)
+      .filter(_.getPath.toString.startsWith(
+        new Path(appClone).getFileSystem(conf)
+          .makeQualified(new Path(appClone)).toString))
+    require(localApp.nonEmpty && localApp.forall(
+        _.getPath.toString.contains("pk=p7")),
+      s"branch append must land under pk=p7: ${localApp.map(_.getPath)}")
+    val srcCnt = spark.sql(
+      "SELECT COUNT(*) FROM clone_scale_psrc WHERE pk = 'p7'").head().getLong(0)
+    ScbfClone.refStats.set(0)
+    val appCnt = timed("appended-branch pk=p7 COUNT (pruned refs + local)") {
+      spark.sql("SELECT COUNT(*) FROM clone_scale_pbr WHERE pk = 'p7'")
+        .head().getLong(0)
+    }
+    require(appCnt == srcCnt + 1, s"appended-branch count: $appCnt vs $srcCnt")
+    require(ScbfClone.refStats.get == appRefsSel,
+      s"the append must not widen the ref scope: ${ScbfClone.refStats.get} " +
+        s"!= $appRefsSel")
+    println(s"[clonepart] appended-branch refStats=${ScbfClone.refStats.get} " +
+      s"(of ${appRefsAll.size} refs) localFiles=${localApp.size}")
+    spark.sql("DROP TABLE IF EXISTS clone_scale_pbr")
+    spark.sql("DROP TABLE IF EXISTS clone_scale_psrc")
+    Seq(appRoot, appClone).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(d)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cloneDir))
