@@ -570,8 +570,10 @@ class ScbfTable(
       // feedReconcile=false skips the O(listing) bypassed-producer
       // trust check for connector-only pipelines (see
       // ScbfDiscovery.changedFilesBetween)
-      val feedReconcile = Option(options.get("feedReconcile"))
-        .forall(_.toBoolean)
+      val feedReconcile = Option(options.get("feedReconcile")).forall { v =>
+        v.toBooleanOption.getOrElse(throw new ScbfFormatException(
+          s"feedReconcile must be true or false, got '$v'"))
+      }
       lazy val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf,
         lo, hi, feedPolicy, feedReconcile)
       val roots = ScbfPartitions.qualifiedRoots(tablePaths, conf)

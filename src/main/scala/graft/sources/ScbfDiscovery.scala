@@ -173,10 +173,11 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * (not just freshness) depends on the chain, like the change feed's
    * "must not silently drop" contract, must REFUSE on an unreadable
    * or alien-headed delta instead of quietly serving a partial
-   * replay. A delta that VANISHES mid-read stays non-fatal even under
-   * strict: compaction deletes folded deltas after publishing their
-   * union snapshot, so the entries are in a delta the caller's listing
-   * also holds (or will re-list). */
+   * replay. Under strict EVERY failure propagates — including a delta
+   * VANISHING mid-read (a concurrent compaction folding it away): the
+   * entries now live in a fold the caller's stale listing may
+   * predate, so a strict caller must RE-LIST AND RETRY rather than
+   * skip (changedFilesBetween's bounded retry loop is the pattern). */
   def readDeltaStream(table: Path, conf: Configuration, name: String,
       strict: Boolean = false)
       (f: Entry => Unit): Unit = {
@@ -664,10 +665,17 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           }
         replayed = true
       } catch {
-        case _: java.io.FileNotFoundException if attempt < 3 => // re-list
-        case _: java.io.FileNotFoundException =>
-          refuse("the delta chain kept changing under the replay " +
-            "(concurrent compactions) — retry the feed.")
+        // any IO shape a mid-read delta deletion can take (raw FNF on
+        // local FS; BlockMissingException-style IOExceptions on
+        // HDFS/object stores) → re-list and retry; a PERSISTENT IO
+        // error exhausts the retries and refuses loudly below, never
+        // silently under-delivers
+        case _: java.io.IOException if attempt < 3 => // re-list
+        case e: java.io.IOException =>
+          refuse("the delta chain could not be replayed after 3 attempts " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — concurrent " +
+            "compactions kept changing it, or the filesystem is failing; " +
+            "retry the feed.")
       }
     }
     def inWindow(t: Long): Boolean = t > lo && t <= hi
