@@ -313,6 +313,12 @@ class CloneSpec extends AnyFunSuite with SparkTestBase {
       val mPm = Iterator.iterate(ePm: Throwable)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
       assert(mPm.contains("SHALLOW CLONE"), mPm)
+      // SHOW PARTITIONS refuses too: the local tree alone would omit
+      // every ref-only partition (silently wrong > loudly refused)
+      val eSp = intercept[Exception] { spark.sql("SHOW PARTITIONS clone_pc1").collect() }
+      val mSp = Iterator.iterate(eSp: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(mSp.contains("SHALLOW CLONE"), mSp)
     } finally Seq("clone_pc1", "clone_pc2", "clone_psrc")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
