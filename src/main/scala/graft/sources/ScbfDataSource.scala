@@ -47,6 +47,10 @@ class ScbfDataSource extends TableProvider with DataSourceRegister {
    * the difference between milliseconds and minutes of driver time
    * before a single filter has even been seen. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // history=entries: the relation IS the discovery log (path
+    // spelling only — a catalog table's relation output is its data
+    // schema), so the inferred schema is the history row shape
+    if (ScbfHistoryRead.requested(options)) return ScbfHistoryRead.schema
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val first = ScbfDataSource.findFirstFile(ScbfDataSource.paths(options), conf)
       .getOrElse(throw new ScbfFormatException(
@@ -482,6 +486,34 @@ class ScbfTable(
       TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // distributed history relation (ScbfHistoryRead): the scan output
+    // is log ENTRIES, parsed executor-side, one partition per delta
+    if (ScbfHistoryRead.requested(options)) {
+      if (Option(options.get("asOfTimestamp")).nonEmpty ||
+          Option(options.get("changesSince")).nonEmpty ||
+          Option(options.get("changesSinceVersion")).nonEmpty)
+        throw new ScbfFormatException(
+          "history=entries is its own relation (the log's rows) — " +
+            "asOfTimestamp/changesSince read the TABLE; set one or the other.")
+      // a CATALOG table's relation output is its data schema (fixed at
+      // load), so the option only composes with the PATH spelling —
+      // refusing here beats a confusing schema-mismatch error later
+      if (schema != ScbfHistoryRead.schema)
+        throw new ScbfFormatException(
+          "history=entries is a PATH read: spark.read.format(\"scbf\")" +
+            ".option(\"history\", \"entries\").load(<table directory>) — " +
+            "a catalog table's relation carries its data schema, which " +
+            "cannot also be the history rows.")
+      val root = tablePaths match {
+        case Seq(one) => one
+        case other => throw new ScbfFormatException(
+          s"history=entries needs exactly one table directory, got: $other")
+      }
+      val p = new Path(root)
+      return new ScbfHistoryScanBuilder(
+        p.getFileSystem(conf).makeQualified(p),
+        new ScbfUtil.SerializableConf(conf))
+    }
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val compactInterval = Option(options.get("compactInterval")).map(_.toInt)
       .getOrElse(ScbfMicroBatchStream.DefaultCompactInterval)

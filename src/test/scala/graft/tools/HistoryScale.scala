@@ -166,6 +166,21 @@ object HistoryScale {
     require(rowFeedReads <= 3,
       s"a bracketed row feed must read only the bracketed deltas, read $rowFeedReads")
 
+    // 4d. the DISTRIBUTED history relation: the unbounded per-file
+    // analytics shape the driver command should not serve — parsed
+    // executor-side, one partition per delta, aggregated by Spark
+    val distCnt = timed("history=entries distributed COUNT(*)") {
+      spark.read.format("scbf").option("history", "entries").load(dir).count()
+    }
+    require(distCnt >= nPhantom.toLong,
+      s"distributed entry count: $distCnt (want >= $nPhantom)")
+    val distAgg = timed("history=entries GROUP BY action") {
+      spark.read.format("scbf").option("history", "entries").load(dir)
+        .groupBy("action").count().collect()
+    }
+    println(s"[hist1m]   distributed rows=$distCnt actions=" +
+      distAgg.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(","))
+
     // 5. time-travel planning: the full 10⁶-entry replay + pooled
     // per-file stats, then the travelled read itself
     ScbfUtil.dataFileOpens.set(0)
