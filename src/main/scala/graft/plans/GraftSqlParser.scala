@@ -1034,11 +1034,10 @@ case class GraftDescribeHistoryCommand(table: String,
         inHeap.values.toSeq
     }
     selected.sortBy(e => (-e.ts, e.name)).map { e =>
-      val action =
-        if (e.name.endsWith(ScbfDiscovery.RemovalSuffix)) "remove"
-        else if (e.rewriteOf.nonEmpty) "rewrite"
-        else "append"
-      Row(new java.sql.Timestamp(e.ts), action, e.name, e.len, e.rowsChanged,
+      // shared with the distributed history relation (ScbfHistoryRead)
+      // so the pinned parity between the two cannot drift
+      Row(new java.sql.Timestamp(e.ts), ScbfDiscovery.actionOf(e), e.name,
+        e.len, e.rowsChanged,
         if (e.rewriteOf.isEmpty) null else e.rewriteOf.mkString(","))
     }
   }

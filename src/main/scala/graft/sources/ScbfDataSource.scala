@@ -285,13 +285,19 @@ class ScbfTable(
    * decode cost. A DATA column of the same name wins (Spark excludes
    * conflicting metadata columns, and the readers prefer the file's
    * own column). */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
-      override def name: String = ScbfDataSource.FilePathCol
-      override def dataType: DataType = StringType
-      override def comment: String =
-        "absolute path of the SCBF data file this row was read from"
-    })
+  override def metadataColumns(): Array[MetadataColumn] =
+    // the history relation's rows come from LOG entries, not data
+    // files — advertising _file_path there would resolve a column the
+    // history scan cannot produce (a confusing planner mismatch
+    // instead of Spark's clean unresolved-column error)
+    if (ScbfHistoryRead.requested(tableProps)) Array.empty
+    else Array(
+      new MetadataColumn {
+        override def name: String = ScbfDataSource.FilePathCol
+        override def dataType: DataType = StringType
+        override def comment: String =
+          "absolute path of the SCBF data file this row was read from"
+      })
 
   /** SQL UPDATE / MERGE INTO / subquery-DELETE via group-based
    * copy-on-write (see [[ScbfRowLevelOperation]]). Filter-translatable
@@ -489,12 +495,13 @@ class ScbfTable(
     // distributed history relation (ScbfHistoryRead): the scan output
     // is log ENTRIES, parsed executor-side, one partition per delta
     if (ScbfHistoryRead.requested(options)) {
-      if (Option(options.get("asOfTimestamp")).nonEmpty ||
-          Option(options.get("changesSince")).nonEmpty ||
-          Option(options.get("changesSinceVersion")).nonEmpty)
+      if (Seq("asOfTimestamp", "changesSince", "changesSinceVersion",
+          "changesUntil", "changesUntilVersion")
+          .exists(k => Option(options.get(k)).nonEmpty))
         throw new ScbfFormatException(
           "history=entries is its own relation (the log's rows) — " +
-            "asOfTimestamp/changesSince read the TABLE; set one or the other.")
+            "asOfTimestamp/changesSince[Version]/changesUntil[Version] " +
+            "read the TABLE; set one or the other.")
       // a CATALOG table's relation output is its data schema (fixed at
       // load), so the option only composes with the PATH spelling —
       // refusing here beats a confusing schema-mismatch error later

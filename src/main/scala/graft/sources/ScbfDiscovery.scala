@@ -126,6 +126,21 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * explicit `remove` record of the overwrite. */
   val OverwriteBoundaryPrefix = "full-overwrite-"
 
+  /** The action kind both `DESCRIBE HISTORY` and the distributed
+   * history relation render for an entry — ONE definition, so the
+   * relation's pinned parity with the command cannot drift. */
+  def actionOf(e: Entry): String =
+    if (e.name.endsWith(RemovalSuffix)) "remove"
+    else if (e.rewriteOf.nonEmpty) "rewrite"
+    else "append"
+
+  /** Line-level access for EXECUTOR-side readers: the distributed
+   * history relation streams a delta line by line (a fold snapshot
+   * holds ~the whole log — materializing it in one task's heap before
+   * serving the first row would defeat the relation's purpose). */
+  def isHeaderLine(l: String): Boolean = l == Header
+  def parseEntryLine(l: String): Option[Entry] = parseLine(l)
+
   // test hooks, PlanningScale-style: what did discovery actually cost?
   val deltaReads = new AtomicLong(0)
   val deltaAppends = new AtomicLong(0)

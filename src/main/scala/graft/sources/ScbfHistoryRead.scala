@@ -88,11 +88,23 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
   override def description(): String = s"SCBF history entries, $root"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (!ScbfDiscovery.exists(root, conf.value))
+    if (!ScbfDiscovery.exists(root, conf.value)) {
+      // same clone special-case as DESCRIBE HISTORY: a fresh branch has
+      // no chain of its own — the generic no-log error would
+      // misdiagnose a connector-created clone as a foreign directory.
+      // A branch WITH local appends has a log and serves it, exactly
+      // like the command.
+      if (ScbfClone.isClone(root, conf.value))
+        throw new graft.scbf.ScbfFormatException(
+          s"history read on $root: a SHALLOW CLONE starts with no history " +
+            "of its own — the ref list IS the branch point. Read the " +
+            "SOURCE table's history; the clone's own log begins with its " +
+            "first append.")
       throw new graft.scbf.ScbfFormatException(
         s"history read on $root: the table has no discovery log — history " +
           "is recorded by connector writes; a foreign/reference-tool " +
           "directory has none.")
+    }
     ScbfDiscovery.commitChain(root, conf.value)
       .map(n => ScbfHistoryPartition(root.toString, n): InputPartition)
       .toArray
@@ -104,38 +116,66 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val hp = p.asInstanceOf[ScbfHistoryPartition]
         new PartitionReader[InternalRow] {
-          // one buffered pass per delta, executor-side; rows built
-          // eagerly per entry (a delta is one commit's lines; a fold
-          // is bounded by the log the driver command would have
-          // materialized WHOLE — here it stays in one task's heap
-          // only long enough to hand rows to the consumer)
-          private val rows = {
-            val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-            val rootP = new Path(hp.root)
-            val isFold = ScbfDiscovery.isFold(hp.delta)
-            ScbfDiscovery.readDeltaStream(rootP, sconf.value, hp.delta) { e =>
-              val action =
-                if (e.name.endsWith(ScbfDiscovery.RemovalSuffix)) "remove"
-                else if (e.rewriteOf.nonEmpty) "rewrite"
-                else "append"
-              buf += new GenericInternalRow(Array[Any](
-                UTF8String.fromString(hp.delta),
-                isFold,
-                UTF8String.fromString(e.name),
-                e.len,
-                e.ts * 1000L, // TimestampType is micros
-                UTF8String.fromString(action),
-                if (e.rewriteOf.isEmpty) null
-                else UTF8String.fromString(e.rewriteOf.mkString(",")),
-                e.rowsChanged))
-            }
-            buf.iterator
-          }
+          // STREAMED, one line resident at a time: a fold snapshot
+          // holds ~the whole log, so buffering a delta's rows before
+          // serving the first one would put 10⁸ entries in one task's
+          // heap — exactly the driver pathology this relation exists
+          // to avoid. Best-effort per delta like every history READER
+          // (a torn line degrades to fewer rows; the change feed is
+          // the fail-closed surface). A fold still IS one partition —
+          // parallelism for the pre-shuffle pass over it is one task,
+          // the honest cost of an unsplittable line file.
+          private val rootP = new Path(hp.root)
+          private val isFold = ScbfDiscovery.isFold(hp.delta)
+          private val deltaName = UTF8String.fromString(hp.delta)
+          private var in: java.io.BufferedReader = _
+          private var opened = false
+          private var done = false
           private var cur: InternalRow = _
-          override def next(): Boolean =
-            if (rows.hasNext) { cur = rows.next(); true } else false
+          private def open(): Unit = {
+            opened = true
+            try {
+              val f = new Path(ScbfDiscovery.dir(rootP), hp.delta)
+              val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+                f.getFileSystem(sconf.value).open(f),
+                java.nio.charset.StandardCharsets.UTF_8))
+              if (ScbfDiscovery.isHeaderLine(r.readLine())) in = r
+              else { r.close(); done = true } // alien header → no rows
+            } catch { case scala.util.control.NonFatal(_) => done = true }
+          }
+          override def next(): Boolean = {
+            if (!opened) open()
+            if (done) return false
+            try {
+              var l = in.readLine()
+              while (l != null) {
+                if (l.nonEmpty) ScbfDiscovery.parseEntryLine(l) match {
+                  case Some(e) =>
+                    cur = new GenericInternalRow(Array[Any](
+                      deltaName,
+                      isFold,
+                      UTF8String.fromString(e.name),
+                      e.len,
+                      e.ts * 1000L, // TimestampType is micros
+                      UTF8String.fromString(ScbfDiscovery.actionOf(e)),
+                      if (e.rewriteOf.isEmpty) null
+                      else UTF8String.fromString(e.rewriteOf.mkString(",")),
+                      e.rowsChanged))
+                    return true
+                  case None => () // torn line — skip, best-effort
+                }
+                l = in.readLine()
+              }
+              done = true; false
+            } catch {
+              case scala.util.control.NonFatal(_) => done = true; false
+            }
+          }
           override def get(): InternalRow = cur
-          override def close(): Unit = ()
+          override def close(): Unit =
+            if (in != null) try in.close() catch {
+              case scala.util.control.NonFatal(_) => ()
+            }
         }
       }
     }

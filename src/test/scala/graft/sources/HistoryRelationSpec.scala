@@ -86,6 +86,24 @@ class HistoryRelationSpec extends AnyFunSuite with SparkTestBase {
         .option("asOfTimestamp", 1L).load(dir).count()
     }
     assert(e2.getMessage.contains("its own relation"), e2.getMessage)
+    // ...the UNTIL spellings too (silently ignoring a bound the user
+    // set would serve the full log as if it were bounded)
+    val e2b = intercept[Exception] {
+      spark.read.format("scbf").option("history", "entries")
+        .option("changesUntilVersion", 5).load(dir).count()
+    }
+    assert(e2b.getMessage.contains("its own relation"), e2b.getMessage)
+    // a fresh SHALLOW CLONE names the clone contract, not the generic
+    // foreign-directory error
+    val cl = tmpDir("scbf-histrel-clone")
+    val cfs = new Path(cl).getFileSystem(hconf)
+    cfs.delete(new Path(cl), true)
+    val src = new Path(dir)
+    ScbfClone.write(new Path(cl), hconf,
+      src.getFileSystem(hconf).makeQualified(src),
+      ScbfDataSource.resolveFiles(Seq(dir), hconf))
+    val eCl = intercept[Exception] { hist(cl).count() }
+    assert(eCl.getMessage.contains("SHALLOW CLONE"), eCl.getMessage)
     // a catalog-table read refuses (the relation's output is the DATA
     // schema — the path spelling is the supported one)
     val cdir = tmpDir("scbf-histrel-cat")
