@@ -425,13 +425,22 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * millisecond — which is what makes `versionTs`'s max-entry-ts → the
    * time axis mapping EXACT instead of "exact up to ms granularity"
    * (the round-11 documented ambiguity: a commit n+1 landing in commit
-   * n's millisecond leaked into version n's rendering). In-process
-   * only: cross-process writers racing inside one millisecond remain
-   * theoretically possible (two JVMs, same table, same ms), but every
+   * n's millisecond leaked into version n's rendering). The clock
+   * SEEDS from the persisted chain (newest delta-name millis — always
+   * ≥ every stamp that delta holds) on first use per table per JVM,
+   * so the guarantee survives driver restarts even under a
+   * backwards-stepping wall clock (NTP): a restarted writer can never
+   * stamp inside a pre-restart commit's millisecond. Cross-PROCESS
+   * writers racing inside one millisecond remain theoretically
+   * possible (two live JVMs, same table, same ms), but every
    * connector surface that commits rapidly enough to collide — batch
    * jobs, streaming epochs, maintenance — runs through one driver. */
   private val commitClock =
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  /** Test seam: simulate a driver restart (clears every in-memory
+   * clock, forcing the next commit to re-seed from the chain). */
+  private[sources] def resetCommitClocks(): Unit = commitClock.clear()
 
   private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry],
       foldSpan: Int = 0, preserveTs: Boolean = false): Unit = {
@@ -445,7 +454,15 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       if (preserveTs || foldSpan > 0 || entries.isEmpty) entries
       else {
         val clock = commitClock.computeIfAbsent(
-          fs.makeQualified(d).toString, _ => new AtomicLong(Long.MinValue))
+          fs.makeQualified(d).toString,
+          // restart-proof seed: the newest persisted delta's name
+          // millis is ≥ every stamp it holds (the early-stop
+          // invariant), so flooring here keeps stamps strictly
+          // increasing across JVM restarts and NTP steps — one listing
+          // of the small log dir, once per table per JVM
+          _ => new AtomicLong(
+            listDeltas(table, conf).flatMap(deltaMillis).maxOption
+              .getOrElse(Long.MinValue)))
         var out = entries
         var done = false
         while (!done) {

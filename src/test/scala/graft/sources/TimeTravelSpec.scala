@@ -495,6 +495,36 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the commit clock survives restarts: re-seeded from the chain, a backdated commit still stamps after") {
+    val dir = tmpDir("scbf-asof-restart")
+    val qroot = new Path(dir).getFileSystem(hconf).makeQualified(new Path(dir))
+    ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+      "pre.scbf", 100L, System.currentTimeMillis())))
+    val maxBefore = {
+      var m = Long.MinValue
+      ScbfDiscovery.commitChain(qroot, hconf).foreach(d =>
+        ScbfDiscovery.readDeltaStream(qroot, hconf, d)(e => m = math.max(m, e.ts)))
+      m
+    }
+    // driver restart + NTP stepping the wall clock BACKWARDS: the
+    // in-memory clock is gone and the new commit arrives stamped
+    // inside (before!) the previous commit's millisecond — the
+    // re-seed from the persisted delta names must shift it past
+    ScbfDiscovery.resetCommitClocks()
+    ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+      "post-restart.scbf", 100L, maxBefore - 5000)))
+    var postTs = Long.MinValue
+    ScbfDiscovery.commitChain(qroot, hconf).foreach(d =>
+      ScbfDiscovery.readDeltaStream(qroot, hconf, d)(e =>
+        if (e.name == "post-restart.scbf") postTs = e.ts))
+    assert(postTs > maxBefore,
+      s"a post-restart commit must stamp strictly after the chain: " +
+        s"$postTs !> $maxBefore")
+    // and the version axis stays exact across the restart
+    assert(ScbfDiscovery.versionTs(qroot, hconf, 1) == postTs)
+    assert(ScbfDiscovery.versionTs(qroot, hconf, 0) == maxBefore)
+  }
+
   test("partitioned tables time-travel too, with partition pruning intact") {
     val dir = tmpDir("scbf-asof-part")
     spark.sql("DROP TABLE IF EXISTS asof_pt")
