@@ -41,6 +41,42 @@ object Bench {
     Seq("lineitem", "nation", "documents", "embeddings", "events")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
+    // BOX-SPEED PROBE (VERDICT r12 item 7): a tiny FIXED workload —
+    // CTAS-shaped 10⁵-row scbf write + full scan + aggregate — timed
+    // with every sweep, so floor ratios can be box-normalized
+    // mechanically (ratio × probe_ref/probe_now) instead of argued
+    // from ratio-distribution uniformity. Runs after the warm-up
+    // (JVM/codegen warm, like every measured query), best of 3.
+    def boxProbe(): Double = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-boxprobe")
+        .toString
+      val probe = (1 to 3).map { _ =>
+        val sub = s"$dir/t${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        spark.range(100000).select(
+            org.apache.spark.sql.functions.col("id").cast("int").as("k"),
+            (org.apache.spark.sql.functions.col("id") % 97).cast("double").as("v"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("row-"),
+              org.apache.spark.sql.functions.col("id")).as("s"))
+          .write.format("scbf").mode("overwrite").save(sub)
+        spark.read.format("scbf").load(sub)
+          .agg(org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      probe
+    }
+    val probeSec = boxProbe()
+    System.err.println(f"[bench] box_probe $probeSec%.3f s")
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // load guard (the round-6 ±15% lesson): record the 1-minute system
     // load at each rep boundary so a comparator can SEE whether a rep
@@ -132,7 +168,26 @@ object Bench {
     val total = best.values.sum
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val waits = repWaits.map(w => f"$w%.1f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$reptimes,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"rep_quiet_wait_s":$waits,"quiet_wait_s":${repWaits.sum}%.1f}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","box_probe":$probeSec%.3f,"queries":$qs,"rep_times":$reptimes,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"rep_quiet_wait_s":$waits,"quiet_wait_s":${repWaits.sum}%.1f}"""
+    // TRUNCATION-PROOF artifact (VERDICT r12 item 6): the round driver
+    // captures only a bounded TAIL of this process's output, and the
+    // full line (109 queries × rep_times) overflows it — r12's
+    // artifact carried `parsed: null` and cost a re-measurement to
+    // adjudicate. Three mitigations: the complete line is written to
+    // BENCH_SELF.json (committed per round; BENCH_NOTES points at
+    // it), printed in full FIRST for any head-surviving capture, and
+    // the LAST stdout line is a SHORT complete summary (metric,
+    // total, box_probe, failures — no per-query map) sized to survive
+    // a 2000-char tail capture intact.
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    try {
+      val w = new java.io.PrintWriter(selfPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $selfPath: ${e.getMessage}")
+    }
+    println(line)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","box_probe":$probeSec%.3f,"failed":$failedNames,"sf":"$sfDir","reps":$reps,"rep_load":$loads,"rep_quiet_wait_s":$waits,"full_results":"$selfPath"}""")
     spark.stop()
   }
 }

@@ -587,25 +587,17 @@ class ScbfTable(
           s"changesSince needs exactly one table directory, got: $other")
       }
       val p = new Path(root)
-      if (ScbfClone.isClone(p, conf))
-        throw new ScbfFormatException(
-          s"changesSince on $root: the table is a SHALLOW CLONE — it records " +
-            "no version chain of its own (the ref list IS the branch " +
-            "point). Feed from the SOURCE table; the clone's own history " +
-            "begins with its first append.")
       val qroot = p.getFileSystem(conf).makeQualified(p)
       val feedPolicy = Option(options.get("onChangeCommit"))
         .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("fail")
-      val lo = sinceMs.getOrElse(
-        ScbfDiscovery.versionTs(qroot, conf, sinceV.get))
-      val hi = untilMs.orElse(
-        untilV.map(v => ScbfDiscovery.versionTs(qroot, conf, v)))
-        .getOrElse(Long.MaxValue)
-      // LAZY window resolution: a stream must hit ScbfScan's clean
-      // "changesSince[Version] is batch-only" refusal, not a policy
-      // gate fired during stream planning (and must not pay the
-      // replay + per-file stats for a scan that is then refused) —
-      // the files resolve at batch build time, once per scan builder
+      // LAZY window resolution — ALL of it: a stream must hit
+      // ScbfScan's clean "changesSince[Version] is batch-only"
+      // refusal, not a policy gate, a versionTs refusal (a folded
+      // ordinal resolving a version spelling is a DELTA READ), or the
+      // clone probe fired during stream planning — so the eager part
+      // here is only the PRESENCE of a window (and its raw spelling,
+      // for the plan description); bounds, the clone check and the
+      // replay all resolve at batch build time, once per scan builder.
       // feedReconcile=false skips the O(listing) bypassed-producer
       // trust check for connector-only pipelines (see
       // ScbfDiscovery.changedFilesBetween)
@@ -613,11 +605,29 @@ class ScbfTable(
         v.toBooleanOption.getOrElse(throw new ScbfFormatException(
           s"feedReconcile must be true or false, got '$v'"))
       }
+      lazy val bounds: (Long, Long) = {
+        if (ScbfClone.isClone(p, conf))
+          throw new ScbfFormatException(
+            s"changesSince on $root: the table is a SHALLOW CLONE — it records " +
+              "no version chain of its own (the ref list IS the branch " +
+              "point). Feed from the SOURCE table; the clone's own history " +
+              "begins with its first append.")
+        val lo = sinceMs.getOrElse(
+          ScbfDiscovery.versionTs(qroot, conf, sinceV.get))
+        val hi = untilMs.orElse(
+          untilV.map(v => ScbfDiscovery.versionTs(qroot, conf, v)))
+          .getOrElse(Long.MaxValue)
+        (lo, hi)
+      }
       lazy val feedFiles = ScbfDiscovery.changedFilesBetween(qroot, conf,
-        lo, hi, feedPolicy, feedReconcile)
+        bounds._1, bounds._2, feedPolicy, feedReconcile)
+      val feedDisplay = sinceMs.map(m => s"since ts $m")
+        .getOrElse(s"since version ${sinceV.get}") +
+        untilMs.map(m => s", until ts $m")
+          .orElse(untilV.map(v => s", until version $v")).getOrElse("")
       val roots = ScbfPartitions.qualifiedRoots(tablePaths, conf)
       return new ScbfScanBuilder(schema, Seq.empty, conf, tablePaths,
-        aggPushdown = false, feed = Some((lo, hi)),
+        aggPushdown = false, feed = Some(feedDisplay),
         listFilesOpt = Some(filters =>
           ScbfPartitions.prune(feedFiles, schema, filters, roots)),
         partitionCols = ScbfPartitions.partitionCols(partitionTransforms, schema))

@@ -593,7 +593,17 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
           "bytes (the frozen reference format has no retention layer). " +
           "Pick a timestamp at or after the rewrite, or keep explicit " +
-          "CTAS snapshots for long-horizon audits (README 'Time travel')."))
+          "CTAS snapshots for long-horizon audits (README 'Time travel')."),
+      // announced lengths are FINAL (names are never reused; a rewrite
+      // publishes a NEW name) — a same-name length change is a producer
+      // that bypassed the connector and swapped bytes in place, and a
+      // historical rendering over those bytes would serve rows the
+      // chain never announced. Same trust boundary as the change feed.
+      onResized = (e, len) =>
+        refuse(s"file ${e.name} changed length ($len != announced " +
+          s"${e.len}) without a log entry — a producer swapped its bytes " +
+          "in place, bypassing the connector; the version chain cannot " +
+          "be trusted for this file's history."))
   }
 
   /**
@@ -612,7 +622,15 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * publication, and fold re-announcements are verbatim copies
    * carrying the original stamp), and entries stamped at or before
    * `lo` are dropped on sight — the LOG replay is O(changes after
-   * lo), not O(table history). The default trust reconcile
+   * lo) DELTA READS, not O(table history). Fold caveat, stated
+   * honestly: a compaction fold published AFTER `lo` re-announces the
+   * entire pre-fold history verbatim, so the one strict streamed pass
+   * over that fold reads O(table-history) BYTES for the window even
+   * though every pre-lo entry is dropped on sight (deltaReads stays
+   * small; byte cost does not). HistoryScale's O(changes) bracket
+   * holds for fold-free windows — the common shape, since a feed
+   * consumer's `lo` usually trails the head by less than one
+   * compaction cycle ([[CompactThreshold]] commits). The default trust reconcile
    * (`reconcileListing`) additionally pays ONE table listing per feed
    * read — the bill any batch scan's planning pays — to catch files a
    * producer wrote around the connector; connector-only pipelines can
@@ -861,10 +879,10 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * feed window can be 10⁵+ files; on an object store serial HEAD
    * latencies would dominate the replay — overlap them on the shared
    * IO pool, keep name order). `onResized` fires when the live length
-   * differs from the announced one (callers that cannot tolerate a
-   * swap-under-same-name pass it; filesAsOf's historical lengths can
-   * legitimately differ only by never — announced lengths are final —
-   * but its refusal text predates the guard, so it keeps its own). */
+   * differs from the announced one — announced lengths are FINAL
+   * (names are never reused), so both log-trusting callers (the feed
+   * and filesAsOf) pass it: a same-name length change is a bypassed
+   * producer, refused loudly rather than silently served. */
   private def statPooled(fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
       entries: Seq[Entry],
       onMissing: Entry => Nothing,

@@ -45,10 +45,12 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
     asOf: Option[Long] = None,
     bucketSpec: Option[(String, Int)] = None,
-    // row-level change feed (changesSince[Version]): like asOf, the
-    // file set was already resolved from the discovery log — `files`
-    // is eager and manifest-served aggregate pushdown stays off
-    feed: Option[(Long, Long)] = None)
+    // row-level change feed (changesSince[Version]): the file set
+    // resolves LAZILY through listFilesOpt (so stream planning never
+    // pays — or refuses on — the replay); this carries only the raw
+    // window spelling for the plan description and the batch-only
+    // stream refusal. Manifest-served aggregate pushdown stays off.
+    feed: Option[String] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -179,7 +181,7 @@ class ScbfScan(
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
     asOf: Option[Long] = None,
     bucketSpec: Option[(String, Int)] = None,
-    feed: Option[(Long, Long)] = None)
+    feed: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -248,7 +250,7 @@ class ScbfScan(
       topN.map { case (c, d, k) =>
         s", PushedTopN: [$c ${if (d) "DESC" else "ASC"}, $k]" }.getOrElse("") +
       asOf.map(t => s", AsOfTimestamp: $t").getOrElse("") +
-      feed.map { case (lo, hi) => s", ChangesBetween: ($lo, $hi]" }.getOrElse("")
+      feed.map(w => s", ChangesBetween: [$w]").getOrElse("")
 
   /** File skipping: a file whose stats PROVE no row can pass the
    * pushed filters is never planned (never opened, never shuffled
