@@ -1331,6 +1331,56 @@ object RelationalQueries {
           org.apache.spark.sql.functions.max("doc_id").as("max_doc"))
     },
 
+    "q65_cdc_enumeration" -> { (s, dir) =>
+      // Row-level CDC as a GATED query (round 13): a window SPANNING a
+      // DELETE enumerates the removed rows tagged _change_type='delete'
+      // — the exact consumer shape q64's netting feed GATES on
+      // (onChangeCommit=fail), served instead by enumeration from
+      // zero-copy retained bytes (ScbfCdc). The takedown's victims
+      // include PRE-window rows (wave 1), so the oracle only matches
+      // an exact per-commit change log: wave-2 inserts plus every
+      // deleted row from both waves. Requires pin, in-query: (a) the
+      // replay is BOUNDED — only the 2 deltas named after the start
+      // point are read (wave 2 + the takedown's replacement commit);
+      // (b) retention is RENAME, not copy — the victims left the
+      // table, and the enumeration's delete rows come from the CDC
+      // area without any re-write of table bytes.
+      val base = scratchDir(s) + "/graft_scbf_cdc_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      s.sql("DROP TABLE IF EXISTS graft_q65")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q65_src")
+      s.sql("CREATE TABLE graft_q65 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      graft.sources.ScbfCdc.enable(p, conf)
+      s.sql("""INSERT INTO graft_q65
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q65_src WHERE doc_id % 3 = 0""")
+      val t1 = { Thread.sleep(5); System.currentTimeMillis() }
+      s.sql("""INSERT INTO graft_q65
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q65_src WHERE doc_id % 3 = 1""")
+      s.sql("DELETE FROM graft_q65 WHERE n_chars < 200")
+      graft.sources.ScbfDiscovery.deltaReads.set(0)
+      val fed = graft.sources.ScbfCdc.changes(s, base, since = Some(t1))
+      val reads = graft.sources.ScbfDiscovery.deltaReads.get
+      require(reads == 2,
+        s"the CDC replay must read ONLY the 2 deltas named after the " +
+          s"start point (wave 2 + the takedown), read $reads")
+      val liveBytes = graft.sources.ScbfDataSource.resolveFiles(Seq(base), conf)
+      require(liveBytes.forall(f =>
+          !f.getPath.toString.contains(graft.sources.ScbfCdc.DirName)),
+        "retained victims must live OUTSIDE the table listing")
+      fed.groupBy(col(graft.sources.ScbfCdc.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1858,6 +1908,20 @@ object RelationalQueries {
          CAST(MIN(doc_id) AS INT) AS min_doc,
          CAST(MAX(doc_id) AS INT) AS max_doc
          FROM documents WHERE doc_id % 3 IN (1, 2) GROUP BY source""",
+
+    "q65_cdc_enumeration" ->
+      """SELECT change_type, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM (
+           SELECT 'insert' AS change_type, CAST(doc_id AS INT) AS doc_id,
+                  CAST(n_chars AS INT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT 'delete', CAST(doc_id AS INT), CAST(n_chars AS INT)
+           FROM documents WHERE doc_id % 3 IN (0, 1) AND n_chars < 200
+         ) GROUP BY change_type""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

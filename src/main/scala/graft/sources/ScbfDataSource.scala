@@ -268,6 +268,21 @@ class ScbfTable(
           "against the live table instead.")
     }
 
+  /** `TBLPROPERTIES('cdc'='true')` — the SQL spelling of
+   * [[ScbfCdc.enable]]: materialized as the on-disk marker the
+   * mutation commits probe, at the first mutation-capable entry
+   * point (a lazy val: once per table instance). Best-effort — a
+   * mutation must not fail over CDC plumbing; a lost enable surfaces
+   * as a loud CDC-read refusal, never as wrong rows. */
+  private lazy val cdcFromProps: Unit =
+    if (Option(tableProps.get("cdc")).exists(_.equalsIgnoreCase("true")))
+      tablePaths match {
+        case Seq(one) =>
+          try ScbfCdc.enable(new Path(one), conf)
+          catch { case scala.util.control.NonFatal(_) => () }
+        case _ => ()
+      }
+
   /** Filter-driven deferred listing — the table NEVER lists eagerly
    * (resolution is pure metadata work); each scan/rewrite lists at
    * build time through the directory-first pruned walk, driven by its
@@ -308,6 +323,7 @@ class ScbfTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseMutationIfTravelled("row-level SQL (UPDATE/MERGE/DELETE)")
+    cdcFromProps
     val dir = tablePaths match {
       case Seq(one) => one
       case other => throw new ScbfFormatException(
@@ -345,6 +361,7 @@ class ScbfTable(
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     refuseMutationIfTravelled("DELETE")
+    cdcFromProps
     tablePaths.foreach(p => ScbfClone.refuseIfClone(new Path(p), conf, "DELETE"))
     if (partitionTransforms.isEmpty) {
       ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
@@ -665,6 +682,7 @@ class ScbfTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseMutationIfTravelled("write")
+    cdcFromProps
     val dir = tablePaths match {
       case Seq(one) => one
       case other => throw new ScbfFormatException(
@@ -732,6 +750,16 @@ class ScbfTable(
     rewriteOf.foreach(n => require(
       n.matches("[A-Za-z0-9._-]+"),
       s"rewriteOfNames entry must match [A-Za-z0-9._-]+, got '$n'"))
+    // CDC capture tag (ScbfCdc): a mutation's replacement append marks
+    // its discovery entries with the `.scbf.cdc/<tag>/` area where it
+    // retained victims and materialized change rows. Same embed rules
+    // as the names above (rides a tab-separated log line).
+    val cdcTag = Option(info.options.get("cdcTag"))
+    cdcTag.foreach(t => require(t.matches("[a-z]+-[A-Za-z0-9-]+"),
+      s"cdcTag must match <kind>-<id>, got '$t'"))
+    // table root the CDC area lives under — per-partition maintenance
+    // rewrites write to the partition directory but retain at the root
+    val cdcRoot = Option(info.options.get("cdcRoot"))
     // identity-transform partition columns route rows to col=value/
     // subdirectories, an optional bucket(n, intCol) transform to
     // <col>_bucket=<id>/ below them (ScbfPartitions); validated
@@ -739,6 +767,6 @@ class ScbfTable(
     val partCols = ScbfPartitions.partitionCols(partitionTransforms, info.schema())
     val bucket = ScbfPartitions.bucketSpec(partitionTransforms, info.schema())
     new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols,
-      rewriteOf, bucket)
+      rewriteOf, bucket, cdcTag, cdcRoot)
   }
 }

@@ -77,10 +77,12 @@ object ScbfDelete {
     filters.forall(f => filterToColumn(f).isDefined)
 
   /** One rewrite round's outputs: the unique file prefix its
-   * replacements carry and the original names they replaced — what a
+   * replacements carry, the original names they replaced, and the CDC
+   * tag it captured under (if the table has CDC enabled) — what a
    * TABLE-level caller needs to re-announce the rewrite to the root
    * discovery log with subdir-qualified names. */
-  private[sources] case class RewriteRound(prefix: String, replaced: Seq[String])
+  private[sources] case class RewriteRound(prefix: String, replaced: Seq[String],
+      cdcTag: Option[String] = None)
 
   /**
    * `DELETE FROM <partitioned scbf table> WHERE <cond>` — the
@@ -124,11 +126,14 @@ object ScbfDelete {
       tableSchema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String],
       filters: Array[Filter],
-      parallelism: Int = 1): Unit =
+      parallelism: Int = 1): Unit = {
+    val root = new Path(rootDir)
+    val qroot = root.getFileSystem(conf).makeQualified(root)
     tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
       (part, onRound) =>
         deleteWhere(spark, part, conf, filters, leafOnly = true,
-          onRound = onRound))
+          onRound = onRound, cdcRoot = Some(qroot)))
+  }
 
   /** Table-level [[updateWhere]] — same routing as
    * [[deleteWhereTable]]. SET targets must be data columns: updating
@@ -147,10 +152,12 @@ object ScbfDelete {
     require(bad.isEmpty,
       s"cannot UPDATE partition column(s) ${bad.mkString(", ")}: rows would " +
         "change directories — DELETE and re-INSERT instead")
+    val root = new Path(rootDir)
+    val qroot = root.getFileSystem(conf).makeQualified(root)
     tableRewrite(spark, rootDir, conf, tableSchema, filters, parallelism)(
       (part, onRound) =>
         updateWhere(spark, part, conf, filters, set, leafOnly = true,
-          onRound = onRound))
+          onRound = onRound, cdcRoot = Some(qroot)))
   }
 
   private def tableRewrite(
@@ -191,7 +198,7 @@ object ScbfDelete {
             if (produced.nonEmpty) produced.map(f =>
               ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
                 rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
-                rowsChanged = true))
+                rowsChanged = true, cdcTag = r.cdcTag))
             // metadata-only round (DELETE whole-file fast path): no
             // replacement exists to carry the announcement, so the
             // root log gets the same REMOVAL entry the partition's own
@@ -202,7 +209,7 @@ object ScbfDelete {
                 s"$sub/${r.prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}",
                 ScbfDiscovery.RemovedLen, now,
                 rewriteOf = r.replaced.map(n => s"$sub/$n").sorted,
-                rowsChanged = true))
+                rowsChanged = true, cdcTag = r.cdcTag))
             else Seq.empty
           ScbfDiscovery.append(qroot, conf, entries)
         }
@@ -266,9 +273,10 @@ object ScbfDelete {
       filters: Array[Filter],
       set: Map[String, Column],
       leafOnly: Boolean = false,
-      onRound: RewriteRound => Unit = _ => ()): Seq[RewriteRound] = {
+      onRound: RewriteRound => Unit = _ => (),
+      cdcRoot: Option[Path] = None): Seq[RewriteRound] = {
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
-    rewriteRounds(spark, dir, conf, filters, "UPDATE", leafOnly, onRound) { (src, cond) =>
+    rewriteRounds(spark, dir, conf, filters, "UPDATE", leafOnly, onRound, cdcRoot) { (src, cond) =>
       set.keys.foreach(c => require(src.columns.contains(c),
         s"SET column '$c' does not exist in the table"))
       // ONE projection, not a withColumn chain: SQL UPDATE evaluates every
@@ -294,8 +302,9 @@ object ScbfDelete {
       conf: org.apache.hadoop.conf.Configuration,
       filters: Array[Filter],
       leafOnly: Boolean = false,
-      onRound: RewriteRound => Unit = _ => ()): Seq[RewriteRound] =
-    rewriteRounds(spark, dir, conf, filters, "DELETE", leafOnly, onRound) { (src, cond) =>
+      onRound: RewriteRound => Unit = _ => (),
+      cdcRoot: Option[Path] = None): Seq[RewriteRound] =
+    rewriteRounds(spark, dir, conf, filters, "DELETE", leafOnly, onRound, cdcRoot) { (src, cond) =>
       // survivors under SQL three-valued logic: a row is deleted only when
       // cond is TRUE; NULL-condition rows must SURVIVE, and a bare
       // `filter(!cond)` would drop them (NOT NULL = NULL filters out).
@@ -345,7 +354,11 @@ object ScbfDelete {
       // invoked after each round fully commits (replacements
       // published, originals removed) — the table-level path's
       // per-round root-log re-announcement hook
-      onRound: RewriteRound => Unit = _ => ())(
+      onRound: RewriteRound => Unit = _ => (),
+      // table root the CDC area lives under (ScbfCdc) — per-partition
+      // table-level passes pass the ROOT; a flat call captures at its
+      // own directory
+      cdcRoot: Option[Path] = None)(
       rewrite: (org.apache.spark.sql.DataFrame, Column) => org.apache.spark.sql.DataFrame): Seq[RewriteRound] = {
     require(canDelete(filters),
       s"untranslatable ${op.toLowerCase} condition: ${filters.mkString(", ")}")
@@ -358,6 +371,22 @@ object ScbfDelete {
     val rounds = Seq.newBuilder[RewriteRound]
     val dfs = new Path(dir).getFileSystem(conf)
     val qdir = dfs.makeQualified(new Path(dir))
+    // CDC capture (ScbfCdc): probe once per call; each round is its
+    // own commit and gets its own tag. The API paths materialize EXACT
+    // change rows — the condition (and for UPDATE, the rewrite
+    // projection) is in hand, so no value-diffing is needed.
+    val qcdc = dfs.makeQualified(cdcRoot.getOrElse(qdir))
+    val cdcOn = ScbfCdc.enabled(qcdc, conf)
+    def cdcRowSets(src: org.apache.spark.sql.DataFrame)
+        : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+      val matched = src.filter(
+        org.apache.spark.sql.functions.coalesce(cond, lit(false)))
+      if (op == "DELETE") Seq("delete" -> matched)
+      // update_post: the rewrite projection over the matched rows —
+      // cond holds on every one of them, so the when(cond, …) arms
+      // pick the assigned values
+      else Seq("update_pre" -> matched, "update_post" -> rewrite(matched, cond))
+    }
     // leafOnly lists the directory itself, never recursing into k=v
     // subtrees another table-level pass owns (a stray root file on a
     // 10⁵-file table must not cost full-table listings per round)
@@ -414,6 +443,27 @@ object ScbfDelete {
             affected.size == listed.size)
           Seq(affected.minBy(_.getLen))
         else rewriteSet0
+      // CDC capture, BEFORE the replacement commits (a crash before
+      // the commit aborts cleanly; the stray un-announced tag dir is
+      // inert and vacuumable): materialize the round's change rows
+      // from the originals, and list the whole-dropped victims (their
+      // delete rows serve straight from the retained bytes)
+      val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
+      tag.foreach { t =>
+        if (rewriteSet.nonEmpty) {
+          val src0 = spark.read.format("scbf")
+            .load(rewriteSet.map(_.getPath.toString): _*)
+          cdcRowSets(src0).foreach { case (ct, df) =>
+            df.write.format("scbf").mode("append")
+              .save(ScbfCdc.rowsDir(qcdc, t, ct).toString)
+          }
+        }
+        val rewriteNames = rewriteSet.map(_.getPath.getName).toSet
+        val whole = affected.filterNot(f => rewriteNames(f.getPath.getName))
+        if (whole.nonEmpty) // DELETE-only by construction (fast path)
+          ScbfCdc.recordWhole(dfs, qcdc, t,
+            whole.map(f => ScbfCdc.relName(dfs, qcdc, f.getPath)))
+      }
       if (rewriteSet.nonEmpty) {
         val src = spark.read.format("scbf")
           .load(rewriteSet.map(_.getPath.toString): _*)
@@ -434,10 +484,11 @@ object ScbfDelete {
         // same policies; a direct per-partition call without that
         // re-announcement leaves bare names a root stream can't match —
         // skip then degrades to delivery, never loss.
-        rewrite(src, cond).write.format("scbf").mode("append")
+        val w = rewrite(src, cond).write.format("scbf").mode("append")
           .option("filePrefix", prefix)
           .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
-          .save(dir)
+        tag.foreach(t => w.option("cdcTag", t).option("cdcRoot", qcdc.toString))
+        w.save(dir)
       } else if (ScbfDiscovery.exists(new Path(dir), conf)) {
         // METADATA-ONLY round: every victim was dropped whole and no
         // replacement publishes, so nothing would announce the change
@@ -457,10 +508,10 @@ object ScbfDelete {
           s"${prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}",
           ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
           rewriteOf = affected.map(_.getPath.getName).sorted,
-          rowsChanged = true)))
+          rowsChanged = true, cdcTag = tag)))
       }
-      removeOriginals(dir, conf, affected)
-      val round_ = RewriteRound(prefix, affected.map(_.getPath.getName))
+      removeOriginals(dir, conf, affected, retainAt = tag.map((qcdc, _)))
+      val round_ = RewriteRound(prefix, affected.map(_.getPath.getName), tag)
       rounds += round_
       onRound(round_)
     }
@@ -474,21 +525,29 @@ object ScbfDelete {
   private def removeOriginals(
       dir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      affected: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+      affected: Seq[org.apache.hadoop.fs.FileStatus],
+      // CDC retention (ScbfCdc): (table root, tag) — originals RENAME
+      // into the tag's pre/ area instead of being deleted
+      retainAt: Option[(Path, String)] = None): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
-    // parallel on the shared driver IO pool: a whole-partition takedown
-    // can remove 10⁵ files, and on an object store the delete latencies
-    // must overlap, not serialize (same schedule as RESTORE's removal)
-    affected.map(f => ScbfStats.ioPool.submit(
-      new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = {
-          fs.delete(f.getPath, false)
-          val sc = ScbfStats.sidecarPath(f.getPath)
-          if (fs.exists(sc)) fs.delete(sc, false)
-          val bl = ScbfBloom.bloomPath(f.getPath)
-          if (fs.exists(bl)) fs.delete(bl, false)
-        }
-      })).foreach(_.get())
+    retainAt match {
+      case Some((qroot, tag)) =>
+        ScbfCdc.retain(fs, qroot, tag, affected.map(_.getPath))
+      case None =>
+        // parallel on the shared driver IO pool: a whole-partition takedown
+        // can remove 10⁵ files, and on an object store the delete latencies
+        // must overlap, not serialize (same schedule as RESTORE's removal)
+        affected.map(f => ScbfStats.ioPool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              fs.delete(f.getPath, false)
+              val sc = ScbfStats.sidecarPath(f.getPath)
+              if (fs.exists(sc)) fs.delete(sc, false)
+              val bl = ScbfBloom.bloomPath(f.getPath)
+              if (fs.exists(bl)) fs.delete(bl, false)
+            }
+          })).foreach(_.get())
+    }
     // manifest entries for the removed names are dead weight (planning
     // keys lookups by the LIVE listing, so they can never be trusted
     // for a live file) — drop exactly those names in one merge cycle,

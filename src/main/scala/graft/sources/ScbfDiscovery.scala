@@ -87,9 +87,15 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * OPTIMIZE/cluster): the reader's `onChangeCommit` policy keys on
    * it, Delta's dataChange distinction. Readers that predate the tag
    * ignore it (the format evolution rule) and treat every covered
-   * rewrite as skippable — the pre-tag contract. */
+   * rewrite as skippable — the pre-tag contract. `cdcTag` (the `D:`
+   * tag, CDC-enabled tables only) names the `.scbf.cdc/<tag>/` area
+   * where this commit RETAINED its victims' bytes and materialized
+   * its row-level changes ([[ScbfCdc]]) — what lets the CDC read
+   * enumerate a DELETE/UPDATE/MERGE's rows and lets time travel stay
+   * exact across physical rewrites. */
   final case class Entry(name: String, len: Long, ts: Long,
-      rewriteOf: Seq[String] = Nil, rowsChanged: Boolean = false)
+      rewriteOf: Seq[String] = Nil, rowsChanged: Boolean = false,
+      cdcTag: Option[String] = None)
 
   /** Reserved suffix for REMOVAL entries — announce-only log lines a
    * metadata-only DELETE appends when its whole-file fast path drops
@@ -254,7 +260,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           val tags = a.iterator.drop(3).toSeq
           val rewriteOf = tags.find(_.startsWith("R:"))
             .map(_.drop(2).split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-          Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"))
+          Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"),
+            tags.find(_.startsWith("D:")).map(_.drop(2)).filter(_.nonEmpty))
         }
       case _ => None
     }
@@ -491,7 +498,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     try out.write(
       (Header +: stamped.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
         (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
-        (if (e.rowsChanged) "\tC:1" else "")))
+        (if (e.rowsChanged) "\tC:1" else "") +
+        e.cdcTag.fold("")(t => s"\tD:$t")))
         .mkString("\n").getBytes(UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(d, name))) {
@@ -543,6 +551,11 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // a Seq or paying double groupBys over it (HistoryScale)
     val byName = scala.collection.mutable.HashMap.empty[String, Entry]
     val removedAt = scala.collection.mutable.HashMap.empty[String, Long]
+    // victim → the CDC tag of the commit that retained its bytes
+    // (ScbfCdc): on a CDC-enabled table a physically-rewritten file's
+    // bytes live on under `.scbf.cdc/<tag>/pre/<name>`, which is what
+    // keeps AS OF exact ACROSS rewrites instead of refusing
+    val victimTag = scala.collection.mutable.HashMap.empty[String, String]
     listDeltas(qroot, conf).sorted.foreach { n =>
       readDeltaStream(qroot, conf, n) { e =>
         val cur = byName.get(e.name)
@@ -550,6 +563,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         e.rewriteOf.foreach { victim =>
           val r = removedAt.get(victim)
           if (r.isEmpty || r.get > e.ts) removedAt(victim) = e.ts
+          e.cdcTag.foreach(t => victimTag.getOrElseUpdate(victim, t))
         }
       }
     }
@@ -587,13 +601,27 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // rendering can be 10⁵+ files — overlap the HEADs, keep name
     // order, and surface the removed-file refusal unwrapped
     statPooled(fs, qroot, liveAt(ts).sortBy(_.name),
-      onMissing = e =>
-        refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
-          "timestamp but has been physically removed by a later " +
-          "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
-          "bytes (the frozen reference format has no retention layer). " +
-          "Pick a timestamp at or after the rewrite, or keep explicit " +
-          "CTAS snapshots for long-horizon audits (README 'Time travel')."),
+      onMissing = e => {
+        // CDC retention first: the rewrite that removed this file may
+        // have RETAINED its bytes (length-verified — retention renames
+        // the original, so the announced length must match exactly)
+        val retained = victimTag.get(e.name).flatMap { tag =>
+          val p = ScbfCdc.preservedPath(qroot, tag, e.name)
+          try {
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            if (st.getLen == e.len) Some(st) else None
+          } catch { case NonFatal(_) => None }
+        }
+        retained.getOrElse(
+          refuse(s"file ${e.name} (published at ${e.ts}) was live at this " +
+            "timestamp but has been physically removed by a later " +
+            "DELETE/UPDATE/OPTIMIZE rewrite — SCBF retains no tombstoned " +
+            "bytes (the frozen reference format has no retention layer) " +
+            "and the table had no CDC retention at the rewrite. Pick a " +
+            "timestamp at or after the rewrite, enable CDC retention " +
+            "(ScbfCdc.enable) before mutations, or keep explicit CTAS " +
+            "snapshots for long-horizon audits (README 'Time travel')."))
+      },
       // announced lengths are FINAL (names are never reused; a rewrite
       // publishes a NEW name) — a same-name length change is a producer
       // that bypassed the connector and swapped bytes in place, and a
@@ -682,52 +710,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // empty — for a stream that only costs freshness; here it would
     // cost rows) and, below, unreadable deltas (strict reads) and
     // unannounced files.
-    //
-    // One streamed pass over the post-lo deltas builds first
-    // announcement per name (names are never reused; fold copies are
-    // verbatim, so every copy of a name carries the same stamp —
-    // min-ts kept defensively). A delta VANISHING mid-replay is a
-    // concurrent compaction: its entries now live in a fold the stale
-    // listing predates, so re-list and replay again (bounded retries)
-    // instead of silently skipping what could be the only copy of an
-    // overwrite boundary.
-    val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
-    var attempt = 0
-    var replayed = false
-    while (!replayed) {
-      attempt += 1
-      firstAt.clear()
-      val chain = listDeltas(qroot, conf)
-      if (chain.isEmpty)
-        refuse("the discovery log is empty or unlistable — there is no " +
-          "recorded history to replay (a crashed overwrite, a swept log, or " +
-          "a transient filesystem error). Retry, or resync from a full read.")
-      try {
-        chain.sorted
-          .filter(n => deltaMillis(n).forall(_ > lo))
-          .foreach { n =>
-            readDeltaStream(qroot, conf, n, strict = true) { e =>
-              if (e.ts > lo) {
-                val cur = firstAt.get(e.name)
-                if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
-              }
-            }
-          }
-        replayed = true
-      } catch {
-        // any IO shape a mid-read delta deletion can take (raw FNF on
-        // local FS; BlockMissingException-style IOExceptions on
-        // HDFS/object stores) → re-list and retry; a PERSISTENT IO
-        // error exhausts the retries and refuses loudly below, never
-        // silently under-delivers
-        case _: java.io.IOException if attempt < 3 => // re-list
-        case e: java.io.IOException =>
-          refuse("the delta chain could not be replayed after 3 attempts " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — concurrent " +
-            "compactions kept changing it, or the filesystem is failing; " +
-            "retry the feed.")
-      }
-    }
+    val firstAt = replayEntriesAfter(qroot, conf, lo, refuse)
     def inWindow(t: Long): Boolean = t > lo && t <= hi
     // replay in publication order (the monotonic commit clock makes ts
     // a total order across commits), maintaining the selected net adds
@@ -875,6 +858,59 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           "connector; the feed cannot be trusted. Resync from a full read."))
   }
 
+  /** STRICT bounded replay of the post-`lo` chain, shared by the
+   * netting feed ([[changedFilesBetween]]) and the CDC enumeration
+   * ([[ScbfCdc.changes]]): one streamed pass over the deltas NAMED
+   * after `lo` builds the first announcement per name among entries
+   * STAMPED after `lo` (names are never reused; fold copies are
+   * verbatim, so every copy of a name carries the same stamp — min-ts
+   * kept defensively). A delta VANISHING mid-replay is a concurrent
+   * compaction: its entries now live in a fold the stale listing
+   * predates, so re-list and replay again (bounded retries) instead
+   * of silently skipping what could be the only copy of an overwrite
+   * boundary. Any IO shape a mid-read deletion can take (raw FNF on
+   * local FS; BlockMissingException-style IOExceptions on HDFS/object
+   * stores) retries; a PERSISTENT error exhausts the retries and
+   * refuses loudly — these replays back contracts that must never
+   * silently under-deliver. */
+  private[sources] def replayEntriesAfter(qroot: Path, conf: Configuration,
+      lo: Long, refuse: String => Nothing)
+      : scala.collection.mutable.HashMap[String, Entry] = {
+    val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
+    var attempt = 0
+    var replayed = false
+    while (!replayed) {
+      attempt += 1
+      firstAt.clear()
+      val chain = listDeltas(qroot, conf)
+      if (chain.isEmpty)
+        refuse("the discovery log is empty or unlistable — there is no " +
+          "recorded history to replay (a crashed overwrite, a swept log, or " +
+          "a transient filesystem error). Retry, or resync from a full read.")
+      try {
+        chain.sorted
+          .filter(n => deltaMillis(n).forall(_ > lo))
+          .foreach { n =>
+            readDeltaStream(qroot, conf, n, strict = true) { e =>
+              if (e.ts > lo) {
+                val cur = firstAt.get(e.name)
+                if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
+              }
+            }
+          }
+        replayed = true
+      } catch {
+        case _: java.io.IOException if attempt < 3 => // re-list
+        case e: java.io.IOException =>
+          refuse("the delta chain could not be replayed after 3 attempts " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — concurrent " +
+            "compactions kept changing it, or the filesystem is failing; " +
+            "retry the read.")
+      }
+    }
+    firstAt
+  }
+
   /** Pooled per-file stats over log entries (an as-of rendering or a
    * feed window can be 10⁵+ files; on an object store serial HEAD
    * latencies would dominate the replay — overlap them on the shared
@@ -883,9 +919,10 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * (names are never reused), so both log-trusting callers (the feed
    * and filesAsOf) pass it: a same-name length change is a bypassed
    * producer, refused loudly rather than silently served. */
-  private def statPooled(fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
+  private[sources] def statPooled(fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
       entries: Seq[Entry],
-      onMissing: Entry => Nothing,
+      // returns a SUBSTITUTE status (CDC retention recovery) or throws
+      onMissing: Entry => org.apache.hadoop.fs.FileStatus,
       onResized: (Entry, Long) => Nothing = null)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val futures = entries.map { e =>

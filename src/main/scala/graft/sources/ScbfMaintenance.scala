@@ -44,13 +44,19 @@ object ScbfMaintenance {
    * the window a concurrent append lands in. */
   private[sources] var raceHook: () => Unit = () => ()
 
+  /** Per-partition maintenance rewrites thread the table-level CDC
+   * coordinates ([[ScbfCdc]]) so the sweep's ROOT re-announcement can
+   * carry the same tag the partition commit retained under — a flat
+   * rewrite needs neither (the commit self-tags at its own root). */
   def cluster(
       spark: SparkSession,
       dir: String,
       clusterCols: Seq[String],
       numFiles: Int,
       maxBufferedBytes: Option[Long] = None,
-      filePrefix: Option[String] = None): Seq[String] = {
+      filePrefix: Option[String] = None,
+      cdcTag: Option[String] = None,
+      cdcRoot: Option[String] = None): Seq[String] = {
     require(clusterCols.nonEmpty, "cluster requires at least one column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
@@ -69,6 +75,8 @@ object ScbfMaintenance {
       .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     filePrefix.foreach(p => writer.option("filePrefix", p))
+    cdcTag.foreach(t => writer.option("cdcTag", t))
+    cdcRoot.foreach(r => writer.option("cdcRoot", r))
     writer.save(dir)
     // the names ACTUALLY folded into the rewrite — callers announcing
     // the rewrite elsewhere (sweepPartitions' root log) must mark
@@ -119,7 +127,9 @@ object ScbfMaintenance {
       dir: String,
       numFiles: Int,
       maxBufferedBytes: Option[Long] = None,
-      filePrefix: Option[String] = None): Seq[String] = {
+      filePrefix: Option[String] = None,
+      cdcTag: Option[String] = None,
+      cdcRoot: Option[String] = None): Seq[String] = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val conf = spark.sessionState.newHadoopConf()
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
@@ -157,6 +167,8 @@ object ScbfMaintenance {
       .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     filePrefix.foreach(p => writer.option("filePrefix", p))
+    cdcTag.foreach(t => writer.option("cdcTag", t))
+    cdcRoot.foreach(r => writer.option("cdcRoot", r))
     writer.save(dir)
     snapshot.map(_.getPath.getName)
   }
@@ -169,9 +181,9 @@ object ScbfMaintenance {
       numFilesPerPartition: Int,
       maxBufferedBytes: Option[Long] = None,
       parallelism: Int = 1): Seq[String] =
-    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
+    sweepPartitions(spark, dir, parallelism) { (part, prefix, tag) =>
       compact(spark, part, numFilesPerPartition, maxBufferedBytes,
-        Some(prefix))
+        Some(prefix), cdcTag = tag, cdcRoot = Some(dir))
     }
 
   def zorder(
@@ -181,7 +193,9 @@ object ScbfMaintenance {
       numFiles: Int,
       bits: Int = 8,
       maxBufferedBytes: Option[Long] = None,
-      filePrefix: Option[String] = None): Seq[String] = {
+      filePrefix: Option[String] = None,
+      cdcTag: Option[String] = None,
+      cdcRoot: Option[String] = None): Seq[String] = {
     require(zCols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     require(bits >= 1 && bits <= 16, s"bits per column must be in [1,16], got $bits")
@@ -239,6 +253,8 @@ object ScbfMaintenance {
       .option("replaceFileNames", snapshot.map(_.getPath.getName).mkString(","))
     maxBufferedBytes.foreach(b => writer.option("maxBufferedBytes", b))
     filePrefix.foreach(p => writer.option("filePrefix", p))
+    cdcTag.foreach(t => writer.option("cdcTag", t))
+    cdcRoot.foreach(r => writer.option("cdcRoot", r))
     writer.save(dir)
     snapshot.map(_.getPath.getName) // see [[cluster]]: the folded-in set
   }
@@ -295,9 +311,9 @@ object ScbfMaintenance {
       numFilesPerPartition: Int,
       maxBufferedBytes: Option[Long] = None,
       parallelism: Int = 1): Seq[String] =
-    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
+    sweepPartitions(spark, dir, parallelism) { (part, prefix, tag) =>
       cluster(spark, part, clusterCols, numFilesPerPartition,
-        maxBufferedBytes, Some(prefix))
+        maxBufferedBytes, Some(prefix), cdcTag = tag, cdcRoot = Some(dir))
     }
 
   /** Table-level [[zorder]] — the multi-dimensional [[clusterTable]];
@@ -310,28 +326,34 @@ object ScbfMaintenance {
       bits: Int = 8,
       maxBufferedBytes: Option[Long] = None,
       parallelism: Int = 1): Seq[String] =
-    sweepPartitions(spark, dir, parallelism) { (part, prefix) =>
+    sweepPartitions(spark, dir, parallelism) { (part, prefix, tag) =>
       zorder(spark, part, zCols, numFilesPerPartition, bits,
-        maxBufferedBytes, Some(prefix))
+        maxBufferedBytes, Some(prefix), cdcTag = tag, cdcRoot = Some(dir))
     }
 
   private def sweepPartitions(spark: SparkSession, dir: String, parallelism: Int)(
-      rewrite: (String, String) => Seq[String]): Seq[String] = {
+      rewrite: (String, String, Option[String]) => Seq[String]): Seq[String] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val qroot = root.getFileSystem(conf).makeQualified(root)
+    // one CDC probe per sweep: each per-partition rewrite is its own
+    // commit, so each gets its own tag — generated HERE so the root
+    // re-announcement below can carry the same tag the partition
+    // commit retained its victims under (ScbfCdc)
+    val cdcOn = ScbfCdc.enabled(qroot, conf)
     val parts = partitionDirs(dir, conf)
     def sweepOne(part: org.apache.hadoop.fs.Path): Unit = {
       val sub = qroot.toUri.relativize(part.toUri).getPath.stripSuffix("/")
       val prefix = s"opt-${java.util.UUID.randomUUID().toString.take(8)}-"
+      val tag = if (cdcOn) Some(ScbfCdc.newTag("compact")) else None
       // the root-log mark must carry the names the rewrite ACTUALLY
       // folded in (its return value) — a separate listing here could
       // miss a file appended before the rewrite's own snapshot, and a
       // caught-up root stream would then skip the rewrite as covered
       // while that file's rows reach it only through the (deleted)
       // original
-      val snapshot = rewrite(part.toString, prefix)
+      val snapshot = rewrite(part.toString, prefix, tag)
       // root-log re-announcement (see scaladoc) — skipped when the
       // partition IS the root: the inner commit already announced there
       if (sub.nonEmpty) {
@@ -340,7 +362,8 @@ object ScbfMaintenance {
         val now = System.currentTimeMillis()
         ScbfDiscovery.append(qroot, conf, produced.map(f =>
           ScbfDiscovery.Entry(s"$sub/${f.getPath.getName}", f.getLen, now,
-            rewriteOf = snapshot.map(n => s"$sub/$n").sorted)))
+            rewriteOf = snapshot.map(n => s"$sub/$n").sorted,
+            cdcTag = if (snapshot.nonEmpty) tag else None)))
       }
     }
     forEachDir(parts, parallelism)(sweepOne)
@@ -441,6 +464,12 @@ object ScbfMaintenance {
         }
       }
     }
+    // CDC retention reclaim (ScbfCdc): tag areas older than the same
+    // horizon sweep with the janitor — `VACUUM tbl RETAIN n HOURS` is
+    // the SQL spelling of the retention trade, exactly as in Delta
+    // (CDC windows and AS OF points needing swept tags refuse loudly
+    // afterwards; the horizon is the operator's audit promise).
+    ScbfCdc.vacuum(p, conf, olderThanMs)
     (temps, orphans)
   }
 

@@ -265,7 +265,54 @@ private[sources] class ScbfRowLevelBatchWrite(
       val rel = qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath
       rel.stripPrefix("/")
     }
+    val publishedEntries =
+      messages.collect { case m: ScbfCommitMessage => m.entries }.flatten.toSeq
+    // CDC capture (ScbfCdc) — value-level by necessity: the group-based
+    // ReplaceData rows reach the writer with the per-row operation
+    // marker projected away (the metadata-attribute path), so the
+    // change rows are computed HERE, while both sides' bytes are
+    // addressable (replacements published by task commit, originals
+    // not yet removed), as multiset differences sized by the rewrite's
+    // scope. Materialized BEFORE the inner commit announces the tag:
+    // a crash before the announce is a clean abort (the stray tag dir
+    // is inert and vacuumable), never a tagged commit missing rows.
+    val cdcTag =
+      if (scanned.nonEmpty && ScbfCdc.enabled(qroot, hconf)) {
+        val kind = op.command() match {
+          case RowLevelOperation.Command.DELETE => "delete"
+          case RowLevelOperation.Command.UPDATE => "update"
+          case _ => "merge"
+        }
+        Some(ScbfCdc.newTag(kind))
+      } else None
+    cdcTag.foreach { t =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (publishedEntries.nonEmpty) {
+        val preDf = spark.read.format("scbf")
+          .load(scanned.map(_.toString): _*)
+        val replDf = spark.read.format("scbf")
+          .load(publishedEntries.map(e => new Path(qroot, e.name).toString): _*)
+        val sets = op.command() match {
+          case RowLevelOperation.Command.DELETE =>
+            Seq("delete" -> preDf.exceptAll(replDf))
+          case RowLevelOperation.Command.UPDATE =>
+            Seq("update_pre" -> preDf.exceptAll(replDf),
+              "update_post" -> replDf.exceptAll(preDf))
+          case _ => // MERGE: delete+insert value pairs (no row lineage)
+            Seq("delete" -> preDf.exceptAll(replDf),
+              "insert" -> replDf.exceptAll(preDf))
+        }
+        sets.foreach { case (ct, df) =>
+          df.write.format("scbf").mode("append")
+            .save(ScbfCdc.rowsDir(qroot, t, ct).toString)
+        }
+      }
+      // publishedEntries empty = every victim's rows removed: the
+      // removal entry below is whole-by-construction, rows serve
+      // straight from the retained bytes
+    }
     inner.rewriteOfNames = scanned.map(qualify)
+    inner.cdcTag = cdcTag
     inner.commit(messages)
     // EMPTY-REPLACEMENT coverage. A rewrite can legitimately publish
     // NOTHING for some (or all) of its groups — a subquery DELETE or
@@ -283,8 +330,7 @@ private[sources] class ScbfRowLevelBatchWrite(
     //     log's live entries keep claiming the removed files: silent
     //     under every onChangeCommit policy, and read-crashing for a
     //     lagging consumer with those entries still pending.
-    val published =
-      messages.collect { case m: ScbfCommitMessage => m.entries }.flatten
+    val published = publishedEntries
     val publishedDirs = published
       .map(e => fs.makeQualified(new Path(root, e.name)).getParent).toSet
     val byDir = scanned.groupBy(p => fs.makeQualified(p).getParent)
@@ -307,11 +353,15 @@ private[sources] class ScbfRowLevelBatchWrite(
       ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
         s"rl-${java.util.UUID.randomUUID().toString.take(8)}${ScbfDiscovery.RemovalSuffix}",
         ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
-        rewriteOf = scanned.map(qualify).sorted, rowsChanged = true)))
+        rewriteOf = scanned.map(qualify).sorted, rowsChanged = true,
+        cdcTag = cdcTag)))
     // remove the replaced groups — only AFTER the replacement append
-    // committed (crash before here = clean abort, originals intact)
+    // committed (crash before here = clean abort, originals intact).
+    // Under CDC capture the originals RETAIN (rename into the tag's
+    // pre/ area) instead — same commit point, same manifest drops.
+    cdcTag.foreach(t => ScbfCdc.retain(fs, qroot, t, scanned))
     scanned.groupBy(_.getParent).foreach { case (parent, ps) =>
-      ps.foreach { p =>
+      if (cdcTag.isEmpty) ps.foreach { p =>
         fs.delete(p, false)
         val sc = ScbfStats.sidecarPath(p)
         if (fs.exists(sc)) fs.delete(sc, false)

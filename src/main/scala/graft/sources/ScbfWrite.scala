@@ -37,7 +37,8 @@ class ScbfWriteBuilder(
     dir: String, schema: StructType, conf: Configuration, maxBufferedBytes: Long,
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
     partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    cdcTag: Option[String] = None, cdcRoot: Option[String] = None)
   extends WriteBuilder with SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -107,7 +108,7 @@ class ScbfWriteBuilder(
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
         partitionCols, rewriteOf,
         scopeFilters = scopeFilters, dynamicPartitionOverwrite = dynamicOverwrite,
-        bucketSpec = bucketSpec)
+        bucketSpec = bucketSpec, cdcTag = cdcTag, cdcRoot = cdcRoot)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
@@ -227,7 +228,16 @@ class ScbfBatchWrite(
     dynamicPartitionOverwrite: Boolean = false,
     // bucket(n, intCol) routing: rows land in <col>_bucket=<id>/
     // directories below the identity cells (ScbfPartitions.bucketId)
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    // CDC capture (ScbfCdc): when set, this commit's entries carry the
+    // tag and its victims are RETAINED under `.scbf.cdc/<tag>/pre/`
+    // instead of deleted. A var like rewriteOfNames — the SQL
+    // row-level path learns its scope at commit time. OPTIMIZE and
+    // scoped overwrites self-tag when the table has CDC enabled.
+    private[sources] var cdcTag: Option[String] = None,
+    // table root the CDC area lives under (per-partition maintenance
+    // rewrites pass it; defaults to this write's own directory)
+    cdcRoot: Option[String] = None)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -340,16 +350,35 @@ class ScbfBatchWrite(
         }
       }
     }
-    toReplace.filterNot(p => newNames.contains(p.getName))
-      .foreach { p =>
-        fs.delete(p, false)
-        // the replaced file's stats/bloom sidecars go with it (orphan
-        // sidecars are invisible to readers, but don't accumulate them)
-        val sc = ScbfStats.sidecarPath(p)
-        if (fs.exists(sc)) fs.delete(sc, false)
-        val bl = ScbfBloom.bloomPath(p)
-        if (fs.exists(bl)) fs.delete(bl, false)
-      }
+    // CDC retention (ScbfCdc): a snapshot rewrite (OPTIMIZE) or scoped
+    // overwrite on a CDC-enabled table RETAINS its victims instead of
+    // deleting them — self-tagged here when the caller did not pass a
+    // tag (SQL INSERT OVERWRITE PARTITION has no option channel;
+    // maintenance passes its own so the root re-announcement can carry
+    // the same tag). Full truncate stays uncaptured: it restarts the
+    // log, and the overwrite BOUNDARY is what gates feeds across it.
+    val victims = toReplace.filterNot(p => newNames.contains(p.getName))
+    val cdcRootQ = fs.makeQualified(new Path(cdcRoot.getOrElse(dir)))
+    val captureTag: Option[String] = cdcTag.orElse {
+      if (victims.nonEmpty && (replaceOnly.isDefined || scopedOverwrite) &&
+          ScbfCdc.enabled(cdcRootQ, conf.value))
+        Some(ScbfCdc.newTag(if (replaceOnly.isDefined) "compact" else "overwrite"))
+      else None
+    }
+    captureTag match {
+      case Some(tag) if victims.nonEmpty =>
+        ScbfCdc.retain(fs, cdcRootQ, tag, victims)
+      case _ =>
+        victims.foreach { p =>
+          fs.delete(p, false)
+          // the replaced file's stats/bloom sidecars go with it (orphan
+          // sidecars are invisible to readers, but don't accumulate them)
+          val sc = ScbfStats.sidecarPath(p)
+          if (fs.exists(sc)) fs.delete(sc, false)
+          val bl = ScbfBloom.bloomPath(p)
+          if (fs.exists(bl)) fs.delete(bl, false)
+        }
+    }
     // compact per-file stats into the directory manifest so planning
     // reads one stats file, not one per data file. Overwrite starts
     // fresh (stale entries for replaced files must not survive); append
@@ -421,8 +450,12 @@ class ScbfBatchWrite(
     // reader's onChangeCommit policy can see it
     val rewriteOf = replaceOnly.fold(rewriteOfNames.sorted)(_.toSeq.sorted)
     val rowsChanged = replaceOnly.isEmpty && rewriteOf.nonEmpty
+    // rewrite commits carry the CDC tag (if captured) so readers can
+    // find the retained victims and materialized rows
+    val entryTag = if (rewriteOf.nonEmpty) captureTag else None
     val announced =
-      entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf, rowsChanged))
+      entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf, rowsChanged,
+        entryTag))
     if (truncate && replaceOnly.isEmpty)
       ScbfDiscovery.reset(new Path(dir), conf.value, announced)
     else ScbfDiscovery.append(new Path(dir), conf.value, announced)
@@ -440,7 +473,8 @@ class ScbfBatchWrite(
       ScbfDiscovery.append(new Path(dir), conf.value, Seq(ScbfDiscovery.Entry(
         s"ow-${java.util.UUID.randomUUID().toString.take(8)}${ScbfDiscovery.RemovalSuffix}",
         ScbfDiscovery.RemovedLen, now,
-        rewriteOf = toReplace.map(relOf2).sorted, rowsChanged = true)))
+        rewriteOf = toReplace.map(relOf2).sorted, rowsChanged = true,
+        cdcTag = captureTag)))
     }
   }
 
