@@ -214,7 +214,12 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
    */
   def changes(spark: SparkSession, rootDir: String,
       since: Option[Long] = None, sinceVersion: Option[Int] = None,
-      until: Option[Long] = None, untilVersion: Option[Int] = None): DataFrame = {
+      until: Option[Long] = None, untilVersion: Option[Int] = None,
+      // bypassed-producer trust check, same default and same bill as
+      // the netting feed's (ONE table listing): a data file newer
+      // than the start point that the log never announced makes the
+      // enumeration refuse rather than silently omit its rows
+      reconcile: Boolean = true): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(rootDir)
     val fs = root.getFileSystem(conf)
@@ -255,6 +260,26 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
         "before it; the window cannot be enumerated. Resync from a full " +
         "read and feed from a post-overwrite point."))
 
+    // fail CLOSED on a producer writing around the connector — a CDC
+    // mirror that silently omitted such a file's rows would claim a
+    // sync it does not have (identical contract and identical cost to
+    // changedFilesBetween's reconcile; connector-only pipelines can
+    // opt out and keep planning at O(changes))
+    if (reconcile) {
+      val announced = entries.map(_.name).toSet
+      val bypassed = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
+        .filter(_.getModificationTime > lo)
+        .map(f => relName(fs, qroot, f.getPath))
+        .filterNot(announced)
+      if (bypassed.nonEmpty)
+        refuse(s"data files newer than the start point exist that the " +
+          s"discovery log never announced (${bypassed.take(3).mkString(", ")}" +
+          s"${if (bypassed.size > 3) ", …" else ""}) — a producer bypassed " +
+          "the connector (or file clocks are skewed); the enumeration " +
+          "cannot be trusted. Resync from a full read, or pass " +
+          "reconcile=false if these files are intentionally foreign.")
+    }
+
     // victim → retaining tag, from every post-lo captured rewrite: how
     // an in-window add's bytes are found after a later rewrite moved them
     val victimTag = scala.collection.mutable.HashMap.empty[String, String]
@@ -278,10 +303,11 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
       }).sortBy(_.name),
       onMissing = e =>
         refuse(s"file ${e.name} holds rows added in the window but its " +
-          "bytes are gone — a rewrite that predates CDC capture (or a " +
-          "producer bypassing the connector) removed them without " +
-          "retention. Enable CDC (ScbfCdc.enable) before mutations, or " +
-          "resync from a full read."),
+          "bytes are gone — a rewrite that predates CDC capture removed " +
+          "them without retention, ScbfCdc.vacuum (or an external sweep) " +
+          "reclaimed the retained copy, or a producer bypassed the " +
+          "connector. Enable CDC before mutations and keep retention " +
+          "beyond your widest window, or resync from a full read."),
       onResized = (e, len) =>
         refuse(s"file ${e.name} changed length ($len != recorded " +
           s"${e.len}) without a log entry — a producer bypassed the " +

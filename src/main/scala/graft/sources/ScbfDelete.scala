@@ -447,12 +447,20 @@ object ScbfDelete {
       // the commit aborts cleanly; the stray un-announced tag dir is
       // inert and vacuumable): materialize the round's change rows
       // from the originals, and list the whole-dropped victims (their
-      // delete rows serve straight from the retained bytes)
+      // delete rows serve straight from the retained bytes). The ONE
+      // source scan is shared: persisted across the change-row jobs
+      // and the replacement rewrite, so CDC adds ~one pass over the
+      // round's scope, not two or three.
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
-      tag.foreach { t =>
-        if (rewriteSet.nonEmpty) {
-          val src0 = spark.read.format("scbf")
+      val srcOpt =
+        if (rewriteSet.isEmpty) None
+        else {
+          val s = spark.read.format("scbf")
             .load(rewriteSet.map(_.getPath.toString): _*)
+          Some(if (tag.isDefined) s.persist() else s)
+        }
+      tag.foreach { t =>
+        srcOpt.foreach { src0 =>
           cdcRowSets(src0).foreach { case (ct, df) =>
             df.write.format("scbf").mode("append")
               .save(ScbfCdc.rowsDir(qcdc, t, ct).toString)
@@ -464,9 +472,8 @@ object ScbfDelete {
           ScbfCdc.recordWhole(dfs, qcdc, t,
             whole.map(f => ScbfCdc.relName(dfs, qcdc, f.getPath)))
       }
-      if (rewriteSet.nonEmpty) {
-        val src = spark.read.format("scbf")
-          .load(rewriteSet.map(_.getPath.toString): _*)
+      if (srcOpt.isDefined) {
+        val src = srcOpt.get
         // the connector's own append path: task-commit publish, sidecars,
         // manifest merge — a failure here aborts with originals untouched
         // announce the replacements as rewrites of ALL affected names
@@ -484,11 +491,13 @@ object ScbfDelete {
         // same policies; a direct per-partition call without that
         // re-announcement leaves bare names a root stream can't match —
         // skip then degrades to delivery, never loss.
-        val w = rewrite(src, cond).write.format("scbf").mode("append")
-          .option("filePrefix", prefix)
-          .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
-        tag.foreach(t => w.option("cdcTag", t).option("cdcRoot", qcdc.toString))
-        w.save(dir)
+        try {
+          val w = rewrite(src, cond).write.format("scbf").mode("append")
+            .option("filePrefix", prefix)
+            .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
+          tag.foreach(t => w.option("cdcTag", t).option("cdcRoot", qcdc.toString))
+          w.save(dir)
+        } finally if (tag.isDefined) src.unpersist()
       } else if (ScbfDiscovery.exists(new Path(dir), conf)) {
         // METADATA-ONLY round: every victim was dropped whole and no
         // replacement publishes, so nothing would announce the change
@@ -508,7 +517,11 @@ object ScbfDelete {
           s"${prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}",
           ScbfDiscovery.RemovedLen, System.currentTimeMillis(),
           rewriteOf = affected.map(_.getPath.getName).sorted,
-          rowsChanged = true, cdcTag = tag)))
+          rowsChanged = true,
+          // tag only the log AT the CDC root (a partition's own log
+          // would resolve it against a nonexistent local area; the
+          // table-level root re-announcement carries it there)
+          cdcTag = if (qcdc == qdir) tag else None)))
       }
       removeOriginals(dir, conf, affected, retainAt = tag.map((qcdc, _)))
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName), tag)

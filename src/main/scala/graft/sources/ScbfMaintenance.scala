@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions.col
  * rewrite's input). Temps are likewise left alone on the snapshot
  * path; only a full (snapshot-free) overwrite sweeps them.
  */
-object ScbfMaintenance {
+object ScbfMaintenance extends org.apache.spark.internal.Logging {
 
   /** Test seam: invoked between the snapshot listing and the rewrite —
    * the window a concurrent append lands in. */
@@ -420,6 +420,15 @@ object ScbfMaintenance {
    * sidecars are keyed by missing data names and length-guarded), but
    * at ingest rates they accumulate listing weight forever.
    *
+   * On a CDC-ENABLED table ([[ScbfCdc]]) the sweep additionally
+   * reclaims retention areas older than the horizon — and THAT is a
+   * correctness trade, not litter: CDC windows and `TIMESTAMP AS OF`
+   * points needing a swept tag refuse loudly afterwards (never wrong
+   * rows), exactly Delta's VACUUM-vs-time-travel contract. The
+   * horizon is the operator's audit promise; size it beyond the
+   * widest CDC window any consumer replays (`sweepCdc=false` opts a
+   * run out). Swept tags are logged.
+   *
    * Only files older than `olderThanMs` are touched — the horizon
    * protects in-flight work: a LIVE task's staged temps are younger
    * than any sane horizon, and a streaming epoch that crashed between
@@ -435,7 +444,8 @@ object ScbfMaintenance {
   def vacuum(
       spark: SparkSession,
       dir: String,
-      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+      olderThanMs: Long = 24L * 3600 * 1000,
+      sweepCdc: Boolean = true): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -468,8 +478,15 @@ object ScbfMaintenance {
     // horizon sweep with the janitor — `VACUUM tbl RETAIN n HOURS` is
     // the SQL spelling of the retention trade, exactly as in Delta
     // (CDC windows and AS OF points needing swept tags refuse loudly
-    // afterwards; the horizon is the operator's audit promise).
-    ScbfCdc.vacuum(p, conf, olderThanMs)
+    // afterwards; the horizon is the operator's audit promise — see
+    // scaladoc). Logged so a sweep that will make windows refuse is
+    // visible in the run that did it.
+    if (sweepCdc) {
+      val swept = ScbfCdc.vacuum(p, conf, olderThanMs)
+      if (swept > 0) logWarning(s"vacuum($dir): reclaimed $swept CDC " +
+        s"retention area(s) older than ${olderThanMs} ms — CDC windows " +
+        "and AS OF points needing them will refuse from now on")
+    }
     (temps, orphans)
   }
 

@@ -261,10 +261,7 @@ private[sources] class ScbfRowLevelBatchWrite(
     // root-relative qualified names ("part=x/file.scbf" / "file.scbf")
     // — the discovery-log naming tableRewrite uses, so root streams
     // match the rewriteOf against entries they have actually seen
-    def qualify(p: Path): String = {
-      val rel = qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath
-      rel.stripPrefix("/")
-    }
+    def qualify(p: Path): String = ScbfCdc.relName(fs, qroot, p)
     val publishedEntries =
       messages.collect { case m: ScbfCommitMessage => m.entries }.flatten.toSeq
     // CDC capture (ScbfCdc) — value-level by necessity: the group-based
@@ -288,23 +285,32 @@ private[sources] class ScbfRowLevelBatchWrite(
     cdcTag.foreach { t =>
       val spark = org.apache.spark.sql.SparkSession.active
       if (publishedEntries.nonEmpty) {
+        // both sides persist for the duration: two multiset-difference
+        // jobs would otherwise rescan originals AND replacements in
+        // full each — under CDC the mutation's read bill must stay
+        // ~one extra pass over its own scope, not three
         val preDf = spark.read.format("scbf")
-          .load(scanned.map(_.toString): _*)
+          .load(scanned.map(_.toString): _*).persist()
         val replDf = spark.read.format("scbf")
           .load(publishedEntries.map(e => new Path(qroot, e.name).toString): _*)
-        val sets = op.command() match {
-          case RowLevelOperation.Command.DELETE =>
-            Seq("delete" -> preDf.exceptAll(replDf))
-          case RowLevelOperation.Command.UPDATE =>
-            Seq("update_pre" -> preDf.exceptAll(replDf),
-              "update_post" -> replDf.exceptAll(preDf))
-          case _ => // MERGE: delete+insert value pairs (no row lineage)
-            Seq("delete" -> preDf.exceptAll(replDf),
-              "insert" -> replDf.exceptAll(preDf))
-        }
-        sets.foreach { case (ct, df) =>
-          df.write.format("scbf").mode("append")
-            .save(ScbfCdc.rowsDir(qroot, t, ct).toString)
+          .persist()
+        try {
+          val sets = op.command() match {
+            case RowLevelOperation.Command.DELETE =>
+              Seq("delete" -> preDf.exceptAll(replDf))
+            case RowLevelOperation.Command.UPDATE =>
+              Seq("update_pre" -> preDf.exceptAll(replDf),
+                "update_post" -> replDf.exceptAll(preDf))
+            case _ => // MERGE: delete+insert value pairs (no row lineage)
+              Seq("delete" -> preDf.exceptAll(replDf),
+                "insert" -> replDf.exceptAll(preDf))
+          }
+          sets.foreach { case (ct, df) =>
+            df.write.format("scbf").mode("append")
+              .save(ScbfCdc.rowsDir(qroot, t, ct).toString)
+          }
+        } finally {
+          preDf.unpersist(); replDf.unpersist()
         }
       }
       // publishedEntries empty = every victim's rows removed: the

@@ -309,8 +309,7 @@ class ScbfBatchWrite(
       val i = n.lastIndexOf('/'); if (i < 0) "" else n.substring(0, i)
     }
     def dirOf(sub: String): Path = if (sub.isEmpty) qroot else new Path(qroot, sub)
-    def relOf(p: Path): String =
-      qroot.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+    def relOf(p: Path): String = ScbfCdc.relName(fs, qroot, p)
     def localized(es: Seq[ScbfStats.FileEntry], sub: String): Seq[ScbfStats.FileEntry] =
       if (sub.isEmpty) es else es.map(e => e.copy(name = e.name.substring(sub.length + 1)))
     val bySub = entries.groupBy(e => subdirOf(e.name))
@@ -451,8 +450,17 @@ class ScbfBatchWrite(
     val rewriteOf = replaceOnly.fold(rewriteOfNames.sorted)(_.toSeq.sorted)
     val rowsChanged = replaceOnly.isEmpty && rewriteOf.nonEmpty
     // rewrite commits carry the CDC tag (if captured) so readers can
-    // find the retained victims and materialized rows
-    val entryTag = if (rewriteOf.nonEmpty) captureTag else None
+    // find the retained victims and materialized rows — but ONLY in
+    // the log that lives AT the CDC root: a per-partition rewrite's
+    // own log would resolve the tag against a partition-local CDC
+    // area that does not exist (the bytes are retained at the TABLE
+    // root, and the table-level sweep's root re-announcement carries
+    // the tag there); an untagged partition entry refuses with the
+    // honest no-retention message instead of a phantom-sweep one
+    val entryTag =
+      if (rewriteOf.nonEmpty && cdcRootQ == fs.makeQualified(new Path(dir)))
+        captureTag
+      else None
     val announced =
       entries.map(e => ScbfDiscovery.Entry(e.name, e.dataLen, now, rewriteOf, rowsChanged,
         entryTag))
@@ -468,8 +476,7 @@ class ScbfBatchWrite(
     if (scopedOverwrite && toReplace.nonEmpty &&
         ScbfDiscovery.exists(new Path(dir), conf.value)) {
       val qr = fs.makeQualified(new Path(dir))
-      def relOf2(p: Path): String =
-        qr.toUri.relativize(fs.makeQualified(p).toUri).getPath.stripPrefix("/")
+      def relOf2(p: Path): String = ScbfCdc.relName(fs, qr, p)
       ScbfDiscovery.append(new Path(dir), conf.value, Seq(ScbfDiscovery.Entry(
         s"ow-${java.util.UUID.randomUUID().toString.take(8)}${ScbfDiscovery.RemovalSuffix}",
         ScbfDiscovery.RemovedLen, now,

@@ -143,7 +143,7 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     // merge semantics, documented: delete+insert value pairs — an
     // updated row contributes its pre-image as delete, post as insert
     val expM =
-      (95 until 100).map(i => (i, if (i < 10) i * 10 + 5 else i * 10, "delete")) ++
+      (95 until 100).map(i => (i, i * 10, "delete")) ++
         (95 until 100).filter(_ % 2 == 0).map(i => (i, 7, "insert")) ++
         (100 until 105).map(i => (i, 1, "insert"))
     assert(gotM == expM.sorted)
