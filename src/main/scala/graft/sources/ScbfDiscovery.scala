@@ -432,18 +432,54 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * millisecond — which is what makes `versionTs`'s max-entry-ts → the
    * time axis mapping EXACT instead of "exact up to ms granularity"
    * (the round-11 documented ambiguity: a commit n+1 landing in commit
-   * n's millisecond leaked into version n's rendering). The clock
-   * SEEDS from the persisted chain (newest delta-name millis — always
-   * ≥ every stamp that delta holds) on first use per table per JVM,
-   * so the guarantee survives driver restarts even under a
-   * backwards-stepping wall clock (NTP): a restarted writer can never
-   * stamp inside a pre-restart commit's millisecond. Cross-PROCESS
-   * writers racing inside one millisecond remain theoretically
-   * possible (two live JVMs, same table, same ms), but every
-   * connector surface that commits rapidly enough to collide — batch
-   * jobs, streaming epochs, maintenance — runs through one driver. */
+   * n's millisecond leaked into version n's rendering).
+   *
+   * CROSS-PROCESS enforcement (round 13) — two layers on top of the
+   * in-memory clock:
+   *  1. the PERSISTED floor: every commit re-reads the newest
+   *     persisted delta-name millis (one listing of the small,
+   *     compaction-bounded log dir — the same dir the post-commit
+   *     fold check lists anyway) and raises the clock to it, so ANY
+   *     sequentially-interleaved writers — separate JVMs, restarts,
+   *     NTP-stepped wall clocks — produce strictly increasing stamps
+   *     and ordinals. This subsumes the old seed-once-per-JVM rule.
+   *  2. the CLAIM file: before publishing, the commit claims its
+   *     name-millisecond by exclusive create of
+   *     `.scbf.discovery/claim-<millis>` — a SECOND process racing
+   *     into the same millisecond loses the claim, raises its clock
+   *     past it, restamps and retries (bounded). Claims are
+   *     best-effort (an erroring filesystem passes rather than
+   *     wedging commits; exhausted retries publish anyway — delta
+   *     names are uuid-unique, so nothing is ever lost) and are swept
+   *     by compaction once an hour stale.
+   * Residual, stated honestly: two processes that BOTH stamp inside
+   * the same listing-latency window under DISTINCT wall-clock
+   * milliseconds can still interleave entry stamps (their claims
+   * don't collide); ordinals and delta contents remain correct —
+   * only the commit-boundary time axis can blur, and every connector
+   * surface that commits rapidly runs through one driver. */
   private val commitClock =
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private val MaxClaimAttempts = 64
+
+  /** Exclusive-create claim of one publication millisecond. True =
+   * claimed (or the filesystem cannot support the probe — claims are
+   * best-effort); false = another process holds this millisecond. */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, d: Path,
+      millis: Long): Boolean = {
+    val p = new Path(d, f"claim-$millis%013d")
+    try {
+      if (fs.exists(p)) false
+      else { fs.create(p, false).close(); true }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case NonFatal(_) =>
+        // unverifiable ≠ contested: claims harden the time axis; they
+        // must never wedge a commit on a store that can't create them
+        try !fs.exists(p) catch { case NonFatal(_) => true }
+    }
+  }
 
   /** Test seam: simulate a driver restart (clears every in-memory
    * clock, forcing the next commit to re-seed from the chain). */
@@ -457,39 +493,70 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // folds and history rewrites preserve entry stamps VERBATIM (they
     // re-announce old history); only genuinely new commits ride the
     // monotonic clock
-    val stamped =
-      if (preserveTs || foldSpan > 0 || entries.isEmpty) entries
+    val (stamped, claimedMillis) =
+      if (preserveTs || foldSpan > 0 || entries.isEmpty) (entries, None)
       else {
         val clock = commitClock.computeIfAbsent(
-          fs.makeQualified(d).toString,
-          // restart-proof seed: the newest persisted delta's name
-          // millis is ≥ every stamp it holds (the early-stop
-          // invariant), so flooring here keeps stamps strictly
-          // increasing across JVM restarts and NTP steps — one listing
-          // of the small log dir, once per table per JVM
-          _ => new AtomicLong(
-            listDeltas(table, conf).flatMap(deltaMillis).maxOption
-              .getOrElse(Long.MinValue)))
-        var out = entries
-        var done = false
-        while (!done) {
-          val floor = clock.get()
-          val minIn = entries.iterator.map(_.ts).min
-          val shift = if (floor == Long.MinValue || minIn > floor) 0L
-            else floor + 1 - minIn
-          out = if (shift == 0L) entries
-            else entries.map(e => e.copy(ts = e.ts + shift))
-          val newMax = out.iterator.map(_.ts).max
-          done = clock.compareAndSet(floor, math.max(floor, newMax))
+          fs.makeQualified(d).toString, _ => new AtomicLong(Long.MinValue))
+        // cross-process floor (see commitClock scaladoc): raise the
+        // in-memory clock to the newest PERSISTED delta-name millis —
+        // always ≥ every stamp that delta holds (the early-stop
+        // invariant) — so sequentially-interleaved writers from other
+        // processes, restarts and NTP steps can never stamp inside an
+        // already-published commit's millisecond
+        val persisted = listDeltas(table, conf).flatMap(deltaMillis)
+          .maxOption.getOrElse(Long.MinValue)
+        var raised = false
+        while (!raised) {
+          val f = clock.get()
+          raised = f >= persisted || clock.compareAndSet(f, persisted)
         }
-        out
+        def raiseTo(v: Long): Unit = {
+          var done = false
+          while (!done) {
+            val f = clock.get()
+            done = f >= v || clock.compareAndSet(f, v)
+          }
+        }
+        var out = entries
+        var millis = 0L
+        var attempts = 0
+        var claimed = false
+        while (!claimed) {
+          attempts += 1
+          var done = false
+          while (!done) {
+            val floor = clock.get()
+            val minIn = entries.iterator.map(_.ts).min
+            val shift = if (floor == Long.MinValue || minIn > floor) 0L
+              else floor + 1 - minIn
+            out = if (shift == 0L) entries
+              else entries.map(e => e.copy(ts = e.ts + shift))
+            val newMax = out.iterator.map(_.ts).max
+            done = clock.compareAndSet(floor, math.max(floor, newMax))
+          }
+          // name millis must be ≥ every entry stamp (the newest-first
+          // early-stop invariant) — a clock-shifted commit can run a
+          // few ms ahead of the wall clock
+          millis = math.max(System.currentTimeMillis(),
+            out.iterator.map(_.ts).max)
+          // claim the publication millisecond against OTHER processes;
+          // a lost claim raises the clock past the contested instant
+          // and restamps (bounded — exhausted retries publish anyway:
+          // names are uuid-unique, nothing is lost, only the
+          // commit-boundary time axis blurs, logged)
+          claimed = attempts >= MaxClaimAttempts || tryClaim(fs, d, millis)
+          if (!claimed) raiseTo(millis)
+          else if (attempts >= MaxClaimAttempts)
+            logWarning(s"discovery commit on $table: could not claim a " +
+              s"publication millisecond after $MaxClaimAttempts attempts — " +
+              "publishing unclaimed (another writer is racing this table)")
+        }
+        (out, Some(millis))
       }
-    // name millis must be ≥ every entry stamp (the newest-first
-    // early-stop invariant: entries are stamped at or before their
-    // delta's publication) — a clock-shifted commit can run a few ms
-    // ahead of the wall clock
-    val millis = math.max(System.currentTimeMillis(),
-      if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max)
+    val millis = claimedMillis.getOrElse(
+      math.max(System.currentTimeMillis(),
+        if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max))
     val name = f"delta-$millis%013d-${
       if (foldSpan > 0) s"fold-$foldSpan-" else ""}${
       java.util.UUID.randomUUID().toString.take(8)}"
@@ -986,5 +1053,19 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     names.foreach(n => fs.delete(new Path(d, n), false))
+    // sweep stale millisecond CLAIMS (tryClaim) — any claim an hour
+    // older than the newest folded commit belongs to a dead writer;
+    // a LIVE claimant already served its purpose (it published, or is
+    // about to — its delta name is uuid-unique either way)
+    try {
+      val staleBefore = names.flatMap(deltaMillis).maxOption
+        .getOrElse(Long.MinValue) - 3600000L
+      fs.listStatus(d).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("claim-") &&
+            n.drop(6).toLongOption.exists(_ < staleBefore))
+          fs.delete(s.getPath, false)
+      }
+    } catch { case NonFatal(_) => () }
   }
 }
