@@ -243,6 +243,92 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       catch { case NonFatal(_) => () }
   }
 
+  /**
+   * Stream a SORTED fold's entries starting at the first line stamped
+   * AFTER `lo`: binary search over byte offsets (seek to mid, align
+   * to the next full line, parse its stamp) finds the boundary in
+   * O(log size) seeks, then one sequential read serves the tail —
+   * O(post-lo bytes), never O(fold bytes). This is what keeps a
+   * bounded feed window O(changes) even when a compaction fold lands
+   * inside it (the ADVICE r12 caveat: a fold re-announces the whole
+   * history verbatim, and the plain streamed pass had to read it all
+   * to drop it). STRICT like the feed's other reads: IO errors and
+   * torn lines propagate wherever the read touches (bisect probes and
+   * the sequential tail). The pre-boundary region it SKIPS is trusted
+   * on the sorted-fold promise — sound because folds publish
+   * atomically (temp + rename, never appended to), so unlike live
+   * logs they cannot be crash-torn; only external corruption could
+   * hide there, and that defeats a full read's line checks equally.
+   *
+   * Callers guard with [[isSortedFold]]; pre-round-13 (unmarked)
+   * folds keep the whole-file streamed pass.
+   */
+  private[sources] def readSortedFoldFrom(table: Path, conf: Configuration,
+      name: String, lo: Long)(f: Entry => Unit): Unit = {
+    val p = new Path(dir(table), name)
+    val fs = p.getFileSystem(conf)
+    deltaReads.incrementAndGet()
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val header = new org.apache.hadoop.io.Text()
+      val hr = new org.apache.hadoop.util.LineReader(in)
+      val headerBytes = hr.readLine(header)
+      if (header.toString != Header)
+        throw new graft.scbf.ScbfFormatException(
+          s"discovery delta $name at $table has an unrecognized header " +
+            "— the chain cannot be replayed exactly; repair or remove " +
+            "the foreign file and re-run.")
+      // ts of the first FULL line at or after byte offset `off`
+      // (None = no full line between off and EOF)
+      def firstTsAt(off: Long): Option[Long] = {
+        in.seek(off)
+        val lr = new org.apache.hadoop.util.LineReader(in)
+        val t = new org.apache.hadoop.io.Text()
+        if (off > 0 && lr.readLine(t) == 0) return None // partial tail
+        if (lr.readLine(t) == 0) return None
+        parseLine(t.toString).map(_.ts)
+          // a torn line mid-file breaks the bisect invariant — strict
+          .orElse(throw new graft.scbf.ScbfFormatException(
+            s"discovery fold $name at $table has an unparsable entry " +
+              "line — the chain cannot be replayed exactly; repair or " +
+              "remove the torn fold and re-run."))
+      }
+      // invariant: every full line starting at or after `hi` has
+      // ts > lo (or none exist); lines before `lo_` may not. Start
+      // hi at EOF (vacuously true), bisect down.
+      var loOff = headerBytes.toLong
+      var hiOff = len
+      while (hiOff - loOff > 4096) {
+        val mid = loOff + (hiOff - loOff) / 2
+        firstTsAt(mid) match {
+          case Some(ts) if ts > lo => hiOff = mid
+          case Some(_) => loOff = mid
+          case None => hiOff = mid // only a partial tail after mid
+        }
+      }
+      // sequential tail: align like the probe, then serve post-lo
+      // entries one line resident at a time (strict on torn lines).
+      // loOff == headerBytes is already a line boundary (the start of
+      // the first entry) — only a probed (raw) offset needs alignment
+      in.seek(loOff)
+      val lr = new org.apache.hadoop.util.LineReader(in)
+      val t = new org.apache.hadoop.io.Text()
+      if (loOff > headerBytes && lr.readLine(t) == 0) return
+      while (lr.readLine(t) > 0) {
+        val l = t.toString
+        if (l.nonEmpty) parseLine(l) match {
+          case Some(e) => if (e.ts > lo) f(e)
+          case None =>
+            throw new graft.scbf.ScbfFormatException(
+              s"discovery fold $name at $table has an unparsable entry " +
+                "line — the chain cannot be replayed exactly; repair or " +
+                "remove the torn fold and re-run.")
+        }
+      }
+    } finally in.close()
+  }
+
   private def parse(text: String): Seq[Entry] = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     if (!lines.headOption.contains(Header)) Seq.empty
@@ -329,6 +415,18 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * format change: names were always opaque beyond their sort order,
    * so old logs (unmarked folds) and old readers both keep working. */
   def isFold(name: String): Boolean = name.contains("-fold-")
+
+  /** `true` for a fold written with its entries SORTED by (ts, name)
+   * (round 13 — the `-s-` name segment; folds written earlier are
+   * unmarked and read whole). Sorting is what makes a fold BISECTABLE:
+   * the bounded feed replay seeks to the first post-`lo` line instead
+   * of streaming the whole snapshot, turning the fold-containing
+   * window's byte cost from O(table history) into O(log n seeks +
+   * post-lo bytes) — the ADVICE r12 fold caveat, closed. Entry order
+   * inside a delta never carried meaning (readers build maps), so the
+   * change is compatible in both directions. */
+  def isSortedFold(name: String): Boolean =
+    isFold(name) && name.contains("-s-")
 
   /** The number of versions a fold snapshot REPRESENTS, recorded in
    * its name (`delta-<millis>-fold-<span>-<uuid>`) so commit ordinals
@@ -558,12 +656,16 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       math.max(System.currentTimeMillis(),
         if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max))
     val name = f"delta-$millis%013d-${
-      if (foldSpan > 0) s"fold-$foldSpan-" else ""}${
+      if (foldSpan > 0) s"fold-$foldSpan-s-" else ""}${
       java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(d, s".$name.tmp")
+    // folds write SORTED by (ts, name) — the `-s-` name marker above
+    // is a promise the bisecting readers (readSortedFoldFrom) rely on;
+    // enforced HERE, at the one site that writes fold bytes
+    val body = if (foldSpan > 0) stamped.sortBy(e => (e.ts, e.name)) else stamped
     val out = fs.create(tmp, true)
     try out.write(
-      (Header +: stamped.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
+      (Header +: body.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
         (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
         (if (e.rowsChanged) "\tC:1" else "") +
         e.cdcTag.fold("")(t => s"\tD:$t")))
@@ -958,12 +1060,17 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         chain.sorted
           .filter(n => deltaMillis(n).forall(_ > lo))
           .foreach { n =>
-            readDeltaStream(qroot, conf, n, strict = true) { e =>
+            def admit(e: Entry): Unit =
               if (e.ts > lo) {
                 val cur = firstAt.get(e.name)
                 if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
               }
-            }
+            // a SORTED fold bisects to the first post-lo line instead
+            // of streaming the whole re-announced history — the
+            // replay's BYTE cost stays O(changes) even across
+            // compactions (pre-round-13 unmarked folds read whole)
+            if (isSortedFold(n)) readSortedFoldFrom(qroot, conf, n, lo)(admit)
+            else readDeltaStream(qroot, conf, n, strict = true)(admit)
           }
         replayed = true
       } catch {

@@ -64,13 +64,24 @@ object ScbfHistoryRead {
           s"history read option: only '$OptionValue' is supported, got '$v'")
       true
     }
+
+  /** Folds larger than this split into byte-range partitions; var as
+   * a test seam (specs shrink it to exercise splits without 10⁷-line
+   * fixtures). 8 MB ≈ 150k entries per task — scan-task-sized. */
+  private[sources] var splitBytes: Long = 8L << 20
 }
 
-/** One delta file = one input partition: deltas are small (a commit's
- * worth of lines) except fold snapshots, which are one task's
- * sequential read — the same unit of work a scan task does for a data
- * file. */
-case class ScbfHistoryPartition(root: String, delta: String) extends InputPartition
+/** One delta file = one input partition — except FOLD snapshots over
+ * [[ScbfHistoryRead.splitBytes]], which split into newline-aligned
+ * byte ranges (the TextInputFormat discipline: a split with
+ * `start > 0` discards its first, possibly partial line — the
+ * previous split reads through it — then serves every line STARTING
+ * at or before `end`). A fold holds ~the whole log, so without
+ * splits the pre-shuffle pass over a 10⁸-entry history serializes in
+ * one task (the round-12 documented residual). `end = Long.MaxValue`
+ * = to EOF (plain deltas, and the unsplit fallback). */
+case class ScbfHistoryPartition(root: String, delta: String,
+    start: Long = 0L, end: Long = Long.MaxValue) extends InputPartition
 
 class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
   extends Scan with Batch {
@@ -105,9 +116,38 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
           "is recorded by connector writes; a foreign/reference-tool " +
           "directory has none.")
     }
-    ScbfDiscovery.commitChain(root, conf.value)
-      .map(n => ScbfHistoryPartition(root.toString, n): InputPartition)
-      .toArray
+    val fs = root.getFileSystem(conf.value)
+    ScbfDiscovery.commitChain(root, conf.value).flatMap { n =>
+      val len =
+        try if (ScbfDiscovery.isFold(n))
+          fs.getFileStatus(new Path(ScbfDiscovery.dir(root), n)).getLen
+        else 0L
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      if (len <= ScbfHistoryRead.splitBytes)
+        Seq(ScbfHistoryPartition(root.toString, n))
+      else {
+        // splitting moves the header check off the executors (a
+        // non-zero split cannot see line 1) — ONE tiny driver read;
+        // an alien header degrades to the old single-partition path,
+        // which serves no rows, best-effort like every history reader
+        val headerOk =
+          try {
+            val in = fs.open(new Path(ScbfDiscovery.dir(root), n))
+            try {
+              val t = new org.apache.hadoop.io.Text()
+              new org.apache.hadoop.util.LineReader(in).readLine(t)
+              ScbfDiscovery.isHeaderLine(t.toString)
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!headerOk) Seq(ScbfHistoryPartition(root.toString, n))
+        else {
+          val step = ScbfHistoryRead.splitBytes
+          val bounds = 0L until len by step
+          bounds.map(s => ScbfHistoryPartition(root.toString, n, s,
+            if (s + step >= len) Long.MaxValue else s + step))
+        }
+      }
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -122,13 +162,20 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
           // heap — exactly the driver pathology this relation exists
           // to avoid. Best-effort per delta like every history READER
           // (a torn line degrades to fewer rows; the change feed is
-          // the fail-closed surface). A fold still IS one partition —
-          // parallelism for the pre-shuffle pass over it is one task,
-          // the honest cost of an unsplittable line file.
+          // the fail-closed surface). Large folds arrive as BYTE-RANGE
+          // splits (round 13): a split with start > 0 discards its
+          // first, possibly partial line (the previous split reads
+          // through it — the planner validated the header) and serves
+          // every line STARTING at or before `end` — the
+          // TextInputFormat discipline, so the pre-shuffle pass over a
+          // 10⁸-entry fold parallelizes like any data scan.
           private val rootP = new Path(hp.root)
           private val isFold = ScbfDiscovery.isFold(hp.delta)
           private val deltaName = UTF8String.fromString(hp.delta)
-          private var in: java.io.BufferedReader = _
+          private var in: org.apache.hadoop.fs.FSDataInputStream = _
+          private var lr: org.apache.hadoop.util.LineReader = _
+          private val text = new org.apache.hadoop.io.Text()
+          private var pos = 0L // byte offset of the next unread line's start
           private var opened = false
           private var done = false
           private var cur: InternalRow = _
@@ -136,19 +183,31 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
             opened = true
             try {
               val f = new Path(ScbfDiscovery.dir(rootP), hp.delta)
-              val r = new java.io.BufferedReader(new java.io.InputStreamReader(
-                f.getFileSystem(sconf.value).open(f),
-                java.nio.charset.StandardCharsets.UTF_8))
-              if (ScbfDiscovery.isHeaderLine(r.readLine())) in = r
-              else { r.close(); done = true } // alien header → no rows
+              val stream = f.getFileSystem(sconf.value).open(f)
+              if (hp.start == 0L) {
+                val r = new org.apache.hadoop.util.LineReader(stream)
+                val n = r.readLine(text)
+                if (n > 0 && ScbfDiscovery.isHeaderLine(text.toString)) {
+                  in = stream; lr = r; pos = n.toLong
+                } else { stream.close(); done = true } // alien header → no rows
+              } else {
+                stream.seek(hp.start)
+                val r = new org.apache.hadoop.util.LineReader(stream)
+                val n = r.readLine(text) // align: discard the cut line
+                if (n == 0) { stream.close(); done = true }
+                else { in = stream; lr = r; pos = hp.start + n }
+              }
             } catch { case scala.util.control.NonFatal(_) => done = true }
           }
           override def next(): Boolean = {
             if (!opened) open()
             if (done) return false
             try {
-              var l = in.readLine()
-              while (l != null) {
+              while (pos <= hp.end) {
+                val n = lr.readLine(text)
+                if (n == 0) { done = true; return false }
+                pos += n
+                val l = text.toString
                 if (l.nonEmpty) ScbfDiscovery.parseEntryLine(l) match {
                   case Some(e) =>
                     cur = new GenericInternalRow(Array[Any](
@@ -164,7 +223,6 @@ class ScbfHistoryScan(root: Path, conf: ScbfUtil.SerializableConf)
                     return true
                   case None => () // torn line — skip, best-effort
                 }
-                l = in.readLine()
               }
               done = true; false
             } catch {

@@ -97,6 +97,43 @@ class CommitSerializationSpec extends AnyFunSuite with SparkTestBase {
     assert(names.exists(_.startsWith("claim-")))
   }
 
+  test("a sorted fold bisects: post-lo entries exact, pre-lo bytes skipped") {
+    val dir = tmpDir("scbf-fold-bisect")
+    val root = q(dir)
+    // drive past the threshold so a fold exists, remembering each
+    // commit's published stamp
+    val n = ScbfDiscovery.CompactThreshold + 8
+    (0 until n).foreach { i =>
+      ScbfDiscovery.append(root, hconf, Seq(ScbfDiscovery.Entry(
+        f"bz-$i%05d.scbf", 10L + i, System.currentTimeMillis())))
+    }
+    val chain = ScbfDiscovery.commitChain(root, hconf)
+    val fold = chain.find(ScbfDiscovery.isFold).get
+    assert(ScbfDiscovery.isSortedFold(fold), s"round-13 folds are sorted: $fold")
+    // ground truth: the fold's full contents via the plain streamed read
+    val all = scala.collection.mutable.ArrayBuffer.empty[ScbfDiscovery.Entry]
+    ScbfDiscovery.readDeltaStream(root, hconf, fold)(all += _)
+    assert(all.size >= ScbfDiscovery.CompactThreshold)
+    assert(all.map(_.ts) == all.map(_.ts).sorted, "fold entries are ts-sorted")
+    // bisect from several cut points, including extremes
+    Seq(0, 1, all.size / 2, all.size - 1, all.size).foreach { k =>
+      val lo = if (k == 0) all.head.ts - 1 else all(k - 1).ts
+      val got = scala.collection.mutable.ArrayBuffer.empty[ScbfDiscovery.Entry]
+      ScbfDiscovery.readSortedFoldFrom(root, hconf, fold, lo)(got += _)
+      assert(got.map(_.name).toSeq == all.drop(k).map(_.name).toSeq,
+        s"cut at $k: got ${got.size}, expected ${all.size - k}")
+    }
+    // and the full bounded replay (the feed's engine) agrees through
+    // the bisect path: a window opened mid-fold serves the exact tail
+    val k = all.size / 2
+    val replayed = ScbfDiscovery.replayEntriesAfter(root, hconf, all(k - 1).ts,
+      msg => throw new graft.scbf.ScbfFormatException(msg))
+    assert(replayed.keySet ==
+      (all.drop(k).map(_.name) ++
+        chain.filterNot(ScbfDiscovery.isFold).flatMap(c =>
+          ScbfDiscovery.readDelta(root, hconf, c).map(_.name))).toSet)
+  }
+
   test("ordinary same-process commits still stamp distinct, ordered instants") {
     val dir = tmpDir("scbf-commit-plain")
     val root = q(dir)

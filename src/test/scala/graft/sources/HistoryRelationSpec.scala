@@ -74,6 +74,32 @@ class HistoryRelationSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS histrel_t")
   }
 
+  test("a large fold plans byte-range splits that reproduce the unsplit rows exactly") {
+    val dir = tmpDir("scbf-histsplit")
+    val p = new Path(dir)
+    val qroot = p.getFileSystem(hconf).makeQualified(p)
+    // enough synthetic commits to fold, then a few live deltas on top
+    (0 until ScbfDiscovery.CompactThreshold + 5).foreach { i =>
+      ScbfDiscovery.append(qroot, hconf, Seq(ScbfDiscovery.Entry(
+        f"split-$i%05d.scbf", 10L + i, System.currentTimeMillis())))
+    }
+    val chain = ScbfDiscovery.commitChain(qroot, hconf)
+    assert(chain.exists(ScbfDiscovery.isFold), s"expected a fold in $chain")
+    val unsplit = hist(dir).collect().map(_.toString).sorted.toSeq
+    val before = ScbfHistoryRead.splitBytes
+    try {
+      ScbfHistoryRead.splitBytes = 256L // force many byte-range splits
+      val df = hist(dir)
+      assert(df.rdd.getNumPartitions > chain.size,
+        s"the fold must plan >1 partition: ${df.rdd.getNumPartitions} vs ${chain.size}")
+      // the TextInputFormat discipline: every line served exactly once
+      assert(df.collect().map(_.toString).sorted.toSeq == unsplit)
+      // aggregation parity over the split read
+      assert(df.groupBy($"action").count().where($"action" === "append")
+        .head().getLong(1) >= (ScbfDiscovery.CompactThreshold + 5).toLong)
+    } finally ScbfHistoryRead.splitBytes = before
+  }
+
   test("misuse refuses loudly: bogus value, combination with table reads, no log, streams") {
     val dir = tmpDir("scbf-histrel-misuse")
     writeWave(dir, 0, 10)
