@@ -1303,9 +1303,15 @@ case class GraftRestoreTableCommand(table: String, point: RestorePoint)
  * (srcPartCols below), so ref reads keep directory pruning/rollup/SPJ
  * off the source-rooted cells AND the branch's own appends route into
  * k=v subdirectories of the clone root, preserving all three on an
- * appended-to branch. Bucket-transform sources clone with flat
- * appends (the bucket function lives in the source catalog); partition
- * MANAGEMENT refuses on any branch (see ScbfClone's contract).
+ * appended-to branch. A GRAFT-CATALOG target (`CREATE TABLE
+ * gcat.db.branch SHALLOW CLONE …`, round 13) records the source's
+ * transforms VERBATIM — identity and bucket — so even a bucketed
+ * source's branch keeps bucket-routed appends and zero-exchange
+ * co-bucketed joins (the bucket function resolves through the
+ * branch's own catalog). A session-catalog target of a bucketed
+ * source keeps flat appends (no bucket function there — the
+ * documented trade); partition MANAGEMENT refuses on any branch (see
+ * ScbfClone's contract).
  *
  * `CREATE OR REPLACE … SHALLOW CLONE` is the one-statement spelling of
  * every dangling-ref refusal's cure ("re-create the clone"): the
@@ -1384,25 +1390,33 @@ case class GraftShallowCloneCommand(target: String, source: String,
     // honor a key-grouped contract). Bucket transforms don't clone as
     // appendable groupings (the bucket function lives in the source's
     // catalog); those branches keep flat appends, the declared trade.
+    // the source's transforms, verbatim, when it lives in a V2 catalog
+    // (identity AND bucket) — what a graft-catalog TARGET records; and
+    // the identity-only column list the session-catalog target path
+    // keeps using (its entries cannot express bucket)
+    val srcTransformsOpt: Option[Array[org.apache.spark.sql.connector.expressions.Transform]] = {
+      val parts0 = source.split('.')
+      if (parts0.length < 3) None
+      else try {
+        val cat = spark.sessionState.catalogManager.catalog(parts0(0))
+        Some(cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts0.slice(1, parts0.length - 1), parts0.last))
+          .partitioning())
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     val srcPartCols: Seq[String] = {
       val session =
         try Some(GraftSqlParser.resolveScbfMeta(spark, source)._2.partitionColumnNames)
         catch { case scala.util.control.NonFatal(_) => None }
       session.getOrElse {
-        val parts0 = source.split('.')
-        if (parts0.length < 3) Seq.empty
-        else try {
-          val cat = spark.sessionState.catalogManager.catalog(parts0(0))
-          val t = cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-            .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-              parts0.slice(1, parts0.length - 1), parts0.last))
-          val transforms = t.partitioning().toSeq
-          val idents = transforms.collect {
+        srcTransformsOpt.fold(Seq.empty[String]) { transforms =>
+          val idents = transforms.toSeq.collect {
             case t if t.name == "identity" && t.references.length == 1 =>
               t.references.head.fieldNames.mkString(".")
           }
-          if (idents.size == transforms.size) idents else Seq.empty
-        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (idents.size == transforms.length) idents else Seq.empty
+        }
       }
     }
     // catalog invariant for partitioned USING tables: partition columns
@@ -1412,11 +1426,63 @@ case class GraftShallowCloneCommand(target: String, source: String,
       else org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f => srcPartCols.contains(f.name)) ++
           srcPartCols.flatMap(c => schema.fields.find(_.name == c)))
+    // GRAFT-CATALOG target (round 13): `CREATE TABLE gcat.db.branch
+    // SHALLOW CLONE gcat.db.src` — the spelling that keeps a BUCKETED
+    // source's branch first-class. The target's catalog entry carries
+    // the source's transforms VERBATIM (identity AND bucket), and
+    // because the branch's relation resolves through the graft catalog
+    // the bucket transform reports with a resolvable V2 function: the
+    // branch's own appends route into `<col>_bucket=<id>/` and a
+    // co-bucketed branch join keeps zero exchanges. (A session-catalog
+    // target cannot — it has no `bucket` function — which is why a
+    // bucketed source's session-target branch keeps flat appends, the
+    // documented trade.)
+    val tparts = target.split('.')
+    if (tparts.length >= 3) {
+      val tcat =
+        try spark.sessionState.catalogManager.catalog(tparts(0))
+        catch { case scala.util.control.NonFatal(_) =>
+          throw new graft.scbf.ScbfFormatException(
+            s"SHALLOW CLONE target $target: catalog '${tparts(0)}' is not " +
+              "registered.")
+        }
+      tcat match {
+        case g: graft.sources.GraftCatalog =>
+          require(!replace, "CREATE OR REPLACE … SHALLOW CLONE with a " +
+            "graft-catalog target: not supported — DROP the branch and " +
+            "re-create it (graft-catalog tables own their directory whole).")
+          require(location.isEmpty, "SHALLOW CLONE with a graft-catalog " +
+            "target: the catalog owns the warehouse path — LOCATION is the " +
+            "session-catalog spelling.")
+          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+            tparts.slice(1, tparts.length - 1), tparts.last)
+          val transforms = srcTransformsOpt.getOrElse(
+            srcPartCols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Transform).toArray)
+          g.createTable(ident, storedSchema, transforms,
+            new java.util.HashMap[String, String]())
+          val cdir = g.tableDirectory(ident)
+          val cfs = cdir.getFileSystem(conf)
+          try ScbfClone.write(cfs.makeQualified(cdir), conf, qsrc, files,
+            sourceName = Some(source))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              try g.dropTable(ident)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+          return Seq(Row(files.size, files.map(_.getLen).sum))
+        case _ => () // spark_catalog 3-part names fall through below
+      }
+    }
     // target: a session-catalog table over the clone directory
     val parts = target.split('.')
     val ti = parts.length match {
       case 2 => TableIdentifier(parts(1), Some(parts(0)))
       case 1 => TableIdentifier(target)
+      case 3 if parts(0).equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(parts(2), Some(parts(1)))
       case _ => throw new graft.scbf.ScbfFormatException(
         s"SHALLOW CLONE target must be a session-catalog table name, got $target")
     }

@@ -53,10 +53,16 @@ import graft.scbf.ScbfFormatException
  *    too (identity layouts): the clone's catalog entry records the
  *    source's partitioning, so INSERTs route into `k=v`
  *    subdirectories of the clone root and pruning/rollup/SPJ survive
- *    an appended-to branch (a bucket-transform source's branch keeps
- *    flat appends — the bucket function lives in the source catalog —
- *    which switches SPJ off for that clone: a split without a key
- *    cannot honor a key-grouped contract). What a branch does NOT
+ *    an appended-to branch. A BUCKET-transform source's branch is
+ *    first-class too when the clone TARGET is a graft-catalog name
+ *    (round 13): the target's entry carries the source's transforms
+ *    verbatim, so appends route into `<col>_bucket=<id>/` and the
+ *    branch's relation resolves the bucket function through its own
+ *    catalog — co-bucketed branch joins keep zero exchanges. A
+ *    SESSION-catalog target of a bucketed source still keeps flat
+ *    appends (the session catalog has no `bucket` function, so a
+ *    reported bucket transform could never resolve — the documented
+ *    trade, cured by the graft-catalog target spelling). What a branch does NOT
  *    have is partition MANAGEMENT (ADD/DROP/TRUNCATE PARTITION, SHOW
  *    PARTITIONS): its partitions live in the source; managing the
  *    local tree alone would half-drop (refs survive) or under-report

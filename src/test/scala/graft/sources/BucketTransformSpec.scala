@@ -107,6 +107,51 @@ class BucketTransformSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE gtest.db.btc")
   }
 
+  test("graft-catalog SHALLOW CLONE of a bucketed source: routed appends, zero-exchange branch join") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.db")
+    Seq("btsrc", "btdim", "btbr").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS gtest.db.$t"))
+    spark.sql("CREATE TABLE gtest.db.btsrc (id INT, a DOUBLE) USING scbf " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("CREATE TABLE gtest.db.btdim (id INT, b DOUBLE) USING scbf " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO gtest.db.btsrc SELECT CAST(id AS INT), " +
+      "CAST(id * 0.5 AS DOUBLE) FROM range(0, 1000)")
+    spark.sql("INSERT INTO gtest.db.btdim SELECT CAST(id AS INT), " +
+      "CAST(id * 2.0 AS DOUBLE) FROM range(0, 1200)")
+    // the round-13 spelling: a graft-catalog TARGET records the
+    // source's transforms verbatim, bucket included
+    ScbfUtil.dataFileOpens.set(0)
+    spark.sql("CREATE TABLE gtest.db.btbr SHALLOW CLONE gtest.db.btsrc")
+    assert(ScbfUtil.dataFileOpens.get == 0, "clone must open zero data files")
+    // the branch's OWN append routes into bucket directories of the
+    // CLONE root (the session-target trade was a flat local file)
+    spark.sql("INSERT INTO gtest.db.btbr SELECT CAST(id AS INT), " +
+      "CAST(7.0 AS DOUBLE) FROM range(1000, 1100)")
+    val localFiles = ScbfDataSource.resolveFiles(Seq(s"$wh/db/btbr"),
+      spark.sessionState.newHadoopConf())
+      .filter(_.getPath.toString.contains("/db/btbr/"))
+    assert(localFiles.nonEmpty &&
+      localFiles.forall(_.getPath.toString.contains("id_bucket=")),
+      s"branch appends must route by bucket: ${localFiles.map(_.getPath)}")
+    // rows: refs ∪ routed locals, exact
+    assert(spark.sql("SELECT COUNT(*) FROM gtest.db.btbr").head().getLong(0) == 1100L)
+    // the APPENDED-TO branch still joins a co-bucketed table with zero
+    // exchanges — the key-grouped contract survives local appends
+    // because they honor the same bucket layout
+    val oldBr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql("""SELECT COUNT(*) AS cnt, SUM(t1.a + t2.b) AS s
+        FROM gtest.db.btbr t1 JOIN gtest.db.btdim t2 ON t1.id = t2.id""")
+      assert(q.collect().head.getLong(0) == 1100L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed branch join must be exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+    Seq("btbr", "btdim", "btsrc").foreach(t => spark.sql(s"DROP TABLE gtest.db.$t"))
+  }
+
   test("catalog name parts that would escape the warehouse directory refuse") {
     val wh = tmpDir("graft-escape-wh")
     val cat = new GraftCatalog
