@@ -582,6 +582,27 @@ class ScbfTable(
     val sinceV = Option(options.get("changesSinceVersion")).map(_.toInt)
     val untilMs = Option(options.get("changesUntil")).map(_.toLong)
     val untilV = Option(options.get("changesUntilVersion")).map(_.toInt)
+    // STREAM entry into the feed (Delta's spelling): a readStream that
+    // begins at a recorded point instead of the table's full state —
+    // `startingVersion` (exclusive commit ordinal, the feed's
+    // changesSinceVersion semantics) or `startingTimestamp` (epoch
+    // millis, exclusive). Resolved at stream planning through the same
+    // bounded replay; the first trigger delivers exactly the post-point
+    // files and marks everything older seen-without-delivery, then
+    // normal incremental discovery takes over.
+    val startV = Option(options.get("startingVersion")).map(_.toInt)
+    val startMs = Option(options.get("startingTimestamp")).map(_.toLong)
+    if (startV.nonEmpty && startMs.nonEmpty)
+      throw new ScbfFormatException(
+        "set ONE of startingVersion / startingTimestamp, not both.")
+    if ((startV.nonEmpty || startMs.nonEmpty) &&
+        (sinceMs.nonEmpty || sinceV.nonEmpty))
+      throw new ScbfFormatException(
+        "startingVersion/startingTimestamp are the STREAM entry into the " +
+          "feed; changesSince[Version] is the batch one — set one or the " +
+          "other.")
+    val streamStart: Option[Either[Long, Int]] =
+      startMs.map(Left(_)).orElse(startV.map(Right(_)))
     if ((sinceMs.isEmpty && sinceV.isEmpty) &&
         (untilMs.nonEmpty || untilV.nonEmpty))
       throw new ScbfFormatException(
@@ -597,6 +618,10 @@ class ScbfTable(
       throw new ScbfFormatException(
         "changesSince[Version] and asOfTimestamp are different reads — a " +
           "window of added rows vs a full rendering at one instant; set one.")
+    if (streamStart.nonEmpty && asOfOpt.nonEmpty)
+      throw new ScbfFormatException(
+        "startingVersion/startingTimestamp (a stream's entry point) and " +
+          "asOfTimestamp (a frozen batch rendering) cannot combine — set one.")
     if (sinceMs.nonEmpty || sinceV.nonEmpty) {
       val root = tablePaths match {
         case Seq(one) => one
@@ -676,7 +701,8 @@ class ScbfTable(
           maxFileAge, aggPushdown, reconcileEvery, onChangeCommit,
           ScbfPartitions.partitionCols(partitionTransforms, schema),
           listFilesOpt = Some(listFiles),
-          bucketSpec = ScbfPartitions.bucketSpec(partitionTransforms, schema))
+          bucketSpec = ScbfPartitions.bucketSpec(partitionTransforms, schema),
+          streamStart = streamStart)
     }
   }
 

@@ -50,7 +50,12 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     // pays — or refuses on — the replay); this carries only the raw
     // window spelling for the plan description and the batch-only
     // stream refusal. Manifest-served aggregate pushdown stays off.
-    feed: Option[String] = None)
+    feed: Option[String] = None,
+    // stream entry point (startingVersion/startingTimestamp): Left =
+    // exclusive epoch millis, Right = exclusive commit ordinal —
+    // resolved at stream planning (ScbfMicroBatchStream baselines at
+    // the point); batch reads refuse it
+    streamStart: Option[Either[Long, Int]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -159,7 +164,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
       reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf, bucketSpec,
-      feed)
+      feed, streamStart)
 }
 
 class ScbfScan(
@@ -181,7 +186,8 @@ class ScbfScan(
     listFilesOpt: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[FileStatus]] = None,
     asOf: Option[Long] = None,
     bucketSpec: Option[(String, Int)] = None,
-    feed: Option[String] = None)
+    feed: Option[String] = None,
+    streamStart: Option[Either[Long, Int]] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -234,11 +240,13 @@ class ScbfScan(
     // since" is just… a stream — readStream from the checkpoint instead
     require(feed.isEmpty,
       "changesSince[Version] is batch-only: a stream IS an incremental " +
-        "read — readStream the table with a checkpoint instead, or run " +
-        "the feed as periodic batch reads advancing the start point.")
+        "read — readStream the table with a checkpoint instead (a stream " +
+        "that should BEGIN at a recorded point spells it " +
+        "startingVersion/startingTimestamp), or run the feed as periodic " +
+        "batch reads advancing the start point.")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
-      reconcileEvery, onChangeCommit)
+      reconcileEvery, onChangeCommit, streamStart)
   }
 
   override def description(): String =
@@ -444,6 +452,10 @@ class ScbfScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(streamStart.isEmpty,
+      "startingVersion/startingTimestamp are readStream options (a " +
+        "stream's entry point); for a batch window read use " +
+        "changesSince[Version] / changesUntil[Version].")
     // a pushed aggregation IS the result: one partition, one row,
     // zero data files opened
     aggregated match {

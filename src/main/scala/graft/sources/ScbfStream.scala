@@ -84,7 +84,15 @@ class ScbfMicroBatchStream(
     maxFileAgeMs: Option[Long] = None,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     reconcileEvery: Int = ScbfMicroBatchStream.DefaultReconcileEvery,
-    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit)
+    onChangeCommit: String = ScbfMicroBatchStream.DefaultOnChangeCommit,
+    // stream entry point (startingVersion/startingTimestamp — Delta's
+    // spelling): Left = exclusive epoch millis, Right = exclusive
+    // commit ordinal. A FRESH checkpoint's first trigger delivers only
+    // the post-point files (resolved through the feed's bounded strict
+    // replay, gated by this stream's onChangeCommit); everything older
+    // is admitted seen-without-delivery, then normal incremental
+    // discovery takes over. Restarts recover from the seen set.
+    streamStart: Option[Either[Long, Int]] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.internal.Logging {
 
@@ -138,6 +146,27 @@ class ScbfMicroBatchStream(
    * them next trigger for free, a consumed delta does not — carry them
    * here so a capped trigger never strands a backlog until reconcile. */
   private var pendingFromLog: Seq[(String, Long, Long)] = Seq.empty
+
+  /** The resolved exclusive start instant (see streamStart). Lazy: the
+   * version spelling is a delta read and its refusals (no chain,
+   * folded ordinal) belong to the first trigger, not construction. */
+  private lazy val startAfterMs: Option[Long] = streamStart.map { s =>
+    val d = discoveryDir.getOrElse(throw new ScbfFormatException(
+      "startingVersion/startingTimestamp need a single-directory table " +
+        "with a discovery log — multi-path/glob streams have no version " +
+        "chain to start from."))
+    val qd = d.getFileSystem(conf).makeQualified(d)
+    s match {
+      case Right(v) => ScbfDiscovery.versionTs(qd, conf, v)
+      case Left(ms) =>
+        if (ms > System.currentTimeMillis())
+          throw new ScbfFormatException(
+            s"startingTimestamp ($ms) is in the future — nothing can have " +
+              "been committed after it yet; pick a recorded instant " +
+              "(DESCRIBE HISTORY <tbl>).")
+        ms
+    }
+  }
 
   private def state(): (Long, Map[String, Long]) = cachedState.getOrElse {
     val loaded = if (!fs.exists(logDir)) (0L, Map.empty[String, Long])
@@ -455,7 +484,29 @@ class ScbfMicroBatchStream(
         deferredRemovalPolicy = removals.collect {
           case (p, e) if covered.contains(p) => p -> e.rowsChanged }.toMap
         consumedDeltas = preDeltas
-        l ++ removals.map { case (p, e) =>
+        // stream entry point: a FRESH checkpoint's baseline demotes
+        // every pre-point file to the sentinel length (admitted
+        // seen-without-delivery — the covered-rewrite mechanism, so
+        // the checkpoint replays the skip exactly); the post-point set
+        // comes from the feed's bounded strict replay under this
+        // stream's onChangeCommit policy, and its refusals (no log,
+        // overwrite boundary, folded ordinal, future point) surface
+        // HERE, at the first trigger, loudly. A restart recovers the
+        // decision from the seen set and never re-resolves.
+        val lStarted =
+          if (startAfterMs.isEmpty || seen.nonEmpty) l
+          else {
+            val d = discoveryDir.get // startAfterMs resolution proved it
+            val qd = d.getFileSystem(conf).makeQualified(d)
+            val post = ScbfDiscovery.changedFilesBetween(qd, conf,
+              startAfterMs.get, Long.MaxValue, onChangeCommit)
+              .map(_.getPath.toString).toSet
+            l.map { case (p, len, ts) =>
+              if (len == ScbfDiscovery.RemovedLen || post.contains(p)) (p, len, ts)
+              else (p, ScbfDiscovery.RemovedLen, ts)
+            }
+          }
+        lStarted ++ removals.map { case (p, e) =>
           (p, ScbfDiscovery.RemovedLen, math.min(e.ts, tsCap)) }
       } else {
         val d = discoveryDir.get

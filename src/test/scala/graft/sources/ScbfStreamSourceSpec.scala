@@ -422,4 +422,93 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     assert(sums.sum == (0 until 4).sum)
   }
+
+  test("startingVersion: a fresh stream begins at the point and stays incremental") {
+    val dir = Files.createTempDirectory("scbf-stream-sv").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-sv-ckpt").toString
+    writeBatch(dir, 0 until 10)   // version 0
+    writeBatch(dir, 10 until 20)  // version 1
+    writeBatch(dir, 20 until 30)  // version 2
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    def run(): Unit = {
+      val q = spark.readStream.format("scbf").schema(schema)
+        .option("startingVersion", 0) // exclusive: post-version-0 only
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // exactly the post-version-0 files: versions 1+2, never wave 0
+    assert(seen.flatten.sorted == (10 until 30), s"got $seen")
+    // stays incremental: new appends deliver; a RESTART recovers the
+    // skip from the checkpoint (the pre-point files never re-deliver)
+    writeBatch(dir, 30 until 35)
+    run()
+    assert(seen.flatten.sorted == (10 until 35), s"got $seen")
+  }
+
+  test("startingTimestamp: the timestamp spelling, same exclusive window") {
+    val dir = Files.createTempDirectory("scbf-stream-st").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-st-ckpt").toString
+    writeBatch(dir, 0 until 5)
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    writeBatch(dir, 5 until 12)
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    val q = spark.readStream.format("scbf").schema(schema)
+      .option("startingTimestamp", t1)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.flatten.sorted == (5 until 12), s"got $seen")
+  }
+
+  test("startingVersion misuse refuses loudly") {
+    val dir = Files.createTempDirectory("scbf-stream-svm").toString
+    writeBatch(dir, 0 until 5)
+    // batch read with the stream option
+    val e2 = intercept[Exception](
+      spark.read.format("scbf").option("startingVersion", 0).load(dir).count())
+    assert(e2.getMessage != null &&
+      (e2.getMessage.contains("readStream") ||
+        Option(e2.getCause).exists(_.getMessage.contains("readStream"))),
+      s"got $e2")
+    // stream misuse surfaces at/by the first trigger, loudly
+    def failsWith(opts: Seq[(String, String)], frag: String): Unit = {
+      val ckpt = Files.createTempDirectory("scbf-stream-svm-ckpt").toString
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      val msgs =
+        try {
+          val r0 = spark.readStream.format("scbf").schema(schema)
+          val q = opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+            .load(dir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .format("noop").start()
+          try {
+            val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+              q.processAllAvailable()
+            }
+            chain(e)
+          } finally q.stop()
+        } catch { // option combos that refuse at scan build (pre-start)
+          case e: org.apache.spark.sql.streaming.StreamingQueryException => chain(e)
+          case scala.util.control.NonFatal(e) => chain(e)
+        }
+      assert(msgs.exists(_.contains(frag)), s"got $msgs")
+    }
+    failsWith(Seq("startingVersion" -> "0", "startingTimestamp" -> "1"),
+      "not both")
+    failsWith(Seq("startingTimestamp" ->
+      (System.currentTimeMillis() + 3600000L).toString), "in the future")
+    failsWith(Seq("startingVersion" -> "99"), "recorded commits")
+  }
 }
