@@ -1394,7 +1394,7 @@ case class GraftShallowCloneCommand(target: String, source: String,
     // (identity AND bucket) — what a graft-catalog TARGET records; and
     // the identity-only column list the session-catalog target path
     // keeps using (its entries cannot express bucket)
-    val srcTransformsOpt: Option[Array[org.apache.spark.sql.connector.expressions.Transform]] = {
+    lazy val srcTransformsOpt: Option[Array[org.apache.spark.sql.connector.expressions.Transform]] = {
       val parts0 = source.split('.')
       if (parts0.length < 3) None
       else try {
@@ -1460,9 +1460,19 @@ case class GraftShallowCloneCommand(target: String, source: String,
             srcPartCols.map(c => org.apache.spark.sql.connector.expressions
               .Expressions.identity(c)
               : org.apache.spark.sql.connector.expressions.Transform).toArray)
+          // same pre-existing-content guards as the session path: a
+          // meta-less warehouse directory holding bytes must neither be
+          // silently absorbed into the branch nor recursively deleted
+          // by the failure-path dropTable below
+          val cdir = g.plannedTableDirectory(ident)
+          require(!ScbfClone.isClone(cdir, conf),
+            s"SHALLOW CLONE: target directory $cdir already holds a clone " +
+              "ref file — an aborted clone; delete it (or the directory) " +
+              "and re-run")
+          require(ScbfDataSource.resolveFiles(Seq(cdir.toString), conf).isEmpty,
+            s"SHALLOW CLONE: target directory $cdir already holds data files")
           g.createTable(ident, storedSchema, transforms,
             new java.util.HashMap[String, String]())
-          val cdir = g.tableDirectory(ident)
           val cfs = cdir.getFileSystem(conf)
           try ScbfClone.write(cfs.makeQualified(cdir), conf, qsrc, files,
             sourceName = Some(source))
@@ -1477,7 +1487,7 @@ case class GraftShallowCloneCommand(target: String, source: String,
       }
     }
     // target: a session-catalog table over the clone directory
-    val parts = target.split('.')
+    val parts = tparts
     val ti = parts.length match {
       case 2 => TableIdentifier(parts(1), Some(parts(0)))
       case 1 => TableIdentifier(target)

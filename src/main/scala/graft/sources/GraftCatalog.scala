@@ -85,6 +85,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     (ident.namespace.toSeq :+ ident.name).foldLeft(warehouse)((d, p) => new Path(d, p))
   }
 
+  /** The directory a not-yet-created table WOULD own — pre-create
+   * guards (SHALLOW CLONE's stray-content checks) resolve through
+   * this; [[tableDirectory]] keeps the exists check for surfaces that
+   * require a live table. */
+  def plannedTableDirectory(ident: Identifier): Path = dirOf(ident)
+
   /** The table's root directory — `DESCRIBE HISTORY` resolves through
    * this to read the discovery log without loading the table. */
   def tableDirectory(ident: Identifier): Path = {

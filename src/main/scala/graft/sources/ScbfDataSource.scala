@@ -590,6 +590,13 @@ class ScbfTable(
     // bounded replay; the first trigger delivers exactly the post-point
     // files and marks everything older seen-without-delivery, then
     // normal incremental discovery takes over.
+    // feedReconcile=false skips the O(listing) bypassed-producer trust
+    // check — read by BOTH feed spellings (the batch window below and
+    // the stream's startingVersion baseline)
+    val feedReconcile = Option(options.get("feedReconcile")).forall { v =>
+      v.toBooleanOption.getOrElse(throw new ScbfFormatException(
+        s"feedReconcile must be true or false, got '$v'"))
+    }
     val startV = Option(options.get("startingVersion")).map(_.toInt)
     val startMs = Option(options.get("startingTimestamp")).map(_.toLong)
     if (startV.nonEmpty && startMs.nonEmpty)
@@ -640,13 +647,6 @@ class ScbfTable(
       // here is only the PRESENCE of a window (and its raw spelling,
       // for the plan description); bounds, the clone check and the
       // replay all resolve at batch build time, once per scan builder.
-      // feedReconcile=false skips the O(listing) bypassed-producer
-      // trust check for connector-only pipelines (see
-      // ScbfDiscovery.changedFilesBetween)
-      val feedReconcile = Option(options.get("feedReconcile")).forall { v =>
-        v.toBooleanOption.getOrElse(throw new ScbfFormatException(
-          s"feedReconcile must be true or false, got '$v'"))
-      }
       lazy val bounds: (Long, Long) = {
         if (ScbfClone.isClone(p, conf))
           throw new ScbfFormatException(
@@ -702,7 +702,7 @@ class ScbfTable(
           ScbfPartitions.partitionCols(partitionTransforms, schema),
           listFilesOpt = Some(listFiles),
           bucketSpec = ScbfPartitions.bucketSpec(partitionTransforms, schema),
-          streamStart = streamStart)
+          streamStart = streamStart, feedReconcile = feedReconcile)
     }
   }
 

@@ -270,6 +270,11 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     deltaReads.incrementAndGet()
     val len = fs.getFileStatus(p).getLen
     val in = fs.open(p)
+    def tornFold(): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"discovery fold $name at $table has an unparsable entry " +
+          "line — the chain cannot be replayed exactly; repair or " +
+          "remove the torn fold and re-run.")
     try {
       val header = new org.apache.hadoop.io.Text()
       val hr = new org.apache.hadoop.util.LineReader(in)
@@ -289,10 +294,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         if (lr.readLine(t) == 0) return None
         parseLine(t.toString).map(_.ts)
           // a torn line mid-file breaks the bisect invariant — strict
-          .orElse(throw new graft.scbf.ScbfFormatException(
-            s"discovery fold $name at $table has an unparsable entry " +
-              "line — the chain cannot be replayed exactly; repair or " +
-              "remove the torn fold and re-run."))
+          .orElse(tornFold())
       }
       // invariant: every full line starting at or after `hi` has
       // ts > lo (or none exist); lines before `lo_` may not. Start
@@ -319,11 +321,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         val l = t.toString
         if (l.nonEmpty) parseLine(l) match {
           case Some(e) => if (e.ts > lo) f(e)
-          case None =>
-            throw new graft.scbf.ScbfFormatException(
-              s"discovery fold $name at $table has an unparsable entry " +
-                "line — the chain cannot be replayed exactly; repair or " +
-                "remove the torn fold and re-run.")
+          case None => tornFold()
         }
       }
     } finally in.close()
@@ -1164,9 +1162,10 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // older than the newest folded commit belongs to a dead writer;
     // a LIVE claimant already served its purpose (it published, or is
     // about to — its delta name is uuid-unique either way)
-    try {
-      val staleBefore = names.flatMap(deltaMillis).maxOption
-        .getOrElse(Long.MinValue) - 3600000L
+    try names.flatMap(deltaMillis).maxOption.foreach { newest =>
+      // guarded on a parseable fold bound: subtracting from a missing
+      // maximum would underflow into sweep-everything
+      val staleBefore = newest - 3600000L
       fs.listStatus(d).foreach { s =>
         val n = s.getPath.getName
         if (n.startsWith("claim-") &&

@@ -54,8 +54,10 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     // stream entry point (startingVersion/startingTimestamp): Left =
     // exclusive epoch millis, Right = exclusive commit ordinal —
     // resolved at stream planning (ScbfMicroBatchStream baselines at
-    // the point); batch reads refuse it
-    streamStart: Option[Either[Long, Int]] = None)
+    // the point); batch reads refuse it. feedReconcile rides along
+    // for the baseline's trust check.
+    streamStart: Option[Either[Long, Int]] = None,
+    feedReconcile: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -164,7 +166,7 @@ class ScbfScanBuilder(schema: StructType, files: Seq[FileStatus], conf: Configur
     new ScbfScan(schema, required, files, conf, tablePaths, maxFilesPerTrigger,
       compactInterval, maxFileAgeMs, pushed.toSeq, aggregated, limitRows, topN,
       reconcileEvery, onChangeCommit, partitionCols, listFilesOpt, asOf, bucketSpec,
-      feed, streamStart)
+      feed, streamStart, feedReconcile)
 }
 
 class ScbfScan(
@@ -187,7 +189,8 @@ class ScbfScan(
     asOf: Option[Long] = None,
     bucketSpec: Option[(String, Int)] = None,
     feed: Option[String] = None,
-    streamStart: Option[Either[Long, Int]] = None)
+    streamStart: Option[Either[Long, Int]] = None,
+    feedReconcile: Boolean = true)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -246,7 +249,7 @@ class ScbfScan(
         "batch reads advancing the start point.")
     new ScbfMicroBatchStream(required, tablePaths, conf, checkpointLocation,
       maxFilesPerTrigger, compactInterval, maxFileAgeMs, pushedFilters,
-      reconcileEvery, onChangeCommit, streamStart)
+      reconcileEvery, onChangeCommit, streamStart, feedReconcile)
   }
 
   override def description(): String =

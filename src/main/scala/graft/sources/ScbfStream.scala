@@ -92,7 +92,12 @@ class ScbfMicroBatchStream(
     // replay, gated by this stream's onChangeCommit); everything older
     // is admitted seen-without-delivery, then normal incremental
     // discovery takes over. Restarts recover from the seen set.
-    streamStart: Option[Either[Long, Int]] = None)
+    streamStart: Option[Either[Long, Int]] = None,
+    // the feed's bypassed-producer trust check during the streamStart
+    // baseline (the same `feedReconcile` option the batch feed reads):
+    // false = intentionally-foreign files are tolerated and, being
+    // unannounced, skipped by the start-point demotion
+    feedReconcile: Boolean = true)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.internal.Logging {
 
@@ -491,15 +496,21 @@ class ScbfMicroBatchStream(
         // comes from the feed's bounded strict replay under this
         // stream's onChangeCommit policy, and its refusals (no log,
         // overwrite boundary, folded ordinal, future point) surface
-        // HERE, at the first trigger, loudly. A restart recovers the
-        // decision from the seen set and never re-resolves.
+        // HERE, at the first trigger, loudly. Sentinel entries are
+        // CAP-EXEMPT at admission (they cost no read), so the whole
+        // demotion lands in the seen set in THIS batch — which is what
+        // makes later reconciles and restarts safe via the ordinary
+        // seen filter. `seen.nonEmpty` short-circuits FIRST: a restart
+        // must never re-resolve the point (a folded starting ordinal
+        // would refuse a previously healthy stream).
         val lStarted =
-          if (startAfterMs.isEmpty || seen.nonEmpty) l
+          if (seen.nonEmpty || startAfterMs.isEmpty) l
           else {
             val d = discoveryDir.get // startAfterMs resolution proved it
             val qd = d.getFileSystem(conf).makeQualified(d)
             val post = ScbfDiscovery.changedFilesBetween(qd, conf,
-              startAfterMs.get, Long.MaxValue, onChangeCommit)
+              startAfterMs.get, Long.MaxValue, onChangeCommit,
+              reconcileListing = feedReconcile)
               .map(_.getPath.toString).toSet
             l.map { case (p, len, ts) =>
               if (len == ScbfDiscovery.RemovedLen || post.contains(p)) (p, len, ts)
@@ -569,12 +580,17 @@ class ScbfMicroBatchStream(
     }.getOrElse(Long.MinValue)
     val current = listed.filter(_._3 >= horizon)
     val notSeen = current.filterNot(f => seen.contains(f._1))
-    // removal entries are pure metadata (planned never, delivered
-    // never): exempt them from the file cap so a capped backlog can't
-    // strand one in the pending tail, where a full-listing trigger's
-    // deferred policy decision would be lost
-    val (removalFresh, rowNotSeen) = notSeen.partition(
-      _._1.endsWith(ScbfDiscovery.RemovalSuffix))
+    // sentinel-length entries are pure metadata (planned never,
+    // delivered never): exempt them ALL from the file cap — removal
+    // entries so a capped backlog can't strand one in the pending tail
+    // (where a full-listing trigger's deferred policy decision would
+    // be lost), and startingVersion/covered-rewrite demotions so the
+    // ENTIRE skip decision lands in the seen set in one batch (a
+    // capped demotion would leak pre-point files to the next
+    // full-listing trigger as unseen-with-real-length)
+    val (removalFresh, rowNotSeen) = notSeen.partition(f =>
+      f._1.endsWith(ScbfDiscovery.RemovalSuffix) ||
+        f._2 == ScbfDiscovery.RemovedLen)
     val freshRows = limit match {
       case mf: ReadMaxFiles => rowNotSeen.take(mf.maxFiles())
       case _                => rowNotSeen

@@ -451,6 +451,39 @@ class ScbfStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.flatten.sorted == (10 until 35), s"got $seen")
   }
 
+  test("startingVersion under a capped backlog: reconciles and restarts never leak pre-point rows") {
+    val dir = Files.createTempDirectory("scbf-stream-svc").toString
+    val ckpt = Files.createTempDirectory("scbf-stream-svc-ckpt").toString
+    (0 until 12).foreach(i => writeBatch(dir, i * 10 until (i + 1) * 10)) // v0..v11 pre
+    (12 until 18).foreach(i => writeBatch(dir, i * 10 until (i + 1) * 10)) // v12.. post
+    val seen = mutable.ArrayBuffer.empty[Seq[Int]]
+    def run(): Unit = {
+      // cap 2 files/trigger + reconcile every 3rd trigger: the drain
+      // crosses several full-listing triggers — the demotion must have
+      // landed WHOLE in the seen set at the baseline (sentinels are
+      // cap-exempt) or a reconcile would re-admit pre-point files with
+      // real lengths
+      val q = spark.readStream.format("scbf").schema(schema)
+        .option("startingVersion", 11)
+        .option("maxFilesPerTrigger", 2)
+        .option("reconcileEvery", 3)
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += df.select("id").as[Int].collect().toSeq }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.flatten.sorted == (120 until 180), s"got ${seen.flatten.sorted}")
+    // restart mid-life: recovery must come from the seen set (never a
+    // re-resolution) and still never deliver pre-point rows
+    writeBatch(dir, 180 until 190)
+    run()
+    assert(seen.flatten.sorted == (120 until 190), s"got ${seen.flatten.sorted}")
+  }
+
   test("startingTimestamp: the timestamp spelling, same exclusive window") {
     val dir = Files.createTempDirectory("scbf-stream-st").toString
     val ckpt = Files.createTempDirectory("scbf-stream-st-ckpt").toString
