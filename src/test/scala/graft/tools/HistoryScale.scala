@@ -51,7 +51,14 @@ object HistoryScale {
     println(s"[hist1m] appending $waves phantom waves x $batch entries (+removals)")
     val t0 = System.nanoTime()
     var prev = Seq.empty[String]
+    // wall instants inside the phantom range, for the round-13 bisect
+    // measurement (4e): a window opening near the folded range's START
+    // vs one opening near its END
+    var tsEarly = 0L
+    var tsAt95 = 0L
     for (w <- 0 until waves) {
+      if (w == 1) tsEarly = System.currentTimeMillis()
+      if (w == waves * 95 / 100) tsAt95 = System.currentTimeMillis()
       // wall-clock stamps, like every production commit: the LIMIT
       // path's early stop compares entry stamps against delta-name
       // millis, so realistic stamps are part of what's being measured
@@ -166,6 +173,30 @@ object HistoryScale {
     require(rowFeedReads <= 3,
       s"a bracketed row feed must read only the bracketed deltas, read $rowFeedReads")
 
+    // 4c2 (round 13). SORTED-FOLD BISECT: a row-feed window opening
+    // MID-FOLD reads O(log-seeks + post-lo bytes) of the fold, not the
+    // whole re-announced history — compare a window opening near the
+    // folded range's START (~full fold bytes) against one at ~95%
+    // (tail bytes only). Policy skip: the boundary wave's takedown
+    // touches pre-window adds by construction. Same deltas read both
+    // times; only the BYTE cost differs.
+    if (ScbfDiscovery.commitChain(qroot, conf)
+        .exists(ScbfDiscovery.isSortedFold)) {
+      def windowCount(lo: Long): Long =
+        spark.read.format("scbf").option("changesSince", lo)
+          .option("onChangeCommit", "skip").option("feedReconcile", "false")
+          .load(dir).count()
+      val wallEarly = { val s = System.nanoTime(); windowCount(tsEarly)
+        (System.nanoTime() - s) / 1e6 }
+      val wall95 = { val s = System.nanoTime(); windowCount(tsAt95)
+        (System.nanoTime() - s) / 1e6 }
+      println(f"[hist1m]   fold-window replay: from-start $wallEarly%.1f ms " +
+        f"vs from-95%% $wall95%.1f ms (bisect serves the tail)")
+      require(wall95 < wallEarly,
+        f"a bisected tail window must beat the full-fold window: " +
+          f"$wall95%.1f !< $wallEarly%.1f ms")
+    }
+
     // 4d. the DISTRIBUTED history relation: the unbounded per-file
     // analytics shape the driver command should not serve — parsed
     // executor-side, one partition per delta, aggregated by Spark
@@ -180,6 +211,14 @@ object HistoryScale {
     }
     println(s"[hist1m]   distributed rows=$distCnt actions=" +
       distAgg.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(","))
+    // round 13: folds over 8 MB split into byte ranges — the relation
+    // must plan MORE partitions than the chain has deltas
+    val distParts = spark.read.format("scbf").option("history", "entries")
+      .load(dir).rdd.getNumPartitions
+    val chainSize = ScbfDiscovery.commitChain(qroot, conf).size
+    println(s"[hist1m]   relation partitions=$distParts over $chainSize deltas")
+    require(distParts > chainSize,
+      s"a 10⁶-entry fold must split: $distParts partitions over $chainSize deltas")
 
     // 5. time-travel planning: the full 10⁶-entry replay + pooled
     // per-file stats, then the travelled read itself
