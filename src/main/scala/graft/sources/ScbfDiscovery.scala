@@ -915,11 +915,15 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     def gate(what: String): Boolean = policy match {
       case "fail" =>
         refuse(s"$what — the feed cannot express this as rows added in " +
-          "the window (SCBF retains no row-level change data; the frozen " +
-          "reference format has no CDC layer). Resync from a TIMESTAMP " +
-          "AS OF read, or read the feed with onChangeCommit=skip (serves " +
-          "the unaffected adds, hides this change) or =deliver (admits " +
-          "the replacement file's rows).")
+          "the window (the netting feed's contract; the frozen reference " +
+          "format retains no row-level change data). For exact " +
+          "enumeration of DELETE/UPDATE/MERGE rows, enable CDC on the " +
+          "table (ScbfCdc.enable / TBLPROPERTIES 'cdc'='true') and read " +
+          "ScbfCdc.changes — mutations captured from then on serve " +
+          "windows like this one with _change_type rows. Otherwise " +
+          "resync from a TIMESTAMP AS OF read, or read the feed with " +
+          "onChangeCommit=skip (serves the unaffected adds, hides this " +
+          "change) or =deliver (admits the replacement file's rows).")
       case "skip" =>
         logWarning(s"changesSince=$lo on $qroot: onChangeCommit=skip — " +
           s"$what; serving the unaffected adds and hiding this change.")
