@@ -118,19 +118,36 @@ object GraftSqlParser {
       """(?:\s+(TIMESTAMP|VERSION)\s+AS\s+OF\s+('[^']*'|\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
+  /** A feed/CDC point as spelled in SQL: `VERSION <n>`, a quoted
+   * session-timezone timestamp literal, or epoch millis. */
+  private def parsePoint(s: String): RestorePoint = {
+    val t = s.trim
+    if (t.toUpperCase(java.util.Locale.ROOT).startsWith("VERSION"))
+      RestoreAtVersion(t.substring("VERSION".length).trim.toInt)
+    else if (t.startsWith("'")) RestoreAtLiteral(t.substring(1, t.length - 1))
+    else RestoreAtMillis(t.toLong)
+  }
+
+  // Row-level CDC as SQL (round 13): registers a TEMP VIEW over the
+  // windowed enumeration (ScbfCdc.changes) — a VIEW rather than a
+  // command result because change rows are DATA-sized and must stay
+  // distributed; the command itself returns one summary row. `AS
+  // TABLE CHANGES …` is not vanilla Spark grammar, so an ordinary
+  // CREATE TEMP VIEW … AS SELECT never detours here.
+  private val CdcViewRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(\w+)\s+AS\s+""" +
+      """TABLE\s+CHANGES\s+([\w.]+)\s+SINCE\s+(VERSION\s+\d+|'[^']*'|\d+)""" +
+      """(?:\s+UNTIL\s+(VERSION\s+\d+|'[^']*'|\d+))?\s*;?\s*""").r
+
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case ShallowCloneRe(orReplace, target, source, axis, point, location) =>
       Some(GraftShallowCloneCommand(target, source,
         Option(axis).map(_.toUpperCase(java.util.Locale.ROOT)),
         Option(point), Option(location), replace = orReplace != null))
+    case CdcViewRe(orReplace, view, tbl, p1, p2) =>
+      Some(GraftCdcViewCommand(view, tbl, parsePoint(p1),
+        Option(p2).map(parsePoint), replace = orReplace != null))
     case DescribeHistoryBetweenRe(tbl, p1, p2, limit) =>
-      def parsePoint(s: String): RestorePoint = {
-        val t = s.trim
-        if (t.toUpperCase(java.util.Locale.ROOT).startsWith("VERSION"))
-          RestoreAtVersion(t.substring("VERSION".length).trim.toInt)
-        else if (t.startsWith("'")) RestoreAtLiteral(t.substring(1, t.length - 1))
-        else RestoreAtMillis(t.toLong)
-      }
       Some(GraftDescribeHistoryCommand(tbl,
         limit = Option(limit).map(_.toInt),
         between = Some((parsePoint(p1), parsePoint(p2)))))
@@ -1192,6 +1209,54 @@ sealed trait RestorePoint
 case class RestoreAtLiteral(lit: String) extends RestorePoint
 case class RestoreAtMillis(ms: Long) extends RestorePoint
 case class RestoreAtVersion(version: Int) extends RestorePoint
+
+/**
+ * `CREATE [OR REPLACE] TEMP VIEW v AS TABLE CHANGES tbl SINCE <p>
+ * [UNTIL <p>]` — the SQL spelling of the row-level CDC enumeration
+ * ([[graft.sources.ScbfCdc.changes]]; Delta's `table_changes` niche).
+ * Points are `VERSION <n>` (exclusive commit ordinal), a quoted
+ * session-timezone timestamp literal, or epoch millis — the same
+ * grammar as `DESCRIBE HISTORY … BETWEEN`. The registered view IS the
+ * distributed enumeration (table columns + `_change_type` +
+ * `_commit_timestamp`): downstream `SELECT`s run as ordinary Spark
+ * SQL over the handful of per-change-type scans, nothing data-sized
+ * ever reaches the driver. The window is resolved (and its refusals —
+ * uncaptured mutations, swept retention, overwrite boundaries — fire)
+ * HERE, at view creation: the view snapshots the window's plan, so a
+ * consumer advancing its point re-creates it with `OR REPLACE`.
+ */
+case class GraftCdcViewCommand(view: String, table: String,
+    since: RestorePoint, until: Option[RestorePoint], replace: Boolean)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("table", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveAnyScbfDir(spark, table)
+    def resolve(p: RestorePoint, which: String): (Option[Long], Option[Int]) =
+      p match {
+        case RestoreAtMillis(m) => (Some(m), None)
+        case RestoreAtLiteral(l) => (Some(GraftSqlParser.sessionTsLiteralMillis(
+          spark, l, s"TABLE CHANGES $table $which")), None)
+        case RestoreAtVersion(v) => (None, Some(v))
+      }
+    if (!replace &&
+        spark.sessionState.catalog.getTempView(view).isDefined)
+      throw new graft.scbf.ScbfFormatException(
+        s"CREATE TEMP VIEW $view: a temp view with this name already " +
+          "exists — use CREATE OR REPLACE TEMP VIEW to re-point it at a " +
+          "new window.")
+    val (sMs, sV) = resolve(since, "SINCE")
+    val u = until.map(resolve(_, "UNTIL"))
+    val df = graft.sources.ScbfCdc.changes(spark, dir.toString,
+      since = sMs, sinceVersion = sV,
+      until = u.flatMap(_._1), untilVersion = u.flatMap(_._2))
+    df.createOrReplaceTempView(view)
+    Seq(Row(view, table))
+  }
+}
 
 object GraftRestoreTableCommand {
   /** Test seam: invoked between the as-of replay (listing captured)

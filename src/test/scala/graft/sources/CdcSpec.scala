@@ -288,6 +288,39 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(changes(dir, t1).count() == 100L)
   }
 
+  test("SQL spelling: CREATE TEMP VIEW ... AS TABLE CHANGES tbl SINCE p") {
+    val dir = tmpDir("scbf-cdc-sql")
+    enable(dir)
+    spark.sql("DROP TABLE IF EXISTS cdc_sql")
+    spark.sql(s"CREATE TABLE cdc_sql (id INT, v INT) USING scbf LOCATION '$dir'")
+    writeWave(dir, 0, 100)   // version 0
+    writeWave(dir, 100, 150) // version 1
+    spark.sql("DELETE FROM cdc_sql WHERE id < 50") // version 2, captured
+    // version spelling: exclusive SINCE VERSION 0 = commits 1..
+    val out = spark.sql(
+      "CREATE TEMP VIEW cdc_sql_v AS TABLE CHANGES cdc_sql SINCE VERSION 0")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("cdc_sql_v"))
+    val got = spark.sql(
+      s"SELECT id, v, ${ScbfCdc.ChangeTypeCol} FROM cdc_sql_v")
+      .as[(Int, Int, String)].collect().toSeq.sorted
+    val expected =
+      (100 until 150).map(i => (i, i * 10, "insert")) ++
+        (0 until 50).map(i => (i, i * 10, "delete"))
+    assert(got == expected.sorted)
+    // plain CREATE refuses an existing name; OR REPLACE re-points
+    val e = intercept[graft.scbf.ScbfFormatException](spark.sql(
+      "CREATE TEMP VIEW cdc_sql_v AS TABLE CHANGES cdc_sql SINCE VERSION 1"))
+    assert(e.getMessage.contains("OR REPLACE"), e.getMessage)
+    spark.sql("CREATE OR REPLACE TEMP VIEW cdc_sql_v AS " +
+      "TABLE CHANGES cdc_sql SINCE VERSION 1 UNTIL VERSION 2")
+    assert(spark.sql("SELECT COUNT(*) FROM cdc_sql_v").head().getLong(0) == 50L)
+    // an ordinary CREATE TEMP VIEW ... AS SELECT never detours here
+    spark.sql("CREATE OR REPLACE TEMP VIEW cdc_sql_plain AS SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM cdc_sql_plain").head().getInt(0) == 1)
+    spark.catalog.dropTempView("cdc_sql_v")
+    spark.catalog.dropTempView("cdc_sql_plain")
+  }
+
   test("misuse refuses: bad window, clones, overwrite boundary") {
     val dir = tmpDir("scbf-cdc-misuse")
     enable(dir)
