@@ -235,6 +235,30 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got == (50 until 150).map(i => (i, i * 10, "insert")).sorted)
   }
 
+  test("partitioned table-level OPTIMIZE retains per partition; window adds survive") {
+    val dir = tmpDir("scbf-cdc-popt")
+    enable(dir)
+    spark.sql("DROP TABLE IF EXISTS cdc_popt")
+    spark.sql(s"CREATE TABLE cdc_popt (id INT, v INT, grp STRING) USING scbf " +
+      s"PARTITIONED BY (grp) LOCATION '$dir'")
+    spark.sql("INSERT INTO cdc_popt SELECT CAST(id AS INT), CAST(id AS INT), " +
+      "concat('g', CAST(id % 2 AS INT)) FROM range(40)")
+    val t1 = tick()
+    spark.sql("INSERT INTO cdc_popt SELECT CAST(id AS INT), CAST(id AS INT), " +
+      "concat('g', CAST(id % 2 AS INT)) FROM range(40, 80)")
+    // table-level compaction folds BOTH waves per partition; the sweep
+    // threads one tag per partition commit and re-announces it to the
+    // ROOT log, so the window's adds resolve from root-tagged retention
+    ScbfMaintenance.compactTable(spark, dir, 1)
+    val got = changes(dir, t1)
+      .select($"id", col(ScbfCdc.ChangeTypeCol)).as[(Int, String)]
+      .collect().toSeq.sorted
+    assert(got == (40 until 80).map(i => (i, "insert")).sorted,
+      s"in-window adds must survive a partitioned compaction: $got")
+    // and the compaction itself enumerated nothing (rows unchanged)
+    assert(got.forall(_._2 == "insert"))
+  }
+
   test("INSERT OVERWRITE PARTITION enumerates as delete + insert") {
     val dir = tmpDir("scbf-cdc-owp")
     enable(dir)
