@@ -137,16 +137,18 @@ object GraftSqlParser {
   private val CdcViewRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(\w+)\s+AS\s+""" +
       """TABLE\s+CHANGES\s+([\w.]+)\s+SINCE\s+(VERSION\s+\d+|'[^']*'|\d+)""" +
-      """(?:\s+UNTIL\s+(VERSION\s+\d+|'[^']*'|\d+))?\s*;?\s*""").r
+      """(?:\s+UNTIL\s+(VERSION\s+\d+|'[^']*'|\d+))?""" +
+      """(?:\s+RECONCILE\s+(TRUE|FALSE))?\s*;?\s*""").r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case ShallowCloneRe(orReplace, target, source, axis, point, location) =>
       Some(GraftShallowCloneCommand(target, source,
         Option(axis).map(_.toUpperCase(java.util.Locale.ROOT)),
         Option(point), Option(location), replace = orReplace != null))
-    case CdcViewRe(orReplace, view, tbl, p1, p2) =>
+    case CdcViewRe(orReplace, view, tbl, p1, p2, reconcile) =>
       Some(GraftCdcViewCommand(view, tbl, parsePoint(p1),
-        Option(p2).map(parsePoint), replace = orReplace != null))
+        Option(p2).map(parsePoint), replace = orReplace != null,
+        reconcile = Option(reconcile).forall(_.equalsIgnoreCase("TRUE"))))
     case DescribeHistoryBetweenRe(tbl, p1, p2, limit) =>
       Some(GraftDescribeHistoryCommand(tbl,
         limit = Option(limit).map(_.toInt),
@@ -1212,21 +1214,27 @@ case class RestoreAtVersion(version: Int) extends RestorePoint
 
 /**
  * `CREATE [OR REPLACE] TEMP VIEW v AS TABLE CHANGES tbl SINCE <p>
- * [UNTIL <p>]` — the SQL spelling of the row-level CDC enumeration
- * ([[graft.sources.ScbfCdc.changes]]; Delta's `table_changes` niche).
- * Points are `VERSION <n>` (exclusive commit ordinal), a quoted
- * session-timezone timestamp literal, or epoch millis — the same
- * grammar as `DESCRIBE HISTORY … BETWEEN`. The registered view IS the
- * distributed enumeration (table columns + `_change_type` +
- * `_commit_timestamp`): downstream `SELECT`s run as ordinary Spark
- * SQL over the handful of per-change-type scans, nothing data-sized
- * ever reaches the driver. The window is resolved (and its refusals —
- * uncaptured mutations, swept retention, overwrite boundaries — fire)
- * HERE, at view creation: the view snapshots the window's plan, so a
- * consumer advancing its point re-creates it with `OR REPLACE`.
+ * [UNTIL <p>] [RECONCILE FALSE]` — the SQL spelling of the row-level
+ * CDC enumeration ([[graft.sources.ScbfCdc.changes]]; Delta's
+ * `table_changes` niche). Points are `VERSION <n>` ordinals, quoted
+ * session-timezone timestamp literals, or epoch millis — the same
+ * grammar and the same window shape as `DESCRIBE HISTORY … BETWEEN`:
+ * EXCLUSIVE start, INCLUSIVE end (`SINCE VERSION v1 UNTIL VERSION v2`
+ * enumerates exactly commits v1+1..v2). `RECONCILE FALSE` is the SQL
+ * escape hatch for the bypassed-producer trust check (the API's
+ * `reconcile=false` — intentionally-foreign files tolerated), keeping
+ * the SQL-only contract whole. The registered view IS the distributed
+ * enumeration (table columns + `_change_type` + `_commit_timestamp`):
+ * downstream `SELECT`s run as ordinary Spark SQL over the handful of
+ * per-change-type scans, nothing data-sized ever reaches the driver.
+ * The window is resolved (and its refusals — uncaptured mutations,
+ * swept retention, overwrite boundaries — fire) HERE, at view
+ * creation: the view snapshots the window's plan, so a consumer
+ * advancing its point re-creates it with `OR REPLACE`.
  */
 case class GraftCdcViewCommand(view: String, table: String,
-    since: RestorePoint, until: Option[RestorePoint], replace: Boolean)
+    since: RestorePoint, until: Option[RestorePoint], replace: Boolean,
+    reconcile: Boolean = true)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -1252,7 +1260,8 @@ case class GraftCdcViewCommand(view: String, table: String,
     val u = until.map(resolve(_, "UNTIL"))
     val df = graft.sources.ScbfCdc.changes(spark, dir.toString,
       since = sMs, sinceVersion = sV,
-      until = u.flatMap(_._1), untilVersion = u.flatMap(_._2))
+      until = u.flatMap(_._1), untilVersion = u.flatMap(_._2),
+      reconcile = reconcile)
     df.createOrReplaceTempView(view)
     Seq(Row(view, table))
   }

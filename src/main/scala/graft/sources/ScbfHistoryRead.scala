@@ -68,7 +68,7 @@ object ScbfHistoryRead {
   /** Folds larger than this split into byte-range partitions; var as
    * a test seam (specs shrink it to exercise splits without 10⁷-line
    * fixtures). 8 MB ≈ 150k entries per task — scan-task-sized. */
-  private[sources] var splitBytes: Long = 8L << 20
+  private[graft] var splitBytes: Long = 8L << 20
 }
 
 /** One delta file = one input partition — except FOLD snapshots over

@@ -253,10 +253,10 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     val got = changes(dir, t1)
       .select($"id", col(ScbfCdc.ChangeTypeCol)).as[(Int, String)]
       .collect().toSeq.sorted
+    // exactly the window's adds, all tagged insert — which also pins
+    // that the compaction itself enumerated nothing (rows unchanged)
     assert(got == (40 until 80).map(i => (i, "insert")).sorted,
       s"in-window adds must survive a partitioned compaction: $got")
-    // and the compaction itself enumerated nothing (rows unchanged)
-    assert(got.forall(_._2 == "insert"))
   }
 
   test("INSERT OVERWRITE PARTITION enumerates as delete + insert") {
@@ -337,6 +337,11 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("OR REPLACE"), e.getMessage)
     spark.sql("CREATE OR REPLACE TEMP VIEW cdc_sql_v AS " +
       "TABLE CHANGES cdc_sql SINCE VERSION 1 UNTIL VERSION 2")
+    assert(spark.sql("SELECT COUNT(*) FROM cdc_sql_v").head().getLong(0) == 50L)
+    // RECONCILE FALSE: the SQL escape hatch for the trust check (the
+    // API's reconcile=false) — parses and serves the same window
+    spark.sql("CREATE OR REPLACE TEMP VIEW cdc_sql_v AS " +
+      "TABLE CHANGES cdc_sql SINCE VERSION 1 UNTIL VERSION 2 RECONCILE FALSE")
     assert(spark.sql("SELECT COUNT(*) FROM cdc_sql_v").head().getLong(0) == 50L)
     // an ordinary CREATE TEMP VIEW ... AS SELECT never detours here
     spark.sql("CREATE OR REPLACE TEMP VIEW cdc_sql_plain AS SELECT 1 AS one")

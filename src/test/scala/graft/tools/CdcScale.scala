@@ -83,7 +83,7 @@ object CdcScale {
 
     // ---- 2. enumeration: window-priced over a long history ---------
     ScbfDiscovery.deltaReads.set(0)
-    val (df, _) = timed("ScbfCdc.changes plan+collect (takedown window)") {
+    val (df, _) = timed("ScbfCdc.changes window resolution (replay + plan, no data)") {
       ScbfCdc.changes(spark, dirOn, since = Some(t1))
     }
     val (byType, _) = timed("enumerate + group by change type") {

@@ -180,8 +180,12 @@ object HistoryScale {
     // (tail bytes only). Policy skip: the boundary wave's takedown
     // touches pre-window adds by construction. Same deltas read both
     // times; only the BYTE cost differs.
-    if (ScbfDiscovery.commitChain(qroot, conf)
-        .exists(ScbfDiscovery.isSortedFold)) {
+    // guarded on a real multi-wave folded range: a small-arg run whose
+    // phantom history fits one wave has no distinct early/95% points
+    // to compare (tsEarly stays unset)
+    if (tsEarly > 0 && tsAt95 > tsEarly &&
+        ScbfDiscovery.commitChain(qroot, conf)
+          .exists(ScbfDiscovery.isSortedFold)) {
       def windowCount(lo: Long): Long =
         spark.read.format("scbf").option("changesSince", lo)
           .option("onChangeCommit", "skip").option("feedReconcile", "false")
@@ -217,8 +221,17 @@ object HistoryScale {
       .load(dir).rdd.getNumPartitions
     val chainSize = ScbfDiscovery.commitChain(qroot, conf).size
     println(s"[hist1m]   relation partitions=$distParts over $chainSize deltas")
-    require(distParts > chainSize,
-      s"a 10⁶-entry fold must split: $distParts partitions over $chainSize deltas")
+    // only a fold OVER the split threshold must split — small-arg runs
+    // whose folds fit one range legitimately plan one partition each
+    val hasBigFold = ScbfDiscovery.commitChain(qroot, conf).exists { n =>
+      ScbfDiscovery.isFold(n) &&
+        (try new Path(ScbfDiscovery.dir(qroot), n).getFileSystem(conf)
+          .getFileStatus(new Path(ScbfDiscovery.dir(qroot), n)).getLen >
+          ScbfHistoryRead.splitBytes
+        catch { case scala.util.control.NonFatal(_) => false })
+    }
+    require(!hasBigFold || distParts > chainSize,
+      s"an over-threshold fold must split: $distParts partitions over $chainSize deltas")
 
     // 5. time-travel planning: the full 10⁶-entry replay + pooled
     // per-file stats, then the travelled read itself
