@@ -1814,7 +1814,11 @@ case class GraftVacuumCommand(table: String, olderThanMs: Option[Long])
     var orphans = 0
     dirs.foreach { d =>
       val (t, o) = olderThanMs match {
-        case Some(ms) => ScbfMaintenance.vacuum(spark, d.toString, ms)
+        // an explicit RETAIN n HOURS is ONE stated horizon — it
+        // overrides both the litter and the CDC-retention defaults
+        // (the operator's explicit promise beats both built-ins)
+        case Some(ms) => ScbfMaintenance.vacuum(spark, d.toString, ms,
+          cdcRetainMs = ms)
         case None     => ScbfMaintenance.vacuum(spark, d.toString)
       }
       temps += t; orphans += o

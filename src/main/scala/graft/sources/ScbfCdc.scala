@@ -170,10 +170,24 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
             val bl = ScbfBloom.bloomPath(p)
             if (fs.exists(bl)) fs.delete(bl, false)
           } else {
-            val sc = ScbfStats.sidecarPath(p)
-            if (fs.exists(sc)) fs.rename(sc, ScbfStats.sidecarPath(dest))
-            val bl = ScbfBloom.bloomPath(p)
-            if (fs.exists(bl)) fs.rename(bl, ScbfBloom.bloomPath(dest))
+            // sidecar renames CHECKED (ADVICE r13): a failed one would
+            // silently orphan the sidecar at the old path and cost
+            // retained reads their stats skipping — log, then delete
+            // the orphan (an absent sidecar is always correct; a
+            // wrong-keyed one is listing litter)
+            def moveSidecar(src: Path, dst: Path, what: String): Unit =
+              if (fs.exists(src)) {
+                val moved = try fs.rename(src, dst)
+                  catch { case NonFatal(_) => false }
+                if (!moved) {
+                  logWarning(s"CDC retention: could not rename $what " +
+                    s"sidecar $src to $dst — retained reads of $dest lose " +
+                    s"$what skipping; deleting the orphan")
+                  try fs.delete(src, false) catch { case NonFatal(_) => () }
+                }
+              }
+            moveSidecar(ScbfStats.sidecarPath(p), ScbfStats.sidecarPath(dest), "stats")
+            moveSidecar(ScbfBloom.bloomPath(p), ScbfBloom.bloomPath(dest), "bloom")
           }
         }
       })).foreach(_.get())
@@ -338,9 +352,11 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
         // silently enumerate zero rows for a change that had some
         if (!fs.exists(new Path(dir(qroot), tag)))
           refuse(s"the CDC area for the change commit at $ts (tag $tag) " +
-            "has been swept (ScbfCdc.vacuum or an external cleanup) — its " +
-            "rows can no longer be enumerated; resync from a full read and " +
-            "feed from a later point.")
+            "is missing — swept (ScbfCdc.vacuum or an external cleanup), " +
+            "or the capture crashed between the log append and retention " +
+            "(the tagged entry publishes first) — its rows can no longer " +
+            "be enumerated; resync from a full read and feed from a later " +
+            "point.")
         // whole-file delete rows serve straight from pre/: a removal
         // entry (metadata-only takedown) and an overwrite victim set
         // are whole by construction; a mixed partial round lists its

@@ -459,6 +459,11 @@ object ScbfDelete {
             .load(rewriteSet.map(_.getPath.toString): _*)
           Some(if (tag.isDefined) s.persist() else s)
         }
+      // ONE try/finally spans the CDC change-row jobs AND the
+      // replacement write: a throw anywhere after the persist (the
+      // materialization included) must unpersist the cached source
+      // scan, not leak it for the session
+      try {
       tag.foreach { t =>
         srcOpt.foreach { src0 =>
           cdcRowSets(src0).foreach { case (ct, df) =>
@@ -491,13 +496,11 @@ object ScbfDelete {
         // same policies; a direct per-partition call without that
         // re-announcement leaves bare names a root stream can't match —
         // skip then degrades to delivery, never loss.
-        try {
-          val w = rewrite(src, cond).write.format("scbf").mode("append")
-            .option("filePrefix", prefix)
-            .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
-          tag.foreach(t => w.option("cdcTag", t).option("cdcRoot", qcdc.toString))
-          w.save(dir)
-        } finally if (tag.isDefined) src.unpersist()
+        val w = rewrite(src, cond).write.format("scbf").mode("append")
+          .option("filePrefix", prefix)
+          .option("rewriteOfNames", affected.map(_.getPath.getName).mkString(","))
+        tag.foreach(t => w.option("cdcTag", t).option("cdcRoot", qcdc.toString))
+        w.save(dir)
       } else if (ScbfDiscovery.exists(new Path(dir), conf)) {
         // METADATA-ONLY round: every victim was dropped whole and no
         // replacement publishes, so nothing would announce the change
@@ -523,6 +526,7 @@ object ScbfDelete {
           // table-level root re-announcement carries it there)
           cdcTag = if (qcdc == qdir) tag else None)))
       }
+      } finally if (tag.isDefined) srcOpt.foreach(_.unpersist())
       removeOriginals(dir, conf, affected, retainAt = tag.map((qcdc, _)))
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName), tag)
       rounds += round_

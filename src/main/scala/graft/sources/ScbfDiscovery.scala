@@ -673,6 +673,13 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       fs.delete(tmp, false)
       throw new graft.scbf.ScbfFormatException(s"could not publish discovery delta $name")
     }
+    // opportunistic claim-litter sweep on genuinely new commits (the
+    // claimed path) — see sweepStaleClaims: sub-threshold tables never
+    // compact, so compaction alone lets claims accumulate unboundedly
+    claimedMillis.foreach { m =>
+      if (claimSweepTick.incrementAndGet() % ClaimSweepEvery == 0)
+        sweepStaleClaims(fs, d, m)
+    }
   }
 
   /**
@@ -1162,14 +1169,24 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     names.foreach(n => fs.delete(new Path(d, n), false))
-    // sweep stale millisecond CLAIMS (tryClaim) — any claim an hour
-    // older than the newest folded commit belongs to a dead writer;
-    // a LIVE claimant already served its purpose (it published, or is
-    // about to — its delta name is uuid-unique either way)
-    try names.flatMap(deltaMillis).maxOption.foreach { newest =>
-      // guarded on a parseable fold bound: subtracting from a missing
-      // maximum would underflow into sweep-everything
-      val staleBefore = newest - 3600000L
+    names.flatMap(deltaMillis).maxOption
+      .foreach(newest => sweepStaleClaims(fs, d, newest))
+  }
+
+  /** Sweep stale millisecond CLAIMS (tryClaim) — any claim an hour
+   * older than `newestCommitMillis` belongs to a dead writer; a LIVE
+   * claimant already served its purpose (it published, or is about
+   * to — its delta name is uuid-unique either way). Called from
+   * compaction AND opportunistically every [[ClaimSweepEvery]]-th
+   * append: a table committing below the compaction threshold would
+   * otherwise accumulate one claim file per commit forever, growing
+   * every listStatus the log replay pays (ADVICE r13). Guarded on a
+   * parseable bound: subtracting from a missing maximum would
+   * underflow into sweep-everything. */
+  private def sweepStaleClaims(fs: org.apache.hadoop.fs.FileSystem,
+      d: Path, newestCommitMillis: Long): Unit =
+    try {
+      val staleBefore = newestCommitMillis - 3600000L
       fs.listStatus(d).foreach { s =>
         val n = s.getPath.getName
         if (n.startsWith("claim-") &&
@@ -1177,5 +1194,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           fs.delete(s.getPath, false)
       }
     } catch { case NonFatal(_) => () }
-  }
+
+  private val ClaimSweepEvery = 32
+  private val claimSweepTick = new AtomicLong(0L)
 }

@@ -421,13 +421,18 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
    * at ingest rates they accumulate listing weight forever.
    *
    * On a CDC-ENABLED table ([[ScbfCdc]]) the sweep additionally
-   * reclaims retention areas older than the horizon — and THAT is a
+   * reclaims retention areas older than `cdcRetainMs` — and THAT is a
    * correctness trade, not litter: CDC windows and `TIMESTAMP AS OF`
    * points needing a swept tag refuse loudly afterwards (never wrong
-   * rows), exactly Delta's VACUUM-vs-time-travel contract. The
-   * horizon is the operator's audit promise; size it beyond the
-   * widest CDC window any consumer replays (`sweepCdc=false` opts a
-   * run out). Swept tags are logged.
+   * rows), exactly Delta's VACUUM-vs-time-travel contract. Retention
+   * gets its OWN horizon (default 7 days, Delta's
+   * `delta.deletedFileRetentionDuration` shape) because the litter
+   * horizon is sized for crashed-attempt temps (hours), while the CDC
+   * horizon is the operator's audit promise — a routine default-args
+   * vacuum must not destroy week-wide CDC windows. An explicit
+   * `RETAIN n HOURS` in SQL overrides BOTH (one stated horizon is one
+   * promise); size it beyond the widest CDC window any consumer
+   * replays (`sweepCdc=false` opts a run out). Swept tags are logged.
    *
    * Only files older than `olderThanMs` are touched — the horizon
    * protects in-flight work: a LIVE task's staged temps are younger
@@ -445,7 +450,8 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
       spark: SparkSession,
       dir: String,
       olderThanMs: Long = 24L * 3600 * 1000,
-      sweepCdc: Boolean = true): (Int, Int) = {
+      sweepCdc: Boolean = true,
+      cdcRetainMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -482,9 +488,9 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     // scaladoc). Logged so a sweep that will make windows refuse is
     // visible in the run that did it.
     if (sweepCdc) {
-      val swept = ScbfCdc.vacuum(p, conf, olderThanMs)
+      val swept = ScbfCdc.vacuum(p, conf, cdcRetainMs)
       if (swept > 0) logWarning(s"vacuum($dir): reclaimed $swept CDC " +
-        s"retention area(s) older than ${olderThanMs} ms — CDC windows " +
+        s"retention area(s) older than ${cdcRetainMs} ms — CDC windows " +
         "and AS OF points needing them will refuse from now on")
     }
     (temps, orphans)
