@@ -1381,6 +1381,59 @@ object RelationalQueries {
           max("doc_id").as("max_doc"))
     },
 
+    "q66_cdc_versions" -> { (s, dir) =>
+      // The CDC enumeration's ORDINAL axis (round 14): every change row
+      // carries `_commit_version`, its commit's DESCRIBE HISTORY COMMITS
+      // ordinal (exact across folds — compaction stamps each folded
+      // commit's ordinal into its entries). Grouping by the RELATIVE
+      // ordinal makes the result oracle-matchable: the wave-2 insert is
+      // the takedown's predecessor, so rel 0 = inserts, rel 1 = deletes.
+      // REQUIRE pin, in-query: the absolute ordinals must be EXACTLY the
+      // chain's last two commits (the axis DESCRIBE HISTORY serves).
+      val base = scratchDir(s) + "/graft_scbf_cdcv_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      s.sql("DROP TABLE IF EXISTS graft_q66")
+      fs.delete(p, true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q66_src")
+      s.sql("CREATE TABLE graft_q66 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      graft.sources.ScbfCdc.enable(p, conf)
+      s.sql("""INSERT INTO graft_q66
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q66_src WHERE doc_id % 3 = 0""")
+      val t1 = { Thread.sleep(5); System.currentTimeMillis() }
+      s.sql("""INSERT INTO graft_q66
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q66_src WHERE doc_id % 3 = 1""")
+      s.sql("DELETE FROM graft_q66 WHERE n_chars < 200")
+      val fed = graft.sources.ScbfCdc.changes(s, base, since = Some(t1))
+      val qroot = fs.makeQualified(p)
+      val chain = graft.sources.ScbfDiscovery.versionedChain(qroot, conf)
+      val total = chain.last._3 + 1
+      val vcol = col(graft.sources.ScbfCdc.CommitVersionCol)
+      // the one aggregate below is the measured work; this pin collects
+      // its 2-group shadow to hold the ordinals to the HISTORY axis
+      val pin = fed.groupBy(col(graft.sources.ScbfCdc.ChangeTypeCol))
+        .agg(min(vcol).as("lo"), max(vcol).as("hi")).collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      require(pin("insert") == ((total - 2, total - 2)) &&
+        pin("delete") == ((total - 1, total - 1)),
+        s"CDC ordinals must be the chain's last two commits: $pin vs total $total")
+      // relative ordinal: a 1-row broadcast of the window's min version
+      // (never a single-partition window over the corpus)
+      val minV = broadcast(fed.agg(min(vcol).as("min_v")))
+      fed.crossJoin(minV)
+        .groupBy(col(graft.sources.ScbfCdc.ChangeTypeCol).as("change_type"),
+          (vcol - col("min_v")).cast("int").as("version_rel"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1922,6 +1975,20 @@ object RelationalQueries {
            SELECT 'delete', CAST(doc_id AS INT), CAST(n_chars AS INT)
            FROM documents WHERE doc_id % 3 IN (0, 1) AND n_chars < 200
          ) GROUP BY change_type""",
+
+    "q66_cdc_versions" ->
+      """SELECT change_type, version_rel, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM (
+           SELECT 'insert' AS change_type, 0 AS version_rel,
+                  CAST(doc_id AS INT) AS doc_id, CAST(n_chars AS INT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT 'delete', 1, CAST(doc_id AS INT), CAST(n_chars AS INT)
+           FROM documents WHERE doc_id % 3 IN (0, 1) AND n_chars < 200
+         ) GROUP BY change_type, version_rel""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -86,9 +86,18 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
   private val WholeList = "_whole"
 
   val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
   val CommitTsCol = "_commit_timestamp"
   /** The materialized change types a tag's `rows/` area may hold. */
   val ChangeTypes: Seq[String] = Seq("delete", "update_pre", "update_post", "insert")
+
+  /** One enumerated change file: every row in `path` (length `len`,
+   * for planning) is one `changeType` row of the commit at `ts`
+   * (ordinal `version` — None only when the commit was folded by a
+   * pre-version-recording engine; see [[ScbfDiscovery.Entry
+   * .commitVersion]]). */
+  private[sources] final case class ChangeFile(path: String, len: Long,
+      ts: Long, version: Option[Int], changeType: String)
 
   def dir(root: Path): Path = new Path(root, DirName)
 
@@ -221,10 +230,17 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
   /**
    * The CDC enumeration: every row-level change committed in
    * `(lo, hi]`, exclusive-start/inclusive-end like the netting feed,
-   * with `_change_type` and `_commit_timestamp` appended to the table
-   * schema. Start/end accept the same two spellings as the feed:
-   * epoch millis or a commit ordinal (resolved through `versionTs` —
-   * same refusals).
+   * with `_change_type`, `_commit_version` and `_commit_timestamp`
+   * appended to the table schema (Delta CDF's three axes).
+   * `_commit_version` is the change commit's DESCRIBE HISTORY COMMITS
+   * ordinal — exact for live deltas (derived from the chain) and
+   * across folds written by this engine (folds stamp each folded
+   * commit's ordinal into its entries — `V:` tag); NULL only for
+   * history folded by a pre-version-recording build, where the
+   * boundary is genuinely unrecorded (timestamps remain the durable
+   * axis, exactly the VERSION-AS-OF contract). Start/end accept the
+   * same two spellings as the feed: epoch millis or a commit ordinal
+   * (resolved through `versionTs` — same refusals).
    */
   def changes(spark: SparkSession, rootDir: String,
       since: Option[Long] = None, sinceVersion: Option[Int] = None,
@@ -244,12 +260,13 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
       "set exactly one of since / sinceVersion")
     require(!(until.isDefined && untilVersion.isDefined),
       "set at most one of until / untilVersion")
-    if (ScbfClone.isClone(qroot, conf))
-      refuse("the table is a SHALLOW CLONE — it records no version chain " +
-        "of its own (the ref list IS the branch point). Read CDC from the " +
-        "SOURCE table; the clone's own history begins with its first append.")
     if (!ScbfDiscovery.exists(qroot, conf))
-      refuse("the table has no discovery log — CDC replays the log's " +
+      refuse(if (ScbfClone.isClone(qroot, conf))
+        "the SHALLOW CLONE has no commits of its own yet — a clone's " +
+          "recorded history begins with its first append (the ref list IS " +
+          "the branch point). Read CDC from the SOURCE table for " +
+          "pre-branch history."
+      else "the table has no discovery log — CDC replays the log's " +
         "version chain. Tables written by this connector keep one " +
         "automatically; foreign/reference-tool directories have no " +
         "recorded history.")
@@ -259,6 +276,58 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
     if (lo >= hi)
       refuse(s"the start point ($lo) is not before the end point ($hi) — " +
         "the window is exclusive-start/inclusive-end.")
+    assemble(spark, rootDir, enumerateBetween(conf, rootDir, lo, hi, reconcile))
+  }
+
+  /**
+   * Driver-side (pure metadata) half of the CDC read, shared by the
+   * batch [[changes]] and the streaming source ([[ScbfCdcMicroBatchStream]]):
+   * resolve the window `(lo, hi]` to the exact file set whose rows ARE
+   * the changes, each stamped with its change type, commit instant and
+   * commit ordinal. All the fail-closed refusals live here so every
+   * consumer gets them: clone / no-log / overwrite-boundary /
+   * uncaptured-mutation / swept-retention / bypassed-producer.
+   */
+  private[sources] def enumerateBetween(conf: Configuration, rootDir: String,
+      lo: Long, hi: Long, reconcile: Boolean): Seq[ChangeFile] = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val qroot = fs.makeQualified(root)
+    def refuse(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(s"CDC read on $qroot: $why")
+
+    // SHALLOW CLONE: the branch's own post-clone commits ARE recorded
+    // (its appends commit to its own log), so a window inside them
+    // serves normally with branch-LOCAL ordinals; a window reaching
+    // past the branch point would claim source history the clone never
+    // recorded — refuse, naming the source-table cure.
+    if (ScbfClone.isClone(qroot, conf)) {
+      val branchTs =
+        try fs.getFileStatus(ScbfClone.refPath(qroot)).getModificationTime
+        catch { case NonFatal(_) => Long.MaxValue }
+      if (lo < branchTs)
+        refuse(s"the window starts ($lo) before the clone's branch point " +
+          s"($branchTs) — a SHALLOW CLONE records only its own post-clone " +
+          "commits (the ref list IS the branch point). Read CDC from the " +
+          "SOURCE table for pre-branch history, or start the window at or " +
+          "after the branch point.")
+    }
+
+    // ts → commit ordinal over the CURRENT chain: an entry stamped t
+    // belongs to the first chain delta whose name-millis is ≥ t (the
+    // commit clock separates successive commits strictly, and a delta's
+    // name-millis bounds its own entry stamps from above). Exact for
+    // span-1 deltas; a fold's interior resolves through the entry's own
+    // V: tag instead (folds stamp ordinals as they fold — see compact).
+    val chainBounds: Seq[(Long, Int, Int)] =
+      ScbfDiscovery.versionedChain(qroot, conf).flatMap { case (n, f, l) =>
+        ScbfDiscovery.deltaMillis(n).map(m => (m, l, l - f + 1))
+      }
+    def versionOf(e: ScbfDiscovery.Entry): Option[Int] =
+      e.commitVersion.orElse(chainBounds.find(_._1 >= e.ts) match {
+        case Some((_, last, 1)) => Some(last)
+        case _ => None
+      })
 
     val entries = ScbfDiscovery.replayEntriesAfter(qroot, conf, lo, refuse)
       .values.toSeq
@@ -328,9 +397,10 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
           "connector; the enumeration cannot be trusted."))
     // path → commit instant for the stamp join (adds keep their own
     // commit's ts even when served from a later rewrite's retention)
-    val addPairs = addStatuses.zip(adds.sortBy(a =>
+    val addFiles = addStatuses.zip(adds.sortBy(a =>
         victimTag.get(a.name).fold(a.name)(t => s"$DirName/$t/pre/${a.name}")))
-      .map { case (st, e) => (st.getPath.toString, e.ts, "insert") }
+      .map { case (st, e) =>
+        ChangeFile(st.getPath.toString, st.getLen, e.ts, versionOf(e), "insert") }
 
     // ---- changes: captured row-changing commits in the window -----
     val changed = entries.filter(e => inWindow(e.ts) && e.rowsChanged)
@@ -343,8 +413,9 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
         "an onChangeCommit policy)."))
     val byTag = changed.filter(_.cdcTag.isDefined)
       .groupBy(_.cdcTag.get)
-    val changePairs = byTag.toSeq.flatMap { case (tag, es) =>
+    val changeFiles = byTag.toSeq.flatMap { case (tag, es) =>
       val ts = es.head.ts
+      val ver = versionOf(es.head)
       if (kindOf(tag) == "compact") Seq.empty // rows unchanged; retention only
       else {
         // fail CLOSED on swept retention: a tagged commit whose CDC
@@ -367,11 +438,14 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
           else readWhole(fs, qroot, tag)
         val wholeFiles = wholeRel.map(r => preservedPath(qroot, tag, r))
           .map { p =>
-            if (!fs.exists(p))
-              refuse(s"CDC area for commit at $ts (tag $tag) is missing " +
-                s"retained victim $p — a crashed capture or an external " +
-                "sweep; resync from a full read.")
-            (p.toString, ts, "delete")
+            val st =
+              try fs.getFileStatus(p)
+              catch { case _: java.io.FileNotFoundException =>
+                refuse(s"CDC area for commit at $ts (tag $tag) is missing " +
+                  s"retained victim $p — a crashed capture or an external " +
+                  "sweep; resync from a full read.")
+              }
+            ChangeFile(p.toString, st.getLen, ts, ver, "delete")
           }
         val rowFiles = ChangeTypes.flatMap { ct =>
           val d = rowsDir(qroot, tag, ct)
@@ -386,33 +460,48 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
               refuse(s"CDC rows area $d is unlistable (${ex.getMessage}); " +
                 "resync from a full read.")
             }
-          listed.map(f => (f.getPath.toString, ts, ct))
+          listed.map(f => ChangeFile(f.getPath.toString, f.getLen, ts, ver, ct))
         }
         wholeFiles ++ rowFiles
       }
     }
+    // deterministic order: the streaming source replans (start, end]
+    // windows on restart and must enumerate the identical sequence
+    (addFiles ++ changeFiles).sortBy(c => (c.ts, c.changeType, c.path))
+  }
 
-    // ---- assemble: one scan per change type, stamp via broadcast ----
-    val all = addPairs ++ changePairs
+  /** The three CDC metadata fields appended to a table's schema. */
+  def metaFields: Seq[org.apache.spark.sql.types.StructField] = Seq(
+    org.apache.spark.sql.types.StructField(ChangeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(CommitVersionCol,
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField(CommitTsCol,
+      org.apache.spark.sql.types.TimestampType, nullable = false))
+
+  /** DataFrame half of the batch CDC read: one scan per change type
+   * over the enumerated file set (not per commit), stamped via a
+   * broadcast path→(instant, ordinal) join — the plan stays a handful
+   * of scans regardless of how many commits the window spans. */
+  private def assemble(spark: SparkSession, rootDir: String,
+      all: Seq[ChangeFile]): DataFrame = {
     val tableSchema = spark.read.format("scbf").load(rootDir).schema
-    val outSchema = org.apache.spark.sql.types.StructType(tableSchema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField(ChangeTypeCol,
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField(CommitTsCol,
-        org.apache.spark.sql.types.TimestampType, nullable = false)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.fields ++ metaFields)
     if (all.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     val tableCols = tableSchema.fieldNames.toSeq
     import spark.implicits._
-    val parts = all.groupBy(_._3).toSeq.sortBy(_._1).map { case (ct, trips) =>
-      val lookup = broadcast(
-        trips.map { case (p, ts, _) => (p, ts) }.toDF("_cdc_path", "_cdc_ts"))
-      spark.read.format("scbf").load(trips.map(_._1): _*)
+    val parts = all.groupBy(_.changeType).toSeq.sortBy(_._1).map { case (ct, cfs) =>
+      val lookup = broadcast(cfs.map(c => (c.path, c.ts, c.version))
+        .toDF("_cdc_path", "_cdc_ts", "_cdc_v"))
+      spark.read.format("scbf").load(cfs.map(_.path): _*)
         .withColumn("_cdc_fp", col(ScbfDataSource.FilePathCol))
         .join(lookup, col("_cdc_fp") === col("_cdc_path"), "left")
         .select(tableCols.map(col) ++ Seq(
           lit(ct).as(ChangeTypeCol),
+          col("_cdc_v").as(CommitVersionCol),
           // the stamp join is by exact scan-path string; a miss means
           // the path rendering drifted from the scan's — fail loudly
           // rather than emit a null commit instant

@@ -55,7 +55,17 @@ class ScbfDataSource extends TableProvider with DataSourceRegister {
     val first = ScbfDataSource.findFirstFile(ScbfDataSource.paths(options), conf)
       .getOrElse(throw new ScbfFormatException(
         s"No .scbf files found at ${ScbfDataSource.paths(options).mkString(", ")}"))
-    ScbfDataSource.scbfToSpark(ScbfUtil.readHeader(first, conf).schema)
+    val base = ScbfDataSource.scbfToSpark(ScbfUtil.readHeader(first, conf).schema)
+    // readChangeFeed: the relation is the table's rows PLUS the three
+    // CDC metadata columns (_change_type, _commit_version,
+    // _commit_timestamp) — Delta CDF's shape
+    if (ScbfDataSource.changeFeedRequested(options)) {
+      base.fieldNames.find(ScbfCdcStreamSupport.MetaNames).foreach(n =>
+        throw new ScbfFormatException(
+          s"readChangeFeed: the table already has a DATA column named $n — " +
+            "the CDC metadata columns cannot be appended; rename the column."))
+      StructType(base.fields ++ ScbfCdc.metaFields)
+    } else base
   }
 
   /** No listing here AT ALL: file resolution is deferred to scan/write
@@ -78,6 +88,14 @@ object ScbfDataSource {
   /** The `_file_path` metadata column's name (see
    * [[ScbfTable.metadataColumns]]). */
   val FilePathCol = "_file_path"
+
+  /** `readChangeFeed=true` — the STREAM spelling of the CDC read
+   * (see [[ScbfCdcMicroBatchStream]]). */
+  def changeFeedRequested(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists { v =>
+      v.toBooleanOption.getOrElse(throw new ScbfFormatException(
+        s"readChangeFeed must be true or false, got '$v'"))
+    }
 
   /** Path options as DataFrameReader/Writer set them: single `path`, or
    * `paths` as a JSON string array. */
@@ -610,6 +628,42 @@ class ScbfTable(
           "other.")
     val streamStart: Option[Either[Long, Int]] =
       startMs.map(Left(_)).orElse(startV.map(Right(_)))
+    // CDC STREAM (readChangeFeed=true): the per-trigger spelling of
+    // TABLE CHANGES — rows + _change_type/_commit_version/
+    // _commit_timestamp per trigger (see ScbfCdcMicroBatchStream).
+    // startingVersion/startingTimestamp pick the entry point; batch
+    // execution refuses at Scan.toBatch, naming the batch cures.
+    if (ScbfDataSource.changeFeedRequested(options)) {
+      if (sinceMs.nonEmpty || sinceV.nonEmpty)
+        throw new ScbfFormatException(
+          "readChangeFeed (the stream CDC read) and changesSince[Version] " +
+            "(the batch rows-added feed) cannot combine — a batch CDC " +
+            "window is spelled TABLE CHANGES / ScbfCdc.changes.")
+      if (asOfOpt.nonEmpty)
+        throw new ScbfFormatException(
+          "readChangeFeed and asOfTimestamp cannot combine — a change " +
+            "stream has no single frozen instant.")
+      if (!ScbfCdcStreamSupport.MetaNames.subsetOf(schema.fieldNames.toSet))
+        throw new ScbfFormatException(
+          "readChangeFeed is a PATH read: spark.readStream.format(\"scbf\")" +
+            ".option(\"readChangeFeed\", \"true\").load(<table directory>) — " +
+            "a catalog table's relation carries its data schema, which " +
+            "cannot also carry the CDC metadata columns.")
+      val rootDir = tablePaths match {
+        case Seq(one) => one
+        case other => throw new ScbfFormatException(
+          s"readChangeFeed needs exactly one table directory, got: $other")
+      }
+      // SHALLOW CLONE: allowed — the stream serves the branch's own
+      // post-clone commits (default start = latest; an explicit start
+      // before the branch point refuses in the enumeration)
+      val cdcReconcile = Option(options.get("cdcReconcile")).exists { v =>
+        v.toBooleanOption.getOrElse(throw new ScbfFormatException(
+          s"cdcReconcile must be true or false, got '$v'"))
+      }
+      return new ScbfCdcScanBuilder(schema, rootDir, conf, streamStart,
+        maxFiles, cdcReconcile)
+    }
     if ((sinceMs.isEmpty && sinceV.isEmpty) &&
         (untilMs.nonEmpty || untilV.nonEmpty))
       throw new ScbfFormatException(

@@ -322,6 +322,12 @@ object ScbfDelete {
    * a concurrent append lands in. Specs inject an append here. */
   private[sources] var raceHook: () => Unit = () => ()
 
+  /** Test seam for the OCC post-publish window: invoked after a
+   * round's replacement has published (entries announced) and before
+   * the post-publish conflict recheck — the window a blind racer's
+   * commit lands in. Specs inject a conflicting commit here. */
+  private[sources] var postPublishHook: () => Unit = () => ()
+
   /**
    * The shared rewrite engine for DELETE/UPDATE with the
    * CONCURRENT-APPEND GUARD: each round (1) lists the directory,
@@ -397,9 +403,59 @@ object ScbfDelete {
           n.endsWith(graft.scbf.Scbf.FileExtension) && !n.startsWith(".")
         })
       else ScbfDataSource.resolveFiles(Seq(dir), conf)
+    // ---- OCC: write-write conflict detection (Delta's
+    // ConcurrentDeleteRead contract) ------------------------------
+    // Two concurrent mutations whose victim sets overlap must not both
+    // publish: the loser would either resurrect rows the winner deleted
+    // (its replacement re-publishes survivors of files the winner
+    // rewrote) or silently lose the winner's update — the lost-update
+    // shape. Each round snapshots the log's newest commit instant
+    // BEFORE listing, then verifies nothing committed since has named
+    // one of this round's victims in rewriteOf: once just before any
+    // side effect (cheap abort) and once again after publishing but
+    // before the originals are removed (the publish itself re-checks —
+    // whichever racer appends second sees the other's entries, so two
+    // overlapping mutations can never BOTH keep their replacements;
+    // the later one rolls its replacement back through the same
+    // aborted-rewrite scrub path managed schema rewrites use).
+    // Residual, stated honestly: two racers that both publish before
+    // either re-checks BOTH abort (safe — retry cures); true
+    // single-loser arbitration needs the ordinal-CAS commit protocol.
+    // Cost: one bounded log-dir listing + a replay of the handful of
+    // post-snapshot deltas per check — noise next to the rewrite IO.
+    def conflictsSince(snapTs: Long, victims: Set[String],
+        selfName: String => Boolean,
+        // our published replacement names: a foreign entry naming one
+        // in ITS rewriteOf listed after our publish and serialized
+        // behind us — not a race (see the post-publish recheck)
+        ourOutputs: Set[String] = Set.empty): Seq[String] = {
+      if (ScbfDiscovery.listDeltas(qdir, conf).isEmpty) return Seq.empty
+      val post = ScbfDiscovery.replayEntriesAfter(qdir, conf, snapTs,
+        why => throw new graft.scbf.ScbfFormatException(
+          s"$op on $dir: cannot verify concurrent-commit safety — $why"))
+        .values.toSeq
+      post.filterNot(e =>
+        selfName(e.name) || e.rewriteOf.exists(ourOutputs)).collect {
+        case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
+          s"INSERT OVERWRITE at ${e.ts}"
+        case e if e.rewriteOf.exists(victims) =>
+          s"${e.name} (rewrites ${e.rewriteOf.filter(victims).take(3).mkString(", ")})"
+      }
+    }
+    def refuseConflict(found: Seq[String], phase: String): Unit =
+      if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
+        s"$op on $dir: concurrent mutation conflict ($phase) — files this " +
+          s"operation planned to rewrite were concurrently rewritten or " +
+          s"removed by another commit: ${found.take(3).mkString("; ")}" +
+          s"${if (found.size > 3) "; …" else ""}. The table is consistent " +
+          "(this operation aborted without removing originals); re-run it.")
     var round = 0
     while (true) {
       round += 1
+      // newest published commit instant BEFORE this round's listing:
+      // anything stamped after it committed concurrently with the round
+      val snapTs = ScbfDiscovery.listDeltas(qdir, conf)
+        .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
       val listed = listCandidates()
       val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
@@ -451,6 +507,15 @@ object ScbfDelete {
       // source scan is shared: persisted across the change-row jobs
       // and the replacement rewrite, so CDC adds ~one pass over the
       // round's scope, not two or three.
+      val affectedNames = affected.map(_.getPath.getName).toSet
+      val removalName = s"${prefix.stripSuffix("-")}${ScbfDiscovery.RemovalSuffix}"
+      def selfName(n: String): Boolean =
+        n == removalName || ourPrefixes.exists(p =>
+          n.startsWith(p) || n.startsWith(p.stripSuffix("-")))
+      // OCC pre-commit check: abort BEFORE any side effect if another
+      // commit already rewrote/removed one of this round's victims
+      refuseConflict(conflictsSince(snapTs, affectedNames, selfName),
+        "detected before publish")
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
       val srcOpt =
         if (rewriteSet.isEmpty) None
@@ -527,6 +592,40 @@ object ScbfDelete {
           cdcTag = if (qcdc == qdir) tag else None)))
       }
       } finally if (tag.isDefined) srcOpt.foreach(_.unpersist())
+      postPublishHook()
+      // OCC post-publish recheck, BEFORE the originals are removed:
+      // the publish happened-before this replay, so of two overlapping
+      // racers at least one sees the other here. A foreign commit that
+      // names this round's PUBLISHED replacements in its own rewriteOf
+      // is NOT a conflict — it listed after our publish and serialized
+      // behind us (its rewrite consumed our output). One that rewrote
+      // our VICTIMS without seeing our replacements raced us blind:
+      // the loser rolls its replacement back through the
+      // aborted-rewrite scrub path (files + sidecars + log entries +
+      // CDC area) and refuses — the originals stay with the winner's
+      // commit, so the table renders exactly the winner's state; a
+      // stream that raced the scrubbed entries fails loudly on the
+      // vanished file (the documented abort contract), never silently
+      // serves the loser's rows.
+      val published = ScbfDataSource.resolveFiles(Seq(dir), conf)
+        .filter(f => f.getPath.getName.startsWith(prefix))
+      val publishedNames = published.map(_.getPath.getName).toSet
+      val lateConflicts = conflictsSince(snapTs, affectedNames, selfName,
+        ourOutputs = publishedNames)
+      if (lateConflicts.nonEmpty) {
+        published.foreach { f =>
+          dfs.delete(f.getPath, false)
+          val sc = ScbfStats.sidecarPath(f.getPath)
+          if (dfs.exists(sc)) dfs.delete(sc, false)
+          val bl = ScbfBloom.bloomPath(f.getPath)
+          if (dfs.exists(bl)) dfs.delete(bl, false)
+        }
+        ScbfDiscovery.scrubEntries(qdir, conf, publishedNames + removalName)
+        tag.foreach(t => try dfs.delete(
+          new Path(ScbfCdc.dir(qcdc), t), true)
+          catch { case scala.util.control.NonFatal(_) => () })
+        refuseConflict(lateConflicts, "detected after publish; replacement rolled back")
+      }
       removeOriginals(dir, conf, affected, retainAt = tag.map((qcdc, _)))
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName), tag)
       rounds += round_

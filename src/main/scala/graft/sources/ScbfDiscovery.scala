@@ -95,7 +95,14 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * exact across physical rewrites. */
   final case class Entry(name: String, len: Long, ts: Long,
       rewriteOf: Seq[String] = Nil, rowsChanged: Boolean = false,
-      cdcTag: Option[String] = None)
+      cdcTag: Option[String] = None,
+      // the announcing commit's ordinal (`V:` tag) — recorded ONLY by
+      // compaction folds, which are the one place per-commit
+      // boundaries would otherwise be lost (a live delta's ordinal is
+      // derivable from the chain; a fold's interior is not). What
+      // keeps CDC's `_commit_version` exact across folds. None on
+      // live-delta entries and on folds written before round 14.
+      commitVersion: Option[Int] = None)
 
   /** Reserved suffix for REMOVAL entries — announce-only log lines a
    * metadata-only DELETE appends when its whole-file fast path drops
@@ -345,7 +352,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           val rewriteOf = tags.find(_.startsWith("R:"))
             .map(_.drop(2).split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           Entry(a(0), ln, t, rewriteOf, tags.contains("C:1"),
-            tags.find(_.startsWith("D:")).map(_.drop(2)).filter(_.nonEmpty))
+            tags.find(_.startsWith("D:")).map(_.drop(2)).filter(_.nonEmpty),
+            tags.find(_.startsWith("V:")).flatMap(_.drop(2).toIntOption))
         }
       case _ => None
     }
@@ -666,7 +674,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       (Header +: body.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
         (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
         (if (e.rowsChanged) "\tC:1" else "") +
-        e.cdcTag.fold("")(t => s"\tD:$t")))
+        e.cdcTag.fold("")(t => s"\tD:$t") +
+        e.commitVersion.fold("")(v => s"\tV:$v")))
         .mkString("\n").getBytes(UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(d, name))) {
@@ -1160,9 +1169,24 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     val names = listDeltas(table, conf)
     if (names.size <= 1) return
     val union = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
-    // ts-prefixed names sort oldest-first, so later announcements win
-    names.sorted.foreach(n =>
-      readDelta(table, conf, n).foreach(e => union(e.name) = e))
+    // ts-prefixed names sort oldest-first, so later announcements win.
+    // Each LIVE (span-1) delta's entries are stamped with its commit
+    // ordinal (`V:` tag) as they fold — the one moment per-commit
+    // boundaries would otherwise be lost; earlier folds' entries keep
+    // the tags they already carry (or stay untagged if the fold
+    // predates version recording). This is what keeps CDC's
+    // `_commit_version` exact across any number of folds.
+    var ord = 0
+    names.sorted.foreach { n =>
+      val span = versionSpan(n)
+      val last = ord + span - 1
+      readDelta(table, conf, n).foreach { e0 =>
+        val e = if (span == 1 && e0.commitVersion.isEmpty)
+          e0.copy(commitVersion = Some(last)) else e0
+        union(e.name) = e
+      }
+      ord += span
+    }
     val span = names.iterator.map(versionSpan).sum
     if (union.nonEmpty)
       writeDelta(table, conf, union.values.toSeq, foldSpan = math.max(span, 1))

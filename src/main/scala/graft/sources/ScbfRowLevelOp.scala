@@ -398,6 +398,12 @@ private[sources] class ScbfRowLevelBatchWrite(
  * marker must go. Defensive: rows already at the declared width pass
  * through untouched, any other width fails loudly.
  */
+private[sources] object ScbfRowOpStrippingFactory {
+  /** Probe seam: observe each stripped `__row_operation` marker value
+   * (executor-side in local mode — the tests run one JVM). */
+  @volatile private[sources] var markerProbe: Int => Unit = _ => ()
+}
+
 private[sources] class ScbfRowOpStrippingFactory(
     inner: DataWriterFactory, tableWidth: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
@@ -407,7 +413,11 @@ private[sources] class ScbfRowOpStrippingFactory(
       private val view = new ScbfShiftedRow(1)
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
         if (row.numFields == tableWidth) w.write(row)
-        else if (row.numFields == tableWidth + 1) { view.target = row; w.write(view) }
+        else if (row.numFields == tableWidth + 1) {
+          ScbfRowOpStrippingFactory.markerProbe(row.getInt(0))
+          view.target = row
+          w.write(view)
+        }
         else throw new graft.scbf.ScbfFormatException(
           s"row-level write: got a ${row.numFields}-field row for a " +
             s"$tableWidth-column table — unexpected ReplaceData row layout")

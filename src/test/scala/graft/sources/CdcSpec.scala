@@ -350,6 +350,70 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.dropTempView("cdc_sql_plain")
   }
 
+  test("_commit_version carries DESCRIBE HISTORY ordinals, exact across folds") {
+    val dir = tmpDir("scbf-cdc-ver")
+    enable(dir)
+    spark.sql("DROP TABLE IF EXISTS cdc_ver")
+    spark.sql(s"CREATE TABLE cdc_ver (id INT, v INT) USING scbf LOCATION '$dir'")
+    writeWave(dir, 0, 100)
+    val t1 = tick()
+    writeWave(dir, 100, 200)
+    spark.sql("DELETE FROM cdc_ver WHERE id < 100") // whole-file takedown
+    val chain0 = ScbfDiscovery.versionedChain(qroot(dir), hconf)
+    val total = chain0.last._3 + 1
+    def vmap(): Map[String, Int] = changes(dir, t1)
+      .select(col(ScbfCdc.ChangeTypeCol), col(ScbfCdc.CommitVersionCol))
+      .distinct().as[(String, Int)].collect().toMap
+    // live deltas: ordinals derive from the chain (name-millis bounds)
+    // — the wave-2 insert is the second-to-last commit, the DELETE's
+    // replacement the last, exactly DESCRIBE HISTORY COMMITS' axis
+    assert(vmap() == Map("insert" -> (total - 2), "delete" -> (total - 1)))
+    // every in-window change resolves (no nulls on a live chain)
+    assert(changes(dir, t1)
+      .filter(col(ScbfCdc.CommitVersionCol).isNull).count() == 0L)
+    // fold the chain (noop removal sentinels are CDC-transparent):
+    // the fold stamps each folded commit's ordinal into its entries
+    // (V: tags), so the window re-renders IDENTICALLY after folding —
+    // the boundary information versionTs loses for AS-OF rendering is
+    // preserved for CDC stamping
+    (0 until ScbfDiscovery.CompactThreshold).foreach { i =>
+      ScbfDiscovery.append(qroot(dir), hconf, Seq(ScbfDiscovery.Entry(
+        s"noop-$i${ScbfDiscovery.RemovalSuffix}", ScbfDiscovery.RemovedLen,
+        System.currentTimeMillis())))
+    }
+    val chain1 = ScbfDiscovery.commitChain(qroot(dir), hconf)
+    assert(chain1.exists(ScbfDiscovery.isFold), chain1.toString)
+    assert(vmap() == Map("insert" -> (total - 2), "delete" -> (total - 1)))
+    // the folded entries themselves carry the recorded ordinals
+    val folded = ScbfDiscovery.readDelta(qroot(dir), hconf,
+      chain1.find(ScbfDiscovery.isFold).get)
+    assert(folded.exists(e => e.cdcTag.isDefined && e.commitVersion.contains(total - 1)),
+      folded.map(e => (e.name, e.commitVersion)).toString)
+  }
+
+  test("a clone serves its own post-clone window; pre-branch windows refuse") {
+    val src = tmpDir("scbf-cdc-clone-src")
+    writeWave(src, 0, 100)
+    val cdir = tmpDir("scbf-cdc-clone")
+    val fs = qroot(cdir).getFileSystem(hconf)
+    fs.delete(new Path(cdir), true)
+    ScbfClone.write(new Path(cdir), hconf, qroot(src),
+      ScbfDataSource.resolveFiles(Seq(src), hconf))
+    val tB = tick() // at/after the branch point
+    // the branch's own history: appends commit to the clone's own log
+    writeWave(cdir, 100, 150)
+    val got = rows(changes(cdir, tB))
+    assert(got == (100 until 150).map(i => (i, i * 10, "insert")).sorted)
+    // branch-LOCAL ordinals: the first post-clone commit is version 0
+    val vs = changes(cdir, tB).select(col(ScbfCdc.CommitVersionCol))
+      .distinct().as[Int].collect().toSeq
+    assert(vs == Seq(0), vs.toString)
+    // a window reaching past the branch point refuses, naming the cure
+    val e = intercept[graft.scbf.ScbfFormatException](changes(cdir, 0L).collect())
+    assert(e.getMessage.contains("branch point") &&
+      e.getMessage.contains("SOURCE table"), e.getMessage)
+  }
+
   test("misuse refuses: bad window, clones, overwrite boundary") {
     val dir = tmpDir("scbf-cdc-misuse")
     enable(dir)

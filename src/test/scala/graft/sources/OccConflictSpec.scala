@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * Write-write CONFLICT DETECTION (OCC — Delta's ConcurrentDeleteRead
+ * contract): two concurrent mutations whose victim sets overlap must
+ * not both publish. Each rewrite round snapshots the log's newest
+ * commit instant, then verifies nothing committed since named one of
+ * its victims — once before any side effect, once after publishing
+ * (before originals are removed; the loser rolls its replacement back
+ * and refuses). Non-overlapping mutations still both commit.
+ */
+class OccConflictSpec extends AnyFunSuite with SparkTestBase {
+
+  private def hconf = new Configuration()
+
+  /** Two files: ids 0..999 and 1000..1999 (stats-disjoint). */
+  private def writeTwoFiles(dir: String): Unit = {
+    append(dir, 0, 1000)
+    append(dir, 1000, 2000)
+  }
+
+  private def append(dir: String, from: Int, until: Int): Unit =
+    spark.range(from, until)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("src_"), (col("id") % 4).cast("int")).as("source"))
+      .coalesce(1)
+      .write.format("scbf").mode("append").save(dir)
+
+  private def ids(dir: String): Set[Int] =
+    spark.read.format("scbf").load(dir)
+      .select("id").collect().map(_.getInt(0)).toSet
+
+  test("overlapping UPDATE loses to a mid-flight DELETE: refuses loudly, then re-runs clean") {
+    val dir = tmpDir("scbf-occ-updel")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfDelete.raceHook = () => if (!fired) {
+      fired = true
+      // a concurrent DELETE commits between the UPDATE's listing and
+      // its publish, rewriting the UPDATE's victim file
+      ScbfDelete.deleteWhere(spark, dir, hconf, Array[Filter](LessThan("id", 200)))
+    }
+    val e = intercept[graft.scbf.ScbfFormatException] {
+      try ScbfDelete.updateWhere(spark, dir, hconf,
+        Array[Filter](LessThan("id", 500)),
+        Map("source" -> lit("redacted")))
+      finally ScbfDelete.raceHook = () => ()
+    }
+    assert(e.getMessage.contains("concurrent mutation conflict") &&
+      e.getMessage.contains("re-run"), e.getMessage)
+    // winner's state, exactly: the DELETE applied, the UPDATE did not
+    assert(ids(dir) == (200 until 2000).toSet)
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("source") === "redacted").count() == 0L)
+    // the refusal's cure works: a clean re-run commits
+    ScbfDelete.updateWhere(spark, dir, hconf,
+      Array[Filter](LessThan("id", 500)), Map("source" -> lit("redacted")))
+    assert(spark.read.format("scbf").load(dir)
+      .filter(col("source") === "redacted").count() == 300L) // 200..499
+  }
+
+  test("overlapping DELETE vs DELETE: the in-flight one refuses, the committed one stands") {
+    val dir = tmpDir("scbf-occ-deldel")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfDelete.raceHook = () => if (!fired) {
+      fired = true
+      ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](GreaterThanOrEqual("id", 1800)))
+    }
+    val e = intercept[graft.scbf.ScbfFormatException] {
+      try ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](GreaterThanOrEqual("id", 1500)))
+      finally ScbfDelete.raceHook = () => ()
+    }
+    assert(e.getMessage.contains("concurrent mutation conflict"), e.getMessage)
+    assert(ids(dir) == (0 until 1800).toSet)
+  }
+
+  test("non-overlapping concurrent mutations both commit") {
+    val dir = tmpDir("scbf-occ-disjoint")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfDelete.raceHook = () => if (!fired) {
+      fired = true
+      // concurrent DELETE scoped (by stats) to the OTHER file only
+      ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](GreaterThanOrEqual("id", 1500)))
+    }
+    try ScbfDelete.deleteWhere(spark, dir, hconf,
+      Array[Filter](LessThan("id", 500)))
+    finally ScbfDelete.raceHook = () => ()
+    assert(ids(dir) == (500 until 1500).toSet,
+      "disjoint victim sets must not conflict")
+  }
+
+  test("a blind racer landing after publish triggers rollback: replacement scrubbed, originals intact") {
+    val dir = tmpDir("scbf-occ-late")
+    writeTwoFiles(dir)
+    val qdir = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    var fired = false
+    ScbfDelete.postPublishHook = () => if (!fired) {
+      fired = true
+      // simulate a racer that listed BEFORE our publish (its rewriteOf
+      // names our victim but not our replacement) committing its log
+      // entry in the post-publish window
+      val victim = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+        .map(_.getPath.getName).find(!_.startsWith("rw-")).get
+      ScbfDiscovery.append(qdir, hconf, Seq(ScbfDiscovery.Entry(
+        "foreign-racer.scbf", 123L, System.currentTimeMillis(),
+        rewriteOf = Seq(victim), rowsChanged = true)))
+    }
+    val e = intercept[graft.scbf.ScbfFormatException] {
+      try ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](LessThan("id", 1500)))
+      finally ScbfDelete.postPublishHook = () => ()
+    }
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+    // originals never removed; the published replacement was scrubbed
+    // from disk AND from the log — the table renders its pre-op state
+    assert(ids(dir) == (0 until 2000).toSet)
+    val leftover = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath.getName).filter(_.startsWith("rw-"))
+    assert(leftover.isEmpty, s"rolled-back replacements must not survive: $leftover")
+    val logged = ScbfDiscovery.listDeltas(qdir, hconf)
+      .flatMap(n => ScbfDiscovery.readDelta(qdir, hconf, n))
+      .map(_.name).filter(_.startsWith("rw-"))
+    assert(logged.isEmpty, s"rolled-back entries must leave the log: $logged")
+  }
+}

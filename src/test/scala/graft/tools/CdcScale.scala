@@ -103,6 +103,36 @@ object CdcScale {
     }
     require(asOfCnt == nFiles.toLong * rows, s"as-of rows: $asOfCnt")
 
+    // ---- 4. STREAMING CDC catch-up (round 14): a readChangeFeed
+    // stream entering at the takedown point delivers the same rows the
+    // batch enumeration serves, and its per-trigger driver cost stays
+    // bounded by the trigger's own commits — the replay reads only the
+    // post-point deltas (plus the capped admission's own delta reads),
+    // never the 2000-file history
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_scale_ckpt").toString
+    ScbfDiscovery.deltaReads.set(0)
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+    val (_, wallStream) = timed("readChangeFeed stream catch-up from the takedown point") {
+      val q = spark.readStream.format("scbf")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", t1.toString)
+        .load(dirOn)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.addAndGet(df.count())
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val streamReads = ScbfDiscovery.deltaReads.get
+    println(s"[cdcscale]   stream delivered=${delivered.get} deltaReads=$streamReads " +
+      f"wall=$wallStream%.0f ms")
+    require(delivered.get == nFiles.toLong * rows,
+      s"the stream must deliver every takedown row once: ${delivered.get}")
+    require(streamReads <= 12,
+      s"per-trigger stream planning must read only post-point deltas, read $streamReads")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+
     spark.sql("DROP TABLE cdc_scale_off")
     spark.sql("DROP TABLE cdc_scale_on")
     spark.stop()
