@@ -302,9 +302,21 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
     // past the branch point would claim source history the clone never
     // recorded — refuse, naming the source-table cure.
     if (ScbfClone.isClone(qroot, conf)) {
-      val branchTs =
+      // the branch point: the ref list's mtime — floored by the first
+      // RECORDED entry stamp, so an mtime-resetting copy (cp -r,
+      // distcp, object-store migration) can never make genuinely
+      // recorded branch-local history refuse. An unreadable ref file
+      // refuses with the REAL error, not a misleading window message.
+      val refTs =
         try fs.getFileStatus(ScbfClone.refPath(qroot)).getModificationTime
-        catch { case NonFatal(_) => Long.MaxValue }
+        catch { case NonFatal(ex) =>
+          refuse(s"cannot verify the clone's branch point (${ex.getMessage}); " +
+            "retry, or read CDC from the SOURCE table.")
+        }
+      val firstRecorded = ScbfDiscovery.listDeltas(qroot, conf).sorted.headOption
+        .flatMap(n => ScbfDiscovery.readDelta(qroot, conf, n)
+          .map(_.ts).minOption)
+      val branchTs = math.min(refTs, firstRecorded.getOrElse(Long.MaxValue))
       if (lo < branchTs)
         refuse(s"the window starts ($lo) before the clone's branch point " +
           s"($branchTs) — a SHALLOW CLONE records only its own post-clone " +

@@ -37,6 +37,14 @@ case class ScbfCdcOffset(ts: Long) extends Offset {
  *   .load(dir)                           // table cols + _change_type
  * }}}                                    //   + _commit_version + _commit_timestamp
  *
+ * DIVERGENCE from Delta, stated loudly: `startingVersion` /
+ * `startingTimestamp` are EXCLUSIVE start points — the
+ * `changesSince[Version]` semantics every feed surface of this
+ * connector uses (and the same spelling the non-CDC stream took in
+ * round 13). Delta's `startingVersion` is INCLUSIVE: a consumer
+ * migrating from Delta who wants version N's own rows starts at
+ * `N - 1` here.
+ *
  * Each trigger delivers exactly the rows the batch enumeration would
  * return for the trigger's commit window — `delete` / `update_pre` /
  * `update_post` / `insert` rows stamped with their commit's instant
@@ -70,7 +78,6 @@ case class ScbfCdcOffset(ts: Long) extends Offset {
  */
 class ScbfCdcMicroBatchStream(
     required: StructType,
-    tableSchema: StructType,
     rootDir: String,
     conf: Configuration,
     checkpointLocation: String,
@@ -104,14 +111,18 @@ class ScbfCdcMicroBatchStream(
    * healthy stream, and a default-latest start must not drift to a
    * later "latest" if the driver dies before batch 0 commits. */
   private def resolveStart(): Long = {
-    if (fs.exists(startFile)) {
-      val len = fs.getFileStatus(startFile).getLen.toInt
+    // the checkpoint may live on a DIFFERENT filesystem than the table
+    // (s3a table, hdfs/file checkpoint) — resolve its own FS
+    val cfs = startFile.getFileSystem(conf)
+    if (cfs.exists(startFile)) {
+      val len = cfs.getFileStatus(startFile).getLen.toInt
       val buf = new Array[Byte](len)
-      val in = fs.open(startFile)
+      val in = cfs.open(startFile)
       try in.readFully(0, buf) finally in.close()
       return new String(buf, StandardCharsets.UTF_8).trim.toLong
     }
-    if (!ScbfDiscovery.exists(qroot, conf))
+    val isClone = ScbfClone.isClone(qroot, conf)
+    if (!ScbfDiscovery.exists(qroot, conf) && !isClone)
       throw new ScbfFormatException(
         s"CDC stream on $qroot: the table has no discovery log — CDC " +
           "replays the log's version chain. Tables written by this " +
@@ -129,16 +140,22 @@ class ScbfCdcMicroBatchStream(
       case None =>
         // latest: the newest delta's name millis bounds every entry
         // stamped so far from above, and every future commit stamps
-        // strictly past it (the cross-process commit clock)
+        // strictly past it (the cross-process commit clock). A FRESH
+        // SHALLOW CLONE has no log yet (its history begins with its
+        // first append) — "latest" is the stream-start instant, so the
+        // mirror-setup order clone→stream→append just works: the first
+        // post-start commit is the first delivery, and the instant is
+        // ≥ the branch point by construction (no branch-guard refusal).
         ScbfDiscovery.listDeltas(qroot, conf)
-          .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(0L)
+          .flatMap(ScbfDiscovery.deltaMillis).maxOption
+          .getOrElse(if (isClone) System.currentTimeMillis() else 0L)
     }
-    fs.mkdirs(startFile.getParent)
+    cfs.mkdirs(startFile.getParent)
     val tmp = new Path(startFile.getParent, s".${startFile.getName}.tmp")
-    val out = fs.create(tmp, true)
+    val out = cfs.create(tmp, true)
     try out.write(lo.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, startFile) && !fs.exists(startFile))
+    if (!cfs.rename(tmp, startFile) && !cfs.exists(startFile))
       throw new ScbfFormatException(
         s"could not persist CDC stream start point at $startFile")
     lo
@@ -207,10 +224,7 @@ class ScbfCdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ScbfCdcReaderFactory(required,
-      StructType(tableSchema.fields.filterNot(f =>
-        ScbfCdcStreamSupport.MetaNames(f.name))),
-      new ScbfUtil.SerializableConf(conf))
+    new ScbfCdcReaderFactory(required, new ScbfUtil.SerializableConf(conf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -225,7 +239,7 @@ case class ScbfCdcPartition(path: String, length: Long, changeType: String,
 /** Wraps the connector's own vectorized reader, appending the three
  * CDC metadata columns as per-split CONSTANT vectors (zero decode
  * cost — the same shape the `_file_path` metadata column rides). */
-class ScbfCdcReaderFactory(required: StructType, tableSchema: StructType,
+class ScbfCdcReaderFactory(required: StructType,
     conf: ScbfUtil.SerializableConf) extends PartitionReaderFactory {
 
   /** The table columns this scan must decode (CDC columns excluded). */
@@ -355,7 +369,7 @@ class ScbfCdcScanBuilder(
           "SINCE <point>` or ScbfCdc.changes(spark, dir, since/sinceVersion).")
 
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new ScbfCdcMicroBatchStream(required, schema, rootDir, conf,
+      new ScbfCdcMicroBatchStream(required, rootDir, conf,
         checkpointLocation, streamStart, maxFilesPerTrigger, reconcile, pushed.toSeq)
   }
 }

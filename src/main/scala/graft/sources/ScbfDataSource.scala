@@ -531,12 +531,12 @@ class ScbfTable(
     // is log ENTRIES, parsed executor-side, one partition per delta
     if (ScbfHistoryRead.requested(options)) {
       if (Seq("asOfTimestamp", "changesSince", "changesSinceVersion",
-          "changesUntil", "changesUntilVersion")
+          "changesUntil", "changesUntilVersion", "readChangeFeed")
           .exists(k => Option(options.get(k)).nonEmpty))
         throw new ScbfFormatException(
           "history=entries is its own relation (the log's rows) — " +
-            "asOfTimestamp/changesSince[Version]/changesUntil[Version] " +
-            "read the TABLE; set one or the other.")
+            "asOfTimestamp/changesSince[Version]/changesUntil[Version]/" +
+            "readChangeFeed read the TABLE; set one or the other.")
       // a CATALOG table's relation output is its data schema (fixed at
       // load), so the option only composes with the PATH spelling —
       // refusing here beats a confusing schema-mismatch error later
@@ -643,6 +643,12 @@ class ScbfTable(
         throw new ScbfFormatException(
           "readChangeFeed and asOfTimestamp cannot combine — a change " +
             "stream has no single frozen instant.")
+      if (untilMs.nonEmpty || untilV.nonEmpty)
+        throw new ScbfFormatException(
+          "readChangeFeed and changesUntil[Version] cannot combine — a " +
+            "stream has no end point (silently ignoring the bound would " +
+            "run past it); for a bounded window use TABLE CHANGES / " +
+            "ScbfCdc.changes in batch.")
       if (!ScbfCdcStreamSupport.MetaNames.subsetOf(schema.fieldNames.toSet))
         throw new ScbfFormatException(
           "readChangeFeed is a PATH read: spark.readStream.format(\"scbf\")" +

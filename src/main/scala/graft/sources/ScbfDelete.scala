@@ -423,17 +423,19 @@ object ScbfDelete {
     // single-loser arbitration needs the ordinal-CAS commit protocol.
     // Cost: one bounded log-dir listing + a replay of the handful of
     // post-snapshot deltas per check — noise next to the rewrite IO.
-    def conflictsSince(snapTs: Long, victims: Set[String],
+    def postSnapEntries(snapTs: Long): Seq[ScbfDiscovery.Entry] = {
+      if (ScbfDiscovery.listDeltas(qdir, conf).isEmpty) return Seq.empty
+      ScbfDiscovery.replayEntriesAfter(qdir, conf, snapTs,
+        why => throw new graft.scbf.ScbfFormatException(
+          s"$op on $dir: cannot verify concurrent-commit safety — $why"))
+        .values.toSeq
+    }
+    def conflictsIn(post: Seq[ScbfDiscovery.Entry], victims: Set[String],
         selfName: String => Boolean,
         // our published replacement names: a foreign entry naming one
         // in ITS rewriteOf listed after our publish and serialized
         // behind us — not a race (see the post-publish recheck)
-        ourOutputs: Set[String] = Set.empty): Seq[String] = {
-      if (ScbfDiscovery.listDeltas(qdir, conf).isEmpty) return Seq.empty
-      val post = ScbfDiscovery.replayEntriesAfter(qdir, conf, snapTs,
-        why => throw new graft.scbf.ScbfFormatException(
-          s"$op on $dir: cannot verify concurrent-commit safety — $why"))
-        .values.toSeq
+        ourOutputs: Set[String] = Set.empty): Seq[String] =
       post.filterNot(e =>
         selfName(e.name) || e.rewriteOf.exists(ourOutputs)).collect {
         case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
@@ -441,7 +443,6 @@ object ScbfDelete {
         case e if e.rewriteOf.exists(victims) =>
           s"${e.name} (rewrites ${e.rewriteOf.filter(victims).take(3).mkString(", ")})"
       }
-    }
     def refuseConflict(found: Seq[String], phase: String): Unit =
       if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
         s"$op on $dir: concurrent mutation conflict ($phase) — files this " +
@@ -514,7 +515,7 @@ object ScbfDelete {
           n.startsWith(p) || n.startsWith(p.stripSuffix("-")))
       // OCC pre-commit check: abort BEFORE any side effect if another
       // commit already rewrote/removed one of this round's victims
-      refuseConflict(conflictsSince(snapTs, affectedNames, selfName),
+      refuseConflict(conflictsIn(postSnapEntries(snapTs), affectedNames, selfName),
         "detected before publish")
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
       val srcOpt =
@@ -607,19 +608,17 @@ object ScbfDelete {
       // stream that raced the scrubbed entries fails loudly on the
       // vanished file (the documented abort contract), never silently
       // serves the loser's rows.
-      val published = ScbfDataSource.resolveFiles(Seq(dir), conf)
-        .filter(f => f.getPath.getName.startsWith(prefix))
-      val publishedNames = published.map(_.getPath.getName).toSet
-      val lateConflicts = conflictsSince(snapTs, affectedNames, selfName,
+      // ONE bounded replay serves both the conflict test and this
+      // round's own published names (the write announced them, so they
+      // are post-snapshot entries matching our prefix) — no table
+      // listing here, exactly the cost the OCC block comment promises
+      val post = postSnapEntries(snapTs)
+      val publishedNames = post.map(_.name)
+        .filter(_.startsWith(prefix)).toSet
+      val lateConflicts = conflictsIn(post, affectedNames, selfName,
         ourOutputs = publishedNames)
       if (lateConflicts.nonEmpty) {
-        published.foreach { f =>
-          dfs.delete(f.getPath, false)
-          val sc = ScbfStats.sidecarPath(f.getPath)
-          if (dfs.exists(sc)) dfs.delete(sc, false)
-          val bl = ScbfBloom.bloomPath(f.getPath)
-          if (dfs.exists(bl)) dfs.delete(bl, false)
-        }
+        publishedNames.foreach(n => deleteWithSidecars(dfs, new Path(qdir, n)))
         ScbfDiscovery.scrubEntries(qdir, conf, publishedNames + removalName)
         tag.foreach(t => try dfs.delete(
           new Path(ScbfCdc.dir(qcdc), t), true)
@@ -632,6 +631,18 @@ object ScbfDelete {
       onRound(round_)
     }
     rounds.result() // unreachable; the while(true) exits via return
+  }
+
+  /** One file's data + stats + bloom removal — shared by the original
+   * takedown and the OCC rollback (one copy to keep in sync when a
+   * new sidecar kind appears). */
+  private def deleteWithSidecars(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    fs.delete(p, false)
+    val sc = ScbfStats.sidecarPath(p)
+    if (fs.exists(sc)) fs.delete(sc, false)
+    val bl = ScbfBloom.bloomPath(p)
+    if (fs.exists(bl)) fs.delete(bl, false)
   }
 
   /** Post-commit removal of replaced originals (+ their sidecars) and
@@ -655,13 +666,7 @@ object ScbfDelete {
         // must overlap, not serialize (same schedule as RESTORE's removal)
         affected.map(f => ScbfStats.ioPool.submit(
           new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = {
-              fs.delete(f.getPath, false)
-              val sc = ScbfStats.sidecarPath(f.getPath)
-              if (fs.exists(sc)) fs.delete(sc, false)
-              val bl = ScbfBloom.bloomPath(f.getPath)
-              if (fs.exists(bl)) fs.delete(bl, false)
-            }
+            override def call(): Unit = deleteWithSidecars(fs, f.getPath)
           })).foreach(_.get())
     }
     // manifest entries for the removed names are dead weight (planning

@@ -1145,18 +1145,43 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * (concurrent root re-creation) those entries describe files that are
    * about to be deleted with the successor — left behind they would
    * poison every later time travel with a phantom "physically removed"
-   * refusal. Rewrites the whole log in one reset (entry timestamps are
-   * preserved verbatim, so history and `logStart` are unchanged); only
-   * ever runs on the rare abort path. Best-effort like all log writes. */
+   * refusal. Rewrites the whole log as ONE span-recording fold (entry
+   * timestamps pass through verbatim and the chain's total ordinal
+   * span is preserved, so history, `logStart`, VERSION AS OF and
+   * `_commit_version` are all unchanged); only ever runs on the rare
+   * abort path. Best-effort like all log writes. */
   def scrubEntries(table: Path, conf: Configuration, names: Set[String]): Unit =
     try {
       if (names.isEmpty) return
-      val all = listDeltas(table, conf).sorted
-        .flatMap(n => readDelta(table, conf, n))
+      // rewrite through the FOLD machinery, not a bare reset: the
+      // replacement delta must record the chain's full ordinal span
+      // (and V: tags, like compaction) or the scrub would silently
+      // collapse every commit ordinal to 0 — corrupting VERSION AS OF,
+      // startingVersion and CDC's _commit_version for the whole table
+      // (the /code-review r14 catch). Entry timestamps pass through
+      // verbatim either way, so the time axis is unchanged.
+      val chain = listDeltas(table, conf).sorted
       val kept = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
-      all.foreach(e => if (!names.contains(e.name)) kept(e.name) = e)
-      // history rewritten in place: timestamps pass through verbatim
-      reset(table, conf, kept.values.toSeq, preserveTs = true)
+      var ord = 0
+      chain.foreach { n =>
+        val span = versionSpan(n)
+        val last = ord + span - 1
+        readDelta(table, conf, n).foreach { e0 =>
+          if (!names.contains(e0.name)) {
+            val e = if (span == 1 && e0.commitVersion.isEmpty)
+              e0.copy(commitVersion = Some(last)) else e0
+            kept(e.name) = e
+          }
+        }
+        ord += span
+      }
+      val d = dir(table)
+      val fs = d.getFileSystem(conf)
+      if (kept.nonEmpty)
+        writeDelta(table, conf, kept.values.toSeq, foldSpan = math.max(ord, 1))
+      // delete exactly the deltas that were folded (same discipline as
+      // compact — the new snapshot is already published)
+      chain.foreach(n => fs.delete(new Path(d, n), false))
     } catch { case NonFatal(_) => () }
 
   /** Fold every current delta into one union snapshot (last entry per

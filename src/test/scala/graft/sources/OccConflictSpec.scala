@@ -136,5 +136,19 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       .flatMap(n => ScbfDiscovery.readDelta(qdir, hconf, n))
       .map(_.name).filter(_.startsWith("rw-"))
     assert(logged.isEmpty, s"rolled-back entries must leave the log: $logged")
+    // the scrub preserves the chain's ORDINAL SPAN (it rewrites through
+    // the fold machinery): 2 waves + the racer's commit + the aborted
+    // publish's slot = 4 versions — ordinals are append-only slots that
+    // never shift, so VERSION AS OF / _commit_version axes survive an
+    // OCC rollback intact (the aborted slot renders the racer's state)
+    val chain = ScbfDiscovery.versionedChain(qdir, hconf)
+    assert(chain.nonEmpty && chain.last._3 + 1 == 4,
+      s"ordinal span must survive the scrub: $chain")
+    // and the folded entries carry their recorded ordinals (V: tags)
+    val stamped = ScbfDiscovery.listDeltas(qdir, hconf)
+      .flatMap(n => ScbfDiscovery.readDelta(qdir, hconf, n))
+      .filter(e => !e.name.startsWith("foreign-"))
+      .flatMap(_.commitVersion)
+    assert(stamped.toSet == Set(0, 1), s"folded ordinals: $stamped")
   }
 }
