@@ -94,6 +94,13 @@ private[sources] class ScbfRowLevelOperation(
    * executed its scan read no rows, so there is nothing to replace). */
   @volatile private[sources] var scannedPaths: Option[Seq[String]] = None
 
+  /** OCC snapshot (same contract as ScbfDelete's rewrite rounds): the
+   * root log's newest commit instant, captured just BEFORE the
+   * ReplaceData scan lists its groups — any commit stamped after it
+   * ran concurrently with this operation and is checked for victim
+   * overlap at commit time. */
+  @volatile private[sources] var occSnapTs: Long = Long.MinValue
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -216,6 +223,12 @@ private[sources] class ScbfRowLevelScanBuilder(
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array.empty
       override def planInputPartitions(): Array[InputPartition] = {
+        // OCC snapshot BEFORE the listing the plan rides on: commits
+        // stamped after this instant raced the operation
+        val rp = new org.apache.hadoop.fs.Path(tablePaths.head)
+        val rq = rp.getFileSystem(conf).makeQualified(rp)
+        op.occSnapTs = ScbfDiscovery.listDeltas(rq, conf)
+          .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
         val parts = super.planInputPartitions()
         op.scannedPaths =
           Some(parts.toSeq.collect { case ScbfFilePartition(p, _, _) => p })
@@ -233,6 +246,14 @@ private[sources] class ScbfRowLevelScanBuilder(
  * per directory. Abort delegates to the append's abort (originals
  * untouched).
  */
+private[sources] object ScbfRowLevelBatchWrite {
+  /** Test seam for the OCC race windows: invoked with "pre" at commit
+   * start (before the pre-publish check) and "post" right after the
+   * replacement announce (before the recheck). Specs inject a
+   * conflicting commit here. */
+  @volatile private[sources] var occHook: String => Unit = _ => ()
+}
+
 private[sources] class ScbfRowLevelBatchWrite(
     dir: String,
     schema: StructType,
@@ -264,6 +285,40 @@ private[sources] class ScbfRowLevelBatchWrite(
     def qualify(p: Path): String = ScbfCdc.relName(fs, qroot, p)
     val publishedEntries =
       messages.collect { case m: ScbfCommitMessage => m.entries }.flatten.toSeq
+    // ---- OCC (same contract as ScbfDelete's rewrite rounds): no
+    // concurrent commit may have rewritten/removed this operation's
+    // victim groups since its scan's snapshot. Checked twice: here,
+    // BEFORE any side effect (the inner commit hasn't announced —
+    // Spark's abort cleans the task-committed files), and again after
+    // the announce, before originals are removed (the loser rolls its
+    // replacement back and refuses — see below). A foreign commit
+    // naming our published replacements serialized BEHIND us and is
+    // not a conflict.
+    val victimNames = scanned.map(qualify).toSet
+    val publishedNames = publishedEntries.map(_.name).toSet
+    def occConflicts(ourOutputs: Set[String]): Seq[String] =
+      if (victimNames.isEmpty ||
+          ScbfDiscovery.listDeltas(qroot, hconf).isEmpty) Seq.empty
+      else ScbfDiscovery.replayEntriesAfter(qroot, hconf, op.occSnapTs,
+        why => throw new graft.scbf.ScbfFormatException(
+          s"row-level SQL on $qroot: cannot verify concurrent-commit " +
+            s"safety — $why")).values.toSeq
+        .filterNot(e => publishedNames.contains(e.name) ||
+          e.rewriteOf.exists(ourOutputs)).collect {
+          case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
+            s"INSERT OVERWRITE at ${e.ts}"
+          case e if e.rewriteOf.exists(victimNames) =>
+            s"${e.name} (rewrites ${e.rewriteOf.filter(victimNames).take(3).mkString(", ")})"
+        }
+    def refuseOcc(found: Seq[String], phase: String): Unit =
+      if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
+        s"row-level SQL on $qroot: concurrent mutation conflict ($phase) — " +
+          s"files this operation planned to rewrite were concurrently " +
+          s"rewritten or removed by another commit: " +
+          s"${found.take(3).mkString("; ")}${if (found.size > 3) "; …" else ""}. " +
+          "The table is consistent (originals untouched); re-run the statement.")
+    ScbfRowLevelBatchWrite.occHook("pre")
+    refuseOcc(occConflicts(Set.empty), "detected before publish")
     // CDC capture (ScbfCdc) — value-level by necessity: the group-based
     // ReplaceData rows reach the writer with the per-row operation
     // marker projected away (the metadata-attribute path), so the
@@ -320,6 +375,33 @@ private[sources] class ScbfRowLevelBatchWrite(
     inner.rewriteOfNames = scanned.map(qualify)
     inner.cdcTag = cdcTag
     inner.commit(messages)
+    ScbfRowLevelBatchWrite.occHook("post")
+    // OCC post-publish recheck (before originals are removed): the
+    // announce above happened-before this replay, so of two blind
+    // overlapping racers at least one sees the other here; the loser
+    // rolls its published replacement back (files + sidecars + log
+    // entries + CDC rows area) and refuses — originals stay with the
+    // winner's state.
+    val lateOcc = occConflicts(ourOutputs = publishedNames)
+    if (lateOcc.nonEmpty) {
+      publishedNames.foreach { n =>
+        val p = new Path(qroot, n)
+        fs.delete(p, false)
+        val sc = ScbfStats.sidecarPath(p)
+        if (fs.exists(sc)) fs.delete(sc, false)
+        val bl = ScbfBloom.bloomPath(p)
+        if (fs.exists(bl)) fs.delete(bl, false)
+      }
+      publishedNames.map(n => new Path(qroot, n)).groupBy(_.getParent)
+        .foreach { case (parent, ps) =>
+          ScbfStats.mergeManifest(parent, hconf, Seq.empty, fresh = false,
+            drop = ps.map(_.getName))
+        }
+      ScbfDiscovery.scrubEntries(qroot, hconf, publishedNames)
+      cdcTag.foreach(t => try fs.delete(new Path(ScbfCdc.dir(qroot), t), true)
+        catch { case scala.util.control.NonFatal(_) => () })
+      refuseOcc(lateOcc, "detected after publish; replacement rolled back")
+    }
     // EMPTY-REPLACEMENT coverage. A rewrite can legitimately publish
     // NOTHING for some (or all) of its groups — a subquery DELETE or
     // MERGE matched-DELETE that removes every row, or a partition-

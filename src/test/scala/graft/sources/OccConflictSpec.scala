@@ -101,6 +101,83 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       "disjoint victim sets must not conflict")
   }
 
+  test("SQL COW UPDATE refuses when a racer's commit names its victims: then re-runs clean") {
+    // the racer is simulated as its LOG COMMIT only (a physical racer
+    // would also fold in this operation's task-committed staged files
+    // — the listing-table visibility trade the ScbfDelete scaladoc
+    // documents — making end-state assertions racy; the OCC signal is
+    // the log entry either way)
+    val dir = tmpDir("scbf-occ-sql")
+    spark.sql("DROP TABLE IF EXISTS occ_sql")
+    spark.sql(s"CREATE TABLE occ_sql (id INT, source STRING) USING scbf LOCATION '$dir'")
+    writeTwoFiles(dir)
+    val qdir = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val originals = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath.getName).toSet
+    var fired = false
+    ScbfRowLevelBatchWrite.occHook = phase => if (phase == "pre" && !fired) {
+      fired = true
+      ScbfDiscovery.append(qdir, hconf, Seq(ScbfDiscovery.Entry(
+        "racer-pre.scbf", 99L, System.currentTimeMillis(),
+        rewriteOf = Seq(originals.head), rowsChanged = true)))
+    }
+    val e = intercept[Exception] {
+      try spark.sql("""UPDATE occ_sql SET source = 'redacted'
+        WHERE id IN (SELECT id FROM occ_sql WHERE id < 500)""")
+      finally ScbfRowLevelBatchWrite.occHook = _ => ()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("concurrent mutation conflict") &&
+      msgs.contains("re-run"), msgs)
+    // clean abort: originals untouched, no redacted row serves
+    assert(ids(dir) == (0 until 2000).toSet)
+    assert(spark.sql("SELECT COUNT(*) FROM occ_sql WHERE source = 'redacted'")
+      .head().getLong(0) == 0L)
+    // the cure works (the racer's entry predates the re-run's snapshot)
+    spark.sql("""UPDATE occ_sql SET source = 'redacted'
+      WHERE id IN (SELECT id FROM occ_sql WHERE id < 500)""")
+    assert(spark.sql("SELECT COUNT(*) FROM occ_sql WHERE source = 'redacted'")
+      .head().getLong(0) == 500L)
+  }
+
+  test("SQL COW blind racer after publish: replacement rolled back, originals intact") {
+    val dir = tmpDir("scbf-occ-sql-late")
+    spark.sql("DROP TABLE IF EXISTS occ_sql_late")
+    spark.sql(s"CREATE TABLE occ_sql_late (id INT, source STRING) USING scbf LOCATION '$dir'")
+    writeTwoFiles(dir)
+    val qdir = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val before = ids(dir)
+    // the victim must be one of the ORIGINAL files (at hook time the
+    // just-published replacements are listed too)
+    val originals = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath.getName).toSet
+    var fired = false
+    ScbfRowLevelBatchWrite.occHook = phase => if (phase == "post" && !fired) {
+      fired = true
+      ScbfDiscovery.append(qdir, hconf, Seq(ScbfDiscovery.Entry(
+        "foreign-racer.scbf", 123L, System.currentTimeMillis(),
+        rewriteOf = Seq(originals.head), rowsChanged = true)))
+    }
+    val e = intercept[Exception] {
+      try spark.sql("""UPDATE occ_sql_late SET source = 'redacted'
+        WHERE id IN (SELECT id FROM occ_sql_late WHERE id < 2000)""")
+      finally ScbfRowLevelBatchWrite.occHook = _ => ()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("rolled back"), msgs)
+    assert(ids(dir) == before, "originals must be untouched after rollback")
+    assert(spark.sql("SELECT COUNT(*) FROM occ_sql_late WHERE source = 'redacted'")
+      .head().getLong(0) == 0L, "rolled-back replacement rows must not serve")
+  }
+
   test("a blind racer landing after publish triggers rollback: replacement scrubbed, originals intact") {
     val dir = tmpDir("scbf-occ-late")
     writeTwoFiles(dir)
