@@ -404,7 +404,8 @@ object ScbfDelete {
         })
       else ScbfDataSource.resolveFiles(Seq(dir), conf)
     // ---- OCC: write-write conflict detection (Delta's
-    // ConcurrentDeleteRead contract) ------------------------------
+    // ConcurrentDeleteRead contract; the shared rule/rollback live in
+    // [[ScbfOcc]]) -------------------------------------------------
     // Two concurrent mutations whose victim sets overlap must not both
     // publish: the loser would either resurrect rows the winner deleted
     // (its replacement re-publishes survivors of files the winner
@@ -417,39 +418,24 @@ object ScbfDelete {
     // whichever racer appends second sees the other's entries, so two
     // overlapping mutations can never BOTH keep their replacements;
     // the later one rolls its replacement back through the same
-    // aborted-rewrite scrub path managed schema rewrites use).
-    // Residual, stated honestly: two racers that both publish before
-    // either re-checks BOTH abort (safe — retry cures); true
-    // single-loser arbitration needs the ordinal-CAS commit protocol.
-    // Cost: one bounded log-dir listing + a replay of the handful of
-    // post-snapshot deltas per check — noise next to the rewrite IO.
-    def postSnapEntries(snapTs: Long): Seq[ScbfDiscovery.Entry] = {
-      if (ScbfDiscovery.listDeltas(qdir, conf).isEmpty) return Seq.empty
-      ScbfDiscovery.replayEntriesAfter(qdir, conf, snapTs,
+    // aborted-rewrite scrub path managed schema rewrites use). An
+    // UNVERIFIABLE recheck (replay failure) rolls back too — fail
+    // closed, never leave announced entries Spark's abort then orphans.
+    // Residuals, stated honestly: two racers that both publish before
+    // either re-checks BOTH abort (safe — retry cures; single-loser
+    // arbitration needs the ordinal-CAS commit protocol), and a racer
+    // that fully commits inside another's publish-to-removal window
+    // can bake coexistence duplicates into its own output before the
+    // loser's rollback lands (see ScbfOcc scaladoc).
+    // Cost: one bounded replay of the post-snapshot deltas per check —
+    // noise next to the rewrite IO.
+    def postSnapEntries(snapTs: Long): Seq[ScbfDiscovery.Entry] =
+      ScbfOcc.entriesAfter(qdir, conf, snapTs,
         why => throw new graft.scbf.ScbfFormatException(
           s"$op on $dir: cannot verify concurrent-commit safety — $why"))
-        .values.toSeq
-    }
-    def conflictsIn(post: Seq[ScbfDiscovery.Entry], victims: Set[String],
-        selfName: String => Boolean,
-        // our published replacement names: a foreign entry naming one
-        // in ITS rewriteOf listed after our publish and serialized
-        // behind us — not a race (see the post-publish recheck)
-        ourOutputs: Set[String] = Set.empty): Seq[String] =
-      post.filterNot(e =>
-        selfName(e.name) || e.rewriteOf.exists(ourOutputs)).collect {
-        case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
-          s"INSERT OVERWRITE at ${e.ts}"
-        case e if e.rewriteOf.exists(victims) =>
-          s"${e.name} (rewrites ${e.rewriteOf.filter(victims).take(3).mkString(", ")})"
-      }
     def refuseConflict(found: Seq[String], phase: String): Unit =
       if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
-        s"$op on $dir: concurrent mutation conflict ($phase) — files this " +
-          s"operation planned to rewrite were concurrently rewritten or " +
-          s"removed by another commit: ${found.take(3).mkString("; ")}" +
-          s"${if (found.size > 3) "; …" else ""}. The table is consistent " +
-          "(this operation aborted without removing originals); re-run it.")
+        ScbfOcc.refusalMessage(s"$op on $dir", found, phase))
     var round = 0
     while (true) {
       round += 1
@@ -515,8 +501,8 @@ object ScbfDelete {
           n.startsWith(p) || n.startsWith(p.stripSuffix("-")))
       // OCC pre-commit check: abort BEFORE any side effect if another
       // commit already rewrote/removed one of this round's victims
-      refuseConflict(conflictsIn(postSnapEntries(snapTs), affectedNames, selfName),
-        "detected before publish")
+      refuseConflict(ScbfOcc.conflicts(postSnapEntries(snapTs), affectedNames,
+        selfName), "detected before publish")
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
       val srcOpt =
         if (rewriteSet.isEmpty) None
@@ -611,19 +597,31 @@ object ScbfDelete {
       // ONE bounded replay serves both the conflict test and this
       // round's own published names (the write announced them, so they
       // are post-snapshot entries matching our prefix) — no table
-      // listing here, exactly the cost the OCC block comment promises
-      val post = postSnapEntries(snapTs)
-      val publishedNames = post.map(_.name)
-        .filter(_.startsWith(prefix)).toSet
-      val lateConflicts = conflictsIn(post, affectedNames, selfName,
-        ourOutputs = publishedNames)
+      // listing here, exactly the cost the OCC block comment promises.
+      // An UNVERIFIABLE replay rolls back too (fail closed): published
+      // files it cannot identify from the log are re-derived from the
+      // round's prefix by one directory listing, the degraded path.
+      val postOrFail =
+        try Right(postSnapEntries(snapTs))
+        catch { case e: graft.scbf.ScbfFormatException => Left(e) }
+      val publishedNames = postOrFail match {
+        case Right(post) => post.map(_.name).filter(_.startsWith(prefix)).toSet
+        case Left(_) => ScbfDataSource.resolveFiles(Seq(dir), conf)
+          .map(_.getPath.getName).filter(_.startsWith(prefix)).toSet
+      }
+      val lateConflicts = postOrFail match {
+        case Right(post) => ScbfOcc.conflicts(post, affectedNames, selfName,
+          ourOutputs = publishedNames)
+        case Left(e) => Seq(s"UNVERIFIABLE (${e.getMessage})")
+      }
       if (lateConflicts.nonEmpty) {
-        publishedNames.foreach(n => deleteWithSidecars(dfs, new Path(qdir, n)))
-        ScbfDiscovery.scrubEntries(qdir, conf, publishedNames + removalName)
-        tag.foreach(t => try dfs.delete(
-          new Path(ScbfCdc.dir(qcdc), t), true)
-          catch { case scala.util.control.NonFatal(_) => () })
-        refuseConflict(lateConflicts, "detected after publish; replacement rolled back")
+        val scrubbed = ScbfOcc.rollbackPublished(dfs, qdir, conf,
+          publishedNames, alsoScrub = Set(removalName),
+          cdcTagDir = tag.map(t => new Path(ScbfCdc.dir(qcdc), t)))
+        throw new graft.scbf.ScbfFormatException(
+          ScbfOcc.refusalMessage(s"$op on $dir", lateConflicts,
+            "detected after publish; replacement rolled back") +
+            ScbfOcc.scrubCaveat(scrubbed))
       }
       removeOriginals(dir, conf, affected, retainAt = tag.map((qcdc, _)))
       val round_ = RewriteRound(prefix, affected.map(_.getPath.getName), tag)
@@ -631,18 +629,6 @@ object ScbfDelete {
       onRound(round_)
     }
     rounds.result() // unreachable; the while(true) exits via return
-  }
-
-  /** One file's data + stats + bloom removal — shared by the original
-   * takedown and the OCC rollback (one copy to keep in sync when a
-   * new sidecar kind appears). */
-  private def deleteWithSidecars(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Unit = {
-    fs.delete(p, false)
-    val sc = ScbfStats.sidecarPath(p)
-    if (fs.exists(sc)) fs.delete(sc, false)
-    val bl = ScbfBloom.bloomPath(p)
-    if (fs.exists(bl)) fs.delete(bl, false)
   }
 
   /** Post-commit removal of replaced originals (+ their sidecars) and
@@ -666,7 +652,7 @@ object ScbfDelete {
         // must overlap, not serialize (same schedule as RESTORE's removal)
         affected.map(f => ScbfStats.ioPool.submit(
           new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = deleteWithSidecars(fs, f.getPath)
+            override def call(): Unit = ScbfOcc.deleteWithSidecars(fs, f.getPath)
           })).foreach(_.get())
     }
     // manifest entries for the removed names are dead weight (planning

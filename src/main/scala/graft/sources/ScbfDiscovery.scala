@@ -1149,10 +1149,12 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * timestamps pass through verbatim and the chain's total ordinal
    * span is preserved, so history, `logStart`, VERSION AS OF and
    * `_commit_version` are all unchanged); only ever runs on the rare
-   * abort path. Best-effort like all log writes. */
-  def scrubEntries(table: Path, conf: Configuration, names: Set[String]): Unit =
+   * abort path. Best-effort like all log writes — but RETURNS whether
+   * the rewrite took, so a rollback caller can report an incomplete
+   * scrub honestly instead of claiming consistency. */
+  def scrubEntries(table: Path, conf: Configuration, names: Set[String]): Boolean =
     try {
-      if (names.isEmpty) return
+      if (names.isEmpty) return true
       // rewrite through the FOLD machinery, not a bare reset: the
       // replacement delta must record the chain's full ordinal span
       // (and V: tags, like compaction) or the scrub would silently
@@ -1182,7 +1184,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       // delete exactly the deltas that were folded (same discipline as
       // compact — the new snapshot is already published)
       chain.foreach(n => fs.delete(new Path(d, n), false))
-    } catch { case NonFatal(_) => () }
+      true
+    } catch { case NonFatal(_) => false }
 
   /** Fold every current delta into one union snapshot (last entry per
    * file name wins — replayed-epoch duplicates are identical anyway),

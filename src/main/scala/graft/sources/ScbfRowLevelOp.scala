@@ -296,29 +296,18 @@ private[sources] class ScbfRowLevelBatchWrite(
     // not a conflict.
     val victimNames = scanned.map(qualify).toSet
     val publishedNames = publishedEntries.map(_.name).toSet
-    def occConflicts(ourOutputs: Set[String]): Seq[String] =
-      if (victimNames.isEmpty ||
-          ScbfDiscovery.listDeltas(qroot, hconf).isEmpty) Seq.empty
-      else ScbfDiscovery.replayEntriesAfter(qroot, hconf, op.occSnapTs,
+    def occEntries(): Seq[ScbfDiscovery.Entry] =
+      if (victimNames.isEmpty) Seq.empty
+      else ScbfOcc.entriesAfter(qroot, hconf, op.occSnapTs,
         why => throw new graft.scbf.ScbfFormatException(
           s"row-level SQL on $qroot: cannot verify concurrent-commit " +
-            s"safety — $why")).values.toSeq
-        .filterNot(e => publishedNames.contains(e.name) ||
-          e.rewriteOf.exists(ourOutputs)).collect {
-          case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
-            s"INSERT OVERWRITE at ${e.ts}"
-          case e if e.rewriteOf.exists(victimNames) =>
-            s"${e.name} (rewrites ${e.rewriteOf.filter(victimNames).take(3).mkString(", ")})"
-        }
+            s"safety — $why"))
     def refuseOcc(found: Seq[String], phase: String): Unit =
       if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
-        s"row-level SQL on $qroot: concurrent mutation conflict ($phase) — " +
-          s"files this operation planned to rewrite were concurrently " +
-          s"rewritten or removed by another commit: " +
-          s"${found.take(3).mkString("; ")}${if (found.size > 3) "; …" else ""}. " +
-          "The table is consistent (originals untouched); re-run the statement.")
+        ScbfOcc.refusalMessage(s"row-level SQL on $qroot", found, phase))
     ScbfRowLevelBatchWrite.occHook("pre")
-    refuseOcc(occConflicts(Set.empty), "detected before publish")
+    refuseOcc(ScbfOcc.conflicts(occEntries(), victimNames,
+      publishedNames.contains), "detected before publish")
     // CDC capture (ScbfCdc) — value-level by necessity: the group-based
     // ReplaceData rows reach the writer with the per-row operation
     // marker projected away (the metadata-attribute path), so the
@@ -382,25 +371,24 @@ private[sources] class ScbfRowLevelBatchWrite(
     // rolls its published replacement back (files + sidecars + log
     // entries + CDC rows area) and refuses — originals stay with the
     // winner's state.
-    val lateOcc = occConflicts(ourOutputs = publishedNames)
-    if (lateOcc.nonEmpty) {
-      publishedNames.foreach { n =>
-        val p = new Path(qroot, n)
-        fs.delete(p, false)
-        val sc = ScbfStats.sidecarPath(p)
-        if (fs.exists(sc)) fs.delete(sc, false)
-        val bl = ScbfBloom.bloomPath(p)
-        if (fs.exists(bl)) fs.delete(bl, false)
+    // an UNVERIFIABLE recheck rolls back too (fail closed): the
+    // announce already happened, so throwing WITHOUT the rollback
+    // would let Spark's abort delete the files while their log and
+    // manifest entries stay live — the poisoned-log shape
+    val lateOcc =
+      try ScbfOcc.conflicts(occEntries(), victimNames,
+        publishedNames.contains, ourOutputs = publishedNames)
+      catch { case e: graft.scbf.ScbfFormatException =>
+        Seq(s"UNVERIFIABLE (${e.getMessage})")
       }
-      publishedNames.map(n => new Path(qroot, n)).groupBy(_.getParent)
-        .foreach { case (parent, ps) =>
-          ScbfStats.mergeManifest(parent, hconf, Seq.empty, fresh = false,
-            drop = ps.map(_.getName))
-        }
-      ScbfDiscovery.scrubEntries(qroot, hconf, publishedNames)
-      cdcTag.foreach(t => try fs.delete(new Path(ScbfCdc.dir(qroot), t), true)
-        catch { case scala.util.control.NonFatal(_) => () })
-      refuseOcc(lateOcc, "detected after publish; replacement rolled back")
+    if (lateOcc.nonEmpty) {
+      val scrubbed = ScbfOcc.rollbackPublished(fs, qroot, hconf,
+        publishedNames, alsoScrub = Set.empty,
+        cdcTagDir = cdcTag.map(t => new Path(ScbfCdc.dir(qroot), t)))
+      throw new graft.scbf.ScbfFormatException(
+        ScbfOcc.refusalMessage(s"row-level SQL on $qroot", lateOcc,
+          "detected after publish; replacement rolled back") +
+          ScbfOcc.scrubCaveat(scrubbed))
     }
     // EMPTY-REPLACEMENT coverage. A rewrite can legitimately publish
     // NOTHING for some (or all) of its groups — a subquery DELETE or
