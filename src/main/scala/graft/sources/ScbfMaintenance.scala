@@ -44,6 +44,41 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
    * the window a concurrent append lands in. */
   private[sources] var raceHook: () => Unit = () => ()
 
+  /** OCC pre-publish check for the maintenance rewrites (shared rule:
+   * [[ScbfOcc]]): nothing may have rewritten/removed one of this
+   * sweep's snapshot files since `snapTs` — a concurrent DELETE's
+   * victims folded into a compaction would be RESURRECTED (the
+   * compaction read them before the delete landed). Checked just
+   * before the overwrite job starts; the job's own in-flight window is
+   * guarded by `replaceFileNames` scoping for concurrent APPENDS and
+   * stays the documented single-maintainer contract for concurrent
+   * MUTATIONS (the overwrite's publish-and-delete is one commit — a
+   * post-publish rollback would have nothing to restore victims from). */
+  private def occPreCheck(op: String, dir: String,
+      conf: org.apache.hadoop.conf.Configuration, snapTs: Long,
+      victims: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val q = p.getFileSystem(conf).makeQualified(p)
+    val found = ScbfOcc.conflicts(
+      ScbfOcc.entriesAfter(q, conf, snapTs,
+        why => throw new graft.scbf.ScbfFormatException(
+          s"$op on $dir: cannot verify concurrent-commit safety — $why")),
+      victims, _ => false)
+    if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
+      ScbfOcc.refusalMessage(s"$op on $dir", found,
+        "detected before the maintenance rewrite published"))
+  }
+
+  /** The newest persisted commit instant — the OCC snapshot point,
+   * taken BEFORE the file listing a maintenance rewrite plans from. */
+  private def occSnap(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val q = p.getFileSystem(conf).makeQualified(p)
+    ScbfDiscovery.listDeltas(q, conf)
+      .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
+  }
+
   /** Per-partition maintenance rewrites thread the table-level CDC
    * coordinates ([[ScbfCdc]]) so the sweep's ROOT re-announcement can
    * carry the same tag the partition commit retained under — a flat
@@ -62,6 +97,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     val conf = spark.sessionState.newHadoopConf()
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
       "OPTIMIZE (cluster)")
+    val occTs = occSnap(dir, conf)
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
     // a freshly-created (or fully-truncated) directory has nothing to
     // rewrite — loading zero paths would crash with an unrelated error
@@ -77,6 +113,8 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
+    occPreCheck("OPTIMIZE (cluster)", dir, conf, occTs,
+      snapshot.map(_.getPath.getName).toSet)
     writer.save(dir)
     // the names ACTUALLY folded into the rewrite — callers announcing
     // the rewrite elsewhere (sweepPartitions' root log) must mark
@@ -134,6 +172,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     val conf = spark.sessionState.newHadoopConf()
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
       "OPTIMIZE (compact)")
+    val occTs = occSnap(dir, conf)
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
     // idempotence: nothing to pack (empty directory), or already AT the
     // target file count with a plausibly-packed layout — re-running
@@ -169,6 +208,8 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
+    occPreCheck("OPTIMIZE (compact)", dir, conf, occTs,
+      snapshot.map(_.getPath.getName).toSet)
     writer.save(dir)
     snapshot.map(_.getPath.getName)
   }
@@ -203,6 +244,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     val hconf = spark.sessionState.newHadoopConf()
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), hconf,
       "OPTIMIZE (zorder)")
+    val occTs = occSnap(dir, hconf)
     val snapshot = ScbfDataSource.resolveFiles(Seq(dir), hconf)
     if (snapshot.isEmpty) return Seq.empty // nothing to rewrite
     raceHook()
@@ -255,6 +297,8 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
+    occPreCheck("OPTIMIZE (zorder)", dir, hconf, occTs,
+      snapshot.map(_.getPath.getName).toSet)
     writer.save(dir)
     snapshot.map(_.getPath.getName) // see [[cluster]]: the folded-in set
   }

@@ -101,6 +101,29 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       "disjoint victim sets must not conflict")
   }
 
+  test("OPTIMIZE refuses when a DELETE commits between its snapshot and its rewrite") {
+    val dir = tmpDir("scbf-occ-opt")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfMaintenance.raceHook = () => if (!fired) {
+      fired = true
+      // the delete's victims overlap the compaction's snapshot — a
+      // compaction that proceeded would RESURRECT the deleted rows
+      ScbfDelete.deleteWhere(spark, dir, hconf, Array[Filter](LessThan("id", 200)))
+    }
+    val e = intercept[graft.scbf.ScbfFormatException] {
+      try ScbfMaintenance.compact(spark, dir, 1)
+      finally ScbfMaintenance.raceHook = () => ()
+    }
+    assert(e.getMessage.contains("concurrent mutation conflict"), e.getMessage)
+    // the delete won; nothing was resurrected and nothing compacted
+    assert(ids(dir) == (200 until 2000).toSet)
+    // the cure works: a clean re-run compacts to one file
+    ScbfMaintenance.compact(spark, dir, 1)
+    assert(ids(dir) == (200 until 2000).toSet)
+    assert(ScbfDataSource.resolveFiles(Seq(dir), hconf).size == 1)
+  }
+
   test("SQL COW UPDATE refuses when a racer's commit names its victims: then re-runs clean") {
     // the racer is simulated as its LOG COMMIT only (a physical racer
     // would also fold in this operation's task-committed staged files
