@@ -179,6 +179,59 @@ class ScbfCdcStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(nonEmpty.forall(_.size <= 2), s"cap exceeded: $perBatch")
   }
 
+  test("mirror pipeline: the stream maintains an exact replica through append/DELETE/UPDATE") {
+    // the Delta-CDF consumer shape end-to-end: a replica applies each
+    // trigger's change rows IN COMMIT-ORDINAL ORDER (delete → drop,
+    // insert/update_post → upsert) and must equal the source after
+    // every catch-up — the live-mirror contract the netting feed
+    // could not serve (it gates on mutations instead)
+    val dir = Files.createTempDirectory("scbf-cdcstream-mirror").toString
+    val ckpt = Files.createTempDirectory("scbf-cdcstream-mirror-ckpt").toString
+    enable(dir)
+    spark.sql("DROP TABLE IF EXISTS cdcs_mirror")
+    spark.sql(s"CREATE TABLE cdcs_mirror (id INT, v INT) USING scbf LOCATION '$dir'")
+    writeWave(dir, 0, 100) // schema source; backfilled via startingTimestamp=1
+    val replica = scala.collection.mutable.HashMap.empty[Int, Int]
+    val q = streamDF(dir, "startingTimestamp" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select($"id", $"v", col(ScbfCdc.ChangeTypeCol),
+            col(ScbfCdc.CommitVersionCol))
+          .as[(Int, Int, String, Int)].collect()
+        replica.synchronized {
+          rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, commit) =>
+            commit.foreach {
+              case (id, _, "delete", _)            => replica.remove(id)
+              case (id, v, "insert", _)            => replica(id) = v
+              case (id, v, "update_post", _)       => replica(id) = v
+              case (_, _, "update_pre", _)         => () // pre-image: no-op
+              case other => sys.error(s"unexpected change row $other")
+            }
+          }
+        }
+        ()
+      }.start()
+    def sourceNow(): Map[Int, Int] =
+      spark.sql("SELECT id, v FROM cdcs_mirror").as[(Int, Int)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(replica.synchronized(replica.toMap) == sourceNow())
+      spark.sql("DELETE FROM cdcs_mirror WHERE id < 30") // whole+partial victims
+      writeWave(dir, 100, 150)
+      q.processAllAvailable()
+      assert(replica.synchronized(replica.toMap) == sourceNow())
+      // API UPDATE: EXACT update_pre/update_post pairs stream through
+      ScbfDelete.updateWhere(spark, dir, hconf,
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.GreaterThanOrEqual("id", 120)),
+        Map("v" -> (col("v") * 2)))
+      q.processAllAvailable()
+      assert(replica.synchronized(replica.toMap) == sourceNow(),
+        "replica must track the UPDATE exactly")
+      assert(replica.synchronized(replica(140)) == 2800) // 140*10*2
+    } finally q.stop()
+  }
+
   test("batch read with readChangeFeed refuses, naming TABLE CHANGES") {
     val dir = Files.createTempDirectory("scbf-cdcstream-batch").toString
     enable(dir)
