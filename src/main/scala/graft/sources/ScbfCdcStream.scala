@@ -186,14 +186,24 @@ class ScbfCdcMicroBatchStream(
       case mf: ReadMaxFiles =>
         // count each candidate commit's post-lo entries (≈ its change
         // files) by reading its own delta — bounded by the backlog,
-        // the same deltas planning replays anyway
+        // the same deltas planning replays anyway; a SORTED fold
+        // bisects to its post-lo tail instead of streaming the whole
+        // re-announced history (the same O(changes) byte discipline
+        // as the feed replay)
+        def postLoCount(n: String): Int =
+          try {
+            var c = 0
+            if (ScbfDiscovery.isSortedFold(n))
+              ScbfDiscovery.readSortedFoldFrom(qroot, conf, n, lo)(e =>
+                if (e.ts > lo) c += 1)
+            else c = ScbfDiscovery.readDelta(qroot, conf, n).count(_.ts > lo)
+            c
+          } catch { case scala.util.control.NonFatal(_) => 1 }
         var budget = mf.maxFiles().toLong
         var last = -1L
         candidates.foreach { case (n, m) =>
           if (last < 0 || budget > 0) {
-            val entries =
-              try ScbfDiscovery.readDelta(qroot, conf, n).count(_.ts > lo)
-              catch { case scala.util.control.NonFatal(_) => 1 }
+            val entries = postLoCount(n).toLong
             if (last < 0 || entries <= budget) { last = m; budget -= entries }
             else budget = -1
           }
