@@ -846,6 +846,9 @@ class ScbfTable(
     // table root the CDC area lives under — per-partition maintenance
     // rewrites write to the partition directory but retain at the root
     val cdcRoot = Option(info.options.get("cdcRoot"))
+    // OCC snapshot instant a snapshot rewrite planned at (internal —
+    // ScbfMaintenance passes it; checked at the overwrite's commit)
+    val occSnapTs = Option(info.options.get("occSnapTs")).map(_.toLong)
     // identity-transform partition columns route rows to col=value/
     // subdirectories, an optional bucket(n, intCol) transform to
     // <col>_bucket=<id>/ below them (ScbfPartitions); validated
@@ -853,6 +856,6 @@ class ScbfTable(
     val partCols = ScbfPartitions.partitionCols(partitionTransforms, info.schema())
     val bucket = ScbfPartitions.bucketSpec(partitionTransforms, info.schema())
     new ScbfWriteBuilder(dir, info.schema(), wconf, maxBuf, prefix, replaceOnly, partCols,
-      rewriteOf, bucket, cdcTag, cdcRoot)
+      rewriteOf, bucket, cdcTag, cdcRoot, occSnapTs)
   }
 }

@@ -440,9 +440,9 @@ object ScbfDelete {
     while (true) {
       round += 1
       // newest published commit instant BEFORE this round's listing:
-      // anything stamped after it committed concurrently with the round
-      val snapTs = ScbfDiscovery.listDeltas(qdir, conf)
-        .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
+      // anything stamped after it committed concurrently with the
+      // round; None (no usable chain) skips OCC — see ScbfOcc.snapshot
+      val snapTs: Option[Long] = ScbfOcc.snapshot(qdir, conf)
       val listed = listCandidates()
       val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
@@ -501,8 +501,9 @@ object ScbfDelete {
           n.startsWith(p) || n.startsWith(p.stripSuffix("-")))
       // OCC pre-commit check: abort BEFORE any side effect if another
       // commit already rewrote/removed one of this round's victims
-      refuseConflict(ScbfOcc.conflicts(postSnapEntries(snapTs), affectedNames,
-        selfName), "detected before publish")
+      snapTs.foreach(st => refuseConflict(
+        ScbfOcc.conflicts(postSnapEntries(st), affectedNames, selfName),
+        "detected before publish"))
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
       val srcOpt =
         if (rewriteSet.isEmpty) None
@@ -601,9 +602,12 @@ object ScbfDelete {
       // An UNVERIFIABLE replay rolls back too (fail closed): published
       // files it cannot identify from the log are re-derived from the
       // round's prefix by one directory listing, the degraded path.
-      val postOrFail =
-        try Right(postSnapEntries(snapTs))
-        catch { case e: graft.scbf.ScbfFormatException => Left(e) }
+      val postOrFail = snapTs match {
+        case None => Right(Seq.empty[ScbfDiscovery.Entry]) // no chain at snapshot: no OCC
+        case Some(st) =>
+          try Right(postSnapEntries(st))
+          catch { case e: graft.scbf.ScbfFormatException => Left(e) }
+      }
       val publishedNames = postOrFail match {
         case Right(post) => post.map(_.name).filter(_.startsWith(prefix)).toSet
         case Left(_) => ScbfDataSource.resolveFiles(Seq(dir), conf)

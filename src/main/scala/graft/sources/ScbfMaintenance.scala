@@ -44,39 +44,18 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
    * the window a concurrent append lands in. */
   private[sources] var raceHook: () => Unit = () => ()
 
-  /** OCC pre-publish check for the maintenance rewrites (shared rule:
-   * [[ScbfOcc]]): nothing may have rewritten/removed one of this
-   * sweep's snapshot files since `snapTs` — a concurrent DELETE's
-   * victims folded into a compaction would be RESURRECTED (the
-   * compaction read them before the delete landed). Checked just
-   * before the overwrite job starts; the job's own in-flight window is
-   * guarded by `replaceFileNames` scoping for concurrent APPENDS and
-   * stays the documented single-maintainer contract for concurrent
-   * MUTATIONS (the overwrite's publish-and-delete is one commit — a
-   * post-publish rollback would have nothing to restore victims from). */
-  private def occPreCheck(op: String, dir: String,
-      conf: org.apache.hadoop.conf.Configuration, snapTs: Long,
-      victims: Set[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val q = p.getFileSystem(conf).makeQualified(p)
-    val found = ScbfOcc.conflicts(
-      ScbfOcc.entriesAfter(q, conf, snapTs,
-        why => throw new graft.scbf.ScbfFormatException(
-          s"$op on $dir: cannot verify concurrent-commit safety — $why")),
-      victims, _ => false)
-    if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
-      ScbfOcc.refusalMessage(s"$op on $dir", found,
-        "detected before the maintenance rewrite published"))
-  }
-
-  /** The newest persisted commit instant — the OCC snapshot point,
-   * taken BEFORE the file listing a maintenance rewrite plans from. */
+  /** OCC snapshot for a maintenance rewrite, taken BEFORE the file
+   * listing it plans from ([[ScbfOcc.snapshot]]); passed to the
+   * overwrite as the `occSnapTs` write option so the conflict check
+   * runs at the COMMIT INSTANT — a concurrent DELETE landing anywhere
+   * in the rewrite job (read, shuffle, write) aborts the rewrite
+   * rather than having its removed rows resurrected by it. None (no
+   * usable chain) skips the check: a log-less table has nothing
+   * announced to conflict with. */
   private def occSnap(dir: String,
-      conf: org.apache.hadoop.conf.Configuration): Long = {
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val q = p.getFileSystem(conf).makeQualified(p)
-    ScbfDiscovery.listDeltas(q, conf)
-      .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
+    ScbfOcc.snapshot(p.getFileSystem(conf).makeQualified(p), conf)
   }
 
   /** Per-partition maintenance rewrites thread the table-level CDC
@@ -113,8 +92,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
-    occPreCheck("OPTIMIZE (cluster)", dir, conf, occTs,
-      snapshot.map(_.getPath.getName).toSet)
+    occTs.foreach(t => writer.option("occSnapTs", t))
     writer.save(dir)
     // the names ACTUALLY folded into the rewrite — callers announcing
     // the rewrite elsewhere (sweepPartitions' root log) must mark
@@ -208,8 +186,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
-    occPreCheck("OPTIMIZE (compact)", dir, conf, occTs,
-      snapshot.map(_.getPath.getName).toSet)
+    occTs.foreach(t => writer.option("occSnapTs", t))
     writer.save(dir)
     snapshot.map(_.getPath.getName)
   }
@@ -297,8 +274,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     filePrefix.foreach(p => writer.option("filePrefix", p))
     cdcTag.foreach(t => writer.option("cdcTag", t))
     cdcRoot.foreach(r => writer.option("cdcRoot", r))
-    occPreCheck("OPTIMIZE (zorder)", dir, hconf, occTs,
-      snapshot.map(_.getPath.getName).toSet)
+    occTs.foreach(t => writer.option("occSnapTs", t))
     writer.save(dir)
     snapshot.map(_.getPath.getName) // see [[cluster]]: the folded-in set
   }

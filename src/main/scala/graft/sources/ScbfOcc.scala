@@ -6,10 +6,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /**
  * Shared write-write CONFLICT DETECTION (OCC — Delta's
  * ConcurrentDeleteRead contract) for every COW mutation surface: the
- * API rewrite engine ([[ScbfDelete]]) and the SQL row-level path
- * ([[ScbfRowLevelBatchWrite]]). One copy of the snapshot replay, the
- * conflict rule, the refusal text and the rollback file-cleanup so the
- * surfaces can never silently diverge.
+ * API rewrite engine ([[ScbfDelete]]), the SQL row-level path
+ * ([[ScbfRowLevelBatchWrite]]), and the maintenance rewrites
+ * (OPTIMIZE/cluster/zorder — [[ScbfMaintenance]] plans the snapshot,
+ * [[ScbfBatchWrite]] checks it at the overwrite's commit instant).
+ * One copy of the snapshot point, the replay, the conflict rule, the
+ * refusal text and the rollback file-cleanup so the surfaces can
+ * never silently diverge.
  *
  * The rule: a commit stamped after the mutation's snapshot that names
  * one of its VICTIMS in `rewriteOf` raced it. A commit that names the
@@ -29,6 +32,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * stream's reconcile — is future work.
  */
 private[sources] object ScbfOcc {
+
+  /** The OCC snapshot point: the newest persisted commit instant,
+   * taken BEFORE the file listing a mutation plans from. None = no
+   * usable chain (the table has no deltas, or the listing failed) —
+   * callers SKIP the conflict checks for that attempt: a log-less
+   * table has nothing announced to conflict with, and a transient
+   * listing failure must not manufacture a Long.MinValue snapshot
+   * whose full-history replay would flag the table's own durable
+   * overwrite-boundary entry as a phantom concurrent commit. (The
+   * REPLAY itself stays fail-closed — this fail-open is only "no OCC
+   * this round", the pre-round-14 behavior.) */
+  def snapshot(qroot: Path, conf: Configuration): Option[Long] = {
+    val ds = ScbfDiscovery.listDeltas(qroot, conf)
+    if (ds.isEmpty) None
+    else ds.flatMap(ScbfDiscovery.deltaMillis).maxOption
+  }
 
   /** Entries committed after `snapTs` on `qroot`'s log — the commits
    * that raced the mutation. Empty when the table has no log (log-less

@@ -98,8 +98,9 @@ private[sources] class ScbfRowLevelOperation(
    * root log's newest commit instant, captured just BEFORE the
    * ReplaceData scan lists its groups — any commit stamped after it
    * ran concurrently with this operation and is checked for victim
-   * overlap at commit time. */
-  @volatile private[sources] var occSnapTs: Long = Long.MinValue
+   * overlap at commit time. None = no usable chain at plan time
+   * (ScbfOcc.snapshot) — the checks are skipped. */
+  @volatile private[sources] var occSnapTs: Option[Long] = None
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -227,8 +228,7 @@ private[sources] class ScbfRowLevelScanBuilder(
         // stamped after this instant raced the operation
         val rp = new org.apache.hadoop.fs.Path(tablePaths.head)
         val rq = rp.getFileSystem(conf).makeQualified(rp)
-        op.occSnapTs = ScbfDiscovery.listDeltas(rq, conf)
-          .flatMap(ScbfDiscovery.deltaMillis).maxOption.getOrElse(Long.MinValue)
+        op.occSnapTs = ScbfOcc.snapshot(rq, conf)
         val parts = super.planInputPartitions()
         op.scannedPaths =
           Some(parts.toSeq.collect { case ScbfFilePartition(p, _, _) => p })
@@ -297,8 +297,8 @@ private[sources] class ScbfRowLevelBatchWrite(
     val victimNames = scanned.map(qualify).toSet
     val publishedNames = publishedEntries.map(_.name).toSet
     def occEntries(): Seq[ScbfDiscovery.Entry] =
-      if (victimNames.isEmpty) Seq.empty
-      else ScbfOcc.entriesAfter(qroot, hconf, op.occSnapTs,
+      if (victimNames.isEmpty || op.occSnapTs.isEmpty) Seq.empty
+      else ScbfOcc.entriesAfter(qroot, hconf, op.occSnapTs.get,
         why => throw new graft.scbf.ScbfFormatException(
           s"row-level SQL on $qroot: cannot verify concurrent-commit " +
             s"safety — $why"))

@@ -38,7 +38,11 @@ class ScbfWriteBuilder(
     filePrefix: Option[String] = None, replaceOnly: Option[Set[String]] = None,
     partitionCols: Seq[String] = Seq.empty, rewriteOf: Seq[String] = Seq.empty,
     bucketSpec: Option[(String, Int)] = None,
-    cdcTag: Option[String] = None, cdcRoot: Option[String] = None)
+    cdcTag: Option[String] = None, cdcRoot: Option[String] = None,
+    // OCC snapshot instant (ScbfOcc) a snapshot rewrite (OPTIMIZE/
+    // cluster/zorder) planned its replaceOnly set at — checked at the
+    // COMMIT INSTANT, so the whole rewrite job is guarded
+    occSnapTs: Option[Long] = None)
   extends WriteBuilder with SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -108,7 +112,8 @@ class ScbfWriteBuilder(
         new ScbfUtil.SerializableConf(conf), maxBufferedBytes, filePrefix, replaceOnly,
         partitionCols, rewriteOf,
         scopeFilters = scopeFilters, dynamicPartitionOverwrite = dynamicOverwrite,
-        bucketSpec = bucketSpec, cdcTag = cdcTag, cdcRoot = cdcRoot)
+        bucketSpec = bucketSpec, cdcTag = cdcTag, cdcRoot = cdcRoot,
+        occSnapTs = occSnapTs)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // Complete/update modes would need per-epoch truncation semantics;
@@ -237,7 +242,10 @@ class ScbfBatchWrite(
     private[sources] var cdcTag: Option[String] = None,
     // table root the CDC area lives under (per-partition maintenance
     // rewrites pass it; defaults to this write's own directory)
-    cdcRoot: Option[String] = None)
+    cdcRoot: Option[String] = None,
+    // OCC snapshot instant of a snapshot rewrite's planning listing —
+    // see the commit-instant check in commit()
+    occSnapTs: Option[Long] = None)
   extends BatchWrite {
 
   // Old files are captured at job start but deleted only in commit() —
@@ -327,6 +335,27 @@ class ScbfBatchWrite(
         .filterNot(p => newBare.contains(p.getName))
     }
     val scopedOverwrite = scopeFilters.isDefined || dynamicPartitionOverwrite
+    // OCC at the COMMIT INSTANT for snapshot rewrites (OPTIMIZE/
+    // cluster/zorder — shared rule: ScbfOcc): nothing may have
+    // rewritten/removed one of the snapshot's files since the rewrite
+    // planned it, or the rewrite's output would RESURRECT rows a
+    // concurrent DELETE/UPDATE removed (the rewrite read them before
+    // the mutation landed). Placed BEFORE any side effect of this
+    // commit — a throw here makes Spark abort the job, which removes
+    // only the task-committed replacement files; victims stay, and the
+    // table renders exactly the concurrent mutation's state. This
+    // guards the WHOLE rewrite job, not just its planning window.
+    for (snap <- occSnapTs; victims <- replaceOnly) {
+      val found = ScbfOcc.conflicts(
+        ScbfOcc.entriesAfter(qroot, conf.value, snap,
+          why => throw new ScbfFormatException(
+            s"snapshot rewrite on $dir: cannot verify concurrent-commit " +
+              s"safety — $why")),
+        victims, selfName = newNames.contains)
+      if (found.nonEmpty) throw new ScbfFormatException(
+        ScbfOcc.refusalMessage(s"snapshot rewrite on $dir", found,
+          "detected at commit; the rewrite aborted, originals untouched"))
+    }
     // scoped overwrite emptying a directory the insert does not
     // repopulate (static scope with no rows for it): write the 0-row
     // keeper BEFORE the deletions — no unreadable window (the same

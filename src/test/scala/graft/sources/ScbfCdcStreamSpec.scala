@@ -190,7 +190,11 @@ class ScbfCdcStreamSpec extends AnyFunSuite with SparkTestBase {
     enable(dir)
     spark.sql("DROP TABLE IF EXISTS cdcs_mirror")
     spark.sql(s"CREATE TABLE cdcs_mirror (id INT, v INT) USING scbf LOCATION '$dir'")
-    writeWave(dir, 0, 100) // schema source; backfilled via startingTimestamp=1
+    // two pre-stream files (both backfilled via startingTimestamp=1),
+    // so the DELETE below drops file 1 WHOLE (retained-bytes delete
+    // rows) and rewrites file 2 PARTIALLY (materialized delete rows)
+    writeWave(dir, 0, 100)
+    writeWave(dir, 100, 150)
     val replica = scala.collection.mutable.HashMap.empty[Int, Int]
     val q = streamDF(dir, "startingTimestamp" -> "1")
       .writeStream.option("checkpointLocation", ckpt)
@@ -216,19 +220,21 @@ class ScbfCdcStreamSpec extends AnyFunSuite with SparkTestBase {
     try {
       q.processAllAvailable()
       assert(replica.synchronized(replica.toMap) == sourceNow())
-      spark.sql("DELETE FROM cdcs_mirror WHERE id < 30") // whole+partial victims
-      writeWave(dir, 100, 150)
+      // file 1 (0..99) is provably all-match → dropped WHOLE; file 2
+      // (100..149) rewrites partially — both delete paths stream
+      spark.sql("DELETE FROM cdcs_mirror WHERE id < 120")
+      writeWave(dir, 150, 200)
       q.processAllAvailable()
       assert(replica.synchronized(replica.toMap) == sourceNow())
       // API UPDATE: EXACT update_pre/update_post pairs stream through
       ScbfDelete.updateWhere(spark, dir, hconf,
         Array[org.apache.spark.sql.sources.Filter](
-          org.apache.spark.sql.sources.GreaterThanOrEqual("id", 120)),
+          org.apache.spark.sql.sources.GreaterThanOrEqual("id", 160)),
         Map("v" -> (col("v") * 2)))
       q.processAllAvailable()
       assert(replica.synchronized(replica.toMap) == sourceNow(),
         "replica must track the UPDATE exactly")
-      assert(replica.synchronized(replica(140)) == 2800) // 140*10*2
+      assert(replica.synchronized(replica(180)) == 3600) // 180*10*2
     } finally q.stop()
   }
 
