@@ -1434,6 +1434,71 @@ object RelationalQueries {
           max("doc_id").as("max_doc"))
     },
 
+    "q67_cdc_stream_catchup" -> { (s, dir) =>
+      // STREAMING CDC catch-up, priced (round 15): the mirror
+      // pipeline's recovery shape — a `readChangeFeed` stream started
+      // from a persisted point drains a multi-commit backlog (insert
+      // wave + DELETE) exactly once into a DISTRIBUTED scbf sink (no
+      // driver funnel), then the mirror is aggregated. Same change-set
+      // as q65, so the oracle pins exactly-once delivery value-level.
+      // REQUIRE pins, in-query: (a) the whole backlog drains in ONE
+      // commit-aligned trigger; (b) per-trigger planning stays
+      // O(changes) — bounded delta reads, never the table's history.
+      val base = scratchDir(s) + "/graft_scbf_cdcs_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val mirror = base + "_mirror"
+      val ckpt = base + "_ckpt"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      s.sql("DROP TABLE IF EXISTS graft_q67")
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(mirror), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q67_src")
+      s.sql("CREATE TABLE graft_q67 (doc_id INT, source STRING, n_chars INT) " +
+        s"USING scbf LOCATION '$base'")
+      graft.sources.ScbfCdc.enable(p, conf)
+      s.sql("""INSERT INTO graft_q67
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q67_src WHERE doc_id % 3 = 0""")
+      val t1 = { Thread.sleep(5); System.currentTimeMillis() }
+      s.sql("""INSERT INTO graft_q67
+        SELECT CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+        FROM graft_q67_src WHERE doc_id % 3 = 1""")
+      s.sql("DELETE FROM graft_q67 WHERE n_chars < 200")
+      graft.sources.ScbfDiscovery.deltaReads.set(0)
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("scbf")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", t1.toString)
+        .load(base)
+        // SCBF sink carries the 3-type payload; the timestamp axis is
+        // redundant with version for the mirror (and exercises the
+        // stream's column pruning)
+        .select(col("doc_id"), col("n_chars"),
+          col(graft.sources.ScbfCdc.ChangeTypeCol),
+          col(graft.sources.ScbfCdc.CommitVersionCol))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          df.write.format("scbf").mode("append").save(mirror)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val reads = graft.sources.ScbfDiscovery.deltaReads.get
+      require(batches.get == 1,
+        s"the catch-up must drain in ONE commit-aligned trigger, took ${batches.get}")
+      require(reads <= 4,
+        s"per-trigger planning must stay O(changes) — $reads delta reads")
+      s.read.format("scbf").load(mirror)
+        .groupBy(col(graft.sources.ScbfCdc.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+    },
+
     "q17_events_tumbling" -> { (s, dir) =>
       // Tumbling 1h windows, batch shape (streaming variant lives in
       // graft.streaming); ts arrives as nanos-since-epoch (see Ops.events)
@@ -1989,6 +2054,20 @@ object RelationalQueries {
            SELECT 'delete', 1, CAST(doc_id AS INT), CAST(n_chars AS INT)
            FROM documents WHERE doc_id % 3 IN (0, 1) AND n_chars < 200
          ) GROUP BY change_type, version_rel""",
+
+    "q67_cdc_stream_catchup" ->
+      """SELECT change_type, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS INT) AS min_doc,
+         CAST(MAX(doc_id) AS INT) AS max_doc
+         FROM (
+           SELECT 'insert' AS change_type, CAST(doc_id AS INT) AS doc_id,
+                  CAST(n_chars AS INT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT 'delete', CAST(doc_id AS INT), CAST(n_chars AS INT)
+           FROM documents WHERE doc_id % 3 IN (0, 1) AND n_chars < 200
+         ) GROUP BY change_type""",
 
     "q17_events_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,

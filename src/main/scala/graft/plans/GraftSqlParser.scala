@@ -938,6 +938,7 @@ case class GraftDescribeHistoryCommand(table: String,
     // span-aware ordinals (durable across compaction): a fold row's
     // version is the LAST ordinal it covers — the state it renders
     val chain = ScbfDiscovery.versionedChain(qroot, conf)
+    val instants = ScbfDiscovery.listLog(qroot, conf).instants
     // newest first; LIMIT bounds the DELTA READS themselves (one
     // summary row needs one delta parse, nothing table-history-sized)
     val wanted = chain.reverse.take(limit.getOrElse(chain.size))
@@ -960,7 +961,7 @@ case class GraftDescribeHistoryCommand(table: String,
       }
       val removed = victims.size.toLong
       val ts = if (maxTs == Long.MinValue)
-        ScbfDiscovery.deltaMillis(name).getOrElse(0L)
+        instants.getOrElse(name, 0L)
       else maxTs
       Row(version, new java.sql.Timestamp(ts),
         if (ScbfDiscovery.isFold(name)) "fold" else "commit",
@@ -979,9 +980,12 @@ case class GraftDescribeHistoryCommand(table: String,
     // later re-announces in-window history verbatim (and may be the
     // only surviving copy of it); the per-entry window filter keeps
     // the output exact either way.
+    // per-delta publication instants (v1 name millis / v2 markers) —
+    // the early-stop bounds; a markerless delta has none and is read
+    val instants = ScbfDiscovery.listLog(qroot, conf).instants
     val names = ScbfDiscovery.commitChain(qroot, conf).reverse // newest first
       .filter(n => window.forall { case (lo, _) =>
-        ScbfDiscovery.deltaMillis(n).forall(_ > lo) })
+        instants.get(n).forall(_ > lo) })
     def inWindow(e: ScbfDiscovery.Entry): Boolean =
       window.forall { case (lo, hi) => e.ts > lo && e.ts <= hi }
     val selected: Seq[ScbfDiscovery.Entry] = limit match {
@@ -1017,7 +1021,7 @@ case class GraftDescribeHistoryCommand(table: String,
         while (it.hasNext && !stop) {
           val d = it.next()
           if (heap.size >= n &&
-              ScbfDiscovery.deltaMillis(d).exists(_ < heap.head._1)) stop = true
+              instants.get(d).exists(_ < heap.head._1)) stop = true
           else ScbfDiscovery.readDeltaStream(qroot, conf, d) { e =>
             val key = (e.ts, e.name)
             if (!inWindow(e)) {

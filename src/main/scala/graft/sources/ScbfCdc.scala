@@ -289,7 +289,13 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
    * uncaptured-mutation / swept-retention / bypassed-producer.
    */
   private[sources] def enumerateBetween(conf: Configuration, rootDir: String,
-      lo: Long, hi: Long, reconcile: Boolean): Seq[ChangeFile] = {
+      lo: Long, hi: Long, reconcile: Boolean,
+      // audit floor override: a PERIODIC (every-Nth-trigger) stream
+      // audit must cover every file written since the LAST audit, not
+      // just since this trigger's start — a sliding per-trigger bound
+      // would let a bypassed file written between audits age out of
+      // every window it is checked against
+      auditSince: Option[Long] = None): Seq[ChangeFile] = {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(conf)
     val qroot = fs.makeQualified(root)
@@ -326,14 +332,20 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
     }
 
     // ts → commit ordinal over the CURRENT chain: an entry stamped t
-    // belongs to the first chain delta whose name-millis is ≥ t (the
-    // commit clock separates successive commits strictly, and a delta's
-    // name-millis bounds its own entry stamps from above). Exact for
+    // belongs to the first chain delta whose publication instant is
+    // ≥ t (the commit clock separates successive commits strictly, and
+    // a delta's instant — v1 name millis / v2 tsb- marker — bounds its
+    // own entry stamps from above; a markerless crashed delta falls
+    // back to one small read of its max entry stamp). Exact for
     // span-1 deltas; a fold's interior resolves through the entry's own
     // V: tag instead (folds stamp ordinals as they fold — see compact).
+    val chainListing = ScbfDiscovery.listLog(qroot, conf)
     val chainBounds: Seq[(Long, Int, Int)] =
       ScbfDiscovery.versionedChain(qroot, conf).flatMap { case (n, f, l) =>
-        ScbfDiscovery.deltaMillis(n).map(m => (m, l, l - f + 1))
+        chainListing.instants.get(n)
+          .orElse(ScbfDiscovery.readDelta(qroot, conf, n)
+            .iterator.map(_.ts).maxOption)
+          .map(m => (m, l, l - f + 1))
       }
     def versionOf(e: ScbfDiscovery.Entry): Option[Int] =
       e.commitVersion.orElse(chainBounds.find(_._1 >= e.ts) match {
@@ -361,9 +373,17 @@ object ScbfCdc extends org.apache.spark.internal.Logging {
     // changedFilesBetween's reconcile; connector-only pipelines can
     // opt out and keep planning at O(changes))
     if (reconcile) {
-      val announced = entries.map(_.name).toSet
+      val auditLo = auditSince.getOrElse(lo)
+      val announced = entries.map(_.name).toSet ++ (
+        // a widened audit floor reaches back across already-delivered
+        // triggers, whose announced files this replay no longer holds
+        // — re-list the chain's announcements for the widened span so
+        // legitimately-announced files don't read as bypassed
+        if (auditLo < lo)
+          ScbfDiscovery.replayEntriesAfter(qroot, conf, auditLo, refuse).keySet
+        else Set.empty[String])
       val bypassed = ScbfDataSource.resolveFiles(Seq(qroot.toString), conf)
-        .filter(_.getModificationTime > lo)
+        .filter(_.getModificationTime > auditLo)
         .map(f => relName(fs, qroot, f.getPath))
         .filterNot(announced)
       if (bypassed.nonEmpty)

@@ -92,7 +92,12 @@ class ScbfCdcMicroBatchStream(
     // (costs one table listing per trigger — default off; run the
     // batch TABLE CHANGES read periodically for the audit instead)
     reconcile: Boolean = false,
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    // every-Nth-trigger reconcile cadence (r15): a long-lived mirror
+    // gets the bypassed-producer audit without paying a table listing
+    // per trigger — an injected foreign file fails the stream within
+    // N triggers with the batch refusal text
+    reconcileEvery: Option[Int] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.internal.Logging {
 
@@ -138,17 +143,28 @@ class ScbfCdcMicroBatchStream(
               "(DESCRIBE HISTORY <tbl>).")
         ms
       case None =>
-        // latest: the newest delta's name millis bounds every entry
-        // stamped so far from above, and every future commit stamps
-        // strictly past it (the cross-process commit clock). A FRESH
-        // SHALLOW CLONE has no log yet (its history begins with its
-        // first append) — "latest" is the stream-start instant, so the
-        // mirror-setup order clone→stream→append just works: the first
-        // post-start commit is the first delivery, and the instant is
-        // ≥ the branch point by construction (no branch-guard refusal).
-        ScbfDiscovery.listDeltas(qroot, conf)
-          .flatMap(ScbfDiscovery.deltaMillis).maxOption
-          .getOrElse(if (isClone) System.currentTimeMillis() else 0L)
+        // latest: the newest commit's publication instant bounds every
+        // entry stamped so far from above, and every future commit
+        // stamps strictly past it (the cross-process commit clock +
+        // ordinal CAS). A FRESH SHALLOW CLONE has no log yet (its
+        // history begins with its first append) — "latest" is the
+        // branch point, so the mirror-setup order clone→stream→append
+        // just works: the first post-start commit is the first
+        // delivery, and the instant is ≥ the branch point by
+        // construction (no branch-guard refusal).
+        ScbfDiscovery.newestCommitInstant(qroot, conf)
+          .getOrElse(None)
+          .getOrElse(if (isClone) {
+            // TABLE-SIDE instant, not the stream driver's wall clock:
+            // the ref list's mtime is stamped by the clone's WRITER
+            // filesystem, so a stream driver whose clock runs ahead of
+            // the writer's commit clock can never persist a start above
+            // the clone's first post-start commits and silently skip
+            // them. (The ref is readable here — isClone just was true;
+            // a racing ref removal falls back to the driver clock.)
+            try fs.getFileStatus(ScbfClone.refPath(qroot)).getModificationTime
+            catch { case scala.util.control.NonFatal(_) => System.currentTimeMillis() }
+          } else 0L)
     }
     cfs.mkdirs(startFile.getParent)
     val tmp = new Path(startFile.getParent, s".${startFile.getName}.tmp")
@@ -178,8 +194,13 @@ class ScbfCdcMicroBatchStream(
    * across two offsets). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[ScbfCdcOffset].ts
-    val candidates = ScbfDiscovery.listDeltas(qroot, conf)
-      .flatMap(n => ScbfDiscovery.deltaMillis(n).map(m => (n, m)))
+    val listing = ScbfDiscovery.listLog(qroot, conf)
+    val candidates = listing.deltas
+      .flatMap(n => listing.instants.get(n)
+        // markerless crashed delta: one small read bounds it
+        .orElse(ScbfDiscovery.readDelta(qroot, conf, n)
+          .iterator.map(_.ts).maxOption)
+        .map(m => (n, m)))
       .filter(_._2 > lo).sortBy(_._2)
     if (candidates.isEmpty) return start
     val end = limit match {
@@ -217,20 +238,42 @@ class ScbfCdcMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     ScbfCdcOffset(json.trim.toLong)
 
+  private val triggerTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  // floor of the NEXT periodic audit: everything written since the
+  // last audit gets examined, so a bypassed file can never age out of
+  // the sliding trigger windows between two audits
+  @volatile private var lastAuditLo: Long = Long.MinValue
+  // one-window plan MEMO: Spark re-invokes planInputPartitions for the
+  // SAME offsets several times per trigger (batch construction + each
+  // foreachBatch action re-plans the v2 scan) — the enumeration is
+  // deterministic for a window, so re-deriving it only re-pays the
+  // bounded log replay 3-4x per trigger for nothing
+  @volatile private var lastPlan: (Long, Long, Array[InputPartition]) = null
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ScbfCdcOffset].ts
     val hi = end.asInstanceOf[ScbfCdcOffset].ts
     if (hi <= lo) return Array.empty
-    val files = ScbfCdc.enumerateBetween(conf, rootDir, lo, hi, reconcile)
+    val memo = lastPlan
+    if (memo != null && memo._1 == lo && memo._2 == hi) return memo._3
+    if (lastAuditLo == Long.MinValue) lastAuditLo = lo
+    val periodic =
+      reconcileEvery.exists(n => triggerTick.incrementAndGet() % n == 0)
+    val audit = reconcile || periodic
+    val auditSince = if (periodic) Some(math.min(lastAuditLo, lo)) else None
+    val files = ScbfCdc.enumerateBetween(conf, rootDir, lo, hi, audit, auditSince)
+    if (periodic) lastAuditLo = hi
     // stats-based file skipping, same Pruner and same soundness
     // argument as the main stream: every pushed filter stays residual
     // in the plan, so a skipped file only drops rows the filter would
     // drop (retained victims keep their sidecars through retention)
     val pruner = new ScbfStats.Pruner(conf, pushedFilters)
-    pruner.keepAll(files)(f => new Path(f.path), _.len)
+    val planned = pruner.keepAll(files)(f => new Path(f.path), _.len)
       .map(f => ScbfCdcPartition(f.path, f.len, f.changeType,
         f.version.map(Integer.valueOf).orNull, f.ts): InputPartition)
       .toArray
+    lastPlan = (lo, hi, planned)
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -344,7 +387,8 @@ class ScbfCdcScanBuilder(
     conf: Configuration,
     streamStart: Option[Either[Long, Int]],
     maxFilesPerTrigger: Option[Int],
-    reconcile: Boolean)
+    reconcile: Boolean,
+    reconcileEvery: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -380,6 +424,7 @@ class ScbfCdcScanBuilder(
 
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new ScbfCdcMicroBatchStream(required, rootDir, conf,
-        checkpointLocation, streamStart, maxFilesPerTrigger, reconcile, pushed.toSeq)
+        checkpointLocation, streamStart, maxFilesPerTrigger, reconcile,
+        pushed.toSeq, reconcileEvery)
   }
 }

@@ -667,8 +667,21 @@ class ScbfTable(
         v.toBooleanOption.getOrElse(throw new ScbfFormatException(
           s"cdcReconcile must be true or false, got '$v'"))
       }
+      // every-Nth-trigger cadence for the bypassed-producer audit —
+      // the long-lived-mirror middle ground between per-trigger
+      // cdcReconcile (a table listing every trigger) and none (trust
+      // the connector-only pipeline forever); same knob shape as the
+      // main stream's reconcileEvery
+      val cdcReconcileEvery = Option(options.get("cdcReconcileEvery"))
+        .map { v =>
+          val n = v.toIntOption.getOrElse(throw new ScbfFormatException(
+            s"cdcReconcileEvery must be a positive integer, got '$v'"))
+          if (n <= 0) throw new ScbfFormatException(
+            s"cdcReconcileEvery must be positive, got $n")
+          n
+        }
       return new ScbfCdcScanBuilder(schema, rootDir, conf, streamStart,
-        maxFiles, cdcReconcile)
+        maxFiles, cdcReconcile, cdcReconcileEvery)
     }
     if ((sinceMs.isEmpty && sinceV.isEmpty) &&
         (untilMs.nonEmpty || untilV.nonEmpty))

@@ -328,6 +328,13 @@ object ScbfDelete {
    * commit lands in. Specs inject a conflicting commit here. */
   private[sources] var postPublishHook: () => Unit = () => ()
 
+  /** Test seam for the OCC pre-publish window: invoked after the
+   * pre-commit conflict check passes and before the round's
+   * replacement publishes — a racer committing HERE serializes at a
+   * LOWER ordinal than this round's commit, making this round the
+   * arbitration loser at its recheck. */
+  private[sources] var prePublishHook: () => Unit = () => ()
+
   /**
    * The shared rewrite engine for DELETE/UPDATE with the
    * CONCURRENT-APPEND GUARD: each round (1) lists the directory,
@@ -421,18 +428,46 @@ object ScbfDelete {
     // aborted-rewrite scrub path managed schema rewrites use). An
     // UNVERIFIABLE recheck (replay failure) rolls back too — fail
     // closed, never leave announced entries Spark's abort then orphans.
-    // Residuals, stated honestly: two racers that both publish before
-    // either re-checks BOTH abort (safe — retry cures; single-loser
-    // arbitration needs the ordinal-CAS commit protocol), and a racer
-    // that fully commits inside another's publish-to-removal window
-    // can bake coexistence duplicates into its own output before the
-    // loser's rollback lands (see ScbfOcc scaladoc).
+    // Arbitration (round 15, on the ordinal-CAS protocol): of two
+    // racers that both published, exactly the HIGHER ordinal rolls
+    // back at its recheck — single-loser, no retry storm (see
+    // ScbfOcc scaladoc).
     // Cost: one bounded replay of the post-snapshot deltas per check —
     // noise next to the rewrite IO.
-    def postSnapEntries(snapTs: Long): Seq[ScbfDiscovery.Entry] =
+    def postSnapEntries(snapTs: Long): Seq[(ScbfDiscovery.Entry, String)] =
       ScbfOcc.entriesAfter(qdir, conf, snapTs,
         why => throw new graft.scbf.ScbfFormatException(
           s"$op on $dir: cannot verify concurrent-commit safety — $why"))
+    // ---- rewrite-transparent listing (the coexistence fix — see
+    // ScbfOcc.recordedVictims): names the log records as another
+    // commit's victims are dead originals pending removal; planning
+    // them would double their rows with their replacements'. The full
+    // chain replays ONCE per operation; each round extends the set
+    // with commits that landed since (one bounded replay from the
+    // op-start instant — the same bill the recheck pays).
+    def refuseVictims(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"$op on $dir: cannot verify the listing's rewrite-transparency " +
+          s"— $why")
+    val opStartTs: Option[Long] = ScbfOcc.snapshot(qdir, conf, refuseVictims)
+    val opVictims: Map[String, Seq[ScbfDiscovery.Entry]] =
+      if (opStartTs.isEmpty) Map.empty
+      else ScbfOcc.recordedVictims(qdir, conf, refuseVictims)
+    def recordedVictimsNow(): Map[String, Seq[ScbfDiscovery.Entry]] =
+      opStartTs match {
+        case Some(t0) =>
+          val late = postSnapEntries(t0).map(_._1)
+            .flatMap(e => e.rewriteOf.map(_ -> e))
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          (opVictims.keySet ++ late.keySet).iterator.map(v =>
+            v -> (opVictims.getOrElse(v, Nil) ++ late.getOrElse(v, Nil))).toMap
+        case None =>
+          // no chain at op start: any chain that appears mid-op is
+          // young and cheap to replay whole
+          if (ScbfDiscovery.exists(qdir, conf))
+            ScbfOcc.recordedVictims(qdir, conf, refuseVictims)
+          else Map.empty
+      }
     def refuseConflict(found: Seq[String], phase: String): Unit =
       if (found.nonEmpty) throw new graft.scbf.ScbfFormatException(
         ScbfOcc.refusalMessage(s"$op on $dir", found, phase))
@@ -441,9 +476,30 @@ object ScbfDelete {
       round += 1
       // newest published commit instant BEFORE this round's listing:
       // anything stamped after it committed concurrently with the
-      // round; None (no usable chain) skips OCC — see ScbfOcc.snapshot
-      val snapTs: Option[Long] = ScbfOcc.snapshot(qdir, conf)
-      val listed = listCandidates()
+      // round; None (genuinely no chain) skips OCC, a FAILED listing
+      // refuses — see ScbfOcc.snapshot
+      val snapTs: Option[Long] = ScbfOcc.snapshot(qdir, conf,
+        why => throw new graft.scbf.ScbfFormatException(
+          s"$op on $dir: cannot verify concurrent-commit safety — $why"))
+      // the rewrite-transparent VIEW: recorded victims whose
+      // replacements are themselves listed (or whose takedown is
+      // recorded) are dead bytes — excluded from the round's whole
+      // universe, the empty-table guard's included
+      val listedRaw = listCandidates()
+      val listedNames = listedRaw.iterator.flatMap(f =>
+        Seq(f.getPath.getName, ScbfCdc.relName(dfs, qdir, f.getPath))).toSet
+      val victimRecords = recordedVictimsNow()
+      val dead = ScbfOcc.deadAmong(listedNames, victimRecords,
+        listedNames.contains) // listCandidates is unpruned — sound universe
+      def isDead(f: org.apache.hadoop.fs.FileStatus): Boolean =
+        dead.contains(f.getPath.getName) ||
+          dead.contains(ScbfCdc.relName(dfs, qdir, f.getPath))
+      // HEAL pending removals while we're here (the re-run cure for a
+      // crashed takedown: complete it, don't skip it) — idempotent
+      // against a live owner finishing its own removal concurrently
+      ScbfOcc.completePendingRemovals(dfs, qdir, conf,
+        listedRaw.filter(isDead), victimRecords)
+      val listed = listedRaw.filterNot(isDead)
       val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
           ourPrefixes.exists(f.getPath.getName.startsWith))
@@ -504,6 +560,7 @@ object ScbfDelete {
       snapTs.foreach(st => refuseConflict(
         ScbfOcc.conflicts(postSnapEntries(st), affectedNames, selfName),
         "detected before publish"))
+      prePublishHook()
       val tag = if (cdcOn) Some(ScbfCdc.newTag(op.toLowerCase(java.util.Locale.ROOT))) else None
       val srcOpt =
         if (rewriteSet.isEmpty) None
@@ -603,19 +660,23 @@ object ScbfDelete {
       // files it cannot identify from the log are re-derived from the
       // round's prefix by one directory listing, the degraded path.
       val postOrFail = snapTs match {
-        case None => Right(Seq.empty[ScbfDiscovery.Entry]) // no chain at snapshot: no OCC
+        case None => Right(Seq.empty[(ScbfDiscovery.Entry, String)]) // no chain at snapshot: no OCC
         case Some(st) =>
           try Right(postSnapEntries(st))
           catch { case e: graft.scbf.ScbfFormatException => Left(e) }
       }
       val publishedNames = postOrFail match {
-        case Right(post) => post.map(_.name).filter(_.startsWith(prefix)).toSet
+        case Right(post) => post.map(_._1.name).filter(_.startsWith(prefix)).toSet
         case Left(_) => ScbfDataSource.resolveFiles(Seq(dir), conf)
           .map(_.getPath.getName).filter(_.startsWith(prefix)).toSet
       }
       val lateConflicts = postOrFail match {
         case Right(post) => ScbfOcc.conflicts(post, affectedNames, selfName,
-          ourOutputs = publishedNames)
+          ourOutputs = publishedNames,
+          // single-loser arbitration: our commit's ordinal, read off
+          // the same replay (the delta that announced our outputs —
+          // or, on a metadata-only round, our removal sentinel)
+          ourOrd = ScbfOcc.ourOrdinal(post, publishedNames + removalName))
         case Left(e) => Seq(s"UNVERIFIABLE (${e.getMessage})")
       }
       if (lateConflicts.nonEmpty) {

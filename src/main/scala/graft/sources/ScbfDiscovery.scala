@@ -20,8 +20,11 @@ import org.apache.hadoop.fs.Path
  * holding small immutable DELTA files, one appended per committing
  * write (batch job commit, streaming epoch commit). Each delta lists
  * the files that commit published as `name\tlen\tmtime` lines under a
- * `discovery\t1` header, published via temp + atomic rename. Delta
- * names are unique (millis + uuid) and never reused.
+ * `discovery\t1` header, published via an atomic exclusive-create of
+ * the ordinal-carrying name itself (the round-15 ordinal-CAS
+ * protocol — see the name-format section below; pre-round-15 chains
+ * keep their millis+uuid names and read unchanged). Delta names are
+ * never reused.
  *
  * Consumer contract ([[ScbfMicroBatchStream]]): a stream's FIRST
  * trigger takes a full directory listing as its baseline and marks
@@ -365,8 +368,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * reconcile listing). */
   def append(table: Path, conf: Configuration, entries: Seq[Entry]): Unit =
     try {
-      if (entries.nonEmpty) {
-        writeDelta(table, conf, entries)
+      if (entries.nonEmpty && writeDelta(table, conf, entries).isDefined) {
         deltaAppends.incrementAndGet()
         if (listDeltas(table, conf).size > CompactThreshold) compact(table, conf)
       }
@@ -409,41 +411,92 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           s"$OverwriteBoundaryPrefix${java.util.UUID.randomUUID().toString.take(8)}$RemovalSuffix",
           RemovedLen, entries.headOption.fold(System.currentTimeMillis())(_.ts),
           rowsChanged = true) +: entries
-      if (announced.nonEmpty) {
-        writeDelta(table, conf, announced, preserveTs = preserveTs)
+      if (announced.nonEmpty &&
+          writeDelta(table, conf, announced, preserveTs = preserveTs).isDefined)
         deltaAppends.incrementAndGet()
-      }
     } catch { case NonFatal(_) => () }
 
-  /** `true` for a compaction-snapshot delta — the `-fold-` name marker
-   * lets the commit view ([[commitChain]] consumers) distinguish "one
-   * commit" from "the union of every commit folded so far" without a
-   * format change: names were always opaque beyond their sort order,
-   * so old logs (unmarked folds) and old readers both keep working. */
-  def isFold(name: String): Boolean = name.contains("-fold-")
+  // ---- delta NAME formats -------------------------------------------
+  //
+  // v1 (rounds ≤14): `delta-<millis13>-[fold-<span>-s-]<uuid8>` — the
+  //   sort axis is the publication millisecond; ordinals are DERIVED
+  //   from stamp order (the documented distinct-millisecond interleave
+  //   residual). Still read everywhere; never written again.
+  // v2 (round 15, the ordinal-CAS protocol — Delta's `N.json` shape):
+  //   `delta-v<last>%010d` for a plain commit at ordinal <last>, and
+  //   `delta-v<last>%010df<span>%010ds[<gen>]` for a fold covering
+  //   ordinals [last-span+1, last] (folds always fold the whole prefix,
+  //   so first = 0 in practice; <gen> disambiguates a same-range
+  //   re-fold — the scrub path). The ORDINAL is the name: publication
+  //   is an atomic exclusive-create of the name itself, so two racers
+  //   for one slot get consecutive ordinals with a retrying (not
+  //   aborting) loser, and readers sort by commit order directly.
+  //   'v' > any digit, so every v2 name sorts AFTER every v1 name —
+  //   mixed chains (an old table's new commits) order correctly with
+  //   no migration step; the next compaction folds the whole chain
+  //   into one v2 fold.
+  //   A v2 delta's publication INSTANT lives in a sibling marker file
+  //   `tsb-<nameSuffix>-<millis13>` (see [[listLog]]) — name-only
+  //   instants are what keep early-stop bounds, the commit-clock
+  //   floor and CDC stream offsets O(0 reads); a lost marker (crash
+  //   between publish and marker) only degrades those to one small
+  //   delta read, never to wrong results.
+
+  private val V2Re = """^delta-v(\d{10})(?:f(\d{10})s(\d*))?$""".r
+
+  /** v2 name → the LAST ordinal the delta renders (a plain commit's
+   * own ordinal; a fold's newest covered ordinal). None on v1 names.
+   * This is the name's SORT/claim key; actual ordinals remain the
+   * positional walk of [[versionedChain]] (the two agree on every
+   * healthy chain — publication is atomic, so claimed slots cannot be
+   * left torn; only external corruption could make them diverge, and
+   * then position order is still well-defined). */
+  def claimedLast(name: String): Option[Int] = name match {
+    case V2Re(v, _, _) => Some(v.toInt)
+    case _ => None
+  }
+
+  /** v2 name → the claimed ordinal range [first, last] it covers. */
+  def claimedRange(name: String): Option[(Int, Int)] = name match {
+    case V2Re(v, null, _) => Some((v.toInt, v.toInt))
+    case V2Re(v, sp, _) => val l = v.toInt; Some((l - sp.toInt + 1, l))
+    case _ => None
+  }
+
+  /** `true` for a compaction-snapshot delta — v1's `-fold-` marker or
+   * a v2 `f<span>s` name. Lets the commit view ([[commitChain]]
+   * consumers) distinguish "one commit" from "the union of every
+   * commit folded so far". */
+  def isFold(name: String): Boolean = name match {
+    case V2Re(_, sp, _) => sp != null
+    case _ => name.contains("-fold-")
+  }
 
   /** `true` for a fold written with its entries SORTED by (ts, name)
-   * (round 13 — the `-s-` name segment; folds written earlier are
-   * unmarked and read whole). Sorting is what makes a fold BISECTABLE:
-   * the bounded feed replay seeks to the first post-`lo` line instead
-   * of streaming the whole snapshot, turning the fold-containing
+   * (round 13's `-s-` segment; every v2 fold — sorting is part of the
+   * v2 fold contract). Sorting is what makes a fold BISECTABLE: the
+   * bounded feed replay seeks to the first post-`lo` line instead of
+   * streaming the whole snapshot, turning the fold-containing
    * window's byte cost from O(table history) into O(log n seeks +
-   * post-lo bytes) — the ADVICE r12 fold caveat, closed. Entry order
-   * inside a delta never carried meaning (readers build maps), so the
-   * change is compatible in both directions. */
-  def isSortedFold(name: String): Boolean =
-    isFold(name) && name.contains("-s-")
+   * post-lo bytes). Entry order inside a delta never carried meaning
+   * (readers build maps), so the change is compatible both ways. */
+  def isSortedFold(name: String): Boolean = name match {
+    case V2Re(_, sp, _) => sp != null
+    case _ => isFold(name) && name.contains("-s-")
+  }
 
   /** The number of versions a fold snapshot REPRESENTS, recorded in
-   * its name (`delta-<millis>-fold-<span>-<uuid>`) so commit ordinals
-   * stay durable across compaction: a fold covering spans [v, v+span)
-   * keeps every later commit's ordinal exactly what it was before the
-   * fold. None on a pre-span fold name (`delta-<millis>-fold-<uuid>` —
-   * the uuid never contains a dash, so the `-fold-<digits>-` shape
-   * cannot false-match it); those degrade to span 1, the historical
-   * renumbering behavior. */
-  def foldedSpan(name: String): Option[Int] =
-    FoldSpanRe.findFirstMatchIn(name).map(_.group(1).toInt)
+   * its name (v1 `delta-<millis>-fold-<span>-<uuid>`, v2 `f<span>s`)
+   * so commit ordinals stay durable across compaction: a fold
+   * covering spans [v, v+span) keeps every later commit's ordinal
+   * exactly what it was before the fold. None on a pre-span v1 fold
+   * name (`delta-<millis>-fold-<uuid>` — the uuid never contains a
+   * dash, so `-fold-<digits>-` cannot false-match it); those degrade
+   * to span 1, the historical renumbering behavior. */
+  def foldedSpan(name: String): Option[Int] = name match {
+    case V2Re(_, sp, _) if sp != null => Some(sp.toInt)
+    case _ => FoldSpanRe.findFirstMatchIn(name).map(_.group(1).toInt)
+  }
 
   private val FoldSpanRe = """-fold-(\d+)-""".r
 
@@ -453,11 +506,87 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
   def versionSpan(name: String): Int =
     if (isFold(name)) foldedSpan(name).getOrElse(1) else 1
 
-  /** A delta name's creation-millis prefix (used for newest-first
+  /** A v1 delta name's creation-millis prefix (used for newest-first
    * early-stop bounds: every entry in a delta was stamped at or before
-   * the delta's own publication). None on an alien name. */
+   * the delta's own publication). None on v2 and alien names — v2
+   * instants come from the `tsb-` markers via [[listLog]]. */
   def deltaMillis(name: String): Option[Long] =
-    name.split('-').lift(1).flatMap(_.toLongOption)
+    if (name.startsWith("delta-v")) None
+    else name.split('-').lift(1).flatMap(_.toLongOption)
+
+  // ---- log-directory listing with per-delta instants ----------------
+
+  /** Publication-instant marker name for a v2 delta (best-effort
+   * sibling file, created right after the delta publishes). */
+  private def markerName(delta: String, millis: Long): String =
+    f"tsb-${delta.stripPrefix("delta-")}-$millis%013d"
+
+  /** One listing of the log dir: the chain's delta names plus each
+   * delta's publication-instant upper bound where one is knowable
+   * without a content read — v1 names carry it in the name, v2 names
+   * in their `tsb-` marker. A delta absent from `instants` (marker
+   * lost to a crash between publish and marker) has no free bound:
+   * early-stops read it, the commit-clock floor reads its max entry
+   * stamp — degraded cost, identical results. */
+  final case class LogListing(deltas: Seq[String], instants: Map[String, Long])
+
+  /** [[LogListing]] as a Try — the one listing variant that can tell
+   * "the log dir is genuinely absent" (Success with no deltas) from
+   * "the listing FAILED" (Failure). OCC snapshots need the
+   * distinction: a transient listing error must fail the mutation
+   * closed, not silently skip the write-write conflict check. */
+  def tryListLog(table: Path, conf: Configuration): scala.util.Try[LogListing] =
+    scala.util.Try {
+      val d = dir(table)
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) LogListing(Seq.empty, Map.empty)
+      else {
+        val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        val deltas = names.filter(n =>
+          n.startsWith("delta-") && !n.endsWith(".tmp"))
+        val markers = names.iterator.filter(_.startsWith("tsb-")).flatMap { n =>
+          // tsb-<suffix>-<millis13>: millis after the LAST dash (v2
+          // name suffixes contain no dash)
+          val cut = n.lastIndexOf('-')
+          if (cut <= 4) None
+          else n.drop(cut + 1).toLongOption
+            .map(m => s"delta-${n.substring(4, cut)}" -> m)
+        }.toMap
+        val instants = deltas.iterator.flatMap(n =>
+          deltaMillis(n).orElse(markers.get(n)).map(n -> _)).toMap
+        LogListing(deltas, instants)
+      }
+    }
+
+  /** [[tryListLog]] degraded to empty on failure — for the best-effort
+   * surfaces where a missed listing only costs freshness. */
+  def listLog(table: Path, conf: Configuration): LogListing =
+    tryListLog(table, conf).getOrElse(LogListing(Seq.empty, Map.empty))
+
+  /** The newest persisted commit instant — the OCC snapshot point.
+   * Success(None) = the table has no chain (nothing announced to
+   * conflict with); Failure = the listing (or a markerless delta's
+   * fallback read) failed and the caller must fail CLOSED. The bound
+   * is ≥ every published entry stamp and < every future commit's
+   * stamps (the commit-clock floor), exactly the replay contract. */
+  def newestCommitInstant(table: Path, conf: Configuration): scala.util.Try[Option[Long]] =
+    tryListLog(table, conf).flatMap { l =>
+      if (l.deltas.isEmpty) scala.util.Success(None)
+      else scala.util.Try {
+        val known = l.deltas.flatMap(l.instants.get)
+        val unknown = l.deltas.filterNot(l.instants.contains).map { n =>
+          // markerless delta (crashed writer): its max entry stamp is
+          // a valid bound — the floor guarantees later commits stamp
+          // strictly past it. Unreadable → throw → caller fails closed.
+          val e = readDelta(table, conf, n)
+          if (e.isEmpty) throw new graft.scbf.ScbfFormatException(
+            s"discovery delta $n at $table is unreadable or empty — the " +
+              "OCC snapshot cannot bound it")
+          e.iterator.map(_.ts).max
+        }
+        Some((known ++ unknown).max)
+      }
+    }
 
   /** The current commit chain, oldest-first — the total order
    * `VERSION AS OF n` indexes (version n = the state after the n-th
@@ -469,7 +598,28 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * refuse loudly; the fold's last ordinal and everything after it
    * render exactly as before). Timestamps remain the finest axis. */
   def commitChain(table: Path, conf: Configuration): Seq[String] =
-    listDeltas(table, conf).sorted
+    subsume(listDeltas(table, conf).sorted)
+
+  /** Drop v2 deltas whose claimed ordinal range another v2 delta's
+   * range covers — the transient fold window (a fold published, its
+   * folded deltas not yet deleted), concurrent folds that saw chains
+   * of different lengths, and a scrub's same-range re-fold (larger
+   * generation wins; its entries are the rewritten truth) all resolve
+   * deterministically instead of double-counting spans. v1 names have
+   * no claimed range and keep their historical (transient-double-
+   * count) behavior. Input must be sorted; order is preserved. */
+  private[sources] def subsume(sorted: Seq[String]): Seq[String] = {
+    val ranged = sorted.flatMap(n => claimedRange(n).map(n -> _))
+    if (ranged.size <= 1) sorted
+    else sorted.filter { n =>
+      claimedRange(n) match {
+        case None => true
+        case Some((f, l)) => !ranged.exists { case (m, (f2, l2)) =>
+          m != n && f2 <= f && l <= l2 &&
+            (l2 - f2 > l - f || (f2 == f && l2 == l && m > n)) }
+      }
+    }
+  }
 
   /** The chain with each delta's ordinal span: (name, firstVersion,
    * lastVersion), oldest-first. `lastVersion` is the state the delta
@@ -534,100 +684,115 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * timestamp any commit has published. [[writeDelta]] shifts a new
    * commit's entries past it, so two commits can never share a
    * millisecond — which is what makes `versionTs`'s max-entry-ts → the
-   * time axis mapping EXACT instead of "exact up to ms granularity"
-   * (the round-11 documented ambiguity: a commit n+1 landing in commit
-   * n's millisecond leaked into version n's rendering).
+   * time axis mapping EXACT instead of "exact up to ms granularity".
    *
-   * CROSS-PROCESS enforcement (round 13) — two layers on top of the
-   * in-memory clock:
-   *  1. the PERSISTED floor: every commit re-reads the newest
-   *     persisted delta-name millis (one listing of the small,
-   *     compaction-bounded log dir — the same dir the post-commit
-   *     fold check lists anyway) and raises the clock to it, so ANY
-   *     sequentially-interleaved writers — separate JVMs, restarts,
-   *     NTP-stepped wall clocks — produce strictly increasing stamps
-   *     and ordinals. This subsumes the old seed-once-per-JVM rule.
-   *  2. the CLAIM file: before publishing, the commit claims its
-   *     name-millisecond by exclusive create of
-   *     `.scbf.discovery/claim-<millis>` — a SECOND process racing
-   *     into the same millisecond loses the claim, raises its clock
-   *     past it, restamps and retries (bounded). Claims are
-   *     best-effort (an erroring filesystem passes rather than
-   *     wedging commits; exhausted retries publish anyway — delta
-   *     names are uuid-unique, so nothing is ever lost) and are swept
-   *     by compaction once an hour stale.
-   * Residual, stated honestly: two processes that BOTH stamp inside
-   * the same listing-latency window under DISTINCT wall-clock
-   * milliseconds can still interleave entry stamps (their claims
-   * don't collide); ordinals and delta contents remain correct —
-   * only the commit-boundary time axis can blur, and every connector
-   * surface that commits rapidly runs through one driver. */
+   * CROSS-PROCESS enforcement (round 15 — the ordinal-CAS protocol
+   * replaces round 13's millisecond claims):
+   *  1. the PERSISTED floor: every commit raises the clock to the
+   *     newest persisted commit instant (v1 name millis + v2 `tsb-`
+   *     markers from ONE listing of the small, compaction-bounded log
+   *     dir; a markerless crashed head is bounded by one read of its
+   *     max entry stamp) — so ANY sequentially-interleaved writers,
+   *     separate JVMs, restarts, NTP-stepped wall clocks produce
+   *     strictly increasing stamps.
+   *  2. the ordinal CAS itself: two processes stamping CONCURRENTLY
+   *     collide on the same `delta-v<K>` name; exactly one publishes,
+   *     and the loser raises its clock past the winner's ACTUAL max
+   *     entry stamp (one small read of the winning delta) before
+   *     restamping and retrying at K+1 — so entry stamps follow the
+   *     ordinal serialization order exactly. The round-13 residual
+   *     (two processes stamping distinct milliseconds inside one
+   *     listing-latency window could interleave the time axis) is
+   *     closed: every concurrent pair hits the CAS. */
   private val commitClock =
     new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
 
-  private val MaxClaimAttempts = 64
+  private val MaxCasAttempts = 64
 
-  /** Exclusive-create claim of one publication millisecond. True =
-   * claimed (or the filesystem cannot support the probe — claims are
-   * best-effort); false = another process holds this millisecond. */
-  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, d: Path,
-      millis: Long): Boolean = {
-    val p = new Path(d, f"claim-$millis%013d")
-    try {
-      if (fs.exists(p)) false
-      else { fs.create(p, false).close(); true }
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case NonFatal(_) =>
-        // unverifiable ≠ contested: claims harden the time axis; they
-        // must never wedge a commit on a store that can't create them
-        try !fs.exists(p) catch { case NonFatal(_) => true }
-    }
+  /** The claimed ordinal of the NEXT commit: one past the newest
+   * claimed ordinal any v2 name records (name-only — no content
+   * reads), or the v1 chain's total span when no v2 commit exists yet
+   * (the first CAS commit of an upgraded table continues the old
+   * numbering). */
+  private def nextOrdinal(deltas: Seq[String]): Int = {
+    val v2 = deltas.flatMap(claimedLast)
+    if (v2.nonEmpty) v2.max + 1
+    else deltas.map(versionSpan).sum
+  }
+
+  /** Publish `tmp` at `target` EXCLUSIVELY or fail — the CAS
+   * primitive. Local filesystems use a java.nio hard link (atomic
+   * O_EXCL at the syscall layer; Hadoop's local rename silently
+   * overwrites and its create(overwrite=false) is check-then-act).
+   * Everything else uses rename, atomic no-overwrite on HDFS; object
+   * stores degrade to a best-effort exists check — the same trust
+   * level Delta needs a commit service for there, documented. True =
+   * this process owns the name and the content is fully visible;
+   * false = another writer owns it (retry at the next ordinal). */
+  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path): Boolean = {
+    val local = Option(fs.getUri.getScheme).forall(_ == "file")
+    if (local) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try fs.rename(tmp, target)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
   }
 
   /** Test seam: simulate a driver restart (clears every in-memory
    * clock, forcing the next commit to re-seed from the chain). */
   private[sources] def resetCommitClocks(): Unit = commitClock.clear()
 
+  /** Test seam: invoked between ordinal computation and the CAS
+   * publish — the window a racing writer's commit lands in. */
+  private[sources] var casRaceHook: () => Unit = () => ()
+
+  /** Write one delta via the ordinal-CAS protocol. Returns the
+   * published name, or None when the CAS lost [[MaxCasAttempts]]
+   * times (pathological contention — the best-effort announce
+   * contract applies: files are published, reconcile repairs). */
   private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry],
-      foldSpan: Int = 0, preserveTs: Boolean = false): Unit = {
+      foldSpan: Int = 0, preserveTs: Boolean = false): Option[String] = {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
     // folds and history rewrites preserve entry stamps VERBATIM (they
     // re-announce old history); only genuinely new commits ride the
     // monotonic clock
-    val (stamped, claimedMillis) =
-      if (preserveTs || foldSpan > 0 || entries.isEmpty) (entries, None)
-      else {
-        val clock = commitClock.computeIfAbsent(
-          fs.makeQualified(d).toString, _ => new AtomicLong(Long.MinValue))
-        // cross-process floor (see commitClock scaladoc): raise the
-        // in-memory clock to the newest PERSISTED delta-name millis —
-        // always ≥ every stamp that delta holds (the early-stop
-        // invariant) — so sequentially-interleaved writers from other
-        // processes, restarts and NTP steps can never stamp inside an
-        // already-published commit's millisecond
-        val persisted = listDeltas(table, conf).flatMap(deltaMillis)
-          .maxOption.getOrElse(Long.MinValue)
-        var raised = false
-        while (!raised) {
-          val f = clock.get()
-          raised = f >= persisted || clock.compareAndSet(f, persisted)
-        }
-        def raiseTo(v: Long): Unit = {
-          var done = false
-          while (!done) {
-            val f = clock.get()
-            done = f >= v || clock.compareAndSet(f, v)
-          }
-        }
-        var out = entries
-        var millis = 0L
-        var attempts = 0
-        var claimed = false
-        while (!claimed) {
-          attempts += 1
+    val isNewCommit = !preserveTs && foldSpan == 0 && entries.nonEmpty
+    val clock = commitClock.computeIfAbsent(
+      fs.makeQualified(d).toString, _ => new AtomicLong(Long.MinValue))
+    def raiseTo(v: Long): Unit = {
+      var done = false
+      while (!done) {
+        val f = clock.get()
+        done = f >= v || clock.compareAndSet(f, v)
+      }
+    }
+    var attempt = 0
+    var gen = 1
+    while (attempt < MaxCasAttempts) {
+      attempt += 1
+      val listing = listLog(table, conf)
+      val stamped =
+        if (!isNewCommit) entries
+        else {
+          // persisted cross-process floor (see commitClock scaladoc)
+          listing.deltas.flatMap(listing.instants.get)
+            .maxOption.foreach(raiseTo)
+          listing.deltas.filterNot(listing.instants.contains).foreach(n =>
+            readDelta(table, conf, n).iterator.map(_.ts).maxOption
+              .foreach(raiseTo))
+          var out = entries
           var done = false
           while (!done) {
             val floor = clock.get()
@@ -639,56 +804,61 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
             val newMax = out.iterator.map(_.ts).max
             done = clock.compareAndSet(floor, math.max(floor, newMax))
           }
-          // name millis must be ≥ every entry stamp (the newest-first
-          // early-stop invariant) — a clock-shifted commit can run a
-          // few ms ahead of the wall clock
-          millis = math.max(System.currentTimeMillis(),
-            out.iterator.map(_.ts).max)
-          // claim the publication millisecond against OTHER processes;
-          // a lost claim raises the clock past the contested instant
-          // and restamps (bounded — exhausted retries publish anyway:
-          // names are uuid-unique, nothing is lost, only the
-          // commit-boundary time axis blurs, logged)
-          claimed = attempts >= MaxClaimAttempts || tryClaim(fs, d, millis)
-          if (!claimed) raiseTo(millis)
-          else if (attempts >= MaxClaimAttempts)
-            logWarning(s"discovery commit on $table: could not claim a " +
-              s"publication millisecond after $MaxClaimAttempts attempts — " +
-              "publishing unclaimed (another writer is racing this table)")
+          out
         }
-        (out, Some(millis))
+      // the ordinal IS the name (v2): a plain commit claims the next
+      // slot; a fold claims its covered range (same-range re-folds —
+      // the scrub path — disambiguate by generation)
+      val name =
+        if (foldSpan > 0)
+          f"delta-v${foldSpan - 1}%010df$foldSpan%010ds${if (gen == 1) "" else gen.toString}"
+        else f"delta-v${nextOrdinal(listing.deltas)}%010d"
+      // publication-instant: ≥ every entry stamp (the early-stop and
+      // floor invariant) — a clock-shifted commit can run ahead of the
+      // wall clock
+      val millis = math.max(System.currentTimeMillis(),
+        if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max)
+      // folds write SORTED by (ts, name) — the bisect promise
+      // (readSortedFoldFrom); enforced HERE, the one fold-byte writer
+      val body = if (foldSpan > 0) stamped.sortBy(e => (e.ts, e.name)) else stamped
+      val tmp = new Path(d,
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        (Header +: body.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
+          (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
+          (if (e.rowsChanged) "\tC:1" else "") +
+          e.cdcTag.fold("")(t => s"\tD:$t") +
+          e.commitVersion.fold("")(v => s"\tV:$v")))
+          .mkString("\n").getBytes(UTF_8))
+      finally out.close()
+      if (attempt == 1) casRaceHook()
+      val won = publishExclusive(fs, tmp, new Path(d, name))
+      try fs.delete(tmp, false) catch { case NonFatal(_) => () }
+      if (won) {
+        // the instant marker: what gives this delta its publication
+        // bound in every LISTING (early-stop, floor, CDC offsets,
+        // DESCRIBE instants) without a content read. Best-effort — a
+        // lost marker degrades those to one small read, never to
+        // wrong results.
+        try fs.create(new Path(d, markerName(name, millis)), true).close()
+        catch { case NonFatal(_) => () }
+        return Some(name)
       }
-    val millis = claimedMillis.getOrElse(
-      math.max(System.currentTimeMillis(),
-        if (stamped.isEmpty) 0L else stamped.iterator.map(_.ts).max))
-    val name = f"delta-$millis%013d-${
-      if (foldSpan > 0) s"fold-$foldSpan-s-" else ""}${
-      java.util.UUID.randomUUID().toString.take(8)}"
-    val tmp = new Path(d, s".$name.tmp")
-    // folds write SORTED by (ts, name) — the `-s-` name marker above
-    // is a promise the bisecting readers (readSortedFoldFrom) rely on;
-    // enforced HERE, at the one site that writes fold bytes
-    val body = if (foldSpan > 0) stamped.sortBy(e => (e.ts, e.name)) else stamped
-    val out = fs.create(tmp, true)
-    try out.write(
-      (Header +: body.map(e => s"${e.name}\t${e.len}\t${e.ts}" +
-        (if (e.rewriteOf.isEmpty) "" else s"\tR:${e.rewriteOf.mkString(",")}") +
-        (if (e.rowsChanged) "\tC:1" else "") +
-        e.cdcTag.fold("")(t => s"\tD:$t") +
-        e.commitVersion.fold("")(v => s"\tV:$v")))
-        .mkString("\n").getBytes(UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, new Path(d, name))) {
-      fs.delete(tmp, false)
-      throw new graft.scbf.ScbfFormatException(s"could not publish discovery delta $name")
+      // lost the CAS: another writer owns this name
+      if (foldSpan > 0) gen += 1 // an identical-range fold exists
+      else if (isNewCommit)
+        // serialize the TIME axis behind the winner too: restamp past
+        // the winner's actual stamps so ordinal order and stamp order
+        // agree by construction
+        readDelta(table, conf, name).iterator.map(_.ts).maxOption
+          .foreach(raiseTo)
     }
-    // opportunistic claim-litter sweep on genuinely new commits (the
-    // claimed path) — see sweepStaleClaims: sub-threshold tables never
-    // compact, so compaction alone lets claims accumulate unboundedly
-    claimedMillis.foreach { m =>
-      if (claimSweepTick.incrementAndGet() % ClaimSweepEvery == 0)
-        sweepStaleClaims(fs, d, m)
-    }
+    logWarning(s"discovery commit on $table: lost the ordinal CAS " +
+      s"$MaxCasAttempts times — giving up (another writer is racing this " +
+      "table hard; the files are published and reconcile listings repair " +
+      "the missed announcement)")
+    None
   }
 
   /**
@@ -739,7 +909,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // bytes live on under `.scbf.cdc/<tag>/pre/<name>`, which is what
     // keeps AS OF exact ACROSS rewrites instead of refusing
     val victimTag = scala.collection.mutable.HashMap.empty[String, String]
-    listDeltas(qroot, conf).sorted.foreach { n =>
+    commitChain(qroot, conf).foreach { n =>
       readDeltaStream(qroot, conf, n) { e =>
         val cur = byName.get(e.name)
         if (cur.isEmpty || cur.get.ts > e.ts) byName(e.name) = e
@@ -1062,26 +1232,47 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * silently under-deliver. */
   private[sources] def replayEntriesAfter(qroot: Path, conf: Configuration,
       lo: Long, refuse: String => Nothing)
-      : scala.collection.mutable.HashMap[String, Entry] = {
+      : scala.collection.mutable.HashMap[String, Entry] =
+    replayAfterWithSources(qroot, conf, lo, refuse).firstAt
+
+  /** [[replayEntriesAfter]]'s result plus each name's SOURCE delta —
+   * what lets OCC read a conflicting commit's ordinal off its v2 name
+   * (single-loser arbitration). */
+  private[sources] final case class Replay(
+      firstAt: scala.collection.mutable.HashMap[String, Entry],
+      deltaOf: scala.collection.mutable.HashMap[String, String])
+
+  private[sources] def replayAfterWithSources(qroot: Path, conf: Configuration,
+      lo: Long, refuse: String => Nothing): Replay = {
     val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
+    val deltaOf = scala.collection.mutable.HashMap.empty[String, String]
     var attempt = 0
     var replayed = false
     while (!replayed) {
       attempt += 1
-      firstAt.clear()
-      val chain = listDeltas(qroot, conf)
-      if (chain.isEmpty)
+      firstAt.clear(); deltaOf.clear()
+      val listing = listLog(qroot, conf)
+      if (listing.deltas.isEmpty)
         refuse("the discovery log is empty or unlistable — there is no " +
           "recorded history to replay (a crashed overwrite, a swept log, or " +
           "a transient filesystem error). Retry, or resync from a full read.")
       try {
-        chain.sorted
-          .filter(n => deltaMillis(n).forall(_ > lo))
+        // subsume: a delta whose claimed range another covers is
+        // pending deletion; its only divergent content is entries a
+        // scrub REMOVED — reading it would resurrect them
+        subsume(listing.deltas.sorted)
+          // early-stop: a delta published at or before `lo` cannot
+          // hold post-lo entries (v1: name millis; v2: the tsb-
+          // marker; a markerless crashed delta has no bound → read it)
+          .filter(n => listing.instants.get(n).forall(_ > lo))
           .foreach { n =>
             def admit(e: Entry): Unit =
               if (e.ts > lo) {
                 val cur = firstAt.get(e.name)
-                if (cur.isEmpty || cur.get.ts > e.ts) firstAt(e.name) = e
+                if (cur.isEmpty || cur.get.ts > e.ts) {
+                  firstAt(e.name) = e
+                  deltaOf(e.name) = n
+                }
               }
             // a SORTED fold bisects to the first post-lo line instead
             // of streaming the whole re-announced history — the
@@ -1100,7 +1291,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
             "retry the read.")
       }
     }
-    firstAt
+    Replay(firstAt, deltaOf)
   }
 
   /** Pooled per-file stats over log entries (an as-of rendering or a
@@ -1162,7 +1353,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       // startingVersion and CDC's _commit_version for the whole table
       // (the /code-review r14 catch). Entry timestamps pass through
       // verbatim either way, so the time axis is unchanged.
-      val chain = listDeltas(table, conf).sorted
+      val raw = listDeltas(table, conf)
+      val chain = subsume(raw.sorted)
       val kept = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
       var ord = 0
       chain.foreach { n =>
@@ -1179,11 +1371,26 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       }
       val d = dir(table)
       val fs = d.getFileSystem(conf)
-      if (kept.nonEmpty)
-        writeDelta(table, conf, kept.values.toSeq, foldSpan = math.max(ord, 1))
+      // when the scrub empties the chain entirely, still publish an
+      // entry-less span-recording fold: deleting the chain bare would
+      // erase the recorded ordinal span and any overwrite boundary —
+      // the exact version-collapse the fold rewrite exists to prevent
+      // (ADVICE r14). The empty fold renders no standalone state
+      // (versionTs refuses it, naming the timestamp cure) but keeps
+      // every LATER commit's ordinal durable.
+      if (kept.nonEmpty || ord > 0) {
+        val published = writeDelta(table, conf, kept.values.toSeq,
+          foldSpan = math.max(ord, 1))
+        if (published.isEmpty) return false // CAS exhausted — chain intact
+      }
       // delete exactly the deltas that were folded (same discipline as
-      // compact — the new snapshot is already published)
-      chain.foreach(n => fs.delete(new Path(d, n), false))
+      // compact — the new snapshot is already published), markers too
+      val listing = listLog(table, conf)
+      raw.foreach { n =>
+        fs.delete(new Path(d, n), false)
+        listing.instants.get(n).filter(_ => deltaMillis(n).isEmpty)
+          .foreach(m => fs.delete(new Path(d, markerName(n, m)), false))
+      }
       true
     } catch { case NonFatal(_) => false }
 
@@ -1192,12 +1399,19 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * then delete exactly the deltas that were folded. The snapshot
    * records the total ordinal span it covers ([[foldedSpan]] — folds
    * of folds accumulate through [[versionSpan]]), which is what keeps
-   * `VERSION AS OF` ordinals durable across any number of folds. */
+   * `VERSION AS OF` ordinals durable across any number of folds. Two
+   * concurrent compactions of the same chain collide on the fold's
+   * v2 NAME — exactly one publishes, the other skips (the round-14
+   * both-snapshots-survive double-count is gone on v2 chains). */
   private def compact(table: Path, conf: Configuration): Unit = {
-    val names = listDeltas(table, conf)
-    if (names.size <= 1) return
+    val raw = listDeltas(table, conf)
+    if (raw.size <= 1) return
+    // fold the SUBSUMED view (a subsumed delta's surviving entries
+    // already live in its subsumer — reading it could resurrect
+    // scrubbed entries); delete the raw listing (subsumed garbage too)
+    val names = subsume(raw.sorted)
     val union = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
-    // ts-prefixed names sort oldest-first, so later announcements win.
+    // sorted names are commit order, so later announcements win.
     // Each LIVE (span-1) delta's entries are stamped with its commit
     // ordinal (`V:` tag) as they fold — the one moment per-commit
     // boundaries would otherwise be lost; earlier folds' entries keep
@@ -1205,7 +1419,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     // predates version recording). This is what keeps CDC's
     // `_commit_version` exact across any number of folds.
     var ord = 0
-    names.sorted.foreach { n =>
+    names.foreach { n =>
       val span = versionSpan(n)
       val last = ord + span - 1
       readDelta(table, conf, n).foreach { e0 =>
@@ -1216,37 +1430,48 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       ord += span
     }
     val span = names.iterator.map(versionSpan).sum
-    if (union.nonEmpty)
-      writeDelta(table, conf, union.values.toSeq, foldSpan = math.max(span, 1))
+    val published =
+      if (union.isEmpty) Some("")
+      else writeDelta(table, conf, union.values.toSeq,
+        foldSpan = math.max(span, 1))
+    if (published.isEmpty) return // lost the fold CAS — someone else folded
     val d = dir(table)
     val fs = d.getFileSystem(conf)
-    names.foreach(n => fs.delete(new Path(d, n), false))
-    names.flatMap(deltaMillis).maxOption
-      .foreach(newest => sweepStaleClaims(fs, d, newest))
+    val listing = listLog(table, conf)
+    raw.foreach { n =>
+      fs.delete(new Path(d, n), false)
+      // the folded delta's instant marker goes with it
+      listing.instants.get(n).filter(_ => deltaMillis(n).isEmpty)
+        .foreach(m => fs.delete(new Path(d, markerName(n, m)), false))
+    }
+    raw.flatMap(n => listing.instants.get(n)).maxOption
+      .foreach(newest => sweepStale(fs, d, newest))
   }
 
-  /** Sweep stale millisecond CLAIMS (tryClaim) — any claim an hour
-   * older than `newestCommitMillis` belongs to a dead writer; a LIVE
-   * claimant already served its purpose (it published, or is about
-   * to — its delta name is uuid-unique either way). Called from
-   * compaction AND opportunistically every [[ClaimSweepEvery]]-th
-   * append: a table committing below the compaction threshold would
-   * otherwise accumulate one claim file per commit forever, growing
-   * every listStatus the log replay pays (ADVICE r13). Guarded on a
-   * parseable bound: subtracting from a missing maximum would
+  /** Sweep log-dir litter a crash can leave: legacy round-13/14
+   * millisecond CLAIMS (no longer written) and ORPHAN instant markers
+   * (`tsb-` files whose delta was deleted by a fold this sweeper
+   * missed) — each only once an hour stale relative to
+   * `newestCommitMillis` (a fresh marker may belong to a delta
+   * publishing right now). Called from compaction; guarded on a
+   * parseable bound — subtracting from a missing maximum would
    * underflow into sweep-everything. */
-  private def sweepStaleClaims(fs: org.apache.hadoop.fs.FileSystem,
+  private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
       d: Path, newestCommitMillis: Long): Unit =
     try {
       val staleBefore = newestCommitMillis - 3600000L
-      fs.listStatus(d).foreach { s =>
-        val n = s.getPath.getName
+      val names = fs.listStatus(d).map(_.getPath.getName).toSet
+      names.foreach { n =>
         if (n.startsWith("claim-") &&
             n.drop(6).toLongOption.exists(_ < staleBefore))
-          fs.delete(s.getPath, false)
+          fs.delete(new Path(d, n), false)
+        else if (n.startsWith("tsb-")) {
+          val cut = n.lastIndexOf('-')
+          if (cut > 4 &&
+              n.drop(cut + 1).toLongOption.exists(_ < staleBefore) &&
+              !names.contains(s"delta-${n.substring(4, cut)}"))
+            fs.delete(new Path(d, n), false)
+        }
       }
     } catch { case NonFatal(_) => () }
-
-  private val ClaimSweepEvery = 32
-  private val claimSweepTick = new AtomicLong(0L)
 }

@@ -49,13 +49,55 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
    * overwrite as the `occSnapTs` write option so the conflict check
    * runs at the COMMIT INSTANT — a concurrent DELETE landing anywhere
    * in the rewrite job (read, shuffle, write) aborts the rewrite
-   * rather than having its removed rows resurrected by it. None (no
-   * usable chain) skips the check: a log-less table has nothing
-   * announced to conflict with. */
+   * rather than having its removed rows resurrected by it. None
+   * (genuinely no chain) skips the check: a log-less table has nothing
+   * announced to conflict with; a FAILED listing refuses — fail
+   * closed (ADVICE r14). */
   private def occSnap(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    ScbfOcc.snapshot(p.getFileSystem(conf).makeQualified(p), conf)
+    ScbfOcc.snapshot(p.getFileSystem(conf).makeQualified(p), conf,
+      why => throw new graft.scbf.ScbfFormatException(
+        s"maintenance rewrite on $dir: cannot verify concurrent-commit " +
+          s"safety — $why"))
+  }
+
+  /** The maintenance rewrite's snapshot listing, rewrite-transparent
+   * (the coexistence fix — [[ScbfOcc.recordedVictims]]): a listed
+   * file the log records as another commit's victim, whose
+   * replacement is itself listed (or whose takedown is recorded), is
+   * a dead original pending physical removal — folding it into the
+   * rewrite would RESURRECT the rows its mutation removed even when
+   * that mutation fully committed before this rewrite's snapshot (the
+   * crashed-removal shape OCC alone cannot see). */
+  private def liveSnapshot(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val q = fs.makeQualified(p)
+    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    def refuse(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"maintenance rewrite on $dir: cannot verify the listing's " +
+          s"rewrite-transparency — $why")
+    val victims = ScbfOcc.recordedVictims(q, conf, refuse)
+    if (victims.isEmpty) snapshot
+    else {
+      def rel(f: org.apache.hadoop.fs.FileStatus): String =
+        ScbfCdc.relName(fs, q, f.getPath)
+      val names = snapshot.iterator.flatMap(f =>
+        Seq(f.getPath.getName, rel(f))).toSet
+      val dead = ScbfOcc.deadAmong(names, victims, names.contains)
+      def isDead(f: org.apache.hadoop.fs.FileStatus): Boolean =
+        dead.contains(f.getPath.getName) || dead.contains(rel(f))
+      // OPTIMIZE is the natural healer: complete the pending removal
+      // (retention-rename / delete) instead of leaving the dead bytes
+      // to double every listing-based read until a DELETE re-run
+      ScbfOcc.completePendingRemovals(fs, q, conf,
+        snapshot.filter(isDead), victims)
+      snapshot.filterNot(isDead)
+    }
   }
 
   /** Per-partition maintenance rewrites thread the table-level CDC
@@ -77,7 +119,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
       "OPTIMIZE (cluster)")
     val occTs = occSnap(dir, conf)
-    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val snapshot = liveSnapshot(dir, conf)
     // a freshly-created (or fully-truncated) directory has nothing to
     // rewrite — loading zero paths would crash with an unrelated error
     if (snapshot.isEmpty) return Seq.empty
@@ -151,7 +193,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), conf,
       "OPTIMIZE (compact)")
     val occTs = occSnap(dir, conf)
-    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), conf)
+    val snapshot = liveSnapshot(dir, conf)
     // idempotence: nothing to pack (empty directory), or already AT the
     // target file count with a plausibly-packed layout — re-running
     // `OPTIMIZE tbl` must not pay a full rewrite and churn the
@@ -222,7 +264,7 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     ScbfClone.refuseIfClone(new org.apache.hadoop.fs.Path(dir), hconf,
       "OPTIMIZE (zorder)")
     val occTs = occSnap(dir, hconf)
-    val snapshot = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+    val snapshot = liveSnapshot(dir, hconf)
     if (snapshot.isEmpty) return Seq.empty // nothing to rewrite
     raceHook()
     val df = spark.read.format("scbf")

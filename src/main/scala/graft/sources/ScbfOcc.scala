@@ -23,60 +23,206 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * its replacement as independent victims) IS a conflict — letting it
  * pass would persist every coexisting row twice.
  *
- * Residual, stated honestly: the coexistence window itself (announce →
- * originals removed) is visible to LISTING-based planners, so a racer
- * that fully commits inside it can bake original+replacement
- * duplicates into its own output before the loser's rollback lands;
- * the loser still refuses loudly (operator signal), and the structural
- * fix — rewrite-transparent mutation listings, costed like the
- * stream's reconcile — is future work.
+ * ARBITRATION (round 15, on the ordinal-CAS protocol): commits are
+ * totally ordered by their delta ordinals, so of two racers that both
+ * published, exactly ONE — the higher ordinal — rolls back; the lower
+ * keeps its commit and ignores the conflict (the other surface's own
+ * recheck is what rolls it back — every rewriteOf-producing surface
+ * rechecks post-publish). Conflicts whose ordinal is unknowable (v1
+ * deltas, untagged fold interiors) and INSERT OVERWRITE boundaries
+ * stay unconditional, the pre-round-15 both-abort behavior.
  */
 private[sources] object ScbfOcc {
 
   /** The OCC snapshot point: the newest persisted commit instant,
-   * taken BEFORE the file listing a mutation plans from. None = no
-   * usable chain (the table has no deltas, or the listing failed) —
-   * callers SKIP the conflict checks for that attempt: a log-less
-   * table has nothing announced to conflict with, and a transient
-   * listing failure must not manufacture a Long.MinValue snapshot
-   * whose full-history replay would flag the table's own durable
-   * overwrite-boundary entry as a phantom concurrent commit. (The
-   * REPLAY itself stays fail-closed — this fail-open is only "no OCC
-   * this round", the pre-round-14 behavior.) */
-  def snapshot(qroot: Path, conf: Configuration): Option[Long] = {
-    val ds = ScbfDiscovery.listDeltas(qroot, conf)
-    if (ds.isEmpty) None
-    else ds.flatMap(ScbfDiscovery.deltaMillis).maxOption
-  }
+   * taken BEFORE the file listing a mutation plans from. None = the
+   * table genuinely has no chain (a log-less table has nothing
+   * announced to conflict with — skip OCC, the pre-round-14
+   * behavior). A FAILED listing refuses via `refuse` (ADVICE r14):
+   * the lost-update protection must not silently lapse on a transient
+   * filesystem error — fail the mutation closed and let the re-run
+   * take a real snapshot. */
+  def snapshot(qroot: Path, conf: Configuration,
+      refuse: String => Nothing): Option[Long] =
+    ScbfDiscovery.newestCommitInstant(qroot, conf) match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(e) =>
+        refuse(s"the discovery log could not be read at snapshot time " +
+          s"(${e.getMessage}) — without a snapshot the write-write " +
+          "conflict check cannot run; retry the operation.")
+    }
 
-  /** Entries committed after `snapTs` on `qroot`'s log — the commits
-   * that raced the mutation. Empty when the table has no log (log-less
+  /** Entries committed after `snapTs` on `qroot`'s log, each with its
+   * SOURCE delta name (the ordinal carrier) — the commits that raced
+   * the mutation. Empty when the table has no log (log-less
    * directories announce nothing to conflict on). Replay failures
    * (torn deltas, concurrent-compaction churn exhausting retries,
    * a reset emptying the chain mid-check) REFUSE via `refuse` —
    * unverifiable is not safe. */
   def entriesAfter(qroot: Path, conf: Configuration, snapTs: Long,
-      refuse: String => Nothing): Seq[ScbfDiscovery.Entry] =
+      refuse: String => Nothing): Seq[(ScbfDiscovery.Entry, String)] =
     if (!ScbfDiscovery.exists(qroot, conf)) Seq.empty
-    else ScbfDiscovery.replayEntriesAfter(qroot, conf, snapTs, refuse)
-      .values.toSeq
+    else {
+      val r = ScbfDiscovery.replayAfterWithSources(qroot, conf, snapTs, refuse)
+      r.firstAt.iterator.map { case (n, e) => (e, r.deltaOf(n)) }.toSeq
+    }
+
+  /** A post-snapshot entry's commit ordinal: its source delta's
+   * claimed ordinal (v2 names), or — when a concurrent compaction
+   * already folded it — the entry's own `V:` tag. None on v1 chains
+   * and untagged fold interiors (callers fall back to unconditional
+   * conflict). */
+  private def ordinalOf(e: ScbfDiscovery.Entry, delta: String): Option[Int] =
+    if (ScbfDiscovery.isFold(delta)) e.commitVersion
+    else ScbfDiscovery.claimedLast(delta)
+
+  /** The ordinal OUR published commit landed at, resolved from the
+   * same replay: the source delta of any of our output entries. */
+  def ourOrdinal(post: Seq[(ScbfDiscovery.Entry, String)],
+      ourOutputs: Set[String]): Option[Int] =
+    post.collectFirst { case (e, d) if ourOutputs.contains(e.name) =>
+      ordinalOf(e, d) }.flatten
 
   /** The conflicts among `post` (see object scaladoc for the rule),
-   * rendered as operator-readable descriptions. */
-  def conflicts(post: Seq[ScbfDiscovery.Entry], victims: Set[String],
+   * rendered as operator-readable descriptions. `ourOrd` (known only
+   * at the post-publish recheck) enables single-loser arbitration: a
+   * conflicting commit that serialized AFTER ours is ITS recheck's
+   * problem — we won the slot and keep the commit. */
+  def conflicts(post: Seq[(ScbfDiscovery.Entry, String)], victims: Set[String],
       selfName: String => Boolean,
-      ourOutputs: Set[String] = Set.empty): Seq[String] =
-    post.filterNot(e => selfName(e.name) ||
+      ourOutputs: Set[String] = Set.empty,
+      ourOrd: Option[Int] = None): Seq[String] =
+    post.filterNot { case (e, d) => selfName(e.name) ||
       // serialized-behind-us exclusion — ONLY when it does not also
       // name a victim (naming both = it double-planned the
-      // coexistence window; must conflict)
-      (e.rewriteOf.exists(ourOutputs) && !e.rewriteOf.exists(victims)))
+      // coexistence window; must conflict unless it provably
+      // serialized after us, below)
+      (e.rewriteOf.exists(ourOutputs) && !e.rewriteOf.exists(victims)) ||
+      // single-loser: a conflicting commit at a HIGHER ordinal than
+      // ours rolls ITSELF back (every mutating surface rechecks);
+      // overwrite boundaries are never excused (a reset restarts the
+      // ordinal axis, so its ordinals don't compare)
+      (ourOrd.isDefined &&
+        !e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) &&
+        ordinalOf(e, d).exists(_ > ourOrd.get))
+    }
       .collect {
-        case e if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
+        case (e, _) if e.name.startsWith(ScbfDiscovery.OverwriteBoundaryPrefix) =>
           s"INSERT OVERWRITE at ${e.ts}"
-        case e if e.rewriteOf.exists(victims) =>
+        case (e, _) if e.rewriteOf.exists(victims) =>
           s"${e.name} (rewrites ${e.rewriteOf.filter(victims).take(3).mkString(", ")})"
       }
+
+  /** Recorded-victim EXCLUSION for mutation planners — the structural
+   * fix for the publish-to-removal COEXISTENCE window (the round-14
+   * residual this module's scaladoc used to carry): a listed file the
+   * log records as a `rewriteOf` VICTIM of another commit is a dead
+   * original pending physical removal (or a crashed removal's
+   * remnant) — its surviving rows already live in its replacement.
+   * A planner that kept it alongside the replacement would bake every
+   * coexisting row into its own output TWICE, and a racer that fully
+   * committed inside the window evaded the OCC checks entirely (the
+   * rewrite entry predates the racer's snapshot). Exclusion by the
+   * log's own record closes it exactly.
+   *
+   * Cost: one strict full-chain replay per TABLE-LEVEL operation
+   * (compaction bounds the chain at ~[[ScbfDiscovery.CompactThreshold]]
+   * deltas; the fold read is O(history entries) — Delta's
+   * checkpoint-read bill, paid by mutations only, never by reads).
+   * Empty on a log-less table. Unreadable chains REFUSE — a mutation
+   * must not plan over a window it cannot rule out.
+   *
+   * Returns victim name → the entries recording its rewrite/removal;
+   * [[deadAmong]] applies the liveness refinement. */
+  def recordedVictims(qroot: Path, conf: Configuration,
+      refuse: String => Nothing): Map[String, Seq[ScbfDiscovery.Entry]] =
+    if (!ScbfDiscovery.exists(qroot, conf)) Map.empty
+    else {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, List[ScbfDiscovery.Entry]]
+      ScbfDiscovery.replayEntriesAfter(qroot, conf, Long.MinValue, refuse)
+        .valuesIterator.foreach(e =>
+          e.rewriteOf.foreach(v => m(v) = e :: m.getOrElse(v, Nil)))
+      m.toMap
+    }
+
+  /** The subset of `listed` names that are DEAD under `victims`:
+   * named by a removal sentinel (the log says the bytes are garbage
+   * pending deletion — filesAsOf's crashed-takedown stance), or by a
+   * rewrite whose replacement is itself ACCOUNTED FOR — its bytes
+   * exist, or the log records it rewritten/removed by an accounted
+   * successor (rewrite chains are multi-hop: a mutation that consumed
+   * a replacement and removed it must not UN-DEADEN the original two
+   * links back, or it would rewrite the same rows through two
+   * containers and duplicate them — the exact bug this rule's first
+   * cut had). `replacementExists` must consult an UNPRUNED universe
+   * (a stats-pruned listing could hide a replacement whose original
+   * still matches — exactly the rows the racer changed). A victim
+   * whose chain dead-ends unaccounted stays LIVE — that is a
+   * rolled-back rewrite whose log scrub failed, and excluding it
+   * would silently exempt live rows from the mutation. */
+  def deadAmong(listed: Set[String],
+      victims: Map[String, Seq[ScbfDiscovery.Entry]],
+      replacementExists: String => Boolean): Set[String] = {
+    // chains are acyclic (names are never reused; rewrites move
+    // strictly forward in time) — the seen-set is pure defense
+    def accounted(n: String, seen: Set[String]): Boolean =
+      !seen(n) && (replacementExists(n) ||
+        victims.get(n).exists(_.exists(e => deadBy(e, seen + n))))
+    def deadBy(e: ScbfDiscovery.Entry, seen: Set[String]): Boolean =
+      e.len < 0 || e.name.endsWith(ScbfDiscovery.RemovalSuffix) ||
+        accounted(e.name, seen)
+    listed.filter(n =>
+      victims.get(n).exists(_.exists(e => deadBy(e, Set(n)))))
+  }
+
+  /** How old (ms) a recorded rewrite must be before another operation
+   * may COMPLETE its pending removal: a fresh one may belong to a LIVE
+   * owner that could still roll its replacement back (deleting the
+   * original under it would turn that rollback into data loss), so
+   * fresh dead originals are excluded-but-left for their owner. An
+   * hour matches the claim-sweep staleness convention; the residual —
+   * an owner pausing 1h+ mid-window, then resuming AND losing its
+   * recheck — is accepted and stated. Test seam. */
+  private[sources] var healGraceMs: Long = 3600000L
+
+  /** Complete a PENDING removal the log already records — the
+   * crashed-mid-removal remnants [[deadAmong]] detects, once they are
+   * [[healGraceMs]] stale. Does exactly what the recording commit
+   * would have: retention-RENAME into its cdcTag's pre/ area when it
+   * carried one (CDC windows over that commit keep serving), plain
+   * delete otherwise, plus the per-dir manifest drop. Idempotent
+   * against the owning commit finishing concurrently: rename
+   * tolerates the other side having moved the bytes (destination
+   * holds them either way, source delete no-ops), and deletes of
+   * already-deleted files no-op. Without this, a crashed takedown's
+   * original would double every listing-based read forever AND the
+   * re-run cure could never finish the removal. */
+  def completePendingRemovals(fs: FileSystem, qroot: Path,
+      conf: Configuration,
+      deadFiles: Seq[org.apache.hadoop.fs.FileStatus],
+      victims: Map[String, Seq[ScbfDiscovery.Entry]]): Unit = {
+    if (deadFiles.isEmpty) return
+    val staleBefore = System.currentTimeMillis() - healGraceMs
+    val healable = deadFiles.filter { f =>
+      val recs = victims.getOrElse(f.getPath.getName,
+        victims.getOrElse(ScbfCdc.relName(fs, qroot, f.getPath), Nil))
+      recs.nonEmpty && recs.forall(_.ts < staleBefore)
+    }
+    if (healable.isEmpty) return
+    healable.foreach { f =>
+      val recs = victims.getOrElse(f.getPath.getName,
+        victims.getOrElse(ScbfCdc.relName(fs, qroot, f.getPath), Nil))
+      recs.flatMap(_.cdcTag).headOption match {
+        case Some(tag) => ScbfCdc.retain(fs, qroot, tag, Seq(f.getPath))
+        case None => deleteWithSidecars(fs, f.getPath)
+      }
+    }
+    healable.map(_.getPath).groupBy(_.getParent).foreach { case (parent, ps) =>
+      ScbfStats.mergeManifest(parent, conf, Seq.empty, fresh = false,
+        drop = ps.map(_.getName).toSet)
+    }
+  }
 
   /** One spelling of the refusal for every surface. */
   def refusalMessage(where: String, found: Seq[String], phase: String): String =

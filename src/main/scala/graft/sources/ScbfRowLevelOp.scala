@@ -212,11 +212,44 @@ private[sources] class ScbfRowLevelScanBuilder(
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  /** The mutation's listing, rewrite-transparent (the coexistence fix
+   * — ScbfOcc.recordedVictims): a listed file the log records as
+   * another commit's victim whose replacement bytes exist is a dead
+   * original pending removal; planning it alongside the replacement
+   * would bake every coexisting row into the rewrite's output twice.
+   * Replacement existence probes the FILESYSTEM, not this (pruned)
+   * listing — a stats-pruned replacement must still kill its original. */
+  private def transparentListFiles(
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val listedRaw = listFiles(filters)
+    val rp = new org.apache.hadoop.fs.Path(tablePaths.head)
+    val rfs = rp.getFileSystem(conf)
+    val rq = rfs.makeQualified(rp)
+    def refuse(why: String): Nothing =
+      throw new graft.scbf.ScbfFormatException(
+        s"row-level SQL on $rq: cannot verify the listing's " +
+          s"rewrite-transparency — $why")
+    val victims = ScbfOcc.recordedVictims(rq, conf, refuse)
+    if (victims.isEmpty) listedRaw
+    else {
+      def rel(f: org.apache.hadoop.fs.FileStatus): String =
+        ScbfCdc.relName(rfs, rq, f.getPath)
+      val names = listedRaw.iterator.flatMap(f =>
+        Seq(f.getPath.getName, rel(f))).toSet
+      val dead = ScbfOcc.deadAmong(names, victims, n =>
+        try rfs.exists(new org.apache.hadoop.fs.Path(rq, n))
+        catch { case scala.util.control.NonFatal(_) => false })
+      listedRaw.filterNot(f =>
+        dead.contains(f.getPath.getName) || dead.contains(rel(f)))
+    }
+  }
+
   override def build(): Scan =
     // deferred, filter-driven listing here too: a partition-scoped
     // UPDATE/MERGE's rewrite scan lists root + touched partitions only
     new ScbfScan(schema, required, Seq.empty, conf, tablePaths,
-      pushedFilters = pushed.toSeq, listFilesOpt = Some(listFiles)) {
+      pushedFilters = pushed.toSeq, listFilesOpt = Some(transparentListFiles)) {
       // no runtime group filtering: Spark's matching-rows pre-scan
       // would re-scan the table to build In-keys over EVERY column;
       // static stats/partition pruning already scopes the groups
@@ -225,10 +258,14 @@ private[sources] class ScbfRowLevelScanBuilder(
         Array.empty
       override def planInputPartitions(): Array[InputPartition] = {
         // OCC snapshot BEFORE the listing the plan rides on: commits
-        // stamped after this instant raced the operation
+        // stamped after this instant raced the operation; a FAILED
+        // listing refuses (fail closed — ADVICE r14)
         val rp = new org.apache.hadoop.fs.Path(tablePaths.head)
         val rq = rp.getFileSystem(conf).makeQualified(rp)
-        op.occSnapTs = ScbfOcc.snapshot(rq, conf)
+        op.occSnapTs = ScbfOcc.snapshot(rq, conf,
+          why => throw new graft.scbf.ScbfFormatException(
+            s"row-level SQL on $rq: cannot verify concurrent-commit " +
+              s"safety — $why"))
         val parts = super.planInputPartitions()
         op.scannedPaths =
           Some(parts.toSeq.collect { case ScbfFilePartition(p, _, _) => p })
@@ -296,7 +333,7 @@ private[sources] class ScbfRowLevelBatchWrite(
     // not a conflict.
     val victimNames = scanned.map(qualify).toSet
     val publishedNames = publishedEntries.map(_.name).toSet
-    def occEntries(): Seq[ScbfDiscovery.Entry] =
+    def occEntries(): Seq[(ScbfDiscovery.Entry, String)] =
       if (victimNames.isEmpty || op.occSnapTs.isEmpty) Seq.empty
       else ScbfOcc.entriesAfter(qroot, hconf, op.occSnapTs.get,
         why => throw new graft.scbf.ScbfFormatException(
@@ -376,8 +413,14 @@ private[sources] class ScbfRowLevelBatchWrite(
     // would let Spark's abort delete the files while their log and
     // manifest entries stay live — the poisoned-log shape
     val lateOcc =
-      try ScbfOcc.conflicts(occEntries(), victimNames,
-        publishedNames.contains, ourOutputs = publishedNames)
+      try {
+        val post = occEntries()
+        ScbfOcc.conflicts(post, victimNames,
+          publishedNames.contains, ourOutputs = publishedNames,
+          // single-loser arbitration: our commit's ordinal off the
+          // same replay
+          ourOrd = ScbfOcc.ourOrdinal(post, publishedNames))
+      }
       catch { case e: graft.scbf.ScbfFormatException =>
         Seq(s"UNVERIFIABLE (${e.getMessage})")
       }
@@ -470,8 +513,11 @@ private[sources] class ScbfRowLevelBatchWrite(
  */
 private[sources] object ScbfRowOpStrippingFactory {
   /** Probe seam: observe each stripped `__row_operation` marker value
-   * (executor-side in local mode — the tests run one JVM). */
+   * (executor-side in local mode — the tests run one JVM). Guarded by
+   * [[probeEnabled]], captured ONCE per writer — production rows pay
+   * a single predictable null-check, never a per-row volatile read. */
   @volatile private[sources] var markerProbe: Int => Unit = _ => ()
+  @volatile private[sources] var probeEnabled: Boolean = false
 }
 
 private[sources] class ScbfRowOpStrippingFactory(
@@ -479,12 +525,18 @@ private[sources] class ScbfRowOpStrippingFactory(
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
     val w = inner.createWriter(partitionId, taskId)
+    // capture the probe once per writer (test seam — null in production
+    // so the hot loop pays no volatile read per row)
+    val probe: Int => Unit =
+      if (ScbfRowOpStrippingFactory.probeEnabled)
+        ScbfRowOpStrippingFactory.markerProbe
+      else null
     new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       private val view = new ScbfShiftedRow(1)
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
         if (row.numFields == tableWidth) w.write(row)
         else if (row.numFields == tableWidth + 1) {
-          ScbfRowOpStrippingFactory.markerProbe(row.getInt(0))
+          if (probe != null) probe(row.getInt(0))
           view.target = row
           w.write(view)
         }

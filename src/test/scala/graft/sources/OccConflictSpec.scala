@@ -167,7 +167,10 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       .head().getLong(0) == 500L)
   }
 
-  test("SQL COW blind racer after publish: replacement rolled back, originals intact") {
+  test("SQL COW racer serializing AFTER our publish: we hold the lower ordinal and WIN") {
+    // single-loser arbitration (round 15, ordinal CAS): a conflicting
+    // commit at a HIGHER ordinal than ours is ITS recheck's problem —
+    // pre-round-15 this was a both-abort (we rolled back too)
     val dir = tmpDir("scbf-occ-sql-late")
     spark.sql("DROP TABLE IF EXISTS occ_sql_late")
     spark.sql(s"CREATE TABLE occ_sql_late (id INT, source STRING) USING scbf LOCATION '$dir'")
@@ -176,7 +179,6 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(hconf).makeQualified(p)
     }
-    val before = ids(dir)
     // the victim must be one of the ORIGINAL files (at hook time the
     // just-published replacements are listed too)
     val originals = ScbfDataSource.resolveFiles(Seq(dir), hconf)
@@ -188,20 +190,16 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
         "foreign-racer.scbf", 123L, System.currentTimeMillis(),
         rewriteOf = Seq(originals.head), rowsChanged = true)))
     }
-    val e = intercept[Exception] {
-      try spark.sql("""UPDATE occ_sql_late SET source = 'redacted'
-        WHERE id IN (SELECT id FROM occ_sql_late WHERE id < 2000)""")
-      finally ScbfRowLevelBatchWrite.occHook = _ => ()
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("rolled back"), msgs)
-    assert(ids(dir) == before, "originals must be untouched after rollback")
+    try spark.sql("""UPDATE occ_sql_late SET source = 'redacted'
+      WHERE id IN (SELECT id FROM occ_sql_late WHERE id < 2000)""")
+    finally ScbfRowLevelBatchWrite.occHook = _ => ()
+    // our commit stands — the racer (higher ordinal) is the loser and
+    // must roll itself back (every connector surface rechecks)
     assert(spark.sql("SELECT COUNT(*) FROM occ_sql_late WHERE source = 'redacted'")
-      .head().getLong(0) == 0L, "rolled-back replacement rows must not serve")
+      .head().getLong(0) == 2000L, "the lower-ordinal commit must win")
   }
 
-  test("a blind racer landing after publish triggers rollback: replacement scrubbed, originals intact") {
+  test("a racer committing BEFORE our publish makes us the loser: replacement scrubbed, originals intact") {
     val dir = tmpDir("scbf-occ-late")
     writeTwoFiles(dir)
     val qdir = {
@@ -209,11 +207,11 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       p.getFileSystem(hconf).makeQualified(p)
     }
     var fired = false
-    ScbfDelete.postPublishHook = () => if (!fired) {
+    // the racer's commit lands AFTER our pre-check but BEFORE our
+    // publish: it owns the lower ordinal, so our recheck makes US the
+    // single loser — we roll the published replacement back
+    ScbfDelete.prePublishHook = () => if (!fired) {
       fired = true
-      // simulate a racer that listed BEFORE our publish (its rewriteOf
-      // names our victim but not our replacement) committing its log
-      // entry in the post-publish window
       val victim = ScbfDataSource.resolveFiles(Seq(dir), hconf)
         .map(_.getPath.getName).find(!_.startsWith("rw-")).get
       ScbfDiscovery.append(qdir, hconf, Seq(ScbfDiscovery.Entry(
@@ -223,7 +221,7 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[graft.scbf.ScbfFormatException] {
       try ScbfDelete.deleteWhere(spark, dir, hconf,
         Array[Filter](LessThan("id", 1500)))
-      finally ScbfDelete.postPublishHook = () => ()
+      finally ScbfDelete.prePublishHook = () => ()
     }
     assert(e.getMessage.contains("rolled back"), e.getMessage)
     // originals never removed; the published replacement was scrubbed
@@ -250,5 +248,140 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       .filter(e => !e.name.startsWith("foreign-"))
       .flatMap(_.commitVersion)
     assert(stamped.toSet == Set(0, 1), s"folded ordinals: $stamped")
+  }
+
+  test("coexistence window: a racer planning during publish-to-removal bakes NO duplicates; both commit") {
+    // the round-14 residual, closed by rewrite-transparent listings:
+    // mutation A pauses between publishing its replacement and
+    // removing its originals; mutation B lists during that window and
+    // sees BOTH the original and the replacement. B must plan only the
+    // replacement (the log records the original as A's victim), so B
+    // commits clean; A's recheck sees B naming only A's OUTPUT —
+    // serialized behind A, no conflict — and A completes. Both apply.
+    val dir = tmpDir("scbf-occ-coexist")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfDelete.postPublishHook = () => if (!fired) {
+      fired = true
+      // B: full overlapping mutation INSIDE A's coexistence window
+      ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](GreaterThanOrEqual("id", 600), LessThan("id", 700)))
+    }
+    try ScbfDelete.deleteWhere(spark, dir, hconf,
+      Array[Filter](LessThan("id", 500))) // A
+    finally ScbfDelete.postPublishHook = () => ()
+    val all = spark.read.format("scbf").load(dir)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    // exact net state of BOTH mutations, and — the residual's teeth —
+    // zero duplicated rows from the double-planned window
+    assert(all.size == all.distinct.size,
+      s"coexistence duplicates baked: ${all.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    assert(all.toSet == ((500 until 600) ++ (700 until 2000)).toSet)
+  }
+
+  test("a crashed takedown's dead original: excluded from planning, healed once stale") {
+    // crash A between publish and removal (the hook throws): the dead
+    // original + its replacement + the log record all persist. A later
+    // DELETE must not fold the dead original back in (resurrection),
+    // and once the record is stale it completes the pending removal.
+    val dir = tmpDir("scbf-occ-crashed")
+    writeTwoFiles(dir)
+    val qdir = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    var fired = false
+    ScbfDelete.postPublishHook = () => if (!fired) {
+      fired = true
+      throw new RuntimeException("simulated crash before removal")
+    }
+    intercept[RuntimeException] {
+      try ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](LessThan("id", 500)))
+      finally ScbfDelete.postPublishHook = () => ()
+    }
+    val listedAfterCrash = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath.getName)
+    assert(listedAfterCrash.exists(_.startsWith("rw-")) &&
+      listedAfterCrash.size >= 3,
+      s"crash must leave original+replacement coexisting: $listedAfterCrash")
+    // the dead original's name (recorded as a victim in the log)
+    val victimNames = ScbfDiscovery.listDeltas(qdir, hconf)
+      .flatMap(d => ScbfDiscovery.readDelta(qdir, hconf, d))
+      .flatMap(_.rewriteOf).toSet
+    val deadOriginal = listedAfterCrash.filter(victimNames)
+    assert(deadOriginal.nonEmpty, s"victims recorded: $victimNames")
+    // once stale, the next overlapping mutation EXCLUDES it from
+    // planning (no resurrection into its rewrite) AND heals the
+    // pending removal (the re-run cure completes, reads go clean)
+    val grace = ScbfOcc.healGraceMs
+    ScbfOcc.healGraceMs = 0L
+    try ScbfDelete.deleteWhere(spark, dir, hconf,
+      Array[Filter](GreaterThanOrEqual("id", 900), LessThan("id", 1000)))
+    finally ScbfOcc.healGraceMs = grace
+    assert(ids(dir) == ((500 until 900) ++ (1000 until 2000)).toSet,
+      "the dead original must neither resurrect rows nor keep serving reads")
+    val leftover = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath.getName)
+    assert(deadOriginal.forall(n => !leftover.contains(n)),
+      s"stale dead originals must be healed away: kept=$leftover dead=$deadOriginal")
+  }
+
+  test("OPTIMIZE never resurrects a crashed takedown's rows") {
+    val dir = tmpDir("scbf-occ-opt-res")
+    writeTwoFiles(dir)
+    var fired = false
+    ScbfDelete.postPublishHook = () => if (!fired) {
+      fired = true
+      throw new RuntimeException("simulated crash before removal")
+    }
+    intercept[RuntimeException] {
+      try ScbfDelete.deleteWhere(spark, dir, hconf,
+        Array[Filter](LessThan("id", 500)))
+      finally ScbfDelete.postPublishHook = () => ()
+    }
+    // the resurrection shape OCC alone cannot see: the crashed DELETE
+    // fully committed BEFORE the OPTIMIZE's snapshot, so no conflict
+    // fires — only the rewrite-transparent listing keeps its dead
+    // original out of the fold (and, stale, heals it away)
+    val grace = ScbfOcc.healGraceMs
+    ScbfOcc.healGraceMs = 0L
+    try ScbfMaintenance.compact(spark, dir, 1)
+    finally ScbfOcc.healGraceMs = grace
+    assert(ids(dir) == (500 until 2000).toSet,
+      "OPTIMIZE must not fold a recorded victim back in")
+  }
+
+  test("arbitration rule: ordinal order picks exactly one loser") {
+    import ScbfDiscovery.Entry
+    val victims = Set("v.scbf")
+    val self: String => Boolean = _.startsWith("me-")
+    def racer(delta: String) =
+      (Entry("foreign.scbf", 1L, 10L, rewriteOf = Seq("v.scbf"),
+        rowsChanged = true), delta)
+    // racer at a HIGHER ordinal: we (ordinal 3) win — no conflict
+    assert(ScbfOcc.conflicts(Seq(racer("delta-v0000000004")), victims, self,
+      ourOrd = Some(3)).isEmpty)
+    // racer at a LOWER ordinal: we lose
+    assert(ScbfOcc.conflicts(Seq(racer("delta-v0000000002")), victims, self,
+      ourOrd = Some(3)).nonEmpty)
+    // unknown ordinal (v1 delta): unconditional conflict, both-abort
+    assert(ScbfOcc.conflicts(Seq(racer("delta-1700000000000-ab12cd34")),
+      victims, self, ourOrd = Some(3)).nonEmpty)
+    // no own ordinal (pre-publish): unconditional conflict
+    assert(ScbfOcc.conflicts(Seq(racer("delta-v0000000004")), victims, self)
+      .nonEmpty)
+    // a fold-interior racer resolves through its V: tag
+    val folded = (Entry("foreign.scbf", 1L, 10L, rewriteOf = Seq("v.scbf"),
+      rowsChanged = true, commitVersion = Some(5)),
+      "delta-v0000000009f0000000010s")
+    assert(ScbfOcc.conflicts(Seq(folded), victims, self, ourOrd = Some(3)).isEmpty)
+    assert(ScbfOcc.conflicts(Seq(folded), victims, self, ourOrd = Some(7)).nonEmpty)
+    // an INSERT OVERWRITE boundary is never excused by ordinals
+    val boundary = (Entry(
+      s"${ScbfDiscovery.OverwriteBoundaryPrefix}x${ScbfDiscovery.RemovalSuffix}",
+      ScbfDiscovery.RemovedLen, 10L, rowsChanged = true), "delta-v0000000009")
+    assert(ScbfOcc.conflicts(Seq(boundary), victims, self, ourOrd = Some(3))
+      .exists(_.contains("INSERT OVERWRITE")))
   }
 }

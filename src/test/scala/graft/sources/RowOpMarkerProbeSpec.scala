@@ -28,11 +28,15 @@ class RowOpMarkerProbeSpec extends AnyFunSuite with SparkTestBase {
     val seen = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]()
     ScbfRowOpStrippingFactory.markerProbe = m =>
       seen.computeIfAbsent(m, _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+    ScbfRowOpStrippingFactory.probeEnabled = true
     try {
       val r = body
       import scala.jdk.CollectionConverters._
       (r, seen.asScala.map { case (k, v) => k -> v.get() }.toMap)
-    } finally ScbfRowOpStrippingFactory.markerProbe = _ => ()
+    } finally {
+      ScbfRowOpStrippingFactory.probeEnabled = false
+      ScbfRowOpStrippingFactory.markerProbe = _ => ()
+    }
   }
 
   test("probe: marker distribution for SQL UPDATE / MERGE / subquery DELETE") {

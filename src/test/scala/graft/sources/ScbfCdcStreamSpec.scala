@@ -238,6 +238,41 @@ class ScbfCdcStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("cdcReconcileEvery: an injected bypassed file fails the stream within N triggers") {
+    val dir = Files.createTempDirectory("scbf-cdcstream-rec").toString
+    val ckpt = Files.createTempDirectory("scbf-cdcstream-rec-ckpt").toString
+    enable(dir)
+    spark.sql("DROP TABLE IF EXISTS cdcs_rec")
+    spark.sql(s"CREATE TABLE cdcs_rec (id INT, v INT) USING scbf LOCATION '$dir'")
+    writeWave(dir, 0, 10)
+    // a producer writes AROUND the connector: raw bytes, never announced
+    val foreignSrc = new Path(dir).getFileSystem(hconf)
+      .listStatus(new Path(dir)).find(_.getPath.getName.endsWith(".scbf")).get.getPath
+    val q = streamDF(dir, "cdcReconcileEvery" -> "2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    try {
+      q.processAllAvailable()
+      val fs = foreignSrc.getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, foreignSrc, fs,
+        new Path(dir, "bypassed-producer.scbf"), false, hconf)
+      // every subsequent commit triggers a batch; within 2 triggers the
+      // audit lists the table and refuses with the batch text
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        var i = 0
+        while (i < 4) { // 4 commits = at least 2 audited triggers
+          writeWave(dir, 100 + i * 10, 110 + i * 10)
+          q.processAllAvailable()
+          i += 1
+        }
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("bypassed") && msgs.contains("bypassed-producer.scbf"),
+        msgs)
+    } finally q.stop()
+  }
+
   test("batch read with readChangeFeed refuses, naming TABLE CHANGES") {
     val dir = Files.createTempDirectory("scbf-cdcstream-batch").toString
     enable(dir)
