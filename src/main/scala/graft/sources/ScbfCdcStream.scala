@@ -241,7 +241,10 @@ class ScbfCdcMicroBatchStream(
   private val triggerTick = new java.util.concurrent.atomic.AtomicLong(0L)
   // floor of the NEXT periodic audit: everything written since the
   // last audit gets examined, so a bypassed file can never age out of
-  // the sliding trigger windows between two audits
+  // the sliding trigger windows between two audits. Seeded from the
+  // PERSISTED stream start (not the restart window's lo): a restart
+  // must not let a pre-restart bypassed file escape the audit — the
+  // first post-restart audit re-covers the stream's whole span once.
   @volatile private var lastAuditLo: Long = Long.MinValue
   // one-window plan MEMO: Spark re-invokes planInputPartitions for the
   // SAME offsets several times per trigger (batch construction + each
@@ -256,7 +259,11 @@ class ScbfCdcMicroBatchStream(
     if (hi <= lo) return Array.empty
     val memo = lastPlan
     if (memo != null && memo._1 == lo && memo._2 == hi) return memo._3
-    if (lastAuditLo == Long.MinValue) lastAuditLo = lo
+    if (lastAuditLo == Long.MinValue)
+      lastAuditLo =
+        if (reconcileEvery.isEmpty) lo
+        else try math.min(resolveStart(), lo)
+        catch { case scala.util.control.NonFatal(_) => lo }
     val periodic =
       reconcileEvery.exists(n => triggerTick.incrementAndGet() % n == 0)
     val audit = reconcile || periodic

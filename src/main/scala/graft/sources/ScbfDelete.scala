@@ -450,14 +450,15 @@ object ScbfDelete {
         s"$op on $dir: cannot verify the listing's rewrite-transparency " +
           s"— $why")
     val opStartTs: Option[Long] = ScbfOcc.snapshot(qdir, conf, refuseVictims)
-    val opVictims: Map[String, Seq[ScbfDiscovery.Entry]] =
+    val opVictims: Map[String, Seq[ScbfOcc.VictimRec]] =
       if (opStartTs.isEmpty) Map.empty
       else ScbfOcc.recordedVictims(qdir, conf, refuseVictims)
-    def recordedVictimsNow(): Map[String, Seq[ScbfDiscovery.Entry]] =
+    def recordedVictimsNow(): Map[String, Seq[ScbfOcc.VictimRec]] =
       opStartTs match {
         case Some(t0) =>
-          val late = postSnapEntries(t0).map(_._1)
-            .flatMap(e => e.rewriteOf.map(_ -> e))
+          val late = postSnapEntries(t0)
+            .flatMap { case (e, d) =>
+              e.rewriteOf.map(_ -> ScbfOcc.recOf(e, d)) }
             .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           (opVictims.keySet ++ late.keySet).iterator.map(v =>
             v -> (opVictims.getOrElse(v, Nil) ++ late.getOrElse(v, Nil))).toMap
@@ -491,15 +492,18 @@ object ScbfDelete {
       val victimRecords = recordedVictimsNow()
       val dead = ScbfOcc.deadAmong(listedNames, victimRecords,
         listedNames.contains) // listCandidates is unpruned — sound universe
-      def isDead(f: org.apache.hadoop.fs.FileStatus): Boolean =
-        dead.contains(f.getPath.getName) ||
-          dead.contains(ScbfCdc.relName(dfs, qdir, f.getPath))
-      // HEAL pending removals while we're here (the re-run cure for a
-      // crashed takedown: complete it, don't skip it) — idempotent
-      // against a live owner finishing its own removal concurrently
+      def in(set: Set[String])(f: org.apache.hadoop.fs.FileStatus): Boolean =
+        set.contains(f.getPath.getName) ||
+          set.contains(ScbfCdc.relName(dfs, qdir, f.getPath))
+      // HEAL while we're here (both idempotent against a live owner
+      // finishing concurrently, both staleness-gated): complete a
+      // crashed takedown's pending removal (the re-run cure) and a
+      // crashed arbitration loser's pending rollback
       ScbfOcc.completePendingRemovals(dfs, qdir, conf,
-        listedRaw.filter(isDead), victimRecords)
-      val listed = listedRaw.filterNot(isDead)
+        listedRaw.filter(in(dead.originals)), victimRecords)
+      ScbfOcc.completePendingRollbacks(dfs, qdir, conf,
+        listedRaw.filter(in(dead.loserOutputs)), victimRecords)
+      val listed = listedRaw.filterNot(in(dead.all))
       val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
           ourPrefixes.exists(f.getPath.getName.startsWith))
@@ -680,9 +684,18 @@ object ScbfDelete {
         case Left(e) => Seq(s"UNVERIFIABLE (${e.getMessage})")
       }
       if (lateConflicts.nonEmpty) {
+        // outputs a later commit already consumed are load-bearing
+        // lineage and stay (see rollbackPublished's consumed contract)
+        val consumed = postOrFail match {
+          case Right(post) => post.iterator
+            .filterNot(p => selfName(p._1.name))
+            .flatMap(_._1.rewriteOf).toSet.intersect(publishedNames)
+          case Left(_) => Set.empty[String]
+        }
         val scrubbed = ScbfOcc.rollbackPublished(dfs, qdir, conf,
           publishedNames, alsoScrub = Set(removalName),
-          cdcTagDir = tag.map(t => new Path(ScbfCdc.dir(qcdc), t)))
+          cdcTagDir = tag.map(t => new Path(ScbfCdc.dir(qcdc), t)),
+          consumed = consumed)
         throw new graft.scbf.ScbfFormatException(
           ScbfOcc.refusalMessage(s"$op on $dir", lateConflicts,
             "detected after publish; replacement rolled back") +

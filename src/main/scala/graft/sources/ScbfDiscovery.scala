@@ -456,10 +456,15 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     case _ => None
   }
 
-  /** v2 name → the claimed ordinal range [first, last] it covers. */
+  /** v2 name → the claimed ordinal range [first, last] it covers.
+   * Folds always fold the ENTIRE chain prefix (compact and scrub both
+   * do), so a fold's claimed range is structurally [0, last] — using
+   * last-span+1 would mis-range a fold whose claimed `last` ran ahead
+   * of its positional span (claimed/positional drift), breaking
+   * subsumption containment. */
   def claimedRange(name: String): Option[(Int, Int)] = name match {
     case V2Re(v, null, _) => Some((v.toInt, v.toInt))
-    case V2Re(v, sp, _) => val l = v.toInt; Some((l - sp.toInt + 1, l))
+    case V2Re(v, _, _) => Some((0, v.toInt))
     case _ => None
   }
 
@@ -574,17 +579,21 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       if (l.deltas.isEmpty) scala.util.Success(None)
       else scala.util.Try {
         val known = l.deltas.flatMap(l.instants.get)
-        val unknown = l.deltas.filterNot(l.instants.contains).map { n =>
+        val unknown = l.deltas.filterNot(l.instants.contains).flatMap { n =>
           // markerless delta (crashed writer): its max entry stamp is
           // a valid bound — the floor guarantees later commits stamp
-          // strictly past it. Unreadable → throw → caller fails closed.
-          val e = readDelta(table, conf, n)
-          if (e.isEmpty) throw new graft.scbf.ScbfFormatException(
-            s"discovery delta $n at $table is unreadable or empty — the " +
-              "OCC snapshot cannot bound it")
-          e.iterator.map(_.ts).max
+          // strictly past it. STRICT read: an unreadable/torn delta
+          // throws (caller fails closed), while a genuinely EMPTY one
+          // (a scrub's entry-less span fold whose marker was crash-
+          // lost) holds no stamps to bound and is skipped — throwing
+          // there would brick every mutation on the table durably.
+          var max = Long.MinValue
+          readDeltaStream(table, conf, n, strict = true)(e =>
+            if (e.ts > max) max = e.ts)
+          if (max == Long.MinValue) None else Some(max)
         }
-        Some((known ++ unknown).max)
+        val all = known ++ unknown
+        if (all.isEmpty) None else Some(all.max)
       }
     }
 
@@ -756,12 +765,30 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * publish — the window a racing writer's commit lands in. */
   private[sources] var casRaceHook: () => Unit = () => ()
 
+  /** Max existing generation among same-range fold names, so a
+   * re-fold NEVER reuses a generation a stale leftover still holds
+   * (subsumption prefers the larger generation — a reused smaller one
+   * would lose to poisoned garbage). */
+  private def nextFoldGen(deltas: Seq[String], last: Int, span: Int): Int = {
+    val base = f"delta-v$last%010df$span%010ds"
+    deltas.filter(_.startsWith(base)).map { n =>
+      val suffix = n.drop(base.length)
+      if (suffix.isEmpty) 1 else suffix.toIntOption.getOrElse(1)
+    }.maxOption.getOrElse(0) + 1
+  }
+
   /** Write one delta via the ordinal-CAS protocol. Returns the
    * published name, or None when the CAS lost [[MaxCasAttempts]]
    * times (pathological contention — the best-effort announce
-   * contract applies: files are published, reconcile repairs). */
+   * contract applies: files are published, reconcile repairs).
+   * `foldLast` (folds only): the max CLAIMED ordinal the fold covers —
+   * the name must claim it even when it runs ahead of the positional
+   * span, or the next commit's `nextOrdinal` would re-issue an
+   * already-used name (names are never reused: streams track consumed
+   * deltas by name). */
   private def writeDelta(table: Path, conf: Configuration, entries: Seq[Entry],
-      foldSpan: Int = 0, preserveTs: Boolean = false): Option[String] = {
+      foldSpan: Int = 0, preserveTs: Boolean = false,
+      foldLast: Int = -1): Option[String] = {
     val d = dir(table)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
@@ -779,7 +806,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       }
     }
     var attempt = 0
-    var gen = 1
+    var gen = 0 // folds: initialized from the listing on first attempt
     while (attempt < MaxCasAttempts) {
       attempt += 1
       val listing = listLog(table, conf)
@@ -808,10 +835,14 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         }
       // the ordinal IS the name (v2): a plain commit claims the next
       // slot; a fold claims its covered range (same-range re-folds —
-      // the scrub path — disambiguate by generation)
+      // the scrub path — disambiguate by a zero-padded generation,
+      // always past any stale leftover's)
       val name =
-        if (foldSpan > 0)
-          f"delta-v${foldSpan - 1}%010df$foldSpan%010ds${if (gen == 1) "" else gen.toString}"
+        if (foldSpan > 0) {
+          val last = math.max(foldLast, foldSpan - 1)
+          if (gen == 0) gen = nextFoldGen(listing.deltas, last, foldSpan)
+          f"delta-v$last%010df$foldSpan%010ds${if (gen == 1) "" else f"$gen%04d"}"
+        }
         else f"delta-v${nextOrdinal(listing.deltas)}%010d"
       // publication-instant: ≥ every entry stamp (the early-stop and
       // floor invariant) — a clock-shifted commit can run ahead of the
@@ -1380,7 +1411,9 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       // every LATER commit's ordinal durable.
       if (kept.nonEmpty || ord > 0) {
         val published = writeDelta(table, conf, kept.values.toSeq,
-          foldSpan = math.max(ord, 1))
+          foldSpan = math.max(ord, 1),
+          foldLast = math.max(ord - 1,
+            raw.flatMap(claimedLast).maxOption.getOrElse(-1)))
         if (published.isEmpty) return false // CAS exhausted — chain intact
       }
       // delete exactly the deltas that were folded (same discipline as
@@ -1433,7 +1466,9 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
     val published =
       if (union.isEmpty) Some("")
       else writeDelta(table, conf, union.values.toSeq,
-        foldSpan = math.max(span, 1))
+        foldSpan = math.max(span, 1),
+        foldLast = math.max(span - 1,
+          raw.flatMap(claimedLast).maxOption.getOrElse(-1)))
     if (published.isEmpty) return // lost the fold CAS — someone else folded
     val d = dir(table)
     val fs = d.getFileSystem(conf)

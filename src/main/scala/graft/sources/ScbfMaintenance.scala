@@ -89,14 +89,17 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
       val names = snapshot.iterator.flatMap(f =>
         Seq(f.getPath.getName, rel(f))).toSet
       val dead = ScbfOcc.deadAmong(names, victims, names.contains)
-      def isDead(f: org.apache.hadoop.fs.FileStatus): Boolean =
-        dead.contains(f.getPath.getName) || dead.contains(rel(f))
-      // OPTIMIZE is the natural healer: complete the pending removal
-      // (retention-rename / delete) instead of leaving the dead bytes
-      // to double every listing-based read until a DELETE re-run
+      def in(set: Set[String])(f: org.apache.hadoop.fs.FileStatus): Boolean =
+        set.contains(f.getPath.getName) || set.contains(rel(f))
+      // OPTIMIZE is the natural healer: complete a crashed takedown's
+      // pending removal and a crashed arbitration loser's pending
+      // rollback instead of leaving the dead bytes to double every
+      // listing-based read until a DELETE re-run
       ScbfOcc.completePendingRemovals(fs, q, conf,
-        snapshot.filter(isDead), victims)
-      snapshot.filterNot(isDead)
+        snapshot.filter(in(dead.originals)), victims)
+      ScbfOcc.completePendingRollbacks(fs, q, conf,
+        snapshot.filter(in(dead.loserOutputs)), victims)
+      snapshot.filterNot(in(dead.all))
     }
   }
 

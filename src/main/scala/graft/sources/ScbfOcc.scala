@@ -32,7 +32,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * deltas, untagged fold interiors) and INSERT OVERWRITE boundaries
  * stay unconditional, the pre-round-15 both-abort behavior.
  */
-private[sources] object ScbfOcc {
+private[sources] object ScbfOcc extends org.apache.spark.internal.Logging {
 
   /** The OCC snapshot point: the newest persisted commit instant,
    * taken BEFORE the file listing a mutation plans from. None = the
@@ -75,6 +75,10 @@ private[sources] object ScbfOcc {
   private def ordinalOf(e: ScbfDiscovery.Entry, delta: String): Option[Int] =
     if (ScbfDiscovery.isFold(delta)) e.commitVersion
     else ScbfDiscovery.claimedLast(delta)
+
+  /** A [[VictimRec]] from a replayed (entry, source delta) pair. */
+  def recOf(e: ScbfDiscovery.Entry, delta: String): VictimRec =
+    VictimRec(e, ordinalOf(e, delta))
 
   /** The ordinal OUR published commit landed at, resolved from the
    * same replay: the source delta of any of our output entries. */
@@ -132,48 +136,86 @@ private[sources] object ScbfOcc {
    * Empty on a log-less table. Unreadable chains REFUSE — a mutation
    * must not plan over a window it cannot rule out.
    *
-   * Returns victim name → the entries recording its rewrite/removal;
-   * [[deadAmong]] applies the liveness refinement. */
+   * Returns victim name → the records of its rewrite/removal (entry +
+   * the recording commit's ordinal, when knowable); [[deadAmong]]
+   * applies the liveness refinement and fork arbitration. */
+  final case class VictimRec(entry: ScbfDiscovery.Entry, ordinal: Option[Int])
+
   def recordedVictims(qroot: Path, conf: Configuration,
-      refuse: String => Nothing): Map[String, Seq[ScbfDiscovery.Entry]] =
+      refuse: String => Nothing): Map[String, Seq[VictimRec]] =
     if (!ScbfDiscovery.exists(qroot, conf)) Map.empty
     else {
       val m = scala.collection.mutable.HashMap
-        .empty[String, List[ScbfDiscovery.Entry]]
-      ScbfDiscovery.replayEntriesAfter(qroot, conf, Long.MinValue, refuse)
-        .valuesIterator.foreach(e =>
-          e.rewriteOf.foreach(v => m(v) = e :: m.getOrElse(v, Nil)))
+        .empty[String, List[VictimRec]]
+      val r = ScbfDiscovery.replayAfterWithSources(qroot, conf,
+        Long.MinValue, refuse)
+      r.firstAt.foreach { case (n, e) =>
+        val rec = VictimRec(e, ordinalOf(e, r.deltaOf(n)))
+        e.rewriteOf.foreach(v => m(v) = rec :: m.getOrElse(v, Nil))
+      }
       m.toMap
     }
 
-  /** The subset of `listed` names that are DEAD under `victims`:
-   * named by a removal sentinel (the log says the bytes are garbage
-   * pending deletion — filesAsOf's crashed-takedown stance), or by a
-   * rewrite whose replacement is itself ACCOUNTED FOR — its bytes
-   * exist, or the log records it rewritten/removed by an accounted
-   * successor (rewrite chains are multi-hop: a mutation that consumed
-   * a replacement and removed it must not UN-DEADEN the original two
-   * links back, or it would rewrite the same rows through two
-   * containers and duplicate them — the exact bug this rule's first
-   * cut had). `replacementExists` must consult an UNPRUNED universe
-   * (a stats-pruned listing could hide a replacement whose original
-   * still matches — exactly the rows the racer changed). A victim
-   * whose chain dead-ends unaccounted stays LIVE — that is a
-   * rolled-back rewrite whose log scrub failed, and excluding it
-   * would silently exempt live rows from the mutation. */
+  /** [[deadAmong]]'s verdict, split by the HEAL each kind needs:
+   * `originals` are victims whose pending removal should complete;
+   * `loserOutputs` are a crashed arbitration loser's replacements,
+   * whose pending ROLLBACK should complete. Planning excludes both. */
+  final case class DeadListing(originals: Set[String],
+      loserOutputs: Set[String]) {
+    def all: Set[String] = originals ++ loserOutputs
+  }
+
+  /** The subset of `listed` names that are DEAD under `victims`.
+   *
+   * ORIGINALS: named by a removal sentinel (the log says the bytes
+   * are garbage pending deletion — filesAsOf's crashed-takedown
+   * stance), or by a rewrite whose replacement is itself ACCOUNTED
+   * FOR — its bytes exist, or the log records it rewritten/removed by
+   * an accounted successor (rewrite chains are multi-hop: a mutation
+   * that consumed a replacement and removed it must not UN-DEADEN the
+   * original two links back, or it would rewrite the same rows
+   * through two containers and duplicate them — the exact bug this
+   * rule's first cut had). `replacementExists` must consult an
+   * UNPRUNED universe (a stats-pruned listing could hide a
+   * replacement whose original still matches — exactly the rows the
+   * racer changed). A victim whose chain dead-ends unaccounted stays
+   * LIVE — that is a rolled-back rewrite whose log scrub failed, and
+   * excluding it would silently exempt live rows from the mutation.
+   *
+   * LOSER OUTPUTS (fork arbitration): a victim named by rewrites from
+   * two or more DISTINCT commits is a write-write race exactly one
+   * side of which may keep its commit — the LOWEST ordinal (the
+   * single-loser rule). A higher-ordinal side still present crashed
+   * before its own recheck rolled it back; its outputs are
+   * rolled-back-pending garbage that would double every coexisting
+   * row. They are dead — UNLESS a later commit consumed them (they
+   * are then load-bearing lineage; that three-way race's
+   * reconciliation is manual and loud, never silent). Forks with any
+   * unknowable ordinal (v1 deltas, untagged fold interiors) are left
+   * alone — arbitration must not guess. */
   def deadAmong(listed: Set[String],
-      victims: Map[String, Seq[ScbfDiscovery.Entry]],
-      replacementExists: String => Boolean): Set[String] = {
+      victims: Map[String, Seq[VictimRec]],
+      replacementExists: String => Boolean): DeadListing = {
     // chains are acyclic (names are never reused; rewrites move
     // strictly forward in time) — the seen-set is pure defense
     def accounted(n: String, seen: Set[String]): Boolean =
       !seen(n) && (replacementExists(n) ||
-        victims.get(n).exists(_.exists(e => deadBy(e, seen + n))))
+        victims.get(n).exists(_.exists(r => deadBy(r.entry, seen + n))))
     def deadBy(e: ScbfDiscovery.Entry, seen: Set[String]): Boolean =
       e.len < 0 || e.name.endsWith(ScbfDiscovery.RemovalSuffix) ||
         accounted(e.name, seen)
-    listed.filter(n =>
-      victims.get(n).exists(_.exists(e => deadBy(e, Set(n)))))
+    val originals = listed.filter(n =>
+      victims.get(n).exists(_.exists(r => deadBy(r.entry, Set(n)))))
+    val losers = victims.iterator.flatMap { case (_, recs) =>
+      val byOrd = recs.groupBy(_.ordinal)
+      if (byOrd.size < 2 || byOrd.contains(None)) Nil
+      else {
+        val winner = byOrd.keys.flatten.min
+        recs.filter(_.ordinal.exists(_ != winner)).map(_.entry.name)
+          .filterNot(victims.contains) // consumed = load-bearing lineage
+      }
+    }.toSet
+    DeadListing(originals -- losers, losers.intersect(listed))
   }
 
   /** How old (ms) a recorded rewrite must be before another operation
@@ -201,19 +243,26 @@ private[sources] object ScbfOcc {
   def completePendingRemovals(fs: FileSystem, qroot: Path,
       conf: Configuration,
       deadFiles: Seq[org.apache.hadoop.fs.FileStatus],
-      victims: Map[String, Seq[ScbfDiscovery.Entry]]): Unit = {
+      victims: Map[String, Seq[VictimRec]]): Unit = {
     if (deadFiles.isEmpty) return
     val staleBefore = System.currentTimeMillis() - healGraceMs
-    val healable = deadFiles.filter { f =>
-      val recs = victims.getOrElse(f.getPath.getName,
+    def recsOf(f: org.apache.hadoop.fs.FileStatus): Seq[VictimRec] =
+      victims.getOrElse(f.getPath.getName,
         victims.getOrElse(ScbfCdc.relName(fs, qroot, f.getPath), Nil))
-      recs.nonEmpty && recs.forall(_.ts < staleBefore)
+    val healable = deadFiles.filter { f =>
+      val recs = recsOf(f)
+      recs.nonEmpty && recs.forall(_.entry.ts < staleBefore)
     }
     if (healable.isEmpty) return
     healable.foreach { f =>
-      val recs = victims.getOrElse(f.getPath.getName,
-        victims.getOrElse(ScbfCdc.relName(fs, qroot, f.getPath), Nil))
-      recs.flatMap(_.cdcTag).headOption match {
+      // prefer the SURVIVING commit's tag (its replacement bytes
+      // exist) — a rolled-back racer's un-scrubbed record must not
+      // capture the bytes under the wrong tag's retention area, or
+      // the surviving commit's CDC window would refuse as swept
+      val recs = recsOf(f).sortBy(r =>
+        try if (fs.exists(new Path(qroot, r.entry.name))) 0 else 1
+        catch { case scala.util.control.NonFatal(_) => 1 })
+      recs.flatMap(_.entry.cdcTag).headOption match {
         case Some(tag) => ScbfCdc.retain(fs, qroot, tag, Seq(f.getPath))
         case None => deleteWithSidecars(fs, f.getPath)
       }
@@ -222,6 +271,45 @@ private[sources] object ScbfOcc {
       ScbfStats.mergeManifest(parent, conf, Seq.empty, fresh = false,
         drop = ps.map(_.getName).toSet)
     }
+  }
+
+  /** Complete a PENDING ROLLBACK: a crashed arbitration loser's
+   * replacements ([[DeadListing.loserOutputs]]), once [[healGraceMs]]
+   * stale, get exactly what the loser's own recheck would have done —
+   * entries scrubbed, files + sidecars deleted, its CDC rows area
+   * dropped. Without this, a loser that died between publish and
+   * recheck would double every coexisting row FOREVER (the winner's
+   * replacement and the dead loser's both serve the shared victims'
+   * rows). */
+  def completePendingRollbacks(fs: FileSystem, qroot: Path,
+      conf: Configuration,
+      loserFiles: Seq[org.apache.hadoop.fs.FileStatus],
+      victims: Map[String, Seq[VictimRec]]): Unit = {
+    if (loserFiles.isEmpty) return
+    val staleBefore = System.currentTimeMillis() - healGraceMs
+    // the loser's own announce entries (the records that NAME victims)
+    val recByOutput: Map[String, VictimRec] =
+      victims.valuesIterator.flatten.map(r => r.entry.name -> r).toMap
+    val healable = loserFiles.filter { f =>
+      val rec = recByOutput.get(f.getPath.getName)
+        .orElse(recByOutput.get(ScbfCdc.relName(fs, qroot, f.getPath)))
+      rec.exists(_.entry.ts < staleBefore)
+    }
+    if (healable.isEmpty) return
+    val names = healable.map(f =>
+      recByOutput.get(f.getPath.getName).map(_ => f.getPath.getName)
+        .getOrElse(ScbfCdc.relName(fs, qroot, f.getPath))).toSet
+    val tagDirs = names.flatMap(n =>
+      recByOutput.get(n).flatMap(_.entry.cdcTag))
+      .map(t => new Path(ScbfCdc.dir(qroot), t))
+    val scrubbed = rollbackPublished(fs, qroot, conf, names,
+      alsoScrub = Set.empty, cdcTagDir = None)
+    tagDirs.foreach(t =>
+      try fs.delete(t, true)
+      catch { case scala.util.control.NonFatal(_) => () })
+    logWarning(s"completed the pending rollback of a crashed " +
+      s"arbitration loser on $qroot: removed ${names.take(3).mkString(", ")}" +
+      s"${if (names.size > 3) ", …" else ""} (scrubbed=$scrubbed)")
   }
 
   /** One spelling of the refusal for every surface. */
@@ -249,21 +337,40 @@ private[sources] object ScbfOcc {
    * delete the files + sidecars, then the CDC rows area. Returns
    * whether the log scrub took; the caller folds that into its
    * refusal text instead of claiming consistency unconditionally.
+   *
+   * `consumed`: outputs of ours a LATER commit already consumed (its
+   * rewriteOf names them). Those are load-bearing lineage — their
+   * bytes are gone (the consumer removed them) and scrubbing their
+   * entries would break the victims' deadness chain, un-deadening the
+   * originals into row duplication. They are LEFT IN PLACE: the
+   * rollback retracts only the unconsumed outputs (whose rows still
+   * live in the untouched originals), and the refusal stays loud —
+   * the consumed part of this aborted commit has effectively
+   * serialized, stated in the log (three-way races of this shape
+   * reconcile manually, never silently).
    */
   def rollbackPublished(fs: FileSystem, qroot: Path, conf: Configuration,
       publishedNames: Set[String], alsoScrub: Set[String],
-      cdcTagDir: Option[Path]): Boolean = {
+      cdcTagDir: Option[Path],
+      consumed: Set[String] = Set.empty): Boolean = {
+    val retract = publishedNames -- consumed
+    if (consumed.nonEmpty)
+      logWarning(s"rollback on $qroot: ${consumed.size} published " +
+        s"replacement(s) were already consumed by a later commit " +
+        s"(${consumed.take(3).mkString(", ")}) — their entries stay " +
+        "(load-bearing lineage); only the unconsumed outputs retract.")
     val scrubbed = ScbfDiscovery.scrubEntries(qroot, conf,
-      publishedNames ++ alsoScrub)
-    publishedNames.foreach(n => deleteWithSidecars(fs, new Path(qroot, n)))
-    publishedNames.map(n => new Path(qroot, n)).groupBy(_.getParent)
+      retract ++ alsoScrub)
+    retract.foreach(n => deleteWithSidecars(fs, new Path(qroot, n)))
+    retract.map(n => new Path(qroot, n)).groupBy(_.getParent)
       .foreach { case (parent, ps) =>
         ScbfStats.mergeManifest(parent, conf, Seq.empty, fresh = false,
           drop = ps.map(_.getName))
       }
-    cdcTagDir.foreach(t =>
-      try fs.delete(t, true)
-      catch { case scala.util.control.NonFatal(_) => () })
+    if (consumed.isEmpty)
+      cdcTagDir.foreach(t =>
+        try fs.delete(t, true)
+        catch { case scala.util.control.NonFatal(_) => () })
     scrubbed
   }
 

@@ -102,6 +102,12 @@ private[sources] class ScbfRowLevelOperation(
    * (ScbfOcc.snapshot) — the checks are skipped. */
   @volatile private[sources] var occSnapTs: Option[Long] = None
 
+  /** Once-per-operation cache of the log's recorded-victim map (the
+   * strict full-chain replay): Spark invokes the scan's listing
+   * several times per row-level op (planning, EXPLAIN, retries) and
+   * the O(history) fold read must not be re-paid each time. */
+  @volatile private[sources] var victimsCache: Option[Map[String, Seq[ScbfOcc.VictimRec]]] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -230,7 +236,11 @@ private[sources] class ScbfRowLevelScanBuilder(
       throw new graft.scbf.ScbfFormatException(
         s"row-level SQL on $rq: cannot verify the listing's " +
           s"rewrite-transparency — $why")
-    val victims = ScbfOcc.recordedVictims(rq, conf, refuse)
+    val victims = op.victimsCache.getOrElse {
+      val v = ScbfOcc.recordedVictims(rq, conf, refuse)
+      op.victimsCache = Some(v)
+      v
+    }
     if (victims.isEmpty) listedRaw
     else {
       def rel(f: org.apache.hadoop.fs.FileStatus): String =
@@ -239,7 +249,13 @@ private[sources] class ScbfRowLevelScanBuilder(
         Seq(f.getPath.getName, rel(f))).toSet
       val dead = ScbfOcc.deadAmong(names, victims, n =>
         try rfs.exists(new org.apache.hadoop.fs.Path(rq, n))
-        catch { case scala.util.control.NonFatal(_) => false })
+        catch { case scala.util.control.NonFatal(e) =>
+          // fail CLOSED, like the chain replay: an unverifiable
+          // replacement could hide exactly the double-planned rows
+          // this exclusion exists to prevent
+          refuse(s"replacement existence probe failed for $n " +
+            s"(${e.getMessage})")
+        }).all
       listedRaw.filterNot(f =>
         dead.contains(f.getPath.getName) || dead.contains(rel(f)))
     }
@@ -412,9 +428,11 @@ private[sources] class ScbfRowLevelBatchWrite(
     // announce already happened, so throwing WITHOUT the rollback
     // would let Spark's abort delete the files while their log and
     // manifest entries stay live — the poisoned-log shape
+    var latePost: Seq[(ScbfDiscovery.Entry, String)] = Seq.empty
     val lateOcc =
       try {
         val post = occEntries()
+        latePost = post
         ScbfOcc.conflicts(post, victimNames,
           publishedNames.contains, ourOutputs = publishedNames,
           // single-loser arbitration: our commit's ordinal off the
@@ -425,9 +443,15 @@ private[sources] class ScbfRowLevelBatchWrite(
         Seq(s"UNVERIFIABLE (${e.getMessage})")
       }
     if (lateOcc.nonEmpty) {
+      // outputs a later commit already consumed stay (load-bearing
+      // lineage — see rollbackPublished's consumed contract)
+      val consumed = latePost.iterator
+        .filterNot(p => publishedNames.contains(p._1.name))
+        .flatMap(_._1.rewriteOf).toSet.intersect(publishedNames)
       val scrubbed = ScbfOcc.rollbackPublished(fs, qroot, hconf,
         publishedNames, alsoScrub = Set.empty,
-        cdcTagDir = cdcTag.map(t => new Path(ScbfCdc.dir(qroot), t)))
+        cdcTagDir = cdcTag.map(t => new Path(ScbfCdc.dir(qroot), t)),
+        consumed = consumed)
       throw new graft.scbf.ScbfFormatException(
         ScbfOcc.refusalMessage(s"row-level SQL on $qroot", lateOcc,
           "detected after publish; replacement rolled back") +

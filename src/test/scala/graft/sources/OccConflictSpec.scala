@@ -352,6 +352,60 @@ class OccConflictSpec extends AnyFunSuite with SparkTestBase {
       "OPTIMIZE must not fold a recorded victim back in")
   }
 
+  test("a crashed arbitration loser's replacement: fork detected, rollback completed") {
+    // the crash window single-loser arbitration leaves open: the
+    // higher-ordinal racer dies between its publish and its recheck,
+    // so nobody rolls its replacement back — the victims' rows would
+    // serve twice forever. The fork (one victim, rewrites from two
+    // distinct commits) is detectable from the log; the loser side is
+    // excluded from planning and, once stale, its pending ROLLBACK is
+    // completed (files deleted, entries scrubbed, span preserved).
+    val dir = tmpDir("scbf-occ-loser")
+    writeTwoFiles(dir)
+    val qdir = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = qdir.getFileSystem(hconf)
+    val f1 = ScbfDataSource.resolveFiles(Seq(dir), hconf)
+      .map(_.getPath).minBy(_.getName) // ids 0..999
+    val f1Name = f1.getName
+    // stash f1's pre-image (the crashed loser "rewrote" it blind)
+    val stash = new org.apache.hadoop.fs.Path(dir, ".stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, f1, fs, stash, false, hconf)
+    // winner A: commits fully (rewrites f1, removes it)
+    ScbfDelete.deleteWhere(spark, dir, hconf, Array[Filter](LessThan("id", 500)))
+    // crashed loser B: its replacement (f1's pre-image) + announce
+    // land AFTER A's commit — higher ordinal — and B never rechecks
+    val loserName = "rw-loser00-crashed.scbf"
+    val loserPath = new org.apache.hadoop.fs.Path(dir, loserName)
+    fs.rename(stash, loserPath)
+    val len = fs.getFileStatus(loserPath).getLen
+    ScbfDiscovery.append(qdir, hconf, Seq(ScbfDiscovery.Entry(
+      loserName, len, System.currentTimeMillis(),
+      rewriteOf = Seq(f1Name), rowsChanged = true)))
+    // the fork is live: reads double ids 500..999 (the crashed state)
+    val doubled = spark.read.format("scbf").load(dir)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(doubled.size > doubled.distinct.size, "fixture sanity: fork doubles rows")
+    // a later mutation detects the fork: loser excluded from planning
+    // and (stale) its rollback completed
+    val grace = ScbfOcc.healGraceMs
+    ScbfOcc.healGraceMs = 0L
+    try ScbfDelete.deleteWhere(spark, dir, hconf,
+      Array[Filter](GreaterThanOrEqual("id", 1900)))
+    finally ScbfOcc.healGraceMs = grace
+    assert(ids(dir) == (500 until 1900).toSet,
+      "the crashed loser's rows must be gone, the winner's state exact")
+    assert(!fs.exists(loserPath), "the loser's replacement must be deleted")
+    val logged = ScbfDiscovery.listDeltas(qdir, hconf)
+      .flatMap(n => ScbfDiscovery.readDelta(qdir, hconf, n)).map(_.name)
+    assert(!logged.contains(loserName), s"the loser's entry must be scrubbed: $logged")
+    // the scrub preserved the ordinal span (slots never shift)
+    val chain = ScbfDiscovery.versionedChain(qdir, hconf)
+    assert(chain.nonEmpty && chain.last._3 + 1 >= 4, s"span survives: $chain")
+  }
+
   test("arbitration rule: ordinal order picks exactly one loser") {
     import ScbfDiscovery.Entry
     val victims = Set("v.scbf")
