@@ -496,13 +496,15 @@ object ScbfDelete {
         set.contains(f.getPath.getName) ||
           set.contains(ScbfCdc.relName(dfs, qdir, f.getPath))
       // HEAL while we're here (both idempotent against a live owner
-      // finishing concurrently, both staleness-gated): complete a
-      // crashed takedown's pending removal (the re-run cure) and a
-      // crashed arbitration loser's pending rollback
-      ScbfOcc.completePendingRemovals(dfs, qdir, conf,
-        listedRaw.filter(in(dead.originals)), victimRecords)
+      // finishing concurrently, both staleness-gated). ROLLBACKS
+      // FIRST: with a crashed loser's replacement still on disk, the
+      // removal heal's tag preference could retain a victim's bytes
+      // under the loser's tag — the very dir the rollback heal then
+      // deletes; healing the loser away first removes the ambiguity.
       ScbfOcc.completePendingRollbacks(dfs, qdir, conf,
         listedRaw.filter(in(dead.loserOutputs)), victimRecords)
+      ScbfOcc.completePendingRemovals(dfs, qdir, conf,
+        listedRaw.filter(in(dead.originals)), victimRecords)
       val listed = listedRaw.filterNot(in(dead.all))
       val candidates = listed
         .filterNot(f => accounted.contains(f.getPath.getName) ||
@@ -685,12 +687,16 @@ object ScbfDelete {
       }
       if (lateConflicts.nonEmpty) {
         // outputs a later commit already consumed are load-bearing
-        // lineage and stay (see rollbackPublished's consumed contract)
+        // lineage and stay (see rollbackPublished's consumed contract).
+        // An UNVERIFIABLE recheck treats EVERYTHING as consumed:
+        // nothing destructive happens on a replay we could not read
+        // (scrubbing a consumed entry would un-deaden its victims into
+        // row duplication), the refusal stays loud, and the fork
+        // machinery completes the rollback once the state is stale.
         val consumed = postOrFail match {
-          case Right(post) => post.iterator
-            .filterNot(p => selfName(p._1.name))
-            .flatMap(_._1.rewriteOf).toSet.intersect(publishedNames)
-          case Left(_) => Set.empty[String]
+          case Right(post) =>
+            ScbfOcc.consumedOf(post, selfName, publishedNames)
+          case Left(_) => publishedNames
         }
         val scrubbed = ScbfOcc.rollbackPublished(dfs, qdir, conf,
           publishedNames, alsoScrub = Set(removalName),

@@ -532,8 +532,11 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * in their `tsb-` marker. A delta absent from `instants` (marker
    * lost to a crash between publish and marker) has no free bound:
    * early-stops read it, the commit-clock floor reads its max entry
-   * stamp — degraded cost, identical results. */
-  final case class LogListing(deltas: Seq[String], instants: Map[String, Long])
+   * stamp — degraded cost, identical results. `mtimes` carries the
+   * raw file modification times (free from the same listStatus) — the
+   * last-resort bound for a delta with neither marker nor entries. */
+  final case class LogListing(deltas: Seq[String], instants: Map[String, Long],
+      mtimes: Map[String, Long] = Map.empty)
 
   /** [[LogListing]] as a Try — the one listing variant that can tell
    * "the log dir is genuinely absent" (Success with no deltas) from
@@ -546,9 +549,12 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       val fs = d.getFileSystem(conf)
       if (!fs.exists(d)) LogListing(Seq.empty, Map.empty)
       else {
-        val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        val statuses = fs.listStatus(d).toSeq
+        val names = statuses.map(_.getPath.getName)
         val deltas = names.filter(n =>
           n.startsWith("delta-") && !n.endsWith(".tmp"))
+        val mtimes = statuses.iterator
+          .map(s => s.getPath.getName -> s.getModificationTime).toMap
         val markers = names.iterator.filter(_.startsWith("tsb-")).flatMap { n =>
           // tsb-<suffix>-<millis13>: millis after the LAST dash (v2
           // name suffixes contain no dash)
@@ -559,7 +565,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         }.toMap
         val instants = deltas.iterator.flatMap(n =>
           deltaMillis(n).orElse(markers.get(n)).map(n -> _)).toMap
-        LogListing(deltas, instants)
+        LogListing(deltas, instants, mtimes)
       }
     }
 
@@ -593,7 +599,16 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           if (max == Long.MinValue) None else Some(max)
         }
         val all = known ++ unknown
-        if (all.isEmpty) None else Some(all.max)
+        if (all.nonEmpty) Some(all.max)
+        else
+          // chain exists but holds NO stamps anywhere (every delta is
+          // an entry-less fold with a crash-lost marker): returning
+          // None here would read as "no chain" and silently DISABLE
+          // OCC — instead bound by the newest delta FILE MTIME (set at
+          // publication, so ≥ any stamp that could have existed and
+          // < every future commit's stamps, modulo remote-FS clock
+          // skew the 1h heal grace already tolerates). OCC stays ON.
+          Some(l.deltas.flatMap(l.mtimes.get).maxOption.getOrElse(0L))
       }
     }
 
@@ -625,9 +640,24 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         case None => true
         case Some((f, l)) => !ranged.exists { case (m, (f2, l2)) =>
           m != n && f2 <= f && l <= l2 &&
-            (l2 - f2 > l - f || (f2 == f && l2 == l && m > n)) }
+            (l2 - f2 > l - f ||
+              (f2 == f && l2 == l &&
+                // equal ranges: the LARGER re-fold GENERATION wins,
+                // compared NUMERICALLY (a raw string compare would
+                // rank legacy unpadded "s2" above "s0003" and invert
+                // again at 5 digits), name order as the final tie
+                (foldGen(m) > foldGen(n) ||
+                  (foldGen(m) == foldGen(n) && m > n)))) }
       }
     }
+  }
+
+  /** A v2 fold name's re-fold generation (1 when unmarked); 0 for
+   * anything else. */
+  private def foldGen(name: String): Int = name match {
+    case V2Re(_, sp, g) if sp != null =>
+      if (g == null || g.isEmpty) 1 else g.toIntOption.getOrElse(1)
+    case _ => 0
   }
 
   /** The chain with each delta's ordinal span: (name, firstVersion,

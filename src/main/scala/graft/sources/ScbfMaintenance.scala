@@ -94,11 +94,13 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
       // OPTIMIZE is the natural healer: complete a crashed takedown's
       // pending removal and a crashed arbitration loser's pending
       // rollback instead of leaving the dead bytes to double every
-      // listing-based read until a DELETE re-run
-      ScbfOcc.completePendingRemovals(fs, q, conf,
-        snapshot.filter(in(dead.originals)), victims)
+      // listing-based read until a DELETE re-run. Rollbacks FIRST —
+      // see the ScbfDelete heal comment (tag-preference ambiguity
+      // while the loser's replacement still exists).
       ScbfOcc.completePendingRollbacks(fs, q, conf,
         snapshot.filter(in(dead.loserOutputs)), victims)
+      ScbfOcc.completePendingRemovals(fs, q, conf,
+        snapshot.filter(in(dead.originals)), victims)
       snapshot.filterNot(in(dead.all))
     }
   }

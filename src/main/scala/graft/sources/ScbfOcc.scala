@@ -207,16 +207,31 @@ private[sources] object ScbfOcc extends org.apache.spark.internal.Logging {
     val originals = listed.filter(n =>
       victims.get(n).exists(_.exists(r => deadBy(r.entry, Set(n)))))
     val losers = victims.iterator.flatMap { case (_, recs) =>
-      val byOrd = recs.groupBy(_.ordinal)
+      // ONE record per distinct OUTPUT name first: the same entry can
+      // be recorded twice with different ordinal spellings (a raw
+      // delta's claimed ordinal vs a concurrent fold's positional V:
+      // tag) — a duplicate must never read as a two-commit fork
+      val byOutput = recs.groupBy(_.entry.name).values
+        .map(rs => rs.find(_.ordinal.isDefined).getOrElse(rs.head)).toSeq
+      val byOrd = byOutput.groupBy(_.ordinal)
       if (byOrd.size < 2 || byOrd.contains(None)) Nil
       else {
         val winner = byOrd.keys.flatten.min
-        recs.filter(_.ordinal.exists(_ != winner)).map(_.entry.name)
+        byOutput.filter(_.ordinal.exists(_ != winner)).map(_.entry.name)
           .filterNot(victims.contains) // consumed = load-bearing lineage
       }
     }.toSet
-    DeadListing(originals -- losers, losers.intersect(listed))
+    DeadListing(originals, losers.intersect(listed))
   }
+
+  /** Our published outputs a LATER commit consumed (its rewriteOf
+   * names them) — ONE copy of the rule both rollback call sites use
+   * (divergent self-filters here would silently split the surfaces'
+   * semantics). */
+  def consumedOf(post: Seq[(ScbfDiscovery.Entry, String)],
+      isSelf: String => Boolean, published: Set[String]): Set[String] =
+    post.iterator.filterNot(p => isSelf(p._1.name))
+      .flatMap(_._1.rewriteOf).toSet.intersect(published)
 
   /** How old (ms) a recorded rewrite must be before another operation
    * may COMPLETE its pending removal: a fresh one may belong to a LIVE
@@ -255,13 +270,15 @@ private[sources] object ScbfOcc extends org.apache.spark.internal.Logging {
     }
     if (healable.isEmpty) return
     healable.foreach { f =>
-      // prefer the SURVIVING commit's tag (its replacement bytes
-      // exist) — a rolled-back racer's un-scrubbed record must not
-      // capture the bytes under the wrong tag's retention area, or
-      // the surviving commit's CDC window would refuse as swept
+      // prefer the SURVIVING commit's tag: existence of its
+      // replacement bytes first, then LOWEST ordinal (the arbitration
+      // winner — a crashed loser's replacement can still exist in the
+      // same heal pass, and retaining under ITS tag would hand the
+      // bytes to the tag dir the rollback heal deletes)
       val recs = recsOf(f).sortBy(r =>
-        try if (fs.exists(new Path(qroot, r.entry.name))) 0 else 1
-        catch { case scala.util.control.NonFatal(_) => 1 })
+        (try if (fs.exists(new Path(qroot, r.entry.name))) 0 else 1
+         catch { case scala.util.control.NonFatal(_) => 1 },
+          r.ordinal.getOrElse(Int.MaxValue)))
       recs.flatMap(_.entry.cdcTag).headOption match {
         case Some(tag) => ScbfCdc.retain(fs, qroot, tag, Seq(f.getPath))
         case None => deleteWithSidecars(fs, f.getPath)
@@ -367,10 +384,15 @@ private[sources] object ScbfOcc extends org.apache.spark.internal.Logging {
         ScbfStats.mergeManifest(parent, conf, Seq.empty, fresh = false,
           drop = ps.map(_.getName))
       }
-    if (consumed.isEmpty)
-      cdcTagDir.foreach(t =>
-        try fs.delete(t, true)
-        catch { case scala.util.control.NonFatal(_) => () })
+    // the tag area drops even on a partial (consumed) rollback: its
+    // materialized change rows cover the WHOLE aborted scope, and a
+    // CDC window served from them would report phantom changes for
+    // rows whose mutation retracted. With the area gone, a consumed
+    // entry's dangling D:tag makes that window REFUSE loudly
+    // (swept-retention) — loud beats silently wrong.
+    cdcTagDir.foreach(t =>
+      try fs.delete(t, true)
+      catch { case scala.util.control.NonFatal(_) => () })
     scrubbed
   }
 

@@ -428,11 +428,11 @@ private[sources] class ScbfRowLevelBatchWrite(
     // announce already happened, so throwing WITHOUT the rollback
     // would let Spark's abort delete the files while their log and
     // manifest entries stay live — the poisoned-log shape
-    var latePost: Seq[(ScbfDiscovery.Entry, String)] = Seq.empty
+    var latePost: Option[Seq[(ScbfDiscovery.Entry, String)]] = None
     val lateOcc =
       try {
         val post = occEntries()
-        latePost = post
+        latePost = Some(post)
         ScbfOcc.conflicts(post, victimNames,
           publishedNames.contains, ourOutputs = publishedNames,
           // single-loser arbitration: our commit's ordinal off the
@@ -444,10 +444,15 @@ private[sources] class ScbfRowLevelBatchWrite(
       }
     if (lateOcc.nonEmpty) {
       // outputs a later commit already consumed stay (load-bearing
-      // lineage — see rollbackPublished's consumed contract)
-      val consumed = latePost.iterator
-        .filterNot(p => publishedNames.contains(p._1.name))
-        .flatMap(_._1.rewriteOf).toSet.intersect(publishedNames)
+      // lineage); an UNVERIFIABLE replay treats everything as
+      // consumed — nothing destructive on a state we could not read,
+      // the fork machinery completes the rollback once stale (same
+      // contract as ScbfDelete's rollback)
+      val consumed = latePost match {
+        case Some(post) =>
+          ScbfOcc.consumedOf(post, publishedNames.contains, publishedNames)
+        case None => publishedNames
+      }
       val scrubbed = ScbfOcc.rollbackPublished(fs, qroot, hconf,
         publishedNames, alsoScrub = Set.empty,
         cdcTagDir = cdcTag.map(t => new Path(ScbfCdc.dir(qroot), t)),
