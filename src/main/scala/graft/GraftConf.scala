@@ -60,6 +60,20 @@ object GraftConf {
    * outnumber cores and the trade always wins). */
   val SpjEnabled = "graft.spj.enabled"
 
+  /** Driver-side sweep parallelism for TABLE-LEVEL maintenance and
+   * mutation (default 8): `OPTIMIZE`/`VACUUM`, partitioned `DELETE` —
+   * that many per-directory rewrites run as CONCURRENT Spark jobs
+   * from driver threads (the optimization guide's §2.6 overlap:
+   * partitions are disjoint commit units — independent snapshots,
+   * manifests, logs — so the only shared resource is cluster
+   * capacity, and FIFO scheduling back-fills each job's straggler
+   * tail with the next job's tasks). A small partition's rewrite is
+   * dominated by fixed job overhead; a sweep of 10³ partitions
+   * serializing that overhead is O(partitions) wall-clock for no
+   * reason. 8 matches the API path's measured setting (q48); result
+   * bytes are identical at any value. */
+  val SweepParallelism = "graft.sweep.parallelism"
+
   /** Minimum distinct partition-value count for the scan to REPORT its
    * key-grouping (default 1 = always report when SPJ is on). The
    * parallelism-trade gate: a key-grouped scan runs one task per

@@ -1781,15 +1781,24 @@ case class GraftOptimizeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (dir, partitioned) = GraftSqlParser.resolveScbfTable(spark, table)
+    // partitioned sweeps run per-directory rewrites as concurrent
+    // Spark jobs (graft.sweep.parallelism, default 8) — partitions
+    // are disjoint commit units, and a serialized sweep pays
+    // O(partitions) fixed job overhead in wall-clock for no reason
+    // (the same setting the API path has measured since q48)
+    val par = graft.GraftConf.int(spark, graft.GraftConf.SweepParallelism, 8)
     val produced =
       (zorder, cols.isEmpty, partitioned) match {
         // no BY clause: plain bin-packing compaction
         case (false, true, false)  => ScbfMaintenance.compact(spark, dir, files)
-        case (false, true, true)   => ScbfMaintenance.compactTable(spark, dir, files)
+        case (false, true, true)   =>
+          ScbfMaintenance.compactTable(spark, dir, files, parallelism = par)
         case (false, false, false) => ScbfMaintenance.cluster(spark, dir, cols, files)
-        case (false, false, true)  => ScbfMaintenance.clusterTable(spark, dir, cols, files)
+        case (false, false, true)  =>
+          ScbfMaintenance.clusterTable(spark, dir, cols, files, parallelism = par)
         case (true, _, false)      => ScbfMaintenance.zorder(spark, dir, cols, files)
-        case (true, _, true)       => ScbfMaintenance.zorderTable(spark, dir, cols, files)
+        case (true, _, true)       =>
+          ScbfMaintenance.zorderTable(spark, dir, cols, files, parallelism = par)
       }
     Seq(Row(produced.size))
   }
@@ -1807,26 +1816,16 @@ case class GraftVacuumCommand(table: String, olderThanMs: Option[Long])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (dir, _) = GraftSqlParser.resolveScbfTable(spark, table)
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(dir)
-    // EVERY table directory, data-holding or not: the partitioned
-    // root's own litter and a crashed write's temp-only partition
-    // directory both need sweeping, so the data-holding filter the
-    // rewrite walk applies (pruneDirs) is exactly wrong here
-    val dirs = graft.sources.ScbfPartitions.allDirs(root, conf)
-    var temps = 0
-    var orphans = 0
-    dirs.foreach { d =>
-      val (t, o) = olderThanMs match {
-        // an explicit RETAIN n HOURS is ONE stated horizon — it
-        // overrides both the litter and the CDC-retention defaults
-        // (the operator's explicit promise beats both built-ins)
-        case Some(ms) => ScbfMaintenance.vacuum(spark, d.toString, ms,
-          cdcRetainMs = ms)
-        case None     => ScbfMaintenance.vacuum(spark, d.toString)
-      }
-      temps += t; orphans += o
-    }
+    // every table directory sweeps, data-holding or not; directories
+    // sweep concurrently (pure independent FS metadata work — see
+    // ScbfMaintenance.vacuumTable). An explicit RETAIN n HOURS is ONE
+    // stated horizon — it overrides both the litter and the
+    // CDC-retention defaults (the operator's explicit promise beats
+    // both built-ins).
+    val (temps, orphans) = ScbfMaintenance.vacuumTable(spark, dir,
+      olderThanMs,
+      parallelism = graft.GraftConf.int(spark,
+        graft.GraftConf.SweepParallelism, 8))
     Seq(Row(temps, orphans))
   }
 }

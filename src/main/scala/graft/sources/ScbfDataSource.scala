@@ -385,7 +385,9 @@ class ScbfTable(
       ScbfDelete.deleteWhere(SparkSession.active, tablePaths.head, conf, filters)
       ()
     } else ScbfDelete.deleteWhereTable(SparkSession.active, tablePaths.head,
-      conf, schema, partitionColNames, filters)
+      conf, schema, partitionColNames, filters,
+      parallelism = graft.GraftConf.int(SparkSession.active,
+        graft.GraftConf.SweepParallelism, 8))
   }
 
   override def name(): String = s"scbf:${tablePaths.mkString(",")}"

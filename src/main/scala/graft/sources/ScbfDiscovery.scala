@@ -536,7 +536,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
    * raw file modification times (free from the same listStatus) — the
    * last-resort bound for a delta with neither marker nor entries. */
   final case class LogListing(deltas: Seq[String], instants: Map[String, Long],
-      mtimes: Map[String, Long] = Map.empty)
+      mtimes: Map[String, Long] = Map.empty,
+      lens: Map[String, Long] = Map.empty)
 
   /** [[LogListing]] as a Try — the one listing variant that can tell
    * "the log dir is genuinely absent" (Success with no deltas) from
@@ -555,6 +556,8 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
           n.startsWith("delta-") && !n.endsWith(".tmp"))
         val mtimes = statuses.iterator
           .map(s => s.getPath.getName -> s.getModificationTime).toMap
+        val lens = statuses.iterator
+          .map(s => s.getPath.getName -> s.getLen).toMap
         val markers = names.iterator.filter(_.startsWith("tsb-")).flatMap { n =>
           // tsb-<suffix>-<millis13>: millis after the LAST dash (v2
           // name suffixes contain no dash)
@@ -565,7 +568,7 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
         }.toMap
         val instants = deltas.iterator.flatMap(n =>
           deltaMillis(n).orElse(markers.get(n)).map(n -> _)).toMap
-        LogListing(deltas, instants, mtimes)
+        LogListing(deltas, instants, mtimes, lens)
       }
     }
 
@@ -1303,6 +1306,69 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
       firstAt: scala.collection.mutable.HashMap[String, Entry],
       deltaOf: scala.collection.mutable.HashMap[String, String])
 
+  // ---- per-delta PARSE cache (optimization r15) ----------------------
+  //
+  // A published delta is content-immutable: every log write creates a
+  // NEW file (tmp + exclusive publish; names are never reused — v2
+  // ordinal-CAS names by construction, v1 uuid-suffixed names by
+  // draw), and folds/scrubs publish new names then delete the old. So
+  // one strict, complete parse of a delta can be reused by every later
+  // replay — which is what turns a mutation fixture's per-statement
+  // full-chain replays (recordedVictims once per op + OCC snapshot +
+  // OCC recheck, each a chain read) from O(chain) content reads into
+  // O(new deltas): at 100 TB the chain read is the Delta
+  // checkpoint-read bill on an object store, paid per statement.
+  //
+  // NOT a result cache: no query output, row, or aggregate is ever
+  // stored — only parsed lines of immutable log files, exactly the
+  // bytes a re-read would produce. Keyed by (qualified path, length,
+  // mtime) as defense-in-depth against out-of-band tampering; a
+  // changed file misses and re-reads. Only STRICT complete parses are
+  // cached (a non-strict read may skip torn lines). Bounded two ways:
+  // per-delta by byte length (CacheMaxDeltaBytes — a 10⁶-entry
+  // HistoryScale fold stays on the O(log) bisect path and out of
+  // driver memory) and in total by accumulated bytes with LRU
+  // eviction (CacheMaxTotalBytes).
+  private[sources] val CacheMaxDeltaBytes: Long = 512L * 1024
+  private[sources] val CacheMaxTotalBytes: Long = 32L * 1024 * 1024
+  // test hook: replays served entirely from cache (PlanningScale-style)
+  val deltaCacheHits = new AtomicLong(0)
+  private val cachedBytes = new AtomicLong(0)
+  private val entryCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Vector[Entry])](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Vector[Entry])]): Boolean =
+          if (cachedBytes.get > CacheMaxTotalBytes) {
+            cachedBytes.addAndGet(-e.getValue._1); true
+          } else false
+      })
+
+  private def cacheKey(qroot: Path, name: String, listing: LogListing): Option[String] =
+    for {
+      len <- listing.lens.get(name) if len <= CacheMaxDeltaBytes
+      mt <- listing.mtimes.get(name)
+    } yield s"$qroot#$name@$len:$mt"
+
+  /** Strict whole-delta read that populates the cache, serving entries
+   * through `f` (post-filtering is the caller's admit). Returns after
+   * caching; any read/parse failure propagates BEFORE the cache is
+   * touched, so a torn delta can never poison it. */
+  private def readThroughCache(qroot: Path, conf: Configuration, name: String,
+      key: String)(f: Entry => Unit): Unit = {
+    val buf = Vector.newBuilder[Entry]
+    readDeltaStream(qroot, conf, name, strict = true)(buf += _)
+    val es = buf.result()
+    val bytes = listingLenOf(key)
+    if (entryCache.put(key, (bytes, es)) == null) cachedBytes.addAndGet(bytes)
+    es.foreach(f)
+  }
+
+  private def listingLenOf(key: String): Long = {
+    val at = key.lastIndexOf('@'); val colon = key.lastIndexOf(':')
+    if (at < 0 || colon < at) 0L else key.substring(at + 1, colon).toLong
+  }
+
   private[sources] def replayAfterWithSources(qroot: Path, conf: Configuration,
       lo: Long, refuse: String => Nothing): Replay = {
     val firstAt = scala.collection.mutable.HashMap.empty[String, Entry]
@@ -1338,9 +1404,33 @@ object ScbfDiscovery extends org.apache.spark.internal.Logging {
             // a SORTED fold bisects to the first post-lo line instead
             // of streaming the whole re-announced history — the
             // replay's BYTE cost stays O(changes) even across
-            // compactions (pre-round-13 unmarked folds read whole)
-            if (isSortedFold(n)) readSortedFoldFrom(qroot, conf, n, lo)(admit)
-            else readDeltaStream(qroot, conf, n, strict = true)(admit)
+            // compactions (pre-round-13 unmarked folds read whole).
+            // Small deltas (≤ CacheMaxDeltaBytes) serve from / fill
+            // the per-delta parse cache: deltas are content-immutable
+            // once published, so repeated replays (one per mutation
+            // statement: recordedVictims + OCC snapshot + recheck)
+            // stop re-reading the same bytes — O(new deltas) IO per
+            // statement instead of O(chain). Oversized folds keep the
+            // bisect path and stay out of driver memory.
+            cacheKey(qroot, n, listing) match {
+              case Some(key) =>
+                val hit = entryCache.get(key)
+                if (hit != null) {
+                  // a cache hit still counts as a delta CONSULTATION:
+                  // deltaReads is the bounded-access contract every
+                  // REQUIRE pin and scale spec asserts on ("read ONLY
+                  // the N post-start deltas"), and that contract is
+                  // about which deltas a replay touches, not whether
+                  // the bytes came from disk — deltaCacheHits carries
+                  // the physical-IO saving separately
+                  deltaReads.incrementAndGet()
+                  deltaCacheHits.incrementAndGet()
+                  hit._2.foreach(admit)
+                } else readThroughCache(qroot, conf, n, key)(admit)
+              case None =>
+                if (isSortedFold(n)) readSortedFoldFrom(qroot, conf, n, lo)(admit)
+                else readDeltaStream(qroot, conf, n, strict = true)(admit)
+            }
           }
         replayed = true
       } catch {

@@ -563,6 +563,38 @@ object ScbfMaintenance extends org.apache.spark.internal.Logging {
     (temps, orphans)
   }
 
+  /** Table-level [[vacuum]]: the janitorial sweep over EVERY table
+   * directory (the partitioned root's own litter and a crashed
+   * write's temp-only partition directory both need sweeping, so
+   * this walks [[ScbfPartitions.allDirs]], not just data-holding
+   * dirs). Directories sweep CONCURRENTLY up to `parallelism` driver
+   * threads — per-directory vacuums are pure independent filesystem
+   * metadata work (list + targeted deletes; no Spark jobs), so on an
+   * object store the sweep's wall-clock is latency-bound and
+   * serializing it is O(dirs) round-trips for no reason. An explicit
+   * `olderThanMs` (SQL `RETAIN n HOURS`) overrides both the litter
+   * and the CDC-retention defaults, exactly as the per-directory
+   * call does. Returns (temps removed, orphan sidecars removed). */
+  def vacuumTable(
+      spark: SparkSession,
+      rootDir: String,
+      olderThanMs: Option[Long] = None,
+      parallelism: Int = 1): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val dirs = ScbfPartitions.allDirs(root, conf)
+    val temps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val orphans = new java.util.concurrent.atomic.AtomicInteger(0)
+    forEachDir(dirs, parallelism) { d =>
+      val (t, o) = olderThanMs match {
+        case Some(ms) => vacuum(spark, d.toString, ms, cdcRetainMs = ms)
+        case None     => vacuum(spark, d.toString)
+      }
+      temps.addAndGet(t); orphans.addAndGet(o); ()
+    }
+    (temps.get, orphans.get)
+  }
+
   /** CLI: `cluster <dir> <numFiles> <col> [col ...]` or
    * `vacuum <dir> [horizonHours]` — the maintenance entry points
    * alongside the reference-shaped CSV CLI (CsvScbfApps). */
