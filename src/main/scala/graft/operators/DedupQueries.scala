@@ -699,7 +699,7 @@ object DedupQueries {
     // rationale). Key equality still ⟺ window equality modulo a 2⁻⁶⁴
     // collision (same contract as before: the oracles hash the window
     // string with md5 and the gate would catch a disagreement).
-    corpus(s, dir)
+    Ops.spreadIfNarrow(s, corpus(s, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(
@@ -946,7 +946,7 @@ object DedupQueries {
       // selection step; the kernel digests straight from token bytes).
       // Value-identical to the HOF chain, which WinnowedSpansSpec
       // still computes independently as the density cross-check.
-      val sel = corpus(s, dir)
+      val sel = Ops.spreadIfNarrow(s, corpus(s, dir), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), explode(
@@ -1092,14 +1092,31 @@ object DedupQueries {
       // Only (id, id) int pairs ever shuffle — never the gram arrays
       // (an earlier array_intersect pair-join shape was 6× slower, all
       // serialization).
-      val docs = t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("g", expr(
-          """array_distinct(filter(transform(w, (x, i) ->
-            |  IF(i <= size(w) - 2, concat(x, '_', element_at(w, i + 2)), NULL)),
-            |  y -> y IS NOT NULL))""".stripMargin))
-        .select(col("source"), col("doc_id"), col("g"))
-        .repartition(spread(s), col("doc_id")) // single-file input: spread the gram work
+      // Gram relation: spread FIRST, build grams, MATERIALIZE before
+      // the explode (optimization r15, profiled at sf0.1). Two
+      // pathologies hid here: (a) with the gram projection below the
+      // spreading exchange, a single-split input computed every gram
+      // in ONE scan task (two concurrent 2.8 s single-task jobs were
+      // the whole query's cost); (b) with the projection above the
+      // exchange, the explode collapses onto it and the interpreted
+      // HOF chain re-evaluates PER OUTPUT ROW — a tokens-per-doc×
+      // blowup that measured the same 2.8 s spread over every core
+      // (micro-probe: explode over the projected array 2.8 s, over
+      // the materialized array 0.13 s warm). The staged checkpoint
+      // (the d2 ex pattern: executor-local blocks, released by
+      // stagedClear) both spreads the gram work and pins the arrays
+      // so the explode reads them instead of re-deriving them. Same
+      // rows, same counts, byte-identical output.
+      val docs = Ops.staged(s, dir, "d4_grams") {
+        t(s, dir, "documents")
+          .repartition(spread(s), col("doc_id")) // single-file input: spread the gram work
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("g", expr(
+            """array_distinct(filter(transform(w, (x, i) ->
+              |  IF(i <= size(w) - 2, concat(x, '_', element_at(w, i + 2)), NULL)),
+              |  y -> y IS NOT NULL))""".stripMargin))
+          .select(col("source"), col("doc_id"), col("g"))
+      }
       // grams collapse to their xxhash64 up front (see d2): the window
       // pass and the self-join below shuffle an 8-byte long instead of
       // a word-bigram string; counts are identical modulo 2⁻⁶⁴

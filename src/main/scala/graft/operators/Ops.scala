@@ -61,6 +61,21 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
   def spread(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Scale-ADAPTIVE spread (optimization r15): repartition on `key`
+   * only when the plan's source parallelism cannot fill the session's
+   * — the single-file fixture shape, where a deliberately map-side
+   * kernel (the span-window explodes) otherwise runs on as many cores
+   * as the input has SPLITS (profiled: 2-task 300 ms stages at 32
+   * cores). At 100 TB input splits ≫ cores, the branch is a no-op and
+   * the pipeline stays shuffle-free exactly where that matters; this
+   * is the "derive partitioning from input size, not a constant"
+   * rule, not a local[32] tune. Results are partition-independent
+   * (hash aggregates / per-doc windows downstream). */
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame = {
+    val n = spread(s)
+    if (df.rdd.getNumPartitions < n) df.repartition(n, key) else df
+  }
+
   /** Hierarchical (salted) per-group top-k — the scale-safe replacement
    * for a bare `row_number().over(partitionBy(group))`, which funnels
    * every row of a group through one task. Pass 1 ranks within
@@ -296,13 +311,21 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
       .localCheckpoint()
     var lab = lab0
     while (!e.isEmpty) {
-      // (1) min over self and neighbors, per contracted vertex
-      var mCkpt = e.select(col("a").as("v"), col("b").as("n"))
+      // (1) min over self and neighbors, per contracted vertex — fused
+      // into the FIRST doubling step below (optimization r15): both
+      // sides of the first self-join read the same aggregate subplan,
+      // which Spark serves from one exchange (ReusedExchange — the d4
+      // multi-consumer pattern), so the separate materialization job
+      // the old standalone checkpoint paid per round is gone. The
+      // iterative loop's cost at bench scale is driver-blocking JOBS,
+      // not bytes; one fewer checkpoint per round is one fewer job
+      // plus its AQE stage jobs.
+      val m1 = e.select(col("a").as("v"), col("b").as("n"))
         .unionByName(e.select(col("b").as("v"), col("a").as("n")))
         .groupBy(col("v")).agg(min(col("n")).as("mn"))
         .select(col("v"), least(col("v"), col("mn")).as("m"))
-        .localCheckpoint()
-      var m = mCkpt
+      var mCkpt: DataFrame = null
+      var m = m1
       // (2) pointer doubling to fixpoint: composing m with itself lets
       // every vertex follow its min-pointer chain 2^k hops after k
       // steps, so chains of any length flatten in O(log chain) steps —
@@ -318,7 +341,7 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
             coalesce(col("r.m"), col("l.m")).as("m"))
           .localCheckpoint()
         flat = next.filter(col("m") =!= col("m0")).isEmpty
-        release(mCkpt) // superseded by next
+        if (mCkpt != null) release(mCkpt) // superseded by next
         mCkpt = next
         m = next.select(col("v"), col("m"))
       }

@@ -8,11 +8,12 @@ import org.apache.spark.sql.SparkSession
  * site, plus the GAPS between jobs (driver-side work: planning, log
  * replays, filesystem metadata, commit protocol). The job table is the
  * empirical view the optimization guide's §1 asks for when the UI is
- * off. Usage: Test/runMain graft.tools.ProfileQuery <name> [sfDir] [iters]
+ * off. Usage:
+ *   Test/runMain graft.tools.ProfileQuery <name>[,name2,...] [sfDir] [iters]
  */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
@@ -25,6 +26,10 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.drop(3).filter(_.contains("=")).foreach { a =>
+      val Array(k, v) = a.split("=", 2); spark.conf.set(k, v)
+      println(s"[prof] conf $k=$v")
+    }
     case class Job(id: Int, submitted: Long, var ended: Long = -1,
         var tasks: Int = 0, site: String = "")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
@@ -33,8 +38,9 @@ object ProfileQuery {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val j = Job(js.jobId, System.nanoTime(),
           tasks = js.stageInfos.map(_.numTasks).sum,
-          site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
+          site = js.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(30)}#${si.numTasks}")
+            .mkString(" "))
         jobs.put(js.jobId, j); order.add(j)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -42,7 +48,7 @@ object ProfileQuery {
       }
     })
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warm
-    (1 to iters).foreach { i =>
+    for (name <- names; i <- 1 to iters) {
       jobs.clear(); order.clear()
       graft.operators.Ops.stagedClear()
       val t0 = System.nanoTime()
@@ -59,7 +65,7 @@ object ProfileQuery {
         val gap = (j.submitted - prevEnd) / 1e9
         val dur = if (j.ended > 0) (j.ended - j.submitted) / 1e9 else -1.0
         if (dur >= 0) { jobSum += dur; gapSum += math.max(gap, 0) }
-        println(f"  job ${j.id}%4d  gap ${gap * 1000}%7.0f ms  dur ${dur * 1000}%8.0f ms  tasks ${j.tasks}%4d  ${j.site.take(70)}")
+        println(f"  job ${j.id}%4d  gap ${gap * 1000}%7.0f ms  dur ${dur * 1000}%8.0f ms  tasks ${j.tasks}%4d  ${j.site.take(110)}")
         prevEnd = math.max(prevEnd, if (j.ended > 0) j.ended else j.submitted)
       }
       val tail = (t0 + (total * 1e9).toLong - prevEnd) / 1e9
