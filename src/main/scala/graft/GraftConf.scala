@@ -74,6 +74,16 @@ object GraftConf {
    * bytes are identical at any value. */
   val SweepParallelism = "graft.sweep.parallelism"
 
+  /** Edge-count gate for connectedComponents' hybrid driver tail
+   * (default 200000): once a COUNTED contraction round leaves at most
+   * this many edges, the remaining fixpoint runs as a driver
+   * union-find re-attached through one broadcast join, instead of
+   * paying ~10 driver-blocking 1-task jobs per round on trivially
+   * small data. Bounded model-state class (the IVF-centroid collect
+   * precedent): the driver holds at most this many (long, long)
+   * edges, never O(input). 0 forces the fully distributed path. */
+  val CcLocalEdges = "graft.cc.localFixpointEdges"
+
   /** Minimum distinct partition-value count for the scan to REPORT its
    * key-grouping (default 1 = always report when SPJ is on). The
    * parallelism-trade gate: a key-grouped scan runs one task per

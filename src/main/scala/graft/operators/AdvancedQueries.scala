@@ -221,11 +221,34 @@ object AdvancedQueries {
         .groupBy(col("rf")).agg(count(lit(1)).as("exact_parts"))
       val eo = li.select(col("rf"), col("l_orderkey")).distinct()
         .groupBy(col("rf")).agg(count(lit(1)).as("exact_orders"))
-      val w = Window.partitionBy(col("rf")).orderBy(col("v"))
-      val ranked = li.select(col("rf"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(w))
+      // Exact value-at-rank WITHOUT the per-rf global sort (optimization
+      // r15): the previous row_number over partitionBy(rf) funneled the
+      // whole table through |rf| = 3 tasks (profiled: a 673 ms 3-task
+      // stage at sf0.1 — and a straggler sort of N/3 rows at 100 TB).
+      // q34's chunked-rank machinery instead: range-partition by
+      // (rf, v) into spread(s) chunks, rank locally per (chunk, rf),
+      // and add the broadcast per-rf prefix of chunk counts — the
+      // global rank of every row, all chunks sorting in parallel.
+      // Values at each rank are invariant to how range partitioning
+      // splits ties (ordering is by v alone), so the four boundary
+      // values — the only thing the gate reads — are identical.
+      val vals = li.select(col("rf"), col("l_extendedprice").as("v"))
+        .repartitionByRange(spread(s), col("rf"), col("v"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // pins pid↔row for the two consumers below
+      val summ = vals.groupBy(col("pid"), col("rf")).agg(count(lit(1)).as("cnt"))
+      val wPre = Window.partitionBy(col("rf")).orderBy(col("pid"))
+      val prefix = summ.select(col("pid"), col("rf"),
+        coalesce(sum(col("cnt")).over(wPre.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("precnt"),
+        sum(col("cnt")).over(wPre.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+      val wLoc = Window.partitionBy(col("pid"), col("rf")).orderBy(col("v"))
+      val ranked = vals
+        .withColumn("lrn", row_number().over(wLoc))
+        .join(broadcast(prefix), Seq("pid", "rf"))
+        .withColumn("rn", col("precnt") + col("lrn"))
       val bounds = ranked
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
         .select(col("rf"), col("v"), col("rn"),
           (floor(lit(0.49) * (col("n") - 1)) + 1).as("mlo"),
           least(ceil(lit(0.51) * (col("n") - 1)) + 1, col("n")).as("mhi"),
@@ -316,15 +339,28 @@ object AdvancedQueries {
       // checkpoint AFTER the window pass (q32's pattern): pins pid↔row
       // for the two consumers AND materializes the heavy per-chunk
       // sort+window exactly once — checkpointing ordA instead would run
-      // it twice (once per consumer subtree)
-      val locA = ordA
-        .withColumn("lrn", row_number().over(wA))
-        .withColumn("lcnt", count(lit(1)).over(
-          wA.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("llag", lag(col("o_totalprice"), 1).over(wA))
-        .withColumn("lmov3", sum(col("o_totalprice").cast(dec))
-          .over(wA.rowsBetween(-2, 0)))
-        .localCheckpoint()
+      // it twice (once per consumer subtree).
+      // Pipelines A and B are data-INDEPENDENT until the final join, so
+      // their checkpoints materialize concurrently (optimization r15,
+      // guide §2.6): profiled serially, each front is a range-sampling
+      // job + a 1-task boundary job + the chunk sort — ~1.4 s of the
+      // query's wall was the two fronts queueing behind each other.
+      val (locA, ordB) = Ops.overlap {
+        ordA
+          .withColumn("lrn", row_number().over(wA))
+          .withColumn("lcnt", count(lit(1)).over(
+            wA.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("llag", lag(col("o_totalprice"), 1).over(wA))
+          .withColumn("lmov3", sum(col("o_totalprice").cast(dec))
+            .over(wA.rowsBetween(-2, 0)))
+          .localCheckpoint()
+      } {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), pri, col("o_totalprice"))
+          .repartitionByRange(spread(s), pri, col("o_totalprice").desc, col("o_orderkey"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+      }
       // last two rows of each (chunk, priority) group, for boundary fix
       val summA = locA
         .filter(col("lrn") >= col("lcnt") - 1)
@@ -366,12 +402,7 @@ object AdvancedQueries {
             .otherwise(expr("rem + (rn - rem * (base + 1) - 1) div base + 1"))
             .cast("int"))
         .select(col("o_orderkey"), col("lag_price"), col("mov3"), col("nt"))
-      // ---- pipeline B: rank-ordered dense_rank ----
-      val ordB = t(s, dir, "orders")
-        .select(col("o_orderkey"), pri, col("o_totalprice"))
-        .repartitionByRange(spread(s), pri, col("o_totalprice").desc, col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
+      // ---- pipeline B: rank-ordered dense_rank (ordB built above) ----
       val wB = Window.partitionBy(col("pid"), pri).orderBy(col("o_totalprice").desc)
       val locB = ordB.withColumn("ldr", dense_rank().over(wB))
       val summB = ordB.groupBy(col("pid"), pri).agg(

@@ -413,13 +413,20 @@ object DedupQueries {
         // non-concern
         .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-      // members is consumed by both expansion stages and is two ints per
-      // row — localCheckpoint so each consumer doesn't re-run the
-      // hash-window over the full corpus (lineage truncation is the
-      // point; on a cluster the blocks are executor-local and
-      // recomputed-from-source only on executor loss)
-      val members = withRep.select(col("rep"), col("doc_id")).localCheckpoint()
-      val uniq = withRep.filter(col("doc_id") === col("rep"))
+      // ONE checkpoint of the rep assignment serves both downstream
+      // consumers (optimization r15): checkpointing only `members`
+      // made `uniq`'s subtree re-run the whole corpus scan + repartition
+      // + md5-window a second time (profiled: a duplicate 34-task
+      // ~230 ms pass at sf0.1 — a full corpus pass at scale). Text
+      // bytes are pinned ONLY for group representatives (the when()
+      // below): non-rep members carry a NULL, so the checkpoint holds
+      // the unique-text corpus `ex` reads anyway plus two ids per row.
+      val repd = withRep
+        .select(col("rep"), col("doc_id"),
+          when(col("doc_id") === col("rep"), col("text")).as("text"))
+        .localCheckpoint()
+      val members = repd.select(col("rep"), col("doc_id"))
+      val uniq = repd.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("doc_id"), col("text"))
       // the exploded distinct shingle relation drives minhashing, cards,
       // and both verification joins (4 consumers): materialize once.

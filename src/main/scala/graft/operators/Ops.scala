@@ -190,6 +190,29 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
     sorted.withColumn("__lcs", sum(col("__v")).over(wLocal))
   }
 
+  /** Materialize two INDEPENDENT subpipelines concurrently (guide
+   * §2.6: actions are only sequential because driver code calls them
+   * sequentially). `fa` runs on a short-lived daemon thread, `fb` on
+   * the caller's; Spark's FIFO scheduler back-fills each job's
+   * straggler tail with the other's tasks. Use only for thunks with no
+   * data dependency whose combined working set fits the cluster —
+   * both sides still share total capacity, so this trades nothing at
+   * scale and removes the serial driver wait between two
+   * materializations. Exceptions from `fa` rethrow on the caller. */
+  def overlap[A, B](fa: => A)(fb: => B): (A, B) = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-overlap"); t.setDaemon(true); t })
+    val f = ex.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = fa
+    })
+    try {
+      val b = fb
+      val a = try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      (a, b)
+    } finally ex.shutdown()
+  }
+
   /** Release the executor blocks behind a localCheckpoint. Goes through
    * the UNDERLYING checkpointed RDD: Dataset.unpersist only consults the
    * CacheManager, which never registers localCheckpoint's LogicalRDD, so
@@ -289,7 +312,21 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
    * dropped and duplicates collapsed, so unresolved structure shrinks
    * every round. Every step is a join/aggregate on (long, long) rows;
    * localCheckpoint truncates per-round lineage; loop termination is
-   * edge exhaustion (exact, not a round budget). */
+   * edge exhaustion (exact, not a round budget).
+   *
+   * Hybrid tail (optimization r15): once the CONTRACTED edge set fits
+   * under `graft.cc.localFixpointEdges` (default 200k edges ≈ a few MB
+   * — the bounded-model-state budget, same class as the IVF centroid
+   * collect), the remaining fixpoint runs as a driver union-find and
+   * the result re-attaches through one broadcast join. Rationale
+   * (guide §1.2/§5): contraction shrinks the graph geometrically, so
+   * the tail rounds operate on trivially small data while still paying
+   * ~10 driver-blocking jobs per round (profiled: 70 of d13's 88 jobs
+   * were 1–3-task jobs of 5–25 ms separated by 10–25 ms gaps — pure
+   * scheduling overhead). The threshold gates on a COUNTED size, never
+   * an estimate, so at any scale the driver holds at most the knob's
+   * edges; graphs that never contract below it finish fully
+   * distributed, exactly as before. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // Checkpoint-block accounting: each localCheckpoint pins executor
     // storage, so superseded blocks are released EAGERLY as soon as
@@ -310,7 +347,12 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
       .select(col("v").as("vertex"), col("v").as("component"))
       .localCheckpoint()
     var lab = lab0
-    while (!e.isEmpty) {
+    val sp = edges.sparkSession
+    val localMax = graft.GraftConf.int(sp, graft.GraftConf.CcLocalEdges, 200000)
+    // count() instead of isEmpty(): the same one-job-per-round price,
+    // and the exact size feeds the hybrid-tail gate
+    var ecnt = e.count()
+    while (ecnt > 0 && ecnt > localMax) {
       // (1) min over self and neighbors, per contracted vertex — fused
       // into the FIRST doubling step below (optimization r15): both
       // sides of the first self-join read the same aggregate subplan,
@@ -360,6 +402,56 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
         .localCheckpoint()
       release(e)
       e = nextE
+      ecnt = e.count()
+    }
+    if (ecnt > 0) {
+      // hybrid tail: ≤ localMax edges left — finish the fixpoint on the
+      // driver (union-find with min-id roots, path-halving) and compose
+      // once through a broadcast map. The contracted ids are themselves
+      // min ids of their already-merged sets, so min-root union-find
+      // over them yields exactly the labels the remaining distributed
+      // rounds would have produced.
+      val dt = e.schema("a").dataType
+      val parent = new java.util.HashMap[Long, Long]()
+      val verts = new java.util.LinkedHashSet[Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      e.collect().foreach { r =>
+        val a = r.get(0).asInstanceOf[Number].longValue
+        val b = r.get(1).asInstanceOf[Number].longValue
+        verts.add(a); verts.add(b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](verts.size)
+      val it = verts.iterator()
+      val toDt: Long => Any = dt match {
+        case org.apache.spark.sql.types.IntegerType => l => l.toInt
+        case org.apache.spark.sql.types.LongType => l => l
+        case other => throw new IllegalStateException(
+          s"connectedComponents: unsupported vertex type $other")
+      }
+      while (it.hasNext) {
+        val v = it.next()
+        rows.add(org.apache.spark.sql.Row(toDt(v), toDt(find(v))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", dt, nullable = false),
+        org.apache.spark.sql.types.StructField("m", dt, nullable = false)))
+      val mapDf = sp.createDataFrame(rows, schema)
+      lab = lab
+        .join(broadcast(mapDf), lab("component") === mapDf("v"), "left")
+        .select(col("vertex"),
+          coalesce(col("m"), col("component")).as("component"))
     }
     // materialize the final map (its lazy chain references lab0 and
     // every round's final m), then release those blocks

@@ -632,23 +632,33 @@ object RelationalQueries {
       s.sql("DROP TABLE IF EXISTS graft_q50p")
       fs.delete(p, true) // clean location: external tables keep files across DROP
       t(s, dir, "documents").createOrReplaceTempView("graft_q50_src")
-      s.sql("CREATE TABLE graft_q50f (doc_id INT, source STRING, n_chars INT) " +
-        s"USING scbf LOCATION '$base/flat'")
-      s.sql(s"""INSERT INTO graft_q50f
-        SELECT /*+ REPARTITION_BY_RANGE(${spread(s)}, doc_id) */
-          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
-        FROM graft_q50_src""")
-      s.sql("UPDATE graft_q50f SET source = 'redacted', n_chars = 0 " +
-        "WHERE doc_id >= 300 AND doc_id < 350")
-      s.sql("CREATE TABLE graft_q50p (doc_id INT, source STRING, n_chars INT) " +
-        s"USING scbf PARTITIONED BY (source) LOCATION '$base/part'")
-      s.sql("""INSERT INTO graft_q50p
-        SELECT /*+ REPARTITION(4, source) */
-          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
-        FROM graft_q50_src""")
-      s.sql("UPDATE graft_q50p SET n_chars = n_chars + 1000 WHERE doc_id % 7 = 0")
-      s.sql("UPDATE graft_q50p SET source = 'moved' " +
-        "WHERE source = 'src2' AND doc_id < 100")
+      // the FLAT and PARTITIONED fixtures are fully independent tables
+      // (own locations, own logs, own statements) whose mutations never
+      // read each other — their statement chains run concurrently
+      // (optimization r15, guide §2.6). Statements WITHIN each chain
+      // stay strictly ordered, so each table's final state — the only
+      // thing the SELECT below observes — is identical to the serial
+      // run; the oracle hash pins that.
+      Ops.overlap {
+        s.sql("CREATE TABLE graft_q50f (doc_id INT, source STRING, n_chars INT) " +
+          s"USING scbf LOCATION '$base/flat'")
+        s.sql(s"""INSERT INTO graft_q50f
+          SELECT /*+ REPARTITION_BY_RANGE(${spread(s)}, doc_id) */
+            CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+          FROM graft_q50_src""")
+        s.sql("UPDATE graft_q50f SET source = 'redacted', n_chars = 0 " +
+          "WHERE doc_id >= 300 AND doc_id < 350")
+      } {
+        s.sql("CREATE TABLE graft_q50p (doc_id INT, source STRING, n_chars INT) " +
+          s"USING scbf PARTITIONED BY (source) LOCATION '$base/part'")
+        s.sql("""INSERT INTO graft_q50p
+          SELECT /*+ REPARTITION(4, source) */
+            CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+          FROM graft_q50_src""")
+        s.sql("UPDATE graft_q50p SET n_chars = n_chars + 1000 WHERE doc_id % 7 = 0")
+        s.sql("UPDATE graft_q50p SET source = 'moved' " +
+          "WHERE source = 'src2' AND doc_id < 100")
+      }
       s.sql("""SELECT side, source, COUNT(*) AS cnt,
         SUM(n_chars) AS sum_chars,
         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc

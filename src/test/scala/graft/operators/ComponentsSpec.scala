@@ -10,9 +10,18 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Ops.connectedComponents(edges.toDF("a", "b"))
+  /** Both execution paths: localEdges=0 forces the fully distributed
+   * rounds; the default threshold sends these tiny graphs through the
+   * hybrid driver union-find tail. Every assertion pins both. */
+  private val BothPaths = Seq(0, 200000)
+
+  private def components(edges: Seq[(Long, Long)], localEdges: Int = 200000)
+      : Map[Long, Long] = {
+    spark.conf.set(graft.GraftConf.CcLocalEdges, localEdges.toString)
+    try Ops.connectedComponents(edges.toDF("a", "b"))
       .as[(Long, Long)].collect().toMap
+    finally spark.conf.unset(graft.GraftConf.CcLocalEdges)
+  }
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -32,9 +41,11 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
 
   test("a chain collapses to its min id (the case plain propagation is slow on)") {
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = components(chain)
-    assert(got.keySet == (0L until 40L).toSet)
-    assert(got.values.toSet == Set(0L))
+    for (le <- BothPaths) {
+      val got = components(chain, le)
+      assert(got.keySet == (0L until 40L).toSet, s"localEdges=$le")
+      assert(got.values.toSet == Set(0L), s"localEdges=$le")
+    }
   }
 
   test("cliques, reversed/duplicated edges, self-loops, and separate components") {
@@ -43,10 +54,41 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
       (5L, 5L),                                       // self-loop: ignored entirely
       (20L, 23L), (23L, 21L),                         // second component
       (30L, 31L))                                     // third
-    val got = components(edges)
-    // 5's only edge is a self-loop — it never enters the vertex set
-    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L, 23L -> 20L, 30L -> 30L, 31L -> 30L))
+    for (le <- BothPaths) {
+      val got = components(edges, le)
+      // 5's only edge is a self-loop — it never enters the vertex set
+      assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L, 23L -> 20L, 30L -> 30L, 31L -> 30L),
+        s"localEdges=$le")
+    }
+  }
+
+  test("hybrid tail preserves INT vertex schema and values") {
+    spark.conf.set(graft.GraftConf.CcLocalEdges, "200000")
+    try {
+      val df = Ops.connectedComponents(
+        Seq((7, 3), (3, 9), (20, 21)).toDF("a", "b"))
+      assert(df.schema("vertex").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(df.schema("component").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(df.as[(Int, Int)].collect().toMap ==
+        Map(3 -> 3, 7 -> 3, 9 -> 3, 20 -> 20, 21 -> 20))
+    } finally spark.conf.unset(graft.GraftConf.CcLocalEdges)
+  }
+
+  test("a mid-loop threshold crossing hands off mid-contraction (hybrid == distributed)") {
+    // a path over a RANDOM permutation has ~n/3 local minima, so one
+    // contraction round leaves a (still nonempty) smaller path — 199
+    // edges > 120 forces at least one distributed round, after which
+    // the count falls under 120 and the driver tail finishes the rest
+    val rnd = new scala.util.Random(7)
+    val perm = rnd.shuffle((0L until 200L).toVector)
+    val edges = perm.sliding(2).map(s => (s(0), s(1))).toSeq
+    val viaHandoff = components(edges, 120)
+    val distributed = components(edges, 0)
+    assert(viaHandoff == distributed)
+    assert(viaHandoff.values.toSet == Set(0L))
   }
 
   test("releases every intermediate checkpoint block (only the result stays)") {
