@@ -848,15 +848,21 @@ object RelationalQueries {
       t(s, dir, "documents").createOrReplaceTempView("graft_q55_src")
       s.sql("CREATE TABLE graft_q55f (doc_id INT, source STRING, n_chars INT) " +
         s"USING scbf PARTITIONED BY (source) LOCATION '$base/fact'")
-      s.sql("""INSERT INTO graft_q55f
-        SELECT /*+ REPARTITION(4, source) */
-          CAST(doc_id AS INT), source, CAST(n_chars AS INT)
-        FROM graft_q55_src""")
       s.sql("CREATE TABLE graft_q55d (source STRING, src_docs INT) " +
         s"USING scbf PARTITIONED BY (source) LOCATION '$base/dim'")
-      s.sql("""INSERT INTO graft_q55d
-        SELECT /*+ REPARTITION(4, source) */ source, CAST(COUNT(*) AS INT)
-        FROM graft_q55_src GROUP BY source""")
+      // fact and dim are independent tables (own locations, own logs):
+      // their ingests overlap (optimization r15, guide §2.6 — the q50
+      // pattern); catalog DDL stays serial above
+      Ops.overlap {
+        s.sql("""INSERT INTO graft_q55f
+          SELECT /*+ REPARTITION(4, source) */
+            CAST(doc_id AS INT), source, CAST(n_chars AS INT)
+          FROM graft_q55_src""")
+      } {
+        s.sql("""INSERT INTO graft_q55d
+          SELECT /*+ REPARTITION(4, source) */ source, CAST(COUNT(*) AS INT)
+          FROM graft_q55_src GROUP BY source""")
+      }
       val q = """SELECT f.source, COUNT(*) AS cnt,
         SUM(f.n_chars) AS sum_chars, MAX(d.src_docs) AS src_docs
         FROM graft_q55f f JOIN graft_q55d d ON f.source = d.source
@@ -993,11 +999,16 @@ object RelationalQueries {
         "PARTITIONED BY (bucket(16, doc_id))")
       s.sql("CREATE TABLE gq58.db.scores (doc_id INT, score DOUBLE) USING scbf " +
         "PARTITIONED BY (bucket(16, doc_id))")
-      s.sql("""INSERT INTO gq58.db.docs
-        SELECT CAST(doc_id AS INT), CAST(n_chars AS INT) FROM graft_q58_src""")
-      s.sql("""INSERT INTO gq58.db.scores
-        SELECT CAST(doc_id AS INT), CAST(doc_id % 97 AS DOUBLE)
-        FROM graft_q58_src WHERE doc_id % 3 = 0""")
+      // the two bucketed ingests are independent tables: overlap them
+      // (optimization r15, guide §2.6 — the q50 pattern); DDL serial
+      Ops.overlap {
+        s.sql("""INSERT INTO gq58.db.docs
+          SELECT CAST(doc_id AS INT), CAST(n_chars AS INT) FROM graft_q58_src""")
+      } {
+        s.sql("""INSERT INTO gq58.db.scores
+          SELECT CAST(doc_id AS INT), CAST(doc_id % 97 AS DOUBLE)
+          FROM graft_q58_src WHERE doc_id % 3 = 0""")
+      }
       val q = """SELECT COUNT(*) AS cnt,
         SUM(d.n_chars * s2.score) AS sum_mix,
         MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
