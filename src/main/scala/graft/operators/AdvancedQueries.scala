@@ -221,46 +221,20 @@ object AdvancedQueries {
         .groupBy(col("rf")).agg(count(lit(1)).as("exact_parts"))
       val eo = li.select(col("rf"), col("l_orderkey")).distinct()
         .groupBy(col("rf")).agg(count(lit(1)).as("exact_orders"))
-      // Exact value-at-rank WITHOUT the per-rf global sort (optimization
-      // r15): the previous row_number over partitionBy(rf) funneled the
-      // whole table through |rf| = 3 tasks (profiled: a 673 ms 3-task
-      // stage at sf0.1 — and a straggler sort of N/3 rows at 100 TB).
-      // q34's chunked-rank machinery instead: range-partition by
-      // (rf, v) into spread(s) chunks, rank locally per (chunk, rf),
-      // and add the broadcast per-rf prefix of chunk counts — the
-      // global rank of every row, all chunks sorting in parallel.
-      // Values at each rank are invariant to how range partitioning
-      // splits ties (ordering is by v alone), so the four boundary
-      // values — the only thing the gate reads — are identical.
-      val vals = li.select(col("rf"), col("l_extendedprice").as("v"))
-        .repartitionByRange(spread(s), col("rf"), col("v"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint() // pins pid↔row for the two consumers below
-      val summ = vals.groupBy(col("pid"), col("rf")).agg(count(lit(1)).as("cnt"))
-      val wPre = Window.partitionBy(col("rf")).orderBy(col("pid"))
-      val prefix = summ.select(col("pid"), col("rf"),
-        coalesce(sum(col("cnt")).over(wPre.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)).as("precnt"),
-        sum(col("cnt")).over(wPre.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
-      val wLoc = Window.partitionBy(col("pid"), col("rf")).orderBy(col("v"))
-      val ranked = vals
-        .withColumn("lrn", row_number().over(wLoc))
-        .join(broadcast(prefix), Seq("pid", "rf"))
-        .withColumn("rn", col("precnt") + col("lrn"))
-      val bounds = ranked
-        .select(col("rf"), col("v"), col("rn"),
-          (floor(lit(0.49) * (col("n") - 1)) + 1).as("mlo"),
-          least(ceil(lit(0.51) * (col("n") - 1)) + 1, col("n")).as("mhi"),
-          (floor(lit(0.94) * (col("n") - 1)) + 1).as("plo"),
-          least(ceil(lit(0.96) * (col("n") - 1)) + 1, col("n")).as("phi"))
-        .filter(col("rn") === col("mlo") || col("rn") === col("mhi") ||
-          col("rn") === col("plo") || col("rn") === col("phi"))
-        .groupBy(col("rf")).agg(
-          max(when(col("rn") === col("mlo"), col("v"))).as("mlo_v"),
-          max(when(col("rn") === col("mhi"), col("v"))).as("mhi_v"),
-          max(when(col("rn") === col("plo"), col("v"))).as("plo_v"),
-          max(when(col("rn") === col("phi"), col("v"))).as("phi_v"))
+      // Exact value-at-rank WITHOUT the per-rf global sort at scale
+      // (optimization r15): a row_number over partitionBy(rf) funnels
+      // the whole table through |rf| = 3 tasks (profiled: a 673 ms
+      // 3-task stage at sf0.1 — and a straggler sort of N/3 rows at
+      // 100 TB). valueAtRankBounds picks the plan from the source's
+      // split count vs the session's parallelism (the spreadIfNarrow
+      // rule): a narrow source cannot fill the session anyway, so the
+      // 3-task sort is bounded by the (small) input and skips the
+      // chunked path's sampling pass + checkpoint; a wide source takes
+      // q34's chunked-rank machinery — all chunks sorting in parallel.
+      // Both paths read identical boundary values (RankBoundsSpec).
+      val rfv = li.select(col("rf"), col("l_extendedprice").as("v"))
+      val bounds = valueAtRankBounds(s, rfv,
+        chunked = rfv.rdd.getNumPartitions >= spread(s))
       sk.join(ep, "rf").join(eo, "rf").join(bounds, "rf")
         .select(col("rf"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.08))
@@ -445,6 +419,57 @@ object AdvancedQueries {
 
   /** q24's frame-surface oracle, shared verbatim by q34 (identical
     * output contract, scalable plan). */
+  /** q28's exact value-at-rank bounds — two plans, one result.
+   * Input must have exactly (rf, v); output is one row per rf with the
+   * four boundary values (mlo_v, mhi_v, plo_v, phi_v) at the bracketing
+   * ranks. `chunked = false`: one row_number window per rf (|rf| tasks
+   * — fine only when the source cannot fill the session anyway).
+   * `chunked = true`: range-partition by (rf, v) into spread(s) chunks,
+   * rank locally per (chunk, rf), add a broadcast per-rf prefix of
+   * chunk counts (q34's machinery) — every chunk sorts in parallel and
+   * no task holds more than ~N/spread rows. Values at each rank are
+   * invariant to how range partitioning splits ties (ordering is by v
+   * alone), so the boundary values are identical on both paths;
+   * RankBoundsSpec pins that on tie-heavy data. */
+  private[graft] def valueAtRankBounds(s: SparkSession, rfv: DataFrame,
+      chunked: Boolean): DataFrame = {
+    val ranked =
+      if (!chunked) {
+        rfv.withColumn("rn",
+            row_number().over(Window.partitionBy(col("rf")).orderBy(col("v"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
+      } else {
+        val vals = rfv
+          .repartitionByRange(spread(s), col("rf"), col("v"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pins pid↔row for the two consumers below
+        val summ = vals.groupBy(col("pid"), col("rf")).agg(count(lit(1)).as("cnt"))
+        val wPre = Window.partitionBy(col("rf")).orderBy(col("pid"))
+        val prefix = summ.select(col("pid"), col("rf"),
+          coalesce(sum(col("cnt")).over(wPre.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("precnt"),
+          sum(col("cnt")).over(wPre.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+        val wLoc = Window.partitionBy(col("pid"), col("rf")).orderBy(col("v"))
+        vals.withColumn("lrn", row_number().over(wLoc))
+          .join(broadcast(prefix), Seq("pid", "rf"))
+          .withColumn("rn", col("precnt") + col("lrn"))
+      }
+    ranked
+      .select(col("rf"), col("v"), col("rn"),
+        (floor(lit(0.49) * (col("n") - 1)) + 1).as("mlo"),
+        least(ceil(lit(0.51) * (col("n") - 1)) + 1, col("n")).as("mhi"),
+        (floor(lit(0.94) * (col("n") - 1)) + 1).as("plo"),
+        least(ceil(lit(0.96) * (col("n") - 1)) + 1, col("n")).as("phi"))
+      .filter(col("rn") === col("mlo") || col("rn") === col("mhi") ||
+        col("rn") === col("plo") || col("rn") === col("phi"))
+      .groupBy(col("rf")).agg(
+        max(when(col("rn") === col("mlo"), col("v"))).as("mlo_v"),
+        max(when(col("rn") === col("mhi"), col("v"))).as("mhi_v"),
+        max(when(col("rn") === col("plo"), col("v"))).as("plo_v"),
+        max(when(col("rn") === col("phi"), col("v"))).as("phi_v"))
+  }
+
   private val FrameOracleSql =
     """SELECT o_orderkey,
       |  COALESCE(lag(o_totalprice) OVER (PARTITION BY o_orderpriority
