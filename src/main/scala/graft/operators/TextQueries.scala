@@ -668,14 +668,28 @@ object TextQueries {
   /** Score pre-computed per-doc bigrams against a given LM model (c2:
    * (w1,w2,c2), c1: (w1,c1), vocab: one-row (v)) — the piece the
    * incremental streaming twin shares: it brings its own model relations
-   * (folded epoch deltas), batch t16 brings the whole-corpus ones. */
+   * (folded epoch deltas), batch t16 brings the whole-corpus ones.
+   *
+   * Join order (optimization r15): score the DISTINCT-bigram model
+   * first (c2 ⋈ c1 ⋈ vocab — model-sized), then join the corpus-sized
+   * bigram stream ONCE. The previous order (bg ⋈ c2, then ⋈ c1) put
+   * the corpus-sized stream through two join keys — two full-data
+   * shuffles at scale, and at bench scale Spark chose to BROADCAST the
+   * joined corpus stream for the c1 join (a single-threaded ~750 ms
+   * driver hash-relation build of millions of rows, profiled as t16's
+   * dominant job). Inner equi-joins are associative, c2/c1 are unique
+   * per key, and ll is a deterministic expression of (c2, c1, v) — so
+   * per-distinct-bigram scoring is row-identical to per-occurrence,
+   * and the decimal-cast sum makes addition order irrelevant. */
   private[graft] def lmScoreAgainst(bg: DataFrame, c2: DataFrame,
       c1: DataFrame, vocab: DataFrame): DataFrame =
-    bg.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(vocab)
-      .withColumn("ll", log(
-        (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")))
+    bg.join(
+        c2.join(c1, Seq("w1"))
+          .crossJoin(vocab)
+          .withColumn("ll", log(
+            (col("c2") + lit(1)).cast("double") / (col("c1") + col("v")).cast("double")))
+          .select(col("w1"), col("w2"), col("ll")),
+        Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("ll").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
