@@ -78,10 +78,25 @@ object AdvancedQueries {
     },
 
     // ---- full cube with explicit grouping bits ----
+    // Pre-aggregate per (rf, ls) BEFORE the cube (optimization r15):
+    // Spark's cube/rollup plans an Expand that multiplies the input
+    // stream by the number of grouping sets (×4 here) before the first
+    // partial aggregate — four corpus passes through the hash aggregate
+    // at 100 TB. The aggregates are distributive (decimal SUM;
+    // COUNT re-aggregates as SUM), so they re-aggregate exactly from
+    // the tiny (rf, ls) base relation: the Expand now multiplies
+    // |rf × ls| rows and the corpus passes ONE partial-aggregated
+    // groupBy. The inner sum stays DECIMAL until the single final cast,
+    // so two-level summation is bit-identical to single-level (exact
+    // integer arithmetic at both levels — the dsum discipline).
     "q23_cube" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
+          count(lit(1)).as("c"))
+      base
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+        .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("cnt"),
           (grouping(col("l_returnflag")).cast("int") * 2 +
             grouping(col("l_linestatus")).cast("int")).as("grp"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
@@ -174,11 +189,19 @@ object AdvancedQueries {
       // Dataset.groupingSets (Spark 4): same Expand-based plan as the SQL
       // GROUPING SETS surface, with zero catalog mutation — the previous
       // fixed-name temp view raced concurrent callers over different dirs.
-      t(s, dir, "lineitem")
+      // Pre-aggregated per (rf, ls) before the Expand — the q23
+      // rationale: ×3 grouping sets now multiply the tiny base
+      // relation, not the corpus; distributive aggregates re-aggregate
+      // exactly (decimal stays decimal until the one final cast).
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
+          count(lit(1)).as("c"))
+      base
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(Ops.dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),

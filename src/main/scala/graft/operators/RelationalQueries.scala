@@ -133,9 +133,19 @@ object RelationalQueries {
     },
 
     "q10_rollup" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      // Pre-aggregated per (rf, ls) before the rollup's Expand — the
+      // q23 rationale (optimization r15): ×3 grouping sets multiply the
+      // tiny base relation, not the corpus; decimal SUM/COUNT
+      // re-aggregate exactly (decimal stays decimal until the one
+      // final cast — the dsum discipline at both levels).
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("q"),
+          count(lit(1)).as("c"))
+      base
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("cnt"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
           col("sum_qty"), col("cnt"))
