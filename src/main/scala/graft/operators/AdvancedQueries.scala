@@ -90,11 +90,7 @@ object AdvancedQueries {
     // so two-level summation is bit-identical to single-level (exact
     // integer arithmetic at both levels — the dsum discipline).
     "q23_cube" -> { (s, dir) =>
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
-          count(lit(1)).as("c"))
-      base
+      Ops.rfLsQtyBase(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("cnt"),
           (grouping(col("l_returnflag")).cast("int") * 2 +
@@ -193,11 +189,7 @@ object AdvancedQueries {
       // rationale: ×3 grouping sets now multiply the tiny base
       // relation, not the corpus; distributive aggregates re-aggregate
       // exactly (decimal stays decimal until the one final cast).
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
-          count(lit(1)).as("c"))
-      base
+      Ops.rfLsQtyBase(s, dir)
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
@@ -256,8 +248,7 @@ object AdvancedQueries {
       // q34's chunked-rank machinery — all chunks sorting in parallel.
       // Both paths read identical boundary values (RankBoundsSpec).
       val rfv = li.select(col("rf"), col("l_extendedprice").as("v"))
-      val bounds = valueAtRankBounds(s, rfv,
-        chunked = rfv.rdd.getNumPartitions >= spread(s))
+      val bounds = valueAtRankBounds(s, rfv, chunked = !Ops.isNarrow(s, rfv))
       sk.join(ep, "rf").join(eo, "rf").join(bounds, "rf")
         .select(col("rf"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.08))
@@ -440,8 +431,6 @@ object AdvancedQueries {
     }
   )
 
-  /** q24's frame-surface oracle, shared verbatim by q34 (identical
-    * output contract, scalable plan). */
   /** q28's exact value-at-rank bounds — two plans, one result.
    * Input must have exactly (rf, v); output is one row per rf with the
    * four boundary values (mlo_v, mhi_v, plo_v, phi_v) at the bracketing
@@ -493,6 +482,8 @@ object AdvancedQueries {
         max(when(col("rn") === col("phi"), col("v"))).as("phi_v"))
   }
 
+  /** q24's frame-surface oracle, shared verbatim by q34 (identical
+    * output contract, scalable plan). */
   private val FrameOracleSql =
     """SELECT o_orderkey,
       |  COALESCE(lag(o_totalprice) OVER (PARTITION BY o_orderpriority

@@ -71,10 +71,29 @@ private[graft] object Ops { // graft-wide: Bench clears staged relations between
    * is the "derive partitioning from input size, not a constant"
    * rule, not a local[32] tune. Results are partition-independent
    * (hash aggregates / per-doc windows downstream). */
-  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame = {
-    val n = spread(s)
-    if (df.rdd.getNumPartitions < n) df.repartition(n, key) else df
-  }
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame =
+    if (isNarrow(s, df)) df.repartition(spread(s), key) else df
+
+  /** The narrowness predicate behind every scale-adaptive plan choice
+   * (spreadIfNarrow, q28's rank gate): true when the plan's source
+   * parallelism cannot fill the session's — i.e. the small-fixture
+   * shape. At 100 TB input splits ≫ cores and this is always false.
+   * Counting partitions compiles the physical plan (fine for the
+   * scan-shaped inputs it is used on); keep both consumers on THIS
+   * definition so the adaptive decisions can never diverge. */
+  def isNarrow(s: SparkSession, df: DataFrame): Boolean =
+    df.rdd.getNumPartitions < spread(s)
+
+  /** lineitem pre-aggregated per (l_returnflag, l_linestatus) — the
+   * shared base relation of q10/q23/q29's pre-aggregate-before-Expand
+   * rewrite (optimization r15). `q` stays DECIMAL so the outer
+   * rollup/cube/grouping-sets re-aggregation is exact at both levels
+   * (the dsum discipline); cast to double exactly once, at the end. */
+  def rfLsQtyBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
+        count(lit(1)).as("c"))
 
   /** Hierarchical (salted) per-group top-k — the scale-safe replacement
    * for a bare `row_number().over(partitionBy(group))`, which funnels

@@ -138,12 +138,7 @@ object RelationalQueries {
       // tiny base relation, not the corpus; decimal SUM/COUNT
       // re-aggregate exactly (decimal stays decimal until the one
       // final cast — the dsum discipline at both levels).
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("q"),
-          count(lit(1)).as("c"))
-      base
+      Ops.rfLsQtyBase(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("cnt"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
